@@ -1,0 +1,545 @@
+"""DeltaLakeClient — transactional table client over Spark + object storage.
+
+Capability parity with the reference client (reference
+deltalakeclient/*.go), re-architected for Spark:
+
+=====================  ==============================================
+reference              this engine
+=====================  ==============================================
+NewTx                  :meth:`DeltaLakeClient.new_tx` (log replay -> Snapshot)
+CreateTable            :meth:`create_table` (typed StructType DDL)
+WriteRow               :meth:`write_row` (buffered, auto-flush)
+(bulk ingest: none)    :meth:`write_dataframe` (distributed Spark write)
+Scan / Next            :meth:`scan` (DataFrame) / :meth:`scan_iter`
+DeleteRows             :meth:`delete_rows` (COW at file granularity)
+CommitTx               :meth:`commit_tx` (atomic put-if-absent log write)
+=====================  ==============================================
+
+Semantics preserved from the reference:
+
+- exactly one open tx per client (deltalakeclient.go:14-19); every
+  read/write requires an open tx (writes.go:10-12 etc.);
+- snapshot isolation: the snapshot is fixed at ``new_tx`` (transactions.go:59-100);
+- optimistic first-committer-wins via atomic create of the versioned log
+  file (transactions.go:133-146); conflicts are coarse (whole-log version);
+- read-only commits never write a log record and always succeed
+  (transactions.go:120-131);
+- scans return **all row versions**; reverse-chronological order is
+  available via the ``_tx_id``/``_row_idx`` stamp columns
+  (``scan_iter`` mirrors reads.go:52's newest-first contract);
+- deletes are inclusive-range, copy-on-write, visible immediately to the
+  deleting tx and to others only at commit (writes.go:90-162);
+- unflushed rows hit by a delete become tombstones (writes.go:106-109).
+
+Scale design (100 TB / 1000 executors):
+
+- Data objects are Parquet, written/read by Spark executors directly —
+  the driver only moves *metadata* (file names, stats, log records).
+- Scans hand Spark an explicitly pruned file list (log-level min/max
+  stats) and an explicit schema; Catalyst then applies predicate
+  pushdown, column pruning and vectorized decode per file.
+- COW delete locates affected files with a Spark job over only the
+  *stat-pruned candidate* files (``input_file_name()``), then rewrites
+  just those files in a second distributed job — never a full-table pass.
+- Log replay is O(commits since last checkpoint), not O(history):
+  a checkpoint object is folded every ``checkpoint_interval`` commits.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_experiment_spark.errors import (
+    ConcurrentCommitError,
+    ExistingTxError,
+    NoTxError,
+    ObjectExistsError,
+    TableExistsError,
+    TableNotFoundError,
+    TypeMismatchError,
+)
+from delta_lake_experiment_spark.plans.actions import (
+    Action,
+    AddDataObject,
+    ChangeMetadata,
+    RemoveDataObject,
+)
+from delta_lake_experiment_spark.plans.snapshot import (
+    CHECKPOINT_INTERVAL,
+    Snapshot,
+    checkpoint_name,
+    log_name,
+    replay_log,
+)
+from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage, ObjectStorage
+
+TX_COL = "_tx_id"
+IDX_COL = "_row_idx"
+# Default object size in rows. The reference ships 10 (debug) and intends
+# 64Ki (deltalakeclient.go:9-12); we default to 64Ki and let tests dial down.
+DEFAULT_DATAOBJECT_SIZE = 64 * 1024
+# Row-idx stride reserved per bulk write so interleaved write_row /
+# write_dataframe calls in one tx stay globally ordered.
+_BULK_STRIDE = 1 << 42
+
+
+@dataclass
+class _Tx:
+    id: int
+    snapshot: Snapshot
+    # schemas created by this tx (table -> DDL), layered over snapshot
+    new_tables: dict[str, str] = field(default_factory=dict)
+    actions: list[Action] = field(default_factory=list)
+    # table -> list of (row_idx, row-or-None); None = tombstone
+    buffers: dict[str, list[tuple[int, Optional[list[Any]]]]] = field(default_factory=dict)
+    next_idx: dict[str, int] = field(default_factory=dict)
+
+
+class DeltaLakeClient:
+    """One client == one session; at most one open transaction."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store: Union[ObjectStorage, str],
+        dataobject_size: int = DEFAULT_DATAOBJECT_SIZE,
+        checkpoint_interval: int = CHECKPOINT_INTERVAL,
+    ) -> None:
+        self.spark = spark
+        self.store = LocalObjectStorage(store) if isinstance(store, str) else store
+        self.dataobject_size = dataobject_size
+        self.checkpoint_interval = checkpoint_interval
+        self.tx: Optional[_Tx] = None
+
+    # ------------------------------------------------------------------
+    # transactions
+    # ------------------------------------------------------------------
+
+    def new_tx(self) -> None:
+        """Begin a transaction: replay the log, fix the snapshot
+        (snapshot isolation), pick id = newest committed + 1."""
+        if self.tx is not None:
+            raise ExistingTxError("there is an existing transaction")
+        snap = replay_log(self.store)
+        self.tx = _Tx(id=snap.version + 1, snapshot=snap)
+
+    def commit_tx(self) -> None:
+        """Flush buffers and atomically publish the log record.
+
+        Read-only transactions (no actions) skip the log write entirely
+        and always succeed. A version collision with a concurrent
+        committer raises :class:`ConcurrentCommitError` — first committer
+        wins, the loser's data objects stay orphaned and invisible
+        (crash-safe by construction: objects precede the log record).
+        """
+        tx = self._require_tx()
+        try:
+            for table in list(tx.buffers):
+                self._flush_buffer(table)
+            if not tx.actions:
+                return  # read-only fast path
+            record = json.dumps(
+                {"id": tx.id, "actions": [a.to_json() for a in tx.actions]}
+            ).encode()
+            try:
+                self.store.put_if_absent(log_name(tx.id), record)
+            except ObjectExistsError:
+                raise ConcurrentCommitError(
+                    f"tx {tx.id}: another transaction committed this version"
+                )
+            self._maybe_checkpoint(tx)
+        finally:
+            self.tx = None
+
+    def abort_tx(self) -> None:
+        """Drop the open transaction without committing."""
+        self.tx = None
+
+    # ------------------------------------------------------------------
+    # DDL
+    # ------------------------------------------------------------------
+
+    def create_table(self, table: str, schema: Union[str, T.StructType]) -> None:
+        """Register a table with a typed schema (DDL string or StructType).
+
+        Typed schemas are a deliberate upgrade over the reference's
+        name-only columns (writes.go:9) — see SURVEY.md §7.1.
+        """
+        tx = self._require_tx()
+        if table in tx.snapshot.tables or table in tx.new_tables:
+            raise TableExistsError(table)
+        ddl = schema if isinstance(schema, str) else schema.simpleString()[7:-1]
+        self._parse_ddl(ddl)  # validate
+        tx.new_tables[table] = ddl
+        tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl))
+
+    def table_schema(self, table: str) -> T.StructType:
+        """User-visible schema (without engine stamp columns)."""
+        tx = self._require_tx()
+        ddl = tx.new_tables.get(table) or tx.snapshot.tables.get(table)
+        if ddl is None:
+            raise TableNotFoundError(table)
+        return self._parse_ddl(ddl)
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+
+    def write_row(self, table: str, row: list[Any]) -> None:
+        """Buffer one row; auto-flush a Parquet object when the buffer
+        reaches ``dataobject_size`` (reference writes.go:49-52)."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        if len(row) != len(schema.fields):
+            raise TypeMismatchError(
+                f"row has {len(row)} values, table {table!r} has {len(schema.fields)} columns"
+            )
+        buf = tx.buffers.setdefault(table, [])
+        idx = tx.next_idx.get(table, 0)
+        tx.next_idx[table] = idx + 1
+        buf.append((idx, list(row)))
+        if len(buf) >= self.dataobject_size:
+            self._flush_buffer(table)
+
+    def write_dataframe(self, table: str, df: DataFrame) -> None:
+        """Bulk distributed ingest: executors write Parquet directly;
+        the driver registers the resulting files in the log.
+
+        This is the 100 TB write path the reference lacks — rows never
+        pass through the driver.
+        """
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        cols = [f.name for f in schema.fields]
+        missing = set(cols) - set(df.columns)
+        if missing:
+            raise TypeMismatchError(f"dataframe missing columns {sorted(missing)}")
+        base = tx.next_idx.get(table, 0)
+        tx.next_idx[table] = base + _BULK_STRIDE
+        stamped = df.select(
+            *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols],
+            F.lit(tx.id).cast("long").alias(TX_COL),
+            (F.monotonically_increasing_id() + F.lit(base)).alias(IDX_COL),
+        )
+        staging = self._staging_dir()
+        stamped.write.mode("overwrite").parquet(staging)
+        try:
+            for fname in sorted(os.listdir(staging)):
+                if not fname.endswith(".parquet"):
+                    continue
+                self._register_object(table, tx, os.path.join(staging, fname))
+        finally:
+            _rmtree(staging)
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+
+    def scan(
+        self,
+        table: str,
+        prune: Optional[dict[str, tuple[Any, Any]]] = None,
+        with_stamps: bool = True,
+    ) -> DataFrame:
+        """All live row versions as a DataFrame (snapshot + this tx's
+        buffered rows). Unordered, like any DataFrame; order explicitly
+        by ``(_tx_id, _row_idx) DESC`` for the reference's
+        newest-first contract. ``prune`` applies log-level min/max file
+        skipping before Spark sees the file list."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        stored = self._stored_schema(schema)
+        snap = self._effective_snapshot(tx)
+        files = snap.live_files(table, self.store, prune=prune)
+        parts = []
+        if files:
+            parts.append(self.spark.read.schema(stored).parquet(*files))
+        buf_rows = [
+            list(row) + [tx.id, idx]
+            for idx, row in tx.buffers.get(table, [])
+            if row is not None
+        ]
+        if buf_rows:
+            parts.append(self.spark.createDataFrame(buf_rows, stored))
+        if not parts:
+            df = self.spark.createDataFrame([], stored)
+        else:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        return df if with_stamps else df.select(*[f.name for f in schema.fields])
+
+    def scan_iter(self, table: str) -> Iterator[tuple]:
+        """Pull iterator over all versions, newest first — the exact
+        contract of the reference's scanIterator (reads.go:52): unflushed
+        rows first (they carry the current tx id, hence sort newest),
+        then flushed rows by descending (tx, write order)."""
+        schema = self.table_schema(table)
+        df = self.scan(table).orderBy(F.desc(TX_COL), F.desc(IDX_COL))
+        cols = [f.name for f in schema.fields]
+        for row in df.select(*cols).toLocalIterator():
+            yield tuple(row)
+
+    def scan_latest(self, table: str, keys: list[str]) -> DataFrame:
+        """'Current state' view of a multi-versioned keyed table:
+        latest-version-wins per key (the client-side idiom the reference's
+        randomized test implements by hand, main_test.go:321-329),
+        expressed as a window rank — Spark handles it as one shuffle."""
+        from delta_lake_experiment_spark.operators.versioned import latest_version_wins
+
+        return latest_version_wins(self.scan(table), keys)
+
+    # ------------------------------------------------------------------
+    # deletes
+    # ------------------------------------------------------------------
+
+    def delete_rows(self, table: str, column: str, start: Any, end: Any) -> None:
+        """Inclusive-range copy-on-write delete (reference writes.go:90-162).
+
+        1. Tombstone matching *unflushed* rows in the buffer.
+        2. Stat-prune candidate files, find truly affected files with a
+           Spark job (``input_file_name`` over matching rows only), then
+           rewrite the affected files' surviving rows in one distributed
+           write (original ``_tx_id``/``_row_idx`` stamps preserved, so
+           multi-version order survives — same trick as writes.go:142-144).
+        3. Log ``remove`` for each affected file + ``add`` for rewrites.
+
+        Affected-file discovery and rewrite both read only stat-pruned
+        candidates — at scale a range delete touches O(matching files),
+        not O(table).
+        """
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        self._check_range_types(schema, column, start, end)
+
+        # 1. tombstone unflushed matches (reference writes.go:100-110)
+        buf = tx.buffers.get(table, [])
+        for i, (idx, row) in enumerate(buf):
+            if row is None:
+                continue
+            value = row[self._col_pos(schema, column)]
+            if value is not None and start <= value <= end:
+                buf[i] = (idx, None)
+
+        # 2. flushed matches — COW rewrite of affected files only
+        snap = self._effective_snapshot(tx)
+        candidates = snap.live_files(table, self.store, prune={column: (start, end)})
+        if not candidates:
+            return
+        stored = self._stored_schema(schema)
+        pred = F.col(column).between(F.lit(start), F.lit(end))
+        cand_df = self.spark.read.schema(stored).parquet(*candidates)
+        affected_paths = [
+            r[0]
+            for r in cand_df.filter(pred)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        ]
+        if not affected_paths:
+            return
+        affected_names = {_basename_of_uri(p) for p in affected_paths}
+        survivors = (
+            self.spark.read.schema(stored)
+            .parquet(*[self.store.path_of(n) for n in sorted(affected_names)])
+            .filter(~pred | F.col(column).isNull())
+        )
+        staging = self._staging_dir()
+        survivors.write.mode("overwrite").parquet(staging)
+        try:
+            for fname in sorted(os.listdir(staging)):
+                if fname.endswith(".parquet"):
+                    self._register_object(table, tx, os.path.join(staging, fname))
+        finally:
+            _rmtree(staging)
+        for name in sorted(affected_names):
+            tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+
+    def compact(self, table: str, target_files: int = 1) -> None:
+        """OPTIMIZE: rewrite the table's live objects into ``target_files``
+        large ones (remove+add in this tx) — the reference's unchecked
+        compaction TODO (README.md:32). Run after many small commits to
+        restore large-scan efficiency."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        snap = self._effective_snapshot(tx)
+        objs = snap.live_objects(table)
+        if len(objs) <= target_files:
+            return
+        stored = self._stored_schema(schema)
+        files = [self.store.path_of(o.name) for o in objs]
+        df = self.spark.read.schema(stored).parquet(*files).coalesce(target_files)
+        staging = self._staging_dir()
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            for fname in sorted(os.listdir(staging)):
+                if fname.endswith(".parquet"):
+                    self._register_object(table, tx, os.path.join(staging, fname))
+        finally:
+            _rmtree(staging)
+        for o in objs:
+            tx.actions.append(RemoveDataObject(name=o.name, table=table, tx_id=tx.id))
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+
+    def _require_tx(self) -> _Tx:
+        if self.tx is None:
+            raise NoTxError("no transaction open; call new_tx() first")
+        return self.tx
+
+    def _parse_ddl(self, ddl: str) -> T.StructType:
+        return T.StructType.fromDDL(ddl)
+
+    def _stored_schema(self, schema: T.StructType) -> T.StructType:
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField(TX_COL, T.LongType()), T.StructField(IDX_COL, T.LongType())]
+        )
+
+    @staticmethod
+    def _col_pos(schema: T.StructType, column: str) -> int:
+        for i, f in enumerate(schema.fields):
+            if f.name == column:
+                return i
+        raise TableNotFoundError(f"no such column: {column}")
+
+    @staticmethod
+    def _check_range_types(schema: T.StructType, column: str, start: Any, end: Any) -> None:
+        """Reference parity: range predicates are type-checked; a bound
+        whose type can't compare against the column raises
+        TypeMismatchError (writes.go:85-86)."""
+        dt = schema[column].dataType if column in schema.fieldNames() else None
+        if dt is None:
+            raise TableNotFoundError(f"no such column: {column}")
+        numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
+        for bound in (start, end):
+            if isinstance(dt, numeric):
+                if isinstance(bound, bool) or not isinstance(bound, (int, float)):
+                    raise TypeMismatchError(f"{column}: numeric column, bound {bound!r}")
+            elif isinstance(dt, T.StringType):
+                if not isinstance(bound, str):
+                    raise TypeMismatchError(f"{column}: string column, bound {bound!r}")
+
+    def _effective_snapshot(self, tx: _Tx) -> Snapshot:
+        """Snapshot + this tx's own actions (deletes/writes visible to
+        self immediately, to others only after commit)."""
+        snap = Snapshot(version=tx.snapshot.version, tables=dict(tx.snapshot.tables))
+        snap.live = {t: dict(objs) for t, objs in tx.snapshot.live.items()}
+        snap.apply(tx.id, tx.actions)
+        snap.tables.update(tx.new_tables)
+        return snap
+
+    def _flush_buffer(self, table: str) -> None:
+        """Write the buffer (minus tombstones) as one Parquet object via
+        pyarrow driver-side — row-at-a-time writes are a driver-local
+        convenience; bulk data takes :meth:`write_dataframe`."""
+        tx = self._require_tx()
+        buf = tx.buffers.get(table) or []
+        rows = [(idx, row) for idx, row in buf if row is not None]
+        tx.buffers[table] = []
+        if not rows:
+            return
+        schema = self.table_schema(table)
+        stored = self._stored_schema(schema)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(stored)
+        cols: dict[str, list[Any]] = {f.name: [] for f in stored.fields}
+        for idx, row in rows:
+            for f, v in zip(schema.fields, row):
+                cols[f.name].append(v)
+            cols[TX_COL].append(tx.id)
+            cols[IDX_COL].append(idx)
+        batch = pa.table(
+            {name: pa.array(vals, type=arrow_schema.field(name).type) for name, vals in cols.items()},
+            schema=arrow_schema,
+        )
+        tmp = os.path.join(self._staging_dir(), "obj.parquet")
+        pq.write_table(batch, tmp)
+        try:
+            self._register_object(table, tx, tmp)
+        finally:
+            _rmtree(os.path.dirname(tmp))
+
+    def _register_object(self, table: str, tx: _Tx, src_path: str) -> None:
+        # NOTE: no leading underscore — Spark's file index treats `_`/`.`
+        # prefixed files as hidden metadata and silently skips them (the
+        # reference's `_table_` naming, dataobjects.go:51-57, would make
+        # every data object invisible to the Parquet reader).
+        name = f"table_{table}_{uuid.uuid4().hex}.parquet"
+        with open(src_path, "rb") as f:
+            self.store.put_if_absent(name, f.read())
+        num_rows, stats = _parquet_file_stats(src_path)
+        tx.actions.append(
+            AddDataObject(name=name, table=table, tx_id=tx.id, num_rows=num_rows, stats=stats)
+        )
+
+    def _staging_dir(self) -> str:
+        root = getattr(self.store, "root", None) or os.path.join("/tmp", "dles_staging")
+        d = os.path.join(root, ".tmp", f"staging_{uuid.uuid4().hex}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _maybe_checkpoint(self, tx: _Tx) -> None:
+        if self.checkpoint_interval <= 0 or tx.id % self.checkpoint_interval != 0:
+            return
+        snap = self._effective_snapshot(tx)
+        try:
+            self.store.put_if_absent(checkpoint_name(tx.id), snap.to_json())
+        except ObjectExistsError:
+            pass  # someone else checkpointed this version — fine
+
+
+def _basename_of_uri(uri: str) -> str:
+    path = uri[len("file:"):] if uri.startswith("file:") else uri
+    return os.path.basename(path)
+
+
+def _parquet_file_stats(path: str) -> tuple[int, dict[str, list[Any]]]:
+    """Footer-derived (num_rows, {col: [min, max]}) for prunable
+    primitive columns — the log-level data-skipping stats the reference
+    left as a TODO (README.md:37)."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    num_rows = meta.num_rows
+    mins: dict[str, Any] = {}
+    maxs: dict[str, Any] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name or name in (TX_COL, IDX_COL):
+                continue
+            mn, mx = st.min, st.max
+            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
+                continue
+            mins[name] = mn if name not in mins else min(mins[name], mn)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx)
+    return num_rows, {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _rmtree(path: str) -> None:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,39 @@
+"""Engine error types.
+
+Mirrors the reference's error values (reference
+deltalakeclient/deltalakeclient.go:21-29) as Python exceptions.
+"""
+
+
+class EngineError(Exception):
+    """Base class for engine errors."""
+
+
+class ExistingTxError(EngineError):
+    """A transaction is already open on this client (ref errExistingTx)."""
+
+
+class NoTxError(EngineError):
+    """Operation requires an open transaction (ref errNoTx)."""
+
+
+class TableExistsError(EngineError):
+    """CreateTable on an existing table (ref errTableExists)."""
+
+
+class TableNotFoundError(EngineError):
+    """Operation on an unknown table (ref errNoTable)."""
+
+
+class TypeMismatchError(EngineError):
+    """Range predicate over a non-comparable / mixed-type value
+    (ref errTypeMismatch, deltalakeclient/writes.go:85-86)."""
+
+
+class ConcurrentCommitError(EngineError):
+    """Another transaction committed the same log version first
+    (ref put-if-absent failure at transactions.go:144)."""
+
+
+class ObjectExistsError(EngineError):
+    """put_if_absent target already exists."""

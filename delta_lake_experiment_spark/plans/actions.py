@@ -1,0 +1,101 @@
+"""Transaction-log actions — a miniature of the open Delta Lake protocol.
+
+The reference's ``Action`` is a 3-way union (one non-nil pointer) of
+AddDataobject / DeleteDataobject / ChangeMetadata (reference
+deltalakeclient/transactions.go:8-29). We keep the same three actions,
+JSON-serialized one log record per commit, with two Spark-era upgrades:
+
+- ``ChangeMetadata`` carries a **typed** schema (Spark ``StructType`` as
+  DDL text) instead of a bare column-name list — this removes the
+  reference's JSON-float wart (reference README.md:47-48) and
+  schema-evolution explosion (README.md:45-46).
+- ``AddDataObject`` optionally carries per-file column **min/max stats and
+  row count**, the reference's own unchecked TODO (README.md:37). The
+  snapshot uses them to prune the file list *before* Spark ever sees it —
+  at 100 TB this is the difference between listing 10⁶ files and reading
+  the handful whose [min,max] intersects the predicate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class AddDataObject:
+    """A Parquet data object became part of the table.
+
+    ``tx_id`` is the id of the transaction whose rows the object holds.
+    COW rewrites preserve the original ``tx_id`` (reference
+    writes.go:142-144) so multi-version ordering survives rewrites; in our
+    engine row order additionally lives in the ``_tx_id``/``_row_idx``
+    columns stamped on every row.
+    """
+
+    name: str
+    table: str
+    tx_id: int
+    num_rows: int = 0
+    # column -> [min, max] for prunable (int/float/str/date) columns
+    stats: dict[str, list[Any]] = field(default_factory=dict)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "add": {
+                "name": self.name,
+                "table": self.table,
+                "tx_id": self.tx_id,
+                "num_rows": self.num_rows,
+                "stats": self.stats,
+            }
+        }
+
+
+@dataclass
+class RemoveDataObject:
+    """A data object left the table (COW delete / compaction)."""
+
+    name: str
+    table: str
+    tx_id: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {"remove": {"name": self.name, "table": self.table, "tx_id": self.tx_id}}
+
+
+@dataclass
+class ChangeMetadata:
+    """Table created or schema replaced. ``schema_ddl`` is Spark DDL
+    (e.g. ``"a STRING, b BIGINT"``); last-writer-wins on replay, same as
+    the reference (transactions.go:88-94)."""
+
+    table: str
+    schema_ddl: str
+
+    def to_json(self) -> dict[str, Any]:
+        return {"metadata": {"table": self.table, "schema_ddl": self.schema_ddl}}
+
+
+Action = AddDataObject | RemoveDataObject | ChangeMetadata
+
+
+def action_from_json(obj: dict[str, Any]) -> Action:
+    if "add" in obj:
+        a = obj["add"]
+        return AddDataObject(
+            name=a["name"],
+            table=a["table"],
+            tx_id=int(a["tx_id"]),
+            num_rows=int(a.get("num_rows", 0)),
+            stats=a.get("stats", {}),
+        )
+    if "remove" in obj:
+        r = obj["remove"]
+        return RemoveDataObject(name=r["name"], table=r["table"], tx_id=int(r["tx_id"]))
+    if "metadata" in obj:
+        m = obj["metadata"]
+        return ChangeMetadata(table=m["table"], schema_ddl=m["schema_ddl"])
+    # Unknown action => corrupt log; fail loudly like the reference's
+    # panic (transactions.go:95-97).
+    raise ValueError(f"unknown action record: {obj!r}")

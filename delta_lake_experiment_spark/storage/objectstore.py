@@ -1,0 +1,106 @@
+"""Object storage abstraction.
+
+The engine's only storage dependency is a 3-method interface — mirror of
+the reference's ``ObjectStorage`` (reference objectstorage/objectstorage.go:3-8):
+
+- ``put_if_absent(name, bytes)`` — atomic create-if-not-exists. This is
+  the ONLY concurrency-control primitive in the whole engine: commits are
+  a single put_if_absent of the versioned log file.
+- ``list_prefix_ordered(prefix)`` — names ascending lexicographically
+  (the log replay relies on this ordering contract).
+- ``read(name)`` -> bytes.
+
+The local-FS implementation reproduces the reference's atomicity trick
+(reference objectstorage/localobjectstorage.go:22-66): write a temp file,
+fsync it, then hard-link it to the final name — link(2) fails with EEXIST
+if the target exists, giving atomic put-if-absent on POSIX filesystems.
+On real object stores (S3 conditional PUT `If-None-Match: *`, GCS
+`ifGenerationMatch=0`, ADLS ETag) the same interface maps to native
+conditional writes, so the engine is cluster-ready by swapping this class.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from abc import ABC, abstractmethod
+
+from delta_lake_experiment_spark.errors import ObjectExistsError
+
+
+class ObjectStorage(ABC):
+    """Minimal storage interface; see module docstring."""
+
+    @abstractmethod
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        """Atomically create ``name`` with ``data``; raise
+        :class:`ObjectExistsError` if it already exists."""
+
+    @abstractmethod
+    def list_prefix_ordered(self, prefix: str) -> list[str]:
+        """All object names starting with ``prefix``, ascending."""
+
+    @abstractmethod
+    def read(self, name: str) -> bytes:
+        """Read the full contents of ``name``."""
+
+    @abstractmethod
+    def path_of(self, name: str) -> str:
+        """A URI/path Spark can read the object from directly.
+
+        Spark-native extension: scans hand Spark the object *paths* so the
+        vectorized Parquet reader pulls data straight from storage instead
+        of routing bytes through the driver."""
+
+
+class LocalObjectStorage(ObjectStorage):
+    """Local-filesystem object storage with atomic put-if-absent."""
+
+    def __init__(self, root: str) -> None:
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+        self._tmpdir = os.path.join(self.root, ".tmp")
+        os.makedirs(self._tmpdir, exist_ok=True)
+
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        final = self._safe_path(name)
+        tmp = os.path.join(self._tmpdir, f"tmp_{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                # Hard link fails with EEXIST if `final` exists: atomic
+                # put-if-absent, same trick as the reference
+                # (localobjectstorage.go:57-63).
+                os.link(tmp, final)
+            except FileExistsError:
+                raise ObjectExistsError(name)
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def list_prefix_ordered(self, prefix: str) -> list[str]:
+        names = [
+            n
+            for n in os.listdir(self.root)
+            if n.startswith(prefix) and n != ".tmp"
+        ]
+        names.sort()
+        return names
+
+    def read(self, name: str) -> bytes:
+        with open(self._safe_path(name), "rb") as f:
+            return f.read()
+
+    def path_of(self, name: str) -> str:
+        return self._safe_path(name)
+
+    def _safe_path(self, name: str) -> str:
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"invalid object name: {name!r}")
+        return os.path.join(self.root, name)
