@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full engine round trip at sf0.001 (ingest
+lineitem into an ACID engine table, COW-delete a range, aggregate the
+scan). ``queries()``/``oracle_sql()`` — the full workload from
+``delta_lake_experiment_spark.workloads`` (relational + engine parity +
+LLM-pipeline extensions), each oracle-checked against DuckDB at sf0.01.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.functions.numeric import exact_avg, exact_sum
+
+    sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_entry_"))
+    c.new_tx()
+    c.create_table("lineitem", src.schema)
+    c.write_dataframe("lineitem", src)
+    c.commit_tx()
+
+    c.new_tx()
+    c.delete_rows("lineitem", "l_quantity", 45, 50)  # COW delete
+    c.commit_tx()
+
+    c.new_tx()
+    scanned = c.scan("lineitem", with_stamps=False)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        scanned.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from delta_lake_experiment_spark.workloads import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; approximate operators
+    (MinHash LSH, SRP-bucket ANN) are deliberately omitted -> rows-only."""
+    from delta_lake_experiment_spark.workloads import all_oracles
+
+    return all_oracles()

@@ -176,7 +176,10 @@ class DeltaLakeClient:
         tx = self._require_tx()
         if table in tx.snapshot.tables or table in tx.new_tables:
             raise TableExistsError(table)
-        ddl = schema if isinstance(schema, str) else schema.simpleString()[7:-1]
+        if isinstance(schema, str):
+            ddl = schema
+        else:
+            ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
         self._parse_ddl(ddl)  # validate
         tx.new_tables[table] = ddl
         tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl))

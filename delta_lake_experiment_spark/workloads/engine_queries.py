@@ -1,0 +1,105 @@
+"""Engine-backed workload: the reference's own operator surface
+(SURVEY.md §2.1/§2.3) exercised through DeltaLakeClient on real data,
+with plain-SQL oracles over the source tables.
+
+Each query ingests a testdata table into a fresh engine table (temp
+object store), runs the engine operation, and returns the scan result —
+so the DuckDB comparison proves the full write → log → snapshot → scan →
+(delete) path preserves exact relational semantics.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.sources.tables import load_table
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _fresh_client(spark: SparkSession) -> DeltaLakeClient:
+    return DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_q_"))
+
+
+# full write -> commit -> snapshot -> scan round trip (S2 parity):
+# the result must be value-identical to the source table.
+def engine_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "lineitem")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("lineitem", src.schema)
+    c.write_dataframe("lineitem", src)
+    c.commit_tx()
+    c.new_tx()
+    return c.scan("lineitem", with_stamps=False)
+
+
+ROUNDTRIP_SQL = "SELECT * FROM lineitem"
+
+
+# COW range delete (D1/P1 parity): inclusive BETWEEN delete, then scan.
+def engine_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "lineitem")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("lineitem", src.schema)
+    c.write_dataframe("lineitem", src)
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("lineitem", "l_quantity", 25, 30)
+    c.commit_tx()
+    c.new_tx()
+    return c.scan("lineitem", with_stamps=False)
+
+
+DELETE_SQL = "SELECT * FROM lineitem WHERE l_quantity NOT BETWEEN 25 AND 30"
+
+
+# multi-version upsert + latest-version-wins (§2.3 "current state"):
+# tx1 writes all orders, tx2 rewrites every 10th order with doubled
+# price; the latest-wins scan must show tx2 versions winning.
+def engine_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("orders", src.schema)
+    c.write_dataframe("orders", src)
+    c.commit_tx()
+    c.new_tx()
+    updated = src.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    c.write_dataframe("orders", updated)
+    c.commit_tx()
+    c.new_tx()
+    return c.scan_latest("orders", ["o_orderkey"])
+
+
+UPSERT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+  o_orderdate, o_orderpriority
+FROM orders
+"""
+
+
+QUERIES = {
+    "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_delete_range": engine_delete_range,
+    "engine_upsert_latest": engine_upsert_latest,
+}
+
+ORACLES = {
+    "engine_roundtrip_scan": ROUNDTRIP_SQL,
+    "engine_delete_range": DELETE_SQL,
+    "engine_upsert_latest": UPSERT_SQL,
+}

@@ -1,0 +1,186 @@
+"""LLM-data-pipeline workload: text analysis, dedup, similarity search
+over the documents/embeddings tables (the 100 TB-pipeline extensions —
+SURVEY.md §7.2 M5).
+
+Queries with exactly-reproducible semantics carry DuckDB oracles; the
+approximate ones (MinHash/LSH) are checked by their own pytest oracles
+(operator-level invariants) and run here as rows-only entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_experiment_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from delta_lake_experiment_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from delta_lake_experiment_spark.operators.text import with_text_stats
+from delta_lake_experiment_spark.sources.tables import load_table
+
+
+# -- text analysis ------------------------------------------------------
+
+
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_text_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_calc",
+        "punct_ratio",
+        "stopword_ratio",
+        "lang_pred",
+        "quality",
+        "fp",
+    )
+
+
+TEXT_STATS_SQL = r"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+  CAST(length(text) AS INT) AS n_chars_calc,
+  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+    / length(text) AS punct_ratio,
+  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
+    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+  CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
+    / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+  least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text))
+    * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
+              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) AS quality,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# -- dedup --------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint, deterministic
+    survivor = lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    from delta_lake_experiment_spark.operators.text import fingerprint
+
+    with_fp = docs.withColumn("fp", fingerprint(F.col("text")))
+    return exact_dedup(with_fp, ["fp"], "doc_id").select("doc_id", "fp", "lang", "source")
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT doc_id, fp, lang, source FROM (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+         lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+           ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (approximate — no SQL oracle;
+    operator invariants are pytest-checked against exact Jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", shingle_n=3, num_hashes=16, num_bands=4, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs at >= 0.5 — deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+# Exact-Jaccard oracle: same inverted-index construction in SQL.
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+# -- similarity search --------------------------------------------------
+
+
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id=0 (excluded from results)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", query, k=10
+    )
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+  round(list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+    / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+           * list_dot_product(qv, qv)), 9) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: SRP-bucketed candidate set, then exact rerank
+    (approximate recall — rows-only check; recall is pytest-checked)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    dim = len(query)
+    return lsh_bucket_topk(
+        spark,
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        query,
+        dim=dim,
+        k=10,
+        bits=4,
+    )
+
+
+QUERIES = {
+    "doc_text_stats": doc_text_stats,
+    "dedup_exact_documents": dedup_exact_documents,
+    "near_dup_minhash": near_dup_minhash,
+    "near_dup_jaccard": near_dup_jaccard,
+    "similarity_bruteforce_topk": similarity_bruteforce_topk,
+    "similarity_lsh_topk": similarity_lsh_topk,
+}
+
+ORACLES = {
+    "doc_text_stats": TEXT_STATS_SQL,
+    "dedup_exact_documents": DEDUP_EXACT_SQL,
+    "near_dup_jaccard": NGRAM_JACCARD_SQL,
+    "similarity_bruteforce_topk": SIM_TOPK_SQL,
+    # near_dup_minhash, similarity_lsh_topk: approximate → rows-only
+}
