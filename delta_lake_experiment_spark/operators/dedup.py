@@ -42,8 +42,16 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
+    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    # Small single-file inputs arrive as one partition; spread the
+    # CPU-heavy shingle generation across the cluster. (Big inputs
+    # already have many partitions — repartition to parallelism is a
+    # cheap no-op-ish rebalance relative to the explode that follows.)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
     return (
-        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("shingle"))
+        src.select("__id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 
@@ -116,7 +124,12 @@ def minhash_near_duplicates(
     matching signature components — the standard MinHash estimator.
     """
     sh = shingles(df, id_col, text_col, n=shingle_n)
-    sigs = minhash_signatures(sh, num_hashes=num_hashes)
+    # The signature table feeds four plan branches (both sides of the
+    # band self-join and both sides of the estimator join). Persist it:
+    # without this, Spark recomputes the full shingle+minhash pipeline
+    # per branch — 4-5x the work at any scale. At cluster scale the same
+    # role is played by writing signatures to a parquet stage.
+    sigs = minhash_signatures(sh, num_hashes=num_hashes).persist()
     cands = lsh_candidate_pairs(sigs, num_bands=num_bands)
     a = sigs.select(F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = sigs.select(F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -147,7 +160,7 @@ def ngram_jaccard_pairs(
     self-join on shingle (skew-prone hot shingles should be stopworded
     upstream at extreme scale), then |∩| / (|A|+|B|-|∩|).
     """
-    sh = shingles(df, id_col, text_col, n=shingle_n)
+    sh = shingles(df, id_col, text_col, n=shingle_n).persist()
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n_sh"))
     l = sh.select(F.col("__id").alias("id_a"), "shingle")
     r = sh.select(F.col("__id").alias("id_b"), "shingle")
