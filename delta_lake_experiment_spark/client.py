@@ -291,6 +291,23 @@ class DeltaLakeClient:
         for row in df.select(*cols).toLocalIterator():
             yield tuple(row)
 
+    def scan_as_of(self, table: str, version: int) -> DataFrame:
+        """Time travel: read the table exactly as of committed log
+        ``version`` (ignores any open transaction's buffers/actions).
+        The log makes this free: replay to the pinned version and scan
+        that file list — the same mechanism that gives concurrent
+        readers snapshot isolation."""
+        snap = replay_log(self.store, as_of=version)
+        ddl = snap.tables.get(table)
+        if ddl is None:
+            raise TableNotFoundError(f"{table} (as of v{version})")
+        schema = self._parse_ddl(ddl)
+        stored = self._stored_schema(schema)
+        files = snap.live_files(table, self.store)
+        if not files:
+            return self.spark.createDataFrame([], stored)
+        return self.spark.read.schema(stored).parquet(*files)
+
     def scan_latest(self, table: str, keys: list[str]) -> DataFrame:
         """'Current state' view of a multi-versioned keyed table:
         latest-version-wins per key (the client-side idiom the reference's

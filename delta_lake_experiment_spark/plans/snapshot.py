@@ -142,20 +142,29 @@ def _stats_intersect(stats: dict[str, list[Any]], prune: dict[str, tuple[Any, An
     return True
 
 
-def replay_log(store: ObjectStorage) -> Snapshot:
+def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
     """Reconstruct the snapshot: newest checkpoint + later log records.
 
     Returns a snapshot whose ``version`` is the highest committed tx id;
     the next commit targets ``version + 1`` (reference transactions.go:82-85).
+
+    ``as_of`` pins the snapshot to an historical version (time travel):
+    only log records with id <= as_of are folded in. Checkpoints newer
+    than ``as_of`` are skipped so the pinned state is exact.
     """
     snap = Snapshot(version=0)
     ckpts = store.list_prefix_ordered(CHECKPOINT_PREFIX)
-    if ckpts:
-        snap = Snapshot.from_json(store.read(ckpts[-1]))
+    for name in reversed(ckpts):
+        version = int(name[len(CHECKPOINT_PREFIX):])
+        if as_of is None or version <= as_of:
+            snap = Snapshot.from_json(store.read(name))
+            break
     for name in store.list_prefix_ordered(LOG_PREFIX):
         version = int(name[len(LOG_PREFIX):])
         if version <= snap.version:
             continue
+        if as_of is not None and version > as_of:
+            break
         record = json.loads(store.read(name))
         actions = [action_from_json(a) for a in record["actions"]]
         snap.apply(int(record["id"]), actions)

@@ -5,18 +5,25 @@ comes from here. Each module exports ``QUERIES: dict[str, callable]``
 the driver's weaker rows-only check).
 """
 
-from delta_lake_experiment_spark.workloads import engine_queries, extensions, relational
+from delta_lake_experiment_spark.workloads import (
+    engine_queries,
+    extensions,
+    relational,
+    temporal,
+)
+
+_MODULES = (relational, temporal, engine_queries, extensions)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, engine_queries, extensions):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (relational, engine_queries, extensions):
+    for mod in _MODULES:
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,178 @@
+"""Temporal/stream-analytics workload: as-of joins, sessionization,
+JSON extraction, cube/grouping-set aggregates, per-group top-n —
+the event-pipeline operators layered on the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_experiment_spark.operators.asof import asof_join, sessionize
+from delta_lake_experiment_spark.sources.tables import load_table
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# as-of join: each purchase picks up the user's most recent click at or
+# before it (union + running last_value — one shuffle, no pair blow-up).
+def purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+        tiebreak="event_id",
+        how="left",
+    )
+    return out.select("event_id", "user_id", "ts", "click_id", "click_ts")
+
+
+PURCHASE_LAST_CLICK_SQL = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT event_id, user_id, ts, click_id, click_ts FROM ranked WHERE rn = 1
+"""
+
+
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id")
+
+
+USER_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_idx
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions over the props column (semi-structured lane)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("prop_k"),
+        (k % 10).alias("prop_k_mod10"),
+        F.get_json_object("props", "$.missing").alias("prop_missing"),
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+  CAST(json_extract_string(props, '$.k') AS INT) % 10 AS prop_k_mod10,
+  json_extract_string(props, '$.missing') AS prop_missing
+FROM events
+"""
+
+
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (event_type, event_day)."""
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_day", F.date_trunc("day", "ts").cast("date")
+    )
+    return ev.cube("event_type", "event_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+CUBE_SQL = """
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS event_day,
+  COUNT(*) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
+"""
+
+
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-n: rank inside each market segment (one shuffle on
+    the segment key; no global sort)."""
+    _utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "rank_in_segment", "o_orderkey", "o_totalprice")
+    )
+
+
+TOPN_SEGMENT_SQL = """
+SELECT c_mktsegment, rank_in_segment, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_segment
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) WHERE rank_in_segment <= 3
+"""
+
+
+def parts_like_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / IN / compound predicate coverage."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(
+        F.col("p_brand").like("Brand#1%")
+        & F.col("p_type").isin("ECONOMY", "SMALL")
+        & (F.col("p_size") >= 10)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+LIKE_IN_SQL = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size FROM part
+WHERE p_brand LIKE 'Brand#1%' AND p_type IN ('ECONOMY', 'SMALL') AND p_size >= 10
+"""
+
+
+QUERIES = {
+    "purchase_last_click": purchase_last_click,
+    "user_sessions": user_sessions,
+    "json_props_extract": json_props_extract,
+    "cube_event_stats": cube_event_stats,
+    "top_orders_per_segment": top_orders_per_segment,
+    "parts_like_in_filter": parts_like_in_filter,
+}
+
+ORACLES = {
+    "purchase_last_click": PURCHASE_LAST_CLICK_SQL,
+    "user_sessions": USER_SESSIONS_SQL,
+    "json_props_extract": JSON_PROPS_SQL,
+    "cube_event_stats": CUBE_SQL,
+    "top_orders_per_segment": TOPN_SEGMENT_SQL,
+    "parts_like_in_filter": LIKE_IN_SQL,
+}

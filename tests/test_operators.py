@@ -1,0 +1,160 @@
+"""Operator-level tests: as-of join, sessionization, time travel,
+multimodal plumbing, and quality invariants for the approximate
+operators (MinHash vs exact Jaccard, SRP-LSH recall vs brute force).
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.operators.asof import asof_join, sessionize
+from delta_lake_experiment_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+)
+from delta_lake_experiment_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    sample_video_frames,
+)
+from delta_lake_experiment_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+
+
+def ts(minute):
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def test_asof_join_basic(spark):
+    clicks = spark.createDataFrame(
+        [(1, ts(0), 100), (1, ts(10), 101), (2, ts(5), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    purchases = spark.createDataFrame(
+        [(1, ts(5), 200), (1, ts(10), 201), (1, ts(20), 202), (2, ts(1), 203), (3, ts(9), 204)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+        tiebreak="event_id",
+        how="inner",
+    )
+    got = {r["event_id"]: r["click_id"] for r in out.collect()}
+    # purchase@5 -> click@0; purchase@10 -> click@10 (<= counts);
+    # purchase@20 -> click@10; user2 purchase@1 predates its click -> dropped;
+    # user3 has no clicks -> dropped
+    assert got == {200: 100, 201: 101, 202: 101}
+
+    left = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "click_id"},
+        tiebreak="event_id",
+        how="left",
+    )
+    got_left = {r["event_id"]: r["click_id"] for r in left.collect()}
+    assert got_left[203] is None and got_left[204] is None
+    assert len(got_left) == 5
+
+
+def test_sessionize(spark):
+    events = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(5)), (1, ts(60)), (1, ts(65)), (2, ts(0))],
+        "user_id long, ts timestamp",
+    )
+    out = sessionize(events, "user_id", "ts", gap_minutes=30).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    sessions = sorted(by_user[1], key=lambda r: r["session_start"])
+    assert sessions[0]["n_events"] == 2 and sessions[0]["session_end"] == ts(5)
+    assert sessions[1]["n_events"] == 2 and sessions[1]["session_start"] == ts(60)
+    assert by_user[2][0]["n_events"] == 1
+
+
+def test_time_travel(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(5):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 2)
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.write_row("t", [99, "new"])
+    c.commit_tx()  # v3
+
+    assert c.scan_as_of("t", 1).count() == 5
+    assert c.scan_as_of("t", 2).count() == 2
+    assert c.scan_as_of("t", 3).count() == 3
+    with pytest.raises(Exception):
+        c.scan_as_of("missing", 1)
+
+
+def test_minhash_approximates_jaccard(spark):
+    """Every exact-Jaccard>=0.7 pair must be found by MinHash-LSH, and
+    LSH estimates on found pairs must be within 0.35 of exact."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, threshold=0.7).collect()
+    }
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", 3, num_hashes=32, num_bands=8, threshold=0.5
+        ).collect()
+    }
+    missed = [p for p in exact if p not in est]
+    assert not missed, f"high-similarity pairs missed by LSH: {missed}"
+    for p, j in exact.items():
+        assert abs(est[p] - j) < 0.35, (p, est[p], j)
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    rest = emb.filter("vec_id != 0")
+    exact_ids = [r["vec_id"] for r in cosine_topk(rest, "vec_id", "embedding", q, k=10).collect()]
+    approx = lsh_bucket_topk(spark, rest, "vec_id", "embedding", q, dim=len(q), k=10, bits=2)
+    approx_ids = [r["vec_id"] for r in approx.collect()]
+    # with 2 bits (4 buckets) expect decent overlap with the exact top-10
+    assert len(set(exact_ids) & set(approx_ids)) >= 3
+    # scores on returned candidates must equal exact cosine (same math)
+    assert len(approx_ids) == 10
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [
+        (1, "image", b"\x01\x02" * 50, 10, 10, None),
+        (2, "video", bytes(range(200)), None, None, 5000),
+        (3, "audio", b"xyz" * 30, None, None, 2000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+    feats = extract_features(df, out_dim=16).collect()
+    assert len(feats) == 3
+    by_id = {r["media_id"]: r["features"] for r in feats}
+    assert all(len(v) == 16 for v in by_id.values())
+    assert all(0.0 <= x <= 1.0 for x in by_id[1])
+    # determinism: same payload -> same features on re-run
+    feats2 = extract_features(df, out_dim=16).collect()
+    assert {r["media_id"]: r["features"] for r in feats2} == by_id
+
+    frames = sample_video_frames(df, every_ms=1000, max_frames=8).collect()
+    assert {r["media_id"] for r in frames} == {2}
+    assert len(frames) == 5  # 5000ms / 1000ms
+    assert [r["frame_ts_ms"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [
+        0, 1000, 2000, 3000, 4000,
+    ]

@@ -1,0 +1,95 @@
+"""Structured Streaming tests: windowed aggregation parity with the
+batch query, and the custom stateful sessionization operator."""
+
+import datetime as dt
+
+from delta_lake_experiment_spark.operators.asof import sessionize
+from delta_lake_experiment_spark.sources.tables import load_table
+from delta_lake_experiment_spark.streaming.sessions import streaming_sessionize
+from delta_lake_experiment_spark.streaming.windowed import (
+    EVENTS_STREAM_SCHEMA,
+    run_available_now,
+    windowed_event_counts,
+)
+
+
+def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = str(tmp_path / "events_src")
+    # re-encode events as a standard µs-timestamp parquet stream source
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+
+    stream = windowed_event_counts(spark, src, window="1 hour", watermark="2 hours")
+    assert stream.isStreaming
+    run_available_now(stream, "win_counts", str(tmp_path))
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("win_counts").collect()
+    }
+
+    from delta_lake_experiment_spark.workloads.relational import hourly_event_windows
+
+    expect = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_event_windows(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expect
+
+
+def test_streaming_sessionize(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+    rows = [
+        (1, ts(0), 1, "click", 1.0, "{}"),
+        (2, ts(5), 1, "click", 1.0, "{}"),
+        (3, ts(60), 1, "view", 1.0, "{}"),   # gap > 30m closes session 1
+        (4, ts(65), 1, "view", 1.0, "{}"),
+        (5, ts(300), 1, "click", 1.0, "{}"),  # closes session 2
+        (6, ts(0), 2, "click", 1.0, "{}"),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    sessions = streaming_sessionize(stream, gap_minutes=30, watermark="10 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("sessions_out").collect()
+    )
+    # closed by in-batch gaps (user 1): [0,5] and [60,65]; closed by
+    # event-time timeout (watermark 300m-10m=290m > 0m+30m): user 2's
+    # idle session. User 1's [300,...] session stays open in state.
+    assert got == [
+        (1, ts(0), ts(5), 2),
+        (1, ts(60), ts(65), 2),
+        (2, ts(0), ts(0), 1),
+    ]
+    # batch twin agrees on the closed sessions
+    batch = sessionize(
+        spark.createDataFrame(
+            [(r[2], r[1]) for r in rows], "user_id long, ts timestamp"
+        ),
+        "user_id",
+        "ts",
+        gap_minutes=30,
+    ).collect()
+    batch_closed = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+    )
+    assert got[0] in batch_closed and got[1] in batch_closed
