@@ -147,6 +147,134 @@ def minhash_near_duplicates(
     )
 
 
+def simhash_signature(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 60
+) -> DataFrame:
+    """(id, simhash) — ``bits``-bit SimHash over distinct lowercase
+    whitespace tokens.
+
+    Token hash = first 15 hex chars of md5 (60 bits, engine-portable:
+    md5 is identical everywhere, so the signature is oracle-checkable
+    bit-for-bit in DuckDB). Bit j of the signature is the majority vote
+    of token-hash bit j (strict majority; ties -> 0).
+
+    Scale: zero shuffles — the whole signature is a per-row projection
+    of higher-order array functions inside whole-stage codegen. At
+    100 TB this is a map-only pass.
+    """
+    assert bits <= 60, "token hash is 60 bits"
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    harr = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(harr)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        cnt = F.size(
+            F.filter(harr, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == F.lit(1))
+        )
+        sim = sim + F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col).alias("__id"), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    num_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT near-duplicate pairs (id_a, id_b, hamming) with SimHash
+    hamming distance <= ``max_hamming``.
+
+    Banding is a pure optimization here, not an approximation: with
+    ``max_hamming < num_bands``, pigeonhole guarantees every qualifying
+    pair shares at least one identical band, so the band-bucket
+    self-join finds all of them — results are oracle-checkable against
+    a brute-force SQL cross join. One explode (num_bands rows/doc) +
+    one equi-join on (band, band_value); bucket sizes are bounded by
+    band width so the join never degenerates quadratically.
+    """
+    assert max_hamming < num_bands, "exactness needs max_hamming < num_bands"
+    width = bits // num_bands
+    mask = (1 << width) - 1
+    sig = simhash_signature(df, id_col, text_col, bits=bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bv"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    exploded = sig.select("__id", "simhash", F.explode(bands).alias("b")).select(
+        "__id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.simhash").alias("sim_a"),
+            F.col("r.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a, id_b, cos_sim
+    rounded to ``round_digits``) with cos >= threshold.
+
+    All-pairs exact baseline: norms are computed once per vector in a
+    pre-projection, then an inequality self-join scores each pair with
+    one fused JVM dot product. Quadratic by nature — this is the
+    verification baseline; at 100 TB route candidate generation through
+    :func:`delta_lake_experiment_spark.operators.similarity.srp_bucket`
+    blocking (approximate) and rerank survivors with this scorer.
+    """
+    from delta_lake_experiment_spark.operators.similarity import _as_double, _dot
+
+    v = _as_double(F.col(vec_col))
+    base = emb_df.select(
+        F.col(id_col).alias("__id"), v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+        round_digits,
+    )
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -94,6 +94,77 @@ def srp_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
     return out.cast("int")
 
 
+def ivf_assign(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (IVF lists).
+
+    Centroids arrive as driver-side literals (they are tiny — K vectors)
+    so assignment is a map-only pass: an array of K fused dot products
+    per row, argmax via ``array_position``/``array_max``. At scale,
+    write the table ``partitionBy("centroid_id")`` and a probe becomes a
+    partition-pruned scan of n_probe/K of the data.
+    """
+    v = _as_double(F.col(vec_col))
+    scores = F.array(*[cosine_score(F.col(vec_col), c) for c in centroids])
+    cid = (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+    return emb_df.withColumn("centroid_id", cid)
+
+
+def ivf_sample_centroids(
+    emb_df: DataFrame, id_col: str, vec_col: str, k: int
+) -> list:
+    """Deterministic centroid sample: the K vectors with the smallest
+    ``xxhash64(id)`` — a seeded uniform sample with no stored model.
+    (A k-means refinement loop can start from these; for IVF recall on
+    clustered data, hash-sampling already lands centroids in every
+    populated region with high probability.)"""
+    rows = (
+        emb_df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("i")), F.col("i"))
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def ivf_topk(
+    spark,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: Sequence[Sequence[float]] = None,
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``n_probe`` inverted lists
+    whose centroids are closest to the query, exact-rerank survivors.
+
+    Probing is driver-side math over K tiny centroids; the cluster-side
+    work is one partition-prunable filter + :func:`cosine_topk` over
+    ~n_probe/K of the vectors."""
+    q = [float(x) for x in query]
+    if centroids is None:
+        centroids = ivf_sample_centroids(emb_df, id_col, vec_col, n_centroids)
+
+    def _cos(a, b):
+        dot = math.fsum(x * y for x, y in zip(a, b))
+        na = math.sqrt(math.fsum(x * x for x in a))
+        nb = math.sqrt(math.fsum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(range(len(centroids)), key=lambda c: (-_cos(q, centroids[c]), c))
+    probes = ranked[: n_probe]
+    assigned = ivf_assign(emb_df, id_col, vec_col, centroids)
+    cand = assigned.filter(F.col("centroid_id").isin(probes))
+    return cosine_topk(cand, id_col, vec_col, q, k=k)
+
+
 def lsh_bucket_topk(
     spark,
     emb_df: DataFrame,

@@ -13,11 +13,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_experiment_spark.operators.dedup import (
+    embedding_near_duplicates,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signature,
 )
-from delta_lake_experiment_spark.operators.similarity import cosine_topk, lsh_bucket_topk
+from delta_lake_experiment_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
 from delta_lake_experiment_spark.operators.text import with_text_stats
 from delta_lake_experiment_spark.sources.tables import load_table
 
@@ -123,6 +130,81 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
 """
 
 
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document — bit-exact across
+    engines (md5 token hashes), oracle-checked signature by signature."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signature(docs, "doc_id", "text").select(
+        F.col("__id").alias("doc_id"), "simhash"
+    )
+
+
+SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, j,
+    CASE WHEN 2 * SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) > COUNT(*)
+         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM h, range(60) t(j) GROUP BY doc_id, j
+)
+SELECT doc_id, SUM(bit << j)::BIGINT AS simhash FROM bits GROUP BY doc_id
+"""
+
+
+def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SimHash near-dup pairs (hamming <= 3): banded join is
+    lossless by pigeonhole (3 < 4 bands), so a brute-force SQL cross
+    join is a valid oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", bits=60, num_bands=4, max_hamming=3
+    )
+
+
+NEAR_DUP_SIMHASH_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h FROM tok
+), bits AS (
+  SELECT doc_id, j,
+    CASE WHEN 2 * SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE 0 END) > COUNT(*)
+         THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM h, range(60) t(j) GROUP BY doc_id, j
+), s AS (
+  SELECT doc_id, SUM(bit << j)::BIGINT AS simhash FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs. Threshold 0.35 because the
+    synthetic embeddings carry no planted duplicates (max pairwise
+    cosine ~0.51); the operator itself defaults to 0.95 for real data."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
+
+
+NEAR_DUP_EMBEDDING_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.35
+"""
+
+
 # -- similarity search --------------------------------------------------
 
 
@@ -168,19 +250,46 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN variant: probe the 4 nearest of 16 hash-sampled centroid
+    lists, exact-rerank (approximate recall — rows-only check; recall is
+    pytest-checked on clustered data)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    return ivf_topk(
+        spark,
+        emb.filter(F.col("vec_id") != 0),
+        "vec_id",
+        "embedding",
+        query,
+        k=10,
+        n_centroids=16,
+        n_probe=4,
+    )
+
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
     "dedup_exact_documents": dedup_exact_documents,
     "near_dup_minhash": near_dup_minhash,
     "near_dup_jaccard": near_dup_jaccard,
+    "doc_simhash": doc_simhash,
+    "near_dup_simhash": near_dup_simhash,
+    "near_dup_embedding": near_dup_embedding,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
+    "similarity_ivf_topk": similarity_ivf_topk,
 }
 
 ORACLES = {
     "doc_text_stats": TEXT_STATS_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "near_dup_jaccard": NGRAM_JACCARD_SQL,
+    "doc_simhash": SIMHASH_SQL,
+    "near_dup_simhash": NEAR_DUP_SIMHASH_SQL,
+    "near_dup_embedding": NEAR_DUP_EMBEDDING_SQL,
     "similarity_bruteforce_topk": SIM_TOPK_SQL,
-    # near_dup_minhash, similarity_lsh_topk: approximate → rows-only
+    # near_dup_minhash, similarity_lsh_topk, similarity_ivf_topk:
+    # approximate → rows-only
 }

@@ -11,8 +11,11 @@ from pyspark.sql import functions as F
 from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.operators.asof import asof_join, sessionize
 from delta_lake_experiment_spark.operators.dedup import (
+    embedding_near_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signature,
 )
 from delta_lake_experiment_spark.operators.multimodal import (
     MEDIA_SCHEMA,
@@ -134,6 +137,91 @@ def test_lsh_topk_recall(spark):
     assert len(set(exact_ids) & set(approx_ids)) >= 3
     # scores on returned candidates must equal exact cosine (same math)
     assert len(approx_ids) == 10
+
+
+def test_simhash_properties(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # identical
+            (3, "the quick brown fox leaps over the lazy dog"),  # one token swap
+            (4, "completely different content about spark engines and parquet"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {r["__id"]: r["simhash"] for r in simhash_signature(docs, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    assert 0 <= sigs[1] < (1 << 60)
+    h13 = bin(sigs[1] ^ sigs[3]).count("1")
+    h14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert h13 < h14  # near-dup closer than unrelated doc
+
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_simhash_banding_is_exact(spark):
+    """The banded join must find exactly the brute-force hamming<=3 set."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = {r["__id"]: r["simhash"] for r in simhash_signature(docs, "doc_id", "text").collect()}
+    brute = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert banded == brute
+
+
+def test_embedding_near_dup_matches_numpy(spark):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(vecs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            c = float(vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if round(c, 9) >= 0.3:
+                expected.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.3).collect()
+    }
+    assert got == expected and expected  # non-trivial and exact
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with 4-of-16 probes must recover the exact top-10 on data
+    with real cluster structure (the intended IVF regime)."""
+    import numpy as np
+
+    from delta_lake_experiment_spark.operators.similarity import ivf_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        v = c + 0.15 * rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in centers[0] + 0.05 * rng.normal(size=32)]
+
+    exact_ids = [r["vec_id"] for r in cosine_topk(df, "vec_id", "embedding", q, k=10).collect()]
+    approx = ivf_topk(spark, df, "vec_id", "embedding", q, k=10, n_centroids=16, n_probe=4)
+    approx_ids = [r["vec_id"] for r in approx.collect()]
+    recall = len(set(exact_ids) & set(approx_ids)) / 10
+    assert recall >= 0.8, (recall, exact_ids, approx_ids)
 
 
 def test_multimodal_features_and_frames(spark):
