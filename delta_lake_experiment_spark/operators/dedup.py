@@ -34,8 +34,15 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], order_col: str) -> DataF
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
+
+    ``distinct=False`` skips the per-doc dedup shuffle — correct for any
+    duplicate-idempotent consumer (MinHash takes a ``min``, so repeated
+    shingles can't change the signature), and one full shuffle cheaper.
+    """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     # sliding word n-grams via transform over token positions
     grams = F.transform(
@@ -50,9 +57,56 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
-    return (
-        src.select("__id", F.explode(grams).alias("shingle"))
-        .distinct()
+    out = src.select("__id", F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh: long) — 64-bit word-n-gram shingle hashes.
+
+    Fast path for MinHash: each token is hashed to a long ONCE, then a
+    shingle hash combines ``n`` consecutive token hashes — no n-gram
+    string concatenation, no repeated string hashing. Downstream MinHash
+    seeds then mix a single long per shingle instead of re-hashing the
+    full shingle string, which cuts the dominant string-kernel cost of
+    signature generation. Equality of hashes == equality of shingles up
+    to 2^-64 collisions (irrelevant for an approximate operator).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toksh = F.transform(toks, lambda t: F.xxhash64(t))
+    # Combine n consecutive token hashes via zip_with over shifted
+    # slices. CRITICAL for perf: an array expression referenced inside a
+    # per-element lambda (e.g. get(toksh, i+j)) is re-evaluated PER
+    # ELEMENT by Catalyst's inlining — O(len^2) per doc. zip_with
+    # evaluates each of its array arguments once per ROW, so this stays
+    # O(n * len).
+    big = 1 << 30
+    combined = toksh
+    for j in range(1, n):
+        shifted = F.slice(toksh, j + 1, big)
+        combined = F.zip_with(combined, shifted, lambda a, b: F.xxhash64(a, b))
+    # last n-1 positions lack a full n-gram (they hashed trailing nulls)
+    grams = F.slice(combined, 1, F.greatest(F.size(toksh) - (n - 1), F.lit(1)))
+    src = df.select(F.col(id_col).alias("__id"), grams.alias("g"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.select("__id", F.explode("g").alias("sh"))
+
+
+def minhash_signatures_hashed(
+    shingle_hash_df: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig: array<long>) from pre-hashed shingles (column ``sh``).
+    Seeded re-hash of a long + min partial-agg; map-side combine keeps
+    the shuffle at num_hashes longs per doc."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingle_hash_df.groupBy("__id").agg(*mins)
+    return sig.select(
+        "__id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -77,11 +131,14 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, num_bands: int = 4
+    sig_df: DataFrame, num_bands: int = 4, num_hashes: Optional[int] = None
 ) -> DataFrame:
     """Banded LSH: docs sharing any band-hash become candidate pairs
-    (id_a < id_b). One explode + one self-join on (band, band_hash)."""
-    n = sig_df.select(F.size("sig")).first()[0]
+    (id_a < id_b). One explode + one self-join on (band, band_hash).
+
+    Pass ``num_hashes`` to avoid a driver round-trip (an extra Spark
+    job) just to discover the signature width."""
+    n = num_hashes if num_hashes is not None else sig_df.select(F.size("sig")).first()[0]
     rows_per_band = n // num_bands
     bands = F.array(
         *[
@@ -123,27 +180,57 @@ def minhash_near_duplicates(
     Returns (id_a, id_b, est_jaccard). est_jaccard = fraction of
     matching signature components — the standard MinHash estimator.
     """
-    sh = shingles(df, id_col, text_col, n=shingle_n)
-    # The signature table feeds four plan branches (both sides of the
-    # band self-join and both sides of the estimator join). Persist it:
-    # without this, Spark recomputes the full shingle+minhash pipeline
-    # per branch — 4-5x the work at any scale. At cluster scale the same
-    # role is played by writing signatures to a parquet stage.
-    sigs = minhash_signatures(sh, num_hashes=num_hashes).persist()
-    cands = lsh_candidate_pairs(sigs, num_bands=num_bands)
-    a = sigs.select(F.col("__id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sigs.select(F.col("__id").alias("id_b"), F.col("sig").alias("sig_b"))
+    # Hashed-shingle fast path; min() is duplicate-idempotent, so no
+    # shingle-dedup shuffle either.
+    sh = shingle_hashes(df, id_col, text_col, n=shingle_n)
+    # Both sides of the band self-join read the signature table; persist
+    # so the shingle+minhash pipeline computes once, not per branch. At
+    # cluster scale the same role is played by a parquet signature stage.
+    sigs = minhash_signatures_hashed(sh, num_hashes=num_hashes).persist()
+    rows_per_band = num_hashes // num_bands
+    # Explode bands with the full signature carried along: candidate
+    # pairs fall out of ONE self-join already holding both signatures,
+    # instead of banding + two more shuffle joins to re-attach them.
+    # Cost: sig (num_hashes longs) duplicated per band row — bytes, not
+    # shuffles.
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    exploded = sigs.select("__id", "sig", F.explode(bands).alias("b")).select(
+        "__id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    l, r = exploded.alias("l"), exploded.alias("r")
     est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-        .cast("double")
+        F.size(
+            F.filter(
+                F.zip_with(F.col("l.sig"), F.col("r.sig"), lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
         / F.lit(float(num_hashes))
     )
     return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .withColumn("est_jaccard", est)
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .distinct()
     )
 
 
@@ -167,14 +254,43 @@ def simhash_signature(
     harr = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    n = F.size(harr)
-    sim = F.lit(0).cast("long")
-    for j in range(bits):
-        cnt = F.size(
-            F.filter(harr, lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == F.lit(1))
+    # Single-pass fold. CRITICAL for perf: naming ``harr`` and
+    # referencing it from `bits` separate filter() expressions makes
+    # Catalyst inline (= recompute) the whole md5 array per reference.
+    # Inside aggregate(), the element and the accumulator are *lambda
+    # variables* — bound values, never re-evaluated — so every token is
+    # hashed exactly once and each bit-counter update is one long op.
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def _merge(acc, h):
+        return F.array(
+            *[
+                acc[j]
+                + F.when(
+                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == F.lit(1),
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for j in range(bits)
+            ]
         )
-        sim = sim + F.when(cnt * 2 > n, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col).alias("__id"), sim.alias("simhash"))
+
+    def _finish(acc):
+        sim = F.lit(0).cast("long")
+        for j in range(bits):
+            # strict majority of 1-bits: sum of +-1 votes > 0; ties -> 0
+            sim = sim + F.when(acc[j] > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        return sim
+
+    sim = F.aggregate(harr, zero, _merge, _finish)
+    src = df
+    # Single-file inputs arrive as one partition; spread the CPU-heavy
+    # fold across the cluster before projecting.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.select(F.col(id_col).alias("__id"), sim.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -199,7 +315,10 @@ def simhash_near_duplicates(
     assert max_hamming < num_bands, "exactness needs max_hamming < num_bands"
     width = bits // num_bands
     mask = (1 << width) - 1
-    sig = simhash_signature(df, id_col, text_col, bits=bits)
+    # Both sides of the band self-join read the signatures; persist so
+    # the md5-fold pipeline computes once (at cluster scale: a parquet
+    # signature stage).
+    sig = simhash_signature(df, id_col, text_col, bits=bits).persist()
     bands = F.array(
         *[
             F.struct(
