@@ -317,6 +317,28 @@ class DeltaLakeClient:
 
         return latest_version_wins(self.scan(table), keys)
 
+    def register_views(self, *tables: str, with_stamps: bool = False) -> None:
+        """Expose engine tables to Spark SQL as temp views.
+
+        Each view is the table's snapshot-consistent scan at call time
+        (the live-file list is resolved eagerly, so concurrent commits
+        can't shift what the view reads mid-query). With no arguments,
+        registers every table in the current snapshot. Pass
+        ``with_stamps=True`` to expose ``_tx_id``/``_row_idx`` for
+        version-aware SQL.
+        """
+        tx = self._require_tx()
+        names = tables or tuple(self._effective_snapshot(tx).tables)
+        for t in names:
+            self.scan(t, with_stamps=with_stamps).createOrReplaceTempView(t)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over this client's registered engine-table views.
+        Catalyst plans the query over the snapshot scans — joins,
+        aggregates, windows, subqueries all work against ACID tables."""
+        self._require_tx()
+        return self.spark.sql(query)
+
     # ------------------------------------------------------------------
     # deletes
     # ------------------------------------------------------------------

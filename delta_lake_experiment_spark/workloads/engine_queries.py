@@ -92,14 +92,50 @@ FROM orders
 """
 
 
+# SQL over ACID tables: ingest two tables, register snapshot views, run
+# a SQL join+aggregate through Catalyst — the engine's tables are
+# first-class SQL citizens.
+def engine_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("eng_nation", nation.schema)
+    c.write_dataframe("eng_nation", nation)
+    c.create_table("eng_customer", customer.schema)
+    c.write_dataframe("eng_customer", customer)
+    c.commit_tx()
+    c.new_tx()
+    c.register_views()
+    return c.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+        FROM eng_customer c JOIN eng_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+ENGINE_SQL_JOIN_SQL = """
+SELECT n_name, COUNT(*) AS n_customers,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_delete_range": engine_delete_range,
     "engine_upsert_latest": engine_upsert_latest,
+    "engine_sql_join": engine_sql_join,
 }
 
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_delete_range": DELETE_SQL,
     "engine_upsert_latest": UPSERT_SQL,
+    "engine_sql_join": ENGINE_SQL_JOIN_SQL,
 }

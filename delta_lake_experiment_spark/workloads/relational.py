@@ -389,6 +389,104 @@ FROM orders
 """
 
 
+# ----------------------------------------------------------------------
+# q17 shape — correlated scalar subquery: lineitems below 50% of their
+# part's average quantity. Expressed as aggregate + self-join (what
+# Catalyst's decorrelation produces anyway); the per-part averages table
+# is tiny -> broadcast side.
+# ----------------------------------------------------------------------
+
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    part_avg = l.groupBy("l_partkey").agg(
+        (exact_avg(F.col("l_quantity")) * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(part_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            exact_sum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+SMALL_QTY_SQL = """
+SELECT l_partkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS small_qty_revenue,
+  COUNT(*) AS n_small
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(l_quantity))
+  FROM lineitem WHERE l_partkey = l.l_partkey)
+GROUP BY l_partkey
+"""
+
+
+# ----------------------------------------------------------------------
+# set ops — INTERSECT / EXCEPT (the two the union query doesn't cover).
+# Both execute as aggregate + shuffle on the full row key.
+# ----------------------------------------------------------------------
+
+
+def segment_nation_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    buildings = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machines = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    inter = buildings.intersect(machines).withColumn("op", F.lit("intersect"))
+    exc = buildings.exceptAll(machines).distinct().withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
+
+
+SET_OPS_SQL = """
+SELECT c_nationkey, 'intersect' AS op FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+UNION ALL
+SELECT DISTINCT c_nationkey, 'except' AS op FROM (
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT ALL
+  SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+"""
+
+
+# ----------------------------------------------------------------------
+# running totals — window frame (ROWS UNBOUNDED PRECEDING): cumulative
+# revenue per customer over order dates. One shuffle on the partition
+# key; frame evaluation is streaming within each partition.
+# ----------------------------------------------------------------------
+
+
+def customer_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double"), 6).alias(
+            "running_revenue"
+        ),
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+  round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_revenue
+FROM orders WHERE o_custkey <= 100
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -405,9 +503,15 @@ QUERIES = {
     "hourly_event_windows": hourly_event_windows,
     "rollup_order_counts": rollup_order_counts,
     "scalar_functions_showcase": scalar_functions_showcase,
+    "small_quantity_revenue": small_quantity_revenue,
+    "segment_nation_overlap": segment_nation_overlap,
+    "customer_running_total": customer_running_total,
 }
 
 ORACLES = {
+    "small_quantity_revenue": SMALL_QTY_SQL,
+    "segment_nation_overlap": SET_OPS_SQL,
+    "customer_running_total": RUNNING_TOTAL_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,

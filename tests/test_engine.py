@@ -235,6 +235,37 @@ def test_bulk_write_and_scan_latest(spark, store_dir):
     c.commit_tx()
 
 
+def test_sql_over_engine_tables(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("dim", "k BIGINT, name STRING")
+    c.create_table("fact", "k BIGINT, amount BIGINT")
+    c.write_dataframe("dim", spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, name STRING"))
+    c.write_dataframe(
+        "fact",
+        spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k BIGINT, amount BIGINT"),
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    c.register_views()
+    out = {
+        r["name"]: r["total"]
+        for r in c.sql(
+            "SELECT name, SUM(amount) AS total FROM fact JOIN dim USING (k) GROUP BY name"
+        ).collect()
+    }
+    assert out == {"a": 30, "b": 5}
+    # snapshot consistency: a commit from another client doesn't shift
+    # an already-registered view
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    c2.write_dataframe("fact", spark.createDataFrame([(2, 100)], "k BIGINT, amount BIGINT"))
+    c2.commit_tx()
+    assert c.sql("SELECT COUNT(*) AS n FROM fact").first()["n"] == 3
+    c.commit_tx()
+
+
 def test_stats_pruning_and_compaction(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
     c.new_tx()
