@@ -1,0 +1,106 @@
+"""External-format connectors: CSV / JSON-lines sources, partitioned
+Parquet sink, engine-table export.
+
+The reference supports exactly one format (its JSON data objects,
+dataobjects.go:51-57) and lists pluggable serialization as an open TODO
+(README.md:33-34); these connectors are that roadmap item, Spark-first.
+
+Scale notes:
+- Readers take an explicit schema. Schema inference reads the data
+  twice (a full extra pass at 100 TB) and can mis-type columns between
+  runs; an explicit StructType keeps the scan single-pass and the plan
+  stable. ``infer=True`` opts into inference for exploration.
+- The sink sizes output files via a target rows-per-file repartition
+  rather than relying on upstream partitioning, so a heavily filtered
+  DataFrame doesn't produce thousands of near-empty files (the small-
+  file problem) and an unfiltered one doesn't produce 2 GB monsters.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[Union[str, T.StructType]] = None,
+    header: bool = True,
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """CSV source. Pass ``schema`` (DDL string or StructType) for a
+    single-pass typed scan; ``infer=True`` for exploratory reads."""
+    if schema is None and not infer:
+        raise ValueError("pass schema=... or infer=True (inference re-reads the data)")
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[Union[str, T.StructType]] = None,
+    infer: bool = False,
+    **options,
+) -> DataFrame:
+    """JSON-lines source (one JSON object per line — the standard
+    document-corpus interchange format)."""
+    if schema is None and not infer:
+        raise ValueError("pass schema=... or infer=True (inference re-reads the data)")
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Partitioned columnar sink with controlled file sizing.
+
+    ``partition_by`` columns become directory partitions (downstream
+    partition pruning); within each partition, output is coalesced
+    toward ``target_rows_per_file`` using a cheap countApprox-free
+    heuristic: repartition by the partition columns so each partition
+    directory is written by few tasks instead of every task.
+    """
+    writer = df
+    if partition_by:
+        # co-locate rows of one output partition into one task: avoids
+        # the every-task-writes-every-partition small-file explosion
+        writer = df.repartition(*[df[c] for c in partition_by])
+    w = writer.write.mode(mode).format(format)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.option("maxRecordsPerFile", target_rows_per_file).save(path)
+
+
+def export_table(
+    client,
+    table: str,
+    path: str,
+    format: str = "parquet",
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Export an engine table's current snapshot to an external sink —
+    the engine-to-lake hand-off (CSV, JSONL, or Parquet out)."""
+    df = client.scan(table, with_stamps=False)
+    if format == "csv":
+        df.write.mode("overwrite").option("header", True).csv(path)
+    elif format in ("json", "jsonl"):
+        df.write.mode("overwrite").json(path)
+    else:
+        write_partitioned(df, path, partition_by=partition_by, format=format)

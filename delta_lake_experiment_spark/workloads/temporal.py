@@ -159,8 +159,35 @@ WHERE p_brand LIKE 'Brand#1%' AND p_type IN ('ECONOMY', 'SMALL') AND p_size >= 1
 """
 
 
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts + revenue-ish sums via two-phase SALTED
+    aggregation: hot event types fan out over 16 reducers in phase 1,
+    then a tiny phase-2 merge. Result is exactly the plain GROUP BY
+    (the oracle) — salting changes the shuffle shape, not the answer."""
+    from delta_lake_experiment_spark.operators.skew import salted_aggregate
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return salted_aggregate(
+        ev.withColumn("k", k),
+        ["event_type"],
+        {"n": F.count(F.lit(1)), "k_sum": F.sum("k")},
+        {"n": F.sum("n").cast("long"), "k_sum": F.sum("k_sum").cast("long")},
+        salt=16,
+    )
+
+
+SKEW_SALTED_SQL = """
+SELECT event_type, COUNT(*) AS n,
+  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "purchase_last_click": purchase_last_click,
+    "skew_salted_event_stats": skew_salted_event_stats,
     "user_sessions": user_sessions,
     "json_props_extract": json_props_extract,
     "cube_event_stats": cube_event_stats,
@@ -170,6 +197,7 @@ QUERIES = {
 
 ORACLES = {
     "purchase_last_click": PURCHASE_LAST_CLICK_SQL,
+    "skew_salted_event_stats": SKEW_SALTED_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "json_props_extract": JSON_PROPS_SQL,
     "cube_event_stats": CUBE_SQL,
