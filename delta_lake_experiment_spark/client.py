@@ -90,6 +90,10 @@ DEFAULT_DATAOBJECT_SIZE = 64 * 1024
 # write_dataframe calls in one tx stay globally ordered.
 _BULK_STRIDE = 1 << 42
 
+# COW deletes whose stat-pruned candidates hold at most this many rows
+# run driver-side via pyarrow (no Spark jobs); larger deletes distribute.
+_DRIVER_DELETE_MAX_ROWS = 100_000
+
 
 @dataclass
 class _Tx:
@@ -376,6 +380,21 @@ class DeltaLakeClient:
         candidates = snap.live_files(table, self.store, prune={column: (start, end)})
         if not candidates:
             return
+        # Small-transaction fast path: when the stat-pruned candidates
+        # hold few rows in total (num_rows is in every add action), the
+        # whole COW rewrite fits comfortably in the driver — pyarrow
+        # filter + rewrite with zero Spark jobs. A metadata-heavy OLTP-ish
+        # loop (the reference's randomized canary) is then bounded by
+        # log I/O, not by ~150 ms of Spark scheduling per delete. Bulk
+        # deletes fall through to the distributed path.
+        cand_rows = sum(
+            o.num_rows
+            for o in snap.live_objects(table)
+            if self.store.path_of(o.name) in set(candidates)
+        )
+        if cand_rows <= _DRIVER_DELETE_MAX_ROWS:
+            self._delete_rows_driver(tx, table, schema, column, start, end, candidates)
+            return
         stored = self._stored_schema(schema)
         pred = F.col(column).between(F.lit(start), F.lit(end))
         cand_df = self.spark.read.schema(stored).parquet(*candidates)
@@ -404,6 +423,47 @@ class DeltaLakeClient:
             _rmtree(staging)
         for name in sorted(affected_names):
             tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
+
+    def _delete_rows_driver(
+        self,
+        tx: "_Tx",
+        table: str,
+        schema: T.StructType,
+        column: str,
+        start: Any,
+        end: Any,
+        candidates: list[str],
+    ) -> None:
+        """Driver-side COW rewrite for small candidate sets (pyarrow,
+        zero Spark jobs). Same semantics as the distributed path: keep
+        rows outside [start, end] or with NULL in the column; rewritten
+        rows keep their original ``_tx_id``/``_row_idx`` stamps."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        staging = self._staging_dir()
+        try:
+            for i, path in enumerate(candidates):
+                tbl = pq.read_table(path)
+                col = tbl[column]
+                matched = pc.and_kleene(
+                    pc.greater_equal(col, start), pc.less_equal(col, end)
+                )
+                keep = pc.fill_null(pc.invert(matched), True)
+                survivors = tbl.filter(keep)
+                if len(survivors) == len(tbl):
+                    continue  # untouched file stays as-is
+                if len(survivors):
+                    tmp = os.path.join(staging, f"rw_{i}.parquet")
+                    pq.write_table(survivors, tmp)
+                    self._register_object(table, tx, tmp)
+                tx.actions.append(
+                    RemoveDataObject(
+                        name=_basename_of_uri(path), table=table, tx_id=tx.id
+                    )
+                )
+        finally:
+            _rmtree(staging)
 
     # ------------------------------------------------------------------
     # maintenance
