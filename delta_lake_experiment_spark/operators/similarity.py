@@ -70,27 +70,99 @@ def cosine_topk(
     )
 
 
+# -- deterministic Rademacher signs: a pure-Python implementation of the
+# public xxHash64 spec (4-byte input path), bit-identical to Spark's
+# ``xxhash64(int, int)`` (verified in tests). Having the signs in Python
+# means the query-side bucket needs NO Spark job, and the index-side
+# matrix is a plain literal (no 512-node CASE tree for Catalyst to fold).
+_M64 = (1 << 64) - 1
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_int(i: int, seed: int) -> int:
+    """XXH64 of one 4-byte little-endian int (public spec, tail path)."""
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((i & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def srp_signs(dim: int, bits: int) -> list:
+    """bits × dim Rademacher ±1 matrix from chained xxh64(bit, comp),
+    seed 42 — the same chaining Spark's ``xxhash64(lit(b), lit(j))``
+    computes, so Python-side and JVM-side buckets agree exactly."""
+    return [
+        [1.0 if _xxh64_int(j, _xxh64_int(b, 42)) & 1 == 0 else -1.0 for j in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def srp_bucket_py(vec, signs) -> int:
+    """Query-side bucket in pure Python. Dot products fold left-to-right
+    over binary64 — the identical IEEE op sequence as the JVM fold in
+    :func:`srp_bucket`, so both sides land in the same bucket even on
+    knife-edge sign boundaries."""
+    out = 0
+    for b, row in enumerate(signs):
+        acc = 0.0
+        for x, s in zip(vec, row):
+            acc += float(x) * s
+        if acc >= 0:
+            out |= 1 << b
+    return out
+
+
 def srp_bucket(vec: Column, dim: int, bits: int = 8) -> Column:
     """Sign-random-projection bucket id in [0, 2^bits).
 
     Projection matrix entries are deterministic Rademacher ±1 derived
-    from ``xxhash64(bit, component)`` — no stored model, identical on
-    every executor and every run.
+    from xxh64(bit, component) — no stored model, identical on every
+    executor and every run. The matrix enters the plan as one nested
+    literal; the bucket id folds in a single aggregate() pass, keeping
+    the expression tree tiny (fast codegen) and each array evaluated
+    once per row.
     """
     v = _as_double(vec)
-    bit_cols = []
-    for b in range(bits):
-        signs = F.array(
-            *[
-                (F.when(F.xxhash64(F.lit(b), F.lit(j)) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)))
-                for j in range(dim)
-            ]
-        )
-        proj = _dot(v, signs)
-        bit_cols.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
+    matrix = F.array(
+        *[
+            F.array(*[F.lit(s) for s in row])
+            for row in srp_signs(dim, bits)
+        ]
+    )
+    # bucket = sum over b of (dot(v, matrix[b]) >= 0) << b, folded in one
+    # pass; `row` and `acc` are lambda variables (never re-evaluated).
+    zipped = F.zip_with(
+        matrix,
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda row, b: F.struct(row.alias("signs"), b.alias("b")),
+    )
+    out = F.aggregate(
+        zipped,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(v, e["signs"], lambda x, s: x * s),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), e["b"].cast("double")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
     return out.cast("int")
 
 
@@ -179,11 +251,11 @@ def lsh_bucket_topk(
 
     At scale, write the table partitioned by ``bucket`` and this becomes
     partition pruning — the scan touches ~1/2^bits of the data. The
-    query's bucket is computed via a 1-row Spark job so the ±1
-    projections stay bit-identical with the index side."""
+    query's bucket is computed driver-side in pure Python (zero Spark
+    jobs) with the same xxh64-derived signs and the same IEEE fold
+    order as the index side."""
     q = [float(x) for x in query]
-    qrow = spark.createDataFrame([(q,)], f"v array<double>")
-    qbucket = qrow.select(srp_bucket(F.col("v"), dim, bits).alias("b")).first()["b"]
+    qbucket = srp_bucket_py(q, srp_signs(dim, bits))
     bucketed = emb_df.withColumn("bucket", srp_bucket(F.col(vec_col), dim, bits))
     cand = bucketed.filter(F.col("bucket") == qbucket)
     return cosine_topk(cand, id_col, vec_col, q, k=k)

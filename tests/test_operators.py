@@ -224,6 +224,37 @@ def test_ivf_topk_recall_on_clustered_data(spark):
     assert recall >= 0.8, (recall, exact_ids, approx_ids)
 
 
+def test_srp_python_jvm_parity(spark):
+    """The pure-Python xxh64 + bucket must agree with the JVM exactly —
+    this is what lets the query-side bucket skip Spark entirely."""
+    from delta_lake_experiment_spark.operators.similarity import (
+        _xxh64_int,
+        srp_bucket,
+        srp_bucket_py,
+        srp_signs,
+    )
+
+    # hash parity with Spark's xxhash64(int, int) chaining
+    want = spark.range(1).select(
+        *[F.xxhash64(F.lit(b), F.lit(j)).alias(f"h_{b}_{j}") for b in range(4) for j in range(8)]
+    ).first()
+    for b in range(4):
+        for j in range(8):
+            h = _xxh64_int(j, _xxh64_int(b, 42))
+            signed = h - (1 << 64) if h >= (1 << 63) else h
+            assert signed == want[f"h_{b}_{j}"], (b, j)
+
+    # bucket parity on real vectors
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    jvm = {
+        r["vec_id"]: r["b"]
+        for r in emb.select("vec_id", srp_bucket(F.col("embedding"), 64, 6).alias("b")).collect()
+    }
+    signs = srp_signs(64, 6)
+    for r in emb.select("vec_id", "embedding").collect():
+        assert srp_bucket_py([float(x) for x in r["embedding"]], signs) == jvm[r["vec_id"]]
+
+
 def test_salted_aggregate_and_join_match_unsalted(spark):
     from delta_lake_experiment_spark.operators.skew import salted_aggregate, salted_join
     from delta_lake_experiment_spark.sources.tables import load_table
