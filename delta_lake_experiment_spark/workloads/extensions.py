@@ -269,8 +269,34 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal lane through the driver contract: documents become
+    opaque binary payloads with typed metadata (the real pattern for
+    image/audio/video columns), features extracted via Arrow-batched
+    mapInPandas. Decode is the documented deterministic stub
+    (operators/multimodal.py) -> rows-only check; determinism and batch
+    shape are pytest-verified."""
+    from delta_lake_experiment_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        (F.col("n_chars") % 640).cast("int").alias("width"),
+        (F.col("n_chars") % 480).cast("int").alias("height"),
+        (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+    )
+    feats = extract_features(media, out_dim=8)
+    return feats.select(
+        "media_id", "kind", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
+    "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
     "near_dup_minhash": near_dup_minhash,
     "near_dup_jaccard": near_dup_jaccard,

@@ -185,9 +185,32 @@ FROM events GROUP BY event_type
 """
 
 
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming lane through the driver contract: drain the
+    events table through a watermarked windowed aggregation
+    (Trigger.AvailableNow -> memory sink) and return the final result.
+    Oracle = the BATCH hourly-window SQL: stream and batch must agree
+    exactly (the core Structured Streaming guarantee)."""
+    import tempfile
+
+    _utc(spark)
+    from delta_lake_experiment_spark.streaming.windowed import (
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dles_stream_")
+    # re-encode as a µs-timestamp parquet stream source
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(f"{tmp}/src")
+    stream = windowed_event_counts(spark, f"{tmp}/src", window="1 hour", watermark="2 hours")
+    run_available_now(stream, "dles_stream_hourly", tmp)
+    return spark.table("dles_stream_hourly")
+
+
 QUERIES = {
     "purchase_last_click": purchase_last_click,
     "skew_salted_event_stats": skew_salted_event_stats,
+    "streaming_hourly_windows": streaming_hourly_windows,
     "user_sessions": user_sessions,
     "json_props_extract": json_props_extract,
     "cube_event_stats": cube_event_stats,
@@ -195,9 +218,12 @@ QUERIES = {
     "parts_like_in_filter": parts_like_in_filter,
 }
 
+from delta_lake_experiment_spark.workloads.relational import HOURLY_SQL as _HOURLY_SQL
+
 ORACLES = {
     "purchase_last_click": PURCHASE_LAST_CLICK_SQL,
     "skew_salted_event_stats": SKEW_SALTED_SQL,
+    "streaming_hourly_windows": _HOURLY_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "json_props_extract": JSON_PROPS_SQL,
     "cube_event_stats": CUBE_SQL,
