@@ -30,11 +30,14 @@ HEADLINE = [
     "engine_roundtrip_scan",
     "engine_delete_range",
     "engine_upsert_latest",
+    "engine_sql_join",
     # LLM-pipeline extensions
     "doc_text_stats",
     "dedup_exact_documents",
     "near_dup_minhash",
+    "near_dup_simhash",
     "similarity_bruteforce_topk",
+    "similarity_lsh_topk",
 ]
 
 
