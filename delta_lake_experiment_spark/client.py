@@ -188,6 +188,37 @@ class DeltaLakeClient:
         tx.new_tables[table] = ddl
         tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl))
 
+    def add_columns(self, table: str, columns_ddl: str) -> None:
+        """Schema evolution: append new nullable columns.
+
+        The reference's schema evolution is broken by design — adding a
+        column then range-deleting on it explodes on old rows
+        (README.md:45-46). Here it is safe by construction: the new DDL
+        rides the same last-writer-wins ``ChangeMetadata`` action, old
+        Parquet objects simply read the missing columns as NULL (schema
+        merge at scan), and range predicates skip NULLs — so a delete on
+        a new column leaves pre-evolution rows untouched instead of
+        failing.
+        """
+        tx = self._require_tx()
+        current = self.table_schema(table)
+        added = self._parse_ddl(columns_ddl)
+        dup = {f.name for f in added.fields} & {f.name for f in current.fields}
+        if dup:
+            raise TypeMismatchError(f"columns already exist: {sorted(dup)}")
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in (*current.fields, *added.fields)
+        )
+        # new_tables doubles as "pending DDL this tx" so table_schema
+        # sees the widened shape before commit
+        tx.new_tables[table] = ddl
+        tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl))
+        # rewrite already-buffered rows to the widened shape
+        for i, (idx, row) in enumerate(tx.buffers.get(table, [])):
+            if row is not None:
+                tx.buffers[table][i] = (idx, list(row) + [None] * len(added.fields))
+
     def table_schema(self, table: str) -> T.StructType:
         """User-visible schema (without engine stamp columns)."""
         tx = self._require_tx()
@@ -445,6 +476,10 @@ class DeltaLakeClient:
         try:
             for i, path in enumerate(candidates):
                 tbl = pq.read_table(path)
+                if column not in tbl.schema.names:
+                    # pre-schema-evolution object: the column reads as
+                    # all-NULL, NULLs never match a range -> untouched
+                    continue
                 col = tbl[column]
                 matched = pc.and_kleene(
                     pc.greater_equal(col, start), pc.less_equal(col, end)

@@ -266,6 +266,41 @@ def test_sql_over_engine_tables(spark, store_dir):
     c.commit_tx()
 
 
+def test_schema_evolution_add_column(spark, store_dir):
+    """The reference's broken-by-design case (README.md:45-46): add a
+    column, then delete on it — old rows must survive, not explode."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(6):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+
+    c.new_tx()
+    c.add_columns("t", "score BIGINT")
+    # widened schema visible immediately, old rows read as NULL
+    assert [f.name for f in c.table_schema("t").fields] == ["k", "v", "score"]
+    c.write_row("t", [100, "new", 7])
+    c.write_row("t", [101, "new", 55])
+    c.commit_tx()
+
+    c.new_tx()
+    rows = {r["k"]: (r["v"], r["score"]) for r in c.scan("t", with_stamps=False).collect()}
+    assert rows[0] == ("v0", None) and rows[100] == ("new", 7)
+    assert len(rows) == 8
+    # delete on the NEW column: NULL rows (pre-evolution) are untouched
+    c.delete_rows("t", "score", 50, 60)
+    c.commit_tx()
+    c.new_tx()
+    ks = {r["k"] for r in c.scan("t", with_stamps=False).collect()}
+    assert ks == {0, 1, 2, 3, 4, 5, 100}
+    # buffered rows widen too: add column mid-tx with unflushed rows
+    c.add_columns("t", "extra DOUBLE")
+    c.write_row("t", [200, "x", 1, 2.5])
+    assert sorted(len(r) for r in [next(iter(c.scan_iter("t")))]) == [4]
+    c.commit_tx()
+
+
 def test_stats_pruning_and_compaction(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
     c.new_tx()
