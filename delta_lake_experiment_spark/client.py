@@ -74,6 +74,7 @@ from delta_lake_experiment_spark.plans.actions import (
 )
 from delta_lake_experiment_spark.plans.snapshot import (
     CHECKPOINT_INTERVAL,
+    LOG_PREFIX,
     Snapshot,
     checkpoint_name,
     log_name,
@@ -135,7 +136,7 @@ class DeltaLakeClient:
         snap = replay_log(self.store)
         self.tx = _Tx(id=snap.version + 1, snapshot=snap)
 
-    def commit_tx(self) -> None:
+    def commit_tx(self, retry_independent: int = 0) -> None:
         """Flush buffers and atomically publish the log record.
 
         Read-only transactions (no actions) skip the log write entirely
@@ -143,6 +144,17 @@ class DeltaLakeClient:
         committer raises :class:`ConcurrentCommitError` — first committer
         wins, the loser's data objects stay orphaned and invisible
         (crash-safe by construction: objects precede the log record).
+
+        ``retry_independent`` opts into the fix for the reference's
+        known-broken concurrent-writers case (main_test.go:177): on a
+        version collision, re-read the interleaved commits and, if they
+        touched only *disjoint* tables, re-target the next free version
+        (up to N times). Same-table interference still conflicts —
+        snapshot isolation's write-write rule, now at table granularity
+        instead of whole-log granularity. Data objects are not
+        rewritten: row-order stamps were assigned at write time, and
+        disjointness guarantees no other committed tx stamped this
+        table at the same version.
         """
         tx = self._require_tx()
         try:
@@ -150,15 +162,40 @@ class DeltaLakeClient:
                 self._flush_buffer(table)
             if not tx.actions:
                 return  # read-only fast path
-            record = json.dumps(
-                {"id": tx.id, "actions": [a.to_json() for a in tx.actions]}
-            ).encode()
-            try:
-                self.store.put_if_absent(log_name(tx.id), record)
-            except ObjectExistsError:
-                raise ConcurrentCommitError(
-                    f"tx {tx.id}: another transaction committed this version"
-                )
+            my_tables = {a.table for a in tx.actions}
+            attempt_id = tx.id
+            while True:
+                record = json.dumps(
+                    {"id": attempt_id, "actions": [a.to_json() for a in tx.actions]}
+                ).encode()
+                try:
+                    self.store.put_if_absent(log_name(attempt_id), record)
+                    break
+                except ObjectExistsError:
+                    if retry_independent <= 0:
+                        raise ConcurrentCommitError(
+                            f"tx {attempt_id}: another transaction committed this version"
+                        )
+                    retry_independent -= 1
+                    # fold in the interleaved commits; conflict iff any
+                    # touched one of our tables
+                    latest = replay_log(self.store)
+                    for name in self.store.list_prefix_ordered(LOG_PREFIX):
+                        version = int(name[len(LOG_PREFIX):])
+                        if version < attempt_id:
+                            continue
+                        interleaved = json.loads(self.store.read(name))
+                        their_tables = {
+                            next(iter(a.values()))["table"]
+                            for a in interleaved["actions"]
+                        }
+                        if their_tables & my_tables:
+                            raise ConcurrentCommitError(
+                                f"tx {attempt_id}: concurrent commit touched "
+                                f"{sorted(their_tables & my_tables)}"
+                            )
+                    attempt_id = latest.version + 1
+            tx.id = attempt_id
             self._maybe_checkpoint(tx)
         finally:
             self.tx = None
@@ -504,20 +541,37 @@ class DeltaLakeClient:
     # maintenance
     # ------------------------------------------------------------------
 
-    def compact(self, table: str, target_files: int = 1) -> None:
+    def compact(
+        self,
+        table: str,
+        target_files: int = 1,
+        cluster_by: Optional[list[str]] = None,
+    ) -> None:
         """OPTIMIZE: rewrite the table's live objects into ``target_files``
         large ones (remove+add in this tx) — the reference's unchecked
         compaction TODO (README.md:32). Run after many small commits to
-        restore large-scan efficiency."""
+        restore large-scan efficiency.
+
+        ``cluster_by`` additionally range-partitions + sorts the rewrite
+        on those columns (OPTIMIZE ... ZORDER's 1-D little sibling):
+        each output file then covers a tight [min,max] slice, so the
+        log-level stats pruning and Parquet row-group skipping both
+        become surgical for predicates on the cluster columns.
+        """
         tx = self._require_tx()
         schema = self.table_schema(table)
         snap = self._effective_snapshot(tx)
         objs = snap.live_objects(table)
-        if len(objs) <= target_files:
+        if len(objs) <= target_files and not cluster_by:
             return
         stored = self._stored_schema(schema)
         files = [self.store.path_of(o.name) for o in objs]
-        df = self.spark.read.schema(stored).parquet(*files).coalesce(target_files)
+        df = self.spark.read.schema(stored).parquet(*files)
+        if cluster_by:
+            cols = [F.col(c) for c in cluster_by]
+            df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+        else:
+            df = df.coalesce(target_files)
         staging = self._staging_dir()
         df.write.mode("overwrite").parquet(staging)
         try:

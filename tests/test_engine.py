@@ -266,6 +266,79 @@ def test_sql_over_engine_tables(spark, store_dir):
     c.commit_tx()
 
 
+def test_concurrent_independent_writers_retry(spark, store_dir):
+    """The reference's known-broken case (main_test.go:177 TODO): two
+    writers on DISJOINT tables. With retry_independent the second
+    commit re-targets the next version; same-table interference still
+    conflicts."""
+    import pytest
+
+    from delta_lake_experiment_spark.errors import ConcurrentCommitError
+
+    c0 = DeltaLakeClient(spark, store_dir)
+    c0.new_tx()
+    c0.create_table("ta", "k BIGINT, v BIGINT")
+    c0.create_table("tb", "k BIGINT, v BIGINT")
+    c0.commit_tx()
+
+    a = DeltaLakeClient(spark, store_dir)
+    b = DeltaLakeClient(spark, store_dir)
+    a.new_tx()
+    b.new_tx()  # same snapshot, same target version
+    a.write_row("ta", [1, 1])
+    b.write_row("tb", [2, 2])
+    a.commit_tx()
+    b.commit_tx(retry_independent=3)  # disjoint tables -> succeeds
+
+    check = DeltaLakeClient(spark, store_dir)
+    check.new_tx()
+    assert check.scan("ta").count() == 1 and check.scan("tb").count() == 1
+    check.commit_tx()
+
+    # same-table interference still loses, even with retries
+    a.new_tx()
+    b.new_tx()
+    a.write_row("ta", [3, 3])
+    b.write_row("ta", [4, 4])
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_tx(retry_independent=3)
+
+
+def test_clustered_compaction_tightens_pruning(spark, store_dir):
+    """cluster_by compaction must shrink the stat-pruned candidate set
+    for range predicates on the cluster column."""
+    import random
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=50)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    rng = random.Random(7)
+    vals = list(range(400))
+    rng.shuffle(vals)  # every file spans ~the full key range
+    for k in vals:
+        c.write_row("t", [k, k])
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    before = len(snap.live_files("t", c.store, prune={"k": (0, 39)}))
+    assert before == 8  # random layout: nothing prunable
+    c.compact("t", target_files=8, cluster_by=["k"])
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    files_all = snap.live_files("t", c.store)
+    pruned = snap.live_files("t", c.store, prune={"k": (0, 39)})
+    assert len(files_all) == 8
+    assert len(pruned) <= 2, f"clustering should prune to ~1 file, got {len(pruned)}"
+    # correctness preserved
+    assert c.scan("t").count() == 400
+    assert c.scan("t").filter("k BETWEEN 0 AND 39").count() == 40
+    c.commit_tx()
+
+
 def test_schema_evolution_add_column(spark, store_dir):
     """The reference's broken-by-design case (README.md:45-46): add a
     column, then delete on it — old rows must survive, not explode."""
