@@ -44,12 +44,19 @@ def shingles(
     shingles can't change the signature), and one full shuffle cheaper.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # sliding word n-grams via transform over token positions
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    src = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    # Sliding word n-grams via zip_with over shifted slices (NOT via
+    # per-position transform indexing into ``toks`` — Catalyst inlines
+    # array expressions referenced inside element lambdas, re-evaluating
+    # them per element: O(len^2) per doc). concat_ws skips the NULLs
+    # zip_with pads with, so trailing partial grams match the slice
+    # semantics; they are cut off below.
+    big = 1 << 30
+    combined = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, big)
+        combined = F.zip_with(combined, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(combined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    src = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
     # Small single-file inputs arrive as one partition; spread the
     # CPU-heavy shingle generation across the cluster. (Big inputs
     # already have many partitions — repartition to parallelism is a
@@ -57,7 +64,7 @@ def shingles(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
-    out = src.select("__id", F.explode(grams).alias("shingle"))
+    out = src.select("__id", F.explode("__grams").alias("shingle"))
     return out.distinct() if distinct else out
 
 
