@@ -69,6 +69,7 @@ from delta_lake_experiment_spark.errors import (
 from delta_lake_experiment_spark.plans.actions import (
     Action,
     AddDataObject,
+    AddDeletionVector,
     ChangeMetadata,
     RemoveDataObject,
 )
@@ -336,7 +337,7 @@ class DeltaLakeClient:
         files = snap.live_files(table, self.store, prune=prune)
         parts = []
         if files:
-            parts.append(self.spark.read.schema(stored).parquet(*files))
+            parts.append(self._read_live(table, snap, stored, files))
         buf_rows = [
             list(row) + [tx.id, idx]
             for idx, row in tx.buffers.get(table, [])
@@ -378,7 +379,7 @@ class DeltaLakeClient:
         files = snap.live_files(table, self.store)
         if not files:
             return self.spark.createDataFrame([], stored)
-        return self.spark.read.schema(stored).parquet(*files)
+        return self._read_live(table, snap, stored, files)
 
     def scan_latest(self, table: str, keys: list[str]) -> DataFrame:
         """'Current state' view of a multi-versioned keyed table:
@@ -415,8 +416,15 @@ class DeltaLakeClient:
     # deletes
     # ------------------------------------------------------------------
 
-    def delete_rows(self, table: str, column: str, start: Any, end: Any) -> None:
-        """Inclusive-range copy-on-write delete (reference writes.go:90-162).
+    def delete_rows(
+        self, table: str, column: str, start: Any, end: Any, use_dv: bool = False
+    ) -> None:
+        """Inclusive-range delete (reference writes.go:90-162).
+
+        ``use_dv=True`` records a deletion vector (positional soft
+        delete, the reference's README.md:38 roadmap item) instead of
+        copy-on-write rewriting — O(mask) written instead of O(affected
+        files); scans apply the mask, compaction materializes it.
 
         1. Tombstone matching *unflushed* rows in the buffer.
         2. Stat-prune candidate files, find truly affected files with a
@@ -448,6 +456,11 @@ class DeltaLakeClient:
         candidates = snap.live_files(table, self.store, prune={column: (start, end)})
         if not candidates:
             return
+        stored = self._stored_schema(schema)
+        pred = F.col(column).between(F.lit(start), F.lit(end))
+        if use_dv:
+            self._delete_rows_dv(tx, table, snap, stored, pred, candidates)
+            return
         # Small-transaction fast path: when the stat-pruned candidates
         # hold few rows in total (num_rows is in every add action), the
         # whole COW rewrite fits comfortably in the driver — pyarrow
@@ -461,26 +474,20 @@ class DeltaLakeClient:
             if self.store.path_of(o.name) in set(candidates)
         )
         if cand_rows <= _DRIVER_DELETE_MAX_ROWS:
-            self._delete_rows_driver(tx, table, schema, column, start, end, candidates)
+            self._delete_rows_driver(tx, table, snap, schema, column, start, end, candidates)
             return
-        stored = self._stored_schema(schema)
-        pred = F.col(column).between(F.lit(start), F.lit(end))
-        cand_df = self.spark.read.schema(stored).parquet(*candidates)
-        affected_paths = [
-            r[0]
-            for r in cand_df.filter(pred)
-            .select(F.input_file_name())
-            .distinct()
-            .collect()
-        ]
-        if not affected_paths:
+        cand_df = self._read_live(table, snap, stored, candidates, with_pos=True)
+        affected_names = {
+            r[0] for r in cand_df.filter(pred).select("__obj").distinct().collect()
+        }
+        if not affected_names:
             return
-        affected_names = {_basename_of_uri(p) for p in affected_paths}
-        survivors = (
-            self.spark.read.schema(stored)
-            .parquet(*[self.store.path_of(n) for n in sorted(affected_names)])
-            .filter(~pred | F.col(column).isNull())
-        )
+        # DV-aware read of the affected files so the rewrite both drops
+        # the matched rows AND materializes any prior soft deletes
+        # (removing the object retires its vectors — no resurrection).
+        survivors = self._read_live(
+            table, snap, stored, [self.store.path_of(n) for n in sorted(affected_names)]
+        ).filter(~pred | F.col(column).isNull())
         staging = self._staging_dir()
         survivors.write.mode("overwrite").parquet(staging)
         try:
@@ -492,10 +499,60 @@ class DeltaLakeClient:
         for name in sorted(affected_names):
             tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
 
+    def _delete_rows_dv(
+        self,
+        tx: "_Tx",
+        table: str,
+        snap: Snapshot,
+        stored: T.StructType,
+        pred,
+        candidates: list[str],
+    ) -> None:
+        """Soft delete: record matching (obj, row_idx) positions as a
+        deletion-vector object instead of rewriting data files. O(mask)
+        written instead of O(affected files) — the right trade for
+        small/selective deletes over huge objects; compaction or a
+        later COW delete materializes the mask."""
+        matches = (
+            self._read_live(table, snap, stored, candidates, with_pos=True)
+            .filter(pred)
+            .select(F.col("__obj").alias("obj"), F.col("__ridx").alias("row_idx"))
+        )
+        staging = self._staging_dir()
+        try:
+            matches.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = next(
+                (f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")), None
+            )
+            if part is None:
+                return
+            import pyarrow.parquet as pq
+
+            src = os.path.join(staging, part)
+            dv_tbl = pq.read_table(src, columns=["obj"])
+            if dv_tbl.num_rows == 0:
+                return
+            objects = sorted(set(dv_tbl["obj"].to_pylist()))
+            dv_name = f"dv_{table}_{uuid.uuid4().hex}.parquet"
+            with open(src, "rb") as f:
+                self.store.put_if_absent(dv_name, f.read())
+            tx.actions.append(
+                AddDeletionVector(
+                    table=table,
+                    dv_name=dv_name,
+                    objects=objects,
+                    tx_id=tx.id,
+                    num_deleted=dv_tbl.num_rows,
+                )
+            )
+        finally:
+            _rmtree(staging)
+
     def _delete_rows_driver(
         self,
         tx: "_Tx",
         table: str,
+        snap: Snapshot,
         schema: T.StructType,
         column: str,
         start: Any,
@@ -505,14 +562,31 @@ class DeltaLakeClient:
         """Driver-side COW rewrite for small candidate sets (pyarrow,
         zero Spark jobs). Same semantics as the distributed path: keep
         rows outside [start, end] or with NULL in the column; rewritten
-        rows keep their original ``_tx_id``/``_row_idx`` stamps."""
+        rows keep their original ``_tx_id``/``_row_idx`` stamps; prior
+        deletion-vector masks are materialized into the rewrite."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+
+        table_dvs = snap.table_dvs(table)
+        dv_cache: dict[str, set] = {}
+
+        def _masked_rows(obj_name: str) -> set:
+            if obj_name not in dv_cache:
+                masked: set = set()
+                for dv_name in table_dvs.get(obj_name, []):
+                    dv_tbl = pq.read_table(self.store.path_of(dv_name))
+                    for o, r in zip(dv_tbl["obj"].to_pylist(), dv_tbl["row_idx"].to_pylist()):
+                        if o == obj_name:
+                            masked.add(r)
+                dv_cache[obj_name] = masked
+            return dv_cache[obj_name]
 
         staging = self._staging_dir()
         try:
             for i, path in enumerate(candidates):
                 tbl = pq.read_table(path)
+                obj_name = _basename_of_uri(path)
+                masked = _masked_rows(obj_name)
                 if column not in tbl.schema.names:
                     # pre-schema-evolution object: the column reads as
                     # all-NULL, NULLs never match a range -> untouched
@@ -521,8 +595,12 @@ class DeltaLakeClient:
                 matched = pc.and_kleene(
                     pc.greater_equal(col, start), pc.less_equal(col, end)
                 )
-                keep = pc.fill_null(pc.invert(matched), True)
-                survivors = tbl.filter(keep)
+                keep_list = pc.fill_null(pc.invert(matched), True).to_pylist()
+                if masked:
+                    keep_list = [
+                        k and (j not in masked) for j, k in enumerate(keep_list)
+                    ]
+                survivors = tbl.filter(keep_list)
                 if len(survivors) == len(tbl):
                     continue  # untouched file stays as-is
                 if len(survivors):
@@ -562,11 +640,14 @@ class DeltaLakeClient:
         schema = self.table_schema(table)
         snap = self._effective_snapshot(tx)
         objs = snap.live_objects(table)
-        if len(objs) <= target_files and not cluster_by:
+        if len(objs) <= target_files and not cluster_by and not snap.table_dvs(table):
             return
         stored = self._stored_schema(schema)
         files = [self.store.path_of(o.name) for o in objs]
-        df = self.spark.read.schema(stored).parquet(*files)
+        # DV-aware: compaction materializes any outstanding deletion
+        # vectors (the rewrite excludes masked rows; removing the old
+        # objects retires their vectors on replay)
+        df = self._read_live(table, snap, stored, files)
         if cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
@@ -630,9 +711,62 @@ class DeltaLakeClient:
         self immediately, to others only after commit)."""
         snap = Snapshot(version=tx.snapshot.version, tables=dict(tx.snapshot.tables))
         snap.live = {t: dict(objs) for t, objs in tx.snapshot.live.items()}
+        snap.dvs = {
+            t: {o: list(names) for o, names in objs.items()}
+            for t, objs in tx.snapshot.dvs.items()
+        }
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
+
+    def _read_live(
+        self,
+        table: str,
+        snap: Snapshot,
+        stored: T.StructType,
+        files: list[str],
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """Read live data objects with deletion vectors applied.
+
+        Rows of masked objects anti-join against the (obj, row_idx)
+        mask via the Parquet reader's ``_metadata.row_index`` — no
+        rewrite needed to make a soft delete visible. The mask is
+        broadcast: deletion vectors are small by design (compaction
+        materializes them before they grow). ``with_pos=True`` keeps
+        ``__obj``/``__ridx`` position columns on the result (the
+        ``_metadata`` pseudo-column itself is only resolvable on the
+        scan relation, so positions must be captured here)."""
+        df = self.spark.read.schema(stored).parquet(*files)
+        live_names = {_basename_of_uri(p) for p in files}
+        dv_names = sorted(
+            {
+                dv
+                for obj, dv_list in snap.table_dvs(table).items()
+                if obj in live_names
+                for dv in dv_list
+            }
+        )
+        if not dv_names and not with_pos:
+            return df
+        df = df.withColumns(
+            {
+                "__obj": F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                "__ridx": F.col("_metadata.row_index"),
+            }
+        )
+        if dv_names:
+            dv_df = (
+                self.spark.read.parquet(*[self.store.path_of(n) for n in dv_names])
+                .select(F.col("obj").alias("__dv_obj"), F.col("row_idx").alias("__dv_ridx"))
+            )
+            df = df.join(
+                F.broadcast(dv_df),
+                (F.col("__obj") == F.col("__dv_obj"))
+                & (F.col("__ridx") == F.col("__dv_ridx")),
+                "left_anti",
+            )
+        return df if with_pos else df.drop("__obj", "__ridx")
 
     def _flush_buffer(self, table: str) -> None:
         """Write the buffer (minus tombstones) as one Parquet object via
@@ -690,9 +824,12 @@ class DeltaLakeClient:
     def _maybe_checkpoint(self, tx: _Tx) -> None:
         if self.checkpoint_interval <= 0 or tx.id % self.checkpoint_interval != 0:
             return
-        snap = self._effective_snapshot(tx)
+        # Replay the authoritative log rather than trusting this tx's
+        # in-memory view: with commit retry, other commits may have
+        # interleaved between our snapshot and our log record.
+        snap = replay_log(self.store)
         try:
-            self.store.put_if_absent(checkpoint_name(tx.id), snap.to_json())
+            self.store.put_if_absent(checkpoint_name(snap.version), snap.to_json())
         except ObjectExistsError:
             pass  # someone else checkpointed this version — fine
 

@@ -77,7 +77,35 @@ class ChangeMetadata:
         return {"metadata": {"table": self.table, "schema_ddl": self.schema_ddl}}
 
 
-Action = AddDataObject | RemoveDataObject | ChangeMetadata
+@dataclass
+class AddDeletionVector:
+    """Soft delete: ``dv_name`` is a Parquet object of (obj, row_idx)
+    pairs masking rows of live data objects in ``objects`` — the
+    reference's unchecked roadmap item (README.md:38) and the Delta/
+    Iceberg positional-delete pattern. Scans anti-join the mask; a
+    later COW rewrite or compaction of a masked object materializes
+    the deletion and retires the vector (removing an object drops its
+    DVs on replay)."""
+
+    table: str
+    dv_name: str
+    objects: list[str]
+    tx_id: int
+    num_deleted: int = 0
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "dv": {
+                "table": self.table,
+                "dv_name": self.dv_name,
+                "objects": self.objects,
+                "tx_id": self.tx_id,
+                "num_deleted": self.num_deleted,
+            }
+        }
+
+
+Action = AddDataObject | RemoveDataObject | ChangeMetadata | AddDeletionVector
 
 
 def action_from_json(obj: dict[str, Any]) -> Action:
@@ -96,6 +124,15 @@ def action_from_json(obj: dict[str, Any]) -> Action:
     if "metadata" in obj:
         m = obj["metadata"]
         return ChangeMetadata(table=m["table"], schema_ddl=m["schema_ddl"])
+    if "dv" in obj:
+        d = obj["dv"]
+        return AddDeletionVector(
+            table=d["table"],
+            dv_name=d["dv_name"],
+            objects=list(d["objects"]),
+            tx_id=int(d["tx_id"]),
+            num_deleted=int(d.get("num_deleted", 0)),
+        )
     # Unknown action => corrupt log; fail loudly like the reference's
     # panic (transactions.go:95-97).
     raise ValueError(f"unknown action record: {obj!r}")

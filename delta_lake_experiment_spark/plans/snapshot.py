@@ -26,6 +26,7 @@ from typing import Any, Optional
 from delta_lake_experiment_spark.plans.actions import (
     Action,
     AddDataObject,
+    AddDeletionVector,
     ChangeMetadata,
     RemoveDataObject,
     action_from_json,
@@ -56,6 +57,8 @@ class Snapshot:
     # table -> {object name -> AddDataObject}; dict preserves insertion
     # order but consumers sort by (tx_id, name) explicitly.
     live: dict[str, dict[str, AddDataObject]] = field(default_factory=dict)
+    # table -> {data object name -> [dv object names masking it]}
+    dvs: dict[str, dict[str, list[str]]] = field(default_factory=dict)
 
     def live_objects(self, table: str) -> list[AddDataObject]:
         """Live data objects, ascending (tx_id, name) — mirror of the
@@ -81,6 +84,10 @@ class Snapshot:
             out.append(store.path_of(obj.name))
         return out
 
+    def table_dvs(self, table: str) -> dict[str, list[str]]:
+        """Masked data object name -> dv object names (live objects only)."""
+        return self.dvs.get(table, {})
+
     def apply(self, tx_id: int, actions: list[Action]) -> None:
         """Fold one committed transaction's actions into this snapshot."""
         for act in actions:
@@ -90,6 +97,13 @@ class Snapshot:
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
                 self.live.get(act.table, {}).pop(act.name, None)
+                # rewriting/compacting an object materializes its
+                # deletions: the mask retires with the object
+                self.dvs.get(act.table, {}).pop(act.name, None)
+            elif isinstance(act, AddDeletionVector):
+                tdv = self.dvs.setdefault(act.table, {})
+                for obj in act.objects:
+                    tdv.setdefault(obj, []).append(act.dv_name)
             else:  # pragma: no cover
                 raise ValueError(f"unknown action {act!r}")
         self.version = max(self.version, tx_id)
@@ -105,6 +119,7 @@ class Snapshot:
                     t: [a.to_json()["add"] for a in objs.values()]
                     for t, objs in self.live.items()
                 },
+                "dvs": self.dvs,
             }
         ).encode()
 
@@ -112,6 +127,10 @@ class Snapshot:
     def from_json(cls, data: bytes) -> "Snapshot":
         d = json.loads(data)
         snap = cls(version=int(d["version"]), tables=dict(d["tables"]))
+        snap.dvs = {
+            t: {o: list(names) for o, names in objs.items()}
+            for t, objs in d.get("dvs", {}).items()
+        }
         for t, objs in d["live"].items():
             snap.live[t] = {
                 a["name"]: AddDataObject(

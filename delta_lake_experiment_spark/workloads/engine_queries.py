@@ -63,6 +63,24 @@ def engine_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 DELETE_SQL = "SELECT * FROM lineitem WHERE l_quantity NOT BETWEEN 25 AND 30"
 
 
+# Same delete via a deletion vector (positional soft delete): no data
+# files rewritten, scans apply the mask — must be value-identical to the
+# COW result, so it shares the COW oracle.
+def engine_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "lineitem")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("lineitem", src.schema)
+    c.write_dataframe("lineitem", src)
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("lineitem", "l_quantity", 25, 30, use_dv=True)
+    c.commit_tx()
+    c.new_tx()
+    return c.scan("lineitem", with_stamps=False)
+
+
 # multi-version upsert + latest-version-wins (§2.3 "current state"):
 # tx1 writes all orders, tx2 rewrites every 10th order with doubled
 # price; the latest-wins scan must show tx2 versions winning.
@@ -129,6 +147,7 @@ GROUP BY n_name
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_delete_range": engine_delete_range,
+    "engine_delete_dv": engine_delete_dv,
     "engine_upsert_latest": engine_upsert_latest,
     "engine_sql_join": engine_sql_join,
 }
@@ -136,6 +155,7 @@ QUERIES = {
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_delete_range": DELETE_SQL,
+    "engine_delete_dv": DELETE_SQL,
     "engine_upsert_latest": UPSERT_SQL,
     "engine_sql_join": ENGINE_SQL_JOIN_SQL,
 }

@@ -266,6 +266,86 @@ def test_sql_over_engine_tables(spark, store_dir):
     c.commit_tx()
 
 
+def test_deletion_vectors(spark, store_dir):
+    """Soft deletes: DV masks apply at scan, stack across txs, survive
+    checkpoint replay, don't resurrect through COW rewrites, and are
+    materialized by compaction."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(20):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()  # 4 files of 5 rows
+
+    # DV delete, visible inside its own tx and after commit
+    c.new_tx()
+    c.delete_rows("t", "k", 3, 6, use_dv=True)
+    assert {r["k"] for r in c.scan("t", with_stamps=False).collect()} == (
+        set(range(20)) - {3, 4, 5, 6}
+    )
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("t").count() == 16
+    # data objects were NOT rewritten (4 original files still live)
+    snap = c._effective_snapshot(c.tx)
+    assert len(snap.live_objects("t")) == 4
+    assert snap.table_dvs("t")  # mask present
+    # stacked second DV
+    c.delete_rows("t", "k", 10, 11, use_dv=True)
+    c.commit_tx()
+
+    # time travel ignores later DVs
+    c.new_tx()
+    assert c.scan_as_of("t", 1).count() == 20
+    assert c.scan_as_of("t", 2).count() == 16
+    assert c.scan("t").count() == 14
+
+    # COW delete over masked files must not resurrect DV'd rows
+    c.delete_rows("t", "k", 0, 0)  # small -> driver path, rewrites file 0
+    assert {r["k"] for r in c.scan("t", with_stamps=False).collect()} == (
+        set(range(20)) - {0, 3, 4, 5, 6, 10, 11}
+    )
+    c.commit_tx()
+
+    # fresh client replays DVs from the log
+    c2 = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    c2.new_tx()
+    assert c2.scan("t").count() == 13
+    # compaction materializes the masks
+    c2.compact("t", target_files=1)
+    snap2 = c2._effective_snapshot(c2.tx)
+    assert not snap2.table_dvs("t")
+    assert len(snap2.live_objects("t")) == 1
+    assert {r["k"] for r in c2.scan("t", with_stamps=False).collect()} == (
+        set(range(20)) - {0, 3, 4, 5, 6, 10, 11}
+    )
+    c2.commit_tx()
+    c2.new_tx()
+    assert c2.scan("t").count() == 13
+    c2.commit_tx()
+
+
+def test_deletion_vectors_checkpoint_roundtrip(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.checkpoint_interval = 2
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    for i in range(8):
+        c.write_row("t", [i, i])
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 1, use_dv=True)
+    c.commit_tx()  # v2 -> checkpoint with dvs
+    from delta_lake_experiment_spark.plans.snapshot import CHECKPOINT_PREFIX
+
+    assert c.store.list_prefix_ordered(CHECKPOINT_PREFIX)
+    c2 = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c2.new_tx()
+    assert c2.tx.snapshot.table_dvs("t")  # dvs came from the checkpoint
+    assert {r["k"] for r in c2.scan("t", with_stamps=False).collect()} == set(range(2, 8))
+    c2.commit_tx()
+
+
 def test_concurrent_independent_writers_retry(spark, store_dir):
     """The reference's known-broken case (main_test.go:177 TODO): two
     writers on DISJOINT tables. With retry_independent the second
