@@ -53,7 +53,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Optional, Union
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -499,6 +499,82 @@ class DeltaLakeClient:
         for name in sorted(affected_names):
             tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
 
+    def update_rows(
+        self,
+        table: str,
+        column: str,
+        start: Any,
+        end: Any,
+        set_values: dict[str, Any],
+    ) -> None:
+        """UPDATE ... SET set_values WHERE column BETWEEN start AND end.
+
+        COW in-place update: affected files are rewritten with matching
+        rows transformed and ``_tx_id``/``_row_idx`` stamps preserved
+        (the update is a correction, not a new version — time travel to
+        earlier versions still reads the original objects). Values may
+        be literals or Column expressions over the row.
+        """
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        self._check_range_types(schema, column, start, end)
+        names = {f.name for f in schema.fields}
+        unknown = set(set_values) - names
+        if unknown:
+            raise TypeMismatchError(f"unknown columns in SET: {sorted(unknown)}")
+
+        # unflushed buffer rows update in place
+        buf = tx.buffers.get(table, [])
+        pos = {f.name: i for i, f in enumerate(schema.fields)}
+        for i, (idx, row) in enumerate(buf):
+            if row is None:
+                continue
+            value = row[self._col_pos(schema, column)]
+            if value is not None and start <= value <= end:
+                new_row = list(row)
+                for cname, v in set_values.items():
+                    if isinstance(v, Column):
+                        raise TypeMismatchError(
+                            "Column expressions not supported for unflushed rows; "
+                            "commit first or pass literals"
+                        )
+                    new_row[pos[cname]] = v
+                buf[i] = (idx, new_row)
+
+        snap = self._effective_snapshot(tx)
+        candidates = snap.live_files(table, self.store, prune={column: (start, end)})
+        if not candidates:
+            return
+        stored = self._stored_schema(schema)
+        pred = F.col(column).between(F.lit(start), F.lit(end))
+        cand_df = self._read_live(table, snap, stored, candidates, with_pos=True)
+        affected_names = {
+            r[0] for r in cand_df.filter(pred).select("__obj").distinct().collect()
+        }
+        if not affected_names:
+            return
+        base = self._read_live(
+            table, snap, stored, [self.store.path_of(n) for n in sorted(affected_names)]
+        )
+        updated = base.withColumns(
+            {
+                cname: F.when(pred, v if isinstance(v, Column) else F.lit(v))
+                .otherwise(F.col(cname))
+                .cast(schema[cname].dataType)
+                for cname, v in set_values.items()
+            }
+        )
+        staging = self._staging_dir()
+        updated.write.mode("overwrite").parquet(staging)
+        try:
+            for fname in sorted(os.listdir(staging)):
+                if fname.endswith(".parquet"):
+                    self._register_object(table, tx, os.path.join(staging, fname))
+        finally:
+            _rmtree(staging)
+        for name in sorted(affected_names):
+            tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
+
     def _delete_rows_dv(
         self,
         tx: "_Tx",
@@ -667,6 +743,40 @@ class DeltaLakeClient:
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
+
+    def vacuum(self, retain_versions: int = 0) -> int:
+        """GC data/DV objects unreferenced by any retained snapshot.
+
+        Keeps every object referenced by the last ``retain_versions + 1``
+        committed versions; time travel older than that stops working
+        (the log records remain, the data objects don't). Also reclaims
+        orphans from failed commits. Like Delta's VACUUM, this must not
+        run concurrently with in-flight writers whose commits are not
+        yet published — retention is the guard. Returns objects deleted.
+
+        Cost note: replays the log once per retained version — fine for
+        checkpointed logs of modest depth; a production variant would
+        fold versions incrementally in one pass.
+        """
+        if self.tx is not None:
+            raise ExistingTxError("vacuum must run outside a transaction")
+        latest = replay_log(self.store)
+        keep: set[str] = set()
+        lo = max(1, latest.version - retain_versions)
+        for v in range(lo, latest.version + 1):
+            snap = replay_log(self.store, as_of=v)
+            for objs in snap.live.values():
+                keep.update(objs)
+            for masked in snap.dvs.values():
+                for dv_list in masked.values():
+                    keep.update(dv_list)
+        deleted = 0
+        for prefix in ("table_", "dv_"):
+            for name in self.store.list_prefix_ordered(prefix):
+                if name not in keep:
+                    self.store.delete(name)
+                    deleted += 1
+        return deleted
 
     def _require_tx(self) -> _Tx:
         if self.tx is None:

@@ -52,6 +52,12 @@ class ObjectStorage(ABC):
         vectorized Parquet reader pulls data straight from storage instead
         of routing bytes through the driver."""
 
+    @abstractmethod
+    def delete(self, name: str) -> None:
+        """Remove an object (best-effort; missing object is not an
+        error). Used only by VACUUM — never by the commit protocol,
+        whose atomicity rests solely on put_if_absent."""
+
 
 class LocalObjectStorage(ObjectStorage):
     """Local-filesystem object storage with atomic put-if-absent."""
@@ -99,6 +105,12 @@ class LocalObjectStorage(ObjectStorage):
 
     def path_of(self, name: str) -> str:
         return self._safe_path(name)
+
+    def delete(self, name: str) -> None:
+        try:
+            os.unlink(self._safe_path(name))
+        except FileNotFoundError:
+            pass
 
     def _safe_path(self, name: str) -> str:
         if "/" in name or name.startswith("."):

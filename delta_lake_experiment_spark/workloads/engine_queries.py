@@ -81,6 +81,43 @@ def engine_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.scan("lineitem", with_stamps=False)
 
 
+# COW in-place UPDATE: matching rows transformed, stamps preserved.
+def engine_update_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("orders", src.schema)
+    c.write_dataframe("orders", src)
+    c.commit_tx()
+    c.new_tx()
+    c.update_rows(
+        "orders",
+        "o_totalprice",
+        100000.0,
+        200000.0,
+        {"o_orderpriority": "REPRICED", "o_totalprice": F.col("o_totalprice") * 0.9},
+    )
+    c.commit_tx()
+    c.new_tx()
+    scanned = c.scan("orders", with_stamps=False)
+    return scanned.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+
+
+UPDATE_SQL = """
+SELECT o_orderkey,
+  CASE WHEN o_totalprice BETWEEN 100000.0 AND 200000.0
+       THEN 'REPRICED' ELSE o_orderpriority END AS o_orderpriority,
+  round(CASE WHEN o_totalprice BETWEEN 100000.0 AND 200000.0
+       THEN o_totalprice * 0.9 ELSE o_totalprice END, 6) AS o_totalprice
+FROM orders
+"""
+
+
 # multi-version upsert + latest-version-wins (§2.3 "current state"):
 # tx1 writes all orders, tx2 rewrites every 10th order with doubled
 # price; the latest-wins scan must show tx2 versions winning.
@@ -148,6 +185,7 @@ QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_delete_range": engine_delete_range,
     "engine_delete_dv": engine_delete_dv,
+    "engine_update_range": engine_update_range,
     "engine_upsert_latest": engine_upsert_latest,
     "engine_sql_join": engine_sql_join,
 }
@@ -156,6 +194,7 @@ ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_delete_range": DELETE_SQL,
     "engine_delete_dv": DELETE_SQL,
+    "engine_update_range": UPDATE_SQL,
     "engine_upsert_latest": UPSERT_SQL,
     "engine_sql_join": ENGINE_SQL_JOIN_SQL,
 }

@@ -266,6 +266,69 @@ def test_sql_over_engine_tables(spark, store_dir):
     c.commit_tx()
 
 
+def test_vacuum(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    for i in range(20):
+        c.write_row("t", [i, i])
+    c.commit_tx()  # v1: 4 objects
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 9)  # rewrites 2 objects
+    c.commit_tx()  # v2
+
+    import pytest
+
+    from delta_lake_experiment_spark.errors import ExistingTxError
+
+    c.new_tx()
+    with pytest.raises(ExistingTxError):
+        c.vacuum()
+    c.abort_tx()
+
+    n_objects = len(c.store.list_prefix_ordered("table_"))
+    # retain v1 and v2: nothing reclaimable
+    assert c.vacuum(retain_versions=1) == 0
+    # retain only v2: the two rewritten-away objects reclaim
+    deleted = c.vacuum(retain_versions=0)
+    assert deleted == 2
+    assert len(c.store.list_prefix_ordered("table_")) == n_objects - 2
+    # current state unaffected; old version now unreadable (documented)
+    c.new_tx()
+    assert {r["k"] for r in c.scan("t", with_stamps=False).collect()} == set(range(10, 20))
+    c.commit_tx()
+
+
+def test_update_rows(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING, amt DOUBLE")
+    for i in range(10):
+        c.write_row("t", [i, f"v{i}", float(i)])
+    c.commit_tx()
+
+    c.new_tx()
+    # buffered + flushed in one tx
+    c.write_row("t", [100, "buf", 3.0])
+    c.update_rows("t", "amt", 2.0, 4.0, {"v": "hit"})
+    got = {r["k"]: r["v"] for r in c.scan("t", with_stamps=False).collect()}
+    assert got[2] == got[3] == got[4] == got[100] == "hit"
+    assert got[0] == "v0" and got[5] == "v5"
+    c.commit_tx()
+
+    # Column-expression SET + stamp preservation (time travel unaffected)
+    c.new_tx()
+    from pyspark.sql import functions as SF
+
+    c.update_rows("t", "k", 0, 1, {"amt": SF.col("amt") + 100.0})
+    amts = {r["k"]: r["amt"] for r in c.scan("t", with_stamps=False).collect()}
+    assert amts[0] == 100.0 and amts[1] == 101.0 and amts[2] == 2.0
+    c.commit_tx()
+    c.new_tx()
+    assert {r["v"] for r in c.scan_as_of("t", 1).collect()} == {f"v{i}" for i in range(10)}
+    c.commit_tx()
+
+
 def test_deletion_vectors(spark, store_dir):
     """Soft deletes: DV masks apply at scan, stack across txs, survive
     checkpoint replay, don't resurrect through COW rewrites, and are
