@@ -487,6 +487,39 @@ FROM orders WHERE o_custkey <= 100
 """
 
 
+# ----------------------------------------------------------------------
+# statistical aggregates — exact interpolated percentiles per group.
+# percentile() is a sort-based aggregate: one shuffle on the group key,
+# per-group sort of a numeric column. (approx_percentile trades the
+# sort for a t-digest sketch at scale; exact keeps the oracle exact.)
+# ----------------------------------------------------------------------
+
+
+def segment_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT c_mktsegment,
+  round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+  round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+  round(MIN(o_totalprice), 6) AS lo,
+  round(MAX(o_totalprice), 6) AS hi,
+  COUNT(*) AS n
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -506,9 +539,11 @@ QUERIES = {
     "small_quantity_revenue": small_quantity_revenue,
     "segment_nation_overlap": segment_nation_overlap,
     "customer_running_total": customer_running_total,
+    "segment_price_percentiles": segment_price_percentiles,
 }
 
 ORACLES = {
+    "segment_price_percentiles": PERCENTILES_SQL,
     "small_quantity_revenue": SMALL_QTY_SQL,
     "segment_nation_overlap": SET_OPS_SQL,
     "customer_running_total": RUNNING_TOTAL_SQL,
