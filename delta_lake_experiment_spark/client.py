@@ -610,8 +610,7 @@ class DeltaLakeClient:
                 return
             objects = sorted(set(dv_tbl["obj"].to_pylist()))
             dv_name = f"dv_{table}_{uuid.uuid4().hex}.parquet"
-            with open(src, "rb") as f:
-                self.store.put_if_absent(dv_name, f.read())
+            self.store.put_file_if_absent(dv_name, src)
             tx.actions.append(
                 AddDeletionVector(
                     table=table,
@@ -918,8 +917,9 @@ class DeltaLakeClient:
         # reference's `_table_` naming, dataobjects.go:51-57, would make
         # every data object invisible to the Parquet reader).
         name = f"table_{table}_{uuid.uuid4().hex}.parquet"
-        with open(src_path, "rb") as f:
-            self.store.put_if_absent(name, f.read())
+        # zero-copy publish: staging lives under the store root, so this
+        # is a hard link, not a driver round-trip of the file bytes
+        self.store.put_file_if_absent(name, src_path)
         num_rows, stats = _parquet_file_stats(src_path)
         tx.actions.append(
             AddDataObject(name=name, table=table, tx_id=tx.id, num_rows=num_rows, stats=stats)

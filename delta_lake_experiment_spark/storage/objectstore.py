@@ -58,6 +58,15 @@ class ObjectStorage(ABC):
         error). Used only by VACUUM — never by the commit protocol,
         whose atomicity rests solely on put_if_absent."""
 
+    def put_file_if_absent(self, name: str, src_path: str) -> None:
+        """put_if_absent from a local file. Default implementation
+        round-trips the bytes through memory; implementations override
+        with a zero-copy move (hard link locally, multipart upload on
+        object stores) so bulk ingest never re-reads what Spark just
+        wrote."""
+        with open(src_path, "rb") as f:
+            self.put_if_absent(name, f.read())
+
 
 class LocalObjectStorage(ObjectStorage):
     """Local-filesystem object storage with atomic put-if-absent."""
@@ -111,6 +120,25 @@ class LocalObjectStorage(ObjectStorage):
             os.unlink(self._safe_path(name))
         except FileNotFoundError:
             pass
+
+    def put_file_if_absent(self, name: str, src_path: str) -> None:
+        """Zero-copy ingest: fsync the staged file, then hard-link it to
+        the final name — the same atomic EEXIST gate as put_if_absent,
+        without reading the bytes back through the driver."""
+        final = self._safe_path(name)
+        fd = os.open(src_path, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(src_path, final)
+        except FileExistsError:
+            raise ObjectExistsError(name)
+        except OSError:
+            # cross-device staging (e.g. /tmp on tmpfs): fall back to copy
+            with open(src_path, "rb") as f:
+                self.put_if_absent(name, f.read())
 
     def _safe_path(self, name: str) -> str:
         if "/" in name or name.startswith("."):

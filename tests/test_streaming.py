@@ -36,6 +36,42 @@ def test_streaming_windowed_counts_matches_batch(spark, tmp_path):
     assert got == expect
 
 
+def test_streaming_dedup(spark, tmp_path):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import datetime as dt
+
+    def ts(minute):
+        return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+    rows = [
+        (1, ts(0), "fp_a"),
+        (2, ts(1), "fp_b"),
+        (3, ts(2), "fp_a"),   # dup of 1 within watermark -> dropped
+        (4, ts(3), "fp_c"),
+        (5, ts(4), "fp_b"),   # dup of 2 -> dropped
+    ]
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(rows, "doc_id long, ts timestamp, fp string").coalesce(
+        1
+    ).write.parquet(src)
+
+    from delta_lake_experiment_spark.streaming.dedup import streaming_dedup
+
+    stream = spark.readStream.schema("doc_id long, ts timestamp, fp string").parquet(src)
+    out = streaming_dedup(stream, ["fp"], "ts", delay="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["doc_id"], r["fp"]) for r in spark.table("dedup_out").collect()}
+    assert got == {(1, "fp_a"), (2, "fp_b"), (4, "fp_c")}
+
+
 def test_streaming_sessionize(spark, tmp_path):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
