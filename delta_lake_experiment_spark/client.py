@@ -137,7 +137,11 @@ class DeltaLakeClient:
         snap = replay_log(self.store)
         self.tx = _Tx(id=snap.version + 1, snapshot=snap)
 
-    def commit_tx(self, retry_independent: int = 0) -> None:
+    def commit_tx(
+        self,
+        retry_independent: int = 0,
+        txn: Optional[tuple[str, int]] = None,
+    ) -> None:
         """Flush buffers and atomically publish the log record.
 
         Read-only transactions (no actions) skip the log write entirely
@@ -166,9 +170,14 @@ class DeltaLakeClient:
             my_tables = {a.table for a in tx.actions}
             attempt_id = tx.id
             while True:
-                record = json.dumps(
-                    {"id": attempt_id, "actions": [a.to_json() for a in tx.actions]}
-                ).encode()
+                payload: dict[str, Any] = {
+                    "id": attempt_id,
+                    "actions": [a.to_json() for a in tx.actions],
+                }
+                if txn is not None:
+                    # idempotence marker for exactly-once streaming sinks
+                    payload["txn"] = {"app_id": txn[0], "batch": int(txn[1])}
+                record = json.dumps(payload).encode()
                 try:
                     self.store.put_if_absent(log_name(attempt_id), record)
                     break
@@ -209,11 +218,19 @@ class DeltaLakeClient:
     # DDL
     # ------------------------------------------------------------------
 
-    def create_table(self, table: str, schema: Union[str, T.StructType]) -> None:
+    def create_table(
+        self,
+        table: str,
+        schema: Union[str, T.StructType],
+        primary_keys: Optional[list[str]] = None,
+    ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
 
         Typed schemas are a deliberate upgrade over the reference's
         name-only columns (writes.go:9) — see SURVEY.md §7.1.
+        ``primary_keys`` declares the upsert identity (reference roadmap
+        README.md:31): :meth:`scan_current` then resolves
+        latest-version-wins state without re-supplying key columns.
         """
         tx = self._require_tx()
         if table in tx.snapshot.tables or table in tx.new_tables:
@@ -222,9 +239,13 @@ class DeltaLakeClient:
             ddl = schema
         else:
             ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
-        self._parse_ddl(ddl)  # validate
+        parsed = self._parse_ddl(ddl)  # validate
+        pks = list(primary_keys or [])
+        missing = set(pks) - {f.name for f in parsed.fields}
+        if missing:
+            raise TypeMismatchError(f"primary keys not in schema: {sorted(missing)}")
         tx.new_tables[table] = ddl
-        tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl))
+        tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl, primary_keys=pks))
 
     def add_columns(self, table: str, columns_ddl: str) -> None:
         """Schema evolution: append new nullable columns.
@@ -389,6 +410,19 @@ class DeltaLakeClient:
         from delta_lake_experiment_spark.operators.versioned import latest_version_wins
 
         return latest_version_wins(self.scan(table), keys)
+
+    def scan_current(self, table: str) -> DataFrame:
+        """Current state of a primary-keyed table: latest-version-wins
+        using the DECLARED primary keys (reference roadmap README.md:31
+        'built-in dedup') — no key columns at the call site."""
+        tx = self._require_tx()
+        keys = self._effective_snapshot(tx).pkeys.get(table)
+        if not keys:
+            raise TypeMismatchError(
+                f"table {table!r} has no declared primary keys; "
+                "use scan_latest(table, keys) instead"
+            )
+        return self.scan_latest(table, keys)
 
     def register_views(self, *tables: str, with_stamps: bool = False) -> None:
         """Expose engine tables to Spark SQL as temp views.
@@ -824,6 +858,7 @@ class DeltaLakeClient:
             t: {o: list(names) for o, names in objs.items()}
             for t, objs in tx.snapshot.dvs.items()
         }
+        snap.pkeys = {t: list(ks) for t, ks in tx.snapshot.pkeys.items()}
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap

@@ -68,13 +68,21 @@ class RemoveDataObject:
 class ChangeMetadata:
     """Table created or schema replaced. ``schema_ddl`` is Spark DDL
     (e.g. ``"a STRING, b BIGINT"``); last-writer-wins on replay, same as
-    the reference (transactions.go:88-94)."""
+    the reference (transactions.go:88-94). ``primary_keys`` (optional)
+    declares the upsert identity: the reference's 'primary keys /
+    conditional updates with built-in dedup' roadmap item
+    (README.md:31) — scans can then resolve current state without the
+    caller re-supplying the key columns."""
 
     table: str
     schema_ddl: str
+    primary_keys: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
-        return {"metadata": {"table": self.table, "schema_ddl": self.schema_ddl}}
+        out: dict[str, Any] = {"table": self.table, "schema_ddl": self.schema_ddl}
+        if self.primary_keys:
+            out["primary_keys"] = self.primary_keys
+        return {"metadata": out}
 
 
 @dataclass
@@ -123,7 +131,11 @@ def action_from_json(obj: dict[str, Any]) -> Action:
         return RemoveDataObject(name=r["name"], table=r["table"], tx_id=int(r["tx_id"]))
     if "metadata" in obj:
         m = obj["metadata"]
-        return ChangeMetadata(table=m["table"], schema_ddl=m["schema_ddl"])
+        return ChangeMetadata(
+            table=m["table"],
+            schema_ddl=m["schema_ddl"],
+            primary_keys=list(m.get("primary_keys", [])),
+        )
     if "dv" in obj:
         d = obj["dv"]
         return AddDeletionVector(

@@ -59,6 +59,12 @@ class Snapshot:
     live: dict[str, dict[str, AddDataObject]] = field(default_factory=dict)
     # table -> {data object name -> [dv object names masking it]}
     dvs: dict[str, dict[str, list[str]]] = field(default_factory=dict)
+    # table -> declared primary-key columns (may be empty)
+    pkeys: dict[str, list[str]] = field(default_factory=dict)
+    # streaming-writer app_id -> highest committed batch id (the Delta
+    # `txn` action pattern: exactly-once foreachBatch sinks replay this
+    # to skip batches already published)
+    txns: dict[str, int] = field(default_factory=dict)
 
     def live_objects(self, table: str) -> list[AddDataObject]:
         """Live data objects, ascending (tx_id, name) — mirror of the
@@ -93,6 +99,8 @@ class Snapshot:
         for act in actions:
             if isinstance(act, ChangeMetadata):
                 self.tables[act.table] = act.schema_ddl  # last-writer-wins
+                if act.primary_keys:
+                    self.pkeys[act.table] = list(act.primary_keys)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -120,6 +128,8 @@ class Snapshot:
                     for t, objs in self.live.items()
                 },
                 "dvs": self.dvs,
+                "pkeys": self.pkeys,
+                "txns": self.txns,
             }
         ).encode()
 
@@ -131,6 +141,8 @@ class Snapshot:
             t: {o: list(names) for o, names in objs.items()}
             for t, objs in d.get("dvs", {}).items()
         }
+        snap.pkeys = {t: list(ks) for t, ks in d.get("pkeys", {}).items()}
+        snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():
             snap.live[t] = {
                 a["name"]: AddDataObject(
@@ -187,4 +199,8 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
         record = json.loads(store.read(name))
         actions = [action_from_json(a) for a in record["actions"]]
         snap.apply(int(record["id"]), actions)
+        txn = record.get("txn")
+        if txn:
+            app = str(txn["app_id"])
+            snap.txns[app] = max(snap.txns.get(app, -1), int(txn["batch"]))
     return snap

@@ -1,0 +1,56 @@
+"""Exactly-once streaming sink INTO engine tables.
+
+``foreachBatch`` gives at-least-once delivery: after a crash between
+"engine commit" and "stream checkpoint", Structured Streaming redelivers
+the batch. The engine's log de-duplicates it — each commit carries a
+``txn {app_id, batch}`` marker (the Delta transactional-sink pattern);
+replay tracks the highest committed batch per app, and a redelivered
+batch is skipped. Commit atomicity comes from the same put-if-absent
+log write as every other transaction, so "data visible" and "batch
+recorded" are one atomic event.
+
+Concurrent batch commits from other writers are absorbed with
+``retry_independent`` (disjoint-table retry); a real conflict on the
+target table fails the batch, and Structured Streaming retries it —
+idempotently, thanks to the marker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def foreach_batch_writer(client_factory, table: str, app_id: str):
+    """Build a foreachBatch function: ``client_factory() -> DeltaLakeClient``
+    (a fresh client per call keeps the one-tx-per-client contract)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        client = client_factory()
+        client.new_tx()
+        last = client.tx.snapshot.txns.get(app_id, -1)
+        if batch_id <= last:
+            client.abort_tx()  # redelivered batch: already in the log
+            return
+        client.write_dataframe(table, batch_df)
+        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+
+    return process
+
+
+def write_stream_to_table(
+    stream_df: DataFrame,
+    client_factory,
+    table: str,
+    app_id: str,
+    checkpoint_dir: str,
+):
+    """Start an AvailableNow stream draining into an engine table with
+    exactly-once semantics; returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_writer(client_factory, table, app_id)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

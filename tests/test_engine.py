@@ -266,6 +266,35 @@ def test_sql_over_engine_tables(spark, store_dir):
     c.commit_tx()
 
 
+def test_primary_keys_scan_current(spark, store_dir):
+    import pytest
+
+    from delta_lake_experiment_spark.errors import TypeMismatchError
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    with pytest.raises(TypeMismatchError):
+        c.create_table("bad", "k BIGINT, v STRING", primary_keys=["nope"])
+    c.create_table("kv", "k BIGINT, v STRING", primary_keys=["k"])
+    c.create_table("nopk", "k BIGINT, v STRING")
+    c.write_dataframe(
+        "kv", spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe("kv", spark.createDataFrame([(1, "a2")], "k BIGINT, v STRING"))
+    c.commit_tx()
+
+    # fresh client: pkeys replay from the log
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    got = {r["k"]: r["v"] for r in c2.scan_current("kv").collect()}
+    assert got == {1: "a2", 2: "b"}
+    with pytest.raises(TypeMismatchError):
+        c2.scan_current("nopk")
+    c2.commit_tx()
+
+
 def test_vacuum(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
     c.new_tx()

@@ -72,6 +72,59 @@ def test_streaming_dedup(spark, tmp_path):
     assert got == {(1, "fp_a"), (2, "fp_b"), (4, "fp_c")}
 
 
+def test_streaming_engine_sink_exactly_once(spark, tmp_path, store_dir):
+    """Stream into an ACID table; redelivered batches must not double-
+    apply (txn markers in the log de-duplicate them)."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_writer,
+        write_stream_to_table,
+    )
+
+    src = str(tmp_path / "sink_src")
+    load_table(spark, "/root/testdata/sf0.001", "events").coalesce(1).write.parquet(src)
+
+    boot = DeltaLakeClient(spark, store_dir)
+    boot.new_tx()
+    schema = spark.read.parquet(src).schema
+    boot.create_table("events_sink", schema)
+    boot.commit_tx()
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = write_stream_to_table(
+        stream, factory, "events_sink", "app1", str(tmp_path / "ckpt_sink")
+    )
+    q.awaitTermination()
+
+    n_src = spark.read.parquet(src).count()
+    check = factory()
+    check.new_tx()
+    assert check.scan("events_sink").count() == n_src
+    assert check.tx.snapshot.txns.get("app1") is not None
+    check.commit_tx()
+
+    # simulate crash-redelivery of the last batch: same batch id again
+    redeliver = foreach_batch_writer(factory, "events_sink", "app1")
+    batch_df = spark.read.parquet(src)
+    committed_batch = DeltaLakeClient(spark, store_dir)
+    committed_batch.new_tx()
+    bid = committed_batch.tx.snapshot.txns["app1"]
+    committed_batch.abort_tx()
+    redeliver(batch_df, bid)  # must be skipped
+    check2 = factory()
+    check2.new_tx()
+    assert check2.scan("events_sink").count() == n_src  # unchanged
+    # a NEW batch id applies
+    redeliver(batch_df, bid + 1)
+    check3 = factory()
+    check3.new_tx()
+    assert check3.scan("events_sink").count() == 2 * n_src
+    check3.commit_tx()
+
+
 def test_streaming_sessionize(spark, tmp_path):
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
