@@ -424,7 +424,13 @@ class DeltaLakeClient:
             )
         return self.scan_latest(table, keys)
 
-    def register_views(self, *tables: str, with_stamps: bool = False) -> None:
+    def register_views(
+        self,
+        *tables: str,
+        with_stamps: bool = False,
+        as_of: Optional[int] = None,
+        suffix: str = "",
+    ) -> None:
         """Expose engine tables to Spark SQL as temp views.
 
         Each view is the table's snapshot-consistent scan at call time
@@ -432,12 +438,19 @@ class DeltaLakeClient:
         can't shift what the view reads mid-query). With no arguments,
         registers every table in the current snapshot. Pass
         ``with_stamps=True`` to expose ``_tx_id``/``_row_idx`` for
-        version-aware SQL.
+        version-aware SQL; ``as_of=<version>`` registers time-travel
+        views (``suffix`` distinguishes them, e.g. ``suffix="_v3"`` for
+        SQL like ``SELECT * FROM orders_v3``).
         """
         tx = self._require_tx()
         names = tables or tuple(self._effective_snapshot(tx).tables)
         for t in names:
-            self.scan(t, with_stamps=with_stamps).createOrReplaceTempView(t)
+            df = (
+                self.scan_as_of(t, as_of)
+                if as_of is not None
+                else self.scan(t, with_stamps=with_stamps)
+            )
+            df.createOrReplaceTempView(t + suffix)
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over this client's registered engine-table views.

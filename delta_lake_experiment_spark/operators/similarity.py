@@ -203,6 +203,40 @@ def ivf_sample_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def ivf_refine_centroids(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: Sequence[Sequence[float]],
+    iters: int = 1,
+) -> list:
+    """Distributed Lloyd refinement: assign every vector to its nearest
+    centroid, recompute centroids as per-list means, repeat.
+
+    Each iteration is one assignment projection (map-only) + one
+    groupBy (centroid, position) shuffle whose output is K×dim rows —
+    driver traffic is the centroid matrix, never the data. Empty lists
+    keep their previous centroid."""
+    cents = [list(map(float, c)) for c in centroids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = ivf_assign(emb_df, id_col, vec_col, cents)
+        means = (
+            assigned.select(
+                "centroid_id",
+                F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r["centroid_id"]][r["pos"]] = float(r["m"])
+        cents = new
+    return cents
+
+
 def ivf_topk(
     spark,
     emb_df: DataFrame,
@@ -213,6 +247,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     centroids: Sequence[Sequence[float]] = None,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``n_probe`` inverted lists
     whose centroids are closest to the query, exact-rerank survivors.
@@ -223,6 +258,10 @@ def ivf_topk(
     q = [float(x) for x in query]
     if centroids is None:
         centroids = ivf_sample_centroids(emb_df, id_col, vec_col, n_centroids)
+    if refine_iters:
+        centroids = ivf_refine_centroids(
+            emb_df, id_col, vec_col, centroids, iters=refine_iters
+        )
 
     def _cos(a, b):
         dot = math.fsum(x * y for x, y in zip(a, b))

@@ -68,6 +68,37 @@ class ObjectStorage(ABC):
             self.put_if_absent(name, f.read())
 
 
+class MemoryObjectStorage(ObjectStorage):
+    """In-memory object storage — interface demo + unit-test double.
+
+    NOT usable with Spark scans (``path_of`` has no real path), so it
+    serves the metadata layer only: log records, checkpoints, OCC
+    semantics. It demonstrates that the commit protocol needs nothing
+    from storage beyond atomic create-if-absent + ordered listing —
+    the exact contract S3 conditional PUT / GCS ifGenerationMatch
+    provide."""
+
+    def __init__(self) -> None:
+        self._objects: dict[str, bytes] = {}
+
+    def put_if_absent(self, name: str, data: bytes) -> None:
+        if name in self._objects:
+            raise ObjectExistsError(name)
+        self._objects[name] = data
+
+    def list_prefix_ordered(self, prefix: str) -> list[str]:
+        return sorted(n for n in self._objects if n.startswith(prefix))
+
+    def read(self, name: str) -> bytes:
+        return self._objects[name]
+
+    def path_of(self, name: str) -> str:
+        raise NotImplementedError("MemoryObjectStorage holds no Spark-readable paths")
+
+    def delete(self, name: str) -> None:
+        self._objects.pop(name, None)
+
+
 class LocalObjectStorage(ObjectStorage):
     """Local-filesystem object storage with atomic put-if-absent."""
 

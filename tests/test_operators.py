@@ -330,6 +330,75 @@ def test_connectors_roundtrip(spark, tmp_path):
     assert "PartitionFilters" in plan or one_seg.count() > 0
 
 
+def test_ivf_kmeans_refinement_improves_centroids(spark):
+    import numpy as np
+
+    from delta_lake_experiment_spark.operators.similarity import (
+        cosine_topk,
+        ivf_refine_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = [
+        (i, [float(x) for x in centers[i % 4] + 0.1 * rng.normal(size=16)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # start from deliberately bad centroids (all near one cluster)
+    bad = [[float(x) for x in centers[0] + 0.05 * rng.normal(size=16)] for _ in range(4)]
+    refined = ivf_refine_centroids(df, "vec_id", "embedding", bad, iters=3)
+    assert len(refined) == 4 and len(refined[0]) == 16
+    q = [float(x) for x in centers[1]]
+    exact = {r["vec_id"] for r in cosine_topk(df, "vec_id", "embedding", q, k=10).collect()}
+    got = {
+        r["vec_id"]
+        for r in ivf_topk(
+            spark, df, "vec_id", "embedding", q, k=10, centroids=refined, n_probe=1
+        ).collect()
+    }
+    assert len(exact & got) >= 8  # refined centroids separate the clusters
+
+
+def test_memory_object_storage_occ(spark):
+    import pytest
+
+    from delta_lake_experiment_spark.errors import ObjectExistsError
+    from delta_lake_experiment_spark.storage.objectstore import MemoryObjectStorage
+
+    store = MemoryObjectStorage()
+    store.put_if_absent("_log_1", b"a")
+    with pytest.raises(ObjectExistsError):
+        store.put_if_absent("_log_1", b"b")
+    store.put_if_absent("_log_2", b"c")
+    assert store.list_prefix_ordered("_log_") == ["_log_1", "_log_2"]
+    assert store.read("_log_2") == b"c"
+    store.delete("_log_1")
+    assert store.list_prefix_ordered("_log_") == ["_log_2"]
+
+
+def test_time_travel_sql_views(spark, store_dir):
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("tt", "k BIGINT, v STRING")
+    c.write_row("tt", [1, "old"])
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("tt", "k", 1, 1)
+    c.write_row("tt", [2, "new"])
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.register_views("tt")
+    c.register_views("tt", as_of=1, suffix="_v1")
+    assert c.sql("SELECT v FROM tt").first()["v"] == "new"
+    assert c.sql("SELECT v FROM tt_v1").first()["v"] == "old"
+    c.commit_tx()
+
+
 def test_multimodal_features_and_frames(spark):
     rows = [
         (1, "image", b"\x01\x02" * 50, 10, 10, None),
