@@ -790,6 +790,54 @@ class DeltaLakeClient:
     # internals
     # ------------------------------------------------------------------
 
+    def materialize_dvs(self, table: str, min_masked_fraction: float = 0.5) -> int:
+        """Targeted deletion-vector materialization: rewrite only the
+        data objects whose masked-row fraction reaches
+        ``min_masked_fraction``, retiring their vectors.
+
+        This is the policy that keeps the soft-delete invariant honest
+        ("deletion vectors are small"): run it after DV deletes (or on
+        a maintenance schedule) and heavily-masked files fold their
+        deletes in while lightly-masked files keep their cheap masks.
+        Returns the number of objects rewritten."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        dv_map = snap.table_dvs(table)
+        if not dv_map:
+            return 0
+        import collections
+
+        import pyarrow.parquet as pq
+
+        counts: collections.Counter = collections.Counter()
+        for dv in sorted({d for dvl in dv_map.values() for d in dvl}):
+            t = pq.read_table(self.store.path_of(dv), columns=["obj"])
+            counts.update(t["obj"].to_pylist())
+        heavy = [
+            o.name
+            for o in snap.live_objects(table)
+            if o.name in counts
+            and o.num_rows
+            and counts[o.name] / o.num_rows >= min_masked_fraction
+        ]
+        if not heavy:
+            return 0
+        stored = self._stored_schema(self.table_schema(table))
+        survivors = self._read_live(
+            table, snap, stored, [self.store.path_of(n) for n in heavy]
+        )
+        staging = self._staging_dir()
+        survivors.write.mode("overwrite").parquet(staging)
+        try:
+            for fname in sorted(os.listdir(staging)):
+                if fname.endswith(".parquet"):
+                    self._register_object(table, tx, os.path.join(staging, fname))
+        finally:
+            _rmtree(staging)
+        for name in heavy:
+            tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
+        return len(heavy)
+
     def vacuum(self, retain_versions: int = 0) -> int:
         """GC data/DV objects unreferenced by any retained snapshot.
 

@@ -417,6 +417,35 @@ def test_deletion_vectors(spark, store_dir):
     c2.commit_tx()
 
 
+def test_materialize_dvs_policy(spark, store_dir):
+    """Only heavily-masked objects rewrite; light masks stay cheap."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    for i in range(30):
+        c.write_row("t", [i, i])
+    c.commit_tx()  # 3 files: k 0-9, 10-19, 20-29
+
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 7, use_dv=True)   # file 1: 80% masked
+    c.delete_rows("t", "k", 10, 11, use_dv=True)  # file 2: 20% masked
+    c.commit_tx()
+
+    c.new_tx()
+    rewritten = c.materialize_dvs("t", min_masked_fraction=0.5)
+    assert rewritten == 1  # only the 80%-masked object
+    snap = c._effective_snapshot(c.tx)
+    assert len(snap.table_dvs("t")) == 1  # the light mask remains
+    assert {r["k"] for r in c.scan("t", with_stamps=False).collect()} == (
+        set(range(30)) - set(range(0, 8)) - {10, 11}
+    )
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("t").count() == 20
+    assert c.materialize_dvs("t", min_masked_fraction=0.5) == 0  # idempotent
+    c.commit_tx()
+
+
 def test_deletion_vectors_checkpoint_roundtrip(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
     c.checkpoint_interval = 2
