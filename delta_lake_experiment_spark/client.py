@@ -746,6 +746,7 @@ class DeltaLakeClient:
         table: str,
         target_files: int = 1,
         cluster_by: Optional[list[str]] = None,
+        zorder_by: Optional[list[str]] = None,
     ) -> None:
         """OPTIMIZE: rewrite the table's live objects into ``target_files``
         large ones (remove+add in this tx) — the reference's unchecked
@@ -753,16 +754,21 @@ class DeltaLakeClient:
         restore large-scan efficiency.
 
         ``cluster_by`` additionally range-partitions + sorts the rewrite
-        on those columns (OPTIMIZE ... ZORDER's 1-D little sibling):
-        each output file then covers a tight [min,max] slice, so the
-        log-level stats pruning and Parquet row-group skipping both
-        become surgical for predicates on the cluster columns.
+        on those columns (lexicographic — ideal for predicates on the
+        leading column): each output file then covers a tight [min,max]
+        slice, so the log-level stats pruning and Parquet row-group
+        skipping both become surgical for predicates on the cluster
+        columns. ``zorder_by`` (2+ numeric columns) instead interleaves
+        the bits of per-column quantile ranks (OPTIMIZE ... ZORDER):
+        every listed column gets locality in every file, so pruning
+        works for predicates on ANY of them, not just the first.
         """
         tx = self._require_tx()
         schema = self.table_schema(table)
         snap = self._effective_snapshot(tx)
         objs = snap.live_objects(table)
-        if len(objs) <= target_files and not cluster_by and not snap.table_dvs(table):
+        needs_rewrite = cluster_by or zorder_by or snap.table_dvs(table)
+        if len(objs) <= target_files and not needs_rewrite:
             return
         stored = self._stored_schema(schema)
         files = [self.store.path_of(o.name) for o in objs]
@@ -770,7 +776,25 @@ class DeltaLakeClient:
         # vectors (the rewrite excludes masked rows; removing the old
         # objects retires their vectors on replay)
         df = self._read_live(table, snap, stored, files)
-        if cluster_by:
+        if zorder_by:
+            # per-column bounds as driver-side literals (one agg job):
+            # linear quantization keeps the z-value computation a pure
+            # projection — no global-window sort, safe at any scale
+            bounds_row = df.agg(
+                *[F.min(c).alias(f"lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"hi_{c}") for c in zorder_by],
+            ).first()
+            bounds = {
+                c: (bounds_row[f"lo_{c}"], bounds_row[f"hi_{c}"]) for c in zorder_by
+            }
+            zcol = _zorder_value(zorder_by, bounds)
+            df = (
+                df.withColumn("__z", zcol)
+                .repartitionByRange(target_files, F.col("__z"))
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
         else:
@@ -1038,6 +1062,35 @@ class DeltaLakeClient:
             self.store.put_if_absent(checkpoint_name(snap.version), snap.to_json())
         except ObjectExistsError:
             pass  # someone else checkpointed this version — fine
+
+
+_Z_BITS = 16
+
+
+def _zorder_value(cols: list[str], bounds: dict[str, tuple[Any, Any]]) -> Column:
+    """Morton (z-curve) value: interleave the bits of each column's
+    16-bit linearly-quantized position within its [min, max] range.
+    Pure projection (no window, no shuffle); NULLs and degenerate
+    ranges quantize to 0."""
+    n = len(cols)
+    ranks = []
+    scale = float((1 << _Z_BITS) - 1)
+    for c in cols:
+        lo, hi = bounds[c]
+        if lo is None or hi is None or hi == lo:
+            ranks.append(F.lit(0).cast("long"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+        clamped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
+        ranks.append(F.coalesce((clamped * scale).cast("long"), F.lit(0).cast("long")))
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS):
+        for i, r in enumerate(ranks):
+            z = z + (
+                F.shiftright(r, bit).bitwiseAND(F.lit(1)).cast("long")
+                * F.lit(1 << (bit * n + i)).cast("long")
+            )
+    return z
 
 
 def _basename_of_uri(uri: str) -> str:

@@ -540,6 +540,41 @@ def test_clustered_compaction_tightens_pruning(spark, store_dir):
     c.commit_tx()
 
 
+def test_zorder_compaction_prunes_both_dimensions(spark, store_dir):
+    """After z-order on (x, y), stats pruning must be effective for
+    range predicates on EITHER column (lexicographic clustering only
+    helps the leading one)."""
+    import random
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=64)
+    c.new_tx()
+    c.create_table("t", "x BIGINT, y BIGINT")
+    rng = random.Random(3)
+    pts = [(rng.randrange(1024), rng.randrange(1024)) for _ in range(1024)]
+    for x, y in pts:
+        c.write_row("t", [x, y])
+    c.commit_tx()
+
+    c.new_tx()
+    c.compact("t", target_files=16, zorder_by=["x", "y"])
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    total = len(snap.live_files("t", c.store))
+    assert total == 16
+    pruned_x = len(snap.live_files("t", c.store, prune={"x": (0, 127)}))
+    pruned_y = len(snap.live_files("t", c.store, prune={"y": (0, 127)}))
+    # a 1/8 slice in either dimension should skip most files
+    assert pruned_x <= total // 2, (pruned_x, total)
+    assert pruned_y <= total // 2, (pruned_y, total)
+    # correctness preserved
+    assert c.scan("t").count() == 1024
+    expect = sum(1 for x, y in pts if x <= 127)
+    assert c.scan("t").filter("x <= 127").count() == expect
+    c.commit_tx()
+
+
 def test_schema_evolution_add_column(spark, store_dir):
     """The reference's broken-by-design case (README.md:45-46): add a
     column, then delete on it — old rows must survive, not explode."""
