@@ -546,6 +546,63 @@ class DeltaLakeClient:
         for name in sorted(affected_names):
             tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
 
+    def merge(
+        self,
+        table: str,
+        source_df: DataFrame,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+    ) -> dict:
+        """MERGE INTO a primary-keyed table.
+
+        Matching is on the table's declared primary keys. Actions:
+        ``when_matched``: "update" writes the source row as the key's
+        new current version (multi-version append — latest-wins, so
+        :meth:`scan_current` reflects it and history stays intact);
+        "delete" soft-deletes every live version of matched keys via a
+        deletion vector; "ignore" leaves them. ``when_not_matched``:
+        "insert" appends source rows with unseen keys, "ignore" drops
+        them. Plan shape: one semi + one anti join of the source
+        against the distinct live keys (broadcastable when the source
+        is dim-sized), then the ordinary distributed write path.
+        Returns counts {"updated"/"deleted": n, "inserted": n}.
+        """
+        if when_matched not in ("update", "delete", "ignore"):
+            raise TypeMismatchError(f"when_matched={when_matched!r}")
+        if when_not_matched not in ("insert", "ignore"):
+            raise TypeMismatchError(f"when_not_matched={when_not_matched!r}")
+        tx = self._require_tx()
+        keys = self._effective_snapshot(tx).pkeys.get(table)
+        if not keys:
+            raise TypeMismatchError(f"merge requires declared primary keys on {table!r}")
+        existing_keys = self.scan(table, with_stamps=False).select(*keys).distinct()
+        matched = source_df.join(existing_keys, list(keys), "left_semi")
+        unmatched = source_df.join(existing_keys, list(keys), "left_anti")
+        out = {"updated": 0, "deleted": 0, "inserted": 0}
+        if when_matched == "update":
+            n = matched.count()
+            if n:
+                self.write_dataframe(table, matched)
+            out["updated"] = n
+        elif when_matched == "delete":
+            snap = self._effective_snapshot(tx)
+            stored = self._stored_schema(self.table_schema(table))
+            files = snap.live_files(table, self.store)
+            if files:
+                base = self._read_live(table, snap, stored, files, with_pos=True)
+                hits = base.join(F.broadcast(matched.select(*keys).distinct()), list(keys), "left_semi")
+                out["deleted"] = self._write_dv(
+                    tx,
+                    table,
+                    hits.select(F.col("__obj").alias("obj"), F.col("__ridx").alias("row_idx")),
+                )
+        if when_not_matched == "insert":
+            n = unmatched.count()
+            if n:
+                self.write_dataframe(table, unmatched)
+            out["inserted"] = n
+        return out
+
     def update_rows(
         self,
         table: str,
@@ -641,6 +698,11 @@ class DeltaLakeClient:
             .filter(pred)
             .select(F.col("__obj").alias("obj"), F.col("__ridx").alias("row_idx"))
         )
+        self._write_dv(tx, table, matches)
+
+    def _write_dv(self, tx: "_Tx", table: str, matches: DataFrame) -> int:
+        """Publish an (obj, row_idx) mask DataFrame as a deletion-vector
+        object + log action. Returns rows masked (0 = no-op)."""
         staging = self._staging_dir()
         try:
             matches.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -648,13 +710,13 @@ class DeltaLakeClient:
                 (f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")), None
             )
             if part is None:
-                return
+                return 0
             import pyarrow.parquet as pq
 
             src = os.path.join(staging, part)
             dv_tbl = pq.read_table(src, columns=["obj"])
             if dv_tbl.num_rows == 0:
-                return
+                return 0
             objects = sorted(set(dv_tbl["obj"].to_pylist()))
             dv_name = f"dv_{table}_{uuid.uuid4().hex}.parquet"
             self.store.put_file_if_absent(dv_name, src)
@@ -667,6 +729,7 @@ class DeltaLakeClient:
                     num_deleted=dv_tbl.num_rows,
                 )
             )
+            return dv_tbl.num_rows
         finally:
             _rmtree(staging)
 

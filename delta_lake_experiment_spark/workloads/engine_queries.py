@@ -181,8 +181,44 @@ GROUP BY n_name
 """
 
 
+# MERGE INTO a primary-keyed table: matched keys update (new versions,
+# latest-wins), unmatched insert; result read via scan_current.
+def engine_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("orders", src.schema, primary_keys=["o_orderkey"])
+    c.write_dataframe("orders", src)
+    c.commit_tx()
+    c.new_tx()
+    updates = src.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    inserts = src.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    c.merge("orders", updates.unionByName(inserts))
+    c.commit_tx()
+    c.new_tx()
+    return c.scan_current("orders")
+
+
+MERGE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+  o_orderdate, o_orderpriority
+FROM orders
+UNION ALL
+SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+  o_totalprice, o_orderdate, o_orderpriority
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_merge_upsert": engine_merge_upsert,
     "engine_delete_range": engine_delete_range,
     "engine_delete_dv": engine_delete_dv,
     "engine_update_range": engine_update_range,
@@ -192,6 +228,7 @@ QUERIES = {
 
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
+    "engine_merge_upsert": MERGE_SQL,
     "engine_delete_range": DELETE_SQL,
     "engine_delete_dv": DELETE_SQL,
     "engine_update_range": UPDATE_SQL,

@@ -295,6 +295,44 @@ def test_primary_keys_scan_current(spark, store_dir):
     c2.commit_tx()
 
 
+def test_merge_into(spark, store_dir):
+    import pytest
+
+    from delta_lake_experiment_spark.errors import TypeMismatchError
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("kv", "k BIGINT, v STRING", primary_keys=["k"])
+    c.create_table("nopk", "k BIGINT, v STRING")
+    c.write_dataframe(
+        "kv", spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k BIGINT, v STRING")
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    src = spark.createDataFrame([(2, "B"), (4, "D")], "k BIGINT, v STRING")
+    with pytest.raises(TypeMismatchError):
+        c.merge("nopk", src)
+    out = c.merge("kv", src)  # update matched, insert unmatched
+    assert out == {"updated": 1, "deleted": 0, "inserted": 1}
+    cur = {r["k"]: r["v"] for r in c.scan_current("kv").collect()}
+    assert cur == {1: "a", 2: "B", 3: "c", 4: "D"}
+    c.commit_tx()
+
+    # matched-delete via deletion vector, unmatched ignored
+    c.new_tx()
+    src2 = spark.createDataFrame([(1, "x"), (99, "x")], "k BIGINT, v STRING")
+    out2 = c.merge("kv", src2, when_matched="delete", when_not_matched="ignore")
+    assert out2["deleted"] >= 1 and out2["inserted"] == 0
+    cur2 = {r["k"]: r["v"] for r in c.scan_current("kv").collect()}
+    assert cur2 == {2: "B", 3: "c", 4: "D"}
+    c.commit_tx()
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    assert {r["k"] for r in c2.scan_current("kv").collect()} == {2, 3, 4}
+    c2.commit_tx()
+
+
 def test_vacuum(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
     c.new_tx()
