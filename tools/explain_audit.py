@@ -83,6 +83,21 @@ def main() -> None:
     check("top_orders_by_price", needles=["TakeOrderedAndProject"])
     # scalar-subquery shape: per-part averages broadcast back
     check("small_quantity_revenue", needles=["BroadcastHashJoin", "partial_sum"])
+    # as-of join: union + running window, NEVER a time-inequality join
+    # (which would plan as a nested-loop pair blow-up)
+    check(
+        "purchase_last_click",
+        needles=["Window", "Union"],
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+    # latest-per-key: single window rank, no self-join
+    check(
+        "latest_event_per_user",
+        needles=["Window"],
+        forbid=["CartesianProduct", "SortMergeJoin"],
+    )
+    # salted aggregation: two hash-aggregate phases, no plain skew shape
+    check("skew_salted_event_stats", needles=["HashAggregate"], forbid=["CartesianProduct"])
 
     if failures:
         print("\nPLAN AUDIT FAILURES:")
