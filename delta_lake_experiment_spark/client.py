@@ -877,6 +877,55 @@ class DeltaLakeClient:
     # internals
     # ------------------------------------------------------------------
 
+    def restore_table(self, table: str, version: int) -> None:
+        """RESTORE the table to its state at committed ``version``.
+
+        Pure metadata: one commit removing the current live objects and
+        re-adding version-``version``'s objects (original tx_id stamps,
+        so ordering semantics restore exactly) and its deletion-vector
+        masks. The restore itself is a new version — restoring is
+        undoable by another restore. Requires the restored objects to
+        still exist (i.e. not vacuumed past ``version``)."""
+        tx = self._require_tx()
+        old = replay_log(self.store, as_of=version)
+        if table not in old.tables:
+            raise TableNotFoundError(f"{table} (as of v{version})")
+        cur = self._effective_snapshot(tx)
+        cur_objs = cur.live.get(table, {})
+        old_objs = old.live.get(table, {})
+        for name in cur_objs:
+            if name not in old_objs:
+                tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
+        for name, add in old_objs.items():
+            if name not in cur_objs:
+                tx.actions.append(add)
+        # DV masks: retire current-only masks, re-add version-V masks.
+        # (RemoveDataObject already retires masks of removed objects;
+        # surviving objects may need their old masks re-attached and
+        # their newer masks dropped — rebuild the masks exactly.)
+        cur_dvs = cur.table_dvs(table)
+        old_dvs = old.table_dvs(table)
+        if cur_dvs != old_dvs:
+            # drop every current mask by rewriting nothing: masks attach
+            # per object, so reset via remove+re-add of the object
+            for name in set(cur_dvs) & set(old_objs):
+                if name in cur_objs:  # not already removed above
+                    tx.actions.append(
+                        RemoveDataObject(name=name, table=table, tx_id=tx.id)
+                    )
+                    tx.actions.append(old_objs[name])
+            for name, dv_list in old_dvs.items():
+                if name in old_objs:
+                    for dv in dv_list:
+                        tx.actions.append(
+                            AddDeletionVector(
+                                table=table,
+                                dv_name=dv,
+                                objects=[name],
+                                tx_id=tx.id,
+                            )
+                        )
+
     def materialize_dvs(self, table: str, min_masked_fraction: float = 0.5) -> int:
         """Targeted deletion-vector materialization: rewrite only the
         data objects whose masked-row fraction reaches

@@ -295,6 +295,42 @@ def test_primary_keys_scan_current(spark, store_dir):
     c2.commit_tx()
 
 
+def test_restore_table(spark, store_dir):
+    """RESTORE is pure metadata: flip the live set (and DV masks) back
+    to a prior version in one commit; undoable by another restore."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    for i in range(20):
+        c.write_row("t", [i, i])
+    c.commit_tx()  # v1: 20 rows
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 4)  # COW
+    c.commit_tx()  # v2: 15 rows
+    c.new_tx()
+    c.delete_rows("t", "k", 10, 12, use_dv=True)
+    c.commit_tx()  # v3: 12 rows
+
+    c.new_tx()
+    c.restore_table("t", 1)
+    assert c.scan("t").count() == 20  # visible pre-commit
+    c.commit_tx()  # v4 == v1 state
+    c.new_tx()
+    assert {r["k"] for r in c.scan("t", with_stamps=False).collect()} == set(range(20))
+    # restore forward to the DV state
+    c.restore_table("t", 3)
+    c.commit_tx()  # v5 == v3 state
+    c2 = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    c2.new_tx()
+    assert {r["k"] for r in c2.scan("t", with_stamps=False).collect()} == (
+        set(range(5, 20)) - {10, 11, 12}
+    )
+    # time travel across the restores still works
+    assert c2.scan_as_of("t", 4).count() == 20
+    assert c2.scan_as_of("t", 2).count() == 15
+    c2.commit_tx()
+
+
 def test_merge_into(spark, store_dir):
     import pytest
 
