@@ -520,6 +520,30 @@ def test_materialize_dvs_policy(spark, store_dir):
     c.commit_tx()
 
 
+def test_snapshot_isolation_spans_dv_deletes(spark, store_dir):
+    """A reader whose snapshot predates a DV delete keeps seeing the
+    masked rows — soft deletes obey the same isolation as COW."""
+    w = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    w.new_tx()
+    w.create_table("t", "k BIGINT, v BIGINT")
+    for i in range(10):
+        w.write_row("t", [i, i])
+    w.commit_tx()
+
+    reader = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    reader.new_tx()  # snapshot pinned here
+
+    w.new_tx()
+    w.delete_rows("t", "k", 0, 4, use_dv=True)
+    w.commit_tx()
+
+    assert reader.scan("t").count() == 10  # pinned snapshot: no mask
+    reader.commit_tx()
+    reader.new_tx()
+    assert reader.scan("t").count() == 5  # fresh snapshot: masked
+    reader.commit_tx()
+
+
 def test_deletion_vectors_checkpoint_roundtrip(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
     c.checkpoint_interval = 2

@@ -67,6 +67,33 @@ def main() -> None:
     c.commit_tx()
     out["cow_delete_s"] = round(time.time() - t0, 2)
 
+    # 3b. deletion-vector delete (soft delete, no rewrite)
+    c.new_tx()
+    t0 = time.time()
+    c.delete_rows("lineitem", "l_quantity", 40, 43, use_dv=True)
+    c.commit_tx()
+    out["dv_delete_s"] = round(time.time() - t0, 2)
+
+    # 3c. MERGE upsert (10% updates + 5% inserts) on a keyed orders table
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cm = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="mbm_"))
+    cm.new_tx()
+    cm.create_table("orders", orders.schema, primary_keys=["o_orderkey"])
+    cm.write_dataframe("orders", orders)
+    cm.commit_tx()
+    from pyspark.sql import functions as F
+
+    src = orders.filter(F.col("o_orderkey") % 10 == 0).unionByName(
+        orders.filter(F.col("o_orderkey") % 20 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 100_000_000
+        )
+    )
+    cm.new_tx()
+    t0 = time.time()
+    cm.merge("orders", src)
+    cm.commit_tx()
+    out["merge_s"] = round(time.time() - t0, 2)
+
     # 4. randomized 500-op loop (reference canary: 500 ops, 20 keys,
     # one tx per op — write/delete/read against a dict model)
     c2 = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="mbr_"), dataobject_size=10)
