@@ -1,3 +1,13 @@
-from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage, ObjectStorage
+from delta_lake_experiment_spark.storage.objectstore import (
+    LocalObjectStorage,
+    MemoryObjectStorage,
+    ObjectStorage,
+)
+from delta_lake_experiment_spark.storage.s3 import S3ObjectStorage
 
-__all__ = ["LocalObjectStorage", "ObjectStorage"]
+__all__ = [
+    "LocalObjectStorage",
+    "MemoryObjectStorage",
+    "ObjectStorage",
+    "S3ObjectStorage",
+]
