@@ -139,27 +139,30 @@ class DeltaLakeClient:
 
     def commit_tx(
         self,
-        retry_independent: int = 0,
+        retry_independent: int = 3,
         txn: Optional[tuple[str, int]] = None,
     ) -> None:
         """Flush buffers and atomically publish the log record.
 
         Read-only transactions (no actions) skip the log write entirely
         and always succeed. A version collision with a concurrent
-        committer raises :class:`ConcurrentCommitError` — first committer
-        wins, the loser's data objects stay orphaned and invisible
-        (crash-safe by construction: objects precede the log record).
+        committer that touched any of OUR tables raises
+        :class:`ConcurrentCommitError` — first committer wins, the
+        loser's data objects stay orphaned and invisible (crash-safe by
+        construction: objects precede the log record).
 
-        ``retry_independent`` opts into the fix for the reference's
-        known-broken concurrent-writers case (main_test.go:177): on a
-        version collision, re-read the interleaved commits and, if they
-        touched only *disjoint* tables, re-target the next free version
-        (up to N times). Same-table interference still conflicts —
-        snapshot isolation's write-write rule, now at table granularity
-        instead of whole-log granularity. Data objects are not
-        rewritten: row-order stamps were assigned at write time, and
-        disjointness guarantees no other committed tx stamped this
-        table at the same version.
+        ``retry_independent`` (default on, 3 attempts) fixes the
+        reference's known-broken concurrent-writers case
+        (main_test.go:177): on a version collision, re-read the
+        interleaved commits and, if they touched only *disjoint*
+        tables, re-target the next free version. Same-table
+        interference still conflicts — snapshot isolation's write-write
+        rule, now at table granularity instead of whole-log
+        granularity. Data objects are not rewritten: row-order stamps
+        were assigned at write time, and disjointness guarantees no
+        other committed tx stamped this table at the same version.
+        Pass ``retry_independent=0`` for the reference's coarse
+        whole-log conflict behavior.
         """
         tx = self._require_tx()
         try:
@@ -974,15 +977,24 @@ class DeltaLakeClient:
             tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
         return len(heavy)
 
-    def vacuum(self, retain_versions: int = 0) -> int:
+    def vacuum(self, retain_versions: int = 0, min_age_seconds: float = 0.0) -> int:
         """GC data/DV objects unreferenced by any retained snapshot.
 
         Keeps every object referenced by the last ``retain_versions + 1``
         committed versions; time travel older than that stops working
         (the log records remain, the data objects don't). Also reclaims
-        orphans from failed commits. Like Delta's VACUUM, this must not
-        run concurrently with in-flight writers whose commits are not
-        yet published — retention is the guard. Returns objects deleted.
+        orphans from failed commits. Returns objects deleted.
+
+        ``min_age_seconds`` is the in-flight-writer guard (Delta's
+        VACUUM retention check): an unreferenced object younger than
+        the threshold is spared, because it may belong to a concurrent
+        transaction whose log record is not yet published — data
+        objects are always written *before* the commit point, so
+        reclaiming them early would corrupt a commit that then
+        succeeds. Objects whose age the store cannot report are spared
+        whenever a threshold is set (fail-safe). With the default 0,
+        everything unreferenced goes — only safe when no writer is
+        in flight (e.g. tests, single-writer maintenance windows).
 
         Cost note: replays the log once per retained version — fine for
         checkpointed logs of modest depth; a production variant would
@@ -990,6 +1002,8 @@ class DeltaLakeClient:
         """
         if self.tx is not None:
             raise ExistingTxError("vacuum must run outside a transaction")
+        import time
+
         latest = replay_log(self.store)
         keep: set[str] = set()
         lo = max(1, latest.version - retain_versions)
@@ -1000,12 +1014,18 @@ class DeltaLakeClient:
             for masked in snap.dvs.values():
                 for dv_list in masked.values():
                     keep.update(dv_list)
+        cutoff = time.time() - min_age_seconds
         deleted = 0
         for prefix in ("table_", "dv_"):
             for name in self.store.list_prefix_ordered(prefix):
-                if name not in keep:
-                    self.store.delete(name)
-                    deleted += 1
+                if name in keep:
+                    continue
+                if min_age_seconds > 0:
+                    age = self.store.mtime(name)
+                    if age is None or age > cutoff:
+                        continue  # too young or unknown age: spare it
+                self.store.delete(name)
+                deleted += 1
         return deleted
 
     def _require_tx(self) -> _Tx:

@@ -67,6 +67,12 @@ class ObjectStorage(ABC):
         with open(src_path, "rb") as f:
             self.put_if_absent(name, f.read())
 
+    def mtime(self, name: str) -> "float | None":
+        """Last-modified time of ``name`` as a Unix timestamp, or None
+        when unknown/missing. Advisory metadata used only by VACUUM's
+        age guard — never by the commit protocol."""
+        return None
+
 
 class MemoryObjectStorage(ObjectStorage):
     """In-memory object storage — interface demo + unit-test double.
@@ -151,6 +157,12 @@ class LocalObjectStorage(ObjectStorage):
             os.unlink(self._safe_path(name))
         except FileNotFoundError:
             pass
+
+    def mtime(self, name: str) -> "float | None":
+        try:
+            return os.path.getmtime(self._safe_path(name))
+        except FileNotFoundError:
+            return None
 
     def put_file_if_absent(self, name: str, src_path: str) -> None:
         """Zero-copy ingest: fsync the staged file, then hard-link it to

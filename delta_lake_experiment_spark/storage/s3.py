@@ -139,6 +139,14 @@ class S3ObjectStorage(ObjectStorage):
     def delete(self, name: str) -> None:
         self.client.delete_object(Bucket=self.bucket, Key=self._key(name))
 
+    def mtime(self, name: str) -> Optional[float]:
+        try:
+            resp = self.client.head_object(Bucket=self.bucket, Key=self._key(name))
+        except Exception:
+            return None
+        lm = resp.get("LastModified")
+        return lm.timestamp() if hasattr(lm, "timestamp") else lm
+
     # ------------------------------------------------------------------
 
     def _key(self, name: str) -> str:

@@ -106,9 +106,10 @@ def test_commit_protocol_over_s3(spark, s3_store):
     a.create_table("ta", "k BIGINT")
     b.create_table("tb", "k BIGINT")
     a.commit_tx()
+    # coarse whole-log conflict (reference parity) is still available
     with pytest.raises(ConcurrentCommitError):
-        b.commit_tx()  # coarse version-level conflict, reference parity
-    # loser retries on a fresh snapshot and lands
+        b.commit_tx(retry_independent=0)
+    # default commit resolves disjoint-table collisions automatically
     b.new_tx()
     b.create_table("tb", "k BIGINT")
     b.commit_tx()
