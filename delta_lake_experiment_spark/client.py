@@ -462,6 +462,22 @@ class DeltaLakeClient:
         self._require_tx()
         return self.spark.sql(query)
 
+    def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:
+        """INSERT INTO ``table`` from a SQL query (over registered
+        views) or a DataFrame — the SQL write surface for multi-table
+        transactions.
+
+        Every ``insert_into`` in one open transaction rides the same
+        log record, so writes to MANY tables commit atomically (one
+        put-if-absent): readers see all of them or none. The reference
+        has this atomicity implicitly (one log record per tx) but no
+        query surface to reach it; here it composes with :meth:`sql`,
+        e.g. fan one source scan out into a fact table and an
+        aggregate rollup table in a single ACID commit.
+        """
+        df = self.sql(source) if isinstance(source, str) else source
+        self.write_dataframe(table, df)
+
     # ------------------------------------------------------------------
     # deletes
     # ------------------------------------------------------------------

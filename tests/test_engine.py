@@ -456,6 +456,53 @@ def test_independent_writers_commit_by_default(spark, store_dir):
     a.commit_tx()
 
 
+def test_multi_table_tx_atomic_insert_into(spark, store_dir):
+    """One transaction fans a source out into a fact table and a
+    rollup table via INSERT INTO ... SELECT; both land in ONE log
+    record, so a concurrent reader sees both tables or neither."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.create_table("src", "k BIGINT, v BIGINT")
+    for i in range(10):
+        c.write_row("src", [i % 3, i])
+    c.commit_tx()
+
+    reader = DeltaLakeClient(spark, store_dir)
+
+    c.new_tx()
+    c.create_table("fact", "k BIGINT, v BIGINT")
+    c.create_table("rollup", "k BIGINT, sv BIGINT")
+    c.register_views("src")
+    c.insert_into("fact", "SELECT k, v FROM src WHERE v >= 5")
+    c.insert_into("rollup", "SELECT k, SUM(v) AS sv FROM src GROUP BY k")
+
+    # uncommitted: a concurrent reader sees neither new table
+    reader.new_tx()
+    assert set(reader.tx.snapshot.tables) == {"src"}
+    reader.commit_tx()
+
+    # abort drops both; nothing ever becomes visible
+    c.abort_tx()
+    reader.new_tx()
+    assert set(reader.tx.snapshot.tables) == {"src"}
+    reader.commit_tx()
+
+    # redo and commit: both tables appear atomically, same version
+    c.new_tx()
+    c.create_table("fact", "k BIGINT, v BIGINT")
+    c.create_table("rollup", "k BIGINT, sv BIGINT")
+    c.register_views("src")
+    c.insert_into("fact", "SELECT k, v FROM src WHERE v >= 5")
+    c.insert_into("rollup", "SELECT k, SUM(v) AS sv FROM src GROUP BY k")
+    c.commit_tx()
+
+    reader.new_tx()
+    assert reader.scan("fact").count() == 5
+    rollup = {r["k"]: r["sv"] for r in reader.scan("rollup", with_stamps=False).collect()}
+    assert rollup == {0: 9 + 6 + 3 + 0, 1: 1 + 4 + 7, 2: 2 + 5 + 8}
+    reader.commit_tx()
+
+
 def test_update_rows(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
     c.new_tx()
