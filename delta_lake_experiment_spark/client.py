@@ -462,6 +462,40 @@ class DeltaLakeClient:
         self._require_tx()
         return self.spark.sql(query)
 
+    def execute(self, statement: str) -> Optional[DataFrame]:
+        """Execute one SQL statement, routing DML to the engine's
+        transactional operators and everything else to Catalyst.
+
+        ``DELETE FROM t WHERE col BETWEEN lo AND hi`` (or ``col = v``)
+        -> :meth:`delete_rows`; ``UPDATE t SET c = lit, ... WHERE ...``
+        -> :meth:`update_rows`; ``INSERT INTO t <select>`` ->
+        :meth:`insert_into` (returns None for all three — effects are
+        transactional, visible at commit). Any other statement runs as
+        a read query over the registered views and returns its
+        DataFrame. The DML grammar is intentionally exactly the
+        engine's native primitives (inclusive range / literal SET);
+        outside it, :class:`UnsupportedSqlError` names the limit
+        instead of silently running non-transactional SQL.
+        """
+        from delta_lake_experiment_spark.plans.dml import (
+            Delete,
+            Insert,
+            Update,
+            parse_dml,
+        )
+
+        self._require_tx()
+        stmt = parse_dml(statement)
+        if stmt is None:
+            return self.sql(statement)
+        if isinstance(stmt, Delete):
+            self.delete_rows(stmt.table, stmt.column, stmt.start, stmt.end)
+        elif isinstance(stmt, Update):
+            self.update_rows(stmt.table, stmt.column, stmt.start, stmt.end, stmt.set_values)
+        elif isinstance(stmt, Insert):
+            self.insert_into(stmt.table, stmt.query)
+        return None
+
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:
         """INSERT INTO ``table`` from a SQL query (over registered
         views) or a DataFrame — the SQL write surface for multi-table

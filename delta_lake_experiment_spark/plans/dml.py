@@ -1,0 +1,158 @@
+"""Minimal SQL DML statement router.
+
+The reference has no SQL at all — its API *is* the plan (SURVEY §3).
+Our engine exposes reads through Spark SQL views (``Client.sql``), but
+writes went through Python methods only. This module closes that gap
+for the DML shapes the engine actually supports, by parsing:
+
+- ``INSERT INTO t  <select ...>``           -> ``insert_into``
+- ``DELETE FROM t WHERE c BETWEEN a AND b`` -> ``delete_rows`` (COW/DV)
+- ``DELETE FROM t WHERE c = v``             -> ``delete_rows(v, v)``
+  (equality-as-degenerate-range, exactly how the reference's tests
+  express point deletes — main_test.go:226, :313)
+- ``UPDATE t SET c1 = v1[, ...] WHERE c BETWEEN a AND b | c = v``
+                                            -> ``update_rows``
+
+This is a deliberate micro-grammar, NOT a SQL parser: predicates are
+restricted to the engine's native inclusive-range primitive (reference
+writes.go:58-88), so every parsed statement maps 1:1 onto a
+transactional operator with file-granularity COW semantics. Anything
+that doesn't match raises ``UnsupportedSqlError`` with the reason —
+callers then use ``Client.sql`` (arbitrary read-only SQL via Catalyst)
+or the Python API. Literals: integers, floats, and single-quoted
+strings (with '' escaping).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from delta_lake_experiment_spark.errors import TypeMismatchError
+
+
+class UnsupportedSqlError(TypeMismatchError):
+    """Statement is syntactically valid SQL but outside the DML
+    micro-grammar this engine executes transactionally."""
+
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+# int | float | 'string with '' escapes'
+_LIT = r"(?:-?\d+\.\d+|-?\d+|'(?:[^']|'')*')"
+
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+({_IDENT})\s+"
+    rf"(?:BETWEEN\s+({_LIT})\s+AND\s+({_LIT})|=\s*({_LIT}))\s*;?\s*$",
+    re.IGNORECASE,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+({_IDENT})\s+"
+    rf"(?:BETWEEN\s+({_LIT})\s+AND\s+({_LIT})|=\s*({_LIT}))\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SET_ITEM_RE = re.compile(rf"^\s*({_IDENT})\s*=\s*({_LIT})\s*$")
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+@dataclass
+class Delete:
+    table: str
+    column: str
+    start: Any
+    end: Any
+
+
+@dataclass
+class Update:
+    table: str
+    set_values: dict[str, Any]
+    column: str
+    start: Any
+    end: Any
+
+
+@dataclass
+class Insert:
+    table: str
+    query: str
+
+
+def _literal(tok: str) -> Any:
+    if tok.startswith("'"):
+        return tok[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", tok):
+        return int(tok)
+    return float(tok)
+
+
+def _bounds(m_between_lo: Optional[str], m_between_hi: Optional[str], m_eq: Optional[str]) -> tuple[Any, Any]:
+    if m_eq is not None:
+        v = _literal(m_eq)
+        return v, v
+    return _literal(m_between_lo), _literal(m_between_hi)
+
+
+def parse_dml(sql: str):
+    """Parse one statement into Delete / Update / Insert, or None when
+    the statement is not DML (caller should treat it as a read query).
+    Raises UnsupportedSqlError for DML shapes outside the grammar."""
+    stripped = sql.strip()
+    head = stripped.split(None, 1)[0].upper() if stripped else ""
+    if head == "DELETE":
+        m = _DELETE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "DELETE supports exactly: DELETE FROM t WHERE col BETWEEN "
+                "lo AND hi | col = v (the engine's native range primitive)"
+            )
+        lo, hi = _bounds(m.group(3), m.group(4), m.group(5))
+        return Delete(table=m.group(1), column=m.group(2), start=lo, end=hi)
+    if head == "UPDATE":
+        m = _UPDATE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "UPDATE supports exactly: UPDATE t SET c = lit[, ...] WHERE "
+                "col BETWEEN lo AND hi | col = v"
+            )
+        set_values: dict[str, Any] = {}
+        for item in _split_top_level_commas(m.group(2)):
+            sm = _SET_ITEM_RE.match(item)
+            if not sm:
+                raise UnsupportedSqlError(f"unsupported SET clause item: {item!r}")
+            set_values[sm.group(1)] = _literal(sm.group(2))
+        lo, hi = _bounds(m.group(4), m.group(5), m.group(6))
+        return Update(table=m.group(1), set_values=set_values, column=m.group(3), start=lo, end=hi)
+    if head == "INSERT":
+        m = _INSERT_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError("INSERT supports: INSERT INTO t <select query>")
+        return Insert(table=m.group(1), query=m.group(2))
+    return None
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    """Split on commas not inside single-quoted strings."""
+    parts, buf, in_str = [], [], False
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            # handle '' escape inside strings
+            if in_str and i + 1 < len(s) and s[i + 1] == "'":
+                buf.append("''")
+                i += 2
+                continue
+            in_str = not in_str
+            buf.append(ch)
+        elif ch == "," and not in_str:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p for p in (p.strip() for p in parts) if p]

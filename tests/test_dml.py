@@ -1,0 +1,68 @@
+"""SQL DML router: micro-grammar parsing + transactional execution."""
+
+import pytest
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.plans.dml import (
+    Delete,
+    Insert,
+    Update,
+    UnsupportedSqlError,
+    parse_dml,
+)
+
+
+def test_parse_delete_between_and_equality():
+    d = parse_dml("DELETE FROM t WHERE k BETWEEN 3 AND 7")
+    assert d == Delete(table="t", column="k", start=3, end=7)
+    d = parse_dml("delete from t where name = 'O''Brien';")
+    assert d == Delete(table="t", column="name", start="O'Brien", end="O'Brien")
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("DELETE FROM t WHERE k > 3")  # not the range primitive
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("DELETE FROM t")  # unqualified delete
+
+
+def test_parse_update():
+    u = parse_dml("UPDATE t SET v = 1.5, tag = 'a,b' WHERE k = 2")
+    assert u == Update(
+        table="t", set_values={"v": 1.5, "tag": "a,b"}, column="k", start=2, end=2
+    )
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("UPDATE t SET v = v + 1 WHERE k = 2")  # expression SET
+
+
+def test_parse_insert_and_passthrough():
+    i = parse_dml("INSERT INTO t SELECT a, b FROM s WHERE b > 3")
+    assert i == Insert(table="t", query="SELECT a, b FROM s WHERE b > 3")
+    assert parse_dml("SELECT * FROM t") is None  # reads pass through
+
+
+def test_execute_end_to_end(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v DOUBLE, tag STRING")
+    for i in range(10):
+        c.write_row("t", [i, float(i), "x"])
+    c.commit_tx()
+
+    c.new_tx()
+    c.register_views("t")
+    c.execute("DELETE FROM t WHERE k BETWEEN 0 AND 2")
+    c.execute("UPDATE t SET v = 99.0, tag = 'hot' WHERE k = 9")
+    c.create_table("t2", "k BIGINT, v DOUBLE")
+    c.execute("INSERT INTO t2 SELECT k, v FROM t WHERE k >= 8")
+    c.commit_tx()
+
+    c.new_tx()
+    rows = {r["k"]: (r["v"], r["tag"]) for r in c.scan("t", with_stamps=False).collect()}
+    assert set(rows) == set(range(3, 10))
+    assert rows[9] == (99.0, "hot")
+    # INSERT INTO ... SELECT ran against the pre-DML view snapshot
+    # (views are resolved eagerly at register_views) — k>=8 of original
+    t2 = {r["k"]: r["v"] for r in c.scan("t2", with_stamps=False).collect()}
+    assert set(t2) == {8, 9}
+    # read statements return a DataFrame
+    df = c.execute("SELECT COUNT(*) AS n FROM t")
+    assert df is not None
+    c.commit_tx()
