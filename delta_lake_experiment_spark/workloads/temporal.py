@@ -180,7 +180,7 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKEW_SALTED_SQL = """
 SELECT event_type, COUNT(*) AS n,
-  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
 FROM events GROUP BY event_type
 """
 
