@@ -362,7 +362,7 @@ def simhash_near_duplicates(
     )
 
 
-def embedding_near_duplicates(
+def embedding_near_duplicates_allpairs(
     emb_df: DataFrame,
     id_col: str,
     vec_col: str,
@@ -372,12 +372,11 @@ def embedding_near_duplicates(
     """Exact embedding-cosine near-duplicate pairs (id_a, id_b, cos_sim
     rounded to ``round_digits``) with cos >= threshold.
 
-    All-pairs exact baseline: norms are computed once per vector in a
-    pre-projection, then an inequality self-join scores each pair with
-    one fused JVM dot product. Quadratic by nature — this is the
-    verification baseline; at 100 TB route candidate generation through
-    :func:`delta_lake_experiment_spark.operators.similarity.srp_bucket`
-    blocking (approximate) and rerank survivors with this scorer.
+    All-pairs verification baseline: an inequality self-join (a
+    cartesian product with a filter) scoring each pair with one fused
+    JVM dot product. Small-scale oracle ONLY — the production path is
+    :func:`embedding_near_duplicates`, which computes the identical
+    result through a block-matrix equi-join plan.
     """
     from delta_lake_experiment_spark.operators.similarity import _as_double, _dot
 
@@ -398,6 +397,91 @@ def embedding_near_duplicates(
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_duplicates(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    round_digits: int = 9,
+    block_size: int = 4096,
+    num_blocks: Optional[int] = None,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs via a block-matrix
+    self-join — same results as :func:`embedding_near_duplicates_allpairs`
+    (bit-identical: the dot product folds in the same IEEE order), but
+    with a distributed plan instead of a CartesianProduct.
+
+    Exact all-pairs at a weak threshold is inherently O(n²) similarity
+    evaluations — measured on this corpus, pairs at cos 0.35 span the
+    FULL SRP-signature hamming range, so no LSH radius probe is
+    lossless; what blocking can fix is the *plan shape*. Vectors hash
+    into P ≈ n/``block_size`` blocks; each block becomes one bundle row
+    (``collect_list`` of (id, vec, norm) structs); every unordered block
+    pair (p, q), p <= q, is formed by exploding a ``sequence(p, P-1)``
+    on the left and EQUI-joining the right bundle on its block id; the
+    right bundle is then scored per left vector with JVM higher-order
+    functions, and only >= threshold survivors leave the operator.
+
+    Scale properties: peak per-task memory is two bundles
+    (~``block_size`` · dim · 8 B each), parallelism is P(P+1)/2
+    independent tasks, shuffles are one groupBy(block) of the data plus
+    a P-row bundle join — sub-threshold pairs never materialize. At
+    10⁸+ vectors exact all-pairs is flop-infeasible no matter the plan;
+    route through SRP/IVF blocking (operators/similarity.py) and accept
+    the published recall bound, or raise the threshold.
+    """
+    from delta_lake_experiment_spark.operators.similarity import _as_double, _dot
+
+    v = _as_double(F.col(vec_col))
+    base = emb_df.select(
+        F.col(id_col).alias("__id"), v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
+    )
+    if num_blocks is None:
+        num_blocks = max(1, -(-base.count() // block_size))
+    p = F.pmod(F.xxhash64(F.col("__id")), F.lit(num_blocks)).cast("int")
+    bundles = (
+        base.withColumn("p", p)
+        .groupBy("p")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("__id").alias("id"), F.col("v").alias("v"), F.col("nrm").alias("nrm")
+                )
+            ).alias("bundle")
+        )
+    )
+    left = bundles.withColumnRenamed("bundle", "bundle_a").withColumn(
+        "q", F.explode(F.sequence(F.col("p"), F.lit(num_blocks - 1)))
+    )
+    right = bundles.select(F.col("p").alias("q"), F.col("bundle").alias("bundle_b"))
+    joined = left.join(right, "q")
+    per_vec = joined.select("p", "q", F.explode("bundle_a").alias("a"), "bundle_b")
+    # Diagonal blocks pair (a, e) once via id order; off-diagonal blocks
+    # pair everything (each unordered block pair occurs exactly once).
+    cand = F.filter(
+        F.col("bundle_b"),
+        lambda e: (F.col("p") < F.col("q")) | (F.col("a.id") < e["id"]),
+    )
+    scored = F.transform(
+        cand,
+        lambda e: F.struct(
+            e["id"].alias("id"),
+            F.round(
+                _dot(F.col("a.v"), e["v"]) / (F.col("a.nrm") * e["nrm"]), round_digits
+            ).alias("cos"),
+        ),
+    )
+    hits = F.filter(scored, lambda s: s["cos"] >= F.lit(float(threshold)))
+    return (
+        per_vec.select(F.col("a.id").alias("aid"), F.explode(hits).alias("h"))
+        .select(
+            F.least(F.col("aid"), F.col("h.id")).alias("id_a"),
+            F.greatest(F.col("aid"), F.col("h.id")).alias("id_b"),
+            F.col("h.cos").alias("cos_sim"),
+        )
     )
 
 

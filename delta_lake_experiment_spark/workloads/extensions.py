@@ -187,11 +187,16 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 
 
 def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs. Threshold 0.35 because the
-    synthetic embeddings carry no planted duplicates (max pairwise
-    cosine ~0.51); the operator itself defaults to 0.95 for real data."""
+    """Exact embedding-cosine near-dup pairs via the block-matrix plan
+    (no CartesianProduct — bundle equi-join over hashed blocks; see
+    operators/dedup.py). Threshold 0.35 because the synthetic
+    embeddings carry no planted duplicates (max pairwise cosine ~0.6);
+    the operator itself defaults to 0.95 for real data. block_size=256
+    keeps P(P+1)/2 block-pair tasks >= cores at test scale."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates(emb, "vec_id", "embedding", threshold=0.35)
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, block_size=256
+    )
 
 
 NEAR_DUP_EMBEDDING_SQL = """

@@ -392,8 +392,10 @@ FROM orders
 # ----------------------------------------------------------------------
 # q17 shape — correlated scalar subquery: lineitems below 50% of their
 # part's average quantity. Expressed as aggregate + self-join (what
-# Catalyst's decorrelation produces anyway); the per-part averages table
-# is tiny -> broadcast side.
+# Catalyst's decorrelation produces anyway). The per-part averages side
+# has one row per l_partkey — it grows WITH the fact table, so it must
+# NOT be hint-broadcast (driver OOM at scale); AQE picks broadcast vs
+# shuffle by measured size at runtime, which is the correct policy.
 # ----------------------------------------------------------------------
 
 
@@ -403,7 +405,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exact_avg(F.col("l_quantity")) * 0.5).alias("half_avg_qty")
     )
     return (
-        l.join(F.broadcast(part_avg), "l_partkey")
+        l.join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .groupBy("l_partkey")
         .agg(

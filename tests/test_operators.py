@@ -199,6 +199,33 @@ def test_embedding_near_dup_matches_numpy(spark):
     assert got == expected and expected  # non-trivial and exact
 
 
+def test_embedding_blocked_equals_allpairs(spark):
+    """The block-matrix plan must reproduce the all-pairs baseline
+    bit-for-bit (same IEEE fold order) at several block counts,
+    including blocks smaller than the data (multi-block path) and a
+    single block (degenerate path)."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        embedding_near_duplicates_allpairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    baseline = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_duplicates_allpairs(
+            emb, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    assert baseline
+    for nb in (1, 3, 7):
+        got = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.3, num_blocks=nb
+            ).collect()
+        }
+        assert got == baseline, f"num_blocks={nb}"
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     """IVF with 4-of-16 probes must recover the exact top-10 on data
     with real cluster structure (the intended IVF regime)."""

@@ -22,6 +22,49 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# Tables whose size is bounded by the schema (TPC-H dims): safe to force-
+# broadcast. Everything else (facts, documents, embeddings, engine scans)
+# grows with the data — a static broadcast hint on those is a driver OOM
+# at 100x scale even if AQE would have picked broadcast at test scale.
+DIM_TABLES = {"region", "nation", "supplier", "customer", "part"}
+FACT_MARKERS = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def broadcast_hint_violations(df) -> list:
+    """Parse the analyzed logical plan tree and return every broadcast
+    hint whose subtree reads a non-dim-bounded source.
+
+    Tree-string parsing: a node's children are the following lines whose
+    branch marker (':-' / '+-') sits deeper; the subtree ends at the
+    first line at or above the hint's depth."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+
+    def depth(line: str) -> int:
+        for marker in (":- ", "+- "):
+            i = line.find(marker)
+            if i >= 0:
+                return i
+        return -1  # root
+
+    out = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "BROADCAST" not in line.upper():
+            continue
+        d = depth(line)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            nd = depth(nxt)
+            if nd >= 0 and nd <= d:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        bad = [m for m in FACT_MARKERS if m in sub]
+        if bad:
+            out.append(f"broadcast hint over fact-derived side ({', '.join(bad)})")
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from pyspark.sql import SparkSession
@@ -98,6 +141,34 @@ def main() -> None:
     )
     # salted aggregation: two hash-aggregate phases, no plain skew shape
     check("skew_salted_event_stats", needles=["HashAggregate"], forbid=["CartesianProduct"])
+    # exact embedding near-dup: block-matrix bundle equi-join, never a
+    # row-pair cartesian / nested-loop
+    check(
+        "near_dup_embedding",
+        needles=["HashAggregate"],  # the collect_list bundle build
+        forbid=["CartesianProduct", "BroadcastNestedLoopJoin"],
+    )
+
+    # Global sweep (plan-only, no execution): every query must be free of
+    # row-pair cartesians, and every static broadcast hint must cover
+    # only dim-bounded tables. Streaming queries execute on construction
+    # and engine_* queries build scratch tables — both too heavy for a
+    # plan-only sweep loop; their shapes are covered above / in pytest.
+    skip_sweep = {"streaming_hourly_windows"}
+    for name, fn in queries.items():
+        if name in skip_sweep or name.startswith("engine_"):
+            continue
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as e:  # pragma: no cover - sweep robustness
+            failures.append(f"{name}: query construction failed: {e}")
+            continue
+        for v in broadcast_hint_violations(df):
+            failures.append(f"{name}: {v}")
+        init_plan = df._jdf.queryExecution().sparkPlan().toString()
+        if "CartesianProduct" in init_plan:
+            failures.append(f"{name}: CartesianProduct in initial physical plan")
+    print("swept all non-engine queries for cartesians + fact broadcasts")
 
     if failures:
         print("\nPLAN AUDIT FAILURES:")
