@@ -88,10 +88,6 @@ IDX_COL = "_row_idx"
 # Default object size in rows. The reference ships 10 (debug) and intends
 # 64Ki (deltalakeclient.go:9-12); we default to 64Ki and let tests dial down.
 DEFAULT_DATAOBJECT_SIZE = 64 * 1024
-# Row-idx stride reserved per bulk write so interleaved write_row /
-# write_dataframe calls in one tx stay globally ordered.
-_BULK_STRIDE = 1 << 42
-
 # COW deletes whose stat-pruned candidates hold at most this many rows
 # run driver-side via pyarrow (no Spark jobs); larger deletes distribute.
 _DRIVER_DELETE_MAX_ROWS = 100_000
@@ -323,7 +319,6 @@ class DeltaLakeClient:
         if missing:
             raise TypeMismatchError(f"dataframe missing columns {sorted(missing)}")
         base = tx.next_idx.get(table, 0)
-        tx.next_idx[table] = base + _BULK_STRIDE
         stamped = df.select(
             *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols],
             F.lit(tx.id).cast("long").alias(TX_COL),
@@ -331,13 +326,27 @@ class DeltaLakeClient:
         )
         staging = self._staging_dir()
         stamped.write.mode("overwrite").parquet(staging)
+        # Advance next_idx past the LARGEST stamp actually written (read
+        # from the staged Parquet footers, never the data): a fixed
+        # stride would collide once monotonically_increasing_id's
+        # partition-id bits (bits 33+) exceed it — at >= 512 partitions
+        # for a 2^42 stride — silently breaking newest-first ordering
+        # for the next bulk write in the same tx. Footer-derived maxima
+        # are exact at ANY partition count, including AQE skew-splits
+        # that raise the runtime partition count above the planned one.
+        max_idx = base - 1
         try:
             for fname in sorted(os.listdir(staging)):
                 if not fname.endswith(".parquet"):
                     continue
-                self._register_object(table, tx, os.path.join(staging, fname))
+                path = os.path.join(staging, fname)
+                hi = _parquet_idx_max(path)
+                if hi is not None:
+                    max_idx = max(max_idx, hi)
+                self._register_object(table, tx, path)
         finally:
             _rmtree(staging)
+        tx.next_idx[table] = max_idx + 1
 
     # ------------------------------------------------------------------
     # reads
@@ -615,10 +624,21 @@ class DeltaLakeClient:
         "delete" soft-deletes every live version of matched keys via a
         deletion vector; "ignore" leaves them. ``when_not_matched``:
         "insert" appends source rows with unseen keys, "ignore" drops
-        them. Plan shape: one semi + one anti join of the source
-        against the distinct live keys (broadcastable when the source
-        is dim-sized), then the ordinary distributed write path.
-        Returns counts {"updated"/"deleted": n, "inserted": n}.
+        them. Returns counts {"updated"/"deleted": n, "inserted": n}.
+
+        Plan shape (single-pass): the source is persisted once, so a
+        non-deterministic source cannot diverge between the count and
+        the write or between the matched/unmatched splits; the big side
+        is probed WITH the distinct source keys first, so the
+        matched-key distinct shuffles only keys that can match — never
+        the whole table's key set; and action counts derive from the
+        written objects' footer row counts instead of separate
+        ``count()`` jobs. Join strategies are AQE size-gated, not
+        hinted, so a fact-sized source degrades to shuffle joins
+        instead of a driver OOM. The table buffer is flushed first so
+        same-tx ``write_row`` rows participate in matching AND in the
+        deletion-vector mask (they are real objects by the time the
+        mask is built).
         """
         if when_matched not in ("update", "delete", "ignore"):
             raise TypeMismatchError(f"when_matched={when_matched!r}")
@@ -628,33 +648,42 @@ class DeltaLakeClient:
         keys = self._effective_snapshot(tx).pkeys.get(table)
         if not keys:
             raise TypeMismatchError(f"merge requires declared primary keys on {table!r}")
-        existing_keys = self.scan(table, with_stamps=False).select(*keys).distinct()
-        matched = source_df.join(existing_keys, list(keys), "left_semi")
-        unmatched = source_df.join(existing_keys, list(keys), "left_anti")
-        out = {"updated": 0, "deleted": 0, "inserted": 0}
-        if when_matched == "update":
-            n = matched.count()
-            if n:
-                self.write_dataframe(table, matched)
-            out["updated"] = n
-        elif when_matched == "delete":
-            snap = self._effective_snapshot(tx)
-            stored = self._stored_schema(self.table_schema(table))
-            files = snap.live_files(table, self.store)
-            if files:
-                base = self._read_live(table, snap, stored, files, with_pos=True)
-                hits = base.join(F.broadcast(matched.select(*keys).distinct()), list(keys), "left_semi")
-                out["deleted"] = self._write_dv(
-                    tx,
-                    table,
-                    hits.select(F.col("__obj").alias("obj"), F.col("__ridx").alias("row_idx")),
-                )
-        if when_not_matched == "insert":
-            n = unmatched.count()
-            if n:
-                self.write_dataframe(table, unmatched)
-            out["inserted"] = n
-        return out
+        if tx.buffers.get(table):
+            self._flush_buffer(table)
+        src = source_df.persist()
+        matched_keys = (
+            self.scan(table, with_stamps=False)
+            .select(*keys)
+            .join(src.select(*keys).distinct(), list(keys), "left_semi")
+            .distinct()
+            .persist()
+        )
+        try:
+            matched = src.join(matched_keys, list(keys), "left_semi")
+            unmatched = src.join(matched_keys, list(keys), "left_anti")
+            out = {"updated": 0, "deleted": 0, "inserted": 0}
+            if when_matched == "update":
+                out["updated"] = self._write_counted(table, matched)
+            elif when_matched == "delete":
+                snap = self._effective_snapshot(tx)
+                stored = self._stored_schema(self.table_schema(table))
+                files = snap.live_files(table, self.store)
+                if files:
+                    base = self._read_live(table, snap, stored, files, with_pos=True)
+                    hits = base.join(matched_keys, list(keys), "left_semi")
+                    out["deleted"] = self._write_dv(
+                        tx,
+                        table,
+                        hits.select(
+                            F.col("__obj").alias("obj"), F.col("__ridx").alias("row_idx")
+                        ),
+                    )
+            if when_not_matched == "insert":
+                out["inserted"] = self._write_counted(table, unmatched)
+            return out
+        finally:
+            matched_keys.unpersist()
+            src.unpersist()
 
     def update_rows(
         self,
@@ -944,6 +973,21 @@ class DeltaLakeClient:
         if table not in old.tables:
             raise TableNotFoundError(f"{table} (as of v{version})")
         cur = self._effective_snapshot(tx)
+        # Table METADATA restores too (matching Delta's RESTORE): a
+        # schema or primary-key change made after the target version
+        # must not survive the rollback, or restored objects would be
+        # read with the wrong schema.
+        if cur.tables.get(table) != old.tables[table] or cur.pkeys.get(
+            table
+        ) != old.pkeys.get(table):
+            tx.actions.append(
+                ChangeMetadata(
+                    table=table,
+                    schema_ddl=old.tables[table],
+                    primary_keys=list(old.pkeys.get(table, [])),
+                )
+            )
+            tx.new_tables[table] = old.tables[table]  # visible pre-commit
         cur_objs = cur.live.get(table, {})
         old_objs = old.live.get(table, {})
         for name in cur_objs:
@@ -1218,13 +1262,26 @@ class DeltaLakeClient:
         # prefixed files as hidden metadata and silently skips them (the
         # reference's `_table_` naming, dataobjects.go:51-57, would make
         # every data object invisible to the Parquet reader).
+        num_rows, stats = _parquet_file_stats(src_path)
+        if num_rows == 0:
+            return  # empty partitions produce empty files; never log them
         name = f"table_{table}_{uuid.uuid4().hex}.parquet"
         # zero-copy publish: staging lives under the store root, so this
         # is a hard link, not a driver round-trip of the file bytes
         self.store.put_file_if_absent(name, src_path)
-        num_rows, stats = _parquet_file_stats(src_path)
         tx.actions.append(
             AddDataObject(name=name, table=table, tx_id=tx.id, num_rows=num_rows, stats=stats)
+        )
+
+    def _write_counted(self, table: str, df: DataFrame) -> int:
+        """write_dataframe + row count derived from the written objects'
+        footer stats — no separate count() job, and the count can never
+        disagree with what was actually written."""
+        tx = self._require_tx()
+        before = len(tx.actions)
+        self.write_dataframe(table, df)
+        return sum(
+            a.num_rows for a in tx.actions[before:] if isinstance(a, AddDataObject)
         )
 
     def _staging_dir(self) -> str:
@@ -1306,6 +1363,33 @@ def _parquet_file_stats(path: str) -> tuple[int, dict[str, list[Any]]]:
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
     return num_rows, {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _parquet_idx_max(path: str) -> Optional[int]:
+    """Largest ``_row_idx`` in one staged Parquet file, from row-group
+    footer statistics (falls back to reading just that column if a
+    writer ever omits int64 stats). Metadata-only in practice."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    if meta.num_rows == 0:
+        return None
+    out: Optional[int] = None
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            if col.path_in_schema != IDX_COL:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                arr = pf.read(columns=[IDX_COL])[IDX_COL]
+                import pyarrow.compute as pc
+
+                return int(pc.max(arr).as_py())
+            out = int(st.max) if out is None else max(out, int(st.max))
+    return out
 
 
 def _rmtree(path: str) -> None:

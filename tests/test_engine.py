@@ -235,6 +235,32 @@ def test_bulk_write_and_scan_latest(spark, store_dir):
     c.commit_tx()
 
 
+def test_bulk_write_stamps_unique_above_512_partitions(spark, store_dir):
+    """Two bulk writes in ONE tx at >512 partitions: with a fixed 2^42
+    stride, monotonically_increasing_id's partition bits (bits 33+)
+    overflow into the next write's range and stamps collide. next_idx
+    must instead advance past the true footer max, keeping every stamp
+    unique and the second write strictly newer in scan order."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    n_parts = 600
+    df1 = spark.range(n_parts).repartition(n_parts).selectExpr("id AS k", "'old' AS v")
+    df2 = spark.range(n_parts).repartition(n_parts).selectExpr("id AS k", "'new' AS v")
+    c.write_dataframe("t", df1)
+    c.write_dataframe("t", df2)
+    c.commit_tx()
+
+    c.new_tx()
+    stamped = c.scan("t").select("k", "v", "_tx_id", "_row_idx").collect()
+    stamps = [(r["_tx_id"], r["_row_idx"]) for r in stamped]
+    assert len(stamps) == len(set(stamps)) == 2 * n_parts  # no collisions
+    # latest-version-wins must pick every 'new' row — ordering intact
+    latest = {r["k"]: r["v"] for r in c.scan_latest("t", ["k"]).collect()}
+    assert latest == {k: "new" for k in range(n_parts)}
+    c.commit_tx()
+
+
 def test_sql_over_engine_tables(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir)
     c.new_tx()
@@ -331,6 +357,36 @@ def test_restore_table(spark, store_dir):
     c2.commit_tx()
 
 
+def test_restore_table_restores_metadata(spark, store_dir):
+    """RESTORE must roll back schema/primary-key changes made after the
+    target version (like Delta's RESTORE), or restored objects would be
+    read with the wrong schema."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING", primary_keys=["k"])
+    c.write_dataframe("t", spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"))
+    c.commit_tx()  # v1
+
+    c.new_tx()
+    c.add_columns("t", "extra BIGINT")
+    c.write_dataframe(
+        "t", spark.createDataFrame([(2, "b", 9)], "k BIGINT, v STRING, extra BIGINT")
+    )
+    c.commit_tx()  # v2: wider schema
+
+    c.new_tx()
+    c.restore_table("t", 1)
+    assert [f.name for f in c.table_schema("t").fields] == ["k", "v"]  # pre-commit
+    c.commit_tx()  # v3 == v1
+
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    assert [f.name for f in c2.table_schema("t").fields] == ["k", "v"]
+    assert c2._effective_snapshot(c2.tx).pkeys.get("t") == ["k"]
+    assert {r["k"] for r in c2.scan("t", with_stamps=False).collect()} == {1}
+    c2.commit_tx()
+
+
 def test_merge_into(spark, store_dir):
     import pytest
 
@@ -367,6 +423,29 @@ def test_merge_into(spark, store_dir):
     c2.new_tx()
     assert {r["k"] for r in c2.scan_current("kv").collect()} == {2, 3, 4}
     c2.commit_tx()
+
+
+def test_merge_delete_masks_same_tx_buffered_rows(spark, store_dir):
+    """Rows still sitting in the write_row buffer when merge() runs must
+    participate: a matched buffered row must be deleted by
+    when_matched='delete', not survive because the DV mask only covered
+    flushed objects."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("kv", "k BIGINT, v STRING", primary_keys=["k"])
+    c.write_dataframe("kv", spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"))
+    c.commit_tx()
+
+    c.new_tx()
+    c.write_row("kv", [2, "buffered"])  # stays in the buffer
+    src = spark.createDataFrame([(1, "x"), (2, "x")], "k BIGINT, v STRING")
+    out = c.merge("kv", src, when_matched="delete", when_not_matched="ignore")
+    assert out["deleted"] == 2 and out["inserted"] == 0
+    assert c.scan_current("kv").count() == 0  # both keys gone, pre-commit
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan_current("kv").count() == 0  # and post-commit
+    c.commit_tx()
 
 
 def test_vacuum(spark, store_dir):
