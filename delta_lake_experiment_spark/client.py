@@ -478,17 +478,22 @@ class DeltaLakeClient:
         ``DELETE FROM t WHERE col BETWEEN lo AND hi`` (or ``col = v``)
         -> :meth:`delete_rows`; ``UPDATE t SET c = lit, ... WHERE ...``
         -> :meth:`update_rows`; ``INSERT INTO t <select>`` ->
-        :meth:`insert_into` (returns None for all three — effects are
+        :meth:`insert_into`; ``MERGE INTO t USING (<select>) [WHEN
+        MATCHED THEN UPDATE|DELETE|IGNORE] [WHEN NOT MATCHED THEN
+        INSERT|IGNORE]`` -> :meth:`merge` on the table's declared
+        primary keys (returns None for all four — effects are
         transactional, visible at commit). Any other statement runs as
         a read query over the registered views and returns its
         DataFrame. The DML grammar is intentionally exactly the
-        engine's native primitives (inclusive range / literal SET);
-        outside it, :class:`UnsupportedSqlError` names the limit
-        instead of silently running non-transactional SQL.
+        engine's native primitives (inclusive range / literal SET /
+        pk-matched merge); outside it, :class:`UnsupportedSqlError`
+        names the limit instead of silently running
+        non-transactional SQL.
         """
         from delta_lake_experiment_spark.plans.dml import (
             Delete,
             Insert,
+            Merge,
             Update,
             parse_dml,
         )
@@ -503,6 +508,13 @@ class DeltaLakeClient:
             self.update_rows(stmt.table, stmt.column, stmt.start, stmt.end, stmt.set_values)
         elif isinstance(stmt, Insert):
             self.insert_into(stmt.table, stmt.query)
+        elif isinstance(stmt, Merge):
+            self.merge(
+                stmt.table,
+                self.sql(stmt.query),
+                when_matched=stmt.when_matched,
+                when_not_matched=stmt.when_not_matched,
+            )
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:

@@ -12,6 +12,12 @@ for the DML shapes the engine actually supports, by parsing:
   express point deletes — main_test.go:226, :313)
 - ``UPDATE t SET c1 = v1[, ...] WHERE c BETWEEN a AND b | c = v``
                                             -> ``update_rows``
+- ``MERGE INTO t USING (<select>) | src_table
+     [WHEN MATCHED THEN UPDATE|DELETE|IGNORE]
+     [WHEN NOT MATCHED THEN INSERT|IGNORE]``  -> ``merge`` (matching on
+  the table's declared primary keys — the reference's 'conditional
+  updates' roadmap item, README.md:31; clause defaults are
+  UPDATE / INSERT, Delta-style)
 
 This is a deliberate micro-grammar, NOT a SQL parser: predicates are
 restricted to the engine's native inclusive-range primitive (reference
@@ -56,6 +62,14 @@ _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+INTO\s+({_IDENT})\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})\s+USING\s+(.+?)\s*"
+    rf"((?:WHEN\s+(?:NOT\s+)?MATCHED\s+THEN\s+{_IDENT}\s*)*)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_CLAUSE_RE = re.compile(
+    rf"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+({_IDENT})", re.IGNORECASE
+)
 
 
 @dataclass
@@ -79,6 +93,14 @@ class Update:
 class Insert:
     table: str
     query: str
+
+
+@dataclass
+class Merge:
+    table: str
+    query: str  # SELECT text producing the source rows
+    when_matched: str  # update | delete | ignore
+    when_not_matched: str  # insert | ignore
 
 
 def _literal(tok: str) -> Any:
@@ -131,6 +153,45 @@ def parse_dml(sql: str):
         if not m:
             raise UnsupportedSqlError("INSERT supports: INSERT INTO t <select query>")
         return Insert(table=m.group(1), query=m.group(2))
+    if head == "MERGE":
+        m = _MERGE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "MERGE supports exactly: MERGE INTO t USING (<select>) | src "
+                "[WHEN MATCHED THEN UPDATE|DELETE|IGNORE] "
+                "[WHEN NOT MATCHED THEN INSERT|IGNORE] (matching on the "
+                "table's declared primary keys)"
+            )
+        source = m.group(2).strip()
+        if source.startswith("(") and source.endswith(")"):
+            source = source[1:-1].strip()
+        elif re.fullmatch(_IDENT, source):
+            source = f"SELECT * FROM {source}"
+        else:
+            raise UnsupportedSqlError(
+                "MERGE source must be a parenthesized SELECT or a view name"
+            )
+        when_matched, when_not_matched = "update", "insert"
+        for neg, action in _MERGE_CLAUSE_RE.findall(m.group(3) or ""):
+            action = action.lower()
+            if neg:
+                if action not in ("insert", "ignore"):
+                    raise UnsupportedSqlError(
+                        f"WHEN NOT MATCHED THEN {action.upper()}: only INSERT|IGNORE"
+                    )
+                when_not_matched = action
+            else:
+                if action not in ("update", "delete", "ignore"):
+                    raise UnsupportedSqlError(
+                        f"WHEN MATCHED THEN {action.upper()}: only UPDATE|DELETE|IGNORE"
+                    )
+                when_matched = action
+        return Merge(
+            table=m.group(1),
+            query=source,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+        )
     return None
 
 

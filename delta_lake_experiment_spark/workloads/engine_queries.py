@@ -216,8 +216,42 @@ FROM orders WHERE o_orderkey % 11 = 0
 """
 
 
+# The same MERGE through the SQL surface: MERGE INTO ... USING (select)
+# parsed by plans/dml.py and routed to merge() — shares the Python
+# MERGE oracle, proving statement parity.
+def engine_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("m_orders", src.schema, primary_keys=["o_orderkey"])
+    c.write_dataframe("m_orders", src)
+    c.commit_tx()
+    c.new_tx()
+    c.register_views()
+    c.execute(
+        """
+        MERGE INTO m_orders USING (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+          FROM m_orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          FROM m_orders WHERE o_orderkey % 11 = 0
+        )
+        WHEN MATCHED THEN UPDATE
+        WHEN NOT MATCHED THEN INSERT
+        """
+    )
+    c.commit_tx()
+    c.new_tx()
+    return c.scan_current("m_orders")
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_sql_merge": engine_sql_merge,
     "engine_merge_upsert": engine_merge_upsert,
     "engine_delete_range": engine_delete_range,
     "engine_delete_dv": engine_delete_dv,
@@ -229,6 +263,7 @@ QUERIES = {
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_merge_upsert": MERGE_SQL,
+    "engine_sql_merge": MERGE_SQL,
     "engine_delete_range": DELETE_SQL,
     "engine_delete_dv": DELETE_SQL,
     "engine_update_range": UPDATE_SQL,

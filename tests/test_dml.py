@@ -6,6 +6,7 @@ from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.plans.dml import (
     Delete,
     Insert,
+    Merge,
     Update,
     UnsupportedSqlError,
     parse_dml,
@@ -36,6 +37,58 @@ def test_parse_insert_and_passthrough():
     i = parse_dml("INSERT INTO t SELECT a, b FROM s WHERE b > 3")
     assert i == Insert(table="t", query="SELECT a, b FROM s WHERE b > 3")
     assert parse_dml("SELECT * FROM t") is None  # reads pass through
+
+
+def test_parse_merge():
+    m = parse_dml(
+        "MERGE INTO t USING (SELECT k, v FROM s) "
+        "WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT"
+    )
+    assert m == Merge(
+        table="t", query="SELECT k, v FROM s", when_matched="update", when_not_matched="insert"
+    )
+    # clause defaults are Delta-style update/insert
+    m = parse_dml("merge into t using src_view;")
+    assert m == Merge(
+        table="t", query="SELECT * FROM src_view", when_matched="update", when_not_matched="insert"
+    )
+    m = parse_dml(
+        "MERGE INTO t USING (SELECT * FROM s) "
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN IGNORE"
+    )
+    assert (m.when_matched, m.when_not_matched) == ("delete", "ignore")
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("MERGE INTO t USING (SELECT 1) WHEN MATCHED THEN INSERT")
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("MERGE INTO t USING (SELECT 1) WHEN NOT MATCHED THEN UPDATE")
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("MERGE INTO t USING SELECT 1")  # unparenthesized query
+
+
+def test_execute_merge_end_to_end(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("kv", "k BIGINT, v STRING", primary_keys=["k"])
+    c.write_dataframe(
+        "kv", spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    )
+    c.create_table("src", "k BIGINT, v STRING")
+    c.write_dataframe(
+        "src", spark.createDataFrame([(2, "B"), (3, "C")], "k BIGINT, v STRING")
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    c.register_views()
+    c.execute(
+        "MERGE INTO kv USING (SELECT k, v FROM src) "
+        "WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT"
+    )
+    c.commit_tx()
+    c.new_tx()
+    cur = {r["k"]: r["v"] for r in c.scan_current("kv").collect()}
+    assert cur == {1: "a", 2: "B", 3: "C"}
+    c.commit_tx()
 
 
 def test_execute_end_to_end(spark, store_dir):
