@@ -222,6 +222,7 @@ class DeltaLakeClient:
         table: str,
         schema: Union[str, T.StructType],
         primary_keys: Optional[list[str]] = None,
+        bloom_columns: Optional[list[str]] = None,
     ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
 
@@ -230,6 +231,10 @@ class DeltaLakeClient:
         ``primary_keys`` declares the upsert identity (reference roadmap
         README.md:31): :meth:`scan_current` then resolves
         latest-version-wins state without re-supplying key columns.
+        ``bloom_columns`` opts listed int/string columns into per-file
+        bloom filters (reference roadmap README.md:37): equality scans
+        and deletes on them prune the file list even when min/max
+        ranges overlap (see plans/bloom.py for the size tradeoff).
         """
         tx = self._require_tx()
         if table in tx.snapshot.tables or table in tx.new_tables:
@@ -243,8 +248,16 @@ class DeltaLakeClient:
         missing = set(pks) - {f.name for f in parsed.fields}
         if missing:
             raise TypeMismatchError(f"primary keys not in schema: {sorted(missing)}")
+        blooms = list(bloom_columns or [])
+        missing_b = set(blooms) - {f.name for f in parsed.fields}
+        if missing_b:
+            raise TypeMismatchError(f"bloom columns not in schema: {sorted(missing_b)}")
         tx.new_tables[table] = ddl
-        tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl, primary_keys=pks))
+        tx.actions.append(
+            ChangeMetadata(
+                table=table, schema_ddl=ddl, primary_keys=pks, bloom_columns=blooms
+            )
+        )
 
     def add_columns(self, table: str, columns_ddl: str) -> None:
         """Schema evolution: append new nullable columns.
@@ -1281,8 +1294,40 @@ class DeltaLakeClient:
         # zero-copy publish: staging lives under the store root, so this
         # is a hard link, not a driver round-trip of the file bytes
         self.store.put_file_if_absent(name, src_path)
+        blooms = self._build_blooms(table, tx, src_path)
         tx.actions.append(
-            AddDataObject(name=name, table=table, tx_id=tx.id, num_rows=num_rows, stats=stats)
+            AddDataObject(
+                name=name,
+                table=table,
+                tx_id=tx.id,
+                num_rows=num_rows,
+                stats=stats,
+                blooms=blooms,
+            )
+        )
+
+    def _build_blooms(self, table: str, tx: _Tx, src_path: str) -> dict[str, dict]:
+        """Per-file blooms for the table's declared bloom columns.
+
+        Reads ONLY the declared columns from the (local staging) file —
+        the same driver-side footer pass that already produces min/max
+        stats, extended by one column read. Registration paths all
+        funnel here, so flush, bulk ingest, COW rewrites and compaction
+        keep blooms consistent automatically."""
+        cols = self._effective_snapshot(tx).bloom_cols.get(table)
+        if not cols:
+            return {}
+        import pyarrow.parquet as pq
+
+        from delta_lake_experiment_spark.plans.bloom import build_column_blooms
+
+        schema_names = {f.name for f in self.table_schema(table).fields}
+        wanted = [c for c in cols if c in schema_names]
+        if not wanted:
+            return {}
+        t = pq.read_table(src_path, columns=wanted)
+        return build_column_blooms(
+            {c: t[c].to_pylist() for c in wanted}, wanted
         )
 
     def _write_counted(self, table: str, df: DataFrame) -> int:

@@ -39,17 +39,21 @@ class AddDataObject:
     num_rows: int = 0
     # column -> [min, max] for prunable (int/float/str/date) columns
     stats: dict[str, list[Any]] = field(default_factory=dict)
+    # column -> bloom JSON ({m, k, b64}) for declared bloom columns:
+    # equality-lookup file pruning (reference README.md:37 roadmap)
+    blooms: dict[str, dict[str, Any]] = field(default_factory=dict)
 
     def to_json(self) -> dict[str, Any]:
-        return {
-            "add": {
-                "name": self.name,
-                "table": self.table,
-                "tx_id": self.tx_id,
-                "num_rows": self.num_rows,
-                "stats": self.stats,
-            }
+        out: dict[str, Any] = {
+            "name": self.name,
+            "table": self.table,
+            "tx_id": self.tx_id,
+            "num_rows": self.num_rows,
+            "stats": self.stats,
         }
+        if self.blooms:
+            out["blooms"] = self.blooms
+        return {"add": out}
 
 
 @dataclass
@@ -77,11 +81,16 @@ class ChangeMetadata:
     table: str
     schema_ddl: str
     primary_keys: list[str] = field(default_factory=list)
+    # columns carrying per-file bloom filters (opt-in; point-lookup
+    # pruning on high-cardinality non-clustered columns)
+    bloom_columns: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         out: dict[str, Any] = {"table": self.table, "schema_ddl": self.schema_ddl}
         if self.primary_keys:
             out["primary_keys"] = self.primary_keys
+        if self.bloom_columns:
+            out["bloom_columns"] = self.bloom_columns
         return {"metadata": out}
 
 
@@ -125,6 +134,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             tx_id=int(a["tx_id"]),
             num_rows=int(a.get("num_rows", 0)),
             stats=a.get("stats", {}),
+            blooms=a.get("blooms", {}),
         )
     if "remove" in obj:
         r = obj["remove"]
@@ -135,6 +145,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             table=m["table"],
             schema_ddl=m["schema_ddl"],
             primary_keys=list(m.get("primary_keys", [])),
+            bloom_columns=list(m.get("bloom_columns", [])),
         )
     if "dv" in obj:
         d = obj["dv"]

@@ -61,6 +61,8 @@ class Snapshot:
     dvs: dict[str, dict[str, list[str]]] = field(default_factory=dict)
     # table -> declared primary-key columns (may be empty)
     pkeys: dict[str, list[str]] = field(default_factory=dict)
+    # table -> columns carrying per-file bloom filters
+    bloom_cols: dict[str, list[str]] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -82,10 +84,15 @@ class Snapshot:
         """Paths of live objects for a Spark read, optionally pruned by
         per-file [min,max] stats: ``prune={col: (lo, hi)}`` keeps only
         files whose stats range intersects [lo, hi] (files without stats
-        for the column are conservatively kept)."""
+        for the column are conservatively kept). Point lookups
+        (``lo == hi``) additionally probe the file's bloom filter when
+        the column carries one — the pruning lever min/max can't give
+        on high-cardinality, non-clustered columns."""
         out = []
         for obj in self.live_objects(table):
             if prune and not _stats_intersect(obj.stats, prune):
+                continue
+            if prune and not _blooms_admit(obj.blooms, prune):
                 continue
             out.append(store.path_of(obj.name))
         return out
@@ -101,6 +108,8 @@ class Snapshot:
                 self.tables[act.table] = act.schema_ddl  # last-writer-wins
                 if act.primary_keys:
                     self.pkeys[act.table] = list(act.primary_keys)
+                if act.bloom_columns:
+                    self.bloom_cols[act.table] = list(act.bloom_columns)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -129,6 +138,7 @@ class Snapshot:
                 },
                 "dvs": self.dvs,
                 "pkeys": self.pkeys,
+                "bloom_cols": self.bloom_cols,
                 "txns": self.txns,
             }
         ).encode()
@@ -142,6 +152,7 @@ class Snapshot:
             for t, objs in d.get("dvs", {}).items()
         }
         snap.pkeys = {t: list(ks) for t, ks in d.get("pkeys", {}).items()}
+        snap.bloom_cols = {t: list(cs) for t, cs in d.get("bloom_cols", {}).items()}
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():
             snap.live[t] = {
@@ -151,6 +162,7 @@ class Snapshot:
                     tx_id=int(a["tx_id"]),
                     num_rows=int(a.get("num_rows", 0)),
                     stats=a.get("stats", {}),
+                    blooms=a.get("blooms", {}),
                 )
                 for a in objs
             }
@@ -170,6 +182,25 @@ def _stats_intersect(stats: dict[str, list[Any]], prune: dict[str, tuple[Any, An
                 return False
         except TypeError:
             continue  # incomparable types -> keep the file
+    return True
+
+
+def _blooms_admit(blooms: dict[str, dict], prune: dict[str, tuple[Any, Any]]) -> bool:
+    """False when a point-lookup prune entry is definitively excluded by
+    the file's bloom filter for that column. Range predicates and
+    columns without blooms are conservatively admitted."""
+    if not blooms:
+        return True
+    from delta_lake_experiment_spark.plans.bloom import BloomFilter
+
+    for col, (lo, hi) in prune.items():
+        if lo is None or lo != hi:
+            continue  # only equality probes a bloom
+        b = blooms.get(col)
+        if b is None:
+            continue
+        if not BloomFilter.from_json(b).might_contain(lo):
+            return False
     return True
 
 

@@ -913,6 +913,42 @@ def test_stats_pruning_and_compaction(spark, store_dir):
     c.commit_tx()
 
 
+def test_bloom_point_lookup_pruning(spark, store_dir):
+    """Declared bloom columns must prune equality lookups at file
+    granularity where min/max stats cannot (every object spans the full
+    key range), and the blooms must survive checkpoint replay."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10, checkpoint_interval=1)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING", bloom_columns=["k"])
+    # 8 objects x 10 rows; sentinels 0 and 100000 in every object make
+    # each file's [min, max] span the whole range -> min/max prunes NOTHING
+    for i in range(8):
+        c.write_row("t", [0, f"lo{i}"])
+        for j in range(8):
+            c.write_row("t", [1 + i + 100 * j, f"r{i}_{j}"])
+        c.write_row("t", [100000, f"hi{i}"])
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    assert len(snap.live_files("t", c.store)) == 8
+    # k=4 lives only in object 3 (1 + 3 + 100*0)
+    pruned = snap.live_files("t", c.store, prune={"k": (4, 4)})
+    assert 1 <= len(pruned) <= 2, f"bloom should prune to ~1 file, got {len(pruned)}"
+    rows = c.scan("t", prune={"k": (4, 4)}).filter("k = 4").collect()
+    assert len(rows) == 1
+    # a range predicate ignores blooms (keeps all: min/max overlap)
+    assert len(snap.live_files("t", c.store, prune={"k": (2, 5)})) == 8
+    c.commit_tx()
+
+    # blooms survive the checkpoint (checkpoint_interval=1 -> v1 folded)
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    snap2 = c2._effective_snapshot(c2.tx)
+    assert len(snap2.live_files("t", c2.store, prune={"k": (4, 4)})) <= 2
+    c2.commit_tx()
+
+
 def test_checkpoint_replay(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=10, checkpoint_interval=4)
     c.new_tx()
