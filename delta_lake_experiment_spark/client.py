@@ -337,6 +337,13 @@ class DeltaLakeClient:
             F.lit(tx.id).cast("long").alias(TX_COL),
             (F.monotonically_increasing_id() + F.lit(base)).alias(IDX_COL),
         )
+        begin_remote = getattr(self.store, "begin_remote_staging", None)
+        if begin_remote is not None:
+            # Remote stores (S3): executors write Parquet into in-bucket
+            # staging, the driver publishes via server-side copy — no
+            # data bytes ever transit the driver.
+            self._write_dataframe_remote(table, tx, stamped, base, begin_remote())
+            return
         staging = self._staging_dir()
         stamped.write.mode("overwrite").parquet(staging)
         # Advance next_idx past the LARGEST stamp actually written (read
@@ -360,6 +367,130 @@ class DeltaLakeClient:
         finally:
             _rmtree(staging)
         tx.next_idx[table] = max_idx + 1
+
+    def _write_dataframe_remote(
+        self, table: str, tx: _Tx, stamped: DataFrame, base: int, rs
+    ) -> None:
+        """Bulk ingest against a remote (S3-style) store: Spark writes
+        the stamped frame into the store's staging area (executor →
+        bucket, via the cluster's S3A connector), per-file stats/blooms
+        come from ONE distributed aggregation over the staged files, and
+        each file is published with a server-side copy. The only driver
+        traffic is metadata: key names, footer-sized stats rows, bloom
+        bitsets."""
+        stamped.write.mode("overwrite").parquet(rs.uri)
+        try:
+            staged = rs.list_staged()
+            if not staged:
+                return
+            stats_by_file, blooms_by_file, max_idx = self._staged_stats_distributed(
+                table, tx, rs.uri
+            )
+            for skey in staged:
+                fname = skey.rsplit("/", 1)[-1]
+                st = stats_by_file.get(fname)
+                if st is None or st["num_rows"] == 0:
+                    continue  # empty partition file — never logged
+                dest = f"table_{table}_{uuid.uuid4().hex}.parquet"
+                rs.publish(skey, dest)
+                tx.actions.append(
+                    AddDataObject(
+                        name=dest,
+                        table=table,
+                        tx_id=tx.id,
+                        num_rows=st["num_rows"],
+                        stats=st["stats"],
+                        blooms=blooms_by_file.get(fname, {}),
+                    )
+                )
+            if max_idx is not None:
+                tx.next_idx[table] = max_idx + 1
+        finally:
+            rs.discard()
+
+    def _staged_stats_distributed(
+        self, table: str, tx: _Tx, uri: str
+    ) -> tuple[dict, dict, Optional[int]]:
+        """(per-file {num_rows, stats}, per-file blooms, max _row_idx)
+        for a staged directory — the distributed equivalent of the
+        driver-side footer pass, grouped on the ``_metadata`` file name
+        so stats rows (not data) are all that reaches the driver."""
+        stored = self._stored_schema(self.table_schema(table))
+        df = self.spark.read.schema(stored).parquet(uri)
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        prunable = [
+            f.name
+            for f in stored.fields
+            if f.name not in (TX_COL, IDX_COL)
+            and isinstance(f.dataType, integral + (T.FloatType, T.DoubleType, T.StringType))
+        ]
+        aggs = [
+            F.count(F.lit(1)).alias("__n"),
+            F.max(F.col(IDX_COL)).alias("__maxidx"),
+        ]
+        for c in prunable:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        rows = (
+            df.groupBy(F.col("_metadata.file_name").alias("__f")).agg(*aggs).collect()
+        )
+        stats_by_file: dict[str, dict] = {}
+        max_idx: Optional[int] = None
+        for r in rows:
+            st = {}
+            for c in prunable:
+                mn, mx = r[f"__min_{c}"], r[f"__max_{c}"]
+                if mn is not None and mx is not None:
+                    st[c] = [mn, mx]
+            stats_by_file[r["__f"]] = {"num_rows": r["__n"], "stats": st}
+            if r["__maxidx"] is not None:
+                max_idx = (
+                    r["__maxidx"] if max_idx is None else max(max_idx, r["__maxidx"])
+                )
+
+        blooms_by_file: dict[str, dict] = {}
+        names = {f.name: f.dataType for f in stored.fields}
+        bloom_cols = [
+            c
+            for c in self._effective_snapshot(tx).bloom_cols.get(table, [])
+            if c in names and isinstance(names[c], integral + (T.StringType,))
+        ]
+        if bloom_cols:
+            is_str = {c: isinstance(names[c], T.StringType) for c in bloom_cols}
+
+            def _build(pdf):
+                import json as _json
+
+                import pandas as _pd
+
+                from delta_lake_experiment_spark.plans.bloom import build_column_blooms
+
+                cols = {}
+                for c in bloom_cols:
+                    vals = [
+                        (str(v) if is_str[c] else int(v))
+                        for v in pdf[c]
+                        if not _pd.isna(v)
+                    ]
+                    cols[c] = vals
+                built = build_column_blooms(cols, bloom_cols)
+                return _pd.DataFrame(
+                    [
+                        {"f": pdf["__f"].iloc[0], "col": c, "bloom": _json.dumps(b)}
+                        for c, b in built.items()
+                    ],
+                    columns=["f", "col", "bloom"],
+                )
+
+            brows = (
+                df.select(F.col("_metadata.file_name").alias("__f"), *bloom_cols)
+                .groupBy("__f")
+                .applyInPandas(_build, "f string, col string, bloom string")
+                .collect()
+            )
+            for r in brows:
+                blooms_by_file.setdefault(r["f"], {})[r["col"]] = json.loads(r["bloom"])
+        return stats_by_file, blooms_by_file, max_idx
 
     # ------------------------------------------------------------------
     # reads
@@ -866,7 +997,7 @@ class DeltaLakeClient:
             if obj_name not in dv_cache:
                 masked: set = set()
                 for dv_name in table_dvs.get(obj_name, []):
-                    dv_tbl = pq.read_table(self.store.path_of(dv_name))
+                    dv_tbl = self._read_store_parquet(dv_name)
                     for o, r in zip(dv_tbl["obj"].to_pylist(), dv_tbl["row_idx"].to_pylist()):
                         if o == obj_name:
                             masked.add(r)
@@ -876,7 +1007,7 @@ class DeltaLakeClient:
         staging = self._staging_dir()
         try:
             for i, path in enumerate(candidates):
-                tbl = pq.read_table(path)
+                tbl = self._read_store_parquet(_basename_of_uri(path))
                 obj_name = _basename_of_uri(path)
                 masked = _masked_rows(obj_name)
                 if column not in tbl.schema.names:
@@ -1065,11 +1196,9 @@ class DeltaLakeClient:
             return 0
         import collections
 
-        import pyarrow.parquet as pq
-
         counts: collections.Counter = collections.Counter()
         for dv in sorted({d for dvl in dv_map.values() for d in dvl}):
-            t = pq.read_table(self.store.path_of(dv), columns=["obj"])
+            t = self._read_store_parquet(dv, columns=["obj"])
             counts.update(t["obj"].to_pylist())
         heavy = [
             o.name
@@ -1281,6 +1410,21 @@ class DeltaLakeClient:
             self._register_object(table, tx, tmp)
         finally:
             _rmtree(os.path.dirname(tmp))
+
+    def _read_store_parquet(self, name: str, columns: Optional[list] = None):
+        """Driver-side pyarrow read of one STORE object. Local stores go
+        through the filesystem path; remote stores (whose ``path_of``
+        returns an s3a:// URI pyarrow cannot open) fetch the object
+        bytes via the storage API instead — so the driver fast paths
+        (small COW deletes, DV reads, materialization policy) work on
+        every backend, not just local FS."""
+        import pyarrow.parquet as pq
+
+        if getattr(self.store, "root", None) is not None:
+            return pq.read_table(self.store.path_of(name), columns=columns)
+        import pyarrow as pa
+
+        return pq.read_table(pa.BufferReader(self.store.read(name)), columns=columns)
 
     def _register_object(self, table: str, tx: _Tx, src_path: str) -> None:
         # NOTE: no leading underscore — Spark's file index treats `_`/`.`

@@ -101,12 +101,34 @@ class S3ObjectStorage(ObjectStorage):
             raise
 
     def put_file_if_absent(self, name: str, src_path: str) -> None:
-        # Single-request conditional upload. Data objects the executors
-        # wrote to S3 staging directly would skip this driver hop
-        # entirely (copy_object is also conditional-PUT capable); this
-        # path serves driver-local staging, mirroring the local backend.
+        # Single-request conditional upload of a DRIVER-local file (the
+        # row-buffer flush path). Bulk ingest never comes through here:
+        # executors write straight to S3 staging and the driver
+        # publishes via server-side copy_object — see
+        # :meth:`begin_remote_staging`.
         with open(src_path, "rb") as f:
             self.put_if_absent(name, f.read())
+
+    # ------------------------------------------------------------------
+    # executor-direct staging (bulk ingest without driver data bytes)
+    # ------------------------------------------------------------------
+
+    def begin_remote_staging(self) -> "S3RemoteStaging":
+        """Open a staging area INSIDE the bucket: executors write
+        Parquet to ``uri`` through the S3A connector, the driver then
+        publishes each staged file with a server-side ``copy_object``
+        (one metadata request, zero data bytes through the driver) and
+        deletes the staged keys. Data-object uniqueness comes from the
+        uuid4 destination names; commit atomicity stays with the log
+        record's conditional PUT — the copy needs no condition of its
+        own."""
+        return S3RemoteStaging(self)
+
+    def staging_uri(self, token: str) -> str:
+        return f"{self.scheme}://{self.bucket}/{self._staging_key_prefix(token)}"
+
+    def _staging_key_prefix(self, token: str) -> str:
+        return f"{self.prefix}.tmp/staging_{token}/"
 
     def list_prefix_ordered(self, prefix: str) -> list[str]:
         names: list[str] = []
@@ -153,6 +175,58 @@ class S3ObjectStorage(ObjectStorage):
         if name.startswith(".") or "/" in name:
             raise ValueError(f"invalid object name: {name!r}")
         return self.prefix + name
+
+
+class S3RemoteStaging:
+    """One staging area under ``<prefix>/.tmp/staging_<token>/``.
+
+    Lifecycle: Spark writes Parquet to :attr:`uri` (executors talk to
+    S3 directly via S3A) → :meth:`list_staged` names the staged parquet
+    keys → :meth:`publish` server-side-copies one staged key to a final
+    data-object key → :meth:`discard` deletes whatever staging keys
+    remain. The driver only ever moves object *names*, never bytes.
+    """
+
+    def __init__(self, store: S3ObjectStorage) -> None:
+        import uuid
+
+        self.store = store
+        self.token = uuid.uuid4().hex
+        self.key_prefix = store._staging_key_prefix(self.token)
+        self.uri = store.staging_uri(self.token)
+
+    def list_staged(self) -> list[str]:
+        """Staged parquet keys (ascending; excludes _SUCCESS etc.)."""
+        return [k for k in self._all_keys() if k.endswith(".parquet")]
+
+    def publish(self, staged_key: str, dest_name: str) -> None:
+        self.store.client.copy_object(
+            Bucket=self.store.bucket,
+            Key=self.store._key(dest_name),
+            CopySource={"Bucket": self.store.bucket, "Key": staged_key},
+        )
+
+    def discard(self) -> None:
+        for key in self._all_keys():
+            self.store.client.delete_object(Bucket=self.store.bucket, Key=key)
+
+    def _all_keys(self) -> list[str]:
+        keys: list[str] = []
+        token: Optional[str] = None
+        while True:
+            kwargs: dict[str, Any] = {
+                "Bucket": self.store.bucket,
+                "Prefix": self.key_prefix,
+            }
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self.store.client.list_objects_v2(**kwargs)
+            keys.extend(obj["Key"] for obj in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        keys.sort()
+        return keys
 
 
 def _http_status(e: Exception) -> Optional[int]:

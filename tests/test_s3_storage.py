@@ -31,13 +31,24 @@ class FakeS3Client:
     def __init__(self, page_size=2):
         self.objects = {}  # key -> bytes
         self.page_size = page_size  # tiny pages to exercise pagination
+        self.put_keys = []  # every key written via PutObject (driver bytes)
+        self.copy_keys = []  # every key written via server-side CopyObject
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
         assert IfNoneMatch == "*", "engine must always write conditionally"
         if Key in self.objects:
             raise _ApiError(412, "PreconditionFailed")
         self.objects[Key] = bytes(Body)
+        self.put_keys.append(Key)
         return {"ETag": '"fake"'}
+
+    def copy_object(self, Bucket, Key, CopySource):
+        src = CopySource["Key"]
+        if src not in self.objects:
+            raise _ApiError(404, "NoSuchKey")
+        self.objects[Key] = self.objects[src]
+        self.copy_keys.append(Key)
+        return {"CopyObjectResult": {"ETag": '"fake"'}}
 
     def get_object(self, Bucket, Key):
         if Key not in self.objects:
@@ -94,6 +105,91 @@ def test_path_of_is_a_spark_uri(s3_store):
     )
     with pytest.raises(ValueError):
         s3_store.path_of("../escape")
+
+
+class _LocalSyncedStaging:
+    """Test double for the S3A leg of remote staging: Spark writes to a
+    local dir; list_staged() first absorbs those files into the fake
+    bucket under the staging keys (exactly what the executors' S3A
+    writes would have done), then the PRODUCTION list/publish/discard
+    code runs against the fake S3 API."""
+
+    def __init__(self, store, local_dir):
+        from delta_lake_experiment_spark.storage.s3 import S3RemoteStaging
+
+        self._inner = S3RemoteStaging(store)
+        self.local_dir = local_dir
+        self.uri = local_dir  # Spark's write target
+        self.key_prefix = self._inner.key_prefix
+
+    def list_staged(self):
+        import os
+
+        for fn in sorted(os.listdir(self.local_dir)):
+            p = os.path.join(self.local_dir, fn)
+            if os.path.isfile(p):
+                with open(p, "rb") as f:
+                    self._inner.store.client.objects[self.key_prefix + fn] = f.read()
+        return self._inner.list_staged()
+
+    def publish(self, staged_key, dest_name):
+        self._inner.publish(staged_key, dest_name)
+
+    def discard(self):
+        import shutil
+
+        self._inner.discard()
+        shutil.rmtree(self.local_dir, ignore_errors=True)
+
+
+class _TestS3Storage(S3ObjectStorage):
+    def begin_remote_staging(self):
+        import tempfile
+
+        return _LocalSyncedStaging(self, tempfile.mkdtemp(prefix="fake_s3_staging_"))
+
+
+def test_bulk_ingest_never_moves_data_through_the_driver(spark):
+    """write_dataframe on an S3 store: staged files publish via
+    server-side copy_object; no PutObject ever carries data-object
+    bytes; distributed stats + blooms land in the add actions; staging
+    keys are cleaned up."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log as _replay
+
+    api = FakeS3Client(page_size=3)
+    store = _TestS3Storage("lake", prefix="tables/t1", client=api)
+    c = DeltaLakeClient(spark, store)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING", bloom_columns=["k"])
+    df = spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v").repartition(4)
+    c.write_dataframe("t", df)
+    c.commit_tx()
+
+    assert [k for k in api.put_keys if "table_t_" in k] == []  # no driver bytes
+    assert any("table_t_" in k for k in api.copy_keys)  # server-side publish
+    assert not [k for k in api.objects if "/.tmp/" in k]  # staging reclaimed
+
+    snap = _replay(store)
+    objs = snap.live_objects("t")
+    assert len(objs) == 4 and sum(o.num_rows for o in objs) == 100
+    assert all(o.stats.get("k") and o.blooms.get("k") for o in objs)
+    # distributed-built blooms prune a point lookup (min/max can't:
+    # repartition scatters keys across all four files)
+    assert len(snap.live_files("t", store, prune={"k": (7, 7)})) < 4
+
+
+def test_read_store_parquet_fetches_bytes_on_remote_stores(spark, s3_store, tmp_path):
+    """Driver pyarrow fast paths must not hand s3a:// URIs to pyarrow —
+    on stores without a local root they read via the storage API."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "obj.parquet"
+    pq.write_table(pa.table({"obj": ["a", "a", "b"], "row_idx": [0, 1, 2]}), p)
+    s3_store.put_file_if_absent("dv_t_1.parquet", str(p))
+    c = DeltaLakeClient(spark, s3_store)
+    t = c._read_store_parquet("dv_t_1.parquet", columns=["obj"])
+    assert t["obj"].to_pylist() == ["a", "a", "b"]
 
 
 def test_commit_protocol_over_s3(spark, s3_store):
