@@ -1244,24 +1244,40 @@ class DeltaLakeClient:
         everything unreferenced goes — only safe when no writer is
         in flight (e.g. tests, single-writer maintenance windows).
 
-        Cost note: replays the log once per retained version — fine for
-        checkpointed logs of modest depth; a production variant would
-        fold versions incrementally in one pass.
+        Cost: ONE log pass. The union of live sets over versions
+        [lo, latest] is exactly live(lo) ∪ {objects ADDED after lo} —
+        an object removed later in the range was still live at the
+        retained version that added it — and the same identity holds
+        for deletion vectors, whose references retire with their parent
+        objects on replay. So the oldest retained snapshot is replayed
+        once (checkpoint-accelerated) and every later log record is
+        folded incrementally; each record is read at most once, versus
+        one full replay per retained version before.
         """
         if self.tx is not None:
             raise ExistingTxError("vacuum must run outside a transaction")
         import time
 
-        latest = replay_log(self.store)
+        log_names = self.store.list_prefix_ordered(LOG_PREFIX)
+        latest_version = int(log_names[-1][len(LOG_PREFIX):]) if log_names else 0
+        lo = max(1, latest_version - retain_versions)
+        base = replay_log(self.store, as_of=lo)
         keep: set[str] = set()
-        lo = max(1, latest.version - retain_versions)
-        for v in range(lo, latest.version + 1):
-            snap = replay_log(self.store, as_of=v)
-            for objs in snap.live.values():
-                keep.update(objs)
-            for masked in snap.dvs.values():
-                for dv_list in masked.values():
-                    keep.update(dv_list)
+        for objs in base.live.values():
+            keep.update(objs)
+        for masked in base.dvs.values():
+            for dv_list in masked.values():
+                keep.update(dv_list)
+        for name in log_names:
+            v = int(name[len(LOG_PREFIX):])
+            if v <= base.version:
+                continue
+            record = json.loads(self.store.read(name))
+            for a in record["actions"]:
+                if "add" in a:
+                    keep.add(a["add"]["name"])
+                elif "dv" in a:
+                    keep.add(a["dv"]["dv_name"])
         cutoff = time.time() - min_age_seconds
         deleted = 0
         for prefix in ("table_", "dv_"):

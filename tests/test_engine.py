@@ -481,6 +481,59 @@ def test_vacuum(spark, store_dir):
     c.commit_tx()
 
 
+def test_vacuum_single_log_pass_at_depth(spark, store_dir, tmp_path):
+    """VACUUM over a 120-version log with DV deletes: every log record
+    is read AT MOST once (one incremental pass; the old per-version
+    replay read ~retain x depth records), and DV objects age out with
+    their rewritten parents."""
+    from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage
+
+    class CountingStore(LocalObjectStorage):
+        def __init__(self, root):
+            super().__init__(root)
+            self.log_reads = 0
+
+        def read(self, name):
+            if name.startswith("_log_"):
+                self.log_reads += 1
+            return super().read(name)
+
+    store = CountingStore(store_dir)
+    c = DeltaLakeClient(spark, store, dataobject_size=4, checkpoint_interval=0)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(119):
+        c.new_tx()
+        c.write_row("t", [i, i])
+        if i == 60:
+            c.delete_rows("t", "k", 10, 20, use_dv=True)  # DV object
+        c.commit_tx()
+    n_versions = 120
+    n_dvs = len(store.list_prefix_ordered("dv_"))
+    assert n_dvs == 1
+
+    store.log_reads = 0
+    deleted = c.vacuum(retain_versions=10)
+    assert store.log_reads <= n_versions, (
+        f"vacuum read {store.log_reads} log records for {n_versions} versions"
+    )
+    assert deleted == 0  # nothing rewritten yet — everything referenced
+
+    # materializing the masked objects retires the DV; after the retained
+    # window passes it, vacuum reclaims the DV with its parents
+    c.new_tx()
+    n_rewritten = c.materialize_dvs("t", min_masked_fraction=0.0)
+    assert n_rewritten >= 1
+    c.commit_tx()
+    assert c.vacuum(retain_versions=0) >= n_rewritten + n_dvs
+    assert store.list_prefix_ordered("dv_") == []
+    c.new_tx()
+    ks = {r["k"] for r in c.scan("t", with_stamps=False).collect()}
+    assert ks == {i for i in range(119)} - set(range(10, 21))
+    c.commit_tx()
+
+
 def test_vacuum_age_guard_spares_inflight_writers(spark, store_dir):
     """An unreferenced object younger than min_age_seconds is spared:
     it may belong to a concurrent commit whose log record isn't
