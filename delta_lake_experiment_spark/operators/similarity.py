@@ -285,16 +285,28 @@ def lsh_bucket_topk(
     dim: int,
     k: int = 10,
     bits: int = 8,
+    probe_hamming: int = 0,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the query's SRP bucket.
+    """ANN top-k: score only vectors in the query's SRP bucket —
+    multiprobing buckets within ``probe_hamming`` bit flips of it
+    (standard multiprobe LSH: near neighbors that straddle a projection
+    hyperplane land one bit away, so probing adjacent buckets buys
+    recall at sum(C(bits, i), i<=h)/2^bits of the scan cost).
 
     At scale, write the table partitioned by ``bucket`` and this becomes
-    partition pruning — the scan touches ~1/2^bits of the data. The
-    query's bucket is computed driver-side in pure Python (zero Spark
-    jobs) with the same xxh64-derived signs and the same IEEE fold
-    order as the index side."""
+    partition pruning — the scan touches the probed fraction of the
+    data. The query-side bucket set is computed driver-side in pure
+    Python (zero Spark jobs) with the same xxh64-derived signs and the
+    same IEEE fold order as the index side."""
     q = [float(x) for x in query]
     qbucket = srp_bucket_py(q, srp_signs(dim, bits))
+    probes = [qbucket]
+    if probe_hamming > 0:
+        probes = [
+            b
+            for b in range(1 << bits)
+            if bin(b ^ qbucket).count("1") <= probe_hamming
+        ]
     bucketed = emb_df.withColumn("bucket", srp_bucket(F.col(vec_col), dim, bits))
-    cand = bucketed.filter(F.col("bucket") == qbucket)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(cand, id_col, vec_col, q, k=k)
