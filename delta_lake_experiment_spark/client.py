@@ -223,6 +223,7 @@ class DeltaLakeClient:
         schema: Union[str, T.StructType],
         primary_keys: Optional[list[str]] = None,
         bloom_columns: Optional[list[str]] = None,
+        cluster_by: Optional[list[str]] = None,
     ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
 
@@ -235,6 +236,13 @@ class DeltaLakeClient:
         bloom filters (reference roadmap README.md:37): equality scans
         and deletes on them prune the file list even when min/max
         ranges overlap (see plans/bloom.py for the size tradeoff).
+        ``cluster_by`` declares the table's physical layout: every bulk
+        ingest range-partitions + sorts on these columns, so each data
+        object covers a tight [min, max] slice and the log-level stats
+        pruning acts as partition pruning — the Spark-first answer to a
+        hive-style ``partitionBy`` directory layout, with no partition
+        columns dropped from the files and no small-file explosion on
+        high-cardinality keys (cost: one extra shuffle per ingest).
         """
         tx = self._require_tx()
         if table in tx.snapshot.tables or table in tx.new_tables:
@@ -252,10 +260,18 @@ class DeltaLakeClient:
         missing_b = set(blooms) - {f.name for f in parsed.fields}
         if missing_b:
             raise TypeMismatchError(f"bloom columns not in schema: {sorted(missing_b)}")
+        clus = list(cluster_by or [])
+        missing_c = set(clus) - {f.name for f in parsed.fields}
+        if missing_c:
+            raise TypeMismatchError(f"cluster columns not in schema: {sorted(missing_c)}")
         tx.new_tables[table] = ddl
         tx.actions.append(
             ChangeMetadata(
-                table=table, schema_ddl=ddl, primary_keys=pks, bloom_columns=blooms
+                table=table,
+                schema_ddl=ddl,
+                primary_keys=pks,
+                bloom_columns=blooms,
+                cluster_by=clus,
             )
         )
 
@@ -332,6 +348,12 @@ class DeltaLakeClient:
         if missing:
             raise TypeMismatchError(f"dataframe missing columns {sorted(missing)}")
         base = tx.next_idx.get(table, 0)
+        cluster = self._effective_snapshot(tx).cluster_cols.get(table)
+        if cluster:
+            # declared layout: each output file covers a tight range of
+            # the cluster columns -> stats pruning == partition pruning
+            df = df.repartitionByRange(*[F.col(c) for c in cluster])
+            df = df.sortWithinPartitions(*cluster)
         stamped = df.select(
             *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols],
             F.lit(tx.id).cast("long").alias(TX_COL),
@@ -1340,6 +1362,8 @@ class DeltaLakeClient:
             for t, objs in tx.snapshot.dvs.items()
         }
         snap.pkeys = {t: list(ks) for t, ks in tx.snapshot.pkeys.items()}
+        snap.bloom_cols = {t: list(cs) for t, cs in tx.snapshot.bloom_cols.items()}
+        snap.cluster_cols = {t: list(cs) for t, cs in tx.snapshot.cluster_cols.items()}
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap

@@ -84,6 +84,11 @@ class ChangeMetadata:
     # columns carrying per-file bloom filters (opt-in; point-lookup
     # pruning on high-cardinality non-clustered columns)
     bloom_columns: list[str] = field(default_factory=list)
+    # declared clustering: bulk ingest range-partitions + sorts on these
+    # columns so every data object covers a tight [min, max] slice —
+    # file-level stats pruning then acts as partition pruning, without a
+    # hive-style directory layout (Spark-first liquid-clustering analog)
+    cluster_by: list[str] = field(default_factory=list)
 
     def to_json(self) -> dict[str, Any]:
         out: dict[str, Any] = {"table": self.table, "schema_ddl": self.schema_ddl}
@@ -91,6 +96,8 @@ class ChangeMetadata:
             out["primary_keys"] = self.primary_keys
         if self.bloom_columns:
             out["bloom_columns"] = self.bloom_columns
+        if self.cluster_by:
+            out["cluster_by"] = self.cluster_by
         return {"metadata": out}
 
 
@@ -146,6 +153,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             schema_ddl=m["schema_ddl"],
             primary_keys=list(m.get("primary_keys", [])),
             bloom_columns=list(m.get("bloom_columns", [])),
+            cluster_by=list(m.get("cluster_by", [])),
         )
     if "dv" in obj:
         d = obj["dv"]

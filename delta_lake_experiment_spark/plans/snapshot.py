@@ -63,6 +63,8 @@ class Snapshot:
     pkeys: dict[str, list[str]] = field(default_factory=dict)
     # table -> columns carrying per-file bloom filters
     bloom_cols: dict[str, list[str]] = field(default_factory=dict)
+    # table -> declared clustering columns (bulk ingest layout)
+    cluster_cols: dict[str, list[str]] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -110,6 +112,8 @@ class Snapshot:
                     self.pkeys[act.table] = list(act.primary_keys)
                 if act.bloom_columns:
                     self.bloom_cols[act.table] = list(act.bloom_columns)
+                if act.cluster_by:
+                    self.cluster_cols[act.table] = list(act.cluster_by)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -139,6 +143,7 @@ class Snapshot:
                 "dvs": self.dvs,
                 "pkeys": self.pkeys,
                 "bloom_cols": self.bloom_cols,
+                "cluster_cols": self.cluster_cols,
                 "txns": self.txns,
             }
         ).encode()
@@ -153,6 +158,7 @@ class Snapshot:
         }
         snap.pkeys = {t: list(ks) for t, ks in d.get("pkeys", {}).items()}
         snap.bloom_cols = {t: list(cs) for t, cs in d.get("bloom_cols", {}).items()}
+        snap.cluster_cols = {t: list(cs) for t, cs in d.get("cluster_cols", {}).items()}
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():
             snap.live[t] = {

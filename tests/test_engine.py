@@ -966,6 +966,45 @@ def test_stats_pruning_and_compaction(spark, store_dir):
     c.commit_tx()
 
 
+def test_declared_clustering_layout_prunes_ingest(spark, store_dir):
+    """create_table(cluster_by=...) must give bulk-ingested data a
+    pruned layout out of the box: a shuffled ingest lands in
+    range-partitioned files whose [min,max] slices let a range lookup
+    skip almost everything, with no compaction step."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT", cluster_by=["k"])
+    shuffled = (
+        spark.range(4000)
+        .selectExpr("id AS k", "id AS v")
+        .repartition(8)  # destroys any incidental ordering
+    )
+    # at test size AQE would (correctly) coalesce the range shuffle to
+    # one file; pin the partition count so the layout is observable
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_conf, "true")
+    spark.conf.set(coalesce_conf, "false")
+    try:
+        c.write_dataframe("t", shuffled)
+        c.commit_tx()
+    finally:
+        spark.conf.set(coalesce_conf, prev)
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    total = snap.live_files("t", c.store)
+    pruned = snap.live_files("t", c.store, prune={"k": (100, 150)})
+    assert len(total) >= 4
+    assert len(pruned) <= 2, f"clustered ingest should prune, got {len(pruned)}/{len(total)}"
+    assert c.scan("t").filter("k BETWEEN 100 AND 150").count() == 51
+    # layout metadata survives replay for the next writer
+    c.commit_tx()
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    assert c2._effective_snapshot(c2.tx).cluster_cols.get("t") == ["k"]
+    c2.commit_tx()
+
+
 def test_bloom_point_lookup_pruning(spark, store_dir):
     """Declared bloom columns must prune equality lookups at file
     granularity where min/max stats cannot (every object spans the full
@@ -999,7 +1038,20 @@ def test_bloom_point_lookup_pruning(spark, store_dir):
     c2.new_tx()
     snap2 = c2._effective_snapshot(c2.tx)
     assert len(snap2.live_files("t", c2.store, prune={"k": (4, 4)})) <= 2
+    # a LATER tx (bloom_columns known only via replay) still builds blooms
+    c2.write_dataframe(
+        "t", spark.createDataFrame([(123456, "late")], "k BIGINT, v STRING")
+    )
     c2.commit_tx()
+    c3 = DeltaLakeClient(spark, store_dir)
+    c3.new_tx()
+    late = [
+        o
+        for o in c3._effective_snapshot(c3.tx).live_objects("t")
+        if o.stats.get("k") == [123456, 123456]
+    ]
+    assert late and late[0].blooms.get("k")
+    c3.commit_tx()
 
 
 def test_checkpoint_replay(spark, store_dir):
