@@ -602,6 +602,91 @@ class DeltaLakeClient:
             )
         return self.scan_latest(table, keys)
 
+    def scan_changes(
+        self, table: str, from_version: int, to_version: Optional[int] = None
+    ) -> DataFrame:
+        """Change data feed: the NET row changes between two committed
+        versions, as user columns + ``_change_type`` ('insert' |
+        'delete'). A multi-version upsert surfaces as an insert (the new
+        version) — and a delete of the old one only if the old version
+        itself was removed; ``update_rows`` corrections keep their
+        stamps and are invisible by design (see its docstring).
+
+        Computation is a snapshot diff at FILE granularity, exact under
+        writes, COW/DV deletes, MERGE and compaction:
+
+        - files added between the versions hold insert candidates; rows
+          that merely MOVED there by a rewrite are cancelled by an
+          anti-join on their (immutable) ``_tx_id``/``_row_idx`` stamps
+          against the rows of files removed between the versions;
+        - the reverse anti-join yields deletes from removed files;
+        - deletion vectors attached to still-live files between the two
+          versions contribute their newly-masked positions as deletes.
+
+        Compaction therefore reports zero changes (every row cancels),
+        and the cost is O(files changed + masks added), never O(table).
+        """
+        tx = self._require_tx()
+        to_snap = (
+            replay_log(self.store, as_of=to_version)
+            if to_version is not None
+            else tx.snapshot
+        )
+        from_snap = replay_log(self.store, as_of=from_version)
+        if table not in to_snap.tables:
+            raise TableNotFoundError(table)
+        stored = self._stored_schema(self._parse_ddl(to_snap.tables[table]))
+        from_objs = from_snap.live.get(table, {})
+        to_objs = to_snap.live.get(table, {})
+        new_names = sorted(set(to_objs) - set(from_objs))
+        gone_names = sorted(set(from_objs) - set(to_objs))
+        common = set(to_objs) & set(from_objs)
+
+        def _rows(snap, names, with_pos=False):
+            return self._read_live(
+                table, snap, stored, [self.store.path_of(n) for n in names],
+                with_pos=with_pos,
+            )
+
+        stamps = [TX_COL, IDX_COL]
+        empty = self.spark.createDataFrame([], stored)
+        new_rows = _rows(to_snap, new_names) if new_names else empty
+        gone_rows = _rows(from_snap, gone_names) if gone_names else empty
+        inserts = new_rows.join(gone_rows, stamps, "left_anti")
+        deletes = gone_rows.join(new_rows, stamps, "left_anti")
+
+        # newly-masked positions on files live at both versions
+        from_dvs = from_snap.table_dvs(table)
+        to_dvs = to_snap.table_dvs(table)
+        masked_objs = {
+            o
+            for o in common
+            if set(to_dvs.get(o, [])) - set(from_dvs.get(o, []))
+        }
+        if masked_objs:
+            dv_names = sorted(
+                {
+                    dv
+                    for o in masked_objs
+                    for dv in set(to_dvs.get(o, [])) - set(from_dvs.get(o, []))
+                }
+            )
+            mask = (
+                self.spark.read.parquet(*[self.store.path_of(n) for n in dv_names])
+                .filter(F.col("obj").isin(sorted(masked_objs)))
+                .select(F.col("obj").alias("__obj"), F.col("row_idx").alias("__ridx"))
+            )
+            masked_rows = (
+                _rows(from_snap, sorted(masked_objs), with_pos=True)
+                .join(mask, ["__obj", "__ridx"], "left_semi")
+                .drop("__obj", "__ridx")
+            )
+            deletes = deletes.unionByName(masked_rows)
+
+        return inserts.withColumn("_change_type", F.lit("insert")).unionByName(
+            deletes.withColumn("_change_type", F.lit("delete"))
+        )
+
     def register_views(
         self,
         *tables: str,

@@ -249,9 +249,48 @@ def engine_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.scan_current("m_orders")
 
 
+# Change data feed: v1 full ingest, v2 COW range delete, v3 upsert of
+# new versions for every 10th order — the net diff (1 -> 3) must report
+# exactly the deleted originals and the upserted versions.
+def engine_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("orders", src.schema)
+    c.write_dataframe("orders", src)
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("orders", "o_totalprice", 50000.0, 100000.0)
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.write_dataframe(
+        "orders",
+        src.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+    )
+    c.commit_tx()  # v3
+    c.new_tx()
+    cols = [f.name for f in src.schema.fields]
+    return c.scan_changes("orders", 1, 3).select(*cols, "_change_type")
+
+
+CHANGE_FEED_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority, 'delete' AS _change_type
+FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+       o_orderdate, o_orderpriority, 'insert' AS _change_type
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_sql_merge": engine_sql_merge,
+    "engine_change_feed": engine_change_feed,
     "engine_merge_upsert": engine_merge_upsert,
     "engine_delete_range": engine_delete_range,
     "engine_delete_dv": engine_delete_dv,
@@ -264,6 +303,7 @@ ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_merge_upsert": MERGE_SQL,
     "engine_sql_merge": MERGE_SQL,
+    "engine_change_feed": CHANGE_FEED_SQL,
     "engine_delete_range": DELETE_SQL,
     "engine_delete_dv": DELETE_SQL,
     "engine_update_range": UPDATE_SQL,

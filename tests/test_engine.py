@@ -966,6 +966,43 @@ def test_stats_pruning_and_compaction(spark, store_dir):
     c.commit_tx()
 
 
+def test_scan_changes_net_diff(spark, store_dir):
+    """Change data feed: snapshot diff reports inserts/deletes across
+    COW deletes, DV deletes and appends — and compaction (pure rewrite)
+    reports ZERO changes because moved rows cancel on their stamps."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.write_dataframe(
+        "t", spark.createDataFrame([(i, "a") for i in range(8)], "k BIGINT, v STRING")
+    )
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("t", "k", 2, 3)  # COW
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.delete_rows("t", "k", 5, 5, use_dv=True)  # soft delete
+    c.commit_tx()  # v3
+    c.new_tx()
+    c.write_dataframe(
+        "t", spark.createDataFrame([(100, "x"), (101, "x")], "k BIGINT, v STRING")
+    )
+    c.commit_tx()  # v4
+    c.new_tx()
+    c.compact("t")
+    c.commit_tx()  # v5 — rewrite only
+
+    c.new_tx()
+    ch = c.scan_changes("t", 1, 4).select("k", "_change_type").collect()
+    got = {(r["k"], r["_change_type"]) for r in ch}
+    assert got == {(100, "insert"), (101, "insert"), (2, "delete"), (3, "delete"), (5, "delete")}
+    assert c.scan_changes("t", 4, 5).count() == 0  # compaction: no net change
+    # from the empty table: everything currently live is an insert
+    ch0 = {(r["k"], r["_change_type"]) for r in c.scan_changes("t", 0, 5).select("k", "_change_type").collect()}
+    assert ch0 == {(k, "insert") for k in [0, 1, 4, 6, 7, 100, 101]}
+    c.commit_tx()
+
+
 def test_declared_clustering_layout_prunes_ingest(spark, store_dir):
     """create_table(cluster_by=...) must give bulk-ingested data a
     pruned layout out of the box: a shuffled ingest lands in
