@@ -522,8 +522,74 @@ GROUP BY c_mktsegment
 """
 
 
+# ----------------------------------------------------------------------
+# PIVOT — event counts per (user bucket) x event_type matrix. Spark's
+# pivot with an EXPLICIT value list stays a single hash aggregate (no
+# extra pass to discover pivot values, bounded output width — the only
+# scale-safe way to pivot); the oracle is conditional aggregation.
+# ----------------------------------------------------------------------
+
+
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    return out.select("user_bucket", *[F.col(t).alias(f"n_{t}") for t in types])
+
+
+PIVOT_SQL = """
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY 1
+"""
+
+
+# ----------------------------------------------------------------------
+# LEAD/LAG — inter-order gap per customer: one window sort per
+# customer partition, no self-join (the naive formulation). Covers the
+# offset-window-function category.
+# ----------------------------------------------------------------------
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(
+            prev.isNotNull(),
+            (F.unix_timestamp("o_orderdate") - F.unix_timestamp(prev)) / 86400.0,
+        ).alias("days_since_prev"),
+    )
+
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+  CAST(date_diff('second',
+    LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+    o_orderdate) AS DOUBLE) / 86400.0 AS days_since_prev
+FROM orders
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "pivot_event_matrix": pivot_event_matrix,
+    "order_gaps": order_gaps,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "range_filter_scan": range_filter_scan,
@@ -546,6 +612,8 @@ QUERIES = {
 
 ORACLES = {
     "segment_price_percentiles": PERCENTILES_SQL,
+    "pivot_event_matrix": PIVOT_SQL,
+    "order_gaps": ORDER_GAPS_SQL,
     "small_quantity_revenue": SMALL_QTY_SQL,
     "segment_nation_overlap": SET_OPS_SQL,
     "customer_running_total": RUNNING_TOTAL_SQL,
