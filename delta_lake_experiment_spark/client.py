@@ -742,15 +742,24 @@ class DeltaLakeClient:
         non-transactional SQL.
         """
         from delta_lake_experiment_spark.plans.dml import (
+            CreateTable,
             Delete,
             Insert,
             Merge,
+            Optimize,
+            Restore,
             Update,
+            Vacuum,
             parse_dml,
         )
 
-        self._require_tx()
         stmt = parse_dml(statement)
+        if isinstance(stmt, Vacuum):
+            # store-wide maintenance; runs OUTSIDE a transaction (the
+            # table name is accepted for SQL familiarity)
+            self.vacuum(retain_versions=stmt.retain_versions)
+            return None
+        self._require_tx()
         if stmt is None:
             return self.sql(statement)
         if isinstance(stmt, Delete):
@@ -766,6 +775,23 @@ class DeltaLakeClient:
                 when_matched=stmt.when_matched,
                 when_not_matched=stmt.when_not_matched,
             )
+        elif isinstance(stmt, CreateTable):
+            self.create_table(
+                stmt.table,
+                stmt.schema_ddl,
+                primary_keys=stmt.primary_keys or None,
+                bloom_columns=stmt.bloom_columns or None,
+                cluster_by=stmt.cluster_by or None,
+            )
+        elif isinstance(stmt, Optimize):
+            self.compact(
+                stmt.table,
+                target_files=stmt.target_files,
+                cluster_by=stmt.cluster_by,
+                zorder_by=stmt.zorder_by,
+            )
+        elif isinstance(stmt, Restore):
+            self.restore_table(stmt.table, stmt.version)
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:

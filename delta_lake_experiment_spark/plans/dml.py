@@ -18,6 +18,13 @@ for the DML shapes the engine actually supports, by parsing:
   the table's declared primary keys — the reference's 'conditional
   updates' roadmap item, README.md:31; clause defaults are
   UPDATE / INSERT, Delta-style)
+- ``CREATE TABLE t (<ddl>) [PRIMARY KEY (c, ...)] [BLOOM (c, ...)]
+     [CLUSTER BY (c, ...)]``                  -> ``create_table``
+- ``OPTIMIZE t [FILES n] [CLUSTER BY (c, ...)] | [ZORDER BY (c, ...)]``
+                                              -> ``compact``
+- ``VACUUM t [RETAIN n VERSIONS]``            -> ``vacuum`` (table arg
+  ignored — vacuum is store-wide, kept for SQL familiarity)
+- ``RESTORE TABLE t TO VERSION n``            -> ``restore_table``
 
 This is a deliberate micro-grammar, NOT a SQL parser: predicates are
 restricted to the engine's native inclusive-range primitive (reference
@@ -70,6 +77,31 @@ _MERGE_RE = re.compile(
 _MERGE_CLAUSE_RE = re.compile(
     rf"WHEN\s+(NOT\s+)?MATCHED\s+THEN\s+({_IDENT})", re.IGNORECASE
 )
+_COLLIST = rf"\(\s*{_IDENT}(?:\s*,\s*{_IDENT})*\s*\)"
+_CREATE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_IDENT})\s*\((.+?)\)\s*"
+    rf"(?:PRIMARY\s+KEY\s*({_COLLIST})\s*)?"
+    rf"(?:BLOOM\s*({_COLLIST})\s*)?"
+    rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*)?;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})\s*(?:FILES\s+(\d+)\s*)?"
+    rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*|ZORDER\s+BY\s*({_COLLIST})\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _cols(list_text: str) -> list[str]:
+    return [c.strip() for c in list_text.strip()[1:-1].split(",")]
 
 
 @dataclass
@@ -101,6 +133,35 @@ class Merge:
     query: str  # SELECT text producing the source rows
     when_matched: str  # update | delete | ignore
     when_not_matched: str  # insert | ignore
+
+
+@dataclass
+class CreateTable:
+    table: str
+    schema_ddl: str
+    primary_keys: list
+    bloom_columns: list
+    cluster_by: list
+
+
+@dataclass
+class Optimize:
+    table: str
+    target_files: int
+    cluster_by: Optional[list]
+    zorder_by: Optional[list]
+
+
+@dataclass
+class Vacuum:
+    table: str
+    retain_versions: int
+
+
+@dataclass
+class Restore:
+    table: str
+    version: int
 
 
 def _literal(tok: str) -> Any:
@@ -192,6 +253,50 @@ def parse_dml(sql: str):
             when_matched=when_matched,
             when_not_matched=when_not_matched,
         )
+    if head == "CREATE":
+        m = _CREATE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "CREATE supports exactly: CREATE TABLE t (<ddl>) "
+                "[PRIMARY KEY (c,...)] [BLOOM (c,...)] [CLUSTER BY (c,...)]"
+            )
+        return CreateTable(
+            table=m.group(1),
+            schema_ddl=m.group(2).strip(),
+            primary_keys=_cols(m.group(3)) if m.group(3) else [],
+            bloom_columns=_cols(m.group(4)) if m.group(4) else [],
+            cluster_by=_cols(m.group(5)) if m.group(5) else [],
+        )
+    if head == "OPTIMIZE":
+        m = _OPTIMIZE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "OPTIMIZE supports exactly: OPTIMIZE t [FILES n] "
+                "[CLUSTER BY (c,...)] | [ZORDER BY (c,...)]"
+            )
+        return Optimize(
+            table=m.group(1),
+            target_files=int(m.group(2)) if m.group(2) else 1,
+            cluster_by=_cols(m.group(3)) if m.group(3) else None,
+            zorder_by=_cols(m.group(4)) if m.group(4) else None,
+        )
+    if head == "VACUUM":
+        m = _VACUUM_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "VACUUM supports exactly: VACUUM t [RETAIN n VERSIONS]"
+            )
+        return Vacuum(
+            table=m.group(1),
+            retain_versions=int(m.group(2)) if m.group(2) else 0,
+        )
+    if head == "RESTORE":
+        m = _RESTORE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "RESTORE supports exactly: RESTORE TABLE t TO VERSION n"
+            )
+        return Restore(table=m.group(1), version=int(m.group(2)))
     return None
 
 

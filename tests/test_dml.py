@@ -65,6 +65,77 @@ def test_parse_merge():
         parse_dml("MERGE INTO t USING SELECT 1")  # unparenthesized query
 
 
+def test_parse_ddl_and_utility_statements():
+    from delta_lake_experiment_spark.plans.dml import (
+        CreateTable,
+        Optimize,
+        Restore,
+        Vacuum,
+    )
+
+    ct = parse_dml(
+        "CREATE TABLE t (k BIGINT, v DECIMAL(10,2), s STRING) "
+        "PRIMARY KEY (k) BLOOM (s) CLUSTER BY (k, s)"
+    )
+    assert ct == CreateTable(
+        table="t",
+        schema_ddl="k BIGINT, v DECIMAL(10,2), s STRING",
+        primary_keys=["k"],
+        bloom_columns=["s"],
+        cluster_by=["k", "s"],
+    )
+    assert parse_dml("create table t (k BIGINT)") == CreateTable(
+        table="t", schema_ddl="k BIGINT", primary_keys=[], bloom_columns=[], cluster_by=[]
+    )
+    assert parse_dml("OPTIMIZE t FILES 4 ZORDER BY (x, y)") == Optimize(
+        table="t", target_files=4, cluster_by=None, zorder_by=["x", "y"]
+    )
+    assert parse_dml("OPTIMIZE t") == Optimize(
+        table="t", target_files=1, cluster_by=None, zorder_by=None
+    )
+    assert parse_dml("VACUUM t RETAIN 3 VERSIONS") == Vacuum(table="t", retain_versions=3)
+    assert parse_dml("RESTORE TABLE t TO VERSION 2") == Restore(table="t", version=2)
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("OPTIMIZE t CLUSTER BY (a) ZORDER BY (b)")  # both clauses
+
+
+def test_sql_only_lifecycle(spark, store_dir):
+    """The whole engine drivable through execute(): DDL, ingest, merge,
+    optimize, restore, vacuum — no Python-API calls for the lifecycle."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.execute("CREATE TABLE kv (k BIGINT, v STRING) PRIMARY KEY (k) CLUSTER BY (k)")
+    c.execute("CREATE TABLE src (k BIGINT, v STRING)")
+    c.commit_tx()  # v1
+
+    c.new_tx()
+    c.register_views()
+    c.execute("INSERT INTO kv SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, v)")
+    c.execute("INSERT INTO src SELECT * FROM VALUES (2, 'B'), (3, 'C') AS t(k, v)")
+    c.commit_tx()  # v2
+
+    c.new_tx()
+    c.register_views()
+    c.execute("MERGE INTO kv USING src")
+    c.commit_tx()  # v3
+    c.new_tx()
+    assert {r["k"]: r["v"] for r in c.scan_current("kv").collect()} == {
+        1: "a", 2: "B", 3: "C",
+    }
+    c.execute("OPTIMIZE kv FILES 1")
+    c.commit_tx()  # v4
+    c.new_tx()
+    c.execute("RESTORE TABLE kv TO VERSION 2")
+    c.commit_tx()  # v5: back to pre-merge
+    c.new_tx()
+    assert {r["k"]: r["v"] for r in c.scan_current("kv").collect()} == {1: "a", 2: "b"}
+    c.commit_tx()
+    assert c.execute("VACUUM kv") is None  # outside-tx maintenance runs
+    c.new_tx()
+    assert {r["k"]: r["v"] for r in c.scan_current("kv").collect()} == {1: "a", 2: "b"}
+    c.commit_tx()
+
+
 def test_execute_merge_end_to_end(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir)
     c.new_tx()
