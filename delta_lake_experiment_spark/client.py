@@ -625,13 +625,19 @@ class DeltaLakeClient:
 
         Compaction therefore reports zero changes (every row cancels),
         and the cost is O(files changed + masks added), never O(table).
+
+        Works inside a transaction (default ``to_version`` = the tx
+        snapshot) or outside one with ``to_version`` pinned / latest —
+        the feed reads only committed, immutable objects, so no
+        snapshot pinning is required (see streaming/change_feed.py for
+        the incremental consumer built on this).
         """
-        tx = self._require_tx()
-        to_snap = (
-            replay_log(self.store, as_of=to_version)
-            if to_version is not None
-            else tx.snapshot
-        )
+        if to_version is not None:
+            to_snap = replay_log(self.store, as_of=to_version)
+        elif self.tx is not None:
+            to_snap = self.tx.snapshot
+        else:
+            to_snap = replay_log(self.store)
         from_snap = replay_log(self.store, as_of=from_version)
         if table not in to_snap.tables:
             raise TableNotFoundError(table)
