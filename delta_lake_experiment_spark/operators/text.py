@@ -61,6 +61,69 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the rolling-hash fingerprinting behind MOSS): hash every word
+    ``k``-gram, slide a ``window`` over the hash sequence, keep each
+    window's minimum. Guarantees: any shared run of ``window+k-1``
+    tokens between two documents shares at least one fingerprint, while
+    only ~2/(window+1) of the grams are kept — the standard partial-
+    overlap detector (plagiarism, near-dup paragraphs) at a fraction of
+    full-shingle cost.
+
+    Output: (``__id``, ``pos``, ``fp``) — one row per SELECTED window
+    minimum position (distinct (id, fp, pos) where pos is the argmin
+    position, leftmost on ties: the "robust winnowing" choice).
+
+    Implementation is one explode + one window-frame min per document —
+    a single shuffle on the doc id; gram hashes are md5-prefix longs so
+    the whole pipeline is expressible in ANSI SQL for the DuckDB oracle
+    (same trick as the SimHash operator).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    big = 1 << 30
+    combined = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, big)
+        combined = F.zip_with(combined, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(combined, 1, F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    src = df.select(F.col(id_col).alias("__id"), F.posexplode(grams).alias("pos", "g"))
+    # 60-bit md5-prefix hash of the gram (engine-independent)
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    hashed = src.select("__id", "pos", h.alias("h"))
+    from pyspark.sql import Window as W
+
+    frame = (
+        W.partitionBy("__id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    n_grams = W.partitionBy("__id")
+    with_min = hashed.select(
+        "__id",
+        "pos",
+        "h",
+        F.min("h").over(frame).alias("wmin"),
+        F.count("*").over(n_grams).alias("n"),
+    )
+    # window starting at pos is complete iff pos <= n - window; the
+    # selected fingerprint of a window is its min; emitting the leftmost
+    # position per (id, fp) run dedups consecutive windows that picked
+    # the same gram (robust winnowing)
+    starts = with_min.filter(
+        (F.col("pos") <= F.col("n") - window) | (F.col("n") < window)
+    )
+    return (
+        starts.groupBy("__id", F.col("wmin").alias("fp"))
+        .agg(F.min("pos").alias("pos"))
+        .select("__id", "pos", "fp")
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full text-analysis column set."""
     t = F.col(text_col)

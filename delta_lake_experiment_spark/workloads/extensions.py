@@ -65,6 +65,43 @@ FROM documents
 """
 
 
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprint sets per document — the
+    MOSS partial-overlap detector. Deterministic md5-prefix gram
+    hashes, so the full pipeline is SQL-oracled."""
+    from delta_lake_experiment_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, window=4).select(
+        F.col("__id").alias("doc_id"), "pos", "fp"
+    )
+
+
+WINNOW_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+         concat_ws(' ', t[i], t[i+1], t[i+2]) AS g
+  FROM idx
+), hashed AS (
+  SELECT doc_id, pos, ('0x' || substring(md5(g), 1, 15))::BIGINT AS h FROM grams
+), m AS (
+  SELECT doc_id, pos, h,
+    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+    COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM hashed
+)
+SELECT doc_id, CAST(MIN(pos) AS INT) AS pos, wmin AS fp
+FROM m WHERE pos <= n - 4 OR n < 4
+GROUP BY doc_id, wmin
+"""
+
+
 # -- dedup --------------------------------------------------------------
 
 
@@ -338,6 +375,7 @@ FROM h
 
 QUERIES = {
     "doc_text_stats": doc_text_stats,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
     "near_dup_minhash": near_dup_minhash,
@@ -352,6 +390,7 @@ QUERIES = {
 
 ORACLES = {
     "doc_text_stats": TEXT_STATS_SQL,
+    "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "near_dup_jaccard": NGRAM_JACCARD_SQL,

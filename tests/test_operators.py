@@ -448,3 +448,27 @@ def test_multimodal_features_and_frames(spark):
     assert [r["frame_ts_ms"] for r in sorted(frames, key=lambda r: r["frame_idx"])] == [
         0, 1000, 2000, 3000, 4000,
     ]
+
+
+def test_winnowing_overlap_guarantee(spark):
+    """Winnowing's core property: documents sharing a token run of at
+    least window+k-1 tokens share at least one fingerprint; disjoint
+    documents share none (up to hash collisions)."""
+    from delta_lake_experiment_spark.operators.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = window+k-1
+    rows = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight {shared} nine ten eleven twelve"),
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["__id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # selection keeps a fraction of grams (the point of winnowing)
+    n_grams_doc1 = len(rows[0][1].split()) - 2
+    assert len(by_doc[1]) < n_grams_doc1
