@@ -74,6 +74,57 @@ FROM numbered GROUP BY user_id, session_idx
 """
 
 
+# interval (range) join: every event matched to its containing session
+# interval via the bucketized equi-join (operators/interval.py) — the
+# naive ts BETWEEN start AND end formulation would plan as a nested
+# loop. Self-validating semantics: per-session counts must equal the
+# sessionizer's own n_events.
+def events_in_session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_experiment_spark.operators.interval import interval_join
+
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev, "user_id", "ts", gap_minutes=30, order_tiebreak="event_id"
+    ).select("user_id", "session_start", "session_end")
+    joined = interval_join(
+        ev.select("user_id", "event_id", "ts"),
+        sessions,
+        point_ts="ts",
+        start_col="session_start",
+        end_col="session_end",
+        on=["user_id"],
+        bucket_seconds=1800,
+    )
+    return joined.groupBy("user_id", "session_start", "session_end").agg(
+        F.count(F.lit(1)).alias("n_in_interval")
+    )
+
+
+EVENTS_IN_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+), s AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_idx
+)
+SELECT s.user_id, s.session_start, s.session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_in_interval
+FROM s JOIN events e
+  ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
+GROUP BY 1, 2, 3
+"""
+
+
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON functions over the props column (semi-structured lane)."""
     _utc(spark)
@@ -209,6 +260,7 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "purchase_last_click": purchase_last_click,
+    "events_in_session_intervals": events_in_session_intervals,
     "skew_salted_event_stats": skew_salted_event_stats,
     "streaming_hourly_windows": streaming_hourly_windows,
     "user_sessions": user_sessions,
@@ -222,6 +274,7 @@ from delta_lake_experiment_spark.workloads.relational import HOURLY_SQL as _HOUR
 
 ORACLES = {
     "purchase_last_click": PURCHASE_LAST_CLICK_SQL,
+    "events_in_session_intervals": EVENTS_IN_SESSIONS_SQL,
     "skew_salted_event_stats": SKEW_SALTED_SQL,
     "streaming_hourly_windows": _HOURLY_SQL,
     "user_sessions": USER_SESSIONS_SQL,

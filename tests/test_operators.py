@@ -472,3 +472,37 @@ def test_winnowing_overlap_guarantee(spark):
     # selection keeps a fraction of grams (the point of winnowing)
     n_grams_doc1 = len(rows[0][1].split()) - 2
     assert len(by_doc[1]) < n_grams_doc1
+
+
+def test_interval_join_bucketized(spark):
+    """interval_join: inclusive containment, left-join NULLs for
+    unmatched points, multi-bucket intervals matched exactly once, and
+    the plan is an equi-join — never a nested loop."""
+    from delta_lake_experiment_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 10, ts(0)), (1, 11, ts(61)), (1, 12, ts(200)), (2, 13, ts(30))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, "s1", ts(0), ts(61)), (1, "s2", ts(150), ts(400)), (2, "s3", ts(100), ts(110))],
+        "user_id long, name string, lo timestamp, hi timestamp",
+    )
+    out = interval_join(
+        points, intervals, "ts", "lo", "hi", on=["user_id"], bucket_seconds=600
+    )
+    got = {(r["event_id"], r["name"]) for r in out.collect()}
+    # boundary-inclusive both ends; interval s2 spans many 10-min bins
+    assert got == {(10, "s1"), (11, "s1"), (12, "s2")}
+    # each pair appears exactly once despite multi-bin intervals
+    assert out.count() == 3
+
+    left = interval_join(
+        points, intervals, "ts", "lo", "hi", on=["user_id"], bucket_seconds=600,
+        how="left",
+    )
+    by_event = {r["event_id"]: r["name"] for r in left.collect()}
+    assert by_event[13] is None and len(by_event) == 4
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
