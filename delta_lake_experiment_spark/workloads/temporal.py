@@ -147,6 +147,36 @@ FROM events
 """
 
 
+# hypertable-style continuous aggregate: one pass produces the full
+# time hierarchy (hour -> day -> grand total) via ROLLUP on derived
+# truncations — the batch twin of a TimescaleDB continuous aggregate /
+# multi-resolution rollup table. Partial aggregation applies at every
+# level, so the shuffle carries |buckets| rows, not |events|.
+def time_rollup_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("event_day"),
+        F.date_trunc("hour", "ts").alias("event_hour"),
+        "value",
+    )
+    return ev.rollup("event_day", "event_hour").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 6).alias(
+            "total_value"
+        ),
+    )
+
+
+TIME_ROLLUP_SQL = """
+SELECT date_trunc('day', ts) AS event_day,
+       date_trunc('hour', ts) AS event_hour,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 6) AS total_value
+FROM events
+GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
 def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets over (event_type, event_day)."""
     _utc(spark)
@@ -261,6 +291,7 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "purchase_last_click": purchase_last_click,
     "events_in_session_intervals": events_in_session_intervals,
+    "time_rollup_event_stats": time_rollup_event_stats,
     "skew_salted_event_stats": skew_salted_event_stats,
     "streaming_hourly_windows": streaming_hourly_windows,
     "user_sessions": user_sessions,
@@ -275,6 +306,7 @@ from delta_lake_experiment_spark.workloads.relational import HOURLY_SQL as _HOUR
 ORACLES = {
     "purchase_last_click": PURCHASE_LAST_CLICK_SQL,
     "events_in_session_intervals": EVENTS_IN_SESSIONS_SQL,
+    "time_rollup_event_stats": TIME_ROLLUP_SQL,
     "skew_salted_event_stats": SKEW_SALTED_SQL,
     "streaming_hourly_windows": _HOURLY_SQL,
     "user_sessions": USER_SESSIONS_SQL,

@@ -65,3 +65,35 @@ def test_engine_matches_dict_model(spark, ops):
         seen.setdefault(k, v)
     c.commit_tx()
     assert seen == model
+
+
+def test_bloom_filter_properties():
+    """Blooms never false-negative (the pruning-safety invariant), stay
+    usefully selective, and round-trip their JSON encoding exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from delta_lake_experiment_spark.plans.bloom import BloomFilter, build_column_blooms
+
+    values = st.lists(
+        st.one_of(st.integers(-(2**62), 2**62), st.text(max_size=30)),
+        max_size=200,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(values, values)
+    def check(present, absent):
+        built = build_column_blooms({"c": present}, ["c"])
+        if not built:  # all-null/untaggable input -> no bloom, never prunes
+            return
+        bf = BloomFilter.from_json(built["c"])
+        for v in present:
+            assert bf.might_contain(v)  # NEVER a false negative
+        fp = sum(
+            1 for v in absent if v not in set(present) and bf.might_contain(v)
+        )
+        n_absent = len([v for v in absent if v not in set(present)])
+        if n_absent >= 50:
+            assert fp <= n_absent * 0.2  # ~1% expected; generous bound
+
+    check()
