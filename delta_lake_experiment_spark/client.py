@@ -367,7 +367,7 @@ class DeltaLakeClient:
             self._write_dataframe_remote(table, tx, stamped, base, begin_remote())
             return
         staging = self._staging_dir()
-        stamped.write.mode("overwrite").parquet(staging)
+        self._write_parquet_staging(stamped, staging)
         # Advance next_idx past the LARGEST stamp actually written (read
         # from the staged Parquet footers, never the data): a fixed
         # stride would collide once monotonically_increasing_id's
@@ -400,7 +400,7 @@ class DeltaLakeClient:
         each file is published with a server-side copy. The only driver
         traffic is metadata: key names, footer-sized stats rows, bloom
         bitsets."""
-        stamped.write.mode("overwrite").parquet(rs.uri)
+        self._write_parquet_staging(stamped, rs.uri)
         try:
             staged = rs.list_staged()
             if not staged:
@@ -444,7 +444,17 @@ class DeltaLakeClient:
             f.name
             for f in stored.fields
             if f.name not in (TX_COL, IDX_COL)
-            and isinstance(f.dataType, integral + (T.FloatType, T.DoubleType, T.StringType))
+            and isinstance(
+                f.dataType,
+                integral
+                + (
+                    T.FloatType,
+                    T.DoubleType,
+                    T.StringType,
+                    T.TimestampType,
+                    T.DateType,
+                ),
+            )
         ]
         aggs = [
             F.count(F.lit(1)).alias("__n"),
@@ -461,7 +471,7 @@ class DeltaLakeClient:
         for r in rows:
             st = {}
             for c in prunable:
-                mn, mx = r[f"__min_{c}"], r[f"__max_{c}"]
+                mn, mx = _encode_stat(r[f"__min_{c}"]), _encode_stat(r[f"__max_{c}"])
                 if mn is not None and mx is not None:
                     st[c] = [mn, mx]
             stats_by_file[r["__f"]] = {"num_rows": r["__n"], "stats": st}
@@ -893,7 +903,7 @@ class DeltaLakeClient:
             table, snap, stored, [self.store.path_of(n) for n in sorted(affected_names)]
         ).filter(~pred | F.col(column).isNull())
         staging = self._staging_dir()
-        survivors.write.mode("overwrite").parquet(staging)
+        self._write_parquet_staging(survivors, staging)
         try:
             for fname in sorted(os.listdir(staging)):
                 if fname.endswith(".parquet"):
@@ -1046,7 +1056,7 @@ class DeltaLakeClient:
             }
         )
         staging = self._staging_dir()
-        updated.write.mode("overwrite").parquet(staging)
+        self._write_parquet_staging(updated, staging)
         try:
             for fname in sorted(os.listdir(staging)):
                 if fname.endswith(".parquet"):
@@ -1082,7 +1092,7 @@ class DeltaLakeClient:
         object + log action. Returns rows masked (0 = no-op)."""
         staging = self._staging_dir()
         try:
-            matches.coalesce(1).write.mode("overwrite").parquet(staging)
+            self._write_parquet_staging(matches.coalesce(1), staging)
             part = next(
                 (f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")), None
             )
@@ -1240,7 +1250,7 @@ class DeltaLakeClient:
         else:
             df = df.coalesce(target_files)
         staging = self._staging_dir()
-        df.write.mode("overwrite").parquet(staging)
+        self._write_parquet_staging(df, staging)
         try:
             for fname in sorted(os.listdir(staging)):
                 if fname.endswith(".parquet"):
@@ -1353,7 +1363,7 @@ class DeltaLakeClient:
             table, snap, stored, [self.store.path_of(n) for n in heavy]
         )
         staging = self._staging_dir()
-        survivors.write.mode("overwrite").parquet(staging)
+        self._write_parquet_staging(survivors, staging)
         try:
             for fname in sorted(os.listdir(staging)):
                 if fname.endswith(".parquet"):
@@ -1568,6 +1578,20 @@ class DeltaLakeClient:
         finally:
             _rmtree(os.path.dirname(tmp))
 
+    def _write_parquet_staging(self, df: DataFrame, path: str) -> None:
+        """Every engine Parquet write goes through here with timestamps
+        forced to TIMESTAMP_MICROS: Spark's INT96 default writes NO
+        footer min/max statistics for timestamp columns, which would
+        silently disable log-level time-range file pruning (and the
+        bulk path's max-stamp read). Restores the session conf after."""
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = self.spark.conf.get(key)
+        self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(path)
+        finally:
+            self.spark.conf.set(key, prev)
+
     def _read_store_parquet(self, name: str, columns: Optional[list] = None):
         """Driver-side pyarrow read of one STORE object. Local stores go
         through the filesystem path; remote stores (whose ``path_of``
@@ -1695,10 +1719,30 @@ def _basename_of_uri(uri: str) -> str:
     return os.path.basename(path)
 
 
+def _encode_stat(v: Any) -> Any:
+    """JSON-safe stats value: primitives pass through; timestamps/dates
+    become tagged integer strings ('ts:<epoch micros>' / 'd:<ordinal>')
+    decoded by the snapshot's pruning comparator — time-range scans on
+    time-series tables then prune files like any numeric range."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return "ts:" + str((v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1))
+    if isinstance(v, _dt.date):
+        return "d:" + str(v.toordinal())
+    return None
+
+
 def _parquet_file_stats(path: str) -> tuple[int, dict[str, list[Any]]]:
     """Footer-derived (num_rows, {col: [min, max]}) for prunable
-    primitive columns — the log-level data-skipping stats the reference
-    left as a TODO (README.md:37)."""
+    primitive + temporal columns — the log-level data-skipping stats
+    the reference left as a TODO (README.md:37)."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(path).metadata
@@ -1716,11 +1760,14 @@ def _parquet_file_stats(path: str) -> tuple[int, dict[str, list[Any]]]:
             if "." in name or name in (TX_COL, IDX_COL):
                 continue
             mn, mx = st.min, st.max
-            if not isinstance(mn, (int, float, str)) or isinstance(mn, bool):
-                continue
             mins[name] = mn if name not in mins else min(mins[name], mn)
             maxs[name] = mx if name not in maxs else max(maxs[name], mx)
-    return num_rows, {c: [mins[c], maxs[c]] for c in mins}
+    out = {}
+    for c in mins:
+        lo, hi = _encode_stat(mins[c]), _encode_stat(maxs[c])
+        if lo is not None and hi is not None:
+            out[c] = [lo, hi]
+    return num_rows, out
 
 
 def _parquet_idx_max(path: str) -> Optional[int]:

@@ -184,11 +184,48 @@ def _stats_intersect(stats: dict[str, list[Any]], prune: dict[str, tuple[Any, An
         if fmin is None or fmax is None:
             continue
         try:
-            if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
-                return False
-        except TypeError:
+            if hi is not None:
+                smin, bhi = _stat_comparable(fmin, hi)
+                if smin is not None and smin > bhi:
+                    return False
+            if lo is not None:
+                smax, blo = _stat_comparable(fmax, lo)
+                if smax is not None and smax < blo:
+                    return False
+        except (TypeError, ValueError):
             continue  # incomparable types -> keep the file
     return True
+
+
+_EPOCH = None  # lazy: datetime import deferred off the hot import path
+
+
+def _stat_comparable(stat_v: Any, bound: Any):
+    """(comparable_stat, comparable_bound) for one stats-vs-bound
+    comparison, or (None, None) to skip. Temporal stats are stored as
+    tagged integer strings ('ts:<epoch micros>' / 'd:<ordinal day>' —
+    JSON has no datetime); temporal BOUNDS decode against them at the
+    matching granularity: timestamp-vs-date comparisons degrade to day
+    granularity, which can only under-prune, never wrongly prune."""
+    import datetime as _dt
+
+    if isinstance(bound, _dt.datetime):
+        if bound.tzinfo is not None:
+            bound = bound.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        if isinstance(stat_v, str) and stat_v.startswith("ts:"):
+            micros = (bound - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+            return int(stat_v[3:]), micros
+        if isinstance(stat_v, str) and stat_v.startswith("d:"):
+            return int(stat_v[2:]), bound.date().toordinal()
+        return None, None
+    if isinstance(bound, _dt.date):
+        if isinstance(stat_v, str) and stat_v.startswith("ts:"):
+            day = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=int(stat_v[3:]))
+            return day.date().toordinal(), bound.toordinal()
+        if isinstance(stat_v, str) and stat_v.startswith("d:"):
+            return int(stat_v[2:]), bound.toordinal()
+        return None, None
+    return stat_v, bound
 
 
 def _blooms_admit(blooms: dict[str, dict], prune: dict[str, tuple[Any, Any]]) -> bool:

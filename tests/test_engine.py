@@ -6,6 +6,7 @@ for the storage/log/stat layers the reference doesn't cover.
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from delta_lake_experiment_spark import (
     ConcurrentCommitError,
@@ -963,6 +964,51 @@ def test_stats_pruning_and_compaction(spark, store_dir):
     c.new_tx()
     assert len(c.tx.snapshot.live_objects("t")) == 1
     assert c.scan("t").count() == 40
+    c.commit_tx()
+
+
+def test_timestamp_stats_prune_time_ranges(spark, store_dir):
+    """Temporal columns now carry file stats (tagged epoch encodings in
+    the JSON log): a time-range scan over a ts-clustered table prunes
+    files; date-granularity probes degrade conservatively."""
+    import datetime as dt
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("ev", "ts TIMESTAMP, d DATE, v BIGINT", cluster_by=["ts"])
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(hours=h), (base + dt.timedelta(hours=h)).date(), h)
+        for h in range(512)
+    ]
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_conf, "true")
+    spark.conf.set(coalesce_conf, "false")
+    try:
+        c.write_dataframe(
+            "ev",
+            spark.createDataFrame(rows, "ts TIMESTAMP, d DATE, v BIGINT").repartition(8),
+        )
+        c.commit_tx()
+    finally:
+        spark.conf.set(coalesce_conf, prev)
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    total = snap.live_files("ev", c.store)
+    assert len(total) >= 4
+    lo, hi = base + dt.timedelta(hours=10), base + dt.timedelta(hours=20)
+    pruned = snap.live_files("ev", c.store, prune={"ts": (lo, hi)})
+    assert len(pruned) <= 2, f"ts stats should prune, got {len(pruned)}/{len(total)}"
+    got = c.scan("ev", prune={"ts": (lo, hi)}).filter(
+        (F.col("ts") >= lo) & (F.col("ts") <= hi)
+    )
+    assert got.count() == 11
+    # date-typed probe against the ts stats: day granularity, correct rows
+    day = dt.date(2024, 1, 5)
+    pruned_d = snap.live_files("ev", c.store, prune={"d": (day, day)})
+    assert len(pruned_d) < len(total)
+    assert c.scan("ev", prune={"d": (day, day)}).filter(F.col("d") == F.lit(day)).count() == 24
     c.commit_tx()
 
 
