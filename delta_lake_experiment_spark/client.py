@@ -213,6 +213,30 @@ class DeltaLakeClient:
         """Drop the open transaction without committing."""
         self.tx = None
 
+    def run_tx(self, fn, retries: int = 3):
+        """Run ``fn(client)`` inside a fresh transaction and commit —
+        retrying the whole function on a same-table commit conflict
+        with a fresh snapshot each attempt. This is the standard OCC
+        retry loop callers otherwise hand-write; ``fn`` must therefore
+        be safe to re-execute (each attempt re-reads and re-stages;
+        objects staged by a failed attempt stay invisible and are
+        VACUUM-reclaimable). Returns ``fn``'s result from the attempt
+        that committed."""
+        last: Optional[ConcurrentCommitError] = None
+        for _ in range(retries + 1):
+            self.new_tx()
+            try:
+                out = fn(self)
+            except BaseException:
+                self.abort_tx()
+                raise
+            try:
+                self.commit_tx()
+                return out
+            except ConcurrentCommitError as e:
+                last = e
+        raise last
+
     # ------------------------------------------------------------------
     # DDL
     # ------------------------------------------------------------------

@@ -449,6 +449,49 @@ def test_merge_delete_masks_same_tx_buffered_rows(spark, store_dir):
     c.commit_tx()
 
 
+def test_run_tx_retries_occ_conflicts(spark, store_dir):
+    """run_tx re-executes the closure on a same-table commit conflict
+    with a fresh snapshot; the interloper's write must be visible to
+    the retry."""
+    a = DeltaLakeClient(spark, store_dir)
+    b = DeltaLakeClient(spark, store_dir)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v STRING")
+    a.commit_tx()
+
+    calls = {"n": 0}
+
+    def work(c):
+        calls["n"] += 1
+        if calls["n"] == 1:  # interloper commits to OUR table mid-tx
+            b.new_tx()
+            b.write_dataframe("t", spark.createDataFrame([(1, "b")], "k BIGINT, v STRING"))
+            b.commit_tx()
+        seen = c.scan("t", with_stamps=False).count()
+        c.write_dataframe("t", spark.createDataFrame([(2, "a")], "k BIGINT, v STRING"))
+        return seen
+
+    seen_at_commit = a.run_tx(work)
+    assert calls["n"] == 2  # first attempt conflicted, second committed
+    assert seen_at_commit == 1  # retry saw the interloper's row
+    a.new_tx()
+    assert a.scan("t", with_stamps=False).count() == 2
+    a.commit_tx()
+
+    # exhausted retries surface the conflict
+    import pytest as _pytest
+
+    def always_conflict(c):
+        b.new_tx()
+        b.write_dataframe("t", spark.createDataFrame([(9, "x")], "k BIGINT, v STRING"))
+        b.commit_tx()
+        c.write_dataframe("t", spark.createDataFrame([(8, "y")], "k BIGINT, v STRING"))
+
+    with _pytest.raises(ConcurrentCommitError):
+        a.run_tx(always_conflict, retries=1)
+    assert a.tx is None  # no transaction left dangling
+
+
 def test_vacuum(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
     c.new_tx()

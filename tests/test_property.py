@@ -21,9 +21,12 @@ KEYS = st.integers(min_value=0, max_value=14)
 VALS = st.integers(min_value=0, max_value=999)
 
 op_write = st.tuples(st.just("write"), KEYS, VALS)
-op_delete = st.tuples(st.just("delete"), KEYS, KEYS)  # delete keys in [a,b]
+op_delete = st.tuples(st.just("delete"), KEYS, KEYS)  # delete keys in [a,b], COW
+op_delete_dv = st.tuples(st.just("delete_dv"), KEYS, KEYS)  # same, soft delete
 op_scan = st.tuples(st.just("scan"), st.just(0), st.just(0))
-OPS = st.lists(st.one_of(op_write, op_delete, op_scan), min_size=1, max_size=25)
+OPS = st.lists(
+    st.one_of(op_write, op_delete, op_delete_dv, op_scan), min_size=1, max_size=25
+)
 
 
 @settings(
@@ -44,9 +47,11 @@ def test_engine_matches_dict_model(spark, ops):
         if kind == "write":
             c.write_row("kv", [a, b])
             model[a] = b
-        elif kind == "delete":
+        elif kind in ("delete", "delete_dv"):
+            # COW rewrite and deletion-vector soft delete must be
+            # indistinguishable to every scan — same model transition
             lo, hi = min(a, b), max(a, b)
-            c.delete_rows("kv", "k", lo, hi)
+            c.delete_rows("kv", "k", lo, hi, use_dv=(kind == "delete_dv"))
             for k in [k for k in model if lo <= k <= hi]:
                 del model[k]
         else:  # scan inside the open tx: first-seen-per-key wins
