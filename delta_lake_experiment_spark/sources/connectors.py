@@ -61,6 +61,21 @@ def read_jsonl(
     return reader.json(path)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: Optional[Union[str, T.StructType]] = None,
+    **options,
+) -> DataFrame:
+    """ORC source (Spark's built-in vectorized ORC reader — columnar
+    self-describing format, so no schema is required; pass one to pin
+    types across heterogeneous files)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -356,6 +356,16 @@ def test_connectors_roundtrip(spark, tmp_path):
     plan = one_seg._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one_seg.count() > 0
 
+    from delta_lake_experiment_spark.sources.connectors import read_orc
+
+    orc_dir = str(tmp_path / "orc")
+    write_partitioned(src, orc_dir, format="orc")
+    back_o = read_orc(spark, orc_dir, schema=ddl)
+    assert back_o.count() == src.count()
+    assert {r["c_custkey"] for r in back_o.collect()} == {
+        r["c_custkey"] for r in src.collect()
+    }
+
 
 def test_ivf_kmeans_refinement_improves_centroids(spark):
     import numpy as np
