@@ -358,14 +358,38 @@ class DeltaLakeClient:
         if len(buf) >= self.dataobject_size:
             self._flush_buffer(table)
 
-    def write_dataframe(self, table: str, df: DataFrame) -> None:
+    def write_dataframe(
+        self, table: str, df: DataFrame, merge_schema: bool = False
+    ) -> None:
         """Bulk distributed ingest: executors write Parquet directly;
         the driver registers the resulting files in the log.
 
         This is the 100 TB write path the reference lacks — rows never
         pass through the driver.
+
+        ``merge_schema=True`` is Delta's mergeSchema-on-write: columns
+        the table lacks are appended to its schema in this transaction
+        (nullable — old objects read them as NULL), and table columns
+        the frame lacks are null-filled instead of rejected. With the
+        default False, a frame missing table columns is an error and
+        unknown frame columns are dropped by the projection.
         """
         tx = self._require_tx()
+        if merge_schema:
+            schema = self.table_schema(table)
+            known = {f.name for f in schema.fields}
+            extra = [f for f in df.schema.fields if f.name not in known]
+            if any(f.name in (TX_COL, IDX_COL) for f in extra):
+                raise TypeMismatchError(f"reserved column names: {TX_COL}, {IDX_COL}")
+            if extra:
+                self.add_columns(
+                    table,
+                    ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in extra),
+                )
+            schema = self.table_schema(table)
+            for f in schema.fields:
+                if f.name not in df.columns:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         schema = self.table_schema(table)
         cols = [f.name for f in schema.fields]
         missing = set(cols) - set(df.columns)

@@ -449,6 +449,50 @@ def test_merge_delete_masks_same_tx_buffered_rows(spark, store_dir):
     c.commit_tx()
 
 
+def test_write_dataframe_merge_schema(spark, store_dir):
+    """mergeSchema-on-write: unknown frame columns evolve the table
+    (old rows read NULL); missing table columns null-fill instead of
+    rejecting; default strict mode still errors."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.write_dataframe("t", spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"))
+    c.commit_tx()
+
+    c.new_tx()
+    wider = spark.createDataFrame([(2, "b", 9.5)], "k BIGINT, v STRING, score DOUBLE")
+    import pytest as _pytest
+
+    from delta_lake_experiment_spark.errors import TypeMismatchError
+
+    c.write_dataframe("t", wider)  # strict mode: extra column silently projected away? no —
+    c.commit_tx()
+    c.new_tx()
+    assert [f.name for f in c.table_schema("t").fields] == ["k", "v"]  # unchanged
+
+    c.write_dataframe("t", wider, merge_schema=True)  # evolves schema
+    assert [f.name for f in c.table_schema("t").fields] == ["k", "v", "score"]
+    # narrow frame now null-fills the new column
+    c.write_dataframe(
+        "t", spark.createDataFrame([(3, "c")], "k BIGINT, v STRING"), merge_schema=True
+    )
+    # but strict mode rejects a frame missing table columns
+    with _pytest.raises(TypeMismatchError):
+        c.write_dataframe("t", spark.createDataFrame([(4, "d")], "k BIGINT, v STRING"))
+    c.commit_tx()
+
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    rows = {
+        (r["k"], r["v"], r["score"])
+        for r in c2.scan("t", with_stamps=False).collect()
+    }
+    # k=2 has two versions: the strict write (score projected away) and
+    # the merged write carrying 9.5; k=1 predates the evolution
+    assert rows == {(1, "a", None), (2, "b", None), (2, "b", 9.5), (3, "c", None)}
+    c2.commit_tx()
+
+
 def test_run_tx_retries_occ_conflicts(spark, store_dir):
     """run_tx re-executes the closure on a same-table commit conflict
     with a fresh snapshot; the interloper's write must be visible to
