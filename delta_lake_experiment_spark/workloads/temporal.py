@@ -288,8 +288,62 @@ def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("dles_stream_hourly")
 
 
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the driver contract: the
+    purchases stream joins every same-user click in the preceding hour
+    (watermarked both sides, bounded state), drained via AvailableNow.
+    Oracle = the plain batch inequality join in SQL — stream equals
+    batch, the core Structured Streaming guarantee."""
+    import tempfile
+
+    _utc(spark)
+    from delta_lake_experiment_spark.streaming.join import stream_interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    tmp = tempfile.mkdtemp(prefix="dles_ssj_")
+    purchases.write.mode("overwrite").parquet(f"{tmp}/p")
+    clicks.write.mode("overwrite").parquet(f"{tmp}/c")
+    joined = stream_interval_join(
+        spark.readStream.schema(purchases.schema).parquet(f"{tmp}/p"),
+        spark.readStream.schema(clicks.schema).parquet(f"{tmp}/c"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"event_id": "click_id", "ts": "click_ts"},
+        lookback="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("dles_click_attr")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("dles_click_attr").select(
+        "event_id", "user_id", "ts", "click_id", "click_ts"
+    )
+
+
+CLICK_ATTRIBUTION_SQL = """
+SELECT p.event_id, p.user_id, p.ts, c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+"""
+
+
 QUERIES = {
     "purchase_last_click": purchase_last_click,
+    "streaming_click_attribution": streaming_click_attribution,
     "events_in_session_intervals": events_in_session_intervals,
     "time_rollup_event_stats": time_rollup_event_stats,
     "skew_salted_event_stats": skew_salted_event_stats,
@@ -305,6 +359,7 @@ from delta_lake_experiment_spark.workloads.relational import HOURLY_SQL as _HOUR
 
 ORACLES = {
     "purchase_last_click": PURCHASE_LAST_CLICK_SQL,
+    "streaming_click_attribution": CLICK_ATTRIBUTION_SQL,
     "events_in_session_intervals": EVENTS_IN_SESSIONS_SQL,
     "time_rollup_event_stats": TIME_ROLLUP_SQL,
     "skew_salted_event_stats": SKEW_SALTED_SQL,
