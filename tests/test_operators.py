@@ -516,3 +516,15 @@ def test_interval_join_bucketized(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_strategies_bit_identical(spark):
+    """The codegen 'agg' strategy must produce byte-for-byte the same
+    signatures as the zero-shuffle 'fold' strategy."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fold = {r["__id"]: r["simhash"] for r in simhash_signature(docs, "doc_id", "text").collect()}
+    agg = {
+        r["__id"]: r["simhash"]
+        for r in simhash_signature(docs, "doc_id", "text", strategy="agg").collect()
+    }
+    assert fold == agg and len(fold) == docs.count()
