@@ -22,6 +22,23 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+# GPT-2-style pretokenizer classes, lookahead-free so the same pattern
+# runs on Java regex (Spark) and RE2 (DuckDB): a leading-space word, a
+# leading-space number run, a leading-space punctuation run, or bare
+# whitespace. This is the unit a byte-pair encoder would merge within —
+# the right denominator for tokens-per-document budgeting.
+BPE_ISH_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish pretoken count (INT): word / number / punctuation runs
+    with their leading space, GPT-2 pretokenizer style. A cheap,
+    deterministic stand-in for model token budgeting (true BPE merge
+    counts need the vocab; pretoken count is its stable upper-bound
+    denominator)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RE), F.lit(0)))
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of characters that are punctuation."""
     stripped = F.regexp_replace(text, PUNCT_CLASS, "")
@@ -130,6 +147,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {
             "n_tokens": token_count(t),
+            "n_bpe_tokens": bpe_token_count(t),
             "n_chars_calc": F.length(t),
             "punct_ratio": punct_ratio(t),
             "stopword_ratio": stopword_ratio(t),

@@ -37,6 +37,7 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_text_stats(docs).select(
         "doc_id",
         "n_tokens",
+        "n_bpe_tokens",
         "n_chars_calc",
         "punct_ratio",
         "stopword_ratio",
@@ -49,6 +50,8 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_STATS_SQL = r"""
 SELECT doc_id,
   CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INT)
+    AS n_bpe_tokens,
   CAST(length(text) AS INT) AS n_chars_calc,
   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
     / length(text) AS punct_ratio,
