@@ -1256,8 +1256,9 @@ class DeltaLakeClient:
         leading column): each output file then covers a tight [min,max]
         slice, so the log-level stats pruning and Parquet row-group
         skipping both become surgical for predicates on the cluster
-        columns. ``zorder_by`` (2+ numeric columns) instead interleaves
-        the bits of per-column quantile ranks (OPTIMIZE ... ZORDER):
+        columns. ``zorder_by`` (2+ numeric or string columns) instead
+        interleaves the bits of per-column quantized ranks (OPTIMIZE
+        ... ZORDER; strings rank on their 7-byte prefix):
         every listed column gets locality in every file, so pruning
         works for predicates on ANY of them, not just the first.
         """
@@ -1736,11 +1737,22 @@ class DeltaLakeClient:
 _Z_BITS = 16
 
 
+def _str_prefix_num(col: Column) -> Column:
+    """First-7-bytes of a string as a monotone BIGINT: lexicographic
+    string order maps to numeric order on the prefix (unhex of the
+    zero-right-padded hex of the UTF-8 bytes). 7 bytes keeps the value
+    positive in a signed long."""
+    hx = F.rpad(F.substring(F.hex(F.encode(col, "UTF-8")), 1, 14), 14, "0")
+    return F.conv(hx, 16, 10).cast("long")
+
+
 def _zorder_value(cols: list[str], bounds: dict[str, tuple[Any, Any]]) -> Column:
     """Morton (z-curve) value: interleave the bits of each column's
     16-bit linearly-quantized position within its [min, max] range.
     Pure projection (no window, no shuffle); NULLs and degenerate
-    ranges quantize to 0."""
+    ranges quantize to 0. String columns quantize on their 7-byte
+    prefix (monotone w.r.t. lexicographic order), so mixed
+    string/numeric z-orders cluster both."""
     n = len(cols)
     ranks = []
     scale = float((1 << _Z_BITS) - 1)
@@ -1749,7 +1761,19 @@ def _zorder_value(cols: list[str], bounds: dict[str, tuple[Any, Any]]) -> Column
         if lo is None or hi is None or hi == lo:
             ranks.append(F.lit(0).cast("long"))
             continue
-        frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(hi) - float(lo))
+        if isinstance(lo, str):
+            lo_n = _py_str_prefix_num(lo)
+            hi_n = _py_str_prefix_num(hi)
+            if hi_n == lo_n:
+                ranks.append(F.lit(0).cast("long"))
+                continue
+            frac = (_str_prefix_num(F.col(c)).cast("double") - F.lit(float(lo_n))) / F.lit(
+                float(hi_n - lo_n)
+            )
+        else:
+            frac = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+                float(hi) - float(lo)
+            )
         clamped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), frac))
         ranks.append(F.coalesce((clamped * scale).cast("long"), F.lit(0).cast("long")))
     z = F.lit(0).cast("long")
@@ -1760,6 +1784,12 @@ def _zorder_value(cols: list[str], bounds: dict[str, tuple[Any, Any]]) -> Column
                 * F.lit(1 << (bit * n + i)).cast("long")
             )
     return z
+
+
+def _py_str_prefix_num(s: str) -> int:
+    """Driver-side twin of :func:`_str_prefix_num` for bounds."""
+    b = s.encode("utf-8")[:7]
+    return int.from_bytes(b + b"\x00" * (7 - len(b)), "big")
 
 
 def _basename_of_uri(uri: str) -> str:

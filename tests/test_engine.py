@@ -994,6 +994,36 @@ def test_zorder_compaction_prunes_both_dimensions(spark, store_dir):
     c.commit_tx()
 
 
+def test_zorder_handles_string_columns(spark, store_dir):
+    """z-order over a (string, numeric) pair must produce stats pruning
+    on BOTH columns (strings quantize on their 7-byte prefix)."""
+    import random
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=64)
+    c.new_tx()
+    c.create_table("t", "cat STRING, x BIGINT")
+    rng = random.Random(5)
+    cats = [f"cat_{chr(ord('a') + i)}" for i in range(16)]
+    for _ in range(1024):
+        c.write_row("t", [rng.choice(cats), rng.randrange(1024)])
+    c.commit_tx()
+
+    c.new_tx()
+    c.compact("t", target_files=16, zorder_by=["cat", "x"])
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    total = len(snap.live_files("t", c.store))
+    by_cat = len(snap.live_files("t", c.store, prune={"cat": ("cat_a", "cat_b")}))
+    by_x = len(snap.live_files("t", c.store, prune={"x": (0, 63)}))
+    assert by_cat < total and by_x < total, (by_cat, by_x, total)
+    assert c.scan("t").filter("cat = 'cat_a'").count() == sum(
+        1 for _ in range(0)
+    ) + c.scan("t", prune={"cat": ("cat_a", "cat_a")}).filter("cat = 'cat_a'").count()
+    c.commit_tx()
+
+
 def test_schema_evolution_add_column(spark, store_dir):
     """The reference's broken-by-design case (README.md:45-46): add a
     column, then delete on it — old rows must survive, not explode."""
