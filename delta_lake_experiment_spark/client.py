@@ -47,6 +47,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import uuid
@@ -120,6 +121,13 @@ class DeltaLakeClient:
         self.dataobject_size = dataobject_size
         self.checkpoint_interval = checkpoint_interval
         self.tx: Optional[_Tx] = None
+        # Engine writes need TIMESTAMP_MICROS: Spark's INT96 default
+        # writes NO footer min/max stats for timestamp columns, which
+        # would silently disable time-range file pruning and the bulk
+        # path's max-stamp read. Set once here — a mutate-and-restore
+        # around each write races concurrent writes through the same
+        # session (ADVICE r2) and could leave the conf flipped mid-job.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     # ------------------------------------------------------------------
     # transactions
@@ -330,6 +338,49 @@ class DeltaLakeClient:
             if row is not None:
                 tx.buffers[table][i] = (idx, list(row) + [None] * len(added.fields))
 
+    def alter_table(
+        self,
+        table: str,
+        primary_keys: Optional[list[str]] = None,
+        bloom_columns: Optional[list[str]] = None,
+        cluster_by: Optional[list[str]] = None,
+    ) -> None:
+        """Change the table's declared primary keys / bloom columns /
+        clustering without touching data. ``None`` keeps the current
+        declaration, ``[]`` clears it. New declarations govern FUTURE
+        writes — existing objects keep their stats and blooms; run
+        ``compact()`` to rewrite them under the new layout/blooms."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)  # raises for unknown tables
+        snap = self._effective_snapshot(tx)
+        names = {f.name for f in schema.fields}
+        new_pk = list(snap.pkeys.get(table, []) if primary_keys is None else primary_keys)
+        new_bloom = list(
+            snap.bloom_cols.get(table, []) if bloom_columns is None else bloom_columns
+        )
+        new_cluster = list(
+            snap.cluster_cols.get(table, []) if cluster_by is None else cluster_by
+        )
+        for label, colset in (
+            ("primary key", new_pk),
+            ("bloom", new_bloom),
+            ("cluster", new_cluster),
+        ):
+            missing = set(colset) - names
+            if missing:
+                raise TypeMismatchError(f"{label} columns not in schema: {sorted(missing)}")
+        ddl = tx.new_tables.get(table) or tx.snapshot.tables.get(table)
+        tx.actions.append(
+            ChangeMetadata(
+                table=table,
+                schema_ddl=ddl,
+                primary_keys=new_pk,
+                bloom_columns=new_bloom,
+                cluster_by=new_cluster,
+                authoritative=True,
+            )
+        )
+
     def table_schema(self, table: str) -> T.StructType:
         """User-visible schema (without engine stamp columns)."""
         tx = self._require_tx()
@@ -417,26 +468,18 @@ class DeltaLakeClient:
         staging = self._staging_dir()
         self._write_parquet_staging(stamped, staging)
         # Advance next_idx past the LARGEST stamp actually written (read
-        # from the staged Parquet footers, never the data): a fixed
-        # stride would collide once monotonically_increasing_id's
-        # partition-id bits (bits 33+) exceed it — at >= 512 partitions
-        # for a 2^42 stride — silently breaking newest-first ordering
-        # for the next bulk write in the same tx. Footer-derived maxima
-        # are exact at ANY partition count, including AQE skew-splits
-        # that raise the runtime partition count above the planned one.
-        max_idx = base - 1
+        # from the staged Parquet footers or the distributed stats pass,
+        # never the data): a fixed stride would collide once
+        # monotonically_increasing_id's partition-id bits (bits 33+)
+        # exceed it — at >= 512 partitions for a 2^42 stride — silently
+        # breaking newest-first ordering for the next bulk write in the
+        # same tx. The derived maxima are exact at ANY partition count,
+        # including AQE skew-splits above the planned count.
         try:
-            for fname in sorted(os.listdir(staging)):
-                if not fname.endswith(".parquet"):
-                    continue
-                path = os.path.join(staging, fname)
-                hi = _parquet_idx_max(path)
-                if hi is not None:
-                    max_idx = max(max_idx, hi)
-                self._register_object(table, tx, path)
+            max_idx = self._register_staging(table, tx, staging)
         finally:
             _rmtree(staging)
-        tx.next_idx[table] = max_idx + 1
+        tx.next_idx[table] = (max_idx if max_idx is not None else base - 1) + 1
 
     def _write_dataframe_remote(
         self, table: str, tx: _Tx, stamped: DataFrame, base: int, rs
@@ -547,6 +590,11 @@ class DeltaLakeClient:
 
                 cols = {}
                 for c in bloom_cols:
+                    # integral columns arrive as decimal strings (cast
+                    # Spark-side): Arrow->pandas turns a nullable int64
+                    # column into float64, and int(float) silently
+                    # rounds |v| > 2^53 — a bloom FALSE NEGATIVE that
+                    # wrongly prunes files. int(str) is exact.
                     vals = [
                         (str(v) if is_str[c] else int(v))
                         for v in pdf[c]
@@ -563,7 +611,13 @@ class DeltaLakeClient:
                 )
 
             brows = (
-                df.select(F.col("_metadata.file_name").alias("__f"), *bloom_cols)
+                df.select(
+                    F.col("_metadata.file_name").alias("__f"),
+                    *[
+                        F.col(c) if is_str[c] else F.col(c).cast("string").alias(c)
+                        for c in bloom_cols
+                    ],
+                )
                 .groupBy("__f")
                 .applyInPandas(_build, "f string, col string, bloom string")
                 .collect()
@@ -902,7 +956,7 @@ class DeltaLakeClient:
         """
         tx = self._require_tx()
         schema = self.table_schema(table)
-        self._check_range_types(schema, column, start, end)
+        start, end = self._check_range_types(schema, column, start, end)
 
         # 1. tombstone unflushed matches (reference writes.go:100-110)
         buf = tx.buffers.get(table, [])
@@ -953,9 +1007,7 @@ class DeltaLakeClient:
         staging = self._staging_dir()
         self._write_parquet_staging(survivors, staging)
         try:
-            for fname in sorted(os.listdir(staging)):
-                if fname.endswith(".parquet"):
-                    self._register_object(table, tx, os.path.join(staging, fname))
+            self._register_staging(table, tx, staging)
         finally:
             _rmtree(staging)
         for name in sorted(affected_names):
@@ -1056,7 +1108,7 @@ class DeltaLakeClient:
         """
         tx = self._require_tx()
         schema = self.table_schema(table)
-        self._check_range_types(schema, column, start, end)
+        start, end = self._check_range_types(schema, column, start, end)
         names = {f.name for f in schema.fields}
         unknown = set(set_values) - names
         if unknown:
@@ -1106,9 +1158,7 @@ class DeltaLakeClient:
         staging = self._staging_dir()
         self._write_parquet_staging(updated, staging)
         try:
-            for fname in sorted(os.listdir(staging)):
-                if fname.endswith(".parquet"):
-                    self._register_object(table, tx, os.path.join(staging, fname))
+            self._register_staging(table, tx, staging)
         finally:
             _rmtree(staging)
         for name in sorted(affected_names):
@@ -1168,6 +1218,30 @@ class DeltaLakeClient:
         finally:
             _rmtree(staging)
 
+    def _arrow_bound(self, pa_type, bound: Any) -> Any:
+        """Align a Python datetime bound with an Arrow column's timestamp
+        zone semantics: Spark writes engine timestamps as UTC-adjusted
+        instants (tz-aware in Arrow), while API/SQL bounds are naive
+        session-local datetimes — comparing them raises ArrowInvalid.
+        Naive bounds are localized to the Spark session timezone."""
+        import pyarrow as pa
+
+        if isinstance(bound, datetime.datetime) and pa.types.is_timestamp(pa_type):
+            if pa_type.tz is not None and bound.tzinfo is None:
+                bound = bound.replace(tzinfo=self._session_tzinfo())
+            elif pa_type.tz is None and bound.tzinfo is not None:
+                bound = bound.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return bound
+
+    def _session_tzinfo(self) -> datetime.tzinfo:
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        try:
+            import zoneinfo
+
+            return zoneinfo.ZoneInfo(tz)
+        except Exception:
+            return datetime.timezone.utc
+
     def _delete_rows_driver(
         self,
         tx: "_Tx",
@@ -1212,8 +1286,10 @@ class DeltaLakeClient:
                     # all-NULL, NULLs never match a range -> untouched
                     continue
                 col = tbl[column]
+                lo_b = self._arrow_bound(col.type, start)
+                hi_b = self._arrow_bound(col.type, end)
                 matched = pc.and_kleene(
-                    pc.greater_equal(col, start), pc.less_equal(col, end)
+                    pc.greater_equal(col, lo_b), pc.less_equal(col, hi_b)
                 )
                 keep_list = pc.fill_null(pc.invert(matched), True).to_pylist()
                 if masked:
@@ -1301,9 +1377,7 @@ class DeltaLakeClient:
         staging = self._staging_dir()
         self._write_parquet_staging(df, staging)
         try:
-            for fname in sorted(os.listdir(staging)):
-                if fname.endswith(".parquet"):
-                    self._register_object(table, tx, os.path.join(staging, fname))
+            self._register_staging(table, tx, staging)
         finally:
             _rmtree(staging)
         for o in objs:
@@ -1328,17 +1402,26 @@ class DeltaLakeClient:
             raise TableNotFoundError(f"{table} (as of v{version})")
         cur = self._effective_snapshot(tx)
         # Table METADATA restores too (matching Delta's RESTORE): a
-        # schema or primary-key change made after the target version
-        # must not survive the rollback, or restored objects would be
-        # read with the wrong schema.
-        if cur.tables.get(table) != old.tables[table] or cur.pkeys.get(
-            table
-        ) != old.pkeys.get(table):
+        # schema, primary-key, bloom or clustering change made after
+        # the target version must not survive the rollback, or restored
+        # objects would be read with the wrong schema / future writes
+        # would build blooms and layouts the restored schema can't
+        # support. The action is AUTHORITATIVE so empty lists CLEAR
+        # later declarations instead of silently keeping them.
+        if (
+            cur.tables.get(table) != old.tables[table]
+            or cur.pkeys.get(table, []) != old.pkeys.get(table, [])
+            or cur.bloom_cols.get(table, []) != old.bloom_cols.get(table, [])
+            or cur.cluster_cols.get(table, []) != old.cluster_cols.get(table, [])
+        ):
             tx.actions.append(
                 ChangeMetadata(
                     table=table,
                     schema_ddl=old.tables[table],
                     primary_keys=list(old.pkeys.get(table, [])),
+                    bloom_columns=list(old.bloom_cols.get(table, [])),
+                    cluster_by=list(old.cluster_cols.get(table, [])),
+                    authoritative=True,
                 )
             )
             tx.new_tables[table] = old.tables[table]  # visible pre-commit
@@ -1414,9 +1497,7 @@ class DeltaLakeClient:
         staging = self._staging_dir()
         self._write_parquet_staging(survivors, staging)
         try:
-            for fname in sorted(os.listdir(staging)):
-                if fname.endswith(".parquet"):
-                    self._register_object(table, tx, os.path.join(staging, fname))
+            self._register_staging(table, tx, staging)
         finally:
             _rmtree(staging)
         for name in heavy:
@@ -1512,14 +1593,22 @@ class DeltaLakeClient:
         raise TableNotFoundError(f"no such column: {column}")
 
     @staticmethod
-    def _check_range_types(schema: T.StructType, column: str, start: Any, end: Any) -> None:
+    def _check_range_types(
+        schema: T.StructType, column: str, start: Any, end: Any
+    ) -> tuple[Any, Any]:
         """Reference parity: range predicates are type-checked; a bound
         whose type can't compare against the column raises
-        TypeMismatchError (writes.go:85-86)."""
+        TypeMismatchError (writes.go:85-86). Returns the (start, end)
+        bounds with string literals on Timestamp/Date columns coerced to
+        datetime/date — the SQL DML grammar produces plain strings for
+        temporal bounds, and every downstream consumer (buffer
+        tombstoning, file-stat pruning, the Spark predicate) needs the
+        typed value to compare correctly."""
         dt = schema[column].dataType if column in schema.fieldNames() else None
         if dt is None:
             raise TableNotFoundError(f"no such column: {column}")
         numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType, T.DecimalType)
+        out = []
         for bound in (start, end):
             if isinstance(dt, numeric):
                 if isinstance(bound, bool) or not isinstance(bound, (int, float)):
@@ -1527,6 +1616,23 @@ class DeltaLakeClient:
             elif isinstance(dt, T.StringType):
                 if not isinstance(bound, str):
                     raise TypeMismatchError(f"{column}: string column, bound {bound!r}")
+            elif isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+                if isinstance(bound, str):
+                    try:
+                        bound = datetime.datetime.fromisoformat(bound)
+                    except ValueError:
+                        raise TypeMismatchError(
+                            f"{column}: temporal column, unparseable bound {bound!r}"
+                        )
+                if isinstance(dt, T.DateType):
+                    if isinstance(bound, datetime.datetime):
+                        bound = bound.date()
+                    elif not isinstance(bound, datetime.date):
+                        raise TypeMismatchError(f"{column}: date column, bound {bound!r}")
+                elif not isinstance(bound, datetime.datetime):
+                    raise TypeMismatchError(f"{column}: timestamp column, bound {bound!r}")
+            out.append(bound)
+        return out[0], out[1]
 
     def _effective_snapshot(self, tx: _Tx) -> Snapshot:
         """Snapshot + this tx's own actions (deletes/writes visible to
@@ -1628,18 +1734,15 @@ class DeltaLakeClient:
             _rmtree(os.path.dirname(tmp))
 
     def _write_parquet_staging(self, df: DataFrame, path: str) -> None:
-        """Every engine Parquet write goes through here with timestamps
-        forced to TIMESTAMP_MICROS: Spark's INT96 default writes NO
-        footer min/max statistics for timestamp columns, which would
-        silently disable log-level time-range file pruning (and the
-        bulk path's max-stamp read). Restores the session conf after."""
+        """Every engine Parquet write goes through here. The session is
+        pinned to TIMESTAMP_MICROS at client construction (footer stats
+        for timestamp columns — INT96 writes none); re-assert rather
+        than mutate-and-restore, which would race concurrent writes
+        through the same SparkSession (ADVICE r2)."""
         key = "spark.sql.parquet.outputTimestampType"
-        prev = self.spark.conf.get(key)
-        self.spark.conf.set(key, "TIMESTAMP_MICROS")
-        try:
-            df.write.mode("overwrite").parquet(path)
-        finally:
-            self.spark.conf.set(key, prev)
+        if self.spark.conf.get(key) != "TIMESTAMP_MICROS":
+            self.spark.conf.set(key, "TIMESTAMP_MICROS")
+        df.write.mode("overwrite").parquet(path)
 
     def _read_store_parquet(self, name: str, columns: Optional[list] = None):
         """Driver-side pyarrow read of one STORE object. Local stores go
@@ -1655,6 +1758,52 @@ class DeltaLakeClient:
         import pyarrow as pa
 
         return pq.read_table(pa.BufferReader(self.store.read(name)), columns=columns)
+
+    def _register_staging(self, table: str, tx: _Tx, staging: str) -> Optional[int]:
+        """Register every staged Parquet file as a data object; returns
+        the max ``_row_idx`` stamp among them (None if nothing staged).
+
+        When the table declares bloom columns, per-file stats, blooms
+        and the max stamp all come from ONE distributed aggregation
+        over the staged directory (``_staged_stats_distributed`` is
+        store-agnostic — staged files are Spark-readable locally too),
+        so ingest never reads data columns through the driver: at 100×
+        ingest the driver handles only footer-sized stats rows and
+        bloom bitsets. Without blooms, the per-file footer pass is
+        metadata-only and avoids Spark-job latency for small flushes.
+        """
+        files = [f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")]
+        if not files:
+            return None
+        if self._effective_snapshot(tx).bloom_cols.get(table):
+            stats_by_file, blooms_by_file, max_idx = self._staged_stats_distributed(
+                table, tx, staging
+            )
+            for fname in files:
+                st = stats_by_file.get(fname)
+                if st is None or st["num_rows"] == 0:
+                    continue  # empty partition file — never logged
+                name = f"table_{table}_{uuid.uuid4().hex}.parquet"
+                self.store.put_file_if_absent(name, os.path.join(staging, fname))
+                tx.actions.append(
+                    AddDataObject(
+                        name=name,
+                        table=table,
+                        tx_id=tx.id,
+                        num_rows=st["num_rows"],
+                        stats=st["stats"],
+                        blooms=blooms_by_file.get(fname, {}),
+                    )
+                )
+            return max_idx
+        max_idx: Optional[int] = None
+        for fname in files:
+            path = os.path.join(staging, fname)
+            hi = _parquet_idx_max(path)
+            if hi is not None:
+                max_idx = hi if max_idx is None else max(max_idx, hi)
+            self._register_object(table, tx, path)
+        return max_idx
 
     def _register_object(self, table: str, tx: _Tx, src_path: str) -> None:
         # NOTE: no leading underscore — Spark's file index treats `_`/`.`

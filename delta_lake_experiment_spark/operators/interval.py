@@ -46,6 +46,16 @@ def interval_join(
     with NULL interval columns.
     """
     keys = list(on or [])
+    clash = (set(points.columns) - set(keys)) & {
+        c for c in intervals.columns if c not in keys
+    }
+    if clash:
+        # the final rename (__r_c -> c) would otherwise emit duplicate
+        # column names, making every downstream reference ambiguous
+        raise ValueError(
+            f"interval_join: interval payload columns collide with point "
+            f"columns {sorted(clash)}; rename one side or add them to `on`"
+        )
     w = int(bucket_seconds)
     p_bin = (F.unix_timestamp(F.col(point_ts)) / w).cast("long")
     i_lo = (F.unix_timestamp(F.col(start_col)) / w).cast("long")

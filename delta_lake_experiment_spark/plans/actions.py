@@ -89,6 +89,12 @@ class ChangeMetadata:
     # file-level stats pruning then acts as partition pruning, without a
     # hive-style directory layout (Spark-first liquid-clustering analog)
     cluster_by: list[str] = field(default_factory=list)
+    # With ``authoritative=True`` the declaration lists REPLACE the
+    # table's current ones — empty lists CLEAR prior declarations
+    # (RESTORE / ALTER need this). Default False keeps the legacy
+    # fold: empty lists mean "leave existing declarations alone"
+    # (schema-evolution records carry only the widened DDL).
+    authoritative: bool = False
 
     def to_json(self) -> dict[str, Any]:
         out: dict[str, Any] = {"table": self.table, "schema_ddl": self.schema_ddl}
@@ -98,6 +104,8 @@ class ChangeMetadata:
             out["bloom_columns"] = self.bloom_columns
         if self.cluster_by:
             out["cluster_by"] = self.cluster_by
+        if self.authoritative:
+            out["authoritative"] = True
         return {"metadata": out}
 
 
@@ -154,6 +162,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             primary_keys=list(m.get("primary_keys", [])),
             bloom_columns=list(m.get("bloom_columns", [])),
             cluster_by=list(m.get("cluster_by", [])),
+            authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:
         d = obj["dv"]

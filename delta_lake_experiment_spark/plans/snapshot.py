@@ -108,12 +108,19 @@ class Snapshot:
         for act in actions:
             if isinstance(act, ChangeMetadata):
                 self.tables[act.table] = act.schema_ddl  # last-writer-wins
-                if act.primary_keys:
+                if act.authoritative:
+                    # RESTORE/ALTER: lists replace outright — empty
+                    # lists CLEAR prior declarations
                     self.pkeys[act.table] = list(act.primary_keys)
-                if act.bloom_columns:
                     self.bloom_cols[act.table] = list(act.bloom_columns)
-                if act.cluster_by:
                     self.cluster_cols[act.table] = list(act.cluster_by)
+                else:
+                    if act.primary_keys:
+                        self.pkeys[act.table] = list(act.primary_keys)
+                    if act.bloom_columns:
+                        self.bloom_cols[act.table] = list(act.bloom_columns)
+                    if act.cluster_by:
+                        self.cluster_cols[act.table] = list(act.cluster_by)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -206,9 +213,21 @@ def _stat_comparable(stat_v: Any, bound: Any):
     tagged integer strings ('ts:<epoch micros>' / 'd:<ordinal day>' —
     JSON has no datetime); temporal BOUNDS decode against them at the
     matching granularity: timestamp-vs-date comparisons degrade to day
-    granularity, which can only under-prune, never wrongly prune."""
+    granularity, which can only under-prune, never wrongly prune.
+    String bounds against a tagged stat are parsed as ISO timestamps
+    (the SQL DML grammar produces plain-string literals for temporal
+    columns); an unparseable string keeps the file conservatively —
+    never compare a tag lexicographically against user text."""
     import datetime as _dt
 
+    tagged = isinstance(stat_v, str) and (
+        stat_v.startswith("ts:") or stat_v.startswith("d:")
+    )
+    if tagged and isinstance(bound, str):
+        try:
+            bound = _dt.datetime.fromisoformat(bound)
+        except ValueError:
+            return None, None
     if isinstance(bound, _dt.datetime):
         if bound.tzinfo is not None:
             bound = bound.astimezone(_dt.timezone.utc).replace(tzinfo=None)
@@ -225,6 +244,8 @@ def _stat_comparable(stat_v: Any, bound: Any):
         if isinstance(stat_v, str) and stat_v.startswith("d:"):
             return int(stat_v[2:]), bound.toordinal()
         return None, None
+    if tagged:
+        return None, None  # temporal stat vs non-temporal bound: keep file
     return stat_v, bound
 
 

@@ -517,6 +517,20 @@ def test_interval_join_bucketized(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
+    # colliding payload names would yield duplicate output columns and
+    # ambiguity errors downstream — rejected up front (ADVICE r2)
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(
+            points.withColumn("name", F.lit("x")),
+            intervals,
+            "ts",
+            "lo",
+            "hi",
+            on=["user_id"],
+        )
+
 
 def test_simhash_strategies_bit_identical(spark):
     """The codegen 'agg' strategy must produce byte-for-byte the same
