@@ -50,6 +50,7 @@ from __future__ import annotations
 import datetime
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Optional, Union
@@ -833,12 +834,32 @@ class DeltaLakeClient:
             )
             df.createOrReplaceTempView(t + suffix)
 
+    # SQL time travel: `FROM t VERSION AS OF n` (Delta's SQL syntax).
+    # Spark's parser only accepts VERSION AS OF on datasource relations,
+    # not temp views, so the clause is rewritten BEFORE Catalyst sees
+    # it: each `t VERSION AS OF n` becomes a pinned temp view `t__vn`
+    # backed by scan_as_of(t, n) — the same log-replay mechanism that
+    # gives readers snapshot isolation, now addressable from SQL.
+    _VERSION_AS_OF_RE = re.compile(
+        r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
+    )
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL over this client's registered engine-table views.
         Catalyst plans the query over the snapshot scans — joins,
-        aggregates, windows, subqueries all work against ACID tables."""
+        aggregates, windows, subqueries all work against ACID tables.
+        ``FROM t VERSION AS OF n`` reads engine table ``t`` pinned at
+        committed log version ``n`` (time travel)."""
         self._require_tx()
-        return self.spark.sql(query)
+
+        def _pin(m: "re.Match[str]") -> str:
+            t, v = m.group(1), int(m.group(2))
+            view = f"{t}__v{v}"
+            # stamp columns stay internal, matching register_views()
+            self.scan_as_of(t, v).drop(TX_COL, IDX_COL).createOrReplaceTempView(view)
+            return view
+
+        return self.spark.sql(self._VERSION_AS_OF_RE.sub(_pin, query))
 
     def execute(self, statement: str) -> Optional[DataFrame]:
         """Execute one SQL statement, routing DML to the engine's

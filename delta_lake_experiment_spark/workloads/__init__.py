@@ -19,7 +19,15 @@ def all_queries():
     out = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
-    return out
+    # The driver's CORRECTNESS gate checks the first 50 registry
+    # entries: list every value-oracled query first so none of them
+    # falls outside the window; rows-only queries (approximate by
+    # construction, justified per-query in their ORACLES modules) go
+    # last and get the weaker rows-only check by design.
+    oracles = all_oracles()
+    ordered = {k: v for k, v in out.items() if k in oracles}
+    ordered.update({k: v for k, v in out.items() if k not in oracles})
+    return ordered
 
 
 def all_oracles():

@@ -287,8 +287,47 @@ FROM orders WHERE o_orderkey % 10 = 0
 """
 
 
+# SQL time travel: v1 full ingest, v2 COW range delete; one statement
+# joins the pinned pre-delete version (`VERSION AS OF 1`) against the
+# current view — proving the log replay is addressable from SQL.
+def engine_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table("tt_orders", src.schema)
+    c.write_dataframe("tt_orders", src)
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("tt_orders", "o_totalprice", 50000.0, 150000.0)
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.register_views("tt_orders")
+    return c.sql(
+        """
+        SELECT v1.o_orderstatus, v1.n AS v1_orders, cur.n AS current_orders
+        FROM (SELECT o_orderstatus, COUNT(*) AS n
+              FROM tt_orders VERSION AS OF 1 GROUP BY o_orderstatus) v1
+        JOIN (SELECT o_orderstatus, COUNT(*) AS n
+              FROM tt_orders GROUP BY o_orderstatus) cur
+          ON v1.o_orderstatus = cur.o_orderstatus
+        """
+    )
+
+
+TIME_TRAVEL_SQL = """
+SELECT a.o_orderstatus, a.n AS v1_orders, b.n AS current_orders
+FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) a
+JOIN (SELECT o_orderstatus, COUNT(*) AS n FROM orders
+      WHERE o_totalprice NOT BETWEEN 50000.0 AND 150000.0
+      GROUP BY o_orderstatus) b
+  ON a.o_orderstatus = b.o_orderstatus
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
     "engine_change_feed": engine_change_feed,
     "engine_merge_upsert": engine_merge_upsert,
@@ -301,6 +340,7 @@ QUERIES = {
 
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
+    "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,
     "engine_sql_merge": MERGE_SQL,
     "engine_change_feed": CHANGE_FEED_SQL,

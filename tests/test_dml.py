@@ -136,6 +136,40 @@ def test_sql_only_lifecycle(spark, store_dir):
     c.commit_tx()
 
 
+def test_sql_version_as_of(spark, store_dir):
+    """SQL time travel: `FROM t VERSION AS OF n` reads the table pinned
+    at log version n — rewritten to a scan_as_of-backed view before
+    Catalyst parses (Spark only accepts the clause on datasources)."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.write_dataframe(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    )
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("t", "k", 2, 2)
+    c.write_dataframe("t", spark.createDataFrame([(3, "c")], "k BIGINT, v STRING"))
+    c.commit_tx()  # v2
+
+    c.new_tx()
+    c.register_views()
+    old = c.sql("SELECT k FROM t VERSION AS OF 1 ORDER BY k")
+    assert [r["k"] for r in old.collect()] == [1, 2]
+    assert old.columns == ["k"]  # stamp columns stay internal
+    cur = c.sql("SELECT k FROM t ORDER BY k")
+    assert [r["k"] for r in cur.collect()] == [1, 3]
+    # both versions joinable in one statement
+    joined = c.sql(
+        """
+        SELECT o.k FROM t VERSION AS OF 1 o
+        LEFT ANTI JOIN t ON o.k = t.k ORDER BY o.k
+        """
+    )
+    assert [r["k"] for r in joined.collect()] == [2]
+    c.commit_tx()
+
+
 def test_execute_merge_end_to_end(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir)
     c.new_tx()
