@@ -514,7 +514,9 @@ class DeltaLakeClient:
                         tx_id=tx.id,
                         num_rows=st["num_rows"],
                         stats=st["stats"],
-                        blooms=blooms_by_file.get(fname, {}),
+                        blooms=self._maybe_sidecar_blooms(
+                            blooms_by_file.get(fname, {})
+                        ),
                     )
                 )
             if max_idx is not None:
@@ -1525,13 +1527,26 @@ class DeltaLakeClient:
             tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
         return len(heavy)
 
-    def vacuum(self, retain_versions: int = 0, min_age_seconds: float = 0.0) -> int:
-        """GC data/DV objects unreferenced by any retained snapshot.
+    def vacuum(
+        self,
+        retain_versions: int = 0,
+        min_age_seconds: float = 0.0,
+        dry_run: bool = False,
+    ) -> Union[int, dict]:
+        """GC data/DV/bloom-sidecar objects unreferenced by any retained
+        snapshot.
 
         Keeps every object referenced by the last ``retain_versions + 1``
         committed versions; time travel older than that stops working
         (the log records remain, the data objects don't). Also reclaims
         orphans from failed commits. Returns objects deleted.
+
+        ``dry_run=True`` deletes NOTHING and returns the report a real
+        run with the same arguments would act on: ``{"objects":
+        [{"name", "bytes", "age_seconds"}...], "count", "total_bytes"}``
+        — the operational safety check before running GC (Delta's
+        ``VACUUM ... DRY RUN``). Sizes/ages are None when the store
+        cannot report them.
 
         ``min_age_seconds`` is the in-flight-writer guard (Delta's
         VACUUM retention check): an unreferenced object younger than
@@ -1563,8 +1578,17 @@ class DeltaLakeClient:
         lo = max(1, latest_version - retain_versions)
         base = replay_log(self.store, as_of=lo)
         keep: set[str] = set()
+
+        def _keep_bloom_refs(blooms: dict) -> None:
+            # sidecar blooms live and die with their parent data object
+            for b in blooms.values():
+                if isinstance(b, dict) and "ref" in b:
+                    keep.add(b["ref"])
+
         for objs in base.live.values():
             keep.update(objs)
+            for add in objs.values():
+                _keep_bloom_refs(add.blooms)
         for masked in base.dvs.values():
             for dv_list in masked.values():
                 keep.update(dv_list)
@@ -1576,20 +1600,38 @@ class DeltaLakeClient:
             for a in record["actions"]:
                 if "add" in a:
                     keep.add(a["add"]["name"])
+                    _keep_bloom_refs(a["add"].get("blooms", {}))
                 elif "dv" in a:
                     keep.add(a["dv"]["dv_name"])
-        cutoff = time.time() - min_age_seconds
+        now = time.time()
+        cutoff = now - min_age_seconds
         deleted = 0
-        for prefix in ("table_", "dv_"):
+        report: list[dict] = []
+        for prefix in ("table_", "dv_", "bloomf_"):
             for name in self.store.list_prefix_ordered(prefix):
                 if name in keep:
                     continue
-                if min_age_seconds > 0:
-                    age = self.store.mtime(name)
-                    if age is None or age > cutoff:
-                        continue  # too young or unknown age: spare it
+                mt = self.store.mtime(name)
+                if min_age_seconds > 0 and (mt is None or mt > cutoff):
+                    continue  # too young or unknown age: spare it
+                if dry_run:
+                    report.append(
+                        {
+                            "name": name,
+                            "bytes": self.store.size(name),
+                            "age_seconds": (now - mt) if mt is not None else None,
+                        }
+                    )
+                    continue
                 self.store.delete(name)
                 deleted += 1
+        if dry_run:
+            sizes = [r["bytes"] for r in report if r["bytes"] is not None]
+            return {
+                "objects": report,
+                "count": len(report),
+                "total_bytes": sum(sizes) if sizes else 0,
+            }
         return deleted
 
     def _require_tx(self) -> _Tx:
@@ -1780,6 +1822,24 @@ class DeltaLakeClient:
 
         return pq.read_table(pa.BufferReader(self.store.read(name)), columns=columns)
 
+    def _maybe_sidecar_blooms(self, blooms: dict[str, dict]) -> dict[str, dict]:
+        """Spill oversized bloom bitsets to sidecar objects
+        (``bloomf_<uuid>``), leaving a {"ref": name} in the add action.
+        Keeps log records and checkpoints footer-sized at any file
+        count (Delta's sidecar pattern); small blooms stay inline.
+        VACUUM reclaims sidecars with their parent data objects."""
+        from delta_lake_experiment_spark.plans.bloom import SIDECAR_THRESHOLD_B64
+
+        out: dict[str, dict] = {}
+        for col, b in blooms.items():
+            if len(b.get("b64", "")) > SIDECAR_THRESHOLD_B64:
+                name = f"bloomf_{uuid.uuid4().hex}"
+                self.store.put_if_absent(name, json.dumps(b).encode())
+                out[col] = {"ref": name}
+            else:
+                out[col] = b
+        return out
+
     def _register_staging(self, table: str, tx: _Tx, staging: str) -> Optional[int]:
         """Register every staged Parquet file as a data object; returns
         the max ``_row_idx`` stamp among them (None if nothing staged).
@@ -1813,7 +1873,9 @@ class DeltaLakeClient:
                         tx_id=tx.id,
                         num_rows=st["num_rows"],
                         stats=st["stats"],
-                        blooms=blooms_by_file.get(fname, {}),
+                        blooms=self._maybe_sidecar_blooms(
+                            blooms_by_file.get(fname, {})
+                        ),
                     )
                 )
             return max_idx
@@ -1838,7 +1900,7 @@ class DeltaLakeClient:
         # zero-copy publish: staging lives under the store root, so this
         # is a hard link, not a driver round-trip of the file bytes
         self.store.put_file_if_absent(name, src_path)
-        blooms = self._build_blooms(table, tx, src_path)
+        blooms = self._maybe_sidecar_blooms(self._build_blooms(table, tx, src_path))
         tx.actions.append(
             AddDataObject(
                 name=name,

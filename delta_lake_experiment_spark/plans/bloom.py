@@ -40,6 +40,39 @@ MIN_BITS = 1024
 # Log-size guard: a 200k-row file yields a ~250 KB base64 blob; above
 # that the bloom is skipped (min/max stats still apply).
 MAX_VALUES = 200_000
+# Blooms whose base64 bitset exceeds this spill to a SIDECAR object
+# (``bloomf_<uuid>``) referenced from the add action as {"ref": name} —
+# Delta's sidecar pattern: at 10^5-10^6 files, inlining ~250 KB/file
+# would drag GBs of base64 through every snapshot replay/checkpoint.
+# 4 KiB keeps log records ~footer-sized; small files stay inline (one
+# less round-trip on probe).
+SIDECAR_THRESHOLD_B64 = 4096
+
+# Sidecar blooms are immutable once written (new file -> new uuid), so a
+# small module-level cache makes repeated point-lookup probes cheap.
+_SIDECAR_CACHE: dict[str, "BloomFilter"] = {}
+_SIDECAR_CACHE_MAX = 512
+
+
+def resolve_bloom(d: dict, store) -> Optional["BloomFilter"]:
+    """BloomFilter from an add-action bloom entry: inline {m,k,b64} or
+    sidecar {"ref": name}. Returns None (admit the file) when a sidecar
+    cannot be read — e.g. vacuumed beyond this reader's snapshot."""
+    ref = d.get("ref")
+    if ref is None:
+        return BloomFilter.from_json(d)
+    bf = _SIDECAR_CACHE.get(ref)
+    if bf is None:
+        import json
+
+        try:
+            bf = BloomFilter.from_json(json.loads(store.read(ref)))
+        except Exception:
+            return None
+        if len(_SIDECAR_CACHE) >= _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.clear()
+        _SIDECAR_CACHE[ref] = bf
+    return bf
 
 
 def _tagged(value: Any) -> Optional[bytes]:

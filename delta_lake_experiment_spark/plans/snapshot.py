@@ -94,7 +94,7 @@ class Snapshot:
         for obj in self.live_objects(table):
             if prune and not _stats_intersect(obj.stats, prune):
                 continue
-            if prune and not _blooms_admit(obj.blooms, prune):
+            if prune and not _blooms_admit(obj.blooms, prune, store):
                 continue
             out.append(store.path_of(obj.name))
         return out
@@ -249,13 +249,17 @@ def _stat_comparable(stat_v: Any, bound: Any):
     return stat_v, bound
 
 
-def _blooms_admit(blooms: dict[str, dict], prune: dict[str, tuple[Any, Any]]) -> bool:
+def _blooms_admit(
+    blooms: dict[str, dict], prune: dict[str, tuple[Any, Any]], store: ObjectStorage
+) -> bool:
     """False when a point-lookup prune entry is definitively excluded by
-    the file's bloom filter for that column. Range predicates and
-    columns without blooms are conservatively admitted."""
+    the file's bloom filter for that column. Range predicates, columns
+    without blooms, and unreadable sidecar blooms are conservatively
+    admitted. Bloom entries are inline JSON or sidecar references
+    ({"ref": "bloomf_..."}) resolved (and cached) through the store."""
     if not blooms:
         return True
-    from delta_lake_experiment_spark.plans.bloom import BloomFilter
+    from delta_lake_experiment_spark.plans.bloom import resolve_bloom
 
     for col, (lo, hi) in prune.items():
         if lo is None or lo != hi:
@@ -263,7 +267,8 @@ def _blooms_admit(blooms: dict[str, dict], prune: dict[str, tuple[Any, Any]]) ->
         b = blooms.get(col)
         if b is None:
             continue
-        if not BloomFilter.from_json(b).might_contain(lo):
+        bf = resolve_bloom(b, store)
+        if bf is not None and not bf.might_contain(lo):
             return False
     return True
 

@@ -73,6 +73,11 @@ class ObjectStorage(ABC):
         age guard — never by the commit protocol."""
         return None
 
+    def size(self, name: str) -> "int | None":
+        """Object size in bytes, or None when unknown/missing.
+        Advisory metadata used by VACUUM's dry-run report."""
+        return None
+
 
 class MemoryObjectStorage(ObjectStorage):
     """In-memory object storage — interface demo + unit-test double.
@@ -103,6 +108,10 @@ class MemoryObjectStorage(ObjectStorage):
 
     def delete(self, name: str) -> None:
         self._objects.pop(name, None)
+
+    def size(self, name: str) -> "int | None":
+        data = self._objects.get(name)
+        return len(data) if data is not None else None
 
 
 class LocalObjectStorage(ObjectStorage):
@@ -161,6 +170,12 @@ class LocalObjectStorage(ObjectStorage):
     def mtime(self, name: str) -> "float | None":
         try:
             return os.path.getmtime(self._safe_path(name))
+        except FileNotFoundError:
+            return None
+
+    def size(self, name: str) -> "int | None":
+        try:
+            return os.path.getsize(self._safe_path(name))
         except FileNotFoundError:
             return None
 

