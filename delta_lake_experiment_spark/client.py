@@ -1640,7 +1640,13 @@ class DeltaLakeClient:
         return self.tx
 
     def _parse_ddl(self, ddl: str) -> T.StructType:
-        return T.StructType.fromDDL(ddl)
+        """DDL -> StructType. Flat primitive schemas parse locally
+        (no JVM round-trip — and metadata-only clients, e.g. the
+        multiprocess commit-layer stress test, need no SparkSession at
+        all); anything beyond the simple grammar falls back to Spark's
+        own parser."""
+        local = _parse_ddl_local(ddl)
+        return local if local is not None else T.StructType.fromDDL(ddl)
 
     def _stored_schema(self, schema: T.StructType) -> T.StructType:
         return T.StructType(
@@ -1964,6 +1970,88 @@ class DeltaLakeClient:
             self.store.put_if_absent(checkpoint_name(snap.version), snap.to_json())
         except ObjectExistsError:
             pass  # someone else checkpointed this version — fine
+
+
+_DDL_TYPES = {
+    "string": T.StringType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "smallint": T.ShortType(),
+    "short": T.ShortType(),
+    "tinyint": T.ByteType(),
+    "byte": T.ByteType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "real": T.FloatType(),
+    "boolean": T.BooleanType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+}
+
+_DDL_FIELD_RE = re.compile(
+    r"^\s*(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))\s+([A-Za-z_]+)\s*"
+    r"(?:\(\s*(\d+)\s*,\s*(\d+)\s*\))?\s*$"
+)
+
+
+def _parse_ddl_local(ddl: str) -> Optional[T.StructType]:
+    """Parse flat 'name TYPE, ...' DDL (primitives + decimal(p,s) +
+    array<primitive>) without a SparkSession. Returns None for
+    anything outside that grammar (nested structs, maps, NOT NULL,
+    comments) — the caller then uses Spark's parser."""
+    fields = []
+    depth = 0
+    part = []
+    parts: list[str] = []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    parts.append("".join(part))
+    for p in parts:
+        p = p.strip()
+        if not p:
+            return None
+        arr = re.match(
+            r"^\s*(?:`([^`]+)`|([A-Za-z_][A-Za-z0-9_]*))\s+array\s*<\s*([A-Za-z_]+)\s*>\s*$",
+            p,
+            re.IGNORECASE,
+        )
+        if arr:
+            inner = _DDL_TYPES.get(arr.group(3).lower())
+            if inner is None:
+                return None
+            fields.append(
+                T.StructField(arr.group(1) or arr.group(2), T.ArrayType(inner))
+            )
+            continue
+        m = _DDL_FIELD_RE.match(p)
+        if not m:
+            return None
+        name = m.group(1) or m.group(2)
+        tname = m.group(3).lower()
+        if m.group(4) is not None:
+            if tname != "decimal":
+                return None
+            fields.append(
+                T.StructField(name, T.DecimalType(int(m.group(4)), int(m.group(5))))
+            )
+            continue
+        dt = _DDL_TYPES.get(tname)
+        if dt is None:
+            return None
+        fields.append(T.StructField(name, dt))
+    return T.StructType(fields)
 
 
 _Z_BITS = 16
