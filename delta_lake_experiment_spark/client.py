@@ -51,6 +51,7 @@ import datetime
 import json
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Optional, Union
@@ -180,6 +181,12 @@ class DeltaLakeClient:
             while True:
                 payload: dict[str, Any] = {
                     "id": attempt_id,
+                    # commit wall-clock (epoch micros): powers
+                    # TIMESTAMP AS OF resolution and DESCRIBE HISTORY.
+                    # Informational only — ordering authority stays with
+                    # the version number (wall clocks skew across
+                    # writers, exactly like Delta's commitInfo ts).
+                    "ts": int(time.time() * 1_000_000),
                     "actions": [a.to_json() for a in tx.actions],
                 }
                 if txn is not None:
@@ -678,12 +685,25 @@ class DeltaLakeClient:
         for row in df.select(*cols).toLocalIterator():
             yield tuple(row)
 
-    def scan_as_of(self, table: str, version: int) -> DataFrame:
+    def scan_as_of(
+        self,
+        table: str,
+        version: Optional[int] = None,
+        timestamp: Optional[Union[str, datetime.datetime]] = None,
+    ) -> DataFrame:
         """Time travel: read the table exactly as of committed log
         ``version`` (ignores any open transaction's buffers/actions).
         The log makes this free: replay to the pinned version and scan
         that file list — the same mechanism that gives concurrent
-        readers snapshot isolation."""
+        readers snapshot isolation.
+
+        ``timestamp`` (ISO string or datetime, instead of ``version``)
+        resolves to the newest commit whose recorded wall-clock is <=
+        the bound — Delta's TIMESTAMP AS OF semantics."""
+        if (version is None) == (timestamp is None):
+            raise ValueError("scan_as_of: exactly one of version/timestamp")
+        if timestamp is not None:
+            version = self._version_at_timestamp(timestamp)
         snap = replay_log(self.store, as_of=version)
         ddl = snap.tables.get(table)
         if ddl is None:
@@ -694,6 +714,106 @@ class DeltaLakeClient:
         if not files:
             return self.spark.createDataFrame([], stored)
         return self._read_live(table, snap, stored, files)
+
+    @staticmethod
+    def _ts_micros(ts: Union[str, datetime.datetime]) -> int:
+        """Normalize a user-supplied timestamp bound to epoch micros.
+        Naive datetimes / ISO strings are taken as UTC, matching the
+        wall-clock recorded at commit (``time.time()``)."""
+        if isinstance(ts, str):
+            try:
+                ts = datetime.datetime.fromisoformat(ts)
+            except ValueError as exc:
+                raise TypeMismatchError(
+                    f"not an ISO timestamp: {ts!r}"
+                ) from exc
+        if not isinstance(ts, datetime.datetime):
+            raise TypeMismatchError(
+                f"timestamp must be ISO string or datetime, got {type(ts).__name__}"
+            )
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
+        return int(ts.timestamp() * 1_000_000)
+
+    def _version_at_timestamp(self, ts: Union[str, datetime.datetime]) -> int:
+        """Newest committed version whose recorded commit wall-clock is
+        <= ``ts`` (Delta's TIMESTAMP AS OF resolution). Commits from
+        before timestamps were recorded count as epoch-0 (always
+        eligible). Raises if the bound precedes every commit."""
+        bound = self._ts_micros(ts)
+        names = list(self.store.list_prefix_ordered(LOG_PREFIX))
+        for name in reversed(names):
+            record = json.loads(self.store.read(name))
+            if int(record.get("ts", 0)) <= bound:
+                return int(name[len(LOG_PREFIX):])
+        raise TableNotFoundError(
+            f"no commit at or before {ts!r} (earliest commit is newer)"
+        )
+
+    def history(
+        self, table: Optional[str] = None, limit: Optional[int] = None
+    ) -> DataFrame:
+        """Commit history, newest-first (Delta's DESCRIBE HISTORY).
+
+        One row per committed log record: ``version``, ``timestamp``
+        (commit wall-clock; NULL for commits predating timestamp
+        recording), ``operation`` (summary of the action kinds),
+        ``tables`` touched, and add/remove counts. ``table`` filters to
+        commits touching that table; ``limit`` caps the rows returned.
+
+        Reads log-record *metadata* only (never data objects), scanning
+        newest-first and stopping at ``limit`` — O(limit) store reads on
+        a long log, not O(history). Log records are never vacuumed, so
+        history is complete for the table's lifetime. No open
+        transaction is required: the log is immutable shared metadata,
+        like :meth:`vacuum`.
+        """
+        _OP = {
+            "add": "WRITE",
+            "remove": "DELETE",
+            "metadata": "ALTER",
+            "add_dv": "DELETE",
+        }
+        rows = []
+        names = list(self.store.list_prefix_ordered(LOG_PREFIX))
+        for name in reversed(names):
+            record = json.loads(self.store.read(name))
+            actions = record["actions"]
+            touched = sorted(
+                {next(iter(a.values())).get("table", "") for a in actions}
+            )
+            if table is not None and table not in touched:
+                continue
+            kinds = [next(iter(a)) for a in actions]
+            ops = sorted({_OP.get(k, k.upper()) for k in kinds})
+            ts_us = record.get("ts")
+            rows.append(
+                (
+                    int(name[len(LOG_PREFIX):]),
+                    datetime.datetime.fromtimestamp(
+                        ts_us / 1_000_000, tz=datetime.timezone.utc
+                    ).replace(tzinfo=None)
+                    if ts_us is not None
+                    else None,
+                    "+".join(ops) if ops else "EMPTY",
+                    touched,
+                    sum(k == "add" for k in kinds),
+                    sum(k == "remove" for k in kinds),
+                )
+            )
+            if limit is not None and len(rows) >= limit:
+                break
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("timestamp", T.TimestampType(), True),
+                T.StructField("operation", T.StringType(), False),
+                T.StructField("tables", T.ArrayType(T.StringType()), False),
+                T.StructField("num_added_files", T.LongType(), False),
+                T.StructField("num_removed_files", T.LongType(), False),
+            ]
+        )
+        return self.spark.createDataFrame(rows, schema)
 
     def scan_latest(self, table: str, keys: list[str]) -> DataFrame:
         """'Current state' view of a multi-versioned keyed table:
@@ -845,13 +965,19 @@ class DeltaLakeClient:
     _VERSION_AS_OF_RE = re.compile(
         r"\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE
     )
+    _TIMESTAMP_AS_OF_RE = re.compile(
+        r"\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'",
+        re.IGNORECASE,
+    )
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL over this client's registered engine-table views.
         Catalyst plans the query over the snapshot scans — joins,
         aggregates, windows, subqueries all work against ACID tables.
         ``FROM t VERSION AS OF n`` reads engine table ``t`` pinned at
-        committed log version ``n`` (time travel)."""
+        committed log version ``n``; ``FROM t TIMESTAMP AS OF
+        '2024-01-01T12:00:00'`` resolves the newest commit at-or-before
+        that wall-clock first (time travel)."""
         self._require_tx()
 
         def _pin(m: "re.Match[str]") -> str:
@@ -861,6 +987,15 @@ class DeltaLakeClient:
             self.scan_as_of(t, v).drop(TX_COL, IDX_COL).createOrReplaceTempView(view)
             return view
 
+        def _pin_ts(m: "re.Match[str]") -> str:
+            # resolve wall-clock -> version, then share the VERSION AS
+            # OF pinning path (one mechanism, two spellings)
+            t, v = m.group(1), self._version_at_timestamp(m.group(2))
+            view = f"{t}__v{v}"
+            self.scan_as_of(t, v).drop(TX_COL, IDX_COL).createOrReplaceTempView(view)
+            return view
+
+        query = self._TIMESTAMP_AS_OF_RE.sub(_pin_ts, query)
         return self.spark.sql(self._VERSION_AS_OF_RE.sub(_pin, query))
 
     def execute(self, statement: str) -> Optional[DataFrame]:
@@ -885,6 +1020,7 @@ class DeltaLakeClient:
         from delta_lake_experiment_spark.plans.dml import (
             CreateTable,
             Delete,
+            DescribeHistory,
             Insert,
             Merge,
             Optimize,
@@ -900,6 +1036,9 @@ class DeltaLakeClient:
             # table name is accepted for SQL familiarity)
             self.vacuum(retain_versions=stmt.retain_versions)
             return None
+        if isinstance(stmt, DescribeHistory):
+            # log metadata read; like VACUUM, valid outside a tx
+            return self.history(table=stmt.table, limit=stmt.limit)
         self._require_tx()
         if stmt is None:
             return self.sql(statement)

@@ -98,6 +98,10 @@ _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
 )
+_DESCRIBE_HISTORY_RE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*(?:LIMIT\s+(\d+)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
 
 
 def _cols(list_text: str) -> list[str]:
@@ -162,6 +166,12 @@ class Vacuum:
 class Restore:
     table: str
     version: int
+
+
+@dataclass
+class DescribeHistory:
+    table: str
+    limit: Optional[int]
 
 
 def _literal(tok: str) -> Any:
@@ -297,6 +307,16 @@ def parse_dml(sql: str):
                 "RESTORE supports exactly: RESTORE TABLE t TO VERSION n"
             )
         return Restore(table=m.group(1), version=int(m.group(2)))
+    if head == "DESCRIBE":
+        m = _DESCRIBE_HISTORY_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "DESCRIBE supports exactly: DESCRIBE HISTORY t [LIMIT n]"
+            )
+        return DescribeHistory(
+            table=m.group(1),
+            limit=int(m.group(2)) if m.group(2) else None,
+        )
     return None
 
 

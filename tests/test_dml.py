@@ -224,3 +224,62 @@ def test_execute_end_to_end(spark, store_dir):
     df = c.execute("SELECT COUNT(*) AS n FROM t")
     assert df is not None
     c.commit_tx()
+
+
+def test_parse_describe_history():
+    from delta_lake_experiment_spark.plans.dml import DescribeHistory
+
+    d = parse_dml("DESCRIBE HISTORY t")
+    assert d == DescribeHistory(table="t", limit=None)
+    d = parse_dml("describe history kv limit 5;")
+    assert d == DescribeHistory(table="kv", limit=5)
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("DESCRIBE DETAIL t")  # only HISTORY is supported
+
+
+def test_timestamp_as_of_and_history(spark, store_dir):
+    """Commit wall-clocks power TIMESTAMP AS OF (python + SQL),
+    history(), and DESCRIBE HISTORY."""
+    import datetime
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.write_dataframe(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    )
+    c.commit_tx()  # v1
+    between = datetime.datetime.now(datetime.timezone.utc)
+    c.new_tx()
+    c.write_dataframe("t", spark.createDataFrame([(3, "c")], "k BIGINT, v STRING"))
+    c.commit_tx()  # v2
+
+    # python surface: resolve wall-clock between the commits -> v1
+    c.new_tx()
+    assert c.scan_as_of("t", timestamp=between).count() == 2
+    assert c.scan_as_of("t", timestamp=datetime.datetime.now(
+        datetime.timezone.utc)).count() == 3
+    with pytest.raises(ValueError):
+        c.scan_as_of("t", version=1, timestamp=between)  # exactly one
+    with pytest.raises(Exception):
+        c.scan_as_of("t", timestamp="2000-01-01")  # precedes every commit
+
+    # SQL surface
+    c.register_views()
+    iso = between.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    old = c.sql(f"SELECT k FROM t TIMESTAMP AS OF '{iso}' ORDER BY k")
+    assert [r["k"] for r in old.collect()] == [1, 2]
+    c.commit_tx()
+
+    # history: newest-first, ts monotone non-decreasing backwards
+    h = c.history().collect()
+    assert [r["version"] for r in h] == [2, 1]
+    assert all(r["timestamp"] is not None for r in h)
+    assert h[0]["timestamp"] >= h[1]["timestamp"]
+    assert h[0]["tables"] == ["t"] and h[0]["num_added_files"] >= 1
+    assert c.history(limit=1).count() == 1
+
+    # DESCRIBE HISTORY via execute(), valid outside a tx
+    dh = c.execute("DESCRIBE HISTORY t LIMIT 1")
+    assert dh is not None and dh.count() == 1
+    assert dh.collect()[0]["version"] == 2
