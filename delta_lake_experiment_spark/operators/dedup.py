@@ -443,6 +443,7 @@ def embedding_near_duplicates(
     round_digits: int = 9,
     block_size: int = 4096,
     num_blocks: Optional[int] = None,
+    strategy: str = "hof",
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs via a block-matrix
     self-join — same results as :func:`embedding_near_duplicates_allpairs`
@@ -467,9 +468,27 @@ def embedding_near_duplicates(
     10⁸+ vectors exact all-pairs is flop-infeasible no matter the plan;
     route through SRP/IVF blocking (operators/similarity.py) and accept
     the published recall bound, or raise the threshold.
+
+    ``strategy`` picks the block-pair scorer (identical plan shape up to
+    the scoring stage, identical pair set at the rounded precision):
+
+    - ``"hof"`` (default): JVM higher-order functions; dot products fold
+      sequentially, so scores are *bit*-reproducible against any
+      sequential-fold oracle.
+    - ``"gemm"``: one Arrow-batched numpy matrix multiply per block pair
+      (``mapInPandas``) — BLAS throughput, orders of magnitude fewer
+      interpreter dispatches than per-pair lambda evaluation. BLAS sums
+      pairwise, so scores can differ from a sequential fold in the last
+      couple of double ulps; callers comparing against a sequential-fold
+      oracle should round to <= 6 digits (a 1e-6 rounding grid makes a
+      ~1e-15 fold discrepancy crossing a boundary astronomically rare,
+      where at 9 digits it is merely unlikely). This is the 100 TB path:
+      score throughput is what bounds exact dedup runtime.
     """
     from delta_lake_experiment_spark.operators.similarity import _as_double, _dot
 
+    if strategy not in ("hof", "gemm"):
+        raise ValueError(f"embedding_near_duplicates: unknown strategy {strategy!r}")
     v = _as_double(F.col(vec_col))
     base = emb_df.select(
         F.col(id_col).alias("__id"), v.alias("v"), F.sqrt(_dot(v, v)).alias("nrm")
@@ -493,6 +512,48 @@ def embedding_near_duplicates(
     )
     right = bundles.select(F.col("p").alias("q"), F.col("bundle").alias("bundle_b"))
     joined = left.join(right, "q")
+    if strategy == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        thr, rd = float(threshold), int(round_digits)
+        id_dt = emb_df.schema[id_col].dataType.simpleString()
+
+        def _score(batches):
+            for pdf in batches:
+                parts = []
+                for blk_p, blk_q, ba, bb in zip(
+                    pdf["p"], pdf["q"], pdf["bundle_a"], pdf["bundle_b"]
+                ):
+                    ids_a = np.asarray([e["id"] for e in ba])
+                    ids_b = np.asarray([e["id"] for e in bb])
+                    mat_a = np.asarray([e["v"] for e in ba], dtype=np.float64)
+                    mat_b = np.asarray([e["v"] for e in bb], dtype=np.float64)
+                    nrm_a = np.asarray([e["nrm"] for e in ba], dtype=np.float64)
+                    nrm_b = np.asarray([e["nrm"] for e in bb], dtype=np.float64)
+                    cos = np.round(mat_a @ mat_b.T / np.outer(nrm_a, nrm_b), rd)
+                    mask = cos >= thr
+                    if blk_p == blk_q:
+                        mask &= ids_a[:, None] < ids_b[None, :]
+                    ii, jj = np.nonzero(mask)
+                    if not len(ii):
+                        continue
+                    ia, ib = ids_a[ii], ids_b[jj]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ia, ib),
+                                "id_b": np.maximum(ia, ib),
+                                "cos_sim": cos[ii, jj],
+                            }
+                        )
+                    )
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+        return joined.mapInPandas(
+            _score, f"id_a {id_dt}, id_b {id_dt}, cos_sim double"
+        )
     per_vec = joined.select("p", "q", F.explode("bundle_a").alias("a"), "bundle_b")
     # Diagonal blocks pair (a, e) once via id order; off-diagonal blocks
     # pair everything (each unordered block pair occurs exactly once).

