@@ -26,6 +26,12 @@ HEADLINE = [
     "top_orders_by_price",
     "latest_event_per_user",
     "hourly_event_windows",
+    "cube_event_stats",
+    "segment_price_percentiles",
+    # temporal (sessionization lane — regressed invisibly in r3; benched
+    # since r4 so it can't again)
+    "user_sessions",
+    "events_in_session_intervals",
     # streaming parity
     "streaming_click_attribution",
     # engine (full ACID write/scan/delete/merge/CDC paths)
@@ -45,6 +51,20 @@ HEADLINE = [
     "near_dup_embedding",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
+]
+
+# The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).
+# bench.py reports its subtotal alongside the full headline so
+# round-over-round and vs-BASELINE comparisons need no arithmetic over
+# shifting headline membership (VERDICT r3 item 5).
+BASELINE_SUBSET = [
+    "dedup_exact_documents", "doc_text_stats", "engine_delete_range",
+    "engine_roundtrip_scan", "engine_sql_join", "engine_upsert_latest",
+    "hourly_event_windows", "latest_event_per_user", "near_dup_minhash",
+    "near_dup_simhash", "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "range_filter_scan",
+    "similarity_bruteforce_topk", "similarity_lsh_topk",
+    "top_orders_by_price",
 ]
 
 
@@ -104,6 +124,9 @@ def main() -> None:
                 "queries": timings,
                 "runs": runs,
                 "single_pass_total": round(sum(r[0] for r in runs.values()), 3),
+                "baseline_subset_total": round(
+                    sum(timings[q] for q in BASELINE_SUBSET), 3
+                ),
                 "sf": sf,
             }
         )

@@ -1,0 +1,40 @@
+"""Event-time normalization shared by every temporal operator.
+
+Parquet written without timezone adjustment (``isAdjustedToUTC=false``,
+e.g. pandas/pyarrow defaults) reads back as ``TIMESTAMP_NTZ`` in Spark
+3.4+, and several timestamp-only APIs reject that type outright:
+``unix_micros`` raises DATATYPE_MISMATCH and ``withWatermark`` raises
+EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE. Under a UTC session timezone
+(which this engine pins everywhere) ``CAST(ntz AS TIMESTAMP)`` is a
+pure re-tag — identical micros, identical wall clock — so operators can
+accept either type by normalizing at their boundary instead of pushing
+the burden onto every caller.
+
+Reference analogue: the reference's only timestamp handling is JSON
+float coercion (utils/utils.go:38-48); the typed upgrade (SURVEY §7.1)
+owns this class of physical-type drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: dtypes ensure_timestamp() will normalize (anything else is left
+#: untouched so genuine type errors still surface loudly downstream)
+_CASTABLE = {"timestamp_ntz", "date", "string"}
+
+
+def ensure_timestamp(df: DataFrame, *cols: str) -> DataFrame:
+    """Return ``df`` with each named column cast to ``TIMESTAMP`` iff it
+    currently carries an NTZ/date/string event time.
+
+    No-op (and no plan change) when the column is already ``timestamp``
+    or absent; works identically on batch and streaming DataFrames (a
+    cast is a stateless projection, legal before ``withWatermark``).
+    """
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) in _CASTABLE:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df

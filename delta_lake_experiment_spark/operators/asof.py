@@ -23,6 +23,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_lake_experiment_spark.functions.timeutil import ensure_timestamp
+
 
 def asof_join(
     left: DataFrame,
@@ -43,6 +45,10 @@ def asof_join(
     left rows with no prior right row; 'left' keeps them with nulls.
     """
     on = list(on)
+    # NTZ-tolerant: normalize both event-time operands so the unioned
+    # __ts column has one type even when the sides' physical types differ
+    left = ensure_timestamp(left, left_ts)
+    right = ensure_timestamp(right, right_ts)
     lcols = left.columns
     l = left.select(
         *lcols,
@@ -94,6 +100,8 @@ def sessionize(
     n_events). The streaming twin (applyInPandasWithState) lives in
     streaming/sessions.py.
     """
+    # NTZ-tolerant: unix_micros below requires TIMESTAMP proper
+    df = ensure_timestamp(df, ts)
     order = [F.asc(ts)] + ([F.asc(order_tiebreak)] if order_tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     gap_us = gap_minutes * 60 * 1_000_000

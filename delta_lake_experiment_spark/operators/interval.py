@@ -27,6 +27,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_experiment_spark.functions.timeutil import ensure_timestamp
+
 
 def interval_join(
     points: DataFrame,
@@ -35,7 +37,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     on: Optional[Sequence[str]] = None,
-    bucket_seconds: int = 3600,
+    bucket_seconds: float = 3600,
     how: str = "inner",
 ) -> DataFrame:
     """Attach to each point row every interval row (same ``on`` keys)
@@ -56,10 +58,28 @@ def interval_join(
             f"interval_join: interval payload columns collide with point "
             f"columns {sorted(clash)}; rename one side or add them to `on`"
         )
-    w = int(bucket_seconds)
-    p_bin = (F.unix_timestamp(F.col(point_ts)) / w).cast("long")
-    i_lo = (F.unix_timestamp(F.col(start_col)) / w).cast("long")
-    i_hi = (F.unix_timestamp(F.col(end_col)) / w).cast("long")
+    # microsecond binning: bucket_seconds may be fractional (e.g. 0.5 s
+    # lookbacks) and sub-second interval bounds must not silently floor
+    # into the wrong bin. unix_micros also forces the event-time columns
+    # through ensure_timestamp, making NTZ inputs bin identically.
+    w_us = int(round(float(bucket_seconds) * 1_000_000))
+    if w_us <= 0:
+        raise ValueError(f"bucket_seconds={bucket_seconds!r} must be > 0")
+    points = ensure_timestamp(points, point_ts)
+    intervals = ensure_timestamp(intervals, start_col, end_col)
+
+    def _bin(c: str):
+        # exact floor division: subtract the positive pmod first so the
+        # long/long divide is over an exact multiple of w_us (epoch-µs
+        # magnitudes stay under 2^53, so the double quotient is exact) —
+        # a bare (x / w).cast("long") truncates toward zero, which would
+        # mis-bin pre-epoch timestamps
+        um = F.unix_micros(F.col(c))
+        return ((um - F.pmod(um, F.lit(w_us))) / F.lit(w_us)).cast("long")
+
+    p_bin = _bin(point_ts)
+    i_lo = _bin(start_col)
+    i_hi = _bin(end_col)
 
     left = points.withColumn("__bin", p_bin)
     right = intervals.withColumn("__bin", F.explode(F.sequence(i_lo, i_hi)))

@@ -28,18 +28,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise ValueError(f"unknown table {name!r}")
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright. Read it as a raw long (legacy conf) and
-        # truncate to microseconds with exact integer division — the same
-        # ns→µs truncation DuckDB applies, so both engines see identical
-        # values. (Double division would silently lose precision: epoch-ns
-        # values exceed 2^53.)
+        # events.ts has drifted across driver regenerations: parquet
+        # TIMESTAMP(NANOS) (rejected by the vectorized reader — read as
+        # raw long via the legacy conf, then exact ns→µs integer
+        # division, matching DuckDB's truncation), and currently
+        # timestamp[us] with isAdjustedToUTC=false, which Spark reads
+        # as TIMESTAMP_NTZ. Normalize every variant to session-UTC
+        # TIMESTAMP here so downstream operators (unix_micros,
+        # withWatermark) always see one type. Under the UTC session tz
+        # the NTZ cast is a pure re-tag: identical micros, identical
+        # wall clock, identical to what DuckDB computes.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

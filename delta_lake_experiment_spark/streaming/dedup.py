@@ -19,6 +19,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 
+from delta_lake_experiment_spark.functions.timeutil import ensure_timestamp
+
 
 def streaming_dedup(
     stream_df: DataFrame,
@@ -27,6 +29,7 @@ def streaming_dedup(
     delay: str = "1 hour",
 ) -> DataFrame:
     """First-arrival-wins streaming dedup with bounded state."""
+    stream_df = ensure_timestamp(stream_df, watermark_col)
     return stream_df.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(
         list(key_cols)
     )

@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_experiment_spark.functions.timeutil import ensure_timestamp
+
 
 def stream_interval_join(
     left: DataFrame,
@@ -40,7 +42,11 @@ def stream_interval_join(
     applies to both sides when the inputs are streaming.
     """
     keys = list(on)
-    lw, rw = left, right
+    # NTZ-tolerant: watermarks demand TIMESTAMP proper
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise), and the interval
+    # arithmetic must agree across sides — normalize both boundaries
+    lw = ensure_timestamp(left, left_ts)
+    rw = ensure_timestamp(right, right_ts)
     if left.isStreaming:
         lw = lw.withWatermark(left_ts, watermark or lookback)
     if right.isStreaming:

@@ -89,8 +89,10 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Emit closed sessions (user_id, start, end, n_events) as the
     event-time watermark passes their gap timeout."""
+    from delta_lake_experiment_spark.functions.timeutil import ensure_timestamp
+
     return (
-        events_stream.withWatermark("ts", watermark)
+        ensure_timestamp(events_stream, "ts").withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn(gap_minutes),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from delta_lake_experiment_spark.functions.numeric import exact_sum
+from delta_lake_experiment_spark.functions.timeutil import ensure_timestamp
 
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
@@ -39,9 +40,15 @@ def windowed_event_counts(
     source_dir: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    schema: T.StructType = EVENTS_STREAM_SCHEMA,
 ) -> DataFrame:
-    """Streaming DataFrame of per-window, per-type counts and sums."""
-    stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(source_dir)
+    """Streaming DataFrame of per-window, per-type counts and sums.
+
+    ``schema`` lets callers read sources whose physical timestamp type
+    drifted (e.g. NTZ parquet); event time is normalized either way.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    stream = ensure_timestamp(stream, "ts")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

@@ -567,3 +567,160 @@ def test_simhash_strategies_bit_identical(spark):
         for r in simhash_signature(docs, "doc_id", "text", strategy="agg").collect()
     }
     assert fold == agg and len(fold) == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# Timestamp-type matrix: every temporal operator must produce identical
+# results whether its event-time inputs arrive as TIMESTAMP or
+# TIMESTAMP_NTZ. The driver regenerated events.parquet between rounds
+# (ns -> unadjusted µs), silently flipping the Spark-visible type to NTZ
+# and killing two queries (VERDICT r3); this matrix pins the invariant
+# so physical-type drift can never reach the driver gate again.
+# ---------------------------------------------------------------------------
+
+
+def _ntz(df, *cols):
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+    return df
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture(scope="module")
+def ts_matrix_events(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        # user 1: two sessions split by a >30 min gap, with a sub-minute burst
+        (1, 1, ts(0)), (2, 1, ts(5)), (3, 1, ts(6)), (4, 1, ts(90)),
+        (5, 1, ts(95)),
+        # user 2: single long session
+        (6, 2, ts(10)), (7, 2, ts(20)), (8, 2, ts(45)),
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+
+def test_ts_matrix_sessionize(spark, ts_matrix_events):
+    tz = sessionize(ts_matrix_events, "user_id", "ts", gap_minutes=30,
+                    order_tiebreak="event_id")
+    ntz = sessionize(_ntz(ts_matrix_events, "ts"), "user_id", "ts",
+                     gap_minutes=30, order_tiebreak="event_id")
+    assert tz.schema == ntz.schema  # outputs normalized to TIMESTAMP
+    assert _rows(tz) == _rows(ntz) and tz.count() == 3
+
+
+def test_ts_matrix_asof_join(spark, ts_matrix_events):
+    quotes = spark.createDataFrame(
+        [(1, ts(-1), 10.0), (1, ts(4), 11.0), (2, ts(15), 20.0)],
+        "user_id long, qts timestamp, px double",
+    )
+    kw = dict(on=["user_id"], left_ts="ts", right_ts="qts",
+              right_cols={"px": "px", "qts": "asof_ts"}, how="left")
+    base = asof_join(ts_matrix_events, quotes, **kw)
+    # each side independently NTZ, and both at once
+    for l, r in [(True, False), (False, True), (True, True)]:
+        left = _ntz(ts_matrix_events, "ts") if l else ts_matrix_events
+        right = _ntz(quotes, "qts") if r else quotes
+        got = asof_join(left, right, **kw)
+        assert _rows(got.drop("ts")) == _rows(base.drop("ts"))
+    assert base.count() == ts_matrix_events.count()
+
+
+def test_ts_matrix_interval_join(spark, ts_matrix_events):
+    from delta_lake_experiment_spark.operators.interval import interval_join
+
+    iv = spark.createDataFrame(
+        [(1, "a", ts(0), ts(10)), (1, "b", ts(80), ts(100)), (2, "c", ts(0), ts(30))],
+        "user_id long, name string, lo timestamp, hi timestamp",
+    )
+    base = interval_join(ts_matrix_events, iv, "ts", "lo", "hi",
+                         on=["user_id"], bucket_seconds=600)
+    ntz = interval_join(_ntz(ts_matrix_events, "ts"), _ntz(iv, "lo", "hi"),
+                        "ts", "lo", "hi", on=["user_id"], bucket_seconds=600)
+    assert _rows(base) == _rows(ntz) and base.count() > 0
+
+
+def test_ts_matrix_stream_interval_join_batch(spark, ts_matrix_events):
+    from delta_lake_experiment_spark.streaming.join import stream_interval_join
+
+    clicks = ts_matrix_events.select(
+        F.col("event_id").alias("cid"), "user_id", F.col("ts").alias("cts")
+    )
+    kw = dict(on=["user_id"], left_ts="ts", right_ts="cts",
+              right_cols={"cid": "click_id", "cts": "click_ts"},
+              lookback="10 minutes")
+    base = stream_interval_join(ts_matrix_events, clicks, **kw)
+    ntz = stream_interval_join(
+        _ntz(ts_matrix_events, "ts"), _ntz(clicks, "cts"), **kw
+    )
+    assert _rows(base) == _rows(ntz) and base.count() > 0
+
+
+def test_ts_matrix_streaming_ntz_sources(spark, ts_matrix_events, tmp_path):
+    """Streaming lane: NTZ parquet + NTZ readStream schema must yield the
+    same windows as the TIMESTAMP run (watermark rejects NTZ unless the
+    operator normalizes — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)."""
+    from pyspark.sql import types as T
+    from delta_lake_experiment_spark.streaming.windowed import (
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    ev = ts_matrix_events.withColumn("event_type", F.lit("click")).withColumn(
+        "value", F.col("event_id").cast("double")
+    ).withColumn("props", F.lit("{}"))
+    schema_tz = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    schema_ntz = T.StructType([
+        T.StructField(f.name, T.TimestampNTZType() if f.name == "ts" else f.dataType)
+        for f in schema_tz.fields
+    ])
+    src_tz, src_ntz = str(tmp_path / "tz"), str(tmp_path / "ntz")
+    ev.write.parquet(src_tz)
+    _ntz(ev, "ts").write.parquet(src_ntz)
+
+    out = {}
+    for tag, src, schema in [("tz", src_tz, schema_tz), ("ntz", src_ntz, schema_ntz)]:
+        stream = windowed_event_counts(
+            spark, src, window="30 minutes", watermark="1 hour", schema=schema
+        )
+        run_available_now(stream, f"ts_matrix_{tag}", str(tmp_path))
+        out[tag] = _rows(spark.table(f"ts_matrix_{tag}"))
+    assert out["tz"] == out["ntz"] and out["tz"]
+
+
+def test_interval_join_subsecond_buckets(spark):
+    """bucket_seconds below 1 s must bin on exact microseconds: a 0.5 s
+    lookback join matches a plain filter oracle on sub-second data."""
+    from delta_lake_experiment_spark.operators.interval import interval_join
+
+    def us(n):  # n milliseconds after epoch-2024
+        return dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=n)
+
+    points = spark.createDataFrame(
+        [(i, 1, us(m)) for i, m in enumerate([0, 250, 499, 500, 501, 999, 1500])],
+        "pid long, k long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [(1, "w1", us(0), us(500)), (1, "w2", us(450), us(950)), (1, "w3", us(1400), us(1401))],
+        "k long, name string, lo timestamp, hi timestamp",
+    )
+    got = interval_join(points, iv, "ts", "lo", "hi", on=["k"], bucket_seconds=0.5)
+    oracle = points.join(iv, "k").filter(
+        (F.col("lo") <= F.col("ts")) & (F.col("ts") <= F.col("hi"))
+    ).select(points.columns + ["name", "lo", "hi"])
+    assert _rows(got.select("pid", "name")) == _rows(oracle.select("pid", "name"))
+    # boundary rows present: 500 ms sits in both w1 (end) and w2 (mid)
+    pairs = {(r["pid"], r["name"]) for r in got.collect()}
+    assert (3, "w1") in pairs and (3, "w2") in pairs
+
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        interval_join(points, iv, "ts", "lo", "hi", on=["k"], bucket_seconds=0)
