@@ -1,0 +1,113 @@
+"""Connected components over a pair graph — duplicate-cluster
+resolution for dedup pipelines.
+
+Pairwise near-duplicate detection (MinHash-LSH, SimHash, embedding
+blocks — operators/dedup.py) emits EDGES; a pipeline must then resolve
+them into CLUSTERS to keep one canonical document per group (A~B and
+B~C must collapse to one survivor even though (A,C) was never emitted).
+That resolution is connected components.
+
+Algorithm: **hash-min label propagation** over DataFrames. Every node
+starts labeled with its own id; each round, every node takes the min of
+its own and its neighbors' labels; fixpoint = every node carries the
+min id of its component. Each round is one equi-join + one groupBy on
+the edge list — plain shuffles Catalyst handles like any other, no
+driver-side graph. Convergence is detected with a 1-row aggregate (sum
+of labels, strictly decreasing until fixpoint) — O(1) driver data per
+round, never a collect of nodes.
+
+Scale: rounds = O(component diameter). Near-dup clusters are
+shallow (dozens of docs, diameter a few hops), so 3-5 rounds close a
+100 TB corpus; the per-round cost is bounded by the edge list, which
+LSH already made near-linear. For adversarial long-chain graphs use the
+alternating large-star/small-star variant (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — same join shape,
+provably O(log^2 n) rounds; not needed for dedup-shaped graphs.
+``localCheckpoint`` truncates lineage each round so the plan does not
+grow with iterations.
+
+The reference has no multi-table operators at all (SURVEY §2.2 —
+"Joins: ABSENT"); this lane is part of the LLM-pipeline extension
+surface. An exact DuckDB oracle exists via recursive CTE
+(workloads/extensions.py::DEDUP_CLUSTER_SQL), so the operator is
+value-checked end-to-end, not just pytest-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """(id, component) for every node appearing in ``edges``;
+    ``component`` = min node id reachable through the undirected graph.
+
+    Raises if the graph hasn't converged after ``max_rounds`` (diameter
+    larger than max_rounds — raise the cap or switch to large-star).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_rounds):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("component").alias("nb")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nb").alias("min_nb"))
+        )
+        labels = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("min_nb"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).first()[0]
+        if cur_sum == prev_sum:
+            return labels
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_rounds} rounds "
+        "(component diameter exceeds the cap)"
+    )
+
+
+def assign_components(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Attach a ``component`` column to every row of ``df``: the min id
+    of its duplicate cluster, or its own id when it has no duplicates.
+    ``component == id`` marks the canonical (kept) row of each cluster."""
+    comp = connected_components(edges, src=src, dst=dst).withColumnRenamed(
+        "id", id_col
+    )
+    return df.join(comp, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )

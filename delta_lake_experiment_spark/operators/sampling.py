@@ -1,0 +1,114 @@
+"""Deterministic hash-based sampling and train/val/test splitting.
+
+The sampling primitives a training-data pipeline actually needs are
+REPRODUCIBLE: the same document must land in the same split on every
+run, on every cluster size, regardless of partitioning — otherwise
+train/test contamination appears the first time the corpus is rebuilt.
+``df.sample()``/``randomSplit()`` cannot promise that (seeded per
+partition, so any repartition reshuffles assignments). These operators
+derive the decision from a hash of a stable key instead:
+
+    bucket(doc) = md5(salt || key)[:8]   (32 hex bits, uniform)
+
+and compare the hex prefix against fixed thresholds. Properties:
+
+- **Map-only.** A filter / CASE over one hash per row: no shuffle, no
+  state, embarrassingly parallel at 100 TB.
+- **Stable under everything**: partitioning, cluster size, row order,
+  incremental re-runs over a growing corpus (a doc's split never flips
+  when new docs arrive — the property random assignment lacks).
+- **Salt = experiment id.** A different salt re-rolls every assignment
+  (for ablations); the same salt reproduces it forever.
+- **Engine-portable**: md5 of the UTF-8 key bytes is identical in any
+  engine, so a DuckDB/BigQuery/Trino pipeline computes bit-identical
+  splits — the oracle queries exercise exactly that.
+
+Resolution is 16^8 = 4.3e9 buckets: fraction granularity ~2.3e-10,
+far below any corpus-size quantization that matters.
+
+Reference: the reference engine has no sampling surface at all
+(SURVEY §2.2); this is part of the LLM-pipeline extension lane.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16 ** 8  # 8 hex chars = 32 bits of md5 prefix
+
+
+def _hex_prefix(key: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || key) — uniform in [0, 16^8)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def _threshold_hex(cum_fraction: float) -> str:
+    """Hex threshold t such that P[prefix < t] == cum_fraction (up to
+    1/16^8). Clamped so 1.0 maps past the last bucket."""
+    n = min(max(int(round(cum_fraction * _HEX_SPAN)), 0), _HEX_SPAN)
+    return format(n, "08x") if n < _HEX_SPAN else "g"  # 'g' > any hex char
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, decided by
+    ``md5(salt || key)`` — same rows on every run and every engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction={fraction!r} must be in [0, 1]")
+    return df.filter(
+        _hex_prefix(F.col(key_col), salt) < F.lit(_threshold_hex(fraction))
+    )
+
+
+def split_column(
+    key: Column, weights: Mapping[str, float], salt: str = ""
+) -> Column:
+    """CASE expression assigning a split label by cumulative hash
+    threshold. Weights must sum to ~1; the last split absorbs the
+    rounding tail so every row gets a label."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights sum to {total!r}, expected 1.0")
+    names = list(weights)
+    prefix = _hex_prefix(key, salt)
+    expr = F.lit(names[-1])  # tail absorbs rounding
+    cum = 0.0
+    branches = []
+    for name in names[:-1]:
+        cum += weights[name]
+        branches.append((F.lit(name), _threshold_hex(cum)))
+    for lit_name, thr in reversed(branches):
+        expr = F.when(prefix < F.lit(thr), lit_name).otherwise(expr)
+    # build nested whens outermost-first so earlier splits win
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add ``split_col`` assigning each row a deterministic split label
+    (e.g. train/val/test) with the given weights."""
+    return df.withColumn(split_col, split_column(F.col(key_col), weights, salt))
+
+
+def split_thresholds_sql(
+    key_sql: str, weights: Mapping[str, float], salt: str = ""
+) -> str:
+    """The ANSI-SQL CASE equivalent of :func:`split_column` (for oracle
+    queries and for pipelines living in other engines). ``key_sql`` is
+    the SQL expression for the key, already stringified."""
+    prefix = f"substr(md5('{salt}' || {key_sql}), 1, 8)"
+    names = list(weights)
+    parts, cum = [], 0.0
+    for name in names[:-1]:
+        cum += weights[name]
+        parts.append(f"WHEN {prefix} < '{_threshold_hex(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"

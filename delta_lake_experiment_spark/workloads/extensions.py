@@ -12,12 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from delta_lake_experiment_spark.operators.cluster import assign_components
 from delta_lake_experiment_spark.operators.dedup import (
     embedding_near_duplicates,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
+)
+from delta_lake_experiment_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    split_thresholds_sql,
 )
 from delta_lake_experiment_spark.operators.similarity import (
     cosine_topk,
@@ -363,8 +369,94 @@ FROM h
 """
 
 
+# -- deterministic sampling / splitting --------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment + a 25% audit sample:
+    both decisions are md5-hash functions of doc_id (operators/
+    sampling.py), so they reproduce bit-identically on any engine, any
+    partitioning, any corpus growth — the property that keeps a 100 TB
+    training corpus contamination-free across rebuilds. Map-only: no
+    shuffle anywhere in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="exp1")
+    return hash_sample(split, "doc_id", 0.25, salt="audit").select(
+        "doc_id", "lang", "n_chars", "split"
+    )
+
+
+DOC_TRAIN_SPLIT_SQL = f"""
+SELECT doc_id, lang, n_chars,
+  {split_thresholds_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, "exp1")} AS split
+FROM documents
+WHERE substr(md5('audit' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+
+# -- duplicate-cluster resolution --------------------------------------
+
+
+def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-Jaccard near-dup pairs:
+    every document gets its duplicate-cluster id (min doc_id reachable
+    through pair edges; singletons are their own cluster) and a
+    canonical flag — the keep/drop decision of a dedup pipeline.
+    Iterative hash-min label propagation (operators/cluster.py); the
+    DuckDB oracle computes the identical fixpoint with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    out = assign_components(docs.select("doc_id"), pairs, "doc_id")
+    return out.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTER_SQL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+  COALESCE(c.component, d.doc_id) AS component,
+  d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
+    "doc_train_split": doc_train_split,
+    "dedup_cluster_assignment": dedup_cluster_assignment,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -379,6 +471,8 @@ QUERIES = {
 
 ORACLES = {
     "doc_text_stats": TEXT_STATS_SQL,
+    "doc_train_split": DOC_TRAIN_SPLIT_SQL,
+    "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

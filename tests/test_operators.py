@@ -724,3 +724,93 @@ def test_interval_join_subsecond_buckets(spark):
 
     with pytest.raises(ValueError, match="bucket_seconds"):
         interval_join(points, iv, "ts", "lo", "hi", on=["k"], bucket_seconds=0)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting + duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic(spark):
+    from delta_lake_experiment_spark.operators.sampling import hash_sample
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    s1 = sorted(r["k"] for r in hash_sample(df, "k", 0.25, salt="s").collect())
+    # partitioning must not change membership (randomSplit's failure mode)
+    s2 = sorted(
+        r["k"] for r in hash_sample(df.repartition(13), "k", 0.25, salt="s").collect()
+    )
+    assert s1 == s2 and s1
+    # uniform hash: observed fraction within a loose binomial bound
+    assert abs(len(s1) / 4000 - 0.25) < 0.03
+    # different salt re-rolls; same salt reproduces
+    s3 = sorted(r["k"] for r in hash_sample(df, "k", 0.25, salt="t").collect())
+    assert s3 != s1
+    assert hash_sample(df, "k", 0.0).count() == 0
+    assert hash_sample(df, "k", 1.0).count() == 4000
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, "k", 1.5)
+
+
+def test_hash_split_partitions_corpus(spark):
+    from delta_lake_experiment_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(df, "k", w, salt="exp")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # every row labeled, all three splits present, proportions sane
+    assert sum(counts.values()) == 4000 and set(counts) == set(w)
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    # stability: assignment is a pure function of (key, salt)
+    again = hash_split(df.repartition(7), "k", w, salt="exp")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(df, "k", {"a": 0.5, "b": 0.2})
+
+
+def test_split_sql_matches_spark(spark):
+    """The published SQL CASE (split_thresholds_sql) must agree with the
+    Spark column on every key — the engine-portability contract."""
+    from delta_lake_experiment_spark.operators.sampling import (
+        hash_split,
+        split_thresholds_sql,
+    )
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    via_op = hash_split(df, "k", w, salt="x")
+    case_sql = split_thresholds_sql("CAST(k AS STRING)", w, salt="x")
+    df.createOrReplaceTempView("split_keys")
+    via_sql = spark.sql(f"SELECT k, {case_sql} AS split FROM split_keys")
+    assert sorted(map(tuple, via_op.collect())) == sorted(map(tuple, via_sql.collect()))
+
+
+def test_connected_components(spark):
+    from delta_lake_experiment_spark.operators.cluster import (
+        assign_components,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 7)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+    # chain: diameter forces multiple propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 0, -1)], "id_a long, id_b long"
+    )
+    labels = connected_components(chain)
+    assert labels.select("component").distinct().count() == 1
+    assert labels.agg(F.min("component")).first()[0] == 1
+
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(chain, max_rounds=2)
+
+    # singletons keep their own id; canonical = min of cluster
+    docs = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
+    out = assign_components(docs, edges, "doc_id")
+    comp = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}
