@@ -43,6 +43,7 @@ HEADLINE = [
     "engine_change_feed",
     "engine_sql_time_travel",
     # LLM-pipeline extensions
+    "doc_train_split",
     "doc_text_stats",
     "doc_winnow_fingerprints",
     "dedup_exact_documents",

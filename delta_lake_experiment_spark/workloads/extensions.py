@@ -421,7 +421,15 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     through pair edges; singletons are their own cluster) and a
     canonical flag — the keep/drop decision of a dedup pipeline.
     Iterative hash-min label propagation (operators/cluster.py); the
-    DuckDB oracle computes the identical fixpoint with a recursive CTE."""
+    DuckDB oracle computes the identical fixpoint with a recursive CTE.
+
+    Cost shape (sf0.1, local[32]): ~2/3 is the exact-Jaccard pair
+    generation (the deliberately oracle-portable inverted index, same
+    trade as near_dup_jaccard — production pipelines feed the LSH pair
+    generators instead); the propagation rounds are small joins bounded
+    by the edge list. Unbenched for the same reason near_dup_jaccard
+    is: the exact oracle lane is a correctness fixture, not the scale
+    path."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
     out = assign_components(docs.select("doc_id"), pairs, "doc_id")

@@ -767,6 +767,9 @@ def test_hash_split_partitions_corpus(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError, match="sum"):
         hash_split(df, "k", {"a": 0.5, "b": 0.2})
+    # the scale contract: assignment is map-only — no shuffle anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_split_sql_matches_spark(spark):
