@@ -56,7 +56,13 @@ def hash_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows, decided by
-    ``md5(salt || key)`` — same rows on every run and every engine."""
+    ``md5(salt || key)`` — same rows on every run and every engine.
+
+    Samples at the same salt are NESTED: ``hash_sample(df, k, 0.1)`` is
+    a subset of ``hash_sample(df, k, 0.5)`` (the predicate is a
+    threshold on one hash, monotone in the fraction). Scaling-law and
+    curriculum experiments get progressively larger corpora where each
+    stage contains every smaller one — free, by construction."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction={fraction!r} must be in [0, 1]")
     return df.filter(

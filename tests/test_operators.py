@@ -748,6 +748,9 @@ def test_hash_sample_deterministic(spark):
     assert s3 != s1
     assert hash_sample(df, "k", 0.0).count() == 0
     assert hash_sample(df, "k", 1.0).count() == 4000
+    # nesting: growing the fraction only ADDS rows (scaling-law corpora)
+    s10 = {r["k"] for r in hash_sample(df, "k", 0.10, salt="s").collect()}
+    assert s10 <= set(s1) and len(s10) < len(s1)
     with pytest.raises(ValueError, match="fraction"):
         hash_sample(df, "k", 1.5)
 
