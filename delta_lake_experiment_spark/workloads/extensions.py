@@ -477,10 +477,111 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# -- the full curation funnel ------------------------------------------
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline in ONE declarative plan —
+    what a 100 TB training-data build actually runs, composed from the
+    operators this package provides:
+
+      1. score: lang-id + quality heuristics (pure JVM columns),
+      2. filter: keep 'en' docs with quality >= 0.5,
+      3. exact dedup: min doc_id per md5 content fingerprint,
+      4. near-dup resolution: exact-Jaccard pairs -> connected
+         components -> keep each cluster's canonical doc,
+      5. assignment: deterministic train/val/test split.
+
+    Every stage is individually oracled elsewhere (doc_text_stats,
+    dedup_exact_documents, near_dup_jaccard, dedup_cluster_assignment,
+    doc_train_split); this query proves the COMPOSITION is exact too —
+    the DuckDB oracle rebuilds the identical funnel in SQL."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = with_text_stats(docs)
+    kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = kept.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    pairs = ngram_jaccard_pairs(exact, "doc_id", "text", shingle_n=3, threshold=0.5)
+    clustered = assign_components(exact.select("doc_id"), pairs, "doc_id")
+    canonical = clustered.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    survivors = exact.join(canonical, "doc_id")
+    return hash_split(survivors, "doc_id", _SPLIT_WEIGHTS, salt="exp1").select(
+        "doc_id", "lang_pred", "quality", "split"
+    )
+
+
+_QUALITY_SQL = r"""least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text))
+    * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
+              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)"""
+
+_LANG_SQL = r"""CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
+    / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 'en' ELSE 'unk' END"""
+
+CURATION_FUNNEL_SQL = (
+    r"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, text,
+    """
+    + _LANG_SQL
+    + r""" AS lang_pred,
+    """
+    + _QUALITY_SQL
+    + r""" AS quality,
+    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), kept AS (
+  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
+), exact AS (
+  SELECT doc_id, text, lang_pred, quality FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+  ) WHERE rn = 1
+), toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM exact
+), grams AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)
+SELECT e.doc_id, e.lang_pred, e.quality,
+  """
+    + split_thresholds_sql("CAST(e.doc_id AS VARCHAR)", _SPLIT_WEIGHTS, "exp1")
+    + r""" AS split
+FROM exact e LEFT JOIN comp c ON c.id = e.doc_id
+WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+"""
+)
+
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_train_split": doc_train_split,
     "dedup_cluster_assignment": dedup_cluster_assignment,
+    "corpus_curation_funnel": corpus_curation_funnel,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -497,6 +598,7 @@ ORACLES = {
     "doc_text_stats": TEXT_STATS_SQL,
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
+    "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
