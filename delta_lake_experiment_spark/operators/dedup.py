@@ -617,3 +617,63 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    train_split: str = "train",
+    eval_splits: Sequence[str] = ("val", "test"),
+    shingle_n: int = 8,
+    min_common: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detector: (train_id, eval_id, split,
+    n_common) for every train/eval document pair sharing at least
+    ``min_common`` word-``shingle_n``-gram shingles.
+
+    The step a training-data build runs after splitting: an eval
+    document whose n-grams leak into train invalidates the benchmark,
+    so its train-side near-copies must be dropped (feed the train ids
+    to the dedup keep-list) or the eval doc discarded. 8-grams is the
+    conventional contamination unit (long enough that shared grams
+    imply copying, not idiom).
+
+    Plan shape: one shingle-hash explode over BOTH sides (hashed grams,
+    no string shuffling — ``shingle_hashes``), one inverted-index
+    equi-join on the gram hash restricted train x eval (never train x
+    train: the filter cuts the quadratic side), one pair-count groupBy.
+    Identical asymptotics to the exact-Jaccard index; candidate pairs
+    are bounded by shared-gram postings, never all pairs. At 100 TB,
+    cap posting-list length (drop grams appearing in > K docs — they
+    are boilerplate, not contamination signal) before the join; at the
+    tested scales no cap is needed.
+    """
+    evs = list(eval_splits)
+    tagged = df.select(
+        F.col(id_col).alias("__doc"), F.col(split_col).alias("__split"), text_col
+    )
+    # distinct per (doc, gram): n_common must be |shared gram SET| —
+    # without it the join multiplies repeated-gram postings.
+    # shingle_hashes emits (__id, sh).
+    grams = (
+        shingle_hashes(tagged, "__doc", text_col, n=shingle_n)
+        .distinct()
+        .join(
+            tagged.select(F.col("__doc").alias("__id"), "__split"), "__id"
+        )
+    )
+    train = grams.filter(F.col("__split") == train_split).select(
+        F.col("__id").alias("train_id"), "sh"
+    )
+    ev = grams.filter(F.col("__split").isin(evs)).select(
+        F.col("__id").alias("eval_id"), F.col("__split").alias("split"), "sh"
+    )
+    pairs = (
+        train.join(ev, "sh")
+        .groupBy("train_id", "eval_id", "split")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return pairs

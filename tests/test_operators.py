@@ -820,3 +820,64 @@ def test_connected_components(spark):
     out = assign_components(docs, edges, "doc_id")
     comp = {r["doc_id"]: r["component"] for r in out.collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7, 8: 7, 9: 9}
+
+
+def test_cross_split_contamination(spark):
+    from delta_lake_experiment_spark.operators.dedup import cross_split_contamination
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, base + " kilo lima", "train"),            # shares 8-grams with 4
+        (2, "one two three four five six seven eight nine ten", "train"),
+        (3, "completely different words entirely here novel text stream data flow", "train"),
+        (4, base + " mike november", "test"),         # contaminated by 1
+        (5, "unrelated evaluation document with its own fresh vocabulary tokens", "val"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = cross_split_contamination(
+        df, "doc_id", "text", "split", shingle_n=8, min_common=1
+    )
+    pairs = {(r["train_id"], r["eval_id"], r["split"]): r["n_common"] for r in got.collect()}
+    # docs 1 and 4 share exactly the 3 8-grams of the common 10-word prefix
+    assert set(pairs) == {(1, 4, "test")}
+    assert pairs[(1, 4, "test")] == 3
+    # repeated grams must not inflate the count: duplicating the shared
+    # prefix inside the train doc leaves the shared-gram SET unchanged
+    rows2 = [(1, base + " " + base, "train"), (4, base + " mike", "test")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string, split string")
+    got2 = cross_split_contamination(df2, "doc_id", "text", "split", shingle_n=8)
+    n = {(r["train_id"], r["eval_id"]): r["n_common"] for r in got2.collect()}
+    # shared set = the 3 prefix 8-grams (train side also spans the seam,
+    # but those seam grams don't occur in the eval doc)
+    assert n[(1, 4)] == 3
+    # min_common gates weak overlaps out
+    assert cross_split_contamination(
+        df, "doc_id", "text", "split", shingle_n=8, min_common=4
+    ).count() == 0
+
+
+def test_funnel_output_into_engine_table(spark, store_dir):
+    """Integration: the curated corpus lands in an ACID engine table,
+    scans back exactly, and survives a follow-up split-filtered read —
+    the pipeline-to-lakehouse handoff."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.workloads.extensions import corpus_curation_funnel
+
+    out = corpus_curation_funnel(spark, "/root/testdata/sf0.001")
+    expected = sorted(map(tuple, out.collect()))
+    assert expected  # funnel keeps a non-trivial corpus
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table(
+        "curated", "doc_id BIGINT, lang_pred STRING, quality DOUBLE, split STRING"
+    )
+    c.write_dataframe("curated", out)
+    c.commit_tx()
+
+    c.new_tx()
+    back = c.scan("curated").select("doc_id", "lang_pred", "quality", "split")
+    assert sorted(map(tuple, back.collect())) == expected
+    train_n = back.filter("split = 'train'").count()
+    assert 0 < train_n <= len(expected)
+    c.commit_tx()
