@@ -110,8 +110,8 @@ def main() -> None:
             # Operators that persist() intermediates (e.g. the minhash
             # signature table) cannot unpersist them — the consumer owns
             # the lifecycle, and this harness is the consumer. Without
-            # this, cached blocks leak across the 54 runs and late
-            # queries pay the accumulated memory pressure (measured:
+            # this, cached blocks leak across all 2x|HEADLINE| runs and
+            # late queries pay the accumulated memory pressure (measured:
             # near_dup_minhash 5.7 s late in the suite vs 1.0 s
             # isolated — the r3 "regression" was exactly this).
             spark.catalog.clearCache()

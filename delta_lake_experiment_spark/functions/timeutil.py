@@ -20,14 +20,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: dtypes ensure_timestamp() will normalize (anything else is left
-#: untouched so genuine type errors still surface loudly downstream)
-_CASTABLE = {"timestamp_ntz", "date", "string"}
+#: dtypes ensure_timestamp() will normalize — only the LOSSLESS casts
+#: (NTZ re-tag under UTC, date -> midnight). Strings are deliberately
+#: excluded: cast('timestamp') turns unparseable strings into NULLs
+#: row-by-row, which would silently empty a watermarked stream instead
+#: of failing loudly; anything else is left untouched so genuine type
+#: errors still surface downstream.
+_CASTABLE = {"timestamp_ntz", "date"}
 
 
 def ensure_timestamp(df: DataFrame, *cols: str) -> DataFrame:
     """Return ``df`` with each named column cast to ``TIMESTAMP`` iff it
-    currently carries an NTZ/date/string event time.
+    currently carries an NTZ or date event time.
 
     No-op (and no plan change) when the column is already ``timestamp``
     or absent; works identically on batch and streaming DataFrames (a

@@ -79,6 +79,11 @@ def split_column(
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights sum to {total!r}, expected 1.0")
+    bad = {n: w for n, w in weights.items() if w <= 0}
+    if bad:
+        # negative/zero weights can still sum to 1 and would silently
+        # produce empty or over-full splits instead of erroring
+        raise ValueError(f"split weights must be > 0, got {bad!r}")
     names = list(weights)
     prefix = _hex_prefix(key, salt)
     expr = F.lit(names[-1])  # tail absorbs rounding
@@ -105,16 +110,35 @@ def hash_split(
     return df.withColumn(split_col, split_column(F.col(key_col), weights, salt))
 
 
+def _sql_str(s: str) -> str:
+    """ANSI SQL string literal (single quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def sample_predicate_sql(key_sql: str, fraction: float, salt: str = "") -> str:
+    """The ANSI-SQL WHERE predicate equivalent of :func:`hash_sample` —
+    derived from the same threshold function, so a fraction/salt change
+    in Python can never silently diverge from a hand-copied literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction={fraction!r} must be in [0, 1]")
+    return (
+        f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
+        f" < '{_threshold_hex(fraction)}'"
+    )
+
+
 def split_thresholds_sql(
     key_sql: str, weights: Mapping[str, float], salt: str = ""
 ) -> str:
     """The ANSI-SQL CASE equivalent of :func:`split_column` (for oracle
     queries and for pipelines living in other engines). ``key_sql`` is
     the SQL expression for the key, already stringified."""
-    prefix = f"substr(md5('{salt}' || {key_sql}), 1, 8)"
+    prefix = f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
     names = list(weights)
     parts, cum = [], 0.0
     for name in names[:-1]:
         cum += weights[name]
-        parts.append(f"WHEN {prefix} < '{_threshold_hex(cum)}' THEN '{name}'")
-    return "CASE " + " ".join(parts) + f" ELSE '{names[-1]}' END"
+        parts.append(
+            f"WHEN {prefix} < '{_threshold_hex(cum)}' THEN {_sql_str(name)}"
+        )
+    return "CASE " + " ".join(parts) + f" ELSE {_sql_str(names[-1])} END"

@@ -16,11 +16,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 52 value-oracled queries, two must sit outside the window; these
-# two are chosen because their semantics are fully shadowed by in-window
-# queries (distinct -> dedup_exact_documents' groupBy-dedup and the
-# window-dedup queries; the q17-ish small_quantity_revenue join shape ->
-# q3/q5/semi/anti joins), and their oracle equivalence stays verifiable
+# With 53 value-oracled queries, three must sit outside the window;
+# they are chosen because their semantics are fully shadowed by
+# in-window queries (distinct -> dedup_exact_documents' groupBy-dedup
+# and the window-dedup queries; the q17-ish small_quantity_revenue join
+# shape -> q3/q5/semi/anti joins; scalar functions ->
+# json_props_extract), and their oracle equivalence stays verifiable
 # any time via `python tools/check_oracle.py` (run green before every
 # commit that touches them). Rows-only queries (approximate BY
 # CONSTRUCTION, justified per-query in their ORACLES modules) go last

@@ -23,6 +23,7 @@ from delta_lake_experiment_spark.operators.dedup import (
 from delta_lake_experiment_spark.operators.sampling import (
     hash_sample,
     hash_split,
+    sample_predicate_sql,
     split_thresholds_sql,
 )
 from delta_lake_experiment_spark.operators.similarity import (
@@ -52,7 +53,68 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEXT_STATS_SQL = r"""
+# -- shared oracle-SQL fragments ---------------------------------------
+# Single edit site for every heuristic/CTE that appears in more than one
+# oracle below (text stats, jaccard pairs, cluster assignment, the
+# curation funnel). A parameter change that misses one hand-copied
+# duplicate would surface as a baffling check_oracle hash-mismatch, so
+# there are no duplicates: consumers compose these fragments.
+
+_LANG_SQL = r"""CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
+    / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 'en' ELSE 'unk' END"""
+
+_QUALITY_SQL = r"""least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
+    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text))
+    * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
+              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)"""
+
+_FP_SQL = r"""md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+
+
+def _jaccard_pairs_ctes(src: str) -> str:
+    """toks/grams/sizes/inter/pairs CTE chain: exact word-3-gram
+    Jaccard >= 0.5 pairs (id_a < id_b, with the jaccard value) over
+    relation ``src`` carrying (doc_id, text)."""
+    return rf"""toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM {src}
+), grams AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT * FROM (
+    SELECT id_a, id_b,
+      CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+  ) WHERE jaccard >= 0.5
+)"""
+
+
+# edges/reach/comp: connected components over `pairs` as a recursive-CTE
+# fixpoint — label every node with the min id it can reach.
+_COMPONENTS_CTES = r"""edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)"""
+
+
+TEXT_STATS_SQL = rf"""
 SELECT doc_id,
   CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INT)
@@ -62,13 +124,9 @@ SELECT doc_id,
     / length(text) AS punct_ratio,
   CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
     / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
-  CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
-    / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
-  least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
-    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text))
-    * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
-              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) AS quality,
-  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  {_LANG_SQL} AS lang_pred,
+  {_QUALITY_SQL} AS quality,
+  {_FP_SQL} AS fp
 FROM documents
 """
 
@@ -151,27 +209,9 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Exact-Jaccard oracle: same inverted-index construction in SQL.
-NGRAM_JACCARD_SQL = r"""
-WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
-), grams AS (
-  SELECT DISTINCT doc_id,
-    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
-                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
-  FROM toks
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+NGRAM_JACCARD_SQL = f"""
+WITH {_jaccard_pairs_ctes("documents")}
+SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
@@ -314,7 +354,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = [float(x) for x in qrow["embedding"]]
     base = emb.filter(F.col("vec_id") != 0)
     # Probe breadth adapts to list occupancy: scan enough lists to
-    # expect >= ~25k candidates (n * n_probe / n_centroids). On a tiny
+    # expect >= 25*k = 250 candidates (n * n_probe / n_centroids). On a tiny
     # corpus this widens toward a full scan — the honest IVF behavior,
     # since sparse inverted lists cannot buy recall — while at
     # production n the floor of 4 dominates and the 4/16 pruning holds.
@@ -388,6 +428,9 @@ FROM h
 # -- deterministic sampling / splitting --------------------------------
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_SALT = "exp1"
+_AUDIT_FRACTION = 0.25
+_AUDIT_SALT = "audit"
 
 
 def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,17 +441,19 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     training corpus contamination-free across rebuilds. Map-only: no
     shuffle anywhere in the plan."""
     docs = load_table(spark, sf_dir, "documents")
-    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt="exp1")
-    return hash_sample(split, "doc_id", 0.25, salt="audit").select(
+    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return hash_sample(split, "doc_id", _AUDIT_FRACTION, salt=_AUDIT_SALT).select(
         "doc_id", "lang", "n_chars", "split"
     )
 
 
+# Both SQL fragments derive from the SAME constants/threshold function
+# as the Spark query above — a fraction/salt change cannot go stale.
 DOC_TRAIN_SPLIT_SQL = f"""
 SELECT doc_id, lang, n_chars,
-  {split_thresholds_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, "exp1")} AS split
+  {split_thresholds_sql("CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT)} AS split
 FROM documents
-WHERE substr(md5('audit' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+WHERE {sample_predicate_sql("CAST(doc_id AS VARCHAR)", _AUDIT_FRACTION, _AUDIT_SALT)}
 """
 
 
@@ -440,36 +485,8 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTER_SQL = r"""
-WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
-), grams AS (
-  SELECT DISTINCT doc_id,
-    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
-                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
-  FROM toks
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-), reach(id, r) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
-), comp AS (
-  SELECT id, MIN(r) AS component FROM reach GROUP BY id
-)
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes("documents")}, {_COMPONENTS_CTES}
 SELECT d.doc_id,
   COALESCE(c.component, d.doc_id) AS component,
   d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
@@ -507,30 +524,19 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered = assign_components(exact.select("doc_id"), pairs, "doc_id")
     canonical = clustered.filter(F.col("doc_id") == F.col("component")).select("doc_id")
     survivors = exact.join(canonical, "doc_id")
-    return hash_split(survivors, "doc_id", _SPLIT_WEIGHTS, salt="exp1").select(
+    return hash_split(survivors, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT).select(
         "doc_id", "lang_pred", "quality", "split"
     )
 
 
-_QUALITY_SQL = r"""least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
-    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text))
-    * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
-              BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)"""
-
-_LANG_SQL = r"""CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
-    / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 'en' ELSE 'unk' END"""
-
-CURATION_FUNNEL_SQL = (
-    r"""
+# scored/kept/exact reuse the text-stats heuristics and the fingerprint
+# dedup; the pair/component chains are the shared fragments over `exact`
+CURATION_FUNNEL_SQL = f"""
 WITH RECURSIVE scored AS (
   SELECT doc_id, text,
-    """
-    + _LANG_SQL
-    + r""" AS lang_pred,
-    """
-    + _QUALITY_SQL
-    + r""" AS quality,
-    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    {_LANG_SQL} AS lang_pred,
+    {_QUALITY_SQL} AS quality,
+    {_FP_SQL} AS fp
   FROM documents
 ), kept AS (
   SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5
@@ -538,43 +544,12 @@ WITH RECURSIVE scored AS (
   SELECT doc_id, text, lang_pred, quality FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
   ) WHERE rn = 1
-), toks AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM exact
-), grams AS (
-  SELECT DISTINCT doc_id,
-    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
-                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
-  FROM toks
-), sizes AS (
-  SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
-  SELECT id_a, id_b FROM inter
-  JOIN sizes sa ON sa.doc_id = id_a
-  JOIN sizes sb ON sb.doc_id = id_b
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION ALL
-  SELECT id_b, id_a FROM pairs
-), reach(id, r) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
-), comp AS (
-  SELECT id, MIN(r) AS component FROM reach GROUP BY id
-)
+), {_jaccard_pairs_ctes("exact")}, {_COMPONENTS_CTES}
 SELECT e.doc_id, e.lang_pred, e.quality,
-  """
-    + split_thresholds_sql("CAST(e.doc_id AS VARCHAR)", _SPLIT_WEIGHTS, "exp1")
-    + r""" AS split
+  {split_thresholds_sql("CAST(e.doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT)} AS split
 FROM exact e LEFT JOIN comp c ON c.id = e.doc_id
 WHERE COALESCE(c.component, e.doc_id) = e.doc_id
 """
-)
 
 
 QUERIES = {

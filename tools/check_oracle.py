@@ -88,6 +88,11 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # operators that persist()/localCheckpoint intermediates (minhash
+        # signatures, jaccard shingles, component labels) can't release
+        # them — the consumer owns the lifecycle, and this 56-query loop
+        # is the consumer. Same hygiene bench.py applies.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
