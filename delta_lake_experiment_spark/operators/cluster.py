@@ -64,6 +64,8 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
+    if prev_sum is None:  # no edges at all — nothing to propagate
+        return labels
     for _ in range(max_rounds):
         neigh = (
             sym.join(

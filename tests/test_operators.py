@@ -881,3 +881,16 @@ def test_funnel_output_into_engine_table(spark, store_dir):
     train_n = back.filter("split = 'train'").count()
     assert 0 < train_n <= len(expected)
     c.commit_tx()
+
+
+def test_connected_components_empty_edges(spark):
+    from delta_lake_experiment_spark.operators.cluster import (
+        assign_components,
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    out = {r["doc_id"]: r["component"] for r in assign_components(docs, empty, "doc_id").collect()}
+    assert out == {1: 1, 2: 2}
