@@ -115,6 +115,36 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the reproducible version of
+    ``df.sampleBy`` (whose seed is applied per partition, so any
+    repartition reshuffles membership). Used for domain mixing: keep
+    e.g. 100% of wiki, 30% of web, 5% of crawl, by comparing the SAME
+    per-row hash against a per-stratum threshold. Strata absent from
+    ``fractions`` use ``default_fraction`` (0.0 = drop). Map-only, and
+    per-stratum samples keep the nesting property: raising one
+    stratum's fraction only adds rows."""
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} is {f!r}, not in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction={default_fraction!r} not in [0, 1]")
+    prefix = _hex_prefix(F.col(key_col), salt)
+    thr = F.lit(_threshold_hex(default_fraction))
+    for name, f in fractions.items():
+        thr = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(_threshold_hex(f))
+        ).otherwise(thr)
+    return df.filter(prefix < thr)
+
+
 def sample_predicate_sql(key_sql: str, fraction: float, salt: str = "") -> str:
     """The ANSI-SQL WHERE predicate equivalent of :func:`hash_sample` —
     derived from the same threshold function, so a fraction/salt change

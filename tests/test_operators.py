@@ -894,3 +894,35 @@ def test_connected_components_empty_edges(spark):
     docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
     out = {r["doc_id"]: r["component"] for r in assign_components(docs, empty, "doc_id").collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_stratified_hash_sample(spark):
+    from delta_lake_experiment_spark.operators.sampling import stratified_hash_sample
+
+    df = spark.range(0, 6000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("wiki"), F.lit("web"), F.lit("crawl")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+    )
+    out = stratified_hash_sample(
+        df, "k", "source", {"wiki": 1.0, "web": 0.3}, salt="mix"
+    )
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["wiki"] == 2000                   # keep-all stratum intact
+    assert abs(counts["web"] / 2000 - 0.3) < 0.05   # fraction honored
+    assert "crawl" not in counts                    # absent stratum dropped
+    # reproducible under repartition (sampleBy's failure mode)
+    again = stratified_hash_sample(
+        df.repartition(11), "k", "source", {"wiki": 1.0, "web": 0.3}, salt="mix"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # per-stratum nesting: raising web's fraction only ADDS web rows
+    bigger = stratified_hash_sample(
+        df, "k", "source", {"wiki": 1.0, "web": 0.6}, salt="mix"
+    )
+    web = lambda d: {r["k"] for r in d.filter("source = 'web'").collect()}
+    assert web(out) < web(bigger)
+    with pytest.raises(ValueError, match="stratum"):
+        stratified_hash_sample(df, "k", "source", {"web": 1.2})
