@@ -1,0 +1,61 @@
+"""Sequence packing: assign documents to fixed token-budget packs.
+
+Pretraining consumes fixed-length sequences; feeding one short document
+per sequence wastes most of the context window, so pipelines PACK
+documents: concatenate in a deterministic order and cut pack boundaries
+every ``budget`` tokens. This operator implements **start-offset
+packing**: a document belongs to the pack in which its first token
+falls (documents are never split). Properties:
+
+- Deterministic: packs are a pure function of (order, token counts) —
+  same input, same packs, any cluster size.
+- One window cumsum per shard — a single shuffle on the shard key.
+- Bounded overflow: a pack's token total is < budget + max_doc_tokens
+  (the last document may straddle the boundary). Exact greedy no-split
+  packing is inherently sequential and buys < max_doc_tokens/budget
+  utilization back — not worth a non-parallel operator; callers that
+  need hard caps should filter ``n_tokens > budget`` first (those docs
+  can never fit anyway) and size budget >> typical doc.
+
+Scale: pass ``shard_col`` so the cumsum windows are per-shard (packs
+never cross shards — the property distributed training wants anyway,
+one shard per data-loader worker). Without it the window is global:
+one partition, driver-of-all-data — only acceptable for small corpora,
+and loudly documented as such.
+
+The reference has no notion of documents or packing (SURVEY §2.2);
+this is part of the LLM-pipeline extension lane.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_col: str,
+    shard_col: Optional[str] = None,
+) -> DataFrame:
+    """Add ``pack_id`` (long, per shard when ``shard_col`` given) and
+    ``pack_offset`` (the document's starting token offset within its
+    shard's concatenation) to ``df``.
+
+    Documents are laid out in ``order_col`` order; a document joins the
+    pack containing its first token: ``pack_id = floor(offset /
+    budget)``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget={budget!r} must be > 0")
+    w = (
+        Window.partitionBy(shard_col) if shard_col is not None else Window.partitionBy()
+    ).orderBy(F.asc(order_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(token_col)).over(w)
+    return df.withColumn("pack_offset", cum - F.col(token_col)).withColumn(
+        "pack_id", F.floor(F.col("pack_offset") / F.lit(int(budget)))
+    )

@@ -926,3 +926,33 @@ def test_stratified_hash_sample(spark):
     assert web(out) < web(bigger)
     with pytest.raises(ValueError, match="stratum"):
         stratified_hash_sample(df, "k", "source", {"web": 1.2})
+
+
+def test_pack_sequences(spark):
+    from delta_lake_experiment_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate([
+            ("a", 400), ("a", 400), ("a", 300),   # pack 0: 400+400, pack straddle at 800
+            ("a", 500), ("a", 900),               # big doc
+            ("b", 1000), ("b", 10),
+        ])],
+        "doc_id long, shard string, n_tokens long",
+    )
+    out = pack_sequences(docs, "n_tokens", budget=1000, order_col="doc_id", shard_col="shard")
+    rows = {r["doc_id"]: (r["pack_offset"], r["pack_id"]) for r in out.collect()}
+    # shard a: offsets 0,400,800,1100,1600 -> packs 0,0,0,1,1
+    assert [rows[i] for i in range(5)] == [(0, 0), (400, 0), (800, 0), (1100, 1), (1600, 1)]
+    # shard b restarts: offsets 0,1000 -> packs 0,1
+    assert rows[5] == (0, 0) and rows[6] == (1000, 1)
+    # overflow bound: every pack total < budget + max_doc
+    totals = out.groupBy("shard", "pack_id").agg(F.sum("n_tokens").alias("tot"))
+    max_doc = 1000
+    assert all(r["tot"] < 1000 + max_doc for r in totals.collect())
+    # deterministic under repartition
+    again = pack_sequences(
+        docs.repartition(5), "n_tokens", budget=1000, order_col="doc_id", shard_col="shard"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(docs, "n_tokens", budget=0, order_col="doc_id")
