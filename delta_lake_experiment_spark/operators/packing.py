@@ -29,7 +29,7 @@ this is part of the LLM-pipeline extension lane.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -39,7 +39,7 @@ def pack_sequences(
     df: DataFrame,
     token_col: str,
     budget: int,
-    order_col: str,
+    order_col: Union[str, Sequence[str]],
     shard_col: Optional[str] = None,
 ) -> DataFrame:
     """Add ``pack_id`` (long, per shard when ``shard_col`` given) and
@@ -49,13 +49,34 @@ def pack_sequences(
     Documents are laid out in ``order_col`` order; a document joins the
     pack containing its first token: ``pack_id = floor(offset /
     budget)``.
+
+    ``order_col`` (a column or list of columns) MUST be a total order
+    within each shard — ties would make the cumsum order depend on task
+    arrival, silently breaking run-to-run reproducibility. Pass a
+    unique id as the final tiebreak column. Token counts must be
+    non-NULL and non-negative; violations raise at execution time
+    (NULLs would silently vanish from every pack, negatives would make
+    pack ids non-monotone).
     """
     if budget <= 0:
         raise ValueError(f"budget={budget!r} must be > 0")
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
+    toks = F.when(
+        F.col(token_col).isNotNull() & (F.col(token_col) >= 0), F.col(token_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"pack_sequences: {token_col} must be non-NULL and >= 0, got "),
+                F.coalesce(F.col(token_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("long")
+    )
     w = (
         Window.partitionBy(shard_col) if shard_col is not None else Window.partitionBy()
-    ).orderBy(F.asc(order_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = F.sum(F.col(token_col)).over(w)
-    return df.withColumn("pack_offset", cum - F.col(token_col)).withColumn(
+    ).orderBy(*[F.asc(c) for c in order]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(toks).over(w)
+    return df.withColumn("pack_offset", cum - toks).withColumn(
         "pack_id", F.floor(F.col("pack_offset") / F.lit(int(budget)))
     )

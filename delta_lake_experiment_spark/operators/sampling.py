@@ -17,8 +17,12 @@ and compare the hex prefix against fixed thresholds. Properties:
 - **Stable under everything**: partitioning, cluster size, row order,
   incremental re-runs over a growing corpus (a doc's split never flips
   when new docs arrive — the property random assignment lacks).
-- **Salt = experiment id.** A different salt re-rolls every assignment
-  (for ablations); the same salt reproduces it forever.
+- **Salt = experiment id — one per STAGE.** A different salt re-rolls
+  every assignment (for ablations); the same salt reproduces it
+  forever. Because every operator here reads the same md5(salt || key)
+  hash, two chained stages MUST use different salts or their decisions
+  are fully correlated (a 30% sample followed by an equal-salt 80/10/10
+  split lands entirely in 'train').
 - **Engine-portable**: md5 of the UTF-8 key bytes is identical in any
   engine, so a DuckDB/BigQuery/Trino pipeline computes bit-identical
   splits — the oracle queries exercise exactly that.
@@ -130,7 +134,16 @@ def stratified_hash_sample(
     per-row hash against a per-stratum threshold. Strata absent from
     ``fractions`` use ``default_fraction`` (0.0 = drop). Map-only, and
     per-stratum samples keep the nesting property: raising one
-    stratum's fraction only adds rows."""
+    stratum's fraction only adds rows.
+
+    **Use a distinct salt per pipeline stage.** All operators in this
+    module share the md5(salt || key) hash; chaining two stages with
+    the same (or default ``""``) salt makes their decisions fully
+    correlated — e.g. sample at 0.3 then hash_split 80/10/10 with equal
+    salts puts EVERY surviving row in 'train' (prefix < t(0.3) <
+    t(0.8)), silently emptying val/test. The funnel queries model the
+    right pattern: one salt per stage ('exp1' for the split, 'audit'
+    for the sample)."""
     for name, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for stratum {name!r} is {f!r}, not in [0, 1]")

@@ -956,3 +956,30 @@ def test_pack_sequences(spark):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
     with pytest.raises(ValueError, match="budget"):
         pack_sequences(docs, "n_tokens", budget=0, order_col="doc_id")
+
+
+def test_pack_sequences_guards(spark):
+    from delta_lake_experiment_spark.operators.packing import pack_sequences
+
+    # multi-column order: equal primary order resolved by unique tiebreak
+    docs = spark.createDataFrame(
+        [(1, 5, 600), (2, 5, 600), (3, 5, 600)],
+        "doc_id long, prio long, n_tokens long",
+    )
+    out = pack_sequences(
+        docs, "n_tokens", budget=1000, order_col=["prio", "doc_id"]
+    )
+    rows = {r["doc_id"]: r["pack_offset"] for r in out.collect()}
+    assert rows == {1: 0, 2: 600, 3: 1200}
+
+    # NULL / negative token counts raise at execution, never vanish
+    import pyspark.errors
+
+    bad_null = spark.createDataFrame(
+        [(1, 100), (2, None)], "doc_id long, n_tokens long"
+    )
+    with pytest.raises(Exception, match="non-NULL"):
+        pack_sequences(bad_null, "n_tokens", budget=100, order_col="doc_id").collect()
+    bad_neg = spark.createDataFrame([(1, -5)], "doc_id long, n_tokens long")
+    with pytest.raises(Exception, match="non-NULL"):
+        pack_sequences(bad_neg, "n_tokens", budget=100, order_col="doc_id").collect()
