@@ -342,6 +342,7 @@ def simhash_near_duplicates(
     bits: int = 60,
     num_bands: int = 4,
     max_hamming: int = 3,
+    strategy: str = "fold",
 ) -> DataFrame:
     """EXACT near-duplicate pairs (id_a, id_b, hamming) with SimHash
     hamming distance <= ``max_hamming``.
@@ -360,7 +361,7 @@ def simhash_near_duplicates(
     # Both sides of the band self-join read the signatures; persist so
     # the md5-fold pipeline computes once (at cluster scale: a parquet
     # signature stage).
-    sig = simhash_signature(df, id_col, text_col, bits=bits).persist()
+    sig = simhash_signature(df, id_col, text_col, bits=bits, strategy=strategy).persist()
     bands = F.array(
         *[
             F.struct(
