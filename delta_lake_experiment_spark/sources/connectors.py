@@ -119,3 +119,54 @@ def export_table(
         df.write.mode("overwrite").json(path)
     else:
         write_partitioned(df, path, partition_by=partition_by, format=format)
+
+
+def read_media_files(
+    spark: SparkSession,
+    path: str,
+    kind_from_extension: bool = True,
+    glob: Optional[str] = None,
+) -> DataFrame:
+    """Raw media ingest via Spark's ``binaryFile`` source: each file
+    becomes one MEDIA_SCHEMA-compatible row (media_id, kind, payload,
+    width/height/duration_ms NULL until a real decoder fills them) —
+    the entry point of the multimodal lane
+    (operators/multimodal.py::extract_features consumes this directly).
+
+    ``media_id`` is a deterministic 63-bit hash of the file path
+    (stable across re-ingests; the path is kept in ``source_path`` for
+    lineage). ``kind`` is derived from the file extension when
+    ``kind_from_extension`` (jpg/png/gif->image, wav/mp3/flac->audio,
+    mp4/mkv/webm->video, else 'binary').
+
+    Scale notes: binaryFile reads whole files into rows — right for
+    payloads up to tens of MB (images, clips). Bound per-task memory
+    with spark.sql.files.maxPartitionBytes; for larger assets store
+    object-store URIs instead and fetch inside the decode UDF (same
+    downstream operator shape, documented in operators/multimodal.py).
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    kind = (
+        F.when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), F.lit("image"))
+        .when(ext.isin("wav", "mp3", "flac", "ogg"), F.lit("audio"))
+        .when(ext.isin("mp4", "mkv", "webm", "avi"), F.lit("video"))
+        .otherwise(F.lit("binary"))
+        if kind_from_extension
+        else F.lit("binary")
+    )
+    return raw.select(
+        F.pmod(F.xxhash64(F.col("path")), F.lit(1 << 62)).alias("media_id"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.col("path").alias("source_path"),
+        F.col("length").alias("payload_bytes"),
+    )

@@ -983,3 +983,31 @@ def test_pack_sequences_guards(spark):
     bad_neg = spark.createDataFrame([(1, -5)], "doc_id long, n_tokens long")
     with pytest.raises(Exception, match="non-NULL"):
         pack_sequences(bad_neg, "n_tokens", budget=100, order_col="doc_id").collect()
+
+
+def test_read_media_files_into_multimodal_lane(spark, tmp_path):
+    """binaryFile ingest -> MEDIA_SCHEMA rows -> feature extraction:
+    the full multimodal path from raw files on disk."""
+    from delta_lake_experiment_spark.sources.connectors import read_media_files
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (tmp_path / "b.wav").write_bytes(b"RIFFfakewav")
+    (tmp_path / "c.bin").write_bytes(b"opaque")
+    df = read_media_files(spark, str(tmp_path))
+    rows = {r["kind"]: r for r in df.collect()}
+    assert set(rows) == {"image", "audio", "binary"}
+    assert rows["image"]["payload"] == b"\xff\xd8fakejpeg"
+    assert rows["audio"]["payload_bytes"] == 11
+    assert all(r["media_id"] >= 0 for r in rows.values())
+    # stable ids across re-ingest (hash of path, not arrival order)
+    again = {r["source_path"]: r["media_id"] for r in read_media_files(spark, str(tmp_path)).collect()}
+    assert again == {r["source_path"]: r["media_id"] for r in df.collect()}
+
+    # flows straight into the feature extractor
+    feats = extract_features(df.select(*[f.name for f in MEDIA_SCHEMA.fields]), out_dim=8)
+    got = feats.collect()
+    assert len(got) == 3 and all(len(r["features"]) == 8 for r in got)
+
+    # glob filter restricts ingest
+    only_jpg = read_media_files(spark, str(tmp_path), glob="*.jpg")
+    assert only_jpg.count() == 1
