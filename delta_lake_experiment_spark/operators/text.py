@@ -156,3 +156,41 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp": fingerprint(t),
         }
     )
+
+
+# -- Gopher/C4-style repetition signals --------------------------------
+# The standard corpus-quality heuristics for catching degenerate docs
+# (boilerplate loops, scraped navigation, keyword stuffing): a document
+# whose lines or n-grams repeat heavily carries little training signal.
+# Both are pure array expressions over one row — no shuffle, no UDF.
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (0.0 = all lines unique). Empty/whitespace-only lines are ignored
+    (navigation scrape pages repeat blanks legitimately)."""
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n = F.size(lines)
+    uniq = F.size(F.array_distinct(lines))
+    return F.when(n > 0, (n - uniq).cast("double") / n).otherwise(F.lit(0.0))
+
+
+def ngram_repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of word ``n``-grams that are repeats of an earlier gram
+    (0.0 = no repetition, -> 1.0 for a looping document). The Gopher
+    rule of thumb rejects docs above ~0.2 for larger n."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    big = 1 << 30
+    combined = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, big)
+        combined = F.zip_with(combined, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(combined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    return F.when(total > 0, (total - uniq).cast("double") / total).otherwise(
+        F.lit(0.0)
+    )

@@ -1011,3 +1011,33 @@ def test_read_media_files_into_multimodal_lane(spark, tmp_path):
     # glob filter restricts ingest
     only_jpg = read_media_files(spark, str(tmp_path), glob="*.jpg")
     assert only_jpg.count() == 1
+
+
+def test_repetition_signals(spark):
+    from delta_lake_experiment_spark.operators.text import (
+        dup_line_fraction,
+        ngram_repetition_ratio,
+    )
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nunique line"),        # 2/4 dup lines
+        (2, "alpha beta gamma delta epsilon zeta"),            # clean
+        (3, "spam spam spam spam spam spam spam spam"),        # looping
+        (4, "one\n\n  \ntwo\nthree"),                          # blanks ignored
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (round(r["dlf"], 4), round(r["rep3"], 4))
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction(F.col("text")).alias("dlf"),
+            ngram_repetition_ratio(F.col("text"), 3).alias("rep3"),
+        ).collect()
+    }
+    assert out[1][0] == 0.5          # 4 non-blank lines, 2 duplicate repeats
+    assert out[2] == (0.0, 0.0)      # clean doc: no repetition at all
+    assert out[3][1] == round(5 / 6, 4)  # 6 trigrams, all "spam spam spam"
+    assert out[4][0] == 0.0          # blank lines don't count as dups
+    # the Gopher filter shape: looping doc rejected, clean doc kept
+    kept = df.filter(ngram_repetition_ratio(F.col("text"), 3) <= 0.2)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4}
