@@ -154,6 +154,8 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "lang_pred": lang_id(t),
             "quality": quality_score(t),
             "fp": fingerprint(t),
+            "dup_line_frac": dup_line_fraction(t),
+            "rep3_ratio": ngram_repetition_ratio(t, 3),
         }
     )
 
