@@ -16,15 +16,21 @@ driver-side graph. Convergence is detected with a 1-row aggregate (sum
 of labels, strictly decreasing until fixpoint) — O(1) driver data per
 round, never a collect of nodes.
 
-Scale: rounds = O(component diameter). Near-dup clusters are
-shallow (dozens of docs, diameter a few hops), so 3-5 rounds close a
-100 TB corpus; the per-round cost is bounded by the edge list, which
-LSH already made near-linear. For adversarial long-chain graphs use the
-alternating large-star/small-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14) — same join shape,
-provably O(log^2 n) rounds; not needed for dedup-shaped graphs.
-``localCheckpoint`` truncates lineage each round so the plan does not
-grow with iterations.
+Scale: each round combines the neighbor-min step with **pointer
+jumping** (``comp <- comp[comp]``, Shiloach-Vishkin style): labels hop
+to their label's label, halving chains, so rounds = O(log diameter)
+instead of O(diameter) — a 1M-node path closes in ~20 rounds, not 1M.
+Correctness is unchanged: a label is always a node id reachable from
+its owner (reachability is transitive on the undirected graph), labels
+only decrease, and the fixpoint of the combined round still forces
+label constancy along every edge — hence the component minimum
+everywhere. Per-round cost: one join+groupBy on the edge list plus one
+node-sized self-join for the jump. The alternating
+large-star/small-star formulation (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) remains the
+edge-rewriting alternative when even the node-sized label table must
+shrink per round. ``localCheckpoint`` truncates lineage each round so
+the plan does not grow with iterations.
 
 The reference has no multi-table operators at all (SURVEY §2.2 —
 "Joins: ABSENT"); this lane is part of the LLM-pipeline extension
@@ -77,12 +83,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nb").alias("min_nb"))
         )
+        stepped = labels.join(neigh, labels["id"] == neigh["a"], "left").select(
+            "id",
+            F.least(
+                F.col("component"), F.coalesce(F.col("min_nb"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jump: comp <- comp[comp] (labels are node ids, so the
+        # parent's label always exists in the table); halves chain depth
+        parent = stepped.select(
+            F.col("id").alias("__pid"), F.col("component").alias("__pcomp")
+        )
         labels = (
-            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            stepped.join(parent, stepped["component"] == parent["__pid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("min_nb"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("__pcomp"), F.col("component")),
                 ).alias("component"),
             )
             .localCheckpoint(eager=True)

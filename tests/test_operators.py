@@ -804,13 +804,15 @@ def test_connected_components(spark):
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
 
-    # chain: diameter forces multiple propagation rounds
+    # chain: pointer jumping must close a 200-node path in O(log n)
+    # rounds (plain hash-min would need ~200; 12 is ample for log2(200))
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(20, 0, -1)], "id_a long, id_b long"
+        [(i, i + 1) for i in range(200, 0, -1)], "id_a long, id_b long"
     )
-    labels = connected_components(chain)
+    labels = connected_components(chain, max_rounds=12)
     assert labels.select("component").distinct().count() == 1
     assert labels.agg(F.min("component")).first()[0] == 1
+    assert labels.count() == 201
 
     with pytest.raises(RuntimeError, match="fixpoint"):
         connected_components(chain, max_rounds=2)
@@ -1043,3 +1045,40 @@ def test_repetition_signals(spark):
     # the 0.2 bar, so it is (correctly) rejected alongside doc 3
     kept = df.filter(ngram_repetition_ratio(F.col("text"), 3) <= 0.2)
     assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized graphs: the distributed fixpoint must equal a plain
+    union-find oracle exactly (components AND min-id labels)."""
+    import random
+
+    from delta_lake_experiment_spark.operators.cluster import connected_components
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n, m = 300, 260  # sparse: mix of chains, trees, cycles, singletons
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expected = {v: find(v) for v in touched}
+
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"
