@@ -1082,3 +1082,48 @@ def test_connected_components_random_vs_union_find(spark):
             ).collect()
         }
         assert got == expected, f"trial {trial}"
+
+
+def test_interval_join_randomized_vs_filter_oracle(spark):
+    """Seeded random points/intervals — including PRE-EPOCH timestamps
+    (negative unix micros exercise the floor-division binning) and
+    fractional bucket widths — must match a brute-force filter join."""
+    import random
+
+    from delta_lake_experiment_spark.operators.interval import interval_join
+
+    rng = random.Random(7)
+    base = dt.datetime(1969, 12, 29)  # spans the epoch boundary
+
+    def t(seconds):
+        return base + dt.timedelta(seconds=seconds)
+
+    points = [
+        (i, rng.randrange(3), t(rng.uniform(0, 6 * 86400)))
+        for i in range(250)
+    ]
+    intervals = []
+    for j in range(60):
+        lo = rng.uniform(0, 6 * 86400)
+        intervals.append(
+            (j, rng.randrange(3), t(lo), t(lo + rng.uniform(0.2, 7200)))
+        )
+    pdf = spark.createDataFrame(points, "pid long, k long, ts timestamp")
+    idf = spark.createDataFrame(intervals, "iid long, k long, lo timestamp, hi timestamp")
+
+    oracle = {
+        (r["pid"], r["iid"])
+        for r in pdf.join(idf, "k")
+        .filter((F.col("lo") <= F.col("ts")) & (F.col("ts") <= F.col("hi")))
+        .collect()
+    }
+    assert oracle  # non-trivial
+
+    for bucket in (0.5, 37.0, 3600):
+        got = {
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                pdf, idf, "ts", "lo", "hi", on=["k"], bucket_seconds=bucket
+            ).collect()
+        }
+        assert got == oracle, f"bucket_seconds={bucket}"
