@@ -1127,3 +1127,40 @@ def test_interval_join_randomized_vs_filter_oracle(spark):
             ).collect()
         }
         assert got == oracle, f"bucket_seconds={bucket}"
+
+
+def test_asof_join_randomized_vs_oracle(spark):
+    """Seeded random trades/quotes vs a Python latest-at-or-before
+    oracle, including equal-timestamp ties (tiebreak = highest id)."""
+    import random
+
+    rng = random.Random(11)
+    trades = [
+        (i, rng.randrange(4), ts(rng.randrange(0, 500)))
+        for i in range(200)
+    ]
+    quotes = [
+        (j, rng.randrange(4), ts(rng.randrange(0, 500)), round(rng.uniform(1, 9), 3))
+        for j in range(150)
+    ]
+    tdf = spark.createDataFrame(trades, "tid long, k long, ts timestamp")
+    qdf = spark.createDataFrame(quotes, "qid long, k long, qts timestamp, px double")
+
+    def oracle(k, t):
+        best = None
+        for qid, qk, qts, px in quotes:
+            if qk == k and qts <= t:
+                key = (qts, qid)
+                if best is None or key > best[0]:
+                    best = (key, qid, px)
+        return (best[1], best[2]) if best else None
+
+    out = asof_join(
+        tdf, qdf, on=["k"], left_ts="ts", right_ts="qts",
+        right_cols={"qid": "qid", "px": "px"}, tiebreak="qid", how="left",
+    )
+    got = {r["tid"]: (r["qid"], r["px"]) for r in out.collect()}
+    assert len(got) == 200
+    for tid, k, t in trades:
+        exp = oracle(k, t)
+        assert got[tid] == (exp if exp else (None, None)), (tid, got[tid], exp)
