@@ -629,6 +629,7 @@ def cross_split_contamination(
     eval_splits: Sequence[str] = ("val", "test"),
     shingle_n: int = 8,
     min_common: int = 1,
+    max_postings: Optional[int] = None,
 ) -> DataFrame:
     """Benchmark-contamination detector: (train_id, eval_id, split,
     n_common) for every train/eval document pair sharing at least
@@ -646,10 +647,14 @@ def cross_split_contamination(
     equi-join on the gram hash restricted train x eval (never train x
     train: the filter cuts the quadratic side), one pair-count groupBy.
     Identical asymptotics to the exact-Jaccard index; candidate pairs
-    are bounded by shared-gram postings, never all pairs. At 100 TB,
-    cap posting-list length (drop grams appearing in > K docs — they
-    are boilerplate, not contamination signal) before the join; at the
-    tested scales no cap is needed.
+    are bounded by shared-gram postings, never all pairs. At 100 TB set
+    ``max_postings``: grams appearing in more than that many documents
+    are dropped before the join (one count groupBy + semi-join) — an
+    8-gram shared by thousands of docs is boilerplate (license headers,
+    navigation chrome), not contamination signal, and it alone would
+    otherwise contribute O(K_train x K_eval) candidate pairs. The cap
+    can only lose pairs whose ENTIRE overlap is such boilerplate —
+    exactly the pairs a decontamination pass should ignore.
     """
     evs = list(eval_splits)
     tagged = df.select(
@@ -665,6 +670,16 @@ def cross_split_contamination(
             tagged.select(F.col("__doc").alias("__id"), "__split"), "__id"
         )
     )
+    if max_postings is not None:
+        if max_postings < 1:
+            raise ValueError(f"max_postings={max_postings!r} must be >= 1")
+        rare = (
+            grams.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_postings)
+            .select("sh")
+        )
+        grams = grams.join(rare, "sh", "left_semi")
     train = grams.filter(F.col("__split") == train_split).select(
         F.col("__id").alias("train_id"), "sh"
     )

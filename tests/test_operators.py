@@ -1164,3 +1164,29 @@ def test_asof_join_randomized_vs_oracle(spark):
     for tid, k, t in trades:
         exp = oracle(k, t)
         assert got[tid] == (exp if exp else (None, None)), (tid, got[tid], exp)
+
+
+def test_cross_split_contamination_posting_cap(spark):
+    from delta_lake_experiment_spark.operators.dedup import cross_split_contamination
+
+    boiler = "standard license header text appears on every single page here"
+    rows = [
+        (1, boiler + " alpha beta gamma delta", "train"),
+        (2, boiler + " epsilon zeta eta theta", "train"),
+        (3, boiler + " iota kappa lam mu", "test"),     # overlap = boilerplate only
+        (4, "alpha beta gamma delta unique evaluation content words here now", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    # uncapped: the boilerplate 8-grams connect every train doc to doc 3
+    full = cross_split_contamination(df, "doc_id", "text", "split", shingle_n=8)
+    assert {(r["train_id"], r["eval_id"]) for r in full.collect()} >= {(1, 3), (2, 3)}
+    # cap at 2 postings: boilerplate grams (in 3 docs) drop out; pairs
+    # whose entire overlap was boilerplate disappear
+    capped = cross_split_contamination(
+        df, "doc_id", "text", "split", shingle_n=8, max_postings=2
+    )
+    assert {(r["train_id"], r["eval_id"]) for r in capped.collect()} == set()
+    with pytest.raises(ValueError, match="max_postings"):
+        cross_split_contamination(
+            df, "doc_id", "text", "split", max_postings=0
+        )
