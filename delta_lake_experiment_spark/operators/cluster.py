@@ -54,8 +54,10 @@ def connected_components(
     """(id, component) for every node appearing in ``edges``;
     ``component`` = min node id reachable through the undirected graph.
 
-    Raises if the graph hasn't converged after ``max_rounds`` (diameter
-    larger than max_rounds — raise the cap or switch to large-star).
+    Raises if the graph hasn't converged after ``max_rounds``. With
+    pointer jumping, rounds grow with log2(diameter): the default cap
+    of 25 covers diameters into the tens of millions, so hitting it
+    signals a pathological graph (or a bug), not a slightly-low cap.
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.unionByName(
@@ -83,11 +85,18 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("nb").alias("min_nb"))
         )
-        stepped = labels.join(neigh, labels["id"] == neigh["a"], "left").select(
-            "id",
-            F.least(
-                F.col("component"), F.coalesce(F.col("min_nb"), F.col("component"))
-            ).alias("component"),
+        stepped = (
+            labels.join(neigh, labels["id"] == neigh["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("min_nb"), F.col("component"))
+                ).alias("component"),
+            )
+            # materialize before the self-join below: both sides of the
+            # jump read `stepped`, and without this the edge-list
+            # join+groupBy above would execute twice per round
+            .localCheckpoint(eager=True)
         )
         # pointer jump: comp <- comp[comp] (labels are node ids, so the
         # parent's label always exists in the table); halves chain depth

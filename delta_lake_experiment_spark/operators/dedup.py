@@ -22,6 +22,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_lake_experiment_spark.functions.arrays import sliding_ngrams
+
 
 def exact_dedup(df: DataFrame, key_cols: Sequence[str], order_col: str) -> DataFrame:
     """Keep exactly one row per ``key_cols`` group — the one with the
@@ -44,18 +46,11 @@ def shingles(
     shingles can't change the signature), and one full shuffle cheaper.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    # Sliding word n-grams via zip_with over shifted slices (NOT via
-    # per-position transform indexing into ``toks`` — Catalyst inlines
-    # array expressions referenced inside element lambdas, re-evaluating
-    # them per element: O(len^2) per doc). concat_ws skips the NULLs
-    # zip_with pads with, so trailing partial grams match the slice
-    # semantics; they are cut off below.
-    big = 1 << 30
-    combined = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, big)
-        combined = F.zip_with(combined, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(combined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    # Sliding n-grams via the shared zip_with builder (see
+    # functions/arrays.py for the per-element-lambda perf trap it
+    # avoids). concat_ws skips the NULLs zip_with pads with, so trailing
+    # partial grams match the slice semantics; the helper cuts them off.
+    grams = sliding_ngrams(toks, n, lambda a, b: F.concat_ws(" ", a, b))
     src = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
     # Small single-file inputs arrive as one partition; spread the
     # CPU-heavy shingle generation across the cluster. (Big inputs
@@ -81,19 +76,10 @@ def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Dat
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toksh = F.transform(toks, lambda t: F.xxhash64(t))
-    # Combine n consecutive token hashes via zip_with over shifted
-    # slices. CRITICAL for perf: an array expression referenced inside a
-    # per-element lambda (e.g. get(toksh, i+j)) is re-evaluated PER
-    # ELEMENT by Catalyst's inlining — O(len^2) per doc. zip_with
-    # evaluates each of its array arguments once per ROW, so this stays
-    # O(n * len).
-    big = 1 << 30
-    combined = toksh
-    for j in range(1, n):
-        shifted = F.slice(toksh, j + 1, big)
-        combined = F.zip_with(combined, shifted, lambda a, b: F.xxhash64(a, b))
-    # last n-1 positions lack a full n-gram (they hashed trailing nulls)
-    grams = F.slice(combined, 1, F.greatest(F.size(toksh) - (n - 1), F.lit(1)))
+    # Fold n consecutive token hashes via the shared zip_with builder
+    # (functions/arrays.py documents the per-element-lambda perf trap);
+    # trailing positions that hashed padding NULLs are cut off by it.
+    grams = sliding_ngrams(toksh, n, lambda a, b: F.xxhash64(a, b))
     src = df.select(F.col(id_col).alias("__id"), grams.alias("g"))
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < parallelism:
@@ -663,12 +649,17 @@ def cross_split_contamination(
     # distinct per (doc, gram): n_common must be |shared gram SET| —
     # without it the join multiplies repeated-gram postings.
     # shingle_hashes emits (__id, sh).
+    # persist: the gram table feeds the train branch, the eval branch,
+    # and (when capped) the document-frequency count — without this the
+    # dominant shingle explode+distinct re-executes per consumer (same
+    # reason ngram_jaccard_pairs persists its shingle table)
     grams = (
         shingle_hashes(tagged, "__doc", text_col, n=shingle_n)
         .distinct()
         .join(
             tagged.select(F.col("__doc").alias("__id"), "__split"), "__id"
         )
+        .persist()
     )
     if max_postings is not None:
         if max_postings < 1:

@@ -103,13 +103,10 @@ def winnow_fingerprints(
     the whole pipeline is expressible in ANSI SQL for the DuckDB oracle
     (same trick as the SimHash operator).
     """
+    from delta_lake_experiment_spark.functions.arrays import sliding_ngrams
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    big = 1 << 30
-    combined = toks
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, big)
-        combined = F.zip_with(combined, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(combined, 1, F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    grams = sliding_ngrams(toks, k, lambda a, b: F.concat_ws(" ", a, b))
     src = df.select(F.col(id_col).alias("__id"), F.posexplode(grams).alias("pos", "g"))
     # 60-bit md5-prefix hash of the gram (engine-independent)
     h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
@@ -170,9 +167,15 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def dup_line_fraction(text: Column) -> Column:
     """Fraction of lines that are duplicates of an earlier line
     (0.0 = all lines unique). Empty/whitespace-only lines are ignored
-    (navigation scrape pages repeat blanks legitimately)."""
+    (navigation scrape pages repeat blanks legitimately). Lines are
+    trimmed of ALL leading/trailing whitespace via regexp — F.trim
+    strips only ASCII space, which would count tab-only lines as
+    content and mismatch CRLF corpora's trailing \\r."""
     lines = F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(text, r"\n"),
+            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+        ),
         lambda l: l != "",
     )
     n = F.size(lines)
@@ -184,13 +187,10 @@ def ngram_repetition_ratio(text: Column, n: int = 3) -> Column:
     """Fraction of word ``n``-grams that are repeats of an earlier gram
     (0.0 = no repetition, -> 1.0 for a looping document). The Gopher
     rule of thumb rejects docs above ~0.2 for larger n."""
+    from delta_lake_experiment_spark.functions.arrays import sliding_ngrams
+
     toks = F.split(F.lower(F.trim(text)), r"\s+")
-    big = 1 << 30
-    combined = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, big)
-        combined = F.zip_with(combined, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(combined, 1, F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    grams = sliding_ngrams(toks, n, lambda a, b: F.concat_ws(" ", a, b))
     total = F.size(grams)
     uniq = F.size(F.array_distinct(grams))
     return F.when(total > 0, (total - uniq).cast("double") / total).otherwise(

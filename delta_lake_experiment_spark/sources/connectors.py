@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -133,7 +134,7 @@ def read_media_files(
     the entry point of the multimodal lane
     (operators/multimodal.py::extract_features consumes this directly).
 
-    ``media_id`` is a deterministic 63-bit hash of the file path
+    ``media_id`` is a deterministic 62-bit hash of the file path
     (stable across re-ingests; the path is kept in ``source_path`` for
     lineage). ``kind`` is derived from the file extension when
     ``kind_from_extension`` (jpg/png/gif->image, wav/mp3/flac->audio,
@@ -145,8 +146,6 @@ def read_media_files(
     object-store URIs instead and fetch inside the decode UDF (same
     downstream operator shape, documented in operators/multimodal.py).
     """
-    from pyspark.sql import functions as F
-
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
