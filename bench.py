@@ -9,6 +9,7 @@ driver-side collect skew). Run locally while iterating:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -52,6 +53,15 @@ HEADLINE = [
     "near_dup_embedding",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
+    # r5: the exact-Jaccard lane is posting-capped now (scale-honest),
+    # so the cluster/funnel flagship and the decontamination lane are
+    # benched — regressions in the round-4/5 capabilities were
+    # previously invisible here (VERDICT r4 item 4)
+    "near_dup_jaccard",
+    "dedup_cluster_assignment",
+    "corpus_curation_funnel",
+    "train_contamination",
+    "packed_sequences",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).
@@ -114,7 +124,12 @@ def main() -> None:
             # late queries pay the accumulated memory pressure (measured:
             # near_dup_minhash 5.7 s late in the suite vs 1.0 s
             # isolated — the r3 "regression" was exactly this).
+            # clearCache() covers cache-manager entries only; the
+            # localCheckpoint RDD blocks of the cluster/funnel queries
+            # are freed by the ContextCleaner on GC — gc.collect nudges
+            # that between queries.
             spark.catalog.clearCache()
+            gc.collect()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()

@@ -17,6 +17,8 @@ owns this class of physical-type drift.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -38,7 +40,22 @@ def ensure_timestamp(df: DataFrame, *cols: str) -> DataFrame:
     cast is a stateless projection, legal before ``withWatermark``).
     """
     dtypes = dict(df.dtypes)
-    for c in cols:
-        if dtypes.get(c) in _CASTABLE:
+    to_cast = [c for c in cols if dtypes.get(c) in _CASTABLE]
+    if to_cast:
+        # the NTZ re-tag is lossless ONLY under a UTC session timezone;
+        # in any other zone the cast shifts wall clocks (and is ambiguous
+        # across DST transitions). The engine pins UTC at its entry
+        # points, but a library caller may not — warn loudly instead of
+        # silently shifting their event times. (Checked only when a cast
+        # will actually happen: one conf read, no plan change otherwise.)
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            warnings.warn(
+                f"ensure_timestamp: casting {to_cast} from NTZ/date under "
+                f"session timezone {tz!r}; this re-tag is only lossless "
+                "under UTC — set spark.sql.session.timeZone=UTC",
+                stacklevel=2,
+            )
+        for c in to_cast:
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

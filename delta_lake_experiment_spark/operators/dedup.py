@@ -574,14 +574,42 @@ def ngram_jaccard_pairs(
     text_col: str,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_postings: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle.
 
     Shuffle-efficient exact variant for moderate corpora: inverted-index
-    self-join on shingle (skew-prone hot shingles should be stopworded
-    upstream at extreme scale), then |∩| / (|A|+|B|-|∩|).
+    self-join on shingle, then |∩| / (|A|+|B|-|∩|).
+
+    ``max_postings`` is the hot-shingle document-frequency cap (same
+    mechanism as :func:`cross_split_contamination`): a shingle shared by
+    K documents contributes K² rows to the self-join, so one boilerplate
+    gram (license header, navigation chrome) can dominate the whole job
+    at corpus scale. With the cap, shingles appearing in more than
+    ``max_postings`` documents are dropped BEFORE the join (one count
+    groupBy + semi-join), and the Jaccard is computed over each
+    document's capped shingle set — numerator AND denominator, so the
+    semantics stay a well-defined similarity ("Jaccard over
+    discriminative shingles") rather than a biased estimate of the
+    uncapped one. On corpora with no gram over the cap the output is
+    bit-identical to uncapped (pytest-checked); at 100 TB the cap is
+    what makes this lane runnable at all.
     """
-    sh = shingles(df, id_col, text_col, n=shingle_n).persist()
+    raw = shingles(df, id_col, text_col, n=shingle_n).persist()
+    if max_postings is not None:
+        if max_postings < 1:
+            raise ValueError(f"max_postings={max_postings!r} must be >= 1")
+        rare = (
+            raw.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_postings)
+            .select("shingle")
+        )
+        # persist the capped set too: it feeds sizes + both join sides,
+        # and the semi-join shuffle should run once, not three times
+        sh = raw.join(rare, "shingle", "left_semi").persist()
+    else:
+        sh = raw
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n_sh"))
     l = sh.select(F.col("__id").alias("id_a"), "shingle")
     r = sh.select(F.col("__id").alias("id_b"), "shingle")
@@ -684,3 +712,46 @@ def cross_split_contamination(
         .filter(F.col("n_common") >= min_common)
     )
     return pairs
+
+
+def decontaminate_split(
+    df: DataFrame,
+    id_col: str,
+    split_col: str,
+    train_split: str = "train",
+    eval_splits: Sequence[str] = ("val", "test"),
+    min_common: int = 1,
+    **contamination_kwargs,
+) -> DataFrame:
+    """The consumer of :func:`cross_split_contamination`: drop every
+    TRAIN document whose n-gram overlap with any eval document reaches
+    ``min_common`` shared grams, keeping eval rows untouched.
+
+    This is the decision step of benchmark decontamination — the
+    detector emits (train_id, eval_id, n_common) pairs; the pipeline
+    must then remove the train-side near-copies so the eval benchmark
+    stays meaningful (dropping eval docs instead would silently shrink
+    the benchmark). One left-anti join on the distinct contaminated
+    train-id list: the id list is tiny relative to the corpus
+    (contamination is rare by construction), so AQE broadcasts it — a
+    map-side filter at 100 TB scale.
+
+    ``contamination_kwargs`` pass through to the detector
+    (``shingle_n``, ``max_postings``, text column via ``text_col``).
+    """
+    text_col = contamination_kwargs.pop("text_col", "text")
+    pairs = cross_split_contamination(
+        df,
+        id_col,
+        text_col,
+        split_col,
+        train_split=train_split,
+        eval_splits=eval_splits,
+        min_common=min_common,
+        **contamination_kwargs,
+    )
+    bad = pairs.select(F.col("train_id").alias(id_col)).distinct()
+    clean_train = df.filter(F.col(split_col) == train_split).join(
+        bad, id_col, "left_anti"
+    )
+    return clean_train.unionByName(df.filter(F.col(split_col) != train_split))

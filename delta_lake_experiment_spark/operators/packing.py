@@ -80,3 +80,45 @@ def pack_sequences(
     return df.withColumn("pack_offset", cum - toks).withColumn(
         "pack_id", F.floor(F.col("pack_offset") / F.lit(int(budget)))
     )
+
+
+def pack_utilization(
+    packed: DataFrame,
+    token_col: str,
+    budget: int,
+    shard_col: Optional[str] = None,
+) -> DataFrame:
+    """Utilization report over :func:`pack_sequences` output — the
+    number a pipeline owner actually tunes ``budget`` with.
+
+    One row per shard (or one row total without ``shard_col``):
+
+    - ``packs``: number of packs,
+    - ``mean_fill`` / ``min_fill`` / ``max_fill``: pack token totals
+      divided by ``budget`` (fill > 1.0 is the documented straddle —
+      the last document of a pack may cross the boundary),
+    - ``overflow_packs``: packs whose total exceeds ``budget``.
+
+    Two aggregations (doc -> pack, pack -> shard), both partial-agg
+    friendly; output is O(shards). min/mean/max rather than a
+    percentile keeps every column exactly oracle-checkable (exact
+    percentile interpolation differs subtly across engines); p99-style
+    tail questions are answered by ``max_fill`` + ``overflow_packs`` at
+    this granularity.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget={budget!r} must be > 0")
+    shard_keys = [shard_col] if shard_col is not None else []
+    per_pack = packed.groupBy(*shard_keys, "pack_id").agg(
+        F.sum(token_col).alias("__pack_tokens")
+    )
+    fill = F.col("__pack_tokens").cast("double") / F.lit(float(budget))
+    return per_pack.groupBy(*shard_keys).agg(
+        F.count(F.lit(1)).alias("packs"),
+        F.round(F.avg(fill), 6).alias("mean_fill"),
+        F.round(F.min(fill), 6).alias("min_fill"),
+        F.round(F.max(fill), 6).alias("max_fill"),
+        F.sum(
+            F.when(F.col("__pack_tokens") > budget, F.lit(1)).otherwise(F.lit(0))
+        ).alias("overflow_packs"),
+    )

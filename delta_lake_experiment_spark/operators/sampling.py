@@ -45,8 +45,23 @@ _HEX_SPAN = 16 ** 8  # 8 hex chars = 32 bits of md5 prefix
 
 
 def _hex_prefix(key: Column, salt: str) -> Column:
-    """First 8 hex chars of md5(salt || key) — uniform in [0, 16^8)."""
-    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+    """First 8 hex chars of md5(salt || key) — uniform in [0, 16^8).
+
+    NULL keys raise at execution time (same guard style as
+    pack_sequences): md5(NULL) is NULL, every comparison against it is
+    non-true, and the row would silently fall through — dropped by
+    hash_sample but assigned to the TAIL split by split_column, two
+    different silent behaviors for the same bad input. A key column
+    with NULLs is a data bug the pipeline must hear about."""
+    checked = F.when(key.isNotNull(), key.cast("string")).otherwise(
+        F.raise_error(
+            F.lit(
+                "hash sampling/splitting key is NULL - sampling keys must be"
+                " non-NULL (filter or coalesce upstream)"
+            )
+        ).cast("string")
+    )
+    return F.substring(F.md5(F.concat(F.lit(salt), checked)), 1, 8)
 
 
 def _threshold_hex(cum_fraction: float) -> str:
@@ -167,6 +182,32 @@ def sample_predicate_sql(key_sql: str, fraction: float, salt: str = "") -> str:
     return (
         f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
         f" < '{_threshold_hex(fraction)}'"
+    )
+
+
+def stratified_predicate_sql(
+    key_sql: str,
+    strata_sql: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> str:
+    """The ANSI-SQL WHERE predicate equivalent of
+    :func:`stratified_hash_sample` — per-stratum thresholds from the
+    same threshold function, so Python and oracle cannot diverge."""
+    for name, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {name!r} is {f!r}, not in [0, 1]")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction={default_fraction!r} not in [0, 1]")
+    prefix = f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
+    whens = " ".join(
+        f"WHEN {_sql_str(name)} THEN '{_threshold_hex(f)}'"
+        for name, f in fractions.items()
+    )
+    return (
+        f"{prefix} < (CASE {strata_sql} {whens}"
+        f" ELSE '{_threshold_hex(default_fraction)}' END)"
     )
 
 

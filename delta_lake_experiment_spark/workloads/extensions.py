@@ -9,29 +9,39 @@ approximate ones (MinHash/LSH) are checked by their own pytest oracles
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_experiment_spark.operators.cluster import assign_components
 from delta_lake_experiment_spark.operators.dedup import (
+    cross_split_contamination,
+    decontaminate_split,
     embedding_near_duplicates,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
+from delta_lake_experiment_spark.operators.packing import (
+    pack_sequences,
+    pack_utilization,
+)
 from delta_lake_experiment_spark.operators.sampling import (
     hash_sample,
     hash_split,
     sample_predicate_sql,
     split_thresholds_sql,
+    stratified_hash_sample,
+    stratified_predicate_sql,
 )
 from delta_lake_experiment_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
     lsh_bucket_topk,
 )
-from delta_lake_experiment_spark.operators.text import with_text_stats
+from delta_lake_experiment_spark.operators.text import token_count, with_text_stats
 from delta_lake_experiment_spark.sources.tables import load_table
 
 
@@ -50,6 +60,11 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         "quality",
         "fp",
+        # Gopher/C4-style repetition signals (operators/text.py) —
+        # driver-gated since r5 so a regression in either is visible in
+        # CORRECTNESS, not just pytest
+        "dup_line_frac",
+        "rep3_ratio",
     )
 
 
@@ -70,19 +85,61 @@ _QUALITY_SQL = r"""least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS
 
 _FP_SQL = r"""md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
 
+# Repetition signals (operators/text.py::dup_line_fraction /
+# ngram_repetition_ratio). The list-valued intermediates (__lines,
+# __grams3) are computed once in TEXT_STATS_SQL's inner subquery; the
+# fragments below only do the (n - n_distinct)/n arithmetic. Lines are
+# regexp-trimmed (ALL whitespace, incl. \r for CRLF corpora) and blank
+# lines dropped before counting duplicates; grams reuse the jaccard
+# word-3-gram construction.
+_LINES_LIST_SQL = r"""list_filter(list_transform(string_split(text, chr(10)),
+    l -> regexp_replace(l, '^\s+|\s+$', '', 'g')), l -> l <> '')"""
 
-def _jaccard_pairs_ctes(src: str) -> str:
+_GRAMS3_LIST_SQL = r"""list_transform(generate_series(1,
+    greatest(len(string_split_regex(lower(trim(text)), '\s+')) - 2, 1)),
+    i -> concat_ws(' ', string_split_regex(lower(trim(text)), '\s+')[i],
+                        string_split_regex(lower(trim(text)), '\s+')[i+1],
+                        string_split_regex(lower(trim(text)), '\s+')[i+2]))"""
+
+
+def _repeat_frac_sql(lst: str) -> str:
+    """(len - len_distinct) / len over list column ``lst``, 0.0 when
+    empty — the shared shape of both repetition ratios."""
+    return (
+        f"CASE WHEN len({lst}) > 0 THEN "
+        f"CAST(len({lst}) - len(list_distinct({lst})) AS DOUBLE) / len({lst}) "
+        "ELSE 0.0 END"
+    )
+
+
+def _jaccard_pairs_ctes(src: str, max_postings: int | None = None) -> str:
     """toks/grams/sizes/inter/pairs CTE chain: exact word-3-gram
     Jaccard >= 0.5 pairs (id_a < id_b, with the jaccard value) over
-    relation ``src`` carrying (doc_id, text)."""
+    relation ``src`` carrying (doc_id, text).
+
+    ``max_postings`` mirrors the operator's hot-shingle document-
+    frequency cap (ngram_jaccard_pairs): shingles appearing in more
+    documents are dropped before sizes/intersections, so the capped
+    Spark plan and this oracle compute the same well-defined
+    "Jaccard over discriminative shingles" on ANY corpus — the cap is
+    value-checked, not just trusted to be inert."""
+    if max_postings is None:
+        capped = "grams AS (SELECT * FROM grams0)"
+    else:
+        capped = f"""gdf AS (
+  SELECT shingle FROM grams0 GROUP BY shingle
+  HAVING COUNT(*) <= {int(max_postings)}
+), grams AS (
+  SELECT g.doc_id, g.shingle FROM grams0 g JOIN gdf USING (shingle)
+)"""
     return rf"""toks AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM {src}
-), grams AS (
+), grams0 AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
                           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
   FROM toks
-), sizes AS (
+), {capped}, sizes AS (
   SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -126,8 +183,13 @@ SELECT doc_id,
     / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
   {_LANG_SQL} AS lang_pred,
   {_QUALITY_SQL} AS quality,
-  {_FP_SQL} AS fp
-FROM documents
+  {_FP_SQL} AS fp,
+  {_repeat_frac_sql("__lines")} AS dup_line_frac,
+  {_repeat_frac_sql("__grams3")} AS rep3_ratio
+FROM (
+  SELECT *, {_LINES_LIST_SQL} AS __lines, {_GRAMS3_LIST_SQL} AS __grams3
+  FROM documents
+)
 """
 
 
@@ -202,15 +264,31 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# Hot-shingle document-frequency cap, ON by default in every driver
+# query on the exact-Jaccard lane (near_dup_jaccard,
+# dedup_cluster_assignment, corpus_curation_funnel) and mirrored in
+# their oracles, so the capped semantics are value-checked — not
+# trusted. 64 is inert on the synthetic corpora (measured max 3-gram
+# df: 9 at sf0.001, 7 at sf0.01, 25 at sf0.1 — a pytest proves
+# capped == uncapped) while killing the O(df²) hot-gram blowup the
+# uncapped inverted index has at 100 TB.
+_NEAR_DUP_CAP = 64
+
+
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs at >= 0.5 — deterministic."""
+    """Exact word-3-gram Jaccard pairs at >= 0.5 — deterministic
+    (posting-capped; see _NEAR_DUP_CAP)."""
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        max_postings=_NEAR_DUP_CAP,
+    )
 
 
-# Exact-Jaccard oracle: same inverted-index construction in SQL.
+# Exact-Jaccard oracle: same inverted-index construction in SQL,
+# including the posting cap.
 NGRAM_JACCARD_SQL = f"""
-WITH {_jaccard_pairs_ctes("documents")}
+WITH {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP)}
 SELECT id_a, id_b, jaccard FROM pairs
 """
 
@@ -309,6 +387,20 @@ LIMIT 10
 """
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footer metadata — O(footer) driver-side
+    read via pyarrow, no Spark job, no data scan."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _check_recall(approx: DataFrame, exact: DataFrame, floor: float, name: str) -> None:
     """Self-check an ANN result against the exact top-k inside the same
     job: the rows-only driver check then certifies more than a row
@@ -358,13 +450,16 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus this widens toward a full scan — the honest IVF behavior,
     # since sparse inverted lists cannot buy recall — while at
     # production n the floor of 4 dominates and the 4/16 pruning holds.
-    # (The count is parquet-metadata-cheap; at sf0.001 the fixed
-    # n_probe=4 measured recall 0.10 on unclustered data.)
+    # n comes from the parquet FOOTER row count (pyarrow metadata read,
+    # no Spark job — a base.count() here would full-scan the filtered
+    # embeddings inside a benched query), minus 1 for the excluded
+    # query row. At sf0.001 the fixed n_probe=4 measured recall 0.10 on
+    # unclustered data.
     import math as _math
 
     k = 10
     n_centroids = 16
-    n = base.count()
+    n = max(_parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")) - 1, 1)
     n_probe = min(
         n_centroids, max(4, _math.ceil(n_centroids * 25 * k / max(n, 1)))
     )
@@ -470,13 +565,15 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cost shape (sf0.1, local[32]): ~2/3 is the exact-Jaccard pair
     generation (the deliberately oracle-portable inverted index, same
-    trade as near_dup_jaccard — production pipelines feed the LSH pair
-    generators instead); the propagation rounds are small joins bounded
-    by the edge list. Unbenched for the same reason near_dup_jaccard
-    is: the exact oracle lane is a correctness fixture, not the scale
-    path."""
+    trade as near_dup_jaccard, now posting-capped — production
+    pipelines can feed the LSH pair generators instead); the
+    propagation rounds are small joins bounded by the edge list.
+    Benched since r5 (the cap makes the lane scale-honest)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        max_postings=_NEAR_DUP_CAP,
+    )
     out = assign_components(docs.select("doc_id"), pairs, "doc_id")
     return out.select(
         "doc_id",
@@ -486,7 +583,7 @@ def dedup_cluster_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTER_SQL = f"""
-WITH RECURSIVE {_jaccard_pairs_ctes("documents")}, {_COMPONENTS_CTES}
+WITH RECURSIVE {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP)}, {_COMPONENTS_CTES}
 SELECT d.doc_id,
   COALESCE(c.component, d.doc_id) AS component,
   d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
@@ -497,7 +594,7 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 # -- the full curation funnel ------------------------------------------
 
 
-def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_funnel(docs: DataFrame, pair_fn=None) -> DataFrame:
     """The end-to-end corpus-curation pipeline in ONE declarative plan —
     what a 100 TB training-data build actually runs, composed from the
     operators this package provides:
@@ -505,28 +602,47 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. score: lang-id + quality heuristics (pure JVM columns),
       2. filter: keep 'en' docs with quality >= 0.5,
       3. exact dedup: min doc_id per md5 content fingerprint,
-      4. near-dup resolution: exact-Jaccard pairs -> connected
+      4. near-dup resolution: ``pair_fn`` pairs -> connected
          components -> keep each cluster's canonical doc,
       5. assignment: deterministic train/val/test split.
 
-    Every stage is individually oracled elsewhere (doc_text_stats,
-    dedup_exact_documents, near_dup_jaccard, dedup_cluster_assignment,
-    doc_train_split); this query proves the COMPOSITION is exact too —
-    the DuckDB oracle rebuilds the identical funnel in SQL."""
+    ``pair_fn(exact_deduped_df) -> (id_a, id_b, ...)`` is the near-dup
+    pair generator. Default: posting-capped exact Jaccard — the
+    oracle-checkable fixture. A 100 TB build passes the LSH lane
+    instead (``minhash_near_duplicates``), which keeps identical
+    downstream composition while replacing the exact inverted index
+    with banded signatures (pytest runs that configuration end-to-end
+    with a recall floor)."""
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    if pair_fn is None:
+        def pair_fn(d: DataFrame) -> DataFrame:
+            return ngram_jaccard_pairs(
+                d, "doc_id", "text", shingle_n=3, threshold=0.5,
+                max_postings=_NEAR_DUP_CAP,
+            )
+
     scored = with_text_stats(docs)
     kept = scored.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
     w = Window.partitionBy("fp").orderBy("doc_id")
     exact = kept.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
-    pairs = ngram_jaccard_pairs(exact, "doc_id", "text", shingle_n=3, threshold=0.5)
+    pairs = pair_fn(exact)
     clustered = assign_components(exact.select("doc_id"), pairs, "doc_id")
     canonical = clustered.filter(F.col("doc_id") == F.col("component")).select("doc_id")
     survivors = exact.join(canonical, "doc_id")
     return hash_split(survivors, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT).select(
         "doc_id", "lang_pred", "quality", "split"
     )
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry for :func:`curation_funnel` on the default
+    (posting-capped exact Jaccard) pair lane. Every stage is
+    individually oracled elsewhere (doc_text_stats,
+    dedup_exact_documents, near_dup_jaccard, dedup_cluster_assignment,
+    doc_train_split); this query proves the COMPOSITION is exact too —
+    the DuckDB oracle rebuilds the identical funnel in SQL."""
+    return curation_funnel(load_table(spark, sf_dir, "documents"))
 
 
 # scored/kept/exact reuse the text-stats heuristics and the fingerprint
@@ -544,11 +660,261 @@ WITH RECURSIVE scored AS (
   SELECT doc_id, text, lang_pred, quality FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
   ) WHERE rn = 1
-), {_jaccard_pairs_ctes("exact")}, {_COMPONENTS_CTES}
+), {_jaccard_pairs_ctes("exact", max_postings=_NEAR_DUP_CAP)}, {_COMPONENTS_CTES}
 SELECT e.doc_id, e.lang_pred, e.quality,
   {split_thresholds_sql("CAST(e.doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT)} AS split
 FROM exact e LEFT JOIN comp c ON c.id = e.doc_id
 WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+"""
+
+
+# -- benchmark decontamination -----------------------------------------
+
+_CONTAM_N = 8  # the conventional contamination gram size
+_CONTAM_MIN_COMMON = 1
+
+
+def train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination detector over the doc_train_split
+    assignment: (train_id, eval_id, split, n_common) for every train
+    document sharing at least one word-8-gram with a val/test document.
+    The operator joins 64-bit gram HASHES (operators/dedup.py,
+    posting-capped); the oracle joins the gram STRINGS — equal up to
+    2^-64 hash collisions, so the value-hash check certifies the whole
+    hashed inverted-index lane."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return cross_split_contamination(
+        split,
+        "doc_id",
+        "text",
+        "split",
+        shingle_n=_CONTAM_N,
+        min_common=_CONTAM_MIN_COMMON,
+        max_postings=_NEAR_DUP_CAP,
+    )
+
+
+def _contamination_ctes() -> str:
+    """split/ctoks/cgrams/cpairs CTE chain shared by the contamination
+    oracles: the hash_split assignment (same threshold function as the
+    Spark query), then distinct word-8-grams per doc, the posting cap,
+    and the train x eval pair counts."""
+    split_case = split_thresholds_sql(
+        "CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT
+    )
+    gram = "concat_ws(' ', " + ", ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(_CONTAM_N)
+    ) + ")"
+    return rf"""split AS (
+  SELECT doc_id, text, lang, {split_case} AS split FROM documents
+), ctoks AS (
+  SELECT doc_id, split, string_split_regex(lower(trim(text)), '\s+') AS t FROM split
+), cgrams0 AS (
+  SELECT DISTINCT doc_id, split,
+    unnest(list_transform(generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 1)),
+                          i -> {gram})) AS g
+  FROM ctoks
+), cdf AS (
+  SELECT g FROM cgrams0 GROUP BY g HAVING COUNT(*) <= {_NEAR_DUP_CAP}
+), cgrams AS (
+  SELECT c.doc_id, c.split, c.g FROM cgrams0 c JOIN cdf USING (g)
+), cpairs AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, b.split AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM cgrams a JOIN cgrams b ON a.g = b.g
+  WHERE a.split = 'train' AND b.split IN ('val', 'test')
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {_CONTAM_MIN_COMMON}
+)"""
+
+
+TRAIN_CONTAMINATION_SQL = f"""
+WITH {_contamination_ctes()}
+SELECT train_id, eval_id, split, n_common FROM cpairs
+"""
+
+
+def decontaminated_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition the detector exists for: split -> detect -> drop
+    every contaminated train doc (operators/dedup.py::
+    decontaminate_split), keeping eval rows untouched. Output is the
+    decontaminated corpus with its split labels."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    clean = decontaminate_split(
+        split,
+        "doc_id",
+        "split",
+        min_common=_CONTAM_MIN_COMMON,
+        shingle_n=_CONTAM_N,
+        max_postings=_NEAR_DUP_CAP,
+    )
+    return clean.select("doc_id", "lang", "split")
+
+
+DECONTAMINATED_TRAIN_SQL = f"""
+WITH {_contamination_ctes()}
+SELECT doc_id, lang, split FROM split
+WHERE split <> 'train'
+   OR doc_id NOT IN (SELECT train_id FROM cpairs)
+"""
+
+
+# -- sequence packing ---------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per pack; ~12 docs/pack on this corpus
+
+
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start-offset sequence packing (operators/packing.py) sharded by
+    lang and ordered by doc_id — each document's pack assignment and
+    starting token offset within its shard. The oracle is one SUM-OVER
+    window per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = docs.withColumn("n_toks", token_count(F.col("text")))
+    packed = pack_sequences(
+        wt, "n_toks", budget=_PACK_BUDGET, order_col="doc_id", shard_col="lang"
+    )
+    return packed.select("doc_id", "lang", "n_toks", "pack_id", "pack_offset")
+
+
+_PACK_TOKS_CTE = r"""t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_toks
+  FROM documents
+)"""
+
+PACKED_SEQUENCES_SQL = f"""
+WITH {_PACK_TOKS_CTE}
+SELECT doc_id, lang, n_toks,
+  CAST(floor(CAST(SUM(n_toks) OVER w - n_toks AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+    AS pack_id,
+  CAST(SUM(n_toks) OVER w - n_toks AS BIGINT) AS pack_offset
+FROM t
+WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+def pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-utilization report (operators/packing.py::pack_utilization)
+    over the packed_sequences assignment — packs / mean / min / max
+    fill and overflow count per shard: the numbers a pipeline owner
+    tunes ``budget`` with."""
+    docs = load_table(spark, sf_dir, "documents")
+    wt = docs.withColumn("n_toks", token_count(F.col("text")))
+    packed = pack_sequences(
+        wt, "n_toks", budget=_PACK_BUDGET, order_col="doc_id", shard_col="lang"
+    )
+    return pack_utilization(packed, "n_toks", _PACK_BUDGET, shard_col="lang")
+
+
+PACK_STATS_SQL = f"""
+WITH {_PACK_TOKS_CTE}, p AS (
+  SELECT lang, n_toks,
+    CAST(floor(CAST(SUM(n_toks) OVER w - n_toks AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+      AS pack_id
+  FROM t
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pp AS (
+  SELECT lang, pack_id, CAST(SUM(n_toks) AS BIGINT) AS tok FROM p GROUP BY 1, 2
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS packs,
+  round(AVG(CAST(tok AS DOUBLE) / {_PACK_BUDGET}), 6) AS mean_fill,
+  round(MIN(CAST(tok AS DOUBLE) / {_PACK_BUDGET}), 6) AS min_fill,
+  round(MAX(CAST(tok AS DOUBLE) / {_PACK_BUDGET}), 6) AS max_fill,
+  CAST(SUM(CASE WHEN tok > {_PACK_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+    AS overflow_packs
+FROM pp GROUP BY lang
+"""
+
+
+# -- domain mixing ------------------------------------------------------
+
+_MIX_FRACTIONS = {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1}
+_MIX_DEFAULT = 0.05
+_MIX_SALT = "mix1"
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing via stratified deterministic sampling
+    (operators/sampling.py::stratified_hash_sample): keep 100% of en,
+    50% de, 25% fr, 10% zh, 5% of everything else — per-stratum hash
+    thresholds, map-only, reproducible on any partitioning. The oracle
+    predicate derives from the SAME threshold function."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", _MIX_FRACTIONS,
+        default_fraction=_MIX_DEFAULT, salt=_MIX_SALT,
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+DOMAIN_MIXTURE_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {stratified_predicate_sql(
+    "CAST(doc_id AS VARCHAR)", "lang", _MIX_FRACTIONS, _MIX_DEFAULT, _MIX_SALT
+)}
+"""
+
+
+# -- raw media ingest ---------------------------------------------------
+
+# Committed ASCII fixture files (ascii so the oracle's
+# sha256(CAST(content AS VARCHAR)) hashes the same bytes Spark's
+# binary lane hashes — DuckDB 1.0 has no sha256 over BLOB).
+_MEDIA_FIXTURES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "media",
+)
+
+
+def media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-media ingest end to end: binaryFile source ->
+    MEDIA_SCHEMA rows (sources/connectors.py::read_media_files) ->
+    Arrow-batched feature extraction (operators/multimodal.py). The
+    sha256-deterministic stub decoder makes the whole lane
+    value-oracled: DuckDB re-reads the same files with read_blob and
+    recomputes kind (extension mapping), size, and feature[0]."""
+    from delta_lake_experiment_spark.operators.multimodal import extract_features
+    from delta_lake_experiment_spark.sources.connectors import read_media_files
+
+    media = read_media_files(spark, _MEDIA_FIXTURES)
+    feats = extract_features(media, out_dim=8)
+    out = feats.join(
+        media.select("media_id", "source_path", "payload_bytes"), "media_id"
+    )
+    return out.select(
+        F.regexp_extract("source_path", r"([^/]+)$", 1).alias("file_name"),
+        "kind",
+        "payload_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+MEDIA_INGEST_SQL = rf"""
+WITH b AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+         lower(regexp_extract(filename, '\.([A-Za-z0-9]+)$', 1)) AS ext,
+         CAST(size AS BIGINT) AS payload_bytes,
+         sha256(CAST(content AS VARCHAR)) AS hx
+  FROM read_blob('{_MEDIA_FIXTURES}/*')
+)
+SELECT file_name,
+  CASE WHEN ext IN ('jpg', 'jpeg', 'png', 'gif', 'bmp') THEN 'image'
+       WHEN ext IN ('wav', 'mp3', 'flac', 'ogg') THEN 'audio'
+       WHEN ext IN ('mp4', 'mkv', 'webm', 'avi') THEN 'video'
+       ELSE 'binary' END AS kind,
+  payload_bytes,
+  round(CAST(CAST((
+      CAST(('0x' || substr(hx, 1, 2)) AS BIGINT)
+    + CAST(('0x' || substr(hx, 3, 2)) AS BIGINT) * 256
+    + CAST(('0x' || substr(hx, 5, 2)) AS BIGINT) * 65536
+    + CAST(('0x' || substr(hx, 7, 2)) AS BIGINT) * 16777216
+  ) / 4294967296.0 AS REAL) AS DOUBLE), 6) AS f0
+FROM b
 """
 
 
@@ -557,6 +923,12 @@ QUERIES = {
     "doc_train_split": doc_train_split,
     "dedup_cluster_assignment": dedup_cluster_assignment,
     "corpus_curation_funnel": corpus_curation_funnel,
+    "train_contamination": train_contamination,
+    "decontaminated_train": decontaminated_train,
+    "packed_sequences": packed_sequences,
+    "pack_stats": pack_stats,
+    "domain_mixture": domain_mixture,
+    "media_ingest": media_ingest,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -574,6 +946,12 @@ ORACLES = {
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
+    "train_contamination": TRAIN_CONTAMINATION_SQL,
+    "decontaminated_train": DECONTAMINATED_TRAIN_SQL,
+    "packed_sequences": PACKED_SEQUENCES_SQL,
+    "pack_stats": PACK_STATS_SQL,
+    "domain_mixture": DOMAIN_MIXTURE_SQL,
+    "media_ingest": MEDIA_INGEST_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

@@ -1190,3 +1190,186 @@ def test_cross_split_contamination_posting_cap(spark):
         cross_split_contamination(
             df, "doc_id", "text", "split", max_postings=0
         )
+
+
+def test_jaccard_posting_cap(spark):
+    """ngram_jaccard_pairs' hot-shingle cap (r4 verdict item 2): capped
+    == uncapped when no shingle exceeds the cap — true of the driver
+    corpora, so the capped driver queries stay oracle-exact — and hot
+    shingles drop from numerator AND denominator when it binds."""
+    from delta_lake_experiment_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, max_postings=64
+    )
+    # measured max 3-gram document frequency at sf0.001 is 9 << 64
+    assert sorted(map(tuple, uncapped.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+    # a binding cap: boilerplate grams shared by all docs stop linking
+    # otherwise-unrelated documents
+    boiler = "this page is licensed under the creative commons attribution"
+    rows = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " delta epsilon zeta"),
+        (3, boiler + " eta theta iota"),
+        (4, "alpha beta gamma totally separate body of words one"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = ngram_jaccard_pairs(df, "doc_id", "text", shingle_n=3, threshold=0.5)
+    assert {(r["id_a"], r["id_b"]) for r in full.collect()} >= {(1, 2), (1, 3), (2, 3)}
+    tight = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.5, max_postings=2
+    )
+    assert tight.count() == 0  # boilerplate-only overlaps vanish
+    with pytest.raises(ValueError, match="max_postings"):
+        ngram_jaccard_pairs(df, "doc_id", "text", max_postings=0)
+
+
+def test_funnel_lsh_pair_lane(spark):
+    """The funnel's pair generator is pluggable (r4 verdict item 3):
+    running it on the MinHash-LSH lane — the configuration a real
+    100 TB build uses — must reproduce the exact-Jaccard funnel's
+    keep/drop decisions up to LSH recall (floor-asserted, not
+    hash-matched: LSH is approximate by construction)."""
+    from delta_lake_experiment_spark.operators.dedup import minhash_near_duplicates
+    from delta_lake_experiment_spark.workloads.extensions import curation_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = curation_funnel(docs)  # default: capped exact Jaccard
+    lsh = curation_funnel(
+        docs,
+        pair_fn=lambda d: minhash_near_duplicates(
+            d, "doc_id", "text", shingle_n=3, num_hashes=16, num_bands=4,
+            threshold=0.5,
+        ),
+    )
+    exact_rows = {r["doc_id"]: (r["split"], round(r["quality"], 9))
+                  for r in exact.collect()}
+    lsh_rows = {r["doc_id"]: (r["split"], round(r["quality"], 9))
+                for r in lsh.collect()}
+    # docs kept by both lanes carry identical downstream values (the
+    # composition after the pair stage is deterministic)
+    common = set(exact_rows) & set(lsh_rows)
+    assert all(exact_rows[d] == lsh_rows[d] for d in common)
+    # survivor overlap floor: banded LSH at these parameters recovers
+    # nearly all >=0.5-Jaccard pairs, so the keep sets nearly agree
+    overlap = len(common) / max(len(exact_rows), len(lsh_rows))
+    assert overlap >= 0.9, f"LSH-lane funnel diverged: overlap {overlap:.2f}"
+
+
+def test_decontaminate_split_and_engine_handoff(spark, store_dir):
+    """Detector -> keep-list -> engine-table write (r4 verdict item 6):
+    contaminated train docs drop, eval rows never do, and the
+    decontaminated corpus lands in an ACID table and scans back."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import decontaminate_split
+
+    leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, leak + " kilo lima", "train"),       # leaks into doc 4 -> dropped
+        (2, "clean training document with entirely fresh words here today", "train"),
+        (3, "another clean train doc of different original content words", "train"),
+        (4, leak + " mike november", "test"),     # eval side: always kept
+        (5, "independent validation text with no overlaps at all present", "val"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    clean = decontaminate_split(df, "doc_id", "split", shingle_n=8, min_common=1)
+    kept = {r["doc_id"]: r["split"] for r in clean.collect()}
+    assert kept == {2: "train", 3: "train", 4: "test", 5: "val"}
+
+    # threshold gates the drop: requiring >3 shared grams keeps doc 1
+    lax = decontaminate_split(df, "doc_id", "split", shingle_n=8, min_common=4)
+    assert {r["doc_id"] for r in lax.collect()} == {1, 2, 3, 4, 5}
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("corpus", "doc_id BIGINT, text STRING, split STRING")
+    c.write_dataframe("corpus", clean)
+    c.commit_tx()
+    c.new_tx()
+    back = c.scan("corpus").select("doc_id", "split")
+    assert {r["doc_id"]: r["split"] for r in back.collect()} == kept
+    c.commit_tx()
+
+
+def test_pack_utilization(spark):
+    from delta_lake_experiment_spark.operators.packing import (
+        pack_sequences,
+        pack_utilization,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate([
+            ("a", 400), ("a", 400), ("a", 300),   # pack 0: 1100 (overflow)
+            ("a", 500), ("a", 400),               # pack 1: 900
+            ("b", 1000),                          # pack 0: 1000 (exact fit)
+            ("b", 10),                            # pack 1: 10
+        ])],
+        "doc_id long, shard string, n_tokens long",
+    )
+    packed = pack_sequences(docs, "n_tokens", budget=1000, order_col="doc_id", shard_col="shard")
+    out = {r["shard"]: r for r in pack_utilization(
+        packed, "n_tokens", 1000, shard_col="shard"
+    ).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["packs"], a["overflow_packs"]) == (2, 1)
+    assert (a["min_fill"], a["max_fill"], a["mean_fill"]) == (0.9, 1.1, 1.0)
+    assert (b["packs"], b["overflow_packs"]) == (2, 0)  # exact fit != overflow
+    assert (b["min_fill"], b["max_fill"]) == (0.01, 1.0)
+    # global (unsharded) report: one row
+    packed_g = pack_sequences(docs, "n_tokens", budget=1000, order_col="doc_id")
+    glob = pack_utilization(packed_g, "n_tokens", 1000).collect()
+    assert len(glob) == 1 and glob[0]["packs"] == 4
+    with pytest.raises(ValueError, match="budget"):
+        pack_utilization(packed, "n_tokens", 0, shard_col="shard")
+
+
+def test_hash_sampling_null_keys_raise(spark):
+    """NULL sampling keys raise instead of silently landing in the tail
+    split (split) / being dropped (sample) — ADVICE r4."""
+    from delta_lake_experiment_spark.operators.sampling import (
+        hash_sample,
+        hash_split,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    with pytest.raises(Exception, match="non-NULL"):
+        hash_sample(df, "k", 0.5).collect()
+    with pytest.raises(Exception, match="non-NULL"):
+        hash_split(df, "k", {"train": 0.8, "test": 0.2}).collect()
+    with pytest.raises(Exception, match="non-NULL"):
+        stratified_hash_sample(
+            df.withColumn("s", F.lit("web")), "k", "s", {"web": 0.5}
+        ).collect()
+    # non-NULL rows still flow
+    ok = spark.createDataFrame([("a",), ("b",)], "k string")
+    assert hash_split(ok, "k", {"train": 0.5, "test": 0.5}).count() == 2
+
+
+def test_ensure_timestamp_warns_outside_utc(spark):
+    import warnings
+
+    from delta_lake_experiment_spark.functions.timeutil import ensure_timestamp
+
+    df = spark.createDataFrame([("2024-01-01 00:00:00",)], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ensure_timestamp(df, "ts")
+        assert any("UTC" in str(x.message) for x in w)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            ensure_timestamp(df, "ts")
+        assert not w
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

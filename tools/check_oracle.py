@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime
+import gc
 import math
 import os
 import sys
@@ -88,11 +89,17 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        # operators that persist()/localCheckpoint intermediates (minhash
-        # signatures, jaccard shingles, component labels) can't release
-        # them — the consumer owns the lifecycle, and this 56-query loop
-        # is the consumer. Same hygiene bench.py applies.
+        # operators that persist() intermediates (minhash signatures,
+        # jaccard shingles) can't release them — the consumer owns the
+        # lifecycle, and this multi-query loop is the consumer.
+        # clearCache() unpersists cache-manager entries only; the
+        # connected-components localCheckpoint RDD blocks are released
+        # by the ContextCleaner once the DataFrames are GC'd — gc.collect
+        # nudges that promptly so checkpoint blocks from the cluster/
+        # funnel queries don't pile up across the loop. Same hygiene
+        # bench.py applies.
         spark.catalog.clearCache()
+        gc.collect()
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
