@@ -594,27 +594,38 @@ def ngram_jaccard_pairs(
     uncapped one. On corpora with no gram over the cap the output is
     bit-identical to uncapped (pytest-checked); at 100 TB the cap is
     what makes this lane runnable at all.
+
+    The index carries 64-bit gram HASHES, not gram strings (same lane
+    as :func:`cross_split_contamination`): set sizes and intersections
+    are preserved up to 2^-64 collisions, the exploded/shuffled rows
+    shrink from (id, gram string) to (id, long), and the self-join
+    probes long keys. At test scale (short 3-gram strings) this is a
+    ~10% wall-clock trim; the ratio grows with gram width and corpus
+    size since shuffle bytes scale with gram length on the string lane
+    but stay 8 bytes here. Output is value-identical either way — the
+    DuckDB oracle still joins the STRINGS, so the hash lane is
+    certified per run, not assumed.
     """
-    raw = shingles(df, id_col, text_col, n=shingle_n).persist()
+    raw = shingle_hashes(df, id_col, text_col, n=shingle_n).distinct().persist()
     if max_postings is not None:
         if max_postings < 1:
             raise ValueError(f"max_postings={max_postings!r} must be >= 1")
         rare = (
-            raw.groupBy("shingle")
+            raw.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("__df"))
             .filter(F.col("__df") <= max_postings)
-            .select("shingle")
+            .select("sh")
         )
         # persist the capped set too: it feeds sizes + both join sides,
         # and the semi-join shuffle should run once, not three times
-        sh = raw.join(rare, "shingle", "left_semi").persist()
+        sh = raw.join(rare, "sh", "left_semi").persist()
     else:
         sh = raw
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n_sh"))
-    l = sh.select(F.col("__id").alias("id_a"), "shingle")
-    r = sh.select(F.col("__id").alias("id_b"), "shingle")
+    l = sh.select(F.col("__id").alias("id_a"), "sh")
+    r = sh.select(F.col("__id").alias("id_b"), "sh")
     inter = (
-        l.join(r, ["shingle"])
+        l.join(r, ["sh"])
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))

@@ -183,6 +183,40 @@ def dup_line_fraction(text: Column) -> Column:
     return F.when(n > 0, (n - uniq).cast("double") / n).otherwise(F.lit(0.0))
 
 
+# -- PII scrubbing ------------------------------------------------------
+# The C4-style cleaning pass: training corpora must not memorize
+# contact details, so emails / phone numbers / IPv4 addresses are
+# replaced with typed tags before anything downstream sees the text.
+# Heuristic regexes by design (full PII detection needs NER); the
+# patterns avoid lookarounds/backrefs so the SAME expression runs on
+# Java regex (Spark) and RE2 (DuckDB oracle). All three are one
+# vectorized regexp_replace each — no shuffle, no UDF.
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+IPV4_RE = r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b"
+
+
+def count_matches(text: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` (INT) — the
+    audit counterpart of :func:`redact_pii` (count before you scrub)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(
+    text: Column,
+    email_tag: str = "[EMAIL]",
+    phone_tag: str = "[PHONE]",
+    ip_tag: str = "[IP]",
+) -> Column:
+    """Replace emails, then phone numbers, then IPv4 addresses with
+    typed tags. Application order is fixed (and mirrored in the SQL
+    oracle) so engines can never disagree on overlapping matches."""
+    out = F.regexp_replace(text, EMAIL_RE, email_tag)
+    out = F.regexp_replace(out, PHONE_RE, phone_tag)
+    return F.regexp_replace(out, IPV4_RE, ip_tag)
+
+
 def ngram_repetition_ratio(text: Column, n: int = 3) -> Column:
     """Fraction of word ``n``-grams that are repeats of an earlier gram
     (0.0 = no repetition, -> 1.0 for a looping document). The Gopher

@@ -36,7 +36,9 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - decontaminated_train -> train_contamination (the detector) +
 #   customers_without_big_orders (anti-join);
 # - pack_stats -> packed_sequences (same window cumsum) + the many
-#   in-window aggregation queries.
+#   in-window aggregation queries;
+# - doc_pii_scrub -> regex-column machinery shadowed by doc_text_stats
+#   (regexp_extract_all/replace) — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -50,6 +52,7 @@ _DEFERRED_ORACLED = [
     "top_orders_per_segment",
     "decontaminated_train",
     "pack_stats",
+    "doc_pii_scrub",
 ]
 
 

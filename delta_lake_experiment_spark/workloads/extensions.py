@@ -594,7 +594,9 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 # -- the full curation funnel ------------------------------------------
 
 
-def curation_funnel(docs: DataFrame, pair_fn=None) -> DataFrame:
+def curation_funnel(
+    docs: DataFrame, pair_fn=None, decontaminate: bool = False
+) -> DataFrame:
     """The end-to-end corpus-curation pipeline in ONE declarative plan —
     what a 100 TB training-data build actually runs, composed from the
     operators this package provides:
@@ -604,7 +606,11 @@ def curation_funnel(docs: DataFrame, pair_fn=None) -> DataFrame:
       3. exact dedup: min doc_id per md5 content fingerprint,
       4. near-dup resolution: ``pair_fn`` pairs -> connected
          components -> keep each cluster's canonical doc,
-      5. assignment: deterministic train/val/test split.
+      5. assignment: deterministic train/val/test split,
+      6. (``decontaminate=True``) drop train docs sharing word-8-grams
+         with the val/test splits (operators/dedup.py::
+         decontaminate_split) — the benchmark-decontamination pass a
+         production build runs after splitting.
 
     ``pair_fn(exact_deduped_df) -> (id_a, id_b, ...)`` is the near-dup
     pair generator. Default: posting-capped exact Jaccard — the
@@ -630,9 +636,19 @@ def curation_funnel(docs: DataFrame, pair_fn=None) -> DataFrame:
     clustered = assign_components(exact.select("doc_id"), pairs, "doc_id")
     canonical = clustered.filter(F.col("doc_id") == F.col("component")).select("doc_id")
     survivors = exact.join(canonical, "doc_id")
-    return hash_split(survivors, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT).select(
-        "doc_id", "lang_pred", "quality", "split"
-    )
+    split = hash_split(survivors, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    if decontaminate:
+        # the detector + keep filters consume the split output several
+        # times (gram build, posting-cap count, train anti-join, eval
+        # pass-through); without this the whole upstream funnel —
+        # scoring, dedup, components — would re-execute per consumer
+        split = split.persist()
+        split = decontaminate_split(
+            split, "doc_id", "split",
+            min_common=_CONTAM_MIN_COMMON, shingle_n=_CONTAM_N,
+            max_postings=_NEAR_DUP_CAP,
+        )
+    return split.select("doc_id", "lang_pred", "quality", "split")
 
 
 def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -860,6 +876,68 @@ WHERE {stratified_predicate_sql(
 """
 
 
+# -- PII scrubbing ------------------------------------------------------
+
+
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrub (operators/text.py::redact_pii): the corpus
+    is deterministically spiked with synthetic contact details derived
+    from doc_id (the synthetic documents carry no real PII, which would
+    make an un-spiked oracle vacuous), then counted and redacted.
+    Returns per-doc match counts and the md5 of the redacted text so
+    the value hash certifies byte-identical redaction."""
+    from delta_lake_experiment_spark.operators.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        count_matches,
+        redact_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    spiked = docs.withColumn(
+        "t2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-4567 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+    return spiked.select(
+        "doc_id",
+        count_matches(F.col("t2"), EMAIL_RE).alias("n_emails"),
+        count_matches(F.col("t2"), PHONE_RE).alias("n_phones"),
+        count_matches(F.col("t2"), IPV4_RE).alias("n_ips"),
+        F.md5(redact_pii(F.col("t2"))).alias("redacted_fp"),
+    )
+
+
+# Same patterns, same application order, RE2-compatible by design.
+_PII_SPIKE_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or call 555-123-4567 from 10.0.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+DOC_PII_SCRUB_SQL = rf"""
+WITH s AS (SELECT doc_id, {_PII_SPIKE_SQL} AS t2 FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS INT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(t2, '\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\b')) AS INT)
+    AS n_phones,
+  CAST(len(regexp_extract_all(t2, '\b[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}\b')) AS INT)
+    AS n_ips,
+  md5(regexp_replace(regexp_replace(regexp_replace(t2,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+      '\+?[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\b', '[PHONE]', 'g'),
+      '\b[0-9]{{1,3}}(\.[0-9]{{1,3}}){{3}}\b', '[IP]', 'g')) AS redacted_fp
+FROM s
+"""
+
+
 # -- raw media ingest ---------------------------------------------------
 
 # Committed ASCII fixture files (ascii so the oracle's
@@ -929,6 +1007,7 @@ QUERIES = {
     "pack_stats": pack_stats,
     "domain_mixture": domain_mixture,
     "media_ingest": media_ingest,
+    "doc_pii_scrub": doc_pii_scrub,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -952,6 +1031,7 @@ ORACLES = {
     "pack_stats": PACK_STATS_SQL,
     "domain_mixture": DOMAIN_MIXTURE_SQL,
     "media_ingest": MEDIA_INGEST_SQL,
+    "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

@@ -1296,6 +1296,55 @@ def test_decontaminate_split_and_engine_handoff(spark, store_dir):
     c.commit_tx()
 
 
+def test_funnel_decontamination_stage(spark):
+    """curation_funnel(decontaminate=True): the benchmark-
+    decontamination pass composes after the split stage — a train doc
+    sharing an 8-gram with an eval doc is dropped; everything else is
+    untouched."""
+    import hashlib
+
+    from delta_lake_experiment_spark.workloads.extensions import curation_funnel
+
+    # predict hash_split('exp1') labels so the planted leak crosses
+    # splits (same md5-threshold function the operator uses)
+    t_train = format(int(round(0.8 * 16**8)), "08x")
+    t_val = format(int(round(0.9 * 16**8)), "08x")
+
+    def split_of(i: int) -> str:
+        h = hashlib.md5(f"exp1{i}".encode()).hexdigest()[:8]
+        return "train" if h < t_train else ("val" if h < t_val else "test")
+
+    train_id = next(i for i in range(1, 300) if split_of(i) == "train")
+    eval_id = next(i for i in range(1, 300) if split_of(i) != "train")
+    clean_id = next(
+        i for i in range(1, 300)
+        if split_of(i) == "train" and i != train_id
+    )
+
+    leak = "zebra quartz violet amber copper nickel cobalt indigo"  # 8 words
+    # stopwords interleaved with per-doc-unique fillers: lang-id sees
+    # 'en' and quality clears 0.5, but no 8-gram run is shared between
+    # docs EXCEPT the planted leak (a shared stopword-only prefix would
+    # contaminate every doc against every other)
+    body = lambda p: " ".join(f"the {p}{j}" for j in range(26))
+    rows = [
+        (train_id, body("alpha") + " " + leak),  # train, leaks into eval_id
+        (eval_id, body("omega") + " " + leak),   # eval: always kept
+        (clean_id, body("kappa")),               # clean train doc: kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = curation_funnel(docs)
+    assert {r["doc_id"]: r["split"] for r in base.collect()} == {
+        train_id: "train", eval_id: split_of(eval_id), clean_id: "train"
+    }
+    dec = curation_funnel(docs, decontaminate=True)
+    kept = {r["doc_id"]: r["split"] for r in dec.collect()}
+    assert train_id not in kept          # contaminated train doc dropped
+    assert kept[eval_id] == split_of(eval_id)  # eval row untouched
+    assert kept[clean_id] == "train"     # clean train doc untouched
+
+
 def test_pack_utilization(spark):
     from delta_lake_experiment_spark.operators.packing import (
         pack_sequences,
@@ -1326,6 +1375,38 @@ def test_pack_utilization(spark):
     assert len(glob) == 1 and glob[0]["packs"] == 4
     with pytest.raises(ValueError, match="budget"):
         pack_utilization(packed, "n_tokens", 0, shard_col="shard")
+
+
+def test_redact_pii(spark):
+    from delta_lake_experiment_spark.operators.text import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        count_matches,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.org or bob@x.io thanks"),
+        (2, "call 555-123-4567 or +44 123 456 7890 office 212.555.0199"),
+        (3, "server at 192.168.1.254 and 10.0.0.7; version 1.2 unaffected"),
+        (4, "no personal data in this document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        count_matches(F.col("text"), EMAIL_RE).alias("em"),
+        count_matches(F.col("text"), PHONE_RE).alias("ph"),
+        count_matches(F.col("text"), IPV4_RE).alias("ip"),
+        redact_pii(F.col("text")).alias("red"),
+    ).collect()}
+    assert out[1]["em"] == 2 and "[EMAIL]" in out[1]["red"]
+    assert "jane" not in out[1]["red"] and "bob@" not in out[1]["red"]
+    assert out[2]["ph"] >= 2 and "555-123-4567" not in out[2]["red"]
+    assert out[3]["ip"] == 2
+    assert "192.168.1.254" not in out[3]["red"] and "10.0.0.7" not in out[3]["red"]
+    assert "version 1.2" in out[3]["red"]      # short dotted numbers survive
+    assert out[4]["red"] == rows[3][1]          # clean text untouched
 
 
 def test_hash_sampling_null_keys_raise(spark):
