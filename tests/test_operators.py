@@ -804,18 +804,20 @@ def test_connected_components(spark):
     got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7, 8: 7}
 
-    # chain: pointer jumping must close a 200-node path in O(log n)
-    # rounds (plain hash-min would need ~200; 12 is ample for log2(200))
+    # chain: the DISTRIBUTED path's pointer jumping must close a
+    # 200-node path in O(log n) rounds (plain hash-min would need ~200;
+    # 12 is ample for log2(200)) — gate forced off so the driver
+    # union-find fallback can't answer for it
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(200, 0, -1)], "id_a long, id_b long"
     )
-    labels = connected_components(chain, max_rounds=12)
+    labels = connected_components(chain, max_rounds=12, driver_max_edges=0)
     assert labels.select("component").distinct().count() == 1
     assert labels.agg(F.min("component")).first()[0] == 1
     assert labels.count() == 201
 
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(chain, max_rounds=2)
+        connected_components(chain, max_rounds=2, driver_max_edges=0)
 
     # singletons keep their own id; canonical = min of cluster
     docs = spark.createDataFrame([(i,) for i in range(1, 10)], "doc_id long")
@@ -1048,8 +1050,10 @@ def test_repetition_signals(spark):
 
 
 def test_connected_components_random_vs_union_find(spark):
-    """Randomized graphs: the distributed fixpoint must equal a plain
-    union-find oracle exactly (components AND min-id labels)."""
+    """Randomized graphs: BOTH strategies — the driver union-find
+    fallback (default gate) and the distributed fixpoint
+    (driver_max_edges=0) — must equal a plain union-find oracle exactly
+    (components AND min-id labels)."""
     import random
 
     from delta_lake_experiment_spark.operators.cluster import connected_components
@@ -1075,13 +1079,13 @@ def test_connected_components_random_vs_union_find(spark):
         touched = {v for e in edges for v in e}
         expected = {v: find(v) for v in touched}
 
-        got = {
-            r["id"]: r["component"]
-            for r in connected_components(
-                spark.createDataFrame(edges, "id_a long, id_b long")
-            ).collect()
-        }
-        assert got == expected, f"trial {trial}"
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        for gate in (100_000, 0):  # driver fallback / distributed path
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(df, driver_max_edges=gate).collect()
+            }
+            assert got == expected, f"trial {trial} gate {gate}"
 
 
 def test_interval_join_randomized_vs_filter_oracle(spark):
