@@ -765,4 +765,10 @@ def decontaminate_split(
     clean_train = df.filter(F.col(split_col) == train_split).join(
         bad, id_col, "left_anti"
     )
-    return clean_train.unionByName(df.filter(F.col(split_col) != train_split))
+    # NULL-split rows ride the eval branch: `split != train` alone is
+    # non-true for NULL and would silently drop such rows from BOTH
+    # branches — they are not train data, so they must pass through
+    others = df.filter(
+        F.col(split_col).isNull() | (F.col(split_col) != train_split)
+    )
+    return clean_train.unionByName(others)

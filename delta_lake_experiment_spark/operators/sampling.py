@@ -201,6 +201,10 @@ def stratified_predicate_sql(
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction={default_fraction!r} not in [0, 1]")
     prefix = f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
+    if not fractions:
+        # CASE with zero WHEN branches is a syntax error in ANSI SQL;
+        # with no strata listed every row uses the default threshold
+        return f"{prefix} < '{_threshold_hex(default_fraction)}'"
     whens = " ".join(
         f"WHEN {_sql_str(name)} THEN '{_threshold_hex(f)}'"
         for name, f in fractions.items()

@@ -792,6 +792,45 @@ def test_split_sql_matches_spark(spark):
     assert sorted(map(tuple, via_op.collect())) == sorted(map(tuple, via_sql.collect()))
 
 
+def test_stratified_sql_matches_spark_randomized(spark):
+    """stratified_predicate_sql vs stratified_hash_sample over random
+    fraction maps / salts / strata (incl. empty fraction maps and
+    quote-bearing salts) — the per-stratum engine-portability
+    contract, DuckDB as the second engine."""
+    import random
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.sampling import (
+        stratified_hash_sample,
+        stratified_predicate_sql,
+    )
+
+    rng = random.Random(7)
+    strata = ["wiki", "web", "crawl", "o'brien"]  # one quote-bearing name
+    rows = [(i, strata[rng.randrange(4)]) for i in range(800)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for trial in range(4):
+        n_strata = rng.randrange(0, 4)
+        fr = {s: round(rng.random(), 3) for s in rng.sample(strata, n_strata)}
+        default = round(rng.random(), 3)
+        salt = rng.choice(["", "mix", "it's"])
+        via_op = {
+            r["k"]
+            for r in stratified_hash_sample(
+                df, "k", "s", fr, default_fraction=default, salt=salt
+            ).collect()
+        }
+        pred = stratified_predicate_sql(
+            "CAST(k AS VARCHAR)", "s", fr, default_fraction=default, salt=salt
+        )
+        via_duck = {r[0] for r in con.execute(f"SELECT k FROM t WHERE {pred}").fetchall()}
+        assert via_op == via_duck, f"trial {trial}: {fr} {default} {salt!r}"
+
+
 def test_connected_components(spark):
     from delta_lake_experiment_spark.operators.cluster import (
         assign_components,
@@ -1289,6 +1328,19 @@ def test_decontaminate_split_and_engine_handoff(spark, store_dir):
     lax = decontaminate_split(df, "doc_id", "split", shingle_n=8, min_common=4)
     assert {r["doc_id"] for r in lax.collect()} == {1, 2, 3, 4, 5}
 
+    # NULL-split rows are not train data: they pass through untouched
+    # instead of silently dropping out of both branches
+    with_null = df.union(
+        spark.createDataFrame(
+            [(6, "unsplit row of text with its own words", None)],
+            "doc_id long, text string, split string",
+        )
+    )
+    kept_null = {r["doc_id"] for r in decontaminate_split(
+        with_null, "doc_id", "split", shingle_n=8, min_common=1
+    ).collect()}
+    assert 6 in kept_null and 1 not in kept_null
+
     c = DeltaLakeClient(spark, store_dir)
     c.new_tx()
     c.create_table("corpus", "doc_id BIGINT, text STRING, split STRING")
@@ -1379,6 +1431,52 @@ def test_pack_utilization(spark):
     assert len(glob) == 1 and glob[0]["packs"] == 4
     with pytest.raises(ValueError, match="budget"):
         pack_utilization(packed, "n_tokens", 0, shard_col="shard")
+
+
+def test_incremental_dedup_into_engine_table(spark, store_dir):
+    """The recurring-crawl flow: each new batch is exact-deduped
+    WITHIN itself, then anti-joined against the fingerprints already
+    in the ACID corpus table, and only genuinely new documents are
+    committed — corpus grows monotonically with no duplicate content
+    across batches."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import exact_dedup
+    from delta_lake_experiment_spark.operators.text import fingerprint
+
+    def with_fp(df):
+        return df.withColumn("fp", fingerprint(F.col("text")))
+
+    batch1 = with_fp(spark.createDataFrame(
+        [(1, "alpha document one"), (2, "beta document two"),
+         (3, "ALPHA   document one")],   # normalized dup of 1
+        "doc_id long, text string",
+    ))
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("corpus", "doc_id BIGINT, text STRING, fp STRING")
+    c.write_dataframe("corpus", exact_dedup(batch1, ["fp"], "doc_id"))
+    c.commit_tx()
+
+    batch2 = with_fp(spark.createDataFrame(
+        [(4, "beta document two"),        # dup of committed doc 2
+         (5, "gamma document three"),     # new
+         (6, "gamma  DOCUMENT   three"),  # in-batch dup of 5
+         (7, "delta document four")],     # new
+        "doc_id long, text string",
+    ))
+    c.new_tx()
+    known = c.scan("corpus", with_stamps=False).select("fp")
+    fresh = exact_dedup(batch2, ["fp"], "doc_id").join(known, "fp", "left_anti")
+    assert {r["doc_id"] for r in fresh.collect()} == {5, 7}
+    c.write_dataframe("corpus", fresh.select("doc_id", "text", "fp"))
+    c.commit_tx()
+
+    c.new_tx()
+    final = c.scan("corpus", with_stamps=False)
+    assert {r["doc_id"] for r in final.collect()} == {1, 2, 5, 7}
+    # the invariant the flow exists for: one row per content fingerprint
+    assert final.groupBy("fp").count().filter("count > 1").count() == 0
+    c.commit_tx()
 
 
 def test_redact_pii(spark):
