@@ -53,16 +53,34 @@ def _decode_payload(payload: bytes, kind: str, out_dim: int) -> np.ndarray:
     return (arr / np.float64(2**32)).astype(np.float32)
 
 
-def extract_features(df: DataFrame, out_dim: int = 16, batch_hint: int = 256) -> DataFrame:
+def extract_features(
+    df: DataFrame,
+    out_dim: int = 16,
+    batch_hint: int = 256,
+    passthrough_cols: tuple = (),
+) -> DataFrame:
     """(media_id, kind, features array<float>) via Arrow-batched
-    mapInPandas — the vectorized lane for per-payload Python work."""
+    mapInPandas — the vectorized lane for per-payload Python work.
+
+    ``passthrough_cols`` ride through the Arrow batch unchanged
+    (lineage paths, sizes, labels): carrying metadata alongside the
+    decode costs a few extra Arrow columns, while recovering it
+    afterwards would take a join back to the source — a full shuffle
+    of the media table at corpus scale."""
+    extra = [
+        T.StructField(f.name, f.dataType)
+        for f in df.schema.fields
+        if f.name in set(passthrough_cols)
+    ]
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
             T.StructField("kind", T.StringType()),
             T.StructField("features", T.ArrayType(T.FloatType())),
         ]
+        + extra
     )
+    extra_names = [f.name for f in extra]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -70,15 +88,18 @@ def extract_features(df: DataFrame, out_dim: int = 16, batch_hint: int = 256) ->
                 _decode_payload(p, k, out_dim)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "features": feats,
-                }
-            )
+            cols = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "features": feats,
+            }
+            for name in extra_names:
+                cols[name] = pdf[name]
+            yield pd.DataFrame(cols)
 
-    return df.select("media_id", "kind", "payload").mapInPandas(batches, out_schema)
+    return df.select("media_id", "kind", "payload", *extra_names).mapInPandas(
+        batches, out_schema
+    )
 
 
 def sample_video_frames(

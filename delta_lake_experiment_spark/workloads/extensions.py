@@ -960,9 +960,11 @@ def media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_experiment_spark.sources.connectors import read_media_files
 
     media = read_media_files(spark, _MEDIA_FIXTURES)
-    feats = extract_features(media, out_dim=8)
-    out = feats.join(
-        media.select("media_id", "source_path", "payload_bytes"), "media_id"
+    # metadata rides through the Arrow batch — no join back to the
+    # source (which would shuffle the media table and re-read the
+    # files at corpus scale)
+    out = extract_features(
+        media, out_dim=8, passthrough_cols=("source_path", "payload_bytes")
     )
     return out.select(
         F.regexp_extract("source_path", r"([^/]+)$", 1).alias("file_name"),

@@ -1051,6 +1051,14 @@ def test_read_media_files_into_multimodal_lane(spark, tmp_path):
     got = feats.collect()
     assert len(got) == 3 and all(len(r["features"]) == 8 for r in got)
 
+    # passthrough columns ride the Arrow batch (no join back needed)
+    carried = extract_features(
+        df, out_dim=4, passthrough_cols=("source_path", "payload_bytes")
+    )
+    by_path = {r["source_path"]: r for r in carried.collect()}
+    assert {p.rsplit("/", 1)[-1] for p in by_path} == {"a.jpg", "b.wav", "c.bin"}
+    assert all(r["payload_bytes"] is not None for r in by_path.values())
+
     # glob filter restricts ingest
     only_jpg = read_media_files(spark, str(tmp_path), glob="*.jpg")
     assert only_jpg.count() == 1
