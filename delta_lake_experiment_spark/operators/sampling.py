@@ -129,6 +129,38 @@ def hash_split(
     return df.withColumn(split_col, split_column(F.col(key_col), weights, salt))
 
 
+def hash_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Add ``shard_col``: a deterministic shard id in [0, n_shards) —
+    md5-prefix modulo, so assignment is stable under partitioning,
+    cluster size, and corpus growth (a doc never migrates shards when
+    new docs arrive), and reproducible in any engine. The natural
+    upstream of :mod:`packing` (one shard per data-loader worker) and
+    of sharded corpus export. Map-only; the hash is uniform, so shards
+    are balanced to within sampling noise. NULL keys raise (same
+    guard as the sample/split operators)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards!r} must be >= 1")
+    bucket = F.conv(_hex_prefix(F.col(key_col), salt), 16, 10).cast("long")
+    return df.withColumn(shard_col, (bucket % F.lit(int(n_shards))).cast("int"))
+
+
+def shard_sql(key_sql: str, n_shards: int, salt: str = "") -> str:
+    """ANSI-SQL expression equivalent of :func:`hash_shard`'s column —
+    same md5 prefix, same modulus, for pipelines in other engines."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards={n_shards!r} must be >= 1")
+    prefix = f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
+    return (
+        f"CAST(CAST(('0x' || {prefix}) AS BIGINT) % {int(n_shards)} AS INT)"
+    )
+
+
 def _sql_str(s: str) -> str:
     """ANSI SQL string literal (single quotes doubled)."""
     return "'" + s.replace("'", "''") + "'"

@@ -792,6 +792,38 @@ def test_split_sql_matches_spark(spark):
     assert sorted(map(tuple, via_op.collect())) == sorted(map(tuple, via_sql.collect()))
 
 
+def test_hash_shard(spark):
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.sampling import hash_shard, shard_sql
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    out = hash_shard(df, "k", 8, salt="s1")
+    counts = {r["shard"]: r["n"] for r in out.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == set(range(8))                      # all shards hit
+    assert all(abs(n - 500) < 150 for n in counts.values())  # balanced
+    # stable under repartition; stable under corpus growth (prefix of
+    # a bigger corpus keeps its assignments)
+    again = hash_shard(df.repartition(13), "k", 8, salt="s1")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    grown = hash_shard(spark.range(0, 8000).withColumnRenamed("id", "k"), "k", 8, salt="s1")
+    small = {r["k"]: r["shard"] for r in out.collect()}
+    big = {r["k"]: r["shard"] for r in grown.collect()}
+    assert all(big[k] == v for k, v in small.items())
+    # engine portability: DuckDB computes identical shards
+    con = duckdb.connect()
+    via_duck = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT k, " + shard_sql("CAST(k AS VARCHAR)", 8, "s1")
+            + " FROM range(4000) t(k)"
+        ).fetchall()
+    }
+    assert via_duck == small
+    with pytest.raises(ValueError, match="n_shards"):
+        hash_shard(df, "k", 0)
+
+
 def test_stratified_sql_matches_spark_randomized(spark):
     """stratified_predicate_sql vs stratified_hash_sample over random
     fraction maps / salts / strata (incl. empty fraction maps and
