@@ -60,14 +60,16 @@ def connected_components(
     their corpora (edges = detected duplicate pairs, already an
     aggregated output orders of magnitude smaller than the document
     table). When the deduplicated edge list is at most
-    ``driver_max_edges`` (known for free — it is localCheckpointed
-    before the gate, so the count reads cached blocks), the fixpoint is
-    solved by a driver-side union-find and the labels broadcast back:
-    label propagation on a small graph is dominated by per-round job
+    ``driver_max_edges`` UNDIRECTED edges (known for free — the
+    symmetrized list is localCheckpointed before the gate, so the
+    count reads cached blocks; it holds two rows per undirected edge
+    and the gate accounts for that), the fixpoint is solved by a
+    driver-side union-find and the labels broadcast back: label
+    propagation on a small graph is dominated by per-round job
     scheduling (each round = 2 materializations + 1 aggregate, all
-    blocking), not by data. 100k edges is ~1.6 MB collected and
-    milliseconds of union-find — strictly cheaper than even one
-    propagation round. Graphs over the threshold take the distributed
+    blocking), not by data. 100k edges is ~3 MB collected (200k
+    directed rows) and milliseconds of union-find — strictly cheaper
+    than even one propagation round. Graphs over the threshold take the distributed
     hash-min + pointer-jumping path unchanged; pass
     ``driver_max_edges=0`` to force it (the randomized equivalence
     pytest runs both paths against the same union-find oracle).
@@ -84,7 +86,10 @@ def connected_components(
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
 
-    if driver_max_edges and sym.count() <= driver_max_edges:
+    # sym carries BOTH directions of every undirected edge (and no
+    # self-loops), so the undirected edge count is exactly half its
+    # row count — the gate is stated, and applied, in undirected edges
+    if driver_max_edges and sym.count() <= 2 * driver_max_edges:
         pairs = sym.collect()
         parent: dict = {}
 

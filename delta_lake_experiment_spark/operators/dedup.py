@@ -617,8 +617,14 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         # persist the capped set too: it feeds sizes + both join sides,
-        # and the semi-join shuffle should run once, not three times
+        # and the semi-join shuffle should run once, not three times.
+        # Materialize it eagerly and release the raw table — keeping
+        # both cached would double the footprint of the dominant
+        # intermediate for the rest of the job (the cached-block
+        # pressure mechanism BASELINE.md documents).
         sh = raw.join(rare, "sh", "left_semi").persist()
+        sh.count()
+        raw.unpersist()
     else:
         sh = raw
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n_sh"))

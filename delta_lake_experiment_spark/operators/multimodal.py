@@ -67,10 +67,20 @@ def extract_features(
     decode costs a few extra Arrow columns, while recovering it
     afterwards would take a join back to the source — a full shuffle
     of the media table at corpus scale."""
+    requested = set(passthrough_cols)
+    unknown = requested - {f.name for f in df.schema.fields}
+    clash = requested & {"media_id", "kind", "features", "payload"}
+    if unknown or clash:
+        # silent drop would surface as a missing column far downstream;
+        # a clash would emit a duplicate/ambiguous output column
+        raise ValueError(
+            f"passthrough_cols: unknown {sorted(unknown)!r}, "
+            f"clashing with base output {sorted(clash)!r}"
+        )
     extra = [
         T.StructField(f.name, f.dataType)
         for f in df.schema.fields
-        if f.name in set(passthrough_cols)
+        if f.name in requested
     ]
     out_schema = T.StructType(
         [

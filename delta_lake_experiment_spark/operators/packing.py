@@ -91,6 +91,12 @@ def pack_utilization(
     """Utilization report over :func:`pack_sequences` output — the
     number a pipeline owner actually tunes ``budget`` with.
 
+    ``shard_col`` MUST match the one given to :func:`pack_sequences`:
+    pack ids restart at 0 per shard, so aggregating sharded output
+    without the shard key would merge same-numbered packs from
+    different shards into fictitious combined packs (inflated fills,
+    spurious overflows). Omit it only for output packed globally.
+
     One row per shard (or one row total without ``shard_col``):
 
     - ``packs``: number of packs,

@@ -151,8 +151,13 @@ def hash_shard(
 
 
 def shard_sql(key_sql: str, n_shards: int, salt: str = "") -> str:
-    """ANSI-SQL expression equivalent of :func:`hash_shard`'s column —
-    same md5 prefix, same modulus, for pipelines in other engines."""
+    """DuckDB-dialect twin of :func:`hash_shard`'s column — same md5
+    prefix, same modulus. Unlike the threshold predicates above (pure
+    hex-string comparisons, genuinely ANSI), a modulus needs hex->int,
+    and THAT cast is engine-specific: ``('0x'||h)::BIGINT`` here,
+    ``from_base(h, 16)`` on Trino, ``conv(h, 16, 10)`` on
+    Spark/MySQL — swap that one sub-expression when porting; the
+    assignment is identical everywhere because the hash is."""
     if n_shards < 1:
         raise ValueError(f"n_shards={n_shards!r} must be >= 1")
     prefix = f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 59 value-oracled queries, nine must sit outside the window. The
+# With 60 value-oracled queries, ten must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full

@@ -980,7 +980,7 @@ WITH b AS (
          lower(regexp_extract(filename, '\.([A-Za-z0-9]+)$', 1)) AS ext,
          CAST(size AS BIGINT) AS payload_bytes,
          sha256(CAST(content AS VARCHAR)) AS hx
-  FROM read_blob('{_MEDIA_FIXTURES}/*')
+  FROM read_blob('{_MEDIA_FIXTURES.replace("'", "''")}/*')
 )
 SELECT file_name,
   CASE WHEN ext IN ('jpg', 'jpeg', 'png', 'gif', 'bmp') THEN 'image'

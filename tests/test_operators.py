@@ -1090,6 +1090,11 @@ def test_read_media_files_into_multimodal_lane(spark, tmp_path):
     by_path = {r["source_path"]: r for r in carried.collect()}
     assert {p.rsplit("/", 1)[-1] for p in by_path} == {"a.jpg", "b.wav", "c.bin"}
     assert all(r["payload_bytes"] is not None for r in by_path.values())
+    # typos and base-column clashes raise at call time, never silently
+    with pytest.raises(ValueError, match="unknown"):
+        extract_features(df, passthrough_cols=("sourcepath",))
+    with pytest.raises(ValueError, match="clashing"):
+        extract_features(df, passthrough_cols=("kind",))
 
     # glob filter restricts ingest
     only_jpg = read_media_files(spark, str(tmp_path), glob="*.jpg")
