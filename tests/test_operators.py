@@ -1317,6 +1317,63 @@ def test_jaccard_posting_cap(spark):
         ngram_jaccard_pairs(df, "doc_id", "text", max_postings=0)
 
 
+def test_jaccard_randomized_vs_python_oracle(spark):
+    """Seeded random corpora (tiny vocab to force shared grams, doc
+    lengths 0..12 incl. empty and shorter-than-n docs) vs a pure-Python
+    set oracle, capped and uncapped — pins the hashed-index lane's set
+    semantics across every edge shape."""
+    import random
+
+    from delta_lake_experiment_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(13)
+    vocab = ["ab", "cd", "ef", "gh"]
+
+    def py_pairs(rows, n, threshold, cap):
+        grams = {}
+        for i, text in rows:
+            toks = text.strip().lower().split() or [""]
+            k = max(len(toks) - n + 1, 1)
+            grams[i] = {tuple(toks[j:j + n]) for j in range(k)}
+        if cap is not None:
+            df_count = {}
+            for g_set in grams.values():
+                for g in g_set:
+                    df_count[g] = df_count.get(g, 0) + 1
+            grams = {
+                i: {g for g in gs if df_count[g] <= cap}
+                for i, gs in grams.items()
+            }
+        out = {}
+        ids = sorted(grams)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = grams[ids[x]], grams[ids[y]]
+                inter = len(a & b)
+                if inter:  # operator only sees pairs sharing >=1 gram
+                    j = inter / (len(a) + len(b) - inter)
+                    if j >= threshold:
+                        out[(ids[x], ids[y])] = round(j, 9)
+        return out
+
+    for trial, (threshold, cap) in enumerate(
+        [(0.5, None), (0.3, None), (0.5, 3), (0.3, 2)]
+    ):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 13))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", shingle_n=3, threshold=threshold,
+                max_postings=cap,
+            ).collect()
+        }
+        assert got == py_pairs(rows, 3, threshold, cap), f"trial {trial}"
+
+
 def test_funnel_lsh_pair_lane(spark):
     """The funnel's pair generator is pluggable (r4 verdict item 3):
     running it on the MinHash-LSH lane — the configuration a real
