@@ -731,6 +731,58 @@ def cross_split_contamination(
     return pairs
 
 
+def corpus_line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_occurrences: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-wide exact LINE dedup (the RefinedWeb/C4 boilerplate
+    pass): drop every non-blank line whose whitespace-trimmed form
+    occurs more than ``max_occurrences`` times ACROSS THE CORPUS
+    (navigation chrome, cookie banners, license headers — the lines
+    that repeat on thousands of pages and would dominate training
+    loss), then reassemble each document from its surviving lines in
+    original order. Differs from :func:`exact_dedup` (whole-document)
+    and ``dup_line_fraction`` (within-document signal): the unit is a
+    line, the scope is the corpus.
+
+    Blank lines are structural and always kept. Output adds
+    ``out_col`` plus ``n_lines_kept`` / ``n_lines_dropped`` (ints);
+    a document whose every line was boilerplate comes back with an
+    empty string, never disappears.
+
+    Plan shape: one posexplode, one count aggregate on the trimmed
+    line (map-side combine), one equi-join back (each line matches
+    exactly one count row — no multiplicity blowup; hot boilerplate
+    lines are exactly the rows the filter then removes), one groupBy
+    per document to reassemble. Two shuffles at corpus scale.
+    """
+    if max_occurrences < 1:
+        raise ValueError(f"max_occurrences={max_occurrences!r} must be >= 1")
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "ln"),
+    ).withColumn("norm", F.regexp_replace(F.col("ln"), r"^\s+|\s+$", ""))
+    counts = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    joined = lines.join(counts, "norm", "left")
+    keep = (F.col("norm") == "") | (F.col("__cnt") <= max_occurrences)
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(keep, F.struct(F.col("pos"), F.col("ln"))))
+    )
+    out = joined.groupBy("__id").agg(
+        F.concat_ws("\n", F.transform(kept_structs, lambda s: s["ln"])).alias(out_col),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("int").alias("n_lines_kept"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("int").alias("n_lines_dropped"),
+    )
+    return out.withColumnRenamed("__id", id_col)
+
+
 def decontaminate_split(
     df: DataFrame,
     id_col: str,

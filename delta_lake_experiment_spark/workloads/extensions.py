@@ -938,6 +938,67 @@ FROM s
 """
 
 
+# -- corpus-wide line dedup --------------------------------------------
+
+
+def doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate-line removal (operators/dedup.py::
+    corpus_line_dedup). The synthetic docs are single-line, so the
+    query deterministically builds multi-line documents first: every
+    doc gains the SAME boilerplate line (500 corpus occurrences ->
+    dropped everywhere) and a doc_id-unique tail line (kept), making
+    the oracle non-vacuous. Returns the md5 of each cleaned text plus
+    kept/dropped counts."""
+    from delta_lake_experiment_spark.operators.dedup import corpus_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nsubscribe to our newsletter today\ndoc tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("t2"),
+    )
+    out = corpus_line_dedup(spiked, "doc_id", "t2", max_occurrences=1)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_fp"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+DOC_LINE_DEDUP_SQL = r"""
+WITH spiked AS (
+  SELECT doc_id,
+    text || chr(10) || 'subscribe to our newsletter today'
+         || chr(10) || 'doc tail ' || CAST(doc_id AS VARCHAR) AS t2
+  FROM documents
+), ls AS (
+  SELECT doc_id, string_split(t2, chr(10)) AS l FROM spiked
+), lines AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM ls
+), norm AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, l[i] AS ln,
+         regexp_replace(l[i], '^\s+|\s+$', '', 'g') AS nrm
+  FROM lines
+), cnt AS (
+  SELECT nrm, COUNT(*) AS c FROM norm WHERE nrm <> '' GROUP BY nrm
+), flagged AS (
+  SELECT n.doc_id, n.pos, n.ln,
+         (n.nrm = '' OR c.c <= 1) AS keep
+  FROM norm n LEFT JOIN cnt c ON c.nrm = n.nrm
+)
+SELECT doc_id,
+  md5(COALESCE(string_agg(ln, chr(10) ORDER BY pos) FILTER (WHERE keep), ''))
+    AS clean_fp,
+  CAST(COUNT(*) FILTER (WHERE keep) AS INT) AS n_lines_kept,
+  CAST(COUNT(*) FILTER (WHERE NOT keep) AS INT) AS n_lines_dropped
+FROM flagged GROUP BY doc_id
+"""
+
+
 # -- raw media ingest ---------------------------------------------------
 
 # Committed ASCII fixture files (ascii so the oracle's
@@ -1010,6 +1071,7 @@ QUERIES = {
     "domain_mixture": domain_mixture,
     "media_ingest": media_ingest,
     "doc_pii_scrub": doc_pii_scrub,
+    "doc_line_dedup": doc_line_dedup,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1034,6 +1096,7 @@ ORACLES = {
     "domain_mixture": DOMAIN_MIXTURE_SQL,
     "media_ingest": MEDIA_INGEST_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
+    "doc_line_dedup": DOC_LINE_DEDUP_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

@@ -1317,6 +1317,36 @@ def test_jaccard_posting_cap(spark):
         ngram_jaccard_pairs(df, "doc_id", "text", max_postings=0)
 
 
+def test_corpus_line_dedup(spark):
+    from delta_lake_experiment_spark.operators.dedup import corpus_line_dedup
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"unique intro one\n{boiler}\n\nbody of doc one"),
+        (2, f"{boiler}\nsecond doc body here"),
+        (3, f"  {boiler}  \nthird doc text"),      # trims to the same line
+        (4, boiler),                               # ONLY boilerplate -> empty
+        (5, "entirely original document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpus_line_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "unique intro one\n\nbody of doc one"
+    assert out[1]["n_lines_kept"] == 3 and out[1]["n_lines_dropped"] == 1
+    assert out[2]["clean_text"] == "second doc body here"
+    assert out[3]["clean_text"] == "third doc text"
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[5]["clean_text"] == "entirely original document"
+    # raising the cap keeps lines up to that corpus frequency (the
+    # boilerplate line occurs in 4 documents)
+    lax = {r["doc_id"]: r["clean_text"] for r in corpus_line_dedup(
+        df, "doc_id", "text", max_occurrences=4
+    ).collect()}
+    assert lax[5] == "entirely original document"
+    assert boiler in lax[1] and boiler in lax[2]  # freq 4 <= cap
+    with pytest.raises(ValueError, match="max_occurrences"):
+        corpus_line_dedup(df, "doc_id", "text", max_occurrences=0)
+
+
 def test_jaccard_randomized_vs_python_oracle(spark):
     """Seeded random corpora (tiny vocab to force shared grams, doc
     lengths 0..12 incl. empty and shorter-than-n docs) vs a pure-Python
