@@ -748,23 +748,33 @@ def corpus_line_dedup(
     and ``dup_line_fraction`` (within-document signal): the unit is a
     line, the scope is the corpus.
 
-    Blank lines are structural and always kept. Output adds
-    ``out_col`` plus ``n_lines_kept`` / ``n_lines_dropped`` (ints);
-    a document whose every line was boilerplate comes back with an
-    empty string, never disappears.
+    Blank lines are structural and always kept; a NULL text is treated
+    as empty text. **Returns** ``(id_col, out_col, n_lines_kept,
+    n_lines_dropped)`` — one row per input document, never fewer (a
+    document whose every line was boilerplate comes back with an empty
+    string); join back on ``id_col`` for the document's other columns
+    (the per-document regroup cannot carry them through the aggregate
+    for free).
 
-    Plan shape: one posexplode, one count aggregate on the trimmed
-    line (map-side combine), one equi-join back (each line matches
-    exactly one count row — no multiplicity blowup; hot boilerplate
-    lines are exactly the rows the filter then removes), one groupBy
-    per document to reassemble. Two shuffles at corpus scale.
+    Plan shape: one posexplode (persisted — it feeds both the
+    frequency count and the join probe side, and the exchanges differ
+    so ReuseExchange cannot dedup them), one count aggregate on the
+    trimmed line (map-side combine), one equi-join back (each line
+    matches exactly one count row — no multiplicity blowup; hot
+    boilerplate lines are exactly the rows the filter then removes),
+    one groupBy per document to reassemble. Three exchanges at corpus
+    scale (count partial-agg, join, regroup), one pass over the text.
     """
+    from delta_lake_experiment_spark.operators.text import trim_line
+
     if max_occurrences < 1:
         raise ValueError(f"max_occurrences={max_occurrences!r} must be >= 1")
     lines = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "ln"),
-    ).withColumn("norm", F.regexp_replace(F.col("ln"), r"^\s+|\s+$", ""))
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+        ).alias("pos", "ln"),
+    ).withColumn("norm", trim_line(F.col("ln"))).persist()
     counts = (
         lines.filter(F.col("norm") != "")
         .groupBy("norm")

@@ -164,18 +164,27 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 # Both are pure array expressions over one row — no shuffle, no UDF.
 
 
+# The one definition of "trimmed line" shared by every line-based
+# signal (dup_line_fraction, corpus_line_dedup): trim ALL leading/
+# trailing whitespace via regexp — F.trim strips only ASCII space,
+# which would count tab-only lines as content and mismatch CRLF
+# corpora's trailing \r. Two operators silently diverging on what a
+# blank/duplicate line is would be a debugging trap.
+LINE_TRIM_RE = r"^\s+|\s+$"
+
+
+def trim_line(line: Column) -> Column:
+    """Whitespace-trimmed form of one line (see LINE_TRIM_RE note)."""
+    return F.regexp_replace(line, LINE_TRIM_RE, "")
+
+
 def dup_line_fraction(text: Column) -> Column:
     """Fraction of lines that are duplicates of an earlier line
     (0.0 = all lines unique). Empty/whitespace-only lines are ignored
-    (navigation scrape pages repeat blanks legitimately). Lines are
-    trimmed of ALL leading/trailing whitespace via regexp — F.trim
-    strips only ASCII space, which would count tab-only lines as
-    content and mismatch CRLF corpora's trailing \\r."""
+    (navigation scrape pages repeat blanks legitimately); trimming via
+    :func:`trim_line`."""
     lines = F.filter(
-        F.transform(
-            F.split(text, r"\n"),
-            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
-        ),
+        F.transform(F.split(text, r"\n"), trim_line),
         lambda l: l != "",
     )
     n = F.size(lines)

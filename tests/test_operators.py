@@ -1327,6 +1327,7 @@ def test_corpus_line_dedup(spark):
         (3, f"  {boiler}  \nthird doc text"),      # trims to the same line
         (4, boiler),                               # ONLY boilerplate -> empty
         (5, "entirely original document"),
+        (6, None),                                 # NULL text = empty text
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in corpus_line_dedup(df, "doc_id", "text").collect()}
@@ -1336,6 +1337,7 @@ def test_corpus_line_dedup(spark):
     assert out[3]["clean_text"] == "third doc text"
     assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
     assert out[5]["clean_text"] == "entirely original document"
+    assert out[6]["clean_text"] == ""  # NULL-text docs never disappear
     # raising the cap keeps lines up to that corpus frequency (the
     # boilerplate line occurs in 4 documents)
     lax = {r["doc_id"]: r["clean_text"] for r in corpus_line_dedup(
