@@ -62,6 +62,9 @@ HEADLINE = [
     "corpus_curation_funnel",
     "train_contamination",
     "packed_sequences",
+    "doc_pii_scrub",
+    "doc_line_dedup",
+    "corpus_report",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

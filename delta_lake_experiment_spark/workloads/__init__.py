@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 61 value-oracled queries, eleven must sit outside the window. The
+# With 62 value-oracled queries, twelve must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -41,7 +41,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   (regexp_extract_all/replace) — new in r5, deferred from birth;
 # - doc_line_dedup -> explode/agg/reassemble machinery shadowed by
 #   doc_winnow_fingerprints (posexplode + per-doc regroup) and
-#   dedup_exact_documents — new in r5, deferred from birth.
+#   dedup_exact_documents — new in r5, deferred from birth;
+# - corpus_report -> aggregation shapes shadowed by doc_text_stats
+#   (same heuristic columns) + event_type_stats — new in r5, deferred
+#   from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -57,6 +60,7 @@ _DEFERRED_ORACLED = [
     "pack_stats",
     "doc_pii_scrub",
     "doc_line_dedup",
+    "corpus_report",
 ]
 
 

@@ -938,6 +938,53 @@ FROM s
 """
 
 
+# -- corpus report card -------------------------------------------------
+
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card aggregate a corpus owner publishes: per
+    language — document and token counts, quality distribution
+    (mean / min / max, quality-gate pass count), mean punctuation
+    ratio, and predicted-English share. One scan + one partial-agg
+    shuffle over the text-stats columns (all pure JVM expressions);
+    O(languages) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = with_text_stats(docs)
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.min("quality"), 6).alias("min_quality"),
+        F.round(F.max("quality"), 6).alias("max_quality"),
+        F.sum(F.when(F.col("quality") >= 0.5, 1).otherwise(0)).alias("n_quality_pass"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).alias("n_pred_en"),
+    )
+
+
+CORPUS_REPORT_SQL = rf"""
+WITH s AS (
+  SELECT lang,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+      / length(text) AS punct_ratio,
+    {_LANG_SQL} AS lang_pred,
+    {_QUALITY_SQL} AS quality
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  round(AVG(quality), 6) AS avg_quality,
+  round(MIN(quality), 6) AS min_quality,
+  round(MAX(quality), 6) AS max_quality,
+  CAST(SUM(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+  round(AVG(punct_ratio), 6) AS avg_punct_ratio,
+  CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+FROM s GROUP BY lang
+"""
+
+
 # -- corpus-wide line dedup --------------------------------------------
 
 
@@ -1072,6 +1119,7 @@ QUERIES = {
     "media_ingest": media_ingest,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_line_dedup": doc_line_dedup,
+    "corpus_report": corpus_report,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1097,6 +1145,7 @@ ORACLES = {
     "media_ingest": MEDIA_INGEST_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,
+    "corpus_report": CORPUS_REPORT_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
