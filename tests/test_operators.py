@@ -1317,6 +1317,52 @@ def test_jaccard_posting_cap(spark):
         ngram_jaccard_pairs(df, "doc_id", "text", max_postings=0)
 
 
+def test_minhash_lsh_params_and_capture():
+    """The band chooser's S-curve math vs direct Monte-Carlo
+    simulation of banded MinHash agreement, plus the recall-side
+    placement contract."""
+    import random
+
+    from delta_lake_experiment_spark.operators.dedup import (
+        lsh_capture_probability,
+        minhash_lsh_params,
+    )
+
+    # Monte-Carlo: each of the n hash slots agrees independently with
+    # probability s (the defining MinHash property); banding declares
+    # a candidate when any band's r slots all agree.
+    rng = random.Random(3)
+
+    def simulate(s, b, r, trials=20_000):
+        hits = 0
+        for _ in range(trials):
+            if any(
+                all(rng.random() < s for _ in range(r)) for _ in range(b)
+            ):
+                hits += 1
+        return hits / trials
+
+    for s, b, r in [(0.5, 4, 4), (0.7, 8, 2), (0.3, 16, 1), (0.9, 2, 8)]:
+        assert abs(lsh_capture_probability(s, b, r) - simulate(s, b, r)) < 0.02
+
+    # chooser: divisor pair, inflection near-but-below the threshold,
+    # useful recall above it
+    for threshold, n in [(0.5, 16), (0.8, 16), (0.5, 64), (0.9, 128)]:
+        b, r = minhash_lsh_params(threshold, n)
+        assert b * r == n and b >= 1 and r >= 1
+        assert lsh_capture_probability(min(threshold + 0.15, 0.99), b, r) > 0.85
+    # at (0.5, 16) the chooser prefers (8,2): capture at s=0.5 is 0.90
+    # vs (4,4)'s 0.23 — the recall-side bias working as documented
+    # (the driver's minhash query keeps (4,4) deliberately: a
+    # precision-lean candidate set for its pytest estimator checks)
+    assert minhash_lsh_params(0.5, 16) == (8, 2)
+    assert lsh_capture_probability(0.5, 8, 2) > 0.85
+    with pytest.raises(ValueError, match="threshold"):
+        minhash_lsh_params(1.5, 16)
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_lsh_params(0.5, 1)
+
+
 def test_corpus_line_dedup(spark):
     from delta_lake_experiment_spark.operators.dedup import corpus_line_dedup
 
