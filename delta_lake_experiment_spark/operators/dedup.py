@@ -758,7 +758,7 @@ def minhash_lsh_params(
         if num_hashes % b:
             continue
         r = num_hashes // b
-        if b == num_hashes or r == num_hashes and num_hashes > 2:
+        if b == num_hashes or (r == num_hashes and num_hashes > 2):
             # b=n (r=1) candidates everything sharing one hash; r=n
             # (b=1) requires full-signature equality — both ends of
             # the knob are degenerate unless nothing else divides n

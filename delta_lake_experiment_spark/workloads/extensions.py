@@ -1067,6 +1067,12 @@ def media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_experiment_spark.operators.multimodal import extract_features
     from delta_lake_experiment_spark.sources.connectors import read_media_files
 
+    if not os.path.isdir(_MEDIA_FIXTURES):
+        raise FileNotFoundError(
+            f"media fixtures not found at {_MEDIA_FIXTURES} — this query "
+            "reads the repo-committed tests/fixtures/media files; run from "
+            "a full checkout"
+        )
     media = read_media_files(spark, _MEDIA_FIXTURES)
     # metadata rides through the Arrow batch — no join back to the
     # source (which would shuffle the media table and re-read the

@@ -1532,6 +1532,19 @@ def test_decontaminate_split_and_engine_handoff(spark, store_dir):
     c.commit_tx()
 
 
+def test_funnel_deterministic_under_repartition(spark):
+    """The whole curation funnel — scoring, window dedup, capped
+    Jaccard pairs, connected components, hash split — must be a pure
+    function of the data, not of its partitioning (the reproducibility
+    property the deterministic-sampling lane exists for)."""
+    from delta_lake_experiment_spark.workloads.extensions import curation_funnel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = sorted(map(tuple, curation_funnel(docs).collect()))
+    again = sorted(map(tuple, curation_funnel(docs.repartition(7)).collect()))
+    assert base == again and base
+
+
 def test_funnel_decontamination_stage(spark):
     """curation_funnel(decontaminate=True): the benchmark-
     decontamination pass composes after the split stage — a train doc
