@@ -68,6 +68,34 @@ def test_window_accounting():
     )
 
 
+def test_bench_headline_resolves_against_registry():
+    # a renamed/dropped registry entry would otherwise surface as a
+    # KeyError inside the driver's bench run, zeroing the round's
+    # BENCH file
+    import bench
+
+    queries = all_queries()
+    missing = [q for q in bench.HEADLINE if q not in queries]
+    assert missing == [], f"bench HEADLINE names not in registry: {missing}"
+    assert set(bench.BASELINE_SUBSET) <= set(bench.HEADLINE)
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no dups
+
+
+def test_entry_contract_key_consistency():
+    # every oracle belongs to a query; rows-only queries are the known
+    # approximate set (a typo'd oracle key would silently become dead
+    # SQL while its query degraded to rows-only checking)
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "near_dup_minhash", "similarity_lsh_topk", "similarity_ivf_topk"
+    }
+
+
 @pytest.mark.parametrize("name", sorted(_DEFERRED_ORACLED))
 def test_deferred_query_matches_oracle(spark, duck, name):
     queries = all_queries()
