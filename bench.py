@@ -65,6 +65,7 @@ HEADLINE = [
     "doc_pii_scrub",
     "doc_line_dedup",
     "corpus_report",
+    "embedding_quantization",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

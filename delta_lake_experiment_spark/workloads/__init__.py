@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 62 value-oracled queries, twelve must sit outside the window. The
+# With 63 value-oracled queries, thirteen must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -44,7 +44,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   dedup_exact_documents — new in r5, deferred from birth;
 # - corpus_report -> aggregation shapes shadowed by doc_text_stats
 #   (same heuristic columns) + event_type_stats — new in r5, deferred
-#   from birth.
+#   from birth;
+# - embedding_quantization -> array-transform machinery shadowed by
+#   the in-window embedding queries (near_dup_embedding,
+#   similarity_bruteforce_topk) — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -61,6 +64,7 @@ _DEFERRED_ORACLED = [
     "doc_pii_scrub",
     "doc_line_dedup",
     "corpus_report",
+    "embedding_quantization",
 ]
 
 

@@ -938,6 +938,49 @@ FROM s
 """
 
 
+# -- embedding quantization --------------------------------------------
+
+
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization of the embeddings table
+    (operators/similarity.py::quantize_embeddings): the 4x
+    storage/bandwidth reduction a 100 TB vector corpus applies before
+    indexing. Returns each vector's scale and the md5 of its quantized
+    codes — the value hash certifies byte-identical codes, engine to
+    engine."""
+    from delta_lake_experiment_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(emb, "embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale"), 9).alias("scale"),
+        F.md5(
+            F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
+        ).alias("q_fp"),
+    )
+
+
+EMBEDDING_QUANT_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, round(scale, 9) AS scale,
+  CASE WHEN scale > 0 THEN
+    md5(array_to_string(list_transform(v, x -> CAST(round(x / scale) AS INT)), ','))
+  ELSE
+    md5(array_to_string(list_transform(v, x -> 0), ','))
+  END AS q_fp
+FROM s
+"""
+
+
 # -- corpus report card -------------------------------------------------
 
 
@@ -1126,6 +1169,7 @@ QUERIES = {
     "doc_pii_scrub": doc_pii_scrub,
     "doc_line_dedup": doc_line_dedup,
     "corpus_report": corpus_report,
+    "embedding_quantization": embedding_quantization,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1152,6 +1196,7 @@ ORACLES = {
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,
     "corpus_report": CORPUS_REPORT_SQL,
+    "embedding_quantization": EMBEDDING_QUANT_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

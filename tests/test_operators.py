@@ -1317,6 +1317,60 @@ def test_jaccard_posting_cap(spark):
         ngram_jaccard_pairs(df, "doc_id", "text", max_postings=0)
 
 
+def test_embedding_quantization_roundtrip(spark):
+    """int8 quantize/dequantize: per-component error bounded by
+    scale/2, cosine rankings preserved on real embeddings, zero
+    vectors survive (no Inf/NaN), codes stay in int8 range."""
+    from delta_lake_experiment_spark.operators.similarity import (
+        cosine_score,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    q = quantize_embeddings(emb, "embedding")
+    d = dequantize_embeddings(q)
+    err = d.select(
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "vec_approx",
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        F.col("scale"),
+        F.array_max(F.transform("q", lambda x: F.abs(x.cast("int")))).alias("qmax"),
+    )
+    rows = err.collect()
+    assert all(r["max_err"] <= r["scale"] / 2 + 1e-12 for r in rows)
+    assert all(r["qmax"] <= 127 for r in rows)
+
+    # ranking preservation: top-10 by cosine vs a fixed query agrees
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    query = [float(x) for x in qrow["embedding"]]
+    exact = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", F.round(cosine_score(F.col("embedding"), query), 9).alias("s")
+        ).orderBy(F.desc("s"), "vec_id").limit(10).collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in d.select(
+            "vec_id", F.round(cosine_score(F.col("vec_approx"), query), 9).alias("s")
+        ).orderBy(F.desc("s"), "vec_id").limit(10).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 8  # int8 keeps the neighborhood
+
+    # zero vector: scale 0, all-zero codes, no Inf/NaN anywhere
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+    zr = dequantize_embeddings(quantize_embeddings(z, "embedding")).first()
+    assert zr["scale"] == 0.0 and list(zr["q"]) == [0, 0, 0]
+    assert list(zr["vec_approx"]) == [0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="bits"):
+        quantize_embeddings(z, "embedding", bits=4)
+
+
 def test_minhash_lsh_params_and_capture():
     """The band chooser's S-curve math vs direct Monte-Carlo
     simulation of banded MinHash agreement, plus the recall-side
