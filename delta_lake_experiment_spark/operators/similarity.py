@@ -338,12 +338,15 @@ def quantize_embeddings(
     itype = "tinyint" if bits == 8 else "smallint"
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
-    scale = (max_abs / F.lit(qmax)).alias(scale_col)
+    # materialize scale as a column first so the per-row array_max is
+    # evaluated once, not re-derived inside every code expression
+    out = df.withColumn(scale_col, max_abs / F.lit(qmax))
+    sc = F.col(scale_col)
     q = F.when(
-        max_abs > 0.0,
-        F.transform(v, lambda x: F.round(x / (max_abs / F.lit(qmax))).cast(itype)),
+        sc > 0.0,
+        F.transform(v, lambda x: F.round(x / sc).cast(itype)),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast(itype)))
-    return df.withColumn(scale_col, scale).withColumn(out_col, q)
+    return out.withColumn(out_col, q)
 
 
 def dequantize_embeddings(
