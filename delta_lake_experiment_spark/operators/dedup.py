@@ -753,25 +753,30 @@ def minhash_lsh_params(
         raise ValueError(f"threshold={threshold!r} must be in (0, 1)")
     if num_hashes < 2:
         raise ValueError(f"num_hashes={num_hashes!r} must be >= 2")
-    best = None
-    for b in range(1, num_hashes + 1):
-        if num_hashes % b:
-            continue
-        r = num_hashes // b
-        if b == num_hashes or (r == num_hashes and num_hashes > 2):
-            # b=n (r=1) candidates everything sharing one hash; r=n
-            # (b=1) requires full-signature equality — both ends of
-            # the knob are degenerate unless nothing else divides n
-            if best is not None:
-                continue
+    pairs = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    # b=1 (full-signature equality, near-zero recall at any realistic
+    # threshold) and r=1 (candidates everything sharing one hash) are
+    # the degenerate ends of the knob: exclude them whenever a
+    # non-degenerate divisor pair exists, and only then score the ends
+    # too (prime num_hashes has nothing else). Filtering FIRST keeps
+    # the choice independent of iteration order — a previous version
+    # admitted b=1 just because it was scored first.
+    non_degenerate = [(b, r) for b, r in pairs if b > 1 and r > 1]
+    candidates = non_degenerate or pairs
+
+    def score(pair):
+        b, r = pair
         inflection = (1.0 / b) ** (1.0 / r)
         # prefer inflection at-or-below threshold (recall-side bias);
         # penalize being above it 3x
         gap = threshold - inflection
-        score = gap if gap >= 0 else -3.0 * gap
-        if best is None or score < best[0]:
-            best = (score, b, r)
-    return best[1], best[2]
+        return gap if gap >= 0 else -3.0 * gap
+
+    return min(candidates, key=score)
 
 
 def lsh_capture_probability(s: float, num_bands: int, rows_per_band: int) -> float:

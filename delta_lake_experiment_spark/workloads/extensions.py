@@ -75,12 +75,18 @@ def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # duplicate would surface as a baffling check_oracle hash-mismatch, so
 # there are no duplicates: consumers compose these fragments.
 
-_LANG_SQL = r"""CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
-    / len(string_split_regex(trim(text), '\s+')) > 0.05 THEN 'en' ELSE 'unk' END"""
+#: whitespace token count and punctuation ratio — the two
+#: sub-expressions every text heuristic composes (single edit site;
+#: a tokenizer or PUNCT_CLASS change propagates to every oracle)
+_NTOKENS_SQL = r"""len(string_split_regex(trim(text), '\s+'))"""
+_PUNCT_RATIO_SQL = r"""CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text)"""
 
-_QUALITY_SQL = r"""least(1.0, CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0)
-    * (1.0 - CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / length(text))
-    * (CASE WHEN CAST(length(text) AS DOUBLE) / len(string_split_regex(trim(text), '\s+'))
+_LANG_SQL = rf"""CASE WHEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
+    / {_NTOKENS_SQL} > 0.05 THEN 'en' ELSE 'unk' END"""
+
+_QUALITY_SQL = rf"""least(1.0, CAST({_NTOKENS_SQL} AS DOUBLE) / 100.0)
+    * (1.0 - {_PUNCT_RATIO_SQL})
+    * (CASE WHEN CAST(length(text) AS DOUBLE) / {_NTOKENS_SQL}
               BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END)"""
 
 _FP_SQL = r"""md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
@@ -173,14 +179,13 @@ _COMPONENTS_CTES = r"""edges AS (
 
 TEXT_STATS_SQL = rf"""
 SELECT doc_id,
-  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+  CAST({_NTOKENS_SQL} AS INT) AS n_tokens,
   CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS INT)
     AS n_bpe_tokens,
   CAST(length(text) AS INT) AS n_chars_calc,
-  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-    / length(text) AS punct_ratio,
+  {_PUNCT_RATIO_SQL} AS punct_ratio,
   CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|is|in|to)\b')) AS DOUBLE)
-    / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio,
+    / {_NTOKENS_SQL} AS stopword_ratio,
   {_LANG_SQL} AS lang_pred,
   {_QUALITY_SQL} AS quality,
   {_FP_SQL} AS fp,
@@ -795,9 +800,9 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "lang", "n_toks", "pack_id", "pack_offset")
 
 
-_PACK_TOKS_CTE = r"""t AS (
+_PACK_TOKS_CTE = rf"""t AS (
   SELECT doc_id, lang,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_toks
+         CAST({_NTOKENS_SQL} AS INT) AS n_toks
   FROM documents
 )"""
 
@@ -957,8 +962,15 @@ def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         F.round(F.col("scale"), 9).alias("scale"),
-        F.md5(
-            F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
+        # NULL-guard: concat_ws SKIPS a null array (would yield
+        # md5('')) while the oracle's array_to_string propagates NULL —
+        # emit NULL on both sides so a NULL vector can never split the
+        # engines (latent today: the fixture has no NULL embeddings)
+        F.when(
+            F.col("q").isNotNull(),
+            F.md5(
+                F.concat_ws(",", F.transform(F.col("q"), lambda x: x.cast("string")))
+            ),
         ).alias("q_fp"),
     )
 
@@ -1008,9 +1020,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_REPORT_SQL = rf"""
 WITH s AS (
   SELECT lang,
-    CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
-    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-      / length(text) AS punct_ratio,
+    CAST({_NTOKENS_SQL} AS INT) AS n_tokens,
+    {_PUNCT_RATIO_SQL} AS punct_ratio,
     {_LANG_SQL} AS lang_pred,
     {_QUALITY_SQL} AS quality
   FROM documents

@@ -1411,6 +1411,14 @@ def test_minhash_lsh_params_and_capture():
     # precision-lean candidate set for its pytest estimator checks)
     assert minhash_lsh_params(0.5, 16) == (8, 2)
     assert lsh_capture_probability(0.5, 8, 2) > 0.85
+    # degenerate ends never win by iteration order: b=1 (full-signature
+    # equality, ~zero recall) must lose to any alternative
+    assert minhash_lsh_params(0.5, 13) == (13, 1)   # prime: r=1 end wins
+    assert minhash_lsh_params(0.95, 4) == (2, 2)    # not (1, 4)
+    assert minhash_lsh_params(0.3, 2) == (2, 1)     # not (1, 2)
+    for t, n in [(0.5, 13), (0.95, 4), (0.3, 2)]:
+        b, r = minhash_lsh_params(t, n)
+        assert lsh_capture_probability(t, b, r) > 0.4
     with pytest.raises(ValueError, match="threshold"):
         minhash_lsh_params(1.5, 16)
     with pytest.raises(ValueError, match="num_hashes"):
