@@ -1457,6 +1457,27 @@ def test_corpus_line_dedup(spark):
         corpus_line_dedup(df, "doc_id", "text", max_occurrences=0)
 
 
+def test_line_dedup_deterministic_under_repartition(spark):
+    """The reassembly step collects lines per doc — collect_list order
+    is partition-dependent, so the array_sort by position must make
+    the rebuilt text a pure function of the data."""
+    from delta_lake_experiment_spark.operators.dedup import corpus_line_dedup
+
+    rows = [
+        (i, "\n".join(f"doc{i} line{j}" for j in range(20)) + "\nshared footer line")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, corpus_line_dedup(df, "doc_id", "text").collect()))
+    b = sorted(map(tuple, corpus_line_dedup(
+        df.repartition(11), "doc_id", "text"
+    ).collect()))
+    assert a == b
+    # and the rebuilt text preserves original line order
+    first = dict((r[0], r[1]) for r in a)[0]
+    assert first.splitlines() == [f"doc0 line{j}" for j in range(20)]
+
+
 def test_jaccard_randomized_vs_python_oracle(spark):
     """Seeded random corpora (tiny vocab to force shared grams, doc
     lengths 0..12 incl. empty and shorter-than-n docs) vs a pure-Python
