@@ -66,6 +66,12 @@ HEADLINE = [
     "doc_line_dedup",
     "corpus_report",
     "embedding_quantization",
+    # r5 session 2: chunking, deterministic shuffle (two-phase global
+    # rank), unigram LM scoring, and the incremental-ingest flagship
+    "doc_chunks",
+    "corpus_shuffle",
+    "doc_lm_score",
+    "incremental_corpus_update",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -1,0 +1,97 @@
+"""Incremental corpus update: dedup a NEW batch against an
+engine-indexed existing corpus, transactionally.
+
+Nobody re-runs full-corpus dedup when 1 TB arrives on top of 100 TB.
+The daily operation is incremental: the corpus lives in an ACID engine
+table carrying its dedup key (the exact content fingerprint,
+operators/text.py::fingerprint); a new batch is deduped WITHIN itself,
+anti-joined against the existing keys, and the survivors appended —
+all inside one transaction, so concurrent ingests cannot admit the
+same document twice.
+
+Why this composition is the scale path:
+
+- The existing-key read is a column-pruned engine scan: only
+  ``key_cols`` reach the Parquet reader (ReadSchema pruning), and a
+  table created with ``bloom_columns=key_cols`` prunes data files on
+  the key, so the "read 100 TB to check membership" cost is actually
+  "read the key column of the files the blooms keep".
+- The anti-join shuffles on the key — or broadcasts the BATCH side
+  when the batch is small relative to the corpus (the usual shape:
+  Spark plans the smaller side; at 1 TB batch vs 100 TB corpus the
+  optimizer's choice is the right one either way, and AQE re-plans on
+  the runtime sizes).
+- Correctness under concurrency is the ENGINE's job, not the join's:
+  the whole read-check-append runs in :meth:`DeltaLakeClient.run_tx`,
+  so a concurrent ingest to the same table triggers the
+  first-committer-wins conflict and the loser RE-RUNS its anti-join
+  against the fresh snapshot — the two-writers-admit-the-same-doc
+  write-skew race cannot happen at table granularity.
+
+The exact-fingerprint key makes every step value-oracle-checkable; a
+production near-dup variant swaps the key for MinHash band signatures
+(operators/dedup.py::minhash_signatures_hashed) with identical
+transactional composition — banded keys join the same way.
+
+The reference has no incremental-ingest surface (its write path is
+append-only inserts, main.go via SURVEY.md §2.1 W1-W3); this
+composition is original to the Spark build.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.operators.dedup import exact_dedup
+
+
+def incremental_dedup_ingest(
+    client: DeltaLakeClient,
+    table: str,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    retries: int = 3,
+) -> int:
+    """Append to engine ``table`` the rows of ``batch`` whose
+    ``key_cols`` are new — both within the batch (first-``order_col``
+    survivor per key, the exact_dedup contract) and against the
+    table's current committed contents. Returns the number of rows
+    admitted.
+
+    Runs inside :meth:`run_tx`: on a concurrent same-table commit the
+    whole check-and-append re-executes against the fresh snapshot
+    (``retries`` attempts), so admission is serializable per table.
+    ``batch`` must be deterministic under re-execution (a re-read
+    source or cached frame — the run_tx contract).
+
+    NULL keys would vanish from the anti-join (NULL never equals
+    NULL), silently re-admitting every NULL-keyed row each batch; the
+    sampling-module contract applies — keys must be non-NULL, and the
+    exact_dedup window upstream makes a NULL key its own group, so
+    violations surface as duplicate NULL rows in the table rather
+    than silent growth. Filter or coalesce upstream.
+    """
+    keys = list(key_cols)
+    fresh = exact_dedup(batch, keys, order_col)
+
+    def _attempt(c: DeltaLakeClient) -> int:
+        existing = c.scan(table, with_stamps=False).select(*keys).distinct()
+        admitted = fresh.join(existing, keys, "left_anti")
+        # count once, write the SAME frame: persist so the count and
+        # the write see one evaluation of the anti-join (the batch
+        # source may be recomputed otherwise, and run_tx re-execution
+        # must stay the ONLY redo path)
+        admitted = admitted.persist()
+        try:
+            n = admitted.count()
+            if n:
+                c.write_dataframe(table, admitted)
+            return n
+        finally:
+            admitted.unpersist()
+
+    return client.run_tx(_attempt, retries=retries)

@@ -1,0 +1,116 @@
+"""Corpus language-model scoring: unigram log-probability per document
+— the perplexity-proxy quality filter.
+
+CCNet/RefinedWeb-style pipelines score every document against a
+language model and drop the tails (gibberish scores far below the
+corpus mode; boilerplate far above). The full KenLM n-gram model needs
+external artifacts; the SELF-scored unigram model — each document's
+mean log P(token) under the corpus's own unigram distribution — is the
+deterministic, external-artifact-free core of that filter, and shares
+its distributed shape:
+
+1. tokenize + explode (map-side),
+2. build the model: one groupBy(token) count — a partial-agg shuffle
+   producing O(vocab) rows,
+3. score: join tokens back to their log-probs (vocab is orders of
+   magnitude smaller than the corpus: AQE broadcasts it at test scale,
+   and even a 10^8-type vocab shuffle-joins fine — the join key is the
+   token, uniformly distributed by construction of language), then one
+   groupBy(doc) average.
+
+Natural-language token frequencies are Zipfian — the few hot tokens
+("the") dominate the exploded join's key distribution. That skew lives
+on the BUILD side aggregate (handled by partial aggregation: each task
+pre-counts its own "the"s) and on the score-side join ONLY if the
+vocab side is shuffled; when the vocab broadcasts (the common case —
+even web-scale vocabs are GBs, not TBs) the scoring plan has no
+skew-sensitive shuffle at all.
+
+Deterministic up to floating addition order: token counts are exact
+integers, log is evaluated once per vocab entry, and the per-document
+mean is rounded to 6 digits — far coarser than the ~1e-15 relative
+reassociation noise (the embedding-dedup rounding argument,
+operators/dedup.py).
+
+The reference has no text surface (SURVEY.md §2.2); this is part of
+the LLM-pipeline extension lane.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One row per document: ``id_col``, ``n_tokens`` (int), and
+    ``avg_logprob`` (double, rounded) — the mean natural-log
+    probability of the document's tokens under the corpus unigram MLE
+    distribution (case-folded, whitespace-tokenized). ``exp(-avg)`` is
+    the unigram perplexity.
+
+    MLE (no smoothing) is exact here because the model is built from
+    the SAME corpus being scored — every scored token has count >= 1.
+    Scoring a DIFFERENT corpus against this model would need a
+    smoothing floor for unseen tokens; that variant belongs to the
+    caller (join with a default on the log-prob column).
+
+    NULL texts raise at execution time (the packing/chunking NULL
+    contract: a silently unscored document would pass every
+    score-based filter).
+    """
+    text = F.when(F.col(text_col).isNotNull(), F.col(text_col)).otherwise(
+        F.raise_error(
+            F.lit(f"unigram_logprob_scores: {text_col} is NULL - a NULL text"
+                  " would silently skip scoring (filter upstream)")
+        )
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(text)), r"\s+")).alias("__tok"),
+    )
+    # total corpus token count rides the same aggregate as the vocab
+    # counts via a window-free trick: sum the per-token counts in a
+    # second (tiny, O(vocab)) aggregate and cross-join the 1-row result
+    # back — Catalyst plans the 1-row side as a broadcast.
+    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    model = vocab.crossJoin(F.broadcast(total)).select(
+        "__tok",
+        (F.log(F.col("__cnt").cast("double")) - F.log(F.col("__total").cast("double"))
+         ).alias("__logprob"),
+    )
+    scored = toks.join(model, "__tok")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("__logprob"), round_digits).alias("avg_logprob"),
+    )
+
+
+def unigram_logprob_sql(
+    src: str, id_sql: str, text_sql: str, round_digits: int = 6
+) -> str:
+    """DuckDB twin of :func:`unigram_logprob_scores` over relation
+    ``src`` — same tokenization, same MLE, same rounding."""
+    return rf"""
+WITH __lm_toks AS (
+  SELECT {id_sql} AS id,
+         unnest(string_split_regex(lower(trim({text_sql})), '\s+')) AS tok
+  FROM {src}
+), __lm_vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM __lm_toks GROUP BY tok
+), __lm_model AS (
+  SELECT tok, ln(CAST(cnt AS DOUBLE)) - ln((SELECT CAST(SUM(cnt) AS DOUBLE) FROM __lm_vocab))
+           AS logprob
+  FROM __lm_vocab
+)
+SELECT t.id, CAST(COUNT(*) AS INT) AS n_tokens,
+       round(AVG(m.logprob), {int(round_digits)}) AS avg_logprob
+FROM __lm_toks t JOIN __lm_model m ON m.tok = t.tok
+GROUP BY t.id
+"""

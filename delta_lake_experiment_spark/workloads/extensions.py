@@ -1039,6 +1039,176 @@ FROM s GROUP BY lang
 """
 
 
+# -- document chunking --------------------------------------------------
+
+_CHUNK_MAX_TOKENS = 8
+_CHUNK_OVERLAP = 2
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py): every document
+    split into <=8-token chunks with 2 tokens of overlap — a map-only
+    explode, no shuffle. Small budget on purpose: the ~20-token
+    synthetic docs then produce 3-4 chunks each, exercising first /
+    middle / short-last chunk shapes. The oracle SQL is generated from
+    the SAME stride arithmetic (chunking_sql)."""
+    from delta_lake_experiment_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text",
+        max_tokens=_CHUNK_MAX_TOKENS, overlap=_CHUNK_OVERLAP,
+    )
+
+
+def _doc_chunks_sql() -> str:
+    from delta_lake_experiment_spark.operators.chunking import chunking_sql
+
+    return chunking_sql(
+        "documents", "doc_id", "text",
+        max_tokens=_CHUNK_MAX_TOKENS, overlap=_CHUNK_OVERLAP,
+        id_name="doc_id",
+    )
+
+
+# -- deterministic corpus shuffle ---------------------------------------
+
+_SHUFFLE_SALT = "epoch0"
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible pseudo-random training order
+    (operators/ordering.py): each document's exact global position
+    under the epoch-salted md5 permutation, computed with the
+    two-phase bucket-histogram rank — NO single-partition window
+    anywhere in the plan (the canonical global row_number scale trap).
+    The oracle recomputes the same total order with a plain window
+    (affordable single-node), so the hash match proves the
+    distributed rank IS the global rank."""
+    from delta_lake_experiment_spark.operators.ordering import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id", salt=_SHUFFLE_SALT).select(
+        "doc_id", "lang", "shuffle_pos"
+    )
+
+
+def _corpus_shuffle_sql() -> str:
+    from delta_lake_experiment_spark.operators.ordering import shuffle_pos_sql
+
+    return (
+        "SELECT doc_id, lang, shuffle_pos FROM ("
+        + shuffle_pos_sql("documents", "doc_id", salt=_SHUFFLE_SALT)
+        + ")"
+    )
+
+
+# -- unigram LM scoring -------------------------------------------------
+
+
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scores (operators/lm.py): mean unigram
+    log-probability of each document under the corpus's own token
+    distribution — the CCNet-style filter signal. Build is one
+    partial-agg shuffle to O(vocab); scoring is a vocab join AQE
+    broadcasts at this scale."""
+    from delta_lake_experiment_spark.operators.lm import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text")
+
+
+def _doc_lm_score_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import unigram_logprob_sql
+
+    return (
+        "SELECT id AS doc_id, n_tokens, avg_logprob FROM ("
+        + unigram_logprob_sql("documents", "doc_id", "text")
+        + ")"
+    )
+
+
+# -- incremental corpus update ------------------------------------------
+
+
+def incremental_corpus_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB daily operation (operators/incremental.py): the even
+    half of the corpus lives in an engine table indexed by content
+    fingerprint (bloom-filtered column); the odd half arrives as a new
+    batch, is deduped within itself and against the table inside ONE
+    run_tx transaction, and the survivors are appended. Returned: the
+    final committed table scan.
+
+    The synthetic corpora carry almost no exact duplicates, so the
+    batch is deterministically spiked (the doc_line_dedup pattern):
+    every odd doc with doc_id % 10 == 1 takes the TEXT of doc_id - 1 —
+    an existing even document — so ~10% of the batch must be rejected
+    by the anti-join at every sf, and the oracle proves both the
+    rejections and the admissions."""
+    import tempfile
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.incremental import (
+        incremental_dedup_ingest,
+    )
+    from delta_lake_experiment_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"), "lang", "source"
+    )
+    donors = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"), F.col("text").alias("__donor")
+    )
+    batch = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .join(donors, "doc_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("doc_id") % 10 == 1) & F.col("__donor").isNotNull(),
+                F.col("__donor"),
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"), "lang", "source")
+    )
+    c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_inc_"))
+    c.new_tx()
+    c.create_table(
+        "corpus", "doc_id bigint, fp string, lang string, source string",
+        bloom_columns=["fp"],
+    )
+    c.write_dataframe("corpus", existing)
+    c.commit_tx()
+    incremental_dedup_ingest(c, "corpus", batch, ["fp"], "doc_id")
+    c.new_tx()
+    return c.scan("corpus", with_stamps=False).select("doc_id", "fp", "lang", "source")
+
+
+INCREMENTAL_UPDATE_SQL = f"""
+WITH spiked AS (
+  SELECT d.doc_id,
+    CASE WHEN d.doc_id % 10 = 1 AND donor.text IS NOT NULL
+         THEN donor.text ELSE d.text END AS text,
+    d.lang, d.source
+  FROM documents d LEFT JOIN documents donor ON donor.doc_id = d.doc_id - 1
+), f AS (
+  SELECT doc_id, {_FP_SQL} AS fp, lang, source FROM spiked
+), old AS (
+  SELECT doc_id, fp, lang, source FROM f WHERE doc_id % 2 = 0
+), newd AS (
+  SELECT doc_id, fp, lang, source FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM f WHERE doc_id % 2 = 1
+  ) WHERE rn = 1
+)
+SELECT doc_id, fp, lang, source FROM old
+UNION ALL
+SELECT doc_id, fp, lang, source FROM newd
+WHERE fp NOT IN (SELECT fp FROM old)
+"""
+
+
 # -- corpus-wide line dedup --------------------------------------------
 
 
@@ -1181,6 +1351,10 @@ QUERIES = {
     "doc_line_dedup": doc_line_dedup,
     "corpus_report": corpus_report,
     "embedding_quantization": embedding_quantization,
+    "doc_chunks": doc_chunks,
+    "corpus_shuffle": corpus_shuffle,
+    "doc_lm_score": doc_lm_score,
+    "incremental_corpus_update": incremental_corpus_update,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1208,6 +1382,10 @@ ORACLES = {
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,
     "corpus_report": CORPUS_REPORT_SQL,
     "embedding_quantization": EMBEDDING_QUANT_SQL,
+    "doc_chunks": _doc_chunks_sql(),
+    "corpus_shuffle": _corpus_shuffle_sql(),
+    "doc_lm_score": _doc_lm_score_sql(),
+    "incremental_corpus_update": INCREMENTAL_UPDATE_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

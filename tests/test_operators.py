@@ -1832,3 +1832,182 @@ def test_ensure_timestamp_warns_outside_utc(spark):
         assert not w
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+# -- chunking -----------------------------------------------------------
+
+
+def test_chunk_documents_layout(spark):
+    """Chunk boundaries: full coverage, correct overlap, short-last
+    chunk, single-chunk short docs — checked against a Python oracle
+    over the same token sequences."""
+    from delta_lake_experiment_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(20))),   # 20 toks -> 4 chunks
+        (2, " ".join(f"t{i}" for i in range(8))),    # exactly max -> 1
+        (3, " ".join(f"t{i}" for i in range(9))),    # max+1 -> 2
+        (4, "one"),                                   # 1 tok -> 1 chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", max_tokens=8, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in out.collect()
+    }
+    stride = 6
+    for doc_id, text in rows:
+        toks = text.split()
+        n = len(toks)
+        if n <= 8:
+            expect_nc = 1
+        else:
+            expect_nc = -(-(n - 8) // stride) + 1
+        chunks = [got[(doc_id, i)] for i in range(expect_nc)]
+        assert all(c["n_chunks"] == expect_nc for c in chunks)
+        # every chunk is exactly its token-window slice (this IS full
+        # coverage + correct overlap: slice i starts at i*stride)
+        for i, c in enumerate(chunks):
+            ctoks = c["chunk_text"].split()
+            assert c["chunk_n_tokens"] == len(ctoks)
+            assert len(ctoks) <= 8
+            assert ctoks == toks[i * stride: i * stride + 8]
+        # chunks after the first hold more than `overlap` tokens (a
+        # single-chunk short doc just holds the whole doc)
+        assert all(c["chunk_n_tokens"] > 2 for c in chunks[1:])
+        assert chunks[0]["chunk_n_tokens"] == min(n, 8)
+        # last chunk ends exactly at n
+        assert (expect_nc - 1) * stride + chunks[-1]["chunk_n_tokens"] == n
+    # no extra chunks beyond n_chunks
+    assert len(got) == sum(
+        1 if len(t.split()) <= 8 else -(-(len(t.split()) - 8) // stride) + 1
+        for _, t in rows
+    )
+
+
+def test_chunk_documents_validation(spark):
+    from delta_lake_experiment_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_tokens"):
+        chunk_documents(df, "doc_id", "text", max_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL"):
+        chunk_documents(nulls, "doc_id", "text", max_tokens=4).collect()
+
+
+# -- deterministic shuffle ----------------------------------------------
+
+
+def test_deterministic_shuffle_is_exact_global_rank(spark):
+    """The two-phase bucket rank equals the single-window global rank,
+    is a permutation of 0..n-1, re-permutes under a new salt, and is
+    invariant to input partitioning."""
+    from pyspark.sql import Window
+
+    from delta_lake_experiment_spark.operators.ordering import (
+        deterministic_shuffle,
+        shuffle_key,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = deterministic_shuffle(df, "k", salt="s1")
+    pos = {r["k"]: r["shuffle_pos"] for r in out.collect()}
+    assert sorted(pos.values()) == list(range(1000))
+    # oracle: plain global window rank on the same key
+    w = Window.orderBy(shuffle_key(F.col("k").cast("string"), "s1"), "k")
+    oracle = {
+        r["k"]: r["p"]
+        for r in df.select("k", (F.row_number().over(w) - 1).alias("p")).collect()
+    }
+    assert pos == oracle
+    # epoch re-shuffle: a different salt is a different permutation
+    pos2 = {
+        r["k"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df, "k", salt="s2").collect()
+    }
+    assert pos2 != pos and sorted(pos2.values()) == list(range(1000))
+    # partitioning-invariant (the engine-portability contract)
+    pos3 = {
+        r["k"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(df.repartition(7), "k", salt="s1").collect()
+    }
+    assert pos3 == pos
+
+
+def test_deterministic_shuffle_null_and_validation(spark):
+    from delta_lake_experiment_spark.operators.ordering import deterministic_shuffle
+
+    df = spark.createDataFrame([("a",), (None,)], "k string")
+    with pytest.raises(Exception, match="non-NULL"):
+        deterministic_shuffle(df, "k").collect()
+    with pytest.raises(ValueError, match="bucket_hex_digits"):
+        deterministic_shuffle(df, "k", bucket_hex_digits=0)
+
+
+# -- unigram LM scoring -------------------------------------------------
+
+
+def test_unigram_logprob_scores(spark):
+    """Scores match a hand-computed MLE model on a tiny corpus."""
+    import math
+
+    from delta_lake_experiment_spark.operators.lm import unigram_logprob_scores
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "A")]  # case-folded: a x3, b x2, c x1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    total = 6.0
+    lp = {"a": math.log(3 / total), "b": math.log(2 / total), "c": math.log(1 / total)}
+    expect = {
+        1: (3, (2 * lp["a"] + lp["b"]) / 3),
+        2: (2, (lp["b"] + lp["c"]) / 2),
+        3: (1, lp["a"]),
+    }
+    for doc_id, (n, score) in expect.items():
+        assert out[doc_id]["n_tokens"] == n
+        assert abs(out[doc_id]["avg_logprob"] - round(score, 6)) < 1e-9
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL"):
+        unigram_logprob_scores(nulls, "doc_id", "text").collect()
+
+
+# -- incremental corpus update ------------------------------------------
+
+
+def test_incremental_dedup_ingest(spark, store_dir):
+    """Admission semantics: in-batch dups collapse to the first
+    order_col survivor, existing keys are rejected, admitted rows land
+    committed, and re-ingesting the same batch admits zero (the
+    idempotence a daily pipeline relies on)."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.incremental import (
+        incremental_dedup_ingest,
+    )
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("corpus", "id bigint, fp string", bloom_columns=["fp"])
+    c.write_dataframe(
+        "corpus",
+        spark.createDataFrame([(1, "f1"), (2, "f2")], "id long, fp string"),
+    )
+    c.commit_tx()
+
+    batch = spark.createDataFrame(
+        [(10, "f2"), (11, "f3"), (12, "f3"), (13, "f4")], "id long, fp string"
+    )
+    n = incremental_dedup_ingest(c, "corpus", batch, ["fp"], "id")
+    assert n == 2  # f3 (id=11 wins over 12), f4; f2 rejected
+    c.new_tx()
+    state = {(r["id"], r["fp"]) for r in c.scan("corpus", with_stamps=False).collect()}
+    c.abort_tx()
+    assert state == {(1, "f1"), (2, "f2"), (11, "f3"), (13, "f4")}
+
+    # idempotence: the same batch again admits nothing
+    assert incremental_dedup_ingest(c, "corpus", batch, ["fp"], "id") == 0
+    c.new_tx()
+    assert c.scan("corpus", with_stamps=False).count() == 4
+    c.abort_tx()

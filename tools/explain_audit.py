@@ -154,7 +154,10 @@ def main() -> None:
     # only dim-bounded tables. Streaming queries execute on construction
     # and engine_* queries build scratch tables — both too heavy for a
     # plan-only sweep loop; their shapes are covered above / in pytest.
-    skip_sweep = {"streaming_hourly_windows"}
+    # incremental_corpus_update commits engine transactions on
+    # construction (the engine_* class); its returned scan is the
+    # audited engine scan shape and its anti-join is pytest-covered.
+    skip_sweep = {"streaming_hourly_windows", "incremental_corpus_update"}
     for name, fn in queries.items():
         if name in skip_sweep or name.startswith("engine_"):
             continue
