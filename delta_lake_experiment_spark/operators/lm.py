@@ -42,6 +42,66 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _tokens(df: DataFrame, text_col: str, *keep) -> DataFrame:
+    """(keep..., token) rows: case-folded whitespace tokens, one row
+    per occurrence. NULL texts raise (the packing/chunking contract: a
+    silently unscored document would pass every score filter)."""
+    text = F.when(F.col(text_col).isNotNull(), F.col(text_col)).otherwise(
+        F.raise_error(
+            F.lit(f"lm: {text_col} is NULL - a NULL text would silently"
+                  " skip scoring (filter upstream)")
+        )
+    )
+    return df.select(
+        *keep, F.explode(F.split(F.lower(F.trim(text)), r"\s+")).alias("token")
+    )
+
+
+def build_unigram_model(df: DataFrame, text_col: str) -> DataFrame:
+    """The model: one row per distinct token with its MLE natural-log
+    probability — ``(token string, logprob double)``. One partial-agg
+    shuffle to O(vocab); persist or write the result once and score
+    many corpora against it (the frozen-model flow)."""
+    vocab = _tokens(df, text_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        (
+            F.log(F.col("__cnt").cast("double"))
+            - F.log(F.col("__total").cast("double"))
+        ).alias("logprob"),
+    )
+
+
+def score_against_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    unseen_logprob: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score ``df`` against a FROZEN model (``build_unigram_model``
+    output, possibly from a different corpus): one row per document
+    with ``n_tokens`` and ``avg_logprob``.
+
+    ``unseen_logprob`` is the explicit floor for tokens absent from
+    the model — cross-corpus scoring ALWAYS meets unseen tokens, and
+    any implicit default would silently decide the filter's tail
+    behavior; callers own that number (a common choice: the model's
+    minimum logprob minus ``ln(10)``)."""
+    toks = _tokens(df, text_col, F.col(id_col))
+    scored = toks.join(model, "token", "left").withColumn(
+        "__lp", F.coalesce(F.col("logprob"), F.lit(float(unseen_logprob)))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("__lp"), round_digits).alias("avg_logprob"),
+    )
+
+
 def unigram_logprob_scores(
     df: DataFrame,
     id_col: str,
@@ -56,39 +116,21 @@ def unigram_logprob_scores(
 
     MLE (no smoothing) is exact here because the model is built from
     the SAME corpus being scored — every scored token has count >= 1.
-    Scoring a DIFFERENT corpus against this model would need a
-    smoothing floor for unseen tokens; that variant belongs to the
-    caller (join with a default on the log-prob column).
+    Scoring a DIFFERENT corpus uses :func:`build_unigram_model` +
+    :func:`score_against_model` with an explicit unseen-token floor.
 
     NULL texts raise at execution time (the packing/chunking NULL
     contract: a silently unscored document would pass every
     score-based filter).
     """
-    text = F.when(F.col(text_col).isNotNull(), F.col(text_col)).otherwise(
-        F.raise_error(
-            F.lit(f"unigram_logprob_scores: {text_col} is NULL - a NULL text"
-                  " would silently skip scoring (filter upstream)")
-        )
-    )
-    toks = df.select(
-        F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(text)), r"\s+")).alias("__tok"),
-    )
-    # total corpus token count rides the same aggregate as the vocab
-    # counts via a window-free trick: sum the per-token counts in a
-    # second (tiny, O(vocab)) aggregate and cross-join the 1-row result
-    # back — Catalyst plans the 1-row side as a broadcast.
-    vocab = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
-    total = vocab.agg(F.sum("__cnt").alias("__total"))
-    model = vocab.crossJoin(F.broadcast(total)).select(
-        "__tok",
-        (F.log(F.col("__cnt").cast("double")) - F.log(F.col("__total").cast("double"))
-         ).alias("__logprob"),
-    )
-    scored = toks.join(model, "__tok")
-    return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_tokens"),
-        F.round(F.avg("__logprob"), round_digits).alias("avg_logprob"),
+    # self-scored: every token is in the model by construction, so the
+    # unseen floor is unreachable; NaN makes any future violation loud
+    # (a poisoned average) instead of silently shifting scores.
+    return score_against_model(
+        df, id_col, text_col,
+        build_unigram_model(df, text_col),
+        unseen_logprob=float("nan"),
+        round_digits=round_digits,
     )
 
 

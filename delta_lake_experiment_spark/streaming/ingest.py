@@ -1,0 +1,91 @@
+"""Streaming incremental corpus ingest: the continuous form of
+``operators/incremental.py``.
+
+A crawl never stops; batch-mode incremental ingest becomes a
+Structured Streaming sink where each micro-batch is deduped within
+itself AND against the engine table before the exactly-once append.
+The key property over ``dropDuplicatesWithinWatermark``: stream-state
+dedup only remembers keys inside the watermark horizon, so a document
+recrawled a month later is re-admitted; here the dedup index IS the
+corpus table — unbounded history, bounded cost (column-pruned +
+bloom-pruned fingerprint scan, exactly the batch operator's shape).
+
+Delivery semantics stack three mechanisms (streaming/engine_sink.py's
+txn-marker pattern plus the incremental anti-join):
+
+- exactly-once APPEND: each commit carries ``txn {app_id, batch}``;
+  a redelivered batch (crash between engine commit and stream
+  checkpoint) is detected in the replayed snapshot and skipped.
+- conflict safety: a concurrent same-table commit between this
+  batch's snapshot and its commit raises; Structured Streaming
+  retries the batch, foreachBatch re-runs, and the anti-join replays
+  against the fresh snapshot — the run_tx loop with the stream as
+  the retry driver.
+- logical idempotence: even where the marker cannot help (a batch
+  admitted under app A re-sent under app B), the anti-join itself
+  rejects already-present keys — duplicates cannot enter the corpus
+  through any interleaving.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from delta_lake_experiment_spark.operators.dedup import exact_dedup
+
+
+def foreach_batch_dedup_writer(
+    client_factory, table: str, key_cols: Sequence[str], order_col: str, app_id: str
+):
+    """Build a ``foreachBatch`` function appending only novel-keyed
+    rows of each micro-batch to engine ``table``.
+
+    ``client_factory() -> DeltaLakeClient`` — fresh client per batch
+    (the one-tx-per-client contract). A batch whose rows are ALL
+    rejected commits nothing (the engine's read-only fast path skips
+    the log write, so the txn marker is not recorded — harmless: a
+    redelivery of that batch re-runs the anti-join and again admits
+    nothing).
+    """
+    keys = list(key_cols)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        client = client_factory()
+        client.new_tx()
+        last = client.tx.snapshot.txns.get(app_id, -1)
+        if batch_id <= last:
+            client.abort_tx()  # redelivered batch: already in the log
+            return
+        fresh = exact_dedup(batch_df, keys, order_col)
+        existing = client.scan(table, with_stamps=False).select(*keys).distinct()
+        admitted = fresh.join(existing, keys, "left_anti")
+        client.write_dataframe(table, admitted)
+        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+
+    return process
+
+
+def write_dedup_stream_to_table(
+    stream_df: DataFrame,
+    client_factory,
+    table: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    app_id: str,
+    checkpoint_dir: str,
+):
+    """Start an AvailableNow stream draining into engine ``table``
+    with per-batch + against-table dedup and exactly-once appends;
+    returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_dedup_writer(
+                client_factory, table, key_cols, order_col, app_id
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

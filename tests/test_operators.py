@@ -2011,3 +2011,41 @@ def test_incremental_dedup_ingest(spark, store_dir):
     c.new_tx()
     assert c.scan("corpus", with_stamps=False).count() == 4
     c.abort_tx()
+
+
+def test_score_against_frozen_model(spark):
+    """Cross-corpus flow: model built on corpus A, corpus B scored
+    with an explicit unseen-token floor; self-scored composition stays
+    consistent with the one-shot operator."""
+    import math
+
+    from delta_lake_experiment_spark.operators.lm import (
+        build_unigram_model,
+        score_against_model,
+        unigram_logprob_scores,
+    )
+
+    a = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    model = build_unigram_model(a, "text")
+    got_model = {r["token"]: r["logprob"] for r in model.collect()}
+    total = 5.0
+    for tok, cnt in [("a", 2), ("b", 2), ("c", 1)]:
+        assert abs(got_model[tok] - math.log(cnt / total)) < 1e-12
+
+    floor = math.log(1 / total) - math.log(10)
+    b = spark.createDataFrame([(9, "a zzz")], "doc_id long, text string")
+    out = score_against_model(b, "doc_id", "text", model, unseen_logprob=floor)
+    row = out.first()
+    expect = (math.log(2 / total) + floor) / 2
+    assert row["n_tokens"] == 2
+    assert abs(row["avg_logprob"] - round(expect, 6)) < 1e-9
+
+    # self-scored composition == the one-shot operator on corpus A
+    oneshot = {tuple(r) for r in unigram_logprob_scores(a, "doc_id", "text").collect()}
+    composed = {
+        tuple(r)
+        for r in score_against_model(
+            a, "doc_id", "text", model, unseen_logprob=float("nan")
+        ).collect()
+    }
+    assert oneshot == composed

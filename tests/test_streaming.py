@@ -266,3 +266,68 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     )
     expect = {(r["event_id"], r["click_id"]) for r in batch.collect()}
     assert got == expect and expect  # non-trivial and exact
+
+
+def test_streaming_incremental_dedup_ingest(spark, tmp_path, store_dir):
+    """Continuous incremental ingest: per-batch dedup, against-table
+    dedup across MICRO-BATCHES (table-backed, no watermark horizon),
+    exactly-once on redelivery, and logical idempotence even without
+    the txn marker."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_dedup_writer,
+        write_dedup_stream_to_table,
+    )
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("corpus", "id bigint, fp string", bloom_columns=["fp"])
+    boot.write_dataframe(
+        "corpus", spark.createDataFrame([(1, "f1")], "id long, fp string")
+    )
+    boot.commit_tx()
+
+    # two source files -> maxFilesPerTrigger=1 gives two micro-batches
+    # with a cross-batch duplicate (f3) and a seed duplicate (f1)
+    src = str(tmp_path / "crawl")
+    spark.createDataFrame(
+        [(10, "f1"), (11, "f3"), (12, "f3"), (13, "f4")], "id long, fp string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(20, "f3"), (21, "f5")], "id long, fp string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_dedup_stream_to_table(
+        stream, factory, "corpus", ["fp"], "id", "crawl1",
+        str(tmp_path / "ckpt_inc"),
+    )
+    q.awaitTermination()
+
+    check = factory()
+    check.new_tx()
+    fps = sorted(r["fp"] for r in check.scan("corpus", with_stamps=False).collect())
+    check.abort_tx()
+    # one row per distinct fp, regardless of batch boundaries
+    assert fps == ["f1", "f3", "f4", "f5"]
+
+    # redelivered batch id: skipped via the txn marker
+    last = factory()
+    last.new_tx()
+    bid = last.tx.snapshot.txns["crawl1"]
+    last.abort_tx()
+    writer = foreach_batch_dedup_writer(factory, "corpus", ["fp"], "id", "crawl1")
+    writer(spark.createDataFrame([(30, "f6")], "id long, fp string"), bid)
+    # logically-duplicate batch under a HIGHER id: anti-join rejects all
+    writer(spark.createDataFrame([(31, "f5")], "id long, fp string"), bid + 1)
+    check2 = factory()
+    check2.new_tx()
+    assert check2.scan("corpus", with_stamps=False).count() == 4
+    check2.abort_tx()
