@@ -2049,3 +2049,78 @@ def test_score_against_frozen_model(spark):
         ).collect()
     }
     assert oneshot == composed
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Sharded export: one file per shard, stable membership, byte-
+    stable within-shard row order across two independent writes, and a
+    manifest that certifies the written files."""
+    import glob
+
+    from delta_lake_experiment_spark.operators.text import token_count
+    from delta_lake_experiment_spark.sources.export import write_training_shards
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("n_toks", token_count(F.col("text")))
+    )
+    out1, out2 = str(tmp_path / "x1"), str(tmp_path / "x2")
+    m1 = write_training_shards(
+        docs, out1, n_shards=4, key_col="doc_id",
+        order_cols=["doc_id"], salt="v1", token_col="n_toks",
+    )
+    manifest = {r["shard"]: (r["n_rows"], r["n_tokens"]) for r in m1.collect()}
+    assert sorted(manifest) == [0, 1, 2, 3]
+    assert sum(n for n, _ in manifest.values()) == docs.count()
+    # one data file per shard directory
+    for k in range(4):
+        files = glob.glob(f"{out1}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {files}"
+    # a second write (different upstream partitioning) is row-identical
+    write_training_shards(
+        docs.repartition(7), out2, n_shards=4, key_col="doc_id",
+        order_cols=["doc_id"], salt="v1", token_col="n_toks",
+    )
+    for k in range(4):
+        a = spark.read.parquet(f"{out1}/shard={k}").select("doc_id").collect()
+        b = spark.read.parquet(f"{out2}/shard={k}").select("doc_id").collect()
+        assert [r[0] for r in a] == [r[0] for r in b]  # same rows, same ORDER
+    # manifest token sums match a direct aggregate
+    direct = docs.agg(F.sum("n_toks")).first()[0]
+    assert sum(t for _, t in manifest.values()) == direct
+
+
+def test_chunk_pack_export_composition(spark, tmp_path):
+    """The full training-prep lane composes: chunk long docs ->
+    per-shard sequence packing of the chunks -> sharded export. Pack
+    offsets stay consistent with chunk token counts, and the export
+    round-trips the packed assignment."""
+    from delta_lake_experiment_spark.operators.chunking import chunk_documents
+    from delta_lake_experiment_spark.operators.packing import pack_sequences
+    from delta_lake_experiment_spark.operators.sampling import hash_shard
+    from delta_lake_experiment_spark.sources.export import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    chunks = chunk_documents(docs, "doc_id", "text", max_tokens=8, overlap=2)
+    sharded = hash_shard(chunks, "doc_id", 4, salt="pk", shard_col="pshard")
+    packed = pack_sequences(
+        sharded, "chunk_n_tokens", budget=64,
+        order_col=["doc_id", "chunk_id"], shard_col="pshard",
+    )
+    # within each (shard, pack), offsets are the running sum of counts
+    rows = packed.orderBy("pshard", "doc_id", "chunk_id").collect()
+    run: dict = {}
+    for r in rows:
+        expect = run.get(r["pshard"], 0)
+        assert r["pack_offset"] == expect
+        assert r["pack_id"] == expect // 64
+        run[r["pshard"]] = expect + r["chunk_n_tokens"]
+    out = str(tmp_path / "packed_export")
+    manifest = write_training_shards(
+        packed.withColumn("ck", F.concat_ws("#", "doc_id", "chunk_id")),
+        out, n_shards=4, key_col="ck",
+        order_cols=["doc_id", "chunk_id"], token_col="chunk_n_tokens",
+    )
+    total = manifest.agg(F.sum("n_rows"), F.sum("n_tokens")).first()
+    assert total[0] == chunks.count()
+    assert total[1] == chunks.agg(F.sum("chunk_n_tokens")).first()[0]
