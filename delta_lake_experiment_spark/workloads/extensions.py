@@ -1270,6 +1270,46 @@ FROM flagged GROUP BY doc_id
 """
 
 
+# -- sharded training export --------------------------------------------
+
+_EXPORT_SHARDS = 8
+_EXPORT_SALT = "export1"
+
+
+def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard export lane (sources/export.py) through the
+    value gate: write the corpus as 8 deterministic shards to a
+    scratch dir, return the manifest AGGREGATED FROM THE WRITTEN
+    FILES (shard, n_rows, n_tokens). The DuckDB oracle recomputes the
+    same manifest from shard_sql's md5-mod assignment — a hash match
+    certifies shard membership, per-shard counts, and that the
+    written files contain exactly the input rows."""
+    import tempfile
+
+    from delta_lake_experiment_spark.sources.export import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_toks", token_count(F.col("text"))
+    )
+    out = tempfile.mkdtemp(prefix="dles_export_") + "/shards"
+    return write_training_shards(
+        docs, out, n_shards=_EXPORT_SHARDS, key_col="doc_id",
+        order_cols=["doc_id"], salt=_EXPORT_SALT, token_col="n_toks",
+    )
+
+
+def _export_manifest_sql() -> str:
+    from delta_lake_experiment_spark.operators.sampling import shard_sql
+
+    shard = shard_sql("CAST(doc_id AS VARCHAR)", _EXPORT_SHARDS, _EXPORT_SALT)
+    return f"""
+SELECT {shard} AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM({_NTOKENS_SQL}) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1
+"""
+
+
 # -- raw media ingest ---------------------------------------------------
 
 # Committed ASCII fixture files (ascii so the oracle's
@@ -1355,6 +1395,7 @@ QUERIES = {
     "corpus_shuffle": corpus_shuffle,
     "doc_lm_score": doc_lm_score,
     "incremental_corpus_update": incremental_corpus_update,
+    "export_manifest": export_manifest,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1386,6 +1427,7 @@ ORACLES = {
     "corpus_shuffle": _corpus_shuffle_sql(),
     "doc_lm_score": _doc_lm_score_sql(),
     "incremental_corpus_update": INCREMENTAL_UPDATE_SQL,
+    "export_manifest": _export_manifest_sql(),
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
