@@ -67,6 +67,16 @@ def deterministic_shuffle(
 
     Rows pass through otherwise unchanged; sort or repartitionByRange
     on ``shuffle_pos`` downstream to materialize the order.
+
+    The keyed input is evaluated twice — once for the bucket
+    histogram, once for the ranked output — so it is persisted here
+    and BOTH passes read the same materialization: offsets can never
+    disagree with the ranked rows, even over a source that changes
+    between the two jobs (the incremental.py single-evaluation
+    contract). The cached blocks stay pinned until the caller's
+    consumption finishes; release them via ``unpersist``/
+    ``clearCache`` downstream (the minhash-signature lifecycle
+    convention — the consumer owns it).
     """
     if not 1 <= bucket_hex_digits <= 8:
         raise ValueError(
@@ -74,7 +84,7 @@ def deterministic_shuffle(
         )
     skey = shuffle_key(F.col(key_col).cast("string"), salt)
     bucket = F.conv(F.substring(skey, 1, bucket_hex_digits), 16, 10).cast("long")
-    with_key = df.withColumn("__skey", skey).withColumn("__bucket", bucket)
+    with_key = df.withColumn("__skey", skey).withColumn("__bucket", bucket).persist()
 
     # Phase 1+2: O(buckets) histogram -> driver prefix sum. The
     # collect moves ≤ 16^bucket_hex_digits rows of metadata, never

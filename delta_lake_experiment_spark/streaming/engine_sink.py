@@ -20,9 +20,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def foreach_batch_writer(client_factory, table: str, app_id: str):
+def foreach_batch_writer(client_factory, table: str, app_id: str, transform=None):
     """Build a foreachBatch function: ``client_factory() -> DeltaLakeClient``
-    (a fresh client per call keeps the one-tx-per-client contract)."""
+    (a fresh client per call keeps the one-tx-per-client contract).
+
+    ``transform(client, batch_df) -> DataFrame``, when given, rewrites
+    the batch INSIDE the open transaction before the append — it may
+    read the table through ``client`` (snapshot-consistent with the
+    commit) to e.g. anti-join against existing keys
+    (streaming/ingest.py). One marker/commit skeleton serves every
+    engine-sink variant, so a protocol fix lands once."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         client = client_factory()
@@ -31,6 +38,8 @@ def foreach_batch_writer(client_factory, table: str, app_id: str):
         if batch_id <= last:
             client.abort_tx()  # redelivered batch: already in the log
             return
+        if transform is not None:
+            batch_df = transform(client, batch_df)
         client.write_dataframe(table, batch_df)
         client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
 

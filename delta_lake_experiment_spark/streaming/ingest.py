@@ -34,6 +34,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 
 from delta_lake_experiment_spark.operators.dedup import exact_dedup
+from delta_lake_experiment_spark.streaming.engine_sink import foreach_batch_writer
 
 
 def foreach_batch_dedup_writer(
@@ -42,29 +43,23 @@ def foreach_batch_dedup_writer(
     """Build a ``foreachBatch`` function appending only novel-keyed
     rows of each micro-batch to engine ``table``.
 
-    ``client_factory() -> DeltaLakeClient`` — fresh client per batch
-    (the one-tx-per-client contract). A batch whose rows are ALL
-    rejected commits nothing (the engine's read-only fast path skips
-    the log write, so the txn marker is not recorded — harmless: a
-    redelivery of that batch re-runs the anti-join and again admits
-    nothing).
+    The marker/commit skeleton is engine_sink.py's
+    ``foreach_batch_writer`` (one copy of the exactly-once protocol);
+    this adds only the dedup transform, which reads the table through
+    the SAME open transaction as the commit — snapshot-consistent.
+    A batch whose rows are ALL rejected commits nothing (the engine's
+    read-only fast path skips the log write, so the txn marker is not
+    recorded — harmless: a redelivery re-runs the anti-join and again
+    admits nothing).
     """
     keys = list(key_cols)
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        client = client_factory()
-        client.new_tx()
-        last = client.tx.snapshot.txns.get(app_id, -1)
-        if batch_id <= last:
-            client.abort_tx()  # redelivered batch: already in the log
-            return
+    def dedup(client, batch_df: DataFrame) -> DataFrame:
         fresh = exact_dedup(batch_df, keys, order_col)
         existing = client.scan(table, with_stamps=False).select(*keys).distinct()
-        admitted = fresh.join(existing, keys, "left_anti")
-        client.write_dataframe(table, admitted)
-        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+        return fresh.join(existing, keys, "left_anti")
 
-    return process
+    return foreach_batch_writer(client_factory, table, app_id, transform=dedup)
 
 
 def write_dedup_stream_to_table(

@@ -1302,11 +1302,20 @@ def _export_manifest_sql() -> str:
     from delta_lake_experiment_spark.operators.sampling import shard_sql
 
     shard = shard_sql("CAST(doc_id AS VARCHAR)", _EXPORT_SHARDS, _EXPORT_SALT)
+    # LEFT JOIN from the full shard-id series: empty shards appear as
+    # zero-count manifest rows on BOTH engines (the write side creates
+    # no directory for them — documented loader contract)
     return f"""
-SELECT {shard} AS shard,
-  CAST(COUNT(*) AS BIGINT) AS n_rows,
-  CAST(SUM({_NTOKENS_SQL}) AS BIGINT) AS n_tokens
-FROM documents GROUP BY 1
+WITH counts AS (
+  SELECT {shard} AS shard,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM({_NTOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT s.shard, COALESCE(n_rows, 0) AS n_rows,
+       COALESCE(n_tokens, 0) AS n_tokens
+FROM (SELECT CAST(UNNEST(generate_series(0, {_EXPORT_SHARDS - 1})) AS INT) AS shard) s
+LEFT JOIN counts USING (shard)
 """
 
 

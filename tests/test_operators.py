@@ -1844,7 +1844,7 @@ def test_chunk_documents_layout(spark):
     from delta_lake_experiment_spark.operators.chunking import chunk_documents
 
     rows = [
-        (1, " ".join(f"t{i}" for i in range(20))),   # 20 toks -> 4 chunks
+        (1, " ".join(f"t{i}" for i in range(20))),   # 20 toks -> 3 chunks
         (2, " ".join(f"t{i}" for i in range(8))),    # exactly max -> 1
         (3, " ".join(f"t{i}" for i in range(9))),    # max+1 -> 2
         (4, "one"),                                   # 1 tok -> 1 chunk
@@ -2124,3 +2124,42 @@ def test_chunk_pack_export_composition(spark, tmp_path):
     total = manifest.agg(F.sum("n_rows"), F.sum("n_tokens")).first()
     assert total[0] == chunks.count()
     assert total[1] == chunks.agg(F.sum("chunk_n_tokens")).first()[0]
+
+
+def test_write_training_shards_empty_shards_and_identity_partitioning(spark, tmp_path):
+    """Empty shards appear as zero-count manifest rows (no directory),
+    and the identity repartition places every shard alone in its own
+    task — no birthday collisions, per-task data exactly one shard."""
+    from delta_lake_experiment_spark.operators.sampling import hash_shard
+    from delta_lake_experiment_spark.sources.export import (
+        _identity_partition_reps,
+        write_training_shards,
+    )
+
+    # 3 rows over 16 shards: most shards are empty
+    tiny = spark.createDataFrame([(i, i) for i in range(3)], "doc_id long, v long")
+    m = write_training_shards(
+        tiny, str(tmp_path / "tiny"), n_shards=16, key_col="doc_id",
+        order_cols=["doc_id"], token_col="v",
+    )
+    rows = {r["shard"]: (r["n_rows"], r["n_tokens"]) for r in m.collect()}
+    assert sorted(rows) == list(range(16))
+    assert sum(n for n, _ in rows.values()) == 3
+    assert all(t == 0 for n, t in rows.values() if n == 0)
+
+    # identity partitioning: each task sees at most ONE shard
+    reps = _identity_partition_reps(spark, 8)
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    sharded = hash_shard(docs.withColumn("doc_id", F.col("doc_id")), "doc_id", 8)
+    mapped = sharded.withColumn(
+        "__rep", F.element_at(F.array(*[F.lit(v) for v in reps]), F.col("shard") + 1)
+    )
+    per_task = (
+        mapped.repartition(8, F.col("__rep"))
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.countDistinct("shard").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_task), per_task
+    assert len(per_task) == 8  # all 8 tasks carry work

@@ -157,7 +157,16 @@ def main() -> None:
     # incremental_corpus_update commits engine transactions on
     # construction (the engine_* class); its returned scan is the
     # audited engine scan shape and its anti-join is pytest-covered.
-    skip_sweep = {"streaming_hourly_windows", "incremental_corpus_update"}
+    # export_manifest writes the full corpus to scratch on construction
+    # (the sink class — only its post-write re-read would be audited);
+    # its shard plan is pytest-covered. corpus_shuffle runs an O(corpus)
+    # histogram job on construction — same class as the similarity
+    # queries' .first() collects, cheap enough to keep in the sweep.
+    skip_sweep = {
+        "streaming_hourly_windows",
+        "incremental_corpus_update",
+        "export_manifest",
+    }
     for name, fn in queries.items():
         if name in skip_sweep or name.startswith("engine_"):
             continue
