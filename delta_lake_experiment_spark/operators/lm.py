@@ -156,3 +156,51 @@ SELECT t.id, CAST(COUNT(*) AS INT) AS n_tokens,
 FROM __lm_toks t JOIN __lm_model m ON m.tok = t.tok
 GROUP BY t.id
 """
+
+
+def calibrated_score_filter(
+    scores: DataFrame,
+    score_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    strategy: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The filter step the scores exist for: keep rows whose
+    ``score_col`` lies inside the corpus's own [lo_q, hi_q] percentile
+    band — gibberish below, boilerplate above (the CCNet two-sided
+    cut). Bounds are computed from the data, broadcast as one row, and
+    applied as a plain filter; rows pass through otherwise unchanged.
+
+    ``strategy="exact"``: ``percentile()`` — a sort-based aggregate
+    whose single group concentrates every value in ONE aggregation
+    buffer; exact and oracle-checkable, but memory-bounded only at
+    fixture scale. ``strategy="approx"``: ``approx_percentile`` — the
+    mergeable t-digest-style sketch, bounded memory per task at any
+    corpus size; bounds then differ from exact by the sketch's rank
+    error (1/accuracy), which moves the cut by at most a few corpus
+    quantile steps — the 100 TB path (pytest pins approx-vs-exact
+    agreement on the fixture). Both strategies round bounds to 6
+    digits, matching the scores' own rounding, so the comparison is
+    over the same value grid on every engine.
+    """
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got {lo_q!r}, {hi_q!r}")
+    if strategy == "exact":
+        lo = F.expr(f"percentile({score_col}, {lo_q})")
+        hi = F.expr(f"percentile({score_col}, {hi_q})")
+    elif strategy == "approx":
+        lo = F.expr(f"approx_percentile({score_col}, {lo_q}, {int(accuracy)})")
+        hi = F.expr(f"approx_percentile({score_col}, {hi_q}, {int(accuracy)})")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    bounds = scores.agg(
+        F.round(lo, 6).alias("__lo"), F.round(hi, 6).alias("__hi")
+    )
+    return (
+        scores.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col(score_col) >= F.col("__lo")) & (F.col(score_col) <= F.col("__hi"))
+        )
+        .drop("__lo", "__hi")
+    )

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 68 value-oracled queries, eighteen must sit outside the window. The
+# With 69 value-oracled queries, nineteen must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -54,6 +54,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - doc_lm_score -> explode/agg/join machinery shadowed by the many
 #   in-window agg+join queries (q3/q5, corpus_report) — new in r5,
 #   deferred from birth;
+# - lm_filtered_corpus -> percentile machinery shadowed by
+#   segment_price_percentiles (same percentile/quantile_cont parity),
+#   scoring machinery by doc_lm_score — new in r5, deferred from
+#   birth;
 # - export_manifest -> the md5-mod shard assignment is shadowed by
 #   the in-window hash-threshold queries (doc_train_split,
 #   domain_mixture — same _hex_prefix machinery) and the aggregate
@@ -86,6 +90,7 @@ _DEFERRED_ORACLED = [
     "embedding_quantization",
     "doc_chunks",
     "doc_lm_score",
+    "lm_filtered_corpus",
     "export_manifest",
     "projection_filter",
     "customer_running_total",

@@ -1128,6 +1128,45 @@ def _doc_lm_score_sql() -> str:
     )
 
 
+_LM_LO_Q = 0.05
+_LM_HI_Q = 0.95
+
+
+def lm_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibrated LM filter (operators/lm.py::
+    calibrated_score_filter): score every document, keep those inside
+    the corpus's own [p05, p95] avg_logprob band — the CCNet two-sided
+    cut, with the exact-percentile strategy so the whole
+    score->calibrate->filter composition is value-oracled (the approx
+    sketch strategy is the 100 TB path, pytest-pinned against this
+    one)."""
+    from delta_lake_experiment_spark.operators.lm import (
+        calibrated_score_filter,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs, "doc_id", "text")
+    return calibrated_score_filter(
+        scores, "avg_logprob", lo_q=_LM_LO_Q, hi_q=_LM_HI_Q, strategy="exact"
+    ).select("doc_id", "n_tokens", "avg_logprob")
+
+
+def _lm_filtered_corpus_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import unigram_logprob_sql
+
+    return f"""
+WITH lm AS ({unigram_logprob_sql("documents", "doc_id", "text")}),
+b AS (
+  SELECT round(quantile_cont(avg_logprob, {_LM_LO_Q}), 6) AS lo,
+         round(quantile_cont(avg_logprob, {_LM_HI_Q}), 6) AS hi
+  FROM lm
+)
+SELECT id AS doc_id, n_tokens, avg_logprob
+FROM lm, b WHERE avg_logprob >= lo AND avg_logprob <= hi
+"""
+
+
 # -- incremental corpus update ------------------------------------------
 
 
@@ -1405,6 +1444,7 @@ QUERIES = {
     "doc_lm_score": doc_lm_score,
     "incremental_corpus_update": incremental_corpus_update,
     "export_manifest": export_manifest,
+    "lm_filtered_corpus": lm_filtered_corpus,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1437,6 +1477,7 @@ ORACLES = {
     "doc_lm_score": _doc_lm_score_sql(),
     "incremental_corpus_update": INCREMENTAL_UPDATE_SQL,
     "export_manifest": _export_manifest_sql(),
+    "lm_filtered_corpus": _lm_filtered_corpus_sql(),
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

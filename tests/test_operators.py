@@ -2163,3 +2163,33 @@ def test_write_training_shards_empty_shards_and_identity_partitioning(spark, tmp
     )
     assert all(r["k"] == 1 for r in per_task), per_task
     assert len(per_task) == 8  # all 8 tasks carry work
+
+
+def test_calibrated_score_filter_strategies(spark):
+    """Exact and approx percentile strategies agree on the fixture
+    corpus (sketch rank error < one quantile step at this n); bounds
+    behave as a two-sided cut."""
+    from delta_lake_experiment_spark.operators.lm import (
+        calibrated_score_filter,
+        unigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scores = unigram_logprob_scores(docs, "doc_id", "text").persist()
+    exact = calibrated_score_filter(scores, "avg_logprob", strategy="exact")
+    approx = calibrated_score_filter(scores, "avg_logprob", strategy="approx")
+    e = {r["doc_id"] for r in exact.collect()}
+    a = {r["doc_id"] for r in approx.collect()}
+    n = scores.count()
+    assert len(e) <= n and len(e) >= int(0.85 * n)  # ~90% band
+    # sketch accuracy 10k on 500 rows: identical or near-identical cut
+    assert len(e.symmetric_difference(a)) <= max(2, n // 100)
+    # kept scores actually lie inside the exact bounds
+    vals = sorted(r["avg_logprob"] for r in scores.collect())
+    kept = sorted(r["avg_logprob"] for r in exact.collect())
+    assert kept[0] >= vals[0] and kept[-1] <= vals[-1]
+    with pytest.raises(ValueError, match="lo_q"):
+        calibrated_score_filter(scores, "avg_logprob", lo_q=0.9, hi_q=0.1)
+    with pytest.raises(ValueError, match="strategy"):
+        calibrated_score_filter(scores, "avg_logprob", strategy="bogus")
+    scores.unpersist()
