@@ -102,3 +102,139 @@ def test_bloom_filter_properties():
             assert fp <= n_absent * 0.2  # ~1% expected; generous bound
 
     check()
+
+
+# -- chunking vs a pure-Python oracle -----------------------------------
+
+_WORDS = st.lists(
+    st.text(alphabet="abcxyz", min_size=1, max_size=5), min_size=1, max_size=40
+)
+_PARAMS = st.tuples(
+    st.integers(min_value=1, max_value=10),   # max_tokens
+    st.integers(min_value=0, max_value=9),    # overlap (clamped below)
+)
+
+
+def _py_chunks(toks, max_tokens, overlap):
+    stride = max_tokens - overlap
+    n = len(toks)
+    if n <= max_tokens:
+        nc = 1
+    else:
+        nc = -(-(n - max_tokens) // stride) + 1
+    return [
+        (i, nc, toks[i * stride: i * stride + max_tokens]) for i in range(nc)
+    ]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_WORDS, min_size=1, max_size=6), params=_PARAMS)
+def test_chunking_matches_python_oracle(spark, docs, params):
+    from delta_lake_experiment_spark.operators.chunking import chunk_documents
+
+    max_tokens, overlap = params
+    overlap = min(overlap, max_tokens - 1)
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunks"], r["chunk_text"].split())
+        for r in chunk_documents(
+            df, "doc_id", "text", max_tokens=max_tokens, overlap=overlap
+        ).collect()
+    }
+    expect = {}
+    for i, ws in enumerate(rows):
+        for cid, nc, ctoks in _py_chunks(rows[i][1].split(), max_tokens, overlap):
+            expect[(i, cid)] = (nc, ctoks)
+    assert got == expect
+
+
+# -- deterministic shuffle vs a pure-Python oracle ----------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60,
+        unique=True,
+    ),
+    salt=st.text(alphabet="abc", max_size=4),
+    digits=st.integers(min_value=1, max_value=3),
+)
+def test_shuffle_rank_matches_python_oracle(spark, keys, salt, digits):
+    import hashlib
+
+    from delta_lake_experiment_spark.operators.ordering import deterministic_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: r["shuffle_pos"]
+        for r in deterministic_shuffle(
+            df, "k", salt=salt, bucket_hex_digits=digits
+        ).collect()
+    }
+    order = sorted(keys, key=lambda k: (hashlib.md5((salt + str(k)).encode()).hexdigest(), k))
+    expect = {k: i for i, k in enumerate(order)}
+    assert got == expect
+
+
+# -- incremental ingest vs a Python set model ---------------------------
+
+_BATCHES = st.lists(
+    st.lists(st.tuples(st.integers(0, 500), st.integers(0, 12)), min_size=0, max_size=8),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_BATCHES)
+def test_incremental_ingest_matches_set_model(spark, batches):
+    """Arbitrary batch sequences with arbitrary key overlap: the table
+    must hold exactly the first-seen (id, fp) per fp across all
+    batches, in every interleaving hypothesis generates."""
+    import tempfile as tf
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.incremental import (
+        incremental_dedup_ingest,
+    )
+
+    c = DeltaLakeClient(spark, tf.mkdtemp(prefix="prop_inc_"))
+    c.new_tx()
+    c.create_table("corpus", "id bigint, fp string")
+    c.commit_tx()
+
+    model: dict[str, int] = {}
+    for batch in batches:
+        rows = [(i, f"f{fp}") for i, fp in batch]
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, "id long, fp string")
+        n = incremental_dedup_ingest(c, "corpus", df, ["fp"], "id")
+        admitted = 0
+        batch_first: dict[str, int] = {}
+        for i, fp in sorted(batch):
+            key = f"f{fp}"
+            if key not in batch_first:
+                batch_first[key] = i
+        for key, i in batch_first.items():
+            if key not in model:
+                model[key] = i
+                admitted += 1
+        assert n == admitted
+    c.new_tx()
+    state = {(r["fp"], r["id"]) for r in c.scan("corpus", with_stamps=False).collect()}
+    c.abort_tx()
+    assert state == {(fp, i) for fp, i in model.items()}
