@@ -123,14 +123,15 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_rows(
     sig_df: DataFrame, num_bands: int = 4, num_hashes: Optional[int] = None
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band-hash become candidate pairs
-    (id_a < id_b). One explode + one self-join on (band, band_hash).
-
-    Pass ``num_hashes`` to avoid a driver round-trip (an extra Spark
-    job) just to discover the signature width."""
+    """(__id, band, bh) rows — each document's banded signature
+    hashes, the joinable form of the LSH index (self-join for pair
+    candidates, or join against a PERSISTED index table for
+    incremental admission — operators/incremental.py). Pass
+    ``num_hashes`` to avoid a driver round-trip (an extra Spark job)
+    just to discover the signature width."""
     n = num_hashes if num_hashes is not None else sig_df.select(F.size("sig")).first()[0]
     rows_per_band = n // num_bands
     bands = F.array(
@@ -142,9 +143,17 @@ def lsh_candidate_pairs(
             for b in range(num_bands)
         ]
     )
-    exploded = sig_df.select("__id", F.explode(bands).alias("b")).select(
+    return sig_df.select("__id", F.explode(bands).alias("b")).select(
         "__id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, num_bands: int = 4, num_hashes: Optional[int] = None
+) -> DataFrame:
+    """Banded LSH: docs sharing any band-hash become candidate pairs
+    (id_a < id_b). One explode + one self-join on (band, band_hash)."""
+    exploded = lsh_band_rows(sig_df, num_bands=num_bands, num_hashes=num_hashes)
     left = exploded.alias("l")
     right = exploded.alias("r")
     return (

@@ -95,3 +95,83 @@ def incremental_dedup_ingest(
             admitted.unpersist()
 
     return client.run_tx(_attempt, retries=retries)
+
+
+def incremental_minhash_ingest(
+    client: DeltaLakeClient,
+    docs_table: str,
+    index_table: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    retries: int = 3,
+) -> int:
+    """The NEAR-DUP variant of :func:`incremental_dedup_ingest`: the
+    admission key swaps from the exact content fingerprint to banded
+    MinHash signatures, the transactional composition stays identical.
+
+    Two engine tables: ``docs_table`` holds admitted documents;
+    ``index_table`` (schema ``id bigint, band int, bh bigint``) holds
+    one row per (document, band) — the persisted LSH index. A batch
+    document is rejected when ANY of its band hashes already exists in
+    the index (the standard LSH capture rule: collision probability
+    follows the banding S-curve, `minhash_lsh_params` chooses
+    (bands, rows) for a target Jaccard threshold). Within the batch,
+    each colliding band group keeps its lowest-``id_col`` document —
+    the canonical-survivor rule — and ONLY admitted documents' band
+    rows enter the index, so the index stays one-entry-per-canonical.
+
+    Scale shape: signatures are one groupBy over hashed shingles
+    (num_hashes longs per doc); admission is a (band, bh) semi-join
+    against a column-pruned index scan — the index is O(num_bands)
+    rows per admitted doc, orders of magnitude smaller than the text.
+    Same run_tx conflict story as the exact lane: both tables are
+    written in ONE transaction, so the index can never disagree with
+    the admitted corpus.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.operators.dedup import (
+        lsh_band_rows,
+        minhash_signatures_hashed,
+        shingle_hashes,
+    )
+
+    sh = shingle_hashes(batch, id_col, text_col, n=shingle_n)
+    sigs = minhash_signatures_hashed(sh, num_hashes=num_hashes)
+    bands = lsh_band_rows(sigs, num_bands=num_bands, num_hashes=num_hashes)
+
+    def _attempt(c: DeltaLakeClient) -> int:
+        idx = c.scan(index_table, with_stamps=False).select("band", "bh")
+        hit_index = bands.join(idx, ["band", "bh"], "left_semi")
+        # within-batch: every band group's non-minimal ids are rejected
+        w = Window.partitionBy("band", "bh")
+        hit_batch = (
+            bands.withColumn("__m", F.min("__id").over(w))
+            .filter(F.col("__id") != F.col("__m"))
+        )
+        rejected = (
+            hit_index.select("__id").union(hit_batch.select("__id")).distinct()
+        )
+        admitted = batch.join(
+            rejected.withColumnRenamed("__id", id_col), id_col, "left_anti"
+        ).persist()
+        try:
+            n = admitted.count()
+            if n:
+                c.write_dataframe(docs_table, admitted)
+                adm_bands = bands.join(
+                    admitted.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+                ).select(
+                    F.col("__id").alias("id"), "band", "bh"
+                )
+                c.write_dataframe(index_table, adm_bands)
+            return n
+        finally:
+            admitted.unpersist()
+
+    return client.run_tx(_attempt, retries=retries)

@@ -2193,3 +2193,47 @@ def test_calibrated_score_filter_strategies(spark):
     with pytest.raises(ValueError, match="strategy"):
         calibrated_score_filter(scores, "avg_logprob", strategy="bogus")
     scores.unpersist()
+
+
+def test_incremental_minhash_ingest(spark, store_dir):
+    """Near-dup incremental admission against a persisted LSH index:
+    exact recrawls and near-duplicates (1-token change -> 2/4 bands
+    collide on this fixture) are rejected across batches; distinct
+    docs are admitted; the index stays one-entry-per-canonical and is
+    committed atomically with the docs."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.incremental import (
+        incremental_minhash_ingest,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    pert = " ".join(f"tok{i}" for i in range(29)) + " zzz"
+    other = " ".join(f"other{i}" for i in range(30))
+    third = " ".join(f"third{i}" for i in range(30))
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("docs", "id bigint, text string")
+    c.create_table("lsh_index", "id bigint, band int, bh bigint")
+    c.commit_tx()
+
+    def ingest(rows):
+        df = spark.createDataFrame(rows, "id long, text string")
+        return incremental_minhash_ingest(
+            c, "docs", "lsh_index", df, "id", "text"
+        )
+
+    # batch 1: base + distinct other + an in-batch exact copy of base
+    assert ingest([(1, base), (2, other), (3, base)]) == 2  # 3 rejected in-batch
+    # batch 2: exact recrawl, near-dup of base, and a novel doc
+    assert ingest([(10, base), (11, pert), (12, third)]) == 1  # only 12 admitted
+    c.new_tx()
+    ids = sorted(r["id"] for r in c.scan("docs", with_stamps=False).collect())
+    idx_ids = {r["id"] for r in c.scan("lsh_index", with_stamps=False).collect()}
+    idx_n = c.scan("lsh_index", with_stamps=False).count()
+    c.abort_tx()
+    assert ids == [1, 2, 12]
+    assert idx_ids == {1, 2, 12}          # only canonicals indexed
+    assert idx_n == 3 * 4                  # num_bands rows per admitted doc
+    # idempotence: replaying batch 2 admits nothing
+    assert ingest([(10, base), (11, pert), (12, third)]) == 0

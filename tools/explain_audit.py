@@ -141,6 +141,15 @@ def main() -> None:
     )
     # salted aggregation: two hash-aggregate phases, no plain skew shape
     check("skew_salted_event_stats", needles=["HashAggregate"], forbid=["CartesianProduct"])
+    # deterministic shuffle: the global rank must come from the
+    # bucket-partitioned window — a SinglePartition exchange anywhere
+    # means the two-phase rank collapsed into the canonical
+    # one-task-window scale trap the operator exists to avoid
+    check(
+        "corpus_shuffle",
+        needles=["Window", "hashpartitioning(__bucket"],
+        forbid=["SinglePartition", "CartesianProduct"],
+    )
     # exact embedding near-dup: block-matrix bundle equi-join, never a
     # row-pair cartesian / nested-loop
     check(
