@@ -115,26 +115,37 @@ def incremental_minhash_ingest(
 
     Two engine tables: ``docs_table`` holds admitted documents;
     ``index_table`` (schema ``id bigint, band int, bh bigint``) holds
-    one row per (document, band) — the persisted LSH index. A batch
-    document is rejected when ANY of its band hashes already exists in
-    the index (the standard LSH capture rule: collision probability
-    follows the banding S-curve, `minhash_lsh_params` chooses
-    (bands, rows) for a target Jaccard threshold). Within the batch,
-    each colliding band group keeps its lowest-``id_col`` document —
-    the canonical-survivor rule — and ONLY admitted documents' band
-    rows enter the index, so the index stays one-entry-per-canonical.
+    one row per (document, band) — the persisted LSH index. Admission
+    is decided per in-batch near-dup COMPONENT (band collisions are
+    not transitive, so per-pair rules would over-reject chain members
+    whose "canonical" was itself rejected — id-order dependently):
+
+    1. in-batch band-collision pairs -> connected components
+       (operators/cluster.py), canonical = min id per component;
+    2. a component with ANY member band-hitting the index is
+       transitively near the existing corpus: all members rejected
+       (the recall-biased direction every production dedup takes);
+    3. otherwise the component's canonical is admitted, the rest
+       rejected — so every rejected document either has an admitted
+       canonical in its component or its component matched the
+       corpus. That invariant is what makes the index
+       one-entry-per-canonical.
 
     Scale shape: signatures are one groupBy over hashed shingles
-    (num_hashes longs per doc); admission is a (band, bh) semi-join
-    against a column-pruned index scan — the index is O(num_bands)
-    rows per admitted doc, orders of magnitude smaller than the text.
-    Same run_tx conflict story as the exact lane: both tables are
-    written in ONE transaction, so the index can never disagree with
-    the admitted corpus.
+    (num_hashes longs per doc), computed ONCE (persisted across the
+    transaction, including conflict retries); admission is a
+    (band, bh) semi-join against a column-pruned index scan — the
+    index is O(num_bands) rows per admitted doc, orders of magnitude
+    smaller than the text. In-batch pair counts are bounded by band
+    groups (the lsh_candidate_pairs class — hot-group blowup is the
+    banding parameters' job, `minhash_lsh_params`). Same run_tx
+    conflict story as the exact lane: both tables are written in ONE
+    transaction, so the index can never disagree with the admitted
+    corpus.
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from delta_lake_experiment_spark.operators.cluster import assign_components
     from delta_lake_experiment_spark.operators.dedup import (
         lsh_band_rows,
         minhash_signatures_hashed,
@@ -143,23 +154,37 @@ def incremental_minhash_ingest(
 
     sh = shingle_hashes(batch, id_col, text_col, n=shingle_n)
     sigs = minhash_signatures_hashed(sh, num_hashes=num_hashes)
-    bands = lsh_band_rows(sigs, num_bands=num_bands, num_hashes=num_hashes)
+    # one signature computation per call: hit-detection, pair-building,
+    # and the admitted-bands write all read this materialization, and
+    # run_tx retries reuse it (batch determinism is already required)
+    bands = lsh_band_rows(sigs, num_bands=num_bands, num_hashes=num_hashes).persist()
 
     def _attempt(c: DeltaLakeClient) -> int:
         idx = c.scan(index_table, with_stamps=False).select("band", "bh")
-        hit_index = bands.join(idx, ["band", "bh"], "left_semi")
-        # within-batch: every band group's non-minimal ids are rejected
-        w = Window.partitionBy("band", "bh")
-        hit_batch = (
-            bands.withColumn("__m", F.min("__id").over(w))
-            .filter(F.col("__id") != F.col("__m"))
+        hit_ids = bands.join(idx, ["band", "bh"], "left_semi").select("__id").distinct()
+        l, r = bands.alias("l"), bands.alias("r")
+        pairs = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bh") == F.col("r.bh"))
+                & (F.col("l.__id") < F.col("r.__id")),
+            )
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+            .distinct()
         )
-        rejected = (
-            hit_index.select("__id").union(hit_batch.select("__id")).distinct()
+        comp = assign_components(batch.select(F.col(id_col)), pairs, id_col)
+        hit_comps = (
+            comp.join(hit_ids.withColumnRenamed("__id", id_col), id_col, "left_semi")
+            .select("component")
+            .distinct()
         )
-        admitted = batch.join(
-            rejected.withColumnRenamed("__id", id_col), id_col, "left_anti"
-        ).persist()
+        admitted_ids = (
+            comp.filter(F.col(id_col) == F.col("component"))
+            .join(hit_comps, "component", "left_anti")
+            .select(id_col)
+        )
+        admitted = batch.join(admitted_ids, id_col, "left_semi").persist()
         try:
             n = admitted.count()
             if n:
@@ -174,4 +199,7 @@ def incremental_minhash_ingest(
         finally:
             admitted.unpersist()
 
-    return client.run_tx(_attempt, retries=retries)
+    try:
+        return client.run_tx(_attempt, retries=retries)
+    finally:
+        bands.unpersist()

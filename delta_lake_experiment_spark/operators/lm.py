@@ -186,14 +186,22 @@ def calibrated_score_filter(
     """
     if not 0.0 <= lo_q < hi_q <= 1.0:
         raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got {lo_q!r}, {hi_q!r}")
+    # backtick-quote: score_col may not be a bare identifier, and the
+    # rest of the function handles such names via F.col just fine
+    qcol = "`" + score_col.replace("`", "``") + "`"
     if strategy == "exact":
-        lo = F.expr(f"percentile({score_col}, {lo_q})")
-        hi = F.expr(f"percentile({score_col}, {hi_q})")
+        lo = F.expr(f"percentile({qcol}, {lo_q})")
+        hi = F.expr(f"percentile({qcol}, {hi_q})")
     elif strategy == "approx":
-        lo = F.expr(f"approx_percentile({score_col}, {lo_q}, {int(accuracy)})")
-        hi = F.expr(f"approx_percentile({score_col}, {hi_q}, {int(accuracy)})")
+        lo = F.expr(f"approx_percentile({qcol}, {lo_q}, {int(accuracy)})")
+        hi = F.expr(f"approx_percentile({qcol}, {hi_q}, {int(accuracy)})")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+    # the scores DAG feeds BOTH the bounds aggregate and the filter
+    # scan; persist so the (often expensive) scoring pipeline runs
+    # once and both jobs see one evaluation — the deterministic_shuffle
+    # lifecycle convention: the consumer releases the cached blocks
+    scores = scores.persist()
     bounds = scores.agg(
         F.round(lo, 6).alias("__lo"), F.round(hi, 6).alias("__hi")
     )

@@ -2181,13 +2181,21 @@ def test_calibrated_score_filter_strategies(spark):
     e = {r["doc_id"] for r in exact.collect()}
     a = {r["doc_id"] for r in approx.collect()}
     n = scores.count()
-    assert len(e) <= n and len(e) >= int(0.85 * n)  # ~90% band
+    # the cut must actually DROP the tails (a no-op filter fails here)
+    assert int(0.85 * n) <= len(e) < n
     # sketch accuracy 10k on 500 rows: identical or near-identical cut
     assert len(e.symmetric_difference(a)) <= max(2, n // 100)
-    # kept scores actually lie inside the exact bounds
+    # kept scores lie inside the EXACT percentile bounds (recomputed
+    # here from the raw values, not the vacuous global min/max)
     vals = sorted(r["avg_logprob"] for r in scores.collect())
+    import statistics
+    qs = statistics.quantiles(vals, n=100, method="inclusive")
+    lo, hi = round(qs[4], 6), round(qs[94], 6)  # p05 / p95
     kept = sorted(r["avg_logprob"] for r in exact.collect())
-    assert kept[0] >= vals[0] and kept[-1] <= vals[-1]
+    assert kept[0] >= lo and kept[-1] <= hi
+    # and the dropped rows are exactly the out-of-band ones
+    dropped = [v for v in vals if not (lo <= v <= hi)]
+    assert len(dropped) == n - len(e)
     with pytest.raises(ValueError, match="lo_q"):
         calibrated_score_filter(scores, "avg_logprob", lo_q=0.9, hi_q=0.1)
     with pytest.raises(ValueError, match="strategy"):
