@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 69 value-oracled queries, nineteen must sit outside the window. The
+# With 71 value-oracled queries, twenty-one must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -58,6 +58,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   segment_price_percentiles (same percentile/quantile_cont parity),
 #   scoring machinery by doc_lm_score — new in r5, deferred from
 #   birth;
+# - corpus_vocab -> top-K + rank machinery shadowed by
+#   top_orders_by_price (TakeOrdered) and latest_event_per_user
+#   (row_number) — new in r5, deferred from birth;
+# - encoded_documents -> posexplode/join/ordered-regroup machinery
+#   shadowed by doc_winnow_fingerprints and doc_lm_score — new in
+#   r5, deferred from birth;
 # - export_manifest -> the md5-mod shard assignment is shadowed by
 #   the in-window hash-threshold queries (doc_train_split,
 #   domain_mixture — same _hex_prefix machinery) and the aggregate
@@ -91,6 +97,8 @@ _DEFERRED_ORACLED = [
     "doc_chunks",
     "doc_lm_score",
     "lm_filtered_corpus",
+    "corpus_vocab",
+    "encoded_documents",
     "export_manifest",
     "projection_filter",
     "customer_running_total",

@@ -1167,6 +1167,83 @@ FROM lm, b WHERE avg_logprob >= lo AND avg_logprob <= hi
 """
 
 
+# -- vocabulary + id encoding -------------------------------------------
+
+_VOCAB_SIZE = 20  # the synthetic corpus has 31 distinct tokens: a
+_VOCAB_MIN_COUNT = 1  # 20-token vocab forces real truncation + OOV
+
+
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency vocabulary (operators/vocab.py::build_vocab): top-20
+    tokens with dense ids by (count DESC, token ASC) — deterministic
+    rank ids, reproducible on any engine."""
+    from delta_lake_experiment_spark.operators.vocab import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", size=_VOCAB_SIZE, min_count=_VOCAB_MIN_COUNT)
+
+
+_VOCAB_CTE = rf"""__v_counts AS (
+  SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        FROM documents)
+  GROUP BY 1 HAVING COUNT(*) >= {_VOCAB_MIN_COUNT}
+), __v_top AS (
+  SELECT token, cnt FROM __v_counts ORDER BY cnt DESC, token LIMIT {_VOCAB_SIZE}
+), vocab AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INT) AS token_id,
+         token, cnt
+  FROM __v_top
+)"""
+
+CORPUS_VOCAB_SQL = f"""
+WITH {_VOCAB_CTE}
+SELECT token_id, token, cnt AS "count" FROM vocab
+"""
+
+
+def encoded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding (operators/vocab.py::encode_documents): each
+    document as an int sequence under the corpus_vocab vocabulary,
+    OOV -> 0, order-preserving. The value hash certifies the ids AND
+    their order (md5 of the comma-joined sequence), plus the OOV
+    coverage counts a vocab size is tuned with."""
+    from delta_lake_experiment_spark.operators.vocab import (
+        build_vocab,
+        encode_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", size=_VOCAB_SIZE, min_count=_VOCAB_MIN_COUNT)
+    enc = encode_documents(docs, "doc_id", "text", vocab)
+    return enc.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(",", F.transform("token_ids", lambda x: x.cast("string")))
+        ).alias("ids_fp"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+ENCODED_DOCUMENTS_SQL = rf"""
+WITH {_VOCAB_CTE}, __e_toks AS (
+  SELECT doc_id, l, unnest(generate_series(1, len(l))) AS pos
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS l
+        FROM documents)
+), __e_ids AS (
+  SELECT t.doc_id, t.pos, COALESCE(v.token_id, 0) AS tid
+  FROM (SELECT doc_id, pos, l[pos] AS tok FROM __e_toks) t
+  LEFT JOIN vocab v ON v.token = t.tok
+)
+SELECT doc_id,
+  md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_fp,
+  CAST(COUNT(*) AS INT) AS n_tokens,
+  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS INT) AS n_oov
+FROM __e_ids GROUP BY doc_id
+"""
+
+
 # -- incremental corpus update ------------------------------------------
 
 
@@ -1445,6 +1522,8 @@ QUERIES = {
     "incremental_corpus_update": incremental_corpus_update,
     "export_manifest": export_manifest,
     "lm_filtered_corpus": lm_filtered_corpus,
+    "corpus_vocab": corpus_vocab,
+    "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "multimodal_features": multimodal_features,
     "dedup_exact_documents": dedup_exact_documents,
@@ -1478,6 +1557,8 @@ ORACLES = {
     "incremental_corpus_update": INCREMENTAL_UPDATE_SQL,
     "export_manifest": _export_manifest_sql(),
     "lm_filtered_corpus": _lm_filtered_corpus_sql(),
+    "corpus_vocab": CORPUS_VOCAB_SQL,
+    "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,

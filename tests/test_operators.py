@@ -2245,3 +2245,32 @@ def test_incremental_minhash_ingest(spark, store_dir):
     assert idx_n == 3 * 4                  # num_bands rows per admitted doc
     # idempotence: replaying batch 2 admits nothing
     assert ingest([(10, base), (11, pert), (12, third)]) == 0
+
+
+def test_vocab_build_and_encode(spark):
+    """Vocab ranking (count desc, token asc ties), min_count cut,
+    OOV=0 encoding with order preserved, coverage counts."""
+    from delta_lake_experiment_spark.operators.vocab import (
+        build_vocab,
+        encode_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "b a a c b x"), (2, "a b B A")], "doc_id long, text string"
+    )
+    # counts: a=5(case-folded: a,a,A + doc2 a) -> recount: doc1 a,a; doc2 a,A => a=4; b: doc1 b,b; doc2 b,B => b=4; c=1; x=1
+    vocab = build_vocab(df, "text", size=3, min_count=2)
+    rows = [(r["token_id"], r["token"], r["count"]) for r in vocab.orderBy("token_id").collect()]
+    assert rows == [(1, "a", 4), (2, "b", 4)]  # ties broken by token asc; c/x cut by min_count
+    enc = {r["doc_id"]: r for r in encode_documents(df, "doc_id", "text", vocab).collect()}
+    assert enc[1]["token_ids"] == [2, 1, 1, 0, 2, 0]  # b a a c b x
+    assert enc[1]["n_tokens"] == 6 and enc[1]["n_oov"] == 2
+    assert enc[2]["token_ids"] == [1, 2, 2, 1]  # case-folded a b B A
+    assert enc[2]["n_oov"] == 0
+    with pytest.raises(ValueError, match="size"):
+        build_vocab(df, "text", size=0)
+    with pytest.raises(ValueError, match="min_count"):
+        build_vocab(df, "text", size=5, min_count=0)
+    nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    with pytest.raises(Exception, match="NULL"):
+        encode_documents(nulls, "doc_id", "text", vocab).collect()
