@@ -72,6 +72,11 @@ HEADLINE = [
     "corpus_shuffle",
     "doc_lm_score",
     "incremental_corpus_update",
+    # r5 session 3: corpus-composition lane (temperature mixing,
+    # per-domain caps, DSIR importance weights)
+    "temperature_mixture",
+    "domain_capped_corpus",
+    "dsir_doc_weights",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -212,3 +212,114 @@ def calibrated_score_filter(
         )
         .drop("__lo", "__hi")
     )
+
+
+# -- DSIR importance weighting ------------------------------------------
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    unseen_target_logprob: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW
+    document by the mean log-likelihood *ratio* of its tokens under a
+    model of the TARGET distribution (the high-quality corpus you want
+    more of) vs a model of the raw distribution itself —
+    ``avg(log p_target(tok) - log p_raw(tok))``. High weight = the
+    document "sounds like" the target; selecting the top weights (e.g.
+    via :func:`calibrated_score_filter` on this column) is the
+    importance-resampling data-selection step. Output: one row per raw
+    document — ``(id_col, n_tokens int, dsir_weight double)``.
+
+    The paper hashes n-gram features; this is the unigram instance of
+    the same estimator (the n-gram variant is a tokenizer swap — the
+    shingle machinery in operators/dedup.py slots in unchanged), kept
+    word-exact here so the weights are engine-reproducible and the
+    DuckDB oracle can certify them.
+
+    ``unseen_target_logprob`` is mandatory: raw corpora ALWAYS contain
+    tokens the target has never seen, and that floor decides how hard
+    out-of-domain vocabulary is penalized — callers own it (a common
+    choice: the target model's minimum logprob minus ``ln(10)``). The
+    raw-side model is built from ``raw`` itself, so every scored token
+    is present in it by construction (the self-scoring MLE argument of
+    :func:`unigram_logprob_scores`) and needs no floor.
+
+    100 TB design: two O(vocab) partial-agg model builds + one scoring
+    join per token occurrence — the Zipf-skew analysis in the module
+    docstring applies verbatim (skew lives on the partial-agg build
+    side; the broadcast vocab join has no skewed shuffle). Rounding to
+    ``round_digits`` grids away cross-engine float-summation-order
+    noise (~1e-15 relative), the lm-lane determinism argument.
+    """
+    model_t = build_unigram_model(target, text_col).withColumnRenamed(
+        "logprob", "__lp_target"
+    )
+    model_r = build_unigram_model(raw, text_col).withColumnRenamed(
+        "logprob", "__lp_raw"
+    )
+    toks = _tokens(raw, text_col, F.col(id_col))
+    scored = (
+        # inner join: every raw token exists in the raw-built model
+        toks.join(model_r, "token")
+        .join(model_t, "token", "left")
+        .withColumn(
+            "__llr",
+            F.coalesce(
+                F.col("__lp_target"), F.lit(float(unseen_target_logprob))
+            )
+            - F.col("__lp_raw"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("__llr"), round_digits).alias("dsir_weight"),
+    )
+
+
+def dsir_sql(
+    raw_src: str,
+    target_src: str,
+    id_sql: str,
+    text_sql: str,
+    unseen_target_logprob: float,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dsir_importance_weights` —
+    same tokenization, same two MLE models, same floor, same rounding.
+    ``target_src`` may be any relation expression (e.g.
+    ``(SELECT * FROM documents WHERE lang = 'en')``)."""
+    return rf"""
+WITH __ds_toks AS (
+  SELECT {id_sql} AS id,
+         unnest(string_split_regex(lower(trim({text_sql})), '\s+')) AS tok
+  FROM {raw_src}
+), __ds_raw_vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM __ds_toks GROUP BY tok
+), __ds_raw_model AS (
+  SELECT tok, ln(CAST(cnt AS DOUBLE))
+           - ln((SELECT CAST(SUM(cnt) AS DOUBLE) FROM __ds_raw_vocab)) AS logprob
+  FROM __ds_raw_vocab
+), __ds_t_toks AS (
+  SELECT unnest(string_split_regex(lower(trim({text_sql})), '\s+')) AS tok
+  FROM {target_src}
+), __ds_t_vocab AS (
+  SELECT tok, COUNT(*) AS cnt FROM __ds_t_toks GROUP BY tok
+), __ds_t_model AS (
+  SELECT tok, ln(CAST(cnt AS DOUBLE))
+           - ln((SELECT CAST(SUM(cnt) AS DOUBLE) FROM __ds_t_vocab)) AS logprob
+  FROM __ds_t_vocab
+)
+SELECT t.id, CAST(COUNT(*) AS INT) AS n_tokens,
+       round(AVG(COALESCE(mt.logprob, {float(unseen_target_logprob)!r}) - mr.logprob),
+             {int(round_digits)}) AS dsir_weight
+FROM __ds_toks t
+JOIN __ds_raw_model mr ON mr.tok = t.tok
+LEFT JOIN __ds_t_model mt ON mt.tok = t.tok
+GROUP BY t.id
+"""

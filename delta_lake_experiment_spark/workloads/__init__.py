@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 71 value-oracled queries, twenty-one must sit outside the window. The
+# With 74 value-oracled queries, twenty-four must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -76,7 +76,17 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - customer_running_total -> the cumulative SUM-OVER window is
 #   shadowed by packed_sequences (identical cumsum frame) and
 #   order_gaps (lead/lag frames) — deferred in r5 to admit
-#   incremental_corpus_update (novel transactional composition).
+#   incremental_corpus_update (novel transactional composition);
+# - temperature_mixture -> md5-threshold membership machinery
+#   shadowed by doc_train_split + domain_mixture (same _hex_prefix),
+#   the data-dependent-fraction join by the many agg+broadcast-join
+#   queries — new in r5, deferred from birth;
+# - domain_capped_corpus -> per-group rank machinery shadowed by
+#   latest_event_per_user (row_number-per-group) over the same md5
+#   ordering as doc_train_split — new in r5, deferred from birth;
+# - dsir_doc_weights -> explode/model-join/agg machinery shadowed by
+#   doc_lm_score (identical tokenize+MLE lane, one extra model join)
+#   — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -102,6 +112,9 @@ _DEFERRED_ORACLED = [
     "export_manifest",
     "projection_filter",
     "customer_running_total",
+    "temperature_mixture",
+    "domain_capped_corpus",
+    "dsir_doc_weights",
 ]
 
 

@@ -881,6 +881,104 @@ WHERE {stratified_predicate_sql(
 """
 
 
+# -- temperature mixing + domain caps (operators/mixing.py) -------------
+
+_TEMP_TARGET = 250
+_TEMP_ALPHA = 0.5
+_TEMP_SALT = "temp-mix-r5"
+_CAP_PER_SOURCE = 15
+_CAP_SALT = "domain-cap-r5"
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language mixture (operators/mixing.py::
+    temperature_sample, the XLM-R ``p_i ~ count_i^alpha`` recipe):
+    per-language keep-fractions computed IN the plan from the corpus's
+    own counts (O(strata) aggregate, broadcast join, map-side filter —
+    no data shuffle), alpha=0.5 boosting low-resource languages. The
+    oracle recomputes the identical fractions in SQL."""
+    from delta_lake_experiment_spark.operators.mixing import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, "doc_id", "lang", _TEMP_TARGET, _TEMP_ALPHA, salt=_TEMP_SALT
+    ).select("doc_id", "lang", "source")
+
+
+def _temperature_mixture_sql() -> str:
+    from delta_lake_experiment_spark.operators.mixing import temperature_sample_sql
+
+    return (
+        "SELECT doc_id, lang, source FROM ("
+        + temperature_sample_sql(
+            "documents", "CAST(doc_id AS VARCHAR)", "lang",
+            _TEMP_TARGET, _TEMP_ALPHA, salt=_TEMP_SALT,
+        )
+        + ")"
+    )
+
+
+def domain_capped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/mixing.py::cap_per_stratum,
+    the Common-Crawl curation lever): at most 15 docs per source,
+    lowest salted-md5 first — deterministic under partitioning and
+    re-crawls. Exact window path here (value-oracled); the
+    hash-prefilter fast path for mega-domains is pytest-pinned equal
+    and guarded in-plan."""
+    from delta_lake_experiment_spark.operators.mixing import cap_per_stratum
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cap_per_stratum(
+        docs, "doc_id", "source", _CAP_PER_SOURCE, salt=_CAP_SALT
+    ).select("doc_id", "source", "lang")
+
+
+def _domain_capped_sql() -> str:
+    from delta_lake_experiment_spark.operators.mixing import cap_per_stratum_sql
+
+    return (
+        "SELECT doc_id, source, lang FROM ("
+        + cap_per_stratum_sql(
+            "documents", "CAST(doc_id AS VARCHAR)", "source",
+            _CAP_PER_SOURCE, salt=_CAP_SALT,
+        )
+        + ")"
+    )
+
+
+# -- DSIR importance weights (operators/lm.py) --------------------------
+
+_DSIR_FLOOR = -12.0  # below the en-model's min logprob at every sf
+
+
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/lm.py::dsir_importance_weights):
+    every document scored by the mean token log-likelihood ratio of a
+    target model (English docs — the "domain we want more of") vs the
+    raw-corpus model. Two O(vocab) model builds + one broadcast-join
+    scoring pass; selecting top weights = importance resampling."""
+    from delta_lake_experiment_spark.operators.lm import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, docs.filter(F.col("lang") == "en"), "doc_id", "text",
+        unseen_target_logprob=_DSIR_FLOOR,
+    )
+
+
+def _dsir_doc_weights_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import dsir_sql
+
+    return (
+        "SELECT id AS doc_id, n_tokens, dsir_weight FROM ("
+        + dsir_sql(
+            "documents", "(SELECT * FROM documents WHERE lang = 'en')",
+            "doc_id", "text", _DSIR_FLOOR,
+        )
+        + ")"
+    )
+
+
 # -- PII scrubbing ------------------------------------------------------
 
 
@@ -1511,6 +1609,9 @@ QUERIES = {
     "packed_sequences": packed_sequences,
     "pack_stats": pack_stats,
     "domain_mixture": domain_mixture,
+    "temperature_mixture": temperature_mixture,
+    "domain_capped_corpus": domain_capped_corpus,
+    "dsir_doc_weights": dsir_doc_weights,
     "media_ingest": media_ingest,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_line_dedup": doc_line_dedup,
@@ -1546,6 +1647,9 @@ ORACLES = {
     "packed_sequences": PACKED_SEQUENCES_SQL,
     "pack_stats": PACK_STATS_SQL,
     "domain_mixture": DOMAIN_MIXTURE_SQL,
+    "temperature_mixture": _temperature_mixture_sql(),
+    "domain_capped_corpus": _domain_capped_sql(),
+    "dsir_doc_weights": _dsir_doc_weights_sql(),
     "media_ingest": MEDIA_INGEST_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,

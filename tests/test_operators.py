@@ -2274,3 +2274,177 @@ def test_vocab_build_and_encode(spark):
     nulls = spark.createDataFrame([(1, None)], "doc_id long, text string")
     with pytest.raises(Exception, match="NULL"):
         encode_documents(nulls, "doc_id", "text", vocab).collect()
+
+
+def test_temperature_fractions(spark):
+    from delta_lake_experiment_spark.operators.mixing import temperature_fractions
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, "en")
+        .when(F.col("id") < 990, "fr")
+        .otherwise("zh")
+        .alias("lang"),
+    )
+    # alpha=1 reproduces the raw distribution: every stratum keeps the
+    # same fraction target/total
+    fr1 = {
+        r["lang"]: r
+        for r in temperature_fractions(df, "lang", 100, 1.0).collect()
+    }
+    for lang, cnt in (("en", 900), ("fr", 90), ("zh", 10)):
+        assert fr1[lang]["cnt"] == cnt
+        assert abs(fr1[lang]["fraction"] - 0.1) < 1e-12
+    # alpha=0 flattens to uniform shares: each stratum owes 100/3 rows,
+    # and the 10-row stratum can't supply its share -> capped at 1.0
+    fr0 = {
+        r["lang"]: r
+        for r in temperature_fractions(df, "lang", 100, 0.0).collect()
+    }
+    assert abs(fr0["zh"]["fraction"] - 1.0) < 1e-12
+    assert abs(fr0["en"]["fraction"] - (100 / 3) / 900) < 1e-12
+    assert abs(sum(r["weight"] for r in fr0.values()) - 1.0) < 1e-12
+    # target beyond the corpus: everything capped at keep-all
+    frall = temperature_fractions(df, "lang", 10_000, 0.5).collect()
+    assert all(abs(r["fraction"] - 1.0) < 1e-12 for r in frall)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_fractions(df, "lang", 100, -0.1)
+    with pytest.raises(ValueError, match="target_total"):
+        temperature_fractions(df, "lang", -1, 0.5)
+
+
+def test_temperature_sample(spark):
+    from delta_lake_experiment_spark.operators.mixing import temperature_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, "en").otherwise("fr").alias("lang"),
+    )
+    out = temperature_sample(df, "k", "lang", 200, 0.5, salt="t5")
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=0.5 shares: w_en = 30/(30+10), w_fr = 10/40 -> desired
+    # 150 en / 50 fr; hash sampling is binomial around those
+    assert abs(counts["en"] - 150) < 40
+    assert abs(counts["fr"] - 50) < 25
+    # membership is deterministic under repartitioning
+    again = temperature_sample(
+        df.repartition(13), "k", "lang", 200, 0.5, salt="t5"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a NULL stratum raises instead of silently dropping out of the join
+    bad = spark.createDataFrame([(1, "en"), (2, None)], "k int, lang string")
+    with pytest.raises(Exception, match="mixing.*NULL"):
+        temperature_sample(bad, "k", "lang", 10, 0.5).collect()
+
+
+def test_cap_per_stratum(spark):
+    from delta_lake_experiment_spark.operators.mixing import cap_per_stratum
+
+    df = spark.range(0, 51).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 40, "big")
+        .when(F.col("id") < 50, "mid")
+        .otherwise("tiny")
+        .alias("dom"),
+    )
+    out = cap_per_stratum(df, "k", "dom", 5, salt="cap5")
+    counts = {
+        r["dom"]: r["n"]
+        for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"big": 5, "mid": 5, "tiny": 1}
+    kept = sorted(map(tuple, out.collect()))
+    # deterministic under repartitioning
+    assert kept == sorted(
+        map(tuple, cap_per_stratum(df.repartition(7), "k", "dom", 5, salt="cap5").collect())
+    )
+    # prefilter fast path: identical result, and the in-plan guard
+    # stays silent when every stratum retains >= min(cap, cnt)
+    pre = cap_per_stratum(df, "k", "dom", 5, salt="cap5", prefilter_margin=3.0)
+    assert pre.columns == out.columns  # prefilter path keeps column order
+    assert kept == sorted(map(tuple, pre.collect()))
+    # re-crawl stability: growing a domain can only DISPLACE old
+    # survivors with lower-hash arrivals, never reorder survivors —
+    # the kept set of the grown corpus restricted to old keys is a
+    # prefix of the old kept set
+    df2 = df.unionByName(
+        spark.range(1000, 1100).select(
+            F.col("id").alias("k"), F.lit("big").alias("dom")
+        )
+    )
+    kept2 = {
+        r["k"]
+        for r in cap_per_stratum(df2, "k", "dom", 5, salt="cap5")
+        .filter("dom = 'big'")
+        .collect()
+    }
+    old_big = {k for k, d in kept if d == "big"}
+    assert len(kept2) == 5
+    # growth can only DISPLACE old survivors with lower-hash arrivals:
+    # an old key that wasn't kept before can never become kept
+    assert kept2 & set(range(0, 40)) <= old_big
+
+
+def test_cap_per_stratum_prefilter_guard(spark):
+    """The whp prefilter can never be SILENTLY wrong: a stratum whose
+    low-hash rows were all clipped raises in-plan."""
+    import hashlib
+
+    from delta_lake_experiment_spark.operators.mixing import (
+        _HEX_SPAN,
+        cap_per_stratum,
+    )
+
+    salt = "guard"
+    # two keys whose salted md5 prefixes both land ABOVE the
+    # round(0.75 * 16^8) threshold that cap=1, margin=1.5, cnt=2 gives
+    thr = round(0.75 * _HEX_SPAN)
+    picked = []
+    k = 0
+    while len(picked) < 2:
+        h = int(hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:8], 16)
+        if h >= thr:
+            picked.append(k)
+        k += 1
+    df = spark.createDataFrame([(p, "d") for p in picked], "k int, dom string")
+    with pytest.raises(Exception, match="prefilter clipped"):
+        cap_per_stratum(
+            df, "k", "dom", 1, salt=salt, prefilter_margin=1.5
+        ).collect()
+    with pytest.raises(ValueError, match="prefilter_margin"):
+        cap_per_stratum(df, "k", "dom", 1, prefilter_margin=0.9)
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_stratum(df, "k", "dom", 0)
+
+
+def test_dsir_importance_weights(spark):
+    """Hand-computed two-model check, incl. the unseen-token floor."""
+    import math
+
+    from delta_lake_experiment_spark.operators.lm import dsir_importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    target = spark.createDataFrame([(10, "a b")], "doc_id int, text string")
+    floor = -5.0
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            raw, target, "doc_id", "text", unseen_target_logprob=floor
+        ).collect()
+    }
+    # raw model: a 2/5, b 2/5, c 1/5; target model: a 1/2, b 1/2, c unseen
+    llr_a = math.log(0.5) - math.log(0.4)
+    llr_b = math.log(0.5) - math.log(0.4)
+    llr_c = floor - math.log(0.2)
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["dsir_weight"] == round((2 * llr_a + llr_b) / 3, 6)
+    assert out[2]["n_tokens"] == 2
+    assert out[2]["dsir_weight"] == round((llr_b + llr_c) / 2, 6)
+    # the target-lookalike outranks the off-domain doc — the selection
+    # property the weights exist for
+    assert out[1]["dsir_weight"] > out[2]["dsir_weight"]
