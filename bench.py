@@ -77,6 +77,8 @@ HEADLINE = [
     "temperature_mixture",
     "domain_capped_corpus",
     "dsir_doc_weights",
+    "contamination_spans",
+    "training_epoch_plan",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

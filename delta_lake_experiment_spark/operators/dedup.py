@@ -903,3 +903,131 @@ def decontaminate_split(
         F.col(split_col).isNull() | (F.col(split_col) != train_split)
     )
     return clean_train.unionByName(others)
+
+
+def positional_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, pos, sh) — 64-bit word-n-gram shingle hashes WITH their
+    1-based token position. The positional twin of
+    :func:`shingle_hashes` (same token hashing, same sliding fold) for
+    consumers that need adjacency — span detection, alignment — not
+    just set membership."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toksh = F.transform(toks, lambda t: F.xxhash64(t))
+    grams = sliding_ngrams(toksh, n, lambda a, b: F.xxhash64(a, b))
+    src = df.select(F.col(id_col).alias("__id"), grams.alias("g"))
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return src.select(
+        "__id", F.posexplode("g").alias("__p0", "sh")
+    ).select("__id", (F.col("__p0") + 1).alias("pos"), "sh")
+
+
+def contamination_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    train_split: str = "train",
+    eval_splits: Sequence[str] = ("val", "test"),
+    shingle_n: int = 8,
+    min_span_tokens: Optional[int] = None,
+    max_postings: Optional[int] = None,
+) -> DataFrame:
+    """Contamination SPAN detector: for every train/eval pair sharing
+    word-``shingle_n``-grams, the length in tokens of their longest
+    contiguous shared run — ``(train_id, eval_id, split,
+    max_span_tokens)``.
+
+    :func:`cross_split_contamination` counts shared grams; a COUNT
+    can't distinguish fifty idioms scattered through a long document
+    from one verbatim fifty-gram quotation. Substring-level dedup work
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better") keys on contiguous span length for exactly that
+    reason, and decontamination policies phrased as "drop train docs
+    quoting >= K consecutive eval tokens" need the span, not the
+    count. ``min_span_tokens`` defaults to ``shingle_n`` (any single
+    shared gram is a minimal span).
+
+    Shape: positional gram hashes both sides, the same posting-capped
+    train x eval inverted-index join as the counting detector, then
+    the classic diagonal-islands trick — matches at train position
+    ``tpos`` / eval position ``epos`` lie on diagonal
+    ``tpos - epos``; within one (pair, diagonal), consecutive
+    ``tpos`` values form maximal runs found by grouping on
+    ``tpos - row_number()`` (one fine-grained-key window, no
+    quadratic work). A run of R grams covers R + n - 1 tokens.
+
+    100 TB notes: the join is bounded exactly as in
+    :func:`cross_split_contamination` (posting cap cuts boilerplate
+    diagonals); window keys are (train, eval, split, diagonal) —
+    far finer than per-document, so no skewed single task. Repeated
+    grams inside one document only add extra diagonals, never
+    duplicate rows on one diagonal (a position holds one gram).
+    """
+    if min_span_tokens is None:
+        min_span_tokens = shingle_n
+    if min_span_tokens < shingle_n:
+        raise ValueError(
+            f"min_span_tokens={min_span_tokens!r} below the gram width"
+            f" {shingle_n} is unsatisfiable-precision: any match already"
+            f" spans {shingle_n} tokens"
+        )
+    evs = list(eval_splits)
+    tagged = df.select(
+        F.col(id_col).alias("__doc"), F.col(split_col).alias("__split"), text_col
+    )
+    grams = (
+        positional_shingle_hashes(tagged, "__doc", text_col, n=shingle_n)
+        .join(tagged.select(F.col("__doc").alias("__id"), "__split"), "__id")
+        .persist()
+    )
+    if max_postings is not None:
+        if max_postings < 1:
+            raise ValueError(f"max_postings={max_postings!r} must be >= 1")
+        rare = (
+            grams.select("__id", "sh")
+            .distinct()
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_postings)
+            .select("sh")
+        )
+        grams = grams.join(rare, "sh", "left_semi")
+    train = grams.filter(F.col("__split") == train_split).select(
+        F.col("__id").alias("train_id"), F.col("pos").alias("__tpos"), "sh"
+    )
+    ev = grams.filter(F.col("__split").isin(evs)).select(
+        F.col("__id").alias("eval_id"),
+        F.col("__split").alias("split"),
+        F.col("pos").alias("__epos"),
+        "sh",
+    )
+    matches = train.join(ev, "sh").select(
+        "train_id",
+        "eval_id",
+        "split",
+        "__tpos",
+        (F.col("__tpos") - F.col("__epos")).alias("__diag"),
+    )
+    w = Window.partitionBy("train_id", "eval_id", "split", "__diag").orderBy(
+        "__tpos"
+    )
+    runs = (
+        matches.withColumn(
+            "__island", F.col("__tpos") - F.row_number().over(w)
+        )
+        .groupBy("train_id", "eval_id", "split", "__diag", "__island")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    return (
+        runs.groupBy("train_id", "eval_id", "split")
+        .agg(
+            (F.max("__run") + F.lit(shingle_n - 1))
+            .cast("int")
+            .alias("max_span_tokens")
+        )
+        .filter(F.col("max_span_tokens") >= min_span_tokens)
+    )

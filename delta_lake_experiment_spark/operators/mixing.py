@@ -305,3 +305,107 @@ SELECT * EXCLUDE (__rk) FROM (
   FROM {src}
 ) WHERE __rk <= {int(cap)}
 """
+
+
+def epoch_plan(
+    df: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+    target_total_tokens: int,
+    weights: "dict[str, float]",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Data-budget planner: given target mixture ``weights`` (e.g. a
+    DoReMi-style domain-weight vector, normalized here) and a token
+    budget, how many EPOCHS of each stratum the training run consumes
+    — ``(stratum, tokens, weight, target_tokens, epochs,
+    full_epochs, tail_fraction)``. ``epochs > 1`` means the source
+    repeats (the up-sampling a "4 epochs of wiki" recipe encodes);
+    ``tail_fraction`` is the deterministic-sample fraction of the last
+    partial epoch (feed it to :func:`temperature_sample`'s machinery /
+    operators/sampling.py::hash_sample to realize the plan).
+
+    One partial-agg shuffle to O(strata); weights are a static
+    broadcast CASE, so the oracle is a plain aggregate. Strata absent
+    from ``weights`` get weight 0 (explicitly planned OUT — they still
+    appear in the output with epochs 0, so a dropped domain is visible
+    rather than silently missing). Rounding to ``round_digits`` grids
+    cross-engine float noise; ``full_epochs = floor(rounded epochs)``
+    so both engines floor the same grid value."""
+    if target_total_tokens < 0:
+        raise ValueError(
+            f"target_total_tokens={target_total_tokens!r} must be >= 0"
+        )
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for stratum {k!r} is {v!r}, negative")
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    wcol = F.lit(0.0)
+    for name, v in weights.items():
+        wcol = F.when(
+            F.col(strata_col) == F.lit(name), F.lit(float(v) / total_w)
+        ).otherwise(wcol)
+    per = df.groupBy(
+        _checked(F.col(strata_col), strata_col).alias(strata_col)
+    ).agg(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+    epochs = F.round(
+        F.lit(float(target_total_tokens))
+        * F.col("weight")
+        / F.col("tokens").cast("double"),
+        round_digits,
+    )
+    return (
+        per.withColumn("weight", wcol)
+        .withColumn(
+            "target_tokens",
+            F.round(F.lit(float(target_total_tokens)) * F.col("weight")).cast(
+                "long"
+            ),
+        )
+        .withColumn("epochs", epochs)
+        .withColumn("full_epochs", F.floor(epochs).cast("int"))
+        .withColumn(
+            "tail_fraction",
+            F.round(F.col("epochs") - F.floor(epochs), round_digits),
+        )
+    )
+
+
+def epoch_plan_sql(
+    src: str,
+    strata_sql: str,
+    tokens_sql: str,
+    target_total_tokens: int,
+    weights: "dict[str, float]",
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`epoch_plan` — identical normalization,
+    formula, and rounding grid."""
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    whens = " ".join(
+        f"WHEN {_sql_str(name)} THEN {float(v) / total_w!r}"
+        for name, v in weights.items()
+    )
+    wexpr = f"(CASE {strata_sql} {whens} ELSE 0.0 END)"
+    d = int(round_digits)
+    t = float(target_total_tokens)
+    return f"""
+SELECT stratum, tokens, weight,
+       CAST(round({t!r} * weight) AS BIGINT) AS target_tokens,
+       round({t!r} * weight / CAST(tokens AS DOUBLE), {d}) AS epochs,
+       CAST(floor(round({t!r} * weight / CAST(tokens AS DOUBLE), {d})) AS INT)
+         AS full_epochs,
+       round(round({t!r} * weight / CAST(tokens AS DOUBLE), {d})
+             - floor(round({t!r} * weight / CAST(tokens AS DOUBLE), {d})), {d})
+         AS tail_fraction
+FROM (
+  SELECT {strata_sql} AS stratum,
+         CAST(SUM({tokens_sql}) AS BIGINT) AS tokens,
+         {wexpr} AS weight
+  FROM {src} GROUP BY 1, 3
+)
+"""

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 74 value-oracled queries, twenty-four must sit outside the window. The
+# With 76 value-oracled queries, twenty-six must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -86,7 +86,14 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   ordering as doc_train_split — new in r5, deferred from birth;
 # - dsir_doc_weights -> explode/model-join/agg machinery shadowed by
 #   doc_lm_score (identical tokenize+MLE lane, one extra model join)
-#   — new in r5, deferred from birth.
+#   — new in r5, deferred from birth;
+# - contamination_spans -> inverted-index join shadowed by
+#   train_contamination (same capped gram lane), the islands window
+#   by user_sessions (same gaps-and-islands construction) — new in
+#   r5, deferred from birth;
+# - training_epoch_plan -> O(strata) aggregate + static CASE, shadowed
+#   by corpus_report and event_type_stats — new in r5, deferred from
+#   birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -115,6 +122,8 @@ _DEFERRED_ORACLED = [
     "temperature_mixture",
     "domain_capped_corpus",
     "dsir_doc_weights",
+    "contamination_spans",
+    "training_epoch_plan",
 ]
 
 

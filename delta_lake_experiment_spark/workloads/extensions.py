@@ -782,6 +782,78 @@ WHERE split <> 'train'
 """
 
 
+def contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level contamination (operators/dedup.py::
+    contamination_spans): for each contaminated train/eval pair, the
+    longest CONTIGUOUS shared word-8-gram run in tokens — the
+    Lee-et-al substring-dedup unit a "drop train docs quoting >= K
+    consecutive eval tokens" policy needs, which the pair COUNT
+    (train_contamination) cannot express. Same posting-capped
+    inverted-index join; runs found by the diagonal-islands window."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    from delta_lake_experiment_spark.operators.dedup import contamination_spans
+
+    return contamination_spans(
+        split,
+        "doc_id",
+        "text",
+        "split",
+        shingle_n=_CONTAM_N,
+        max_postings=_NEAR_DUP_CAP,
+    )
+
+
+def _contamination_span_ctes() -> str:
+    """Positional twin of _contamination_ctes: 1-based gram positions
+    (parallel unnest zip), the same posting cap computed over DISTINCT
+    (doc, gram), diagonal islands via tpos - ROW_NUMBER()."""
+    split_case = split_thresholds_sql(
+        "CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT
+    )
+    gram = "concat_ws(' ', " + ", ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(_CONTAM_N)
+    ) + ")"
+    series = f"generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 1))"
+    return rf"""split AS (
+  SELECT doc_id, text, lang, {split_case} AS split FROM documents
+), ctoks AS (
+  SELECT doc_id, split, string_split_regex(lower(trim(text)), '\s+') AS t FROM split
+), pgrams0 AS (
+  SELECT doc_id, split,
+    unnest({series}) AS pos,
+    unnest(list_transform({series}, i -> {gram})) AS g
+  FROM ctoks
+), pdf AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM pgrams0)
+  GROUP BY g HAVING COUNT(*) <= {_NEAR_DUP_CAP}
+), pgrams AS (
+  SELECT p.doc_id, p.split, p.pos, p.g FROM pgrams0 p JOIN pdf USING (g)
+), pm AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, b.split AS split,
+         a.pos AS tpos, a.pos - b.pos AS diag
+  FROM pgrams a JOIN pgrams b ON a.g = b.g
+  WHERE a.split = 'train' AND b.split IN ('val', 'test')
+), pruns AS (
+  SELECT train_id, eval_id, split, diag, island, COUNT(*) AS run
+  FROM (
+    SELECT *, tpos - ROW_NUMBER() OVER (
+      PARTITION BY train_id, eval_id, split, diag ORDER BY tpos
+    ) AS island
+    FROM pm
+  )
+  GROUP BY 1, 2, 3, 4, 5
+)"""
+
+
+CONTAMINATION_SPANS_SQL = f"""
+WITH {_contamination_span_ctes()}
+SELECT train_id, eval_id, split,
+       CAST(MAX(run) + {_CONTAM_N - 1} AS INT) AS max_span_tokens
+FROM pruns GROUP BY 1, 2, 3
+"""
+
+
 # -- sequence packing ---------------------------------------------------
 
 _PACK_BUDGET = 512  # tokens per pack; ~12 docs/pack on this corpus
@@ -974,6 +1046,43 @@ def _dsir_doc_weights_sql() -> str:
         + dsir_sql(
             "documents", "(SELECT * FROM documents WHERE lang = 'en')",
             "doc_id", "text", _DSIR_FLOOR,
+        )
+        + ")"
+    )
+
+
+# -- data-budget epoch planning (operators/mixing.py) -------------------
+
+_EPOCH_TARGET_TOKENS = 20_000
+# de deliberately absent: a planned-OUT domain must surface with
+# weight 0 / epochs 0, not vanish
+_EPOCH_WEIGHTS = {"en": 0.4, "fr": 0.2, "es": 0.2, "zh": 0.2}
+
+
+def training_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-budget planner (operators/mixing.py::epoch_plan): given a
+    DoReMi-style language weight vector and a token budget, how many
+    epochs of each language the run consumes (epochs > 1 = the
+    up-sampling a "4 epochs of wiki" recipe encodes; tail_fraction
+    feeds the deterministic sampler). One O(strata) aggregate."""
+    from delta_lake_experiment_spark.operators.mixing import epoch_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = docs.withColumn("n_toks", token_count(F.col("text")))
+    return epoch_plan(
+        wt, "lang", "n_toks", _EPOCH_TARGET_TOKENS, _EPOCH_WEIGHTS
+    )
+
+
+def _training_epoch_plan_sql() -> str:
+    from delta_lake_experiment_spark.operators.mixing import epoch_plan_sql
+
+    return (
+        "SELECT stratum AS lang, tokens, weight, target_tokens, epochs,"
+        " full_epochs, tail_fraction FROM ("
+        + epoch_plan_sql(
+            "documents", "lang", _NTOKENS_SQL,
+            _EPOCH_TARGET_TOKENS, _EPOCH_WEIGHTS,
         )
         + ")"
     )
@@ -1612,6 +1721,8 @@ QUERIES = {
     "temperature_mixture": temperature_mixture,
     "domain_capped_corpus": domain_capped_corpus,
     "dsir_doc_weights": dsir_doc_weights,
+    "contamination_spans": contamination_span_report,
+    "training_epoch_plan": training_epoch_plan,
     "media_ingest": media_ingest,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_line_dedup": doc_line_dedup,
@@ -1650,6 +1761,8 @@ ORACLES = {
     "temperature_mixture": _temperature_mixture_sql(),
     "domain_capped_corpus": _domain_capped_sql(),
     "dsir_doc_weights": _dsir_doc_weights_sql(),
+    "contamination_spans": CONTAMINATION_SPANS_SQL,
+    "training_epoch_plan": _training_epoch_plan_sql(),
     "media_ingest": MEDIA_INGEST_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,

@@ -2448,3 +2448,96 @@ def test_dsir_importance_weights(spark):
     # the target-lookalike outranks the off-domain doc — the selection
     # property the weights exist for
     assert out[1]["dsir_weight"] > out[2]["dsir_weight"]
+
+
+def test_contamination_spans(spark):
+    """Planted-quotation check: span length distinguishes one long
+    verbatim run from scattered single-gram matches (which a pair
+    COUNT cannot)."""
+    from delta_lake_experiment_spark.operators.dedup import contamination_spans
+
+    t = [f"t{i}" for i in range(1, 21)]           # eval doc: t1..t20
+    rows = [
+        (100, " ".join(t), "val"),
+        # 12-token verbatim quote t5..t16 -> 5 consecutive grams -> span 12
+        (1, "x1 x2 " + " ".join(t[4:16]) + " y1 y2", "train"),
+        # exactly one shared 8-gram (t1..t8) -> span 8
+        (2, "a b c " + " ".join(t[0:8]) + " d e", "train"),
+        # two scattered single-gram matches on different diagonals ->
+        # n_common would be 2, but max span stays 8
+        (3, " ".join(t[0:8]) + " z1 z2 z3 " + " ".join(t[12:20]), "train"),
+        # no overlap at all
+        (4, " ".join(f"u{i}" for i in range(1, 15)), "train"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, split string")
+    out = {
+        (r["train_id"], r["eval_id"]): r["max_span_tokens"]
+        for r in contamination_spans(
+            df, "doc_id", "text", "split", shingle_n=8
+        ).collect()
+    }
+    assert out == {(1, 100): 12, (2, 100): 8, (3, 100): 8}
+    # policy filter: "drop only >= 10 consecutive shared tokens"
+    long_only = contamination_spans(
+        df, "doc_id", "text", "split", shingle_n=8, min_span_tokens=10
+    ).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in long_only} == {(1, 100)}
+    with pytest.raises(ValueError, match="min_span_tokens"):
+        contamination_spans(
+            df, "doc_id", "text", "split", shingle_n=8, min_span_tokens=4
+        )
+
+
+def test_positional_shingle_hashes(spark):
+    from delta_lake_experiment_spark.operators.dedup import (
+        positional_shingle_hashes,
+        shingle_hashes,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id int, text string")
+    rows = sorted(
+        (r["pos"], r["sh"])
+        for r in positional_shingle_hashes(df, "doc_id", "text", n=3).collect()
+    )
+    assert [p for p, _ in rows] == [1, 2, 3]      # len - n + 1, 1-based
+    # same hashes as the set-semantics builder, now with adjacency
+    flat = {r["sh"] for r in shingle_hashes(df, "doc_id", "text", n=3).collect()}
+    assert {h for _, h in rows} == flat
+
+
+def test_epoch_plan(spark):
+    from delta_lake_experiment_spark.operators.mixing import epoch_plan
+
+    rows = [("wiki", 100), ("wiki", 100), ("web", 1000), ("code", 300)]
+    df = spark.createDataFrame(rows, "src string, n_toks int")
+    out = {
+        r["src"]: r
+        for r in epoch_plan(
+            df, "src", "n_toks", 2000, {"wiki": 0.5, "web": 0.5}
+        ).collect()
+    }
+    # wiki: 200 tokens available, 1000 targeted -> 5 epochs exactly
+    assert out["wiki"]["tokens"] == 200
+    assert out["wiki"]["target_tokens"] == 1000
+    assert out["wiki"]["epochs"] == 5.0
+    assert out["wiki"]["full_epochs"] == 5
+    assert out["wiki"]["tail_fraction"] == 0.0
+    # web: 1000 available, 1000 targeted -> exactly one epoch
+    assert out["web"]["epochs"] == 1.0 and out["web"]["full_epochs"] == 1
+    # code: not in the weight vector -> planned OUT but visible
+    assert out["code"]["weight"] == 0.0 and out["code"]["epochs"] == 0.0
+    # fractional tail: weights renormalized (0.6/0.2 -> 0.75/0.25)
+    out2 = {
+        r["src"]: r
+        for r in epoch_plan(
+            df, "src", "n_toks", 1000, {"wiki": 0.6, "web": 0.2}
+        ).collect()
+    }
+    assert out2["wiki"]["target_tokens"] == 750
+    assert out2["wiki"]["epochs"] == 3.75
+    assert out2["wiki"]["full_epochs"] == 3
+    assert out2["wiki"]["tail_fraction"] == 0.75
+    with pytest.raises(ValueError, match="sum"):
+        epoch_plan(df, "src", "n_toks", 100, {})
+    with pytest.raises(ValueError, match="negative"):
+        epoch_plan(df, "src", "n_toks", 100, {"wiki": -1.0})
