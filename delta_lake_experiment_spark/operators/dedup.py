@@ -863,11 +863,18 @@ def decontaminate_split(
     train_split: str = "train",
     eval_splits: Sequence[str] = ("val", "test"),
     min_common: int = 1,
+    min_span_tokens: Optional[int] = None,
     **contamination_kwargs,
 ) -> DataFrame:
     """The consumer of :func:`cross_split_contamination`: drop every
     TRAIN document whose n-gram overlap with any eval document reaches
     ``min_common`` shared grams, keeping eval rows untouched.
+
+    ``min_span_tokens`` switches the detector to
+    :func:`contamination_spans`: drop train docs sharing a CONTIGUOUS
+    run of at least that many tokens with an eval doc (the
+    substring-level policy — fifty scattered idioms stay, one verbatim
+    fifty-token quotation goes); ``min_common`` is ignored then.
 
     This is the decision step of benchmark decontamination — the
     detector emits (train_id, eval_id, n_common) pairs; the pipeline
@@ -882,16 +889,28 @@ def decontaminate_split(
     (``shingle_n``, ``max_postings``, text column via ``text_col``).
     """
     text_col = contamination_kwargs.pop("text_col", "text")
-    pairs = cross_split_contamination(
-        df,
-        id_col,
-        text_col,
-        split_col,
-        train_split=train_split,
-        eval_splits=eval_splits,
-        min_common=min_common,
-        **contamination_kwargs,
-    )
+    if min_span_tokens is not None:
+        pairs = contamination_spans(
+            df,
+            id_col,
+            text_col,
+            split_col,
+            train_split=train_split,
+            eval_splits=eval_splits,
+            min_span_tokens=min_span_tokens,
+            **contamination_kwargs,
+        )
+    else:
+        pairs = cross_split_contamination(
+            df,
+            id_col,
+            text_col,
+            split_col,
+            train_split=train_split,
+            eval_splits=eval_splits,
+            min_common=min_common,
+            **contamination_kwargs,
+        )
     bad = pairs.select(F.col("train_id").alias(id_col)).distinct()
     clean_train = df.filter(F.col(split_col) == train_split).join(
         bad, id_col, "left_anti"

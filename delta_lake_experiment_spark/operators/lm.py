@@ -323,3 +323,73 @@ JOIN __ds_raw_model mr ON mr.tok = t.tok
 LEFT JOIN __ds_t_model mt ON mt.tok = t.tok
 GROUP BY t.id
 """
+
+
+def stratified_score_filter(
+    scores: DataFrame,
+    score_col: str,
+    strata_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    strategy: str = "exact",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-stratum :func:`calibrated_score_filter`: keep rows inside
+    their OWN stratum's [lo_q, hi_q] score band. The global cut is
+    wrong for mixed corpora — a multilingual corpus scored by one
+    model systematically ranks whole languages below others, and a
+    global percentile gate silently deletes the low-resource tail;
+    CCNet applies its perplexity cut per language for exactly this
+    reason.
+
+    Same two strategies as the global filter: ``exact`` concentrates
+    each stratum (not the corpus) in one aggregation buffer — fine
+    when every stratum fits, and oracle-checkable; ``approx`` is the
+    mergeable-sketch bounded-memory path for 100 TB. Bounds are an
+    O(strata) aggregate joined back (AQE broadcasts it); rows pass
+    through otherwise unchanged. Rounding to 6 digits matches the
+    score grid (the lm-lane determinism argument)."""
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got {lo_q!r}, {hi_q!r}")
+    qcol = "`" + score_col.replace("`", "``") + "`"
+    if strategy == "exact":
+        lo = F.expr(f"percentile({qcol}, {lo_q})")
+        hi = F.expr(f"percentile({qcol}, {hi_q})")
+    elif strategy == "approx":
+        lo = F.expr(f"approx_percentile({qcol}, {lo_q}, {int(accuracy)})")
+        hi = F.expr(f"approx_percentile({qcol}, {hi_q}, {int(accuracy)})")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    scores = scores.persist()  # feeds bounds agg AND the filter scan
+    bounds = scores.groupBy(strata_col).agg(
+        F.round(lo, 6).alias("__lo"), F.round(hi, 6).alias("__hi")
+    )
+    return (
+        scores.join(F.broadcast(bounds), strata_col)
+        .filter(
+            (F.col(score_col) >= F.col("__lo"))
+            & (F.col(score_col) <= F.col("__hi"))
+        )
+        .select(*scores.columns)
+    )
+
+
+def stratified_score_filter_sql(
+    src: str,
+    score_sql: str,
+    strata_sql: str,
+    lo_q: float,
+    hi_q: float,
+) -> str:
+    """DuckDB twin of :func:`stratified_score_filter` (exact strategy):
+    per-stratum quantile_cont bounds, same 6-digit rounding."""
+    return f"""
+SELECT d.* FROM {src} d
+JOIN (
+  SELECT {strata_sql} AS stratum,
+         round(quantile_cont({score_sql}, {float(lo_q)!r}), 6) AS lo,
+         round(quantile_cont({score_sql}, {float(hi_q)!r}), 6) AS hi
+  FROM {src} GROUP BY 1
+) b ON {strata_sql} = b.stratum
+WHERE {score_sql} >= b.lo AND {score_sql} <= b.hi
+"""

@@ -347,9 +347,15 @@ def epoch_plan(
         wcol = F.when(
             F.col(strata_col) == F.lit(name), F.lit(float(v) / total_w)
         ).otherwise(wcol)
+    # NULL token counts raise (the packing-lane contract): SUM skips
+    # NULLs, so a NULL count would silently shrink a stratum's budget
     per = df.groupBy(
         _checked(F.col(strata_col), strata_col).alias(strata_col)
-    ).agg(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+    ).agg(
+        F.sum(
+            _checked(F.col(tokens_col), tokens_col).cast("long")
+        ).alias("tokens")
+    )
     epochs = F.round(
         F.lit(float(target_total_tokens))
         * F.col("weight")

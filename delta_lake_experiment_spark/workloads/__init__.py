@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 76 value-oracled queries, twenty-six must sit outside the window. The
+# With 77 value-oracled queries, twenty-seven must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -93,7 +93,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   r5, deferred from birth;
 # - training_epoch_plan -> O(strata) aggregate + static CASE, shadowed
 #   by corpus_report and event_type_stats — new in r5, deferred from
-#   birth.
+#   birth;
+# - lang_lm_filtered_corpus -> per-group percentile machinery shadowed
+#   by lm_filtered_corpus (same quantile parity) +
+#   segment_price_percentiles — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -124,6 +127,7 @@ _DEFERRED_ORACLED = [
     "dsir_doc_weights",
     "contamination_spans",
     "training_epoch_plan",
+    "lang_lm_filtered_corpus",
 ]
 
 

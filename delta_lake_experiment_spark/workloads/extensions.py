@@ -1374,6 +1374,47 @@ FROM lm, b WHERE avg_logprob >= lo AND avg_logprob <= hi
 """
 
 
+def lang_lm_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language calibrated LM filter (operators/lm.py::
+    stratified_score_filter): every document kept only if inside its
+    OWN language's [p05, p95] avg_logprob band — the CCNet per-language
+    cut; a single global band would systematically delete whole
+    low-resource languages ranked low by the shared model. Exact
+    strategy here (value-oracled); the approx sketch is the 100 TB
+    path, pytest-pinned."""
+    from delta_lake_experiment_spark.operators.lm import (
+        stratified_score_filter,
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return stratified_score_filter(
+        scores, "avg_logprob", "lang", lo_q=_LM_LO_Q, hi_q=_LM_HI_Q,
+        strategy="exact",
+    ).select("doc_id", "lang", "n_tokens", "avg_logprob")
+
+
+def _lang_lm_filtered_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import (
+        stratified_score_filter_sql,
+        unigram_logprob_sql,
+    )
+
+    return f"""
+WITH lm AS ({unigram_logprob_sql("documents", "doc_id", "text")}),
+sc AS (
+  SELECT l.id AS doc_id, d.lang, l.n_tokens, l.avg_logprob
+  FROM lm l JOIN documents d ON d.doc_id = l.id
+)
+SELECT doc_id, lang, n_tokens, avg_logprob FROM (
+{stratified_score_filter_sql("sc", "avg_logprob", "lang", _LM_LO_Q, _LM_HI_Q)}
+)
+"""
+
+
 # -- vocabulary + id encoding -------------------------------------------
 
 _VOCAB_SIZE = 20  # the synthetic corpus has 31 distinct tokens: a
@@ -1734,6 +1775,7 @@ QUERIES = {
     "incremental_corpus_update": incremental_corpus_update,
     "export_manifest": export_manifest,
     "lm_filtered_corpus": lm_filtered_corpus,
+    "lang_lm_filtered_corpus": lang_lm_filtered_corpus,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -1774,6 +1816,7 @@ ORACLES = {
     "incremental_corpus_update": INCREMENTAL_UPDATE_SQL,
     "export_manifest": _export_manifest_sql(),
     "lm_filtered_corpus": _lm_filtered_corpus_sql(),
+    "lang_lm_filtered_corpus": _lang_lm_filtered_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,

@@ -2541,3 +2541,90 @@ def test_epoch_plan(spark):
         epoch_plan(df, "src", "n_toks", 100, {})
     with pytest.raises(ValueError, match="negative"):
         epoch_plan(df, "src", "n_toks", 100, {"wiki": -1.0})
+
+
+def test_decontaminate_by_span(spark):
+    """Span-threshold decontamination: the long verbatim quote goes,
+    scattered single-gram overlaps stay."""
+    from delta_lake_experiment_spark.operators.dedup import decontaminate_split
+
+    t = [f"t{i}" for i in range(1, 21)]
+    rows = [
+        (100, " ".join(t), "val"),
+        (1, "x1 x2 " + " ".join(t[4:16]) + " y1 y2", "train"),   # span 12
+        (2, "a b c " + " ".join(t[0:8]) + " d e", "train"),      # span 8
+        (4, " ".join(f"u{i}" for i in range(1, 15)), "train"),   # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, split string")
+    kept = {
+        r["doc_id"]
+        for r in decontaminate_split(
+            df, "doc_id", "split", min_span_tokens=10, shingle_n=8
+        ).collect()
+    }
+    assert kept == {100, 2, 4}          # only the 12-token quoter dropped
+    # count-mode (default) drops BOTH overlapping train docs
+    kept_count = {
+        r["doc_id"]
+        for r in decontaminate_split(
+            df, "doc_id", "split", min_common=1, shingle_n=8
+        ).collect()
+    }
+    assert kept_count == {100, 4}
+
+
+def test_epoch_plan_null_tokens_raise(spark):
+    from delta_lake_experiment_spark.operators.mixing import epoch_plan
+
+    df = spark.createDataFrame(
+        [("wiki", 10), ("wiki", None)], "src string, n_toks int"
+    )
+    with pytest.raises(Exception, match="mixing.*NULL"):
+        epoch_plan(df, "src", "n_toks", 100, {"wiki": 1.0}).collect()
+
+
+def test_stratified_score_filter(spark):
+    """Per-stratum band keeps ~90% of EVERY stratum even when strata
+    score on disjoint scales (where a global band deletes one whole
+    stratum — the reason CCNet cuts per language)."""
+    from delta_lake_experiment_spark.operators.lm import (
+        calibrated_score_filter,
+        stratified_score_filter,
+    )
+
+    # small low-scoring stratum + big high-scoring stratum: the global
+    # p05 lands ABOVE everything in 'a', deleting the whole language
+    rows = [("a", i, i / 10.0) for i in range(10)] + [
+        ("b", 100 + i, 100.0 + i / 10.0) for i in range(190)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id int, score double")
+    out = stratified_score_filter(df, "score", "lang", 0.05, 0.95)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["a"] >= 8                  # ~90% of the small stratum kept
+    assert counts["b"] >= 0.85 * 190
+    assert out.columns == df.columns
+    # the global cut on the same data annihilates stratum 'a'
+    glob = calibrated_score_filter(df, "score", 0.05, 0.95)
+    gcounts = {
+        r["lang"]: r["n"]
+        for r in glob.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert gcounts.get("a", 0) == 0
+    # the bounded-memory sketch strategy lands within its documented
+    # rank error: approx_percentile returns a data value (no
+    # interpolation), so the cut moves by at most a couple of corpus
+    # quantile steps per stratum
+    approx = stratified_score_filter(
+        df, "score", "lang", 0.05, 0.95, strategy="approx"
+    )
+    acounts = {
+        r["lang"]: r["n"]
+        for r in approx.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang in counts:
+        assert abs(acounts[lang] - counts[lang]) <= 2
+    with pytest.raises(ValueError, match="lo_q"):
+        stratified_score_filter(df, "score", "lang", 0.9, 0.1)
