@@ -79,6 +79,8 @@ HEADLINE = [
     "dsir_doc_weights",
     "contamination_spans",
     "training_epoch_plan",
+    "bpe_merge_table",
+    "bpe_encoded_documents",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

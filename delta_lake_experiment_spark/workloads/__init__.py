@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 77 value-oracled queries, twenty-seven must sit outside the window. The
+# With 79 value-oracled queries, twenty-nine must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -96,7 +96,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   birth;
 # - lang_lm_filtered_corpus -> per-group percentile machinery shadowed
 #   by lm_filtered_corpus (same quantile parity) +
-#   segment_price_percentiles — new in r5, deferred from birth.
+#   segment_price_percentiles — new in r5, deferred from birth;
+# - bpe_merge_table / bpe_encoded_documents -> the distributed side
+#   (word-frequency agg, Arrow encode lane) is shadowed by
+#   corpus_vocab / encoded_documents / multimodal_features; the
+#   driver-side merge loop is novel but its oracle is the full
+#   chained-CTE re-derivation — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -128,6 +133,8 @@ _DEFERRED_ORACLED = [
     "contamination_spans",
     "training_epoch_plan",
     "lang_lm_filtered_corpus",
+    "bpe_merge_table",
+    "bpe_encoded_documents",
 ]
 
 

@@ -1415,6 +1415,61 @@ SELECT doc_id, lang, n_tokens, avg_logprob FROM (
 """
 
 
+# -- BPE tokenizer training (operators/bpe.py) --------------------------
+
+_BPE_MERGES = 12
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.py::bpe_train): the
+    corpus's first 12 subword merges — distributed word-frequency
+    aggregation (the corpus-sized pass), exact driver-side merge loop
+    on the O(vocab) table (the IVF-centroid metadata-iteration
+    pattern). The oracle re-derives every merge as chained CTE stages:
+    a VALUE oracle for an iterative algorithm."""
+    from delta_lake_experiment_spark.operators.bpe import (
+        bpe_train,
+        merges_to_df,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return merges_to_df(spark, bpe_train(docs, "text", _BPE_MERGES))
+
+
+def _bpe_merge_table_sql() -> str:
+    from delta_lake_experiment_spark.operators.bpe import bpe_merges_sql
+
+    return bpe_merges_sql("documents", "text", _BPE_MERGES)
+
+
+def bpe_encoded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode composition: the corpus encoded with its own
+    merge table (operators/bpe.py::bpe_encode, Arrow-batched
+    mapInPandas with per-batch word memoization — Zipf makes distinct
+    words per batch far fewer than tokens). tokens_md5 hashes the
+    comma-joined subword sequence, certifying subwords AND order."""
+    from delta_lake_experiment_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _BPE_MERGES)
+    enc = bpe_encode(docs, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"),
+    )
+
+
+def _bpe_encoded_sql() -> str:
+    from delta_lake_experiment_spark.operators.bpe import bpe_encoded_sql
+
+    return (
+        "SELECT id AS doc_id, n_bpe_tokens, tokens_md5 FROM ("
+        + bpe_encoded_sql("documents", "doc_id", "text", _BPE_MERGES)
+        + ")"
+    )
+
+
 # -- vocabulary + id encoding -------------------------------------------
 
 _VOCAB_SIZE = 20  # the synthetic corpus has 31 distinct tokens: a
@@ -1776,6 +1831,8 @@ QUERIES = {
     "export_manifest": export_manifest,
     "lm_filtered_corpus": lm_filtered_corpus,
     "lang_lm_filtered_corpus": lang_lm_filtered_corpus,
+    "bpe_merge_table": bpe_merge_table,
+    "bpe_encoded_documents": bpe_encoded_documents,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -1817,6 +1874,8 @@ ORACLES = {
     "export_manifest": _export_manifest_sql(),
     "lm_filtered_corpus": _lm_filtered_corpus_sql(),
     "lang_lm_filtered_corpus": _lang_lm_filtered_sql(),
+    "bpe_merge_table": _bpe_merge_table_sql(),
+    "bpe_encoded_documents": _bpe_encoded_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,

@@ -2628,3 +2628,115 @@ def test_stratified_score_filter(spark):
         assert abs(acounts[lang] - counts[lang]) <= 2
     with pytest.raises(ValueError, match="lo_q"):
         stratified_score_filter(df, "score", "lang", 0.9, 0.1)
+
+
+def _bpe_reference(word_freqs, num_merges):
+    """Recount-from-scratch BPE (the textbook formulation) — the
+    independent oracle for the incremental implementation."""
+    from collections import Counter
+
+    words = {i: (tuple(w), f) for i, (w, f) in enumerate(word_freqs)}
+    merges = []
+    for _ in range(num_merges):
+        counts = Counter()
+        for syms, f in words.values():
+            for p in zip(syms, syms[1:]):
+                counts[p] += f
+        if not counts:
+            break
+        best_n = max(counts.values())
+        if best_n < 2:
+            break
+        best = min(p for p, n in counts.items() if n == best_n)
+        merges.append(best)
+        a, b = best
+        for i, (syms, f) in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = (tuple(out), f)
+    return merges
+
+
+def test_bpe_train_matches_reference():
+    import random
+
+    from delta_lake_experiment_spark.operators.bpe import bpe_train_from_counts
+
+    # classic Sennrich fixture: 'er' then 'lo'/'low'... deterministic
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    got = bpe_train_from_counts(wf, 10)
+    assert got == _bpe_reference(wf, 10)
+    assert got[0] == ("e", "s")  # 9 occurrences of 'es'
+    # randomized corpora: incremental == recount on every seed
+    rng = random.Random(42)
+    alphabet = "abcd"
+    for trial in range(25):
+        vocab = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(1, 30))
+        ]
+        wf = sorted({w: rng.randint(1, 9) for w in vocab}.items())
+        k = rng.randint(0, 12)
+        assert bpe_train_from_counts(wf, k) == _bpe_reference(wf, k), (
+            trial,
+            wf,
+            k,
+        )
+    # stop rule: nothing repeats -> no merges
+    assert bpe_train_from_counts([("ab", 1), ("cd", 1)], 5) == []
+
+
+def test_bpe_train_spark(spark):
+    from delta_lake_experiment_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest widest widest widest")],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(df, "text", 6)
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    assert merges == _bpe_reference(wf, 6)
+    # stable under repartitioning (collect order independence)
+    assert bpe_train(df.repartition(7), "text", 6) == merges
+    # the driver-memory gate raises loudly
+    with pytest.raises(ValueError, match="max_words"):
+        bpe_train(df, "text", 3, max_words=2)
+    with pytest.raises(Exception, match="bpe.*NULL"):
+        bpe_train(
+            spark.createDataFrame([(1, None)], "doc_id int, text string"),
+            "text", 2,
+        )
+
+
+def test_bpe_encode(spark):
+    from delta_lake_experiment_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        encode_word,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest widest widest widest")],
+        "doc_id int, text string",
+    )
+    merges = bpe_train(df, "text", 6)
+    out = {r["doc_id"]: r for r in bpe_encode(df, "doc_id", "text", merges).collect()}
+    # reassembly: concatenating a word's subwords reconstructs it, in order
+    toks1 = out[1]["tokens"]
+    assert "".join(toks1) == "low" * 5 + "lower" * 2
+    assert out[1]["n_bpe_tokens"] == len(toks1)
+    # per-word check against the sequential rule
+    for w in ("low", "lower", "newest", "widest"):
+        segs = encode_word(w, merges)
+        assert "".join(segs) == w
+    # an unseen word still encodes (falls back toward characters)
+    segs = encode_word("slowest", merges)
+    assert "".join(segs) == "slowest"
