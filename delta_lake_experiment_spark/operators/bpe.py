@@ -375,9 +375,16 @@ def bpe_encoded_sql(
 ), __enc_sub AS (
   SELECT e.id, e.pos, regexp_extract_all(w.ws, '\[([^\]]*)\]', 1) AS subs
   FROM __enc_toks e JOIN words{k} w USING (word)
+), __enc_agg AS (
+  SELECT id, CAST(SUM(len(subs)) AS INT) AS n_bpe_tokens,
+         md5(string_agg(array_to_string(subs, ','), ',' ORDER BY pos)) AS tokens_md5
+  FROM __enc_sub GROUP BY id
 )
-SELECT id, CAST(SUM(len(subs)) AS INT) AS n_bpe_tokens,
-       md5(string_agg(array_to_string(subs, ','), ',' ORDER BY pos)) AS tokens_md5
-FROM __enc_sub GROUP BY id
+-- left join from the corpus: a whitespace-only document has zero
+-- tokens but must still appear (the Spark side emits every row)
+SELECT {id_sql} AS id,
+       COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+FROM {src} LEFT JOIN __enc_agg a ON a.id = {id_sql}
 """
     )

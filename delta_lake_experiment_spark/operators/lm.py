@@ -361,7 +361,19 @@ def stratified_score_filter(
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     scores = scores.persist()  # feeds bounds agg AND the filter scan
-    bounds = scores.groupBy(strata_col).agg(
+    # NULL strata raise (the mixing-lane guard): a NULL-stratum row
+    # would silently fall out of the bounds equi-join below
+    strata = F.when(
+        F.col(strata_col).isNotNull(), F.col(strata_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"lm: {strata_col} is NULL - strata must be non-NULL"
+                " (filter or coalesce upstream)"
+            )
+        )
+    )
+    bounds = scores.groupBy(strata.alias(strata_col)).agg(
         F.round(lo, 6).alias("__lo"), F.round(hi, 6).alias("__hi")
     )
     return (

@@ -2740,3 +2740,29 @@ def test_bpe_encode(spark):
     # an unseen word still encodes (falls back toward characters)
     segs = encode_word("slowest", merges)
     assert "".join(segs) == "slowest"
+
+
+def test_bpe_encode_empty_doc(spark):
+    from delta_lake_experiment_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, "   ")], "doc_id int, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bpe_encode(df, "doc_id", "text", [("a", "b")]).collect()
+    }
+    # the whitespace-only doc still appears, with zero tokens (the
+    # oracle mirrors this via its LEFT JOIN + COALESCE)
+    assert out[2]["tokens"] == [] and out[2]["n_bpe_tokens"] == 0
+    assert out[1]["tokens"] == ["ab", "ab"]
+
+
+def test_stratified_score_filter_null_stratum_raises(spark):
+    from delta_lake_experiment_spark.operators.lm import stratified_score_filter
+
+    df = spark.createDataFrame(
+        [("a", 1, 0.5), (None, 2, 0.7)], "lang string, doc_id int, score double"
+    )
+    with pytest.raises(Exception, match="lm.*NULL"):
+        stratified_score_filter(df, "score", "lang", 0.1, 0.9).collect()
