@@ -81,6 +81,7 @@ HEADLINE = [
     "training_epoch_plan",
     "bpe_merge_table",
     "bpe_encoded_documents",
+    "epoch_expanded_corpus",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

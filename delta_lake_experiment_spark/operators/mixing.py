@@ -415,3 +415,76 @@ FROM (
   FROM {src} GROUP BY 1, 3
 )
 """
+
+
+def expand_epochs(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    plan: DataFrame,
+    salt: str = "",
+) -> DataFrame:
+    """Realize an :func:`epoch_plan`: the corpus the trainer actually
+    iterates — every row repeated ``full_epochs`` times plus one more
+    if the row's salted md5 falls inside its stratum's
+    ``tail_fraction``, with a 1-based ``epoch`` column (feed it to the
+    deterministic shuffle for per-epoch ordering). Rows of strata
+    planned at 0 epochs disappear; a stratum's tail sample is the
+    same deterministic membership machinery as
+    :func:`temperature_sample`, so the expansion is reproducible on
+    any partitioning and any engine.
+
+    Plan shape: broadcast join of the O(strata) plan + a map-side
+    ``explode(sequence(...))`` — no shuffle; output size is the token
+    budget by construction (that's what the plan means)."""
+    thr = F.round(F.col("tail_fraction") * F.lit(float(_HEX_SPAN))).cast(
+        "long"
+    )
+    pl = plan.select(
+        strata_col,
+        F.col("full_epochs").cast("long").alias("__full"),
+        thr.alias("__thr"),
+    )
+    copies = F.col("__full") + F.when(
+        _prefix_int(F.col(key_col), salt) < F.col("__thr"), F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(1, 0) in Spark DESCENDS ([1, 0]) rather than returning
+    # empty — zero-copy rows must map to an empty array explicitly or
+    # a planned-out stratum would be emitted twice per row
+    seq = F.when(
+        copies >= 1, F.sequence(F.lit(1).cast("long"), copies)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        df.join(F.broadcast(pl), strata_col)
+        .withColumn("epoch", F.explode(seq))
+        .select(*df.columns, F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+def expand_epochs_sql(
+    src: str,
+    key_sql: str,
+    strata_sql: str,
+    tokens_sql: str,
+    target_total_tokens: int,
+    weights: "dict[str, float]",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`epoch_plan` + :func:`expand_epochs`:
+    SELECT * of the source plus ``epoch``. DuckDB's generate_series
+    ascends only (empty when stop < start), matching the guarded
+    Spark sequence."""
+    plan = epoch_plan_sql(
+        src, strata_sql, tokens_sql, target_total_tokens, weights
+    )
+    return f"""
+WITH __ep_plan AS ({plan})
+SELECT d.*, CAST(epoch AS INT) AS epoch FROM (
+  SELECT d.*, unnest(generate_series(1,
+    CAST(p.full_epochs AS BIGINT) + CASE WHEN
+      CAST(('0x' || substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)) AS BIGINT)
+      < CAST(round(p.tail_fraction * {float(_HEX_SPAN)!r}) AS BIGINT)
+    THEN 1 ELSE 0 END)) AS epoch
+  FROM {src} d JOIN __ep_plan p ON {strata_sql} = p.stratum
+) d
+"""

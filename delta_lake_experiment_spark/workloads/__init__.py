@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 79 value-oracled queries, twenty-nine must sit outside the window. The
+# With 80 value-oracled queries, thirty must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -101,7 +101,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   (word-frequency agg, Arrow encode lane) is shadowed by
 #   corpus_vocab / encoded_documents / multimodal_features; the
 #   driver-side merge loop is novel but its oracle is the full
-#   chained-CTE re-derivation — new in r5, deferred from birth.
+#   chained-CTE re-derivation — new in r5, deferred from birth;
+# - epoch_expanded_corpus -> broadcast-join + sequence-explode
+#   machinery shadowed by doc_chunks (explode lane) +
+#   training_epoch_plan (the plan it realizes) — new in r5, deferred
+#   from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -135,6 +139,7 @@ _DEFERRED_ORACLED = [
     "lang_lm_filtered_corpus",
     "bpe_merge_table",
     "bpe_encoded_documents",
+    "epoch_expanded_corpus",
 ]
 
 

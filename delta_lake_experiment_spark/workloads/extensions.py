@@ -1053,7 +1053,11 @@ def _dsir_doc_weights_sql() -> str:
 
 # -- data-budget epoch planning (operators/mixing.py) -------------------
 
-_EPOCH_TARGET_TOKENS = 20_000
+# 60k tokens: ~2.2 epochs/language at the sf0.001/sf0.01 corpus size
+# (the up-sampling path, full_epochs >= 1, exercised by the driver
+# gate) and ~0.2 at sf0.1 (the down-sampling tail path) — both code
+# paths see real data across the bench/correctness scale factors
+_EPOCH_TARGET_TOKENS = 60_000
 # de deliberately absent: a planned-OUT domain must surface with
 # weight 0 / epochs 0, not vanish
 _EPOCH_WEIGHTS = {"en": 0.4, "fr": 0.2, "es": 0.2, "zh": 0.2}
@@ -1083,6 +1087,44 @@ def _training_epoch_plan_sql() -> str:
         + epoch_plan_sql(
             "documents", "lang", _NTOKENS_SQL,
             _EPOCH_TARGET_TOKENS, _EPOCH_WEIGHTS,
+        )
+        + ")"
+    )
+
+
+_EPOCH_SALT = "epoch-r5"
+
+
+def epoch_expanded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realized epoch plan (operators/mixing.py::expand_epochs):
+    every document repeated full_epochs times plus a deterministic
+    tail-fraction extra copy, with its 1-based epoch index — the
+    corpus the trainer actually iterates. Broadcast plan join +
+    map-side sequence explode, no shuffle; planned-out languages (de)
+    disappear here by design."""
+    from delta_lake_experiment_spark.operators.mixing import (
+        epoch_plan,
+        expand_epochs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wt = docs.withColumn("n_toks", token_count(F.col("text")))
+    plan = epoch_plan(
+        wt, "lang", "n_toks", _EPOCH_TARGET_TOKENS, _EPOCH_WEIGHTS
+    )
+    return expand_epochs(
+        docs, "doc_id", "lang", plan, salt=_EPOCH_SALT
+    ).select("doc_id", "lang", "epoch")
+
+
+def _epoch_expanded_sql() -> str:
+    from delta_lake_experiment_spark.operators.mixing import expand_epochs_sql
+
+    return (
+        "SELECT doc_id, lang, epoch FROM ("
+        + expand_epochs_sql(
+            "documents", "CAST(doc_id AS VARCHAR)", "lang", _NTOKENS_SQL,
+            _EPOCH_TARGET_TOKENS, _EPOCH_WEIGHTS, salt=_EPOCH_SALT,
         )
         + ")"
     )
@@ -1819,6 +1861,7 @@ QUERIES = {
     "dsir_doc_weights": dsir_doc_weights,
     "contamination_spans": contamination_span_report,
     "training_epoch_plan": training_epoch_plan,
+    "epoch_expanded_corpus": epoch_expanded_corpus,
     "media_ingest": media_ingest,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_line_dedup": doc_line_dedup,
@@ -1862,6 +1905,7 @@ ORACLES = {
     "dsir_doc_weights": _dsir_doc_weights_sql(),
     "contamination_spans": CONTAMINATION_SPANS_SQL,
     "training_epoch_plan": _training_epoch_plan_sql(),
+    "epoch_expanded_corpus": _epoch_expanded_sql(),
     "media_ingest": MEDIA_INGEST_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,

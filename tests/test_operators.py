@@ -2766,3 +2766,39 @@ def test_stratified_score_filter_null_stratum_raises(spark):
     )
     with pytest.raises(Exception, match="lm.*NULL"):
         stratified_score_filter(df, "score", "lang", 0.1, 0.9).collect()
+
+
+def test_expand_epochs(spark):
+    from delta_lake_experiment_spark.operators.mixing import (
+        epoch_plan,
+        expand_epochs,
+    )
+
+    df = spark.createDataFrame(
+        [("wiki", 1, 100), ("wiki", 2, 100), ("web", 3, 1000), ("code", 4, 300)],
+        "src string, doc int, n_toks int",
+    )
+    plan = epoch_plan(df, "src", "n_toks", 2000, {"wiki": 0.5, "web": 0.5})
+    out = expand_epochs(df, "doc", "src", plan, salt="e1").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append(r["epoch"])
+    # wiki: exactly 5 epochs per doc (1000 target / 200 available)
+    assert sorted(by_doc[1]) == [1, 2, 3, 4, 5]
+    assert sorted(by_doc[2]) == [1, 2, 3, 4, 5]
+    # web: exactly one epoch
+    assert by_doc[3] == [1]
+    # code is planned OUT (weight 0): zero copies — and NOT the
+    # descending [1, 0] Spark's sequence(1, 0) would produce unguarded
+    assert 4 not in by_doc
+    # deterministic under repartitioning
+    again = expand_epochs(df.repartition(5), "doc", "src", plan, salt="e1").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # fractional tail: epochs 2.5 -> each doc gets 2 or 3 copies and
+    # the extra-copy membership is the deterministic hash sample
+    plan2 = epoch_plan(df, "src", "n_toks", 500, {"wiki": 1.0})
+    out2 = expand_epochs(df, "doc", "src", plan2, salt="e1").collect()
+    n2 = {}
+    for r in out2:
+        n2[r["doc"]] = n2.get(r["doc"], 0) + 1
+    assert set(n2) <= {1, 2} and all(v in (2, 3) for v in n2.values())
