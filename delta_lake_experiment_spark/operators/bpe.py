@@ -223,10 +223,21 @@ def bpe_encode(
     Arrow-batched ``mapInPandas`` (the multimodal-lane UDF contract:
     Python only where column expressions genuinely cannot express the
     semantics — rank-ordered merge application is an iterative
-    fixpoint per word). Per-batch WORD memoization exploits Zipf: a
-    batch's distinct-word count is far below its token count, so each
-    distinct word is encoded once per batch. Map-only, no shuffle; the
-    merge table broadcasts by closure (O(merges) strings)."""
+    fixpoint per word). PER-PARTITION word memoization exploits Zipf:
+    a partition's distinct-word count is far below its token count, so
+    each distinct word is encoded once per partition; the memo is
+    cleared past ``_MEMO_CAP`` entries so an open-vocabulary partition
+    bounds executor memory instead of growing without limit. Map-only,
+    no shuffle; the merge table broadcasts by closure (O(merges)
+    strings).
+
+    Tokenization is pinned to the TRAINING tokenizer's semantics:
+    Java/RE2 ``\\s`` is the ASCII whitespace class, so the Python side
+    splits on exactly ``[ \\t\\n\\x0b\\f\\r]`` (``str.split()`` would
+    also break on U+00A0/U+2028-class Unicode whitespace that
+    ``word_frequencies`` treats as word-internal, silently
+    desynchronizing encode from train) and trims ASCII spaces only
+    (the ``F.trim`` contract)."""
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -246,13 +257,21 @@ def bpe_encode(
     )
 
     def run(batches: "Iterator") -> "Iterator":
+        import re
+
         import pandas as pd
 
+        ascii_ws = re.compile(r"[ \t\n\x0b\f\r]+")
         memo: "dict[str, tuple[str, ...]]" = {}
+        _MEMO_CAP = 2_000_000
 
         def enc(text: str) -> "tuple[list, int]":
+            if len(memo) > _MEMO_CAP:
+                memo.clear()
             toks: List[str] = []
-            for w in text.lower().strip().split():
+            for w in ascii_ws.split(text.lower().strip(" ")):
+                if w == "":
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = encode_word(w, mlist)
@@ -333,6 +352,13 @@ def bpe_merges_sql(src: str, text_sql: str, num_merges: int) -> str:
     argmax-with-tie-break and merge application mirror the driver
     loop exactly; a stage whose best pair repeats < 2 times emits
     nothing and leaves the word table unchanged, the loop's break)."""
+    if num_merges == 0:
+        # zero stages would leave an empty UNION body (a parse error);
+        # the twin of bpe_train(..., 0) == [] is an empty result set
+        return (
+            "SELECT 0 AS rank, '' AS \"left\", '' AS \"right\","
+            " '' AS merged WHERE FALSE"
+        )
     union = "\nUNION ALL ".join(
         f"SELECT {i + 1} AS rank, l AS \"left\", r AS \"right\","
         f" l || r AS merged FROM best{i}"

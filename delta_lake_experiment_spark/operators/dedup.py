@@ -63,27 +63,45 @@ def shingles(
     return out.distinct() if distinct else out
 
 
-def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, sh: long) — 64-bit word-n-gram shingle hashes.
-
-    Fast path for MinHash: each token is hashed to a long ONCE, then a
-    shingle hash combines ``n`` consecutive token hashes — no n-gram
-    string concatenation, no repeated string hashing. Downstream MinHash
-    seeds then mix a single long per shingle instead of re-hashing the
-    full shingle string, which cuts the dominant string-kernel cost of
-    signature generation. Equality of hashes == equality of shingles up
-    to 2^-64 collisions (irrelevant for an approximate operator).
-    """
+def _hashed_gram_source(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Shared builder for the hashed-shingle lanes: (__id, __ntoks,
+    g: array<long>) — each token hashed to a long ONCE, then ``n``
+    consecutive token hashes folded per position via the shared
+    zip_with builder (functions/arrays.py documents the
+    per-element-lambda perf trap). One home so the set-semantics and
+    positional consumers can never desynchronize their tokenization
+    or fold."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     toksh = F.transform(toks, lambda t: F.xxhash64(t))
-    # Fold n consecutive token hashes via the shared zip_with builder
-    # (functions/arrays.py documents the per-element-lambda perf trap);
-    # trailing positions that hashed padding NULLs are cut off by it.
     grams = sliding_ngrams(toksh, n, lambda a, b: F.xxhash64(a, b))
-    src = df.select(F.col(id_col).alias("__id"), grams.alias("g"))
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(toks).alias("__ntoks"),
+        grams.alias("g"),
+    )
+    # Small single-file inputs arrive as one partition; spread the
+    # CPU-heavy gram generation across the cluster.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
+    return src
+
+
+def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh: long) — 64-bit word-n-gram shingle hashes.
+
+    Fast path for MinHash: no n-gram string concatenation, no repeated
+    string hashing (see :func:`_hashed_gram_source`). Downstream
+    MinHash seeds then mix a single long per shingle instead of
+    re-hashing the full shingle string, which cuts the dominant
+    string-kernel cost of signature generation. Equality of hashes ==
+    equality of shingles up to 2^-64 collisions (irrelevant for an
+    approximate operator). Documents shorter than ``n`` keep ONE
+    partial gram (set-membership consumers need every doc represented;
+    their oracles mirror the ``greatest(len - n + 1, 1)`` slice)."""
+    src = _hashed_gram_source(df, id_col, text_col, n)
     return src.select("__id", F.explode("g").alias("sh"))
 
 
@@ -928,17 +946,18 @@ def positional_shingle_hashes(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """(id, pos, sh) — 64-bit word-n-gram shingle hashes WITH their
-    1-based token position. The positional twin of
-    :func:`shingle_hashes` (same token hashing, same sliding fold) for
-    consumers that need adjacency — span detection, alignment — not
-    just set membership."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    toksh = F.transform(toks, lambda t: F.xxhash64(t))
-    grams = sliding_ngrams(toksh, n, lambda a, b: F.xxhash64(a, b))
-    src = df.select(F.col(id_col).alias("__id"), grams.alias("g"))
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    1-based token position, built by the same
+    :func:`_hashed_gram_source` as :func:`shingle_hashes`.
+
+    FULL grams only: documents shorter than ``n`` tokens contribute
+    nothing (unlike the set-semantics lane, which keeps one partial
+    gram so every doc is represented). Positional consumers convert
+    run lengths to TOKEN counts via ``run + n - 1``; a partial gram
+    would claim an ``n``-token span between two sub-``n`` documents —
+    an overstated, unusable length."""
+    src = _hashed_gram_source(df, id_col, text_col, n).filter(
+        F.col("__ntoks") >= n
+    )
     return src.select(
         "__id", F.posexplode("g").alias("__p0", "sh")
     ).select("__id", (F.col("__p0") + 1).alias("pos"), "sh")

@@ -360,19 +360,12 @@ def stratified_score_filter(
         hi = F.expr(f"approx_percentile({qcol}, {hi_q}, {int(accuracy)})")
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
+    from delta_lake_experiment_spark.functions.guards import null_checked
+
     scores = scores.persist()  # feeds bounds agg AND the filter scan
-    # NULL strata raise (the mixing-lane guard): a NULL-stratum row
-    # would silently fall out of the bounds equi-join below
-    strata = F.when(
-        F.col(strata_col).isNotNull(), F.col(strata_col)
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"lm: {strata_col} is NULL - strata must be non-NULL"
-                " (filter or coalesce upstream)"
-            )
-        )
-    )
+    # NULL strata raise (the shared guard): a NULL-stratum row would
+    # silently fall out of the bounds equi-join below
+    strata = null_checked(F.col(strata_col), "lm", strata_col)
     bounds = scores.groupBy(strata.alias(strata_col)).agg(
         F.round(lo, 6).alias("__lo"), F.round(hi, 6).alias("__hi")
     )

@@ -62,16 +62,9 @@ def _checked(col: Column, what: str) -> Column:
     """NULL guard (the sampling-lane convention): a NULL stratum would
     silently fall out of the equi-join on strata and vanish from the
     sample — a data bug the pipeline must hear about."""
-    # raise_error is NullType, which coerces to the column's own type,
-    # so the guard never changes the stratum's dtype
-    return F.when(col.isNotNull(), col).otherwise(
-        F.raise_error(
-            F.lit(
-                f"mixing: {what} is NULL - strata/keys must be non-NULL"
-                " (filter or coalesce upstream)"
-            )
-        )
-    )
+    from delta_lake_experiment_spark.functions.guards import null_checked
+
+    return null_checked(col, "mixing", what)
 
 
 def _prefix_int(key: Column, salt: str) -> Column:
@@ -246,6 +239,11 @@ def cap_per_stratum(
             )
             .filter(_prefix_int(F.col(key_col), salt) < F.col("__thr"))
             .drop("__thr")
+            # pre feeds the survivor-count guard AND the window path;
+            # without this the (possibly expensive) upstream corpus
+            # pipeline executes once per consumer (the
+            # calibrated_score_filter persist rationale)
+            .persist()
         )
         # Guard: per-stratum survivor count must reach min(cap, cnt).
         # Built from the PRE-filter counts side (one row per original
@@ -362,7 +360,7 @@ def epoch_plan(
         / F.col("tokens").cast("double"),
         round_digits,
     )
-    return (
+    plan = (
         per.withColumn("weight", wcol)
         .withColumn(
             "target_tokens",
@@ -376,6 +374,29 @@ def epoch_plan(
             "tail_fraction",
             F.round(F.col("epochs") - F.floor(epochs), round_digits),
         )
+        # feeds both the coverage guard aggregate and the plan output
+        .persist()
+    )
+    # Loud-failure coverage guard (the lane convention): a weight key
+    # that matches NO stratum (a misspelled domain name) silently
+    # absorbs its normalized share and the realized corpus
+    # under-delivers the budget — present-strata weights must sum to 1
+    wsum = plan.agg(F.sum("weight").alias("__wsum"))
+    guard = F.when(
+        F.abs(F.col("__wsum") - 1.0) < 1e-9, F.lit(True)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "epoch_plan: weight keys absent from the corpus strata -"
+                " their normalized share maps to nothing (check the"
+                " weight dict's spelling against the strata values)"
+            )
+        )
+    )
+    return (
+        plan.crossJoin(F.broadcast(wsum))
+        .filter(guard)
+        .drop("__wsum")
     )
 
 
@@ -388,7 +409,15 @@ def epoch_plan_sql(
     round_digits: int = 6,
 ) -> str:
     """DuckDB twin of :func:`epoch_plan` — identical normalization,
-    formula, and rounding grid."""
+    formula, rounding grid, AND input validation (a twin that accepts
+    what the operator rejects is a divergence too)."""
+    if target_total_tokens < 0:
+        raise ValueError(
+            f"target_total_tokens={target_total_tokens!r} must be >= 0"
+        )
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for stratum {k!r} is {v!r}, negative")
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")

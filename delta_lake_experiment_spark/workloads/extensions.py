@@ -814,7 +814,10 @@ def _contamination_span_ctes() -> str:
     gram = "concat_ws(' ', " + ", ".join(
         f"t[i+{j}]" if j else "t[i]" for j in range(_CONTAM_N)
     ) + ")"
-    series = f"generate_series(1, greatest(len(t) - {_CONTAM_N - 1}, 1))"
+    # no greatest(..., 1): sub-n docs contribute NO grams in the
+    # positional lane (a partial-gram match would claim an n-token
+    # span between two shorter-than-n documents)
+    series = f"generate_series(1, len(t) - {_CONTAM_N - 1})"
     return rf"""split AS (
   SELECT doc_id, text, lang, {split_case} AS split FROM documents
 ), ctoks AS (

@@ -2802,3 +2802,60 @@ def test_expand_epochs(spark):
     for r in out2:
         n2[r["doc"]] = n2.get(r["doc"], 0) + 1
     assert set(n2) <= {1, 2} and all(v in (2, 3) for v in n2.values())
+
+
+def test_contamination_spans_sub_n_docs_excluded(spark):
+    """Two identical 3-token docs share no FULL 8-gram: the positional
+    lane must report nothing (a partial-gram match would claim an
+    8-token span between 3-token documents)."""
+    from delta_lake_experiment_spark.operators.dedup import contamination_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "train"), (2, "a b c", "val")],
+        "doc_id int, text string, split string",
+    )
+    assert contamination_spans(df, "doc_id", "text", "split", shingle_n=8).count() == 0
+
+
+def test_bpe_merges_sql_zero_merges():
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.bpe import bpe_merges_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES ('ab ab')")
+    # num_merges=0 must be runnable SQL with an empty result (the twin
+    # of bpe_train(..., 0) == []), not a parse error
+    assert con.execute(bpe_merges_sql("documents", "text", 0)).fetchall() == []
+    con.close()
+
+
+def test_epoch_plan_dead_weight_key_raises(spark):
+    from delta_lake_experiment_spark.operators.mixing import epoch_plan
+
+    df = spark.createDataFrame([("wiki", 100)], "src string, n_toks int")
+    with pytest.raises(Exception, match="absent from the corpus strata"):
+        epoch_plan(df, "src", "n_toks", 100, {"wikipedia": 1.0}).collect()
+    # and the SQL twin validates what the operator validates
+    from delta_lake_experiment_spark.operators.mixing import epoch_plan_sql
+
+    with pytest.raises(ValueError, match="negative"):
+        epoch_plan_sql("documents", "lang", "1", 100, {"en": -1.0})
+
+
+def test_bpe_encode_ascii_whitespace_parity(spark):
+    """Java/RE2 \\s is ASCII-only: U+00A0 is word-INTERNAL for
+    word_frequencies, and bpe_encode must agree (str.split() would
+    not)."""
+    from delta_lake_experiment_spark.operators.bpe import (
+        bpe_encode,
+        word_frequencies,
+    )
+
+    df = spark.createDataFrame([(1, "x\u00a0y z")], "doc_id int, text string")
+    words = {r["word"] for r in word_frequencies(df, "text").collect()}
+    assert words == {"x\u00a0y", "z"}
+    out = bpe_encode(df, "doc_id", "text", []).collect()[0]
+    # no merges -> characters of each WORD: the NBSP stays inside
+    assert out["tokens"] == ["x", "\u00a0", "y", "z"]
