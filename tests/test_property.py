@@ -238,3 +238,86 @@ def test_incremental_ingest_matches_set_model(spark, batches):
     state = {(r["fp"], r["id"]) for r in c.scan("corpus", with_stamps=False).collect()}
     c.abort_tx()
     assert state == {(fp, i) for fp, i in model.items()}
+
+
+def test_contamination_spans_matches_python_model(spark):
+    """Randomized corpora vs a pure-Python diagonal-run oracle."""
+    import random
+
+    from delta_lake_experiment_spark.operators.dedup import contamination_spans
+
+    n = 3
+    rng = random.Random(7)
+    for trial in range(8):
+        docs = []
+        for i in range(rng.randint(2, 8)):
+            toks = [rng.choice("abc") for _ in range(rng.randint(0, 12))]
+            split = rng.choice(["train", "val", "test"])
+            docs.append((i, " ".join(toks), split))
+        # pure-Python expected spans
+        def grams(text):
+            t = text.split()
+            return [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+
+        expected = {}
+        for tid, ttxt, tsp in docs:
+            if tsp != "train":
+                continue
+            for eid, etxt, esp in docs:
+                if esp not in ("val", "test"):
+                    continue
+                tg, eg = grams(ttxt), grams(etxt)
+                best = 0
+                # longest run along each (tpos - epos) diagonal
+                for diag in range(-len(eg), len(tg) + 1):
+                    run = 0
+                    for tp in range(len(tg)):
+                        ep = tp - diag
+                        if 0 <= ep < len(eg) and tg[tp] == eg[ep]:
+                            run += 1
+                            best = max(best, run)
+                        else:
+                            run = 0
+                if best:
+                    expected[(tid, eid)] = best + n - 1
+        df = spark.createDataFrame(docs, "doc_id int, text string, split string")
+        got = {
+            (r["train_id"], r["eval_id"]): r["max_span_tokens"]
+            for r in contamination_spans(
+                df, "doc_id", "text", "split", shingle_n=n
+            ).collect()
+        }
+        assert got == expected, (trial, docs, got, expected)
+
+
+def test_temperature_sample_matches_python_model(spark):
+    """The kept set equals the pure-Python md5-threshold model exactly
+    (certifies the conv/round/md5 parity chain end to end)."""
+    import hashlib
+
+    from delta_lake_experiment_spark.operators.mixing import temperature_sample
+
+    rows = [(k, ["en", "fr", "zh"][k % 3]) for k in range(300)]
+    target, alpha, salt = 120, 0.5, "prop"
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    total_pw = sum(c ** alpha for c in counts.values())
+    thr = {
+        s: round(
+            min(1.0, target * (c ** alpha) / (total_pw * c)) * 16 ** 8
+        )
+        for s, c in counts.items()
+    }
+    expected = {
+        (k, s)
+        for k, s in rows
+        if int(hashlib.md5(f"{salt}{k}".encode()).hexdigest()[:8], 16)
+        < thr[s]
+    }
+    df = spark.createDataFrame(rows, "k int, lang string")
+    got = {
+        (r["k"], r["lang"])
+        for r in temperature_sample(df, "k", "lang", target, alpha, salt=salt).collect()
+    }
+    assert got == expected
