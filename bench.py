@@ -82,6 +82,7 @@ HEADLINE = [
     "bpe_merge_table",
     "bpe_encoded_documents",
     "epoch_expanded_corpus",
+    "corpus_mixture_pipeline",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

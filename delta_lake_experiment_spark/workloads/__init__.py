@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 80 value-oracled queries, thirty must sit outside the window. The
+# With 81 value-oracled queries, thirty-one must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -105,7 +105,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - epoch_expanded_corpus -> broadcast-join + sequence-explode
 #   machinery shadowed by doc_chunks (explode lane) +
 #   training_epoch_plan (the plan it realizes) — new in r5, deferred
-#   from birth.
+#   from birth;
+# - corpus_mixture_pipeline -> stage machinery shadowed by
+#   domain_capped_corpus + temperature_mixture + doc_train_split +
+#   packed_sequences (the composition is the novelty; each stage is
+#   separately oracled) — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -140,6 +144,7 @@ _DEFERRED_ORACLED = [
     "bpe_merge_table",
     "bpe_encoded_documents",
     "epoch_expanded_corpus",
+    "corpus_mixture_pipeline",
 ]
 
 

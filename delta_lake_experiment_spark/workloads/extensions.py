@@ -1133,6 +1133,84 @@ def _epoch_expanded_sql() -> str:
     )
 
 
+# -- composed corpus -> training-set pipeline ---------------------------
+
+_PIPE_CAP = 20
+_PIPE_CAP_SALT = "pipe-cap"
+_PIPE_TARGET = 300
+_PIPE_ALPHA = 0.5
+_PIPE_MIX_SALT = "pipe-mix"
+
+
+def corpus_mixture_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus -> training-set composition in ONE declarative plan:
+    per-domain cap (anti-spam, operators/mixing.py::cap_per_stratum)
+    -> temperature-balanced language mixture (temperature_sample,
+    fractions computed over the CAPPED corpus) -> deterministic
+    train/val/test split -> per-split sequence packing. Four of the
+    r5 composition operators chained; the oracle chains their four
+    SQL twins over the same CTE pipeline, so the whole plan is
+    value-certified end-to-end, not just per stage."""
+    from delta_lake_experiment_spark.operators.mixing import (
+        cap_per_stratum,
+        temperature_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_stratum(
+        docs, "doc_id", "source", _PIPE_CAP, salt=_PIPE_CAP_SALT
+    )
+    mixed = temperature_sample(
+        capped, "doc_id", "lang", _PIPE_TARGET, _PIPE_ALPHA,
+        salt=_PIPE_MIX_SALT,
+    )
+    split = hash_split(mixed, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    wt = split.withColumn("n_toks", token_count(F.col("text")))
+    packed = pack_sequences(
+        wt, "n_toks", budget=_PACK_BUDGET, order_col="doc_id",
+        shard_col="split",
+    )
+    return packed.select(
+        "doc_id", "lang", "source", "split", "n_toks", "pack_id",
+        "pack_offset",
+    )
+
+
+def _corpus_mixture_pipeline_sql() -> str:
+    from delta_lake_experiment_spark.operators.mixing import (
+        cap_per_stratum_sql,
+        temperature_sample_sql,
+    )
+
+    cap = cap_per_stratum_sql(
+        "documents", "CAST(doc_id AS VARCHAR)", "source", _PIPE_CAP,
+        salt=_PIPE_CAP_SALT,
+    )
+    mix = temperature_sample_sql(
+        "capped", "CAST(doc_id AS VARCHAR)", "lang", _PIPE_TARGET,
+        _PIPE_ALPHA, salt=_PIPE_MIX_SALT,
+    )
+    split_case = split_thresholds_sql(
+        "CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT
+    )
+    return f"""
+WITH capped AS ({cap}),
+mixed AS ({mix}),
+split AS (
+  SELECT doc_id, lang, source, {split_case} AS split,
+         CAST({_NTOKENS_SQL} AS INT) AS n_toks
+  FROM mixed
+)
+SELECT doc_id, lang, source, split, n_toks,
+  CAST(floor(CAST(SUM(n_toks) OVER w - n_toks AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)
+    AS pack_id,
+  CAST(SUM(n_toks) OVER w - n_toks AS BIGINT) AS pack_offset
+FROM split
+WINDOW w AS (PARTITION BY split ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 # -- PII scrubbing ------------------------------------------------------
 
 
@@ -1865,6 +1943,7 @@ QUERIES = {
     "contamination_spans": contamination_span_report,
     "training_epoch_plan": training_epoch_plan,
     "epoch_expanded_corpus": epoch_expanded_corpus,
+    "corpus_mixture_pipeline": corpus_mixture_pipeline,
     "media_ingest": media_ingest,
     "doc_pii_scrub": doc_pii_scrub,
     "doc_line_dedup": doc_line_dedup,
@@ -1909,6 +1988,7 @@ ORACLES = {
     "contamination_spans": CONTAMINATION_SPANS_SQL,
     "training_epoch_plan": _training_epoch_plan_sql(),
     "epoch_expanded_corpus": _epoch_expanded_sql(),
+    "corpus_mixture_pipeline": _corpus_mixture_pipeline_sql(),
     "media_ingest": MEDIA_INGEST_SQL,
     "doc_pii_scrub": DOC_PII_SCRUB_SQL,
     "doc_line_dedup": DOC_LINE_DEDUP_SQL,

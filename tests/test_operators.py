@@ -2859,3 +2859,25 @@ def test_bpe_encode_ascii_whitespace_parity(spark):
     out = bpe_encode(df, "doc_id", "text", []).collect()[0]
     # no merges -> characters of each WORD: the NBSP stays inside
     assert out["tokens"] == ["x", "\u00a0", "y", "z"]
+
+
+def test_corpus_mixture_pipeline_deterministic(spark):
+    """The composed cap->mixture->split->pack plan is a pure function
+    of the corpus: identical under input repartitioning (every stage
+    is hash- or rank-deterministic)."""
+    from delta_lake_experiment_spark.workloads.extensions import (
+        corpus_mixture_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, corpus_mixture_pipeline(spark, sf).collect()))
+    assert len(a) > 50
+    b = sorted(map(tuple, corpus_mixture_pipeline(spark, sf).collect()))
+    assert a == b
+    # every kept row respects the domain cap
+    from collections import Counter
+
+    caps = Counter((r[2]) for r in a)   # source column
+    assert max(caps.values()) <= 20
+    # splits are exhaustive labels
+    assert {r[3] for r in a} <= {"train", "val", "test"}
