@@ -2881,3 +2881,42 @@ def test_corpus_mixture_pipeline_deterministic(spark):
     assert max(caps.values()) <= 20
     # splits are exhaustive labels
     assert {r[3] for r in a} <= {"train", "val", "test"}
+
+
+def test_bpe_merge_table_engine_roundtrip(spark, store_dir):
+    """Tokenizer-to-lakehouse handoff: the trained merge table commits
+    into an ACID engine table next to the corpus, and a later session
+    scanning it back (rank order restored) encodes identically to the
+    in-memory merge list."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        merges_to_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, "text", 6)
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table(
+        "tokenizer", "rank INT, left STRING, right STRING, merged STRING"
+    )
+    c.write_dataframe("tokenizer", merges_to_df(spark, merges))
+    c.commit_tx()
+
+    c.new_tx()
+    scanned = sorted(
+        ((r["rank"], r["left"], r["right"]) for r in
+         c.scan("tokenizer", with_stamps=False).collect())
+    )
+    c.commit_tx()
+    restored = [(a, b) for _, a, b in scanned]
+    assert restored == merges
+    direct = sorted(map(tuple, bpe_encode(docs, "doc_id", "text", merges).collect()))
+    via_table = sorted(map(tuple, bpe_encode(docs, "doc_id", "text", restored).collect()))
+    assert direct == via_table
