@@ -83,6 +83,7 @@ HEADLINE = [
     "bpe_encoded_documents",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
+    "similarity_pq_topk",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -478,6 +478,49 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py::pq_topk):
+    codebooks trained with the batched Arrow Lloyd pass, corpus
+    l2-normalized so ADC inner product == cosine, ADC-scored from m
+    ints per vector, exact rerank of the ADC survivors. Approximate by
+    construction (quantization error) -> rows-only driver check,
+    hardened by an in-query recall floor vs the exact top-k. Rerank
+    breadth scales like the IVF probe rule: near-uniform tiny corpora
+    need a wide rerank (quantization can't separate ~equal cosines);
+    at production n the floor of 100 dominates and the m-int scan is
+    the win."""
+    import math as _math
+
+    from delta_lake_experiment_spark.operators.similarity import (
+        l2_normalize,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    norm = base.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding")
+    ).persist()
+    n = max(_parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")) - 1, 1)
+    rerank = min(n, max(100, _math.ceil(n / 5)))
+    books = pq_train_codebooks(
+        norm, "vec_id", "embedding", m=16, k=16, refine_iters=1
+    )
+    out = pq_topk(
+        spark, norm, "vec_id", "embedding", query, books, k=10, rerank=rerank
+    )
+    _check_recall(
+        out,
+        cosine_topk(base, "vec_id", "embedding", query, k=10),
+        0.5,
+        "pq_topk",
+    )
+    return out
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal lane through the driver contract: documents become
     opaque binary payloads with typed metadata (the real pattern for
@@ -1970,6 +2013,7 @@ QUERIES = {
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
     "similarity_lsh_topk": similarity_lsh_topk,
     "similarity_ivf_topk": similarity_ivf_topk,
+    "similarity_pq_topk": similarity_pq_topk,
 }
 
 ORACLES = {

@@ -92,7 +92,8 @@ def test_entry_contract_key_consistency():
     assert set(oracles) <= set(qs)
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "near_dup_minhash", "similarity_lsh_topk", "similarity_ivf_topk"
+        "near_dup_minhash", "similarity_lsh_topk", "similarity_ivf_topk",
+        "similarity_pq_topk",
     }
 
 

@@ -2920,3 +2920,86 @@ def test_bpe_merge_table_engine_roundtrip(spark, store_dir):
     direct = sorted(map(tuple, bpe_encode(docs, "doc_id", "text", merges).collect()))
     via_table = sorted(map(tuple, bpe_encode(docs, "doc_id", "text", restored).collect()))
     assert direct == via_table
+
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+    import random
+
+    from delta_lake_experiment_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = pq_train_codebooks(df, "vec_id", "embedding", m=2, k=4, refine_iters=1)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+    B = np.asarray(books)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(df, "vec_id", "embedding", books).collect()
+    }
+    for i, v in rows:
+        V = np.asarray(v).reshape(2, 4)
+        expect = [
+            int(((V[j] - B[j]) ** 2).sum(-1).argmin()) for j in range(2)
+        ]
+        assert got[i] == expect, (i, got[i], expect)
+    # deterministic under repartitioning (codes AND trained books)
+    books2 = pq_train_codebooks(
+        df.repartition(7), "vec_id", "embedding", m=2, k=4, refine_iters=1
+    )
+    assert np.allclose(np.asarray(books2), B)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train_codebooks(df, "vec_id", "embedding", m=3, k=4)
+
+
+def test_pq_topk_clustered_recall(spark):
+    """On separated clusters PQ needs almost no rerank: the codes alone
+    identify the right cluster, and a small exact rerank recovers the
+    true top-k."""
+    import random
+
+    from delta_lake_experiment_spark.operators.similarity import (
+        cosine_topk,
+        l2_normalize,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(11)
+    centers = [[5.0] * 8, [-5.0] * 8, [5.0] * 4 + [-5.0] * 4]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(40):
+            rows.append((i, [x + rng.uniform(-0.5, 0.5) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    norm = df.select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+    books = pq_train_codebooks(norm, "vec_id", "embedding", m=4, k=8, refine_iters=2)
+    query = [5.0] * 8
+    # codes identify the CLUSTER but carry no within-cluster ranking
+    # (a tight cluster maps to one code word -> equal ADC scores), so
+    # rerank must cover the cluster size for exact within-cluster
+    # order — the standard IVF-PQ sizing rule
+    out = pq_topk(spark, norm, "vec_id", "embedding", query, books, k=10, rerank=40)
+    exact = cosine_topk(df, "vec_id", "embedding", query, k=10)
+    a = {r["vec_id"] for r in out.collect()}
+    e = {r["vec_id"] for r in exact.collect()}
+    assert a == e
+    # every hit comes from the query's cluster (ids 0..39)
+    assert all(v < 40 for v in a)
+    # under-sized rerank still stays inside the right cluster (the
+    # coarse signal the codes DO carry)
+    small = {
+        r["vec_id"]
+        for r in pq_topk(
+            spark, norm, "vec_id", "embedding", query, books, k=10, rerank=15
+        ).collect()
+    }
+    assert all(v < 40 for v in small)
