@@ -603,3 +603,44 @@ def l2_normalize(vec: Column) -> Column:
     return F.when(
         n > 0, F.transform(v, lambda x: x / n)
     ).otherwise(v)
+
+
+def ivf_pq_topk(
+    spark,
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    codebooks: list,
+    coarse_centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """The full IVF-PQ stack (Jegou et al. 2011): coarse quantizer
+    prunes to the ``n_probe`` nearest inverted lists (partition
+    pruning at scale — :func:`ivf_assign`'s note), PQ codes rank the
+    survivors by ADC, exact cosine reranks the top ``rerank``. The
+    composition every billion-vector ANN service runs: list pruning
+    cuts the SCAN, codes cut the BYTES per scanned row, rerank
+    restores exact order where it matters."""
+    q = [float(x) for x in query]
+
+    def _cos(a, b):
+        dot = math.fsum(x * y for x, y in zip(a, b))
+        na = math.sqrt(math.fsum(x * x for x in a))
+        nb = math.sqrt(math.fsum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(coarse_centroids)),
+        key=lambda c: (-_cos(q, coarse_centroids[c]), c),
+    )
+    probes = ranked[:n_probe]
+    assigned = ivf_assign(emb_df, id_col, vec_col, coarse_centroids)
+    cand = assigned.filter(F.col("centroid_id").isin(probes)).drop(
+        "centroid_id"
+    )
+    return pq_topk(
+        spark, cand, id_col, vec_col, q, codebooks, k=k, rerank=rerank
+    )

@@ -3003,3 +3003,39 @@ def test_pq_topk_clustered_recall(spark):
         ).collect()
     }
     assert all(v < 40 for v in small)
+
+
+def test_ivf_pq_topk(spark):
+    """Coarse probe -> ADC -> rerank: hits come only from probed
+    lists, and with the query's own cluster probed the exact top-k is
+    recovered."""
+    import random
+
+    from delta_lake_experiment_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_topk,
+        ivf_sample_centroids,
+        l2_normalize,
+        pq_train_codebooks,
+    )
+
+    rng = random.Random(19)
+    centers = [[6.0] * 8, [-6.0] * 8, [6.0] * 4 + [-6.0] * 4]
+    rows = []
+    i = 0
+    for c in centers:
+        for _ in range(30):
+            rows.append((i, [x + rng.uniform(-0.4, 0.4) for x in c]))
+            i += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    norm = df.select("vec_id", l2_normalize(F.col("embedding")).alias("embedding"))
+    coarse = ivf_sample_centroids(norm, "vec_id", "embedding", 6)
+    books = pq_train_codebooks(norm, "vec_id", "embedding", m=4, k=8, refine_iters=1)
+    query = [6.0] * 8
+    out = ivf_pq_topk(
+        spark, norm, "vec_id", "embedding", query, books, coarse,
+        k=10, n_probe=3, rerank=40,
+    )
+    a = {r["vec_id"] for r in out.collect()}
+    e = {r["vec_id"] for r in cosine_topk(df, "vec_id", "embedding", query, k=10).collect()}
+    assert a == e
