@@ -1069,3 +1069,134 @@ def contamination_spans(
         )
         .filter(F.col("max_span_tokens") >= min_span_tokens)
     )
+
+
+def corpus_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    min_span_tokens: Optional[int] = None,
+    max_postings: Optional[int] = None,
+) -> DataFrame:
+    """WITHIN-corpus substring-span detector: ``(id_a, id_b,
+    max_span_tokens)`` for every document pair sharing a contiguous run
+    of word-``shingle_n``-grams — the corpus self-join sibling of
+    :func:`contamination_spans` (which restricts the join train x eval).
+
+    This is the detection half of substring-level dedup (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    long verbatim shared passages (syndicated articles, quoted license
+    text, mirrored pages) are what actually harms training, and
+    document-level Jaccard misses a 100-token quotation inside two
+    otherwise-different documents. Pairs are ordered ``id_a < id_b``.
+
+    Shape: positional gram hashes once over the corpus, optional
+    hot-gram posting cap (document-frequency count + semi-join — at
+    corpus scale ONE boilerplate gram shared by K docs contributes
+    O(K²) self-join rows, so the cap is what keeps the lane runnable;
+    capped grams are boilerplate by definition, exactly what a span
+    policy should ignore), inverted-index self-join on the gram hash
+    restricted to ``id_a < id_b`` (cuts the quadratic diagonal), then
+    diagonal islands: matches at positions (pa, pb) lie on diagonal
+    ``pa - pb``; consecutive ``pa`` within one (pair, diagonal) group
+    via ``pa - row_number()``. A run of R grams covers R + n - 1
+    tokens. Window keys are (pair, diagonal) — far finer than
+    per-document, no skewed task.
+
+    ``min_span_tokens`` defaults to ``2 * shingle_n`` (a single shared
+    gram is idiom-level noise in a self-join over a whole corpus; the
+    default asks for runs, the signal the operator exists for).
+    """
+    if min_span_tokens is None:
+        min_span_tokens = 2 * shingle_n
+    if min_span_tokens < shingle_n:
+        raise ValueError(
+            f"min_span_tokens={min_span_tokens!r} below the gram width"
+            f" {shingle_n} is unsatisfiable-precision: any match already"
+            f" spans {shingle_n} tokens"
+        )
+    grams = positional_shingle_hashes(df, id_col, text_col, n=shingle_n)
+    if max_postings is not None:
+        if max_postings < 1:
+            raise ValueError(f"max_postings={max_postings!r} must be >= 1")
+        grams = grams.persist()
+        rare = (
+            grams.select("__id", "sh")
+            .distinct()
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_postings)
+            .select("sh")
+        )
+        grams = grams.join(rare, "sh", "left_semi")
+    l = grams.select(
+        F.col("__id").alias("id_a"), F.col("pos").alias("__pa"), "sh"
+    )
+    r = grams.select(
+        F.col("__id").alias("id_b"), F.col("pos").alias("__pb"), "sh"
+    )
+    matches = (
+        l.join(r, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "__pa",
+            (F.col("__pa") - F.col("__pb")).alias("__diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("__pa")
+    runs = (
+        matches.withColumn("__island", F.col("__pa") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "__diag", "__island")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("__run") + F.lit(shingle_n - 1))
+            .cast("int")
+            .alias("max_span_tokens")
+        )
+        .filter(F.col("max_span_tokens") >= min_span_tokens)
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 8,
+    min_span_tokens: Optional[int] = None,
+    max_postings: Optional[int] = None,
+) -> DataFrame:
+    """The decision step over :func:`corpus_substring_spans`: resolve
+    span pairs into duplicate clusters (connected components — A~B and
+    B~C must collapse even though (A, C) never matched) and mark each
+    cluster's min-id document canonical. Returns ``df`` plus
+    ``component`` and ``is_canonical``; ``filter(is_canonical)`` is the
+    deduplicated corpus.
+
+    Document-granularity policy (drop whole near-copies) rather than
+    span excision: cutting the shared span out of the surviving copy
+    mutilates documents that legitimately quote, and the Lee et al.
+    pipeline's excision step exists for corpus-scale boilerplate that
+    :func:`corpus_line_dedup` already removes line-wise here. The
+    cluster resolution reuses :func:`~delta_lake_experiment_spark.\
+operators.cluster.connected_components` (hash-min + pointer jumping,
+    O(log diameter) rounds)."""
+    from delta_lake_experiment_spark.operators.cluster import assign_components
+
+    pairs = corpus_substring_spans(
+        df,
+        id_col,
+        text_col,
+        shingle_n=shingle_n,
+        min_span_tokens=min_span_tokens,
+        max_postings=max_postings,
+    )
+    out = assign_components(df, pairs, id_col)
+    return out.withColumn(
+        "is_canonical", F.col(id_col) == F.col("component")
+    )

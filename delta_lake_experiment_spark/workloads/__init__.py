@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 81 value-oracled queries, thirty-one must sit outside the window. The
+# With 82 value-oracled queries, thirty-two must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -109,7 +109,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - corpus_mixture_pipeline -> stage machinery shadowed by
 #   domain_capped_corpus + temperature_mixture + doc_train_split +
 #   packed_sequences (the composition is the novelty; each stage is
-#   separately oracled) — new in r5, deferred from birth.
+#   separately oracled) — new in r5, deferred from birth;
+# - corpus_span_dedup -> the positional-gram islands join is shadowed
+#   by contamination_spans (identical diagonal-islands lane, self-join
+#   instead of train x eval) and the component resolution by
+#   dedup_cluster_assignment — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -145,6 +149,7 @@ _DEFERRED_ORACLED = [
     "bpe_encoded_documents",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
+    "corpus_span_dedup",
 ]
 
 

@@ -639,6 +639,87 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# -- within-corpus substring-span dedup --------------------------------
+
+_SPAN_N = 8  # gram width (the Lee-et-al contamination/substring unit)
+_SPAN_MIN_TOKENS = 16  # = 2 * _SPAN_N, the operator's self-join default
+
+
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (operators/dedup.py::substring_dedup, the
+    Lee et al. 2022 within-corpus pass): document pairs sharing a
+    contiguous run of >= 16 tokens (word-8-gram diagonal islands over a
+    posting-capped inverted-index SELF-join — document-level Jaccard
+    misses a verbatim 100-token quotation inside two otherwise-different
+    documents), resolved to duplicate clusters by connected components,
+    each cluster's min-id doc marked canonical. One row per document.
+    The operator joins 64-bit positional gram hashes; the oracle joins
+    gram strings — the hashed lane is value-certified per run."""
+    from delta_lake_experiment_spark.operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = substring_dedup(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        "text",
+        shingle_n=_SPAN_N,
+        min_span_tokens=_SPAN_MIN_TOKENS,
+        max_postings=_NEAR_DUP_CAP,
+    )
+    return out.select("doc_id", "component", "is_canonical")
+
+
+def _span_pair_ctes() -> str:
+    """Positional self-join twin of _contamination_span_ctes: grams with
+    1-based positions (parallel unnest zip), the posting cap over
+    DISTINCT (doc, gram), id_a < id_b self-join, diagonal islands, and
+    a final ``pairs(id_a, id_b)`` relation at the span threshold —
+    named ``pairs`` so _COMPONENTS_CTES composes unchanged."""
+    gram = "concat_ws(' ', " + ", ".join(
+        f"t[i+{j}]" if j else "t[i]" for j in range(_SPAN_N)
+    ) + ")"
+    # full grams only (no greatest(..., 1)): sub-n docs contribute
+    # nothing in the positional lane
+    series = f"generate_series(1, len(t) - {_SPAN_N - 1})"
+    return rf"""ptoks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), sgrams0 AS (
+  SELECT doc_id,
+    unnest({series}) AS pos,
+    unnest(list_transform({series}, i -> {gram})) AS g
+  FROM ptoks
+), sdf AS (
+  SELECT g FROM (SELECT DISTINCT doc_id, g FROM sgrams0)
+  GROUP BY g HAVING COUNT(*) <= {_NEAR_DUP_CAP}
+), sgrams AS (
+  SELECT s.doc_id, s.pos, s.g FROM sgrams0 s JOIN sdf USING (g)
+), sm AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, a.pos - b.pos AS diag
+  FROM sgrams a JOIN sgrams b ON a.g = b.g AND a.doc_id < b.doc_id
+), sruns AS (
+  SELECT id_a, id_b, diag, island, COUNT(*) AS run
+  FROM (
+    SELECT *, pa - ROW_NUMBER() OVER (
+      PARTITION BY id_a, id_b, diag ORDER BY pa
+    ) AS island
+    FROM sm
+  )
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT id_a, id_b FROM sruns GROUP BY id_a, id_b
+  HAVING MAX(run) + {_SPAN_N - 1} >= {_SPAN_MIN_TOKENS}
+)"""
+
+
+CORPUS_SPAN_DEDUP_SQL = f"""
+WITH RECURSIVE {_span_pair_ctes()}, {_COMPONENTS_CTES}
+SELECT d.doc_id,
+  COALESCE(c.component, d.doc_id) AS component,
+  d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 # -- the full curation funnel ------------------------------------------
 
 
@@ -1974,6 +2055,7 @@ QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_train_split": doc_train_split,
     "dedup_cluster_assignment": dedup_cluster_assignment,
+    "corpus_span_dedup": corpus_span_dedup,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2020,6 +2102,7 @@ ORACLES = {
     "doc_text_stats": TEXT_STATS_SQL,
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
+    "corpus_span_dedup": CORPUS_SPAN_DEDUP_SQL,
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3039,3 +3039,46 @@ def test_ivf_pq_topk(spark):
     a = {r["vec_id"] for r in out.collect()}
     e = {r["vec_id"] for r in cosine_topk(df, "vec_id", "embedding", query, k=10).collect()}
     assert a == e
+
+
+def test_corpus_substring_spans_and_dedup(spark):
+    """Self-join span detection + cluster resolution: a 20-token
+    verbatim run shared by three documents collapses them into one
+    cluster with the min id canonical; scattered idiom-level matches
+    below the threshold keep their docs independent."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        corpus_substring_spans,
+        substring_dedup,
+    )
+
+    t = [f"t{i}" for i in range(1, 21)]  # the shared 20-token passage
+    rows = [
+        (1, "a1 a2 " + " ".join(t) + " a3"),
+        (2, "b1 " + " ".join(t) + " b2 b3"),
+        # doc 3 quotes only t5..t16 (12 tokens) — pairs with 1 and 2 at
+        # span 12, below a 16-token policy
+        (3, "c1 c2 c3 " + " ".join(t[4:16]) + " c4"),
+        (4, " ".join(f"u{i}" for i in range(1, 30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    spans = {
+        (r["id_a"], r["id_b"]): r["max_span_tokens"]
+        for r in corpus_substring_spans(
+            df, "doc_id", "text", shingle_n=8, min_span_tokens=8
+        ).collect()
+    }
+    assert spans == {(1, 2): 20, (1, 3): 12, (2, 3): 12}
+    # default threshold 2*n=16: only the full-passage pair survives,
+    # and the cluster keeps doc 1 as canonical
+    out = substring_dedup(df, "doc_id", "text", shingle_n=8)
+    got = {r["doc_id"]: (r["component"], r["is_canonical"]) for r in out.collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True), 4: (4, True)}
+    # posting cap inert on this corpus (no gram in >4 docs)
+    capped = substring_dedup(df, "doc_id", "text", shingle_n=8, max_postings=4)
+    assert {
+        r["doc_id"]: (r["component"], r["is_canonical"]) for r in capped.collect()
+    } == got
+    with pytest.raises(ValueError, match="min_span_tokens"):
+        corpus_substring_spans(df, "doc_id", "text", shingle_n=8, min_span_tokens=5)
+    with pytest.raises(ValueError, match="max_postings"):
+        corpus_substring_spans(df, "doc_id", "text", shingle_n=8, max_postings=0)
