@@ -84,8 +84,10 @@ HEADLINE = [
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",
-    # r5 session 4: within-corpus substring-span dedup (Lee et al.)
+    # r5 session 4: within-corpus substring-span dedup (Lee et al.),
+    # BM25 lexical retrieval
     "corpus_span_dedup",
+    "bm25_search",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

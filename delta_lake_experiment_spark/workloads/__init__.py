@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 82 value-oracled queries, thirty-two must sit outside the window. The
+# With 83 value-oracled queries, thirty-three must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -113,7 +113,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - corpus_span_dedup -> the positional-gram islands join is shadowed
 #   by contamination_spans (identical diagonal-islands lane, self-join
 #   instead of train x eval) and the component resolution by
-#   dedup_cluster_assignment — new in r5, deferred from birth.
+#   dedup_cluster_assignment — new in r5, deferred from birth;
+# - bm25_search -> array-filter tf columns shadowed by doc_text_stats
+#   (same tokenization lane), 1-row-agg broadcast by temperature_mixture
+#   (same O(strata) stats-join shape), top-k by top_orders_by_price
+#   (TakeOrdered) — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -150,6 +154,7 @@ _DEFERRED_ORACLED = [
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",
+    "bm25_search",
 ]
 
 

@@ -720,6 +720,30 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# -- lexical retrieval --------------------------------------------------
+
+_BM25_TERMS = ("vector", "hash", "join")
+_BM25_K = 15
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (operators/retrieval.py::bm25_topk) for a
+    fixed query over the documents table — two map-only scans + a 1-row
+    stats broadcast + TakeOrdered, no corpus-sized shuffle. The oracle
+    SQL is GENERATED from the same (terms, k, k1, b) parameters
+    (bm25_sql), so operator and oracle cannot drift."""
+    from delta_lake_experiment_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K)
+
+
+def _bm25_search_sql() -> str:
+    from delta_lake_experiment_spark.operators.retrieval import bm25_sql
+
+    return bm25_sql("documents", "doc_id", _BM25_TERMS, k=_BM25_K)
+
+
 # -- the full curation funnel ------------------------------------------
 
 
@@ -2056,6 +2080,7 @@ QUERIES = {
     "doc_train_split": doc_train_split,
     "dedup_cluster_assignment": dedup_cluster_assignment,
     "corpus_span_dedup": corpus_span_dedup,
+    "bm25_search": bm25_search,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2103,6 +2128,7 @@ ORACLES = {
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
     "corpus_span_dedup": CORPUS_SPAN_DEDUP_SQL,
+    "bm25_search": _bm25_search_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3082,3 +3082,77 @@ def test_corpus_substring_spans_and_dedup(spark):
         corpus_substring_spans(df, "doc_id", "text", shingle_n=8, min_span_tokens=5)
     with pytest.raises(ValueError, match="max_postings"):
         corpus_substring_spans(df, "doc_id", "text", shingle_n=8, max_postings=0)
+
+
+def test_bm25_topk(spark):
+    """Hand-computed BM25 over a 4-doc corpus: ranking, tf saturation,
+    length normalization, duplicate-term collapse, NULL text."""
+    import math
+
+    from delta_lake_experiment_spark.operators.retrieval import bm25_topk
+
+    rows = [
+        (1, "cat dog cat"),          # tf(cat)=2, dl=3
+        (2, "cat fish"),             # tf(cat)=1, dl=2
+        (3, "dog dog dog dog"),      # tf(cat)=0
+        (4, None),                   # NULL text -> dl=1 (split('')), tf=0
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = bm25_topk(df, "doc_id", "text", ["cat"], k=4, k1=1.2, b=0.75)
+    got = {r["doc_id"]: r["score"] for r in out.collect()}
+
+    def score(tf, dl, n, dfreq, avgdl, k1=1.2, b=0.75):
+        idf = math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    avgdl = (3 + 2 + 4 + 1) / 4.0
+    exp = {
+        1: score(2, 3, 4, 2, avgdl),
+        2: score(1, 2, 4, 2, avgdl),
+        3: 0.0,
+        4: 0.0,
+    }
+    assert got == pytest.approx(exp)
+    # ranking: doc 1 (higher tf, modest length) above doc 2
+    ordered = [r["doc_id"] for r in out.collect()]
+    assert ordered[:2] == [1, 2]
+    # zero-score ties broken by id ascending
+    assert ordered[2:] == [3, 4]
+    # duplicate query terms collapse (repeated term must not double-count)
+    dup = bm25_topk(df, "doc_id", "text", ["cat", "cat"], k=4)
+    assert {r["doc_id"]: r["score"] for r in dup.collect()} == pytest.approx(exp)
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(df, "doc_id", "text", [], k=4)
+    with pytest.raises(ValueError, match="k="):
+        bm25_topk(df, "doc_id", "text", ["cat"], k=0)
+
+
+def test_bm25_sql_duckdb_parity(spark):
+    """The generated DuckDB twin scores identically to the operator on
+    a random corpus (incl. a quote-bearing term)."""
+    import random
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.retrieval import bm25_sql, bm25_topk
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "o'brien"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    terms = ["alpha", "o'brien"]
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(df, "doc_id", "text", terms, k=10).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d (doc_id INT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    exp = con.execute(bm25_sql("d", "doc_id", terms, k=10)).fetchall()
+    con.close()
+    assert [(i, pytest.approx(s)) for i, s in exp] == got
