@@ -85,9 +85,10 @@ HEADLINE = [
     "corpus_mixture_pipeline",
     "similarity_pq_topk",
     # r5 session 4: within-corpus substring-span dedup (Lee et al.),
-    # BM25 lexical retrieval
+    # BM25 lexical retrieval, learned quality classifier
     "corpus_span_dedup",
     "bm25_search",
+    "quality_classifier_weights",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 83 value-oracled queries, thirty-three must sit outside the window. The
+# With 85 value-oracled queries, thirty-five must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -117,7 +117,13 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - bm25_search -> array-filter tf columns shadowed by doc_text_stats
 #   (same tokenization lane), 1-row-agg broadcast by temperature_mixture
 #   (same O(strata) stats-join shape), top-k by top_orders_by_price
-#   (TakeOrdered) — new in r5, deferred from birth.
+#   (TakeOrdered) — new in r5, deferred from birth;
+# - quality_classifier_weights / quality_classified_corpus -> the
+#   distributed side (hash-bucket explode + residual aggregation, literal
+#   -array scoring) is shadowed by corpus_vocab / doc_lm_score /
+#   encoded_documents; the driver-side GD loop is novel but its oracle
+#   re-derives every step as chained CTEs (the bpe_merge_table
+#   precedent) — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -155,6 +161,8 @@ _DEFERRED_ORACLED = [
     "corpus_mixture_pipeline",
     "corpus_span_dedup",
     "bm25_search",
+    "quality_classifier_weights",
+    "quality_classified_corpus",
 ]
 
 

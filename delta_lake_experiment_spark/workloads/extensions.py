@@ -720,6 +720,107 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# -- learned quality classifier ----------------------------------------
+
+_CLF_DIM = 32
+_CLF_ITERS = 6
+_CLF_LR = 0.5
+_CLF_ROUND = 9
+# weak label: the heuristic quality gate (doc_text_stats hash-matches
+# `quality` bit-exactly between engines, so the 0.5 threshold below
+# yields identical labels on both sides)
+_CLF_LABEL_SQL = f"CASE WHEN {_QUALITY_SQL} >= 0.5 THEN 1 ELSE 0 END"
+
+
+def _clf_train(spark: SparkSession, sf_dir: str):
+    from delta_lake_experiment_spark.operators.classifier import (
+        train_hashed_logreg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = with_text_stats(docs).select(
+        "doc_id", "text", (F.col("quality") >= 0.5).cast("int").alias("__label")
+    )
+    return docs, train_hashed_logreg(
+        labeled,
+        "doc_id",
+        "text",
+        "__label",
+        dim=_CLF_DIM,
+        iters=_CLF_ITERS,
+        lr=_CLF_LR,
+        round_digits=_CLF_ROUND,
+    )
+
+
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature logistic-regression TRAINING
+    (operators/classifier.py::train_hashed_logreg): distill the
+    heuristic quality gate into a fastText-style linear classifier —
+    per iteration one distributed residual aggregation to O(dim)
+    gradient rows, weight updates driver-side on metadata (the
+    BPE/IVF pattern). Output is the trained weight table (feature -1 =
+    bias); the DuckDB oracle RE-DERIVES every gradient step as chained
+    materialized CTEs, so the whole trajectory is value-certified."""
+    _, (w, bias) = _clf_train(spark, sf_dir)
+    from delta_lake_experiment_spark.operators.classifier import BIAS_FEATURE
+
+    rows = [(BIAS_FEATURE, bias)] + list(enumerate(w))
+    return spark.createDataFrame(rows, "feature long, weight double")
+
+
+def quality_classified_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained classifier APPLIED (operators/classifier.py::
+    score_hashed_logreg): sigmoid probability + keep gate per document,
+    map-only with literal weights — the shape a 100 TB quality-filter
+    pass runs. Train + score in one driver call; the oracle chains the
+    training CTEs into the scoring select."""
+    from delta_lake_experiment_spark.operators.classifier import (
+        score_hashed_logreg,
+    )
+
+    docs, (w, bias) = _clf_train(spark, sf_dir)
+    return score_hashed_logreg(docs, "doc_id", "text", w, bias)
+
+
+def _clf_ctes() -> str:
+    from delta_lake_experiment_spark.operators.classifier import hashed_logreg_sql
+
+    return hashed_logreg_sql(
+        "documents",
+        "doc_id",
+        _CLF_LABEL_SQL,
+        dim=_CLF_DIM,
+        iters=_CLF_ITERS,
+        lr=_CLF_LR,
+        round_digits=_CLF_ROUND,
+    )
+
+
+def _clf_weights_sql() -> str:
+    return (
+        "WITH "
+        + _clf_ctes()
+        + f"\nSELECT f AS feature, w AS weight FROM w{_CLF_ITERS}"
+    )
+
+
+def _clf_scored_sql() -> str:
+    margin = f"""(SELECT w FROM w{_CLF_ITERS} WHERE f = -1)
+      + COALESCE((SELECT SUM(wi.w) FROM lrfeats lf JOIN w{_CLF_ITERS} wi ON wi.f = lf.f
+                  WHERE lf.doc_id = d.doc_id), 0.0)"""
+    return (
+        "WITH "
+        + _clf_ctes()
+        + f""",
+scored AS (
+  SELECT d.doc_id, round(1.0 / (1.0 + exp(-({margin}))), 6) AS prob
+  FROM lrdocs d
+)
+SELECT doc_id, prob, prob >= 0.5 AS keep FROM scored"""
+    )
+
+
 # -- lexical retrieval --------------------------------------------------
 
 _BM25_TERMS = ("vector", "hash", "join")
@@ -2081,6 +2182,8 @@ QUERIES = {
     "dedup_cluster_assignment": dedup_cluster_assignment,
     "corpus_span_dedup": corpus_span_dedup,
     "bm25_search": bm25_search,
+    "quality_classifier_weights": quality_classifier_weights,
+    "quality_classified_corpus": quality_classified_corpus,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2129,6 +2232,8 @@ ORACLES = {
     "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
     "corpus_span_dedup": CORPUS_SPAN_DEDUP_SQL,
     "bm25_search": _bm25_search_sql(),
+    "quality_classifier_weights": _clf_weights_sql(),
+    "quality_classified_corpus": _clf_scored_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3156,3 +3156,105 @@ def test_bm25_sql_duckdb_parity(spark):
     exp = con.execute(bm25_sql("d", "doc_id", terms, k=10)).fetchall()
     con.close()
     assert [(i, pytest.approx(s)) for i, s in exp] == got
+
+
+def test_hashed_logreg_training_parity_and_separation(spark):
+    """Full-batch GD on hashed binary features: the Spark loop, a
+    pure-Python model, and the generated DuckDB CTE chain all land on
+    IDENTICAL weights (the rounding grid pins the trajectory), and the
+    trained model separates the two vocabularies."""
+    import hashlib
+    import math
+    import random
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.classifier import (
+        hashed_logreg_sql,
+        score_hashed_logreg,
+        train_hashed_logreg,
+    )
+
+    rng = random.Random(11)
+    good = ["clean", "prose", "article", "science", "history"]
+    bad = ["spam", "click", "buy", "cheap", "pills"]
+    rows = []
+    for i in range(60):
+        y = i % 2
+        vocab = good if y else bad
+        rows.append(
+            (i, " ".join(rng.choice(vocab + ["the", "a"])
+                         for _ in range(rng.randint(3, 12))), y)
+        )
+    df = spark.createDataFrame(rows, "doc_id int, text string, y int")
+    dim, iters, lr, rd = 32, 6, 0.5, 9
+    w, b = train_hashed_logreg(
+        df, "doc_id", "text", "y", dim=dim, iters=iters, lr=lr, round_digits=rd
+    )
+
+    # pure-Python reference model
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % dim
+
+    feats = {
+        i: sorted({bucket(t) for t in text.lower().strip().split()})
+        for i, text, _ in rows
+    }
+    n = len(rows)
+    pw, pb = [0.0] * dim, 0.0
+    for _ in range(iters):
+        grads, gb = [0.0] * dim, 0.0
+        for i, _, y in rows:
+            p = 1 / (1 + math.exp(-(pb + sum(pw[f] for f in feats[i]))))
+            r = (p - float(y)) / n
+            gb += r
+            for f in feats[i]:
+                grads[f] += r
+        pw = [round(pw[f] - lr * grads[f], rd) for f in range(dim)]
+        pb = round(pb - lr * gb, rd)
+    assert w == pw and b == pb
+
+    # generated DuckDB twin re-derives the identical trajectory
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (doc_id INT, text VARCHAR, y INT)")
+    con.executemany("INSERT INTO src VALUES (?, ?, ?)", rows)
+    sql = (
+        "WITH "
+        + hashed_logreg_sql("src", "doc_id", "y", dim=dim, iters=iters,
+                            lr=lr, round_digits=rd)
+        + f"\nSELECT f, w FROM w{iters}"
+    )
+    dw = dict(con.execute(sql).fetchall())
+    con.close()
+    assert dw[-1] == b and all(dw[f] == w[f] for f in range(dim))
+
+    # the model separates the classes it was trained on
+    kept = {
+        r["doc_id"]: r["keep"]
+        for r in score_hashed_logreg(df, "doc_id", "text", w, b).collect()
+    }
+    assert all(kept[i] == bool(y) for i, _, y in rows)
+
+
+def test_hashed_logreg_guards(spark):
+    from delta_lake_experiment_spark.operators.classifier import (
+        hashed_feature_sets,
+        train_hashed_logreg,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", None)], "doc_id int, text string, y int"
+    )
+    # NULL label raises in-plan rather than silently dropping the row
+    with pytest.raises(Exception, match="train_hashed_logreg"):
+        train_hashed_logreg(df, "doc_id", "text", "y", dim=8, iters=1)
+    with pytest.raises(ValueError, match="iters"):
+        train_hashed_logreg(df, "doc_id", "text", "y", dim=8, iters=0)
+    with pytest.raises(ValueError, match="dim"):
+        hashed_feature_sets(df, "doc_id", "text", dim=1)
+    # NULL text featurizes as empty text (never drops the doc)
+    nf = hashed_feature_sets(
+        spark.createDataFrame([(1, None)], "doc_id int, text string"),
+        "doc_id", "text", dim=8,
+    ).collect()
+    assert len(nf) == 1 and len(nf[0]["feats"]) == 1
