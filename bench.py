@@ -89,6 +89,7 @@ HEADLINE = [
     "corpus_span_dedup",
     "bm25_search",
     "quality_classifier_weights",
+    "semantic_dedup_corpus",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

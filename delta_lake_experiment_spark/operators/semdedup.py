@@ -1,0 +1,308 @@
+"""Semantic deduplication over embeddings (SemDeDup-style).
+
+Near-duplicate text dedup (MinHash, SimHash, n-gram Jaccard —
+operators/dedup.py) keys on surface overlap; SEMANTIC dedup (Abbas et
+al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication") removes documents that say the same thing in
+different words by clustering their embeddings and thresholding cosine
+similarity WITHIN each cluster — the cluster boundary is what bounds
+the otherwise-quadratic pair search.
+
+100 TB design:
+- **k-means is the "aggregate distributed, iterate on metadata"
+  pattern** (BPE / IVF / the logreg classifier here): each Lloyd
+  iteration is one map-only assignment pass (centroids enter the plan
+  as literal arrays — no join) plus one groupBy shuffle whose output
+  is k × (dim + 1) numbers, collected to the driver. Centroid count k
+  scales with corpus size (SemDeDup used ~100k clusters for web
+  scale), so the within-cluster pair join stays bounded: expected
+  cluster size = N/k documents, and the self-join on the cluster id
+  never degenerates into a corpus cross-product.
+- **Everything is engine-reproducible by construction** — this is the
+  deliberate twist vs the IVF/PQ lanes (rows-only + recall floors):
+  seeds are the k lowest ``md5(salt || id)`` vectors (portable SQL,
+  not xxhash), every assignment compares dot products ROUNDED to
+  ``round_digits`` with ties broken toward the lower centroid index,
+  and every recomputed centroid coordinate is rounded the same way.
+  Distributed double addition is order-sensitive at ~1e-16; the
+  rounding grid (1e-9) is far coarser than that noise and far finer
+  than the signal, so Spark and the DuckDB oracle
+  (:func:`semantic_dedup_sql` — chained MATERIALIZED CTEs re-deriving
+  every Lloyd step) land on identical clusters, pairs, and survivors:
+  a VALUE oracle for the whole pipeline.
+- Empty clusters keep their previous centroid (both lanes), so k
+  never silently shrinks.
+
+The reference engine has no vector surface at all (SURVEY §2.2); this
+is LLM-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_experiment_spark.operators.similarity import l2_normalize
+
+
+def _dot_lit(vec: Column, c: Sequence[float]) -> Column:
+    """Dot product of an array column with a literal centroid — one
+    zip_with + left-to-right fold (the same fold order DuckDB's
+    list_dot_product uses; existing embedding oracles hash-match at
+    round-9, which certifies the two agree on this data)."""
+    return F.aggregate(
+        F.zip_with(vec, F.lit([float(x) for x in c]), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest(vec: Column, centroids: Sequence[Sequence[float]], round_digits: int) -> Column:
+    """Index of the max-dot-product centroid over ROUNDED scores, ties
+    to the LOWER index (array_max over (score, -index) structs picks
+    max score then max -index = min index) — the rounding + tie rule is
+    what makes the assignment engine-reproducible."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(_dot_lit(vec, c), round_digits).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["nj"]).cast("int")
+
+
+def seed_centroids(
+    df: DataFrame, id_col: str, vec_col: str, k: int, salt: str
+) -> list:
+    """The k vectors with the smallest ``md5(salt || id)`` (ties by
+    id) — a deterministic uniform sample ANY engine can reproduce
+    (unlike the xxhash64 IVF seeds). Vectors are l2-normalized here;
+    the whole lane works on the unit sphere (dot == cosine)."""
+    if k < 1:
+        raise ValueError(f"k={k!r} must be >= 1")
+    rows = (
+        df.select(
+            F.col(id_col).alias("i"),
+            l2_normalize(F.col(vec_col)).alias("v"),
+        )
+        .orderBy(
+            F.md5(F.concat(F.lit(salt), F.col("i").cast("string"))), F.col("i")
+        )
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def deterministic_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    salt: str = "sem",
+    round_digits: int = 9,
+) -> list:
+    """Lloyd's k-means with rounded, engine-reproducible steps; returns
+    the final centroid list (each coordinate rounded). One distributed
+    job per iteration: map-only assignment + a k x (dim+1) aggregate
+    (per-dimension means via map-side-combined ``avg`` columns)."""
+    cents = seed_centroids(df, id_col, vec_col, k, salt)
+    if not cents:
+        raise ValueError("deterministic_kmeans: empty input")
+    dim = len(cents[0])
+    norm = df.select(
+        F.col(id_col).alias("i"), l2_normalize(F.col(vec_col)).alias("v")
+    )
+    for _ in range(iters):
+        assigned = norm.withColumn(
+            "__c", _nearest(F.col("v"), cents, round_digits)
+        )
+        rows = (
+            assigned.groupBy("__c")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("v"), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        new = {
+            r["__c"]: [round(float(r[f"m{i}"]), round_digits) for i in range(dim)]
+            for r in rows
+        }
+        # empty clusters keep their previous centroid
+        cents = [new.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    salt: str = "sem",
+    round_digits: int = 9,
+    sim_digits: int = 6,
+) -> DataFrame:
+    """(id_col, cluster, component, is_canonical) — the SemDeDup
+    pipeline: deterministic k-means, within-cluster cosine pairs at
+    ``>= threshold`` (rounded to ``sim_digits``), connected components
+    over the pair graph, min-id canonical per duplicate group.
+    ``filter(is_canonical)`` is the semantically deduplicated corpus.
+
+    The pair search never leaves a cluster (pairs straddling a cluster
+    boundary are missed — the SemDeDup trade by construction; raise
+    ``k`` for tighter clusters or lower recall loss), so the join cost
+    is sum over clusters of |cluster|^2, not N^2."""
+    from delta_lake_experiment_spark.operators.cluster import assign_components
+
+    cents = deterministic_kmeans(
+        df, id_col, vec_col, k=k, iters=iters, salt=salt,
+        round_digits=round_digits,
+    )
+    norm = df.select(
+        F.col(id_col).alias("__i"), l2_normalize(F.col(vec_col)).alias("__v")
+    ).withColumn("__c", _nearest(F.col("__v"), cents, round_digits))
+    # the assigned table feeds both sides of the pair join and the
+    # final output; persist so normalization + assignment run once
+    norm = norm.persist()
+    left = norm.select(
+        F.col("__i").alias("id_a"), F.col("__v").alias("__va"), "__c"
+    )
+    right = norm.select(
+        F.col("__i").alias("id_b"), F.col("__v").alias("__vb"), "__c"
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        sim_digits,
+    )
+    pairs = (
+        left.join(right, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select("id_a", "id_b")
+    )
+    out = assign_components(
+        norm.select(F.col("__i").alias(id_col), F.col("__c").alias("cluster")),
+        pairs,
+        id_col,
+    )
+    return out.select(
+        id_col,
+        "cluster",
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
+
+
+def semantic_dedup_sql(
+    src: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    salt: str = "sem",
+    round_digits: int = 9,
+    sim_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` — machine-generated from
+    the same hyperparameters: seed selection, every Lloyd step
+    (assignment with rounded scores + lower-index ties, per-dimension
+    rounded means, empty-cluster carry-over), the within-cluster pair
+    join, and the component fixpoint, as chained MATERIALIZED CTEs
+    (double-referenced chained CTEs inline exponentially otherwise —
+    the BPE-oracle lesson). Emits a complete query returning
+    (id, cluster, component, is_canonical)."""
+    salt_lit = "'" + salt.replace("'", "''") + "'"
+    norm = (
+        f"CASE WHEN sqrt(list_dot_product(dv, dv)) > 0 THEN "
+        f"list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) "
+        f"ELSE dv END"
+    )
+    ctes = [
+        f"""se AS MATERIALIZED (
+  SELECT {id_col} AS i, {norm} AS v
+  FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS dv FROM {src})
+), sc0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5({salt_lit} || CAST(i AS VARCHAR)), i) AS INT) - 1 AS j, v
+  FROM (SELECT i, v FROM se ORDER BY md5({salt_lit} || CAST(i AS VARCHAR)), i LIMIT {k})
+)"""
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""sa{it} AS MATERIALIZED (
+  SELECT i, j FROM (
+    SELECT se.i, c.j, ROW_NUMBER() OVER (
+      PARTITION BY se.i
+      ORDER BY round(list_dot_product(se.v, c.v), {round_digits}) DESC, c.j ASC
+    ) AS rn
+    FROM se, sc{it} c
+  ) WHERE rn = 1
+), sm{it} AS MATERIALIZED (
+  SELECT j, list(m ORDER BY pos) AS v FROM (
+    SELECT j, pos, round(AVG(val), {round_digits}) AS m FROM (
+      SELECT a.j AS j,
+             unnest(generate_series(1, len(se.v))) AS pos,
+             unnest(se.v) AS val
+      FROM sa{it} a JOIN se ON se.i = a.i
+    ) GROUP BY j, pos
+  ) GROUP BY j
+), sc{it + 1} AS MATERIALIZED (
+  SELECT c.j, COALESCE(m.v, c.v) AS v
+  FROM sc{it} c LEFT JOIN sm{it} m ON m.j = c.j
+)"""
+        )
+    ctes.append(
+        f"""sfinal AS MATERIALIZED (
+  SELECT i, j FROM (
+    SELECT se.i, c.j, ROW_NUMBER() OVER (
+      PARTITION BY se.i
+      ORDER BY round(list_dot_product(se.v, c.v), {round_digits}) DESC, c.j ASC
+    ) AS rn
+    FROM se, sc{iters} c
+  ) WHERE rn = 1
+), pairs AS MATERIALIZED (
+  SELECT a.i AS id_a, b.i AS id_b
+  FROM sfinal a JOIN sfinal b ON a.j = b.j AND a.i < b.i
+  JOIN se ea ON ea.i = a.i JOIN se eb ON eb.i = b.i
+  WHERE round(list_dot_product(ea.v, eb.v), {sim_digits}) >= {threshold}
+)"""
+    )
+    comps = """edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)"""
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + ",\n"
+        + comps
+        + f"""
+SELECT f.i AS {id_col}, f.j AS cluster,
+  COALESCE(c.component, f.i) AS component,
+  f.i = COALESCE(c.component, f.i) AS is_canonical
+FROM sfinal f LEFT JOIN comp c ON c.id = f.i
+"""
+    )

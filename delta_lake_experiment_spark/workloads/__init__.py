@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 85 value-oracled queries, thirty-five must sit outside the window. The
+# With 86 value-oracled queries, thirty-six must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -123,7 +123,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   -array scoring) is shadowed by corpus_vocab / doc_lm_score /
 #   encoded_documents; the driver-side GD loop is novel but its oracle
 #   re-derives every step as chained CTEs (the bpe_merge_table
-#   precedent) — new in r5, deferred from birth.
+#   precedent) — new in r5, deferred from birth;
+# - semantic_dedup_corpus -> the pair-graph resolution is shadowed by
+#   dedup_cluster_assignment / corpus_span_dedup (same components
+#   lane), the embedding arithmetic by near_dup_embedding; the rounded
+#   deterministic k-means is novel but fully re-derived by its oracle
+#   — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -163,6 +168,7 @@ _DEFERRED_ORACLED = [
     "bm25_search",
     "quality_classifier_weights",
     "quality_classified_corpus",
+    "semantic_dedup_corpus",
 ]
 
 

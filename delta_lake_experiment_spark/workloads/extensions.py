@@ -720,6 +720,40 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# -- semantic dedup -----------------------------------------------------
+
+_SEM_K = 8
+_SEM_ITERS = 2
+_SEM_THRESHOLD = 0.35  # same rationale as near_dup_embedding: the
+_SEM_SALT = "sem1"     # synthetic embeddings have no planted dups
+
+
+def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): deterministic k-means over the
+    embeddings (rounded Lloyd steps, md5 seeds), within-cluster cosine
+    pairs at >= 0.35, connected components, min-id canonical. Unlike
+    the rows-only ANN lanes, every step here is engine-reproducible by
+    construction, so the DuckDB oracle re-derives the ENTIRE pipeline —
+    seeds, both Lloyd iterations, assignment, pairs, fixpoint — and the
+    hash match certifies it all."""
+    from delta_lake_experiment_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding",
+        k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD, salt=_SEM_SALT,
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    from delta_lake_experiment_spark.operators.semdedup import semantic_dedup_sql
+
+    return semantic_dedup_sql(
+        "embeddings", "vec_id", "embedding",
+        k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD, salt=_SEM_SALT,
+    )
+
+
 # -- learned quality classifier ----------------------------------------
 
 _CLF_DIM = 32
@@ -2184,6 +2218,7 @@ QUERIES = {
     "bm25_search": bm25_search,
     "quality_classifier_weights": quality_classifier_weights,
     "quality_classified_corpus": quality_classified_corpus,
+    "semantic_dedup_corpus": semantic_dedup_corpus,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2234,6 +2269,7 @@ ORACLES = {
     "bm25_search": _bm25_search_sql(),
     "quality_classifier_weights": _clf_weights_sql(),
     "quality_classified_corpus": _clf_scored_sql(),
+    "semantic_dedup_corpus": _semantic_dedup_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

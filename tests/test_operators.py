@@ -3258,3 +3258,58 @@ def test_hashed_logreg_guards(spark):
         "doc_id", "text", dim=8,
     ).collect()
     assert len(nf) == 1 and len(nf[0]["feats"]) == 1
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """Two tight semantic groups + one outlier: k-means separates the
+    groups, the within-cluster cosine threshold pairs only the
+    near-identical vectors, and each duplicate group keeps its min-id
+    vector. The DuckDB twin re-derives the identical output."""
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_sql,
+    )
+
+    rows = [
+        # group A: three near-identical directions (pairwise cos ~1)
+        (1, [1.0, 0.02, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [1.0, 0.00, 0.01, 0.0]),
+        # group B: two near-identical along another axis
+        (10, [0.0, 0.0, 1.0, 0.02]),
+        (11, [0.0, 0.0, 1.0, 0.01]),
+        # outlier: shares B's cluster region but far below threshold
+        (20, [0.0, 0.6, 0.8, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = semantic_dedup(
+        df, "vec_id", "embedding", k=2, iters=2, threshold=0.99, salt="t"
+    )
+    got = {
+        r["vec_id"]: (r["component"], r["is_canonical"]) for r in out.collect()
+    }
+    assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+    assert got[10] == (10, True) and got[11] == (10, False)
+    assert got[20] == (20, True)
+    # engine parity on the same corpus
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (vec_id INT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)", rows)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            semantic_dedup_sql(
+                "emb", "vec_id", "embedding", k=2, iters=2,
+                threshold=0.99, salt="t",
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert exp == sorted(
+        (r["vec_id"], r["cluster"], r["component"], r["is_canonical"])
+        for r in out.collect()
+    )
+    with pytest.raises(ValueError, match="k="):
+        semantic_dedup(df, "vec_id", "embedding", k=0)
