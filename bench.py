@@ -90,6 +90,7 @@ HEADLINE = [
     "bm25_search",
     "quality_classifier_weights",
     "semantic_dedup_corpus",
+    "ensemble_dedup",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -142,29 +142,20 @@ def deterministic_kmeans(
     return cents
 
 
-def semantic_dedup(
+def _assigned_and_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
-    iters: int = 2,
-    threshold: float = 0.95,
-    salt: str = "sem",
-    round_digits: int = 9,
-    sim_digits: int = 6,
-) -> DataFrame:
-    """(id_col, cluster, component, is_canonical) — the SemDeDup
-    pipeline: deterministic k-means, within-cluster cosine pairs at
-    ``>= threshold`` (rounded to ``sim_digits``), connected components
-    over the pair graph, min-id canonical per duplicate group.
-    ``filter(is_canonical)`` is the semantically deduplicated corpus.
-
-    The pair search never leaves a cluster (pairs straddling a cluster
-    boundary are missed — the SemDeDup trade by construction; raise
-    ``k`` for tighter clusters or lower recall loss), so the join cost
-    is sum over clusters of |cluster|^2, not N^2."""
-    from delta_lake_experiment_spark.operators.cluster import assign_components
-
+    k: int,
+    iters: int,
+    threshold: float,
+    salt: str,
+    round_digits: int,
+    sim_digits: int,
+) -> "tuple[DataFrame, DataFrame]":
+    """Shared core: (assigned, pairs) where ``assigned`` is the
+    persisted (``__i``, ``__v`` normalized, ``__c`` cluster) table and
+    ``pairs`` the within-cluster cosine matches (id_a < id_b)."""
     cents = deterministic_kmeans(
         df, id_col, vec_col, k=k, iters=iters, salt=salt,
         round_digits=round_digits,
@@ -196,6 +187,58 @@ def semantic_dedup(
         .filter(F.col("__cos") >= threshold)
         .select("id_a", "id_b")
     )
+    return norm, pairs
+
+
+def semantic_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    salt: str = "sem",
+    round_digits: int = 9,
+    sim_digits: int = 6,
+) -> DataFrame:
+    """Just the (id_a, id_b) semantic near-duplicate edges — for
+    composing with other pair generators (e.g. an ensemble dedup that
+    unions lexical and semantic edges before ONE component
+    resolution)."""
+    _, pairs = _assigned_and_pairs(
+        df, id_col, vec_col, k, iters, threshold, salt, round_digits,
+        sim_digits,
+    )
+    return pairs
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    salt: str = "sem",
+    round_digits: int = 9,
+    sim_digits: int = 6,
+) -> DataFrame:
+    """(id_col, cluster, component, is_canonical) — the SemDeDup
+    pipeline: deterministic k-means, within-cluster cosine pairs at
+    ``>= threshold`` (rounded to ``sim_digits``), connected components
+    over the pair graph, min-id canonical per duplicate group.
+    ``filter(is_canonical)`` is the semantically deduplicated corpus.
+
+    The pair search never leaves a cluster (pairs straddling a cluster
+    boundary are missed — the SemDeDup trade by construction; raise
+    ``k`` for tighter clusters or lower recall loss), so the join cost
+    is sum over clusters of |cluster|^2, not N^2."""
+    from delta_lake_experiment_spark.operators.cluster import assign_components
+
+    norm, pairs = _assigned_and_pairs(
+        df, id_col, vec_col, k, iters, threshold, salt, round_digits,
+        sim_digits,
+    )
     out = assign_components(
         norm.select(F.col("__i").alias(id_col), F.col("__c").alias("cluster")),
         pairs,
@@ -209,7 +252,7 @@ def semantic_dedup(
     )
 
 
-def semantic_dedup_sql(
+def semantic_pair_ctes(
     src: str,
     id_col: str,
     vec_col: str,
@@ -220,14 +263,14 @@ def semantic_dedup_sql(
     round_digits: int = 9,
     sim_digits: int = 6,
 ) -> str:
-    """DuckDB twin of :func:`semantic_dedup` — machine-generated from
-    the same hyperparameters: seed selection, every Lloyd step
-    (assignment with rounded scores + lower-index ties, per-dimension
-    rounded means, empty-cluster carry-over), the within-cluster pair
-    join, and the component fixpoint, as chained MATERIALIZED CTEs
+    """The CTE fragment of the DuckDB twin, ending in ``sem_pairs``
+    (id_a, id_b) plus ``sfinal`` (i, j cluster assignment) — for
+    composing into larger oracles (semantic_dedup_sql, the ensemble
+    dedup). Chained MATERIALIZED stages re-derive seed selection and
+    every Lloyd step from the same hyperparameters as the operator
     (double-referenced chained CTEs inline exponentially otherwise —
-    the BPE-oracle lesson). Emits a complete query returning
-    (id, cluster, component, is_canonical)."""
+    the BPE-oracle lesson)."""
+
     salt_lit = "'" + salt.replace("'", "''") + "'"
     norm = (
         f"CASE WHEN sqrt(list_dot_product(dv, dv)) > 0 THEN "
@@ -276,17 +319,36 @@ def semantic_dedup_sql(
     ) AS rn
     FROM se, sc{iters} c
   ) WHERE rn = 1
-), pairs AS MATERIALIZED (
+), sem_pairs AS MATERIALIZED (
   SELECT a.i AS id_a, b.i AS id_b
   FROM sfinal a JOIN sfinal b ON a.j = b.j AND a.i < b.i
   JOIN se ea ON ea.i = a.i JOIN se eb ON eb.i = b.i
   WHERE round(list_dot_product(ea.v, eb.v), {sim_digits}) >= {threshold}
 )"""
     )
+    return ",\n".join(ctes)
+
+
+def semantic_dedup_sql(
+    src: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    salt: str = "sem",
+    round_digits: int = 9,
+    sim_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` — machine-generated from
+    the same hyperparameters: :func:`semantic_pair_ctes` (seeds, every
+    Lloyd step, assignment, within-cluster pairs) plus the component
+    fixpoint. Emits a complete query returning
+    (id, cluster, component, is_canonical)."""
     comps = """edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
+  SELECT id_a AS a, id_b AS b FROM sem_pairs
   UNION ALL
-  SELECT id_b, id_a FROM pairs
+  SELECT id_b, id_a FROM sem_pairs
 ), reach(id, r) AS (
   SELECT DISTINCT a, a FROM edges
   UNION
@@ -296,7 +358,10 @@ def semantic_dedup_sql(
 )"""
     return (
         "WITH RECURSIVE "
-        + ",\n".join(ctes)
+        + semantic_pair_ctes(
+            src, id_col, vec_col, k=k, iters=iters, threshold=threshold,
+            salt=salt, round_digits=round_digits, sim_digits=sim_digits,
+        )
         + ",\n"
         + comps
         + f"""

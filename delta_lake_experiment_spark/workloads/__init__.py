@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 86 value-oracled queries, thirty-six must sit outside the window. The
+# With 87 value-oracled queries, thirty-seven must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -128,7 +128,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   dedup_cluster_assignment / corpus_span_dedup (same components
 #   lane), the embedding arithmetic by near_dup_embedding; the rounded
 #   deterministic k-means is novel but fully re-derived by its oracle
-#   — new in r5, deferred from birth.
+#   — new in r5, deferred from birth;
+# - ensemble_dedup -> a pure composition of near_dup_jaccard +
+#   semantic_dedup_corpus edges into the dedup_cluster_assignment
+#   components lane (each stage separately oracled; the union is the
+#   novelty) — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -169,6 +173,7 @@ _DEFERRED_ORACLED = [
     "quality_classifier_weights",
     "quality_classified_corpus",
     "semantic_dedup_corpus",
+    "ensemble_dedup",
 ]
 
 

@@ -754,6 +754,83 @@ def _semantic_dedup_sql() -> str:
     )
 
 
+def ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical + semantic ENSEMBLE dedup: a document is a duplicate if
+    it is an exact-Jaccard near-dup (surface overlap) OR a semantic
+    near-dup of its aligned embedding (same meaning, different words —
+    the pair surface dedup provably misses). Both edge sets feed ONE
+    connected-components resolution, so mixed chains collapse
+    correctly (A ~lex~ B ~sem~ C keeps only one canonical) — resolving
+    the two graphs separately would keep both "canonicals" of a mixed
+    cluster. The embeddings table is id-aligned with documents
+    (TESTDATA.md); the oracle unions the two pair CTE chains before the
+    same recursive fixpoint."""
+    from delta_lake_experiment_spark.operators.semdedup import semantic_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        max_postings=_NEAR_DUP_CAP,
+    ).select("id_a", "id_b")
+    sem = semantic_pairs(
+        emb, "vec_id", "embedding",
+        k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD, salt=_SEM_SALT,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    edges = lex.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    ).unionByName(sem)
+    out = assign_components(docs.select("doc_id"), edges, "doc_id")
+    return out.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _ensemble_dedup_sql() -> str:
+    from delta_lake_experiment_spark.operators.semdedup import semantic_pair_ctes
+
+    comps = """edges AS (
+  SELECT id_a AS a, id_b AS b FROM upairs
+  UNION ALL
+  SELECT id_b, id_a FROM upairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)"""
+    return (
+        "WITH RECURSIVE "
+        + _jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP)
+        + ",\n"
+        + semantic_pair_ctes(
+            "embeddings", "vec_id", "embedding",
+            k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD,
+            salt=_SEM_SALT,
+        )
+        + """,
+upairs AS (
+  SELECT id_a, id_b FROM pairs
+  UNION
+  SELECT CAST(id_a AS BIGINT), CAST(id_b AS BIGINT) FROM sem_pairs
+),
+"""
+        + comps
+        + """
+SELECT d.doc_id,
+  COALESCE(c.component, d.doc_id) AS component,
+  d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+    )
+
+
 # -- learned quality classifier ----------------------------------------
 
 _CLF_DIM = 32
@@ -2219,6 +2296,7 @@ QUERIES = {
     "quality_classifier_weights": quality_classifier_weights,
     "quality_classified_corpus": quality_classified_corpus,
     "semantic_dedup_corpus": semantic_dedup_corpus,
+    "ensemble_dedup": ensemble_dedup,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2270,6 +2348,7 @@ ORACLES = {
     "quality_classifier_weights": _clf_weights_sql(),
     "quality_classified_corpus": _clf_scored_sql(),
     "semantic_dedup_corpus": _semantic_dedup_sql(),
+    "ensemble_dedup": _ensemble_dedup_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3313,3 +3313,40 @@ def test_semantic_dedup_planted_clusters(spark):
     )
     with pytest.raises(ValueError, match="k="):
         semantic_dedup(df, "vec_id", "embedding", k=0)
+
+
+def test_ensemble_dedup_mixed_chain(spark):
+    """A ~lex~ B ~sem~ C must collapse to ONE canonical even though no
+    single detector links A to C — the reason ensemble dedup resolves
+    the UNION of edge sets in one components pass."""
+    from delta_lake_experiment_spark.operators.cluster import assign_components
+    from delta_lake_experiment_spark.operators.dedup import ngram_jaccard_pairs
+    from delta_lake_experiment_spark.operators.semdedup import semantic_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely different words in this third document here"),
+            (4, "unrelated text about nothing shared with any other"),
+        ],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.01]),   # sem-pairs with 3, not with 1
+            (3, [0.0, 1.0, 0.02]),
+            (4, [0.0, 0.0, -1.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    lex = ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    sem = semantic_pairs(emb, "vec_id", "embedding", k=2, iters=1,
+                         threshold=0.99, salt="t")
+    assert {(r["id_a"], r["id_b"]) for r in lex.collect()} == {(1, 2)}
+    assert {(r["id_a"], r["id_b"]) for r in sem.collect()} == {(2, 3)}
+    edges = lex.select("id_a", "id_b").unionByName(sem.select("id_a", "id_b"))
+    out = assign_components(docs.select("doc_id"), edges, "doc_id")
+    comp = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
