@@ -91,6 +91,7 @@ HEADLINE = [
     "quality_classifier_weights",
     "semantic_dedup_corpus",
     "ensemble_dedup",
+    "image_text_alignment",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -112,6 +112,70 @@ def extract_features(
     )
 
 
+def text_features(
+    df: DataFrame,
+    text_col: str,
+    out_dim: int = 8,
+    passthrough_cols: tuple = (),
+) -> DataFrame:
+    """The TEXT tower of a dual-encoder (CLIP-style) alignment check:
+    (passthrough..., features array<float>) from the caption column via
+    the same Arrow-batched lane — and the same STUB encoder
+    (:func:`_decode_payload` over the caption's UTF-8 bytes; a real
+    deployment calls its text encoder here). Keeping both towers on one
+    stub makes the whole alignment pipeline value-oracled: DuckDB can
+    recompute either side from sha256 of the same bytes."""
+    out_schema = T.StructType(
+        [
+            T.StructField(f.name, f.dataType)
+            for f in df.schema.fields
+            if f.name in set(passthrough_cols)
+        ]
+        + [T.StructField("features", T.ArrayType(T.FloatType()))]
+    )
+    names = [f.name for f in out_schema.fields if f.name != "features"]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                _decode_payload(
+                    (t if t is not None else "").encode("utf-8"), "text", out_dim
+                )
+                for t in pdf[text_col]
+            ]
+            cols = {name: pdf[name] for name in names}
+            cols["features"] = feats
+            yield pd.DataFrame(cols)
+
+    return df.select(*dict.fromkeys(list(names) + [text_col])).mapInPandas(
+        batches, out_schema
+    )
+
+
+def feature_vector_sql(hex_expr: str, out_dim: int = 8) -> str:
+    """DuckDB DOUBLE[] expression re-deriving :func:`_decode_payload`'s
+    feature vector from a sha256 HEX expression — each of the
+    ``out_dim`` uint32s is 4 hex byte-pairs LITTLE-endian (the
+    np.frombuffer layout), divided by 2^32 and squeezed through REAL to
+    match the float32 output exactly. Requires ``out_dim * 4 <= 32``
+    (one digest; the stub's repetition branch is not mirrored here)."""
+    if out_dim * 4 > 32:
+        raise ValueError(
+            f"out_dim={out_dim!r} needs {out_dim * 4} bytes; the SQL twin"
+            " mirrors only the single-digest case (<= 8 dims)"
+        )
+    elems = []
+    for j in range(out_dim):
+        off = 8 * j  # hex chars per uint32
+        terms = " + ".join(
+            f"CAST(('0x' || substr({hex_expr}, {off + 2 * b + 1}, 2)) AS BIGINT)"
+            + ("" if b == 0 else f" * {256 ** b}")
+            for b in range(4)
+        )
+        elems.append(f"CAST(CAST(({terms}) / 4294967296.0 AS REAL) AS DOUBLE)")
+    return "[" + ", ".join(elems) + "]"
+
+
 def sample_video_frames(
     df: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 87 value-oracled queries, thirty-seven must sit outside the window. The
+# With 88 value-oracled queries, thirty-eight must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -132,7 +132,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - ensemble_dedup -> a pure composition of near_dup_jaccard +
 #   semantic_dedup_corpus edges into the dedup_cluster_assignment
 #   components lane (each stage separately oracled; the union is the
-#   novelty) — new in r5, deferred from birth.
+#   novelty) — new in r5, deferred from birth;
+# - image_text_alignment -> the Arrow mapInPandas encode lane is
+#   shadowed by multimodal_features/media_ingest (same stub decoder,
+#   now both towers + full-vector oracle), the cosine gate by
+#   near_dup_embedding — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -174,6 +178,7 @@ _DEFERRED_ORACLED = [
     "quality_classified_corpus",
     "semantic_dedup_corpus",
     "ensemble_dedup",
+    "image_text_alignment",
 ]
 
 

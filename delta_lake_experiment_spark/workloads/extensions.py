@@ -2287,6 +2287,97 @@ FROM b
 """
 
 
+def image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-shaped image-text alignment filter: encode the image
+    payloads (Arrow mapInPandas, stub decoder) and their captions (the
+    text tower — operators/multimodal.py::text_features, same stub) to
+    8-dim embeddings, join the two modality tables, gate on rounded
+    cosine. The filtering step a multimodal training-data build runs to
+    drop mis-captioned pairs; with both towers on the deterministic
+    sha256 stub, DuckDB re-derives BOTH full vectors byte-by-byte
+    (feature_vector_sql) so the whole dual-tower pipeline is
+    value-oracled — not just one element of it (cf. media_ingest's
+    f0)."""
+    from delta_lake_experiment_spark.operators.multimodal import (
+        extract_features,
+        text_features,
+    )
+    from delta_lake_experiment_spark.sources.connectors import read_media_files
+
+    if not os.path.isdir(_MEDIA_FIXTURES):
+        raise FileNotFoundError(
+            f"media fixtures not found at {_MEDIA_FIXTURES}"
+        )
+    media = read_media_files(spark, _MEDIA_FIXTURES)
+    img = extract_features(
+        media, out_dim=8, passthrough_cols=("source_path",)
+    ).select(
+        F.regexp_extract("source_path", r"([^/]+)$", 1).alias("file_name"),
+        F.col("features").cast("array<double>").alias("__iv"),
+    )
+    # caption source: deterministic per file (a real dataset carries
+    # captions alongside payloads; the join shape is identical)
+    caps = img.select(
+        "file_name",
+        F.concat(F.lit("photo of "), F.col("file_name")).alias("caption"),
+    )
+    txt = text_features(
+        caps, "caption", out_dim=8, passthrough_cols=("file_name",)
+    ).select(
+        "file_name", F.col("features").cast("array<double>").alias("__tv")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    score = F.round(
+        _dot("__iv", "__tv")
+        / (F.sqrt(_dot("__iv", "__iv")) * F.sqrt(_dot("__tv", "__tv"))),
+        6,
+    )
+    return (
+        img.join(txt, "file_name")
+        .withColumn("align_score", score)
+        .select(
+            "file_name",
+            "align_score",
+            (F.col("align_score") >= 0.75).alias("keep"),
+        )
+    )
+
+
+def _image_text_alignment_sql() -> str:
+    from delta_lake_experiment_spark.operators.multimodal import (
+        feature_vector_sql,
+    )
+
+    fx = _MEDIA_FIXTURES.replace("'", "''")
+    return rf"""
+WITH am AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+         sha256(CAST(content AS VARCHAR)) AS hi,
+         sha256('photo of ' || regexp_extract(filename, '([^/]+)$', 1)) AS ht
+  FROM read_blob('{fx}/*')
+), av AS (
+  SELECT file_name,
+         {feature_vector_sql("hi", 8)} AS iv,
+         {feature_vector_sql("ht", 8)} AS tv
+  FROM am
+), ascored AS (
+  SELECT file_name,
+    round(list_dot_product(iv, tv)
+      / (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(tv, tv))), 6)
+      AS align_score
+  FROM av
+)
+SELECT file_name, align_score, align_score >= 0.75 AS keep FROM ascored
+"""
+
+
 QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_train_split": doc_train_split,
@@ -2297,6 +2388,7 @@ QUERIES = {
     "quality_classified_corpus": quality_classified_corpus,
     "semantic_dedup_corpus": semantic_dedup_corpus,
     "ensemble_dedup": ensemble_dedup,
+    "image_text_alignment": image_text_alignment,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2349,6 +2441,7 @@ ORACLES = {
     "quality_classified_corpus": _clf_scored_sql(),
     "semantic_dedup_corpus": _semantic_dedup_sql(),
     "ensemble_dedup": _ensemble_dedup_sql(),
+    "image_text_alignment": _image_text_alignment_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

