@@ -92,6 +92,7 @@ HEADLINE = [
     "semantic_dedup_corpus",
     "ensemble_dedup",
     "image_text_alignment",
+    "bm25_batch_search",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -122,6 +122,145 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def bm25_batch_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query for a whole QUERY TABLE —
+    ``(query_id, id_col, score, rank)`` — the batch-retrieval shape
+    (one benchmark question per row, retrieval-based contamination
+    audits, topical subset mining) where the single-query plan
+    (:func:`bm25_topk`) would launch one job per question.
+
+    Plan: build postings ``(term, doc, tf)`` once (tokenize + explode +
+    one groupBy), semi-restrict them to the query vocabulary BEFORE
+    anything heavy (the query table is tiny next to the corpus — AQE
+    broadcasts it, so the explode output is filtered map-side), compute
+    per-term document frequencies from the restricted postings
+    (O(query vocabulary) rows), join postings x query-terms, aggregate
+    per (query, doc), rank per query with a window. The window
+    partitions by query_id — thousands of independent partitions, no
+    single-task skew. Only documents containing at least one query
+    term are ranked (zero-score documents are not retrieval results).
+
+    ``queries_df`` carries (query_id, term); duplicate (query, term)
+    rows are collapsed — a repeated term must not double its
+    contribution, matching :func:`bm25_topk`.
+    """
+    if k < 1:
+        raise ValueError(f"k={k!r} must be >= 1")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    qterms = queries_df.select("query_id", "term").distinct()
+
+    docs = df.select(F.col(id_col), F.size(toks).alias("__dl"), toks.alias("__t"))
+    postings = (
+        docs.select(id_col, "__dl", F.explode("__t").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term", id_col, "__dl")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            )
+            * (
+                F.col("__tf")
+                * (F.lit(k1) + 1.0)
+                / (
+                    F.col("__tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                    )
+                )
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def bm25_batch_sql(
+    src: str,
+    id_col: str,
+    queries: "dict[str, Sequence[str]]",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`bm25_batch_topk` for a literal query set
+    ``{query_id: [terms...]}`` — generated from the same parameters."""
+    if not queries:
+        raise ValueError("queries must be non-empty")
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ", ".join(
+        f"('{q(qid)}', '{q(t)}')"
+        for qid, terms in queries.items()
+        for t in dict.fromkeys(terms)
+    )
+    return rf"""
+WITH qt(query_id, term) AS (VALUES {rows}),
+bdocs AS (
+  SELECT {id_col}, string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS t
+  FROM {src}
+), bstats AS (
+  SELECT COUNT(*) AS n, AVG(len(t)) AS avgdl FROM bdocs
+), bpost AS (
+  SELECT term, {id_col}, dl, COUNT(*) AS tf FROM (
+    SELECT {id_col}, len(t) AS dl, unnest(t) AS term FROM bdocs
+  ) WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2, 3
+), bdf AS (
+  SELECT term, COUNT(DISTINCT {id_col}) AS df FROM bpost GROUP BY term
+), bscored AS (
+  SELECT qt.query_id, p.{id_col},
+    round(SUM(
+      ln(1.0 + (n - df + 0.5) / (df + 0.5))
+      * (tf * ({k1} + 1.0) / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)))
+    ), 6) AS score
+  FROM bpost p JOIN qt ON qt.term = p.term JOIN bdf ON bdf.term = p.term, bstats
+  GROUP BY 1, 2
+)
+SELECT query_id, {id_col}, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, {id_col} ASC
+  ) AS INT) AS rank
+  FROM bscored
+) WHERE rank <= {int(k)}
+"""
 
 
 def bm25_sql(

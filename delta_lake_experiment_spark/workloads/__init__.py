@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 88 value-oracled queries, thirty-eight must sit outside the window. The
+# With 89 value-oracled queries, thirty-nine must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -136,7 +136,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - image_text_alignment -> the Arrow mapInPandas encode lane is
 #   shadowed by multimodal_features/media_ingest (same stub decoder,
 #   now both towers + full-vector oracle), the cosine gate by
-#   near_dup_embedding — new in r5, deferred from birth.
+#   near_dup_embedding — new in r5, deferred from birth;
+# - bm25_batch_search -> the inverted-index join is shadowed by
+#   train_contamination (same postings lane), the per-group rank by
+#   latest_event_per_user, the formula by bm25_search — new in r5,
+#   deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -179,6 +183,7 @@ _DEFERRED_ORACLED = [
     "semantic_dedup_corpus",
     "ensemble_dedup",
     "image_text_alignment",
+    "bm25_batch_search",
 ]
 
 

@@ -956,6 +956,38 @@ def _bm25_search_sql() -> str:
     return bm25_sql("documents", "doc_id", _BM25_TERMS, k=_BM25_K)
 
 
+_BM25_BATCH_QUERIES = {
+    "q_engine": ["vector", "hash", "join"],
+    "q_stream": ["stream", "window", "batch"],
+    "q_storage": ["table", "column", "merge"],
+}
+_BM25_BATCH_K = 5
+
+
+def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 (operators/retrieval.py::bm25_batch_topk): top-5
+    documents for EACH query in a query table via one inverted-index
+    build (postings semi-restricted to the query vocabulary map-side)
+    + per-query window ranking — the whole-eval-set retrieval shape,
+    vs bm25_search's one-job-per-question plan."""
+    from delta_lake_experiment_spark.operators.retrieval import bm25_batch_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    qrows = [
+        (qid, t) for qid, terms in _BM25_BATCH_QUERIES.items() for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    return bm25_batch_topk(docs, "doc_id", "text", qdf, k=_BM25_BATCH_K)
+
+
+def _bm25_batch_sql() -> str:
+    from delta_lake_experiment_spark.operators.retrieval import bm25_batch_sql
+
+    return bm25_batch_sql(
+        "documents", "doc_id", _BM25_BATCH_QUERIES, k=_BM25_BATCH_K
+    )
+
+
 # -- the full curation funnel ------------------------------------------
 
 
@@ -2389,6 +2421,7 @@ QUERIES = {
     "semantic_dedup_corpus": semantic_dedup_corpus,
     "ensemble_dedup": ensemble_dedup,
     "image_text_alignment": image_text_alignment,
+    "bm25_batch_search": bm25_batch_search,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2442,6 +2475,7 @@ ORACLES = {
     "semantic_dedup_corpus": _semantic_dedup_sql(),
     "ensemble_dedup": _ensemble_dedup_sql(),
     "image_text_alignment": _image_text_alignment_sql(),
+    "bm25_batch_search": _bm25_batch_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

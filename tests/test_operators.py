@@ -3387,3 +3387,45 @@ def test_text_features_and_alignment(spark):
     assert round(
         float(np.dot(v, w) / (np.linalg.norm(v) * np.linalg.norm(w))), 6
     ) == 1.0
+
+
+def test_bm25_batch_topk_matches_single(spark):
+    """Per-query results of the batch plan equal the single-query plan
+    for each query independently (same formula, different plan shape),
+    and zero-match documents are excluded."""
+    import random
+
+    from delta_lake_experiment_spark.operators.retrieval import (
+        bm25_batch_topk,
+        bm25_topk,
+    )
+
+    rng = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "omega"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    queries = {"qa": ["alpha", "beta"], "qb": ["omega"]}
+    qdf = spark.createDataFrame(
+        [(q, t) for q, terms in queries.items() for t in terms],
+        "query_id string, term string",
+    )
+    batch = bm25_batch_topk(df, "doc_id", "text", qdf, k=7)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in batch.collect()
+    }
+    for qid, terms in queries.items():
+        single = bm25_topk(df, "doc_id", "text", terms, k=7).collect()
+        for rank, r in enumerate(single, start=1):
+            # the single plan scores every doc (zero-score rows
+            # included); the batch plan only ranks matching docs —
+            # compare while single's scores stay positive
+            if r["score"] == 0.0:
+                assert (qid, rank) not in got or got[(qid, rank)][1] > 0.0
+                break
+            assert got[(qid, rank)] == (r["doc_id"], r["score"])
+    with pytest.raises(ValueError, match="k="):
+        bm25_batch_topk(df, "doc_id", "text", qdf, k=0)
