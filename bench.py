@@ -93,6 +93,7 @@ HEADLINE = [
     "ensemble_dedup",
     "image_text_alignment",
     "bm25_batch_search",
+    "split_drift_report",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

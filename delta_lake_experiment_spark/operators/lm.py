@@ -398,3 +398,125 @@ JOIN (
 ) b ON {strata_sql} = b.stratum
 WHERE {score_sql} >= b.lo AND {score_sql} <= b.hi
 """
+
+
+def unigram_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """One-row corpus-drift report between two corpus slices:
+    ``(vocab_size, tokens_a, tokens_b, kl_ab, kl_ba, js_div)`` —
+    KL(A||B), KL(B||A) and the symmetric Jensen-Shannon divergence of
+    their additive-smoothed unigram distributions (natural log).
+
+    This is the dataset-drift number a pipeline monitors: new crawl
+    batch vs the standing corpus (sudden vocabulary shift = scraper
+    breakage or spam flood), train vs held-out split (should be ~0 —
+    a high value means the split is skewed), domain vs domain (how far
+    apart two sources really are before mixing).
+
+    Distributions are smoothed over the UNION vocabulary
+    (``p_t = (count_t + alpha) / (total + alpha * V)``) so both are
+    strictly positive and every divergence is finite — without
+    smoothing one token unique to A makes KL(A||B) infinite by
+    definition.
+
+    Plan: two O(vocab) token-count aggregations (partial agg absorbs
+    the Zipf head), one full-outer join on token, one broadcast of the
+    1-row totals, one final 1-row aggregate. Nothing is ever larger
+    than the union vocabulary after the first shuffle. Deterministic up
+    to summation order; every output is rounded to ``round_digits``
+    (far coarser than the ~1e-15 reassociation noise), so the DuckDB
+    twin (:func:`unigram_divergence_sql`) hash-matches.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha!r} must be > 0 (smoothing keeps"
+                         " every divergence finite)")
+    ca = _tokens(df_a, text_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    cb = _tokens(df_b, text_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    u = (
+        ca.join(cb, "token", "full_outer")
+        .select(
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    tot = u.agg(
+        F.count(F.lit(1)).alias("__v"),
+        F.sum("__ca").alias("__ta"),
+        F.sum("__cb").alias("__tb"),
+    )
+    j = u.crossJoin(F.broadcast(tot))
+    p = (F.col("__ca") + F.lit(alpha)) / (
+        F.col("__ta") + F.lit(alpha) * F.col("__v")
+    )
+    q = (F.col("__cb") + F.lit(alpha)) / (
+        F.col("__tb") + F.lit(alpha) * F.col("__v")
+    )
+    m = (p + q) / F.lit(2.0)
+    return j.agg(
+        F.max("__v").cast("long").alias("vocab_size"),
+        F.max("__ta").cast("long").alias("tokens_a"),
+        F.max("__tb").cast("long").alias("tokens_b"),
+        F.round(F.sum(p * F.log(p / q)), round_digits).alias("kl_ab"),
+        F.round(F.sum(q * F.log(q / p)), round_digits).alias("kl_ba"),
+        F.round(
+            F.lit(0.5) * F.sum(p * F.log(p / m) + q * F.log(q / m)),
+            round_digits,
+        ).alias("js_div"),
+    )
+
+
+def unigram_divergence_sql(
+    src_a: str,
+    src_b: str,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+    prelude_ctes: str = "",
+) -> str:
+    """DuckDB twin of :func:`unigram_divergence` over relations
+    ``src_a`` / ``src_b`` carrying a ``text`` column — generated from
+    the same smoothing parameter so the two lanes cannot drift.
+    ``prelude_ctes`` splices caller CTEs (e.g. a split assignment the
+    two sources select from) into the WITH clause."""
+    if alpha <= 0:
+        raise ValueError(f"alpha={alpha!r} must be > 0")
+
+    def counts(src: str, col: str) -> str:
+        return rf"""(
+  SELECT token, COUNT(*) AS {col} FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+    FROM {src}
+  ) GROUP BY token
+)"""
+
+    prelude = f"{prelude_ctes},\n" if prelude_ctes else ""
+    return rf"""
+WITH {prelude}dva AS {counts(src_a, "ca")}, dvb AS {counts(src_b, "cb")},
+dvu AS (
+  SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM dva FULL OUTER JOIN dvb USING (token)
+), dvt AS (
+  SELECT COUNT(*) AS v, SUM(ca) AS ta, SUM(cb) AS tb FROM dvu
+), dvpq AS (
+  SELECT (ca + {alpha}) / (ta + {alpha} * v) AS p,
+         (cb + {alpha}) / (tb + {alpha} * v) AS q,
+         v, ta, tb
+  FROM dvu, dvt
+)
+SELECT CAST(MAX(v) AS BIGINT) AS vocab_size,
+  CAST(MAX(ta) AS BIGINT) AS tokens_a,
+  CAST(MAX(tb) AS BIGINT) AS tokens_b,
+  round(SUM(p * ln(p / q)), {round_digits}) AS kl_ab,
+  round(SUM(q * ln(q / p)), {round_digits}) AS kl_ba,
+  round(0.5 * SUM(p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0))),
+        {round_digits}) AS js_div
+FROM dvpq
+"""

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 89 value-oracled queries, thirty-nine must sit outside the window. The
+# With 90 value-oracled queries, forty must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -140,7 +140,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - bm25_batch_search -> the inverted-index join is shadowed by
 #   train_contamination (same postings lane), the per-group rank by
 #   latest_event_per_user, the formula by bm25_search — new in r5,
-#   deferred from birth.
+#   deferred from birth;
+# - split_drift_report -> the vocab-count machinery is shadowed by
+#   doc_lm_score / dsir_doc_weights (same tokenize+count lane, one
+#   extra full-outer vocab join), the split by doc_train_split — new
+#   in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -184,6 +188,7 @@ _DEFERRED_ORACLED = [
     "ensemble_dedup",
     "image_text_alignment",
     "bm25_batch_search",
+    "split_drift_report",
 ]
 
 

@@ -2319,6 +2319,38 @@ FROM b
 """
 
 
+def split_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitor (operators/lm.py::unigram_divergence):
+    KL/Jensen-Shannon divergence between the train and test splits'
+    smoothed unigram distributions — the number that catches a skewed
+    split (or, pointed at corpus-vs-new-crawl, a broken scraper). Two
+    O(vocab) aggregations, one vocab join, one 1-row answer."""
+    from delta_lake_experiment_spark.operators.lm import unigram_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    return unigram_divergence(
+        split.filter(F.col("split") == "train"),
+        split.filter(F.col("split") == "test"),
+        "text",
+    )
+
+
+def _split_drift_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import unigram_divergence_sql
+
+    split_case = split_thresholds_sql(
+        "CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT
+    )
+    return unigram_divergence_sql(
+        "(SELECT text FROM ddsplit WHERE split = 'train')",
+        "(SELECT text FROM ddsplit WHERE split = 'test')",
+        prelude_ctes=(
+            f"ddsplit AS (SELECT text, {split_case} AS split FROM documents)"
+        ),
+    )
+
+
 def image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLIP-score-shaped image-text alignment filter: encode the image
     payloads (Arrow mapInPandas, stub decoder) and their captions (the
@@ -2422,6 +2454,7 @@ QUERIES = {
     "ensemble_dedup": ensemble_dedup,
     "image_text_alignment": image_text_alignment,
     "bm25_batch_search": bm25_batch_search,
+    "split_drift_report": split_drift_report,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2476,6 +2509,7 @@ ORACLES = {
     "ensemble_dedup": _ensemble_dedup_sql(),
     "image_text_alignment": _image_text_alignment_sql(),
     "bm25_batch_search": _bm25_batch_sql(),
+    "split_drift_report": _split_drift_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

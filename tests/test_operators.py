@@ -3429,3 +3429,44 @@ def test_bm25_batch_topk_matches_single(spark):
             assert got[(qid, rank)] == (r["doc_id"], r["score"])
     with pytest.raises(ValueError, match="k="):
         bm25_batch_topk(df, "doc_id", "text", qdf, k=0)
+
+
+def test_unigram_divergence(spark):
+    """Hand-computed KL/JS on a 2-token universe; identical corpora
+    give exactly zero divergence; DuckDB twin parity."""
+    import math
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.lm import (
+        unigram_divergence,
+        unigram_divergence_sql,
+    )
+
+    a = spark.createDataFrame([("x x x y",)], "text string")   # x:3 y:1
+    b = spark.createDataFrame([("x y y y",)], "text string")   # x:1 y:3
+    row = unigram_divergence(a, b, "text", alpha=0.5).first()
+    assert (row["vocab_size"], row["tokens_a"], row["tokens_b"]) == (2, 4, 4)
+    # smoothed: p = (3.5/5, 1.5/5), q = (1.5/5, 3.5/5)
+    p, q = [3.5 / 5, 1.5 / 5], [1.5 / 5, 3.5 / 5]
+    kl = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+    js = 0.5 * sum(
+        pi * math.log(pi / ((pi + qi) / 2)) + qi * math.log(qi / ((pi + qi) / 2))
+        for pi, qi in zip(p, q)
+    )
+    assert row["kl_ab"] == round(kl, 6) and row["kl_ba"] == round(kl, 6)
+    assert row["js_div"] == round(js, 6)
+    same = unigram_divergence(a, a, "text").first()
+    assert same["kl_ab"] == 0.0 and same["js_div"] == 0.0
+    with pytest.raises(ValueError, match="alpha"):
+        unigram_divergence(a, b, "text", alpha=0.0)
+    # duckdb twin on the same corpora
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ta (text VARCHAR); INSERT INTO ta VALUES ('x x x y')")
+    con.execute("CREATE TABLE tb (text VARCHAR); INSERT INTO tb VALUES ('x y y y')")
+    duck = con.execute(unigram_divergence_sql("ta", "tb", alpha=0.5)).fetchone()
+    con.close()
+    assert duck == (
+        row["vocab_size"], row["tokens_a"], row["tokens_b"],
+        row["kl_ab"], row["kl_ba"], row["js_div"],
+    )
