@@ -94,6 +94,7 @@ HEADLINE = [
     "image_text_alignment",
     "bm25_batch_search",
     "split_drift_report",
+    "hybrid_search",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -64,6 +64,14 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+    bad = [t for t in terms if t is None or t != t.strip().lower() or " " in t]
+    if bad:
+        # a term with whitespace/uppercase can NEVER match a lowercased
+        # whitespace token — it would silently contribute 0 to every doc
+        raise ValueError(
+            f"query terms must be single lowercased tokens, got {bad!r}"
+            " (tokenize multi-word queries into separate terms)"
+        )
     if k < 1:
         raise ValueError(f"k={k!r} must be >= 1")
 
@@ -124,6 +132,150 @@ def bm25_topk(
     )
 
 
+def hybrid_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_terms: Sequence[str],
+    query_vec: Sequence[float],
+    k: int = 10,
+    candidates: int = 50,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 candidate generation,
+    embedding-cosine rerank — ``(id_col, score, bm25, cos_sim)`` top-k.
+    The standard two-stage search stack: the cheap lexical index
+    recalls ``candidates`` docs (bounded, whatever the corpus size),
+    then only those are scored against the query embedding —
+    ``score = alpha * bm25/max_bm25 + (1-alpha) * cosine`` (BM25 is
+    unbounded, so it is normalized by the candidate max; cosine is
+    already in [-1, 1]).
+
+    Scale shape: stage 1 is :func:`bm25_topk` (two map scans, no
+    corpus shuffle, TakeOrdered); stage 2 joins the ``candidates``-row
+    result against the embedding table — the candidate side broadcasts
+    by size, so the rerank is a map-side lookup over the embedding
+    scan, plus one O(candidates) normalization aggregate. Every number
+    is rounded to 6 digits and ties break on id, so the DuckDB twin
+    (:func:`hybrid_sql`) reproduces the exact ranking."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha={alpha!r} must be in [0, 1]")
+    if candidates < k:
+        raise ValueError(
+            f"candidates={candidates!r} must be >= k={k!r} (the rerank"
+            " can only return docs stage 1 recalled)"
+        )
+    cands = (
+        bm25_topk(docs, id_col, text_col, query_terms, k=candidates, k1=k1, b=b)
+        .withColumnRenamed("score", "bm25")
+        # a real inverted index never recalls a document containing no
+        # query term; bm25_topk scores every doc, so zero-score rows
+        # must be dropped here or pure-embedding matches with NO
+        # lexical overlap would sneak in through the candidate slack
+        .filter(F.col("bm25") > 0)
+    )
+    qv = [float(x) for x in query_vec]
+    vecs = emb.select(
+        F.col(vec_id_col).alias(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.lit(qv), lambda a, x: a * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    qnorm = sum(x * x for x in qv) ** 0.5
+    if qnorm == 0:
+        raise ValueError("query_vec must be non-zero")
+    cos = F.round(
+        dot
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("__v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * F.lit(qnorm)
+        ),
+        6,
+    )
+    mx = cands.agg(F.max("bm25").alias("__mx"))
+    scored = (
+        F.broadcast(cands)
+        .join(vecs, id_col)
+        .crossJoin(F.broadcast(mx))
+        .withColumn("cos_sim", cos)
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(alpha)
+                * F.when(F.col("__mx") > 0, F.col("bm25") / F.col("__mx"))
+                .otherwise(F.lit(0.0))
+                + F.lit(1.0 - alpha) * F.col("cos_sim"),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.select(id_col, "score", "bm25", "cos_sim")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_sql(
+    docs_src: str,
+    emb_src: str,
+    id_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_terms: Sequence[str],
+    query_vec_sql: str,
+    k: int = 10,
+    candidates: int = 50,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`hybrid_topk`, generated from the same
+    parameters — the BM25 stage is the verbatim :func:`bm25_sql` query
+    nested as a CTE. ``query_vec_sql`` is any expression producing the
+    DOUBLE[] query vector — a literal (``[...]::DOUBLE[]``) or a scalar
+    subquery resolving it from data (the oracle string is static, so a
+    data-dependent query vector must resolve inside the SQL itself).
+    The query norm is computed in SQL (same left-to-right double fold
+    as the Python-side norm, and the cosine is rounded anyway)."""
+    inner = bm25_sql(docs_src, id_col, query_terms, k=candidates, k1=k1, b=b)
+    return rf"""
+WITH hq AS (SELECT {query_vec_sql} AS qv),
+hc AS (SELECT * FROM ({inner}) WHERE score > 0),
+hmx AS (SELECT MAX(score) AS mx FROM hc),
+hs AS (
+  SELECT hc.{id_col}, hc.score AS bm25,
+    round(list_dot_product(CAST(e.{vec_col} AS DOUBLE[]), qv)
+      / (sqrt(list_dot_product(CAST(e.{vec_col} AS DOUBLE[]),
+                               CAST(e.{vec_col} AS DOUBLE[])))
+         * sqrt(list_dot_product(qv, qv))),
+      6) AS cos_sim
+  FROM hc JOIN {emb_src} e ON e.{vec_id_col} = hc.{id_col}, hq
+)
+SELECT {id_col},
+  round({alpha} * (CASE WHEN mx > 0 THEN bm25 / mx ELSE 0.0 END)
+        + {1.0 - alpha} * cos_sim, 6) AS score,
+  bm25, cos_sim
+FROM hs, hmx
+ORDER BY score DESC, {id_col} ASC
+LIMIT {int(k)}
+"""
+
+
 def bm25_batch_topk(
     df: DataFrame,
     id_col: str,
@@ -156,8 +308,18 @@ def bm25_batch_topk(
     """
     if k < 1:
         raise ValueError(f"k={k!r} must be >= 1")
+    from delta_lake_experiment_spark.functions.guards import null_checked
+
     toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-    qterms = queries_df.select("query_id", "term").distinct()
+    # NULL query rows would otherwise vanish silently: a NULL term never
+    # equi-joins, so its query loses a term (or the whole query) with no
+    # signal — the same silent-NULL failure mode the sampling lane guards
+    qterms = queries_df.select(
+        null_checked(F.col("query_id"), "bm25_batch_topk", "query_id").alias(
+            "query_id"
+        ),
+        null_checked(F.col("term"), "bm25_batch_topk", "term").alias("term"),
+    ).distinct()
 
     docs = df.select(F.col(id_col), F.size(toks).alias("__dl"), toks.alias("__t"))
     postings = (

@@ -44,7 +44,18 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_experiment_spark.functions.guards import null_checked
 from delta_lake_experiment_spark.operators.similarity import l2_normalize
+
+
+def _norm_checked(vec_col: str) -> Column:
+    """l2-normalized vector with a NULL guard: a NULL embedding would
+    otherwise ride the whole pipeline with a NULL cluster — silently
+    unclustered, silently never paired, silently canonical. Raising
+    mirrors the sampling/lm lanes' NULL-key contract."""
+    return l2_normalize(
+        null_checked(F.col(vec_col), "semantic_dedup", f"vector {vec_col!r}")
+    )
 
 
 def _dot_lit(vec: Column, c: Sequence[float]) -> Column:
@@ -88,7 +99,7 @@ def seed_centroids(
     rows = (
         df.select(
             F.col(id_col).alias("i"),
-            l2_normalize(F.col(vec_col)).alias("v"),
+            _norm_checked(vec_col).alias("v"),
         )
         .orderBy(
             F.md5(F.concat(F.lit(salt), F.col("i").cast("string"))), F.col("i")
@@ -117,7 +128,7 @@ def deterministic_kmeans(
         raise ValueError("deterministic_kmeans: empty input")
     dim = len(cents[0])
     norm = df.select(
-        F.col(id_col).alias("i"), l2_normalize(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("i"), _norm_checked(vec_col).alias("v")
     )
     for _ in range(iters):
         assigned = norm.withColumn(
@@ -161,7 +172,7 @@ def _assigned_and_pairs(
         round_digits=round_digits,
     )
     norm = df.select(
-        F.col(id_col).alias("__i"), l2_normalize(F.col(vec_col)).alias("__v")
+        F.col(id_col).alias("__i"), _norm_checked(vec_col).alias("__v")
     ).withColumn("__c", _nearest(F.col("__v"), cents, round_digits))
     # the assigned table feeds both sides of the pair join and the
     # final output; persist so normalization + assignment run once

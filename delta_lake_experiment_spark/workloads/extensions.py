@@ -956,6 +956,45 @@ def _bm25_search_sql() -> str:
     return bm25_sql("documents", "doc_id", _BM25_TERMS, k=_BM25_K)
 
 
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (operators/retrieval.py::
+    hybrid_topk): BM25 recalls 50 lexical candidates (two map scans,
+    TakeOrdered), then ONLY those are reranked by cosine against the
+    query embedding (vec_id 0's vector, excluded from results like
+    similarity_bruteforce_topk) — `alpha * bm25/max + (1-alpha) *
+    cosine`. The production search stack shape: the lexical index
+    bounds the vector work regardless of corpus size."""
+    from delta_lake_experiment_spark.operators.retrieval import hybrid_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") != 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return hybrid_topk(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        _BM25_TERMS, [float(x) for x in qrow["embedding"]], k=10,
+        candidates=50,
+    )
+
+
+def _hybrid_search_sql() -> str:
+    from delta_lake_experiment_spark.operators.retrieval import hybrid_sql
+
+    # the query vector is DATA (vec_id 0's embedding) and oracle SQL is
+    # a static string, so it resolves inside the SQL via a scalar
+    # subquery (the SIM_TOPK_SQL pattern)
+    return hybrid_sql(
+        "(SELECT * FROM documents WHERE doc_id <> 0)",
+        "embeddings",
+        "doc_id",
+        "vec_id",
+        "embedding",
+        _BM25_TERMS,
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)",
+        k=10,
+        candidates=50,
+    )
+
+
 _BM25_BATCH_QUERIES = {
     "q_engine": ["vector", "hash", "join"],
     "q_stream": ["stream", "window", "batch"],
@@ -2455,6 +2494,7 @@ QUERIES = {
     "image_text_alignment": image_text_alignment,
     "bm25_batch_search": bm25_batch_search,
     "split_drift_report": split_drift_report,
+    "hybrid_search": hybrid_search,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2510,6 +2550,7 @@ ORACLES = {
     "image_text_alignment": _image_text_alignment_sql(),
     "bm25_batch_search": _bm25_batch_sql(),
     "split_drift_report": _split_drift_sql(),
+    "hybrid_search": _hybrid_search_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

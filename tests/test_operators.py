@@ -3470,3 +3470,72 @@ def test_unigram_divergence(spark):
         row["vocab_size"], row["tokens_a"], row["tokens_b"],
         row["kl_ab"], row["kl_ba"], row["js_div"],
     )
+
+
+def test_session4_null_and_term_guards(spark):
+    """Advisor-bait hardening: whitespace/uppercase BM25 terms raise
+    (they can never match a lowercased token), NULL batch-query rows
+    raise (they would silently drop a term), NULL embeddings raise in
+    semantic dedup (they would ride through with a NULL cluster)."""
+    from delta_lake_experiment_spark.operators.retrieval import (
+        bm25_batch_topk,
+        bm25_topk,
+    )
+    from delta_lake_experiment_spark.operators.semdedup import semantic_dedup
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="single lowercased tokens"):
+        bm25_topk(docs, "doc_id", "text", ["two words"])
+    with pytest.raises(ValueError, match="single lowercased tokens"):
+        bm25_topk(docs, "doc_id", "text", ["Upper"])
+    qdf = spark.createDataFrame(
+        [("q1", "a"), ("q1", None)], "query_id string, term string"
+    )
+    with pytest.raises(Exception, match="bm25_batch_topk"):
+        bm25_batch_topk(docs, "doc_id", "text", qdf).collect()
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="semantic_dedup"):
+        semantic_dedup(emb, "vec_id", "embedding", k=1, iters=1).collect()
+
+
+def test_hybrid_topk(spark):
+    """Rerank semantics: a lexically-weaker candidate with a far better
+    embedding match overtakes the BM25 leader; non-candidates never
+    appear; candidates < k raises."""
+    from delta_lake_experiment_spark.operators.retrieval import hybrid_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat cat"),       # BM25 leader
+            (2, "cat dog"),               # weaker lexically
+            (3, "dog dog"),               # no query term -> score 0 tail
+        ],
+        "doc_id int, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0]),   # orthogonal to query
+            (2, [1.0, 0.0]),   # perfect embedding match
+            (3, [1.0, 0.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = hybrid_topk(
+        docs, emb, "doc_id", "text", "vec_id", "embedding",
+        ["cat"], [1.0, 0.0], k=3, candidates=3, alpha=0.3,
+    ).collect()
+    ranked = [r["doc_id"] for r in out]
+    # alpha=0.3: cosine dominates -> doc 2 (bm25 0.3*ratio + 0.7*1.0)
+    # beats doc 1 (0.3*1.0 + 0.7*0.0); doc 3 has NO query term -> never
+    # a candidate, despite its perfect embedding match
+    assert ranked == [2, 1]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[2]["cos_sim"] == 1.0 and by_id[1]["cos_sim"] == 0.0
+    with pytest.raises(ValueError, match="candidates"):
+        hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
+                    ["cat"], [1.0, 0.0], k=5, candidates=3)
+    with pytest.raises(ValueError, match="non-zero"):
+        hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
+                    ["cat"], [0.0, 0.0], k=1, candidates=1)
