@@ -95,6 +95,7 @@ HEADLINE = [
     "bm25_batch_search",
     "split_drift_report",
     "hybrid_search",
+    "doc_bigram_score",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

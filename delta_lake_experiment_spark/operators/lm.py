@@ -520,3 +520,157 @@ SELECT CAST(MAX(v) AS BIGINT) AS vocab_size,
         {round_digits}) AS js_div
 FROM dvpq
 """
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lam: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED bigram log-probability —
+    ``(id_col, n_tokens, avg_logprob)`` — one step from the unigram
+    proxy (:func:`unigram_logprob_scores`) toward KenLM semantics:
+    each token at position i >= 2 scores
+    ``ln(lam * P(t_i | t_{i-1}) + (1 - lam) * P(t_i))`` under the
+    corpus's own MLE models (Jelinek-Mercer interpolation — the
+    context-aware term catches word-salad documents whose unigram
+    frequencies look normal but whose transitions are noise).
+
+    Semantics pinned for the oracle: the first token of a document has
+    no context and is NOT scored (no BOS sentinel to keep both lanes
+    trivially identical); documents with fewer than 2 tokens have no
+    scoreable positions and return NULL ``avg_logprob`` — explicitly
+    NULL, never a silent 0.0 that would pass a score filter.
+    Self-scored, every corpus bigram is in the model by construction;
+    the conditional still rides a left join + coalesce(0) so a frozen
+    -model variant cannot silently drop unseen transitions.
+
+    Plan shape: one bigram explode (map-only sliding zip — the
+    shingle builder's idiom), a bigram-count aggregate O(distinct
+    bigrams) and a context-count aggregate O(vocab) (both absorb the
+    Zipf head map-side), the unigram model, then one probe join per
+    model and a per-document average. The model sides broadcast at
+    test scale; at web scale they shuffle-join on uniform-ish hash
+    keys — never anything quadratic.
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam={lam!r} must be in (0, 1) — at the"
+                         " endpoints one model silently vanishes")
+    toks = F.split(
+        F.lower(
+            F.trim(
+                F.when(F.col(text_col).isNotNull(), F.col(text_col)).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"lm: {text_col} is NULL - a NULL text would"
+                            " silently skip scoring (filter upstream)"
+                        )
+                    )
+                )
+            )
+        ),
+        r"\s+",
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__t"),
+        F.size(toks).alias("n_tokens"),
+    )
+    # sliding (prev, cur) pairs: zip the array with itself shifted by
+    # one — pure array expressions, no shuffle
+    pairs = base.select(
+        "__id",
+        "n_tokens",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(
+                    F.col("__t"),
+                    2,
+                    F.greatest(F.size("__t") - 1, F.lit(0)),
+                ),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("__bg"),
+    ).select("__id", "n_tokens", F.col("__bg.prev").alias("__prev"), F.col("__bg.cur").alias("__cur"))
+
+    big = pairs.groupBy("__prev", "__cur").agg(F.count(F.lit(1)).alias("__cbg"))
+    ctx = pairs.groupBy("__prev").agg(F.count(F.lit(1)).alias("__cctx"))
+    uni = _tokens(df, text_col).groupBy("token").agg(
+        F.count(F.lit(1)).alias("__cu")
+    )
+    tot = uni.agg(F.sum("__cu").alias("__tu"))
+    uni = uni.crossJoin(F.broadcast(tot)).select(
+        F.col("token").alias("__cur"),
+        (F.col("__cu").cast("double") / F.col("__tu")).alias("__pu"),
+    )
+    scored = (
+        pairs.join(big, ["__prev", "__cur"], "left")
+        .join(ctx, "__prev", "left")
+        .join(uni, "__cur")
+        .withColumn(
+            "__p",
+            F.lit(lam)
+            * F.coalesce(
+                F.col("__cbg").cast("double") / F.col("__cctx"), F.lit(0.0)
+            )
+            + F.lit(1.0 - lam) * F.col("__pu"),
+        )
+    )
+    per_doc = scored.groupBy("__id", "n_tokens").agg(
+        F.round(F.avg(F.log("__p")), round_digits).alias("avg_logprob")
+    )
+    # docs with < 2 tokens produced no pairs: re-attach with NULL score
+    return (
+        base.select("__id", "n_tokens")
+        .join(per_doc.select("__id", "avg_logprob"), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col), "n_tokens", "avg_logprob"
+        )
+    )
+
+
+def bigram_logprob_sql(
+    src: str, id_col: str, lam: float = 0.7, round_digits: int = 6
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob_scores` over ``src``
+    carrying (id_col, text) — generated from the same interpolation
+    weight."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam={lam!r} must be in (0, 1)")
+    return rf"""
+WITH bgt AS (
+  SELECT {id_col} AS id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM {src}
+), bgp AS (
+  SELECT id, len(t) AS n_tokens,
+    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS prev,
+    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS cur
+  FROM bgt
+), bgc AS (
+  SELECT prev, cur, COUNT(*) AS cbg FROM bgp GROUP BY 1, 2
+), bgx AS (
+  SELECT prev, COUNT(*) AS cctx FROM bgp GROUP BY 1
+), bgu AS (
+  SELECT tok AS cur, CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS pu
+  FROM (SELECT unnest(t) AS tok FROM bgt) GROUP BY tok
+), bgs AS (
+  SELECT p.id, p.n_tokens,
+    {lam} * COALESCE(CAST(c.cbg AS DOUBLE) / x.cctx, 0.0)
+      + {1.0 - lam} * u.pu AS pr
+  FROM bgp p
+  LEFT JOIN bgc c ON c.prev = p.prev AND c.cur = p.cur
+  LEFT JOIN bgx x ON x.prev = p.prev
+  JOIN bgu u ON u.cur = p.cur
+), bga AS (
+  SELECT id, n_tokens, round(AVG(ln(pr)), {round_digits}) AS avg_logprob
+  FROM bgs GROUP BY 1, 2
+)
+SELECT b.id AS {id_col}, CAST(b.n_tokens AS INT) AS n_tokens, a.avg_logprob
+FROM (SELECT id, n_tokens FROM bgp GROUP BY 1, 2
+      UNION
+      SELECT id, len(t) FROM bgt WHERE len(t) < 2) b
+LEFT JOIN bga a ON a.id = b.id
+"""

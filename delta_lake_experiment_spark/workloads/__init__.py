@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 91 value-oracled queries, forty-one must sit outside the window. The
+# With 92 value-oracled queries, forty-two must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -147,7 +147,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   in r5, deferred from birth;
 # - hybrid_search -> a composition of bm25_search (stage 1, verbatim)
 #   and similarity_bruteforce_topk's cosine arithmetic over a bounded
-#   candidate join — new in r5, deferred from birth.
+#   candidate join — new in r5, deferred from birth;
+# - doc_bigram_score -> the model-build/probe-join machinery is
+#   shadowed by doc_lm_score (identical lane, one extra model order)
+#   — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -193,6 +196,7 @@ _DEFERRED_ORACLED = [
     "bm25_batch_search",
     "split_drift_report",
     "hybrid_search",
+    "doc_bigram_score",
 ]
 
 

@@ -2358,6 +2358,25 @@ FROM b
 """
 
 
+def doc_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (operators/lm.py::
+    bigram_logprob_scores): mean ln(0.7 * P(t|prev) + 0.3 * P(t)) per
+    document — the context-aware step from the unigram perplexity
+    proxy toward KenLM semantics (word-salad docs with normal unigram
+    frequencies but noise transitions score low). Sub-2-token docs
+    return NULL scores by contract."""
+    from delta_lake_experiment_spark.operators.lm import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs, "doc_id", "text")
+
+
+def _doc_bigram_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import bigram_logprob_sql
+
+    return bigram_logprob_sql("documents", "doc_id")
+
+
 def split_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift monitor (operators/lm.py::unigram_divergence):
     KL/Jensen-Shannon divergence between the train and test splits'
@@ -2495,6 +2514,7 @@ QUERIES = {
     "bm25_batch_search": bm25_batch_search,
     "split_drift_report": split_drift_report,
     "hybrid_search": hybrid_search,
+    "doc_bigram_score": doc_bigram_score,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2551,6 +2571,7 @@ ORACLES = {
     "bm25_batch_search": _bm25_batch_sql(),
     "split_drift_report": _split_drift_sql(),
     "hybrid_search": _hybrid_search_sql(),
+    "doc_bigram_score": _doc_bigram_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

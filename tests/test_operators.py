@@ -3539,3 +3539,87 @@ def test_hybrid_topk(spark):
     with pytest.raises(ValueError, match="non-zero"):
         hybrid_topk(docs, emb, "doc_id", "text", "vec_id", "embedding",
                     ["cat"], [0.0, 0.0], k=1, candidates=1)
+
+
+def test_bigram_logprob_scores(spark):
+    """Hand-computed interpolated bigram scores on a 3-doc corpus;
+    sub-2-token docs return NULL by contract; DuckDB twin parity."""
+    import math
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.lm import (
+        bigram_logprob_scores,
+        bigram_logprob_sql,
+    )
+
+    rows = [(1, "a b a b"), (2, "a a"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in bigram_logprob_scores(df, "doc_id", "text", lam=0.7).collect()
+    }
+    # corpus: tokens a:4 b:2 x:1 (total 7); bigrams: ab:2 ba:1 aa:1;
+    # contexts: a:4 pairs? -> pairs are (a,b)x2,(b,a),(a,a): ctx a:3, b:1
+    pu = {"a": 4 / 7, "b": 2 / 7, "x": 1 / 7}
+    pab = 0.7 * (2 / 3) + 0.3 * pu["b"]
+    pba = 0.7 * (1 / 1) + 0.3 * pu["a"]
+    paa = 0.7 * (1 / 3) + 0.3 * pu["a"]
+    d1 = round((math.log(pab) + math.log(pba) + math.log(pab)) / 3, 6)
+    d2 = round(math.log(paa), 6)
+    assert got == {1: (4, d1), 2: (2, d2), 3: (1, None)}
+    with pytest.raises(ValueError, match="lam"):
+        bigram_logprob_scores(df, "doc_id", "text", lam=1.0)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(bigram_logprob_sql("d", "doc_id", lam=0.7)).fetchall()
+    }
+    con.close()
+    assert duck == got
+
+
+def test_deterministic_kmeans_empty_cluster_carryover(spark):
+    """A centroid that attracts no vectors keeps its previous value in
+    BOTH lanes (k never silently shrinks): with k == N and two
+    identical vectors, one seed can end up empty after assignment; the
+    Spark loop and the DuckDB twin still land on identical output."""
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_sql,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # identical to 1: both assign to one seed
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = sorted(
+        (r["vec_id"], r["cluster"], r["component"], r["is_canonical"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=3, iters=2, threshold=0.99, salt="e"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE emb (vec_id INT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO emb VALUES (?, ?)", rows)
+    exp = sorted(
+        tuple(r)
+        for r in con.execute(
+            semantic_dedup_sql(
+                "emb", "vec_id", "embedding", k=3, iters=2,
+                threshold=0.99, salt="e",
+            )
+        ).fetchall()
+    )
+    con.close()
+    assert out == exp
+    # the identical pair collapsed to one canonical
+    comp = {v: (c, canon) for v, _, c, canon in out}
+    assert comp[1] == (1, True) and comp[2] == (1, False)
+    assert comp[3] == (3, True)
