@@ -28,11 +28,30 @@ def plan_of(df) -> str:
 # at 100x scale even if AQE would have picked broadcast at test scale.
 DIM_TABLES = {"region", "nation", "supplier", "customer", "part"}
 FACT_MARKERS = ("lineitem", "orders", "events", "documents", "embeddings")
+# Analyzed-plan Relation nodes for path-loaded parquet print only the
+# COLUMN list (no path, no table name) — name markers alone made this
+# check vacuous for every load_table query. Identify fact relations by
+# a signature column each fact table uniquely carries.
+FACT_COLUMN_MARKERS = {
+    "lineitem": "l_orderkey#",
+    "orders": "o_orderkey#",
+    "events": "event_type#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+}
+# Nodes that bound the broadcast side's cardinality regardless of the
+# relation under them: a global/grouped aggregate collapses the fact
+# side to its group count (legitimate 1-row / O(strata) stat
+# broadcasts), a limit caps rows outright. Grouped aggregates over
+# high-cardinality keys slip through this approximation — the check
+# catches the raw broadcast(fact-scan) class it previously missed.
+BOUNDING_NODES = ("Aggregate [", "GlobalLimit", "LocalLimit")
 
 
 def broadcast_hint_violations(df) -> list:
     """Parse the analyzed logical plan tree and return every broadcast
-    hint whose subtree reads a non-dim-bounded source.
+    hint whose subtree reads a non-dim-bounded source WITHOUT a
+    cardinality-bounding node (aggregate / limit) in between.
 
     Tree-string parsing: a node's children are the following lines whose
     branch marker (':-' / '+-') sits deeper; the subtree ends at the
@@ -60,8 +79,18 @@ def broadcast_hint_violations(df) -> list:
             subtree.append(nxt)
         sub = "\n".join(subtree)
         bad = [m for m in FACT_MARKERS if m in sub]
-        if bad:
-            out.append(f"broadcast hint over fact-derived side ({', '.join(bad)})")
+        bad += [
+            name
+            for name, col in FACT_COLUMN_MARKERS.items()
+            if name not in bad
+            and any(col in ln for ln in subtree if "Relation" in ln)
+        ]
+        bounded = any(n in sub for n in BOUNDING_NODES)
+        if bad and not bounded:
+            out.append(
+                "broadcast hint over unbounded fact-derived side "
+                f"({', '.join(sorted(bad))})"
+            )
     return out
 
 
