@@ -321,3 +321,56 @@ def test_temperature_sample_matches_python_model(spark):
         for r in temperature_sample(df, "k", "lang", target, alpha, salt=salt).collect()
     }
     assert got == expected
+
+
+def test_corpus_substring_spans_random_vs_bruteforce(spark):
+    """Randomized pin of the diagonal-islands span detector against a
+    brute-force longest-common-contiguous-gram checker — repeated
+    grams within documents (multiple diagonals per gram) are exactly
+    the case the window construction must not overcount."""
+    import random
+
+    from delta_lake_experiment_spark.operators.dedup import (
+        corpus_substring_spans,
+    )
+
+    rng = random.Random(23)
+    n = 3  # gram width small enough that random overlaps occur
+    for trial in range(4):
+        vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> repeats
+        docs = {
+            i: [rng.choice(vocab) for _ in range(rng.randint(1, 18))]
+            for i in range(8)
+        }
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in docs.items()],
+            "doc_id int, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["max_span_tokens"]
+            for r in corpus_substring_spans(
+                df, "doc_id", "text", shingle_n=n, min_span_tokens=n
+            ).collect()
+        }
+
+        def grams(t):
+            return [tuple(t[i:i + n]) for i in range(len(t) - n + 1)]
+
+        exp = {}
+        for a in docs:
+            for b in docs:
+                if a >= b:
+                    continue
+                ga, gb = grams(docs[a]), grams(docs[b])
+                best = 0
+                # longest run of consecutive positions where ga[i+r] == gb[j+r]
+                for i in range(len(ga)):
+                    for j in range(len(gb)):
+                        r = 0
+                        while (i + r < len(ga) and j + r < len(gb)
+                               and ga[i + r] == gb[j + r]):
+                            r += 1
+                        best = max(best, r)
+                if best > 0:
+                    exp[(a, b)] = best + n - 1
+        assert got == exp, f"trial {trial}"
