@@ -163,10 +163,30 @@ def _assigned_and_pairs(
     salt: str,
     round_digits: int,
     sim_digits: int,
+    pair_strategy: str = "gemm",
 ) -> "tuple[DataFrame, DataFrame]":
     """Shared core: (assigned, pairs) where ``assigned`` is the
     persisted (``__i``, ``__v`` normalized, ``__c`` cluster) table and
-    ``pairs`` the within-cluster cosine matches (id_a < id_b)."""
+    ``pairs`` the within-cluster cosine matches (id_a < id_b).
+
+    ``pair_strategy`` picks the scorer (identical pair set at the
+    ``sim_digits`` rounding grid — the embedding-dedup precedent,
+    operators/dedup.py::embedding_near_duplicates):
+
+    - ``"gemm"`` (default): one cluster = one bundle row
+      (``collect_list``), one Arrow batch, one numpy ``mat @ mat.T``
+      per cluster — BLAS throughput instead of one interpreted
+      higher-order fold per candidate pair (CodegenFallback; measured
+      ~3x on the sf0.1 fixture). BLAS sums pairwise vs the fold's
+      sequential order: at the 1e-6 grid a discrepancy crossing a
+      rounding boundary is astronomically rare (and the DuckDB oracle
+      hash-check re-certifies every run).
+    - ``"hof"``: the JVM fold join — bit-reproducible against any
+      sequential-fold oracle; the strategies are pytest-pinned equal
+      on the fixture corpus.
+    """
+    if pair_strategy not in ("gemm", "hof"):
+        raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     cents = deterministic_kmeans(
         df, id_col, vec_col, k=k, iters=iters, salt=salt,
         round_digits=round_digits,
@@ -177,6 +197,36 @@ def _assigned_and_pairs(
     # the assigned table feeds both sides of the pair join and the
     # final output; persist so normalization + assignment run once
     norm = norm.persist()
+    if pair_strategy == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        thr, rd = float(threshold), int(sim_digits)
+        id_dt = df.schema[id_col].dataType.simpleString()
+        bundles = norm.groupBy("__c").agg(
+            F.collect_list(
+                F.struct(F.col("__i").alias("id"), F.col("__v").alias("v"))
+            ).alias("bundle")
+        )
+
+        def _score(batches):
+            for pdf in batches:
+                parts = []
+                for bundle in pdf["bundle"]:
+                    ids = np.asarray([e["id"] for e in bundle])
+                    mat = np.asarray([e["v"] for e in bundle], dtype=np.float64)
+                    cos = np.round(mat @ mat.T, rd)
+                    mask = (cos >= thr) & (ids[:, None] < ids[None, :])
+                    ii, jj = np.nonzero(mask)
+                    if len(ii):
+                        parts.append(
+                            pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+                        )
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+        pairs = bundles.mapInPandas(_score, f"id_a {id_dt}, id_b {id_dt}")
+        return norm, pairs
     left = norm.select(
         F.col("__i").alias("id_a"), F.col("__v").alias("__va"), "__c"
     )
@@ -211,6 +261,7 @@ def semantic_pairs(
     salt: str = "sem",
     round_digits: int = 9,
     sim_digits: int = 6,
+    pair_strategy: str = "gemm",
 ) -> DataFrame:
     """Just the (id_a, id_b) semantic near-duplicate edges — for
     composing with other pair generators (e.g. an ensemble dedup that
@@ -218,7 +269,7 @@ def semantic_pairs(
     resolution)."""
     _, pairs = _assigned_and_pairs(
         df, id_col, vec_col, k, iters, threshold, salt, round_digits,
-        sim_digits,
+        sim_digits, pair_strategy,
     )
     return pairs
 
@@ -233,6 +284,7 @@ def semantic_dedup(
     salt: str = "sem",
     round_digits: int = 9,
     sim_digits: int = 6,
+    pair_strategy: str = "gemm",
 ) -> DataFrame:
     """(id_col, cluster, component, is_canonical) — the SemDeDup
     pipeline: deterministic k-means, within-cluster cosine pairs at
@@ -248,7 +300,7 @@ def semantic_dedup(
 
     norm, pairs = _assigned_and_pairs(
         df, id_col, vec_col, k, iters, threshold, salt, round_digits,
-        sim_digits,
+        sim_digits, pair_strategy,
     )
     out = assign_components(
         norm.select(F.col("__i").alias(id_col), F.col("__c").alias("cluster")),

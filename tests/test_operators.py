@@ -3623,3 +3623,21 @@ def test_deterministic_kmeans_empty_cluster_carryover(spark):
     comp = {v: (c, canon) for v, _, c, canon in out}
     assert comp[1] == (1, True) and comp[2] == (1, False)
     assert comp[3] == (3, True)
+
+
+def test_semantic_pair_strategies_agree(spark):
+    """gemm (BLAS per-cluster bundle) and hof (JVM fold join) produce
+    the identical pair set at the rounding grid on the fixture corpus."""
+    from delta_lake_experiment_spark.operators.semdedup import semantic_pairs
+
+    from delta_lake_experiment_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(k=8, iters=2, threshold=0.35, salt="sem1")
+    g = {(r["id_a"], r["id_b"]) for r in
+         semantic_pairs(emb, "vec_id", "embedding", pair_strategy="gemm", **kw).collect()}
+    h = {(r["id_a"], r["id_b"]) for r in
+         semantic_pairs(emb, "vec_id", "embedding", pair_strategy="hof", **kw).collect()}
+    assert g == h and len(g) > 0
+    with pytest.raises(ValueError, match="pair_strategy"):
+        semantic_pairs(emb, "vec_id", "embedding", pair_strategy="x", **kw)
