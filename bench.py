@@ -96,6 +96,7 @@ HEADLINE = [
     "split_drift_report",
     "hybrid_search",
     "doc_bigram_score",
+    "near_dup_containment",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

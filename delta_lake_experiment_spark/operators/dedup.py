@@ -633,6 +633,29 @@ def ngram_jaccard_pairs(
     DuckDB oracle still joins the STRINGS, so the hash lane is
     certified per run, not assumed.
     """
+    joined = _pair_overlap(df, id_col, text_col, shingle_n, max_postings)
+    return (
+        joined.withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    max_postings: Optional[int],
+) -> DataFrame:
+    """Shared inverted-index core of the exact set-overlap detectors:
+    (id_a, id_b, n_common, n_a, n_b) for every pair sharing >= 1
+    (posting-capped) shingle hash — Jaccard and containment only
+    differ in the final ratio."""
     raw = shingle_hashes(df, id_col, text_col, n=shingle_n).distinct().persist()
     if max_postings is not None:
         if max_postings < 1:
@@ -665,16 +688,40 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.9,
+    max_postings: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT (overlap-coefficient) pairs:
+    ``|A ∩ B| / min(|A|, |B|) >= threshold`` — the asymmetric
+    near-duplicate Jaccard structurally misses: a short document
+    quoted wholesale inside a long one has containment ~1.0 but
+    Jaccard ~|short|/|long| (arbitrarily small), so a Jaccard-deduped
+    corpus still trains on every embedded copy of the short text.
+    Broder's containment measure is the standard fix; pair it with
+    the Jaccard lane rather than replacing it (containment alone
+    over-fires on boilerplate-heavy short docs — which is also why the
+    ``max_postings`` boilerplate cap matters MORE here).
+
+    Same posting-capped inverted-index plan as
+    :func:`ngram_jaccard_pairs` (shared core, one extra column in the
+    final ratio); output ``(id_a, id_b, containment)``.
+    """
+    joined = _pair_overlap(df, id_col, text_col, shingle_n, max_postings)
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        joined.withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

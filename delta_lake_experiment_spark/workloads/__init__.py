@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 92 value-oracled queries, forty-two must sit outside the window. The
+# With 93 value-oracled queries, forty-three must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -150,6 +150,9 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   candidate join — new in r5, deferred from birth;
 # - doc_bigram_score -> the model-build/probe-join machinery is
 #   shadowed by doc_lm_score (identical lane, one extra model order)
+#   — new in r5, deferred from birth;
+# - near_dup_containment -> shares near_dup_jaccard's entire capped
+#   inverted-index core (_pair_overlap); only the final ratio differs
 #   — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
@@ -197,6 +200,7 @@ _DEFERRED_ORACLED = [
     "split_drift_report",
     "hybrid_search",
     "doc_bigram_score",
+    "near_dup_containment",
 ]
 
 

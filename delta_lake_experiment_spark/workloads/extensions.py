@@ -118,10 +118,18 @@ def _repeat_frac_sql(lst: str) -> str:
     )
 
 
-def _jaccard_pairs_ctes(src: str, max_postings: int | None = None) -> str:
+def _jaccard_pairs_ctes(
+    src: str,
+    max_postings: int | None = None,
+    metric: str = "jaccard",
+    threshold: float = 0.5,
+) -> str:
     """toks/grams/sizes/inter/pairs CTE chain: exact word-3-gram
-    Jaccard >= 0.5 pairs (id_a < id_b, with the jaccard value) over
-    relation ``src`` carrying (doc_id, text).
+    set-overlap pairs (id_a < id_b, with the measure value) over
+    relation ``src`` carrying (doc_id, text). ``metric`` picks the
+    ratio — ``"jaccard"`` (|∩|/|∪|) or ``"containment"`` (Broder's
+    |∩|/min — the asymmetric measure); the pairs CTE's value column is
+    named after it.
 
     ``max_postings`` mirrors the operator's hot-shingle document-
     frequency cap (ngram_jaccard_pairs): shingles appearing in more
@@ -129,6 +137,12 @@ def _jaccard_pairs_ctes(src: str, max_postings: int | None = None) -> str:
     Spark plan and this oracle compute the same well-defined
     "Jaccard over discriminative shingles" on ANY corpus — the cap is
     value-checked, not just trusted to be inert."""
+    measures = {
+        "jaccard": "CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)",
+        "containment": "CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh)",
+    }
+    if metric not in measures:
+        raise ValueError(f"unknown metric {metric!r}")
     if max_postings is None:
         capped = "grams AS (SELECT * FROM grams0)"
     else:
@@ -154,11 +168,11 @@ def _jaccard_pairs_ctes(src: str, max_postings: int | None = None) -> str:
 ), pairs AS (
   SELECT * FROM (
     SELECT id_a, id_b,
-      CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      {measures[metric]} AS {metric}
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-  ) WHERE jaccard >= 0.5
+  ) WHERE {metric} >= {threshold}
 )"""
 
 
@@ -295,6 +309,30 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_SQL = f"""
 WITH {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP)}
 SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs at >= 0.9 (operators/dedup.py::
+    ngram_containment_pairs — Broder's |∩|/min overlap coefficient):
+    the asymmetric near-dup Jaccard structurally misses, a short doc
+    quoted wholesale inside a long one. Same posting-capped inverted
+    index as near_dup_jaccard; only the final ratio differs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from delta_lake_experiment_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.9,
+        max_postings=_NEAR_DUP_CAP,
+    )
+
+
+NEAR_DUP_CONTAINMENT_SQL = f"""
+WITH {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP,
+                          metric="containment", threshold=0.9)}
+SELECT id_a, id_b, containment FROM pairs
 """
 
 
@@ -2515,6 +2553,7 @@ QUERIES = {
     "split_drift_report": split_drift_report,
     "hybrid_search": hybrid_search,
     "doc_bigram_score": doc_bigram_score,
+    "near_dup_containment": near_dup_containment,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2572,6 +2611,7 @@ ORACLES = {
     "split_drift_report": _split_drift_sql(),
     "hybrid_search": _hybrid_search_sql(),
     "doc_bigram_score": _doc_bigram_sql(),
+    "near_dup_containment": NEAR_DUP_CONTAINMENT_SQL,
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

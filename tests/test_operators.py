@@ -3641,3 +3641,37 @@ def test_semantic_pair_strategies_agree(spark):
     assert g == h and len(g) > 0
     with pytest.raises(ValueError, match="pair_strategy"):
         semantic_pairs(emb, "vec_id", "embedding", pair_strategy="x", **kw)
+
+
+def test_ngram_containment_pairs(spark):
+    """The asymmetric case: a short doc embedded verbatim in a long
+    one has containment 1.0 while its Jaccard is far below any dedup
+    threshold — exactly what the containment lane exists to catch."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"f{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "x y z w v u t s")],
+        "doc_id int, text string",
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(
+            df, "doc_id", "text", shingle_n=3, threshold=0.9
+        ).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    # Jaccard misses the same pair at any sane threshold
+    jac = ngram_jaccard_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).collect()
+    assert jac == []
+    # the boilerplate cap applies to the containment lane too
+    capped = ngram_containment_pairs(
+        df, "doc_id", "text", shingle_n=3, threshold=0.9, max_postings=1
+    ).collect()
+    assert capped == []  # every shared gram is in 2 docs -> capped away
