@@ -97,6 +97,7 @@ HEADLINE = [
     "hybrid_search",
     "doc_bigram_score",
     "near_dup_containment",
+    "doc_keywords",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

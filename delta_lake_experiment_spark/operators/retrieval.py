@@ -425,6 +425,99 @@ SELECT query_id, {id_col}, score, rank FROM (
 """
 
 
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` salient terms per document by TF-IDF —
+    ``(id_col, term, tfidf, rank)`` — the cheap topical labeler a
+    corpus owner runs for dataset cards, domain routing, and
+    quick-look clustering of what a crawl actually contains.
+
+    ``tfidf = (tf / dl) * ln(N / df)`` (normalized term frequency,
+    plain idf; rounded to 6 digits), ranked per document with ties
+    broken by term so the output is deterministic. ``min_df`` drops
+    hapax noise (terms in fewer documents) before ranking.
+
+    Plan: one tokenize + explode, one (doc, term) count aggregate
+    (map-side combine absorbs repeats), one O(vocab) document
+    -frequency aggregate joined back (vocab broadcasts by size), one
+    per-document window over the doc's own distinct terms — window
+    partitions are documents: millions of tiny partitions, no skewed
+    task. Nothing after the first aggregate exceeds O(distinct
+    (doc, term)).
+    """
+    if k < 1:
+        raise ValueError(f"k={k!r} must be >= 1")
+    if min_df < 1:
+        raise ValueError(f"min_df={min_df!r} must be >= 1")
+    toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    base = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = base.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("__tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("__tf").alias("__dl"))
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+    )
+    scored = (
+        tf.join(dl, id_col)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("__tf") / F.col("__dl"))
+                * F.log(F.col("__n") / F.col("__df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
+
+
+def tfidf_keywords_sql(
+    src: str, id_col: str, k: int = 3, min_df: int = 1
+) -> str:
+    """DuckDB twin of :func:`tfidf_keywords` over ``src`` carrying
+    (id_col, text) — generated from the same (k, min_df)."""
+    return rf"""
+WITH kwt AS (
+  SELECT {id_col}, unnest(string_split_regex(lower(trim(COALESCE(text, ''))), '\s+')) AS term
+  FROM {src}
+), kwtf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf FROM kwt GROUP BY 1, 2
+), kwdl AS (
+  SELECT {id_col}, SUM(tf) AS dl FROM kwtf GROUP BY 1
+), kwn AS (
+  SELECT COUNT(*) AS n FROM {src}
+), kwdf AS (
+  SELECT term, COUNT(*) AS df FROM kwtf GROUP BY term
+  HAVING COUNT(*) >= {int(min_df)}
+)
+SELECT {id_col}, term, tfidf, rank FROM (
+  SELECT t.{id_col}, t.term,
+    round((CAST(t.tf AS DOUBLE) / d.dl) * ln(CAST(n AS DOUBLE) / f.df), 6) AS tfidf,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY t.{id_col}
+      ORDER BY round((CAST(t.tf AS DOUBLE) / d.dl) * ln(CAST(n AS DOUBLE) / f.df), 6) DESC,
+               t.term ASC
+    ) AS INT) AS rank
+  FROM kwtf t JOIN kwdl d ON d.{id_col} = t.{id_col}
+  JOIN kwdf f ON f.term = t.term, kwn
+) WHERE rank <= {int(k)}
+"""
+
+
 def bm25_sql(
     src: str,
     id_col: str,

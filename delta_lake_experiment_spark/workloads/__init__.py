@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 93 value-oracled queries, forty-three must sit outside the window. The
+# With 94 value-oracled queries, forty-four must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -153,7 +153,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   — new in r5, deferred from birth;
 # - near_dup_containment -> shares near_dup_jaccard's entire capped
 #   inverted-index core (_pair_overlap); only the final ratio differs
-#   — new in r5, deferred from birth.
+#   — new in r5, deferred from birth;
+# - doc_keywords -> tokenize/agg/idf-join machinery shadowed by
+#   corpus_vocab + doc_lm_score, the per-doc rank window by
+#   latest_event_per_user — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -201,6 +204,7 @@ _DEFERRED_ORACLED = [
     "hybrid_search",
     "doc_bigram_score",
     "near_dup_containment",
+    "doc_keywords",
 ]
 
 

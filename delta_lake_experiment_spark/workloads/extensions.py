@@ -2415,6 +2415,25 @@ def _doc_bigram_sql() -> str:
     return bigram_logprob_sql("documents", "doc_id")
 
 
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (operators/retrieval.py::
+    tfidf_keywords, min_df=2): the topical labeler for dataset cards /
+    domain routing. One tokenize, one (doc, term) aggregate, one
+    O(vocab) idf join, one per-document ranking window."""
+    from delta_lake_experiment_spark.operators.retrieval import tfidf_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "doc_id", "text", k=3, min_df=2)
+
+
+def _doc_keywords_sql() -> str:
+    from delta_lake_experiment_spark.operators.retrieval import (
+        tfidf_keywords_sql,
+    )
+
+    return tfidf_keywords_sql("documents", "doc_id", k=3, min_df=2)
+
+
 def split_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift monitor (operators/lm.py::unigram_divergence):
     KL/Jensen-Shannon divergence between the train and test splits'
@@ -2554,6 +2573,7 @@ QUERIES = {
     "hybrid_search": hybrid_search,
     "doc_bigram_score": doc_bigram_score,
     "near_dup_containment": near_dup_containment,
+    "doc_keywords": doc_keywords,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2612,6 +2632,7 @@ ORACLES = {
     "hybrid_search": _hybrid_search_sql(),
     "doc_bigram_score": _doc_bigram_sql(),
     "near_dup_containment": NEAR_DUP_CONTAINMENT_SQL,
+    "doc_keywords": _doc_keywords_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3675,3 +3675,38 @@ def test_ngram_containment_pairs(spark):
         df, "doc_id", "text", shingle_n=3, threshold=0.9, max_postings=1
     ).collect()
     assert capped == []  # every shared gram is in 2 docs -> capped away
+
+
+def test_tfidf_keywords(spark):
+    """Hand-computed tf-idf on a 3-doc corpus: corpus-wide terms score
+    ~0 (idf ln(1)=0), distinctive terms rank first, min_df prunes
+    hapax terms, ties break by term."""
+    import math
+
+    from delta_lake_experiment_spark.operators.retrieval import tfidf_keywords
+
+    rows = [
+        (1, "common apple apple"),
+        (2, "common banana"),
+        (3, "common apple cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_keywords(df, "doc_id", "text", k=2, min_df=1).collect()
+    }
+    idf_apple = math.log(3 / 2)
+    # doc 1: apple tf 2/3 -> top; common idf 0
+    assert out[(1, 1)] == ("apple", round(2 / 3 * idf_apple, 6))
+    assert out[(1, 2)] == ("common", 0.0)
+    # doc 2: banana (hapax, idf ln 3) tops
+    assert out[(2, 1)] == ("banana", round(1 / 2 * math.log(3), 6))
+    # min_df=2 prunes hapax terms entirely (banana, cherry gone)
+    pruned = {
+        (r["doc_id"], r["term"])
+        for r in tfidf_keywords(df, "doc_id", "text", k=3, min_df=2).collect()
+    }
+    assert "banana" not in {t for _, t in pruned}
+    assert "cherry" not in {t for _, t in pruned}
+    with pytest.raises(ValueError, match="min_df"):
+        tfidf_keywords(df, "doc_id", "text", min_df=0)
