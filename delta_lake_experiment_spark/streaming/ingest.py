@@ -62,6 +62,50 @@ def foreach_batch_dedup_writer(
     return foreach_batch_writer(client_factory, table, app_id, transform=dedup)
 
 
+def foreach_batch_quality_dedup_writer(
+    client_factory,
+    table: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    app_id: str,
+    text_col: str,
+    weights: Sequence[float],
+    bias: float,
+):
+    """The full streaming admission gate a continuous crawl runs:
+    score each micro-batch with a BATCH-TRAINED quality classifier
+    (operators/classifier.py — map-only, literal weights: the model
+    rides the closure, no per-batch join or retraining), drop failing
+    docs, then the same per-batch + against-table dedup and
+    exactly-once append as :func:`foreach_batch_dedup_writer`.
+
+    Filter-before-dedup order matters: a low-quality duplicate must
+    not poison the admission of a later high-quality copy (the dedup
+    anti-join only ever sees rows that passed the gate).
+    """
+    from delta_lake_experiment_spark.operators.classifier import (
+        score_hashed_logreg,
+    )
+
+    keys = list(key_cols)
+    w = [float(x) for x in weights]
+
+    def gate_and_dedup(client, batch_df: DataFrame) -> DataFrame:
+        scored = score_hashed_logreg(
+            batch_df, order_col, text_col, w, float(bias)
+        ).filter("keep")
+        kept = batch_df.join(
+            scored.select(order_col), order_col, "left_semi"
+        )
+        fresh = exact_dedup(kept, keys, order_col)
+        existing = client.scan(table, with_stamps=False).select(*keys).distinct()
+        return fresh.join(existing, keys, "left_anti")
+
+    return foreach_batch_writer(
+        client_factory, table, app_id, transform=gate_and_dedup
+    )
+
+
 def write_dedup_stream_to_table(
     stream_df: DataFrame,
     client_factory,

@@ -331,3 +331,82 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path, store_dir):
     check2.new_tx()
     assert check2.scan("corpus", with_stamps=False).count() == 4
     check2.abort_tx()
+
+
+def test_streaming_quality_gated_ingest(spark, tmp_path, store_dir):
+    """Batch-trained classifier as a streaming admission gate: spam
+    docs are rejected per micro-batch, duplicates of admitted docs are
+    rejected across batches, clean novel docs land exactly once."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.classifier import (
+        train_hashed_logreg,
+    )
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_quality_dedup_writer,
+    )
+
+    good = ["clean prose article history science essay report study news text"]
+    bad = ["spam click buy cheap pills win free offer now deal"]
+    train_rows = []
+    for i in range(40):
+        vocab = (good if i % 2 else bad)[0].split()
+        import random as _r
+        rng = _r.Random(i)
+        train_rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(8)), i % 2)
+        )
+    tdf = spark.createDataFrame(train_rows, "id int, text string, y int")
+    w, b = train_hashed_logreg(tdf, "id", "text", "y", dim=32, iters=6)
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("gated", "id bigint, fp string, text string")
+    boot.commit_tx()
+
+    src = str(tmp_path / "gated_crawl")
+    spark.createDataFrame(
+        [
+            (1, "a", "clean prose article history science"),
+            (2, "b", "spam click buy cheap pills"),          # gated out
+            (3, "c", "report study news text essay"),
+        ],
+        "id long, fp string, text string",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [
+            (10, "a", "clean prose article history science"),  # dup of fp a
+            (11, "d", "essay report study history prose"),
+        ],
+        "id long, fp string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, fp string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_quality_dedup_writer(
+                factory, "gated", ["fp"], "id", "gate1", "text", w, b
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_gate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    check = factory()
+    check.new_tx()
+    rows = {
+        r["fp"]: r["id"]
+        for r in check.scan("gated", with_stamps=False).collect()
+    }
+    check.abort_tx()
+    # spam doc (fp b) gated out; duplicate fp a admitted once (first id)
+    assert set(rows) == {"a", "c", "d"}
+    assert rows["a"] == 1
