@@ -98,6 +98,7 @@ HEADLINE = [
     "doc_bigram_score",
     "near_dup_containment",
     "doc_keywords",
+    "quality_weighted_sample",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -267,3 +267,69 @@ def split_thresholds_sql(
             f"WHEN {prefix} < '{_threshold_hex(cum)}' THEN {_sql_str(name)}"
         )
     return "CASE " + " ".join(parts) + f" ELSE {_sql_str(names[-1])} END"
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+    key_digits: int = 9,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: keep the
+    ``n`` rows with the largest ``u^(1/w)`` where ``u`` is the row's
+    md5-derived uniform and ``w`` its weight — the Efraimidis-Spirakis
+    A-ES reservoir key, realized engine-portably. Each row's inclusion
+    probability is proportional-ish to its weight, the selected SET is
+    identical on every run / partitioning / engine (no RNG state), and
+    samples at one salt nest as ``n`` grows (the key order is fixed;
+    a larger n only extends the prefix) — the weighted sibling of
+    :func:`hash_sample`'s fraction monotonicity.
+
+    The pipeline use: quality-weighted subcorpus selection ("take the
+    best-ish 1M docs, biased by quality score, but reproducibly and
+    without the hard cliff of a top-n by score" — a pure top-n by
+    score deterministically excludes everything below the cutoff;
+    weighted sampling keeps diversity with a quality tilt).
+
+    Plan: one map-only key projection + TakeOrdered(n) (per-partition
+    heap, driver merge of n rows) — NO shuffle of the corpus. Returns
+    ``df``'s columns plus ``sample_key`` (rounded to ``key_digits`` —
+    pow/log are correctly-rounded-ish but the grid removes any libm
+    last-ulp divergence across engines; ties broken by ``key_col``).
+    Weights must be > 0 — NULL or non-positive weights raise in-plan
+    (a zero weight's key is 0^inf and a negative one is
+    1/u^|..| > 1: both silently distort the sample).
+    """
+    if n < 1:
+        raise ValueError(f"n={n!r} must be >= 1")
+    w = F.col(weight_col).cast("double")
+    checked_w = F.when(w > 0, w).otherwise(
+        F.raise_error(
+            F.lit(
+                f"weighted_sample: weight {weight_col!r} must be > 0 and"
+                " non-NULL (filter or clamp upstream)"
+            )
+        ).cast("double")
+    )
+    u = F.conv(_hex_prefix(F.col(key_col), salt), 16, 10).cast("double") / F.lit(
+        float(_HEX_SPAN)
+    )
+    key = F.round(F.pow(u, F.lit(1.0) / checked_w), key_digits)
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), F.col(key_col).asc())
+        .limit(n)
+    )
+
+
+def weighted_key_sql(
+    key_sql: str, weight_sql: str, salt: str = "", key_digits: int = 9
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`'s ordering key — same
+    md5-derived uniform (the engine-specific hex->int cast, see
+    :func:`shard_sql`), same power, same rounding."""
+    prefix = f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
+    u = f"(CAST(('0x' || {prefix}) AS BIGINT) / {float(_HEX_SPAN)!r})"
+    return f"round(power({u}, 1.0 / ({weight_sql})), {int(key_digits)})"

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 94 value-oracled queries, forty-four must sit outside the window. The
+# With 95 value-oracled queries, forty-five must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -156,7 +156,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   — new in r5, deferred from birth;
 # - doc_keywords -> tokenize/agg/idf-join machinery shadowed by
 #   corpus_vocab + doc_lm_score, the per-doc rank window by
-#   latest_event_per_user — new in r5, deferred from birth.
+#   latest_event_per_user — new in r5, deferred from birth;
+# - quality_weighted_sample -> md5-uniform machinery shadowed by
+#   doc_train_split / domain_mixture (_hex_prefix lane), top-n by
+#   top_orders_by_price (TakeOrdered) — new in r5, deferred from
+#   birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -205,6 +209,7 @@ _DEFERRED_ORACLED = [
     "doc_bigram_score",
     "near_dup_containment",
     "doc_keywords",
+    "quality_weighted_sample",
 ]
 
 

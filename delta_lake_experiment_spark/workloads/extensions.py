@@ -2415,6 +2415,40 @@ def _doc_bigram_sql() -> str:
     return bigram_logprob_sql("documents", "doc_id")
 
 
+_WSAMPLE_N = 100
+_WSAMPLE_SALT = "wsamp1"
+
+
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/sampling.py::
+    weighted_sample — the Efraimidis-Spirakis key on md5 uniforms):
+    a 100-doc subcorpus biased toward longer documents (weight =
+    n_chars) but reproducible on any run/partitioning/engine — the
+    quality-tilted subset selection a mixing pipeline runs. Map-only
+    key + TakeOrdered, no corpus shuffle."""
+    from delta_lake_experiment_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", _WSAMPLE_N, salt=_WSAMPLE_SALT
+    ).select("doc_id", "lang", "n_chars", "sample_key")
+
+
+def _quality_weighted_sample_sql() -> str:
+    from delta_lake_experiment_spark.operators.sampling import weighted_key_sql
+
+    key = weighted_key_sql(
+        "CAST(doc_id AS VARCHAR)", "CAST(n_chars AS DOUBLE)",
+        salt=_WSAMPLE_SALT,
+    )
+    return f"""
+SELECT doc_id, lang, n_chars, {key} AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {_WSAMPLE_N}
+"""
+
+
 def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document (operators/retrieval.py::
     tfidf_keywords, min_df=2): the topical labeler for dataset cards /
@@ -2574,6 +2608,7 @@ QUERIES = {
     "doc_bigram_score": doc_bigram_score,
     "near_dup_containment": near_dup_containment,
     "doc_keywords": doc_keywords,
+    "quality_weighted_sample": quality_weighted_sample,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2633,6 +2668,7 @@ ORACLES = {
     "doc_bigram_score": _doc_bigram_sql(),
     "near_dup_containment": NEAR_DUP_CONTAINMENT_SQL,
     "doc_keywords": _doc_keywords_sql(),
+    "quality_weighted_sample": _quality_weighted_sample_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

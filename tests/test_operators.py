@@ -3710,3 +3710,33 @@ def test_tfidf_keywords(spark):
     assert "cherry" not in {t for _, t in pruned}
     with pytest.raises(ValueError, match="min_df"):
         tfidf_keywords(df, "doc_id", "text", min_df=0)
+
+
+def test_weighted_sample(spark):
+    """A-ES weighted sampling: huge-weight rows always make the
+    sample, n-monotone nesting, python-model parity, NULL/zero
+    weights raise."""
+    import hashlib
+
+    from delta_lake_experiment_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i else 1e9) for i in range(50)]  # row 0 dominant
+    df = spark.createDataFrame(rows, "id int, w double")
+    out10 = [r["id"] for r in weighted_sample(df, "id", "w", 10, salt="s").collect()]
+    assert 0 in out10  # weight 1e9 -> key ~u^(1e-9) ~ 1: always selected
+
+    # python model: same md5 uniform, same key, same order
+    def key(i, w):
+        u = int(hashlib.md5(f"s{i}".encode()).hexdigest()[:8], 16) / 16 ** 8
+        return round(u ** (1.0 / w), 9)
+
+    exp = sorted(rows, key=lambda t: (-key(*t), t[0]))[:10]
+    assert out10 == [i for i, _ in exp]
+    # nesting: the 5-sample is a prefix of the 10-sample
+    out5 = [r["id"] for r in weighted_sample(df, "id", "w", 5, salt="s").collect()]
+    assert out5 == out10[:5]
+    bad = spark.createDataFrame([(1, 0.0)], "id int, w double")
+    with pytest.raises(Exception, match="weighted_sample"):
+        weighted_sample(bad, "id", "w", 1).collect()
+    with pytest.raises(ValueError, match="n="):
+        weighted_sample(df, "id", "w", 0)
