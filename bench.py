@@ -99,6 +99,7 @@ HEADLINE = [
     "near_dup_containment",
     "doc_keywords",
     "quality_weighted_sample",
+    "bitext_mining_pairs",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -644,3 +644,133 @@ def ivf_pq_topk(
     return pq_topk(
         spark, cand, id_col, vec_col, q, codebooks, k=k, rerank=rerank
     )
+
+
+def mutual_nearest_pairs(
+    left_df,
+    right_df,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.0,
+    sim_digits: int = 6,
+    block_size: int = 4096,
+):
+    """Bitext-mining pair candidates (the LASER/CCMatrix construction):
+    ``(left_id, right_id, score)`` for every MUTUAL nearest-neighbor
+    pair across two embedding tables — left's best right AND that
+    right's best left — above ``threshold`` cosine. Mutual-NN is the
+    standard noise gate for mining aligned pairs (translations,
+    image-caption matches, duplicate entities) across corpora: a
+    one-directional best match is often a hub vector; mutuality kills
+    hubs.
+
+    Plan (no cartesian, bounded memory — the block-bundle construction
+    of ``operators/dedup.py::embedding_near_duplicates``, cross-table):
+    both sides hash into ~``block_size``-row bundles; every (left
+    bundle, right bundle) tile is one equi-joined row scored by a
+    single numpy gemm, and each tile emits only its LOCAL argmax rows
+    (one per left vector and one per right vector in the tile — never
+    the tile's full score matrix). Global argmaxes are two small
+    max-struct aggregates over tiles; ties break toward the lower
+    candidate id at the rounded score, matching the SQL twin. Exact
+    over all pairs — flop-bound at extreme scale like every exact
+    lane; route through IVF/PQ candidates first when |L| x |R| gemm is
+    infeasible and feed the survivors back through this gate.
+    """
+    from pyspark.sql import functions as F
+
+    import numpy as np
+    import pandas as pd
+
+    ldt = left_df.schema[id_col].dataType.simpleString()
+    rdt = right_df.schema[id_col].dataType.simpleString()
+
+    def prep(df):
+        v = _as_double(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias("__id"),
+            v.alias("v"),
+            F.sqrt(_dot(v, v)).alias("nrm"),
+        )
+
+    l, r = prep(left_df), prep(right_df)
+    nl, nr = l.count(), r.count()
+    if nl == 0 or nr == 0:
+        raise ValueError("mutual_nearest_pairs: empty side")
+    bl = max(1, -(-nl // block_size))
+    br = max(1, -(-nr // block_size))
+
+    def bundles(df, nblocks):
+        return (
+            df.withColumn("p", F.pmod(F.xxhash64(F.col("__id")), F.lit(nblocks)).cast("int"))
+            .groupBy("p")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("__id").alias("id"), "v", "nrm")
+                ).alias("bundle")
+            )
+        )
+
+    lb = (
+        bundles(l, bl)
+        .withColumnRenamed("bundle", "bundle_l")
+        .withColumn("q", F.explode(F.sequence(F.lit(0), F.lit(br - 1))))
+    )
+    rb = bundles(r, br).select(F.col("p").alias("q"), F.col("bundle").alias("bundle_r"))
+    tiles = lb.join(rb, "q")
+    thr_digits = int(sim_digits)
+
+    def _score(batches):
+        for pdf in batches:
+            outs = []
+            for ba, bb in zip(pdf["bundle_l"], pdf["bundle_r"]):
+                ids_l = np.asarray([e["id"] for e in ba])
+                ids_r = np.asarray([e["id"] for e in bb])
+                mat_l = np.asarray([e["v"] for e in ba], dtype=np.float64)
+                mat_r = np.asarray([e["v"] for e in bb], dtype=np.float64)
+                nrm_l = np.asarray([e["nrm"] for e in ba], dtype=np.float64)
+                nrm_r = np.asarray([e["nrm"] for e in bb], dtype=np.float64)
+                cos = np.round(mat_l @ mat_r.T / np.outer(nrm_l, nrm_r), thr_digits)
+                # local argmax per left row / per right row; ties at the
+                # rounded score resolve to the LOWER candidate id (the
+                # SQL twin's ORDER BY score DESC, id ASC)
+                rows = []
+                for i in range(cos.shape[0]):
+                    m = cos[i].max()
+                    cand = ids_r[cos[i] == m]
+                    rows.append(("l", int(ids_l[i]), int(cand.min()), float(m)))
+                for j in range(cos.shape[1]):
+                    m = cos[:, j].max()
+                    cand = ids_l[cos[:, j] == m]
+                    rows.append(("r", int(ids_r[j]), int(cand.min()), float(m)))
+                outs.append(
+                    pd.DataFrame(rows, columns=["side", "a", "b", "score"])
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    local = tiles.mapInPandas(_score, "side string, a long, b long, score double")
+    # global argmax over tiles: max (score, -candidate) struct per key
+    def global_best(side, key_name, cand_name):
+        return (
+            local.filter(F.col("side") == side)
+            .groupBy("a")
+            .agg(F.max(F.struct(F.col("score"), (-F.col("b")).alias("nb"))).alias("m"))
+            .select(
+                F.col("a").alias(key_name),
+                (-F.col("m.nb")).alias(cand_name),
+                F.col("m.score").alias(f"{side}_score"),
+            )
+        )
+
+    best_l = global_best("l", "left_id", "right_id")
+    best_r = global_best("r", "right_id", "left_id")
+    return (
+        best_l.join(best_r, ["left_id", "right_id"])
+        .filter(F.col("l_score") >= threshold)
+        .select(
+            F.col("left_id").cast(ldt),
+            F.col("right_id").cast(rdt),
+            F.col("l_score").alias("score"),
+        )
+    )

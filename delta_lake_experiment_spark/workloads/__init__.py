@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 95 value-oracled queries, forty-five must sit outside the window. The
+# With 96 value-oracled queries, forty-six must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -160,7 +160,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - quality_weighted_sample -> md5-uniform machinery shadowed by
 #   doc_train_split / domain_mixture (_hex_prefix lane), top-n by
 #   top_orders_by_price (TakeOrdered) — new in r5, deferred from
-#   birth.
+#   birth;
+# - bitext_mining_pairs -> the tile-bundle gemm lane is shadowed by
+#   near_dup_embedding (same block construction, cross-table), the
+#   argmax resolution by latest_event_per_user (rank) — new in r5,
+#   deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -210,6 +214,7 @@ _DEFERRED_ORACLED = [
     "near_dup_containment",
     "doc_keywords",
     "quality_weighted_sample",
+    "bitext_mining_pairs",
 ]
 
 

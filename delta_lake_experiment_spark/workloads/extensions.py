@@ -2415,6 +2415,65 @@ def _doc_bigram_sql() -> str:
     return bigram_logprob_sql("documents", "doc_id")
 
 
+_BITEXT_THRESHOLD = 0.3
+
+
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual bitext mining (operators/similarity.py::
+    mutual_nearest_pairs — the LASER/CCMatrix construction): mutual
+    nearest-neighbor embedding pairs between the English docs and the
+    non-English docs (embeddings are id-aligned with documents), at
+    cosine >= 0.3. Tile-bundled cross-score plan — each (left, right)
+    bundle tile is one gemm emitting only its local argmax rows; no
+    cartesian, no full score matrix leaves a task."""
+    from delta_lake_experiment_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").join(
+        docs, F.col("vec_id") == F.col("doc_id")
+    )
+    return mutual_nearest_pairs(
+        emb.filter(F.col("lang") == "en"),
+        emb.filter(F.col("lang") != "en"),
+        "vec_id",
+        "embedding",
+        threshold=_BITEXT_THRESHOLD,
+        block_size=256,
+    ).withColumnRenamed("left_id", "en_id").withColumnRenamed(
+        "right_id", "other_id"
+    )
+
+
+BITEXT_MINING_SQL = f"""
+WITH be AS (
+  SELECT d.lang, em.vec_id AS id, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+), bll AS (SELECT * FROM be WHERE lang = 'en'),
+brr AS (SELECT * FROM be WHERE lang <> 'en'),
+bs AS (
+  SELECT bll.id AS en_id, brr.id AS other_id,
+    round(list_dot_product(bll.v, brr.v)
+      / (sqrt(list_dot_product(bll.v, bll.v)) * sqrt(list_dot_product(brr.v, brr.v))),
+      6) AS score
+  FROM bll, brr
+), bbl AS (
+  SELECT en_id, other_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY en_id ORDER BY score DESC, other_id ASC) AS rn FROM bs
+  ) WHERE rn = 1
+), bbr AS (
+  SELECT en_id, other_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY other_id ORDER BY score DESC, en_id ASC) AS rn FROM bs
+  ) WHERE rn = 1
+)
+SELECT en_id, other_id, score FROM bbl JOIN bbr USING (en_id, other_id)
+WHERE score >= {_BITEXT_THRESHOLD}
+"""
+
+
 _WSAMPLE_N = 100
 _WSAMPLE_SALT = "wsamp1"
 
@@ -2609,6 +2668,7 @@ QUERIES = {
     "near_dup_containment": near_dup_containment,
     "doc_keywords": doc_keywords,
     "quality_weighted_sample": quality_weighted_sample,
+    "bitext_mining_pairs": bitext_mining_pairs,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2669,6 +2729,7 @@ ORACLES = {
     "near_dup_containment": NEAR_DUP_CONTAINMENT_SQL,
     "doc_keywords": _doc_keywords_sql(),
     "quality_weighted_sample": _quality_weighted_sample_sql(),
+    "bitext_mining_pairs": BITEXT_MINING_SQL,
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3740,3 +3740,48 @@ def test_weighted_sample(spark):
         weighted_sample(bad, "id", "w", 1).collect()
     with pytest.raises(ValueError, match="n="):
         weighted_sample(df, "id", "w", 0)
+
+
+def test_mutual_nearest_pairs(spark):
+    """Mutuality kills hubs: a right-side hub that is every left
+    vector's nearest match pairs only with ITS own best left; and the
+    multi-tile path (block_size=1) agrees with the single-tile path."""
+    from delta_lake_experiment_spark.operators.similarity import (
+        mutual_nearest_pairs,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05, 0.0]),   # hub: nearest of left 1 AND 2
+            (30, [0.0, 0.1, 1.0]),    # partner of left 3
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    out = {
+        (r["left_id"], r["right_id"])
+        for r in mutual_nearest_pairs(
+            left, right, "vec_id", "embedding", threshold=0.5
+        ).collect()
+    }
+    # hub 10's own best left is 1 (cos 1*1+0.05*0.1 normalized higher
+    # than left 2's) -> only (1, 10) survives; left 2 has no mutual pair
+    assert out == {(1, 10), (3, 30)}
+    tiled = {
+        (r["left_id"], r["right_id"])
+        for r in mutual_nearest_pairs(
+            left, right, "vec_id", "embedding", threshold=0.5, block_size=1
+        ).collect()
+    }
+    assert tiled == out
+    with pytest.raises(ValueError, match="empty side"):
+        mutual_nearest_pairs(
+            left.filter("vec_id < 0"), right, "vec_id", "embedding"
+        )
