@@ -100,6 +100,7 @@ HEADLINE = [
     "doc_keywords",
     "quality_weighted_sample",
     "bitext_mining_pairs",
+    "curriculum_ordered_corpus",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -85,35 +85,132 @@ def deterministic_shuffle(
     skey = shuffle_key(F.col(key_col).cast("string"), salt)
     bucket = F.conv(F.substring(skey, 1, bucket_hex_digits), 16, 10).cast("long")
     with_key = df.withColumn("__skey", skey).withColumn("__bucket", bucket).persist()
+    return _offset_rank(
+        with_key, ["__bucket"], ["__skey", key_col], "shuffle_pos"
+    ).drop("__skey", "__bucket")
 
-    # Phase 1+2: O(buckets) histogram -> driver prefix sum. The
-    # collect moves ≤ 16^bucket_hex_digits rows of metadata, never
-    # data (the similarity.py centroid-collect class).
+
+def _offset_rank(
+    with_key: DataFrame, bucket_cols: list, order_cols: list, out_col: str
+) -> DataFrame:
+    """Phases 1-3 of the two-phase global rank, shared by the shuffle
+    and curriculum lanes: O(buckets) histogram -> driver prefix sum in
+    ``bucket_cols`` order -> broadcast offsets -> bucket-partitioned
+    window + offset. ``with_key`` must already be persisted (both the
+    histogram and the ranked output read it; two evaluations of a
+    changing source would disagree). The collect moves <=
+    |bucket space| rows of metadata, never data."""
     hist = (
-        with_key.groupBy("__bucket").count().orderBy("__bucket").collect()
+        with_key.groupBy(*bucket_cols).count().orderBy(*bucket_cols).collect()
     )
-    offsets = {}
+    rows = []
     acc = 0
     for row in hist:
-        offsets[row["__bucket"]] = acc
+        rows.append(tuple(row[c] for c in bucket_cols) + (acc,))
         acc += row["count"]
-    spark = df.sparkSession
-    offsets_df = F.broadcast(
-        spark.createDataFrame(
-            [(b, o) for b, o in offsets.items()], "__bucket long, __offset long"
-        )
-    )
-
-    # Phase 3: rank within bucket + offset. The window partitions by
-    # bucket, so no task ever sees more than corpus/buckets rows.
-    w = Window.partitionBy("__bucket").orderBy("__skey", key_col)
+    spark = with_key.sparkSession
+    schema = ", ".join(f"{c} long" for c in bucket_cols) + ", __offset long"
+    offsets_df = F.broadcast(spark.createDataFrame(rows, schema))
+    w = Window.partitionBy(*bucket_cols).orderBy(*order_cols)
     return (
-        with_key.join(offsets_df, "__bucket")
+        with_key.join(offsets_df, bucket_cols)
         .withColumn(
-            "shuffle_pos",
+            out_col,
             (F.row_number().over(w) - 1 + F.col("__offset")).cast("long"),
         )
-        .drop("__skey", "__bucket", "__offset")
+        .drop("__offset")
+    )
+
+
+def stage_by_thresholds(score: Column, edges_desc: "list[float]") -> Column:
+    """Curriculum stage id from a score: stage = index of the FIRST
+    threshold the score meets in ``edges_desc`` (strictly descending),
+    ``len(edges_desc)`` if none — e.g. edges [0.6, 0.3] puts
+    score >= 0.6 in stage 0 (seen first), >= 0.3 in stage 1, the rest
+    in stage 2. A static CASE — map-only, engine-portable. NULL scores
+    raise (a NULL would fall through every comparison and silently
+    train last)."""
+    if list(edges_desc) != sorted(set(edges_desc), reverse=True):
+        raise ValueError(
+            f"edges_desc={edges_desc!r} must be strictly descending"
+        )
+    guarded = F.when(score.isNotNull(), score).otherwise(
+        F.raise_error(
+            F.lit("stage_by_thresholds: score is NULL - stage scores must"
+                  " be non-NULL (filter or coalesce upstream)")
+        )
+    )
+    expr = F.lit(len(edges_desc))
+    for i, edge in reversed(list(enumerate(edges_desc))):
+        expr = F.when(guarded >= F.lit(float(edge)), F.lit(i)).otherwise(expr)
+    return expr.cast("long")
+
+
+def stage_sql(score_sql: str, edges_desc: "list[float]") -> str:
+    """DuckDB twin of :func:`stage_by_thresholds` — generated from the
+    same edges so the staging can never drift."""
+    if list(edges_desc) != sorted(set(edges_desc), reverse=True):
+        raise ValueError(
+            f"edges_desc={edges_desc!r} must be strictly descending"
+        )
+    whens = " ".join(
+        f"WHEN ({score_sql}) >= {float(e)!r} THEN {i}"
+        for i, e in enumerate(edges_desc)
+    )
+    return f"CAST(CASE {whens} ELSE {len(edges_desc)} END AS BIGINT)"
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    stage_col: str,
+    salt: str = "",
+    bucket_hex_digits: int = 2,
+) -> DataFrame:
+    """Add ``curriculum_pos`` (long, 0-based, a permutation of
+    ``0..n-1``): the global training order that visits stages in
+    ascending ``stage_col`` order and shuffles deterministically
+    WITHIN each stage — curriculum learning's data order (easy stages
+    first, pseudo-random inside a stage, reproducible across runs /
+    cluster sizes; change ``salt`` per epoch to re-permute within
+    stages while preserving the stage progression).
+
+    Same scalable construction as :func:`deterministic_shuffle` with a
+    composite bucket (stage, hash bucket): no single-partition window
+    anywhere; the histogram is O(stages x buckets) metadata.
+    ``stage_col`` must be an integral column (build one with
+    :func:`stage_by_thresholds`)."""
+    if not 1 <= bucket_hex_digits <= 8:
+        raise ValueError(
+            f"bucket_hex_digits={bucket_hex_digits!r} must be in [1, 8]"
+        )
+    skey = shuffle_key(F.col(key_col).cast("string"), salt)
+    bucket = F.conv(F.substring(skey, 1, bucket_hex_digits), 16, 10).cast("long")
+    with_key = (
+        df.withColumn("__stage", F.col(stage_col).cast("long"))
+        .withColumn("__skey", skey)
+        .withColumn("__bucket", bucket)
+        .persist()
+    )
+    return _offset_rank(
+        with_key,
+        ["__stage", "__bucket"],
+        ["__skey", key_col],
+        "curriculum_pos",
+    ).drop("__skey", "__bucket", "__stage")
+
+
+def curriculum_pos_sql(
+    src: str, key_sql: str, stage_sql_expr: str, salt: str = ""
+) -> str:
+    """DuckDB twin of :func:`curriculum_order` via a plain global
+    window ordered (stage, md5 key, key) — the hash match proves the
+    distributed composite-bucket rank equals the global rank."""
+    salt_lit = "'" + salt.replace("'", "''") + "'"
+    return (
+        f"SELECT *, CAST(ROW_NUMBER() OVER ("
+        f"ORDER BY ({stage_sql_expr}), md5({salt_lit} || CAST({key_sql} AS VARCHAR)), {key_sql}"
+        f") - 1 AS BIGINT) AS curriculum_pos FROM {src}"
     )
 
 

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 96 value-oracled queries, forty-six must sit outside the window. The
+# With 97 value-oracled queries, forty-seven must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -164,7 +164,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - bitext_mining_pairs -> the tile-bundle gemm lane is shadowed by
 #   near_dup_embedding (same block construction, cross-table), the
 #   argmax resolution by latest_event_per_user (rank) — new in r5,
-#   deferred from birth.
+#   deferred from birth;
+# - curriculum_ordered_corpus -> the two-phase rank is shadowed by
+#   corpus_shuffle (same _offset_rank core, composite bucket), the
+#   staging CASE by doc_train_split's threshold machinery — new in
+#   r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -215,6 +219,7 @@ _DEFERRED_ORACLED = [
     "doc_keywords",
     "quality_weighted_sample",
     "bitext_mining_pairs",
+    "curriculum_ordered_corpus",
 ]
 
 

@@ -2415,6 +2415,47 @@ def _doc_bigram_sql() -> str:
     return bigram_logprob_sql("documents", "doc_id")
 
 
+_CURR_EDGES = [0.6, 0.3]
+_CURR_SALT = "curr-epoch0"
+
+
+def curriculum_ordered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data order (operators/ordering.py::curriculum_order):
+    quality-staged global training positions — high-quality docs first
+    (stage 0: quality >= 0.6, stage 1: >= 0.3, stage 2: rest),
+    deterministic shuffle WITHIN each stage. The distributed rank uses
+    composite (stage, hash-bucket) windows — no single-partition
+    window; the DuckDB twin IS the plain global window, so the hash
+    match proves the two-phase rank equals the global rank."""
+    from delta_lake_experiment_spark.operators.ordering import (
+        curriculum_order,
+        stage_by_thresholds,
+    )
+
+    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
+    staged = docs.withColumn(
+        "stage", stage_by_thresholds(F.col("quality"), _CURR_EDGES)
+    )
+    out = curriculum_order(staged, "doc_id", "stage", salt=_CURR_SALT)
+    return out.select("doc_id", "stage", "curriculum_pos")
+
+
+def _curriculum_sql() -> str:
+    from delta_lake_experiment_spark.operators.ordering import (
+        curriculum_pos_sql,
+        stage_sql,
+    )
+
+    stage = stage_sql(_QUALITY_SQL, _CURR_EDGES)
+    inner = curriculum_pos_sql(
+        f"(SELECT doc_id, text, {stage} AS stage FROM documents)",
+        "doc_id",
+        "stage",
+        salt=_CURR_SALT,
+    )
+    return f"SELECT doc_id, stage, curriculum_pos FROM ({inner})"
+
+
 _BITEXT_THRESHOLD = 0.3
 
 
@@ -2669,6 +2710,7 @@ QUERIES = {
     "doc_keywords": doc_keywords,
     "quality_weighted_sample": quality_weighted_sample,
     "bitext_mining_pairs": bitext_mining_pairs,
+    "curriculum_ordered_corpus": curriculum_ordered_corpus,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2730,6 +2772,7 @@ ORACLES = {
     "doc_keywords": _doc_keywords_sql(),
     "quality_weighted_sample": _quality_weighted_sample_sql(),
     "bitext_mining_pairs": BITEXT_MINING_SQL,
+    "curriculum_ordered_corpus": _curriculum_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

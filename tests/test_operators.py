@@ -3785,3 +3785,39 @@ def test_mutual_nearest_pairs(spark):
         mutual_nearest_pairs(
             left.filter("vec_id < 0"), right, "vec_id", "embedding"
         )
+
+
+def test_curriculum_order(spark):
+    """Stages sort ascending, within-stage order is the salt-keyed
+    md5 shuffle, and the composite two-phase rank is an exact
+    permutation; threshold staging is hand-checked."""
+    import hashlib
+
+    from delta_lake_experiment_spark.operators.ordering import (
+        curriculum_order,
+        stage_by_thresholds,
+    )
+
+    rows = [(i, float(i % 10) / 10.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, score double")
+    staged = df.withColumn(
+        "stage", stage_by_thresholds(F.col("score"), [0.6, 0.3])
+    )
+    got = {
+        r["id"]: (r["stage"], r["curriculum_pos"])
+        for r in curriculum_order(staged, "id", "stage", salt="e0").collect()
+    }
+
+    def stage(s):
+        return 0 if s >= 0.6 else (1 if s >= 0.3 else 2)
+
+    def skey(i):
+        return hashlib.md5(f"e0{i}".encode()).hexdigest()
+
+    exp_order = sorted(rows, key=lambda t: (stage(t[1]), skey(t[0]), t[0]))
+    for pos, (i, s) in enumerate(exp_order):
+        assert got[i] == (stage(s), pos)
+    # positions are a permutation of 0..n-1
+    assert sorted(p for _, p in got.values()) == list(range(40))
+    with pytest.raises(ValueError, match="descending"):
+        stage_by_thresholds(F.col("score"), [0.3, 0.6])
