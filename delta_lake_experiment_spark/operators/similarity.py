@@ -684,6 +684,16 @@ def mutual_nearest_pairs(
 
     ldt = left_df.schema[id_col].dataType.simpleString()
     rdt = right_df.schema[id_col].dataType.simpleString()
+    # the tile scorer moves ids through a LONG Arrow column; a string
+    # id would crash deep inside a task (or worse, coerce) — fail loud
+    # at plan time instead
+    for side, dt in (("left", ldt), ("right", rdt)):
+        if dt not in ("int", "bigint", "smallint", "tinyint"):
+            raise ValueError(
+                f"mutual_nearest_pairs: {side} id column {id_col!r} must be"
+                f" integral (got {dt}) — map string ids to a surrogate key"
+                " upstream"
+            )
 
     def prep(df):
         v = _as_double(F.col(vec_col))
