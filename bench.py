@@ -101,6 +101,7 @@ HEADLINE = [
     "quality_weighted_sample",
     "bitext_mining_pairs",
     "curriculum_ordered_corpus",
+    "hot_ngram_report",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 97 value-oracled queries, forty-seven must sit outside the window. The
+# With 98 value-oracled queries, forty-eight must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -168,7 +168,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - curriculum_ordered_corpus -> the two-phase rank is shadowed by
 #   corpus_shuffle (same _offset_rank core, composite bucket), the
 #   staging CASE by doc_train_split's threshold machinery — new in
-#   r5, deferred from birth.
+#   r5, deferred from birth;
+# - hot_ngram_report -> the distinct-gram explode + count is the
+#   near_dup_jaccard index's first half, top-k by top_orders_by_price
+#   — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -220,6 +223,7 @@ _DEFERRED_ORACLED = [
     "quality_weighted_sample",
     "bitext_mining_pairs",
     "curriculum_ordered_corpus",
+    "hot_ngram_report",
 ]
 
 

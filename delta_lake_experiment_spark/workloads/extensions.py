@@ -312,6 +312,50 @@ SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
+_HOT_GRAM_K = 20
+
+
+def hot_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-gram mining: the top-20 word-3-grams by DOCUMENT
+    frequency (distinct docs containing the gram) with their corpus
+    share — the evidence a pipeline owner sets the dedup lanes'
+    ``max_postings`` cap (and line-dedup thresholds) with, instead of
+    guessing. One distinct-gram explode + one count aggregate +
+    TakeOrdered; the gram STRINGS only materialize for the k report
+    rows (the dedup lanes themselves stay on hashed grams)."""
+    from delta_lake_experiment_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    return (
+        shingles(docs, "doc_id", "text", n=3, distinct=True)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .withColumn(
+            "doc_share", F.round(F.col("doc_freq") / F.lit(float(n_docs)), 6)
+        )
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(_HOT_GRAM_K)
+    )
+
+
+HOT_NGRAM_SQL = f"""
+WITH hgt AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents
+), hgg AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS shingle
+  FROM hgt
+)
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+  round(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents), 6) AS doc_share
+FROM hgg GROUP BY shingle
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT {_HOT_GRAM_K}
+"""
+
+
 def near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs at >= 0.9 (operators/dedup.py::
     ngram_containment_pairs — Broder's |∩|/min overlap coefficient):
@@ -2711,6 +2755,7 @@ QUERIES = {
     "quality_weighted_sample": quality_weighted_sample,
     "bitext_mining_pairs": bitext_mining_pairs,
     "curriculum_ordered_corpus": curriculum_ordered_corpus,
+    "hot_ngram_report": hot_ngram_report,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2773,6 +2818,7 @@ ORACLES = {
     "quality_weighted_sample": _quality_weighted_sample_sql(),
     "bitext_mining_pairs": BITEXT_MINING_SQL,
     "curriculum_ordered_corpus": _curriculum_sql(),
+    "hot_ngram_report": HOT_NGRAM_SQL,
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,
