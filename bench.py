@@ -102,6 +102,7 @@ HEADLINE = [
     "bitext_mining_pairs",
     "curriculum_ordered_corpus",
     "hot_ngram_report",
+    "doc_novelty",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

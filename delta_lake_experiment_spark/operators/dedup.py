@@ -725,6 +725,42 @@ def ngram_containment_pairs(
     )
 
 
+def gram_novelty(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document ORIGINALITY signal: ``(id_col, n_grams,
+    novel_frac)`` where ``novel_frac`` is the fraction of the doc's
+    distinct word-``shingle_n``-grams that appear in NO other document
+    (corpus document frequency 1). The cross-document complement of
+    the within-document repetition ratios (operators/text.py): a doc
+    can be internally clean yet assembled entirely from phrases the
+    corpus already contains (template spam, scraped remixes) —
+    ``novel_frac`` ~ 0 flags it; the corpus-level distribution of this
+    number is a dataset-diversity statistic.
+
+    Same hashed-shingle lane as the dedup detectors (one distinct
+    explode, one O(distinct grams) document-frequency aggregate, one
+    join back, one per-doc aggregate — the gram strings never
+    shuffle); the DuckDB oracle joins gram STRINGS, value-certifying
+    the hashed lane per run. Documents shorter than ``shingle_n``
+    tokens keep their one partial gram (every doc gets a row)."""
+    sh = shingle_hashes(df, id_col, text_col, n=shingle_n).distinct().persist()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.round(
+                F.sum((F.col("__df") == 1).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("novel_frac"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
 def cross_split_contamination(
     df: DataFrame,
     id_col: str,

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 98 value-oracled queries, forty-eight must sit outside the window. The
+# With 99 value-oracled queries, forty-nine must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -171,7 +171,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   r5, deferred from birth;
 # - hot_ngram_report -> the distinct-gram explode + count is the
 #   near_dup_jaccard index's first half, top-k by top_orders_by_price
-#   — new in r5, deferred from birth.
+#   — new in r5, deferred from birth;
+# - doc_novelty -> the hashed-gram df lane is near_dup_jaccard's
+#   index + one per-doc aggregate (doc_text_stats class) — new in r5,
+#   deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -224,6 +227,7 @@ _DEFERRED_ORACLED = [
     "bitext_mining_pairs",
     "curriculum_ordered_corpus",
     "hot_ngram_report",
+    "doc_novelty",
 ]
 
 

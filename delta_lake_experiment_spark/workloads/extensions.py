@@ -312,6 +312,36 @@ SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document gram-novelty (operators/dedup.py::gram_novelty):
+    the fraction of each doc's distinct word-3-grams unique to it in
+    the corpus — the cross-document originality signal (template spam
+    scores ~0). Hashed-gram lane, string-gram oracle."""
+    from delta_lake_experiment_spark.operators.dedup import gram_novelty
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gram_novelty(docs, "doc_id", "text", shingle_n=3)
+
+
+DOC_NOVELTY_SQL = r"""
+WITH nvt AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents
+), nvg AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                          i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS g
+  FROM nvt
+), nvdf AS (
+  SELECT g, COUNT(*) AS df FROM nvg GROUP BY g
+)
+SELECT n.doc_id, CAST(COUNT(*) AS INT) AS n_grams,
+  round(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+    AS novel_frac
+FROM nvg n JOIN nvdf f ON f.g = n.g
+GROUP BY n.doc_id
+"""
+
+
 _HOT_GRAM_K = 20
 
 
@@ -2756,6 +2786,7 @@ QUERIES = {
     "bitext_mining_pairs": bitext_mining_pairs,
     "curriculum_ordered_corpus": curriculum_ordered_corpus,
     "hot_ngram_report": hot_ngram_report,
+    "doc_novelty": doc_novelty,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2819,6 +2850,7 @@ ORACLES = {
     "bitext_mining_pairs": BITEXT_MINING_SQL,
     "curriculum_ordered_corpus": _curriculum_sql(),
     "hot_ngram_report": HOT_NGRAM_SQL,
+    "doc_novelty": DOC_NOVELTY_SQL,
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3821,3 +3821,27 @@ def test_curriculum_order(spark):
     assert sorted(p for _, p in got.values()) == list(range(40))
     with pytest.raises(ValueError, match="descending"):
         stage_by_thresholds(F.col("score"), [0.3, 0.6])
+
+
+def test_gram_novelty(spark):
+    """Hand-checked novelty: a doc sharing every gram scores 0, a
+    fully unique doc scores 1, a mixed doc in between; short docs keep
+    their partial gram."""
+    from delta_lake_experiment_spark.operators.dedup import gram_novelty
+
+    rows = [
+        (1, "a b c d"),            # grams: abc, bcd
+        (2, "a b c d"),            # identical -> all shared
+        (3, "x y z w"),            # fully unique
+        (4, "a b c q r s"),        # abc shared; bcq, cqr, qrs unique
+        (5, "p q"),                # sub-n doc: one partial gram "p q"
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["novel_frac"])
+        for r in gram_novelty(df, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert got[1] == (2, 0.0) and got[2] == (2, 0.0)
+    assert got[3] == (2, 1.0)
+    assert got[4] == (4, 0.75)
+    assert got[5] == (1, 1.0)
