@@ -3845,3 +3845,61 @@ def test_gram_novelty(spark):
     assert got[3] == (2, 1.0)
     assert got[4] == (4, 0.75)
     assert got[5] == (1, 1.0)
+
+
+def test_containment_randomized_vs_python_oracle(spark):
+    """The containment sibling of the randomized Jaccard pin: same
+    seeded corpora and edge shapes, overlap-coefficient measure,
+    capped and uncapped."""
+    import random
+
+    from delta_lake_experiment_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    rng = random.Random(29)
+    vocab = ["ab", "cd", "ef", "gh"]
+
+    def py_pairs(rows, n, threshold, cap):
+        grams = {}
+        for i, text in rows:
+            toks = text.strip().lower().split() or [""]
+            k = max(len(toks) - n + 1, 1)
+            grams[i] = {tuple(toks[j:j + n]) for j in range(k)}
+        if cap is not None:
+            df_count = {}
+            for g_set in grams.values():
+                for g in g_set:
+                    df_count[g] = df_count.get(g, 0) + 1
+            grams = {
+                i: {g for g in gs if df_count[g] <= cap}
+                for i, gs in grams.items()
+            }
+        out = {}
+        ids = sorted(grams)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = grams[ids[x]], grams[ids[y]]
+                inter = len(a & b)
+                if inter and min(len(a), len(b)):
+                    c = inter / min(len(a), len(b))
+                    if c >= threshold:
+                        out[(ids[x], ids[y])] = round(c, 9)
+        return out
+
+    for trial, (threshold, cap) in enumerate(
+        [(0.9, None), (0.5, None), (0.9, 3), (0.5, 2)]
+    ):
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 13))))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): round(r["containment"], 9)
+            for r in ngram_containment_pairs(
+                df, "doc_id", "text", shingle_n=3, threshold=threshold,
+                max_postings=cap,
+            ).collect()
+        }
+        assert got == py_pairs(rows, 3, threshold, cap), f"trial {trial}"
