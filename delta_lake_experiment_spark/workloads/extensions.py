@@ -356,7 +356,9 @@ def hot_ngram_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_experiment_spark.operators.dedup import shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size from the parquet FOOTER (driver-side pyarrow), not a
+    # full-scan count() — the ADVICE-r4 lesson from the IVF lane
+    n_docs = _parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
     return (
         shingles(docs, "doc_id", "text", n=3, distinct=True)
         .groupBy("shingle")
