@@ -103,6 +103,7 @@ HEADLINE = [
     "curriculum_ordered_corpus",
     "hot_ngram_report",
     "doc_novelty",
+    "dedup_best_canonical",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

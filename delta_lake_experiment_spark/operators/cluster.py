@@ -41,7 +41,7 @@ value-checked end-to-end, not just pytest-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -192,3 +192,32 @@ def assign_components(
     return df.join(comp, id_col, "left").withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )
+
+
+def canonical_by(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    order_cols,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """:func:`assign_components` with a CHOSEN survivor: the canonical
+    row of each duplicate cluster is its best row by ``order_cols``
+    (descending-first semantics belong to the caller — pass
+    ``F.desc("quality")``), ties broken by ``id_col`` ascending.
+
+    Min-id canonicals (the default elsewhere) keep whichever copy was
+    crawled first; a curation pipeline usually wants to keep the BEST
+    copy of each near-duplicate group — longest, highest quality
+    score, most recent — and drop the rest. Returns ``df`` plus
+    ``component`` and ``is_canonical``.
+
+    One extra window partitioned by component — components are
+    duplicate clusters, orders of magnitude smaller than the corpus
+    and bounded by the pair detectors' thresholds; no skewed task."""
+    comp = assign_components(df, edges, id_col, src=src, dst=dst)
+    w = Window.partitionBy("component").orderBy(
+        *list(order_cols), F.col(id_col).asc()
+    )
+    return comp.withColumn("is_canonical", F.row_number().over(w) == 1)

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 99 value-oracled queries, forty-nine must sit outside the window. The
+# With 100 value-oracled queries, fifty must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -174,7 +174,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   — new in r5, deferred from birth;
 # - doc_novelty -> the hashed-gram df lane is near_dup_jaccard's
 #   index + one per-doc aggregate (doc_text_stats class) — new in r5,
-#   deferred from birth.
+#   deferred from birth;
+# - dedup_best_canonical -> dedup_cluster_assignment's components
+#   lane + a per-component rank window (latest_event_per_user class)
+#   — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -228,6 +231,7 @@ _DEFERRED_ORACLED = [
     "curriculum_ordered_corpus",
     "hot_ngram_report",
     "doc_novelty",
+    "dedup_best_canonical",
 ]
 
 

@@ -312,6 +312,42 @@ SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
+def dedup_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution keeping the BEST copy
+    (operators/cluster.py::canonical_by): exact-Jaccard pair edges ->
+    connected components -> per cluster, the survivor is the
+    highest-QUALITY document (heuristic score; ties by doc_id), not
+    the lowest id — the keep-policy a curation pipeline actually
+    wants. The oracle re-ranks the recursive-CTE components by the
+    same bit-exact quality expression."""
+    from delta_lake_experiment_spark.operators.cluster import canonical_by
+
+    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        max_postings=_NEAR_DUP_CAP,
+    )
+    out = canonical_by(
+        docs.select("doc_id", "quality"), pairs, "doc_id",
+        [F.desc("quality")],
+    )
+    return out.select("doc_id", "component", "is_canonical")
+
+
+DEDUP_BEST_CANONICAL_SQL = f"""
+WITH RECURSIVE {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP)}, {_COMPONENTS_CTES},
+bq AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         {_QUALITY_SQL} AS q
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, component,
+  ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, doc_id ASC) = 1
+    AS is_canonical
+FROM bq
+"""
+
+
 def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document gram-novelty (operators/dedup.py::gram_novelty):
     the fraction of each doc's distinct word-3-grams unique to it in
@@ -2789,6 +2825,7 @@ QUERIES = {
     "curriculum_ordered_corpus": curriculum_ordered_corpus,
     "hot_ngram_report": hot_ngram_report,
     "doc_novelty": doc_novelty,
+    "dedup_best_canonical": dedup_best_canonical,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2853,6 +2890,7 @@ ORACLES = {
     "curriculum_ordered_corpus": _curriculum_sql(),
     "hot_ngram_report": HOT_NGRAM_SQL,
     "doc_novelty": DOC_NOVELTY_SQL,
+    "dedup_best_canonical": DEDUP_BEST_CANONICAL_SQL,
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,

@@ -3903,3 +3903,24 @@ def test_containment_randomized_vs_python_oracle(spark):
             ).collect()
         }
         assert got == py_pairs(rows, 3, threshold, cap), f"trial {trial}"
+
+
+def test_canonical_by(spark):
+    """Survivor selection by quality: the cluster keeps its best-score
+    row (not its min id), ties break by id; singletons are their own
+    canonical."""
+    from delta_lake_experiment_spark.operators.cluster import canonical_by
+
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5)], "id int, q double"
+    )
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    got = {
+        r["id"]: (r["component"], r["is_canonical"])
+        for r in canonical_by(df, edges, "id", [F.desc("q")]).collect()
+    }
+    # cluster {1,2,3}: best q is 0.9 shared by 2 and 3 -> id 2 wins
+    assert got[1] == (1, False)
+    assert got[2] == (1, True)
+    assert got[3] == (1, False)
+    assert got[4] == (4, True)
