@@ -104,6 +104,7 @@ HEADLINE = [
     "hot_ngram_report",
     "doc_novelty",
     "dedup_best_canonical",
+    "advanced_curation_pipeline",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

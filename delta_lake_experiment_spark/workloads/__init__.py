@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 100 value-oracled queries, fifty must sit outside the window. The
+# With 101 value-oracled queries, fifty-one must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -177,7 +177,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   deferred from birth;
 # - dedup_best_canonical -> dedup_cluster_assignment's components
 #   lane + a per-component rank window (latest_event_per_user class)
-#   — new in r5, deferred from birth.
+#   — new in r5, deferred from birth;
+# - advanced_curation_pipeline -> a composition of
+#   quality_classified_corpus + ensemble_dedup + dedup_best_canonical
+#   + doc_train_split (each stage separately oracled; the chained
+#   composition is the novelty) — new in r5, deferred from birth.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -232,6 +236,7 @@ _DEFERRED_ORACLED = [
     "hot_ngram_report",
     "doc_novelty",
     "dedup_best_canonical",
+    "advanced_curation_pipeline",
 ]
 
 

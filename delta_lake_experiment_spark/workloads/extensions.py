@@ -312,6 +312,134 @@ SELECT id_a, id_b, jaccard FROM pairs
 """
 
 
+def advanced_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-4 flagship composition — the MODERN curation stack
+    in one run, every stage a lane this repo ships and oracles:
+
+      1. LEARNED quality gate: train the hashed-logreg classifier on
+         the heuristic weak labels, keep docs scoring >= 0.5
+         (quality_classified_corpus's lane);
+      2. ENSEMBLE dedup over the kept docs: exact-Jaccard edges
+         (posting-capped) UNION semantic edges (deterministic k-means
+         + within-cluster cosine over the id-aligned embeddings),
+         ONE connected-components resolution;
+      3. BEST-COPY survivors: each cluster keeps its highest
+         heuristic-quality doc (canonical_by), not its min id;
+      4. deterministic train/val/test split of the survivors.
+
+    Returns (doc_id, lang, split). The DuckDB oracle chains the same
+    machine-generated fragments — classifier training CTEs, jaccard
+    pair CTEs, the semantic Lloyd chain, the component fixpoint, the
+    split thresholds — so the COMPOSITION hash-matches end-to-end,
+    not just each stage."""
+    from delta_lake_experiment_spark.operators.cluster import canonical_by
+    from delta_lake_experiment_spark.operators.classifier import (
+        score_hashed_logreg,
+    )
+    from delta_lake_experiment_spark.operators.semdedup import semantic_pairs
+
+    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
+    _, (w, bias) = _clf_train(spark, sf_dir)
+    kept = docs.join(
+        score_hashed_logreg(docs, "doc_id", "text", w, bias)
+        .filter("keep")
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).persist()  # feeds the pair lanes, the quality rank, and the output
+
+    lex = ngram_jaccard_pairs(
+        kept, "doc_id", "text", shingle_n=3, threshold=0.5,
+        max_postings=_NEAR_DUP_CAP,
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept_ids = kept.select(F.col("doc_id").alias("vec_id"))
+    sem = (
+        semantic_pairs(
+            emb, "vec_id", "embedding",
+            k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD,
+            salt=_SEM_SALT,
+        )
+        .join(kept_ids.select(F.col("vec_id").alias("id_a")), "id_a", "left_semi")
+        .join(kept_ids.select(F.col("vec_id").alias("id_b")), "id_b", "left_semi")
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    )
+    resolved = canonical_by(
+        kept.select("doc_id", "lang", "quality"),
+        lex.unionByName(sem),
+        "doc_id",
+        [F.desc("quality")],
+    )
+    survivors = resolved.filter("is_canonical").select("doc_id", "lang")
+    return hash_split(
+        survivors, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT
+    ).select("doc_id", "lang", "split")
+
+
+def _advanced_pipeline_sql() -> str:
+    from delta_lake_experiment_spark.operators.semdedup import semantic_pair_ctes
+
+    split_case = split_thresholds_sql(
+        "CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT
+    )
+    return (
+        "WITH RECURSIVE "
+        + _clf_ctes()
+        + f""",
+ascored AS MATERIALIZED (
+  SELECT d.doc_id, 1.0 / (1.0 + exp(-(
+    (SELECT w FROM w{_CLF_ITERS} WHERE f = -1)
+    + COALESCE((SELECT SUM(wi.w) FROM lrfeats lf JOIN w{_CLF_ITERS} wi ON wi.f = lf.f
+                WHERE lf.doc_id = d.doc_id), 0.0)
+  ))) AS prob
+  FROM lrdocs d
+), kept AS MATERIALIZED (
+  SELECT d.*, {_QUALITY_SQL} AS q
+  FROM documents d JOIN ascored s ON s.doc_id = d.doc_id
+  WHERE round(s.prob, 6) >= 0.5
+),
+"""
+        + _jaccard_pairs_ctes("kept", max_postings=_NEAR_DUP_CAP)
+        + ",\n"
+        + semantic_pair_ctes(
+            "embeddings", "vec_id", "embedding",
+            k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD,
+            salt=_SEM_SALT,
+        )
+        + """,
+upairs AS (
+  SELECT id_a, id_b FROM pairs
+  UNION
+  SELECT CAST(sp.id_a AS BIGINT), CAST(sp.id_b AS BIGINT) FROM sem_pairs sp
+  WHERE sp.id_a IN (SELECT doc_id FROM kept)
+    AND sp.id_b IN (SELECT doc_id FROM kept)
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM upairs
+  UNION ALL
+  SELECT id_b, id_a FROM upairs
+), reach(id, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, w.r FROM edges e JOIN reach w ON w.id = e.b
+), comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+),
+resolved AS (
+  SELECT k.doc_id, k.lang,
+    ROW_NUMBER() OVER (
+      PARTITION BY COALESCE(c.component, k.doc_id)
+      ORDER BY k.q DESC, k.doc_id ASC
+    ) = 1 AS is_canonical
+  FROM kept k LEFT JOIN comp c ON c.id = k.doc_id
+)
+"""
+        + f"""SELECT doc_id, lang, {split_case} AS split
+FROM resolved WHERE is_canonical
+"""
+    )
+
+
 def dedup_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution keeping the BEST copy
     (operators/cluster.py::canonical_by): exact-Jaccard pair edges ->
@@ -2826,6 +2954,7 @@ QUERIES = {
     "hot_ngram_report": hot_ngram_report,
     "doc_novelty": doc_novelty,
     "dedup_best_canonical": dedup_best_canonical,
+    "advanced_curation_pipeline": advanced_curation_pipeline,
     "corpus_curation_funnel": corpus_curation_funnel,
     "train_contamination": train_contamination,
     "decontaminated_train": decontaminated_train,
@@ -2891,6 +3020,7 @@ ORACLES = {
     "hot_ngram_report": HOT_NGRAM_SQL,
     "doc_novelty": DOC_NOVELTY_SQL,
     "dedup_best_canonical": DEDUP_BEST_CANONICAL_SQL,
+    "advanced_curation_pipeline": _advanced_pipeline_sql(),
     "corpus_curation_funnel": CURATION_FUNNEL_SQL,
     "train_contamination": TRAIN_CONTAMINATION_SQL,
     "decontaminated_train": DECONTAMINATED_TRAIN_SQL,
