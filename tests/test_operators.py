@@ -3924,3 +3924,59 @@ def test_canonical_by(spark):
     assert got[2] == (1, True)
     assert got[3] == (1, False)
     assert got[4] == (4, True)
+
+
+def test_curriculum_to_shard_export_composition(spark, tmp_path):
+    """The training-prep handoff: curriculum-ordered corpus exported
+    as deterministic shards, each shard's file holding its docs in
+    curriculum order — and a re-export from a differently-partitioned
+    upstream produces byte-identical shard contents."""
+    from delta_lake_experiment_spark.operators.ordering import (
+        curriculum_order,
+        stage_by_thresholds,
+    )
+    from delta_lake_experiment_spark.sources.export import (
+        write_training_shards,
+    )
+
+    rows = [(i, float((i * 7) % 10) / 10.0, f"doc {i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, score double, text string")
+    staged = df.withColumn(
+        "stage", stage_by_thresholds(F.col("score"), [0.6, 0.3])
+    )
+    ordered = curriculum_order(staged, "id", "stage", salt="e0")
+    out1 = str(tmp_path / "shards1")
+    manifest = write_training_shards(
+        ordered, out1, 3, key_col="id", order_cols=["curriculum_pos"]
+    )
+    assert sum(r["n_rows"] for r in manifest.collect()) == 60
+
+    def shard_contents(path):
+        out = {}
+        for s in range(3):
+            pdf = spark.read.parquet(f"{path}/shard={s}").orderBy(
+                "curriculum_pos"
+            )
+            rows_ = [(r["id"], r["curriculum_pos"]) for r in pdf.collect()]
+            # within a shard, curriculum positions must be increasing
+            assert rows_ == sorted(rows_, key=lambda t: t[1])
+            out[s] = rows_
+        return out
+
+    c1 = shard_contents(out1)
+    # different upstream partitioning -> identical shard assignment +
+    # order (the whole chain is hash-keyed, nothing positional)
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(
+        curriculum_order(staged.repartition(7), "id", "stage", salt="e0"),
+        out2, 3, key_col="id", order_cols=["curriculum_pos"],
+    )
+    assert shard_contents(out2) == c1
+    # stages are respected globally: every stage-0 doc's position is
+    # below every stage-1 doc's, etc.
+    pos = {r["id"]: r["curriculum_pos"] for r in ordered.collect()}
+    stg = {r["id"]: r["stage"] for r in staged.collect()}
+    for i in pos:
+        for j in pos:
+            if stg[i] < stg[j]:
+                assert pos[i] < pos[j]
