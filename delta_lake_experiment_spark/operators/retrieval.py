@@ -64,7 +64,13 @@ def bm25_topk(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = list(dict.fromkeys(query_terms))  # dedup, keep order
-    bad = [t for t in terms if t is None or t != t.strip().lower() or " " in t]
+    import re as _re
+
+    bad = [
+        t
+        for t in terms
+        if t is None or t != t.lower() or t == "" or _re.search(r"\s", t)
+    ]
     if bad:
         # a term with whitespace/uppercase can NEVER match a lowercased
         # whitespace token — it would silently contribute 0 to every doc
@@ -178,6 +184,11 @@ def hybrid_topk(
         # must be dropped here or pure-embedding matches with NO
         # lexical overlap would sneak in through the candidate slack
         .filter(F.col("bm25") > 0)
+        # the candidate table feeds BOTH the max-normalization aggregate
+        # and the rerank join; unpersisted, each consumer would re-run
+        # bm25_topk's two corpus scans (4 scans total) — persisting the
+        # <= `candidates` rows keeps the documented 2-scan cost
+        .persist()
     )
     qv = [float(x) for x in query_vec]
     vecs = emb.select(

@@ -697,10 +697,24 @@ def mutual_nearest_pairs(
 
     def prep(df):
         v = _as_double(F.col(vec_col))
+        nrm = F.sqrt(_dot(v, v))
+        # a zero-norm vector makes its whole tile's cosines 0/0 = NaN,
+        # which poisons the argmax and surfaces as an opaque empty-
+        # reduction error deep inside the task — raise loudly instead
+        # (the l2_normalize pass-through convention doesn't apply: a
+        # zero vector has no nearest neighbor by cosine at all)
+        checked = F.when(nrm > 0, nrm).otherwise(
+            F.raise_error(
+                F.lit(
+                    "mutual_nearest_pairs: zero-norm vector - cosine is"
+                    " undefined (filter zero/missing embeddings upstream)"
+                )
+            ).cast("double")
+        )
         return df.select(
             F.col(id_col).alias("__id"),
             v.alias("v"),
-            F.sqrt(_dot(v, v)).alias("nrm"),
+            checked.alias("nrm"),
         )
 
     l, r = prep(left_df), prep(right_df)

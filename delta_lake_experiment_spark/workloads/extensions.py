@@ -2869,10 +2869,16 @@ def image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features").cast("array<double>").alias("__iv"),
     )
     # caption source: deterministic per file (a real dataset carries
-    # captions alongside payloads; the join shape is identical)
-    caps = img.select(
-        "file_name",
-        F.concat(F.lit("photo of "), F.col("file_name")).alias("caption"),
+    # captions alongside payloads; the join shape is identical).
+    # Derived from the MEDIA table, not from `img`: captions depend
+    # only on the file name, and hanging them off `img` would put the
+    # Arrow decode pass into the text tower's lineage too — every
+    # payload decoded twice per run (column pruning drops the binary
+    # content from this branch entirely)
+    caps = media.select(
+        F.regexp_extract("source_path", r"([^/]+)$", 1).alias("file_name"),
+    ).withColumn(
+        "caption", F.concat(F.lit("photo of "), F.col("file_name"))
     )
     txt = text_features(
         caps, "caption", out_dim=8, passthrough_cols=("file_name",)

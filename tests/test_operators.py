@@ -3488,6 +3488,9 @@ def test_session4_null_and_term_guards(spark):
         bm25_topk(docs, "doc_id", "text", ["two words"])
     with pytest.raises(ValueError, match="single lowercased tokens"):
         bm25_topk(docs, "doc_id", "text", ["Upper"])
+    # ANY whitespace disqualifies (tabs split like spaces do)
+    with pytest.raises(ValueError, match="single lowercased tokens"):
+        bm25_topk(docs, "doc_id", "text", ["a\tb"])
     qdf = spark.createDataFrame(
         [("q1", "a"), ("q1", None)], "query_id string, term string"
     )
@@ -3785,6 +3788,14 @@ def test_mutual_nearest_pairs(spark):
         mutual_nearest_pairs(
             left.filter("vec_id < 0"), right, "vec_id", "embedding"
         )
+    # zero-norm vectors raise loudly instead of NaN-poisoning a tile
+    zero = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        mutual_nearest_pairs(
+            left, right.unionByName(zero), "vec_id", "embedding"
+        ).collect()
 
 
 def test_curriculum_order(spark):

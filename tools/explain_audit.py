@@ -66,6 +66,19 @@ def broadcast_hint_violations(df) -> list:
                 return i
         return -1  # root
 
+    def ancestors_within(subtree, k):
+        """Lines on the path from the subtree root down to line k: the
+        nearest preceding line at each strictly-smaller depth — the
+        node's ancestor chain in the indented tree text."""
+        chain = []
+        d = depth(subtree[k])
+        for j in range(k - 1, -1, -1):
+            dj = depth(subtree[j])
+            if 0 <= dj < d:
+                chain.append(subtree[j])
+                d = dj
+        return chain
+
     out = []
     for i, line in enumerate(lines):
         if "ResolvedHint" not in line or "BROADCAST" not in line.upper():
@@ -78,15 +91,25 @@ def broadcast_hint_violations(df) -> list:
                 break
             subtree.append(nxt)
         sub = "\n".join(subtree)
-        bad = [m for m in FACT_MARKERS if m in sub]
-        bad += [
-            name
-            for name, col in FACT_COLUMN_MARKERS.items()
-            if name not in bad
-            and any(col in ln for ln in subtree if "Relation" in ln)
-        ]
-        bounded = any(n in sub for n in BOUNDING_NODES)
-        if bad and not bounded:
+        # a bounding node only neutralizes the fact relations BELOW it:
+        # check each fact Relation's ancestor PATH back to the hint,
+        # not the whole subtree — a sibling-branch aggregate must not
+        # whitewash a raw fact broadcast on another branch
+        bad = set(m for m in FACT_MARKERS if m in sub)
+        for k, ln in enumerate(subtree):
+            if "Relation" not in ln:
+                continue
+            hits = {
+                name
+                for name, col in FACT_COLUMN_MARKERS.items()
+                if col in ln
+            }
+            if not hits:
+                continue
+            path = ancestors_within(subtree, k)
+            if not any(b in p for p in path for b in BOUNDING_NODES):
+                bad |= hits
+        if bad:
             out.append(
                 "broadcast hint over unbounded fact-derived side "
                 f"({', '.join(sorted(bad))})"
