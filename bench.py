@@ -1,5 +1,8 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints a COMPACT JSON summary line
+(totals + frozen-subset per-query map — sized to survive the driver's
+stdout-capture limit) followed by the full per-query JSON record, which
+is also written to BENCH_LOCAL.json:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full execution, no
@@ -145,6 +148,7 @@ def main() -> None:
     spark.range(10_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    from delta_lake_experiment_spark.functions.cache import release_caches
     from delta_lake_experiment_spark.workloads import all_queries
 
     queries = all_queries()
@@ -167,12 +171,10 @@ def main() -> None:
             # late queries pay the accumulated memory pressure (measured:
             # near_dup_minhash 5.7 s late in the suite vs 1.0 s
             # isolated — the r3 "regression" was exactly this).
-            # clearCache() covers cache-manager entries only; the
-            # localCheckpoint RDD blocks of the cluster/funnel queries
-            # are freed by the ContextCleaner on GC — gc.collect nudges
-            # that between queries.
-            spark.catalog.clearCache()
-            gc.collect()
+            # functions/cache.py::release_caches is the single-sourced
+            # release (clearCache for cache-manager entries + a GC nudge
+            # for the localCheckpoint blocks the ContextCleaner frees).
+            release_caches(spark)
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -182,22 +184,42 @@ def main() -> None:
         print(f"# {name}: best {timings[name]:.2f}s runs={per_run}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "single_pass_total": round(sum(r[0] for r in runs.values()), 3),
-                "baseline_subset_total": round(
-                    sum(timings[q] for q in BASELINE_SUBSET), 3
-                ),
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "single_pass_total": round(sum(r[0] for r in runs.values()), 3),
+        "baseline_subset_total": round(
+            sum(timings[q] for q in BASELINE_SUBSET), 3
+        ),
+        "sf": sf,
+    }
+    # The driver's stdout capture truncates the full per-query line
+    # (BENCH_r03..r05 recorded "parsed": null with a cut-off tail), so
+    # emit a COMPACT summary line FIRST — totals + the frozen-subset
+    # per-query map, ~500 bytes — and the full record second; the full
+    # record is also written to BENCH_LOCAL.json next to this script so
+    # every per-query number survives regardless of capture limits.
+    compact = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: round(timings[q], 2) for q in BASELINE_SUBSET},
+        "sf": sf,
+        "baseline_subset_total": full["baseline_subset_total"],
+        "single_pass_total": full["single_pass_total"],
+        "n_queries": len(timings),
+        "detail": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
+    print(json.dumps(full))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
 
 
 if __name__ == "__main__":

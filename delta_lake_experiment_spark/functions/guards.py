@@ -27,3 +27,31 @@ def null_checked(col: Column, prefix: str, what: str) -> Column:
             )
         )
     )
+
+
+def token_checked(col: Column, prefix: str, what: str) -> Column:
+    """``col``, or an execution-time raise unless it is a non-NULL,
+    non-empty, lowercased, whitespace-free token — a term that fails
+    any of these can NEVER match the lowercased whitespace
+    tokenization every text operator here uses, so it would silently
+    contribute zero (the exact silent failure the single-query BM25
+    guard raises for driver-side; this is its in-plan twin for term
+    TABLES)."""
+    ok = (
+        col.isNotNull()
+        & (col != F.lit(""))
+        & (col == F.lower(col))
+        & (~col.rlike(r"\s"))
+    )
+    return F.when(ok, col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{prefix}: {what} must be a single non-empty"
+                    " lowercased token, got "
+                ),
+                F.coalesce(F.concat(F.lit("'"), col, F.lit("'")), F.lit("NULL")),
+                F.lit(" (tokenize/lowercase the query upstream)"),
+            )
+        )
+    )

@@ -308,12 +308,19 @@ def _bpe_stage_ctes(src: str, text_sql: str, num_merges: int) -> str:
     no shared boundary between adjacent matches, unlike space-joined
     symbols. Valid while symbols never contain '[' / ']' (true for
     the whitespace-tokenized fixture corpus; the operator itself has
-    no such restriction). Every stage CTE is MATERIALIZED: each
-    references its predecessor several times, and inlining would make
-    the expansion exponential in num_merges."""
+    no such restriction) — so words0 RAISES via error() on any
+    bracket-containing word rather than silently merging across
+    symbol boundaries and reporting a spurious oracle mismatch.
+    Every stage CTE is MATERIALIZED: each references its predecessor
+    several times, and inlining would make the expansion exponential
+    in num_merges."""
     ctes = [
         rf"""words0 AS MATERIALIZED (
-  SELECT word, regexp_replace(word, '(.)', '[\1]', 'g') AS ws, freq FROM (
+  SELECT word,
+    CASE WHEN contains(word, '[') OR contains(word, ']')
+      THEN error('bpe oracle: word contains a bracket, the bracket-wrap'
+                 || ' symbol encoding is invalid for this corpus: ' || word)
+      ELSE regexp_replace(word, '(.)', '[\1]', 'g') END AS ws, freq FROM (
     SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
       SELECT unnest(string_split_regex(lower(trim({text_sql})), '\s+')) AS word
       FROM {src}

@@ -148,16 +148,27 @@ def stage_by_thresholds(score: Column, edges_desc: "list[float]") -> Column:
 
 def stage_sql(score_sql: str, edges_desc: "list[float]") -> str:
     """DuckDB twin of :func:`stage_by_thresholds` — generated from the
-    same edges so the staging can never drift."""
+    same edges so the staging can never drift, with the SAME NULL-score
+    raise (the operator errors where a bare CASE would silently map a
+    NULL score to the last stage — a twin accepting what the operator
+    rejects is a divergence; the NULL check is the first WHEN so it
+    wins)."""
     if list(edges_desc) != sorted(set(edges_desc), reverse=True):
         raise ValueError(
             f"edges_desc={edges_desc!r} must be strictly descending"
         )
+    null_guard = (
+        f"WHEN ({score_sql}) IS NULL THEN CAST(error('stage_sql: score"
+        f" is NULL - stage scores must be non-NULL (filter or coalesce"
+        f" upstream)') AS BIGINT)"
+    )
     whens = " ".join(
         f"WHEN ({score_sql}) >= {float(e)!r} THEN {i}"
         for i, e in enumerate(edges_desc)
     )
-    return f"CAST(CASE {whens} ELSE {len(edges_desc)} END AS BIGINT)"
+    return (
+        f"CAST(CASE {null_guard} {whens} ELSE {len(edges_desc)} END AS BIGINT)"
+    )
 
 
 def curriculum_order(

@@ -187,7 +187,9 @@ def hybrid_topk(
         # the candidate table feeds BOTH the max-normalization aggregate
         # and the rerank join; unpersisted, each consumer would re-run
         # bm25_topk's two corpus scans (4 scans total) — persisting the
-        # <= `candidates` rows keeps the documented 2-scan cost
+        # <= `candidates` rows keeps the documented 2-scan cost. The
+        # CONSUMER releases it after materializing (the
+        # functions/cache.py contract — both in-repo harnesses do).
         .persist()
     )
     qv = [float(x) for x in query_vec]
@@ -319,17 +321,23 @@ def bm25_batch_topk(
     """
     if k < 1:
         raise ValueError(f"k={k!r} must be >= 1")
-    from delta_lake_experiment_spark.functions.guards import null_checked
+    from delta_lake_experiment_spark.functions.guards import (
+        null_checked,
+        token_checked,
+    )
 
     toks = F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
-    # NULL query rows would otherwise vanish silently: a NULL term never
-    # equi-joins, so its query loses a term (or the whole query) with no
-    # signal — the same silent-NULL failure mode the sampling lane guards
+    # Bad query rows would otherwise vanish silently: a NULL term never
+    # equi-joins, and an uppercase / empty / whitespace-containing term
+    # can never match the lowercased whitespace tokenization — either
+    # way its query silently loses a term. token_checked raises in-plan
+    # (the same contract bm25_topk enforces driver-side on its literal
+    # term list).
     qterms = queries_df.select(
         null_checked(F.col("query_id"), "bm25_batch_topk", "query_id").alias(
             "query_id"
         ),
-        null_checked(F.col("term"), "bm25_batch_topk", "term").alias("term"),
+        token_checked(F.col("term"), "bm25_batch_topk", "term").alias("term"),
     ).distinct()
 
     docs = df.select(F.col(id_col), F.size(toks).alias("__dl"), toks.alias("__t"))
@@ -392,9 +400,25 @@ def bm25_batch_sql(
     b: float = 0.75,
 ) -> str:
     """DuckDB twin of :func:`bm25_batch_topk` for a literal query set
-    ``{query_id: [terms...]}`` — generated from the same parameters."""
+    ``{query_id: [terms...]}`` — generated from the same parameters.
+    Terms are validated driver-side with the same single-lowercased-
+    token contract the operator enforces in-plan (token_checked):
+    the twin must reject exactly what the operator rejects."""
     if not queries:
         raise ValueError("queries must be non-empty")
+    import re as _re
+
+    bad = [
+        t
+        for terms in queries.values()
+        for t in terms
+        if t is None or t == "" or t != t.lower() or _re.search(r"\s", t)
+    ]
+    if bad:
+        raise ValueError(
+            f"query terms must be single lowercased tokens, got {bad!r}"
+            " (tokenize multi-word queries into separate terms)"
+        )
 
     def q(s: str) -> str:
         return s.replace("'", "''")

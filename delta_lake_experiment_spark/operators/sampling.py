@@ -329,7 +329,16 @@ def weighted_key_sql(
 ) -> str:
     """DuckDB twin of :func:`weighted_sample`'s ordering key — same
     md5-derived uniform (the engine-specific hex->int cast, see
-    :func:`shard_sql`), same power, same rounding."""
+    :func:`shard_sql`), same power, same rounding, and the SAME
+    weight > 0 / non-NULL in-plan raise (a twin accepting what the
+    operator rejects is a divergence — the epoch_plan_sql
+    convention; NULL > 0 is NULL in SQL, so NULLs fall to the error
+    branch too)."""
     prefix = f"substr(md5({_sql_str(salt)} || {key_sql}), 1, 8)"
     u = f"(CAST(('0x' || {prefix}) AS BIGINT) / {float(_HEX_SPAN)!r})"
-    return f"round(power({u}, 1.0 / ({weight_sql})), {int(key_digits)})"
+    w = (
+        f"(CASE WHEN ({weight_sql}) > 0 THEN ({weight_sql}) ELSE"
+        f" CAST(error('weighted_key_sql: weight must be > 0 and"
+        f" non-NULL (filter or clamp upstream)') AS DOUBLE) END)"
+    )
+    return f"round(power({u}, 1.0 / {w}), {int(key_digits)})"

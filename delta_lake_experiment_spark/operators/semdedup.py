@@ -17,7 +17,11 @@ the otherwise-quadratic pair search.
   scales with corpus size (SemDeDup used ~100k clusters for web
   scale), so the within-cluster pair join stays bounded: expected
   cluster size = N/k documents, and the self-join on the cluster id
-  never degenerates into a corpus cross-product.
+  never degenerates into a corpus cross-product. The gemm scorer
+  additionally TILES every cluster into <= block_size sub-blocks
+  (dedup.py's block-bundle pattern), so per-task memory is two tiles
+  even when the clustering is skewed or under-k'd — cluster skew can
+  cost flops, never executor memory.
 - **Everything is engine-reproducible by construction** — this is the
   deliberate twist vs the IVF/PQ lanes (rows-only + recall floors):
   seeds are the k lowest ``md5(salt || id)`` vectors (portable SQL,
@@ -164,6 +168,7 @@ def _assigned_and_pairs(
     round_digits: int,
     sim_digits: int,
     pair_strategy: str = "gemm",
+    block_size: int = 4096,
 ) -> "tuple[DataFrame, DataFrame]":
     """Shared core: (assigned, pairs) where ``assigned`` is the
     persisted (``__i``, ``__v`` normalized, ``__c`` cluster) table and
@@ -173,20 +178,30 @@ def _assigned_and_pairs(
     ``sim_digits`` rounding grid — the embedding-dedup precedent,
     operators/dedup.py::embedding_near_duplicates):
 
-    - ``"gemm"`` (default): one cluster = one bundle row
-      (``collect_list``), one Arrow batch, one numpy ``mat @ mat.T``
-      per cluster — BLAS throughput instead of one interpreted
+    - ``"gemm"`` (default): clusters are TILED into sub-blocks of at
+      most ~``block_size`` vectors (``pmod(xxhash64(id), ceil(|c| /
+      block_size))`` — the block-bundle pattern of
+      operators/dedup.py::embedding_near_duplicates), each sub-block
+      becomes one bundle row (``collect_list``), and every unordered
+      sub-block pair within a cluster is scored with one numpy
+      ``mat_a @ mat_b.T`` — BLAS throughput instead of one interpreted
       higher-order fold per candidate pair (CodegenFallback; measured
-      ~3x on the sf0.1 fixture). BLAS sums pairwise vs the fold's
-      sequential order: at the 1e-6 grid a discrepancy crossing a
-      rounding boundary is astronomically rare (and the DuckDB oracle
-      hash-check re-certifies every run).
+      ~3x on the sf0.1 fixture). Peak per-task memory is two bundles
+      (~``block_size`` · dim · 8 B each) REGARDLESS of cluster skew —
+      a degenerate k-means (under-k'd corpus, one giant cluster) costs
+      quadratic flops, as SemDeDup inherently does, but never
+      materializes more than two tiles in one Arrow row. BLAS sums
+      pairwise vs the fold's sequential order: at the 1e-6 grid a
+      discrepancy crossing a rounding boundary is astronomically rare
+      (and the DuckDB oracle hash-check re-certifies every run).
     - ``"hof"``: the JVM fold join — bit-reproducible against any
       sequential-fold oracle; the strategies are pytest-pinned equal
-      on the fixture corpus.
+      on the fixture corpus (as are tiled vs single-tile gemm).
     """
     if pair_strategy not in ("gemm", "hof"):
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
+    if block_size < 1:
+        raise ValueError(f"block_size={block_size!r} must be >= 1")
     cents = deterministic_kmeans(
         df, id_col, vec_col, k=k, iters=iters, salt=salt,
         round_digits=round_digits,
@@ -203,29 +218,67 @@ def _assigned_and_pairs(
 
         thr, rd = float(threshold), int(sim_digits)
         id_dt = df.schema[id_col].dataType.simpleString()
-        bundles = norm.groupBy("__c").agg(
-            F.collect_list(
-                F.struct(F.col("__i").alias("id"), F.col("__v").alias("v"))
-            ).alias("bundle")
+        # Per-cluster tile count: O(k) rows, broadcast back onto the
+        # assigned table so the sub-block id is a map-side column.
+        sizes = norm.groupBy("__c").agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(int(block_size)))
+            .cast("int")
+            .alias("__nb")
         )
+        bundles = (
+            norm.join(F.broadcast(sizes), "__c")
+            .withColumn(
+                "__b",
+                F.pmod(F.xxhash64(F.col("__i")), F.col("__nb")).cast("int"),
+            )
+            .groupBy("__c", "__nb", "__b")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col("__i").alias("id"), F.col("__v").alias("v"))
+                ).alias("bundle")
+            )
+        )
+        # Every unordered sub-block pair (b, q), b <= q, within a
+        # cluster: explode sequence(b, nb-1) on the left, equi-join the
+        # right bundle on (cluster, q) — the P(P+1)/2 tile-pair plan.
+        left = bundles.withColumnRenamed("bundle", "bundle_a").withColumn(
+            "__q", F.explode(F.sequence(F.col("__b"), F.col("__nb") - 1))
+        )
+        right = bundles.select(
+            "__c", F.col("__b").alias("__q"), F.col("bundle").alias("bundle_b")
+        )
+        joined = left.join(right, ["__c", "__q"])
 
         def _score(batches):
             for pdf in batches:
                 parts = []
-                for bundle in pdf["bundle"]:
-                    ids = np.asarray([e["id"] for e in bundle])
-                    mat = np.asarray([e["v"] for e in bundle], dtype=np.float64)
-                    cos = np.round(mat @ mat.T, rd)
-                    mask = (cos >= thr) & (ids[:, None] < ids[None, :])
+                for blk_b, blk_q, ba, bb in zip(
+                    pdf["__b"], pdf["__q"], pdf["bundle_a"], pdf["bundle_b"]
+                ):
+                    ids_a = np.asarray([e["id"] for e in ba])
+                    ids_b = np.asarray([e["id"] for e in bb])
+                    mat_a = np.asarray([e["v"] for e in ba], dtype=np.float64)
+                    mat_b = np.asarray([e["v"] for e in bb], dtype=np.float64)
+                    cos = np.round(mat_a @ mat_b.T, rd)
+                    mask = cos >= thr
+                    if blk_b == blk_q:
+                        mask &= ids_a[:, None] < ids_b[None, :]
                     ii, jj = np.nonzero(mask)
-                    if len(ii):
-                        parts.append(
-                            pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
+                    if not len(ii):
+                        continue
+                    ia, ib = ids_a[ii], ids_b[jj]
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": np.minimum(ia, ib),
+                                "id_b": np.maximum(ia, ib),
+                            }
                         )
+                    )
                 if parts:
                     yield pd.concat(parts, ignore_index=True)
 
-        pairs = bundles.mapInPandas(_score, f"id_a {id_dt}, id_b {id_dt}")
+        pairs = joined.mapInPandas(_score, f"id_a {id_dt}, id_b {id_dt}")
         return norm, pairs
     left = norm.select(
         F.col("__i").alias("id_a"), F.col("__v").alias("__va"), "__c"
@@ -262,6 +315,7 @@ def semantic_pairs(
     round_digits: int = 9,
     sim_digits: int = 6,
     pair_strategy: str = "gemm",
+    block_size: int = 4096,
 ) -> DataFrame:
     """Just the (id_a, id_b) semantic near-duplicate edges — for
     composing with other pair generators (e.g. an ensemble dedup that
@@ -269,7 +323,7 @@ def semantic_pairs(
     resolution)."""
     _, pairs = _assigned_and_pairs(
         df, id_col, vec_col, k, iters, threshold, salt, round_digits,
-        sim_digits, pair_strategy,
+        sim_digits, pair_strategy, block_size,
     )
     return pairs
 
@@ -285,6 +339,7 @@ def semantic_dedup(
     round_digits: int = 9,
     sim_digits: int = 6,
     pair_strategy: str = "gemm",
+    block_size: int = 4096,
 ) -> DataFrame:
     """(id_col, cluster, component, is_canonical) — the SemDeDup
     pipeline: deterministic k-means, within-cluster cosine pairs at
@@ -300,7 +355,7 @@ def semantic_dedup(
 
     norm, pairs = _assigned_and_pairs(
         df, id_col, vec_col, k, iters, threshold, salt, round_digits,
-        sim_digits, pair_strategy,
+        sim_digits, pair_strategy, block_size,
     )
     out = assign_components(
         norm.select(F.col("__i").alias(id_col), F.col("__c").alias("cluster")),

@@ -3496,11 +3496,62 @@ def test_session4_null_and_term_guards(spark):
     )
     with pytest.raises(Exception, match="bm25_batch_topk"):
         bm25_batch_topk(docs, "doc_id", "text", qdf).collect()
+    # an uppercase / whitespace / empty term in the query TABLE raises
+    # in-plan (ADVICE r5: it can never match a lowercased token, so it
+    # would silently contribute 0 to its query)
+    for bad in ["Upper", "two words", ""]:
+        qbad = spark.createDataFrame(
+            [("q1", "a"), ("q1", bad)], "query_id string, term string"
+        )
+        with pytest.raises(Exception, match="lowercased token"):
+            bm25_batch_topk(docs, "doc_id", "text", qbad).collect()
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, None)], "vec_id int, embedding array<double>"
     )
     with pytest.raises(Exception, match="semantic_dedup"):
         semantic_dedup(emb, "vec_id", "embedding", k=1, iters=1).collect()
+
+
+def test_sql_twin_guards_mirror_operators():
+    """ADVICE r5: SQL twins must reject exactly what their operators
+    reject — weighted_key_sql raises on non-positive/NULL weights,
+    stage_sql on NULL scores, the BPE oracle on bracket-containing
+    words (where the bracket-wrap symbol encoding would silently merge
+    across symbol boundaries). bm25_batch_sql validates its literal
+    terms driver-side."""
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.bpe import bpe_merges_sql
+    from delta_lake_experiment_spark.operators.ordering import stage_sql
+    from delta_lake_experiment_spark.operators.retrieval import bm25_batch_sql
+    from delta_lake_experiment_spark.operators.sampling import weighted_key_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, w DOUBLE, s DOUBLE)")
+    con.execute("INSERT INTO t VALUES (1, 2.0, 0.5), (2, 1.0, 0.9)")
+    key = weighted_key_sql("CAST(id AS VARCHAR)", "w")
+    assert len(con.execute(f"SELECT {key} FROM t").fetchall()) == 2
+    stage = stage_sql("s", [0.8, 0.4])
+    assert con.execute(f"SELECT {stage} FROM t ORDER BY id").fetchall() == [
+        (1,),
+        (0,),
+    ]
+    for bad_w in ("0.0", "-1.0", "NULL"):
+        with pytest.raises(Exception, match="weight must be > 0"):
+            con.execute(
+                f"SELECT {weighted_key_sql('CAST(id AS VARCHAR)', bad_w)} FROM t"
+            ).fetchall()
+    with pytest.raises(Exception, match="score is NULL"):
+        con.execute(f"SELECT {stage_sql('NULL', [0.5])} FROM t").fetchall()
+    con.execute("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.execute("INSERT INTO docs VALUES (1, 'ok ok'), (2, 'bad[word')")
+    with pytest.raises(Exception, match="bracket"):
+        con.execute(bpe_merges_sql("docs", "text", 2)).fetchall()
+    con.close()
+    with pytest.raises(ValueError, match="single lowercased tokens"):
+        bm25_batch_sql("docs", "doc_id", {"q1": ["Upper"]})
+    with pytest.raises(ValueError, match="single lowercased tokens"):
+        bm25_batch_sql("docs", "doc_id", {"q1": ["two words"]})
 
 
 def test_hybrid_topk(spark):
@@ -3642,8 +3693,19 @@ def test_semantic_pair_strategies_agree(spark):
     h = {(r["id_a"], r["id_b"]) for r in
          semantic_pairs(emb, "vec_id", "embedding", pair_strategy="hof", **kw).collect()}
     assert g == h and len(g) > 0
+    # block_size small enough to force multi-tile clusters on the
+    # fixture (500 vecs / k=8 -> ~60-vec clusters tiled into ~4 blocks
+    # each): the tiled sub-block pair join must yield the identical
+    # pair set as the single-tile path (the embedding_near_duplicates
+    # tiled==untiled precedent, here within k-means clusters).
+    t = {(r["id_a"], r["id_b"]) for r in
+         semantic_pairs(emb, "vec_id", "embedding", pair_strategy="gemm",
+                        block_size=16, **kw).collect()}
+    assert t == g
     with pytest.raises(ValueError, match="pair_strategy"):
         semantic_pairs(emb, "vec_id", "embedding", pair_strategy="x", **kw)
+    with pytest.raises(ValueError, match="block_size"):
+        semantic_pairs(emb, "vec_id", "embedding", block_size=0, **kw)
 
 
 def test_ngram_containment_pairs(spark):

@@ -91,15 +91,12 @@ def main():
             continue
         # operators that persist() intermediates (minhash signatures,
         # jaccard shingles) can't release them — the consumer owns the
-        # lifecycle, and this multi-query loop is the consumer.
-        # clearCache() unpersists cache-manager entries only; the
-        # connected-components localCheckpoint RDD blocks are released
-        # by the ContextCleaner once the DataFrames are GC'd — gc.collect
-        # nudges that promptly so checkpoint blocks from the cluster/
-        # funnel queries don't pile up across the loop. Same hygiene
-        # bench.py applies.
-        spark.catalog.clearCache()
-        gc.collect()
+        # lifecycle (the functions/cache.py contract), and this
+        # multi-query loop is the consumer. Same hygiene bench.py
+        # applies.
+        from delta_lake_experiment_spark.functions.cache import release_caches
+
+        release_caches(spark)
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
