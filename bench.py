@@ -84,6 +84,8 @@ HEADLINE = [
     "training_epoch_plan",
     "bpe_merge_table",
     "bpe_encoded_documents",
+    "unigram_vocab",
+    "unigram_encoded_documents",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 101 value-oracled queries, fifty-one must sit outside the window. The
+# With 103 value-oracled queries, fifty-three must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -192,6 +192,15 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   scalar-function coverage by the remaining in-window temporal
 #   queries (scalar_functions_showcase's deferral rationale now
 #   points here too).
+# New in r6 (deferred from birth — the window is full at 50):
+# - unigram_vocab -> the distributed side (word-frequency agg) is the
+#   BPE lane's, certified IN-window by bpe_merge_table; the driver-side
+#   EM-prune loop is novel but its oracle re-derives every Viterbi DP
+#   and prune as chained recursive CTEs (the bpe_merge_table
+#   precedent);
+# - unigram_encoded_documents -> the Arrow encode lane is shadowed by
+#   bpe_encoded_documents / encoded_documents (same mapInPandas +
+#   memoization shape), the training it applies by unigram_vocab.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -230,6 +239,8 @@ _DEFERRED_ORACLED = [
     "training_epoch_plan",
     "lang_lm_filtered_corpus",
     "bpe_encoded_documents",
+    "unigram_vocab",
+    "unigram_encoded_documents",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

@@ -2302,6 +2302,86 @@ def _bpe_encoded_sql() -> str:
     )
 
 
+# -- unigram-LM tokenizer training (operators/unigram.py) ---------------
+
+# the synthetic corpus has 24 distinct characters and 31 distinct
+# words: vocab_size=40 leaves 16 contested non-character slots (real
+# pruning pressure), max_candidates=120 truncates the ~300-substring
+# seed (real seeding pressure), and two EM-prune rounds exercise the
+# full loop shape
+_UNIGRAM_KW = dict(
+    vocab_size=40,
+    rounds=2,
+    em_iters=1,
+    max_piece_len=4,
+    max_candidates=120,
+    prune_frac=0.3,
+)
+
+
+def unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training
+    (operators/unigram.py::unigram_train): hard-EM piece-probability
+    re-estimation + pruning over the distributed word-frequency
+    table — the BPE lane's "one corpus aggregation, iterate on
+    O(vocab) metadata" shape for the other mainstream tokenizer
+    family. The oracle re-derives candidate seeding, every Viterbi DP
+    (recursive CTEs), every count re-estimation, and every prune: a
+    VALUE oracle for an iterative algorithm."""
+    from delta_lake_experiment_spark.operators.unigram import (
+        pieces_to_df,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pieces_to_df(spark, unigram_train(docs, "text", **_UNIGRAM_KW))
+
+
+def _unigram_vocab_sql() -> str:
+    from delta_lake_experiment_spark.operators.unigram import unigram_vocab_sql
+
+    return unigram_vocab_sql("documents", "text", **_UNIGRAM_KW)
+
+
+def unigram_encoded_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode composition for the unigram family: the
+    corpus Viterbi-segmented under its own trained vocabulary
+    (operators/unigram.py::unigram_encode, Arrow-batched mapInPandas
+    with per-batch word memoization). tokens_md5 hashes the
+    comma-joined piece sequence, certifying pieces AND order."""
+    from delta_lake_experiment_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = unigram_train(docs, "text", **_UNIGRAM_KW)
+    enc = unigram_encode(
+        docs,
+        "doc_id",
+        "text",
+        pieces,
+        max_piece_len=_UNIGRAM_KW["max_piece_len"],
+    )
+    return enc.select(
+        "doc_id",
+        "n_unigram_tokens",
+        F.md5(F.concat_ws(",", "tokens")).alias("tokens_md5"),
+    )
+
+
+def _unigram_encoded_sql() -> str:
+    from delta_lake_experiment_spark.operators.unigram import (
+        unigram_encoded_sql,
+    )
+
+    return (
+        "SELECT id AS doc_id, n_unigram_tokens, tokens_md5 FROM ("
+        + unigram_encoded_sql("documents", "doc_id", "text", **_UNIGRAM_KW)
+        + ")"
+    )
+
+
 # -- vocabulary + id encoding -------------------------------------------
 
 _VOCAB_SIZE = 20  # the synthetic corpus has 31 distinct tokens: a
@@ -2988,6 +3068,8 @@ QUERIES = {
     "lang_lm_filtered_corpus": lang_lm_filtered_corpus,
     "bpe_merge_table": bpe_merge_table,
     "bpe_encoded_documents": bpe_encoded_documents,
+    "unigram_vocab": unigram_vocab,
+    "unigram_encoded_documents": unigram_encoded_documents,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3054,6 +3136,8 @@ ORACLES = {
     "lang_lm_filtered_corpus": _lang_lm_filtered_sql(),
     "bpe_merge_table": _bpe_merge_table_sql(),
     "bpe_encoded_documents": _bpe_encoded_sql(),
+    "unigram_vocab": _unigram_vocab_sql(),
+    "unigram_encoded_documents": _unigram_encoded_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,

@@ -2692,6 +2692,154 @@ def test_bpe_train_matches_reference():
     assert bpe_train_from_counts([("ab", 1), ("cd", 1)], 5) == []
 
 
+def test_unigram_train_reference():
+    """The hard-EM unigram trainer on the classic subword fixture:
+    shared suffixes/stems must survive pruning as multi-char pieces,
+    every character must be kept, and training must be a pure function
+    of the corpus (input-order independent)."""
+    import random
+
+    from delta_lake_experiment_spark.operators.unigram import (
+        _viterbi,
+        unigram_train_from_counts,
+    )
+
+    wf = [("low", 8), ("lower", 4), ("lowest", 4), ("newest", 6),
+          ("newer", 3), ("widest", 3), ("wider", 2), ("new", 5),
+          ("wide", 4)]
+    kw = dict(vocab_size=15, rounds=2, em_iters=1, max_piece_len=4,
+              max_candidates=40, prune_frac=0.3)
+    pieces = unigram_train_from_counts(wf, **kw)
+    vocab = {p for p, _ in pieces}
+    assert len(pieces) == 15
+    chars = {c for w, _ in wf for c in w}
+    assert chars <= vocab  # segmentability invariant
+    # the planted morphology: stems and suffixes beat raw characters
+    # (the trainer factors wide/wider/widest as wid+e / wid+er /
+    # wid+est — the maximal shared stem)
+    assert {"low", "new", "wid", "er", "est"} <= vocab
+    # logprobs are descending in token-id order (count desc, piece asc)
+    lps = [lp for _, lp in pieces]
+    assert lps == sorted(lps, reverse=True)
+    # input-order independence: integer-count state, no float-sum order
+    rng = random.Random(7)
+    for _ in range(5):
+        shuffled = wf[:]
+        rng.shuffle(shuffled)
+        assert unigram_train_from_counts(shuffled, **kw) == pieces
+    # encoding the corpus with its own vocab reassembles every word
+    logp = dict(pieces)
+    for w, _ in wf:
+        seg = _viterbi(w, logp, 4, 9)
+        assert "".join(seg) == w
+    # validation raises
+    with pytest.raises(ValueError, match="alphabet"):
+        unigram_train_from_counts(wf, vocab_size=3)
+    with pytest.raises(ValueError, match="prune_frac"):
+        unigram_train_from_counts(wf, vocab_size=15, prune_frac=1.5)
+    with pytest.raises(ValueError, match="max_candidates"):
+        unigram_train_from_counts(wf, vocab_size=15, max_candidates=10)
+    with pytest.raises(ValueError, match="unsegmentable"):
+        _viterbi("zap", {"z": -1.0, "a": -1.0}, 4, 9)
+
+
+def test_unigram_sql_twins():
+    """The DuckDB twins re-derive the ENTIRE training run (seeding,
+    every recursive-CTE Viterbi DP, every re-estimation, every prune)
+    and the train-then-encode composition, matching the Python
+    reference value-for-value — the bpe_merges_sql precedent for the
+    second tokenizer family."""
+    import hashlib
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.unigram import (
+        _viterbi,
+        unigram_encoded_sql,
+        unigram_train_from_counts,
+        unigram_vocab_sql,
+    )
+
+    docs = [(1, "low low lower lowest"), (2, "new newer newest low"),
+            (3, "wider wide new widest lower"), (4, "low new lowest wide wide"),
+            (5, "   ")]
+    wf = {}
+    for _, t in docs:
+        for w in t.lower().strip().split():
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    kw = dict(vocab_size=15, rounds=2, em_iters=2, max_piece_len=4,
+              max_candidates=40, prune_frac=0.3)
+    pieces = unigram_train_from_counts(sorted(wf.items()), **kw)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE udocs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO udocs VALUES (?, ?)", docs)
+    got = con.execute(unigram_vocab_sql("udocs", "text", **kw)).fetchall()
+    assert got == [(i + 1, p, lp) for i, (p, lp) in enumerate(pieces)]
+    logp = dict(pieces)
+    egot = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            unigram_encoded_sql("udocs", "doc_id", "text", **kw)
+        ).fetchall()
+    }
+    con.close()
+    for did, t in docs:
+        toks = []
+        for w in t.lower().strip().split():
+            if w:
+                toks.extend(_viterbi(w, logp, 4, 9))
+        md5 = hashlib.md5(",".join(toks).encode()).hexdigest()
+        assert egot[did] == (len(toks), md5), did
+    assert egot[5] == (0, hashlib.md5(b"").hexdigest())  # whitespace-only doc
+
+
+def test_unigram_spark(spark):
+    """Spark train == pure reference on the same counts; the Arrow
+    encode lane reassembles every word and counts match."""
+    from delta_lake_experiment_spark.operators.unigram import (
+        pieces_to_df,
+        unigram_encode,
+        unigram_train,
+        unigram_train_from_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower lowest new"), (2, "newest newer wide low"),
+         (3, "wider widest new lowest wide"), (4, "")],
+        "doc_id int, text string",
+    )
+    kw = dict(vocab_size=12, rounds=2, em_iters=1, max_piece_len=3,
+              max_candidates=30, prune_frac=0.3)
+    pieces = unigram_train(df, "text", **kw)
+    wf = {}
+    for _, t in [(r["doc_id"], r["text"]) for r in df.collect()]:
+        for w in t.lower().strip().split():
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    assert pieces == unigram_train_from_counts(sorted(wf.items()), **kw)
+    vdf = pieces_to_df(spark, pieces)
+    assert [(r["piece"], r["logprob"]) for r in
+            vdf.orderBy("token_id").collect()] == pieces
+    enc = {
+        r["doc_id"]: (r["tokens"], r["n_unigram_tokens"])
+        for r in unigram_encode(df, "doc_id", "text", pieces,
+                                max_piece_len=3).collect()
+    }
+    for r in df.collect():
+        toks, n = enc[r["doc_id"]]
+        assert n == len(toks)
+        assert "".join(toks) == "".join(r["text"].lower().strip().split())
+    assert enc[4] == ([], 0)  # empty doc still emitted
+    # NULL text raises (the bpe/lm-lane contract)
+    bad = spark.createDataFrame([(1, None)], "doc_id int, text string")
+    with pytest.raises(Exception, match="non-NULL"):
+        unigram_encode(bad, "doc_id", "text", pieces, max_piece_len=3).collect()
+    # max_words collect gate raises loudly
+    with pytest.raises(ValueError, match="max_words"):
+        unigram_train(df, "text", vocab_size=12, max_words=2)
+
+
 def test_bpe_train_spark(spark):
     from delta_lake_experiment_spark.operators.bpe import bpe_train
 
