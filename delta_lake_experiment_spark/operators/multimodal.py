@@ -58,6 +58,7 @@ def extract_features(
     out_dim: int = 16,
     batch_hint: int = 256,
     passthrough_cols: tuple = (),
+    decoder=None,
 ) -> DataFrame:
     """(media_id, kind, features array<float>) via Arrow-batched
     mapInPandas — the vectorized lane for per-payload Python work.
@@ -66,7 +67,19 @@ def extract_features(
     (lineage paths, sizes, labels): carrying metadata alongside the
     decode costs a few extra Arrow columns, while recovering it
     afterwards would take a join back to the source — a full shuffle
-    of the media table at corpus scale."""
+    of the media table at corpus scale.
+
+    ``decoder`` swaps in a REAL codec without touching the Spark
+    plumbing: a callable ``(payload: bytes | None, kind: str,
+    out_dim: int) -> sequence of out_dim float32s``, executed inside
+    the same Arrow batches (it is closure-serialized to executors, so
+    import heavyweight codec modules INSIDE the callable — e.g.
+    ``PIL.Image.open(io.BytesIO(payload))`` / ``librosa.load`` — the
+    executor processes must have them installed). ``None`` keeps the
+    deterministic sha256 stub, which remains the value-oracle lane
+    (DuckDB re-derives it; a real codec's output is not
+    SQL-reproducible, so decoder-equipped runs are certified by
+    integration tests instead)."""
     requested = set(passthrough_cols)
     unknown = requested - {f.name for f in df.schema.fields}
     clash = requested & {"media_id", "kind", "features", "payload"}
@@ -91,11 +104,12 @@ def extract_features(
         + extra
     )
     extra_names = [f.name for f in extra]
+    decode = decoder if decoder is not None else _decode_payload
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                _decode_payload(p, k, out_dim)
+                np.asarray(decode(p, k, out_dim), dtype=np.float32)
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             cols = {
