@@ -203,3 +203,60 @@ def incremental_minhash_ingest(
         return client.run_tx(_attempt, retries=retries)
     finally:
         bands.unpersist()
+
+
+def compact_minhash_index(
+    client: DeltaLakeClient,
+    docs_table: str,
+    index_table: str,
+    id_col: str = "id",
+    retries: int = 3,
+    use_dv: bool = False,
+) -> int:
+    """Index maintenance for :func:`incremental_minhash_ingest`: drop
+    every ``index_table`` entry whose document is no longer live in
+    ``docs_table``. Returns the number of stale band rows removed.
+
+    Without this, the LSH index grows forever and — worse — DELETED
+    documents keep vetoing admissions: a document removed from the
+    corpus (takedown, vacuum, quality purge) leaves its band
+    signatures behind, and any recrawl or near-duplicate of it is
+    silently rejected against a ghost. Run after corpus deletes (or
+    periodically, like checkpoint compaction).
+
+    Plan: one column-pruned scan of each table, a left-semi join of
+    index entries against live document ids (the index is O(num_bands)
+    rows per doc — tiny next to the corpus; the semi-join broadcasts
+    whichever side is smaller under AQE), then a copy-on-write rewrite
+    of the index: full-range delete + re-insert of survivors, all in
+    ONE transaction (``run_tx``), so a concurrent ingest triggers
+    first-committer-wins and the loser re-runs against the fresh
+    snapshot — the index can never disagree with the admitted corpus.
+    Survivors are ``localCheckpoint``-ed (eager) before the delete so
+    the re-insert can never observe the mid-transaction empty table
+    through a cache eviction. ``use_dv=True`` records deletion vectors
+    instead of rewriting files (O(mask) written; the next compaction
+    materializes)."""
+    from pyspark.sql import functions as F
+
+    def _attempt(c: DeltaLakeClient) -> int:
+        idx = c.scan(index_table, with_stamps=False)
+        live = (
+            c.scan(docs_table, with_stamps=False)
+            .select(F.col(id_col).alias("id"))
+            .distinct()
+        )
+        survivors = idx.join(live, "id", "left_semi").localCheckpoint(eager=True)
+        n_total = idx.count()
+        n_live = survivors.count()
+        n_stale = n_total - n_live
+        if n_stale:
+            bounds = idx.agg(
+                F.min("id").alias("lo"), F.max("id").alias("hi")
+            ).collect()[0]
+            c.delete_rows(index_table, "id", bounds["lo"], bounds["hi"], use_dv=use_dv)
+            if n_live:
+                c.write_dataframe(index_table, survivors)
+        return n_stale
+
+    return client.run_tx(_attempt, retries=retries)

@@ -2321,6 +2321,58 @@ def test_incremental_minhash_ingest(spark, store_dir):
     assert ingest([(10, base), (11, pert), (12, third)]) == 0
 
 
+def test_compact_minhash_index_unblocks_recrawl(spark, store_dir):
+    """Index maintenance (VERDICT r5 item 6): deleting a document from
+    the corpus leaves its LSH bands behind, so its recrawl is vetoed
+    by a ghost; compact_minhash_index removes exactly the stale
+    entries (live docs' bands survive untouched) and the recrawl is
+    admitted."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.incremental import (
+        compact_minhash_index,
+        incremental_minhash_ingest,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"other{i}" for i in range(30))
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("docs", "id bigint, text string")
+    c.create_table("lsh_index", "id bigint, band int, bh bigint")
+    c.commit_tx()
+
+    def ingest(rows):
+        df = spark.createDataFrame(rows, "id long, text string")
+        return incremental_minhash_ingest(
+            c, "docs", "lsh_index", df, "id", "text"
+        )
+
+    assert ingest([(1, base), (2, other)]) == 2
+    # take down doc 1 (quality purge / takedown); its bands linger
+    c.new_tx()
+    c.delete_rows("docs", "id", 1, 1)
+    c.commit_tx()
+    # the ghost vetoes the recrawl — the failure mode this op fixes
+    assert ingest([(10, base)]) == 0
+    # nothing stale yet for doc 2; compaction removes exactly doc 1's
+    # num_bands rows and leaves doc 2's intact
+    assert compact_minhash_index(c, "docs", "lsh_index", "id") == 4
+    c.new_tx()
+    idx = {(r["id"], r["band"]) for r in c.scan("lsh_index", with_stamps=False).collect()}
+    c.abort_tx()
+    assert idx == {(2, b) for b in range(4)}
+    # recrawl of the deleted doc is now admitted, and re-indexed
+    assert ingest([(10, base)]) == 1
+    c.new_tx()
+    ids = sorted(r["id"] for r in c.scan("docs", with_stamps=False).collect())
+    idx_ids = {r["id"] for r in c.scan("lsh_index", with_stamps=False).collect()}
+    c.abort_tx()
+    assert ids == [2, 10] and idx_ids == {2, 10}
+    # idempotent: a second compaction finds nothing stale
+    assert compact_minhash_index(c, "docs", "lsh_index", "id") == 0
+
+
 def test_vocab_build_and_encode(spark):
     """Vocab ranking (count desc, token asc ties), min_count cut,
     OOV=0 encoding with order preserved, coverage counts."""
