@@ -74,15 +74,27 @@ def hashed_feature_sets(
 
 
 def _margin(weights: Sequence[float], bias: float) -> Column:
-    """bias + sum of weights over the doc's ``feats`` array, with the
-    weight vector embedded as a literal (buckets are 0-based;
-    element_at is 1-based)."""
-    wlit = F.lit([float(w) for w in weights])
-    return F.aggregate(
-        F.col("feats"),
-        F.lit(float(bias)),
-        lambda acc, f: acc + F.element_at(wlit, (f + 1).cast("int")),
-    )
+    """bias + sum of weights over the doc's ``feats`` bucket set, as a
+    flat conditional sum ``bias + Σ_f (feats contains f ? w_f : 0)``
+    — whole-stage-codegen'd (array_contains + Add), where the
+    equivalent fold over the feats array is an interpreted
+    CodegenFallback lambda per element (measured: the fold dominated
+    each GD job at sf0.1). Zero-weight terms are skipped — exact, not
+    an approximation: adding 0.0 to a finite double is the identity,
+    and buckets keep w=0 only while untouched by every update.
+    Summation runs in bucket order instead of the feats array's order;
+    the difference is ~1e-16 reassociation noise per doc, immaterial
+    against the 1e-9 training grid and the 1e-6 scoring grid (the
+    module's engine-reproducibility argument — the DuckDB twin
+    already sums in its own order)."""
+    expr: Column = F.lit(float(bias))
+    for f, w in enumerate(weights):
+        if float(w) != 0.0:
+            expr = expr + F.when(
+                F.array_contains(F.col("feats"), F.lit(f).cast("long")),
+                F.lit(float(w)),
+            ).otherwise(F.lit(0.0))
+    return expr
 
 
 def train_hashed_logreg(
@@ -94,6 +106,7 @@ def train_hashed_logreg(
     iters: int = 8,
     lr: float = 0.5,
     round_digits: int = 9,
+    feature_sets: "DataFrame | None" = None,
 ) -> "tuple[list[float], float]":
     """Full-batch gradient-descent logistic regression on hashed binary
     features; returns ``(weights, bias)`` — ``weights[f]`` for buckets
@@ -106,10 +119,22 @@ def train_hashed_logreg(
     ``g_bias = sum over all docs of (p - y) / N``; update
     ``w <- round(w - lr * g, round_digits)`` (the rounding grid is what
     makes the trajectory engine-reproducible — see module docstring).
+
+    ``feature_sets`` optionally supplies a prebuilt
+    :func:`hashed_feature_sets` result (``(id_col, feats)``, same
+    ``dim``) so a pipeline that trains AND scores over one corpus
+    tokenizes+hashes it once — the caller owns that frame's cache
+    lifecycle; the label join and the loop's own persist are
+    unchanged.
     """
     if iters < 1:
         raise ValueError(f"iters={iters!r} must be >= 1")
-    feats = hashed_feature_sets(df, id_col, text_col, dim).join(
+    fsets = (
+        feature_sets
+        if feature_sets is not None
+        else hashed_feature_sets(df, id_col, text_col, dim)
+    )
+    feats = fsets.join(
         df.select(
             F.col(id_col),
             null_checked(
@@ -134,26 +159,43 @@ def train_hashed_logreg(
     try:
         for _ in range(iters):
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias)))
-            grad_rows = (
+            # one flat 65-column conditional aggregation instead of an
+            # explode + groupBy: g_f = SUM(residual where doc contains
+            # bucket f), g_bias = SUM(residual). The explode shape
+            # shuffled ~|docs| x |buckets-per-doc| residual rows per
+            # iteration; this shape is a map-side partial aggregate of
+            # |docs| rows into ONE 65-number row (array_contains is
+            # codegen'd, no per-row Python or interpreter dispatch) —
+            # measured ~2x per GD job at sf0.1. Summation order
+            # differs from the explode plan, which is immaterial by
+            # construction: gradient sums carry ~1e-15 reassociation
+            # noise against the 1e-9 update grid (the module's
+            # partitioning-independence argument, unchanged).
+            grad_row = (
                 feats.select(
                     ((p - F.col("__y")) / F.lit(float(n))).alias("__g"),
-                    # bias rides the same aggregate as pseudo-feature -1
-                    F.explode(
-                        F.concat(
-                            F.col("feats"),
-                            F.array(F.lit(BIAS_FEATURE).cast("long")),
-                        )
-                    ).alias("__f"),
+                    "feats",
                 )
-                .groupBy("__f")
-                .agg(F.sum("__g").alias("__grad"))
-                .collect()
+                .agg(
+                    F.sum("__g").alias("gb"),
+                    *[
+                        F.sum(
+                            F.when(
+                                F.array_contains(
+                                    F.col("feats"), F.lit(f).cast("long")
+                                ),
+                                F.col("__g"),
+                            )
+                        ).alias(f"g{f}")
+                        for f in range(dim)
+                    ],
+                )
+                .collect()[0]
             )
-            for r in grad_rows:
-                f, g = r["__f"], r["__grad"]
-                if f == BIAS_FEATURE:
-                    bias = round(bias - lr * g, round_digits)
-                else:
+            bias = round(bias - lr * grad_row["gb"], round_digits)
+            for f in range(dim):
+                g = grad_row[f"g{f}"]
+                if g is not None:  # no doc contains bucket f: no update
                     w[f] = round(w[f] - lr * g, round_digits)
     finally:
         feats.unpersist()
@@ -167,11 +209,18 @@ def score_hashed_logreg(
     weights: Sequence[float],
     bias: float,
     prob_digits: int = 6,
+    feature_sets: "DataFrame | None" = None,
 ) -> DataFrame:
     """(id_col, prob, keep) — sigmoid score under a trained model and
     the >= 0.5 gate, map-only (weights are a literal array; no join,
-    no shuffle). ``prob`` is rounded for oracle comparability."""
-    feats = hashed_feature_sets(df, id_col, text_col, len(weights))
+    no shuffle). ``prob`` is rounded for oracle comparability.
+    ``feature_sets`` reuses a prebuilt featurization (the
+    train-then-score pipeline shape — see train_hashed_logreg)."""
+    feats = (
+        feature_sets
+        if feature_sets is not None
+        else hashed_feature_sets(df, id_col, text_col, len(weights))
+    )
     prob = F.round(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(weights, bias))),
         prob_digits,

@@ -66,7 +66,16 @@ def _dot_lit(vec: Column, c: Sequence[float]) -> Column:
     """Dot product of an array column with a literal centroid — one
     zip_with + left-to-right fold (the same fold order DuckDB's
     list_dot_product uses; existing embedding oracles hash-match at
-    round-9, which certifies the two agree on this data)."""
+    round-9, which certifies the two agree on this data).
+
+    Measured alternative, rejected: unrolling to a k x dim
+    element_at sum chain IS whole-stage-codegen-able (HOF lambdas are
+    CodegenFallback) and bit-identical, but the 4096-term tree (k=8,
+    dim=64) cost MORE in Catalyst analysis/codegen than the
+    interpreter dispatches it saved (isolated sf0.1 run: construct
+    5.7 s -> 10-15 s). The fold keeps the plan tree O(1) per
+    centroid; assignment throughput at true scale is the gemm pair
+    stage's job, not this expression's."""
     return F.aggregate(
         F.zip_with(vec, F.lit([float(x) for x in c]), lambda a, b: a * b),
         F.lit(0.0),
@@ -131,29 +140,39 @@ def deterministic_kmeans(
     if not cents:
         raise ValueError("deterministic_kmeans: empty input")
     dim = len(cents[0])
+    # normalize ONCE and keep the unit vectors cached across Lloyd
+    # iterations (each iteration otherwise re-reads and re-normalizes
+    # the source); fully consumed inside this call, so eagerly
+    # released — the try/finally exception to the functions/cache.py
+    # consumer-releases contract
     norm = df.select(
         F.col(id_col).alias("i"), _norm_checked(vec_col).alias("v")
-    )
-    for _ in range(iters):
-        assigned = norm.withColumn(
-            "__c", _nearest(F.col("v"), cents, round_digits)
-        )
-        rows = (
-            assigned.groupBy("__c")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col("v"), i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
+    ).persist()
+    try:
+        for _ in range(iters):
+            assigned = norm.withColumn(
+                "__c", _nearest(F.col("v"), cents, round_digits)
             )
-            .collect()
-        )
-        new = {
-            r["__c"]: [round(float(r[f"m{i}"]), round_digits) for i in range(dim)]
-            for r in rows
-        }
-        # empty clusters keep their previous centroid
-        cents = [new.get(j, cents[j]) for j in range(len(cents))]
+            rows = (
+                assigned.groupBy("__c")
+                .agg(
+                    *[
+                        F.avg(F.element_at(F.col("v"), i + 1)).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
+            )
+            new = {
+                r["__c"]: [
+                    round(float(r[f"m{i}"]), round_digits) for i in range(dim)
+                ]
+                for r in rows
+            }
+            # empty clusters keep their previous centroid
+            cents = [new.get(j, cents[j]) for j in range(len(cents))]
+    finally:
+        norm.unpersist()
     return cents
 
 

@@ -334,14 +334,38 @@ def advanced_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just each stage."""
     from delta_lake_experiment_spark.operators.cluster import canonical_by
     from delta_lake_experiment_spark.operators.classifier import (
+        hashed_feature_sets,
         score_hashed_logreg,
+        train_hashed_logreg,
     )
     from delta_lake_experiment_spark.operators.semdedup import semantic_pairs
 
-    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
-    _, (w, bias) = _clf_train(spark, sf_dir)
+    # Shared-stage evaluation (identical VALUES to the per-stage lanes
+    # the oracle re-derives — this block only removes duplicate
+    # passes): the text-stats pass is computed once and cached (it
+    # feeds the weak labels, the quality rank, and the output), and
+    # the corpus is tokenized+hashed once into feature sets reused by
+    # training AND scoring (previously two passes).
+    docs = with_text_stats(load_table(spark, sf_dir, "documents")).persist()
+    fsets = hashed_feature_sets(docs, "doc_id", "text", _CLF_DIM).persist()
+    labeled = docs.select(
+        "doc_id", "text", (F.col("quality") >= 0.5).cast("int").alias("__label")
+    )
+    w, bias = train_hashed_logreg(
+        labeled,
+        "doc_id",
+        "text",
+        "__label",
+        dim=_CLF_DIM,
+        iters=_CLF_ITERS,
+        lr=_CLF_LR,
+        round_digits=_CLF_ROUND,
+        feature_sets=fsets,
+    )
     kept = docs.join(
-        score_hashed_logreg(docs, "doc_id", "text", w, bias)
+        score_hashed_logreg(
+            docs, "doc_id", "text", w, bias, feature_sets=fsets
+        )
         .filter("keep")
         .select("doc_id"),
         "doc_id",
