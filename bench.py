@@ -86,6 +86,7 @@ HEADLINE = [
     "bpe_encoded_documents",
     "unigram_vocab",
     "unigram_encoded_documents",
+    "gopher_quality_report",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

@@ -249,3 +249,203 @@ def ngram_repetition_ratio(text: Column, n: int = 3) -> Column:
     return F.when(total > 0, (total - uniq).cast("double") / total).otherwise(
         F.lit(0.0)
     )
+
+
+# -- Gopher quality rules -----------------------------------------------
+# The Gopher paper's document-quality rule set (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", table A1 — the filter battery Dolma/RedPajama/FineWeb
+# reproduce): hard bounds on word count, mean word length,
+# symbol-to-word ratio, bullet/ellipsis line fractions, the fraction
+# of words containing an alphabetic character, and a minimum number of
+# distinct "assurance" stop words. All map-only column expressions —
+# one vectorized pass per document, no shuffle, engine-portable
+# regexes (no lookarounds), every ratio rounded to 6 digits for
+# oracle parity.
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+SYMBOL_RE = r"#|\.\.\."  # the paper's "symbols": hash marks and ellipses
+BULLET_RE = r"^[-*•]"  # line starts with a bullet glyph
+ELLIPSIS_END_RE = r"\.\.\.$"
+ALPHA_WORD_RE = r"[A-Za-z]"
+
+
+def gopher_quality_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    stopwords: "tuple[str, ...]" = GOPHER_STOPWORDS,
+    min_stopword_hits: int = 2,
+) -> "dict[str, Column]":
+    """The Gopher rule battery as named columns: per-signal values,
+    one boolean per rule, and ``gopher_pass`` (AND of all rules).
+    Defaults are the published thresholds; pass corpus-appropriate
+    ``stopwords`` when filtering non-English (or synthetic) corpora —
+    the assurance-word rule is vacuous under a list the corpus never
+    uses, which is a caller decision, not a silent behavior.
+
+    Word = whitespace token of the trimmed text; line = newline split.
+    Empty documents have zero words and fail the min-word rule (never
+    divide-by-zero: ratios guard on n > 0)."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+"),
+        lambda w: w != "",
+    )
+    n_words = F.size(words)
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(text, F.lit("")), r"\n"), trim_line),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    mean_word_len = frac(
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w)), n_words
+    )
+    symbol_ratio = frac(
+        F.size(F.regexp_extract_all(F.coalesce(text, F.lit("")),
+                                    F.lit(SYMBOL_RE), F.lit(0))),
+        n_words,
+    )
+    bullet_frac = frac(
+        F.size(F.filter(lines, lambda l: l.rlike(BULLET_RE))), n_lines
+    )
+    ellipsis_frac = frac(
+        F.size(F.filter(lines, lambda l: l.rlike(ELLIPSIS_END_RE))), n_lines
+    )
+    alpha_frac = frac(
+        F.size(F.filter(words, lambda w: w.rlike(ALPHA_WORD_RE))), n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    rules = {
+        "word_count": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": stop_hits,
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio <= max_symbol_word_ratio,
+        "ok_bullet_lines": bullet_frac <= max_bullet_line_frac,
+        "ok_ellipsis_lines": ellipsis_frac <= max_ellipsis_line_frac,
+        "ok_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_stopword_hits,
+    }
+    rules["gopher_pass"] = (
+        rules["ok_word_count"]
+        & rules["ok_mean_word_len"]
+        & rules["ok_symbol_ratio"]
+        & rules["ok_bullet_lines"]
+        & rules["ok_ellipsis_lines"]
+        & rules["ok_alpha_words"]
+        & rules["ok_stopwords"]
+    )
+    return rules
+
+
+def gopher_rules_sql(
+    text_sql: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    stopwords: "tuple[str, ...]" = GOPHER_STOPWORDS,
+    min_stopword_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_quality_rules` — a SELECT-column
+    fragment (comma-joined named expressions, same column names and
+    6-digit grids) machine-generated from the same thresholds. Wrap as
+    ``SELECT <id>, {fragment} FROM <table>``. Expects the raw text
+    expression; word/line derivations are inlined per column (DuckDB
+    CSE handles the repetition)."""
+    words = (
+        rf"list_filter(string_split_regex(lower(trim(COALESCE({text_sql}, ''))),"
+        rf" '\s+'), w -> w <> '')"
+    )
+    lines = (
+        rf"list_filter(list_transform(string_split(COALESCE({text_sql}, ''),"
+        rf" chr(10)), l -> regexp_replace(l, '^\s+|\s+$', '', 'g')),"
+        rf" l -> l <> '')"
+    )
+    n_words = f"len({words})"
+    n_lines = f"len({lines})"
+
+    def frac(num: str, den: str) -> str:
+        return (
+            f"round(CASE WHEN {den} > 0 THEN CAST({num} AS DOUBLE)"
+            f" / {den} ELSE 0.0 END, 6)"
+        )
+
+    mean_wl = frac(
+        f"list_aggregate(list_transform({words}, w -> len(w)), 'sum')", n_words
+    )
+    sym = frac(
+        rf"len(regexp_extract_all(COALESCE({text_sql}, ''), '#|\.\.\.'))",
+        n_words,
+    )
+    bullet = frac(
+        rf"len(list_filter({lines}, l -> regexp_matches(l, '^[-*•]')))",
+        n_lines,
+    )
+    ellip = frac(
+        rf"len(list_filter({lines}, l -> regexp_matches(l, '\.\.\.$')))",
+        n_lines,
+    )
+    alpha = frac(
+        rf"len(list_filter({words}, w -> regexp_matches(w, '[A-Za-z]')))",
+        n_words,
+    )
+    stop_list = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in stopwords) + "]"
+    stops = f"len(list_intersect(list_distinct({words}), {stop_list}))"
+    cols = [
+        f"CAST({n_words} AS INT) AS word_count",
+        f"{mean_wl} AS mean_word_len",
+        f"{sym} AS symbol_word_ratio",
+        f"{bullet} AS bullet_line_frac",
+        f"{ellip} AS ellipsis_line_frac",
+        f"{alpha} AS alpha_word_frac",
+        f"CAST({stops} AS INT) AS stopword_hits",
+        f"({n_words} >= {int(min_words)} AND {n_words} <= {int(max_words)})"
+        f" AS ok_word_count",
+        f"({mean_wl} >= {float(min_mean_word_len)!r} AND"
+        f" {mean_wl} <= {float(max_mean_word_len)!r}) AS ok_mean_word_len",
+        f"({sym} <= {float(max_symbol_word_ratio)!r}) AS ok_symbol_ratio",
+        f"({bullet} <= {float(max_bullet_line_frac)!r}) AS ok_bullet_lines",
+        f"({ellip} <= {float(max_ellipsis_line_frac)!r}) AS ok_ellipsis_lines",
+        f"({alpha} >= {float(min_alpha_word_frac)!r}) AS ok_alpha_words",
+        f"({stops} >= {int(min_stopword_hits)}) AS ok_stopwords",
+    ]
+    pass_expr = (
+        f"(({n_words} >= {int(min_words)} AND {n_words} <= {int(max_words)})"
+        f" AND ({mean_wl} >= {float(min_mean_word_len)!r} AND"
+        f" {mean_wl} <= {float(max_mean_word_len)!r})"
+        f" AND ({sym} <= {float(max_symbol_word_ratio)!r})"
+        f" AND ({bullet} <= {float(max_bullet_line_frac)!r})"
+        f" AND ({ellip} <= {float(max_ellipsis_line_frac)!r})"
+        f" AND ({alpha} >= {float(min_alpha_word_frac)!r})"
+        f" AND ({stops} >= {int(min_stopword_hits)}))"
+    )
+    cols.append(f"{pass_expr} AS gopher_pass")
+    return ",\n  ".join(cols)

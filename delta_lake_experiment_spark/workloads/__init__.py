@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 103 value-oracled queries, fifty-three must sit outside the window. The
+# With 104 value-oracled queries, fifty-four must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -200,7 +200,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   precedent);
 # - unigram_encoded_documents -> the Arrow encode lane is shadowed by
 #   bpe_encoded_documents / encoded_documents (same mapInPandas +
-#   memoization shape), the training it applies by unigram_vocab.
+#   memoization shape), the training it applies by unigram_vocab;
+# - gopher_quality_report -> map-only regex/array column battery
+#   shadowed by doc_text_stats (same vectorized string-kernel lane,
+#   same 6-digit ratio grids).
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -241,6 +244,7 @@ _DEFERRED_ORACLED = [
     "bpe_encoded_documents",
     "unigram_vocab",
     "unigram_encoded_documents",
+    "gopher_quality_report",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

@@ -2326,6 +2326,46 @@ def _bpe_encoded_sql() -> str:
     )
 
 
+# -- Gopher quality-rule gate (operators/text.py) -----------------------
+
+# published thresholds except where the synthetic corpus would make a
+# rule vacuous: min_words=30 splits the 10-99-word docs (median 56),
+# and the assurance stopwords are corpus-frequent terms (the paper's
+# English list never appears here — a real deployment passes its
+# language's list; rule evaluation is identical either way)
+_GOPHER_KW = dict(
+    min_words=30,
+    stopwords=("a", "data", "key", "scan", "join", "filter"),
+    min_stopword_hits=2,
+)
+
+
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (operators/text.py::gopher_quality_rules
+    — Rae et al. 2021 table A1): per-document signal values, one
+    boolean per rule, and the AND gate. Map-only vectorized column
+    expressions over one corpus scan — the shape that filters 100 TB
+    at parquet-scan speed. Every ratio 6-digit-rounded; the oracle is
+    machine-generated from the same thresholds."""
+    from delta_lake_experiment_spark.operators.text import gopher_quality_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    rules = gopher_quality_rules(F.col("text"), **_GOPHER_KW)
+    return docs.select(
+        "doc_id", *[c.alias(name) for name, c in rules.items()]
+    )
+
+
+def _gopher_report_sql() -> str:
+    from delta_lake_experiment_spark.operators.text import gopher_rules_sql
+
+    return (
+        "SELECT doc_id,\n  "
+        + gopher_rules_sql("text", **_GOPHER_KW)
+        + "\nFROM documents"
+    )
+
+
 # -- unigram-LM tokenizer training (operators/unigram.py) ---------------
 
 # the synthetic corpus has 24 distinct characters and 31 distinct
@@ -3094,6 +3134,7 @@ QUERIES = {
     "bpe_encoded_documents": bpe_encoded_documents,
     "unigram_vocab": unigram_vocab,
     "unigram_encoded_documents": unigram_encoded_documents,
+    "gopher_quality_report": gopher_quality_report,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3162,6 +3203,7 @@ ORACLES = {
     "bpe_encoded_documents": _bpe_encoded_sql(),
     "unigram_vocab": _unigram_vocab_sql(),
     "unigram_encoded_documents": _unigram_encoded_sql(),
+    "gopher_quality_report": _gopher_report_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,

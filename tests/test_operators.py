@@ -1175,6 +1175,62 @@ def test_extract_features_real_decoder(spark):
         assert feats != pytest.approx([float(x) for x in stub])
 
 
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule fails on a document spiked for exactly that
+    rule and passes on the clean control — non-vacuous in both
+    directions, with the published-threshold defaults except the
+    assurance stop list."""
+    from delta_lake_experiment_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    clean = "the quick brown fox jumps over the lazy dog and runs far " * 5
+    rows = [
+        (1, clean),                                     # passes everything
+        (2, "the of and " * 3),                         # too few words
+        (3, "a b c d " * 20 + "the of"),                # mean word len < 3
+        (4, clean + " ###... " * 20),                   # symbol ratio
+        (5, "\n".join("- item the of" for _ in range(10)) + "\nplain"
+            + " word" * 50),                            # bullet lines > 0.9? 10/11
+        (6, "\n".join(f"the line {i} trails off..." for i in range(10))
+            + "\nthe plain tail " + "word " * 40),      # ellipsis lines
+        (7, " ".join("123" for _ in range(60)) + " the of"),  # alpha frac
+        (8, " ".join(f"word{i}" for i in range(60))),    # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    rules = gopher_quality_rules(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select("doc_id", *[c.alias(n) for n, c in rules.items()]).collect()
+    }
+    assert out[1]["gopher_pass"]
+    assert not out[2]["ok_word_count"] and not out[2]["gopher_pass"]
+    assert not out[3]["ok_mean_word_len"]
+    assert not out[4]["ok_symbol_ratio"]
+    assert not out[5]["ok_bullet_lines"]
+    assert not out[6]["ok_ellipsis_lines"]
+    assert not out[7]["ok_alpha_words"]
+    assert out[8]["stopword_hits"] == 0 and not out[8]["ok_stopwords"]
+    # SQL twin agrees column-for-column on the spiked fixture
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.text import gopher_rules_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE gdocs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO gdocs VALUES (?, ?)", rows)
+    got = con.execute(
+        "SELECT doc_id,\n  " + gopher_rules_sql("text") + "\nFROM gdocs ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    names = ["doc_id"] + list(rules)
+    for row in got:
+        d = dict(zip(names, row))
+        exp = out[d["doc_id"]]
+        for n in names:
+            assert d[n] == exp[n], (d["doc_id"], n, d[n], exp[n])
+
+
 def test_repetition_signals(spark):
     from delta_lake_experiment_spark.operators.text import (
         dup_line_fraction,
