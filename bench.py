@@ -87,6 +87,8 @@ HEADLINE = [
     "unigram_vocab",
     "unigram_encoded_documents",
     "gopher_quality_report",
+    "embedding_pca_components",
+    "embedding_pca_projection",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

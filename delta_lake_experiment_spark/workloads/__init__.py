@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 104 value-oracled queries, fifty-four must sit outside the window. The
+# With 106 value-oracled queries, fifty-six must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -203,7 +203,15 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   memoization shape), the training it applies by unigram_vocab;
 # - gopher_quality_report -> map-only regex/array column battery
 #   shadowed by doc_text_stats (same vectorized string-kernel lane,
-#   same 6-digit ratio grids).
+#   same 6-digit ratio grids);
+# - embedding_pca_components -> the distributed side (dim-wide AVG
+#   agg + Arrow partial bundles) is shadowed by semantic_dedup_corpus
+#   (k-means centroid lane) / near_dup_embedding (gemm bundles); the
+#   driver-side power iteration is novel but its oracle re-derives
+#   every step bit-exactly (the bpe_merge_table precedent);
+# - embedding_pca_projection -> the literal-fold projection scan is
+#   shadowed by similarity_bruteforce_topk (same zip_with/aggregate
+#   dot lane), the training it applies by embedding_pca_components.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -245,6 +253,8 @@ _DEFERRED_ORACLED = [
     "unigram_vocab",
     "unigram_encoded_documents",
     "gopher_quality_report",
+    "embedding_pca_components",
+    "embedding_pca_projection",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

@@ -2366,6 +2366,79 @@ def _gopher_report_sql() -> str:
     )
 
 
+# -- deterministic PCA over embeddings (operators/pca.py) ---------------
+
+# dim is a schema property of the embeddings table (64-d vectors);
+# k=4 with 8 power iterations exercises deflation three times
+_PCA_DIM = 64
+_PCA_K = 4
+_PCA_ITERS = 8
+
+
+def _pca_train(spark: SparkSession, sf_dir: str):
+    from delta_lake_experiment_spark.operators.pca import (
+        covariance_matrix,
+        embedding_mean,
+        power_pca,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mu = embedding_mean(emb, "embedding")
+    cov = covariance_matrix(emb, "embedding", mu)
+    return emb, mu, power_pca(cov, k=_PCA_K, p_iters=_PCA_ITERS)
+
+
+def embedding_pca_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PCA training (operators/pca.py): per-dimension
+    mean + centered covariance in two distributed passes (Arrow
+    partial-Gram bundles — O(partitions·dim²) shuffle), then
+    fixed-iteration power iteration with deflation on O(dim²) driver
+    metadata. Output (component, eigenvalue, pos, loading); the
+    oracle re-derives the whole computation exactly (bit-pinned fold
+    order + DuckDB-replicated rounding — see the module docstring for
+    why grid-aligned state demands more than 'close + rounded')."""
+    _, _, comps = _pca_train(spark, sf_dir)
+    rows = [
+        (c + 1, lam, pos + 1, v[pos])
+        for c, (lam, v) in enumerate(comps)
+        for pos in range(len(v))
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, pos int, loading double"
+    )
+
+
+def _pca_components_sql() -> str:
+    from delta_lake_experiment_spark.operators.pca import pca_components_sql
+
+    return pca_components_sql(
+        "embeddings", "vec_id", "embedding",
+        dim=_PCA_DIM, k=_PCA_K, p_iters=_PCA_ITERS,
+    )
+
+
+def embedding_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-project composition: every embedding's centered
+    projection onto its own corpus's top-k principal components
+    (operators/pca.py::project_embeddings — map-only JVM folds over
+    literal components; projecting 100 TB is one codegen'd scan)."""
+    from delta_lake_experiment_spark.operators.pca import project_embeddings
+
+    emb, mu, comps = _pca_train(spark, sf_dir)
+    return project_embeddings(
+        emb, "vec_id", "embedding", mu, [v for _, v in comps]
+    ).withColumnRenamed("vec_id", "id")
+
+
+def _pca_projection_sql() -> str:
+    from delta_lake_experiment_spark.operators.pca import pca_projection_sql
+
+    return pca_projection_sql(
+        "embeddings", "vec_id", "embedding",
+        dim=_PCA_DIM, k=_PCA_K, p_iters=_PCA_ITERS,
+    )
+
+
 # -- unigram-LM tokenizer training (operators/unigram.py) ---------------
 
 # the synthetic corpus has 24 distinct characters and 31 distinct
@@ -3135,6 +3208,8 @@ QUERIES = {
     "unigram_vocab": unigram_vocab,
     "unigram_encoded_documents": unigram_encoded_documents,
     "gopher_quality_report": gopher_quality_report,
+    "embedding_pca_components": embedding_pca_components,
+    "embedding_pca_projection": embedding_pca_projection,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3204,6 +3279,8 @@ ORACLES = {
     "unigram_vocab": _unigram_vocab_sql(),
     "unigram_encoded_documents": _unigram_encoded_sql(),
     "gopher_quality_report": _gopher_report_sql(),
+    "embedding_pca_components": _pca_components_sql(),
+    "embedding_pca_projection": _pca_projection_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,

@@ -1175,6 +1175,121 @@ def test_extract_features_real_decoder(spark):
         assert feats != pytest.approx([float(x) for x in stub])
 
 
+def test_pca_round_and_fold_parity():
+    """The two parity primitives the PCA lane stands on:
+    _round_like_sql == DuckDB round (including the adversarial
+    near-midpoint region where Python's round disagrees), and
+    _fold_dot == list_dot_product bit-for-bit."""
+    import random
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.pca import (
+        _fold_dot,
+        _round_like_sql,
+    )
+
+    con = duckdb.connect()
+    # the observed production divergence: Python round gives ...997
+    assert _round_like_sql(0.0015239975, 9) == 0.001523998 != round(0.0015239975, 9)
+    rng = random.Random(11)
+    for _ in range(500):
+        mode = rng.randint(0, 2)
+        if mode == 0:
+            x = rng.uniform(-1, 1)
+        elif mode == 1:  # grid-aligned products (the PCA state shape)
+            x = round(rng.uniform(-1, 1), 9) * 0.125 * rng.randint(1, 64)
+        else:  # adversarially near decimal midpoints
+            x = (rng.randint(-(2 * 10**6), 2 * 10**6) * 1e-9
+                 + rng.uniform(-1e-16, 1e-16)) * 0.5
+        assert (
+            _round_like_sql(x, 9)
+            == con.execute("SELECT round(?::DOUBLE, 9)", [x]).fetchone()[0]
+        ), repr(x)
+    for _ in range(100):
+        n = rng.randint(1, 64)
+        a = [round(rng.uniform(-1, 1), 9) for _ in range(n)]
+        b = [round(rng.uniform(-1, 1), 9) for _ in range(n)]
+        got = con.execute(
+            "SELECT list_dot_product(?::DOUBLE[], ?::DOUBLE[])", [a, b]
+        ).fetchone()[0]
+        assert got == _fold_dot(a, b)
+    con.close()
+
+
+def test_pca_train_and_project(spark):
+    """PCA end-to-end on a planted low-rank set: the dominant
+    component aligns with the planted direction, projections are
+    centered, and the DuckDB twins re-derive components AND
+    projections exactly."""
+    import math
+    import random
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.pca import (
+        covariance_matrix,
+        embedding_mean,
+        pca_components_sql,
+        pca_projection_sql,
+        power_pca,
+        project_embeddings,
+    )
+
+    rng = random.Random(5)
+    dim, n = 8, 120
+    # variance 4 along e0+e1, variance ~0.05 elsewhere
+    rows = []
+    for i in range(n):
+        t = rng.gauss(0, 2.0)
+        v = [t / math.sqrt(2), t / math.sqrt(2)] + [0.0] * (dim - 2)
+        v = [round(x + rng.gauss(0, 0.2), 6) for x in v]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mu = embedding_mean(df, "embedding")
+    cov = covariance_matrix(df, "embedding", mu)
+    comps = power_pca(cov, k=3, p_iters=10)
+    lam1, v1 = comps[0]
+    assert lam1 > comps[1][0] and lam1 > comps[2][0]
+    # dominant direction ~ (1/sqrt2, 1/sqrt2, 0...): cos alignment high
+    target = [1 / math.sqrt(2), 1 / math.sqrt(2)] + [0.0] * (dim - 2)
+    align = abs(sum(a * b for a, b in zip(v1, target)))
+    assert align > 0.99, (align, v1)
+    proj = project_embeddings(df, "vec_id", "embedding", mu, [v for _, v in comps])
+    pr = proj.collect()
+    for c in range(3):  # projections of centered data sum to ~0
+        s = sum(r[f"pc{c+1}"] for r in pr)
+        assert abs(s) < 1e-2, (c, s)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pemb(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO pemb VALUES (?, ?)", rows)
+    crows = con.execute(
+        pca_components_sql("pemb", "vec_id", "embedding", dim=dim, k=3, p_iters=10)
+    ).fetchall()
+    for comp, eig, pos, loading in crows:
+        assert eig == comps[comp - 1][0], (comp, eig, comps[comp - 1][0])
+        assert loading == comps[comp - 1][1][pos - 1], (comp, pos)
+    prows = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            pca_projection_sql("pemb", "vec_id", "embedding", dim=dim, k=3, p_iters=10)
+        ).fetchall()
+    }
+    con.close()
+    for r in pr:
+        assert prows[r["vec_id"]] == tuple(r[f"pc{c+1}"] for c in range(3))
+    # validation raises
+    with pytest.raises(ValueError, match="k="):
+        power_pca(cov, k=0)
+    with pytest.raises(ValueError, match="p_iters"):
+        power_pca(cov, k=1, p_iters=0)
+    with pytest.raises(Exception, match="non-NULL"):
+        bad = spark.createDataFrame(
+            [(1, None)], "vec_id long, embedding array<double>"
+        )
+        covariance_matrix(bad, "embedding", [0.0] * dim)
+
+
 def test_gopher_quality_rules(spark):
     """Each Gopher rule fails on a document spiked for exactly that
     rule and passes on the clean control — non-vacuous in both
