@@ -89,6 +89,7 @@ HEADLINE = [
     "gopher_quality_report",
     "embedding_pca_components",
     "embedding_pca_projection",
+    "similarity_pca_topk",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 106 value-oracled queries, fifty-six must sit outside the window. The
+# With 107 value-oracled queries, fifty-seven must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -211,7 +211,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   every step bit-exactly (the bpe_merge_table precedent);
 # - embedding_pca_projection -> the literal-fold projection scan is
 #   shadowed by similarity_bruteforce_topk (same zip_with/aggregate
-#   dot lane), the training it applies by embedding_pca_components.
+#   dot lane), the training it applies by embedding_pca_components;
+# - similarity_pca_topk -> a composition of embedding_pca_projection
+#   (the projections, bit-exact) and top_orders_by_price-class
+#   TakeOrdered; notably the one APPROXIMATE-search lane that is
+#   fully value-oracled (reduced-space distances are bit-identical
+#   across engines by the pca.py fold discipline — no rounding).
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -255,6 +260,7 @@ _DEFERRED_ORACLED = [
     "gopher_quality_report",
     "embedding_pca_components",
     "embedding_pca_projection",
+    "similarity_pca_topk",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

@@ -2439,6 +2439,78 @@ def _pca_projection_sql() -> str:
     )
 
 
+_PCA_QUERY_ID = 7  # corpus vector serving as the search query
+_PCA_TOPK = 10
+
+
+def similarity_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest neighbors in PCA-REDUCED space (the classic
+    dimensionality-reduction ANN composition: project 64-d embeddings
+    to k=4 principal components, search by squared euclidean distance
+    there). Unlike the IVF/PQ lanes (rows-only + recall floors), this
+    approximate-search lane is fully VALUE-oracled: projections ride
+    the bit-exact PCA oracle, and the distance is an un-rounded
+    left-associated sum of squares of grid-aligned projections —
+    bit-identical across engines by the operators/pca.py fold
+    discipline, so no rounding (and no rounding-parity risk) is
+    needed at all. Query = the corpus vector vec_id=7, excluded from
+    its own results; ties broken by id.
+
+    Search QUALITY in reduced space depends on the spectrum: the
+    synthetic fixture embeddings are near-isotropic (top-4
+    eigenvalues all ~0.025 of trace ~1.6), so 4 components retain
+    ~6% of variance and recall vs full-space search is poor — the
+    honest property of PCA reduction on structureless data. The
+    pytest pins high recall on a planted anisotropic corpus, where
+    the method actually applies; this driver query certifies the
+    COMPUTATION (exact, value-oracled), not a recall claim."""
+    emb, mu, comps = _pca_train(spark, sf_dir)
+    from delta_lake_experiment_spark.operators.pca import project_embeddings
+
+    proj = project_embeddings(
+        emb, "vec_id", "embedding", mu, [v for _, v in comps]
+    ).persist()  # consumer releases (functions/cache.py contract)
+    q = proj.filter(F.col("vec_id") == _PCA_QUERY_ID).select(
+        *[F.col(f"pc{c + 1}").alias(f"q{c + 1}") for c in range(_PCA_K)]
+    )
+    dist = None
+    for c in range(_PCA_K):
+        term = (F.col(f"pc{c + 1}") - F.col(f"q{c + 1}")) * (
+            F.col(f"pc{c + 1}") - F.col(f"q{c + 1}")
+        )
+        dist = term if dist is None else dist + term
+    return (
+        proj.filter(F.col("vec_id") != _PCA_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("id"), dist.alias("dist2")
+        )
+        .orderBy(F.col("dist2").asc(), F.col("id").asc())
+        .limit(_PCA_TOPK)
+    )
+
+
+def _similarity_pca_topk_sql() -> str:
+    from delta_lake_experiment_spark.operators.pca import pca_projection_sql
+
+    proj = pca_projection_sql(
+        "embeddings", "vec_id", "embedding",
+        dim=_PCA_DIM, k=_PCA_K, p_iters=_PCA_ITERS,
+    )
+    terms = " + ".join(
+        f"(p.pc{c + 1} - q.pc{c + 1}) * (p.pc{c + 1} - q.pc{c + 1})"
+        for c in range(_PCA_K)
+    )
+    return f"""
+WITH pproj AS MATERIALIZED ({proj})
+SELECT p.id, {terms} AS dist2
+FROM pproj p, (SELECT * FROM pproj WHERE id = {_PCA_QUERY_ID}) q
+WHERE p.id != {_PCA_QUERY_ID}
+ORDER BY dist2 ASC, p.id ASC
+LIMIT {_PCA_TOPK}
+"""
+
+
 # -- unigram-LM tokenizer training (operators/unigram.py) ---------------
 
 # the synthetic corpus has 24 distinct characters and 31 distinct
@@ -3210,6 +3282,7 @@ QUERIES = {
     "gopher_quality_report": gopher_quality_report,
     "embedding_pca_components": embedding_pca_components,
     "embedding_pca_projection": embedding_pca_projection,
+    "similarity_pca_topk": similarity_pca_topk,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3281,6 +3354,7 @@ ORACLES = {
     "gopher_quality_report": _gopher_report_sql(),
     "embedding_pca_components": _pca_components_sql(),
     "embedding_pca_projection": _pca_projection_sql(),
+    "similarity_pca_topk": _similarity_pca_topk_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
