@@ -90,6 +90,7 @@ HEADLINE = [
     "embedding_pca_components",
     "embedding_pca_projection",
     "similarity_pca_topk",
+    "doc_kn_bigram_score",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

@@ -674,3 +674,226 @@ FROM (SELECT id, n_tokens FROM bgp GROUP BY 1, 2
       SELECT id, len(t) FROM bgt WHERE len(t) < 2) b
 LEFT JOIN bga a ON a.id = b.id
 """
+
+
+def kn_discount_estimate(
+    big_counts: DataFrame, round_digits: int = 9
+) -> float:
+    """The Chen–Goodman absolute-discount estimate ``D = n1 / (n1 +
+    2·n2)`` from the bigram count-of-counts (n1/n2 = number of bigram
+    TYPES seen exactly once/twice) — exact integer counts, one tiny
+    aggregate, rounded so both engines hold the identical literal.
+    Raises when the corpus has no singleton/doubleton bigrams (the
+    estimate is undefined; pass an explicit discount)."""
+    row = big_counts.agg(
+        F.sum(F.when(F.col("__cbg") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("__cbg") == 2, 1).otherwise(0)).alias("n2"),
+    ).collect()[0]
+    n1, n2 = int(row["n1"] or 0), int(row["n2"] or 0)
+    if n1 + 2 * n2 == 0:
+        raise ValueError(
+            "kn_discount_estimate: no singleton or doubleton bigrams -"
+            " D = n1/(n1 + 2*n2) is undefined; pass discount= explicitly"
+        )
+    return round(n1 / (n1 + 2 * n2), round_digits)
+
+
+def kn_bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: "float | None" = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document mean INTERPOLATED KNESER-NEY bigram
+    log-probability — ``(id_col, n_tokens, avg_logprob)`` — the
+    next rung above Jelinek-Mercer (:func:`bigram_logprob_scores`)
+    toward KenLM semantics, and the smoothing every production n-gram
+    LM actually ships (Chen & Goodman 1999):
+
+      ``P(w|v) = max(c(v,w) - D, 0)/c(v)
+                 + (D · N1+(v,·)/c(v)) · P_cont(w)``
+      ``P_cont(w) = N1+(·,w) / |distinct bigram types|``
+
+    The continuation probability is KN's insight: a word's backoff
+    mass follows how many distinct CONTEXTS it completes, not its raw
+    frequency — "francisco" is frequent but predictable (one
+    context), so its continuation probability is tiny. ``discount``
+    defaults to the count-of-counts estimate
+    (:func:`kn_discount_estimate`).
+
+    Same pinned semantics as the JM lane: first token unscored (no
+    BOS), < 2-token documents return explicit NULL, NULL text raises.
+    Self-scored, every context is in the model; a frozen-model
+    variant's unseen context degrades to pure continuation mass via
+    the coalesce(0) lanes rather than dropping rows.
+
+    Plan shape: the same map-only sliding-pair explode, then FOUR
+    O(model) aggregates (bigram counts, context counts, distinct
+    -successor counts per context, distinct-context counts per word —
+    the last two are the KN-specific tables) + one scalar type count,
+    probe-joined back and averaged per document. All model sides
+    broadcast at test scale and shuffle-join on hash keys at web
+    scale — nothing quadratic."""
+    toks = F.split(
+        F.lower(
+            F.trim(
+                F.when(F.col(text_col).isNotNull(), F.col(text_col)).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            f"lm: {text_col} is NULL - a NULL text would"
+                            " silently skip scoring (filter upstream)"
+                        )
+                    )
+                )
+            )
+        ),
+        r"\s+",
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__t"),
+        F.size(toks).alias("n_tokens"),
+    )
+    pairs = base.select(
+        "__id",
+        "n_tokens",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__t"), 1, F.greatest(F.size("__t") - 1, F.lit(0))),
+                F.slice(F.col("__t"), 2, F.greatest(F.size("__t") - 1, F.lit(0))),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("__bg"),
+    ).select(
+        "__id",
+        "n_tokens",
+        F.col("__bg.prev").alias("__prev"),
+        F.col("__bg.cur").alias("__cur"),
+    )
+    big = pairs.groupBy("__prev", "__cur").agg(F.count(F.lit(1)).alias("__cbg"))
+    if discount is None:
+        discount = kn_discount_estimate(big)
+    if not 0.0 < float(discount) < 1.0:
+        raise ValueError(
+            f"discount={discount!r} must be in (0, 1) - 0 disables"
+            " smoothing, 1 erases every observed count"
+        )
+    d = float(discount)
+    ctx = pairs.groupBy("__prev").agg(F.count(F.lit(1)).alias("__cctx"))
+    succ = big.groupBy("__prev").agg(F.count(F.lit(1)).alias("__nsucc"))
+    cont = big.groupBy("__cur").agg(F.count(F.lit(1)).alias("__ncont"))
+    types = big.agg(F.count(F.lit(1)).alias("__ntypes"))
+    scored = (
+        pairs.join(big, ["__prev", "__cur"], "left")
+        .join(ctx, "__prev", "left")
+        .join(succ, "__prev", "left")
+        .join(cont, "__cur")
+        .crossJoin(F.broadcast(types))
+        .withColumn(
+            "__pcont",
+            F.col("__ncont").cast("double") / F.col("__ntypes"),
+        )
+        .withColumn(
+            "__p",
+            F.coalesce(
+                F.greatest(
+                    F.col("__cbg").cast("double") - F.lit(d), F.lit(0.0)
+                )
+                / F.col("__cctx"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                (F.lit(d) * F.col("__nsucc")).cast("double") / F.col("__cctx"),
+                F.lit(1.0),
+            )
+            * F.col("__pcont"),
+        )
+    )
+    per_doc = scored.groupBy("__id", "n_tokens").agg(
+        F.round(F.avg(F.log("__p")), round_digits).alias("avg_logprob")
+    )
+    return (
+        base.select("__id", "n_tokens")
+        .join(per_doc.select("__id", "avg_logprob"), "__id", "left")
+        .select(F.col("__id").alias(id_col), "n_tokens", "avg_logprob")
+    )
+
+
+def kn_bigram_logprob_sql(
+    src: str, id_col: str, discount: "float | None" = None,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`kn_bigram_logprob_scores`. With an
+    explicit ``discount`` the same validated literal is embedded;
+    with ``None`` the twin re-derives the count-of-counts estimate
+    in-query (:func:`kn_discount_sql`) — the Spark side's Python
+    ``round(n1/(n1+2·n2), 9)`` and DuckDB's round agree on the
+    generic integer ratio (the standard grid argument), so both
+    engines hold the identical D."""
+    if discount is not None:
+        if not 0.0 < float(discount) < 1.0:
+            raise ValueError(f"discount={discount!r} must be in (0, 1)")
+        d = repr(float(discount))
+    else:
+        d = kn_discount_sql(src)
+    return rf"""
+WITH knt AS (
+  SELECT {id_col} AS id, string_split_regex(lower(trim(text)), '\s+') AS t
+  FROM {src}
+), knp AS (
+  SELECT id, len(t) AS n_tokens,
+    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS prev,
+    unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS cur
+  FROM knt
+), knc AS (
+  SELECT prev, cur, COUNT(*) AS cbg FROM knp GROUP BY 1, 2
+), knx AS (
+  SELECT prev, COUNT(*) AS cctx FROM knp GROUP BY 1
+), kns AS (
+  SELECT prev, COUNT(*) AS nsucc FROM knc GROUP BY 1
+), knw AS (
+  SELECT cur, COUNT(*) AS ncont FROM knc GROUP BY 1
+), knn AS (
+  SELECT COUNT(*) AS ntypes FROM knc
+), knsc AS (
+  SELECT p.id, p.n_tokens,
+    COALESCE(greatest(CAST(c.cbg AS DOUBLE) - {d}, 0.0) / x.cctx, 0.0)
+    + COALESCE(CAST({d} * s.nsucc AS DOUBLE) / x.cctx, 1.0)
+      * (CAST(w.ncont AS DOUBLE) / n.ntypes) AS pr
+  FROM knp p
+  LEFT JOIN knc c ON c.prev = p.prev AND c.cur = p.cur
+  LEFT JOIN knx x ON x.prev = p.prev
+  LEFT JOIN kns s ON s.prev = p.prev
+  JOIN knw w ON w.cur = p.cur, knn n
+), kna AS (
+  SELECT id, n_tokens, round(AVG(ln(pr)), {int(round_digits)}) AS avg_logprob
+  FROM knsc GROUP BY 1, 2
+)
+SELECT b.id AS {id_col}, CAST(b.n_tokens AS INT) AS n_tokens, a.avg_logprob
+FROM (SELECT id, n_tokens FROM knp GROUP BY 1, 2
+      UNION
+      SELECT id, len(t) FROM knt WHERE len(t) < 2) b
+LEFT JOIN kna a ON a.id = b.id
+"""
+
+
+def kn_discount_sql(src: str) -> str:
+    """DuckDB scalar expression for :func:`kn_discount_estimate` over
+    ``src`` carrying (id, text) — for oracle assertions that the
+    resolved discount matches (the driver query embeds the resolved
+    value; this re-derives it)."""
+    return rf"""(
+  SELECT round(
+    CAST(SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / (SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
+       + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END)), 9)
+  FROM (
+    SELECT prev, cur, COUNT(*) AS cbg FROM (
+      SELECT
+        unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS prev,
+        unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS cur
+      FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM {src})
+    ) GROUP BY 1, 2
+  )
+)"""

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 107 value-oracled queries, fifty-seven must sit outside the window. The
+# With 108 value-oracled queries, fifty-eight must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -216,7 +216,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   (the projections, bit-exact) and top_orders_by_price-class
 #   TakeOrdered; notably the one APPROXIMATE-search lane that is
 #   fully value-oracled (reduced-space distances are bit-identical
-#   across engines by the pca.py fold discipline — no rounding).
+#   across engines by the pca.py fold discipline — no rounding);
+# - doc_kn_bigram_score -> the sliding-pair explode + model probe
+#   joins are doc_bigram_score's exact machinery (one extra
+#   distinct-count model table per side); the KN formula is novel but
+#   rides the same certified lane.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -261,6 +265,7 @@ _DEFERRED_ORACLED = [
     "embedding_pca_components",
     "embedding_pca_projection",
     "similarity_pca_topk",
+    "doc_kn_bigram_score",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

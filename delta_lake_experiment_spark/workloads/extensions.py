@@ -2326,6 +2326,31 @@ def _bpe_encoded_sql() -> str:
     )
 
 
+# -- Kneser-Ney bigram LM scoring (operators/lm.py) ---------------------
+
+
+def doc_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram scoring
+    (operators/lm.py::kn_bigram_logprob_scores) — the smoothing
+    production n-gram LMs ship, one rung above the Jelinek-Mercer
+    lane (doc_bigram_score): discounted bigram mass plus
+    continuation-probability backoff (distinct-context counts, not
+    raw frequency). Discount = the Chen-Goodman count-of-counts
+    estimate, resolved from the corpus on both engines."""
+    from delta_lake_experiment_spark.operators.lm import (
+        kn_bigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_logprob_scores(docs, "doc_id", "text")
+
+
+def _doc_kn_bigram_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import kn_bigram_logprob_sql
+
+    return kn_bigram_logprob_sql("documents", "doc_id")
+
+
 # -- Gopher quality-rule gate (operators/text.py) -----------------------
 
 # published thresholds except where the synthetic corpus would make a
@@ -3283,6 +3308,7 @@ QUERIES = {
     "embedding_pca_components": embedding_pca_components,
     "embedding_pca_projection": embedding_pca_projection,
     "similarity_pca_topk": similarity_pca_topk,
+    "doc_kn_bigram_score": doc_kn_bigram_score,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3355,6 +3381,7 @@ ORACLES = {
     "embedding_pca_components": _pca_components_sql(),
     "embedding_pca_projection": _pca_projection_sql(),
     "similarity_pca_topk": _similarity_pca_topk_sql(),
+    "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,

@@ -1307,6 +1307,79 @@ def test_pca_train_and_project(spark):
         covariance_matrix(bad, "embedding", [0.0] * dim)
 
 
+def test_kn_bigram_scores(spark):
+    """Kneser-Ney semantics against an independent dict-based
+    reference (not the SQL twin — that mirrors by construction):
+    discounted bigram mass + continuation backoff, count-of-counts
+    discount, NULL for short docs, and the KN signature property that
+    predictable-but-frequent continuations get LESS backoff mass than
+    versatile ones."""
+    import math
+    from collections import Counter
+
+    from delta_lake_experiment_spark.operators.lm import (
+        kn_bigram_logprob_scores,
+        kn_discount_estimate,
+    )
+
+    docs = [(1, "a b a b a c"), (2, "b a"), (3, "c"), (4, "a b a c b a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    # independent reference
+    pairs_by_doc = {}
+    allp = []
+    for did, t in docs:
+        ts = t.split()
+        ps = list(zip(ts, ts[1:]))
+        pairs_by_doc[did] = ps
+        allp.extend(ps)
+    cbg = Counter(allp)
+    cctx = Counter(p for p, _ in allp)
+    nsucc = Counter(p for p, _ in cbg)
+    ncont = Counter(c for _, c in cbg)
+    ntypes = len(cbg)
+    n1 = sum(1 for v in cbg.values() if v == 1)
+    n2 = sum(1 for v in cbg.values() if v == 2)
+    d = round(n1 / (n1 + 2 * n2), 9)
+
+    def p_kn(v, w):
+        pc = ncont[w] / ntypes
+        return max(cbg[(v, w)] - d, 0.0) / cctx[v] + (d * nsucc[v]) / cctx[v] * pc
+
+    expected = {}
+    for did, ps in pairs_by_doc.items():
+        if not ps:
+            expected[did] = None
+        else:
+            expected[did] = round(
+                sum(math.log(p_kn(v, w)) for v, w in ps) / len(ps), 6
+            )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in kn_bigram_logprob_scores(df, "doc_id", "text").collect()
+    }
+    assert out[3] == (1, None)  # single-token doc: explicit NULL
+    for did, t in docs:
+        assert out[did][1] == expected[did], (did, out[did], expected[did])
+    # the KN signature on this corpus: 'a' is the most FREQUENT
+    # continuation (4 occurrences, all after 'b') yet completes only
+    # one distinct context, while 'b' (3 occurrences) completes two
+    # ('a·b' and 'c·b') — P_cont tracks versatility, not frequency
+    freq = Counter(c for _, c in allp)
+    assert freq["a"] > freq["b"] and ncont["a"] < ncont["b"]
+    # discount estimate matches the reference and is used by default
+    big_like = spark.createDataFrame(
+        [((p, c), v) for (p, c), v in cbg.items()],
+        "bg struct<p:string,c:string>, __cbg long",
+    ).select("__cbg")
+    assert kn_discount_estimate(big_like) == d
+    with pytest.raises(ValueError, match="discount"):
+        kn_bigram_logprob_scores(df, "doc_id", "text", discount=1.5)
+    with pytest.raises(Exception, match="non-NULL|NULL text|silently skip"):
+        bad = spark.createDataFrame([(9, None)], "doc_id long, text string")
+        kn_bigram_logprob_scores(bad, "doc_id", "text", discount=0.75).collect()
+
+
 def test_gopher_quality_rules(spark):
     """Each Gopher rule fails on a document spiked for exactly that
     rule and passes on the clean control — non-vacuous in both
