@@ -880,14 +880,18 @@ LEFT JOIN kna a ON a.id = b.id
 
 def kn_discount_sql(src: str) -> str:
     """DuckDB scalar expression for :func:`kn_discount_estimate` over
-    ``src`` carrying (id, text) — for oracle assertions that the
-    resolved discount matches (the driver query embeds the resolved
-    value; this re-derives it)."""
+    ``src`` carrying (id, text), with the operator's undefined-case
+    raise mirrored via ``error()`` (a zero n1 + 2·n2 denominator
+    would otherwise yield NULL and silently NULL every score)."""
     return rf"""(
   SELECT round(
     CAST(SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-    / (SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
-       + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END)), 9)
+    / (CASE WHEN SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
+            + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) = 0
+       THEN CAST(error('kn oracle: no singleton or doubleton bigrams -'
+                 || ' the discount estimate is undefined') AS BIGINT)
+       ELSE SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
+            + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) END), 9)
   FROM (
     SELECT prev, cur, COUNT(*) AS cbg FROM (
       SELECT

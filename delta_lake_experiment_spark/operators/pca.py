@@ -285,7 +285,15 @@ def _pca_ctes(
 ) -> "tuple[list[str], list[str]]":
     """Shared CTE chain: mean, centered values, covariance, then per
     component the power-iteration steps, eigenvalue, sign fix, and
-    deflation. Returns (ctes, [pvec names per component])."""
+    deflation. Returns (ctes, [pvec names per component]). Static
+    hyperparameters are validated with the operator's own rules (a
+    twin accepting what power_pca rejects is a divergence)."""
+    if dim < 1:
+        raise ValueError(f"dim={dim!r} must be >= 1")
+    if not 1 <= k <= dim:
+        raise ValueError(f"k={k!r} must be in [1, {dim}]")
+    if p_iters < 1:
+        raise ValueError(f"p_iters={p_iters!r} must be >= 1")
     rd = int(round_digits)
     v0 = _round_like_sql(1.0 / math.sqrt(dim), rd)
     # Covariance is positional (i, j, c): its inputs are GENERIC

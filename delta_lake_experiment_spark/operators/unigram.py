@@ -472,7 +472,29 @@ def _unigram_train_ctes(
 ) -> "tuple[list[str], str, int]":
     """The shared training CTE chain: word frequencies, substring
     seeding + cap, then per round ``em_iters`` EM steps and one prune.
-    Returns (ctes, final_state_name, next_free_step_index)."""
+    Returns (ctes, final_state_name, next_free_step_index).
+
+    Mirrors the operator's validation (a twin accepting what the
+    operator rejects is a divergence — the epoch_plan_sql convention):
+    static hyperparameters are checked here in Python; the
+    data-dependent alphabet-size check (vocab_size must cover every
+    corpus character) becomes an in-query ``error()`` guard riding
+    the seed state."""
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size={vocab_size!r} must be >= 1")
+    if rounds < 1 or em_iters < 1:
+        raise ValueError("rounds and em_iters must be >= 1")
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len={max_piece_len!r} must be >= 1")
+    if not 0.0 < prune_frac < 1.0:
+        raise ValueError(f"prune_frac={prune_frac!r} must be in (0, 1)")
+    if max_candidates < vocab_size:
+        raise ValueError(
+            f"max_candidates={max_candidates} must be >= vocab_size="
+            f"{vocab_size}"
+        )
+    if min_freq < 1:
+        raise ValueError(f"min_freq={min_freq!r} must be >= 1")
     ctes = [
         rf"""u_w AS MATERIALIZED (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
@@ -492,12 +514,22 @@ def _unigram_train_ctes(
     )
   ) GROUP BY piece
 )""",
+        f"""u_alpha_ok AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM u_seed WHERE len(piece) = 1)
+              > {int(vocab_size)}
+    THEN CAST(error('unigram oracle: vocab_size={int(vocab_size)} is below'
+               || ' the corpus alphabet size - every character must fit')
+         AS INT)
+    ELSE 1 END AS ok
+)""",
         f"""u_s0 AS MATERIALIZED (
+  SELECT piece, cnt FROM (
 {_prune_select(
     "u_seed",
     f"{int(max_candidates)}"
     " - (SELECT COUNT(*) FROM u_seed WHERE len(piece) = 1)",
 )}
+  ), u_alpha_ok
 )""",
     ]
     state = "u_s0"

@@ -2488,7 +2488,10 @@ def similarity_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest property of PCA reduction on structureless data. The
     pytest pins high recall on a planted anisotropic corpus, where
     the method actually applies; this driver query certifies the
-    COMPUTATION (exact, value-oracled), not a recall claim."""
+    COMPUTATION (exact, value-oracled), not a recall claim. The
+    query id is fixture-pinned: an absent id would yield an empty
+    result on BOTH engines, which the driver's row-count record
+    (10 rows expected) makes visible rather than vacuous."""
     emb, mu, comps = _pca_train(spark, sf_dir)
     from delta_lake_experiment_spark.operators.pca import project_embeddings
 
