@@ -91,6 +91,7 @@ HEADLINE = [
     "embedding_pca_projection",
     "similarity_pca_topk",
     "doc_kn_bigram_score",
+    "ccnet_perplexity_buckets",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 108 value-oracled queries, fifty-eight must sit outside the window. The
+# With 109 value-oracled queries, fifty-nine must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -220,7 +220,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - doc_kn_bigram_score -> the sliding-pair explode + model probe
 #   joins are doc_bigram_score's exact machinery (one extra
 #   distinct-count model table per side); the KN formula is novel but
-#   rides the same certified lane.
+#   rides the same certified lane;
+# - ccnet_perplexity_buckets -> a composition of doc_lm_score (the
+#   scoring, verbatim) and latest_event_per_user-class per-group
+#   windows (NTILE instead of row_number).
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -266,6 +269,7 @@ _DEFERRED_ORACLED = [
     "embedding_pca_projection",
     "similarity_pca_topk",
     "doc_kn_bigram_score",
+    "ccnet_perplexity_buckets",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

@@ -2326,6 +2326,60 @@ def _bpe_encoded_sql() -> str:
     )
 
 
+# -- CCNet perplexity buckets (composition over operators/lm.py) --------
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet corpus-partitioning step (Wenzek et al. 2020): score
+    every document by its LM perplexity proxy (mean unigram
+    log-probability — doc_lm_score's lane) and split each LANGUAGE
+    into head/middle/tail terciles — head = most-fluent third, the
+    slice CCNet keeps for LM pretraining; tail = the crawl noise.
+    NTILE over (avg_logprob desc, doc_id) with the unique-id
+    tie-break, so the bucketing is engine-deterministic (both engines
+    implement SQL-standard floor-distribution NTILE). Per-language
+    windows — thousands of independent partitions at corpus scale, no
+    global sort."""
+    from pyspark.sql import Window
+
+    from delta_lake_experiment_spark.operators.lm import (
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob_scores(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    tercile = F.ntile(3).over(w)
+    bucket = (
+        F.when(tercile == 1, F.lit("head"))
+        .when(tercile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "lang", "avg_logprob", bucket.alias("ppl_bucket")
+    )
+
+
+def _ccnet_buckets_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import unigram_logprob_sql
+
+    return (
+        "WITH ccs AS MATERIALIZED ("
+        + unigram_logprob_sql("documents", "doc_id", "text")
+        + """)
+SELECT s.id AS doc_id, d.lang, s.avg_logprob,
+  CASE NTILE(3) OVER (
+    PARTITION BY d.lang ORDER BY s.avg_logprob DESC, s.id ASC
+  ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM ccs s JOIN documents d ON d.doc_id = s.id
+"""
+    )
+
+
 # -- Kneser-Ney bigram LM scoring (operators/lm.py) ---------------------
 
 
@@ -3312,6 +3366,7 @@ QUERIES = {
     "embedding_pca_projection": embedding_pca_projection,
     "similarity_pca_topk": similarity_pca_topk,
     "doc_kn_bigram_score": doc_kn_bigram_score,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3385,6 +3440,7 @@ ORACLES = {
     "embedding_pca_projection": _pca_projection_sql(),
     "similarity_pca_topk": _similarity_pca_topk_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
+    "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,

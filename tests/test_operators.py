@@ -1307,6 +1307,30 @@ def test_pca_train_and_project(spark):
         covariance_matrix(bad, "embedding", [0.0] * dim)
 
 
+def test_ccnet_perplexity_buckets(spark):
+    """Tercile invariants of the CCNet partition on the fixture:
+    per-language bucket sizes balanced to within one (NTILE floor
+    distribution) and the score ordering head >= middle >= tail."""
+    from collections import Counter
+
+    from delta_lake_experiment_spark.workloads.extensions import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2
+    for lang, rs in by_lang.items():
+        sizes = Counter(r["ppl_bucket"] for r in rs)
+        assert set(sizes) <= {"head", "middle", "tail"}
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        lo_head = min(r["avg_logprob"] for r in rs if r["ppl_bucket"] == "head")
+        hi_tail = max(r["avg_logprob"] for r in rs if r["ppl_bucket"] == "tail")
+        assert lo_head >= hi_tail, lang
+
+
 def test_kn_bigram_scores(spark):
     """Kneser-Ney semantics against an independent dict-based
     reference (not the SQL twin — that mirrors by construction):
