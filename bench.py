@@ -92,6 +92,7 @@ HEADLINE = [
     "similarity_pca_topk",
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
+    "corpus_topic_report",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

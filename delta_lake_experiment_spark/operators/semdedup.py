@@ -176,6 +176,31 @@ def deterministic_kmeans(
     return cents
 
 
+def kmeans_assignments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    salt: str = "sem",
+    round_digits: int = 9,
+) -> DataFrame:
+    """(id_col, cluster) — just the deterministic k-means assignment,
+    for consumers that want the CLUSTERING without the dedup pair
+    search (topic reports, stratified sampling by semantic cluster,
+    per-cluster routing). Same seeds/rounding/tie-breaks as
+    :func:`semantic_dedup`; the oracle fragment is
+    :func:`semantic_pair_ctes`'s ``sfinal``."""
+    cents = deterministic_kmeans(
+        df, id_col, vec_col, k=k, iters=iters, salt=salt,
+        round_digits=round_digits,
+    )
+    return df.select(
+        F.col(id_col),
+        _nearest(_norm_checked(vec_col), cents, round_digits).alias("cluster"),
+    )
+
+
 def _assigned_and_pairs(
     df: DataFrame,
     id_col: str,

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 109 value-oracled queries, fifty-nine must sit outside the window. The
+# With 110 value-oracled queries, sixty must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -223,7 +223,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   rides the same certified lane;
 # - ccnet_perplexity_buckets -> a composition of doc_lm_score (the
 #   scoring, verbatim) and latest_event_per_user-class per-group
-#   windows (NTILE instead of row_number).
+#   windows (NTILE instead of row_number);
+# - corpus_topic_report -> the Lloyd assignment is
+#   semantic_dedup_corpus's certified chain (kmeans_assignments /
+#   sfinal), the token counts + per-group rank are corpus_vocab /
+#   latest_event_per_user machinery.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -270,6 +274,7 @@ _DEFERRED_ORACLED = [
     "similarity_pca_topk",
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
+    "corpus_topic_report",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

@@ -2326,6 +2326,97 @@ def _bpe_encoded_sql() -> str:
     )
 
 
+# -- corpus topic report (k-means clusters + salient terms) -------------
+
+_TOPIC_TOP_TERMS = 3
+
+
+def corpus_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"What is in my corpus" — the dataset-card topic discovery
+    query: deterministic k-means over the embeddings
+    (operators/semdedup.py::kmeans_assignments — same certified
+    Lloyd chain as semantic dedup), each cluster summarized by size
+    and its top salient terms, ranked by lift-ish count within the
+    cluster (count desc, term asc ties). Output (cluster, n_docs,
+    rank, term, term_count). One cluster-assignment pass + one token
+    explode + two aggregations — the embedding and text lanes joined
+    into a human-readable report."""
+    from delta_lake_experiment_spark.operators.semdedup import (
+        kmeans_assignments,
+    )
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = kmeans_assignments(
+        emb, "vec_id", "embedding", k=_SEM_K, iters=_SEM_ITERS, salt=_SEM_SALT
+    ).withColumnRenamed("vec_id", "doc_id")
+    toks = docs.join(assigned, "doc_id").select(
+        "cluster",
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("term"),
+    )
+    sizes = assigned.groupBy("cluster").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    counts = toks.groupBy("cluster", "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPIC_TOP_TERMS)
+    )
+    return (
+        top.join(F.broadcast(sizes), "cluster")
+        .select("cluster", "n_docs", "rank", "term", "term_count")
+    )
+
+
+def _corpus_topic_report_sql() -> str:
+    from delta_lake_experiment_spark.operators.semdedup import (
+        semantic_pair_ctes,
+    )
+
+    # semantic_pair_ctes ends at sem_pairs, but DuckDB prunes
+    # unreferenced CTEs — only the Lloyd chain through sfinal (i = id,
+    # j = cluster) is evaluated here
+    ctes = semantic_pair_ctes(
+        "embeddings", "vec_id", "embedding",
+        k=_SEM_K, iters=_SEM_ITERS, salt=_SEM_SALT,
+    )
+    return rf"""
+WITH {ctes},
+tr_toks AS MATERIALIZED (
+  SELECT f.j AS cluster, d.doc_id,
+    unnest(list_filter(string_split_regex(lower(trim(d.text)), '\s+'),
+                       w -> w <> '')) AS term
+  FROM documents d JOIN sfinal f ON f.i = d.doc_id
+), tr_sizes AS (
+  SELECT j AS cluster, COUNT(DISTINCT i) AS n_docs FROM sfinal GROUP BY j
+), tr_counts AS (
+  SELECT cluster, term, COUNT(*) AS term_count
+  FROM tr_toks GROUP BY 1, 2
+), tr_top AS (
+  SELECT cluster, term, term_count,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY cluster ORDER BY term_count DESC, term ASC
+    ) AS INT) AS rank
+  FROM tr_counts
+)
+SELECT t.cluster, s.n_docs, t.rank, t.term, t.term_count
+FROM tr_top t JOIN tr_sizes s USING (cluster)
+WHERE t.rank <= {_TOPIC_TOP_TERMS}
+"""
+
+
 # -- CCNet perplexity buckets (composition over operators/lm.py) --------
 
 
@@ -3367,6 +3458,7 @@ QUERIES = {
     "similarity_pca_topk": similarity_pca_topk,
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "corpus_topic_report": corpus_topic_report,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3441,6 +3533,7 @@ ORACLES = {
     "similarity_pca_topk": _similarity_pca_topk_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
+    "corpus_topic_report": _corpus_topic_report_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
