@@ -93,6 +93,7 @@ HEADLINE = [
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
     "corpus_topic_report",
+    "tokenizer_fertility_report",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "similarity_pq_topk",

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 110 value-oracled queries, sixty must sit outside the window. The
+# With 111 value-oracled queries, sixty-one must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -227,7 +227,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - corpus_topic_report -> the Lloyd assignment is
 #   semantic_dedup_corpus's certified chain (kmeans_assignments /
 #   sfinal), the token counts + per-group rank are corpus_vocab /
-#   latest_event_per_user machinery.
+#   latest_event_per_user machinery;
+# - tokenizer_fertility_report -> a pure composition of
+#   bpe_merge_table/bpe_encoded_documents + unigram_vocab/
+#   unigram_encoded_documents (each end-to-end oracled) into corpus
+#   totals; the comparison framing is the novelty.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -275,6 +279,7 @@ _DEFERRED_ORACLED = [
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
     "corpus_topic_report",
+    "tokenizer_fertility_report",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
     "corpus_span_dedup",

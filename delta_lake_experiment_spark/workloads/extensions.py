@@ -2326,6 +2326,127 @@ def _bpe_encoded_sql() -> str:
     )
 
 
+# -- tokenizer fertility report (BPE vs unigram, one corpus) ------------
+
+
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-selection query: train BOTH subword families on
+    the corpus (BPE merges, unigram EM-prune — each already
+    value-oracled end-to-end) and compare their compression on the
+    SAME text: corpus totals, fertility (tokens per word — the
+    standard tokenizer-quality metric), and chars per token. One row
+    per tokenizer; every number a 6-digit-rounded ratio of exact
+    integer counts. Output (tokenizer, total_tokens, total_words,
+    fertility, chars_per_token)."""
+    from delta_lake_experiment_spark.operators.bpe import bpe_encode, bpe_train
+    from delta_lake_experiment_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", _BPE_MERGES)
+    pieces = unigram_train(docs, "text", **_UNIGRAM_KW)
+    rows = []
+    for name, enc, tok_col in (
+        ("bpe", bpe_encode(docs, "doc_id", "text", merges), "n_bpe_tokens"),
+        (
+            "unigram",
+            unigram_encode(
+                docs, "doc_id", "text", pieces,
+                max_piece_len=_UNIGRAM_KW["max_piece_len"],
+            ),
+            "n_unigram_tokens",
+        ),
+    ):
+        agg = enc.agg(
+            F.sum(tok_col).alias("tt"),
+            F.sum(
+                F.aggregate(
+                    F.col("tokens"), F.lit(0), lambda a, t: a + F.length(t)
+                )
+            ).alias("tc"),
+        ).collect()[0]
+        rows.append((name, int(agg["tt"]), int(agg["tc"])))
+    wrow = docs.agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda w: w != "",
+                )
+            )
+        ).alias("tw")
+    ).collect()[0]
+    tw = int(wrow["tw"])
+    out = [
+        (
+            name,
+            tt,
+            tw,
+            round(tt / tw, 6),
+            round(tc / tt, 6),
+        )
+        for name, tt, tc in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "tokenizer string, total_tokens bigint, total_words bigint,"
+        " fertility double, chars_per_token double",
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    from delta_lake_experiment_spark.operators.bpe import bpe_encoded_sql
+    from delta_lake_experiment_spark.operators.unigram import (
+        unigram_encoded_sql,
+    )
+
+    # both encode twins yield per-doc token counts; token CHAR totals
+    # need the actual pieces, so re-derive from the final segmentations
+    # (words{k} for BPE, u_seg for unigram) weighted by word usage
+    words = r"""
+  SELECT word, COUNT(*) AS wfreq FROM (
+    SELECT unnest(list_filter(
+      string_split_regex(lower(trim(text)), '\s+'), w -> w <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+"""
+    return rf"""
+WITH bpe_enc AS MATERIALIZED (
+  SELECT id, n_bpe_tokens FROM (
+    {bpe_encoded_sql("documents", "doc_id", "text", _BPE_MERGES)}
+  )
+), uni_enc AS MATERIALIZED (
+  SELECT id, n_unigram_tokens FROM (
+    {unigram_encoded_sql("documents", "doc_id", "text", **_UNIGRAM_KW)}
+  )
+), wtot AS (
+  SELECT CAST(SUM(wfreq) AS BIGINT) AS tw FROM ({words})
+), ctot AS (
+  -- corpus characters == sum over words of len(word) * freq: both
+  -- tokenizers SEGMENT words (pieces concatenate back exactly), so
+  -- total token chars equals total word chars for each family
+  SELECT CAST(SUM(len(word) * wfreq) AS BIGINT) AS tc FROM ({words})
+)
+SELECT 'bpe' AS tokenizer,
+  (SELECT CAST(SUM(n_bpe_tokens) AS BIGINT) FROM bpe_enc) AS total_tokens,
+  (SELECT tw FROM wtot) AS total_words,
+  round(CAST((SELECT SUM(n_bpe_tokens) FROM bpe_enc) AS DOUBLE)
+        / (SELECT tw FROM wtot), 6) AS fertility,
+  round(CAST((SELECT tc FROM ctot) AS DOUBLE)
+        / (SELECT SUM(n_bpe_tokens) FROM bpe_enc), 6) AS chars_per_token
+UNION ALL
+SELECT 'unigram',
+  (SELECT CAST(SUM(n_unigram_tokens) AS BIGINT) FROM uni_enc),
+  (SELECT tw FROM wtot),
+  round(CAST((SELECT SUM(n_unigram_tokens) FROM uni_enc) AS DOUBLE)
+        / (SELECT tw FROM wtot), 6),
+  round(CAST((SELECT tc FROM ctot) AS DOUBLE)
+        / (SELECT SUM(n_unigram_tokens) FROM uni_enc), 6)
+"""
+
+
 # -- corpus topic report (k-means clusters + salient terms) -------------
 
 _TOPIC_TOP_TERMS = 3
@@ -3459,6 +3580,7 @@ QUERIES = {
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "corpus_topic_report": corpus_topic_report,
+    "tokenizer_fertility_report": tokenizer_fertility_report,
     "corpus_vocab": corpus_vocab,
     "encoded_documents": encoded_documents,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
@@ -3534,6 +3656,7 @@ ORACLES = {
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
     "corpus_topic_report": _corpus_topic_report_sql(),
+    "tokenizer_fertility_report": _tokenizer_fertility_sql(),
     "corpus_vocab": CORPUS_VOCAB_SQL,
     "encoded_documents": ENCODED_DOCUMENTS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
