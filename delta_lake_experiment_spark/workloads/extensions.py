@@ -2764,8 +2764,15 @@ def similarity_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = project_embeddings(
         emb, "vec_id", "embedding", mu, [v for _, v in comps]
     ).persist()  # consumer releases (functions/cache.py contract)
-    q = proj.filter(F.col("vec_id") == _PCA_QUERY_ID).select(
-        *[F.col(f"pc{c + 1}").alias(f"q{c + 1}") for c in range(_PCA_K)]
+    # limit(1) bounds the broadcast EXPLICITLY in the plan (vec_id is
+    # unique, so it changes nothing semantically; the plan audit
+    # rightly refuses fact-derived broadcasts without a bounding node)
+    q = (
+        proj.filter(F.col("vec_id") == _PCA_QUERY_ID)
+        .select(
+            *[F.col(f"pc{c + 1}").alias(f"q{c + 1}") for c in range(_PCA_K)]
+        )
+        .limit(1)
     )
     dist = None
     for c in range(_PCA_K):
