@@ -12,7 +12,6 @@ driver-side collect skew). Run locally while iterating:
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import re

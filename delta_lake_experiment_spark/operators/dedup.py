@@ -553,11 +553,16 @@ def embedding_near_duplicates(
                     if not len(ii):
                         continue
                     ia, ib = ids_a[ii], ids_b[jj]
+                    # np.where, not np.minimum/maximum: no string
+                    # loops for the min/max ufuncs on numpy 1.x, and
+                    # the id type is caller-defined
+                    lo = np.where(ia < ib, ia, ib)
+                    hi = np.where(ia < ib, ib, ia)
                     parts.append(
                         pd.DataFrame(
                             {
-                                "id_a": np.minimum(ia, ib),
-                                "id_b": np.maximum(ia, ib),
+                                "id_a": lo,
+                                "id_b": hi,
                                 "cos_sim": cos[ii, jj],
                             }
                         )

@@ -685,6 +685,8 @@ def kn_discount_estimate(
     aggregate, rounded so both engines hold the identical literal.
     Raises when the corpus has no singleton/doubleton bigrams (the
     estimate is undefined; pass an explicit discount)."""
+    from delta_lake_experiment_spark.functions.rounding import round_like_sql
+
     row = big_counts.agg(
         F.sum(F.when(F.col("__cbg") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("__cbg") == 2, 1).otherwise(0)).alias("n2"),
@@ -695,7 +697,9 @@ def kn_discount_estimate(
             "kn_discount_estimate: no singleton or doubleton bigrams -"
             " D = n1/(n1 + 2*n2) is undefined; pass discount= explicitly"
         )
-    return round(n1 / (n1 + 2 * n2), round_digits)
+    # round_like_sql, not round: the ratio of exact integer counts can
+    # sit exactly on a decimal midpoint (functions/rounding.py)
+    return round_like_sql(n1 / (n1 + 2 * n2), round_digits)
 
 
 def kn_bigram_logprob_scores(
@@ -880,10 +884,20 @@ LEFT JOIN kna a ON a.id = b.id
 
 def kn_discount_sql(src: str) -> str:
     """DuckDB scalar expression for :func:`kn_discount_estimate` over
-    ``src`` carrying (id, text), with the operator's undefined-case
-    raise mirrored via ``error()`` (a zero n1 + 2·n2 denominator
-    would otherwise yield NULL and silently NULL every score)."""
+    ``src`` carrying (id, text), with the OPERATOR's full rejection
+    surface mirrored via ``error()``: the undefined zero n1 + 2·n2
+    denominator, AND the endpoint discounts the scoring operator
+    rejects (n1 = 0 gives D = 0, which disables smoothing; n2 = 0
+    gives D = 1, which erases every observed count — the Spark side
+    raises on both via the 0 < D < 1 validation, so a twin that ran
+    with them would accept what the operator rejects)."""
     return rf"""(
+  SELECT CASE
+    WHEN d <= 0.0 OR d >= 1.0
+    THEN CAST(error('kn oracle: count-of-counts discount ' || d ||
+              ' is outside (0, 1) - pass discount= explicitly') AS DOUBLE)
+    ELSE d END
+  FROM (
   SELECT round(
     CAST(SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END) AS DOUBLE)
     / (CASE WHEN SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
@@ -891,7 +905,7 @@ def kn_discount_sql(src: str) -> str:
        THEN CAST(error('kn oracle: no singleton or doubleton bigrams -'
                  || ' the discount estimate is undefined') AS BIGINT)
        ELSE SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
-            + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) END), 9)
+            + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) END), 9) AS d
   FROM (
     SELECT prev, cur, COUNT(*) AS cbg FROM (
       SELECT
@@ -899,5 +913,6 @@ def kn_discount_sql(src: str) -> str:
         unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS cur
       FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS t FROM {src})
     ) GROUP BY 1, 2
+  )
   )
 )"""

@@ -107,10 +107,21 @@ def extract_features(
     decode = decoder if decoder is not None else _decode_payload
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def checked(p, k) -> np.ndarray:
+            arr = np.asarray(decode(p, k, out_dim), dtype=np.float32)
+            if arr.shape != (out_dim,):
+                # a wrong-width decoder would otherwise emit ragged
+                # array<float> rows that crash (or silently mis-score)
+                # far downstream in zip_with consumers
+                raise ValueError(
+                    f"extract_features: decoder returned shape"
+                    f" {arr.shape} for kind={k!r}, expected ({out_dim},)"
+                )
+            return arr
+
         for pdf in it:
             feats = [
-                np.asarray(decode(p, k, out_dim), dtype=np.float32)
-                for p, k in zip(pdf["payload"], pdf["kind"])
+                checked(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             cols = {
                 "media_id": pdf["media_id"],

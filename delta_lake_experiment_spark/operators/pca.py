@@ -54,15 +54,21 @@ def embedding_mean(
     """Per-dimension mean of an embedding column, each coordinate
     rounded — one aggregation of ``dim`` map-side-combined AVG columns
     (the deterministic-kmeans centroid-update shape). NULL vectors
-    raise via the first element access of the aggregate (mirrors the
-    semdedup NULL contract upstream callers enforce)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if first is None:
+    RAISE in-plan (``null_checked``): AVG would otherwise silently
+    skip them, skewing the mean over the non-NULL subset while the
+    covariance pass crashed on the same data — the
+    two-different-behaviors-for-one-bad-input failure mode the guard
+    convention exists for."""
+    from delta_lake_experiment_spark.functions.guards import null_checked
+
+    vec = null_checked(F.col(vec_col), "embedding_mean", f"vector {vec_col!r}")
+    first = df.select(F.size(vec).alias("d")).first()
+    if first is None or first["d"] is None:
         raise ValueError("embedding_mean: empty input")
     dim = int(first["d"])
     row = df.agg(
         *[
-            F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+            F.avg(F.element_at(vec, i + 1)).alias(f"m{i}")
             for i in range(dim)
         ]
     ).collect()[0]
@@ -128,30 +134,14 @@ def covariance_matrix(
     ]
 
 
-def _round_like_sql(x: float, digits: int) -> float:
-    """DuckDB's ``round(x, d)`` replicated bit-for-bit: scale by the
-    (exactly representable) power of ten, round the SCALED DOUBLE half
-    away from zero, divide back. This is NOT Python's ``round`` —
-    Python correctly rounds the double's exact decimal value, DuckDB
-    rounds the scaled double, and the two disagree when ``x`` sits
-    within the scaling error (~1e-17) of a decimal midpoint. That
-    region is measure-zero for generic values (why every other lane's
-    plain ``round`` has never mismatched) but the PCA power
-    iteration's state is GRID-ALIGNED, so its matvec sums land near
-    midpoints structurally — observed: 3/64 coordinates of the very
-    first matvec flipped. 30 000-case fuzz (generic + grid-aligned +
-    near-midpoint adversarial) pins this replication equal to DuckDB;
-    pytest re-checks the adversarial cases."""
-    p = float(10 ** digits)
-    y = x * p
-    if y >= 0:
-        n = math.floor(y)
-        r = n + 1 if y - n >= 0.5 else n
-    else:
-        a = -y
-        n = math.floor(a)
-        r = -(n + 1) if a - n >= 0.5 else -n
-    return r / p
+# re-exported here because this lane DISCOVERED the mismatch class
+# (grid-aligned matvec sums landing near decimal midpoints — observed:
+# 3/64 coordinates of the very first power-iteration matvec flipped
+# between Python round and DuckDB round); the shared home documents
+# both reachable input classes
+from delta_lake_experiment_spark.functions.rounding import (  # noqa: E402
+    round_like_sql as _round_like_sql,
+)
 
 
 def _fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
@@ -307,7 +297,14 @@ def _pca_ctes(
         f"""pe AS MATERIALIZED (
   SELECT {id_col} AS id,
     unnest(generate_series(1, len(v))) AS i, unnest(v) AS x
-  FROM (SELECT {id_col}, CAST({vec_col} AS DOUBLE[]) AS v FROM {src})
+  FROM (
+    SELECT {id_col},
+      CASE WHEN {vec_col} IS NULL
+        THEN CAST(error('pca oracle: vector {vec_col} is NULL - must be'
+                  || ' non-NULL (filter or coalesce upstream)') AS DOUBLE[])
+        ELSE CAST({vec_col} AS DOUBLE[]) END AS v
+    FROM {src}
+  )
 )""",
         f"""pmu AS MATERIALIZED (
   SELECT i, round(AVG(x), {rd}) AS m FROM pe GROUP BY i

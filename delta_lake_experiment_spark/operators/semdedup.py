@@ -311,14 +311,13 @@ def _assigned_and_pairs(
                     if not len(ii):
                         continue
                     ia, ib = ids_a[ii], ids_b[jj]
-                    parts.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": np.minimum(ia, ib),
-                                "id_b": np.maximum(ia, ib),
-                            }
-                        )
-                    )
+                    # np.where, not np.minimum/maximum: the min/max
+                    # ufuncs have no string loops on numpy 1.x, and
+                    # id_dt is derived generically so string ids are
+                    # in-contract ('<' comparisons do support strings)
+                    lo = np.where(ia < ib, ia, ib)
+                    hi = np.where(ia < ib, ib, ia)
+                    parts.append(pd.DataFrame({"id_a": lo, "id_b": hi}))
                 if parts:
                     yield pd.concat(parts, ignore_index=True)
 

@@ -111,13 +111,24 @@ def _logp_table(
     total, grid); logp = round(ln(prob), grid), or FLOOR_LOGP when the
     prob rounds to zero. Keeping the STATE as integers (not floats)
     means renormalization after a prune is implicit and exact — no
-    order-sensitive float summation ever enters the loop."""
+    order-sensitive float summation ever enters the loop.
+
+    Rounding uses the DuckDB-replicated ``round_like_sql``, not
+    Python's ``round``: an exact integer ratio with a power-of-two
+    total (e.g. ``1/1024``) sits EXACTLY on a decimal-9 midpoint,
+    where the two rounding functions provably disagree — the
+    functions/rounding.py mismatch class, structural for count
+    statistics, not measure-zero."""
+    from delta_lake_experiment_spark.functions.rounding import round_like_sql
+
     total = sum(counts.values())
     out: "dict[str, float]" = {}
     for piece, cnt in counts.items():
-        prob = round(cnt / total, round_digits)
+        prob = round_like_sql(cnt / total, round_digits)
         out[piece] = (
-            round(math.log(prob), round_digits) if prob > 0 else FLOOR_LOGP
+            round_like_sql(math.log(prob), round_digits)
+            if prob > 0
+            else FLOOR_LOGP
         )
     return out
 
@@ -393,12 +404,20 @@ def _prune_select(src_table: str, keep_non_sql: str) -> str:
 
 
 def _em_step_ctes(
-    j: int, state: str, max_piece_len: int, round_digits: int
+    j: int,
+    state: str,
+    max_piece_len: int,
+    round_digits: int,
+    words_table: str = "u_w",
 ) -> "tuple[list[str], str]":
     """CTEs for one hard-EM step from counts table ``state``:
     log-probs, Viterbi DP (recursive), backtrack (recursive), piece
     counts, next counts state (characters persist at zero; zero-count
-    non-characters drop out). Returns (ctes, next_state_name)."""
+    non-characters drop out). Returns (ctes, next_state_name).
+    ``words_table`` is the (word, freq) relation the DP runs over —
+    training uses the min_freq-filtered ``u_w``; the encode pass uses
+    the UNFILTERED corpus words (the operator encodes every word, not
+    just the trained-on ones)."""
     rd = int(round_digits)
     cands = ",\n      ".join(
         f"CASE WHEN p{ln}.piece IS NOT NULL THEN "
@@ -423,7 +442,7 @@ def _em_step_ctes(
   )
 )""",
         f"""u_dp{j}(word, freq, sc) AS (
-  SELECT word, freq, [{{'s': CAST(0.0 AS DOUBLE), 'l': 0}}] FROM u_w
+  SELECT word, freq, [{{'s': CAST(0.0 AS DOUBLE), 'l': 0}}] FROM {words_table}
   UNION ALL
   SELECT d.word, d.freq, list_append(d.sc, list_max([
       {cands}
@@ -515,7 +534,11 @@ def _unigram_train_ctes(
   ) GROUP BY piece
 )""",
         f"""u_alpha_ok AS MATERIALIZED (
-  SELECT CASE WHEN (SELECT COUNT(*) FROM u_seed WHERE len(piece) = 1)
+  SELECT CASE
+    WHEN (SELECT COUNT(*) FROM u_seed WHERE len(piece) = 1) = 0
+    THEN CAST(error('unigram oracle: empty corpus - no characters to'
+               || ' seed (the operator raises here too)') AS INT)
+    WHEN (SELECT COUNT(*) FROM u_seed WHERE len(piece) = 1)
               > {int(vocab_size)}
     THEN CAST(error('unigram oracle: vocab_size={int(vocab_size)} is below'
                || ' the corpus alphabet size - every character must fit')
@@ -624,13 +647,35 @@ def unigram_encoded_sql(
         src, text_sql, vocab_size, rounds, em_iters, max_piece_len,
         max_candidates, prune_frac, round_digits, min_freq,
     )
-    # one more DP/backtrack under the final vocabulary (its next-state
-    # CTE is emitted but unused — the segmentation rides u_bt{j})
-    enc_ctes, _ = _em_step_ctes(j, state, max_piece_len, round_digits)
+    # one more DP/backtrack under the final vocabulary, over the
+    # UNFILTERED corpus words — the operator encodes every word, so
+    # with min_freq > 1 the u_w table (training's vocabulary floor)
+    # is the wrong relation here: joining it would silently drop
+    # below-floor words from the token stream (its next-state CTE is
+    # emitted but unused — the segmentation rides u_bt{j})
+    ctes.append(
+        rf"""u_w_all AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim({text_sql})), '\s+')) AS word
+    FROM {src}
+  ) WHERE word <> '' GROUP BY word
+)"""
+    )
+    enc_ctes, _ = _em_step_ctes(
+        j, state, max_piece_len, round_digits, words_table="u_w_all"
+    )
     ctes.extend(enc_ctes)
+    # the operator RAISES on a word whose characters fall outside the
+    # trained alphabet (possible when min_freq pruned them); a NULL
+    # Viterbi cell would instead ride silently through substr — raise
+    # via error() the moment any DP cell is NULL
     ctes.append(
         f"""u_seg AS MATERIALIZED (
-  SELECT word, list(substr(word, pos - l + 1, l) ORDER BY pos ASC) AS subs
+  SELECT word,
+    list(CASE WHEN l IS NULL
+      THEN error('unigram oracle: unsegmentable word (character outside'
+                 || ' the trained alphabet): ' || word)
+      ELSE substr(word, pos - l + 1, l) END ORDER BY pos ASC) AS subs
   FROM u_bt{j} GROUP BY word
 )"""
     )

@@ -2379,13 +2379,17 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tw")
     ).collect()[0]
     tw = int(wrow["tw"])
+    from delta_lake_experiment_spark.functions.rounding import round_like_sql
+
+    # round_like_sql: integer-count ratios can sit exactly on decimal
+    # midpoints where Python round and DuckDB round disagree
     out = [
         (
             name,
             tt,
             tw,
-            round(tt / tw, 6),
-            round(tc / tt, 6),
+            round_like_sql(tt / tw, 6),
+            round_like_sql(tc / tt, 6),
         )
         for name, tt, tc in rows
     ]

@@ -4311,6 +4311,17 @@ def test_semantic_pair_strategies_agree(spark):
         semantic_pairs(emb, "vec_id", "embedding", pair_strategy="x", **kw)
     with pytest.raises(ValueError, match="block_size"):
         semantic_pairs(emb, "vec_id", "embedding", block_size=0, **kw)
+    # STRING ids through the gemm scorer (id_dt is schema-derived, so
+    # strings are in-contract; np.minimum/maximum have no string loops
+    # on numpy 1.x — the np.where regression this pins against)
+    sdf = spark.createDataFrame(
+        [("da", [1.0, 0.0]), ("db", [1.0, 0.001]), ("dc", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    sp = {(r["id_a"], r["id_b"]) for r in
+          semantic_pairs(sdf, "vec_id", "embedding", k=1, iters=1,
+                         threshold=0.95, block_size=2).collect()}
+    assert sp == {("da", "db")}
 
 
 def test_ngram_containment_pairs(spark):

@@ -8,7 +8,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime
-import gc
 import math
 import os
 import sys
