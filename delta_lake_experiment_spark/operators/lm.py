@@ -677,29 +677,44 @@ LEFT JOIN bga a ON a.id = b.id
 
 
 def kn_discount_estimate(
-    big_counts: DataFrame, round_digits: int = 9
+    big_counts: DataFrame,
+    round_digits: int = 9,
+    fallback: "float | None" = None,
 ) -> float:
     """The Chen–Goodman absolute-discount estimate ``D = n1 / (n1 +
     2·n2)`` from the bigram count-of-counts (n1/n2 = number of bigram
     TYPES seen exactly once/twice) — exact integer counts, one tiny
     aggregate, rounded so both engines hold the identical literal.
-    Raises when the corpus has no singleton/doubleton bigrams (the
-    estimate is undefined; pass an explicit discount)."""
+
+    The estimate is UNUSABLE on saturated corpora: undefined when no
+    bigram occurs once or twice (n1 = n2 = 0 — every type repeats
+    3+ times, ordinary for small vocabularies at scale: the sf0.1
+    fixture), D = 1 when nothing occurs exactly twice, D = 0 when
+    nothing occurs exactly once. ``fallback`` (validated in (0, 1);
+    the textbook 0.75 is the usual choice) is returned for ALL of
+    those; without it this raises."""
     from delta_lake_experiment_spark.functions.rounding import round_like_sql
 
+    if fallback is not None and not 0.0 < float(fallback) < 1.0:
+        raise ValueError(f"fallback={fallback!r} must be in (0, 1)")
     row = big_counts.agg(
         F.sum(F.when(F.col("__cbg") == 1, 1).otherwise(0)).alias("n1"),
         F.sum(F.when(F.col("__cbg") == 2, 1).otherwise(0)).alias("n2"),
     ).collect()[0]
     n1, n2 = int(row["n1"] or 0), int(row["n2"] or 0)
-    if n1 + 2 * n2 == 0:
-        raise ValueError(
-            "kn_discount_estimate: no singleton or doubleton bigrams -"
-            " D = n1/(n1 + 2*n2) is undefined; pass discount= explicitly"
-        )
-    # round_like_sql, not round: the ratio of exact integer counts can
-    # sit exactly on a decimal midpoint (functions/rounding.py)
-    return round_like_sql(n1 / (n1 + 2 * n2), round_digits)
+    if n1 + 2 * n2 > 0:
+        # round_like_sql, not round: the ratio of exact integer counts
+        # can sit exactly on a decimal midpoint (functions/rounding.py)
+        d = round_like_sql(n1 / (n1 + 2 * n2), round_digits)
+        if 0.0 < d < 1.0:
+            return d
+    if fallback is not None:
+        return float(fallback)
+    raise ValueError(
+        f"kn_discount_estimate: count-of-counts estimate unusable"
+        f" (n1={n1}, n2={n2}) - pass discount= explicitly or a"
+        " fallback="
+    )
 
 
 def kn_bigram_logprob_scores(
@@ -708,6 +723,7 @@ def kn_bigram_logprob_scores(
     text_col: str,
     discount: "float | None" = None,
     round_digits: int = 6,
+    estimate_fallback: "float | None" = None,
 ) -> DataFrame:
     """Per-document mean INTERPOLATED KNESER-NEY bigram
     log-probability — ``(id_col, n_tokens, avg_logprob)`` — the
@@ -777,7 +793,7 @@ def kn_bigram_logprob_scores(
     )
     big = pairs.groupBy("__prev", "__cur").agg(F.count(F.lit(1)).alias("__cbg"))
     if discount is None:
-        discount = kn_discount_estimate(big)
+        discount = kn_discount_estimate(big, fallback=estimate_fallback)
     if not 0.0 < float(discount) < 1.0:
         raise ValueError(
             f"discount={discount!r} must be in (0, 1) - 0 disables"
@@ -827,6 +843,7 @@ def kn_bigram_logprob_scores(
 def kn_bigram_logprob_sql(
     src: str, id_col: str, discount: "float | None" = None,
     round_digits: int = 6,
+    estimate_fallback: "float | None" = None,
 ) -> str:
     """DuckDB twin of :func:`kn_bigram_logprob_scores`. With an
     explicit ``discount`` the same validated literal is embedded;
@@ -840,7 +857,7 @@ def kn_bigram_logprob_sql(
             raise ValueError(f"discount={discount!r} must be in (0, 1)")
         d = repr(float(discount))
     else:
-        d = kn_discount_sql(src)
+        d = kn_discount_sql(src, fallback=estimate_fallback)
     return rf"""
 WITH knt AS (
   SELECT {id_col} AS id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -882,28 +899,36 @@ LEFT JOIN kna a ON a.id = b.id
 """
 
 
-def kn_discount_sql(src: str) -> str:
+def kn_discount_sql(src: str, fallback: "float | None" = None) -> str:
     """DuckDB scalar expression for :func:`kn_discount_estimate` over
-    ``src`` carrying (id, text), with the OPERATOR's full rejection
-    surface mirrored via ``error()``: the undefined zero n1 + 2·n2
-    denominator, AND the endpoint discounts the scoring operator
-    rejects (n1 = 0 gives D = 0, which disables smoothing; n2 = 0
-    gives D = 1, which erases every observed count — the Spark side
-    raises on both via the 0 < D < 1 validation, so a twin that ran
-    with them would accept what the operator rejects)."""
+    ``src`` carrying (id, text), mirroring the OPERATOR's exact
+    semantics: an unusable count-of-counts estimate (undefined
+    denominator, or an endpoint D that disabling/total discounting
+    the operator rejects) resolves to the same validated ``fallback``
+    when given, and raises via ``error()`` otherwise — a twin that
+    silently ran with D = 0/1/NULL would accept what the operator
+    rejects. A NULL d (zero denominator) fails the range test and
+    falls through with the endpoints."""
+    if fallback is not None:
+        if not 0.0 < float(fallback) < 1.0:
+            raise ValueError(f"fallback={fallback!r} must be in (0, 1)")
+        bad = f"CAST({float(fallback)!r} AS DOUBLE)"
+    else:
+        bad = (
+            "CAST(error('kn oracle: count-of-counts discount estimate is"
+            " unusable (undefined or outside (0, 1)) - pass discount="
+            " explicitly or a fallback') AS DOUBLE)"
+        )
     return rf"""(
   SELECT CASE
-    WHEN d <= 0.0 OR d >= 1.0
-    THEN CAST(error('kn oracle: count-of-counts discount ' || d ||
-              ' is outside (0, 1) - pass discount= explicitly') AS DOUBLE)
-    ELSE d END
+    WHEN d > 0.0 AND d < 1.0 THEN d
+    ELSE {bad} END
   FROM (
   SELECT round(
     CAST(SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END) AS DOUBLE)
     / (CASE WHEN SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
             + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) = 0
-       THEN CAST(error('kn oracle: no singleton or doubleton bigrams -'
-                 || ' the discount estimate is undefined') AS BIGINT)
+       THEN NULL
        ELSE SUM(CASE WHEN cbg = 1 THEN 1 ELSE 0 END)
             + 2 * SUM(CASE WHEN cbg = 2 THEN 1 ELSE 0 END) END), 9) AS d
   FROM (

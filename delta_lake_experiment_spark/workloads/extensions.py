@@ -2606,19 +2606,25 @@ def doc_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lane (doc_bigram_score): discounted bigram mass plus
     continuation-probability backoff (distinct-context counts, not
     raw frequency). Discount = the Chen-Goodman count-of-counts
-    estimate, resolved from the corpus on both engines."""
+    estimate, resolved from the corpus on both engines, with the
+    textbook 0.75 fallback where the estimate is unusable — the sf0.1
+    fixture's 31-word vocabulary saturates every bigram to 3+
+    occurrences, so n1 = n2 = 0 there (at sf0.01 the estimate is
+    defined and value-checked)."""
     from delta_lake_experiment_spark.operators.lm import (
         kn_bigram_logprob_scores,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return kn_bigram_logprob_scores(docs, "doc_id", "text")
+    return kn_bigram_logprob_scores(
+        docs, "doc_id", "text", estimate_fallback=0.75
+    )
 
 
 def _doc_kn_bigram_sql() -> str:
     from delta_lake_experiment_spark.operators.lm import kn_bigram_logprob_sql
 
-    return kn_bigram_logprob_sql("documents", "doc_id")
+    return kn_bigram_logprob_sql("documents", "doc_id", estimate_fallback=0.75)
 
 
 # -- Gopher quality-rule gate (operators/text.py) -----------------------
