@@ -169,9 +169,11 @@ def main() -> None:
     # the engine, not the neighbors; both runs execute end-to-end, and
     # BOTH times are recorded so rounds compare under either protocol
     # (VERDICT r2 wrong-#3).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         per_run = []
+        failed = False
         for _ in range(2):
             # Operators that persist() intermediates (e.g. the minhash
             # signature table) cannot unpersist them — the consumer owns
@@ -185,9 +187,22 @@ def main() -> None:
             # for the localCheckpoint blocks the ContextCleaner frees).
             release_caches(spark)
             t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            # one broken query must not zero the whole round's bench
+            # record (r6: an sf0.1-only crash cost a full run) — record
+            # the error loudly and keep measuring the other queries;
+            # correctness gating is check_oracle's job, not this
+            # harness's
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                failed = True
+                break
             per_run.append(round(time.time() - t0, 3))
+        if failed:
+            continue
         runs[name] = per_run
         timings[name] = min(per_run)
         print(f"# {name}: best {timings[name]:.2f}s runs={per_run}", file=sys.stderr)
@@ -201,9 +216,10 @@ def main() -> None:
         "runs": runs,
         "single_pass_total": round(sum(r[0] for r in runs.values()), 3),
         "baseline_subset_total": round(
-            sum(timings[q] for q in BASELINE_SUBSET), 3
+            sum(timings[q] for q in BASELINE_SUBSET if q in timings), 3
         ),
         "sf": sf,
+        "errors": errors,
     }
     # The driver's stdout capture truncates the full per-query line
     # (BENCH_r03..r05 recorded "parsed": null with a cut-off tail), so
@@ -215,11 +231,14 @@ def main() -> None:
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": {q: round(timings[q], 2) for q in BASELINE_SUBSET},
+        "queries": {
+            q: round(timings[q], 2) for q in BASELINE_SUBSET if q in timings
+        },
         "sf": sf,
         "baseline_subset_total": full["baseline_subset_total"],
         "single_pass_total": full["single_pass_total"],
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "detail": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact, separators=(",", ":")))
