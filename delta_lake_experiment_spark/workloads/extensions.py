@@ -2473,9 +2473,20 @@ def corpus_topic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    assigned = kmeans_assignments(
-        emb, "vec_id", "embedding", k=_SEM_K, iters=_SEM_ITERS, salt=_SEM_SALT
-    ).withColumnRenamed("vec_id", "doc_id")
+    # persist the O(corpus-vectors) assignment: it feeds the doc join
+    # AND the size aggregate, and WITHOUT a materialization Catalyst
+    # collapses the projection so the interpreted k x dim assignment
+    # fold re-evaluates per EXPLODED TOKEN row (~55x the vectors —
+    # measured 16.8 s vs ~3 s at sf0.1). Consumer releases
+    # (functions/cache.py contract).
+    assigned = (
+        kmeans_assignments(
+            emb, "vec_id", "embedding",
+            k=_SEM_K, iters=_SEM_ITERS, salt=_SEM_SALT,
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+        .persist()
+    )
     toks = docs.join(assigned, "doc_id").select(
         "cluster",
         "doc_id",
