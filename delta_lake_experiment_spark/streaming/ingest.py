@@ -128,3 +128,43 @@ def write_dedup_stream_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def foreach_batch_rule_gated_writer(
+    client_factory,
+    table: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    app_id: str,
+    text_col: str,
+    **rule_kwargs,
+):
+    """The RULE-based sibling of
+    :func:`foreach_batch_quality_dedup_writer`: gate each micro-batch
+    with the Gopher quality battery
+    (operators/text.py::gopher_quality_rules — map-only vectorized
+    columns, thresholds ride the closure) instead of a learned
+    classifier, then the same per-batch + against-table dedup and
+    exactly-once append. Rule gates are what a crawl runs BEFORE any
+    model exists (the Gopher/RedPajama ordering: rules first,
+    classifier later) — with this, both admission stages have
+    streaming forms. ``rule_kwargs`` forward to
+    ``gopher_quality_rules`` (thresholds, stop list)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    keys = list(key_cols)
+
+    def gate_and_dedup(client, batch_df: DataFrame) -> DataFrame:
+        rules = gopher_quality_rules(F.col(text_col), **rule_kwargs)
+        kept = batch_df.filter(rules["gopher_pass"])
+        fresh = exact_dedup(kept, keys, order_col)
+        existing = client.scan(table, with_stamps=False).select(*keys).distinct()
+        return fresh.join(existing, keys, "left_anti")
+
+    return foreach_batch_writer(
+        client_factory, table, app_id, transform=gate_and_dedup
+    )

@@ -410,3 +410,68 @@ def test_streaming_quality_gated_ingest(spark, tmp_path, store_dir):
     # spam doc (fp b) gated out; duplicate fp a admitted once (first id)
     assert set(rows) == {"a", "c", "d"}
     assert rows["a"] == 1
+
+
+def test_streaming_rule_gated_ingest(spark, tmp_path, store_dir):
+    """The Gopher rule battery as a streaming admission gate (the
+    rules-before-classifier crawl ordering): a doc failing a rule is
+    rejected per micro-batch, duplicates of admitted docs are
+    rejected across batches, passing novel docs land exactly once."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_rule_gated_writer,
+    )
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("rule_gated", "id bigint, fp string, text string")
+    boot.commit_tx()
+
+    clean = "the quick brown fox jumps over the lazy dog and runs far away"
+    src = str(tmp_path / "rule_crawl")
+    spark.createDataFrame(
+        [
+            (1, "a", clean),
+            (2, "b", "the of and"),           # too few words: gated out
+            (3, "c", clean + " again today"),
+        ],
+        "id long, fp string, text string",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [
+            (10, "a", clean),                  # dup of fp a
+            (11, "d", clean + " once more with the dog"),
+        ],
+        "id long, fp string, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, fp string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_rule_gated_writer(
+                factory, "rule_gated", ["fp"], "id", "rgate1", "text",
+                min_words=10,
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_rgate"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    check = factory()
+    check.new_tx()
+    rows = {
+        r["fp"]: r["id"]
+        for r in check.scan("rule_gated", with_stamps=False).collect()
+    }
+    check.abort_tx()
+    assert set(rows) == {"a", "c", "d"}
+    assert rows["a"] == 1  # duplicate admitted once, first copy wins
