@@ -122,6 +122,13 @@ def _logp_table(
     from delta_lake_experiment_spark.functions.rounding import round_like_sql
 
     total = sum(counts.values())
+    if total == 0:
+        # reachable: prune to exactly the alphabet when every word
+        # segmented through multi-char pieces leaves all kept counts
+        # at zero (hypothesis-found). Every piece gets the floor —
+        # the twin agrees for free (0/0 is NULL in DuckDB, NULL > 0
+        # is false, the CASE falls to the same floor)
+        return {piece: FLOOR_LOGP for piece in counts}
     out: "dict[str, float]" = {}
     for piece, cnt in counts.items():
         prob = round_like_sql(cnt / total, round_digits)

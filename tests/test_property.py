@@ -374,3 +374,87 @@ def test_corpus_substring_spans_random_vs_bruteforce(spark):
                 if best > 0:
                     exp[(a, b)] = best + n - 1
         assert got == exp, f"trial {trial}"
+
+
+def test_unigram_trainer_properties():
+    """Pure-Python property sweep of the unigram trainer (no Spark —
+    the trainer's loop is driver-side): on arbitrary small corpora the
+    trained vocabulary contains the full alphabet, respects
+    vocab_size, orders by (count desc, piece asc) with monotone
+    logprobs, segments every corpus word losslessly under its own
+    vocabulary, is input-order independent, and MATCHES the DuckDB
+    twin value-for-value (train AND encode)."""
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from delta_lake_experiment_spark.operators.unigram import (
+        _viterbi,
+        unigram_encoded_sql,
+        unigram_train_from_counts,
+        unigram_vocab_sql,
+    )
+
+    words_strategy = st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=7),
+        min_size=1,
+        max_size=12,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(docs_words=st.lists(words_strategy, min_size=1, max_size=5),
+           data=st.data())
+    def run(docs_words, data):
+        docs = [(i + 1, " ".join(ws)) for i, ws in enumerate(docs_words)]
+        wf: dict[str, int] = {}
+        for _, t in docs:
+            for w in t.split():
+                wf[w] = wf.get(w, 0) + 1
+        chars = sorted({c for w in wf for c in w})
+        vocab_size = data.draw(
+            st.integers(min_value=len(chars), max_value=len(chars) + 10)
+        )
+        kw = dict(
+            vocab_size=vocab_size,
+            rounds=data.draw(st.integers(1, 2)),
+            em_iters=data.draw(st.integers(1, 2)),
+            max_piece_len=3,
+            max_candidates=vocab_size + 20,
+            prune_frac=0.4,
+        )
+        pieces = unigram_train_from_counts(sorted(wf.items()), **kw)
+        vocab = {p for p, _ in pieces}
+        assert set(chars) <= vocab
+        assert len(pieces) <= vocab_size
+        lps = [lp for _, lp in pieces]
+        assert lps == sorted(lps, reverse=True)
+        logp = dict(pieces)
+        for w in wf:
+            assert "".join(_viterbi(w, logp, 3, 9)) == w
+        # input-order independence (integer-count state)
+        assert unigram_train_from_counts(
+            sorted(wf.items(), reverse=True), **kw
+        ) == pieces
+        # DuckDB twins agree value-for-value
+        con = duckdb.connect()
+        con.execute("CREATE TABLE hdocs(doc_id INT, text VARCHAR)")
+        con.executemany("INSERT INTO hdocs VALUES (?, ?)", docs)
+        got = con.execute(unigram_vocab_sql("hdocs", "text", **kw)).fetchall()
+        assert got == [(i + 1, p, lp) for i, (p, lp) in enumerate(pieces)]
+        egot = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                unigram_encoded_sql("hdocs", "doc_id", "text", **kw)
+            ).fetchall()
+        }
+        con.close()
+        for did, t in docs:
+            toks = []
+            for w in t.split():
+                toks.extend(_viterbi(w, logp, 3, 9))
+            md5 = hashlib.md5(",".join(toks).encode()).hexdigest()
+            assert egot[did] == (len(toks), md5)
+
+    run()
