@@ -100,6 +100,75 @@ def _nearest(vec: Column, centroids: Sequence[Sequence[float]], round_digits: in
     return (-F.array_max(scored)["nj"]).cast("int")
 
 
+def _assign_arrow(
+    norm: DataFrame,
+    vec_field: str,
+    centroids: Sequence[Sequence[float]],
+    round_digits: int,
+) -> DataFrame:
+    """Arrow fast path for the centroid assignment: same columns as
+    ``norm`` plus ``__c`` — value-identical to the ``_nearest``
+    expression by construction, not by luck:
+
+    - dot products accumulate column-by-column over the dimension
+      (``acc = acc + prod[:, d]``, vectorized across rows) — the
+      exact left-to-right association of the JVM zip_with/aggregate
+      fold and DuckDB's list_dot_product, NOT a BLAS gemm (pairwise
+      summation order);
+    - rounding is the vectorized DuckDB replication
+      (functions/rounding.py's scale/half-away/divide, applied with
+      numpy primitives), so scores equal the ORACLE's to the bit —
+      vs the hof path's JVM F.round they can differ only where JVM
+      and DuckDB rounding modes split on the same double, the
+      measure-zero edge for these generic sums (raw normalized
+      vectors against grid centroids), where this path sides with
+      the oracle;
+    - ``np.argmax`` returns the FIRST maximum — the lower-index
+      tie-break ``_nearest`` encodes via max(struct(s, -j)).
+
+    Why it exists: the interpreted HOF fold dispatches
+    rows x k x dim lambda calls per assignment pass (CodegenFallback
+    — measured seconds per pass at sf0.1 across the four k-means
+    consumers); this path is one Arrow batch scan. ``"hof"`` remains
+    available and the two are pytest-pinned equal on the fixture."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    rd = int(round_digits)
+    p = float(10 ** rd)
+    cols = norm.columns
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(list(pdf[vec_field]), dtype=np.float64)
+            n = len(pdf)
+            scores = np.empty((n, C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[0]):
+                prod = mat * C[j]
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(prod.shape[1]):
+                    acc = acc + prod[:, d]
+                scores[:, j] = acc
+            y = scores * p
+            pos = np.floor(y)
+            rp = np.where(y - pos >= 0.5, pos + 1, pos)
+            a = -y
+            na = np.floor(a)
+            rn = -np.where(a - na >= 0.5, na + 1, na)
+            rounded = np.where(y >= 0, rp, rn) / p
+            out = pdf.copy()
+            out["__c"] = np.argmax(rounded, axis=1).astype("int32")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in norm.schema.fields
+    )
+    return norm.mapInPandas(run, f"{schema}, __c int")
+
+
 def seed_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, salt: str
 ) -> list:
@@ -131,11 +200,17 @@ def deterministic_kmeans(
     iters: int = 2,
     salt: str = "sem",
     round_digits: int = 9,
+    assign_strategy: str = "arrow",
 ) -> list:
     """Lloyd's k-means with rounded, engine-reproducible steps; returns
     the final centroid list (each coordinate rounded). One distributed
     job per iteration: map-only assignment + a k x (dim+1) aggregate
-    (per-dimension means via map-side-combined ``avg`` columns)."""
+    (per-dimension means via map-side-combined ``avg`` columns).
+    ``assign_strategy``: ``"arrow"`` (default — the _assign_arrow
+    fast path, exact fold order + oracle-replicated rounding) or
+    ``"hof"`` (the JVM expression; pytest-pinned equal)."""
+    if assign_strategy not in ("arrow", "hof"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
     cents = seed_centroids(df, id_col, vec_col, k, salt)
     if not cents:
         raise ValueError("deterministic_kmeans: empty input")
@@ -150,8 +225,12 @@ def deterministic_kmeans(
     ).persist()
     try:
         for _ in range(iters):
-            assigned = norm.withColumn(
-                "__c", _nearest(F.col("v"), cents, round_digits)
+            assigned = (
+                _assign_arrow(norm, "v", cents, round_digits)
+                if assign_strategy == "arrow"
+                else norm.withColumn(
+                    "__c", _nearest(F.col("v"), cents, round_digits)
+                )
             )
             rows = (
                 assigned.groupBy("__c")
@@ -184,6 +263,7 @@ def kmeans_assignments(
     iters: int = 2,
     salt: str = "sem",
     round_digits: int = 9,
+    assign_strategy: str = "arrow",
 ) -> DataFrame:
     """(id_col, cluster) — just the deterministic k-means assignment,
     for consumers that want the CLUSTERING without the dedup pair
@@ -191,13 +271,20 @@ def kmeans_assignments(
     per-cluster routing). Same seeds/rounding/tie-breaks as
     :func:`semantic_dedup`; the oracle fragment is
     :func:`semantic_pair_ctes`'s ``sfinal``."""
+    if assign_strategy not in ("arrow", "hof"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
     cents = deterministic_kmeans(
         df, id_col, vec_col, k=k, iters=iters, salt=salt,
-        round_digits=round_digits,
+        round_digits=round_digits, assign_strategy=assign_strategy,
     )
-    return df.select(
+    norm = df.select(F.col(id_col), _norm_checked(vec_col).alias("__v"))
+    if assign_strategy == "arrow":
+        return _assign_arrow(norm, "__v", cents, round_digits).select(
+            F.col(id_col), F.col("__c").alias("cluster")
+        )
+    return norm.select(
         F.col(id_col),
-        _nearest(_norm_checked(vec_col), cents, round_digits).alias("cluster"),
+        _nearest(F.col("__v"), cents, round_digits).alias("cluster"),
     )
 
 
@@ -213,6 +300,7 @@ def _assigned_and_pairs(
     sim_digits: int,
     pair_strategy: str = "gemm",
     block_size: int = 4096,
+    assign_strategy: str = "arrow",
 ) -> "tuple[DataFrame, DataFrame]":
     """Shared core: (assigned, pairs) where ``assigned`` is the
     persisted (``__i``, ``__v`` normalized, ``__c`` cluster) table and
@@ -246,13 +334,20 @@ def _assigned_and_pairs(
         raise ValueError(f"unknown pair_strategy {pair_strategy!r}")
     if block_size < 1:
         raise ValueError(f"block_size={block_size!r} must be >= 1")
+    if assign_strategy not in ("arrow", "hof"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
     cents = deterministic_kmeans(
         df, id_col, vec_col, k=k, iters=iters, salt=salt,
-        round_digits=round_digits,
+        round_digits=round_digits, assign_strategy=assign_strategy,
     )
-    norm = df.select(
+    base = df.select(
         F.col(id_col).alias("__i"), _norm_checked(vec_col).alias("__v")
-    ).withColumn("__c", _nearest(F.col("__v"), cents, round_digits))
+    )
+    norm = (
+        _assign_arrow(base, "__v", cents, round_digits)
+        if assign_strategy == "arrow"
+        else base.withColumn("__c", _nearest(F.col("__v"), cents, round_digits))
+    )
     # the assigned table feeds both sides of the pair join and the
     # final output; persist so normalization + assignment run once
     norm = norm.persist()
@@ -359,6 +454,7 @@ def semantic_pairs(
     sim_digits: int = 6,
     pair_strategy: str = "gemm",
     block_size: int = 4096,
+    assign_strategy: str = "arrow",
 ) -> DataFrame:
     """Just the (id_a, id_b) semantic near-duplicate edges — for
     composing with other pair generators (e.g. an ensemble dedup that
@@ -366,7 +462,7 @@ def semantic_pairs(
     resolution)."""
     _, pairs = _assigned_and_pairs(
         df, id_col, vec_col, k, iters, threshold, salt, round_digits,
-        sim_digits, pair_strategy, block_size,
+        sim_digits, pair_strategy, block_size, assign_strategy,
     )
     return pairs
 
@@ -383,6 +479,7 @@ def semantic_dedup(
     sim_digits: int = 6,
     pair_strategy: str = "gemm",
     block_size: int = 4096,
+    assign_strategy: str = "arrow",
 ) -> DataFrame:
     """(id_col, cluster, component, is_canonical) — the SemDeDup
     pipeline: deterministic k-means, within-cluster cosine pairs at
@@ -398,7 +495,7 @@ def semantic_dedup(
 
     norm, pairs = _assigned_and_pairs(
         df, id_col, vec_col, k, iters, threshold, salt, round_digits,
-        sim_digits, pair_strategy, block_size,
+        sim_digits, pair_strategy, block_size, assign_strategy,
     )
     out = assign_components(
         norm.select(F.col("__i").alias(id_col), F.col("__c").alias("cluster")),

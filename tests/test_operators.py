@@ -4307,10 +4307,29 @@ def test_semantic_pair_strategies_agree(spark):
          semantic_pairs(emb, "vec_id", "embedding", pair_strategy="gemm",
                         block_size=16, **kw).collect()}
     assert t == g
+    # Arrow assignment fast path == JVM HOF expression (exact fold
+    # order + oracle-replicated rounding on the Arrow side)
+    from delta_lake_experiment_spark.operators.semdedup import (
+        kmeans_assignments,
+    )
+
+    aa = {(r["vec_id"], r["cluster"]) for r in
+          kmeans_assignments(emb, "vec_id", "embedding", k=8, iters=2,
+                             salt="sem1", assign_strategy="arrow").collect()}
+    hh = {(r["vec_id"], r["cluster"]) for r in
+          kmeans_assignments(emb, "vec_id", "embedding", k=8, iters=2,
+                             salt="sem1", assign_strategy="hof").collect()}
+    assert aa == hh and len(aa) == emb.count()
+    ph = {(r["id_a"], r["id_b"]) for r in
+          semantic_pairs(emb, "vec_id", "embedding", assign_strategy="hof",
+                         **kw).collect()}
+    assert ph == g
     with pytest.raises(ValueError, match="pair_strategy"):
         semantic_pairs(emb, "vec_id", "embedding", pair_strategy="x", **kw)
     with pytest.raises(ValueError, match="block_size"):
         semantic_pairs(emb, "vec_id", "embedding", block_size=0, **kw)
+    with pytest.raises(ValueError, match="assign_strategy"):
+        semantic_pairs(emb, "vec_id", "embedding", assign_strategy="x", **kw)
     # STRING ids through the gemm scorer (id_dt is schema-derived, so
     # strings are in-contract; np.minimum/maximum have no string loops
     # on numpy 1.x — the np.where regression this pins against)
