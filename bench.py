@@ -91,6 +91,7 @@ HEADLINE = [
     "similarity_pca_topk",
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
+    "blocklist_filtered_corpus",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

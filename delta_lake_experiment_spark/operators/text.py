@@ -449,3 +449,55 @@ def gopher_rules_sql(
     )
     cols.append(f"{pass_expr} AS gopher_pass")
     return ",\n  ".join(cols)
+
+
+# -- blocklist filtering (the C4 "bad words" pass) ----------------------
+
+
+def blocklist_hits(
+    text: Column, terms: "tuple[str, ...]", whole_word: bool = True
+) -> Column:
+    """Number of blocklisted-term occurrences in ``text`` (INT) — the
+    C4 cleaning pass's detector (Raffel et al. 2020 dropped any page
+    containing a term from the "List of Dirty, Naughty, Obscene..."
+    blocklist; the fixture uses a benign stand-in list). One
+    vectorized regex count over an alternation of the terms —
+    lowercase match, no lookarounds (Java regex == RE2 == DuckDB).
+    ``whole_word`` wraps the alternation in word boundaries so
+    'class' never matches inside 'classification' (the blocklist
+    false-positive everyone hits); term REGEX metacharacters are
+    escaped — terms are literals, not patterns."""
+    if not terms:
+        raise ValueError("blocklist_hits: terms must be non-empty")
+    import re as _re
+
+    bad = [t for t in terms if t != t.lower() or not t or _re.search(r"\s", t)]
+    if bad:
+        raise ValueError(
+            f"blocklist terms must be single lowercased tokens, got {bad!r}"
+        )
+    alts = "|".join(_re.escape(t) for t in terms)
+    pat = rf"\b({alts})\b" if whole_word else f"({alts})"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def blocklist_hits_sql(
+    text_sql: str, terms: "tuple[str, ...]", whole_word: bool = True
+) -> str:
+    """DuckDB twin of :func:`blocklist_hits` — same escaped
+    alternation, same boundaries, same validation."""
+    if not terms:
+        raise ValueError("blocklist_hits: terms must be non-empty")
+    import re as _re
+
+    bad = [t for t in terms if t != t.lower() or not t or _re.search(r"\s", t)]
+    if bad:
+        raise ValueError(
+            f"blocklist terms must be single lowercased tokens, got {bad!r}"
+        )
+    alts = "|".join(_re.escape(t) for t in terms)
+    # DuckDB string literals do not process backslash escapes, so the
+    # single-backslash \b reaches RE2 as the word boundary directly
+    pat = rf"\b({alts})\b" if whole_word else f"({alts})"
+    quoted = pat.replace("'", "''")
+    return rf"CAST(len(regexp_extract_all(lower({text_sql}), '{quoted}')) AS INT)"

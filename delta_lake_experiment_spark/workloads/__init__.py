@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 111 value-oracled queries, sixty-one must sit outside the window. The
+# With 112 value-oracled queries, sixty-two must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -224,6 +224,9 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - ccnet_perplexity_buckets -> a composition of doc_lm_score (the
 #   scoring, verbatim) and latest_event_per_user-class per-group
 #   windows (NTILE instead of row_number);
+# - blocklist_filtered_corpus -> one vectorized regex count + filter
+#   (the doc_pii_scrub / doc_text_stats regex lane) over the C4
+#   blocklist semantics;
 # - corpus_topic_report -> the Lloyd assignment is
 #   semantic_dedup_corpus's certified chain (kmeans_assignments /
 #   sfinal), the token counts + per-group rank are corpus_vocab /
@@ -278,6 +281,7 @@ _DEFERRED_ORACLED = [
     "similarity_pca_topk",
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
+    "blocklist_filtered_corpus",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

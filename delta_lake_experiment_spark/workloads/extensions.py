@@ -2607,6 +2607,50 @@ FROM ccs s JOIN documents d ON d.doc_id = s.id
     )
 
 
+# -- C4 blocklist filtering (operators/text.py) -------------------------
+
+# benign stand-in for C4's "bad words" blocklist, chosen to be
+# non-vacuous on the fixture ('slow' and 'dup' appear in real docs);
+# whole-word boundaries mean 'dup' never matches inside a longer token
+_BLOCKLIST = ("slow", "dup")
+
+
+def blocklist_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 cleaning pass (Raffel et al. 2020): DROP any document
+    containing a blocklisted term (whole-word, case-folded, escaped
+    literals — one vectorized regex count per doc, map-only). Output =
+    the surviving corpus (doc_id, lang, n_tokens); the per-doc hit
+    count is computed in the same scan and asserted zero by the
+    filter."""
+    from delta_lake_experiment_spark.operators.text import (
+        blocklist_hits,
+        token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn(
+            "__hits", blocklist_hits(F.col("text"), _BLOCKLIST)
+        )
+        .filter(F.col("__hits") == 0)
+        .select(
+            "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+        )
+    )
+
+
+def _blocklist_filtered_sql() -> str:
+    from delta_lake_experiment_spark.operators.text import blocklist_hits_sql
+
+    hits = blocklist_hits_sql("text", _BLOCKLIST)
+    return rf"""
+SELECT doc_id, lang,
+  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+FROM documents
+WHERE {hits} = 0
+"""
+
+
 # -- Kneser-Ney bigram LM scoring (operators/lm.py) ---------------------
 
 
@@ -3606,6 +3650,7 @@ QUERIES = {
     "embedding_pca_projection": embedding_pca_projection,
     "similarity_pca_topk": similarity_pca_topk,
     "doc_kn_bigram_score": doc_kn_bigram_score,
+    "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "corpus_topic_report": corpus_topic_report,
     "tokenizer_fertility_report": tokenizer_fertility_report,
@@ -3682,6 +3727,7 @@ ORACLES = {
     "embedding_pca_projection": _pca_projection_sql(),
     "similarity_pca_topk": _similarity_pca_topk_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
+    "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
     "corpus_topic_report": _corpus_topic_report_sql(),
     "tokenizer_fertility_report": _tokenizer_fertility_sql(),

@@ -1307,6 +1307,67 @@ def test_pca_train_and_project(spark):
         covariance_matrix(bad, "embedding", [0.0] * dim)
 
 
+def test_blocklist_hits(spark):
+    """C4 blocklist semantics: whole-word boundaries (no substring
+    false positives), case folding, regex-metachar escaping, and
+    Spark == DuckDB on the same fixture."""
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.text import (
+        blocklist_hits,
+        blocklist_hits_sql,
+    )
+
+    rows = [
+        (1, "a bad word here and BAD again"),
+        (2, "badge is not badfree but badness neither"),  # substrings only
+        (3, "c++ counts once"),
+        (4, "clean text entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    terms = ("bad", "c++")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", blocklist_hits(F.col("text"), terms).alias("h")
+        ).collect()
+    }
+    # whole-word: 'badge'/'badness' never match; note a term ENDING in
+    # a non-word char ('c++') cannot satisfy the trailing \b before a
+    # space — the known blocklist subtlety; substring mode covers it
+    assert got == {1: 2, 2: 0, 3: 0, 4: 0}
+    sub = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            blocklist_hits(F.col("text"), ("c++",), whole_word=False).alias("h"),
+        ).collect()
+    }
+    assert sub == {1: 0, 2: 0, 3: 1, 4: 0}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE bdocs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO bdocs VALUES (?, ?)", rows)
+    sgot = dict(
+        con.execute(
+            "SELECT doc_id, " + blocklist_hits_sql("text", terms) + " FROM bdocs"
+        ).fetchall()
+    )
+    ssub = dict(
+        con.execute(
+            "SELECT doc_id, "
+            + blocklist_hits_sql("text", ("c++",), whole_word=False)
+            + " FROM bdocs"
+        ).fetchall()
+    )
+    con.close()
+    assert sgot == got and ssub == sub
+    for bad_terms in ((), ("Upper",), ("two words",)):
+        with pytest.raises(ValueError):
+            blocklist_hits(F.col("text"), bad_terms)
+        with pytest.raises(ValueError):
+            blocklist_hits_sql("text", bad_terms)
+
+
 def test_ccnet_perplexity_buckets(spark):
     """Tercile invariants of the CCNet partition on the fixture:
     per-language bucket sizes balanced to within one (NTILE floor
