@@ -92,6 +92,7 @@ HEADLINE = [
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
     "blocklist_filtered_corpus",
+    "hard_negative_pairs",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

@@ -798,3 +798,115 @@ def mutual_nearest_pairs(
             F.col("l_score").alias("score"),
         )
     )
+
+
+def hard_negative_topk(
+    emb_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: "Sequence",
+    k: int = 5,
+    lo: float = 0.15,
+    hi: float = 0.35,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training —
+    ``(query_id, id_col, cos_sim, rank)``: for each query document,
+    the top-``k`` corpus documents whose cosine lies in the
+    HARD-NEGATIVE BAND ``[lo, hi)`` — similar enough that a model
+    must work to separate them, below the near-duplicate ceiling so
+    no true positive is mislabeled negative (the DPR/contrastive
+    -training recipe: random negatives are too easy, near-dups are
+    false negatives; the band in between is where training signal
+    lives). A document is never its own negative.
+
+    Plan: the query rows (a handful of ids) broadcast against one
+    corpus scan — O(|queries| · n) fused JVM dot products, no
+    shuffle until the per-query top-k window (|queries| independent
+    partitions). Cosine folds left-to-right (the list_dot_product
+    parity order) and rounds to ``round_digits``; rank ties break by
+    id — fully value-oracled, unlike the LSH/IVF lanes."""
+    if k < 1:
+        raise ValueError(f"k={k!r} must be >= 1")
+    if not lo < hi:
+        raise ValueError(f"band [{lo!r}, {hi!r}) is empty")
+    qids = list(query_ids)
+    if not qids:
+        raise ValueError("query_ids must be non-empty")
+    from pyspark.sql import Window
+
+    v = _as_double(F.col(vec_col))
+    base = emb_df.select(
+        F.col(id_col).alias("__id"), v.alias("__v"),
+        F.sqrt(_dot(v, v)).alias("__nrm"),
+    )
+    q = (
+        base.filter(F.col("__id").isin(qids))
+        .select(
+            F.col("__id").alias("query_id"),
+            F.col("__v").alias("__qv"),
+            F.col("__nrm").alias("__qnrm"),
+        )
+    )
+    cos = F.round(
+        _dot(F.col("__v"), F.col("__qv")) / (F.col("__nrm") * F.col("__qnrm")),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("__id").asc()
+    )
+    return (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("__id") != F.col("query_id"))
+        .withColumn("cos_sim", cos)
+        .filter((F.col("cos_sim") >= lo) & (F.col("cos_sim") < hi))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("__id").alias(id_col), "cos_sim", "rank")
+    )
+
+
+def hard_negative_sql(
+    src: str,
+    id_col: str,
+    vec_col: str,
+    query_ids: "Sequence",
+    k: int = 5,
+    lo: float = 0.15,
+    hi: float = 0.35,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`hard_negative_topk` — same cosine fold
+    (list_dot_product), same band, same rank tie-break."""
+    if k < 1:
+        raise ValueError(f"k={k!r} must be >= 1")
+    if not lo < hi:
+        raise ValueError(f"band [{lo!r}, {hi!r}) is empty")
+    qids = list(query_ids)
+    if not qids:
+        raise ValueError("query_ids must be non-empty")
+    idlist = ", ".join(repr(x) for x in qids)
+    return rf"""
+WITH hne AS MATERIALIZED (
+  SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                               CAST({vec_col} AS DOUBLE[]))) AS nrm
+  FROM {src}
+), hnq AS (
+  SELECT id AS query_id, v AS qv, nrm AS qnrm FROM hne
+  WHERE id IN ({idlist})
+), hns AS (
+  SELECT q.query_id, e.id,
+    round(list_dot_product(e.v, q.qv) / (e.nrm * q.qnrm),
+          {int(round_digits)}) AS cos_sim
+  FROM hne e, hnq q WHERE e.id != q.query_id
+)
+SELECT query_id, id AS {id_col}, cos_sim,
+       CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, id ASC
+  ) AS rank
+  FROM hns WHERE cos_sim >= {float(lo)!r} AND cos_sim < {float(hi)!r}
+) WHERE rank <= {int(k)}
+"""

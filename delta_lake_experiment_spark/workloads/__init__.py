@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 112 value-oracled queries, sixty-two must sit outside the window. The
+# With 113 value-oracled queries, sixty-three must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -227,6 +227,9 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - blocklist_filtered_corpus -> one vectorized regex count + filter
 #   (the doc_pii_scrub / doc_text_stats regex lane) over the C4
 #   blocklist semantics;
+# - hard_negative_pairs -> broadcast-query cosine + per-group rank:
+#   the similarity_bruteforce_topk / latest_event_per_user machinery
+#   with a band filter (the DPR hard-negative recipe is the novelty);
 # - corpus_topic_report -> the Lloyd assignment is
 #   semantic_dedup_corpus's certified chain (kmeans_assignments /
 #   sfinal), the token counts + per-group rank are corpus_vocab /
@@ -282,6 +285,7 @@ _DEFERRED_ORACLED = [
     "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
     "blocklist_filtered_corpus",
+    "hard_negative_pairs",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

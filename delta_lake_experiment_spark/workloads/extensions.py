@@ -2607,6 +2607,43 @@ FROM ccs s JOIN documents d ON d.doc_id = s.id
     )
 
 
+# -- hard-negative mining (operators/similarity.py) ---------------------
+
+# cosine band calibrated to the fixture's distribution (p90 ~= 0.16,
+# max ~= 0.40): [0.15, 0.35) is populated but excludes the near-dup top
+_HN_QUERY_IDS = (3, 11, 42)
+_HN_K = 5
+_HN_BAND = (0.15, 0.35)
+
+
+def hard_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training
+    (operators/similarity.py::hard_negative_topk — the DPR recipe):
+    per query document, the top-k corpus documents inside the
+    similar-but-not-duplicate cosine band. Broadcast query rows, one
+    corpus scan, per-query rank windows; fully value-oracled."""
+    from delta_lake_experiment_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(
+        emb, "vec_id", "embedding", _HN_QUERY_IDS,
+        k=_HN_K, lo=_HN_BAND[0], hi=_HN_BAND[1],
+    )
+
+
+def _hard_negative_sql() -> str:
+    from delta_lake_experiment_spark.operators.similarity import (
+        hard_negative_sql,
+    )
+
+    return hard_negative_sql(
+        "embeddings", "vec_id", "embedding", _HN_QUERY_IDS,
+        k=_HN_K, lo=_HN_BAND[0], hi=_HN_BAND[1],
+    )
+
+
 # -- C4 blocklist filtering (operators/text.py) -------------------------
 
 # benign stand-in for C4's "bad words" blocklist, chosen to be
@@ -3651,6 +3688,7 @@ QUERIES = {
     "similarity_pca_topk": similarity_pca_topk,
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
+    "hard_negative_pairs": hard_negative_pairs,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "corpus_topic_report": corpus_topic_report,
     "tokenizer_fertility_report": tokenizer_fertility_report,
@@ -3728,6 +3766,7 @@ ORACLES = {
     "similarity_pca_topk": _similarity_pca_topk_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
+    "hard_negative_pairs": _hard_negative_sql(),
     "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
     "corpus_topic_report": _corpus_topic_report_sql(),
     "tokenizer_fertility_report": _tokenizer_fertility_sql(),

@@ -1307,6 +1307,47 @@ def test_pca_train_and_project(spark):
         covariance_matrix(bad, "embedding", [0.0] * dim)
 
 
+def test_hard_negative_topk(spark):
+    """Hard-negative band semantics on a planted geometry: the
+    near-duplicate (cos ~1) is EXCLUDED above the band, the orthogonal
+    vector below it, the mid-similarity vectors ranked inside it;
+    self never appears; twin matches."""
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.similarity import (
+        hard_negative_sql,
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),            # query
+        (1, [0.999, 0.0447]),       # near-dup: cos ~0.999 -> above band
+        (2, [0.6, 0.8]),            # cos 0.6 -> in band
+        (3, [0.5, 0.866]),          # cos 0.5 -> in band
+        (4, [0.0, 1.0]),            # orthogonal -> below band
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hard_negative_topk(
+        df, "vec_id", "embedding", [0], k=5, lo=0.3, hi=0.9
+    ).collect()
+    got = [(r["query_id"], r["vec_id"], r["rank"]) for r in out]
+    assert got == [(0, 2, 1), (0, 3, 2)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hemb(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO hemb VALUES (?, ?)", rows)
+    sgot = con.execute(
+        hard_negative_sql("hemb", "vec_id", "embedding", [0], k=5, lo=0.3, hi=0.9)
+    ).fetchall()
+    con.close()
+    assert [(q, i, rk) for q, i, _, rk in sgot] == got
+    for r, (q, i, c, rk) in zip(out, sgot):
+        assert (r["query_id"], r["vec_id"], r["cos_sim"], r["rank"]) == (q, i, c, rk)
+    with pytest.raises(ValueError, match="band"):
+        hard_negative_topk(df, "vec_id", "embedding", [0], lo=0.5, hi=0.5)
+    with pytest.raises(ValueError, match="query_ids"):
+        hard_negative_topk(df, "vec_id", "embedding", [])
+
+
 def test_blocklist_hits(spark):
     """C4 blocklist semantics: whole-word boundaries (no substring
     false positives), case folding, regex-metachar escaping, and
