@@ -93,6 +93,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "blocklist_filtered_corpus",
     "hard_negative_pairs",
+    "source_quality_report",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 113 value-oracled queries, sixty-three must sit outside the window. The
+# With 114 value-oracled queries, sixty-four must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -230,6 +230,9 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - hard_negative_pairs -> broadcast-query cosine + per-group rank:
 #   the similarity_bruteforce_topk / latest_event_per_user machinery
 #   with a band filter (the DPR hard-negative recipe is the novelty);
+# - source_quality_report -> one groupBy over doc_text_stats' and
+#   gopher_quality_report's certified map-only columns (the
+#   corpus_report aggregation shape, sliced by source);
 # - corpus_topic_report -> the Lloyd assignment is
 #   semantic_dedup_corpus's certified chain (kmeans_assignments /
 #   sfinal), the token counts + per-group rank are corpus_vocab /
@@ -286,6 +289,7 @@ _DEFERRED_ORACLED = [
     "ccnet_perplexity_buckets",
     "blocklist_filtered_corpus",
     "hard_negative_pairs",
+    "source_quality_report",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

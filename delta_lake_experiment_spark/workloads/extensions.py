@@ -2607,6 +2607,58 @@ FROM ccs s JOIN documents d ON d.doc_id = s.id
     )
 
 
+# -- per-source quality dashboard ---------------------------------------
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset-card slice every corpus owner publishes: per
+    SOURCE (crawl/feed provenance), document count, token totals,
+    mean heuristic quality, and the Gopher-gate pass rate — one
+    corpus scan (stats + rules are map-only columns), one
+    groupBy(source). Output (source, n_docs, total_tokens,
+    avg_quality, gopher_pass_rate), ratios 6-digit-rounded."""
+    from delta_lake_experiment_spark.operators.text import (
+        gopher_quality_rules,
+    )
+
+    docs = with_text_stats(load_table(spark, sf_dir, "documents"))
+    rules = gopher_quality_rules(F.col("text"), **_GOPHER_KW)
+    return (
+        docs.withColumn("__pass", rules["gopher_pass"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.round(
+                F.avg(F.col("__pass").cast("double")), 6
+            ).alias("gopher_pass_rate"),
+        )
+    )
+
+
+def _source_quality_sql() -> str:
+    from delta_lake_experiment_spark.operators.text import gopher_rules_sql
+
+    # reuse the per-doc stats oracle (quality, n_tokens) + the gopher
+    # fragment's gopher_pass column, then aggregate per source
+    gopher_cols = gopher_rules_sql("text", **_GOPHER_KW)
+    return rf"""
+WITH sq AS MATERIALIZED (
+  SELECT d.source, s.n_tokens, s.quality, g.gopher_pass
+  FROM documents d
+  JOIN ({TEXT_STATS_SQL.strip()}) s ON s.doc_id = d.doc_id
+  JOIN (SELECT doc_id, {gopher_cols} FROM documents) g
+    ON g.doc_id = d.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+  round(AVG(quality), 6) AS avg_quality,
+  round(AVG(CAST(gopher_pass AS DOUBLE)), 6) AS gopher_pass_rate
+FROM sq GROUP BY source
+"""
+
+
 # -- hard-negative mining (operators/similarity.py) ---------------------
 
 # cosine band calibrated to the fixture's distribution (p90 ~= 0.16,
@@ -3689,6 +3741,7 @@ QUERIES = {
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "hard_negative_pairs": hard_negative_pairs,
+    "source_quality_report": source_quality_report,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "corpus_topic_report": corpus_topic_report,
     "tokenizer_fertility_report": tokenizer_fertility_report,
@@ -3767,6 +3820,7 @@ ORACLES = {
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "hard_negative_pairs": _hard_negative_sql(),
+    "source_quality_report": _source_quality_sql(),
     "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
     "corpus_topic_report": _corpus_topic_report_sql(),
     "tokenizer_fertility_report": _tokenizer_fertility_sql(),
