@@ -169,3 +169,41 @@ def read_media_files(
         F.col("path").alias("source_path"),
         F.col("length").alias("payload_bytes"),
     )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    sort_cols: Sequence[str] = (),
+    path: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a BUCKETED catalog table: rows are hashed on
+    ``bucket_cols`` into ``n_buckets`` files per partition-write (plus
+    optional within-bucket sort), and the layout is recorded in the
+    catalog so future JOINS and AGGREGATIONS on the bucket columns
+    read co-located data WITHOUT a shuffle — Spark plans a
+    SortMergeJoin with no Exchange on either bucketed side
+    (pytest-asserted on the physical plan).
+
+    This is the pre-shuffle the 100 TB dedup/join story keeps paying
+    per-query until someone persists it: two corpora bucketed on the
+    join key (fingerprints, doc ids, user ids) join shuffle-free
+    forever after, and the one-time bucketing write replaces every
+    future exchange of the fact table. Same-bucket-count +
+    same-key-order on both sides is the co-location contract;
+    ``spark.sql.sources.bucketing.enabled`` (default true) must be on
+    at read time."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets={n_buckets!r} must be >= 1")
+    cols = list(bucket_cols)
+    if not cols:
+        raise ValueError("bucket_cols must be non-empty")
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *cols)
+    if sort_cols:
+        w = w.sortBy(*list(sort_cols))
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)

@@ -1307,6 +1307,64 @@ def test_pca_train_and_project(spark):
         covariance_matrix(bad, "embedding", [0.0] * dim)
 
 
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """The co-located-join contract write_bucketed_table sells: two
+    tables bucketed on the join key produce a join plan with NO
+    Exchange on either side (the plain-parquet twin of the same join
+    shuffles both) — the one-time pre-shuffle that replaces every
+    future exchange of a fact table at corpus scale."""
+    from delta_lake_experiment_spark.sources.connectors import (
+        write_bucketed_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"fp{i % 40}", f"text {i}") for i in range(400)],
+        "id long, fp string, text string",
+    )
+    scores = spark.createDataFrame(
+        [(f"fp{i}", float(i)) for i in range(40)], "fp string, score double"
+    )
+    # AQE rewrites small sort-merge joins to broadcast, hiding the
+    # exchange question entirely; pin the planner to SMJ for the
+    # assertion (at fact-scale the SMJ path is the one that matters)
+    with_conf = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in with_conf}
+    try:
+        for k, v in with_conf:
+            spark.conf.set(k, v)
+        write_bucketed_table(
+            docs, "bkt_docs", ["fp"], n_buckets=8,
+            sort_cols=["fp"], path=str(tmp_path / "bd"),
+        )
+        write_bucketed_table(
+            scores, "bkt_scores", ["fp"], n_buckets=8,
+            sort_cols=["fp"], path=str(tmp_path / "bs"),
+        )
+        joined = spark.table("bkt_docs").join(spark.table("bkt_scores"), "fp")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 400
+        # the unbucketed twin of the same join shuffles both sides
+        plain = docs.join(scores, "fp")
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pplan
+        with pytest.raises(ValueError, match="n_buckets"):
+            write_bucketed_table(docs, "bkt_bad", ["fp"], n_buckets=0)
+        with pytest.raises(ValueError, match="bucket_cols"):
+            write_bucketed_table(docs, "bkt_bad", [])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_scores")
+
+
 def test_hard_negative_topk(spark):
     """Hard-negative band semantics on a planted geometry: the
     near-duplicate (cos ~1) is EXCLUDED above the band, the orthogonal
