@@ -840,6 +840,9 @@ def hard_negative_topk(
         F.col(id_col).alias("__id"), v.alias("__v"),
         F.sqrt(_dot(v, v)).alias("__nrm"),
     )
+    # limit(|qids|) bounds the broadcast EXPLICITLY in the plan (ids
+    # are unique, so it changes nothing; the plan audit rightly
+    # refuses fact-derived broadcasts without a bounding node)
     q = (
         base.filter(F.col("__id").isin(qids))
         .select(
@@ -847,6 +850,7 @@ def hard_negative_topk(
             F.col("__v").alias("__qv"),
             F.col("__nrm").alias("__qnrm"),
         )
+        .limit(len(qids))
     )
     cos = F.round(
         _dot(F.col("__v"), F.col("__qv")) / (F.col("__nrm") * F.col("__qnrm")),
