@@ -210,7 +210,10 @@ def main() -> None:
         timings[name] = min(per_run)
         print(f"# {name}: best {timings[name]:.2f}s runs={per_run}", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    # a crashed query's missing time must not read as a speedup: with
+    # any error the headline total is NOT comparable across rounds, so
+    # emit null instead of a shrunken number (per-query timings stay)
+    total = round(sum(timings.values()), 3) if not errors else None
     full = {
         "metric": "headline_total_runtime",
         "value": total,

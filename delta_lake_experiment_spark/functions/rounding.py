@@ -38,3 +38,21 @@ def round_like_sql(x: float, digits: int) -> float:
         n = math.floor(a)
         r = -(n + 1) if a - n >= 0.5 else -n
     return r / p
+
+
+def round_like_sql_np(arr, digits: int):
+    """Vectorized :func:`round_like_sql` over a numpy array — the SAME
+    scale / floor / half-away / divide sequence, so the Arrow lanes
+    and the scalar driver lanes share ONE replication of DuckDB's
+    rounding (a second inline copy would silently stop tracking fixes
+    to this fuzz-pinned surface)."""
+    import numpy as np
+
+    p = float(10 ** digits)
+    y = arr * p
+    pos = np.floor(y)
+    rp = np.where(y - pos >= 0.5, pos + 1, pos)
+    a = -y
+    na = np.floor(a)
+    rn = -np.where(a - na >= 0.5, na + 1, na)
+    return np.where(y >= 0, rp, rn) / p

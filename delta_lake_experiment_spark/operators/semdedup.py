@@ -134,10 +134,12 @@ def _assign_arrow(
     import numpy as np
     import pandas as pd
 
+    from delta_lake_experiment_spark.functions.rounding import (
+        round_like_sql_np,
+    )
+
     C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
     rd = int(round_digits)
-    p = float(10 ** rd)
-    cols = norm.columns
 
     def run(batches):
         for pdf in batches:
@@ -150,15 +152,11 @@ def _assign_arrow(
                 prod = mat * C[j]
                 acc = np.zeros(n, dtype=np.float64)
                 for d in range(prod.shape[1]):
-                    acc = acc + prod[:, d]
+                    # in-place: identical left-to-right fold, no
+                    # per-step temporary (k x dim of them otherwise)
+                    np.add(acc, prod[:, d], out=acc)
                 scores[:, j] = acc
-            y = scores * p
-            pos = np.floor(y)
-            rp = np.where(y - pos >= 0.5, pos + 1, pos)
-            a = -y
-            na = np.floor(a)
-            rn = -np.where(a - na >= 0.5, na + 1, na)
-            rounded = np.where(y >= 0, rp, rn) / p
+            rounded = round_like_sql_np(scores, rd)
             out = pdf.copy()
             out["__c"] = np.argmax(rounded, axis=1).astype("int32")
             yield out
@@ -220,6 +218,8 @@ def deterministic_kmeans(
     # the source); fully consumed inside this call, so eagerly
     # released — the try/finally exception to the functions/cache.py
     # consumer-releases contract
+    from delta_lake_experiment_spark.functions.rounding import round_like_sql
+
     norm = df.select(
         F.col(id_col).alias("i"), _norm_checked(vec_col).alias("v")
     ).persist()
@@ -242,9 +242,14 @@ def deterministic_kmeans(
                 )
                 .collect()
             )
+            # round_like_sql, not Python round: the one driver-side
+            # rounding in this loop compared against DuckDB round
+            # (functions/rounding.py contract; means are generic so
+            # the two rarely split, but rarely is not never)
             new = {
                 r["__c"]: [
-                    round(float(r[f"m{i}"]), round_digits) for i in range(dim)
+                    round_like_sql(float(r[f"m{i}"]), round_digits)
+                    for i in range(dim)
                 ]
                 for r in rows
             }

@@ -836,9 +836,22 @@ def hard_negative_topk(
     from pyspark.sql import Window
 
     v = _as_double(F.col(vec_col))
+    raw_nrm = F.sqrt(_dot(v, v))
+    # zero-norm guard (the mutual_nearest_pairs contract): a zero
+    # vector would otherwise yield NULL cosines that the band filter
+    # silently drops — two engines' div-by-zero semantics agreeing is
+    # not a correctness argument
+    nrm = F.when(raw_nrm > 0, raw_nrm).otherwise(
+        F.raise_error(
+            F.lit(
+                "hard_negative_topk: zero-norm embedding - cosine is"
+                " undefined (filter zero vectors upstream)"
+            )
+        ).cast("double")
+    )
     base = emb_df.select(
         F.col(id_col).alias("__id"), v.alias("__v"),
-        F.sqrt(_dot(v, v)).alias("__nrm"),
+        nrm.alias("__nrm"),
     )
     # limit(|qids|) bounds the broadcast EXPLICITLY in the plan (ids
     # are unique, so it changes nothing; the plan audit rightly
@@ -889,12 +902,21 @@ def hard_negative_sql(
     qids = list(query_ids)
     if not qids:
         raise ValueError("query_ids must be non-empty")
-    idlist = ", ".join(repr(x) for x in qids)
+    def lit(x):
+        if isinstance(x, str):
+            return "'" + x.replace("'", "''") + "'"
+        return repr(x)
+
+    idlist = ", ".join(lit(x) for x in qids)
     return rf"""
 WITH hne AS MATERIALIZED (
   SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v,
-         sqrt(list_dot_product(CAST({vec_col} AS DOUBLE[]),
-                               CAST({vec_col} AS DOUBLE[]))) AS nrm
+    CASE WHEN sqrt(list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                                    CAST({vec_col} AS DOUBLE[]))) > 0
+      THEN sqrt(list_dot_product(CAST({vec_col} AS DOUBLE[]),
+                                 CAST({vec_col} AS DOUBLE[])))
+      ELSE CAST(error('hard_negative oracle: zero-norm embedding -'
+                || ' cosine is undefined') AS DOUBLE) END AS nrm
   FROM {src}
 ), hnq AS (
   SELECT id AS query_id, v AS qv, nrm AS qnrm FROM hne

@@ -476,6 +476,19 @@ def blocklist_hits(
         raise ValueError(
             f"blocklist terms must be single lowercased tokens, got {bad!r}"
         )
+    if whole_word:
+        # \b needs a word char on the inside: a term starting/ending
+        # with a non-word char (punctuated obfuscations, 'c++') can
+        # NEVER match under whole-word boundaries — raise with the
+        # remedy instead of silently counting zero forever
+        edge = [t for t in terms if not _re.match(r"\w", t[0])
+                or not _re.match(r"\w", t[-1])]
+        if edge:
+            raise ValueError(
+                f"whole_word=True cannot match terms with non-word"
+                f" edge characters {edge!r} - pass whole_word=False"
+                " for those"
+            )
     alts = "|".join(_re.escape(t) for t in terms)
     pat = rf"\b({alts})\b" if whole_word else f"({alts})"
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
@@ -495,6 +508,19 @@ def blocklist_hits_sql(
         raise ValueError(
             f"blocklist terms must be single lowercased tokens, got {bad!r}"
         )
+    if whole_word:
+        # \b needs a word char on the inside: a term starting/ending
+        # with a non-word char (punctuated obfuscations, 'c++') can
+        # NEVER match under whole-word boundaries — raise with the
+        # remedy instead of silently counting zero forever
+        edge = [t for t in terms if not _re.match(r"\w", t[0])
+                or not _re.match(r"\w", t[-1])]
+        if edge:
+            raise ValueError(
+                f"whole_word=True cannot match terms with non-word"
+                f" edge characters {edge!r} - pass whole_word=False"
+                " for those"
+            )
     alts = "|".join(_re.escape(t) for t in terms)
     # DuckDB string literals do not process backslash escapes, so the
     # single-backslash \b reaches RE2 as the word boundary directly

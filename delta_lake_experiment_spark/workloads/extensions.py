@@ -2733,8 +2733,7 @@ def _blocklist_filtered_sql() -> str:
 
     hits = blocklist_hits_sql("text", _BLOCKLIST)
     return rf"""
-SELECT doc_id, lang,
-  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens
+SELECT doc_id, lang, CAST({_NTOKENS_SQL} AS INT) AS n_tokens
 FROM documents
 WHERE {hits} = 0
 """

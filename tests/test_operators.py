@@ -1424,16 +1424,21 @@ def test_blocklist_hits(spark):
         (4, "clean text entirely"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, text string")
-    terms = ("bad", "c++")
+    # a term with a non-word edge char can NEVER match under \b
+    # boundaries — the operator now REJECTS it under whole_word
+    # (silently counting zero forever was the review-flagged trap)
+    for fn in (lambda: blocklist_hits(F.col("text"), ("bad", "c++")),
+               lambda: blocklist_hits_sql("text", ("bad", "c++"))):
+        with pytest.raises(ValueError, match="whole_word"):
+            fn()
+    terms = ("bad",)
     got = {
         r["doc_id"]: r["h"]
         for r in df.select(
             "doc_id", blocklist_hits(F.col("text"), terms).alias("h")
         ).collect()
     }
-    # whole-word: 'badge'/'badness' never match; note a term ENDING in
-    # a non-word char ('c++') cannot satisfy the trailing \b before a
-    # space — the known blocklist subtlety; substring mode covers it
+    # whole-word: 'badge'/'badness' never match
     assert got == {1: 2, 2: 0, 3: 0, 4: 0}
     sub = {
         r["doc_id"]: r["h"]
