@@ -94,6 +94,7 @@ HEADLINE = [
     "blocklist_filtered_corpus",
     "hard_negative_pairs",
     "source_quality_report",
+    "frozen_lm_transfer_score",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 114 value-oracled queries, sixty-four must sit outside the window. The
+# With 115 value-oracled queries, sixty-five must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -233,6 +233,9 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # - source_quality_report -> one groupBy over doc_text_stats' and
 #   gopher_quality_report's certified map-only columns (the
 #   corpus_report aggregation shape, sliced by source);
+# - frozen_lm_transfer_score -> doc_lm_score's model/score machinery
+#   over doc_train_split's membership thresholds, exercising the
+#   frozen-model + unseen-floor path the self-scored lane cannot;
 # - corpus_topic_report -> the Lloyd assignment is
 #   semantic_dedup_corpus's certified chain (kmeans_assignments /
 #   sfinal), the token counts + per-group rank are corpus_vocab /
@@ -290,6 +293,7 @@ _DEFERRED_ORACLED = [
     "blocklist_filtered_corpus",
     "hard_negative_pairs",
     "source_quality_report",
+    "frozen_lm_transfer_score",
     "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",

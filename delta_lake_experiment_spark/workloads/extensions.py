@@ -2607,6 +2607,68 @@ FROM ccs s JOIN documents d ON d.doc_id = s.id
     )
 
 
+# -- frozen-model cross-corpus LM scoring --------------------------------
+
+# the explicit unseen-token floor a frozen-model consumer must choose
+# (see score_against_model's contract); ln-scale, below any observed
+# self-score on the fixture
+_FROZEN_UNSEEN_LOGPROB = -15.0
+
+
+def frozen_lm_transfer_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FROZEN-model scoring path through the driver gate: the
+    unigram LM is built from the TRAIN split only, then the VAL split
+    is scored against it with the explicit unseen-token floor — the
+    cross-corpus flow (score incoming crawls against last month's
+    model) that the self-scored doc_lm_score cannot exercise. Both
+    split membership (md5 thresholds) and the model are re-derived by
+    the oracle."""
+    from delta_lake_experiment_spark.operators.lm import (
+        build_unigram_model,
+        score_against_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id", _SPLIT_WEIGHTS, salt=_SPLIT_SALT)
+    train = split.filter(F.col("split") == "train")
+    val = split.filter(F.col("split") == "val")
+    model = build_unigram_model(train, "text")
+    return score_against_model(
+        val, "doc_id", "text", model,
+        unseen_logprob=_FROZEN_UNSEEN_LOGPROB,
+    )
+
+
+def _frozen_lm_transfer_sql() -> str:
+    split_case = split_thresholds_sql(
+        "CAST(doc_id AS VARCHAR)", _SPLIT_WEIGHTS, _SPLIT_SALT
+    )
+    return rf"""
+WITH fsp AS MATERIALIZED (
+  SELECT doc_id, text, {split_case} AS split FROM documents
+), ftok AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM fsp WHERE split = 'train'
+), fvocab AS MATERIALIZED (
+  SELECT tok, COUNT(*) AS cnt FROM ftok GROUP BY tok
+), fmodel AS MATERIALIZED (
+  SELECT tok, ln(CAST(cnt AS DOUBLE))
+           - ln((SELECT CAST(SUM(cnt) AS DOUBLE) FROM fvocab)) AS logprob
+  FROM fvocab
+), fval AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+  FROM fsp WHERE split = 'val'
+)
+SELECT v.doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       round(AVG(COALESCE(m.logprob, {_FROZEN_UNSEEN_LOGPROB!r})), 6)
+         AS avg_logprob
+FROM fval v LEFT JOIN fmodel m ON m.tok = v.tok
+GROUP BY v.doc_id
+"""
+
+
 # -- per-source quality dashboard ---------------------------------------
 
 
@@ -3741,6 +3803,7 @@ QUERIES = {
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "hard_negative_pairs": hard_negative_pairs,
     "source_quality_report": source_quality_report,
+    "frozen_lm_transfer_score": frozen_lm_transfer_score,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "corpus_topic_report": corpus_topic_report,
     "tokenizer_fertility_report": tokenizer_fertility_report,
@@ -3820,6 +3883,7 @@ ORACLES = {
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "hard_negative_pairs": _hard_negative_sql(),
     "source_quality_report": _source_quality_sql(),
+    "frozen_lm_transfer_score": _frozen_lm_transfer_sql(),
     "ccnet_perplexity_buckets": _ccnet_buckets_sql(),
     "corpus_topic_report": _corpus_topic_report_sql(),
     "tokenizer_fertility_report": _tokenizer_fertility_sql(),
