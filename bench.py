@@ -1,8 +1,8 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints a COMPACT JSON summary line
-(totals + frozen-subset per-query map — sized to survive the driver's
-stdout-capture limit) followed by the full per-query JSON record, which
-is also written to BENCH_LOCAL.json:
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints exactly ONE compact JSON
+summary line to stdout, LAST (the driver keeps the stdout TAIL, so the
+parseable line must be the final thing emitted); the full per-query
+record is written to BENCH_LOCAL.json:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced end-to-end with the noop sink (full execution, no
@@ -213,8 +213,17 @@ def main() -> None:
 
     # a crashed query's missing time must not read as a speedup: with
     # any error the headline total is NOT comparable across rounds, so
-    # emit null instead of a shrunken number (per-query timings stay)
+    # emit null instead of a shrunken number (per-query timings stay).
+    # The same rule applies to the frozen-subset total: a subset query
+    # silently omitted via `if q in timings` would shrink the subtotal
+    # and read as a speedup (ADVICE r6 #1).
     total = round(sum(timings.values()), 3) if not errors else None
+    subset_errored = any(q in errors for q in BASELINE_SUBSET)
+    subset_total = (
+        None
+        if subset_errored
+        else round(sum(timings[q] for q in BASELINE_SUBSET if q in timings), 3)
+    )
     full = {
         "metric": "headline_total_runtime",
         "value": total,
@@ -222,18 +231,23 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "single_pass_total": round(sum(r[0] for r in runs.values()), 3),
-        "baseline_subset_total": round(
-            sum(timings[q] for q in BASELINE_SUBSET if q in timings), 3
-        ),
+        "baseline_subset_total": subset_total,
         "sf": sf,
         "errors": errors,
     }
-    # The driver's stdout capture truncates the full per-query line
-    # (BENCH_r03..r05 recorded "parsed": null with a cut-off tail), so
-    # emit a COMPACT summary line FIRST — totals + the frozen-subset
-    # per-query map, ~500 bytes — and the full record second; the full
-    # record is also written to BENCH_LOCAL.json next to this script so
-    # every per-query number survives regardless of capture limits.
+    # The driver keeps the TAIL of stdout (BENCH_r03..r06 all recorded
+    # "parsed": null with the END of a too-long record in `tail` — the
+    # r5 summary-FIRST fix aimed at the wrong end, VERDICT r6 item 1).
+    # So: the full record goes ONLY to BENCH_LOCAL.json (which the
+    # judge already uses), and stdout carries exactly ONE compact line
+    # — totals + the frozen-subset per-query map, ~500 bytes — printed
+    # LAST so a tail capture of any length ends with a parseable JSON
+    # line.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(full, f, indent=1)
     compact = {
         "metric": "headline_total_runtime",
         "value": total,
@@ -242,19 +256,13 @@ def main() -> None:
             q: round(timings[q], 2) for q in BASELINE_SUBSET if q in timings
         },
         "sf": sf,
-        "baseline_subset_total": full["baseline_subset_total"],
+        "baseline_subset_total": subset_total,
         "single_pass_total": full["single_pass_total"],
         "n_queries": len(timings),
         "n_errors": len(errors),
         "detail": "BENCH_LOCAL.json",
     }
     print(json.dumps(compact, separators=(",", ":")))
-    print(json.dumps(full))
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
-        "w",
-    ) as f:
-        json.dump(full, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -744,9 +744,17 @@ def kn_bigram_logprob_scores(
 
     Same pinned semantics as the JM lane: first token unscored (no
     BOS), < 2-token documents return explicit NULL, NULL text raises.
-    Self-scored, every context is in the model; a frozen-model
-    variant's unseen context degrades to pure continuation mass via
-    the coalesce(0) lanes rather than dropping rows.
+    The certified contract is SELF-SCORED: the model tables are
+    derived from the scored corpus itself, so every context and every
+    continuation word is in the model by construction. The
+    continuation join is row-preserving (left + coalesce(ncont, 0))
+    so a hypothetical frozen-model reuse would not silently drop
+    bigrams — but note that an unseen continuation word then has
+    P_cont = 0, and if the bigram is also unseen the probability is
+    exactly zero (log undefined: -inf in DuckDB, NULL in Spark).
+    Frozen-model scoring therefore needs an explicit unseen floor —
+    that lane exists as :func:`frozen_lm_score` / the
+    ``frozen_lm_transfer_score`` query, not here.
 
     Plan shape: the same map-only sliding-pair explode, then FOUR
     O(model) aggregates (bigram counts, context counts, distinct
@@ -808,11 +816,12 @@ def kn_bigram_logprob_scores(
         pairs.join(big, ["__prev", "__cur"], "left")
         .join(ctx, "__prev", "left")
         .join(succ, "__prev", "left")
-        .join(cont, "__cur")
+        .join(cont, "__cur", "left")
         .crossJoin(F.broadcast(types))
         .withColumn(
             "__pcont",
-            F.col("__ncont").cast("double") / F.col("__ntypes"),
+            F.coalesce(F.col("__ncont"), F.lit(0)).cast("double")
+            / F.col("__ntypes"),
         )
         .withColumn(
             "__p",
@@ -881,12 +890,12 @@ WITH knt AS (
   SELECT p.id, p.n_tokens,
     COALESCE(greatest(CAST(c.cbg AS DOUBLE) - {d}, 0.0) / x.cctx, 0.0)
     + COALESCE(CAST({d} * s.nsucc AS DOUBLE) / x.cctx, 1.0)
-      * (CAST(w.ncont AS DOUBLE) / n.ntypes) AS pr
+      * (CAST(COALESCE(w.ncont, 0) AS DOUBLE) / n.ntypes) AS pr
   FROM knp p
   LEFT JOIN knc c ON c.prev = p.prev AND c.cur = p.cur
   LEFT JOIN knx x ON x.prev = p.prev
   LEFT JOIN kns s ON s.prev = p.prev
-  JOIN knw w ON w.cur = p.cur, knn n
+  LEFT JOIN knw w ON w.cur = p.cur, knn n
 ), kna AS (
   SELECT id, n_tokens, round(AVG(ln(pr)), {int(round_digits)}) AS avg_logprob
   FROM knsc GROUP BY 1, 2

@@ -277,7 +277,17 @@ def _pca_ctes(
     component the power-iteration steps, eigenvalue, sign fix, and
     deflation. Returns (ctes, [pvec names per component]). Static
     hyperparameters are validated with the operator's own rules (a
-    twin accepting what power_pca rejects is a divergence)."""
+    twin accepting what power_pca rejects is a divergence).
+
+    PRECONDITION (guarded in-query): ``id_col`` must be unique. The
+    operator never touches ids (it divides the Gram sum by the raw
+    row count), but this twin reconstructs the Gram via a pcen
+    self-join USING (id) — duplicate ids would inflate the join
+    output AND shrink a COUNT(DISTINCT id) divisor, silently
+    disagreeing with (or masking bugs in) the operator (ADVICE r6
+    #2). ``pids`` raises via error() when ids repeat, and the
+    divisor is the operator's row count (COUNT(*) over pe's i=1
+    slice — one row per source row)."""
     if dim < 1:
         raise ValueError(f"dim={dim!r} must be >= 1")
     if not 1 <= k <= dim:
@@ -309,12 +319,19 @@ def _pca_ctes(
         f"""pmu AS MATERIALIZED (
   SELECT i, round(AVG(x), {rd}) AS m FROM pe GROUP BY i
 )""",
+        """pids AS MATERIALIZED (
+  SELECT CASE WHEN COUNT(*) = COUNT(DISTINCT id) THEN COUNT(*)
+    ELSE CAST(error('pca oracle: duplicate ids - the Gram self-join'
+              || ' USING (id) requires unique ids (dedupe upstream)')
+         AS BIGINT) END AS n
+  FROM pe WHERE i = 1
+)""",
         """pcen AS MATERIALIZED (
   SELECT pe.id, pe.i, pe.x - pmu.m AS cx FROM pe JOIN pmu USING (i)
 )""",
         f"""pC0 AS MATERIALIZED (
   SELECT a.i, b.i AS j,
-    round(SUM(a.cx * b.cx) / (SELECT COUNT(DISTINCT id) FROM pe), {rd}) AS c
+    round(SUM(a.cx * b.cx) / (SELECT n FROM pids), {rd}) AS c
   FROM pcen a JOIN pcen b USING (id) GROUP BY 1, 2
 )""",
     ]

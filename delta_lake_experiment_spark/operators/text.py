@@ -491,7 +491,14 @@ def blocklist_hits(
             )
     alts = "|".join(_re.escape(t) for t in terms)
     pat = rf"\b({alts})\b" if whole_word else f"({alts})"
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+    # NULL text would make the count NULL, and the canonical consumer
+    # (`hits == 0` filter) would then DROP the document silently —
+    # neither "blocked" nor "clean". Raise, matching the text lane's
+    # NULL contract (ADVICE r6 #3).
+    from delta_lake_experiment_spark.functions.guards import null_checked
+
+    checked = null_checked(text, "blocklist_hits", "text")
+    return F.size(F.regexp_extract_all(F.lower(checked), F.lit(pat), F.lit(0)))
 
 
 def blocklist_hits_sql(
@@ -526,4 +533,11 @@ def blocklist_hits_sql(
     # single-backslash \b reaches RE2 as the word boundary directly
     pat = rf"\b({alts})\b" if whole_word else f"({alts})"
     quoted = pat.replace("'", "''")
-    return rf"CAST(len(regexp_extract_all(lower({text_sql}), '{quoted}')) AS INT)"
+    # error() on NULL text, mirroring the operator's null_checked raise
+    checked = (
+        f"CASE WHEN {text_sql} IS NULL THEN CAST(error("
+        "'blocklist_hits: text is NULL - must be non-NULL"
+        " (filter or coalesce upstream)') AS VARCHAR)"
+        f" ELSE {text_sql} END"
+    )
+    return rf"CAST(len(regexp_extract_all(lower({checked}), '{quoted}')) AS INT)"

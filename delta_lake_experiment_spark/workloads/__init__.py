@@ -244,6 +244,44 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   bpe_merge_table/bpe_encoded_documents + unigram_vocab/
 #   unigram_encoded_documents (each end-to-end oracled) into corpus
 #   totals; the comparison framing is the novelty.
+# r7 WINDOW ROTATION (VERDICT r6 item 2): the 14 r6-born oracled
+# queries all sat outside the hard gate. Eight moved IN
+# (unigram_vocab, embedding_pca_components, embedding_pca_projection,
+# similarity_pca_topk, doc_kn_bigram_score, gopher_quality_report,
+# corpus_topic_report, hard_negative_pairs) and eight long-certified
+# legacy queries moved OUT (all were in-window r2-r6; every one
+# remains value-oracled on each pytest run and in check_oracle
+# sweeps):
+# - user_sessions -> the lag-sessionize window is exercised in-window
+#   by events_in_session_intervals, which BUILDS the same session
+#   intervals and then joins events back into them (the composition
+#   certifies the component);
+# - streaming_click_attribution -> the stream-stream join's oracle IS
+#   the same batch SQL as purchase_last_click (in-window);
+#   streaming_hourly_windows stays as the streaming-parity
+#   representative;
+# - engine_merge_upsert -> the conditional-upsert machinery is driven
+#   in-window through the SQL planner by engine_sql_merge (MERGE INTO
+#   lowers to the same primary-key merge path) and the
+#   latest-version-wins read by engine_upsert_latest;
+# - engine_update_range -> COW update = engine_delete_range's
+#   stat-pruned delete + the W3 rewrite certified by
+#   engine_roundtrip_scan; the read-back semantic by
+#   engine_upsert_latest;
+# - near_dup_embedding -> the block-bundle gemm cosine lane is
+#   exercised in-window by semantic_dedup_corpus (tiled gemm pair
+#   stage, same sub-block construction) and
+#   similarity_bruteforce_topk (same dot/norm arithmetic);
+# - doc_winnow_fingerprints -> the posexplode positional-gram window
+#   machinery is exercised in-window by contamination_spans (same
+#   positional-gram lane plus diagonal-islands resolution);
+# - corpus_curation_funnel -> strictly shadowed by
+#   advanced_curation_pipeline (in-window), which composes the same
+#   stages plus the classifier/semantic/ensemble additions;
+# - domain_mixture -> the md5-threshold stratified sampling is
+#   doc_train_split's _hex_prefix machinery (in-window) and the
+#   per-stratum mixing arithmetic is temperature_mixture's
+#   (in-window).
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -282,19 +320,11 @@ _DEFERRED_ORACLED = [
     "training_epoch_plan",
     "lang_lm_filtered_corpus",
     "bpe_encoded_documents",
-    "unigram_vocab",
     "unigram_encoded_documents",
-    "gopher_quality_report",
-    "embedding_pca_components",
-    "embedding_pca_projection",
-    "similarity_pca_topk",
-    "doc_kn_bigram_score",
     "ccnet_perplexity_buckets",
     "blocklist_filtered_corpus",
-    "hard_negative_pairs",
     "source_quality_report",
     "frozen_lm_transfer_score",
-    "corpus_topic_report",
     "tokenizer_fertility_report",
     "epoch_expanded_corpus",
     "corpus_mixture_pipeline",
@@ -313,6 +343,14 @@ _DEFERRED_ORACLED = [
     "hot_ngram_report",
     "doc_novelty",
     "dedup_best_canonical",
+    "user_sessions",
+    "streaming_click_attribution",
+    "engine_merge_upsert",
+    "engine_update_range",
+    "near_dup_embedding",
+    "doc_winnow_fingerprints",
+    "corpus_curation_funnel",
+    "domain_mixture",
 ]
 
 

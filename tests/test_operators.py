@@ -1033,6 +1033,40 @@ def test_pack_sequences(spark):
         pack_sequences(docs, "n_tokens", budget=0, order_col="doc_id")
 
 
+def test_pack_sequences_global_two_phase(spark):
+    """The unsharded path runs the two-phase bucketed cumsum (VERDICT
+    r6 item 5: the old formulation was a single-partition global
+    window). The offsets are a pure function of the order, so every
+    bucket count — including the degenerate 1-bucket layout, which IS
+    the old single-window plan — must produce identical packs."""
+    import random
+
+    from delta_lake_experiment_spark.operators.packing import pack_sequences
+
+    rng = random.Random(7)
+    data = [(i, rng.randrange(0, 900)) for i in range(500)]
+    docs = spark.createDataFrame(data, "doc_id long, n_tokens long").repartition(7)
+
+    def packs(buckets):
+        out = pack_sequences(
+            docs, "n_tokens", budget=1000, order_col="doc_id",
+            global_buckets=buckets,
+        )
+        got = {r["doc_id"]: (r["pack_offset"], r["pack_id"]) for r in out.collect()}
+        out.unpersist() if hasattr(out, "unpersist") else None
+        return got
+
+    # independent reference: a driver-side sequential scan
+    expected, acc = {}, 0
+    for i, t in data:
+        expected[i] = (acc, acc // 1000)
+        acc += t
+    assert packs(1) == expected          # degenerate = the old global window
+    assert packs(16) == expected         # multi-bucket two-phase
+    assert packs(256) == expected        # more buckets than rows per bucket
+    spark.catalog.clearCache()
+
+
 def test_pack_sequences_guards(spark):
     from delta_lake_experiment_spark.operators.packing import pack_sequences
 
@@ -1305,6 +1339,20 @@ def test_pca_train_and_project(spark):
             [(1, None)], "vec_id long, embedding array<double>"
         )
         covariance_matrix(bad, "embedding", [0.0] * dim)
+    # duplicate ids: the oracle's Gram self-join USING (id) requires
+    # unique ids — it must raise loudly, never silently diverge from
+    # the id-agnostic operator (ADVICE r6 #2)
+    con3 = duckdb.connect()
+    con3.execute("CREATE TABLE pdup(vec_id BIGINT, embedding DOUBLE[])")
+    con3.executemany(
+        "INSERT INTO pdup VALUES (?, ?)",
+        [(1, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.5, 0.5])],
+    )
+    with pytest.raises(Exception, match="duplicate ids"):
+        con3.execute(
+            pca_components_sql("pdup", "vec_id", "embedding", dim=2, k=1, p_iters=2)
+        ).fetchall()
+    con3.close()
 
 
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
@@ -1470,6 +1518,20 @@ def test_blocklist_hits(spark):
             blocklist_hits(F.col("text"), bad_terms)
         with pytest.raises(ValueError):
             blocklist_hits_sql("text", bad_terms)
+    # NULL text raises on BOTH engines (ADVICE r6 #3: a NULL count
+    # would make `hits == 0` drop the doc silently — neither blocked
+    # nor clean)
+    ndf = spark.createDataFrame([(9, None)], "doc_id int, text string")
+    with pytest.raises(Exception, match="non-NULL"):
+        ndf.select(blocklist_hits(F.col("text"), terms).alias("h")).collect()
+    con2 = duckdb.connect()
+    con2.execute("CREATE TABLE ndocs(doc_id INT, text VARCHAR)")
+    con2.execute("INSERT INTO ndocs VALUES (9, NULL)")
+    with pytest.raises(Exception, match="non-NULL"):
+        con2.execute(
+            "SELECT " + blocklist_hits_sql("text", terms) + " FROM ndocs"
+        ).fetchall()
+    con2.close()
 
 
 def test_ccnet_perplexity_buckets(spark):
