@@ -121,6 +121,8 @@ HEADLINE = [
     "doc_novelty",
     "dedup_best_canonical",
     "advanced_curation_pipeline",
+    # r7: the ANN tuning report (recall@k across the deterministic lanes)
+    "ann_recall_report",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -282,14 +282,39 @@ def kmeans_assignments(
         df, id_col, vec_col, k=k, iters=iters, salt=salt,
         round_digits=round_digits, assign_strategy=assign_strategy,
     )
+    return assign_to_centroids(
+        df, id_col, vec_col, cents,
+        round_digits=round_digits, assign_strategy=assign_strategy,
+    )
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: "Sequence[Sequence[float]]",
+    round_digits: int = 9,
+    assign_strategy: str = "arrow",
+) -> DataFrame:
+    """(id_col, cluster) — assignment of each (l2-normalized) vector
+    to its nearest centroid under the certified rounded-dot +
+    lower-index tie-break semantics, for consumers that already HOLD
+    a trained centroid list (the ANN recall report probes a
+    deterministic_kmeans model whose centroids it also needs
+    driver-side for probe selection — retraining inside
+    kmeans_assignments would double the Lloyd work). Same oracle
+    fragment as :func:`kmeans_assignments` (semantic_pair_ctes'
+    ``sfinal``)."""
+    if assign_strategy not in ("arrow", "hof"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
     norm = df.select(F.col(id_col), _norm_checked(vec_col).alias("__v"))
     if assign_strategy == "arrow":
-        return _assign_arrow(norm, "__v", cents, round_digits).select(
+        return _assign_arrow(norm, "__v", centroids, round_digits).select(
             F.col(id_col), F.col("__c").alias("cluster")
         )
     return norm.select(
         F.col(id_col),
-        _nearest(F.col("__v"), cents, round_digits).alias("cluster"),
+        _nearest(F.col("__v"), centroids, round_digits).alias("cluster"),
     )
 
 

@@ -282,6 +282,13 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   doc_train_split's _hex_prefix machinery (in-window) and the
 #   per-stratum mixing arithmetic is temperature_mixture's
 #   (in-window).
+# New in r7 (deferred from birth — the window is full at 50):
+# - ann_recall_report -> the per-method candidate machinery is all
+#   certified in-window (cosine_topk by similarity_bruteforce_topk,
+#   the PCA reduction by similarity_pca_topk, the Lloyd chain by
+#   semantic_dedup_corpus/corpus_topic_report); the recall TALLY is a
+#   union of O(k) id lists semi-joined against the exact list — the
+#   report framing is the novelty.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -351,6 +358,7 @@ _DEFERRED_ORACLED = [
     "doc_winnow_fingerprints",
     "corpus_curation_funnel",
     "domain_mixture",
+    "ann_recall_report",
 ]
 
 

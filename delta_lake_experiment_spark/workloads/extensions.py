@@ -3027,6 +3027,288 @@ LIMIT {_PCA_TOPK}
 """
 
 
+# -- ANN recall report --------------------------------------------------
+
+# one corpus, one query (the vec_id=0 row every ANN lane uses), one k:
+# the recall@k numbers an ANN user actually tunes with, side by side
+_ANN_K = 10
+_ANN_QID = 0
+_ANN_LSH_BITS = 4
+_ANN_LSH_HAMMING = 1
+_ANN_IVF_CENTROIDS = 16
+_ANN_IVF_ITERS = 1
+_ANN_IVF_PROBE = 4
+_ANN_IVF_SALT = "ivfrr"
+_ANN_ROUND = 9
+
+
+def _ann_norm_py(vec: "list[float]") -> "list[float]":
+    """The SQL twin's normalization (CASE WHEN sqrt(dot)>0 THEN x/n),
+    replicated with the pinned left-to-right fold: same double in,
+    same double out on both engines."""
+    import math as _math
+
+    from delta_lake_experiment_spark.operators.pca import _fold_dot
+
+    n = _math.sqrt(_fold_dot(vec, vec))
+    return [x / n for x in vec] if n > 0 else list(vec)
+
+
+def _ann_ivf_probes(query: "list[float]", cents: "list[list[float]]") -> "list[int]":
+    """Probe list: the n_probe centroid indices nearest the normalized
+    query by ROUNDED dot, ties to the lower index — the exact ORDER BY
+    the SQL twin runs over the re-derived centroid table. Driver-side
+    O(k·dim) math (round_like_sql + _fold_dot: the pca.py parity
+    discipline)."""
+    from delta_lake_experiment_spark.functions.rounding import round_like_sql
+    from delta_lake_experiment_spark.operators.pca import _fold_dot
+
+    qn = _ann_norm_py(query)
+    scored = sorted(
+        ((-round_like_sql(_fold_dot(c, qn), _ANN_ROUND), j) for j, c in enumerate(cents)),
+    )
+    return [j for _, j in scored[:_ANN_IVF_PROBE]]
+
+
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every deterministic ANN lane against the exact
+    brute-force top-k, on one corpus and one query — the tuning number
+    the rows-only ANN queries could previously only assert as in-query
+    floors (VERDICT r6 item 7). One row per method:
+
+    - ``bruteforce``: the exact cosine top-k itself (recall 1.0 by
+      construction — the sanity row);
+    - ``pca``: top-k by squared euclidean in the 4-component PCA-reduced
+      space (the bit-exact operators/pca.py lane);
+    - ``lsh``: SRP bucket + hamming-1 multiprobe candidates, exact
+      rerank (operators/similarity.py::lsh_bucket_topk — the sign
+      matrix is Python-generated and enters BOTH plans as literals);
+    - ``ivf``: probe the n_probe nearest of 16 inverted lists built by
+      the CERTIFIED deterministic k-means (operators/semdedup.py seeds
+      + Lloyd chain — md5 seeds, rounded assignment), exact rerank.
+
+    Every method here is chosen to be fully VALUE-oracle-able: the
+    exact set and each candidate set are deterministic and re-derived
+    by the DuckDB twin (literal signs; the semantic_pair_ctes Lloyd
+    chain; the bit-exact PCA projection), so recall itself hash-checks
+    — unlike similarity_{lsh,ivf,pq}_topk, whose production
+    configurations (xxhash64 seeds, np-gemm PQ codebooks) stay
+    rows-only. PQ is absent for exactly that reason: its codebooks are
+    trained by an Arrow/numpy Lloyd pass whose gemm summation order no
+    SQL engine reproduces; its quality gate remains the in-query
+    recall floor in similarity_pq_topk.
+
+    Plan shape: one exact top-k scan, one bucket-filtered rerank, one
+    k-means train (2 passes at iters=1) + assignment + filtered
+    rerank, one PCA train + projection — every per-method candidate
+    set is O(corpus/buckets) or O(k) and the tally is a union of four
+    O(k) id lists semi-joined against the exact O(k) list. recall =
+    hits/k is an exact small-integer ratio: IEEE division of the same
+    ints is bit-identical across engines, so no rounding is needed."""
+    from delta_lake_experiment_spark.operators.pca import project_embeddings
+    from delta_lake_experiment_spark.operators.semdedup import (
+        assign_to_centroids,
+        deterministic_kmeans,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == _ANN_QID).select("embedding").first()
+    query = [float(x) for x in qrow["embedding"]]
+    base = emb.filter(F.col("vec_id") != _ANN_QID)
+    exact = cosine_topk(base, "vec_id", "embedding", query, k=_ANN_K).select(
+        "vec_id"
+    ).persist()  # consumer releases (functions/cache.py contract)
+
+    # lsh: literal-sign buckets + multiprobe, exact rerank
+    lsh = lsh_bucket_topk(
+        spark, base, "vec_id", "embedding", query, dim=len(query),
+        k=_ANN_K, bits=_ANN_LSH_BITS, probe_hamming=_ANN_LSH_HAMMING,
+    ).select("vec_id")
+
+    # ivf: certified k-means lists, fixed n_probe (the honest tuning
+    # number — no test-scale widening here: a low recall at tiny sf is
+    # a CORRECT report value, not a failure)
+    cents = deterministic_kmeans(
+        base, "vec_id", "embedding", k=_ANN_IVF_CENTROIDS,
+        iters=_ANN_IVF_ITERS, salt=_ANN_IVF_SALT,
+    )
+    probes = _ann_ivf_probes(query, cents)
+    assigned = assign_to_centroids(base, "vec_id", "embedding", cents)
+    ivf_cand = (
+        assigned.filter(F.col("cluster").isin(probes))
+        .select("vec_id")
+        .join(base, "vec_id")
+    )
+    ivf = cosine_topk(ivf_cand, "vec_id", "embedding", query, k=_ANN_K).select(
+        "vec_id"
+    )
+
+    # pca: reduced-space euclidean top-k (similarity_pca_topk's exact
+    # machinery, query id 0)
+    emb_all, mu, comps = _pca_train(spark, sf_dir)
+    proj = project_embeddings(
+        emb_all, "vec_id", "embedding", mu, [v for _, v in comps]
+    ).persist()  # consumer releases
+    q = (
+        proj.filter(F.col("vec_id") == _ANN_QID)
+        .select(*[F.col(f"pc{c + 1}").alias(f"q{c + 1}") for c in range(_PCA_K)])
+        .limit(1)
+    )
+    dist = None
+    for c in range(_PCA_K):
+        term = (F.col(f"pc{c + 1}") - F.col(f"q{c + 1}")) * (
+            F.col(f"pc{c + 1}") - F.col(f"q{c + 1}")
+        )
+        dist = term if dist is None else dist + term
+    pca_ids = (
+        proj.filter(F.col("vec_id") != _ANN_QID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dist.alias("__d"))
+        .orderBy(F.col("__d").asc(), F.col("vec_id").asc())
+        .limit(_ANN_K)
+        .select("vec_id")
+    )
+
+    tagged = (
+        exact.withColumn("method", F.lit("bruteforce"))
+        .unionByName(pca_ids.withColumn("method", F.lit("pca")))
+        .unionByName(lsh.withColumn("method", F.lit("lsh")))
+        .unionByName(ivf.withColumn("method", F.lit("ivf")))
+    )
+    hits = (
+        tagged.join(exact, "vec_id", "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    methods = spark.createDataFrame(
+        [("bruteforce",), ("pca",), ("lsh",), ("ivf",)], "method string"
+    )
+    return (
+        methods.join(hits, "method", "left")
+        .select(
+            "method",
+            F.lit(_ANN_K).alias("k"),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.lit(float(_ANN_K))
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_sql() -> str:
+    from delta_lake_experiment_spark.operators.pca import pca_projection_sql
+    from delta_lake_experiment_spark.operators.semdedup import (
+        semantic_pair_ctes,
+    )
+    from delta_lake_experiment_spark.operators.similarity import srp_signs
+
+    signs = srp_signs(_PCA_DIM, _ANN_LSH_BITS)
+    qexpr = (
+        f"(SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings"
+        f" WHERE vec_id = {_ANN_QID})"
+    )
+    cos = (
+        "round(list_dot_product(e.v, q.qv)"
+        " / sqrt(list_dot_product(e.v, e.v) * list_dot_product(q.qv, q.qv)),"
+        f" {_ANN_ROUND})"
+    )
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e.v, {[float(s) for s in row]!r}::DOUBLE[])"
+        f" >= 0 THEN {1 << b} ELSE 0 END)"
+        for b, row in enumerate(signs)
+    )
+    # the probe bucket set is driver-side Python on BOTH sides: the
+    # same srp_signs/srp_bucket_py pair generates the Spark probes and
+    # this literal IN-list (the md5-threshold-SQL precedent)
+    # — the query row's bucket needs the actual query vector, which is
+    # data-dependent; it is resolved here by enumerating ALL buckets
+    # whose hamming distance to the in-SQL-computed query bucket is
+    # within the probe radius, via a scalar subquery on bit counts
+    qbucket_expr = (
+        "(SELECT "
+        + " + ".join(
+            f"(CASE WHEN list_dot_product(q.qv, {[float(s) for s in row]!r}::DOUBLE[])"
+            f" >= 0 THEN {1 << b} ELSE 0 END)"
+            for b, row in enumerate(signs)
+        )
+        + f" FROM {qexpr} q)"
+    )
+    chain = semantic_pair_ctes(
+        f"(SELECT vec_id, embedding FROM embeddings WHERE vec_id <> {_ANN_QID})",
+        "vec_id",
+        "embedding",
+        k=_ANN_IVF_CENTROIDS,
+        iters=_ANN_IVF_ITERS,
+        salt=_ANN_IVF_SALT,
+        round_digits=_ANN_ROUND,
+        threshold=1.1,  # sem_pairs is unreferenced (and empty if ever evaluated)
+    )
+    pproj = pca_projection_sql(
+        "embeddings", "vec_id", "embedding",
+        dim=_PCA_DIM, k=_PCA_K, p_iters=_PCA_ITERS,
+    )
+    pca_terms = " + ".join(
+        f"(p.pc{c + 1} - pq.pc{c + 1}) * (p.pc{c + 1} - pq.pc{c + 1})"
+        for c in range(_PCA_K)
+    )
+    return f"""
+WITH {chain},
+ebase AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id <> {_ANN_QID}
+),
+exactk AS MATERIALIZED (
+  SELECT e.vec_id FROM ebase e, {qexpr} q
+  ORDER BY {cos} DESC, e.vec_id ASC LIMIT {_ANN_K}
+),
+lshk AS (
+  SELECT e.vec_id FROM ebase e, {qexpr} q
+  WHERE bit_count(xor(CAST(({bucket_terms}) AS BIGINT),
+                      CAST({qbucket_expr} AS BIGINT))) <= {_ANN_LSH_HAMMING}
+  ORDER BY {cos} DESC, e.vec_id ASC LIMIT {_ANN_K}
+),
+ivfprobes AS (
+  SELECT c.j FROM sc{_ANN_IVF_ITERS} c,
+    (SELECT CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+       THEN list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
+       ELSE qv END AS v FROM {qexpr}) qn
+  ORDER BY round(list_dot_product(c.v, qn.v), {_ANN_ROUND}) DESC, c.j ASC
+  LIMIT {_ANN_IVF_PROBE}
+),
+ivfk AS (
+  SELECT e.vec_id FROM ebase e
+  JOIN sfinal f ON f.i = e.vec_id
+  JOIN {qexpr} q ON TRUE
+  WHERE f.j IN (SELECT j FROM ivfprobes)
+  ORDER BY {cos} DESC, e.vec_id ASC LIMIT {_ANN_K}
+),
+pproj AS MATERIALIZED ({pproj}),
+pcak AS (
+  SELECT p.id AS vec_id FROM pproj p,
+    (SELECT * FROM pproj WHERE id = {_ANN_QID}) pq
+  WHERE p.id <> {_ANN_QID}
+  ORDER BY {pca_terms} ASC, p.id ASC LIMIT {_ANN_K}
+),
+tag AS (
+  SELECT 'bruteforce' AS method, vec_id FROM exactk
+  UNION ALL SELECT 'pca', vec_id FROM pcak
+  UNION ALL SELECT 'lsh', vec_id FROM lshk
+  UNION ALL SELECT 'ivf', vec_id FROM ivfk
+),
+hcount AS (
+  SELECT method, COUNT(*) AS hits FROM tag
+  WHERE vec_id IN (SELECT vec_id FROM exactk) GROUP BY method
+)
+SELECT m.method, {_ANN_K} AS k,
+  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+  CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(_ANN_K)!r} AS recall
+FROM (VALUES ('bruteforce'), ('pca'), ('lsh'), ('ivf')) m(method)
+LEFT JOIN hcount h ON h.method = m.method
+"""
+
+
 # -- unigram-LM tokenizer training (operators/unigram.py) ---------------
 
 # the synthetic corpus has 24 distinct characters and 31 distinct
@@ -3799,6 +4081,7 @@ QUERIES = {
     "embedding_pca_components": embedding_pca_components,
     "embedding_pca_projection": embedding_pca_projection,
     "similarity_pca_topk": similarity_pca_topk,
+    "ann_recall_report": ann_recall_report,
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "hard_negative_pairs": hard_negative_pairs,
@@ -3879,6 +4162,7 @@ ORACLES = {
     "embedding_pca_components": _pca_components_sql(),
     "embedding_pca_projection": _pca_projection_sql(),
     "similarity_pca_topk": _similarity_pca_topk_sql(),
+    "ann_recall_report": _ann_recall_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "hard_negative_pairs": _hard_negative_sql(),

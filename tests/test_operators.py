@@ -4467,6 +4467,63 @@ def test_bigram_logprob_scores(spark):
     assert duck == got
 
 
+def test_assign_to_centroids_matches_kmeans_assignments(spark):
+    """The factored-out assignment (held-model path the ANN recall
+    report uses) is value-identical to kmeans_assignments' train+assign
+    on the same inputs, in both strategies."""
+    import random
+
+    from delta_lake_experiment_spark.operators.semdedup import (
+        assign_to_centroids,
+        deterministic_kmeans,
+        kmeans_assignments,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [round(rng.gauss(0, 1), 6) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    ref = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assignments(
+            df, "vec_id", "embedding", k=4, iters=2, salt="aa"
+        ).collect()
+    }
+    cents = deterministic_kmeans(df, "vec_id", "embedding", k=4, iters=2, salt="aa")
+    for strat in ("arrow", "hof"):
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_to_centroids(
+                df, "vec_id", "embedding", cents, assign_strategy=strat
+            ).collect()
+        }
+        assert got == ref, strat
+    with pytest.raises(ValueError, match="assign_strategy"):
+        assign_to_centroids(df, "vec_id", "embedding", cents, assign_strategy="x")
+
+
+def test_ann_recall_report_invariants(spark):
+    """Report invariants at sf0.001: all four methods present,
+    bruteforce recall exactly 1.0, hits in [0, k], recall == hits/k."""
+    from delta_lake_experiment_spark.workloads.extensions import (
+        ann_recall_report,
+    )
+
+    rows = {
+        r["method"]: r
+        for r in ann_recall_report(spark, "/root/testdata/sf0.001").collect()
+    }
+    spark.catalog.clearCache()
+    assert set(rows) == {"bruteforce", "pca", "lsh", "ivf"}
+    assert rows["bruteforce"]["hits"] == 10
+    assert rows["bruteforce"]["recall"] == 1.0
+    for r in rows.values():
+        assert r["k"] == 10
+        assert 0 <= r["hits"] <= 10
+        assert r["recall"] == r["hits"] / 10.0
+
+
 def test_deterministic_kmeans_empty_cluster_carryover(spark):
     """A centroid that attracts no vectors keeps its previous value in
     BOTH lanes (k never silently shrinks): with k == N and two
