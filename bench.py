@@ -123,6 +123,9 @@ HEADLINE = [
     "advanced_curation_pipeline",
     # r7: the ANN tuning report (recall@k across the deterministic lanes)
     "ann_recall_report",
+    # r7: multiclass lang-ID training + the predicted-language CCNet gate
+    "lang_id_weights",
+    "predicted_lang_ccnet_buckets",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

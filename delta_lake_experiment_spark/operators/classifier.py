@@ -232,6 +232,289 @@ def score_hashed_logreg(
     )
 
 
+def _class_checked(label: Column, classes: Sequence[str]) -> Column:
+    """``label``, or an execution-time raise when NULL or outside
+    ``classes`` — an unknown label would otherwise train as
+    all-negative (every indicator 0), silently biasing every class
+    toward "not this" instead of failing loudly (the NULL-label
+    contract, extended to the closed class set)."""
+    return F.when(label.isin(*[str(c) for c in classes]), label).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "train_hashed_softmax: label must be one of "
+                    f"{list(classes)!r}, got "
+                ),
+                F.coalesce(label.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
+
+
+def train_hashed_softmax(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    classes: Sequence[str],
+    dim: int = 64,
+    iters: int = 8,
+    lr: float = 0.5,
+    round_digits: int = 9,
+    feature_sets: "DataFrame | None" = None,
+) -> "tuple[list[list[float]], list[float]]":
+    """Full-batch gradient-descent SOFTMAX (multinomial logistic)
+    regression on hashed binary features — the K-class extension of
+    :func:`train_hashed_logreg`, and the fastText-style language
+    identifier every per-language pipeline gate needs when the crawl
+    has no ground-truth ``lang`` column. Returns ``(weights, biases)``
+    with ``weights[c][f]`` / ``biases[c]`` in ``classes`` order.
+
+    Math (mean cross-entropy): ``z_c = b_c + Σ_{f∈doc} w_{c,f}``,
+    ``p_c = exp(z_c) / Σ_c' exp(z_c')``, gradient
+    ``g_{c,f} = Σ_{docs∋f} (p_c − 1[y=c]) / N``; update
+    ``w ← round(w − lr·g, round_digits)``.
+
+    Engine reproducibility inherits the binary lane's argument with
+    one addition: the softmax denominator is an EXPLICIT left-to-right
+    ``exp(z_0) + exp(z_1) + …`` chain in ``classes`` order on both
+    engines (the oracle folds an ORDER BY c list the same way), so the
+    only cross-engine noise is the per-class margin's ~1e-16
+    reassociation — absorbed by the 1e-9 update grid exactly as in
+    :func:`train_hashed_logreg`.
+
+    Plan shape per iteration: ONE distributed job — a map-only
+    residual projection (K rounded-weight literal margins, codegen'd
+    conditional sums) partial-aggregated into a single
+    ``K·(dim+1)``-column row; the update runs driver-side on
+    O(K·dim) floats. Labels outside ``classes`` (or NULL) raise
+    in-plan (:func:`_class_checked`)."""
+    if iters < 1:
+        raise ValueError(f"iters={iters!r} must be >= 1")
+    cls = [str(c) for c in classes]
+    if len(cls) < 2:
+        raise ValueError(f"classes={classes!r} must have >= 2 entries")
+    if len(set(cls)) != len(cls):
+        raise ValueError(f"classes={classes!r} must be unique")
+    K = len(cls)
+    fsets = (
+        feature_sets
+        if feature_sets is not None
+        else hashed_feature_sets(df, id_col, text_col, dim)
+    )
+    lab = _class_checked(F.col(label_col), cls)
+    feats = fsets.join(
+        df.select(
+            F.col(id_col),
+            *[
+                F.when(lab == c, F.lit(1.0)).otherwise(F.lit(0.0)).alias(f"__y{j}")
+                for j, c in enumerate(cls)
+            ],
+        ),
+        id_col,
+    ).persist()
+    n = feats.count()
+    if n == 0:
+        raise ValueError("train_hashed_softmax: empty input")
+    w = [[0.0] * dim for _ in range(K)]
+    bias = [0.0] * K
+    try:
+        for _ in range(iters):
+            zs = [_margin(w[c], bias[c]) for c in range(K)]
+            den: Column = F.exp(zs[0])
+            for c in range(1, K):
+                den = den + F.exp(zs[c])
+            resid = [
+                ((F.exp(zs[c]) / den - F.col(f"__y{c}")) / F.lit(float(n))).alias(
+                    f"__r{c}"
+                )
+                for c in range(K)
+            ]
+            grad_row = (
+                feats.select(*resid, "feats")
+                .agg(
+                    *[F.sum(f"__r{c}").alias(f"gb{c}") for c in range(K)],
+                    *[
+                        F.sum(
+                            F.when(
+                                F.array_contains(
+                                    F.col("feats"), F.lit(f).cast("long")
+                                ),
+                                F.col(f"__r{c}"),
+                            )
+                        ).alias(f"g{c}_{f}")
+                        for c in range(K)
+                        for f in range(dim)
+                    ],
+                )
+                .collect()[0]
+            )
+            for c in range(K):
+                bias[c] = round(bias[c] - lr * grad_row[f"gb{c}"], round_digits)
+                for f in range(dim):
+                    g = grad_row[f"g{c}_{f}"]
+                    if g is not None:
+                        w[c][f] = round(w[c][f] - lr * g, round_digits)
+    finally:
+        feats.unpersist()
+    return w, bias
+
+
+def score_hashed_softmax(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    classes: Sequence[str],
+    weights: Sequence[Sequence[float]],
+    biases: Sequence[float],
+    prob_digits: int = 6,
+    feature_sets: "DataFrame | None" = None,
+) -> DataFrame:
+    """(id_col, pred, prob) — argmax class under a trained softmax
+    model and its rounded probability, map-only (all K weight vectors
+    are literals; no join, no shuffle — a 100 TB corpus classifies in
+    one codegen'd scan). The argmax runs over ROUNDED probabilities
+    with ties to the earlier ``classes`` entry (max over (p, −c)
+    structs — the semdedup ``_nearest`` tie convention), so the
+    predicted label is engine-reproducible even on knife-edge docs."""
+    cls = [str(c) for c in classes]
+    K = len(cls)
+    if not (K == len(weights) == len(biases)):
+        raise ValueError("classes/weights/biases lengths must match")
+    feats = (
+        feature_sets
+        if feature_sets is not None
+        else hashed_feature_sets(df, id_col, text_col, len(weights[0]))
+    )
+    zs = [_margin(weights[c], float(biases[c])) for c in range(K)]
+    den: Column = F.exp(zs[0])
+    for c in range(1, K):
+        den = den + F.exp(zs[c])
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(F.exp(zs[c]) / den, prob_digits).alias("p"),
+                F.lit(-c).alias("nc"),
+            )
+            for c in range(K)
+        ]
+    )
+    best = F.array_max(scored)
+    label = F.element_at(
+        F.array(*[F.lit(c) for c in cls]), (-best["nc"] + 1).cast("int")
+    )
+    return feats.select(
+        F.col(id_col), label.alias("pred"), best["p"].alias("prob")
+    )
+
+
+def hashed_softmax_sql(
+    src: str,
+    id_col: str,
+    label_sql: str,
+    classes: Sequence[str],
+    dim: int = 64,
+    iters: int = 8,
+    lr: float = 0.5,
+    round_digits: int = 9,
+) -> str:
+    """DuckDB CTE chain re-deriving the ENTIRE
+    :func:`train_hashed_softmax` run — machine-generated from the same
+    hyperparameters (the hashed_logreg_sql pattern, classed). Emits
+    ``sxc`` (c, lab), ``sxfeats`` (doc_id, f), ``sxdocs`` (doc_id, c,
+    y), and one ``sw{i}`` (c, f, w) relation per iteration (``f = -1``
+    is the bias), ending at ``sw{iters}``; plus ``sxp{iters}``
+    (doc_id, c, p) — final-model probabilities for scoring consumers.
+    The softmax denominator folds an ``ORDER BY c`` exp list with an
+    explicit ``l[1] + l[2] + …`` chain — the operator's class-order
+    summation, not an order-free SUM. ``label_sql`` must evaluate to
+    one of ``classes``; anything else raises via ``error()``
+    (mirroring ``_class_checked``)."""
+    cls = [str(c) for c in classes]
+    if len(cls) < 2 or len(set(cls)) != len(cls):
+        raise ValueError(f"classes={classes!r} must be >= 2 unique entries")
+    K = len(cls)
+    bucket = "('0x' || substring(md5(tok), 1, 15))::BIGINT % " + str(dim)
+    cvals = ", ".join(
+        f"({j}, '" + c.replace("'", "''") + "')" for j, c in enumerate(cls)
+    )
+    lab_list = ", ".join("'" + c.replace("'", "''") + "'" for c in cls)
+    ctes = [
+        rf"""sxc AS MATERIALIZED (
+  SELECT * FROM (VALUES {cvals}) v(c, lab)
+), sxtoks AS MATERIALIZED (
+  SELECT {id_col} AS doc_id,
+         CASE WHEN {label_sql} IN ({lab_list}) THEN {label_sql}
+              ELSE error('train_hashed_softmax: label must be one of the'
+                         || ' configured classes (got ' ||
+                         COALESCE(CAST({label_sql} AS VARCHAR), 'NULL') || ')')
+         END AS lab,
+         string_split_regex(lower(trim(COALESCE(text, ''))), '\s+') AS t
+  FROM {src}
+), sxfeats AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {bucket} AS f
+  FROM (SELECT doc_id, unnest(t) AS tok FROM sxtoks)
+), sxdocs AS MATERIALIZED (
+  SELECT t.doc_id, c.c, CASE WHEN c.lab = t.lab THEN 1.0 ELSE 0.0 END AS y
+  FROM sxtoks t, sxc c
+), sxn AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM sxtoks
+), sw0 AS MATERIALIZED (
+  SELECT c.c, CAST(unnest(generate_series(-1, {dim - 1})) AS BIGINT) AS f,
+         0.0::DOUBLE AS w
+  FROM sxc c
+)"""
+    ]
+    den = " + ".join(f"ez[{j + 1}]" for j in range(K))
+    for i in range(iters):
+        ctes.append(
+            f"""sz{i} AS MATERIALIZED (
+  SELECT d.doc_id, d.c, d.y,
+    (SELECT w FROM sw{i} WHERE f = -1 AND c = d.c)
+    + COALESCE((SELECT SUM(wi.w) FROM sxfeats lf JOIN sw{i} wi
+                ON wi.f = lf.f AND wi.c = d.c
+                WHERE lf.doc_id = d.doc_id), 0.0) AS z
+  FROM sxdocs d
+), sd{i} AS MATERIALIZED (
+  SELECT doc_id, {den} AS den
+  FROM (SELECT doc_id, list(exp(z) ORDER BY c) AS ez FROM sz{i} GROUP BY doc_id)
+), sxp{i} AS MATERIALIZED (
+  SELECT z.doc_id, z.c, z.y, exp(z.z) / d.den AS p
+  FROM sz{i} z JOIN sd{i} d ON d.doc_id = z.doc_id
+), sg{i} AS MATERIALIZED (
+  SELECT p.c, lf.f, SUM((p.p - p.y) / sxn.n) AS g
+  FROM sxp{i} p JOIN sxfeats lf ON lf.doc_id = p.doc_id, sxn
+  GROUP BY p.c, lf.f
+  UNION ALL
+  SELECT p.c, -1::BIGINT AS f, SUM((p.p - p.y) / sxn.n) AS g
+  FROM sxp{i} p, sxn GROUP BY p.c
+), sw{i + 1} AS MATERIALIZED (
+  SELECT w.c, w.f, round(w.w - {lr} * COALESCE(g.g, 0.0), {round_digits}) AS w
+  FROM sw{i} w LEFT JOIN sg{i} g ON g.c = w.c AND g.f = w.f
+)"""
+        )
+    # final-model probabilities for scoring consumers (one more forward
+    # pass under sw{iters} — unreferenced and pruned when the consumer
+    # only reads the weights)
+    ctes.append(
+        f"""szf AS MATERIALIZED (
+  SELECT d.doc_id, d.c,
+    (SELECT w FROM sw{iters} WHERE f = -1 AND c = d.c)
+    + COALESCE((SELECT SUM(wi.w) FROM sxfeats lf JOIN sw{iters} wi
+                ON wi.f = lf.f AND wi.c = d.c
+                WHERE lf.doc_id = d.doc_id), 0.0) AS z
+  FROM sxdocs d
+), sdf AS MATERIALIZED (
+  SELECT doc_id, {den} AS den
+  FROM (SELECT doc_id, list(exp(z) ORDER BY c) AS ez FROM szf GROUP BY doc_id)
+), sxp{iters} AS MATERIALIZED (
+  SELECT z.doc_id, z.c, exp(z.z) / d.den AS p
+  FROM szf z JOIN sdf d ON d.doc_id = z.doc_id
+)"""
+    )
+    return ",\n".join(ctes)
+
+
 def hashed_logreg_sql(
     src: str,
     id_col: str,

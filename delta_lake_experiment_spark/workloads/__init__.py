@@ -289,6 +289,15 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   semantic_dedup_corpus/corpus_topic_report); the recall TALLY is a
 #   union of O(k) id lists semi-joined against the exact list — the
 #   report framing is the novelty.
+# - lang_id_weights -> the per-class GD machinery is the in-window
+#   quality_classifier_weights lane lifted to K classes (same hashed
+#   features, same flat conditional-agg gradient, same chained-CTE
+#   value oracle); the softmax denominator's pinned class-order fold
+#   is the novelty;
+# - predicted_lang_ccnet_buckets -> composes lang_id_weights' model
+#   (map-only literal-weight scoring, the quality_classified_corpus
+#   shape) with ccnet_perplexity_buckets' certified NTILE gate, keyed
+#   on PREDICTED language;
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -359,6 +368,8 @@ _DEFERRED_ORACLED = [
     "corpus_curation_funnel",
     "domain_mixture",
     "ann_recall_report",
+    "lang_id_weights",
+    "predicted_lang_ccnet_buckets",
 ]
 
 

@@ -1234,6 +1234,149 @@ SELECT doc_id, prob, prob >= 0.5 AS keep FROM scored"""
     )
 
 
+# -- multiclass language identification (operators/classifier.py) ------
+
+# fixture language set (a production run would pass its own closed
+# class list); dim/iters/lr mirror the binary lane's shapes
+_LANGID_CLASSES = ("de", "en", "es", "fr", "zh")
+_LANGID_DIM = 32
+_LANGID_ITERS = 6
+_LANGID_LR = 0.5
+_LANGID_ROUND = 9
+
+
+def _langid_train(spark: SparkSession, sf_dir: str):
+    from delta_lake_experiment_spark.operators.classifier import (
+        hashed_feature_sets,
+        train_hashed_softmax,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fsets = hashed_feature_sets(docs, "doc_id", "text", _LANGID_DIM).persist()
+    w, b = train_hashed_softmax(
+        docs, "doc_id", "text", "lang", _LANGID_CLASSES,
+        dim=_LANGID_DIM, iters=_LANGID_ITERS, lr=_LANGID_LR,
+        round_digits=_LANGID_ROUND, feature_sets=fsets,
+    )
+    return docs, fsets, w, b
+
+
+def lang_id_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass softmax language-identifier TRAINING
+    (operators/classifier.py::train_hashed_softmax) — the fastText-
+    style lang-ID model a real crawl pipeline trains on a labeled
+    seed set so its per-language gates stop presuming a ground-truth
+    ``lang`` column (VERDICT r6 item 3). Same "one distributed
+    residual aggregation per iteration, driver updates on O(K·dim)
+    metadata" shape as the binary quality classifier; the oracle
+    re-derives every gradient step of every class as chained
+    materialized CTEs. Output: the trained weight table (lang,
+    feature, weight), feature -1 = bias.
+
+    Honest quality note (the similarity_pca_topk convention): the
+    synthetic fixture languages share one vocabulary, so separability
+    here is the weak distributional kind — the driver gate certifies
+    the TRAINING COMPUTATION; classification quality is pytest-pinned
+    on a planted distinct-vocabulary corpus where lang-ID applies."""
+    _, fsets, w, b = _langid_train(spark, sf_dir)
+    fsets.unpersist()
+    rows = [
+        (lang, -1, b[c])
+        for c, lang in enumerate(_LANGID_CLASSES)
+    ] + [
+        (lang, f, w[c][f])
+        for c, lang in enumerate(_LANGID_CLASSES)
+        for f in range(_LANGID_DIM)
+    ]
+    return spark.createDataFrame(rows, "lang string, feature long, weight double")
+
+
+def predicted_lang_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet partition driven by PREDICTED language: train the
+    softmax lang-ID model, classify every document map-only (literal
+    weights), then split each PREDICTED language into head/middle/tail
+    LM-score terciles — the ccnet_perplexity_buckets gate with the
+    ground-truth ``lang`` column replaced by the model's output, i.e.
+    the composition a real crawl (which has no lang labels at
+    inference) actually runs. NTILE over (avg_logprob desc, doc_id)
+    per predicted language; argmax ties break to the earlier class on
+    both engines."""
+    from delta_lake_experiment_spark.operators.classifier import (
+        score_hashed_softmax,
+    )
+    from delta_lake_experiment_spark.operators.lm import (
+        unigram_logprob_scores,
+    )
+    from pyspark.sql import Window
+
+    docs, fsets, w, b = _langid_train(spark, sf_dir)
+    pred = score_hashed_softmax(
+        docs, "doc_id", "text", _LANGID_CLASSES, w, b, feature_sets=fsets
+    ).select("doc_id", F.col("pred").alias("pred_lang"))
+    scored = unigram_logprob_scores(docs, "doc_id", "text").join(pred, "doc_id")
+    win = Window.partitionBy("pred_lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    tercile = F.ntile(3).over(win)
+    bucket = (
+        F.when(tercile == 1, F.lit("head"))
+        .when(tercile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.select(
+        "doc_id", "pred_lang", "avg_logprob", bucket.alias("ppl_bucket")
+    )
+
+
+def _langid_ctes() -> str:
+    from delta_lake_experiment_spark.operators.classifier import (
+        hashed_softmax_sql,
+    )
+
+    return hashed_softmax_sql(
+        "documents", "doc_id", "lang", _LANGID_CLASSES,
+        dim=_LANGID_DIM, iters=_LANGID_ITERS, lr=_LANGID_LR,
+        round_digits=_LANGID_ROUND,
+    )
+
+
+def _langid_weights_sql() -> str:
+    return (
+        "WITH "
+        + _langid_ctes()
+        + f"""
+SELECT c.lab AS lang, w.f AS feature, w.w AS weight
+FROM sw{_LANGID_ITERS} w JOIN sxc c ON c.c = w.c"""
+    )
+
+
+def _predicted_lang_ccnet_sql() -> str:
+    from delta_lake_experiment_spark.operators.lm import unigram_logprob_sql
+
+    return (
+        "WITH "
+        + _langid_ctes()
+        + f""",
+lpred AS MATERIALIZED (
+  SELECT doc_id, lab AS pred_lang FROM (
+    SELECT p.doc_id, c.lab, ROW_NUMBER() OVER (
+      PARTITION BY p.doc_id ORDER BY round(p.p, 6) DESC, p.c ASC
+    ) AS rn
+    FROM sxp{_LANGID_ITERS} p JOIN sxc c ON c.c = p.c
+  ) WHERE rn = 1
+),
+ccs AS MATERIALIZED ("""
+        + unigram_logprob_sql("documents", "doc_id", "text")
+        + """)
+SELECT s.id AS doc_id, pr.pred_lang, s.avg_logprob,
+  CASE NTILE(3) OVER (
+    PARTITION BY pr.pred_lang ORDER BY s.avg_logprob DESC, s.id ASC
+  ) WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM ccs s JOIN lpred pr ON pr.doc_id = s.id
+"""
+    )
+
+
 # -- lexical retrieval --------------------------------------------------
 
 _BM25_TERMS = ("vector", "hash", "join")
@@ -4082,6 +4225,8 @@ QUERIES = {
     "embedding_pca_projection": embedding_pca_projection,
     "similarity_pca_topk": similarity_pca_topk,
     "ann_recall_report": ann_recall_report,
+    "lang_id_weights": lang_id_weights,
+    "predicted_lang_ccnet_buckets": predicted_lang_ccnet_buckets,
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "hard_negative_pairs": hard_negative_pairs,
@@ -4163,6 +4308,8 @@ ORACLES = {
     "embedding_pca_projection": _pca_projection_sql(),
     "similarity_pca_topk": _similarity_pca_topk_sql(),
     "ann_recall_report": _ann_recall_sql(),
+    "lang_id_weights": _langid_weights_sql(),
+    "predicted_lang_ccnet_buckets": _predicted_lang_ccnet_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "hard_negative_pairs": _hard_negative_sql(),
