@@ -126,6 +126,8 @@ HEADLINE = [
     # r7: multiclass lang-ID training + the predicted-language CCNet gate
     "lang_id_weights",
     "predicted_lang_ccnet_buckets",
+    # r7: shuffle-free bucketed ACID join
+    "engine_bucketed_join",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

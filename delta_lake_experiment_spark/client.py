@@ -123,6 +123,10 @@ class DeltaLakeClient:
         self.dataobject_size = dataobject_size
         self.checkpoint_interval = checkpoint_interval
         self.tx: Optional[_Tx] = None
+        # table -> (catalog name, link dir) of the current bucketed-scan
+        # registration (scan_bucketed replaces + cleans these per table)
+        self._bucket_scans: dict[str, tuple[str, str]] = {}
+        self._client_id = uuid.uuid4().hex[:8]
         # Engine writes need TIMESTAMP_MICROS: Spark's INT96 default
         # writes NO footer min/max stats for timestamp columns, which
         # would silently disable time-range file pruning and the bulk
@@ -264,6 +268,7 @@ class DeltaLakeClient:
         primary_keys: Optional[list[str]] = None,
         bloom_columns: Optional[list[str]] = None,
         cluster_by: Optional[list[str]] = None,
+        bucket_by: Optional[tuple] = None,
     ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
 
@@ -283,6 +288,18 @@ class DeltaLakeClient:
         hive-style ``partitionBy`` directory layout, with no partition
         columns dropped from the files and no small-file explosion on
         high-cardinality keys (cost: one extra shuffle per ingest).
+        ``bucket_by=(cols, n)`` declares a HASH layout instead: every
+        write distributes rows into ``n`` buckets by Spark's bucket
+        hash (pmod(murmur3(cols), n)) and labels each data object with
+        its bucket, so :meth:`scan_bucketed` can expose the layout to
+        Spark and joins/aggregations on the bucket columns plan NO
+        Exchange — the one-time pre-shuffle that replaces every future
+        fact-table exchange (the write_bucketed_table contract, now on
+        ACID tables: the layout survives commit, replay, COW deletes
+        and compaction). Mutually exclusive with ``cluster_by`` (both
+        dictate the write partitioning); fixed at CREATE (relabeling
+        existing objects would require a full rewrite — recreate +
+        re-ingest to change it).
         """
         tx = self._require_tx()
         if table in tx.snapshot.tables or table in tx.new_tables:
@@ -304,6 +321,31 @@ class DeltaLakeClient:
         missing_c = set(clus) - {f.name for f in parsed.fields}
         if missing_c:
             raise TypeMismatchError(f"cluster columns not in schema: {sorted(missing_c)}")
+        bcols: list[str] = []
+        bn = 0
+        if bucket_by is not None:
+            try:
+                raw_cols, bn = bucket_by
+            except (TypeError, ValueError):
+                raise TypeMismatchError(
+                    f"bucket_by must be (columns, n_buckets), got {bucket_by!r}"
+                )
+            bcols = [raw_cols] if isinstance(raw_cols, str) else list(raw_cols)
+            bn = int(bn)
+            if not bcols:
+                raise TypeMismatchError("bucket_by columns must be non-empty")
+            if bn < 1:
+                raise TypeMismatchError(f"bucket_by n_buckets={bn!r} must be >= 1")
+            missing_bk = set(bcols) - {f.name for f in parsed.fields}
+            if missing_bk:
+                raise TypeMismatchError(
+                    f"bucket columns not in schema: {sorted(missing_bk)}"
+                )
+            if clus:
+                raise TypeMismatchError(
+                    "bucket_by and cluster_by are mutually exclusive - both"
+                    " dictate the write partitioning"
+                )
         tx.new_tables[table] = ddl
         tx.actions.append(
             ChangeMetadata(
@@ -312,6 +354,8 @@ class DeltaLakeClient:
                 primary_keys=pks,
                 bloom_columns=blooms,
                 cluster_by=clus,
+                bucket_by=bcols,
+                bucket_count=bn,
             )
         )
 
@@ -378,6 +422,14 @@ class DeltaLakeClient:
             if missing:
                 raise TypeMismatchError(f"{label} columns not in schema: {sorted(missing)}")
         ddl = tx.new_tables.get(table) or tx.snapshot.tables.get(table)
+        # bucketing is create-time-only: the authoritative record must
+        # CARRY the current spec, or this alter would silently clear it
+        spec = snap.bucket_specs.get(table)
+        if spec is not None and set(new_cluster):
+            raise TypeMismatchError(
+                "cannot cluster a bucketed table - bucket_by and"
+                " cluster_by are mutually exclusive"
+            )
         tx.actions.append(
             ChangeMetadata(
                 table=table,
@@ -385,6 +437,8 @@ class DeltaLakeClient:
                 primary_keys=new_pk,
                 bloom_columns=new_bloom,
                 cluster_by=new_cluster,
+                bucket_by=list(spec["cols"]) if spec else [],
+                bucket_count=int(spec["n"]) if spec else 0,
                 authoritative=True,
             )
         )
@@ -461,6 +515,12 @@ class DeltaLakeClient:
             # the cluster columns -> stats pruning == partition pruning
             df = df.repartitionByRange(*[F.col(c) for c in cluster])
             df = df.sortWithinPartitions(*cluster)
+        else:
+            # declared hash layout: partition i holds exactly bucket-i
+            # rows (repartition's HashPartitioning IS Spark's bucket id
+            # expression), and _register_staging labels each staged
+            # file with its partition index
+            df = self._bucketize(tx, table, df)
         stamped = df.select(
             *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols],
             F.lit(tx.id).cast("long").alias(TX_COL),
@@ -507,6 +567,7 @@ class DeltaLakeClient:
             stats_by_file, blooms_by_file, max_idx = self._staged_stats_distributed(
                 table, tx, rs.uri
             )
+            bucketed = self._bucket_spec(tx, table) is not None
             for skey in staged:
                 fname = skey.rsplit("/", 1)[-1]
                 st = stats_by_file.get(fname)
@@ -524,6 +585,7 @@ class DeltaLakeClient:
                         blooms=self._maybe_sidecar_blooms(
                             blooms_by_file.get(fname, {})
                         ),
+                        bucket_id=_staged_bucket_id(fname) if bucketed else None,
                     )
                 )
             if max_idx is not None:
@@ -672,6 +734,137 @@ class DeltaLakeClient:
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
+        return df if with_stamps else df.select(*[f.name for f in schema.fields])
+
+    def scan_bucketed(self, table: str, with_stamps: bool = True) -> DataFrame:
+        """Bucket-aware scan of a ``bucket_by`` table: the result's
+        physical plan reports ``HashPartitioning(bucket_cols, n)``, so
+        joins and aggregations on the bucket columns — including
+        engine⋈engine joins of two tables bucketed alike — plan NO
+        Exchange (pytest-asserted on the physical plan, surviving
+        commit + log replay).
+
+        How: Spark only trusts a pre-bucketed layout when it comes
+        from a catalog table with a bucket spec, and it derives each
+        file's bucket id from the ``_NNNNN`` file-name suffix. Every
+        live data object of a bucketed table carries its bucket label
+        in the log (written by the bucketized staging path), so this
+        scan HARD-LINKS the live objects into a scan directory under
+        the store root with bucket-suffixed names (O(files) metadata
+        ops, zero data copied — snapshot isolation for free: the links
+        pin the exact file set even across a concurrent VACUUM) and
+        registers an external bucketed parquet table over it. Deletion
+        vectors apply as the same broadcast anti-join as :meth:`scan`
+        (a broadcast join preserves the outputPartitioning, so the
+        no-Exchange property survives masking).
+
+        Constraints: local stores only (remote layouts would register
+        the object keys directly — not implemented); no unflushed
+        buffered rows (a driver-side union would destroy the
+        partitioning — ``flush_buffer`` first, the raise names the
+        remedy). Each call replaces the previous scan registration for
+        the table (catalog entry ``bktscan_<table>_<client>`` + link
+        dir); both are dropped when superseded."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        spec = snap.bucket_specs.get(table)
+        schema = self.table_schema(table)  # raises for unknown tables
+        if spec is None:
+            raise TypeMismatchError(
+                f"table {table!r} is not bucketed - create it with"
+                " bucket_by=(cols, n) to use scan_bucketed"
+            )
+        if any(row is not None for _, row in tx.buffers.get(table, [])):
+            raise TypeMismatchError(
+                "scan_bucketed with unflushed buffered rows would break"
+                " the bucket layout - call flush_buffer first"
+            )
+        root = getattr(self.store, "root", None)
+        if root is None:
+            raise NotImplementedError(
+                "scan_bucketed requires a local store (remote layouts"
+                " would register object keys directly)"
+            )
+        stored = self._stored_schema(schema)
+        objs = snap.live_objects(table)
+        unlabeled = [o.name for o in objs if o.bucket_id is None]
+        if unlabeled:
+            raise TypeMismatchError(
+                f"bucketed table {table!r} has unlabeled objects"
+                f" {unlabeled[:3]!r} - log corruption?"
+            )
+        cols, n = list(spec["cols"]), int(spec["n"])
+        # replace any previous registration for this table
+        prev = self._bucket_scans.pop(table, None)
+        if prev is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS `{prev[0]}`")
+            _rmtree(prev[1])
+        if not objs:
+            df = self.spark.createDataFrame([], stored)
+            return df if with_stamps else df.select(*[f.name for f in schema.fields])
+        scan_dir = os.path.join(root, f"bucketscan_{uuid.uuid4().hex}")
+        os.makedirs(scan_dir)
+        for seq, o in enumerate(objs):
+            # original: table_<table>_<hex>.parquet; link embeds the
+            # hex id (DV masks key on object names — recovered below)
+            hexid = o.name.rsplit("_", 1)[-1][: -len(".parquet")]
+            link = os.path.join(
+                scan_dir,
+                f"part-{seq:05d}-{hexid}_{int(o.bucket_id):05d}.c000.parquet",
+            )
+            os.link(self.store.path_of(o.name), link)
+        cat_name = f"bktscan_{table}_{self._client_id}"
+        ddl = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in stored.fields
+        )
+        bcols = ", ".join(f"`{c}`" for c in cols)
+        loc = scan_dir.replace("'", "''")
+        self.spark.sql(f"DROP TABLE IF EXISTS `{cat_name}`")
+        self.spark.sql(
+            f"CREATE TABLE `{cat_name}` ({ddl}) USING PARQUET"
+            f" CLUSTERED BY ({bcols}) INTO {n} BUCKETS"
+            f" LOCATION '{loc}'"
+        )
+        self._bucket_scans[table] = (cat_name, scan_dir)
+        df = self.spark.table(cat_name)
+        live_names = {o.name for o in objs}
+        dv_names = sorted(
+            {
+                dv
+                for obj, dv_list in snap.table_dvs(table).items()
+                if obj in live_names
+                for dv in dv_list
+            }
+        )
+        if dv_names:
+            obj_name = F.concat(
+                F.lit(f"table_{table}_"),
+                F.regexp_extract(
+                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                    r"part-\d+-([0-9a-f]+)_\d+\.c000\.parquet",
+                    1,
+                ),
+                F.lit(".parquet"),
+            )
+            dv_df = (
+                self.spark.read.parquet(*[self.store.path_of(x) for x in dv_names])
+                .select(
+                    F.col("obj").alias("__dv_obj"),
+                    F.col("row_idx").alias("__dv_ridx"),
+                )
+            )
+            df = (
+                df.withColumns(
+                    {"__obj": obj_name, "__ridx": F.col("_metadata.row_index")}
+                )
+                .join(
+                    F.broadcast(dv_df),
+                    (F.col("__obj") == F.col("__dv_obj"))
+                    & (F.col("__ridx") == F.col("__dv_ridx")),
+                    "left_anti",
+                )
+                .drop("__obj", "__ridx")
+            )
         return df if with_stamps else df.select(*[f.name for f in schema.fields])
 
     def scan_iter(self, table: str) -> Iterator[tuple]:
@@ -1167,7 +1360,7 @@ class DeltaLakeClient:
             table, snap, stored, [self.store.path_of(n) for n in sorted(affected_names)]
         ).filter(~pred | F.col(column).isNull())
         staging = self._staging_dir()
-        self._write_parquet_staging(survivors, staging)
+        self._write_parquet_staging(self._bucketize(tx, table, survivors), staging)
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -1318,7 +1511,7 @@ class DeltaLakeClient:
             }
         )
         staging = self._staging_dir()
-        self._write_parquet_staging(updated, staging)
+        self._write_parquet_staging(self._bucketize(tx, table, updated), staging)
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -1424,6 +1617,9 @@ class DeltaLakeClient:
         import pyarrow.parquet as pq
 
         table_dvs = snap.table_dvs(table)
+        # a COW rewrite of ONE object is a row subset of it, so the
+        # rewrite stays in the source object's bucket — carry the label
+        bucket_of = {o.name: o.bucket_id for o in snap.live_objects(table)}
         dv_cache: dict[str, set] = {}
 
         def _masked_rows(obj_name: str) -> set:
@@ -1464,7 +1660,9 @@ class DeltaLakeClient:
                 if len(survivors):
                     tmp = os.path.join(staging, f"rw_{i}.parquet")
                     pq.write_table(survivors, tmp)
-                    self._register_object(table, tx, tmp)
+                    self._register_object(
+                        table, tx, tmp, bucket_id=bucket_of.get(obj_name)
+                    )
                 tx.actions.append(
                     RemoveDataObject(
                         name=_basename_of_uri(path), table=table, tx_id=tx.id
@@ -1499,14 +1697,37 @@ class DeltaLakeClient:
         ... ZORDER; strings rank on their 7-byte prefix):
         every listed column gets locality in every file, so pruning
         works for predicates on ANY of them, not just the first.
+
+        BUCKETED tables compact WITHIN their declared layout: the
+        rewrite re-hashes into the table's bucket count (one output
+        file per non-empty bucket — ``target_files`` does not apply;
+        the bucket count IS the file-count contract), so the
+        shuffle-free join property survives compaction.
+        ``cluster_by``/``zorder_by`` are rejected for bucketed tables
+        (they would dictate a conflicting partitioning).
         """
         tx = self._require_tx()
         schema = self.table_schema(table)
         snap = self._effective_snapshot(tx)
         objs = snap.live_objects(table)
+        bucket_spec = self._bucket_spec(tx, table)
+        if bucket_spec is not None and (cluster_by or zorder_by):
+            raise TypeMismatchError(
+                "cannot cluster/zorder a bucketed table - the bucket"
+                " layout dictates the partitioning"
+            )
         needs_rewrite = cluster_by or zorder_by or snap.table_dvs(table)
-        if len(objs) <= target_files and not needs_rewrite:
-            return
+        if bucket_spec is not None:
+            # small-file consolidation: rewrite when any bucket holds
+            # more than one object (or DVs need materializing)
+            from collections import Counter
+
+            per_bucket = Counter(o.bucket_id for o in objs)
+            needs_rewrite = needs_rewrite or any(
+                c > 1 for c in per_bucket.values()
+            )
+            if not needs_rewrite:
+                return
         stored = self._stored_schema(schema)
         files = [self.store.path_of(o.name) for o in objs]
         # DV-aware: compaction materializes any outstanding deletion
@@ -1534,6 +1755,8 @@ class DeltaLakeClient:
         elif cluster_by:
             cols = [F.col(c) for c in cluster_by]
             df = df.repartitionByRange(target_files, *cols).sortWithinPartitions(*cols)
+        elif bucket_spec is not None:
+            df = self._bucketize(tx, table, df)
         else:
             df = df.coalesce(target_files)
         staging = self._staging_dir()
@@ -1575,7 +1798,9 @@ class DeltaLakeClient:
             or cur.pkeys.get(table, []) != old.pkeys.get(table, [])
             or cur.bloom_cols.get(table, []) != old.bloom_cols.get(table, [])
             or cur.cluster_cols.get(table, []) != old.cluster_cols.get(table, [])
+            or cur.bucket_specs.get(table) != old.bucket_specs.get(table)
         ):
+            old_spec = old.bucket_specs.get(table)
             tx.actions.append(
                 ChangeMetadata(
                     table=table,
@@ -1583,6 +1808,8 @@ class DeltaLakeClient:
                     primary_keys=list(old.pkeys.get(table, [])),
                     bloom_columns=list(old.bloom_cols.get(table, [])),
                     cluster_by=list(old.cluster_cols.get(table, [])),
+                    bucket_by=list(old_spec["cols"]) if old_spec else [],
+                    bucket_count=int(old_spec["n"]) if old_spec else 0,
                     authoritative=True,
                 )
             )
@@ -1657,7 +1884,7 @@ class DeltaLakeClient:
             table, snap, stored, [self.store.path_of(n) for n in heavy]
         )
         staging = self._staging_dir()
-        self._write_parquet_staging(survivors, staging)
+        self._write_parquet_staging(self._bucketize(tx, table, survivors), staging)
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -1854,6 +2081,10 @@ class DeltaLakeClient:
         snap.pkeys = {t: list(ks) for t, ks in tx.snapshot.pkeys.items()}
         snap.bloom_cols = {t: list(cs) for t, cs in tx.snapshot.bloom_cols.items()}
         snap.cluster_cols = {t: list(cs) for t, cs in tx.snapshot.cluster_cols.items()}
+        snap.bucket_specs = {
+            t: {"cols": list(s["cols"]), "n": int(s["n"])}
+            for t, s in tx.snapshot.bucket_specs.items()
+        }
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
@@ -1919,6 +2150,25 @@ class DeltaLakeClient:
             return
         schema = self.table_schema(table)
         stored = self._stored_schema(schema)
+        if self._bucket_spec(tx, table) is not None:
+            # bucketed tables: a mixed-bucket driver file would break
+            # the per-object bucket labels, so even row-at-a-time
+            # flushes route through the bucketized Spark staging path
+            # (up to n small files per flush — the documented cost of
+            # trickle-writing a bucketed table; bulk ingest is the
+            # intended path)
+            stamped = self.spark.createDataFrame(
+                [list(row) + [tx.id, idx] for idx, row in rows], stored
+            )
+            staging = self._staging_dir()
+            self._write_parquet_staging(
+                self._bucketize(tx, table, stamped), staging
+            )
+            try:
+                self._register_staging(table, tx, staging)
+            finally:
+                _rmtree(staging)
+            return
         import pyarrow as pa
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
@@ -1940,6 +2190,33 @@ class DeltaLakeClient:
             self._register_object(table, tx, tmp)
         finally:
             _rmtree(os.path.dirname(tmp))
+
+    def _bucket_spec(self, tx: "_Tx", table: str) -> Optional[tuple[list[str], int]]:
+        """(bucket_cols, n) for a bucketed table, else None."""
+        spec = self._effective_snapshot(tx).bucket_specs.get(table)
+        if spec is None:
+            return None
+        return list(spec["cols"]), int(spec["n"])
+
+    def _bucketize(self, tx: "_Tx", table: str, df: DataFrame) -> DataFrame:
+        """Hash-distribute ``df`` into the table's declared bucket
+        layout (no-op for unbucketed tables). ``repartition(n, cols)``
+        is HashPartitioning(cols, n), whose partition index is exactly
+        Spark's bucket id expression ``pmod(murmur3(cols), n)`` — the
+        same function the catalog bucketed-table reader assumes of
+        files labeled ``_NNNNN``, so partition i of this write IS
+        bucket i. (AQE never coalesces an explicit-count repartition,
+        so the index→bucket mapping is stable.) Every engine rewrite
+        path (bulk ingest, COW delete/update, DV materialization,
+        compaction) funnels its staged frame through here, which is
+        what keeps the layout true across the table's whole lifecycle;
+        the correctness pytest joins the bucketed scan against a plain
+        scan to catch any divergence in the hash contract itself."""
+        spec = self._bucket_spec(tx, table)
+        if spec is None:
+            return df
+        cols, n = spec
+        return df.repartition(n, *[F.col(c) for c in cols])
 
     def _write_parquet_staging(self, df: DataFrame, path: str) -> None:
         """Every engine Parquet write goes through here. The session is
@@ -2001,6 +2278,7 @@ class DeltaLakeClient:
         files = [f for f in sorted(os.listdir(staging)) if f.endswith(".parquet")]
         if not files:
             return None
+        bucketed = self._bucket_spec(tx, table) is not None
         if self._effective_snapshot(tx).bloom_cols.get(table):
             stats_by_file, blooms_by_file, max_idx = self._staged_stats_distributed(
                 table, tx, staging
@@ -2021,6 +2299,7 @@ class DeltaLakeClient:
                         blooms=self._maybe_sidecar_blooms(
                             blooms_by_file.get(fname, {})
                         ),
+                        bucket_id=_staged_bucket_id(fname) if bucketed else None,
                     )
                 )
             return max_idx
@@ -2030,10 +2309,15 @@ class DeltaLakeClient:
             hi = _parquet_idx_max(path)
             if hi is not None:
                 max_idx = hi if max_idx is None else max(max_idx, hi)
-            self._register_object(table, tx, path)
+            self._register_object(
+                table, tx, path,
+                bucket_id=_staged_bucket_id(fname) if bucketed else None,
+            )
         return max_idx
 
-    def _register_object(self, table: str, tx: _Tx, src_path: str) -> None:
+    def _register_object(
+        self, table: str, tx: _Tx, src_path: str, bucket_id: Optional[int] = None
+    ) -> None:
         # NOTE: no leading underscore — Spark's file index treats `_`/`.`
         # prefixed files as hidden metadata and silently skips them (the
         # reference's `_table_` naming, dataobjects.go:51-57, would make
@@ -2054,6 +2338,7 @@ class DeltaLakeClient:
                 num_rows=num_rows,
                 stats=stats,
                 blooms=blooms,
+                bucket_id=bucket_id,
             )
         )
 
@@ -2274,6 +2559,21 @@ def _encode_stat(v: Any) -> Any:
     if isinstance(v, _dt.date):
         return "d:" + str(v.toordinal())
     return None
+
+
+def _staged_bucket_id(fname: str) -> Optional[int]:
+    """Bucket id of a staged Spark parquet file = its partition index
+    (``part-NNNNN-...``). Under a bucketized staging write (see
+    ``_bucketize``) partition i holds exactly bucket-i rows; a file
+    name this can't parse on a bucketed table is a contract violation,
+    not a soft miss — raise rather than silently registering an
+    unlabeled object that scan_bucketed would then refuse forever."""
+    m = re.match(r"part-(\d+)-", fname)
+    if m is None:
+        raise ValueError(
+            f"bucketed staging produced unparseable file name {fname!r}"
+        )
+    return int(m.group(1))
 
 
 def _parquet_file_stats(path: str) -> tuple[int, dict[str, list[Any]]]:

@@ -42,6 +42,12 @@ class AddDataObject:
     # column -> bloom JSON ({m, k, b64}) for declared bloom columns:
     # equality-lookup file pruning (reference README.md:37 roadmap)
     blooms: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # for BUCKETED tables: every row in this object hashes to this
+    # bucket (pmod(murmur3(bucket_cols), n) — Spark's bucket id). The
+    # label is what lets scan_bucketed expose the layout to Spark so
+    # bucket-key joins plan no Exchange; COW rewrites of a single
+    # object inherit its label (a row subset stays in its bucket).
+    bucket_id: Optional[int] = None
 
     def to_json(self) -> dict[str, Any]:
         out: dict[str, Any] = {
@@ -53,6 +59,8 @@ class AddDataObject:
         }
         if self.blooms:
             out["blooms"] = self.blooms
+        if self.bucket_id is not None:
+            out["bucket_id"] = self.bucket_id
         return {"add": out}
 
 
@@ -89,6 +97,14 @@ class ChangeMetadata:
     # file-level stats pruning then acts as partition pruning, without a
     # hive-style directory layout (Spark-first liquid-clustering analog)
     cluster_by: list[str] = field(default_factory=list)
+    # declared bucketing: every write hashes rows on these columns into
+    # ``bucket_count`` buckets (Spark's pmod(murmur3, n)), each data
+    # object labeled with its bucket — scan_bucketed then exposes the
+    # layout so joins/aggs on the bucket key plan no Exchange. Set at
+    # CREATE only (relabeling existing objects would need a full
+    # rewrite); mutually exclusive with cluster_by.
+    bucket_by: list[str] = field(default_factory=list)
+    bucket_count: int = 0
     # With ``authoritative=True`` the declaration lists REPLACE the
     # table's current ones — empty lists CLEAR prior declarations
     # (RESTORE / ALTER need this). Default False keeps the legacy
@@ -104,6 +120,9 @@ class ChangeMetadata:
             out["bloom_columns"] = self.bloom_columns
         if self.cluster_by:
             out["cluster_by"] = self.cluster_by
+        if self.bucket_by:
+            out["bucket_by"] = self.bucket_by
+            out["bucket_count"] = self.bucket_count
         if self.authoritative:
             out["authoritative"] = True
         return {"metadata": out}
@@ -150,6 +169,9 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             num_rows=int(a.get("num_rows", 0)),
             stats=a.get("stats", {}),
             blooms=a.get("blooms", {}),
+            bucket_id=(
+                int(a["bucket_id"]) if a.get("bucket_id") is not None else None
+            ),
         )
     if "remove" in obj:
         r = obj["remove"]
@@ -162,6 +184,8 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             primary_keys=list(m.get("primary_keys", [])),
             bloom_columns=list(m.get("bloom_columns", [])),
             cluster_by=list(m.get("cluster_by", [])),
+            bucket_by=list(m.get("bucket_by", [])),
+            bucket_count=int(m.get("bucket_count", 0)),
             authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:

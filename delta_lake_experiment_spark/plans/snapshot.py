@@ -65,6 +65,9 @@ class Snapshot:
     bloom_cols: dict[str, list[str]] = field(default_factory=dict)
     # table -> declared clustering columns (bulk ingest layout)
     cluster_cols: dict[str, list[str]] = field(default_factory=dict)
+    # table -> {"cols": [...], "n": int} declared bucketing (hash
+    # layout; every data object labeled with its bucket id)
+    bucket_specs: dict[str, dict] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -114,6 +117,13 @@ class Snapshot:
                     self.pkeys[act.table] = list(act.primary_keys)
                     self.bloom_cols[act.table] = list(act.bloom_columns)
                     self.cluster_cols[act.table] = list(act.cluster_by)
+                    if act.bucket_by:
+                        self.bucket_specs[act.table] = {
+                            "cols": list(act.bucket_by),
+                            "n": int(act.bucket_count),
+                        }
+                    else:
+                        self.bucket_specs.pop(act.table, None)
                 else:
                     if act.primary_keys:
                         self.pkeys[act.table] = list(act.primary_keys)
@@ -121,6 +131,11 @@ class Snapshot:
                         self.bloom_cols[act.table] = list(act.bloom_columns)
                     if act.cluster_by:
                         self.cluster_cols[act.table] = list(act.cluster_by)
+                    if act.bucket_by:
+                        self.bucket_specs[act.table] = {
+                            "cols": list(act.bucket_by),
+                            "n": int(act.bucket_count),
+                        }
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -151,6 +166,7 @@ class Snapshot:
                 "pkeys": self.pkeys,
                 "bloom_cols": self.bloom_cols,
                 "cluster_cols": self.cluster_cols,
+                "bucket_specs": self.bucket_specs,
                 "txns": self.txns,
             }
         ).encode()
@@ -166,6 +182,10 @@ class Snapshot:
         snap.pkeys = {t: list(ks) for t, ks in d.get("pkeys", {}).items()}
         snap.bloom_cols = {t: list(cs) for t, cs in d.get("bloom_cols", {}).items()}
         snap.cluster_cols = {t: list(cs) for t, cs in d.get("cluster_cols", {}).items()}
+        snap.bucket_specs = {
+            t: {"cols": list(s["cols"]), "n": int(s["n"])}
+            for t, s in d.get("bucket_specs", {}).items()
+        }
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():
             snap.live[t] = {
@@ -176,6 +196,11 @@ class Snapshot:
                     num_rows=int(a.get("num_rows", 0)),
                     stats=a.get("stats", {}),
                     blooms=a.get("blooms", {}),
+                    bucket_id=(
+                        int(a["bucket_id"])
+                        if a.get("bucket_id") is not None
+                        else None
+                    ),
                 )
                 for a in objs
             }

@@ -298,6 +298,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   (map-only literal-weight scoring, the quality_classified_corpus
 #   shape) with ccnet_perplexity_buckets' certified NTILE gate, keyed
 #   on PREDICTED language;
+# - engine_bucketed_join -> the write->log->replay->scan ACID path is
+#   certified in-window by the ten engine_* queries; the join/agg shape
+#   by q3/q5; what is NEW (the no-Exchange physical plan over the
+#   bucket layout) is asserted by dedicated pytests, which a value
+#   oracle cannot see anyway;
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -370,6 +375,7 @@ _DEFERRED_ORACLED = [
     "ann_recall_report",
     "lang_id_weights",
     "predicted_lang_ccnet_buckets",
+    "engine_bucketed_join",
 ]
 
 

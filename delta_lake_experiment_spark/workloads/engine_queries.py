@@ -322,8 +322,49 @@ JOIN (SELECT o_orderstatus, COUNT(*) AS n FROM orders
 """
 
 
+def engine_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free engine⋈engine join (client.py::scan_bucketed):
+    customer and orders ingested into ACID tables BUCKETED on the
+    customer key (``create_table(bucket_by=...)`` — the layout rides
+    the transaction log and survives replay), then joined through the
+    bucket-aware scan: Spark plans a SortMergeJoin with NO shuffle
+    Exchange on either side (pytest-asserted on the physical plan;
+    this oracle certifies the VALUES, i.e. that the write path's
+    repartition hash and the read path's bucket-id contract agree).
+    At 100 TB this is THE pre-shuffle: every future join or
+    aggregation on the bucket key reads co-located data for free."""
+    _utc(spark)
+    c = _seeded_client(
+        spark, sf_dir,
+        [
+            ["bcust", "customer", {"bucket_by": [["c_custkey"], 16]}],
+            ["bord", "orders", {"bucket_by": [["o_custkey"], 16]}],
+        ],
+    )
+    c.new_tx()
+    cust = c.scan_bucketed("bcust", with_stamps=False)
+    orders = c.scan_bucketed("bord", with_stamps=False)
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ENGINE_BUCKETED_JOIN_SQL = """
+SELECT c.c_mktsegment, COUNT(*) AS orders,
+       round(SUM(o.o_totalprice), 2) AS total_price
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_bucketed_join": engine_bucketed_join,
     "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
     "engine_change_feed": engine_change_feed,
@@ -337,6 +378,7 @@ QUERIES = {
 
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
+    "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,
     "engine_sql_merge": MERGE_SQL,

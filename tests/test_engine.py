@@ -1515,3 +1515,170 @@ def test_checkpoint_replay(spark, store_dir):
     c.new_tx()
     assert sorted(r[0] for r in drain(c, "t")) == [0, 1, 2, 3, 4, 5]
     c.commit_tx()
+
+
+# ----------------------------------------------------------------------
+# bucketed ACID tables (VERDICT r6 item 4)
+# ----------------------------------------------------------------------
+
+
+def _no_shuffle(df) -> bool:
+    """True when the executed plan contains no shuffle Exchange.
+    BroadcastExchange (tiny DV masks / dims) is not a shuffle of the
+    fact data and is exempt — the property under test is that the
+    bucketed layout replaces hashpartitioning exchanges."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan.replace("BroadcastExchange", "BX")
+
+
+@pytest.fixture()
+def smj_conf(spark):
+    """Pin the planner to sort-merge joins (AQE's broadcast rewrite
+    would hide the exchange question) for the duration of one test."""
+    pairs = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in pairs}
+    for k, v in pairs:
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_bucketed_engine_join_shuffle_free(spark, store_dir, smj_conf):
+    """The write_bucketed_table contract lifted onto ACID tables: two
+    engine tables created with bucket_by on the join key, bulk-written
+    and committed, then REPLAYED by a fresh client — the engine⋈engine
+    join plans a SortMergeJoin with NO shuffle Exchange on either side,
+    and its VALUES equal the plain-scan join (which certifies the
+    repartition-hash == bucket-id contract, not just the plan shape)."""
+    docs = spark.createDataFrame(
+        [(i, f"fp{i % 40}", f"text {i}") for i in range(400)],
+        "id long, fp string, text string",
+    )
+    scores = spark.createDataFrame(
+        [(f"fp{i}", float(i)) for i in range(40)], "fp string, score double"
+    )
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("bdocs", "id bigint, fp string, text string",
+                   bucket_by=(["fp"], 8))
+    c.create_table("bscores", "fp string, score double", bucket_by=(["fp"], 8))
+    c.write_dataframe("bdocs", docs)
+    c.write_dataframe("bscores", scores)
+    c.commit_tx()
+    # fresh client: the layout must survive commit + log replay
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    d = c2.scan_bucketed("bdocs", with_stamps=False)
+    s = c2.scan_bucketed("bscores", with_stamps=False)
+    j = d.join(s, "fp")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert _no_shuffle(j), plan
+    got = sorted(tuple(r) for r in j.select("fp", "id", "score").collect())
+    exp = sorted(tuple(r) for r in docs.join(scores, "fp")
+                 .select("fp", "id", "score").collect())
+    assert got == exp
+    # the plain scan twin of the same join shuffles
+    pj = c2.scan("bdocs", with_stamps=False).join(
+        c2.scan("bscores", with_stamps=False), "fp"
+    )
+    assert not _no_shuffle(pj)
+    # aggregation on the bucket key is exchange-free too
+    agg = d.groupBy("fp").count()
+    assert _no_shuffle(agg)
+    c2.commit_tx()
+
+
+def test_bucketed_table_lifecycle_keeps_layout(spark, store_dir, smj_conf):
+    """COW delete, DV delete, compaction, and the row-buffer flush all
+    preserve the bucket labels: after each mutation scan_bucketed still
+    returns exact values and plans exchange-free aggregations."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    rows = [(i, f"fp{i % 10}", float(i)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "id long, fp string, v double")
+    c.new_tx()
+    c.create_table("t", "id bigint, fp string, v double", bucket_by=(["fp"], 8))
+    c.write_dataframe("t", docs)
+    c.commit_tx()
+
+    def ids():
+        out = sorted(r["id"] for r in c.scan_bucketed("t", with_stamps=False).collect())
+        return out
+
+    live = set(range(200))
+    # COW delete (the driver fast path at this size carries the source
+    # object's label; the distributed path re-buckets)
+    c.new_tx()
+    c.delete_rows("t", "id", 50, 99)
+    c.commit_tx()
+    live -= set(range(50, 100))
+    c.new_tx()
+    assert ids() == sorted(live)
+    # DV delete: mask applies through the bucketed scan, broadcast
+    # anti-join preserves the partitioning
+    c.delete_rows("t", "id", 0, 9, use_dv=True)
+    c.commit_tx()
+    live -= set(range(0, 10))
+    c.new_tx()
+    d = c.scan_bucketed("t", with_stamps=False)
+    assert sorted(r["id"] for r in d.collect()) == sorted(live)
+    assert _no_shuffle(d.groupBy("fp").count())
+    # compaction materializes the DVs and re-buckets within the layout
+    c.compact("t")
+    c.commit_tx()
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    assert all(o.bucket_id is not None for o in snap.live_objects("t"))
+    assert ids() == sorted(live)
+    # row-at-a-time flush routes through the bucketized staging path
+    for i in range(1000, 1006):
+        c.write_row("t", [i, f"fp{i % 10}", float(i)])
+    c.commit_tx()
+    live |= set(range(1000, 1006))
+    c.new_tx()
+    d2 = c.scan_bucketed("t", with_stamps=False)
+    assert sorted(r["id"] for r in d2.collect()) == sorted(live)
+    assert _no_shuffle(d2.groupBy("fp").count())
+    c.commit_tx()
+
+
+def test_bucketed_table_guards(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="bucket columns"):
+        c.create_table("b1", "a int", bucket_by=(["x"], 4))
+    with pytest.raises(TypeMismatchError, match="mutually exclusive"):
+        c.create_table("b2", "a int, b int", bucket_by=(["a"], 4),
+                       cluster_by=["b"])
+    with pytest.raises(TypeMismatchError, match="n_buckets"):
+        c.create_table("b3", "a int", bucket_by=(["a"], 0))
+    c.create_table("t", "id bigint, fp string", bucket_by=(["fp"], 4))
+    c.write_row("t", [1, "x"])
+    with pytest.raises(TypeMismatchError, match="flush_buffer"):
+        c.scan_bucketed("t")
+    c.commit_tx()
+    c.new_tx()
+    # unbucketed tables refuse scan_bucketed with the remedy named
+    c.create_table("plain", "a int")
+    with pytest.raises(TypeMismatchError, match="not bucketed"):
+        c.scan_bucketed("plain")
+    # cluster/zorder compaction is rejected on bucketed tables
+    with pytest.raises(TypeMismatchError, match="bucket"):
+        c.compact("t", cluster_by=["fp"])
+    # alter_table keeps the spec (authoritative record must carry it)
+    c.alter_table("t", bloom_columns=["fp"])
+    c.commit_tx()
+    c.new_tx()
+    assert c._effective_snapshot(c.tx).bucket_specs.get("t") == {
+        "cols": ["fp"], "n": 4,
+    }
+    assert sorted(r["id"] for r in
+                  c.scan_bucketed("t", with_stamps=False).collect()) == [1]
+    c.commit_tx()
