@@ -168,19 +168,28 @@ def _assign_arrow(
 
 
 def seed_centroids(
-    df: DataFrame, id_col: str, vec_col: str, k: int, salt: str
+    df: DataFrame, id_col: str, vec_col: str, k: int, salt: str,
+    normalize: bool = True,
 ) -> list:
     """The k vectors with the smallest ``md5(salt || id)`` (ties by
     id) — a deterministic uniform sample ANY engine can reproduce
-    (unlike the xxhash64 IVF seeds). Vectors are l2-normalized here;
-    the whole lane works on the unit sphere (dot == cosine)."""
+    (unlike the xxhash64 IVF seeds). With ``normalize`` (the cosine
+    lane) vectors are l2-normalized here — the whole lane works on
+    the unit sphere (dot == cosine); the euclidean lane seeds raw
+    vectors."""
     if k < 1:
         raise ValueError(f"k={k!r} must be >= 1")
-    rows = (
-        df.select(
-            F.col(id_col).alias("i"),
-            _norm_checked(vec_col).alias("v"),
+    vec = (
+        _norm_checked(vec_col)
+        if normalize
+        else null_checked(
+            F.col(vec_col).cast("array<double>"),
+            "seed_centroids",
+            f"vector {vec_col!r}",
         )
+    )
+    rows = (
+        df.select(F.col(id_col).alias("i"), vec.alias("v"))
         .orderBy(
             F.md5(F.concat(F.lit(salt), F.col("i").cast("string"))), F.col("i")
         )
@@ -316,6 +325,276 @@ def assign_to_centroids(
         F.col(id_col),
         _nearest(F.col("__v"), centroids, round_digits).alias("cluster"),
     )
+
+
+# -- certified EUCLIDEAN k-means (the PQ-subspace lane) -----------------
+#
+# Product quantization trains per-subspace codebooks under euclidean
+# distance on raw (non-normalized) subvectors. argmin ||x - c_j||^2 ==
+# argmax (2*dot(x, c_j) - dot(c_j, c_j)) — the ||x||^2 term is constant
+# per row — so the engine-reproducible form is the cosine lane's
+# rounded-argmax with a per-centroid self-dot adjustment. Every
+# summation stays the pinned left-to-right fold; the adjustment is
+# computed by each engine from the SAME grid-rounded centroid values
+# (bit-equal by the fold contract), never shipped across.
+
+
+def nearest_euclid(
+    vec: Column, centroids: Sequence[Sequence[float]], round_digits: int
+) -> Column:
+    """Index of the euclidean-nearest centroid over ROUNDED
+    ``2*dot - cc`` scores, ties to the LOWER index — the euclidean
+    twin of ``_nearest``."""
+    from delta_lake_experiment_spark.operators.pca import _fold_dot
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot_lit(vec, c) * F.lit(2.0) - F.lit(_fold_dot(c, c)),
+                    round_digits,
+                ).alias("s"),
+                F.lit(-j).alias("nj"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+    return (-F.array_max(scored)["nj"]).cast("int")
+
+
+def pq_assign_codes(
+    df: DataFrame,
+    vec_field: str,
+    books: Sequence[Sequence[Sequence[float]]],
+    round_digits: int,
+) -> DataFrame:
+    """Arrow pass computing ALL m subspace codes in one scan — the
+    ``_assign_arrow`` discipline (column-by-column fold order,
+    vectorized DuckDB rounding, first-max argmax) with the euclidean
+    ``2*dot - cc`` score per subspace. Adds ``__c0..__c{m-1}``."""
+    import numpy as np
+
+    from delta_lake_experiment_spark.functions.rounding import (
+        round_like_sql_np,
+    )
+    from delta_lake_experiment_spark.operators.pca import _fold_dot
+
+    Cs = [
+        np.asarray([[float(x) for x in c] for c in book], dtype=np.float64)
+        for book in books
+    ]
+    ccs = [
+        np.asarray([_fold_dot(c, c) for c in book], dtype=np.float64)
+        for book in books
+    ]
+    sub = Cs[0].shape[1]
+    rd = int(round_digits)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(list(pdf[vec_field]), dtype=np.float64)
+            n = len(pdf)
+            out = pdf.copy()
+            for s, (C, cc) in enumerate(zip(Cs, ccs)):
+                sm = mat[:, s * sub:(s + 1) * sub]
+                scores = np.empty((n, C.shape[0]), dtype=np.float64)
+                for j in range(C.shape[0]):
+                    prod = sm * C[j]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(prod.shape[1]):
+                        np.add(acc, prod[:, d], out=acc)
+                    scores[:, j] = acc * 2.0 - cc[j]
+                rounded = round_like_sql_np(scores, rd)
+                out[f"__c{s}"] = np.argmax(rounded, axis=1).astype("int32")
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    codes = ", ".join(f"__c{s} int" for s in range(len(books)))
+    return df.mapInPandas(run, f"{schema}, {codes}")
+
+
+def deterministic_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int = 16,
+    iters: int = 1,
+    salt: str = "pq",
+    round_digits: int = 9,
+    assign_strategy: str = "arrow",
+) -> list:
+    """``m`` product-quantization codebooks (each ``k`` codewords over
+    the s-th equal slice of ``vec_col``) by EUCLIDEAN Lloyd iterations
+    — :func:`deterministic_kmeans`'s engine-reproducibility contract
+    (md5 seeds, grid-rounded means, empty-cluster carryover, rounded
+    ``2*dot − cc`` argmax with lower-index ties) lifted to subspaces.
+    Returns ``books[s][j] = codeword vector``. ``m=1`` degenerates to
+    a plain certified euclidean k-means.
+
+    One seed collect serves every subspace (the k lowest
+    ``md5(salt || id)`` FULL vectors, sliced driver-side — standard PQ
+    init: sample k training points); each iteration is ONE Arrow
+    assignment scan for all m subspaces plus m tiny per-subspace mean
+    aggregations over the cached codes. The oracle fragment is
+    :func:`pq_codebook_ctes` (one s-keyed chain, not m chains — the
+    flat shape keeps DuckDB's planner linear in m)."""
+    if assign_strategy not in ("arrow", "hof"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
+    if m < 1:
+        raise ValueError(f"m={m!r} must be >= 1")
+    from delta_lake_experiment_spark.functions.rounding import round_like_sql
+
+    seeds = seed_centroids(df, id_col, vec_col, k, salt, normalize=False)
+    if not seeds:
+        raise ValueError("deterministic_pq_codebooks: empty input")
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = [
+        [list(s[sp * sub:(sp + 1) * sub]) for s in seeds] for sp in range(m)
+    ]
+    raw = df.select(
+        F.col(id_col).alias("i"),
+        null_checked(
+            F.col(vec_col).cast("array<double>"),
+            "deterministic_pq_codebooks",
+            f"vector {vec_col!r}",
+        ).alias("v"),
+    ).persist()
+    try:
+        for _ in range(iters):
+            if assign_strategy == "arrow":
+                assigned = pq_assign_codes(raw, "v", books, round_digits)
+            else:
+                assigned = raw
+                for s in range(m):
+                    assigned = assigned.withColumn(
+                        f"__c{s}",
+                        nearest_euclid(
+                            F.slice(F.col("v"), s * sub + 1, sub),
+                            books[s],
+                            round_digits,
+                        ),
+                    )
+            assigned = assigned.persist()
+            try:
+                for s in range(m):
+                    rows = (
+                        assigned.groupBy(f"__c{s}")
+                        .agg(
+                            *[
+                                F.avg(
+                                    F.element_at(F.col("v"), s * sub + p + 1)
+                                ).alias(f"m{p}")
+                                for p in range(sub)
+                            ]
+                        )
+                        .collect()
+                    )
+                    new = {
+                        r[f"__c{s}"]: [
+                            round_like_sql(float(r[f"m{p}"]), round_digits)
+                            for p in range(sub)
+                        ]
+                        for r in rows
+                    }
+                    books[s] = [
+                        new.get(j, books[s][j]) for j in range(len(books[s]))
+                    ]
+            finally:
+                assigned.unpersist()
+    finally:
+        raw.unpersist()
+    return books
+
+
+def pq_codebook_ctes(
+    src: str,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k: int,
+    iters: int,
+    salt: str,
+    round_digits: int = 9,
+    prefix: str = "pq",
+) -> str:
+    """DuckDB chain re-deriving :func:`deterministic_pq_codebooks` —
+    one FLAT s-keyed chain for all m subspaces (seeds, every Lloyd
+    step, final codes), over ``src`` rows ``(id_col, vec_col
+    DOUBLE[])``. Ends at ``{prefix}final`` (s, i, j) and
+    ``{prefix}c{iters}`` (s, j, v). A per-subspace chain quadrupled
+    DuckDB's PLANNING time (execution was 0.2 s while the wall was
+    15-25 s — measured); the s-keyed shape keeps the CTE count
+    constant in m."""
+    if m < 1 or k < 1:
+        raise ValueError(f"m={m!r} / k={k!r} must be >= 1")
+    if iters < 0:
+        raise ValueError(f"iters={iters!r} must be >= 0")
+    p = prefix
+    rd = int(round_digits)
+    salt_lit = "'" + salt.replace("'", "''") + "'"
+    score = (
+        f"round(2 * list_dot_product(e.sv, c.v)"
+        f" - list_dot_product(c.v, c.v), {rd})"
+    )
+    sub_expr = (
+        f"v[CAST(t.s * (len(v) / {m}) + 1 AS INT)"
+        f":CAST((t.s + 1) * (len(v) / {m}) AS INT)]"
+    )
+    ctes = [
+        f"""{p}e AS MATERIALIZED (
+  SELECT CAST(t.s AS INT) AS s, i, {sub_expr} AS sv
+  FROM (SELECT {id_col} AS i, CAST({vec_col} AS DOUBLE[]) AS v FROM {src}),
+       range({m}) t(s)
+), {p}c0 AS MATERIALIZED (
+  SELECT s, CAST(rn - 1 AS INT) AS j, sv AS v FROM (
+    SELECT s, sv, ROW_NUMBER() OVER (
+      PARTITION BY s ORDER BY md5({salt_lit} || CAST(i AS VARCHAR)), i
+    ) AS rn FROM {p}e
+  ) WHERE rn <= {k}
+)"""
+    ]
+    for it in range(iters):
+        ctes.append(
+            f"""{p}a{it} AS MATERIALIZED (
+  SELECT s, i, j FROM (
+    SELECT e.s, e.i, c.j, ROW_NUMBER() OVER (
+      PARTITION BY e.s, e.i ORDER BY {score} DESC, c.j ASC
+    ) AS rn
+    FROM {p}e e JOIN {p}c{it} c ON c.s = e.s
+  ) WHERE rn = 1
+), {p}m{it} AS MATERIALIZED (
+  SELECT s, j, list(mv ORDER BY pos) AS v FROM (
+    SELECT s, j, pos, round(AVG(val), {rd}) AS mv FROM (
+      SELECT a.s AS s, a.j AS j,
+             unnest(generate_series(1, len(e.sv))) AS pos,
+             unnest(e.sv) AS val
+      FROM {p}a{it} a JOIN {p}e e ON e.s = a.s AND e.i = a.i
+    ) GROUP BY s, j, pos
+  ) GROUP BY s, j
+), {p}c{it + 1} AS MATERIALIZED (
+  SELECT c.s, c.j, COALESCE(mm.v, c.v) AS v
+  FROM {p}c{it} c LEFT JOIN {p}m{it} mm ON mm.s = c.s AND mm.j = c.j
+)"""
+        )
+    ctes.append(
+        f"""{p}final AS MATERIALIZED (
+  SELECT s, i, j FROM (
+    SELECT e.s, e.i, c.j, ROW_NUMBER() OVER (
+      PARTITION BY e.s, e.i ORDER BY {score} DESC, c.j ASC
+    ) AS rn
+    FROM {p}e e JOIN {p}c{iters} c ON c.s = e.s
+  ) WHERE rn = 1
+)"""
+    )
+    return ",\n".join(ctes)
 
 
 def _assigned_and_pairs(

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 115 value-oracled queries, sixty-five must sit outside the window. The
+# With 119 value-oracled queries, sixty-nine must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -285,8 +285,10 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # New in r7 (deferred from birth — the window is full at 50):
 # - ann_recall_report -> the per-method candidate machinery is all
 #   certified in-window (cosine_topk by similarity_bruteforce_topk,
-#   the PCA reduction by similarity_pca_topk, the Lloyd chain by
-#   semantic_dedup_corpus/corpus_topic_report); the recall TALLY is a
+#   the PCA reduction by similarity_pca_topk, the cosine Lloyd chain
+#   by semantic_dedup_corpus/corpus_topic_report; the euclidean PQ
+#   subspace chain is the same rounded-Lloyd discipline with a 2·dot−cc
+#   score, pytest-pinned Spark==Python==DuckDB); the recall TALLY is a
 #   union of O(k) id lists semi-joined against the exact list — the
 #   report framing is the novelty.
 # - lang_id_weights -> the per-class GD machinery is the in-window

@@ -3183,6 +3183,11 @@ _ANN_IVF_ITERS = 1
 _ANN_IVF_PROBE = 4
 _ANN_IVF_SALT = "ivfrr"
 _ANN_ROUND = 9
+_ANN_PQ_M = 4          # subspaces (dim 64 -> 16-d subvectors)
+_ANN_PQ_K = 16         # codewords per subspace
+_ANN_PQ_ITERS = 1
+_ANN_PQ_RERANK = 50    # ADC survivors exact-reranked
+_ANN_PQ_SALT = "pqrr"
 
 
 def _ann_norm_py(vec: "list[float]") -> "list[float]":
@@ -3228,18 +3233,22 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       matrix is Python-generated and enters BOTH plans as literals);
     - ``ivf``: probe the n_probe nearest of 16 inverted lists built by
       the CERTIFIED deterministic k-means (operators/semdedup.py seeds
-      + Lloyd chain — md5 seeds, rounded assignment), exact rerank.
+      + Lloyd chain — md5 seeds, rounded assignment), exact rerank;
+    - ``pq``: product quantization with CERTIFIED euclidean subspace
+      codebooks (operators/semdedup.py::deterministic_kmeans_euclidean
+      — the ``2·dot − cc`` rounded assignment, one md5-seeded Lloyd
+      chain per subspace), ADC scoring from per-subspace lookup tables
+      whose entries are grid-rounded on both engines, fixed-breadth
+      exact rerank of the ADC survivors.
 
     Every method here is chosen to be fully VALUE-oracle-able: the
     exact set and each candidate set are deterministic and re-derived
     by the DuckDB twin (literal signs; the semantic_pair_ctes Lloyd
-    chain; the bit-exact PCA projection), so recall itself hash-checks
-    — unlike similarity_{lsh,ivf,pq}_topk, whose production
-    configurations (xxhash64 seeds, np-gemm PQ codebooks) stay
-    rows-only. PQ is absent for exactly that reason: its codebooks are
-    trained by an Arrow/numpy Lloyd pass whose gemm summation order no
-    SQL engine reproduces; its quality gate remains the in-query
-    recall floor in similarity_pq_topk.
+    chain; one euclid_kmeans_ctes chain per PQ subspace; the bit-exact
+    PCA projection), so recall itself hash-checks — unlike
+    similarity_{lsh,ivf,pq}_topk, whose production configurations
+    (xxhash64 seeds, np-gemm PQ codebooks with BLAS summation order)
+    stay rows-only behind in-query recall floors.
 
     Plan shape: one exact top-k scan, one bucket-filtered rerank, one
     k-means train (2 passes at iters=1) + assignment + filtered
@@ -3286,6 +3295,62 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id"
     )
 
+    # pq: certified euclidean subspace codebooks -> ADC rank -> exact
+    # rerank. ADC per doc = sum over subspaces of a grid-rounded lookup
+    # (element_at on a literal table) — addition in subspace order on
+    # both engines, so even the tie structure is engine-identical. One
+    # seed collect + one Arrow assignment pass per Lloyd iteration +
+    # one Arrow encode pass cover ALL m subspaces (deterministic_pq_
+    # codebooks / pq_assign_codes).
+    from delta_lake_experiment_spark.functions.guards import null_checked
+    from delta_lake_experiment_spark.functions.rounding import round_like_sql
+    from delta_lake_experiment_spark.operators.pca import _fold_dot
+    from delta_lake_experiment_spark.operators.semdedup import (
+        deterministic_pq_codebooks,
+        pq_assign_codes,
+    )
+    from delta_lake_experiment_spark.operators.similarity import l2_normalize
+
+    dim = len(query)
+    if dim % _ANN_PQ_M:
+        raise ValueError(f"dim={dim} not divisible by m={_ANN_PQ_M}")
+    sub = dim // _ANN_PQ_M
+    normf = base.select(
+        "vec_id",
+        l2_normalize(
+            null_checked(F.col("embedding"), "ann_recall", "embedding")
+        ).alias("__v"),
+    ).persist()  # consumer releases
+    qn = _ann_norm_py(query)
+    books = deterministic_pq_codebooks(
+        normf, "vec_id", "__v", m=_ANN_PQ_M, k=_ANN_PQ_K,
+        iters=_ANN_PQ_ITERS, salt=_ANN_PQ_SALT, round_digits=_ANN_ROUND,
+    )
+    score_s = [
+        [
+            round_like_sql(
+                2 * _fold_dot(qn[s * sub:(s + 1) * sub], c) - _fold_dot(c, c),
+                _ANN_ROUND,
+            )
+            for c in books[s]
+        ]
+        for s in range(_ANN_PQ_M)
+    ]
+    encoded = pq_assign_codes(normf, "__v", books, _ANN_ROUND)
+    adc = None
+    for s in range(_ANN_PQ_M):
+        term = F.element_at(F.lit(score_s[s]), F.col(f"__c{s}") + F.lit(1))
+        adc = term if adc is None else adc + term
+    pq_cand = (
+        encoded.select("vec_id", adc.alias("__adc"))
+        .orderBy(F.col("__adc").desc(), F.col("vec_id").asc())
+        .limit(_ANN_PQ_RERANK)
+        .select("vec_id")
+    )
+    pq_ids = cosine_topk(
+        pq_cand.join(base, "vec_id"), "vec_id", "embedding", query, k=_ANN_K
+    ).select("vec_id")
+
     # pca: reduced-space euclidean top-k (similarity_pca_topk's exact
     # machinery, query id 0)
     emb_all, mu, comps = _pca_train(spark, sf_dir)
@@ -3317,6 +3382,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pca_ids.withColumn("method", F.lit("pca")))
         .unionByName(lsh.withColumn("method", F.lit("lsh")))
         .unionByName(ivf.withColumn("method", F.lit("ivf")))
+        .unionByName(pq_ids.withColumn("method", F.lit("pq")))
     )
     hits = (
         tagged.join(exact, "vec_id", "left_semi")
@@ -3324,7 +3390,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("hits"))
     )
     methods = spark.createDataFrame(
-        [("bruteforce",), ("pca",), ("lsh",), ("ivf",)], "method string"
+        [("bruteforce",), ("pca",), ("lsh",), ("ivf",), ("pq",)],
+        "method string",
     )
     return (
         methods.join(hits, "method", "left")
@@ -3388,6 +3455,42 @@ def _ann_recall_sql() -> str:
         round_digits=_ANN_ROUND,
         threshold=1.1,  # sem_pairs is unreferenced (and empty if ever evaluated)
     )
+    # pq: ONE flat s-keyed chain re-deriving every subspace codebook
+    # over slices of the normalized corpus (the ivf chain's `se` CTE),
+    # per-subspace ADC lookup tables from the normalized query's
+    # slices, and an ordered-list fold for the subspace-order ADC sum
+    from delta_lake_experiment_spark.operators.semdedup import (
+        pq_codebook_ctes,
+    )
+
+    adc_fold = " + ".join(f"l[{s + 1}]" for s in range(_ANN_PQ_M))
+    pq_sql = pq_codebook_ctes(
+        "(SELECT i, v FROM se)", "i", "v",
+        m=_ANN_PQ_M, k=_ANN_PQ_K, iters=_ANN_PQ_ITERS,
+        salt=_ANN_PQ_SALT, round_digits=_ANN_ROUND, prefix="pq",
+    ) + f""",
+pqs AS MATERIALIZED (
+  SELECT c.s, c.j, round(2 * list_dot_product(q.sv, c.v)
+                         - list_dot_product(c.v, c.v), {_ANN_ROUND}) AS sc
+  FROM pqc{_ANN_PQ_ITERS} c JOIN (
+    SELECT CAST(t.s AS INT) AS s,
+           v[CAST(t.s * (len(v) / {_ANN_PQ_M}) + 1 AS INT)
+             :CAST((t.s + 1) * (len(v) / {_ANN_PQ_M}) AS INT)] AS sv
+    FROM pqqn, range({_ANN_PQ_M}) t(s)
+  ) q ON q.s = c.s
+),
+pqadc AS MATERIALIZED (
+  SELECT i, {adc_fold} AS adc FROM (
+    SELECT f.i, list(p.sc ORDER BY f.s) AS l
+    FROM pqfinal f JOIN pqs p ON p.s = f.s AND p.j = f.j
+    GROUP BY f.i
+  )
+),
+pqcand AS (SELECT i FROM pqadc ORDER BY adc DESC, i ASC LIMIT {_ANN_PQ_RERANK}),
+pqk AS (
+  SELECT e.vec_id FROM ebase e JOIN pqcand pc ON pc.i = e.vec_id, {qexpr} q
+  ORDER BY {cos} DESC, e.vec_id ASC LIMIT {_ANN_K}
+)"""
     pproj = pca_projection_sql(
         "embeddings", "vec_id", "embedding",
         dim=_PCA_DIM, k=_PCA_K, p_iters=_PCA_ITERS,
@@ -3427,6 +3530,12 @@ ivfk AS (
   WHERE f.j IN (SELECT j FROM ivfprobes)
   ORDER BY {cos} DESC, e.vec_id ASC LIMIT {_ANN_K}
 ),
+pqqn AS MATERIALIZED (
+  SELECT CASE WHEN sqrt(list_dot_product(qv, qv)) > 0
+    THEN list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv)))
+    ELSE qv END AS v FROM {qexpr}
+),
+{pq_sql},
 pproj AS MATERIALIZED ({pproj}),
 pcak AS (
   SELECT p.id AS vec_id FROM pproj p,
@@ -3439,6 +3548,7 @@ tag AS (
   UNION ALL SELECT 'pca', vec_id FROM pcak
   UNION ALL SELECT 'lsh', vec_id FROM lshk
   UNION ALL SELECT 'ivf', vec_id FROM ivfk
+  UNION ALL SELECT 'pq', vec_id FROM pqk
 ),
 hcount AS (
   SELECT method, COUNT(*) AS hits FROM tag
@@ -3447,7 +3557,7 @@ hcount AS (
 SELECT m.method, {_ANN_K} AS k,
   CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
   CAST(COALESCE(h.hits, 0) AS DOUBLE) / {float(_ANN_K)!r} AS recall
-FROM (VALUES ('bruteforce'), ('pca'), ('lsh'), ('ivf')) m(method)
+FROM (VALUES ('bruteforce'), ('pca'), ('lsh'), ('ivf'), ('pq')) m(method)
 LEFT JOIN hcount h ON h.method = m.method
 """
 

@@ -4693,13 +4693,90 @@ def test_ann_recall_report_invariants(spark):
         for r in ann_recall_report(spark, "/root/testdata/sf0.001").collect()
     }
     spark.catalog.clearCache()
-    assert set(rows) == {"bruteforce", "pca", "lsh", "ivf"}
+    assert set(rows) == {"bruteforce", "pca", "lsh", "ivf", "pq"}
     assert rows["bruteforce"]["hits"] == 10
     assert rows["bruteforce"]["recall"] == 1.0
     for r in rows.values():
         assert r["k"] == 10
         assert 0 <= r["hits"] <= 10
         assert r["recall"] == r["hits"] / 10.0
+
+
+def test_deterministic_pq_codebooks_cross_engine(spark):
+    """The certified euclidean PQ trainer: Spark's one-seed-collect +
+    fused Arrow assignment, the hof expression path, and the DuckDB
+    flat s-keyed chain all land on IDENTICAL codebooks and codes; a
+    planted two-cluster-per-subspace geometry is recovered."""
+    import random
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.semdedup import (
+        deterministic_pq_codebooks,
+        pq_assign_codes,
+        pq_codebook_ctes,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for i in range(80):
+        # subspace 0 clusters around ±1 on dim0; subspace 1 around ±1
+        # on dim2 — independent structure per subspace
+        a = 1.0 if i % 2 else -1.0
+        b = 1.0 if i % 3 else -1.0
+        v = [
+            round(a + rng.gauss(0, 0.1), 6), round(rng.gauss(0, 0.1), 6),
+            round(b + rng.gauss(0, 0.1), 6), round(rng.gauss(0, 0.1), 6),
+        ]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    m, k, iters = 2, 2, 2
+    books = deterministic_pq_codebooks(
+        df, "vec_id", "embedding", m=m, k=k, iters=iters, salt="tpq"
+    )
+    books_hof = deterministic_pq_codebooks(
+        df, "vec_id", "embedding", m=m, k=k, iters=iters, salt="tpq",
+        assign_strategy="hof",
+    )
+    assert books == books_hof
+    # planted structure recovered: each subspace's two codewords sit
+    # near ±1 on its structured coordinate
+    for s, pos in ((0, 0), (1, 0)):
+        signs = sorted(round(c[pos]) for c in books[s])
+        assert signs == [-1, 1], (s, books[s])
+    codes = {
+        r["vec_id"]: (r["__c0"], r["__c1"])
+        for r in pq_assign_codes(
+            df.selectExpr("vec_id", "embedding AS v"), "v", books, 9
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pemb (vec_id INT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO pemb VALUES (?, ?)", rows)
+    chain = pq_codebook_ctes(
+        "pemb", "vec_id", "embedding", m=m, k=k, iters=iters, salt="tpq"
+    )
+    dbooks = {}
+    for s, j, v in con.execute(
+        "WITH " + chain + f"\nSELECT s, j, v FROM pqc{iters}"
+    ).fetchall():
+        dbooks[(s, j)] = list(v)
+    for s in range(m):
+        for j in range(k):
+            assert dbooks[(s, j)] == books[s][j], (s, j)
+    dcodes = {}
+    for s, i, j in con.execute(
+        "WITH " + chain + "\nSELECT s, i, j FROM pqfinal"
+    ).fetchall():
+        dcodes.setdefault(i, {})[s] = j
+    con.close()
+    assert all(
+        (dcodes[i][0], dcodes[i][1]) == codes[i] for i, _ in rows
+    )
+    with pytest.raises(ValueError, match="m="):
+        deterministic_pq_codebooks(df, "vec_id", "embedding", m=0)
+    with pytest.raises(ValueError, match="divisible"):
+        deterministic_pq_codebooks(df, "vec_id", "embedding", m=3)
 
 
 def test_deterministic_kmeans_empty_cluster_carryover(spark):
