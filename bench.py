@@ -128,6 +128,8 @@ HEADLINE = [
     "predicted_lang_ccnet_buckets",
     # r7: shuffle-free bucketed ACID join
     "engine_bucketed_join",
+    # r7: value-oracled HLL distinct-count report
+    "corpus_cardinality_report",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

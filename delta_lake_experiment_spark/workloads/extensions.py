@@ -3562,6 +3562,88 @@ LEFT JOIN hcount h ON h.method = m.method
 """
 
 
+# -- HLL cardinality sketches (operators/sketches.py) -------------------
+
+_HLL_P = 12
+
+
+def corpus_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count estimation the 100 TB way
+    (operators/sketches.py): one mergeable O(2^p) HyperLogLog sketch
+    per entity instead of a corpus-wide distinct shuffle — rebuilt on
+    the repo's engine-portable md5 hash so the ESTIMATE itself is
+    value-oracled (Spark's approx_count_distinct is HLL++ no other
+    engine reproduces). One row per entity with the sketch estimate,
+    the exact distinct count, and the relative error — the report is
+    its own accuracy certificate (at true scale the exact column is
+    the one you drop; expected error ~1.04/sqrt(2^p) ≈ 1.6% at
+    p=12)."""
+    from delta_lake_experiment_spark.functions.guards import null_checked
+    from delta_lake_experiment_spark.operators.sketches import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.lower(
+                    F.trim(null_checked(F.col("text"), "cardinality", "text"))
+                ),
+                r"\s+",
+            )
+        ).alias("k")
+    )
+    users = events.select(F.col("user_id").alias("k"))
+    eids = events.select(F.col("event_id").alias("k"))
+    parts = []
+    for entity, src in (("tokens", toks), ("users", users), ("events", eids)):
+        est = hll_distinct(src, "k", p=_HLL_P)
+        exact = src.agg(F.countDistinct("k").alias("exact_distinct"))
+        parts.append(
+            est.crossJoin(exact).select(
+                F.lit(entity).alias("entity"),
+                "est_distinct",
+                "exact_distinct",
+                F.round(
+                    (F.col("est_distinct") - F.col("exact_distinct"))
+                    / F.col("exact_distinct"),
+                    6,
+                ).alias("rel_err"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+def _cardinality_report_sql() -> str:
+    from delta_lake_experiment_spark.operators.sketches import (
+        hll_distinct_sql,
+    )
+
+    tok_src = (
+        "(SELECT unnest(string_split_regex(lower(trim("
+        "CASE WHEN text IS NULL THEN CAST(error('cardinality: text is NULL"
+        " - must be non-NULL (filter or coalesce upstream)') AS VARCHAR)"
+        r" ELSE text END)), '\s+')) AS k FROM documents)"
+    )
+    parts = []
+    for entity, src, key in (
+        ("tokens", tok_src, "k"),
+        ("users", "events", "user_id"),
+        ("events", "events", "event_id"),
+    ):
+        est = hll_distinct_sql(src, key, p=_HLL_P)
+        parts.append(
+            f"""SELECT '{entity}' AS entity, e.est_distinct, x.exact_distinct,
+  round((e.est_distinct - x.exact_distinct) / x.exact_distinct, 6) AS rel_err
+FROM ({est}) e,
+     (SELECT COUNT(DISTINCT {key}) AS exact_distinct FROM {src}) x"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 # -- unigram-LM tokenizer training (operators/unigram.py) ---------------
 
 # the synthetic corpus has 24 distinct characters and 31 distinct
@@ -4337,6 +4419,7 @@ QUERIES = {
     "ann_recall_report": ann_recall_report,
     "lang_id_weights": lang_id_weights,
     "predicted_lang_ccnet_buckets": predicted_lang_ccnet_buckets,
+    "corpus_cardinality_report": corpus_cardinality_report,
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "hard_negative_pairs": hard_negative_pairs,
@@ -4420,6 +4503,7 @@ ORACLES = {
     "ann_recall_report": _ann_recall_sql(),
     "lang_id_weights": _langid_weights_sql(),
     "predicted_lang_ccnet_buckets": _predicted_lang_ccnet_sql(),
+    "corpus_cardinality_report": _cardinality_report_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "hard_negative_pairs": _hard_negative_sql(),

@@ -5227,3 +5227,62 @@ def test_curriculum_to_shard_export_composition(spark, tmp_path):
         for j in pos:
             if stg[i] < stg[j]:
                 assert pos[i] < pos[j]
+
+
+def test_hll_sketch_cross_engine_and_merge(spark):
+    """The deterministic HLL: Spark registers == DuckDB registers and
+    the estimates are identical doubles; sketches merge by register
+    max (slice A + slice B == whole — THE mergeability property);
+    estimate accuracy is within the p=12 error band; NULL keys raise
+    on both engines; p is validated."""
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_sql,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        hll_registers_sql,
+    )
+
+    keys = [(f"key-{i}",) for i in range(20_000)]
+    df = spark.createDataFrame(keys, "k string")
+    regs = {
+        (r["bucket"], r["reg"])
+        for r in hll_registers(df, "k", p=12).collect()
+    }
+    est = hll_distinct(df, "k", p=12).collect()[0]["est_distinct"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE hk (k VARCHAR)")
+    con.executemany("INSERT INTO hk VALUES (?)", keys)
+    dregs = set(
+        con.execute(hll_registers_sql("hk", "k", p=12)).fetchall()
+    )
+    dest = con.execute(hll_distinct_sql("hk", "k", p=12)).fetchall()[0][0]
+    assert regs == dregs
+    assert est == dest
+    # accuracy: sigma ~ 1.04/sqrt(4096) ~ 1.6%; 3 sigma ~ 5%
+    assert abs(est - 20_000) / 20_000 < 0.05, est
+    # mergeability: sketch halves independently, merge by register max
+    a = hll_registers(df.filter(F.col("k") < "key-3"), "k", p=12)
+    b = hll_registers(df.filter(F.col("k") >= "key-3"), "k", p=12)
+    merged_est = hll_estimate(hll_merge(a, b), p=12).collect()[0][
+        "est_distinct"
+    ]
+    assert merged_est == est
+    # NULL key raises on both engines
+    ndf = spark.createDataFrame([("a",), (None,)], "k string")
+    with pytest.raises(Exception, match="non-NULL"):
+        hll_registers(ndf, "k").collect()
+    con.execute("INSERT INTO hk VALUES (NULL)")
+    with pytest.raises(Exception, match="non-NULL"):
+        con.execute(hll_registers_sql("hk", "k", p=12)).fetchall()
+    con.close()
+    for bad in (3, 19):
+        with pytest.raises(ValueError, match="p="):
+            hll_registers(df, "k", p=bad)
+        with pytest.raises(ValueError, match="p="):
+            hll_registers_sql("hk", "k", p=bad)
+    with pytest.raises(ValueError, match="at least one"):
+        hll_merge()
