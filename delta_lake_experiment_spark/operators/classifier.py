@@ -251,6 +251,63 @@ def _class_checked(label: Column, classes: Sequence[str]) -> Column:
     )
 
 
+def _softmax_grad_arrow(
+    feats: DataFrame,
+    w: "list[list[float]]",
+    bias: "list[float]",
+    n: int,
+    dim: int,
+) -> "tuple[list[float], list[list[float]]]":
+    """One full-batch softmax gradient via a single Arrow pass:
+    per-batch numpy partials (indicator gemm), combined on the driver
+    with ``math.fsum`` (exact, hence batch-order-independent). The
+    per-doc arithmetic differs from the JVM margin expressions only in
+    summation order — ~1e-15 noise against the 1e-9 update grid, the
+    module's standing partitioning-independence argument. Exists
+    because the K·(dim+1)-column conditional aggregation is
+    CATALYST-PLANNING-bound at K=5 (sf0.001 was as slow as sf0.1 —
+    ~2.3 s of analysis/codegen per iteration for a ~500-expression
+    tree); this pass plans in constant time."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    K = len(bias)
+    W = np.asarray(w, dtype=np.float64)
+    B = np.asarray(bias, dtype=np.float64)
+    ycols = [f"__y{c}" for c in range(K)]
+
+    def run(batches):
+        for pdf in batches:
+            nb = len(pdf)
+            if not nb:
+                continue
+            ind = np.zeros((nb, W.shape[1]), dtype=np.float64)
+            for r, fl in enumerate(pdf["feats"]):
+                ind[r, np.asarray(fl, dtype=np.int64)] = 1.0
+            Z = ind @ W.T + B
+            P = np.exp(Z)
+            P /= P.sum(axis=1, keepdims=True)
+            Y = pdf[ycols].to_numpy(dtype=np.float64)
+            R = (P - Y) / float(n)
+            G = R.T @ ind
+            yield pd.DataFrame(
+                {"gb": [R.sum(axis=0).tolist()], "g": [G.ravel().tolist()]}
+            )
+
+    rows = feats.mapInPandas(run, "gb array<double>, g array<double>").collect()
+    gb = [math.fsum(float(r["gb"][c]) for r in rows) for c in range(K)]
+    g = [
+        [
+            math.fsum(float(r["g"][c * dim + f]) for r in rows)
+            for f in range(dim)
+        ]
+        for c in range(K)
+    ]
+    return gb, g
+
+
 def train_hashed_softmax(
     df: DataFrame,
     id_col: str,
@@ -262,6 +319,7 @@ def train_hashed_softmax(
     lr: float = 0.5,
     round_digits: int = 9,
     feature_sets: "DataFrame | None" = None,
+    grad_strategy: str = "arrow",
 ) -> "tuple[list[list[float]], list[float]]":
     """Full-batch gradient-descent SOFTMAX (multinomial logistic)
     regression on hashed binary features — the K-class extension of
@@ -283,14 +341,22 @@ def train_hashed_softmax(
     reassociation — absorbed by the 1e-9 update grid exactly as in
     :func:`train_hashed_logreg`.
 
-    Plan shape per iteration: ONE distributed job — a map-only
-    residual projection (K rounded-weight literal margins, codegen'd
-    conditional sums) partial-aggregated into a single
-    ``K·(dim+1)``-column row; the update runs driver-side on
-    O(K·dim) floats. Labels outside ``classes`` (or NULL) raise
-    in-plan (:func:`_class_checked`)."""
+    Plan shape per iteration: ONE distributed job. ``grad_strategy``
+    picks its form: ``"arrow"`` (default) computes per-batch numpy
+    partial gradients in one mapInPandas scan, fsum-combined on the
+    driver — constant plan size, so Catalyst analysis cost does not
+    scale with K·dim (the flat expression tree measured ~2.3 s of
+    planning PER ITERATION at K=5·dim=32 — data-size-independent);
+    ``"agg"`` is the flat K·(dim+1)-column conditional aggregation
+    (the binary lane's shape, fully JVM). Both are full-batch and
+    land on the same rounded trajectory (pytest-pinned on the
+    fixture); the update runs driver-side on O(K·dim) floats. Labels
+    outside ``classes`` (or NULL) raise in-plan
+    (:func:`_class_checked`)."""
     if iters < 1:
         raise ValueError(f"iters={iters!r} must be >= 1")
+    if grad_strategy not in ("arrow", "agg"):
+        raise ValueError(f"unknown grad_strategy {grad_strategy!r}")
     cls = [str(c) for c in classes]
     if len(cls) < 2:
         raise ValueError(f"classes={classes!r} must have >= 2 entries")
@@ -320,6 +386,15 @@ def train_hashed_softmax(
     bias = [0.0] * K
     try:
         for _ in range(iters):
+            if grad_strategy == "arrow":
+                gbs, gs = _softmax_grad_arrow(feats, w, bias, n, dim)
+                for c in range(K):
+                    bias[c] = round(bias[c] - lr * gbs[c], round_digits)
+                    for f in range(dim):
+                        # an untouched bucket has an exact-zero
+                        # gradient: w - lr*0 == w, already on the grid
+                        w[c][f] = round(w[c][f] - lr * gs[c][f], round_digits)
+                continue
             zs = [_margin(w[c], bias[c]) for c in range(K)]
             den: Column = F.exp(zs[0])
             for c in range(1, K):

@@ -4132,6 +4132,14 @@ def test_train_hashed_softmax_planted_languages(spark):
         df, "doc_id", "text", "lang", classes,
         dim=dim, iters=iters, lr=lr, round_digits=rd,
     )
+    # the JVM flat-aggregation gradient lands on the same rounded
+    # trajectory as the default Arrow pass (summation-order noise is
+    # absorbed by the 1e-9 update grid)
+    w_agg, b_agg = train_hashed_softmax(
+        df, "doc_id", "text", "lang", classes,
+        dim=dim, iters=iters, lr=lr, round_digits=rd, grad_strategy="agg",
+    )
+    assert (w, b) == (w_agg, b_agg)
 
     # pure-Python reference (explicit class-order denominator fold)
     def bucket(tok):
@@ -4263,6 +4271,11 @@ def test_hashed_softmax_guards(spark):
     with pytest.raises(ValueError, match="iters"):
         train_hashed_softmax(
             df, "doc_id", "text", "lang", ("en", "fr"), dim=8, iters=0
+        )
+    with pytest.raises(ValueError, match="grad_strategy"):
+        train_hashed_softmax(
+            df, "doc_id", "text", "lang", ("en", "fr"), dim=8, iters=1,
+            grad_strategy="x",
         )
     with pytest.raises(ValueError, match="lengths"):
         score_hashed_softmax(
