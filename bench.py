@@ -130,6 +130,8 @@ HEADLINE = [
     "engine_bucketed_join",
     # r7: value-oracled HLL distinct-count report
     "corpus_cardinality_report",
+    # r7: PPMI word embeddings (distributed-matvec power iteration)
+    "word_embedding_vectors",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

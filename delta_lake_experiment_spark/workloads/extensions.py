@@ -3562,6 +3562,61 @@ LEFT JOIN hcount h ON h.method = m.method
 """
 
 
+# -- PPMI word embeddings (operators/embeddings.py) ---------------------
+
+_EMB_WINDOW = 2
+_EMB_R = 2
+_EMB_ITERS = 6
+_EMB_MAX_VOCAB = 4096
+
+
+def word_embedding_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word embeddings from corpus co-occurrence
+    (operators/embeddings.py): windowed co-occurrence counts → PPMI →
+    top-r spectral factors by DISTRIBUTED power iteration (the
+    matrix lives in a table; each step is one join + groupBy matvec;
+    only O(V) vector state reaches the driver, behind the max_vocab
+    loud gate) → sqrt(λ)-scaled rows (Levy & Goldberg 2014: the
+    factorization word2vec's SGNS implicitly performs). Output
+    (word, e1..e{r}); the oracle re-derives tokenization, vocabulary
+    ranks, counts, PPMI, and EVERY matvec/normalization/deflation
+    step with the pinned ascending-j fold + DuckDB-replicated
+    rounding — a value oracle for distributed iterative linear
+    algebra."""
+    from delta_lake_experiment_spark.operators.embeddings import (
+        cooccurrence_counts,
+        ppmi_matrix,
+        ppmi_topk_eigs,
+        tokenize_positions,
+        vocab_ids,
+        word_vectors,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize_positions(docs, "doc_id", "text").persist()
+    try:
+        vocab = vocab_ids(toks, max_vocab=_EMB_MAX_VOCAB)
+        mat = ppmi_matrix(cooccurrence_counts(toks, vocab, window=_EMB_WINDOW))
+        eigs = ppmi_topk_eigs(mat, len(vocab), r=_EMB_R, p_iters=_EMB_ITERS)
+    finally:
+        toks.unpersist()
+    rows = word_vectors(vocab, eigs)
+    cols = ", ".join(f"e{k + 1} double" for k in range(_EMB_R))
+    return spark.createDataFrame(rows, f"word string, {cols}")
+
+
+def _word_embedding_sql() -> str:
+    from delta_lake_experiment_spark.operators.embeddings import (
+        word_vectors_sql,
+    )
+
+    return word_vectors_sql(
+        "documents", "doc_id", "text",
+        window=_EMB_WINDOW, r=_EMB_R, p_iters=_EMB_ITERS,
+        max_vocab=_EMB_MAX_VOCAB,
+    )
+
+
 # -- HLL cardinality sketches (operators/sketches.py) -------------------
 
 _HLL_P = 12
@@ -4420,6 +4475,7 @@ QUERIES = {
     "lang_id_weights": lang_id_weights,
     "predicted_lang_ccnet_buckets": predicted_lang_ccnet_buckets,
     "corpus_cardinality_report": corpus_cardinality_report,
+    "word_embedding_vectors": word_embedding_vectors,
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "hard_negative_pairs": hard_negative_pairs,
@@ -4504,6 +4560,7 @@ ORACLES = {
     "lang_id_weights": _langid_weights_sql(),
     "predicted_lang_ccnet_buckets": _predicted_lang_ccnet_sql(),
     "corpus_cardinality_report": _cardinality_report_sql(),
+    "word_embedding_vectors": _word_embedding_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "hard_negative_pairs": _hard_negative_sql(),

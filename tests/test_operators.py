@@ -5299,3 +5299,95 @@ def test_hll_sketch_cross_engine_and_merge(spark):
             hll_registers_sql("hk", "k", p=bad)
     with pytest.raises(ValueError, match="at least one"):
         hll_merge()
+
+
+def test_word_embeddings_ppmi_cross_engine(spark):
+    """PPMI + distributed-power-iteration word embeddings on a planted
+    two-topic corpus: the spectral component separates the topics (all
+    within-topic cosines > all cross-topic cosines over content
+    words), the shared stopword lands near the origin, and the DuckDB
+    twin re-derives the ENTIRE computation — tokenization, vocabulary
+    ranks, windowed counts, PPMI, every distributed matvec /
+    normalization / deflation step — exactly."""
+    import math
+    import random
+
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.embeddings import (
+        cooccurrence_counts,
+        ppmi_matrix,
+        ppmi_topk_eigs,
+        tokenize_positions,
+        vocab_ids,
+        word_vectors,
+        word_vectors_sql,
+    )
+
+    rng = random.Random(3)
+    topics = {
+        "A": ["apple", "banana", "cherry", "fruit"],
+        "B": ["gear", "engine", "piston", "motor"],
+    }
+    rows = []
+    for i in range(60):
+        t = "A" if i % 2 else "B"
+        rows.append(
+            (i, " ".join(rng.choice(topics[t] + ["the"]) for _ in range(10)))
+        )
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    toks = tokenize_positions(df, "doc_id", "text")
+    vocab = vocab_ids(toks)
+    mat = ppmi_matrix(cooccurrence_counts(toks, vocab, window=2))
+    eigs = ppmi_topk_eigs(mat, len(vocab), r=2, p_iters=5)
+    wv = {r[0]: r[1:] for r in word_vectors(vocab, eigs)}
+    spark.catalog.clearCache()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    within, across = [], []
+    for w1 in topics["A"]:
+        for w2 in topics["A"]:
+            if w1 < w2:
+                within.append(cos(wv[w1], wv[w2]))
+        for w2 in topics["B"]:
+            across.append(cos(wv[w1], wv[w2]))
+    for w1 in topics["B"]:
+        for w2 in topics["B"]:
+            if w1 < w2:
+                within.append(cos(wv[w1], wv[w2]))
+    assert min(within) > max(across), (min(within), max(across))
+    # the shared stopword carries little topical signal
+    the_norm = math.sqrt(sum(x * x for x in wv["the"]))
+    content_norm = min(
+        math.sqrt(sum(x * x for x in wv[w]))
+        for t in topics.values() for w in t
+    )
+    assert the_norm < content_norm / 3
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE esrc (doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO esrc VALUES (?, ?)", rows)
+    drows = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            word_vectors_sql("esrc", "doc_id", "text", window=2, r=2, p_iters=5)
+        ).fetchall()
+    }
+    assert drows == wv
+    # the max_vocab gate raises LOUDLY on both engines
+    with pytest.raises(ValueError, match="max_vocab"):
+        vocab_ids(toks, max_vocab=3)
+    with pytest.raises(Exception, match="max_vocab"):
+        con.execute(
+            word_vectors_sql("esrc", "doc_id", "text", max_vocab=3)
+        ).fetchall()
+    con.close()
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(toks, vocab, window=0)
+    with pytest.raises(ValueError, match="r="):
+        ppmi_topk_eigs(mat, len(vocab), r=0)
