@@ -230,10 +230,14 @@ def main() -> None:
     # and read as a speedup (ADVICE r6 #1).
     total = round(sum(timings.values()), 3) if not errors else None
     subset_errored = any(q in errors for q in BASELINE_SUBSET)
+    # direct indexing, not `if q in timings`: a subset query that
+    # neither ran nor errored (dropped/renamed) must KeyError loudly
+    # here rather than silently shrink the subtotal into a fake
+    # speedup (review catch on the ADVICE r6 #1 fix)
     subset_total = (
         None
         if subset_errored
-        else round(sum(timings[q] for q in BASELINE_SUBSET if q in timings), 3)
+        else round(sum(timings[q] for q in BASELINE_SUBSET), 3)
     )
     full = {
         "metric": "headline_total_runtime",

@@ -515,17 +515,22 @@ class DeltaLakeClient:
             # the cluster columns -> stats pruning == partition pruning
             df = df.repartitionByRange(*[F.col(c) for c in cluster])
             df = df.sortWithinPartitions(*cluster)
-        else:
-            # declared hash layout: partition i holds exactly bucket-i
-            # rows (repartition's HashPartitioning IS Spark's bucket id
-            # expression), and _register_staging labels each staged
-            # file with its partition index
-            df = self._bucketize(tx, table, df)
         stamped = df.select(
             *[F.col(c).cast(schema[c].dataType).alias(c) for c in cols],
             F.lit(tx.id).cast("long").alias(TX_COL),
             (F.monotonically_increasing_id() + F.lit(base)).alias(IDX_COL),
         )
+        if not cluster:
+            # declared hash layout: partition i holds exactly bucket-i
+            # rows (repartition's HashPartitioning IS Spark's bucket id
+            # expression), and _register_staging labels each staged
+            # file with its partition index. Bucketize AFTER the cast
+            # to the table schema: murmur3 hashes int and bigint
+            # differently, so hashing the caller's pre-coercion types
+            # would place coerced ingests in different buckets than
+            # every later rewrite of the stored values (review catch —
+            # a silent wrong-join at the first COW rewrite otherwise).
+            stamped = self._bucketize(tx, table, stamped)
         begin_remote = getattr(self.store, "begin_remote_staging", None)
         if begin_remote is not None:
             # Remote stores (S3): executors write Parquet into in-bucket
@@ -1719,15 +1724,17 @@ class DeltaLakeClient:
         needs_rewrite = cluster_by or zorder_by or snap.table_dvs(table)
         if bucket_spec is not None:
             # small-file consolidation: rewrite when any bucket holds
-            # more than one object (or DVs need materializing)
+            # more than one object (or DVs need materializing) —
+            # target_files does not apply to bucketed tables
             from collections import Counter
 
             per_bucket = Counter(o.bucket_id for o in objs)
-            needs_rewrite = needs_rewrite or any(
-                c > 1 for c in per_bucket.values()
-            )
-            if not needs_rewrite:
+            if not (needs_rewrite or any(c > 1 for c in per_bucket.values())):
                 return
+        elif len(objs) <= target_files and not needs_rewrite:
+            # the unbucketed no-op early return (review catch: losing
+            # it made every maintenance call a full-table rewrite)
+            return
         stored = self._stored_schema(schema)
         files = [self.store.path_of(o.name) for o in objs]
         # DV-aware: compaction materializes any outstanding deletion
@@ -2137,6 +2144,16 @@ class DeltaLakeClient:
                 "left_anti",
             )
         return df if with_pos else df.drop("__obj", "__ridx")
+
+    def flush_buffer(self, table: str) -> None:
+        """Flush the table's buffered rows as data object(s) without
+        committing — the remedy scan_bucketed's unflushed-buffer raise
+        names (a bucketed scan cannot union driver-side rows without
+        destroying the partitioning). Commit still publishes the log
+        record; this just moves the rows from the buffer into staged
+        objects of the OPEN transaction."""
+        self._require_tx()
+        self._flush_buffer(table)
 
     def _flush_buffer(self, table: str) -> None:
         """Write the buffer (minus tombstones) as one Parquet object via

@@ -749,12 +749,14 @@ def kn_bigram_logprob_scores(
     continuation word is in the model by construction. The
     continuation join is row-preserving (left + coalesce(ncont, 0))
     so a hypothetical frozen-model reuse would not silently drop
-    bigrams — but note that an unseen continuation word then has
-    P_cont = 0, and if the bigram is also unseen the probability is
-    exactly zero (log undefined: -inf in DuckDB, NULL in Spark).
-    Frozen-model scoring therefore needs an explicit unseen floor —
-    that lane exists as :func:`frozen_lm_score` / the
-    ``frozen_lm_transfer_score`` query, not here.
+    bigrams — but an unseen continuation word then has P_cont = 0,
+    and if the bigram is also unseen the probability is exactly zero,
+    which RAISES on both engines (two different silent behaviors —
+    Spark's NULL-skipping AVG vs DuckDB's -inf — are exactly what the
+    guard convention exists to prevent). Frozen-model scoring needs
+    an explicit unseen floor — that lane exists as
+    :func:`frozen_lm_score` / the ``frozen_lm_transfer_score`` query,
+    not here.
 
     Plan shape: the same map-only sliding-pair explode, then FOUR
     O(model) aggregates (bigram counts, context counts, distinct
@@ -839,8 +841,25 @@ def kn_bigram_logprob_scores(
             * F.col("__pcont"),
         )
     )
+    # P == 0 is unreachable self-scored (every observed bigram keeps
+    # positive discounted mass) but reachable under a frozen-model
+    # reuse (unseen bigram AND unseen continuation word) — where
+    # Spark's log(0) = NULL would silently SKIP the pair inside AVG
+    # while DuckDB's ln(0) = -inf poisons the mean: two different
+    # silent behaviors (review catch). Raise loudly on both engines;
+    # the floor-carrying frozen lane is frozen_lm_score.
+    logp = F.when(F.col("__p") > 0, F.log("__p")).otherwise(
+        F.raise_error(
+            F.lit(
+                "kn_bigram_logprob_scores: zero probability (unseen"
+                " bigram with unseen continuation word) - frozen-model"
+                " scoring needs an explicit unseen floor"
+                " (frozen_lm_score)"
+            )
+        )
+    )
     per_doc = scored.groupBy("__id", "n_tokens").agg(
-        F.round(F.avg(F.log("__p")), round_digits).alias("avg_logprob")
+        F.round(F.avg(logp), round_digits).alias("avg_logprob")
     )
     return (
         base.select("__id", "n_tokens")
@@ -897,7 +916,13 @@ WITH knt AS (
   LEFT JOIN kns s ON s.prev = p.prev
   LEFT JOIN knw w ON w.cur = p.cur, knn n
 ), kna AS (
-  SELECT id, n_tokens, round(AVG(ln(pr)), {int(round_digits)}) AS avg_logprob
+  SELECT id, n_tokens,
+    round(AVG(CASE WHEN pr > 0 THEN ln(pr)
+              ELSE error('kn_bigram_logprob_scores: zero probability'
+                         || ' (unseen bigram with unseen continuation'
+                         || ' word) - frozen-model scoring needs an'
+                         || ' explicit unseen floor (frozen_lm_score)')
+              END), {int(round_digits)}) AS avg_logprob
   FROM knsc GROUP BY 1, 2
 )
 SELECT b.id AS {id_col}, CAST(b.n_tokens AS INT) AS n_tokens, a.avg_logprob

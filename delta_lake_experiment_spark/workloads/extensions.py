@@ -3235,9 +3235,10 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       the CERTIFIED deterministic k-means (operators/semdedup.py seeds
       + Lloyd chain — md5 seeds, rounded assignment), exact rerank;
     - ``pq``: product quantization with CERTIFIED euclidean subspace
-      codebooks (operators/semdedup.py::deterministic_kmeans_euclidean
-      — the ``2·dot − cc`` rounded assignment, one md5-seeded Lloyd
-      chain per subspace), ADC scoring from per-subspace lookup tables
+      codebooks (operators/semdedup.py::deterministic_pq_codebooks
+      — the ``2·dot − cc`` rounded assignment, one md5-seeded flat
+      s-keyed Lloyd chain for all subspaces), ADC scoring from
+      per-subspace lookup tables
       whose entries are grid-rounded on both engines, fixed-breadth
       exact rerank of the ADC survivors.
 

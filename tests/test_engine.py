@@ -1649,6 +1649,65 @@ def test_bucketed_table_lifecycle_keeps_layout(spark, store_dir, smj_conf):
     c.commit_tx()
 
 
+def test_bucketed_ingest_coerced_types_stay_colocated(spark, store_dir, smj_conf):
+    """Review-catch regression: bucketize must hash the CAST (stored)
+    column types. An IntegerType ingest into a bigint-bucketed table
+    hashes murmur3(int) != murmur3(long) for the same value if applied
+    pre-cast — after a COW rewrite (which re-buckets the stored longs)
+    the same key would live in two buckets and a 'shuffle-free' join
+    would silently drop matches. Values must equal the plain join."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("t", "id bigint, fp bigint", bucket_by=(["fp"], 8))
+    c.create_table("d", "fp bigint, lbl string", bucket_by=(["fp"], 8))
+    # int-typed input columns: write_dataframe casts them to bigint
+    docs = spark.createDataFrame(
+        [(i, i % 20) for i in range(200)], "id int, fp int"
+    )
+    dims = spark.createDataFrame(
+        [(i, f"l{i}") for i in range(20)], "fp int, lbl string"
+    )
+    c.write_dataframe("t", docs)
+    c.write_dataframe("d", dims)
+    c.commit_tx()
+    # COW delete rewrites some objects from the STORED (bigint) values
+    c.new_tx()
+    c.delete_rows("t", "id", 0, 49)
+    c.commit_tx()
+    c.new_tx()
+    j = c.scan_bucketed("t", with_stamps=False).join(
+        c.scan_bucketed("d", with_stamps=False), "fp"
+    )
+    assert _no_shuffle(j)
+    got = sorted((r["id"], r["lbl"]) for r in j.collect())
+    exp = sorted(
+        (i, f"l{i % 20}") for i in range(200) if not 0 <= i <= 49
+    )
+    assert got == exp
+    c.commit_tx()
+
+
+def test_compact_noop_early_return(spark, store_dir):
+    """Review-catch regression: compact() on an already-compact
+    unbucketed table (<= target_files objects, no DVs) must be a
+    NO-OP — no remove/add actions, no rewrite job."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("t", "k bigint")
+    c.write_dataframe("t", spark.range(100).selectExpr("id AS k").coalesce(1))
+    c.commit_tx()
+    c.new_tx()
+    before = len(c.tx.actions)
+    c.compact("t")  # single object, target_files=1: nothing to do
+    assert len(c.tx.actions) == before
+    # empty table: also a no-op
+    c.create_table("empty", "k bigint")
+    before = len(c.tx.actions)
+    c.compact("empty")
+    assert len(c.tx.actions) == before
+    c.commit_tx()
+
+
 def test_bucketed_table_guards(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
     c.new_tx()
@@ -1663,6 +1722,9 @@ def test_bucketed_table_guards(spark, store_dir):
     c.write_row("t", [1, "x"])
     with pytest.raises(TypeMismatchError, match="flush_buffer"):
         c.scan_bucketed("t")
+    # the named remedy exists and unblocks the scan in-tx
+    c.flush_buffer("t")
+    assert [r["id"] for r in c.scan_bucketed("t", with_stamps=False).collect()] == [1]
     c.commit_tx()
     c.new_tx()
     # unbucketed tables refuse scan_bucketed with the remedy named
