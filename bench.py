@@ -132,6 +132,8 @@ HEADLINE = [
     "corpus_cardinality_report",
     # r7: PPMI word embeddings (distributed-matvec power iteration)
     "word_embedding_vectors",
+    # r7: streaming incremental HLL through the exactly-once sink
+    "streaming_cardinality_sketch",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -1,0 +1,82 @@
+"""Streaming incremental cardinality: per-batch HLL registers through
+the exactly-once engine sink.
+
+The batch sketch (operators/sketches.py) is MERGEABLE by per-register
+max — which makes its streaming form almost declarative: each
+micro-batch appends its own O(2^p) register rows to an ACID engine
+table (idempotent under redelivery via the sink's txn markers), and
+the CURRENT sketch of everything ever streamed is one groupBy-max over
+the table — ``hll_merge`` semantics applied at read time, so the
+writer needs no read-modify-write, no state store, and no watermark:
+max is commutative, associative and idempotent, so batch boundaries
+and replay order cannot change the answer. Register-row accumulation
+is bounded by batches × 2^p and compacts away like any other engine
+table.
+
+This composes three lanes the repo certifies separately — Structured
+Streaming, the transactional sink, and the value-oracled sketch — and
+the registry query's oracle is the BATCH HLL SQL over the same input:
+stream == batch, the core Structured Streaming guarantee, extended to
+an approximate aggregate because the approximation itself is
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_experiment_spark.streaming.engine_sink import (
+    foreach_batch_writer,
+)
+
+#: register-table schema (create the target table with this DDL)
+HLL_TABLE_DDL = "bucket int, reg int"
+
+
+def foreach_batch_hll_writer(client_factory, table: str, app_id: str,
+                             key_col: str, p: int = 12):
+    """foreachBatch function: sketch the batch's ``key_col`` into
+    (bucket, reg) rows and append them — the engine-sink skeleton
+    provides the txn-marker exactly-once contract."""
+    from delta_lake_experiment_spark.operators.sketches import hll_registers
+
+    def sketch(client, batch_df: DataFrame) -> DataFrame:
+        return hll_registers(batch_df, key_col, p)
+
+    return foreach_batch_writer(client_factory, table, app_id, transform=sketch)
+
+
+def write_hll_stream_to_table(
+    stream_df: DataFrame,
+    client_factory,
+    table: str,
+    app_id: str,
+    key_col: str,
+    checkpoint_dir: str,
+    p: int = 12,
+):
+    """Start an AvailableNow stream appending per-batch HLL registers
+    into an engine table; returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_hll_writer(client_factory, table, app_id, key_col, p)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def table_sketch_estimate(client, table: str, p: int = 12) -> DataFrame:
+    """(est_distinct) — the merged estimate over EVERYTHING the
+    register table has accumulated: one groupBy-max (hll_merge at read
+    time) + the exact-integer estimate."""
+    from delta_lake_experiment_spark.operators.sketches import hll_estimate
+
+    regs = (
+        client.scan(table, with_stamps=False)
+        .groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    return hll_estimate(regs, p)

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 121 value-oracled queries, seventy-one must sit outside the window. The
+# With 122 value-oracled queries, seventy-two must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -316,6 +316,11 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   embedding_pca_components (same fold + rounding discipline); the
 #   DISTRIBUTED matvec (matrix-as-table join-aggregate per step) is
 #   the novelty, re-derived step-by-step by the oracle;
+# - streaming_cardinality_sketch -> the exactly-once sink machinery is
+#   certified in-window by engine_change_feed / incremental_corpus_
+#   update (same txn-marker foreachBatch skeleton) and the sketch by
+#   corpus_cardinality_report's pytests; the stream==batch claim for a
+#   deterministic approximate aggregate is the novelty;
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -391,6 +396,7 @@ _DEFERRED_ORACLED = [
     "engine_bucketed_join",
     "corpus_cardinality_report",
     "word_embedding_vectors",
+    "streaming_cardinality_sketch",
 ]
 
 

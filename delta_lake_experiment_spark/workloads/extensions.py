@@ -3673,6 +3673,64 @@ def corpus_cardinality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def streaming_cardinality_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental distinct-count (streaming/sketch.py):
+    the events table drains micro-batch by micro-batch through the
+    exactly-once engine sink, each batch appending its own HLL
+    registers to an ACID register table; the output is the MERGED
+    estimate over everything streamed (one groupBy-max + the
+    exact-integer estimate). Oracle = the BATCH HLL SQL over the same
+    events — stream == batch, extended to an approximate aggregate
+    because the approximation itself is deterministic (the sketch's
+    md5 registers, not a sampled path)."""
+    import tempfile
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.sketch import (
+        HLL_TABLE_DDL,
+        table_sketch_estimate,
+        write_hll_stream_to_table,
+    )
+    from delta_lake_experiment_spark.workloads.temporal import (
+        _stream_source,
+        _utc,
+    )
+
+    _utc(spark)
+    src = _stream_source(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="dles_hll_")
+
+    def factory():
+        return DeltaLakeClient(spark, store)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("user_sketch", HLL_TABLE_DDL)
+    boot.commit_tx()
+    schema = spark.read.parquet(f"{src}/src").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{src}/src")
+    )
+    q = write_hll_stream_to_table(
+        stream, factory, "user_sketch", "hll_users", "user_id",
+        tempfile.mkdtemp(prefix="dles_hllck_"), p=_HLL_P,
+    )
+    q.awaitTermination()
+    c = factory()
+    c.new_tx()
+    return table_sketch_estimate(c, "user_sketch", p=_HLL_P)
+
+
+def _streaming_cardinality_sql() -> str:
+    from delta_lake_experiment_spark.operators.sketches import (
+        hll_distinct_sql,
+    )
+
+    return hll_distinct_sql("events", "user_id", p=_HLL_P)
+
+
 def _cardinality_report_sql() -> str:
     from delta_lake_experiment_spark.operators.sketches import (
         hll_distinct_sql,
@@ -4477,6 +4535,7 @@ QUERIES = {
     "predicted_lang_ccnet_buckets": predicted_lang_ccnet_buckets,
     "corpus_cardinality_report": corpus_cardinality_report,
     "word_embedding_vectors": word_embedding_vectors,
+    "streaming_cardinality_sketch": streaming_cardinality_sketch,
     "doc_kn_bigram_score": doc_kn_bigram_score,
     "blocklist_filtered_corpus": blocklist_filtered_corpus,
     "hard_negative_pairs": hard_negative_pairs,
@@ -4562,6 +4621,7 @@ ORACLES = {
     "predicted_lang_ccnet_buckets": _predicted_lang_ccnet_sql(),
     "corpus_cardinality_report": _cardinality_report_sql(),
     "word_embedding_vectors": _word_embedding_sql(),
+    "streaming_cardinality_sketch": _streaming_cardinality_sql(),
     "doc_kn_bigram_score": _doc_kn_bigram_sql(),
     "blocklist_filtered_corpus": _blocklist_filtered_sql(),
     "hard_negative_pairs": _hard_negative_sql(),

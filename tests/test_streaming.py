@@ -475,3 +475,76 @@ def test_streaming_rule_gated_ingest(spark, tmp_path, store_dir):
     check.abort_tx()
     assert set(rows) == {"a", "c", "d"}
     assert rows["a"] == 1  # duplicate admitted once, first copy wins
+
+
+def test_streaming_hll_sketch(spark, tmp_path, store_dir):
+    """Streaming incremental cardinality: per-batch registers append
+    through the exactly-once sink, the merged read-time estimate
+    EQUALS the batch sketch over everything streamed (stream == batch
+    for a deterministic approximate aggregate), and a redelivered
+    batch changes nothing (txn marker)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.sketches import hll_distinct
+    from delta_lake_experiment_spark.streaming.sketch import (
+        HLL_TABLE_DDL,
+        foreach_batch_hll_writer,
+        table_sketch_estimate,
+        write_hll_stream_to_table,
+    )
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("sk", HLL_TABLE_DDL)
+    boot.commit_tx()
+    # two files -> two micro-batches, with overlapping keys across them
+    src = str(tmp_path / "keys")
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 600)], "k string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(f"k{i}",) for i in range(400, 1000)], "k string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_hll_stream_to_table(
+        stream, factory, "sk", "hllapp", "k", str(tmp_path / "ck"), p=10
+    )
+    q.awaitTermination()
+    c = factory()
+    c.new_tx()
+    streamed = table_sketch_estimate(c, "sk", p=10).collect()[0]["est_distinct"]
+    batch = (
+        hll_distinct(
+            spark.createDataFrame([(f"k{i}",) for i in range(1000)], "k string"),
+            "k", p=10,
+        ).collect()[0]["est_distinct"]
+    )
+    assert streamed == batch
+    # two batches appended register rows independently (no in-place
+    # merge needed — max at read time)
+    n_rows = c.scan("sk", with_stamps=False).count()
+    n_merged = (
+        c.scan("sk", with_stamps=False).select("bucket").distinct().count()
+    )
+    assert n_rows > n_merged  # overlap across batches
+    c.abort_tx()
+    # redelivered batch id: skipped, estimate unchanged
+    last = factory()
+    last.new_tx()
+    bid = last.tx.snapshot.txns["hllapp"]
+    last.abort_tx()
+    writer = foreach_batch_hll_writer(factory, "sk", "hllapp", "k", p=10)
+    writer(spark.createDataFrame([("other",)], "k string"), bid)
+    c2 = factory()
+    c2.new_tx()
+    again = table_sketch_estimate(c2, "sk", p=10).collect()[0]["est_distinct"]
+    assert again == streamed
+    c2.abort_tx()
