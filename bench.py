@@ -134,6 +134,8 @@ HEADLINE = [
     "word_embedding_vectors",
     # r7: streaming incremental HLL through the exactly-once sink
     "streaming_cardinality_sketch",
+    # r7: CDC-maintained materialized view (incremental == recompute)
+    "engine_incremental_mv",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

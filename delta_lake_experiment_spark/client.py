@@ -1035,6 +1035,30 @@ class DeltaLakeClient:
             )
         return self.scan_latest(table, keys)
 
+    def overwrite_table(self, table: str, df: DataFrame) -> None:
+        """INSERT OVERWRITE: atomically replace the table's contents
+        with ``df`` in this transaction — a remove action for every
+        live object (their deletion vectors retire with them on
+        replay) plus a normal bulk ingest of the new rows, one commit,
+        one snapshot flip. Same-tx buffered rows for the table are
+        dropped (they are part of what the overwrite replaces).
+        Readers on older snapshots keep their version (snapshot
+        isolation); first-committer-wins applies as usual. This is the
+        Delta ``INSERT OVERWRITE`` / replaceWhere-all primitive the
+        incremental-view refresh builds on: tables whose content is a
+        derived O(keys) aggregate are cheapest to maintain by full
+        replacement inside the SAME atomic commit as their freshness
+        marker."""
+        tx = self._require_tx()
+        self.table_schema(table)  # raises for unknown tables
+        snap = self._effective_snapshot(tx)
+        tx.buffers[table] = []
+        for obj in snap.live_objects(table):
+            tx.actions.append(
+                RemoveDataObject(name=obj.name, table=table, tx_id=tx.id)
+            )
+        self.write_dataframe(table, df)
+
     def scan_changes(
         self, table: str, from_version: int, to_version: Optional[int] = None
     ) -> DataFrame:

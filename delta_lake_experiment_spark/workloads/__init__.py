@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 122 value-oracled queries, seventy-two must sit outside the window. The
+# With 123 value-oracled queries, seventy-three must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -321,6 +321,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   update (same txn-marker foreachBatch skeleton) and the sketch by
 #   corpus_cardinality_report's pytests; the stream==batch claim for a
 #   deterministic approximate aggregate is the novelty;
+# - engine_incremental_mv -> the change feed is certified in-window by
+#   engine_change_feed (same net-diff machinery), the write/replay
+#   path by the ten engine_* queries; the incremental-equals-recompute
+#   claim (fold the diff, overwrite atomically with the freshness
+#   marker) is the novelty, and its failure mode (a wrong delta)
+#   value-diverges from the direct-aggregate oracle immediately;
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -397,6 +403,7 @@ _DEFERRED_ORACLED = [
     "corpus_cardinality_report",
     "word_embedding_vectors",
     "streaming_cardinality_sketch",
+    "engine_incremental_mv",
 ]
 
 

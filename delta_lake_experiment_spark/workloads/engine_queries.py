@@ -362,9 +362,72 @@ GROUP BY c.c_mktsegment
 """
 
 
+def engine_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained materialized view
+    (operators/incremental.py::refresh_aggregate_view over
+    client.scan_changes + client.overwrite_table): a per-status
+    COUNT/SUM aggregate of orders, refreshed from the CHANGE FEED —
+    first refresh folds the seed ingest, then a COW range delete and
+    a bulk insert land, and the second refresh folds only their net
+    diff (O(files changed), never O(source)); the folded source
+    version rides the same atomic commit as the new view contents
+    (the txn-marker exactly-once pattern). Oracle = the direct
+    aggregate over the mutated source — incremental must equal
+    recompute."""
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])
+    from delta_lake_experiment_spark.operators.incremental import (
+        refresh_aggregate_view,
+    )
+
+    c.new_tx()
+    c.create_table(
+        "orders_mv", "o_orderstatus string, n bigint, sum_o_totalprice double"
+    )
+    c.commit_tx()
+    refresh_aggregate_view(
+        c, "orders", "orders_mv", ["o_orderstatus"], ["o_totalprice"]
+    )
+    c.new_tx()
+    c.delete_rows("orders", "o_totalprice", 50000.0, 150000.0)
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "orders",
+        src.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        ),
+    )
+    c.commit_tx()
+    refresh_aggregate_view(
+        c, "orders", "orders_mv", ["o_orderstatus"], ["o_totalprice"]
+    )
+    c.new_tx()
+    return c.scan("orders_mv", with_stamps=False).select(
+        "o_orderstatus",
+        "n",
+        F.round("sum_o_totalprice", 2).alias("total_price"),
+    )
+
+
+ENGINE_INCREMENTAL_MV_SQL = """
+WITH cur AS (
+  SELECT * FROM orders WHERE o_totalprice NOT BETWEEN 50000.0 AND 150000.0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total_price
+FROM cur GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_bucketed_join": engine_bucketed_join,
+    "engine_incremental_mv": engine_incremental_mv,
     "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
     "engine_change_feed": engine_change_feed,
@@ -379,6 +442,7 @@ QUERIES = {
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
+    "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
     "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,
     "engine_sql_merge": MERGE_SQL,

@@ -1744,3 +1744,99 @@ def test_bucketed_table_guards(spark, store_dir):
     assert sorted(r["id"] for r in
                   c.scan_bucketed("t", with_stamps=False).collect()) == [1]
     c.commit_tx()
+
+
+def test_overwrite_table(spark, store_dir):
+    """INSERT OVERWRITE: atomic replace in one commit; readers on the
+    pre-overwrite snapshot keep it; same-tx buffered rows are part of
+    what the overwrite replaces; unknown tables raise."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k bigint, v string")
+    c.write_dataframe(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    c.commit_tx()
+    # reader pins the old snapshot BEFORE the overwrite commits
+    reader = DeltaLakeClient(spark, store_dir)
+    reader.new_tx()
+    c.new_tx()
+    c.write_row("t", [99, "buffered"])  # replaced by the overwrite
+    c.overwrite_table(
+        "t", spark.createDataFrame([(3, "c")], "k long, v string")
+    )
+    c.commit_tx()
+    c.new_tx()
+    assert [tuple(r) for r in c.scan("t", with_stamps=False).collect()] == [(3, "c")]
+    c.commit_tx()
+    assert sorted(r["k"] for r in reader.scan("t", with_stamps=False).collect()) == [1, 2]
+    reader.commit_tx()
+    c.new_tx()
+    with pytest.raises(Exception):
+        c.overwrite_table("nope", spark.createDataFrame([(1, "x")], "k long, v string"))
+    c.abort_tx()
+
+
+def test_refresh_aggregate_view_incremental(spark, store_dir):
+    """CDC-maintained materialized view: the first refresh folds the
+    seed, later refreshes fold ONLY the net change-feed diff, the
+    result equals a direct recompute, a fresh view refresh is a no-op
+    (marker), and compaction (a pure rewrite) folds zero rows."""
+    from delta_lake_experiment_spark.operators.incremental import (
+        refresh_aggregate_view,
+    )
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("src", "k string, x bigint")
+    c.create_table("mv", "k string, n bigint, sum_x double")
+    rows = [(f"g{i % 3}", i) for i in range(60)]
+    c.write_dataframe("src", spark.createDataFrame(rows, "k string, x long"))
+    c.commit_tx()
+
+    def direct():
+        c.new_tx()
+        got = {
+            r["k"]: (r["n"], r["sum_x"])
+            for r in c.scan("mv", with_stamps=False).collect()
+        }
+        exp_rows = c.scan("src", with_stamps=False).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").cast("double").alias("s")
+        ).collect()
+        c.abort_tx()
+        return got, {r["k"]: (r["n"], r["s"]) for r in exp_rows}
+
+    v1 = refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+    assert v1 > 0
+    got, exp = direct()
+    assert got == exp
+    # fresh view: no-op, no new version
+    assert refresh_aggregate_view(c, "src", "mv", ["k"], ["x"]) == 0
+    # mutations: COW delete + insert of a new group
+    c.new_tx()
+    c.delete_rows("src", "x", 0, 19)
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "src", spark.createDataFrame([("g9", 100)], "k string, x long")
+    )
+    c.commit_tx()
+    v2 = refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+    assert v2 > v1
+    got, exp = direct()
+    assert got == exp
+    # a group deleted entirely disappears from the view
+    c.new_tx()
+    c.delete_rows("src", "x", 100, 100)
+    c.commit_tx()
+    refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+    got, exp = direct()
+    assert got == exp and "g9" not in got
+    # compaction is a pure rewrite: the next refresh folds a zero diff
+    c.new_tx()
+    c.compact("src")
+    c.commit_tx()
+    before = got
+    refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+    got, _ = direct()
+    assert got == before
