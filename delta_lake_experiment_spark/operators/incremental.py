@@ -282,32 +282,53 @@ def refresh_aggregate_view(
 
     - **The delta is the change feed** (client.scan_changes): inserts
       count +1 / +value, deletes −1 / −value, and the feed is NET at
-      file granularity — compaction and rewrites cancel out, so a
-      refresh after maintenance folds zero rows. Cost per refresh is
-      O(files changed), never O(source).
+      file granularity — compaction and rewrites cancel out. Cost per
+      refresh is O(files changed since the marker), never O(source).
     - **The merge is a full-outer join** of the current O(keys) view
       with the O(changed keys) delta; groups whose count reaches zero
-      are dropped (their sums are necessarily exact zeros of
-      cancellation, not residue worth keeping).
-    - **Freshness rides the commit**: the folded source version is
+      are dropped. NULL keys RAISE in-plan (a null-unsafe equi-join
+      would silently split the NULL group and drop its decrements —
+      the sampling-lane NULL contract).
+    - **Freshness rides the commit**: the FOLDED SNAPSHOT VERSION is
       recorded as a ``txn (app_id, version)`` marker in the SAME
-      atomic log record that publishes the new view contents (the
-      exactly-once streaming sink's machinery) — a crashed refresh
-      either fully happened or never did, and a re-run is a no-op.
+      atomic log record that publishes the new view contents — a
+      crashed refresh either fully happened or never did. The marker
+      is deliberately the snapshot version, NOT the commit slot:
+      commit_tx may re-target a later version past disjoint
+      concurrent commits, and a marker above the folded snapshot
+      would silently skip those sources' changes on the next refresh.
       ``app_id`` defaults to ``"mv_<view_table>"``.
     - **The rewrite is overwrite_table**: the view is a derived
       O(keys) aggregate, cheapest to maintain by full replacement
       inside the refresh transaction.
+    - **Quiet ranges cost metadata only**: if the source's live-file
+      set and DV map are unchanged since the marker (only other
+      tables committed), the refresh returns 0 with zero Spark jobs.
+      If files changed but the NET diff is empty (compaction,
+      rewrites), the refresh re-publishes the unchanged view once to
+      ADVANCE the marker — so maintenance traffic is re-diffed at
+      most once, never accumulated.
+
+    CONTRACT LIMIT (inherits scan_changes' documented blind spot):
+    sources mutated with ``update_rows`` are OUT OF CONTRACT — its
+    stamp-preserving corrections are invisible to the change feed by
+    design, so the view would silently diverge from a recompute.
+    Maintain MV sources with inserts, deletes, MERGE and overwrites.
 
     Float caveat (documented, not hidden): incremental DOUBLE sums
     accumulate (base + delta) in a different order than a direct
-    aggregate — ~1e-9 absolute noise on currency-scale data, so
-    consumers should round to their reporting grid (the registered
-    query rounds to 2; the order-independent exact path is
-    functions/numeric.py::exact_sum on a DECIMAL column). COUNT is
-    exact. Runs in its own transaction(s); returns the source version
-    folded (0 = view was already fresh)."""
+    aggregate — ~1e-9 absolute noise, so consumers should round to
+    their reporting grid (the registered query rounds to 2 over
+    2-decimal inputs, where the true sum is always >= 0.005 from a
+    rounding midpoint and the noise cannot flip a cent; the
+    order-independent exact path is functions/numeric.py::exact_sum
+    on a DECIMAL column). COUNT is exact. Runs in its own
+    transaction(s); returns the snapshot version now certified fresh
+    (0 = already fresh)."""
     from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.functions.guards import null_checked
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
 
     app = app_id or f"mv_{view_table}"
     key_list = list(keys)
@@ -321,50 +342,78 @@ def refresh_aggregate_view(
         cur = tx.snapshot.version
         if cur <= last:
             return 0
+        # metadata-only quiet check: unchanged live-file set + DV map
+        # for the SOURCE means the range holds only other tables'
+        # commits (e.g. this view's own previous refresh) — no Spark
+        # job, no marker movement needed
+        from_snap = replay_log(c.store, as_of=last)
+        src_quiet = (
+            set(from_snap.live.get(src_table, {}))
+            == set(tx.snapshot.live.get(src_table, {}))
+            and from_snap.dvs.get(src_table, {})
+            == tx.snapshot.dvs.get(src_table, {})
+        )
+        if src_quiet:
+            return 0
         sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
             F.lit(-1)
         )
-        changes = c.scan_changes(src_table, from_version=last)
-        # an empty NET diff (only view/other-table commits, or pure
-        # rewrites like compaction, landed since the marker) is a
-        # no-op: abort rather than rewrite the view — the marker stays
-        # behind, but re-diffing a src-quiet range is O(files changed)
-        # = O(0), so repeated fresh refreshes stay cheap
-        if changes.first() is None:
-            return 0
-        delta = changes.groupBy(*key_list).agg(
-            F.sum(sign).cast("long").alias("__dn"),
-            *[
-                F.sum(sign.cast("double") * F.col(s).cast("double")).alias(
-                    f"__ds_{s}"
+        # evaluated twice (emptiness probe + the overwrite write):
+        # persist so the stamp anti-joins run once
+        changes = c.scan_changes(src_table, from_version=last).persist()
+        try:
+            current = c.scan(view_table, with_stamps=False)
+            if changes.first() is None:
+                # pure rewrites (compaction) since the marker: net-zero
+                # diff, but re-publish to ADVANCE the marker so this
+                # range is never re-diffed
+                c.overwrite_table(view_table, current)
+                return cur
+            gkeys = [
+                null_checked(
+                    F.col(k), "refresh_aggregate_view", f"key {k!r}"
+                ).alias(k)
+                for k in key_list
+            ]
+            delta = (
+                changes.select(*gkeys, "_change_type", *sums)
+                .groupBy(*key_list)
+                .agg(
+                    F.sum(sign).cast("long").alias("__dn"),
+                    *[
+                        F.sum(
+                            sign.cast("double") * F.col(s).cast("double")
+                        ).alias(f"__ds_{s}")
+                        for s in sums
+                    ],
                 )
-                for s in sums
-            ],
-        )
-        current = c.scan(view_table, with_stamps=False)
-        merged = (
-            current.join(delta, key_list, "full_outer")
-            .select(
-                *key_list,
-                (
-                    F.coalesce(F.col("n"), F.lit(0))
-                    + F.coalesce(F.col("__dn"), F.lit(0))
-                ).alias("n"),
-                *[
-                    (
-                        F.coalesce(F.col(f"sum_{s}"), F.lit(0.0))
-                        + F.coalesce(F.col(f"__ds_{s}"), F.lit(0.0))
-                    ).alias(f"sum_{s}")
-                    for s in sums
-                ],
             )
-            .filter(F.col("n") > 0)
-        )
-        c.overwrite_table(view_table, merged)
-        return cur
+            merged = (
+                current.join(delta, key_list, "full_outer")
+                .select(
+                    *key_list,
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("__dn"), F.lit(0))
+                    ).alias("n"),
+                    *[
+                        (
+                            F.coalesce(F.col(f"sum_{s}"), F.lit(0.0))
+                            + F.coalesce(F.col(f"__ds_{s}"), F.lit(0.0))
+                        ).alias(f"sum_{s}")
+                        for s in sums
+                    ],
+                )
+                .filter(F.col("n") > 0)
+            )
+            c.overwrite_table(view_table, merged)
+            return cur
+        finally:
+            changes.unpersist()
 
-    # run_tx + the txn marker must land in ONE commit: replicate the
-    # run_tx retry shape with commit_tx(txn=...)
+    # run_tx cannot carry the txn marker (and the fresh case must
+    # ABORT, which run_tx's always-commit contract cannot express), so
+    # the OCC retry shape is replicated here with commit_tx(txn=...)
     last_err = None
     for _ in range(retries + 1):
         client.new_tx()

@@ -1832,11 +1832,25 @@ def test_refresh_aggregate_view_incremental(spark, store_dir):
     refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
     got, exp = direct()
     assert got == exp and "g9" not in got
-    # compaction is a pure rewrite: the next refresh folds a zero diff
+    # compaction is a pure rewrite: the refresh folds a ZERO diff but
+    # re-publishes once to ADVANCE the marker (so the rewritten range
+    # is never re-diffed); content is unchanged and the next refresh
+    # is a zero-job metadata no-op
     c.new_tx()
     c.compact("src")
     c.commit_tx()
     before = got
-    refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+    assert refresh_aggregate_view(c, "src", "mv", ["k"], ["x"]) > 0
     got, _ = direct()
     assert got == before
+    assert refresh_aggregate_view(c, "src", "mv", ["k"], ["x"]) == 0
+    # NULL keys raise in-plan instead of silently splitting the NULL
+    # group across the null-unsafe merge join
+    c.new_tx()
+    c.write_dataframe(
+        "src",
+        spark.createDataFrame([(None, 7)], "k string, x long"),
+    )
+    c.commit_tx()
+    with pytest.raises(Exception, match="non-NULL"):
+        refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
