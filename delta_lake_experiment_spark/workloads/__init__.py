@@ -327,6 +327,44 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   claim (fold the diff, overwrite atomically with the freshness
 #   marker) is the novelty, and its failure mode (a wrong delta)
 #   value-diverges from the direct-aggregate oracle immediately;
+# r8 WINDOW ROTATION (VERDICT r7 item 1): the 8 r7-born queries were
+# deferred from birth, so the driver gate had never certified r7's
+# flagship work. All eight moved IN (lang_id_weights,
+# predicted_lang_ccnet_buckets, engine_bucketed_join, ann_recall_report,
+# corpus_cardinality_report, word_embedding_vectors,
+# streaming_cardinality_sketch, engine_incremental_mv) and eight
+# long-certified legacy queries moved OUT (every one remains
+# value-oracled on each pytest run and in check_oracle sweeps):
+# - quality_classifier_weights -> the binary hashed-feature GD lane is
+#   the K=2 specialization of lang_id_weights (in-window): same hashed
+#   features, same gradient machinery, same chained-CTE rounded-
+#   trajectory oracle discipline;
+# - similarity_bruteforce_topk -> the exact cosine top-k IS
+#   ann_recall_report's baseline arm (in-window, re-derived by its
+#   oracle), and the zip_with/aggregate dot lane is also exercised by
+#   similarity_pca_topk + hard_negative_pairs (both in-window);
+# - train_contamination -> contamination counts derive from the same
+#   positional-gram join as contamination_spans (in-window), which
+#   strictly extends the lane with diagonal-islands resolution;
+# - incremental_corpus_update -> the txn-marker exactly-once
+#   foreachBatch skeleton is exercised in-window by
+#   streaming_cardinality_sketch (same sink, approximate aggregate on
+#   top) and the transactional read-back by the engine_* lane;
+# - multimodal_features -> the Arrow mapInPandas stub-decode lane is
+#   exercised in-window by media_ingest (binaryFile ingest + the same
+#   deterministic decoder, both towers);
+# - dedup_exact_documents -> the exact-hash groupBy dedup runs as a
+#   stage inside advanced_curation_pipeline (in-window) and the
+#   canonical-pick window is latest_event_per_user's row_number
+#   machinery (in-window);
+# - near_dup_simhash -> the hamming-distance band machinery is
+#   exercised in-window by ann_recall_report's LSH arm (bit_count(xor)
+#   probe membership) and the hashed-gram tokenize lane by
+#   near_dup_jaccard (in-window);
+# - engine_change_feed -> engine_incremental_mv (in-window) consumes
+#   table_changes verbatim to fold its delta — a wrong change feed
+#   value-diverges the MV from its recompute oracle immediately; the
+#   CDC commit-range semantics also stay pytest-pinned.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -388,6 +426,14 @@ _DEFERRED_ORACLED = [
     "hot_ngram_report",
     "doc_novelty",
     "dedup_best_canonical",
+    "quality_classifier_weights",
+    "similarity_bruteforce_topk",
+    "train_contamination",
+    "incremental_corpus_update",
+    "multimodal_features",
+    "dedup_exact_documents",
+    "near_dup_simhash",
+    "engine_change_feed",
     "user_sessions",
     "streaming_click_attribution",
     "engine_merge_upsert",
@@ -396,14 +442,6 @@ _DEFERRED_ORACLED = [
     "doc_winnow_fingerprints",
     "corpus_curation_funnel",
     "domain_mixture",
-    "ann_recall_report",
-    "lang_id_weights",
-    "predicted_lang_ccnet_buckets",
-    "engine_bucketed_join",
-    "corpus_cardinality_report",
-    "word_embedding_vectors",
-    "streaming_cardinality_sketch",
-    "engine_incremental_mv",
 ]
 
 
