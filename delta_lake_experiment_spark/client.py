@@ -123,9 +123,10 @@ class DeltaLakeClient:
         self.dataobject_size = dataobject_size
         self.checkpoint_interval = checkpoint_interval
         self.tx: Optional[_Tx] = None
-        # table -> (catalog name, link dir) of the current bucketed-scan
-        # registration (scan_bucketed replaces + cleans these per table)
-        self._bucket_scans: dict[str, tuple[str, str]] = {}
+        # table -> (catalog name, BucketScanArea) of the current
+        # bucketed-scan registration (scan_bucketed replaces + cleans
+        # these per table)
+        self._bucket_scans: dict[str, tuple[str, Any]] = {}
         self._client_id = uuid.uuid4().hex[:8]
         # Engine writes need TIMESTAMP_MICROS: Spark's INT96 default
         # writes NO footer min/max stats for timestamp columns, which
@@ -754,22 +755,25 @@ class DeltaLakeClient:
         file's bucket id from the ``_NNNNN`` file-name suffix. Every
         live data object of a bucketed table carries its bucket label
         in the log (written by the bucketized staging path), so this
-        scan HARD-LINKS the live objects into a scan directory under
-        the store root with bucket-suffixed names (O(files) metadata
-        ops, zero data copied — snapshot isolation for free: the links
-        pin the exact file set even across a concurrent VACUUM) and
-        registers an external bucketed parquet table over it. Deletion
-        vectors apply as the same broadcast anti-join as :meth:`scan`
-        (a broadcast join preserves the outputPartitioning, so the
-        no-Exchange property survives masking).
+        scan exposes the live objects under bucket-suffixed names in a
+        storage-level :class:`BucketScanArea` — hard links on local FS,
+        server-side ``CopyObject`` on S3 — O(files) metadata ops either
+        way, zero data through the driver, and snapshot isolation for
+        free (links/copies pin the exact file set even across a
+        concurrent VACUUM) — then registers an external bucketed
+        parquet table over the area. Deletion vectors apply as the same
+        broadcast anti-join as :meth:`scan` (a broadcast join preserves
+        the outputPartitioning, so the no-Exchange property survives
+        masking).
 
-        Constraints: local stores only (remote layouts would register
-        the object keys directly — not implemented); no unflushed
-        buffered rows (a driver-side union would destroy the
-        partitioning — ``flush_buffer`` first, the raise names the
-        remedy). Each call replaces the previous scan registration for
-        the table (catalog entry ``bktscan_<table>_<client>`` + link
-        dir); both are dropped when superseded."""
+        Constraints: the store must expose Spark-readable per-file
+        names (``begin_bucket_scan_area`` returns None on the pure
+        in-memory double); no unflushed buffered rows (a driver-side
+        union would destroy the partitioning — ``flush_buffer`` first,
+        the raise names the remedy). Each call replaces the previous
+        scan registration for the table (catalog entry
+        ``bktscan_<table>_<client>`` + scan area); both are dropped
+        when superseded."""
         tx = self._require_tx()
         snap = self._effective_snapshot(tx)
         spec = snap.bucket_specs.get(table)
@@ -784,12 +788,6 @@ class DeltaLakeClient:
                 "scan_bucketed with unflushed buffered rows would break"
                 " the bucket layout - call flush_buffer first"
             )
-        root = getattr(self.store, "root", None)
-        if root is None:
-            raise NotImplementedError(
-                "scan_bucketed requires a local store (remote layouts"
-                " would register object keys directly)"
-            )
         stored = self._stored_schema(schema)
         objs = snap.live_objects(table)
         unlabeled = [o.name for o in objs if o.bucket_id is None]
@@ -803,34 +801,37 @@ class DeltaLakeClient:
         prev = self._bucket_scans.pop(table, None)
         if prev is not None:
             self.spark.sql(f"DROP TABLE IF EXISTS `{prev[0]}`")
-            _rmtree(prev[1])
+            prev[1].drop()
         if not objs:
             df = self.spark.createDataFrame([], stored)
             return df if with_stamps else df.select(*[f.name for f in schema.fields])
-        scan_dir = os.path.join(root, f"bucketscan_{uuid.uuid4().hex}")
-        os.makedirs(scan_dir)
+        area = self.store.begin_bucket_scan_area()
+        if area is None:
+            raise NotImplementedError(
+                "scan_bucketed needs a store exposing Spark-readable"
+                " per-file names (begin_bucket_scan_area returned None)"
+            )
         for seq, o in enumerate(objs):
             # original: table_<table>_<hex>.parquet; link embeds the
             # hex id (DV masks key on object names — recovered below)
             hexid = o.name.rsplit("_", 1)[-1][: -len(".parquet")]
-            link = os.path.join(
-                scan_dir,
+            area.link(
+                o.name,
                 f"part-{seq:05d}-{hexid}_{int(o.bucket_id):05d}.c000.parquet",
             )
-            os.link(self.store.path_of(o.name), link)
         cat_name = f"bktscan_{table}_{self._client_id}"
         ddl = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in stored.fields
         )
         bcols = ", ".join(f"`{c}`" for c in cols)
-        loc = scan_dir.replace("'", "''")
+        loc = area.uri.replace("'", "''")
         self.spark.sql(f"DROP TABLE IF EXISTS `{cat_name}`")
         self.spark.sql(
             f"CREATE TABLE `{cat_name}` ({ddl}) USING PARQUET"
             f" CLUSTERED BY ({bcols}) INTO {n} BUCKETS"
             f" LOCATION '{loc}'"
         )
-        self._bucket_scans[table] = (cat_name, scan_dir)
+        self._bucket_scans[table] = (cat_name, area)
         df = self.spark.table(cat_name)
         live_names = {o.name for o in objs}
         dv_names = sorted(

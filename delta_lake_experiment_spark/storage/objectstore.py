@@ -22,14 +22,52 @@ conditional writes, so the engine is cluster-ready by swapping this class.
 from __future__ import annotations
 
 import os
+import shutil
 import uuid
 from abc import ABC, abstractmethod
+from typing import Optional
 
 from delta_lake_experiment_spark.errors import ObjectExistsError
 
 
+class BucketScanArea(ABC):
+    """One ``scan_bucketed`` registration's file namespace.
+
+    Spark only trusts a pre-bucketed layout when it comes from a
+    catalog table whose files carry the ``_NNNNN`` bucket-id name
+    suffix, so a bucket-aware scan must expose the live data objects
+    under new names in one listable location. The area abstracts how a
+    backend does that without moving data through the driver:
+
+    - local FS: a directory of hard links (O(files) metadata, zero
+      copy);
+    - S3: a key prefix of server-side ``CopyObject`` copies (O(files)
+      metadata *requests*; S3 copies the bytes internally — nothing
+      flows through the driver or executors).
+
+    ``uri`` is the Spark-readable table LOCATION; ``link`` exposes one
+    object under the area; ``drop`` removes the whole area when a new
+    registration supersedes it."""
+
+    uri: str
+
+    @abstractmethod
+    def link(self, src_name: str, filename: str) -> None:
+        """Expose object ``src_name`` as ``<area>/<filename>``."""
+
+    @abstractmethod
+    def drop(self) -> None:
+        """Remove the area and everything linked into it."""
+
+
 class ObjectStorage(ABC):
     """Minimal storage interface; see module docstring."""
+
+    def begin_bucket_scan_area(self) -> Optional[BucketScanArea]:
+        """Open a :class:`BucketScanArea`, or None when the backend
+        cannot expose Spark-readable per-file names (e.g. the
+        in-memory test double)."""
+        return None
 
     @abstractmethod
     def put_if_absent(self, name: str, data: bytes) -> None:
@@ -179,6 +217,9 @@ class LocalObjectStorage(ObjectStorage):
         except FileNotFoundError:
             return None
 
+    def begin_bucket_scan_area(self) -> Optional[BucketScanArea]:
+        return LocalBucketScanArea(self)
+
     def put_file_if_absent(self, name: str, src_path: str) -> None:
         """Zero-copy ingest: fsync the staged file, then hard-link it to
         the final name — the same atomic EEXIST gate as put_if_absent,
@@ -202,3 +243,21 @@ class LocalObjectStorage(ObjectStorage):
         if "/" in name or name.startswith("."):
             raise ValueError(f"invalid object name: {name!r}")
         return os.path.join(self.root, name)
+
+
+class LocalBucketScanArea(BucketScanArea):
+    """Bucket-scan area on local FS: a directory of hard links under
+    the store root. Links pin the exact live file set (snapshot
+    isolation across a concurrent VACUUM) at zero data cost."""
+
+    def __init__(self, store: LocalObjectStorage) -> None:
+        self.store = store
+        self.dir = os.path.join(store.root, f"bucketscan_{uuid.uuid4().hex}")
+        os.makedirs(self.dir)
+        self.uri = self.dir
+
+    def link(self, src_name: str, filename: str) -> None:
+        os.link(self.store.path_of(src_name), os.path.join(self.dir, filename))
+
+    def drop(self) -> None:
+        shutil.rmtree(self.dir, ignore_errors=True)

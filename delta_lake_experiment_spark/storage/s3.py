@@ -37,7 +37,10 @@ from __future__ import annotations
 from typing import Any, Optional
 
 from delta_lake_experiment_spark.errors import ObjectExistsError
-from delta_lake_experiment_spark.storage.objectstore import ObjectStorage
+from delta_lake_experiment_spark.storage.objectstore import (
+    BucketScanArea,
+    ObjectStorage,
+)
 
 # HTTP statuses S3 returns for a failed conditional PUT.
 _PRECONDITION_FAILED = 412  # key already exists
@@ -123,6 +126,21 @@ class S3ObjectStorage(ObjectStorage):
         record's conditional PUT — the copy needs no condition of its
         own."""
         return S3RemoteStaging(self)
+
+    def begin_bucket_scan_area(self) -> "S3BucketScanArea":
+        """Bucket-scan area as a key prefix of server-side copies:
+        ``scan_bucketed`` exposes each live data object under a
+        bucket-suffixed name with ONE ``CopyObject`` metadata request —
+        S3 moves the bytes internally, nothing flows through the driver
+        or executors — and registers the external bucketed table over
+        ``s3a://bucket/<prefix>bucketscan_<token>/``. The copies also
+        pin the exact snapshot file set against a concurrent VACUUM
+        (the local backend gets the same property from hard links).
+        Single-request CopyObject covers objects up to 5 GB — above the
+        engine's data-object sizing by orders of magnitude; a real
+        deployment with larger objects would switch to multipart
+        UploadPartCopy here."""
+        return S3BucketScanArea(self)
 
     def staging_uri(self, token: str) -> str:
         return f"{self.scheme}://{self.bucket}/{self._staging_key_prefix(token)}"
@@ -235,6 +253,55 @@ class S3RemoteStaging:
             token = resp.get("NextContinuationToken")
         keys.sort()
         return keys
+
+
+class S3BucketScanArea(BucketScanArea):
+    """Bucket-scan area under ``<prefix>bucketscan_<token>/``.
+
+    The prefix is disjoint from every engine namespace: flat object
+    names cannot contain ``/`` (``_key`` validates), VACUUM only lists
+    the ``table_``/``dv_``/``bloomf_`` prefixes, and log replay lists
+    ``_log_``/``_ckpt_`` — so scan copies are invisible to all of them
+    and are reclaimed only by :meth:`drop` when a newer registration
+    supersedes this one."""
+
+    def __init__(self, store: S3ObjectStorage) -> None:
+        import uuid
+
+        self.store = store
+        self.token = uuid.uuid4().hex
+        self.key_prefix = f"{store.prefix}bucketscan_{self.token}/"
+        self.uri = f"{store.scheme}://{store.bucket}/{self.key_prefix}"
+
+    def link(self, src_name: str, filename: str) -> None:
+        self.store.client.copy_object(
+            Bucket=self.store.bucket,
+            Key=self.key_prefix + filename,
+            CopySource={
+                "Bucket": self.store.bucket,
+                "Key": self.store._key(src_name),
+            },
+        )
+
+    def drop(self) -> None:
+        # list fully FIRST: deleting mid-pagination shifts continuation
+        # cursors (both on real S3 and the test double) and skips keys
+        keys: list[str] = []
+        token: Optional[str] = None
+        while True:
+            kwargs: dict[str, Any] = {
+                "Bucket": self.store.bucket,
+                "Prefix": self.key_prefix,
+            }
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self.store.client.list_objects_v2(**kwargs)
+            keys.extend(obj["Key"] for obj in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        for key in keys:
+            self.store.client.delete_object(Bucket=self.store.bucket, Key=key)
 
 
 def _http_status(e: Exception) -> Optional[int]:

@@ -192,6 +192,128 @@ def test_read_store_parquet_fetches_bytes_on_remote_stores(spark, s3_store, tmp_
     assert t["obj"].to_pylist() == ["a", "a", "b"]
 
 
+class _MirroredS3Client(FakeS3Client):
+    """FakeS3 whose bucket contents are mirrored to local files — a
+    stand-in for what the S3A connector would serve executors on a real
+    cluster, so Spark can actually read the fake bucket. ALL metadata
+    traffic (conditional puts, server-side copies, paginated lists)
+    still runs through the production S3 client calls."""
+
+    def __init__(self, mirror_root, page_size=2):
+        super().__init__(page_size)
+        self.mirror_root = mirror_root
+
+    def _sync(self, key):
+        import os
+
+        p = os.path.join(self.mirror_root, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            f.write(self.objects[key])
+
+    def put_object(self, **kw):
+        r = super().put_object(**kw)
+        self._sync(kw["Key"])
+        return r
+
+    def copy_object(self, **kw):
+        r = super().copy_object(**kw)
+        self._sync(kw["Key"])
+        return r
+
+    def delete_object(self, Bucket, Key):
+        import os
+
+        super().delete_object(Bucket, Key)
+        p = os.path.join(self.mirror_root, Key)
+        if os.path.exists(p):
+            os.unlink(p)
+
+
+class _SparkReadableS3Storage(_TestS3Storage):
+    """path_of / scan-area URIs point at the local mirror (what s3a://
+    URIs resolve to on a real cluster); every other code path is the
+    production S3 backend against the fake API."""
+
+    def path_of(self, name):
+        import os
+
+        return os.path.join(self.client.mirror_root, self._key(name))
+
+    def begin_bucket_scan_area(self):
+        import os
+
+        area = super().begin_bucket_scan_area()
+        area.uri = os.path.join(self.client.mirror_root, area.key_prefix)
+        return area
+
+
+def test_scan_bucketed_on_remote_store(spark, tmp_path):
+    """VERDICT r7 item 2: the shuffle-free bucketed engine⋈engine join
+    must work on the S3 backend. The scan area is a key prefix of
+    server-side CopyObject copies (no PutObject ever carries data-object
+    bytes), the no-Exchange SortMergeJoin plan holds, values equal the
+    plain scan, and a superseding registration reclaims the old keys."""
+    api = _MirroredS3Client(str(tmp_path / "mirror"), page_size=3)
+    store = _SparkReadableS3Storage("lake", prefix="tables/t1", client=api)
+    c = DeltaLakeClient(spark, store, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("bd", "id bigint, fp string", bucket_by=(["fp"], 4))
+    c.create_table("bs", "fp string, score double", bucket_by=(["fp"], 4))
+    docs = spark.createDataFrame(
+        [(i, f"fp{i % 12}") for i in range(120)], "id long, fp string"
+    )
+    dims = spark.createDataFrame(
+        [(f"fp{i}", float(i)) for i in range(12)], "fp string, score double"
+    )
+    c.write_dataframe("bd", docs)
+    c.write_dataframe("bs", dims)
+    c.commit_tx()
+
+    pairs = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in pairs}
+    for k, v in pairs:
+        spark.conf.set(k, v)
+    try:
+        # fresh client: layout must survive commit + log replay over S3
+        c2 = DeltaLakeClient(spark, store)
+        c2.new_tx()
+        puts_before = [k for k in api.put_keys if "bucketscan_" in k]
+        d = c2.scan_bucketed("bd", with_stamps=False)
+        s = c2.scan_bucketed("bs", with_stamps=False)
+        # scan copies are server-side only: CopyObject yes, PutObject no
+        assert [k for k in api.put_keys if "bucketscan_" in k] == puts_before
+        assert any("bucketscan_" in k for k in api.copy_keys)
+        j = d.join(s, "fp")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan.replace("BroadcastExchange", "BX"), plan
+        got = sorted(tuple(r) for r in j.select("fp", "id", "score").collect())
+        exp = sorted(
+            tuple(r)
+            for r in c2.scan("bd", with_stamps=False)
+            .join(c2.scan("bs", with_stamps=False), "fp")
+            .select("fp", "id", "score")
+            .collect()
+        )
+        assert got == exp and len(got) == 120
+        # superseding registration reclaims the previous area's keys
+        first_area_keys = {k for k in api.objects if "bucketscan_" in k}
+        c2.scan_bucketed("bd", with_stamps=False)
+        remaining = {k for k in api.objects if "bucketscan_" in k}
+        assert first_area_keys - remaining  # old bd area deleted
+        c2.commit_tx()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_commit_protocol_over_s3(spark, s3_store):
     """Two clients share a bucket; the full metadata layer (log replay,
     checkpoint, first-committer-wins) runs unchanged over the S3 API."""
