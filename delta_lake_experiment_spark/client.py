@@ -1482,6 +1482,7 @@ class DeltaLakeClient:
         start: Any,
         end: Any,
         set_values: dict[str, Any],
+        allow_mv_sources: bool = False,
     ) -> None:
         """UPDATE ... SET set_values WHERE column BETWEEN start AND end.
 
@@ -1490,8 +1491,32 @@ class DeltaLakeClient:
         (the update is a correction, not a new version — time travel to
         earlier versions still reads the original objects). Values may
         be literals or Column expressions over the row.
+
+        Stamp preservation makes the correction INVISIBLE to the change
+        feed — by design — so a table that feeds an incremental
+        materialized view would silently diverge from its recompute.
+        The MV refresh records its source in the txn marker
+        (``mv_<view>__src_<table>``), so this guard is self-enforcing:
+        updating a marked source raises unless ``allow_mv_sources=True``
+        (after which the caller owns recomputing the view).
         """
         tx = self._require_tx()
+        if not allow_mv_sources:
+            suffix = f"__src_{table}"
+            views = sorted(
+                a
+                for a in tx.snapshot.txns
+                if a.startswith("mv_") and a.endswith(suffix)
+            )
+            if views:
+                raise TypeMismatchError(
+                    f"table {table!r} feeds incremental materialized"
+                    f" view(s) {views} - update_rows' stamp-preserving"
+                    " corrections are invisible to the change feed and"
+                    " would silently diverge them; pass"
+                    " allow_mv_sources=True to override, then recompute"
+                    " the views"
+                )
         schema = self.table_schema(table)
         start, end = self._check_range_types(schema, column, start, end)
         names = {f.name for f in schema.fields}

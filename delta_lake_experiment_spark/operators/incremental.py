@@ -269,14 +269,38 @@ def refresh_aggregate_view(
     view_table: str,
     keys: "Sequence[str]",
     sum_cols: "Sequence[str]" = (),
+    min_cols: "Sequence[str]" = (),
+    max_cols: "Sequence[str]" = (),
+    avg_cols: "Sequence[str]" = (),
     app_id: "str | None" = None,
     retries: int = 3,
 ) -> int:
-    """Incrementally maintained COUNT/SUM materialized view: fold the
-    SOURCE table's change feed since the last refresh into
-    ``view_table`` (columns: keys…, ``n`` BIGINT, ``sum_<c>`` DOUBLE
-    per sum column) and stamp the refresh point — the lakehouse
-    "materialized view maintained from CDC" primitive.
+    """Incrementally maintained COUNT/SUM/MIN/MAX/AVG materialized
+    view: fold the SOURCE table's change feed since the last refresh
+    into ``view_table`` (columns: keys…, ``n`` BIGINT, ``sum_<c>``
+    DOUBLE per sum column, ``min_<c>``/``max_<c>`` per extremum
+    column, ``avg_<c>`` DOUBLE per avg column) and stamp the refresh
+    point — the lakehouse "materialized view maintained from CDC"
+    primitive.
+
+    Aggregate classes and their maintenance strategies:
+
+    - **COUNT/SUM fold the net diff** — fully retractable, cost
+      O(changed keys).
+    - **MIN/MAX recompute per AFFECTED key**: a retracted extremum
+      cannot be folded (the second-smallest value is not in the view),
+      so the change feed names the touched keys and ONLY those groups
+      are re-aggregated from the current source (a left-semi join
+      restricts the scan; quiet keys never pay). This is the standard
+      incremental-view-maintenance treatment for non-distributive
+      retractions.
+    - **AVG is derived state** (``sum_<c>/n``), recomputed from the
+      folded sum at every refresh. Each avg column must also be in
+      ``sum_cols`` (its sum IS the maintained state; the view schema
+      carries both), and its values must be non-NULL — the fold
+      raises in-plan on a NULL avg-column value, because a NULL-
+      skipping SUM over a row-counting ``n`` would silently diverge
+      from a direct AVG.
 
     Why this composition is exactly right for the engine's pieces:
 
@@ -297,7 +321,10 @@ def refresh_aggregate_view(
       commit_tx may re-target a later version past disjoint
       concurrent commits, and a marker above the folded snapshot
       would silently skip those sources' changes on the next refresh.
-      ``app_id`` defaults to ``"mv_<view_table>"``.
+      ``app_id`` defaults to ``"mv_<view_table>__src_<src_table>"`` —
+      the source's name rides in the marker so ``update_rows`` can
+      SELF-ENFORCE the contract limit below (a custom app_id opts out
+      of that guard).
     - **The rewrite is overwrite_table**: the view is a derived
       O(keys) aggregate, cheapest to maintain by full replacement
       inside the refresh transaction.
@@ -314,6 +341,10 @@ def refresh_aggregate_view(
     stamp-preserving corrections are invisible to the change feed by
     design, so the view would silently diverge from a recompute.
     Maintain MV sources with inserts, deletes, MERGE and overwrites.
+    The contract is self-enforcing under the default app_id:
+    ``update_rows`` on a table whose snapshot carries an
+    ``mv_*__src_<table>`` marker raises unless the caller passes
+    ``allow_mv_sources=True`` (and then recomputes the view).
 
     Float caveat (documented, not hidden): incremental DOUBLE sums
     accumulate (base + delta) in a different order than a direct
@@ -330,9 +361,17 @@ def refresh_aggregate_view(
     from delta_lake_experiment_spark.functions.guards import null_checked
     from delta_lake_experiment_spark.plans.snapshot import replay_log
 
-    app = app_id or f"mv_{view_table}"
+    app = app_id or f"mv_{view_table}__src_{src_table}"
     key_list = list(keys)
     sums = list(sum_cols)
+    mins, maxs, avgs = list(min_cols), list(max_cols), list(avg_cols)
+    missing_avg_state = [a for a in avgs if a not in sums]
+    if missing_avg_state:
+        raise ValueError(
+            f"avg_cols {missing_avg_state} need their sums maintained -"
+            " add them to sum_cols (avg_<c> is derived from sum_<c>/n)"
+        )
+    mm_specs = [("min", c) for c in mins] + [("max", c) for c in maxs]
 
     def _attempt(c: DeltaLakeClient) -> int:
         tx = c.tx
@@ -375,8 +414,17 @@ def refresh_aggregate_view(
                 ).alias(k)
                 for k in key_list
             ]
+            measures = list(dict.fromkeys(sums + [c_ for _, c_ in mm_specs]))
+            mcols = [
+                null_checked(
+                    F.col(m), "refresh_aggregate_view", f"avg column {m!r}"
+                ).alias(m)
+                if m in avgs
+                else F.col(m)
+                for m in measures
+            ]
             delta = (
-                changes.select(*gkeys, "_change_type", *sums)
+                changes.select(*gkeys, "_change_type", *mcols)
                 .groupBy(*key_list)
                 .agg(
                     F.sum(sign).cast("long").alias("__dn"),
@@ -403,9 +451,51 @@ def refresh_aggregate_view(
                         ).alias(f"sum_{s}")
                         for s in sums
                     ],
+                    *(
+                        [F.col("__dn").isNotNull().alias("__touched")]
+                        + [F.col(f"{op}_{c_}") for op, c_ in mm_specs]
+                        if mm_specs
+                        else []
+                    ),
                 )
                 .filter(F.col("n") > 0)
             )
+            if mm_specs:
+                # MIN/MAX cannot fold retractions: recompute ONLY the
+                # touched groups from the current source (left-semi
+                # restricted), keep untouched groups' stored extrema
+                affected = delta.select(*key_list)
+                recomputed = (
+                    c.scan(src_table, with_stamps=False)
+                    .join(affected, key_list, "left_semi")
+                    .groupBy(*key_list)
+                    .agg(
+                        *[
+                            getattr(F, op)(c_).alias(f"__mm_{op}_{c_}")
+                            for op, c_ in mm_specs
+                        ]
+                    )
+                )
+                merged = merged.join(recomputed, key_list, "left").select(
+                    *key_list,
+                    "n",
+                    *[F.col(f"sum_{s}") for s in sums],
+                    *[
+                        F.when(
+                            F.col("__touched"), F.col(f"__mm_{op}_{c_}")
+                        )
+                        .otherwise(F.col(f"{op}_{c_}"))
+                        .alias(f"{op}_{c_}")
+                        for op, c_ in mm_specs
+                    ],
+                )
+            if avgs:
+                merged = merged.withColumns(
+                    {
+                        f"avg_{a}": F.col(f"sum_{a}") / F.col("n")
+                        for a in avgs
+                    }
+                )
             c.overwrite_table(view_table, merged)
             return cur
         finally:

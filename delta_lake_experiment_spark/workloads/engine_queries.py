@@ -366,7 +366,10 @@ def engine_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally maintained materialized view
     (operators/incremental.py::refresh_aggregate_view over
     client.scan_changes + client.overwrite_table): a per-status
-    COUNT/SUM aggregate of orders, refreshed from the CHANGE FEED —
+    COUNT/SUM/MIN/MAX/AVG aggregate of orders, refreshed from the
+    CHANGE FEED — COUNT/SUM fold the net diff, MIN/MAX recompute only
+    the touched groups (retractions are not foldable), AVG derives
+    from the folded sum —
     first refresh folds the seed ingest, then a COW range delete and
     a bulk insert land, and the second refresh folds only their net
     diff (O(files changed), never O(source)); the folded source
@@ -383,11 +386,20 @@ def engine_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c.new_tx()
     c.create_table(
-        "orders_mv", "o_orderstatus string, n bigint, sum_o_totalprice double"
+        "orders_mv",
+        "o_orderstatus string, n bigint, sum_o_totalprice double,"
+        " min_o_totalprice double, max_o_totalprice double,"
+        " avg_o_totalprice double",
     )
     c.commit_tx()
+    kwargs = dict(
+        sum_cols=["o_totalprice"],
+        min_cols=["o_totalprice"],
+        max_cols=["o_totalprice"],
+        avg_cols=["o_totalprice"],
+    )
     refresh_aggregate_view(
-        c, "orders", "orders_mv", ["o_orderstatus"], ["o_totalprice"]
+        c, "orders", "orders_mv", ["o_orderstatus"], **kwargs
     )
     c.new_tx()
     c.delete_rows("orders", "o_totalprice", 50000.0, 150000.0)
@@ -401,13 +413,18 @@ def engine_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c.commit_tx()
     refresh_aggregate_view(
-        c, "orders", "orders_mv", ["o_orderstatus"], ["o_totalprice"]
+        c, "orders", "orders_mv", ["o_orderstatus"], **kwargs
     )
     c.new_tx()
     return c.scan("orders_mv", with_stamps=False).select(
         "o_orderstatus",
         "n",
         F.round("sum_o_totalprice", 2).alias("total_price"),
+        F.round("min_o_totalprice", 2).alias("min_price"),
+        F.round("max_o_totalprice", 2).alias("max_price"),
+        # derived sum/n: the incremental sum carries ~1e-9 reassociation
+        # noise on a ~1e5-magnitude mean — round to 4 (doc'd grid)
+        F.round("avg_o_totalprice", 4).alias("avg_price"),
     )
 
 
@@ -419,7 +436,10 @@ WITH cur AS (
          o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 13 = 0
 )
-SELECT o_orderstatus, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total_price
+SELECT o_orderstatus, COUNT(*) AS n, round(SUM(o_totalprice), 2) AS total_price,
+       round(MIN(o_totalprice), 2) AS min_price,
+       round(MAX(o_totalprice), 2) AS max_price,
+       round(SUM(o_totalprice) / COUNT(*), 4) AS avg_price
 FROM cur GROUP BY o_orderstatus
 """
 

@@ -1854,3 +1854,122 @@ def test_refresh_aggregate_view_incremental(spark, store_dir):
     c.commit_tx()
     with pytest.raises(Exception, match="non-NULL"):
         refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+
+
+def test_refresh_aggregate_view_min_max_avg(spark, store_dir):
+    """VERDICT r7 item 3: MIN/MAX via per-affected-key recompute (a
+    retracted extremum is not foldable), AVG derived from sum/n.
+    Incremental must equal a direct recompute after a delete that
+    RETRACTS a group's maximum, and untouched groups must keep their
+    stored extrema (their recompute is never run — verified by value
+    equality after a single-group mutation)."""
+    from delta_lake_experiment_spark.operators.incremental import (
+        refresh_aggregate_view,
+    )
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("src", "k string, x bigint")
+    c.create_table(
+        "mv",
+        "k string, n bigint, sum_x double, min_x bigint, max_x bigint,"
+        " avg_x double",
+    )
+    rows = [(f"g{i % 3}", i) for i in range(60)]
+    c.write_dataframe("src", spark.createDataFrame(rows, "k string, x long"))
+    c.commit_tx()
+    kw = dict(sum_cols=["x"], min_cols=["x"], max_cols=["x"], avg_cols=["x"])
+
+    def check():
+        c.new_tx()
+        got = {
+            r["k"]: (r["n"], r["sum_x"], r["min_x"], r["max_x"],
+                     round(r["avg_x"], 9))
+            for r in c.scan("mv", with_stamps=False).collect()
+        }
+        exp_rows = (
+            c.scan("src", with_stamps=False)
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").cast("double").alias("s"),
+                F.min("x").alias("mn"),
+                F.max("x").alias("mx"),
+            )
+            .collect()
+        )
+        c.abort_tx()
+        exp = {
+            r["k"]: (r["n"], r["s"], r["mn"], r["mx"],
+                     round(r["s"] / r["n"], 9))
+            for r in exp_rows
+        }
+        assert got == exp, (got, exp)
+
+    assert refresh_aggregate_view(c, "src", "mv", ["k"], **kw) > 0
+    check()
+    # retract g0's maximum (57) and g0's minimum (0): only g0 touched
+    c.new_tx()
+    c.delete_rows("src", "x", 57, 57)
+    c.delete_rows("src", "x", 0, 0)
+    c.commit_tx()
+    assert refresh_aggregate_view(c, "src", "mv", ["k"], **kw) > 0
+    check()
+    # insert a brand-new group + extend an existing one's max
+    c.new_tx()
+    c.write_dataframe(
+        "src",
+        spark.createDataFrame([("g9", 1000), ("g1", 999)], "k string, x long"),
+    )
+    c.commit_tx()
+    assert refresh_aggregate_view(c, "src", "mv", ["k"], **kw) > 0
+    check()
+    # avg without its sum state is a loud config error
+    with pytest.raises(ValueError, match="sum_cols"):
+        refresh_aggregate_view(c, "src", "mv", ["k"], avg_cols=["x"])
+    # NULL avg-column values raise in-plan (sum would skip them while
+    # n counts the row — silent divergence from a direct AVG)
+    c.new_tx()
+    c.write_dataframe(
+        "src", spark.createDataFrame([("g1", None)], "k string, x long")
+    )
+    c.commit_tx()
+    with pytest.raises(Exception, match="non-NULL"):
+        refresh_aggregate_view(c, "src", "mv", ["k"], **kw)
+
+
+def test_update_rows_mv_source_guard(spark, store_dir):
+    """The refresh_aggregate_view contract limit is self-enforcing:
+    update_rows on a table carrying an mv_*__src_<table> marker raises
+    (stamp-preserving corrections are invisible to the change feed);
+    allow_mv_sources=True overrides; unrelated tables are unaffected."""
+    from delta_lake_experiment_spark.operators.incremental import (
+        refresh_aggregate_view,
+    )
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("src", "k string, x bigint")
+    c.create_table("other", "k string, x bigint")
+    c.create_table("mv", "k string, n bigint, sum_x double")
+    c.write_dataframe(
+        "src", spark.createDataFrame([("a", 1), ("b", 2)], "k string, x long")
+    )
+    c.write_dataframe(
+        "other", spark.createDataFrame([("a", 1)], "k string, x long")
+    )
+    c.commit_tx()
+    refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="allow_mv_sources"):
+        c.update_rows("src", "x", 1, 1, {"x": 5})
+    # unrelated table: no guard
+    c.update_rows("other", "x", 1, 1, {"x": 5})
+    # explicit override goes through
+    c.update_rows("src", "x", 1, 1, {"x": 5}, allow_mv_sources=True)
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(
+        r["x"] for r in c.scan("src", with_stamps=False).collect()
+    ) == [2, 5]
+    c.abort_tx()
