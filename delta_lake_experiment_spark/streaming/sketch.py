@@ -19,6 +19,12 @@ the registry query's oracle is the BATCH HLL SQL over the same input:
 stream == batch, the core Structured Streaming guarantee, extended to
 an approximate aggregate because the approximation itself is
 deterministic.
+
+Register-row growth is bounded by batches × 2^p; read-time merge is
+O(table). :func:`compact_sketch_table` folds the accumulated rows into
+ONE row per register inside one transaction (the
+``compact_minhash_index`` maintenance pattern), so long-running
+streams keep read-time merge at O(2^p) regardless of batch count.
 """
 
 from __future__ import annotations
@@ -66,6 +72,39 @@ def write_hll_stream_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_sketch_table(client, table: str, retries: int = 3) -> int:
+    """Fold-compaction for the register table: rewrite the accumulated
+    per-batch rows into ONE row per register — the groupBy-max merge,
+    MATERIALIZED — with :meth:`overwrite_table`'s atomic replace in a
+    single transaction. The estimate is unchanged by construction
+    (``max`` is idempotent: max of per-batch maxes == max of the fold),
+    read-time merge drops to O(2^p) regardless of how many batches have
+    accumulated, and a concurrent batch append triggers
+    first-committer-wins so the fold can never lose a register (the
+    loser retries on the fresh snapshot). Already-compact tables are a
+    no-op (returns 0; no write, no commit actions beyond the replay).
+    At one batch/minute for a year a p=12 table holds ~2e9 register
+    rows — this fold is the difference between that and 4096.
+
+    Returns the number of rows removed."""
+
+    def _attempt(c) -> int:
+        regs = c.scan(table, with_stamps=False)
+        n_total = regs.count()
+        folded = (
+            regs.groupBy("bucket")
+            .agg(F.max("reg").alias("reg"))
+            .localCheckpoint(eager=True)  # sever lineage from the files
+        )                                 # the overwrite retires
+        n_folded = folded.count()
+        if n_folded == n_total:
+            return 0
+        c.overwrite_table(table, folded)
+        return n_total - n_folded
+
+    return client.run_tx(_attempt, retries=retries)
 
 
 def table_sketch_estimate(client, table: str, p: int = 12) -> DataFrame:
