@@ -708,6 +708,46 @@ class DeltaLakeClient:
     # reads
     # ------------------------------------------------------------------
 
+    def _bucket_prune_ids(
+        self,
+        table: str,
+        snap: Snapshot,
+        prune: Optional[dict[str, tuple[Any, Any]]],
+    ) -> "Optional[set[int]]":
+        """Bucket ids a pruned read can possibly touch, or None when
+        bucket pruning does not apply. Applies when the table is
+        bucketed and ``prune`` pins EVERY bucket column to a point
+        (``lo == hi``): the key's rows can only live in
+        ``pmod(murmur3(key), n)`` — computed driver-side by the
+        JVM-certified pure-Python murmur3 (plans/bucketing.py), zero
+        Spark work. The hash runs on the STORED column types (the
+        write path hashes after casting — same contract). Unsupported
+        types return None: skipping the optimization is always safe,
+        guessing never is."""
+        if not prune:
+            return None
+        spec = snap.bucket_specs.get(table)
+        if not spec:
+            return None
+        cols = list(spec["cols"])
+        if not all(
+            c in prune
+            and prune[c][0] is not None
+            and prune[c][0] == prune[c][1]
+            for c in cols
+        ):
+            return None
+        from delta_lake_experiment_spark.plans.bucketing import bucket_id_for
+
+        schema = self.table_schema(table)
+        types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        bid = bucket_id_for(
+            [prune[c][0] for c in cols],
+            [types[c] for c in cols],
+            int(spec["n"]),
+        )
+        return None if bid is None else {bid}
+
     def scan(
         self,
         table: str,
@@ -718,12 +758,20 @@ class DeltaLakeClient:
         buffered rows). Unordered, like any DataFrame; order explicitly
         by ``(_tx_id, _row_idx) DESC`` for the reference's
         newest-first contract. ``prune`` applies log-level min/max file
-        skipping before Spark sees the file list."""
+        skipping before Spark sees the file list; point lookups also
+        probe per-file blooms and, on bucketed tables (all bucket
+        columns pinned), the bucket labels — an exact O(live/n) cut
+        computed driver-side (see _bucket_prune_ids)."""
         tx = self._require_tx()
         schema = self.table_schema(table)
         stored = self._stored_schema(schema)
         snap = self._effective_snapshot(tx)
-        files = snap.live_files(table, self.store, prune=prune)
+        files = snap.live_files(
+            table,
+            self.store,
+            prune=prune,
+            keep_buckets=self._bucket_prune_ids(table, snap, prune),
+        )
         parts = []
         if files:
             parts.append(self._read_live(table, snap, stored, files))
@@ -1354,7 +1402,13 @@ class DeltaLakeClient:
 
         # 2. flushed matches — COW rewrite of affected files only
         snap = self._effective_snapshot(tx)
-        candidates = snap.live_files(table, self.store, prune={column: (start, end)})
+        pr = {column: (start, end)}
+        candidates = snap.live_files(
+            table,
+            self.store,
+            prune=pr,
+            keep_buckets=self._bucket_prune_ids(table, snap, pr),
+        )
         if not candidates:
             return
         stored = self._stored_schema(schema)
@@ -1543,7 +1597,13 @@ class DeltaLakeClient:
                 buf[i] = (idx, new_row)
 
         snap = self._effective_snapshot(tx)
-        candidates = snap.live_files(table, self.store, prune={column: (start, end)})
+        pr = {column: (start, end)}
+        candidates = snap.live_files(
+            table,
+            self.store,
+            prune=pr,
+            keep_buckets=self._bucket_prune_ids(table, snap, pr),
+        )
         if not candidates:
             return
         stored = self._stored_schema(schema)

@@ -85,6 +85,7 @@ class Snapshot:
         table: str,
         store: ObjectStorage,
         prune: Optional[dict[str, tuple[Any, Any]]] = None,
+        keep_buckets: "Optional[set[int]]" = None,
     ) -> list[str]:
         """Paths of live objects for a Spark read, optionally pruned by
         per-file [min,max] stats: ``prune={col: (lo, hi)}`` keeps only
@@ -92,9 +93,20 @@ class Snapshot:
         for the column are conservatively kept). Point lookups
         (``lo == hi``) additionally probe the file's bloom filter when
         the column carries one — the pruning lever min/max can't give
-        on high-cardinality, non-clustered columns."""
+        on high-cardinality, non-clustered columns — and, on bucketed
+        tables, ``keep_buckets`` (computed by the client from the
+        driver-side murmur3 in plans/bucketing.py) keeps only objects
+        labeled with the key's bucket: an exact O(live/n) cut that
+        composes with both stats and blooms (unlabeled objects are
+        conservatively kept)."""
         out = []
         for obj in self.live_objects(table):
+            if (
+                keep_buckets is not None
+                and obj.bucket_id is not None
+                and int(obj.bucket_id) not in keep_buckets
+            ):
+                continue
             if prune and not _stats_intersect(obj.stats, prune):
                 continue
             if prune and not _blooms_admit(obj.blooms, prune, store):
