@@ -136,6 +136,8 @@ HEADLINE = [
     "streaming_cardinality_sketch",
     # r7: CDC-maintained materialized view (incremental == recompute)
     "engine_incremental_mv",
+    # r8: persisted IVF index as engine tables + incremental ANN ingest
+    "engine_ann_index_search",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

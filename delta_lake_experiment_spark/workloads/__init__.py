@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 123 value-oracled queries, seventy-three must sit outside the window. The
+# With 124 value-oracled queries, seventy-four must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -365,6 +365,15 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   table_changes verbatim to fold its delta — a wrong change feed
 #   value-diverges the MV from its recompute oracle immediately; the
 #   CDC commit-range semantics also stay pytest-pinned.
+# New in r8 (deferred from birth — the window is full at 50):
+# - engine_ann_index_search -> the write->replay->scan ACID machinery
+#   is certified in-window by the engine_* lane, the certified Lloyd
+#   train/assign by semantic_dedup_corpus / corpus_topic_report /
+#   ann_recall_report (same md5-seeded rounded chain), the exact-rerank
+#   top-k by ann_recall_report's ivf arm; what is NEW (the model
+#   PERSISTED as engine tables, ingest-without-retrain, redelivery
+#   no-op) is pinned by dedicated pytests AND by the query's own
+#   in-plan invariant + full-lifecycle value oracle.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -442,6 +451,7 @@ _DEFERRED_ORACLED = [
     "doc_winnow_fingerprints",
     "corpus_curation_funnel",
     "domain_mixture",
+    "engine_ann_index_search",
 ]
 
 
