@@ -138,6 +138,8 @@ HEADLINE = [
     "engine_incremental_mv",
     # r8: persisted IVF index as engine tables + incremental ANN ingest
     "engine_ann_index_search",
+    # r8: deterministic count-min heavy hitters (frequency dual of HLL)
+    "corpus_heavy_hitters",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -206,3 +206,169 @@ def hll_distinct_sql(
     return hll_estimate_sql(
         hll_registers_sql(src, key_sql, p), p, round_digits
     )
+
+
+# -- deterministic count-min sketch (heavy hitters) ---------------------
+#
+# The frequency dual of the HLL above: Cormode & Muthukrishnan's
+# count-min sketch (2005) answers "how often did THIS key occur?" from
+# O(d·w) integer counters regardless of input size — the 100 TB answer
+# to heavy-hitter questions (hot n-grams, spam domains, hot users)
+# where an exact groupBy(key) would shuffle the full key stream. Each
+# of d rows hashes the key into one of w counters and adds the weight;
+# a point estimate is the MIN over the d counters the key touches —
+# always >= the true count (one-sided error), and over by at most
+# e/w · N with probability 1 - (1/e)^d.
+#
+# Engine-reproducibility is even cleaner than HLL's: every counter is
+# an exact INTEGER sum (commutative, associative — partition order
+# cannot matter) of md5-derived placements, so sketch, merge, and
+# estimate are bit-identical across engines with NO rounding anywhere.
+# Merging sketches ADDS counters cell-wise — but note the contrast
+# with HLL's max: addition is NOT idempotent, so replay protection
+# for streamed increments rests on the exactly-once sink's txn
+# markers, not on the algebra (streaming/sketch.py documents this).
+
+#: counter-table schema (create engine targets with this DDL)
+CMS_TABLE_DDL = "r int, c int, cnt bigint"
+
+
+def _check_cms(d: int, w: int) -> None:
+    if not 1 <= int(d) <= 8:
+        raise ValueError(f"d={d!r} must be in [1, 8]")
+    if int(w) < 2:
+        raise ValueError(f"w={w!r} must be >= 2")
+
+
+def _cms_key(key_col: str) -> Column:
+    return F.when(
+        F.col(key_col).isNotNull(), F.col(key_col).cast("string")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"cms_counters: {key_col} is NULL - must be non-NULL"
+                " (filter or coalesce upstream)"
+            )
+        )
+    )
+
+
+def _cms_col(key: Column, r: int, w: int) -> Column:
+    """Counter column for hash row ``r``: the md5 60-bit idiom with a
+    per-row salt, mod w."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), key)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % w).cast("int")
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    d: int = 3,
+    w: int = 1024,
+    weight_col: "str | None" = None,
+) -> DataFrame:
+    """``(r int, c int, cnt bigint)`` — the sketch's non-zero counters:
+    one partial-agg shuffle producing at most ``d·w`` rows. ``weight_col``
+    (default: 1 per row) supports pre-aggregated inputs. NULL keys
+    raise (a NULL would silently vanish from every estimate)."""
+    _check_cms(d, w)
+    key = _cms_key(key_col)
+    wcol = (
+        F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    )
+    placed = df.select(
+        F.posexplode(
+            F.array(*[_cms_col(key, r, w) for r in range(d)])
+        ).alias("r", "c"),
+        wcol.alias("__w"),
+    ).select(F.col("r").cast("int"), "c", "__w")
+    return placed.groupBy("r", "c").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_merge(*counter_dfs: DataFrame) -> DataFrame:
+    """Merge sketches (same d, w) by cell-wise ADDITION — shards/days/
+    tables sketch independently and union cheaply. NOT idempotent
+    (unlike HLL's max): never merge the same increments twice."""
+    if not counter_dfs:
+        raise ValueError("cms_merge: need at least one sketch")
+    out = counter_dfs[0]
+    for other in counter_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys_df: DataFrame,
+    key_col: str,
+    d: int = 3,
+    w: int = 1024,
+) -> DataFrame:
+    """``(<key_col>, est bigint)`` — the point estimate for every key
+    in ``keys_df``: min over the d counters the key hashes to (absent
+    cells count 0). The keys side is O(candidates); the join is
+    (r, c)-keyed against at most d·w counter rows — broadcastable."""
+    _check_cms(d, w)
+    key = _cms_key(key_col)
+    probes = keys_df.select(
+        F.col(key_col),
+        F.posexplode(
+            F.array(*[_cms_col(key, r, w) for r in range(d)])
+        ).alias("r", "c"),
+    ).select(key_col, F.col("r").cast("int"), "c")
+    return (
+        probes.join(F.broadcast(counters), ["r", "c"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def _cms_hash_sql(key_sql: str, r: int, w: int) -> str:
+    guarded = (
+        f"CASE WHEN {key_sql} IS NULL THEN"
+        " CAST(error('cms_counters: key is NULL - must be non-NULL"
+        " (filter or coalesce upstream)') AS VARCHAR)"
+        f" ELSE CAST({key_sql} AS VARCHAR) END"
+    )
+    return (
+        f"CAST(('0x' || substring(md5('cms{r}:' || {guarded}), 1, 15))::BIGINT"
+        f" % {int(w)} AS INT)"
+    )
+
+
+def cms_counters_sql(
+    src: str, key_sql: str, d: int = 3, w: int = 1024, weight_sql: str = "1"
+) -> str:
+    """DuckDB twin of :func:`cms_counters` — same salted md5 hash, same
+    NULL raise. Emits a SELECT producing (r, c, cnt)."""
+    _check_cms(d, w)
+    arms = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_hash_sql(key_sql, r, w)} AS c,"
+        f" CAST({weight_sql} AS BIGINT) AS wt FROM {src}"
+        for r in range(int(d))
+    )
+    return f"SELECT r, c, SUM(wt) AS cnt FROM ({arms}) GROUP BY r, c"
+
+
+def cms_estimate_sql(
+    counters_sql: str,
+    keys_src: str,
+    key_sql: str,
+    d: int = 3,
+    w: int = 1024,
+    key_alias: str = "key",
+) -> str:
+    """DuckDB twin of :func:`cms_estimate` over a (r, c, cnt) relation.
+    Emits a SELECT producing (<key_alias>, est)."""
+    _check_cms(d, w)
+    probes = " UNION ALL ".join(
+        f"SELECT {key_sql} AS {key_alias}, {r} AS r,"
+        f" {_cms_hash_sql(key_sql, r, w)} AS c FROM {keys_src}"
+        for r in range(int(d))
+    )
+    return f"""
+SELECT p.{key_alias}, CAST(MIN(COALESCE(t.cnt, 0)) AS BIGINT) AS est
+FROM ({probes}) p LEFT JOIN ({counters_sql}) t ON t.r = p.r AND t.c = p.c
+GROUP BY p.{key_alias}"""

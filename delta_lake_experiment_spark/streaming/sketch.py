@@ -39,6 +39,11 @@ from delta_lake_experiment_spark.streaming.engine_sink import (
 #: register-table schema (create the target table with this DDL)
 HLL_TABLE_DDL = "bucket int, reg int"
 
+#: counter-table schema for the CMS lane (re-export for symmetry)
+from delta_lake_experiment_spark.operators.sketches import (  # noqa: E402
+    CMS_TABLE_DDL,
+)
+
 
 def foreach_batch_hll_writer(client_factory, table: str, app_id: str,
                              key_col: str, p: int = 12):
@@ -119,3 +124,95 @@ def table_sketch_estimate(client, table: str, p: int = 12) -> DataFrame:
         .agg(F.max("reg").alias("reg"))
     )
     return hll_estimate(regs, p)
+
+
+# -- streaming count-min (heavy-hitter counts over everything streamed) -
+#
+# Same skeleton as the HLL lane with ONE algebraic difference that the
+# design leans on: CMS merges by ADDITION, which is commutative and
+# associative but NOT idempotent. Per-batch counter rows still append
+# through the exactly-once sink and still merge at read time
+# (groupBy-SUM instead of groupBy-max), but replay protection comes
+# ENTIRELY from the sink's txn markers — a redelivered batch id is
+# skipped before its increments exist, never "absorbed" by the merge
+# the way a re-maxed register would be. The stream == batch oracle
+# claim survives because the marker makes the append-set exact.
+
+
+def foreach_batch_cms_writer(client_factory, table: str, app_id: str,
+                             key_col: str, d: int = 3, w: int = 1024):
+    """foreachBatch function: sketch the batch's ``key_col`` into
+    (r, c, cnt) counter rows and append them through the txn-marker
+    exactly-once sink."""
+    from delta_lake_experiment_spark.operators.sketches import cms_counters
+
+    def sketch(client, batch_df: DataFrame) -> DataFrame:
+        return cms_counters(batch_df, key_col, d=d, w=w)
+
+    return foreach_batch_writer(client_factory, table, app_id, transform=sketch)
+
+
+def write_cms_stream_to_table(
+    stream_df: DataFrame,
+    client_factory,
+    table: str,
+    app_id: str,
+    key_col: str,
+    checkpoint_dir: str,
+    d: int = 3,
+    w: int = 1024,
+):
+    """Start an AvailableNow stream appending per-batch CMS counter
+    rows into an engine table; returns the StreamingQuery."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_cms_writer(client_factory, table, app_id, key_col, d, w)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def table_cms_estimate(
+    client, table: str, keys_df: DataFrame, key_col: str,
+    d: int = 3, w: int = 1024,
+) -> DataFrame:
+    """``(<key_col>, est)`` — point estimates over EVERYTHING the
+    counter table has accumulated: one groupBy-SUM (cms_merge at read
+    time) + the exact-integer min-probe."""
+    from delta_lake_experiment_spark.operators.sketches import cms_estimate
+
+    counters = (
+        client.scan(table, with_stamps=False)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return cms_estimate(counters, keys_df, key_col, d=d, w=w)
+
+
+def compact_cms_table(client, table: str, retries: int = 3) -> int:
+    """Fold-compaction for the counter table: rewrite accumulated
+    per-batch rows into ONE row per (r, c) cell — the groupBy-SUM
+    merge, materialized atomically in one transaction. Estimates are
+    unchanged (addition is associative; the fold is the same sum the
+    read-time merge computes), read cost drops to O(d·w) regardless of
+    batch count, and a concurrent batch append hits
+    first-committer-wins so no increment can be lost or doubled.
+    Returns the number of rows removed (0 = already compact)."""
+
+    def _attempt(c) -> int:
+        rows = c.scan(table, with_stamps=False)
+        n_total = rows.count()
+        folded = (
+            rows.groupBy("r", "c")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint(eager=True)  # sever lineage from the files
+        )                                 # the overwrite retires
+        n_folded = folded.count()
+        if n_folded == n_total:
+            return 0
+        c.overwrite_table(table, folded)
+        return n_total - n_folded
+
+    return client.run_tx(_attempt, retries=retries)

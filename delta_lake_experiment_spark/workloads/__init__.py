@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 124 value-oracled queries, seventy-four must sit outside the window. The
+# With 125 value-oracled queries, seventy-five must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -366,6 +366,13 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   value-diverges the MV from its recompute oracle immediately; the
 #   CDC commit-range semantics also stay pytest-pinned.
 # New in r8 (deferred from birth — the window is full at 50):
+# - corpus_heavy_hitters -> the tokenize lane is corpus_vocab's
+#   certified split (in-window via doc_text_stats' string kernels and
+#   the bpe lane), the md5-placement hashing is the doc_train_split
+#   _hex_prefix idiom, the top-k by top_orders_by_price; the NOVELTY
+#   (one-sided CMS estimates from integer counters, cell-wise-additive
+#   merge) is pinned by cross-engine + merge + weighted-input pytests
+#   AND the query's own est>=true in-plan guard;
 # - engine_ann_index_search -> the write->replay->scan ACID machinery
 #   is certified in-window by the engine_* lane, the certified Lloyd
 #   train/assign by semantic_dedup_corpus / corpus_topic_report /
@@ -452,6 +459,7 @@ _DEFERRED_ORACLED = [
     "corpus_curation_funnel",
     "domain_mixture",
     "engine_ann_index_search",
+    "corpus_heavy_hitters",
 ]
 
 

@@ -3905,6 +3905,99 @@ FROM ({est}) e,
     return "\nUNION ALL\n".join(parts)
 
 
+# -- count-min heavy hitters (operators/sketches.py CMS lane) -----------
+
+_CMS_D = 3
+_CMS_W = 2048
+_HH_TOP = 15
+
+
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequencies the 100 TB way (operators/sketches.py
+    count-min lane): token counts answered from O(d·w) integer counters
+    instead of a corpus-wide groupBy(token) shuffle — the frequency
+    dual of corpus_cardinality_report's HLL. One row per top-true
+    token with the exact count, the CMS estimate, and the overestimate
+    (CMS error is ONE-SIDED: est >= true always; the in-plan guard
+    raises if the sketch ever under-counts, so the report is its own
+    correctness certificate). Every counter is an exact md5-placed
+    integer sum, so sketch, merge, and estimate are bit-identical
+    across engines with no rounding anywhere — the estimate column
+    itself is value-oracled."""
+    from delta_lake_experiment_spark.functions.guards import null_checked
+    from delta_lake_experiment_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.lower(
+                    F.trim(null_checked(F.col("text"), "heavy_hitters", "text"))
+                ),
+                r"\s+",
+            )
+        ).alias("token")
+    )
+    counters = cms_counters(toks, "token", d=_CMS_D, w=_CMS_W)
+    true_counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    top = true_counts.orderBy(F.desc("true_cnt"), F.asc("token")).limit(_HH_TOP)
+    est = cms_estimate(counters, top.select("token"), "token", d=_CMS_D, w=_CMS_W)
+    return top.join(est, "token").select(
+        "token",
+        "true_cnt",
+        F.col("est").alias("cms_est"),
+        F.when(
+            F.col("est") >= F.col("true_cnt"), F.col("est") - F.col("true_cnt")
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "corpus_heavy_hitters: CMS under-counted - the"
+                    " one-sided error guarantee is broken"
+                )
+            )
+        )
+        .alias("overest"),
+    )
+
+
+def _heavy_hitters_sql() -> str:
+    from delta_lake_experiment_spark.operators.sketches import (
+        cms_counters_sql,
+        cms_estimate_sql,
+    )
+
+    tok_src = (
+        "(SELECT unnest(string_split_regex(lower(trim("
+        "CASE WHEN text IS NULL THEN CAST(error('heavy_hitters: text is NULL"
+        " - must be non-NULL (filter or coalesce upstream)') AS VARCHAR)"
+        r" ELSE text END)), '\s+')) AS token FROM documents)"
+    )
+    counters = cms_counters_sql("toks", "token", d=_CMS_D, w=_CMS_W)
+    est = cms_estimate_sql(
+        counters, "top", "token", d=_CMS_D, w=_CMS_W, key_alias="token"
+    )
+    return f"""
+WITH toks AS MATERIALIZED (SELECT token FROM {tok_src}),
+true_c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM toks GROUP BY token
+),
+top AS MATERIALIZED (
+  SELECT token, true_cnt FROM true_c ORDER BY true_cnt DESC, token
+  LIMIT {_HH_TOP}
+),
+est AS ({est})
+SELECT t.token, t.true_cnt, e.est AS cms_est,
+       e.est - t.true_cnt AS overest
+FROM top t JOIN est e ON e.token = t.token
+"""
+
+
 # -- unigram-LM tokenizer training (operators/unigram.py) ---------------
 
 # the synthetic corpus has 24 distinct characters and 31 distinct
@@ -4679,6 +4772,7 @@ QUERIES = {
     "similarity_pca_topk": similarity_pca_topk,
     "ann_recall_report": ann_recall_report,
     "engine_ann_index_search": engine_ann_index_search,
+    "corpus_heavy_hitters": corpus_heavy_hitters,
     "lang_id_weights": lang_id_weights,
     "predicted_lang_ccnet_buckets": predicted_lang_ccnet_buckets,
     "corpus_cardinality_report": corpus_cardinality_report,
@@ -4766,6 +4860,7 @@ ORACLES = {
     "similarity_pca_topk": _similarity_pca_topk_sql(),
     "ann_recall_report": _ann_recall_sql(),
     "engine_ann_index_search": _engine_ann_index_sql(),
+    "corpus_heavy_hitters": _heavy_hitters_sql(),
     "lang_id_weights": _langid_weights_sql(),
     "predicted_lang_ccnet_buckets": _predicted_lang_ccnet_sql(),
     "corpus_cardinality_report": _cardinality_report_sql(),

@@ -5301,6 +5301,82 @@ def test_hll_sketch_cross_engine_and_merge(spark):
         hll_merge()
 
 
+def test_cms_sketch_cross_engine_and_merge(spark):
+    """The deterministic count-min sketch: Spark counters == DuckDB
+    counters and estimates are identical INTEGERS (no rounding exists
+    anywhere in this lane); estimates are one-sided (est >= true for
+    every key); sketches merge by cell-wise ADDITION (slice A + slice
+    B == whole); weighted inputs fold pre-aggregated counts; NULL keys
+    raise on both engines; d/w are validated."""
+    import duckdb
+
+    from delta_lake_experiment_spark.operators.sketches import (
+        cms_counters,
+        cms_counters_sql,
+        cms_estimate,
+        cms_estimate_sql,
+        cms_merge,
+    )
+
+    d, w = 3, 64  # deliberately tight width: collisions MUST occur
+    rows = [(i, f"k{i % 200}") for i in range(4000)] + [
+        (10_000 + i, "hot") for i in range(700)
+    ]
+    df = spark.createDataFrame(rows, "i long, k string")
+    counters = cms_counters(df, "k", d=d, w=w)
+    crows = {(r["r"], r["c"]): r["cnt"] for r in counters.collect()}
+    assert len(crows) <= d * w
+    keys = df.select("k").distinct()
+    est = {
+        r["k"]: r["est"]
+        for r in cms_estimate(counters, keys, "k", d=d, w=w).collect()
+    }
+    true = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(est[k] >= true[k] for k in true)  # one-sided error
+    assert est["hot"] >= 700
+    assert any(est[k] > true[k] for k in true)  # collisions occurred
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ck (i BIGINT, k VARCHAR)")
+    con.executemany("INSERT INTO ck VALUES (?, ?)", rows)
+    csql = cms_counters_sql("ck", "k", d=d, w=w)
+    dcnt = {(r[0], r[1]): r[2] for r in con.execute(csql).fetchall()}
+    assert crows == dcnt
+    desql = cms_estimate_sql(
+        csql, "(SELECT DISTINCT k FROM ck)", "k", d=d, w=w, key_alias="k"
+    )
+    dest = dict(con.execute(desql).fetchall())
+    assert est == dest
+    # mergeability: cell-wise addition over independent slices
+    a = cms_counters(df.filter("i % 2 = 0"), "k", d=d, w=w)
+    b = cms_counters(df.filter("i % 2 = 1"), "k", d=d, w=w)
+    merged = {(r["r"], r["c"]): r["cnt"] for r in cms_merge(a, b).collect()}
+    assert merged == crows
+    # weighted input == exploded input
+    pre = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    wrows = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_counters(pre, "k", d=d, w=w, weight_col="n").collect()
+    }
+    assert wrows == crows
+    # NULL key raises on both engines
+    ndf = spark.createDataFrame([("a",), (None,)], "k string")
+    with pytest.raises(Exception, match="non-NULL"):
+        cms_counters(ndf, "k", d=d, w=w).collect()
+    con.execute("INSERT INTO ck VALUES (1, NULL)")
+    with pytest.raises(Exception, match="non-NULL"):
+        con.execute(csql).fetchall()
+    con.close()
+    with pytest.raises(ValueError, match="d="):
+        cms_counters(df, "k", d=0, w=w)
+    with pytest.raises(ValueError, match="w="):
+        cms_counters(df, "k", d=d, w=1)
+    with pytest.raises(ValueError, match="at least one"):
+        cms_merge()
+
+
 def test_word_embeddings_ppmi_cross_engine(spark):
     """PPMI + distributed-power-iteration word embeddings on a planted
     two-topic corpus: the spectral component separates the topics (all

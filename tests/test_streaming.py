@@ -573,3 +573,102 @@ def test_streaming_hll_sketch(spark, tmp_path, store_dir):
     c4.new_tx()
     assert c4.scan("sk", with_stamps=False).count() == n_merged
     c4.abort_tx()
+
+
+def test_streaming_cms_sketch(spark, tmp_path, store_dir):
+    """Streaming incremental heavy-hitter counts: per-batch CMS
+    counter rows append through the exactly-once sink, read-time
+    merge (groupBy-SUM) equals the batch sketch over everything
+    streamed, a REDELIVERED batch changes nothing (addition is not
+    idempotent — the txn marker alone carries exactly-once, the
+    documented contrast with HLL's max), and fold-compaction rewrites
+    to one row per cell with estimates unchanged."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.sketches import (
+        CMS_TABLE_DDL,
+        cms_counters,
+        cms_estimate,
+    )
+    from delta_lake_experiment_spark.streaming.sketch import (
+        compact_cms_table,
+        foreach_batch_cms_writer,
+        table_cms_estimate,
+        write_cms_stream_to_table,
+    )
+
+    d, w = 3, 32
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("cms", CMS_TABLE_DDL)
+    boot.commit_tx()
+    rows1 = [(f"k{i % 9}",) for i in range(300)]
+    rows2 = [("hot",)] * 200 + [(f"k{i % 5}",) for i in range(100)]
+    src = str(tmp_path / "ckeys")
+    spark.createDataFrame(rows1, "k string").coalesce(1).write.parquet(src)
+    spark.createDataFrame(rows2, "k string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_cms_stream_to_table(
+        stream, factory, "cms", "cmsapp", "k", str(tmp_path / "cck"), d=d, w=w
+    )
+    q.awaitTermination()
+    c = factory()
+    c.new_tx()
+    all_df = spark.createDataFrame(rows1 + rows2, "k string")
+    keys = all_df.select("k").distinct()
+    streamed = {
+        r["k"]: r["est"]
+        for r in table_cms_estimate(c, "cms", keys, "k", d=d, w=w).collect()
+    }
+    batch = {
+        r["k"]: r["est"]
+        for r in cms_estimate(
+            cms_counters(all_df, "k", d=d, w=w), keys, "k", d=d, w=w
+        ).collect()
+    }
+    assert streamed == batch and streamed["hot"] >= 200
+    n_rows = c.scan("cms", with_stamps=False).count()
+    n_cells = (
+        c.scan("cms", with_stamps=False).select("r", "c").distinct().count()
+    )
+    assert n_rows > n_cells  # two batches appended independently
+    c.abort_tx()
+    # redelivered batch id: skipped — counters NOT double-added
+    last = factory()
+    last.new_tx()
+    bid = last.tx.snapshot.txns["cmsapp"]
+    last.abort_tx()
+    writer = foreach_batch_cms_writer(factory, "cms", "cmsapp", "k", d=d, w=w)
+    writer(spark.createDataFrame([("other",)], "k string"), bid)
+    c2 = factory()
+    c2.new_tx()
+    again = {
+        r["k"]: r["est"]
+        for r in table_cms_estimate(c2, "cms", keys, "k", d=d, w=w).collect()
+    }
+    assert again == streamed
+    c2.abort_tx()
+    # fold-compaction: one row per cell, estimates unchanged, no-op twice
+    removed = compact_cms_table(c2, "cms")
+    assert removed == n_rows - n_cells > 0
+    c3 = factory()
+    c3.new_tx()
+    assert c3.scan("cms", with_stamps=False).count() == n_cells
+    folded = {
+        r["k"]: r["est"]
+        for r in table_cms_estimate(c3, "cms", keys, "k", d=d, w=w).collect()
+    }
+    assert folded == streamed
+    c3.abort_tx()
+    assert compact_cms_table(c3, "cms") == 0
