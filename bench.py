@@ -140,6 +140,8 @@ HEADLINE = [
     "engine_ann_index_search",
     # r8: deterministic count-min heavy hitters (frequency dual of HLL)
     "corpus_heavy_hitters",
+    # r8: zero-copy shallow clone with post-clone divergence
+    "engine_clone_divergence",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

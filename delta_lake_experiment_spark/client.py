@@ -1084,6 +1084,74 @@ class DeltaLakeClient:
             )
         return self.scan_latest(table, keys)
 
+    def clone_table(self, src: str, dst: str) -> int:
+        """Zero-copy SHALLOW CLONE (Delta's ``CREATE TABLE ... CLONE``):
+        register ``dst`` with ``src``'s schema, declarations (primary
+        keys, blooms, clustering, bucket spec), live data objects, and
+        deletion vectors — METADATA only, not one data byte moved or
+        copied. The clone is an independent table from its commit
+        forward: COW deletes, DV deletes, compaction, and overwrites on
+        either side rewrite only that side's references (a rewrite
+        produces new objects and drops that table's reference to the
+        shared ones), and VACUUM's keep-set is the NAME-based union of
+        every table's live references, so a shared object survives
+        until no table references it. The 100 TB use case: fork a
+        production table for an experiment, a backfill rehearsal, or a
+        point-in-time snapshot-as-table at O(files) metadata cost.
+
+        Runs inside the current transaction — the clone and anything
+        else in the tx commit atomically; first-committer-wins applies
+        as usual. Source unflushed buffer rows raise (flush_buffer
+        first: a clone of half-buffered state would be neither the
+        committed snapshot nor the working one). Returns the number of
+        data objects referenced."""
+        tx = self._require_tx()
+        schema = self.table_schema(src)  # raises for unknown tables
+        if any(row is not None for _, row in tx.buffers.get(src, [])):
+            raise TypeMismatchError(
+                f"clone_table: source {src!r} has unflushed buffered"
+                " rows - call flush_buffer first"
+            )
+        snap = self._effective_snapshot(tx)
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        spec = snap.bucket_specs.get(src)
+        self.create_table(
+            dst,
+            ddl,
+            primary_keys=list(snap.pkeys.get(src, [])),
+            bloom_columns=list(snap.bloom_cols.get(src, [])),
+            cluster_by=list(snap.cluster_cols.get(src, [])),
+            bucket_by=(list(spec["cols"]), int(spec["n"])) if spec else None,
+        )
+        objs = snap.live_objects(src)
+        for o in objs:
+            tx.actions.append(
+                AddDataObject(
+                    name=o.name,
+                    table=dst,
+                    tx_id=o.tx_id,  # COW precedent: rows keep their tx
+                    num_rows=o.num_rows,
+                    stats=dict(o.stats),
+                    blooms=dict(o.blooms),
+                    bucket_id=o.bucket_id,
+                )
+            )
+        live_names = {o.name for o in objs}
+        dv_objs: dict[str, list[str]] = {}
+        for obj, dv_list in snap.table_dvs(src).items():
+            if obj in live_names:
+                for dv in dv_list:
+                    dv_objs.setdefault(dv, []).append(obj)
+        for dv, masked in sorted(dv_objs.items()):
+            tx.actions.append(
+                AddDeletionVector(
+                    table=dst, dv_name=dv, objects=sorted(masked), tx_id=tx.id
+                )
+            )
+        return len(objs)
+
     def overwrite_table(self, table: str, df: DataFrame) -> None:
         """INSERT OVERWRITE: atomically replace the table's contents
         with ``df`` in this transaction — a remove action for every

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 125 value-oracled queries, seventy-five must sit outside the window. The
+# With 126 value-oracled queries, seventy-six must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -366,6 +366,13 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   value-diverges the MV from its recompute oracle immediately; the
 #   CDC commit-range semantics also stay pytest-pinned.
 # New in r8 (deferred from birth — the window is full at 50):
+# - engine_clone_divergence -> the seed/COW-delete/DV-delete/scan
+#   machinery is certified in-window by engine_delete_range /
+#   engine_delete_dv / engine_roundtrip_scan and the aggregate shape by
+#   q1; the NOVELTY (zero-copy shallow clone with post-clone
+#   independence and shared-object VACUUM safety) is pinned by the
+#   clone lifecycle pytests, and a leaked delete or lost DV mask
+#   value-diverges this query's two-sided aggregate immediately;
 # - corpus_heavy_hitters -> the tokenize lane is corpus_vocab's
 #   certified split (in-window via doc_text_stats' string kernels and
 #   the bpe lane), the md5-placement hashing is the doc_train_split
@@ -460,6 +467,7 @@ _DEFERRED_ORACLED = [
     "domain_mixture",
     "engine_ann_index_search",
     "corpus_heavy_hitters",
+    "engine_clone_divergence",
 ]
 
 

@@ -428,6 +428,56 @@ def engine_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE (client.clone_table): orders is cloned
+    at O(files) metadata cost — no data bytes move — then the two
+    tables DIVERGE: a COW range delete on the source, a DV range
+    delete on the clone (different range, different delete mechanism —
+    the independence must hold across both). Returned: per-status
+    aggregates of both sides in one frame. The oracle recomputes each
+    side as a plain filtered aggregate — a clone that leaked a delete
+    across tables, dropped a shared object, or lost the cloned DV mask
+    value-diverges immediately."""
+    _utc(spark)
+    c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])
+    c.new_tx()
+    c.clone_table("orders", "fork")
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("orders", "o_totalprice", 50000.0, 150000.0)
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("fork", "o_totalprice", 100000.0, 200000.0, use_dv=True)
+    c.commit_tx()
+    c.new_tx()
+
+    def side(tbl, tag):
+        return (
+            c.scan(tbl, with_stamps=False)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            )
+            .select(F.lit(tag).alias("side"), "o_orderstatus", "n", "total_price")
+        )
+
+    return side("orders", "main").unionByName(side("fork", "fork"))
+
+
+ENGINE_CLONE_DIVERGENCE_SQL = """
+SELECT 'main' AS side, o_orderstatus, COUNT(*) AS n,
+       round(SUM(o_totalprice), 2) AS total_price
+FROM orders WHERE o_totalprice NOT BETWEEN 50000.0 AND 150000.0
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'fork', o_orderstatus, COUNT(*),
+       round(SUM(o_totalprice), 2)
+FROM orders WHERE o_totalprice NOT BETWEEN 100000.0 AND 200000.0
+GROUP BY o_orderstatus
+"""
+
+
 ENGINE_INCREMENTAL_MV_SQL = """
 WITH cur AS (
   SELECT * FROM orders WHERE o_totalprice NOT BETWEEN 50000.0 AND 150000.0
@@ -448,6 +498,7 @@ QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
+    "engine_clone_divergence": engine_clone_divergence,
     "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
     "engine_change_feed": engine_change_feed,
@@ -463,6 +514,7 @@ ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
+    "engine_clone_divergence": ENGINE_CLONE_DIVERGENCE_SQL,
     "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,
     "engine_sql_merge": MERGE_SQL,

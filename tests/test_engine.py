@@ -17,7 +17,10 @@ from delta_lake_experiment_spark import (
     TableExistsError,
     TypeMismatchError,
 )
-from delta_lake_experiment_spark.errors import ObjectExistsError
+from delta_lake_experiment_spark.errors import (
+    ObjectExistsError,
+    TableNotFoundError,
+)
 from delta_lake_experiment_spark.plans.snapshot import replay_log
 
 
@@ -1936,6 +1939,102 @@ def test_refresh_aggregate_view_min_max_avg(spark, store_dir):
     c.commit_tx()
     with pytest.raises(Exception, match="non-NULL"):
         refresh_aggregate_view(c, "src", "mv", ["k"], **kw)
+
+
+def test_clone_table_zero_copy(spark, store_dir):
+    """SHALLOW CLONE: dst references src's live objects and DVs with
+    zero data movement; the two tables then diverge independently;
+    VACUUM keeps shared objects until NO table references them; the
+    clone survives log replay by a fresh client."""
+    import os
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=25)
+    rows = [(i, f"v{i}") for i in range(100)]
+    c.new_tx()
+    c.create_table("src", "k bigint, v string", bloom_columns=["k"])
+    c.write_dataframe("src", spark.createDataFrame(rows, "k long, v string"))
+    c.commit_tx()
+    # a DV on src BEFORE the clone: the mask must come along
+    c.new_tx()
+    c.delete_rows("src", "k", 90, 99, use_dv=True)
+    c.commit_tx()
+
+    def files():
+        return {n for n in os.listdir(store_dir) if n.startswith("table_")}
+
+    before = files()
+    c.new_tx()
+    n = c.clone_table("src", "dst")
+    assert n > 1
+    c.commit_tx()
+    assert files() == before  # not one data object written
+    c.new_tx()
+    live = set(range(90))
+    got = sorted(r["k"] for r in c.scan("dst", with_stamps=False).collect())
+    assert got == sorted(live)  # DV mask applied through the clone
+    # blooms cloned: a point lookup on dst prunes files
+    snap = c._effective_snapshot(c.tx)
+    assert len(snap.live_files("dst", c.store, prune={"k": (7, 7)})) < len(
+        snap.live_objects("dst")
+    )
+    # independence: COW delete on dst leaves src intact, and vice versa
+    c.delete_rows("dst", "k", 0, 49)
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(
+        r["k"] for r in c.scan("dst", with_stamps=False).collect()
+    ) == sorted(live - set(range(50)))
+    assert sorted(
+        r["k"] for r in c.scan("src", with_stamps=False).collect()
+    ) == sorted(live)
+    c.delete_rows("src", "k", 50, 59)
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(
+        r["k"] for r in c.scan("dst", with_stamps=False).collect()
+    ) == sorted(live - set(range(50)))
+    c.abort_tx()
+    # vacuum: src's rewrites orphaned some originals FOR SRC, but dst
+    # still references others; nothing dst needs may be reclaimed
+    c.vacuum()
+    c2 = DeltaLakeClient(spark, store_dir)  # fresh replay
+    c2.new_tx()
+    assert sorted(
+        r["k"] for r in c2.scan("dst", with_stamps=False).collect()
+    ) == sorted(live - set(range(50)))
+    # guards
+    with pytest.raises(TableNotFoundError):
+        c2.clone_table("nope", "x")
+    with pytest.raises(TableExistsError):
+        c2.clone_table("src", "dst")
+    c2.write_row("src", [1000, "z"])
+    with pytest.raises(TypeMismatchError, match="flush_buffer"):
+        c2.clone_table("src", "dst2")
+    c2.abort_tx()
+
+
+def test_clone_bucketed_table_keeps_layout(spark, store_dir, smj_conf):
+    """Cloning a bucketed table carries the bucket spec AND the
+    per-object bucket labels: scan_bucketed on the clone plans the
+    same exchange-free aggregation, values equal the source."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("t", "id bigint, fp string", bucket_by=(["fp"], 8))
+    c.write_dataframe(
+        "t",
+        spark.createDataFrame(
+            [(i, f"fp{i % 16}") for i in range(200)], "id long, fp string"
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.clone_table("t", "t2")
+    c.commit_tx()
+    c.new_tx()
+    d = c.scan_bucketed("t2", with_stamps=False)
+    assert _no_shuffle(d.groupBy("fp").count())
+    assert sorted(r["id"] for r in d.collect()) == list(range(200))
+    c.abort_tx()
 
 
 def test_update_rows_mv_source_guard(spark, store_dir):
