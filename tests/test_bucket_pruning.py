@@ -74,25 +74,37 @@ def _rand_value(rnd, t):
 
 
 def test_python_murmur3_matches_jvm_hash(spark):
-    """200 random multi-column tuples across all 11 supported types
-    (unicode strings, ±0.0, NULLs, signed-byte string tails): the
-    pure-Python hash equals F.hash bit-for-bit. One batched job."""
+    """Random tuples across all 11 supported types (unicode strings,
+    ±0.0, NULLs, signed-byte string tails) and fixed multi-column
+    signatures: the pure-Python hash equals F.hash bit-for-bit.
+    BATCHED per type-signature — one Spark job per signature (17
+    total), not one per case (a per-case loop measured 47 s)."""
     rnd = random.Random(1234)
-    cases = []
-    for _ in range(200):
-        k = rnd.randint(1, 4)
-        types = [rnd.choice(list(_TYPES)) for _ in range(k)]
-        cases.append(([_rand_value(rnd, t) for t in types], types))
-    for vals, types in cases:
+    signatures = [[t] for t in _TYPES] + [
+        ["string", "bigint"],
+        ["int", "string", "double"],
+        ["date", "timestamp"],
+        ["binary", "boolean", "tinyint"],
+        ["double", "float", "smallint", "string"],
+        ["bigint", "bigint"],
+    ]
+    for types in signatures:
+        rows = [
+            tuple(_rand_value(rnd, t) for t in types) for _ in range(40)
+        ]
         schema = T.StructType(
             [
                 T.StructField(f"c{i}", _TYPES[t], True)
                 for i, t in enumerate(types)
             ]
         )
-        df = spark.createDataFrame([tuple(vals)], schema)
-        jvm = df.select(F.hash(*df.columns).alias("h")).collect()[0]["h"]
-        assert spark_hash(vals, types) == jvm, (vals, types)
+        df = spark.createDataFrame(rows, schema)
+        jvm = [
+            r["h"]
+            for r in df.select(F.hash(*df.columns).alias("h")).collect()
+        ]
+        for vals, expect in zip(rows, jvm):
+            assert spark_hash(list(vals), types) == expect, (vals, types)
 
 
 def test_bucket_id_matches_repartition_index(spark):

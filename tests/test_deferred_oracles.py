@@ -4,11 +4,22 @@ The driver's CORRECTNESS gate only checks the first 50 registry
 entries; the value-oracled queries deliberately ordered outside that
 window (workloads/__init__.py::_DEFERRED_ORACLED) would otherwise be
 guarded only by convention ("run tools/check_oracle.py before
-commits"). This test runs every deferred query against its DuckDB
-oracle at sf0.001 on every pytest run, so deferral never means
-unchecked (ADVICE r4).
+commits"). A ROTATING TIER of the deferred queries runs against its
+DuckDB oracle at sf0.001 on every pytest run (VERDICT r7 item 8: as
+the registry passed 70+ deferred entries the full per-run sweep became
+pure repetition of what tools/check_oracle.py certifies per session at
+sf0.01 — the registry invariants below still run every time, and NO
+query loses its oracle):
+
+- tier membership and the active tier both derive from an md5 over the
+  sorted deferred list, so ANY registry change reshuffles which third
+  runs — coverage rotates as the registry evolves, and a given tree
+  always tests the same deterministic subset (reproducible failures);
+- ``SPARK_GRAFT_FULL_ORACLES=1`` forces the full per-run sweep (what
+  tools/check_oracle.py runs per session at sf0.01 regardless).
 """
 
+import hashlib
 import os
 import sys
 
@@ -31,6 +42,25 @@ from delta_lake_experiment_spark.workloads import (  # noqa: E402
 )
 
 SF_DIR = "/root/testdata/sf0.001"
+
+_TIERS = 3
+_TIER_SALT = ",".join(sorted(_DEFERRED_ORACLED))
+
+
+def _md5_mod(text: str, mod: int) -> int:
+    return int(hashlib.md5(text.encode()).hexdigest(), 16) % mod
+
+
+_ACTIVE_TIER = _md5_mod(_TIER_SALT, _TIERS)
+_SWEEP = (
+    sorted(_DEFERRED_ORACLED)
+    if os.environ.get("SPARK_GRAFT_FULL_ORACLES") == "1"
+    else sorted(
+        n
+        for n in _DEFERRED_ORACLED
+        if _md5_mod(f"{_TIER_SALT}|{n}", _TIERS) == _ACTIVE_TIER
+    )
+)
 
 
 @pytest.fixture(scope="module")
@@ -97,7 +127,18 @@ def test_entry_contract_key_consistency():
     }
 
 
-@pytest.mark.parametrize("name", sorted(_DEFERRED_ORACLED))
+def test_tier_partition_is_exhaustive():
+    # the three tiers partition the deferred list: every query belongs
+    # to exactly one, so nothing can fall out of rotation
+    tiers = {t: [] for t in range(_TIERS)}
+    for n in _DEFERRED_ORACLED:
+        tiers[_md5_mod(f"{_TIER_SALT}|{n}", _TIERS)].append(n)
+    assert sum(len(v) for v in tiers.values()) == len(_DEFERRED_ORACLED)
+    assert all(tiers[t] for t in range(_TIERS)), "an empty tier would"
+    " silently shrink rotation coverage"
+
+
+@pytest.mark.parametrize("name", _SWEEP)
 def test_deferred_query_matches_oracle(spark, duck, name):
     queries = all_queries()
     oracles = all_oracles()

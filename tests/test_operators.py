@@ -5319,8 +5319,8 @@ def test_cms_sketch_cross_engine_and_merge(spark):
     )
 
     d, w = 3, 64  # deliberately tight width: collisions MUST occur
-    rows = [(i, f"k{i % 200}") for i in range(4000)] + [
-        (10_000 + i, "hot") for i in range(700)
+    rows = [(i, f"k{i % 200}") for i in range(1500)] + [
+        (10_000 + i, "hot") for i in range(300)
     ]
     df = spark.createDataFrame(rows, "i long, k string")
     counters = cms_counters(df, "k", d=d, w=w)
@@ -5336,7 +5336,7 @@ def test_cms_sketch_cross_engine_and_merge(spark):
         for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert all(est[k] >= true[k] for k in true)  # one-sided error
-    assert est["hot"] >= 700
+    assert est["hot"] >= 300
     assert any(est[k] > true[k] for k in true)  # collisions occurred
     con = duckdb.connect()
     con.execute("CREATE TABLE ck (i BIGINT, k VARCHAR)")
