@@ -270,6 +270,7 @@ class DeltaLakeClient:
         bloom_columns: Optional[list[str]] = None,
         cluster_by: Optional[list[str]] = None,
         bucket_by: Optional[tuple] = None,
+        checks: Optional[dict[str, str]] = None,
     ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
 
@@ -347,6 +348,7 @@ class DeltaLakeClient:
                     "bucket_by and cluster_by are mutually exclusive - both"
                     " dictate the write partitioning"
                 )
+        checks_map = self._validate_checks(parsed, checks or {})
         tx.new_tables[table] = ddl
         tx.actions.append(
             ChangeMetadata(
@@ -357,6 +359,7 @@ class DeltaLakeClient:
                 cluster_by=clus,
                 bucket_by=bcols,
                 bucket_count=bn,
+                checks=checks_map,
             )
         )
 
@@ -397,12 +400,17 @@ class DeltaLakeClient:
         primary_keys: Optional[list[str]] = None,
         bloom_columns: Optional[list[str]] = None,
         cluster_by: Optional[list[str]] = None,
+        checks: Optional[dict[str, str]] = None,
     ) -> None:
         """Change the table's declared primary keys / bloom columns /
-        clustering without touching data. ``None`` keeps the current
-        declaration, ``[]`` clears it. New declarations govern FUTURE
-        writes — existing objects keep their stats and blooms; run
-        ``compact()`` to rewrite them under the new layout/blooms."""
+        clustering / CHECK constraints without touching data. ``None``
+        keeps the current declaration, ``[]`` (or ``{}`` for checks)
+        clears it. New declarations govern FUTURE writes — existing
+        objects keep their stats and blooms; run ``compact()`` to
+        rewrite them under the new layout/blooms. ADDING or changing a
+        CHECK validates EXISTING rows first (one scan, Delta's ADD
+        CONSTRAINT semantics) so the constraint is an invariant of the
+        whole table, not just of future files."""
         tx = self._require_tx()
         schema = self.table_schema(table)  # raises for unknown tables
         snap = self._effective_snapshot(tx)
@@ -422,6 +430,27 @@ class DeltaLakeClient:
             missing = set(colset) - names
             if missing:
                 raise TypeMismatchError(f"{label} columns not in schema: {sorted(missing)}")
+        cur_checks = dict(snap.checks.get(table, {}))
+        new_checks = cur_checks if checks is None else dict(checks)
+        if checks is not None:
+            self._validate_checks(schema, new_checks)
+            added = {
+                n: e
+                for n, e in new_checks.items()
+                if cur_checks.get(n) != e
+            }
+            if added:
+                cur = self.scan(table, with_stamps=False)
+                cond = None
+                for n in sorted(added):
+                    c_ = ~F.coalesce(F.expr(added[n]), F.lit(False))
+                    cond = c_ if cond is None else (cond | c_)
+                bad = cur.filter(cond).count()
+                if bad:
+                    raise TypeMismatchError(
+                        f"cannot add CHECK constraint(s) {sorted(added)}:"
+                        f" {bad} existing row(s) violate them"
+                    )
         ddl = tx.new_tables.get(table) or tx.snapshot.tables.get(table)
         # bucketing is create-time-only: the authoritative record must
         # CARRY the current spec, or this alter would silently clear it
@@ -440,9 +469,33 @@ class DeltaLakeClient:
                 cluster_by=new_cluster,
                 bucket_by=list(spec["cols"]) if spec else [],
                 bucket_count=int(spec["n"]) if spec else 0,
+                checks=new_checks,
                 authoritative=True,
             )
         )
+
+    def _validate_checks(
+        self, schema: T.StructType, checks: dict[str, str]
+    ) -> dict[str, str]:
+        """Parse every CHECK expression against the schema NOW (a typo
+        must fail at declaration, not at first write) and reject names
+        that cannot round-trip the log."""
+        out: dict[str, str] = {}
+        for name, expr in checks.items():
+            if not name or not str(name).replace("_", "").isalnum():
+                raise TypeMismatchError(
+                    f"invalid CHECK constraint name {name!r}"
+                )
+            probe = self.spark.createDataFrame([], schema)
+            try:
+                probe.filter(F.expr(str(expr))).schema
+            except Exception as e:
+                raise TypeMismatchError(
+                    f"CHECK constraint {name!r} does not analyze against"
+                    f" the schema: {expr!r} ({e})"
+                )
+            out[str(name)] = str(expr)
+        return out
 
     def table_schema(self, table: str) -> T.StructType:
         """User-visible schema (without engine stamp columns)."""
@@ -1124,6 +1177,7 @@ class DeltaLakeClient:
             bloom_columns=list(snap.bloom_cols.get(src, [])),
             cluster_by=list(snap.cluster_cols.get(src, [])),
             bucket_by=(list(spec["cols"]), int(spec["n"])) if spec else None,
+            checks=dict(snap.checks.get(src, {})),
         )
         objs = snap.live_objects(src)
         for o in objs:
@@ -1984,6 +2038,7 @@ class DeltaLakeClient:
             or cur.bloom_cols.get(table, []) != old.bloom_cols.get(table, [])
             or cur.cluster_cols.get(table, []) != old.cluster_cols.get(table, [])
             or cur.bucket_specs.get(table) != old.bucket_specs.get(table)
+            or cur.checks.get(table, {}) != old.checks.get(table, {})
         ):
             old_spec = old.bucket_specs.get(table)
             tx.actions.append(
@@ -1995,6 +2050,7 @@ class DeltaLakeClient:
                     cluster_by=list(old.cluster_cols.get(table, [])),
                     bucket_by=list(old_spec["cols"]) if old_spec else [],
                     bucket_count=int(old_spec["n"]) if old_spec else 0,
+                    checks=dict(old.checks.get(table, {})),
                     authoritative=True,
                 )
             )
@@ -2270,6 +2326,7 @@ class DeltaLakeClient:
             t: {"cols": list(s["cols"]), "n": int(s["n"])}
             for t, s in tx.snapshot.bucket_specs.items()
         }
+        snap.checks = {t: dict(cs) for t, cs in tx.snapshot.checks.items()}
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
@@ -2345,13 +2402,19 @@ class DeltaLakeClient:
             return
         schema = self.table_schema(table)
         stored = self._stored_schema(schema)
-        if self._bucket_spec(tx, table) is not None:
+        if (
+            self._bucket_spec(tx, table) is not None
+            or self._effective_snapshot(tx).checks.get(table)
+        ):
             # bucketed tables: a mixed-bucket driver file would break
             # the per-object bucket labels, so even row-at-a-time
             # flushes route through the bucketized Spark staging path
             # (up to n small files per flush — the documented cost of
             # trickle-writing a bucketed table; bulk ingest is the
-            # intended path)
+            # intended path). CHECKED tables take the same route: the
+            # constraint enforcement lives in the staging funnel
+            # (_bucketize), and a driver-side pyarrow write would
+            # bypass it
             stamped = self.spark.createDataFrame(
                 [list(row) + [tx.id, idx] for idx, row in rows], stored
             )
@@ -2406,12 +2469,46 @@ class DeltaLakeClient:
         compaction) funnels its staged frame through here, which is
         what keeps the layout true across the table's whole lifecycle;
         the correctness pytest joins the bucketed scan against a plain
-        scan to catch any divergence in the hash contract itself."""
+        scan to catch any divergence in the hash contract itself.
+
+        The same funnel property makes this the CHECK-constraint
+        enforcement point: every staged frame passes the table's
+        declared checks in-plan (a codegen'd ``when`` wrap on the
+        first column — no extra pass), so no file written while a
+        constraint is active can violate it, on ANY write path."""
+        df = self._enforce_checks(tx, table, df)
         spec = self._bucket_spec(tx, table)
         if spec is None:
             return df
         cols, n = spec
         return df.repartition(n, *[F.col(c) for c in cols])
+
+    def _enforce_checks(self, tx: "_Tx", table: str, df: DataFrame) -> DataFrame:
+        """Wrap ``df`` so any row violating a declared CHECK raises
+        in-plan at write time (NULL check results count as violations,
+        the SQL-standardly surprising part Delta also rejects). The
+        raise rides the first column's projection — whole-stage
+        codegen, no extra scan, no driver round-trip."""
+        checks = self._effective_snapshot(tx).checks.get(table)
+        if not checks:
+            return df
+        first = df.columns[0]
+        wrapped = F.col(first)
+        for name in sorted(checks, reverse=True):
+            wrapped = F.when(
+                F.coalesce(F.expr(checks[name]), F.lit(False)), wrapped
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"CHECK constraint {name!r} violated"
+                            f" ({checks[name]}) by row with {first}="
+                        ),
+                        F.coalesce(F.col(first).cast("string"), F.lit("NULL")),
+                    )
+                )
+            )
+        return df.withColumn(first, wrapped.alias(first))
 
     def _write_parquet_staging(self, df: DataFrame, path: str) -> None:
         """Every engine Parquet write goes through here. The session is

@@ -105,6 +105,13 @@ class ChangeMetadata:
     # rewrite); mutually exclusive with cluster_by.
     bucket_by: list[str] = field(default_factory=list)
     bucket_count: int = 0
+    # declared CHECK constraints: name -> boolean SQL expression over
+    # the table's columns (Delta's ALTER TABLE ADD CONSTRAINT CHECK).
+    # Every staged write evaluates them in-plan and RAISES on the
+    # first violating row — the lakehouse ingest-quality gate: no file
+    # written while a constraint is active can violate it. alter_table
+    # validates EXISTING rows when a constraint is added.
+    checks: dict[str, str] = field(default_factory=dict)
     # With ``authoritative=True`` the declaration lists REPLACE the
     # table's current ones — empty lists CLEAR prior declarations
     # (RESTORE / ALTER need this). Default False keeps the legacy
@@ -123,6 +130,8 @@ class ChangeMetadata:
         if self.bucket_by:
             out["bucket_by"] = self.bucket_by
             out["bucket_count"] = self.bucket_count
+        if self.checks:
+            out["checks"] = self.checks
         if self.authoritative:
             out["authoritative"] = True
         return {"metadata": out}
@@ -186,6 +195,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             cluster_by=list(m.get("cluster_by", [])),
             bucket_by=list(m.get("bucket_by", [])),
             bucket_count=int(m.get("bucket_count", 0)),
+            checks=dict(m.get("checks", {})),
             authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:

@@ -68,6 +68,9 @@ class Snapshot:
     # table -> {"cols": [...], "n": int} declared bucketing (hash
     # layout; every data object labeled with its bucket id)
     bucket_specs: dict[str, dict] = field(default_factory=dict)
+    # table -> {check name -> boolean SQL expr} declared CHECK
+    # constraints (every staged write enforces them in-plan)
+    checks: dict[str, dict] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -129,6 +132,7 @@ class Snapshot:
                     self.pkeys[act.table] = list(act.primary_keys)
                     self.bloom_cols[act.table] = list(act.bloom_columns)
                     self.cluster_cols[act.table] = list(act.cluster_by)
+                    self.checks[act.table] = dict(act.checks)
                     if act.bucket_by:
                         self.bucket_specs[act.table] = {
                             "cols": list(act.bucket_by),
@@ -148,6 +152,8 @@ class Snapshot:
                             "cols": list(act.bucket_by),
                             "n": int(act.bucket_count),
                         }
+                    if act.checks:
+                        self.checks[act.table] = dict(act.checks)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -179,6 +185,7 @@ class Snapshot:
                 "bloom_cols": self.bloom_cols,
                 "cluster_cols": self.cluster_cols,
                 "bucket_specs": self.bucket_specs,
+                "checks": self.checks,
                 "txns": self.txns,
             }
         ).encode()
@@ -197,6 +204,10 @@ class Snapshot:
         snap.bucket_specs = {
             t: {"cols": list(s["cols"]), "n": int(s["n"])}
             for t, s in d.get("bucket_specs", {}).items()
+        }
+        snap.checks = {
+            t: {n: str(e) for n, e in cs.items()}
+            for t, cs in d.get("checks", {}).items()
         }
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():

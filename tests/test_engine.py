@@ -1941,6 +1941,124 @@ def test_refresh_aggregate_view_min_max_avg(spark, store_dir):
         refresh_aggregate_view(c, "src", "mv", ["k"], **kw)
 
 
+def test_check_constraints_enforced_on_every_write_path(spark, store_dir):
+    """CHECK constraints (Delta's ADD CONSTRAINT): declared at create,
+    enforced in-plan on bulk ingest, buffered-row flush, and COW
+    update; a violating write raises and the commit never publishes;
+    NULL check results count as violations."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table(
+        "t", "k bigint, score double",
+        checks={"score_range": "score >= 0.0 AND score <= 1.0"},
+    )
+    ok = spark.createDataFrame(
+        [(1, 0.5), (2, 0.0), (3, 1.0)], "k long, score double"
+    )
+    c.write_dataframe("t", ok)
+    c.commit_tx()
+    # violating bulk ingest: raises, nothing published
+    c.new_tx()
+    with pytest.raises(Exception, match="score_range"):
+        c.write_dataframe(
+            "t", spark.createDataFrame([(4, 1.5)], "k long, score double")
+        )
+    c.abort_tx()
+    c.new_tx()
+    assert c.scan("t", with_stamps=False).count() == 3
+    # NULL check result = violation (the SQL-standardly surprising part)
+    with pytest.raises(Exception, match="score_range"):
+        c.write_dataframe(
+            "t", spark.createDataFrame([(5, None)], "k long, score double")
+        )
+    c.abort_tx()
+    # buffered rows validate at flush
+    c.new_tx()
+    c.write_row("t", [6, 2.0])
+    with pytest.raises(Exception, match="score_range"):
+        c.flush_buffer("t")
+    c.abort_tx()
+    # COW update that would break the constraint raises
+    c.new_tx()
+    with pytest.raises(Exception, match="score_range"):
+        c.update_rows("t", "k", 1, 1, {"score": 7.0})
+    c.abort_tx()
+    # a valid update still goes through
+    c.new_tx()
+    c.update_rows("t", "k", 1, 1, {"score": 0.9})
+    c.commit_tx()
+    c.new_tx()
+    got = {r["k"]: r["score"] for r in c.scan("t", with_stamps=False).collect()}
+    assert got == {1: 0.9, 2: 0.0, 3: 1.0}
+    c.abort_tx()
+
+
+def test_check_constraints_alter_replay_clone_restore(spark, store_dir):
+    """ALTER adds a check only if existing rows satisfy it (one scan,
+    Delta semantics); checks survive log replay, checkpoints, clones
+    and RESTORE; bad declarations fail loudly at declaration time."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("t", "k bigint, v string")
+    c.write_dataframe(
+        "t", spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    )
+    c.commit_tx()
+    # adding a check existing rows violate: rejected with the count
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="existing row"):
+        c.alter_table("t", checks={"big_k": "k > 1"})
+    c.abort_tx()
+    # a satisfiable check lands and governs future writes
+    c.new_tx()
+    c.alter_table("t", checks={"pos_k": "k > 0"})
+    c.commit_tx()
+    c2 = DeltaLakeClient(spark, store_dir)  # fresh replay
+    c2.new_tx()
+    with pytest.raises(Exception, match="pos_k"):
+        c2.write_dataframe(
+            "t", spark.createDataFrame([(0, "z")], "k long, v string")
+        )
+    c2.abort_tx()
+    # clone carries the constraint
+    c2.new_tx()
+    c2.clone_table("t", "t2")
+    c2.commit_tx()
+    c2.new_tx()
+    with pytest.raises(Exception, match="pos_k"):
+        c2.write_dataframe(
+            "t2", spark.createDataFrame([(-1, "z")], "k long, v string")
+        )
+    c2.abort_tx()
+    # clearing with {} re-admits previously violating rows
+    c2.new_tx()
+    v_before_clear = c2.tx.snapshot.version
+    c2.alter_table("t", checks={})
+    c2.commit_tx()
+    c2.new_tx()
+    c2.write_dataframe(
+        "t", spark.createDataFrame([(0, "z")], "k long, v string")
+    )
+    c2.commit_tx()
+    # RESTORE to the constrained version brings the constraint back
+    c2.new_tx()
+    c2.restore_table("t", v_before_clear)
+    c2.commit_tx()
+    c2.new_tx()
+    with pytest.raises(Exception, match="pos_k"):
+        c2.write_dataframe(
+            "t", spark.createDataFrame([(0, "y")], "k long, v string")
+        )
+    c2.abort_tx()
+    # declaration-time validation: typos and bad names fail loudly
+    c2.new_tx()
+    with pytest.raises(TypeMismatchError, match="analyze"):
+        c2.create_table("bad", "a int", checks={"c1": "nope > 0"})
+    with pytest.raises(TypeMismatchError, match="name"):
+        c2.create_table("bad2", "a int", checks={"no spaces!": "a > 0"})
+    c2.abort_tx()
+
+
 def test_clone_table_zero_copy(spark, store_dir):
     """SHALLOW CLONE: dst references src's live objects and DVs with
     zero data movement; the two tables then diverge independently;
