@@ -585,6 +585,13 @@ class DeltaLakeClient:
             # every later rewrite of the stored values (review catch —
             # a silent wrong-join at the first COW rewrite otherwise).
             stamped = self._bucketize(tx, table, stamped)
+        else:
+            # clustered tables skip the bucket funnel, but NOT the
+            # CHECK enforcement that lives in it (regression: a
+            # clustered checked table's bulk ingest silently admitted
+            # violating rows). The wrap is a narrow projection, so the
+            # per-partition cluster sort is preserved.
+            stamped = self._enforce_checks(tx, table, stamped)
         begin_remote = getattr(self.store, "begin_remote_staging", None)
         if begin_remote is not None:
             # Remote stores (S3): executors write Parquet into in-bucket

@@ -1993,6 +1993,41 @@ def test_check_constraints_enforced_on_every_write_path(spark, store_dir):
     c.abort_tx()
 
 
+def test_check_constraints_enforced_on_clustered_tables(spark, store_dir):
+    """Regression: a CLUSTERED table's bulk ingest skips the bucket
+    funnel (repartitionByRange is its layout), but must NOT skip the
+    CHECK enforcement that lives in it — violating rows once slipped
+    straight into staged files on this path."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table(
+        "t", "k bigint, v bigint", cluster_by=["k"], checks={"pos": "v > 0"}
+    )
+    with pytest.raises(Exception, match="pos"):
+        c.write_dataframe(
+            "t",
+            spark.range(10).select(
+                F.col("id").alias("k"), (F.col("id") - 5).alias("v")
+            ),
+        )
+    c.abort_tx()
+    # valid rows still ingest, clustered layout intact
+    c.new_tx()
+    c.create_table(
+        "t2", "k bigint, v bigint", cluster_by=["k"], checks={"pos": "v > 0"}
+    )
+    c.write_dataframe(
+        "t2",
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") + 1).alias("v")
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("t2", with_stamps=False).count() == 10
+    c.abort_tx()
+
+
 def test_check_constraints_alter_replay_clone_restore(spark, store_dir):
     """ALTER adds a check only if existing rows satisfy it (one scan,
     Delta semantics); checks survive log replay, checkpoints, clones
