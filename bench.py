@@ -142,6 +142,8 @@ HEADLINE = [
     "corpus_heavy_hitters",
     # r8: zero-copy shallow clone with post-clone divergence
     "engine_clone_divergence",
+    # r8: column mapping (rename/drop as O(1) metadata, COW across it)
+    "engine_schema_evolution",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -385,14 +385,190 @@ class DeltaLakeClient:
             f"{f.name} {f.dataType.simpleString()}"
             for f in (*current.fields, *added.fields)
         )
+        # Column mapping: a new column gets a FRESH physical name when
+        # its logical name ever existed physically (currently mapped or
+        # retired by a drop) — reusing one would resurrect old file
+        # data into the new column.
+        snap = self._effective_snapshot(tx)
+        retired = list(snap.retired.get(table, []))
+        full = {
+            f.name: snap.col_maps.get(table, {}).get(f.name, f.name)
+            for f in current.fields
+        }
+        used = set(full.values()) | set(retired)
+        for f in added.fields:
+            phys, k = f.name, 0
+            while phys in used:
+                k += 1
+                phys = f"{f.name}__p{tx.id}_{k}"
+            full[f.name] = phys
+            used.add(phys)
         # new_tables doubles as "pending DDL this tx" so table_schema
         # sees the widened shape before commit
         tx.new_tables[table] = ddl
-        tx.actions.append(ChangeMetadata(table=table, schema_ddl=ddl))
+        tx.actions.append(
+            ChangeMetadata(
+                table=table, schema_ddl=ddl, column_map=full, retired_phys=retired
+            )
+        )
         # rewrite already-buffered rows to the widened shape
         for i, (idx, row) in enumerate(tx.buffers.get(table, [])):
             if row is not None:
                 tx.buffers[table][i] = (idx, list(row) + [None] * len(added.fields))
+
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """RENAME COLUMN as an O(1) metadata move (Delta's column
+        mapping, name mode): the column's PHYSICAL (in-file) name never
+        changes — only the logical side of the table's column map does
+        — so no data object is rewritten, old files keep reading
+        correctly, and time travel to pre-rename versions shows the old
+        name. Declarations (primary keys, blooms, clustering, bucket
+        spec) follow the rename atomically in the same authoritative
+        metadata record. A CHECK constraint referencing the column
+        blocks the rename (its SQL text cannot be rewritten safely —
+        drop the constraint first; Delta makes the same call)."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise TableNotFoundError(f"no such column: {old}")
+        if new in names:
+            raise TypeMismatchError(f"column already exists: {new}")
+        if (
+            not new
+            or new in (TX_COL, IDX_COL)
+            or not str(new).replace("_", "").isalnum()
+            or new[0].isdigit()
+        ):
+            raise TypeMismatchError(f"invalid column name {new!r}")
+        snap = self._effective_snapshot(tx)
+        checks = dict(snap.checks.get(table, {}))
+        for cname in sorted(checks):
+            if self._expr_references(schema, checks[cname], old):
+                raise TypeMismatchError(
+                    f"cannot rename {old!r}: CHECK constraint {cname!r}"
+                    f" references it ({checks[cname]}) - drop the"
+                    " constraint first"
+                )
+        cur_map = snap.col_maps.get(table, {})
+        cmap = {
+            (new if f.name == old else f.name): cur_map.get(f.name, f.name)
+            for f in schema.fields
+        }
+        new_fields = [
+            T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+        )
+
+        def _ren(c: str) -> str:
+            return new if c == old else c
+
+        spec = snap.bucket_specs.get(table)
+        tx.new_tables[table] = ddl
+        tx.actions.append(
+            ChangeMetadata(
+                table=table,
+                schema_ddl=ddl,
+                primary_keys=[_ren(c) for c in snap.pkeys.get(table, [])],
+                bloom_columns=[_ren(c) for c in snap.bloom_cols.get(table, [])],
+                cluster_by=[_ren(c) for c in snap.cluster_cols.get(table, [])],
+                bucket_by=[_ren(c) for c in spec["cols"]] if spec else [],
+                bucket_count=int(spec["n"]) if spec else 0,
+                checks=checks,
+                column_map=cmap,
+                retired_phys=list(snap.retired.get(table, [])),
+                authoritative=True,
+            )
+        )
+
+    def drop_column(self, table: str, column: str) -> None:
+        """DROP COLUMN as an O(1) metadata move: the physical column
+        stays in existing files (scans simply stop reading it) and its
+        physical name is RETIRED so a later ``add_columns`` with the
+        same logical name maps to a fresh physical name — dropped data
+        can never resurrect. Blocked while the column is part of any
+        declaration (primary key, bloom, cluster, bucket) or referenced
+        by a CHECK constraint. Buffered unflushed rows lose the value
+        at the dropped position in-place."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        names = [f.name for f in schema.fields]
+        if column not in names:
+            raise TableNotFoundError(f"no such column: {column}")
+        if len(names) == 1:
+            raise TypeMismatchError("cannot drop a table's only column")
+        snap = self._effective_snapshot(tx)
+        spec = snap.bucket_specs.get(table)
+        for label, cols in (
+            ("primary key", snap.pkeys.get(table, [])),
+            ("bloom", snap.bloom_cols.get(table, [])),
+            ("cluster", snap.cluster_cols.get(table, [])),
+            ("bucket", list(spec["cols"]) if spec else []),
+        ):
+            if column in cols:
+                raise TypeMismatchError(
+                    f"cannot drop {column!r}: it is a declared {label}"
+                    " column - clear the declaration first"
+                )
+        checks = dict(snap.checks.get(table, {}))
+        for cname in sorted(checks):
+            if self._expr_references(schema, checks[cname], column):
+                raise TypeMismatchError(
+                    f"cannot drop {column!r}: CHECK constraint {cname!r}"
+                    f" references it ({checks[cname]}) - drop the"
+                    " constraint first"
+                )
+        cur_map = snap.col_maps.get(table, {})
+        phys = cur_map.get(column, column)
+        cmap = {
+            f.name: cur_map.get(f.name, f.name)
+            for f in schema.fields
+            if f.name != column
+        }
+        retired = list(snap.retired.get(table, [])) + [phys]
+        new_fields = [f for f in schema.fields if f.name != column]
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+        )
+        pos = self._col_pos(schema, column)
+        for i, (idx, row) in enumerate(tx.buffers.get(table, [])):
+            if row is not None:
+                r = list(row)
+                del r[pos]
+                tx.buffers[table][i] = (idx, r)
+        tx.new_tables[table] = ddl
+        tx.actions.append(
+            ChangeMetadata(
+                table=table,
+                schema_ddl=ddl,
+                primary_keys=list(snap.pkeys.get(table, [])),
+                bloom_columns=list(snap.bloom_cols.get(table, [])),
+                cluster_by=list(snap.cluster_cols.get(table, [])),
+                bucket_by=list(spec["cols"]) if spec else [],
+                bucket_count=int(spec["n"]) if spec else 0,
+                checks=checks,
+                column_map=cmap,
+                retired_phys=retired,
+                authoritative=True,
+            )
+        )
+
+    def _expr_references(
+        self, schema: T.StructType, expr: str, column: str
+    ) -> bool:
+        """True when a SQL expression references ``column``: it fails
+        to analyze against the schema with the column removed (the
+        same probe trick as _validate_checks, inverted)."""
+        reduced = T.StructType([f for f in schema.fields if f.name != column])
+        probe = self.spark.createDataFrame([], reduced)
+        try:
+            probe.filter(F.expr(str(expr))).schema
+            return False
+        except Exception:
+            return True
 
     def alter_table(
         self,
@@ -470,6 +646,10 @@ class DeltaLakeClient:
                 bucket_by=list(spec["cols"]) if spec else [],
                 bucket_count=int(spec["n"]) if spec else 0,
                 checks=new_checks,
+                # authoritative records REPLACE the column map — carry
+                # the current one or the alter would silently clear it
+                column_map=dict(snap.col_maps.get(table, {})),
+                retired_phys=list(snap.retired.get(table, [])),
                 authoritative=True,
             )
         )
@@ -592,6 +772,7 @@ class DeltaLakeClient:
             # violating rows). The wrap is a narrow projection, so the
             # per-partition cluster sort is preserved.
             stamped = self._enforce_checks(tx, table, stamped)
+        stamped = self._to_physical(tx, table, stamped)
         begin_remote = getattr(self.store, "begin_remote_staging", None)
         if begin_remote is not None:
             # Remote stores (S3): executors write Parquet into in-bucket
@@ -665,8 +846,16 @@ class DeltaLakeClient:
         """(per-file {num_rows, stats}, per-file blooms, max _row_idx)
         for a staged directory — the distributed equivalent of the
         driver-side footer pass, grouped on the ``_metadata`` file name
-        so stats rows (not data) are all that reaches the driver."""
-        stored = self._stored_schema(self.table_schema(table))
+        so stats rows (not data) are all that reaches the driver.
+
+        Staged files carry PHYSICAL column names (column mapping), so
+        the read schema, the stats keys, and the bloom keys here are
+        all physical — matching what the prune path probes."""
+        snap = self._effective_snapshot(tx)
+        pmap = self._rename_map(snap, table)
+        stored = self._phys_schema(
+            self._stored_schema(self.table_schema(table)), pmap
+        )
         df = self.spark.read.schema(stored).parquet(uri)
         integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
         prunable = [
@@ -711,9 +900,13 @@ class DeltaLakeClient:
 
         blooms_by_file: dict[str, dict] = {}
         names = {f.name: f.dataType for f in stored.fields}
+        # declared bloom columns are LOGICAL names — translate to the
+        # physical names the staged files (and `stored` here) carry
         bloom_cols = [
             c
-            for c in self._effective_snapshot(tx).bloom_cols.get(table, [])
+            for c in (
+                pmap.get(b, b) for b in snap.bloom_cols.get(table, [])
+            )
             if c in names and isinstance(names[c], integral + (T.StringType,))
         ]
         if bloom_cols:
@@ -829,7 +1022,7 @@ class DeltaLakeClient:
         files = snap.live_files(
             table,
             self.store,
-            prune=prune,
+            prune=self._prune_physical(snap, table, prune),
             keep_buckets=self._bucket_prune_ids(table, snap, prune),
         )
         parts = []
@@ -928,10 +1121,17 @@ class DeltaLakeClient:
                 f"part-{seq:05d}-{hexid}_{int(o.bucket_id):05d}.c000.parquet",
             )
         cat_name = f"bktscan_{table}_{self._client_id}"
+        # the catalog table mirrors the FILES, which carry physical
+        # names (column mapping); the result aliases back to logical
+        # below — Spark's alias-aware output partitioning keeps the
+        # HashPartitioning (and so the no-Exchange join) through the
+        # rename projection (plan-asserted in pytest)
+        pmap = self._rename_map(snap, table)
+        phys_stored = self._phys_schema(stored, pmap)
         ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}" for f in stored.fields
+            f"`{f.name}` {f.dataType.simpleString()}" for f in phys_stored.fields
         )
-        bcols = ", ".join(f"`{c}`" for c in cols)
+        bcols = ", ".join(f"`{pmap.get(c, c)}`" for c in cols)
         loc = area.uri.replace("'", "''")
         self.spark.sql(f"DROP TABLE IF EXISTS `{cat_name}`")
         self.spark.sql(
@@ -978,6 +1178,15 @@ class DeltaLakeClient:
                     "left_anti",
                 )
                 .drop("__obj", "__ridx")
+            )
+        if pmap:
+            # logical aliasing LAST: the `_metadata` captures above only
+            # resolve on the scan relation
+            df = df.select(
+                *[
+                    F.col(pmap.get(f.name, f.name)).alias(f.name)
+                    for f in stored.fields
+                ]
             )
         return df if with_stamps else df.select(*[f.name for f in schema.fields])
 
@@ -1186,6 +1395,17 @@ class DeltaLakeClient:
             bucket_by=(list(spec["cols"]), int(spec["n"])) if spec else None,
             checks=dict(snap.checks.get(src, {})),
         )
+        # the clone references src's physical files, so it needs src's
+        # column map (and retired set) verbatim
+        if snap.col_maps.get(src) or snap.retired.get(src):
+            tx.actions.append(
+                ChangeMetadata(
+                    table=dst,
+                    schema_ddl=ddl,
+                    column_map=dict(snap.col_maps.get(src, {})),
+                    retired_phys=list(snap.retired.get(src, [])),
+                )
+            )
         objs = snap.live_objects(src)
         for o in objs:
             tx.actions.append(
@@ -1284,6 +1504,15 @@ class DeltaLakeClient:
         common = set(to_objs) & set(from_objs)
 
         def _rows(snap, names, with_pos=False):
+            # the feed reports rows in the TO-version logical shape:
+            # read any file (old or new) under to_snap's column map,
+            # while DV masks resolve against the era the files are
+            # read from (``snap``)
+            if snap.col_maps.get(table, {}) != to_snap.col_maps.get(table, {}):
+                hybrid = Snapshot(version=snap.version, tables=snap.tables)
+                hybrid.dvs = snap.dvs
+                hybrid.col_maps = to_snap.col_maps
+                snap = hybrid
             return self._read_live(
                 table, snap, stored, [self.store.path_of(n) for n in names],
                 with_pos=with_pos,
@@ -1535,7 +1764,7 @@ class DeltaLakeClient:
         candidates = snap.live_files(
             table,
             self.store,
-            prune=pr,
+            prune=self._prune_physical(snap, table, pr),
             keep_buckets=self._bucket_prune_ids(table, snap, pr),
         )
         if not candidates:
@@ -1573,7 +1802,10 @@ class DeltaLakeClient:
             table, snap, stored, [self.store.path_of(n) for n in sorted(affected_names)]
         ).filter(~pred | F.col(column).isNull())
         staging = self._staging_dir()
-        self._write_parquet_staging(self._bucketize(tx, table, survivors), staging)
+        self._write_parquet_staging(
+            self._to_physical(tx, table, self._bucketize(tx, table, survivors)),
+            staging,
+        )
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -1730,7 +1962,7 @@ class DeltaLakeClient:
         candidates = snap.live_files(
             table,
             self.store,
-            prune=pr,
+            prune=self._prune_physical(snap, table, pr),
             keep_buckets=self._bucket_prune_ids(table, snap, pr),
         )
         if not candidates:
@@ -1755,7 +1987,10 @@ class DeltaLakeClient:
             }
         )
         staging = self._staging_dir()
-        self._write_parquet_staging(self._bucketize(tx, table, updated), staging)
+        self._write_parquet_staging(
+            self._to_physical(tx, table, self._bucketize(tx, table, updated)),
+            staging,
+        )
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -1860,6 +2095,8 @@ class DeltaLakeClient:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        # files carry physical names (column mapping)
+        column = snap.col_maps.get(table, {}).get(column, column)
         table_dvs = snap.table_dvs(table)
         # a COW rewrite of ONE object is a row subset of it, so the
         # rewrite stays in the source object's bucket — carry the label
@@ -2006,7 +2243,7 @@ class DeltaLakeClient:
         else:
             df = df.coalesce(target_files)
         staging = self._staging_dir()
-        self._write_parquet_staging(df, staging)
+        self._write_parquet_staging(self._to_physical(tx, table, df), staging)
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -2046,6 +2283,8 @@ class DeltaLakeClient:
             or cur.cluster_cols.get(table, []) != old.cluster_cols.get(table, [])
             or cur.bucket_specs.get(table) != old.bucket_specs.get(table)
             or cur.checks.get(table, {}) != old.checks.get(table, {})
+            or cur.col_maps.get(table, {}) != old.col_maps.get(table, {})
+            or cur.retired.get(table, []) != old.retired.get(table, [])
         ):
             old_spec = old.bucket_specs.get(table)
             tx.actions.append(
@@ -2058,6 +2297,10 @@ class DeltaLakeClient:
                     bucket_by=list(old_spec["cols"]) if old_spec else [],
                     bucket_count=int(old_spec["n"]) if old_spec else 0,
                     checks=dict(old.checks.get(table, {})),
+                    # restore the HISTORICAL column map (renames/drops
+                    # made after the target version roll back too)
+                    column_map=dict(old.col_maps.get(table, {})),
+                    retired_phys=list(old.retired.get(table, [])),
                     authoritative=True,
                 )
             )
@@ -2132,7 +2375,10 @@ class DeltaLakeClient:
             table, snap, stored, [self.store.path_of(n) for n in heavy]
         )
         staging = self._staging_dir()
-        self._write_parquet_staging(self._bucketize(tx, table, survivors), staging)
+        self._write_parquet_staging(
+            self._to_physical(tx, table, self._bucketize(tx, table, survivors)),
+            staging,
+        )
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -2268,6 +2514,53 @@ class DeltaLakeClient:
             + [T.StructField(TX_COL, T.LongType()), T.StructField(IDX_COL, T.LongType())]
         )
 
+    # -- column mapping (rename/drop as O(1) metadata) ------------------
+
+    @staticmethod
+    def _rename_map(snap: Snapshot, table: str) -> dict[str, str]:
+        """The table's non-identity logical->physical entries (empty =
+        files carry the logical names and no translation is needed)."""
+        return {
+            l: p for l, p in snap.col_maps.get(table, {}).items() if l != p
+        }
+
+    @staticmethod
+    def _phys_schema(schema: T.StructType, pmap: dict[str, str]) -> T.StructType:
+        """``schema`` with field names translated to physical (engine
+        stamp columns and unmapped names pass through)."""
+        if not pmap:
+            return schema
+        return T.StructType(
+            [
+                T.StructField(pmap.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+
+    def _to_physical(self, tx: "_Tx", table: str, df: DataFrame) -> DataFrame:
+        """Rename a staged frame's logical columns to their physical
+        (in-file) names — the write-side half of column mapping, applied
+        as the LAST projection before every staging parquet write. Stamp
+        columns pass through; a pure-identity map is a no-op."""
+        pmap = self._rename_map(self._effective_snapshot(tx), table)
+        if not pmap:
+            return df
+        return df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
+
+    @staticmethod
+    def _prune_physical(
+        snap: Snapshot, table: str, prune: Optional[dict]
+    ) -> Optional[dict]:
+        """Prune-dict keys translated logical->physical: per-object
+        stats and blooms are keyed by the names IN the files, which are
+        the physical names from the moment the object was written."""
+        if not prune:
+            return prune
+        m = snap.col_maps.get(table)
+        if not m:
+            return prune
+        return {m.get(c, c): v for c, v in prune.items()}
+
     @staticmethod
     def _col_pos(schema: T.StructType, column: str) -> int:
         for i, f in enumerate(schema.fields):
@@ -2334,6 +2627,8 @@ class DeltaLakeClient:
             for t, s in tx.snapshot.bucket_specs.items()
         }
         snap.checks = {t: dict(cs) for t, cs in tx.snapshot.checks.items()}
+        snap.col_maps = {t: dict(m) for t, m in tx.snapshot.col_maps.items()}
+        snap.retired = {t: list(r) for t, r in tx.snapshot.retired.items()}
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
@@ -2355,8 +2650,26 @@ class DeltaLakeClient:
         materializes them before they grow). ``with_pos=True`` keeps
         ``__obj``/``__ridx`` position columns on the result (the
         ``_metadata`` pseudo-column itself is only resolvable on the
-        scan relation, so positions must be captured here)."""
-        df = self.spark.read.schema(stored).parquet(*files)
+        scan relation, so positions must be captured here).
+
+        Column mapping: files carry PHYSICAL names, so the read schema
+        is the physical one and the result is aliased back to logical
+        as the final projection (after the ``_metadata`` captures,
+        which only resolve on the scan relation)."""
+        pmap = self._rename_map(snap, table)
+
+        def _logical(d: DataFrame, extra: tuple = ()) -> DataFrame:
+            if not pmap:
+                return d
+            return d.select(
+                *[
+                    F.col(pmap.get(f.name, f.name)).alias(f.name)
+                    for f in stored.fields
+                ],
+                *[F.col(c) for c in extra],
+            )
+
+        df = self.spark.read.schema(self._phys_schema(stored, pmap)).parquet(*files)
         live_names = {_basename_of_uri(p) for p in files}
         dv_names = sorted(
             {
@@ -2367,7 +2680,7 @@ class DeltaLakeClient:
             }
         )
         if not dv_names and not with_pos:
-            return df
+            return _logical(df)
         df = df.withColumns(
             {
                 "__obj": F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
@@ -2385,7 +2698,11 @@ class DeltaLakeClient:
                 & (F.col("__ridx") == F.col("__dv_ridx")),
                 "left_anti",
             )
-        return df if with_pos else df.drop("__obj", "__ridx")
+        return (
+            _logical(df, ("__obj", "__ridx"))
+            if with_pos
+            else _logical(df.drop("__obj", "__ridx"))
+        )
 
     def flush_buffer(self, table: str) -> None:
         """Flush the table's buffered rows as data object(s) without
@@ -2427,7 +2744,8 @@ class DeltaLakeClient:
             )
             staging = self._staging_dir()
             self._write_parquet_staging(
-                self._bucketize(tx, table, stamped), staging
+                self._to_physical(tx, table, self._bucketize(tx, table, stamped)),
+                staging,
             )
             try:
                 self._register_staging(table, tx, staging)
@@ -2438,11 +2756,16 @@ class DeltaLakeClient:
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        arrow_schema = to_arrow_schema(stored)
-        cols: dict[str, list[Any]] = {f.name: [] for f in stored.fields}
+        # driver-side pyarrow writes stage under PHYSICAL names too —
+        # same contract as every Spark staging write
+        pmap = self._rename_map(self._effective_snapshot(tx), table)
+        arrow_schema = to_arrow_schema(self._phys_schema(stored, pmap))
+        cols: dict[str, list[Any]] = {
+            pmap.get(f.name, f.name): [] for f in stored.fields
+        }
         for idx, row in rows:
             for f, v in zip(schema.fields, row):
-                cols[f.name].append(v)
+                cols[pmap.get(f.name, f.name)].append(v)
             cols[TX_COL].append(tx.id)
             cols[IDX_COL].append(idx)
         batch = pa.table(
@@ -2649,15 +2972,19 @@ class DeltaLakeClient:
         stats, extended by one column read. Registration paths all
         funnel here, so flush, bulk ingest, COW rewrites and compaction
         keep blooms consistent automatically."""
-        cols = self._effective_snapshot(tx).bloom_cols.get(table)
+        snap = self._effective_snapshot(tx)
+        cols = snap.bloom_cols.get(table)
         if not cols:
             return {}
         import pyarrow.parquet as pq
 
         from delta_lake_experiment_spark.plans.bloom import build_column_blooms
 
+        # staged files carry physical names; bloom keys are physical
+        # (the prune path probes with physical keys)
+        pmap = self._rename_map(snap, table)
         schema_names = {f.name for f in self.table_schema(table).fields}
-        wanted = [c for c in cols if c in schema_names]
+        wanted = [pmap.get(c, c) for c in cols if c in schema_names]
         if not wanted:
             return {}
         t = pq.read_table(src_path, columns=wanted)

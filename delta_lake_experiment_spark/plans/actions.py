@@ -112,6 +112,20 @@ class ChangeMetadata:
     # written while a constraint is active can violate it. alter_table
     # validates EXISTING rows when a constraint is added.
     checks: dict[str, str] = field(default_factory=dict)
+    # Column mapping (Delta's columnMapping.mode=name, simplified):
+    # logical (user-visible) column name -> physical (in-file) name.
+    # Physical names are assigned at column birth and NEVER change;
+    # RENAME moves only the logical side and DROP retires the physical
+    # name — both O(1) metadata, no data rewrite. ``retired_phys``
+    # lists physical names of dropped columns so a later add_columns
+    # can never reuse one (reuse would resurrect old file data into
+    # the new column). Records that change the mapping carry the FULL
+    # map (identity entries included); an empty map means "no mapping
+    # info in this record" on non-authoritative records and "identity
+    # mapping" on authoritative ones (ALTER/RESTORE carry the current/
+    # historical map explicitly).
+    column_map: dict[str, str] = field(default_factory=dict)
+    retired_phys: list[str] = field(default_factory=list)
     # With ``authoritative=True`` the declaration lists REPLACE the
     # table's current ones — empty lists CLEAR prior declarations
     # (RESTORE / ALTER need this). Default False keeps the legacy
@@ -132,6 +146,10 @@ class ChangeMetadata:
             out["bucket_count"] = self.bucket_count
         if self.checks:
             out["checks"] = self.checks
+        if self.column_map:
+            out["column_map"] = self.column_map
+        if self.retired_phys:
+            out["retired_phys"] = self.retired_phys
         if self.authoritative:
             out["authoritative"] = True
         return {"metadata": out}
@@ -196,6 +214,8 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             bucket_by=list(m.get("bucket_by", [])),
             bucket_count=int(m.get("bucket_count", 0)),
             checks=dict(m.get("checks", {})),
+            column_map=dict(m.get("column_map", {})),
+            retired_phys=list(m.get("retired_phys", [])),
             authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:

@@ -71,6 +71,12 @@ class Snapshot:
     # table -> {check name -> boolean SQL expr} declared CHECK
     # constraints (every staged write enforces them in-plan)
     checks: dict[str, dict] = field(default_factory=dict)
+    # table -> {logical column name -> physical (in-file) name}; empty/
+    # missing = identity. Physical names never change after a column is
+    # born — RENAME/DROP are O(1) metadata moves on the logical side.
+    col_maps: dict[str, dict] = field(default_factory=dict)
+    # table -> physical names of DROPPED columns (never reusable)
+    retired: dict[str, list] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -133,6 +139,10 @@ class Snapshot:
                     self.bloom_cols[act.table] = list(act.bloom_columns)
                     self.cluster_cols[act.table] = list(act.cluster_by)
                     self.checks[act.table] = dict(act.checks)
+                    # authoritative: empty map = identity (ALTER/RESTORE
+                    # carry the current/historical map explicitly)
+                    self.col_maps[act.table] = dict(act.column_map)
+                    self.retired[act.table] = list(act.retired_phys)
                     if act.bucket_by:
                         self.bucket_specs[act.table] = {
                             "cols": list(act.bucket_by),
@@ -154,6 +164,12 @@ class Snapshot:
                         }
                     if act.checks:
                         self.checks[act.table] = dict(act.checks)
+                    # mapping-changing records carry the FULL map;
+                    # empty = no mapping info in this record
+                    if act.column_map:
+                        self.col_maps[act.table] = dict(act.column_map)
+                    if act.retired_phys:
+                        self.retired[act.table] = list(act.retired_phys)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -186,6 +202,8 @@ class Snapshot:
                 "cluster_cols": self.cluster_cols,
                 "bucket_specs": self.bucket_specs,
                 "checks": self.checks,
+                "col_maps": self.col_maps,
+                "retired": self.retired,
                 "txns": self.txns,
             }
         ).encode()
@@ -209,6 +227,11 @@ class Snapshot:
             t: {n: str(e) for n, e in cs.items()}
             for t, cs in d.get("checks", {}).items()
         }
+        snap.col_maps = {
+            t: {l: str(p) for l, p in m.items()}
+            for t, m in d.get("col_maps", {}).items()
+        }
+        snap.retired = {t: list(r) for t, r in d.get("retired", {}).items()}
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():
             snap.live[t] = {

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 126 value-oracled queries, seventy-six must sit outside the window. The
+# With 127 value-oracled queries, seventy-seven must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -387,7 +387,14 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   top-k by ann_recall_report's ivf arm; what is NEW (the model
 #   PERSISTED as engine tables, ingest-without-retrain, redelivery
 #   no-op) is pinned by dedicated pytests AND by the query's own
-#   in-plan invariant + full-lifecycle value oracle.
+#   in-plan invariant + full-lifecycle value oracle;
+# - engine_schema_evolution -> the ingest/COW-delete/scan machinery is
+#   certified in-window by engine_delete_range / engine_roundtrip_scan
+#   and the aggregate by q1; the NOVELTY (column mapping: rename/drop
+#   as O(1) metadata moves, retired physical names never resurrect) is
+#   pinned by tests/test_column_mapping.py's 10 lifecycle pytests, and
+#   a mistranslated prune, a resurrected dropped column, or a lost
+#   rename value-diverges this query's aggregate immediately.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -468,6 +475,7 @@ _DEFERRED_ORACLED = [
     "engine_ann_index_search",
     "corpus_heavy_hitters",
     "engine_clone_divergence",
+    "engine_schema_evolution",
 ]
 
 

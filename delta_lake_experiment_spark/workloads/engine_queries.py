@@ -428,6 +428,72 @@ def engine_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column mapping (client.rename_column / drop_column — Delta's
+    columnMapping.mode=name, simplified): orders is ingested, then
+    ``o_totalprice`` is RENAMED to ``price`` and ``o_orderpriority`` is
+    DROPPED and RE-ADDED — all O(1) metadata moves, zero data rewritten
+    (pytest-asserted on the live file set). New rows then land under
+    the evolved schema (priority 'NEW'), and a COW range delete runs on
+    the RENAMED column across the mixed old/new file set, which forces
+    the logical→physical prune translation AND the physical rewrite
+    path. The re-added column must read NULL for every pre-drop row
+    (``n_pri`` counts non-NULLs — a resurrection of retired file data
+    would inflate it), while the renamed column's values flow through
+    untouched. Oracle = the same evolution expressed relationally over
+    the source parquet."""
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])
+    c.new_tx()
+    c.rename_column("orders", "o_totalprice", "price")
+    c.drop_column("orders", "o_orderpriority")
+    c.commit_tx()
+    c.new_tx()
+    c.add_columns("orders", "o_orderpriority STRING")
+    c.write_dataframe(
+        "orders",
+        src.filter(F.col("o_orderkey") % 7 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+            "o_orderdate",
+            F.lit("NEW").alias("o_orderpriority"),
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("orders", "price", 50000.0, 150000.0)
+    c.commit_tx()
+    c.new_tx()
+    return (
+        c.scan("orders", with_stamps=False)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+            F.count("o_orderpriority").alias("n_pri"),
+        )
+    )
+
+
+ENGINE_SCHEMA_EVOLUTION_SQL = """
+WITH cur AS (
+  SELECT o_orderstatus, o_totalprice AS price,
+         CAST(NULL AS VARCHAR) AS o_orderpriority  -- dropped+re-added
+  FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice, 'NEW'
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n, round(SUM(price), 2) AS total_price,
+       COUNT(o_orderpriority) AS n_pri
+FROM cur WHERE price NOT BETWEEN 50000.0 AND 150000.0
+GROUP BY o_orderstatus
+"""
+
+
 def engine_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy SHALLOW CLONE (client.clone_table): orders is cloned
     at O(files) metadata cost — no data bytes move — then the two
@@ -498,6 +564,7 @@ QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
+    "engine_schema_evolution": engine_schema_evolution,
     "engine_clone_divergence": engine_clone_divergence,
     "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
@@ -514,6 +581,7 @@ ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
+    "engine_schema_evolution": ENGINE_SCHEMA_EVOLUTION_SQL,
     "engine_clone_divergence": ENGINE_CLONE_DIVERGENCE_SQL,
     "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,

@@ -1,0 +1,406 @@
+"""Column mapping: RENAME/DROP COLUMN as O(1) metadata moves (Delta's
+columnMapping.mode=name, simplified). Physical (in-file) names are
+assigned at column birth and never change; renames move only the
+logical side of the table's column map, drops retire the physical name
+so a later re-add can never resurrect old file data. These tests cover
+the full funnel: scans, time travel, stats/bloom pruning, bucketed
+layout, COW/DV deletes, compaction, checkpoint replay, restore, clone,
+and the change feed — none of which may rewrite data for a rename.
+
+The reference has no schema evolution at all (its metadata record is a
+create-only DDL string, storage.go); this is roadmap-beyond work in the
+spirit of its "primary keys / conditional updates" item (README.md:31).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_experiment_spark import (
+    DeltaLakeClient,
+    TypeMismatchError,
+)
+from delta_lake_experiment_spark.errors import TableNotFoundError
+
+def _no_shuffle(df) -> bool:
+    """True when the executed plan contains no shuffle Exchange
+    (BroadcastExchange exempt — same helper as test_engine.py)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan.replace("BroadcastExchange", "BX")
+
+
+@pytest.fixture()
+def smj_conf(spark):
+    """Pin the planner to sort-merge joins for one test (AQE's
+    broadcast rewrite would hide the exchange question)."""
+    pairs = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ]
+    old = {k: spark.conf.get(k, None) for k, _ in pairs}
+    for k, v in pairs:
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _live_names(c, table):
+    return sorted(o.name for o in c._effective_snapshot(c.tx).live_objects(table))
+
+
+def test_rename_is_metadata_only(spark, store_dir):
+    """RENAME rewrites no data object: the live file set is unchanged,
+    values read back under the new name, and post-rename writes land in
+    files whose stored column name is the ORIGINAL physical one."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, name STRING, score DOUBLE")
+    for i in range(20):
+        c.write_row("t", [i, f"n{i}", float(i)])
+    c.commit_tx()
+
+    c.new_tx()
+    before = _live_names(c, "t")
+    c.rename_column("t", "name", "label")
+    c.commit_tx()
+
+    c.new_tx()
+    assert _live_names(c, "t") == before  # no rewrite
+    assert [f.name for f in c.table_schema("t").fields] == ["id", "label", "score"]
+    rows = sorted(c.scan_iter("t"))
+    assert rows[5] == (5, "n5", 5.0)
+    # new writes stage under the original PHYSICAL name
+    for i in range(20, 25):
+        c.write_row("t", [i, f"n{i}", float(i)])
+    c.commit_tx()
+    c.new_tx()
+    import pyarrow.parquet as pq
+
+    newest = [n for n in _live_names(c, "t") if n not in before]
+    assert newest
+    phys_cols = set()
+    for n in newest:
+        phys_cols |= set(pq.ParquetFile(c.store.path_of(n)).schema_arrow.names)
+    assert "name" in phys_cols and "label" not in phys_cols
+    assert sorted(c.scan_iter("t"))[24] == (24, "n24", 24.0)
+    c.commit_tx()
+
+
+def test_rename_time_travel_and_restore(spark, store_dir):
+    """Pre-rename versions read under the OLD logical name; restore
+    rolls the mapping back along with the data."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(5):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    v_before = c.tx.snapshot.version
+    c.rename_column("t", "v", "payload")
+    c.commit_tx()
+
+    old = c.scan_as_of("t", version=v_before)
+    assert "v" in old.columns and "payload" not in old.columns
+    assert old.filter("v = 'v3'").count() == 1
+    new = DeltaLakeClient(spark, store_dir)
+    new.new_tx()
+    assert "payload" in [f.name for f in new.table_schema("t").fields]
+    new.restore_table("t", v_before)
+    new.commit_tx()
+    new.new_tx()
+    assert [f.name for f in new.table_schema("t").fields] == ["k", "v"]
+    assert sorted(new.scan_iter("t")) == [(i, f"v{i}") for i in range(5)]
+    new.commit_tx()
+
+
+def test_drop_column_never_resurrects(spark, store_dir):
+    """DROP retires the physical name: a later add_columns with the
+    same logical name maps to a FRESH physical name, so old file data
+    reads as NULL — while time travel to a pre-drop version still sees
+    the original values."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, secret STRING, keep STRING")
+    for i in range(8):
+        c.write_row("t", [i, f"s{i}", f"k{i}"])
+    c.commit_tx()
+
+    c.new_tx()
+    v_full = c.tx.snapshot.version
+    before = _live_names(c, "t")
+    c.drop_column("t", "secret")
+    c.commit_tx()
+    c.new_tx()
+    assert _live_names(c, "t") == before  # no rewrite
+    assert [f.name for f in c.table_schema("t").fields] == ["id", "keep"]
+    assert sorted(c.scan_iter("t"))[3] == (3, "k3")
+
+    c.add_columns("t", "secret STRING")
+    c.commit_tx()
+    c.new_tx()
+    rows = sorted(c.scan_iter("t"))
+    assert all(r[2] is None for r in rows), f"dropped data resurrected: {rows[:3]}"
+    # the physical name of the re-added column is fresh
+    snap = c._effective_snapshot(c.tx)
+    phys = snap.col_maps["t"]["secret"]
+    assert phys != "secret" and phys in {p for p in snap.col_maps["t"].values()}
+    assert "secret" in snap.retired["t"]
+    # time travel still reads the pre-drop values
+    old = c.scan_as_of("t", version=v_full)
+    assert old.filter("secret = 's5'").count() == 1
+    c.commit_tx()
+
+
+def test_rename_and_drop_guards(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table(
+        "t",
+        "id BIGINT, fp STRING, v DOUBLE",
+        primary_keys=["id"],
+        bloom_columns=["fp"],
+    )
+    c.alter_table("t", checks={"v_pos": "v >= 0"})
+    with pytest.raises(TableNotFoundError):
+        c.rename_column("t", "nope", "x")
+    with pytest.raises(TypeMismatchError):
+        c.rename_column("t", "fp", "id")  # exists
+    with pytest.raises(TypeMismatchError):
+        c.rename_column("t", "fp", "_tx_id")  # stamp name
+    with pytest.raises(TypeMismatchError):
+        c.rename_column("t", "fp", "9bad")  # invalid identifier
+    with pytest.raises(TypeMismatchError):
+        c.rename_column("t", "v", "val")  # referenced by CHECK
+    with pytest.raises(TypeMismatchError):
+        c.drop_column("t", "v")  # referenced by CHECK
+    with pytest.raises(TypeMismatchError):
+        c.drop_column("t", "id")  # declared primary key
+    with pytest.raises(TypeMismatchError):
+        c.drop_column("t", "fp")  # declared bloom column
+    # dropping the check frees both
+    c.alter_table("t", checks={})
+    c.rename_column("t", "v", "val")
+    c.drop_column("t", "val")
+    assert [f.name for f in c.table_schema("t").fields] == ["id", "fp"]
+    with pytest.raises(TypeMismatchError):
+        c.drop_column("t", "fp")  # still bloom-declared
+    c.abort_tx()
+
+
+def test_rename_declarations_follow_and_pruning_survives(spark, store_dir):
+    """Bloom + stats pruning keep working across a rename: declared
+    bloom columns follow the rename, the prune probe (logical, new
+    name) translates to the physical stats/bloom keys in the log."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING", bloom_columns=["k"])
+    for i in range(40):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.rename_column("t", "k", "key")
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    assert snap.bloom_cols["t"] == ["key"]
+    total = snap.live_files("t", c.store)
+    assert len(total) == 4
+    # range prune on the NEW name hits the old files' physical stats
+    pruned = snap.live_files(
+        "t", c.store, prune=c._prune_physical(snap, "t", {"key": (12, 14)})
+    )
+    assert len(pruned) == 1
+    assert c.scan("t", prune={"key": (12, 14)}).filter(
+        "key between 12 and 14"
+    ).count() == 3
+    # bloom point-lookup prune on the new name
+    point = snap.live_files(
+        "t", c.store, prune=c._prune_physical(snap, "t", {"key": (7, 7)})
+    )
+    assert len(point) == 1
+    # post-rename writes keep pruning seamless (same physical key)
+    for i in range(40, 50):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    assert len(snap.live_files("t", c.store)) == 5
+    assert len(
+        snap.live_files(
+            "t", c.store, prune=c._prune_physical(snap, "t", {"key": (45, 45)})
+        )
+    ) == 1
+    c.commit_tx()
+
+
+def test_rename_bucket_column_keeps_shuffle_free_join(spark, store_dir, smj_conf):
+    """Renaming the BUCKET column is metadata-only and the engine⋈engine
+    join on the new name still plans no shuffle Exchange (the physical
+    layout never moved; the catalog table maps physical->logical)."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    docs = spark.createDataFrame(
+        [(i, f"fp{i % 20}") for i in range(200)], "id long, fp string"
+    )
+    scores = spark.createDataFrame(
+        [(f"fp{i}", float(i)) for i in range(20)], "fp string, score double"
+    )
+    c.new_tx()
+    c.create_table("bd", "id bigint, fp string", bucket_by=(["fp"], 8))
+    c.create_table("bs", "fp string, score double", bucket_by=(["fp"], 8))
+    c.write_dataframe("bd", docs)
+    c.write_dataframe("bs", scores)
+    c.commit_tx()
+    c.new_tx()
+    c.rename_column("bd", "fp", "fingerprint")
+    c.commit_tx()
+
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    snap = c2._effective_snapshot(c2.tx)
+    assert snap.bucket_specs["bd"]["cols"] == ["fingerprint"]
+    d = c2.scan_bucketed("bd", with_stamps=False)
+    s = c2.scan_bucketed("bs", with_stamps=False)
+    j = d.join(s, d.fingerprint == s.fp).select("fingerprint", "id", "score")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert _no_shuffle(j), plan
+    got = sorted(tuple(r) for r in j.collect())
+    exp = sorted(
+        tuple(r)
+        for r in docs.join(scores, "fp").select("fp", "id", "score").collect()
+    )
+    assert got == exp
+    # writes after the rename stay colocated (bucketize on the logical
+    # name, hash identical to pre-rename physical layout)
+    c2.write_dataframe(
+        "bd",
+        spark.createDataFrame(
+            [(1000 + i, f"fp{i % 20}") for i in range(40)],
+            "id long, fingerprint string",
+        ),
+    )
+    c2.commit_tx()
+    c3 = DeltaLakeClient(spark, store_dir)
+    c3.new_tx()
+    d3 = c3.scan_bucketed("bd", with_stamps=False)
+    assert _no_shuffle(d3.groupBy("fingerprint").count())
+    assert d3.count() == 240
+    c3.commit_tx()
+
+
+def test_mutations_across_rename(spark, store_dir):
+    """COW delete, DV delete, update_rows and compact all operate on the
+    renamed (logical) column and land physically-consistent files."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v DOUBLE")
+    for i in range(40):
+        c.write_row("t", [i, float(i)])
+    c.commit_tx()
+    c.new_tx()
+    c.rename_column("t", "k", "key")
+    c.commit_tx()
+
+    live = set(range(40))
+    c.new_tx()
+    c.delete_rows("t", "key", 0, 4)  # COW (driver fast path)
+    c.commit_tx()
+    live -= set(range(5))
+    c.new_tx()
+    assert sorted(r[0] for r in c.scan_iter("t")) == sorted(live)
+    c.delete_rows("t", "key", 10, 12, use_dv=True)  # DV path
+    c.commit_tx()
+    live -= {10, 11, 12}
+    c.new_tx()
+    assert sorted(r[0] for r in c.scan_iter("t")) == sorted(live)
+    c.update_rows("t", "key", 20, 22, {"v": F.lit(-1.0)})
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("t").filter("v = -1.0").count() == 3
+    c.compact("t", target_files=1)
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(r[0] for r in c.scan_iter("t")) == sorted(live)
+    assert c.scan("t").filter("v = -1.0").count() == 3
+    c.commit_tx()
+
+
+def test_checkpoint_replay_and_clone_preserve_mapping(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10, checkpoint_interval=2)
+    c.new_tx()
+    c.create_table("t", "a BIGINT, b STRING")
+    for i in range(10):
+        c.write_row("t", [i, f"b{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.rename_column("t", "b", "label")
+    c.commit_tx()
+    c.new_tx()  # trigger a checkpoint past the mapping change
+    c.write_row("t", [100, "b100"])
+    c.commit_tx()
+
+    c2 = DeltaLakeClient(spark, store_dir)  # replays through checkpoint
+    c2.new_tx()
+    assert [f.name for f in c2.table_schema("t").fields] == ["a", "label"]
+    assert sorted(c2.scan_iter("t"))[-1] == (100, "b100")
+    c2.clone_table("t", "t_clone")
+    c2.commit_tx()
+    c2.new_tx()
+    snap = c2._effective_snapshot(c2.tx)
+    assert snap.col_maps.get("t_clone", {}).get("label") == "b"
+    assert sorted(c2.scan_iter("t_clone")) == sorted(c2.scan_iter("t"))
+    c2.commit_tx()
+
+
+def test_scan_changes_across_rename(spark, store_dir):
+    """The change feed reports rows in the TO-version logical shape even
+    when the window spans a rename (old files read under the new map)."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(5):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    v0 = c.tx.snapshot.version
+    c.rename_column("t", "v", "val")
+    c.commit_tx()
+    c.new_tx()
+    for i in range(5, 8):
+        c.write_row("t", [i, f"v{i}"])
+    c.delete_rows("t", "k", 0, 0)
+    c.commit_tx()
+
+    feed = c.scan_changes("t", from_version=v0)
+    assert "val" in feed.columns and "v" not in feed.columns
+    got = sorted(
+        (r["k"], r["val"], r["_change_type"]) for r in feed.collect()
+    )
+    assert got == [
+        (0, "v0", "delete"),
+        (5, "v5", "insert"),
+        (6, "v6", "insert"),
+        (7, "v7", "insert"),
+    ]
+
+
+def test_rename_with_buffered_rows_same_tx(spark, store_dir):
+    """Buffered (unflushed) rows written before an in-tx rename flush
+    correctly under the new mapping; drop removes their value."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.create_table("t", "a BIGINT, b STRING, c DOUBLE")
+    c.write_row("t", [1, "x", 1.5])
+    c.rename_column("t", "b", "bb")
+    c.write_row("t", [2, "y", 2.5])
+    c.drop_column("t", "c")
+    c.write_row("t", [3, "z"])
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(c.scan_iter("t")) == [(1, "x"), (2, "y"), (3, "z")]
+    c.commit_tx()
