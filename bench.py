@@ -144,6 +144,8 @@ HEADLINE = [
     "engine_clone_divergence",
     # r8: column mapping (rename/drop as O(1) metadata, COW across it)
     "engine_schema_evolution",
+    # r8: type widening (narrow+wide parquet under one widened schema)
+    "engine_type_widening",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -556,6 +556,87 @@ class DeltaLakeClient:
             )
         )
 
+    # Type widening (Delta's typeWidening, simplified to the promotions
+    # Spark's vectorized Parquet reader performs natively when the read
+    # schema is wider than the file's physical type — verified against
+    # PySpark 4.1: int32->bigint/double, int32->decimal, float->double).
+    # Lossy or representation-changing moves (long->double, int->float,
+    # ->decimal with scale, temporal changes) are deliberately excluded:
+    # every admitted pair is exactly value-preserving, so stats, blooms
+    # (value-tagged, width-independent) and CHECK semantics all carry
+    # over untouched.
+    _WIDENINGS: dict[str, tuple] = {
+        "tinyint": ("smallint", "int", "bigint", "double"),
+        "smallint": ("int", "bigint", "double"),
+        "int": ("bigint", "double"),
+        "float": ("double",),
+    }
+
+    def widen_column(self, table: str, column: str, new_type: str) -> None:
+        """ALTER COLUMN TYPE as an O(1) metadata move: only the table's
+        logical DDL changes — no data object is rewritten. Old files
+        keep their narrow physical type; scans read them under the
+        widened schema (Spark's Parquet reader performs the integer /
+        float upcasts natively), new writes land physically wide, and
+        the two coexist because every admitted promotion is exactly
+        value-preserving. Time travel to pre-widen versions reads the
+        narrow schema over all-narrow files; RESTORE rolls the type
+        back together with the file set (post-widen wide files retire
+        with their versions, so a narrow schema never reads wide
+        files). BUCKET columns are blocked: murmur3 hashes the binary
+        width (murmur3(int) != murmur3(bigint) for equal values), so
+        widening one would silently break the co-location contract —
+        the one rewrite-requiring evolution, surfaced loudly."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        names = [f.name for f in schema.fields]
+        if column not in names:
+            raise TableNotFoundError(f"no such column: {column}")
+        cur = schema[column].dataType
+        tgt = self._parse_ddl(f"x {new_type}")[0].dataType
+        allowed = self._WIDENINGS.get(cur.simpleString(), ())
+        if tgt.simpleString() == cur.simpleString():
+            raise TypeMismatchError(
+                f"{column} is already {cur.simpleString()}"
+            )
+        if tgt.simpleString() not in allowed:
+            raise TypeMismatchError(
+                f"cannot widen {column}: {cur.simpleString()} ->"
+                f" {tgt.simpleString()} is not a value-preserving"
+                f" promotion (allowed: {list(allowed)})"
+            )
+        snap = self._effective_snapshot(tx)
+        spec = snap.bucket_specs.get(table)
+        if spec and column in spec["cols"]:
+            raise TypeMismatchError(
+                f"cannot widen bucket column {column!r}: the bucket"
+                " layout hashes the binary width (murmur3(int) !="
+                " murmur3(bigint)) - rebuild the table to re-bucket"
+            )
+        new_fields = [
+            T.StructField(f.name, tgt if f.name == column else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in new_fields
+        )
+        tx.new_tables[table] = ddl
+        tx.actions.append(
+            ChangeMetadata(
+                table=table,
+                schema_ddl=ddl,
+                primary_keys=list(snap.pkeys.get(table, [])),
+                bloom_columns=list(snap.bloom_cols.get(table, [])),
+                cluster_by=list(snap.cluster_cols.get(table, [])),
+                bucket_by=list(spec["cols"]) if spec else [],
+                bucket_count=int(spec["n"]) if spec else 0,
+                checks=dict(snap.checks.get(table, {})),
+                column_map=dict(snap.col_maps.get(table, {})),
+                retired_phys=list(snap.retired.get(table, [])),
+                authoritative=True,
+            )
+        )
+
     def _expr_references(
         self, schema: T.StructType, expr: str, column: str
     ) -> bool:

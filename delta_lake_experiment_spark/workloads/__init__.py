@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 127 value-oracled queries, seventy-seven must sit outside the window. The
+# With 128 value-oracled queries, seventy-eight must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -394,7 +394,13 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   as O(1) metadata moves, retired physical names never resurrect) is
 #   pinned by tests/test_column_mapping.py's 10 lifecycle pytests, and
 #   a mistranslated prune, a resurrected dropped column, or a lost
-#   rename value-diverges this query's aggregate immediately.
+#   rename value-diverges this query's aggregate immediately;
+# - engine_type_widening -> the ingest/COW-delete/scan machinery is
+#   certified in-window by the engine_* lane and the aggregate by q1;
+#   the NOVELTY (ALTER COLUMN TYPE as O(1) metadata — narrow and wide
+#   Parquet files coexisting under one widened read schema) is pinned
+#   by the widening pytests, and the exact-integer key sum in this
+#   query value-diverges on any upcast corruption or width-lost row.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -476,6 +482,7 @@ _DEFERRED_ORACLED = [
     "corpus_heavy_hitters",
     "engine_clone_divergence",
     "engine_schema_evolution",
+    "engine_type_widening",
 ]
 
 

@@ -494,6 +494,79 @@ GROUP BY o_orderstatus
 """
 
 
+def engine_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening (client.widen_column — Delta's typeWidening,
+    simplified): orders is ingested with an INT key column, the column
+    is widened to BIGINT as an O(1) metadata move (no file rewritten —
+    Spark's Parquet reader upcasts the narrow files natively), then
+    rows with keys beyond int32 range land physically wide, and COW
+    range deletes run over BOTH widths (one range prunes/rewrites the
+    narrow files, one the wide file). The exact-integer key sum makes
+    any upcast corruption, lost row, or mistranslated prune visible
+    immediately. Oracle = the same evolution as a relational cast."""
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table(
+        "orders_w", "o_orderkey INT, o_orderstatus STRING, o_totalprice DOUBLE"
+    )
+    c.write_dataframe(
+        "orders_w",
+        src.select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.widen_column("orders_w", "o_orderkey", "bigint")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "orders_w",
+        src.filter(F.col("o_orderkey") % 11 == 0).select(
+            (F.col("o_orderkey") + 5_000_000_000).alias("o_orderkey"),
+            "o_orderstatus",
+            "o_totalprice",
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("orders_w", "o_orderkey", 100, 999)
+    c.delete_rows("orders_w", "o_orderkey", 5_000_000_100, 5_000_000_999)
+    c.commit_tx()
+    c.new_tx()
+    return (
+        c.scan("orders_w", with_stamps=False)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ENGINE_TYPE_WIDENING_SQL = """
+WITH cur AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 5000000000, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       round(SUM(o_totalprice), 2) AS total_price
+FROM cur
+WHERE o_orderkey NOT BETWEEN 100 AND 999
+  AND o_orderkey NOT BETWEEN 5000000100 AND 5000000999
+GROUP BY o_orderstatus
+"""
+
+
 def engine_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy SHALLOW CLONE (client.clone_table): orders is cloned
     at O(files) metadata cost — no data bytes move — then the two
@@ -565,6 +638,7 @@ QUERIES = {
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
     "engine_schema_evolution": engine_schema_evolution,
+    "engine_type_widening": engine_type_widening,
     "engine_clone_divergence": engine_clone_divergence,
     "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
@@ -582,6 +656,7 @@ ORACLES = {
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
     "engine_schema_evolution": ENGINE_SCHEMA_EVOLUTION_SQL,
+    "engine_type_widening": ENGINE_TYPE_WIDENING_SQL,
     "engine_clone_divergence": ENGINE_CLONE_DIVERGENCE_SQL,
     "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,

@@ -389,6 +389,166 @@ def test_scan_changes_across_rename(spark, store_dir):
     ]
 
 
+def test_widen_column_metadata_only_mixed_files(spark, store_dir):
+    """Type widening rewrites nothing: narrow files stay on disk and
+    read under the widened schema; post-widen writes land physically
+    wide (values beyond int32 range) and the two coexist in one scan."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k INT, v FLOAT, s STRING")
+    for i in range(20):
+        c.write_row("t", [i, float(i) / 2, f"s{i}"])
+    c.commit_tx()
+
+    c.new_tx()
+    before = _live_names(c, "t")
+    c.widen_column("t", "k", "bigint")
+    c.widen_column("t", "v", "double")
+    c.commit_tx()
+    c.new_tx()
+    assert _live_names(c, "t") == before  # no rewrite
+    sch = {f.name: f.dataType.simpleString() for f in c.table_schema("t").fields}
+    assert sch == {"k": "bigint", "v": "double", "s": "string"}
+    rows = sorted(c.scan_iter("t"))
+    assert rows[4] == (4, 2.0, "s4")
+    # a value only the widened type can hold
+    big = 2**40
+    c.write_row("t", [big, 1e300, "wide"])
+    c.commit_tx()
+    c.new_tx()
+    rows = sorted(c.scan_iter("t"))
+    assert rows[-1] == (big, 1e300, "wide")
+    assert len(rows) == 21
+    # fresh-client replay sees the widened schema over mixed files
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    assert sorted(c2.scan_iter("t")) == rows
+    c2.commit_tx()
+    c.commit_tx()
+
+
+def test_widen_guards(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table(
+        "t", "k INT, b BIGINT, f DOUBLE, s STRING, fp STRING",
+        bucket_by=(["fp"], 4),
+    )
+    c.create_table("tb", "k INT, fp STRING", bucket_by=(["k"], 4))
+    with pytest.raises(TableNotFoundError):
+        c.widen_column("t", "nope", "bigint")
+    with pytest.raises(TypeMismatchError, match="already"):
+        c.widen_column("t", "b", "bigint")
+    with pytest.raises(TypeMismatchError, match="not a value-preserving"):
+        c.widen_column("t", "b", "int")  # narrowing
+    with pytest.raises(TypeMismatchError, match="not a value-preserving"):
+        c.widen_column("t", "b", "double")  # lossy (2^53)
+    with pytest.raises(TypeMismatchError, match="not a value-preserving"):
+        c.widen_column("t", "s", "bigint")  # non-numeric
+    with pytest.raises(TypeMismatchError, match="not a value-preserving"):
+        c.widen_column("t", "k", "float")  # lossy above 2^24
+    with pytest.raises(TypeMismatchError, match="bucket column"):
+        c.widen_column("tb", "k", "bigint")  # murmur3 width trap
+    c.widen_column("t", "k", "bigint")  # non-bucket column of a bucketed table
+    c.abort_tx()
+
+
+def test_widen_pruning_and_cow_across_mixed_widths(spark, store_dir):
+    """Stats pruning and the COW delete (driver pyarrow fast path)
+    work over narrow files probed through the widened logical type."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k INT, v STRING")
+    for i in range(40):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.widen_column("t", "k", "bigint")
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    assert len(snap.live_files("t", c.store)) == 4
+    # int-footer stats pruned through a (python int) wide-type probe
+    assert len(snap.live_files("t", c.store, prune={"k": (12, 14)})) == 1
+    c.delete_rows("t", "k", 12, 14)  # COW over int32 files
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(r[0] for r in c.scan_iter("t")) == [
+        i for i in range(40) if not 12 <= i <= 14
+    ]
+    c.commit_tx()
+
+
+def test_widen_time_travel_restore_and_rename_interplay(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10, checkpoint_interval=2)
+    c.new_tx()
+    c.create_table("t", "k INT, v STRING")
+    for i in range(5):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    v_narrow = c.tx.snapshot.version
+    c.rename_column("t", "k", "key")
+    c.widen_column("t", "key", "bigint")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [2**40, "wide"])
+    c.commit_tx()
+
+    # time travel: narrow type AND old name
+    old = c.scan_as_of("t", version=v_narrow)
+    assert {f.name: f.dataType.simpleString() for f in old.schema.fields if
+            f.name == "k"} == {"k": "int"}
+    # checkpoint replay keeps the widened shape
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    sch = {f.name: f.dataType.simpleString() for f in c2.table_schema("t").fields}
+    assert sch == {"key": "bigint", "v": "string"}
+    assert sorted(c2.scan_iter("t"))[-1] == (2**40, "wide")
+    # restore: type, name and file set roll back together — the wide
+    # file retires with its version, so the narrow schema never reads it
+    c2.restore_table("t", v_narrow)
+    c2.commit_tx()
+    c2.new_tx()
+    sch = {f.name: f.dataType.simpleString() for f in c2.table_schema("t").fields}
+    assert sch == {"k": "int", "v": "string"}
+    assert sorted(c2.scan_iter("t")) == [(i, f"v{i}") for i in range(5)]
+    c2.commit_tx()
+
+
+def test_widen_bucketed_table_nonbucket_column(spark, store_dir, smj_conf):
+    """Widening a non-bucket column preserves the shuffle-free bucketed
+    scan over mixed-width files."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("t", "id INT, fp STRING", bucket_by=(["fp"], 4))
+    c.write_dataframe(
+        "t",
+        spark.createDataFrame(
+            [(i, f"fp{i % 10}") for i in range(100)], "id int, fp string"
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.widen_column("t", "id", "bigint")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.createDataFrame([(2**40, "fp1")], "id long, fp string"),
+    )
+    c.commit_tx()
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    d = c2.scan_bucketed("t", with_stamps=False)
+    agg = d.groupBy("fp").count()
+    assert _no_shuffle(agg)
+    assert d.count() == 101
+    assert d.filter(F.col("id") == 2**40).count() == 1
+    c2.commit_tx()
+
+
 def test_rename_with_buffered_rows_same_tx(spark, store_dir):
     """Buffered (unflushed) rows written before an in-tx rename flush
     correctly under the new mapping; drop removes their value."""
