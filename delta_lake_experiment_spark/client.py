@@ -1925,6 +1925,16 @@ class DeltaLakeClient:
         same-tx ``write_row`` rows participate in matching AND in the
         deletion-vector mask (they are real objects by the time the
         mask is built).
+
+        File pruning: the source's per-key [min, max] bounds (ONE tiny
+        agg job on the already-persisted source) prune the table's
+        file list through the log-level stats before any table file is
+        read — a match can only live in a file whose stats admit every
+        key column's source range, so a small or range-local source
+        touches O(matching files), never O(table). Files without
+        stats are conservatively kept; a source with no non-NULL key
+        rows matches nothing by SQL semantics, so the matched path
+        skips the table read entirely.
         """
         if when_matched not in ("update", "delete", "ignore"):
             raise TypeMismatchError(f"when_matched={when_matched!r}")
@@ -1937,13 +1947,22 @@ class DeltaLakeClient:
         if tx.buffers.get(table):
             self._flush_buffer(table)
         src = source_df.persist()
-        matched_keys = (
-            self.scan(table, with_stamps=False)
-            .select(*keys)
-            .join(src.select(*keys).distinct(), list(keys), "left_semi")
-            .distinct()
-            .persist()
-        )
+        pr, any_keys = self._source_key_bounds(src, table, keys)
+        if any_keys:
+            matched_keys = (
+                self.scan(table, prune=pr, with_stamps=False)
+                .select(*keys)
+                .join(src.select(*keys).distinct(), list(keys), "left_semi")
+                .distinct()
+                .persist()
+            )
+        else:
+            # empty source / all-NULL keys: NULL never equals anything,
+            # so nothing matches and the table is not read at all
+            key_schema = T.StructType(
+                [f for f in self.table_schema(table).fields if f.name in keys]
+            )
+            matched_keys = self.spark.createDataFrame([], key_schema).persist()
         try:
             matched = src.join(matched_keys, list(keys), "left_semi")
             unmatched = src.join(matched_keys, list(keys), "left_anti")
@@ -1953,7 +1972,16 @@ class DeltaLakeClient:
             elif when_matched == "delete":
                 snap = self._effective_snapshot(tx)
                 stored = self._stored_schema(self.table_schema(table))
-                files = snap.live_files(table, self.store)
+                files = (
+                    snap.live_files(
+                        table,
+                        self.store,
+                        prune=self._prune_physical(snap, table, pr),
+                        keep_buckets=self._bucket_prune_ids(table, snap, pr),
+                    )
+                    if any_keys
+                    else []
+                )
                 if files:
                     base = self._read_live(table, snap, stored, files, with_pos=True)
                     hits = base.join(matched_keys, list(keys), "left_semi")
@@ -2594,6 +2622,41 @@ class DeltaLakeClient:
             list(schema.fields)
             + [T.StructField(TX_COL, T.LongType()), T.StructField(IDX_COL, T.LongType())]
         )
+
+    def _source_key_bounds(
+        self, src: DataFrame, table: str, keys: list[str]
+    ) -> tuple[Optional[dict], bool]:
+        """(prune dict, any-non-null-keys) for a MERGE source: per-key
+        [min, max] bounds from one agg job over the persisted source,
+        restricted to types the file-stats system encodes (numeric /
+        string / temporal). Returns (None, True) when no key column is
+        stats-prunable (merge degrades to the unpruned full file list)
+        and (None, False) when the source has no non-NULL key rows (no
+        file can match — callers skip the table read)."""
+        schema = self.table_schema(table)
+        types = {f.name: f.dataType for f in schema.fields}
+        prunable = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.StringType,
+            T.TimestampType, T.DateType,
+        )
+        cols = [k for k in keys if isinstance(types.get(k), prunable)]
+        if not cols:
+            # still need the NULL-source probe for correctness parity
+            n = src.select(*keys).dropna(how="any").limit(1).count()
+            return None, bool(n)
+        row = src.agg(
+            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(cols)],
+            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(cols)],
+        ).first()
+        pr = {
+            k: (row[f"lo_{i}"], row[f"hi_{i}"])
+            for i, k in enumerate(cols)
+            if row[f"lo_{i}"] is not None
+        }
+        if not pr:
+            return None, False
+        return pr, True
 
     # -- column mapping (rename/drop as O(1) metadata) ------------------
 

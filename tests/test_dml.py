@@ -283,3 +283,83 @@ def test_timestamp_as_of_and_history(spark, store_dir):
     dh = c.execute("DESCRIBE HISTORY t LIMIT 1")
     assert dh is not None and dh.count() == 1
     assert dh.collect()[0]["version"] == 2
+
+
+def test_merge_prunes_table_files_by_source_key_bounds(spark, store_dir):
+    """A MERGE's table-side reads are pruned by the SOURCE's key
+    bounds through the log-level stats: a range-local source touches
+    O(matching files), a delete-merge's DV names only candidate
+    files, and results are identical to the unpruned semantics."""
+    from delta_lake_experiment_spark.plans.actions import AddDeletionVector
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("kv", "k BIGINT, v STRING", primary_keys=["k"])
+    for i in range(40):  # 4 files, disjoint k ranges 0-9/10-19/20-29/30-39
+        c.write_row("kv", [i, f"v{i}"])
+    c.commit_tx()
+
+    # bounds land on one file only
+    c.new_tx()
+    pr, any_keys = c._source_key_bounds(
+        spark.createDataFrame([(12, "X"), (14, "Y")], "k BIGINT, v STRING"),
+        "kv",
+        ["k"],
+    )
+    assert any_keys and pr == {"k": (12, 14)}
+    snap = c._effective_snapshot(c.tx)
+    assert len(snap.live_files("kv", c.store, prune=pr)) == 1
+    # delete-merge: the DV mask may only reference the candidate file
+    candidates = {
+        n.rsplit("/", 1)[-1] for n in snap.live_files("kv", c.store, prune=pr)
+    }
+    out = c.merge(
+        "kv",
+        spark.createDataFrame([(12, "X"), (14, "Y"), (99, "Z")], "k BIGINT, v STRING"),
+        when_matched="delete",
+        when_not_matched="insert",
+    )
+    assert out == {"updated": 0, "deleted": 2, "inserted": 1}
+    dvs = [a for a in c.tx.actions if isinstance(a, AddDeletionVector)]
+    assert dvs and set(dvs[0].objects) <= candidates
+    c.commit_tx()
+    c.new_tx()
+    cur = {r["k"]: r["v"] for r in c.scan_current("kv").collect()}
+    assert 12 not in cur and 14 not in cur and cur[99] == "Z"
+    assert cur[13] == "v13" and len(cur) == 39
+    # update-merge through the pruned matched-keys probe
+    out = c.merge(
+        "kv",
+        spark.createDataFrame([(13, "UPD"), (100, "NEW")], "k BIGINT, v STRING"),
+    )
+    assert out == {"updated": 1, "deleted": 0, "inserted": 1}
+    c.commit_tx()
+    c.new_tx()
+    cur = {r["k"]: r["v"] for r in c.scan_current("kv").collect()}
+    assert cur[13] == "UPD" and cur[100] == "NEW" and len(cur) == 40
+    c.commit_tx()
+
+
+def test_merge_empty_or_null_key_source_skips_table_read(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("kv", "k BIGINT, v STRING", primary_keys=["k"])
+    for i in range(20):
+        c.write_row("kv", [i, f"v{i}"])
+    c.commit_tx()
+
+    c.new_tx()
+    empty = spark.createDataFrame([], "k BIGINT, v STRING")
+    out = c.merge("kv", empty, when_matched="delete", when_not_matched="insert")
+    assert out == {"updated": 0, "deleted": 0, "inserted": 0}
+    # all-NULL keys: nothing matches (SQL equi-join), rows still insert
+    nulls = spark.createDataFrame([(None, "n1"), (None, "n2")], "k BIGINT, v STRING")
+    pr, any_keys = c._source_key_bounds(nulls, "kv", ["k"])
+    assert pr is None and any_keys is False
+    out = c.merge("kv", nulls, when_matched="delete", when_not_matched="insert")
+    assert out == {"updated": 0, "deleted": 0, "inserted": 2}
+    c.commit_tx()
+    c.new_tx()
+    rows = c.scan("kv", with_stamps=False).collect()
+    assert len(rows) == 22 and sum(1 for r in rows if r["k"] is None) == 2
+    c.commit_tx()
