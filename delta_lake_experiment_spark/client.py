@@ -1728,6 +1728,10 @@ class DeltaLakeClient:
         non-transactional SQL.
         """
         from delta_lake_experiment_spark.plans.dml import (
+            AlterAddColumns,
+            AlterColumnType,
+            AlterDropColumn,
+            AlterRenameColumn,
             CreateTable,
             Delete,
             DescribeHistory,
@@ -1779,9 +1783,18 @@ class DeltaLakeClient:
                 target_files=stmt.target_files,
                 cluster_by=stmt.cluster_by,
                 zorder_by=stmt.zorder_by,
+                where=stmt.where,
             )
         elif isinstance(stmt, Restore):
             self.restore_table(stmt.table, stmt.version)
+        elif isinstance(stmt, AlterRenameColumn):
+            self.rename_column(stmt.table, stmt.old, stmt.new)
+        elif isinstance(stmt, AlterDropColumn):
+            self.drop_column(stmt.table, stmt.column)
+        elif isinstance(stmt, AlterColumnType):
+            self.widen_column(stmt.table, stmt.column, stmt.new_type)
+        elif isinstance(stmt, AlterAddColumns):
+            self.add_columns(stmt.table, stmt.columns_ddl)
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:
@@ -2271,6 +2284,7 @@ class DeltaLakeClient:
         target_files: int = 1,
         cluster_by: Optional[list[str]] = None,
         zorder_by: Optional[list[str]] = None,
+        where: Optional[tuple] = None,
     ) -> None:
         """OPTIMIZE: rewrite the table's live objects into ``target_files``
         large ones (remove+add in this tx) — the reference's unchecked
@@ -2295,18 +2309,46 @@ class DeltaLakeClient:
         shuffle-free join property survives compaction.
         ``cluster_by``/``zorder_by`` are rejected for bucketed tables
         (they would dictate a conflicting partitioning).
+
+        ``where=(column, lo, hi)`` (OPTIMIZE ... WHERE — the engine's
+        native inclusive-range primitive) compacts SELECTIVELY: only
+        files whose stats intersect the range are rewritten; everything
+        else is untouched metadata. This is the maintenance shape that
+        matters at scale — a day's hot ingest range compacts in
+        O(that range's files) while the cold bulk never rewrites.
+        Files without stats for the column are conservatively included.
+        No rows are deleted: the predicate selects FILES, the rewrite
+        keeps all their (unmasked) rows.
         """
         tx = self._require_tx()
         schema = self.table_schema(table)
         snap = self._effective_snapshot(tx)
         objs = snap.live_objects(table)
+        if where is not None:
+            w_col, w_lo, w_hi = where
+            w_lo, w_hi = self._check_range_types(schema, w_col, w_lo, w_hi)
+            pr = {w_col: (w_lo, w_hi)}
+            keep_names = {
+                _basename_of_uri(p)
+                for p in snap.live_files(
+                    table,
+                    self.store,
+                    prune=self._prune_physical(snap, table, pr),
+                    keep_buckets=self._bucket_prune_ids(table, snap, pr),
+                )
+            }
+            objs = [o for o in objs if o.name in keep_names]
         bucket_spec = self._bucket_spec(tx, table)
         if bucket_spec is not None and (cluster_by or zorder_by):
             raise TypeMismatchError(
                 "cannot cluster/zorder a bucketed table - the bucket"
                 " layout dictates the partitioning"
             )
-        needs_rewrite = cluster_by or zorder_by or snap.table_dvs(table)
+        obj_names = {o.name for o in objs}
+        candidate_dvs = {
+            n: v for n, v in snap.table_dvs(table).items() if n in obj_names
+        }
+        needs_rewrite = cluster_by or zorder_by or candidate_dvs
         if bucket_spec is not None:
             # small-file consolidation: rewrite when any bucket holds
             # more than one object (or DVs need materializing) —

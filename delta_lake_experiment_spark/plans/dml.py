@@ -20,11 +20,19 @@ for the DML shapes the engine actually supports, by parsing:
   UPDATE / INSERT, Delta-style)
 - ``CREATE TABLE t (<ddl>) [PRIMARY KEY (c, ...)] [BLOOM (c, ...)]
      [CLUSTER BY (c, ...)]``                  -> ``create_table``
-- ``OPTIMIZE t [FILES n] [CLUSTER BY (c, ...)] | [ZORDER BY (c, ...)]``
-                                              -> ``compact``
+- ``OPTIMIZE t [FILES n] [WHERE c BETWEEN a AND b | c = v]
+     [CLUSTER BY (c, ...)] | [ZORDER BY (c, ...)]`` -> ``compact``
+  (WHERE selects FILES by stats intersection — selective compaction
+  of a hot range; no rows are deleted)
 - ``VACUUM t [RETAIN n VERSIONS]``            -> ``vacuum`` (table arg
   ignored — vacuum is store-wide, kept for SQL familiarity)
 - ``RESTORE TABLE t TO VERSION n``            -> ``restore_table``
+- ``ALTER TABLE t RENAME COLUMN a TO b``      -> ``rename_column``
+- ``ALTER TABLE t DROP COLUMN a``             -> ``drop_column``
+- ``ALTER TABLE t ALTER COLUMN a TYPE ty``    -> ``widen_column``
+- ``ALTER TABLE t ADD COLUMNS (a ty, ...)``   -> ``add_columns``
+  (all four are the O(1)-metadata schema evolution lane: column
+  mapping for rename/drop, type widening, NULL-backfilled adds)
 
 This is a deliberate micro-grammar, NOT a SQL parser: predicates are
 restricted to the engine's native inclusive-range primitive (reference
@@ -87,6 +95,8 @@ _CREATE_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})\s*(?:FILES\s+(\d+)\s*)?"
+    rf"(?:WHERE\s+({_IDENT})\s+"
+    rf"(?:BETWEEN\s+({_LIT})\s+AND\s+({_LIT})|=\s*({_LIT}))\s*)?"
     rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*|ZORDER\s+BY\s*({_COLLIST})\s*)?;?\s*$",
     re.IGNORECASE,
 )
@@ -101,6 +111,24 @@ _RESTORE_RE = re.compile(
 _DESCRIBE_HISTORY_RE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*(?:LIMIT\s+(\d+)\s*)?;?\s*$",
     re.IGNORECASE,
+)
+_ALTER_RENAME_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})"
+    rf"\s+TO\s+({_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_TYPE_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
+    rf"\s+TYPE\s+([A-Za-z][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\((.+?)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -154,6 +182,8 @@ class Optimize:
     target_files: int
     cluster_by: Optional[list]
     zorder_by: Optional[list]
+    # (column, lo, hi) file-selection range, or None = whole table
+    where: Optional[tuple] = None
 
 
 @dataclass
@@ -172,6 +202,32 @@ class Restore:
 class DescribeHistory:
     table: str
     limit: Optional[int]
+
+
+@dataclass
+class AlterRenameColumn:
+    table: str
+    old: str
+    new: str
+
+
+@dataclass
+class AlterDropColumn:
+    table: str
+    column: str
+
+
+@dataclass
+class AlterColumnType:
+    table: str
+    column: str
+    new_type: str
+
+
+@dataclass
+class AlterAddColumns:
+    table: str
+    columns_ddl: str
 
 
 def _literal(tok: str) -> Any:
@@ -282,13 +338,19 @@ def parse_dml(sql: str):
         if not m:
             raise UnsupportedSqlError(
                 "OPTIMIZE supports exactly: OPTIMIZE t [FILES n] "
+                "[WHERE col BETWEEN lo AND hi | col = v] "
                 "[CLUSTER BY (c,...)] | [ZORDER BY (c,...)]"
             )
+        where = None
+        if m.group(3):
+            lo, hi = _bounds(m.group(4), m.group(5), m.group(6))
+            where = (m.group(3), lo, hi)
         return Optimize(
             table=m.group(1),
             target_files=int(m.group(2)) if m.group(2) else 1,
-            cluster_by=_cols(m.group(3)) if m.group(3) else None,
-            zorder_by=_cols(m.group(4)) if m.group(4) else None,
+            cluster_by=_cols(m.group(7)) if m.group(7) else None,
+            zorder_by=_cols(m.group(8)) if m.group(8) else None,
+            where=where,
         )
     if head == "VACUUM":
         m = _VACUUM_RE.match(sql)
@@ -307,6 +369,25 @@ def parse_dml(sql: str):
                 "RESTORE supports exactly: RESTORE TABLE t TO VERSION n"
             )
         return Restore(table=m.group(1), version=int(m.group(2)))
+    if head == "ALTER":
+        m = _ALTER_RENAME_RE.match(sql)
+        if m:
+            return AlterRenameColumn(table=m.group(1), old=m.group(2), new=m.group(3))
+        m = _ALTER_DROP_RE.match(sql)
+        if m:
+            return AlterDropColumn(table=m.group(1), column=m.group(2))
+        m = _ALTER_TYPE_RE.match(sql)
+        if m:
+            return AlterColumnType(
+                table=m.group(1), column=m.group(2), new_type=m.group(3).strip()
+            )
+        m = _ALTER_ADD_RE.match(sql)
+        if m:
+            return AlterAddColumns(table=m.group(1), columns_ddl=m.group(2).strip())
+        raise UnsupportedSqlError(
+            "ALTER supports exactly: ALTER TABLE t RENAME COLUMN a TO b | "
+            "DROP COLUMN a | ALTER COLUMN a TYPE ty | ADD COLUMNS (a ty, ...)"
+        )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)
         if not m:

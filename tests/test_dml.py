@@ -363,3 +363,119 @@ def test_merge_empty_or_null_key_source_skips_table_read(spark, store_dir):
     rows = c.scan("kv", with_stamps=False).collect()
     assert len(rows) == 22 and sum(1 for r in rows if r["k"] is None) == 2
     c.commit_tx()
+
+
+def test_parse_alter_statements():
+    from delta_lake_experiment_spark.plans.dml import (
+        AlterAddColumns,
+        AlterColumnType,
+        AlterDropColumn,
+        AlterRenameColumn,
+        UnsupportedSqlError,
+        parse_dml,
+    )
+
+    s = parse_dml("ALTER TABLE t RENAME COLUMN a TO b;")
+    assert isinstance(s, AlterRenameColumn) and (s.table, s.old, s.new) == ("t", "a", "b")
+    s = parse_dml("alter table t drop column a")
+    assert isinstance(s, AlterDropColumn) and (s.table, s.column) == ("t", "a")
+    s = parse_dml("ALTER TABLE t ALTER COLUMN a TYPE bigint")
+    assert isinstance(s, AlterColumnType) and s.new_type == "bigint"
+    s = parse_dml("ALTER TABLE t ALTER COLUMN a TYPE decimal(20, 0)")
+    assert isinstance(s, AlterColumnType) and s.new_type == "decimal(20, 0)"
+    s = parse_dml("ALTER TABLE t ADD COLUMNS (x bigint, y string)")
+    assert isinstance(s, AlterAddColumns) and s.columns_ddl == "x bigint, y string"
+    s = parse_dml("ALTER TABLE t ADD COLUMN (x bigint)")
+    assert isinstance(s, AlterAddColumns)
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedSqlError, match="ALTER supports"):
+        parse_dml("ALTER TABLE t SET TBLPROPERTIES ('a' = 'b')")
+
+
+def test_execute_alter_end_to_end(spark, store_dir):
+    """The SQL schema-evolution lane: rename/widen/add/drop through
+    execute(), values preserved across all four O(1) metadata moves."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k INT, v STRING, dead DOUBLE")
+    for i in range(10):
+        c.write_row("t", [i, f"v{i}", float(i)])
+    c.commit_tx()
+
+    c.new_tx()
+    c.execute("ALTER TABLE t RENAME COLUMN v TO label")
+    c.execute("ALTER TABLE t ALTER COLUMN k TYPE bigint")
+    c.execute("ALTER TABLE t DROP COLUMN dead")
+    c.execute("ALTER TABLE t ADD COLUMNS (score DOUBLE)")
+    c.commit_tx()
+
+    c.new_tx()
+    sch = {f.name: f.dataType.simpleString() for f in c.table_schema("t").fields}
+    assert sch == {"k": "bigint", "label": "string", "score": "double"}
+    c.write_row("t", [2**40, "wide", 1.5])
+    c.commit_tx()
+    c.new_tx()
+    rows = sorted(c.scan_iter("t"))
+    assert rows[0] == (0, "v0", None) and rows[-1] == (2**40, "wide", 1.5)
+    c.commit_tx()
+
+
+def test_parse_optimize_where():
+    from delta_lake_experiment_spark.plans.dml import Optimize, parse_dml
+
+    s = parse_dml("OPTIMIZE t WHERE k BETWEEN 10 AND 19")
+    assert isinstance(s, Optimize) and s.where == ("k", 10, 19)
+    s = parse_dml("OPTIMIZE t FILES 2 WHERE k = 5 CLUSTER BY (k)")
+    assert s.target_files == 2 and s.where == ("k", 5, 5)
+    assert s.cluster_by == ["k"]
+    s = parse_dml("OPTIMIZE t FILES 3")
+    assert s.where is None and s.target_files == 3
+
+
+def test_selective_compaction_rewrites_only_matching_files(spark, store_dir):
+    """OPTIMIZE ... WHERE: only files whose stats intersect the range
+    are rewritten; the cold bulk keeps its object names. DVs on
+    in-range files materialize; out-of-range DVs stay."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(40):  # 4 files: 0-9 / 10-19 / 20-29 / 30-39
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    # two small same-range commits create compactable fragments + a DV
+    c.new_tx()
+    for i in (10, 11):
+        c.write_row("t", [100 + i, f"x{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 15, 15, use_dv=True)
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    before = {o.name for o in snap.live_objects("t")}
+    cold = {
+        o.name
+        for o in snap.live_objects("t")
+        if o.stats and "k" in o.stats and int(o.stats["k"][1]) < 10
+    }
+    assert cold  # the 0-9 file
+    c.compact("t", where=("k", 10, 19))
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    after = {o.name for o in snap.live_objects("t")}
+    assert cold <= after, "cold file was rewritten by a selective compact"
+    assert before != after  # hot range did rewrite
+    # the in-range DV materialized (mask retired with its object)
+    assert not snap.table_dvs("t")
+    rows = sorted(r[0] for r in c.scan_iter("t"))
+    assert rows == sorted(set(range(40)) - {15} | {110, 111})
+    # selective no-op: the already-compacted range returns early
+    before2 = {o.name for o in snap.live_objects("t")}
+    c.compact("t", where=("k", 0, 9))
+    snap2 = c._effective_snapshot(c.tx)
+    assert {o.name for o in snap2.live_objects("t")} == before2
+    c.commit_tx()
