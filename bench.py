@@ -146,6 +146,8 @@ HEADLINE = [
     "engine_schema_evolution",
     # r8: type widening (narrow+wide parquet under one widened schema)
     "engine_type_widening",
+    # r8: existingDefault column defaults (stamp-gated read substitution)
+    "engine_default_values",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

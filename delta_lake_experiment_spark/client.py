@@ -374,10 +374,43 @@ class DeltaLakeClient:
         merge at scan), and range predicates skip NULLs — so a delete on
         a new column leaves pre-evolution rows untouched instead of
         failing.
+
+        ``c TYPE DEFAULT <literal>`` (Delta's existingDefault) makes
+        rows STAMPED before this transaction read the literal wherever
+        the column is NULL — zero data written; the substitution is a
+        ``_tx_id``-gated projection at scan. The ``_tx_id`` stamp
+        survives COW rewrites, so the pre-birth test is rewrite-stable
+        (a rewrite materializes the default it read, and the stamped
+        gate then coalesces over the now-stored value — same answer).
+        Rows written at/after the add read their stored values,
+        explicit NULLs included. Contract edge, documented: an
+        ``update_rows`` that sets a PRE-birth row's defaulted column to
+        NULL reads back as the default (stamps are preserved by
+        design). Defaults are int/float/str/bool literals — the JSON
+        log carries them verbatim.
         """
         tx = self._require_tx()
         current = self.table_schema(table)
+        columns_ddl, new_defaults = self._split_defaults(columns_ddl)
         added = self._parse_ddl(columns_ddl)
+        for cname, dv in new_defaults.items():
+            dt = added[cname].dataType
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType,
+            )
+            ok = (
+                (isinstance(dt, numeric) and isinstance(dv, (int, float))
+                 and not isinstance(dv, bool))
+                or (isinstance(dt, T.StringType) and isinstance(dv, str))
+                or (isinstance(dt, T.BooleanType) and isinstance(dv, bool))
+            )
+            if not ok:
+                raise TypeMismatchError(
+                    f"DEFAULT {dv!r} does not fit column {cname}"
+                    f" {dt.simpleString()} (int/float/str/bool literals"
+                    " matching the column type only)"
+                )
         dup = {f.name for f in added.fields} & {f.name for f in current.fields}
         if dup:
             raise TypeMismatchError(f"columns already exist: {sorted(dup)}")
@@ -403,18 +436,65 @@ class DeltaLakeClient:
                 phys = f"{f.name}__p{tx.id}_{k}"
             full[f.name] = phys
             used.add(phys)
+        defaults = {
+            c: dict(v) for c, v in snap.defaults.get(table, {}).items()
+        }
+        for cname, dv in new_defaults.items():
+            defaults[cname] = {"v": dv, "birth": tx.id}
         # new_tables doubles as "pending DDL this tx" so table_schema
         # sees the widened shape before commit
         tx.new_tables[table] = ddl
         tx.actions.append(
             ChangeMetadata(
-                table=table, schema_ddl=ddl, column_map=full, retired_phys=retired
+                table=table,
+                schema_ddl=ddl,
+                column_map=full,
+                retired_phys=retired,
+                col_defaults=defaults,
             )
         )
-        # rewrite already-buffered rows to the widened shape
+        # rewrite already-buffered rows to the widened shape; buffered
+        # rows are stamped with THIS tx id (>= birth), so they take the
+        # explicit NULL, not the default — same-tx writes are post-birth
         for i, (idx, row) in enumerate(tx.buffers.get(table, [])):
             if row is not None:
                 tx.buffers[table][i] = (idx, list(row) + [None] * len(added.fields))
+
+    @staticmethod
+    def _split_defaults(columns_ddl: str) -> tuple[str, dict]:
+        """Strip ``DEFAULT <literal>`` suffixes from an add-columns DDL:
+        returns (bare DDL, {column: python literal}). Literals follow
+        the SQL micro-grammar: int, float, single-quoted string (with
+        '' escaping), TRUE/FALSE."""
+        import re as _re
+
+        from delta_lake_experiment_spark.plans.dml import (
+            _split_top_level_commas,
+        )
+
+        out_parts, defaults = [], {}
+        lit = r"(?:-?\d+\.\d+|-?\d+|'(?:[^']|'')*'|TRUE|FALSE)"
+        pat = _re.compile(
+            rf"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s+DEFAULT\s+({lit})\s*$",
+            _re.IGNORECASE,
+        )
+        for part in _split_top_level_commas(columns_ddl):
+            m = pat.match(part)
+            if not m:
+                out_parts.append(part)
+                continue
+            name, typ, tok = m.group(1), m.group(2), m.group(3)
+            if tok.upper() in ("TRUE", "FALSE"):
+                v: Any = tok.upper() == "TRUE"
+            elif tok.startswith("'"):
+                v = tok[1:-1].replace("''", "'")
+            elif "." in tok:
+                v = float(tok)
+            else:
+                v = int(tok)
+            defaults[name] = v
+            out_parts.append(f"{name} {typ}")
+        return ", ".join(p.strip() for p in out_parts), defaults
 
     def rename_column(self, table: str, old: str, new: str) -> None:
         """RENAME COLUMN as an O(1) metadata move (Delta's column
@@ -480,6 +560,10 @@ class DeltaLakeClient:
                 checks=checks,
                 column_map=cmap,
                 retired_phys=list(snap.retired.get(table, [])),
+                col_defaults={
+                    _ren(c): dict(v)
+                    for c, v in snap.defaults.get(table, {}).items()
+                },
                 authoritative=True,
             )
         )
@@ -552,6 +636,11 @@ class DeltaLakeClient:
                 checks=checks,
                 column_map=cmap,
                 retired_phys=retired,
+                col_defaults={
+                    c: dict(v)
+                    for c, v in snap.defaults.get(table, {}).items()
+                    if c != column
+                },
                 authoritative=True,
             )
         )
@@ -633,6 +722,9 @@ class DeltaLakeClient:
                 checks=dict(snap.checks.get(table, {})),
                 column_map=dict(snap.col_maps.get(table, {})),
                 retired_phys=list(snap.retired.get(table, [])),
+                col_defaults={
+                    c: dict(v) for c, v in snap.defaults.get(table, {}).items()
+                },
                 authoritative=True,
             )
         )
@@ -731,6 +823,9 @@ class DeltaLakeClient:
                 # the current one or the alter would silently clear it
                 column_map=dict(snap.col_maps.get(table, {})),
                 retired_phys=list(snap.retired.get(table, [])),
+                col_defaults={
+                    c: dict(v) for c, v in snap.defaults.get(table, {}).items()
+                },
                 authoritative=True,
             )
         )
@@ -1269,6 +1364,7 @@ class DeltaLakeClient:
                     for f in stored.fields
                 ]
             )
+        df = self._apply_defaults(snap, table, df, stored)
         return df if with_stamps else df.select(*[f.name for f in schema.fields])
 
     def scan_iter(self, table: str) -> Iterator[tuple]:
@@ -1477,14 +1573,22 @@ class DeltaLakeClient:
             checks=dict(snap.checks.get(src, {})),
         )
         # the clone references src's physical files, so it needs src's
-        # column map (and retired set) verbatim
-        if snap.col_maps.get(src) or snap.retired.get(src):
+        # column map (and retired set, and stamp-gated defaults) verbatim
+        if (
+            snap.col_maps.get(src)
+            or snap.retired.get(src)
+            or snap.defaults.get(src)
+        ):
             tx.actions.append(
                 ChangeMetadata(
                     table=dst,
                     schema_ddl=ddl,
                     column_map=dict(snap.col_maps.get(src, {})),
                     retired_phys=list(snap.retired.get(src, [])),
+                    col_defaults={
+                        c: dict(v)
+                        for c, v in snap.defaults.get(src, {}).items()
+                    },
                 )
             )
         objs = snap.live_objects(src)
@@ -1586,13 +1690,17 @@ class DeltaLakeClient:
 
         def _rows(snap, names, with_pos=False):
             # the feed reports rows in the TO-version logical shape:
-            # read any file (old or new) under to_snap's column map,
-            # while DV masks resolve against the era the files are
-            # read from (``snap``)
-            if snap.col_maps.get(table, {}) != to_snap.col_maps.get(table, {}):
+            # read any file (old or new) under to_snap's column map and
+            # defaults, while DV masks resolve against the era the
+            # files are read from (``snap``)
+            if (
+                snap.col_maps.get(table, {}) != to_snap.col_maps.get(table, {})
+                or snap.defaults.get(table, {}) != to_snap.defaults.get(table, {})
+            ):
                 hybrid = Snapshot(version=snap.version, tables=snap.tables)
                 hybrid.dvs = snap.dvs
                 hybrid.col_maps = to_snap.col_maps
+                hybrid.defaults = to_snap.defaults
                 snap = hybrid
             return self._read_live(
                 table, snap, stored, [self.store.path_of(n) for n in names],
@@ -1880,7 +1988,13 @@ class DeltaLakeClient:
             for o in snap.live_objects(table)
             if self.store.path_of(o.name) in set(candidates)
         )
-        if cand_rows <= _DRIVER_DELETE_MAX_ROWS:
+        # (defaulted predicate columns must take the distributed path:
+        # the driver's raw pyarrow read would miss pre-birth rows whose
+        # NULL logically reads as the default)
+        if (
+            cand_rows <= _DRIVER_DELETE_MAX_ROWS
+            and column not in snap.defaults.get(table, {})
+        ):
             self._delete_rows_driver(tx, table, snap, schema, column, start, end, candidates)
             return
         cand_df = self._read_live(table, snap, stored, candidates, with_pos=True)
@@ -2436,6 +2550,7 @@ class DeltaLakeClient:
             or cur.checks.get(table, {}) != old.checks.get(table, {})
             or cur.col_maps.get(table, {}) != old.col_maps.get(table, {})
             or cur.retired.get(table, []) != old.retired.get(table, [])
+            or cur.defaults.get(table, {}) != old.defaults.get(table, {})
         ):
             old_spec = old.bucket_specs.get(table)
             tx.actions.append(
@@ -2452,6 +2567,10 @@ class DeltaLakeClient:
                     # made after the target version roll back too)
                     column_map=dict(old.col_maps.get(table, {})),
                     retired_phys=list(old.retired.get(table, [])),
+                    col_defaults={
+                        c: dict(v)
+                        for c, v in old.defaults.get(table, {}).items()
+                    },
                     authoritative=True,
                 )
             )
@@ -2733,6 +2852,28 @@ class DeltaLakeClient:
             return df
         return df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
 
+    def _apply_defaults(
+        self, snap: Snapshot, table: str, df: DataFrame, stored: T.StructType
+    ) -> DataFrame:
+        """existingDefault substitution: for each defaulted column, rows
+        STAMPED before the column's birth tx read the default wherever
+        the column is NULL. A pure ``_tx_id``-gated projection — zero
+        data written at ALTER time, and rewrite-stable because COW
+        rewrites preserve stamps and materialize the value they read."""
+        dmap = snap.defaults.get(table, {})
+        if not dmap:
+            return df
+        cols = {}
+        types = {f.name: f.dataType for f in stored.fields}
+        for name, d in dmap.items():
+            if name not in types:
+                continue
+            cols[name] = F.when(
+                F.col(TX_COL) < int(d["birth"]),
+                F.coalesce(F.col(name), F.lit(d["v"]).cast(types[name])),
+            ).otherwise(F.col(name))
+        return df.withColumns(cols) if cols else df
+
     @staticmethod
     def _prune_physical(
         snap: Snapshot, table: str, prune: Optional[dict]
@@ -2815,6 +2956,10 @@ class DeltaLakeClient:
         snap.checks = {t: dict(cs) for t, cs in tx.snapshot.checks.items()}
         snap.col_maps = {t: dict(m) for t, m in tx.snapshot.col_maps.items()}
         snap.retired = {t: list(r) for t, r in tx.snapshot.retired.items()}
+        snap.defaults = {
+            t: {c: dict(v) for c, v in m.items()}
+            for t, m in tx.snapshot.defaults.items()
+        }
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
@@ -2845,15 +2990,15 @@ class DeltaLakeClient:
         pmap = self._rename_map(snap, table)
 
         def _logical(d: DataFrame, extra: tuple = ()) -> DataFrame:
-            if not pmap:
-                return d
-            return d.select(
-                *[
-                    F.col(pmap.get(f.name, f.name)).alias(f.name)
-                    for f in stored.fields
-                ],
-                *[F.col(c) for c in extra],
-            )
+            if pmap:
+                d = d.select(
+                    *[
+                        F.col(pmap.get(f.name, f.name)).alias(f.name)
+                        for f in stored.fields
+                    ],
+                    *[F.col(c) for c in extra],
+                )
+            return self._apply_defaults(snap, table, d, stored)
 
         df = self.spark.read.schema(self._phys_schema(stored, pmap)).parquet(*files)
         live_names = {_basename_of_uri(p) for p in files}

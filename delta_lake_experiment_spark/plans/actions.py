@@ -126,6 +126,16 @@ class ChangeMetadata:
     # historical map explicitly).
     column_map: dict[str, str] = field(default_factory=dict)
     retired_phys: list[str] = field(default_factory=list)
+    # Column DEFAULTs (Delta's existingDefault, simplified): logical
+    # column name -> {"v": JSON literal, "birth": tx id the column was
+    # added in}. Rows STAMPED before the birth tx read the default
+    # wherever they hold NULL in the column (the ``_tx_id`` stamp
+    # survives COW rewrites, so the test is rewrite-stable); rows
+    # written at/after birth read their stored value, explicit NULLs
+    # included. Same record-merge semantics as column_map: authoritative
+    # records REPLACE the map, non-authoritative ones update it only
+    # when non-empty.
+    col_defaults: dict[str, dict] = field(default_factory=dict)
     # With ``authoritative=True`` the declaration lists REPLACE the
     # table's current ones — empty lists CLEAR prior declarations
     # (RESTORE / ALTER need this). Default False keeps the legacy
@@ -150,6 +160,8 @@ class ChangeMetadata:
             out["column_map"] = self.column_map
         if self.retired_phys:
             out["retired_phys"] = self.retired_phys
+        if self.col_defaults:
+            out["col_defaults"] = self.col_defaults
         if self.authoritative:
             out["authoritative"] = True
         return {"metadata": out}
@@ -216,6 +228,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             checks=dict(m.get("checks", {})),
             column_map=dict(m.get("column_map", {})),
             retired_phys=list(m.get("retired_phys", [])),
+            col_defaults=dict(m.get("col_defaults", {})),
             authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:

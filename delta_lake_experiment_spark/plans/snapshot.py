@@ -77,6 +77,9 @@ class Snapshot:
     col_maps: dict[str, dict] = field(default_factory=dict)
     # table -> physical names of DROPPED columns (never reusable)
     retired: dict[str, list] = field(default_factory=dict)
+    # table -> {logical column -> {"v": literal, "birth": tx id}}:
+    # rows stamped before birth read "v" where the column is NULL
+    defaults: dict[str, dict] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -143,6 +146,7 @@ class Snapshot:
                     # carry the current/historical map explicitly)
                     self.col_maps[act.table] = dict(act.column_map)
                     self.retired[act.table] = list(act.retired_phys)
+                    self.defaults[act.table] = dict(act.col_defaults)
                     if act.bucket_by:
                         self.bucket_specs[act.table] = {
                             "cols": list(act.bucket_by),
@@ -170,6 +174,8 @@ class Snapshot:
                         self.col_maps[act.table] = dict(act.column_map)
                     if act.retired_phys:
                         self.retired[act.table] = list(act.retired_phys)
+                    if act.col_defaults:
+                        self.defaults[act.table] = dict(act.col_defaults)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -204,6 +210,7 @@ class Snapshot:
                 "checks": self.checks,
                 "col_maps": self.col_maps,
                 "retired": self.retired,
+                "defaults": self.defaults,
                 "txns": self.txns,
             }
         ).encode()
@@ -232,6 +239,10 @@ class Snapshot:
             for t, m in d.get("col_maps", {}).items()
         }
         snap.retired = {t: list(r) for t, r in d.get("retired", {}).items()}
+        snap.defaults = {
+            t: {c: dict(v) for c, v in m.items()}
+            for t, m in d.get("defaults", {}).items()
+        }
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():
             snap.live[t] = {

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 128 value-oracled queries, seventy-eight must sit outside the window. The
+# With 129 value-oracled queries, seventy-nine must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -400,7 +400,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   the NOVELTY (ALTER COLUMN TYPE as O(1) metadata — narrow and wide
 #   Parquet files coexisting under one widened read schema) is pinned
 #   by the widening pytests, and the exact-integer key sum in this
-#   query value-diverges on any upcast corruption or width-lost row.
+#   query value-diverges on any upcast corruption or width-lost row;
+# - engine_default_values -> same in-window engine-lane shadowing; the
+#   NOVELTY (existingDefault: a _tx_id-gated read substitution that is
+#   rewrite-stable because COW preserves stamps) is pinned by the
+#   defaults pytests, and a lost substitution or a default leaking
+#   into post-birth rows value-diverges the (status, region) aggregate.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -483,6 +488,7 @@ _DEFERRED_ORACLED = [
     "engine_clone_divergence",
     "engine_schema_evolution",
     "engine_type_widening",
+    "engine_default_values",
 ]
 
 

@@ -567,6 +567,70 @@ GROUP BY o_orderstatus
 """
 
 
+def engine_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column DEFAULTs (client.add_columns ``DEFAULT <lit>`` — Delta's
+    existingDefault, simplified): orders gains a ``region`` column with
+    DEFAULT 'unknown' as pure metadata (zero data written); every
+    pre-birth row reads the default through a ``_tx_id``-gated
+    projection while post-birth rows carry explicit regions. A COW
+    range delete then rewrites MIXED files (materializing the default
+    into the survivors without changing what they read back — stamps
+    are preserved, so the gate coalesces over the now-stored value).
+    Oracle = the same evolution expressed relationally. A lost
+    substitution, a default leaking into post-birth rows, or a
+    rewrite-path inconsistency value-diverges the (status, region)
+    aggregate immediately."""
+    _utc(spark)
+    src = load_table(spark, sf_dir, "orders")
+    c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])
+    c.new_tx()
+    c.add_columns("orders", "region STRING DEFAULT 'unknown'")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "orders",
+        src.filter(F.col("o_orderkey") % 9 == 0).select(
+            (F.col("o_orderkey") + 20_000_000).alias("o_orderkey"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 2 == 0, "east")
+            .otherwise("west")
+            .alias("region"),
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("orders", "o_totalprice", 50000.0, 150000.0)
+    c.commit_tx()
+    c.new_tx()
+    return (
+        c.scan("orders", with_stamps=False)
+        .groupBy("o_orderstatus", "region")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+ENGINE_DEFAULT_VALUES_SQL = """
+WITH cur AS (
+  SELECT o_orderstatus, o_totalprice, 'unknown' AS region FROM orders
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 2 = 0 THEN 'east' ELSE 'west' END
+  FROM orders WHERE o_orderkey % 9 = 0
+)
+SELECT o_orderstatus, region, COUNT(*) AS n,
+       round(SUM(o_totalprice), 2) AS total_price
+FROM cur WHERE o_totalprice NOT BETWEEN 50000.0 AND 150000.0
+GROUP BY o_orderstatus, region
+"""
+
+
 def engine_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy SHALLOW CLONE (client.clone_table): orders is cloned
     at O(files) metadata cost — no data bytes move — then the two
@@ -639,6 +703,7 @@ QUERIES = {
     "engine_incremental_mv": engine_incremental_mv,
     "engine_schema_evolution": engine_schema_evolution,
     "engine_type_widening": engine_type_widening,
+    "engine_default_values": engine_default_values,
     "engine_clone_divergence": engine_clone_divergence,
     "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
@@ -657,6 +722,7 @@ ORACLES = {
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
     "engine_schema_evolution": ENGINE_SCHEMA_EVOLUTION_SQL,
     "engine_type_widening": ENGINE_TYPE_WIDENING_SQL,
+    "engine_default_values": ENGINE_DEFAULT_VALUES_SQL,
     "engine_clone_divergence": ENGINE_CLONE_DIVERGENCE_SQL,
     "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,

@@ -564,3 +564,112 @@ def test_rename_with_buffered_rows_same_tx(spark, store_dir):
     c.new_tx()
     assert sorted(c.scan_iter("t")) == [(1, "x"), (2, "y"), (3, "z")]
     c.commit_tx()
+
+
+def test_add_column_default_existing_rows(spark, store_dir):
+    """existingDefault: rows stamped before the column's birth read the
+    default wherever NULL; post-birth rows read stored values, explicit
+    NULL included. The substitution survives COW deletes (which must
+    take the distributed path on defaulted predicate columns), compact
+    (which materializes the value), and fresh-client replay."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(20):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+
+    c.new_tx()
+    c.add_columns("t", "score DOUBLE DEFAULT 2.5, tag STRING DEFAULT 'none'")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [100, "new", 9.0, "real"])
+    c.write_row("t", [101, "new2", None, None])  # explicit NULL, post-birth
+    c.commit_tx()
+
+    c.new_tx()
+    rows = {r[0]: (r[2], r[3]) for r in c.scan_iter("t")}
+    assert rows[5] == (2.5, "none")      # pre-birth -> default
+    assert rows[100] == (9.0, "real")    # post-birth explicit
+    assert rows[101] == (None, None)     # post-birth NULL stays NULL
+    # range delete on the defaulted column hits pre-birth rows too
+    c.delete_rows("t", "score", 2.0, 3.0)
+    c.commit_tx()
+    c.new_tx()
+    ks = sorted(r[0] for r in c.scan_iter("t"))
+    assert ks == [100, 101], ks  # every pre-birth row read 2.5 and died
+    c.compact("t", target_files=1)
+    c.commit_tx()
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    rows = {r[0]: (r[2], r[3]) for r in c2.scan_iter("t")}
+    assert rows == {100: (9.0, "real"), 101: (None, None)}
+    c2.commit_tx()
+
+
+def test_default_rename_drop_restore_clone_interplay(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10, checkpoint_interval=2)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    for i in range(5):
+        c.write_row("t", [i])
+    c.commit_tx()
+    c.new_tx()
+    v_plain = c.tx.snapshot.version
+    c.execute("ALTER TABLE t ADD COLUMNS (lang STRING DEFAULT 'en')")
+    c.commit_tx()
+
+    c.new_tx()
+    assert {r[1] for r in c.scan_iter("t")} == {"en"}
+    # rename: the default follows the logical name
+    c.rename_column("t", "lang", "language")
+    c.commit_tx()
+    c.new_tx()
+    assert {r[1] for r in c.scan_iter("t")} == {"en"}
+    snap = c._effective_snapshot(c.tx)
+    assert snap.defaults["t"]["language"]["v"] == "en"
+    assert "lang" not in snap.defaults["t"]
+    # clone carries the default (checkpoint crossed: interval=2)
+    c.clone_table("t", "t2")
+    c.commit_tx()
+    c2 = DeltaLakeClient(spark, store_dir)
+    c2.new_tx()
+    assert {r[1] for r in c2.scan_iter("t2")} == {"en"}
+    # drop removes the default; re-add without one reads NULL
+    c2.drop_column("t", "language")
+    c2.add_columns("t", "language STRING")
+    c2.commit_tx()
+    c2.new_tx()
+    assert {r[1] for r in c2.scan_iter("t")} == {None}
+    # restore to the pre-default version: column and default both gone
+    c2.restore_table("t", v_plain)
+    c2.commit_tx()
+    c2.new_tx()
+    assert [f.name for f in c2.table_schema("t").fields] == ["k"]
+    assert c2._effective_snapshot(c2.tx).defaults.get("t", {}) == {}
+    c2.commit_tx()
+
+
+def test_default_guards_and_literal_forms(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.write_row("t", [1])
+    c.commit_tx()  # defaults apply to rows stamped BEFORE the add tx
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="DEFAULT"):
+        c.add_columns("t", "x DOUBLE DEFAULT 'nope'")
+    with pytest.raises(TypeMismatchError, match="DEFAULT"):
+        c.add_columns("t", "s STRING DEFAULT 3")
+    with pytest.raises(TypeMismatchError, match="DEFAULT"):
+        c.add_columns("t", "b BOOLEAN DEFAULT 1")
+    c.add_columns(
+        "t",
+        "x DOUBLE DEFAULT -1.5, n BIGINT DEFAULT 42, b BOOLEAN DEFAULT TRUE,"
+        " s STRING DEFAULT 'a,''b'''",
+    )
+    c.commit_tx()
+    c.new_tx()
+    row = next(iter(c.scan_iter("t")))
+    assert row == (1, -1.5, 42, True, "a,'b'")
+    c.commit_tx()
