@@ -148,6 +148,8 @@ HEADLINE = [
     "engine_type_widening",
     # r8: existingDefault column defaults (stamp-gated read substitution)
     "engine_default_values",
+    # r8: exactly-once streaming MERGE upsert sink (pruned per batch)
+    "engine_streaming_upsert",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -46,6 +46,54 @@ def foreach_batch_writer(client_factory, table: str, app_id: str, transform=None
     return process
 
 
+def foreach_batch_upsert(
+    client_factory,
+    table: str,
+    app_id: str,
+    order_by: str = None,
+    when_not_matched: str = "insert",
+):
+    """MERGE-based exactly-once streaming UPSERT sink (the Delta
+    foreachBatch-merge pattern): each micro-batch merges into the
+    primary-keyed table — matched keys get a new latest-wins version,
+    unmatched keys insert — under the same ``txn {app_id, batch}``
+    replay protection as the append sink, so a redelivered batch is a
+    no-op even though MERGE itself is not idempotent.
+
+    ``order_by``: when a single batch can carry SEVERAL versions of one
+    key (CDC bursts), name the event-order column and the sink keeps
+    only each key's LAST row before merging — without it, intra-batch
+    version order would be whatever the shuffle produced (the same
+    caveat Delta documents for foreachBatch merge). The merge's
+    source-key-bounds file pruning makes each micro-batch touch
+    O(matching files), never O(table) — the property that lets a
+    trickle of CDC events update a huge table cheaply."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        client = client_factory()
+        client.new_tx()
+        last = client.tx.snapshot.txns.get(app_id, -1)
+        if batch_id <= last:
+            client.abort_tx()  # redelivered batch: already in the log
+            return
+        keys = client.tx.snapshot.pkeys.get(table)
+        src = batch_df
+        if order_by is not None and keys:
+            w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        client.merge(table, src, when_not_matched=when_not_matched)
+        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+
+    return process
+
+
 def write_stream_to_table(
     stream_df: DataFrame,
     client_factory,

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 129 value-oracled queries, seventy-nine must sit outside the window. The
+# With 130 value-oracled queries, eighty must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -405,7 +405,14 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   NOVELTY (existingDefault: a _tx_id-gated read substitution that is
 #   rewrite-stable because COW preserves stamps) is pinned by the
 #   defaults pytests, and a lost substitution or a default leaking
-#   into post-birth rows value-diverges the (status, region) aggregate.
+#   into post-birth rows value-diverges the (status, region) aggregate;
+# - engine_streaming_upsert -> the exactly-once foreachBatch skeleton
+#   is certified in-window by streaming_cardinality_sketch and the
+#   MERGE semantics by engine_sql_merge / engine_merge_upsert /
+#   engine_upsert_latest; the NOVELTY (MERGE-based upsert sink with
+#   order_by intra-batch collapse and source-bounds file pruning per
+#   micro-batch) is pinned by the sink pytest, and a double-applied or
+#   dropped batch value-diverges the per-key current state immediately.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -489,6 +496,7 @@ _DEFERRED_ORACLED = [
     "engine_schema_evolution",
     "engine_type_widening",
     "engine_default_values",
+    "engine_streaming_upsert",
 ]
 
 

@@ -631,6 +631,122 @@ GROUP BY o_orderstatus, region
 """
 
 
+def engine_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming MERGE upsert
+    (streaming/engine_sink.py::foreach_batch_upsert): a primary-keyed
+    current-state table is seeded from orders, then two KEY-DISJOINT
+    CDC micro-batches (file source, one file per trigger) merge in —
+    %7 keys repriced as 'U7', %5-but-not-%7 keys as 'U5', fresh +30M
+    keys inserted as 'NEW' — with an intra-batch stale duplicate that
+    the sink's ``order_by`` collapse must drop before merging. Batch
+    order is irrelevant by construction (disjoint keys), so the final
+    scan_current equals the relational CASE oracle exactly. Each
+    micro-batch merge is file-pruned by its source key bounds — the
+    trickle-CDC-on-a-huge-table shape."""
+    import tempfile
+
+    _utc(spark)
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_upsert,
+    )
+
+    src = load_table(spark, sf_dir, "orders")
+    c = _fresh_client(spark)
+    store_root = c.store.root
+    c.new_tx()
+    c.create_table(
+        "orders_cur",
+        "o_orderkey BIGINT, status STRING, price DOUBLE, ts BIGINT",
+        primary_keys=["o_orderkey"],
+    )
+    c.write_dataframe(
+        "orders_cur",
+        src.select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+            F.lit(0).alias("ts"),
+        ),
+    )
+    c.commit_tx()
+
+    updir = tempfile.mkdtemp(prefix="dles_ups_")
+    b1_fresh = src.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U7").alias("status"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        F.lit(2).alias("ts"),
+    )
+    b1_stale = src.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("STALE").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(1).alias("ts"),
+    )
+    b1_fresh.unionByName(b1_stale).coalesce(1).write.mode("append").parquet(updir)
+    b2 = (
+        src.filter(
+            (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.lit("U5").alias("status"),
+            (F.col("o_totalprice") * 0.9).alias("price"),
+            F.lit(3).alias("ts"),
+        )
+        .unionByName(
+            src.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + 30_000_000).alias("o_orderkey"),
+                F.lit("NEW").alias("status"),
+                F.col("o_totalprice").alias("price"),
+                F.lit(3).alias("ts"),
+            )
+        )
+    )
+    b2.coalesce(1).write.mode("append").parquet(updir)
+
+    def factory():
+        from delta_lake_experiment_spark.client import DeltaLakeClient
+
+        return DeltaLakeClient(spark, store_root)
+
+    stream = (
+        spark.readStream.schema("o_orderkey BIGINT, status STRING, price DOUBLE, ts BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(factory, "orders_cur", "ups_app", order_by="ts")
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dles_upsck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    c2 = factory()
+    c2.new_tx()
+    return c2.scan_current("orders_cur").select(
+        "o_orderkey", "status", F.round("price", 6).alias("price")
+    )
+
+
+ENGINE_STREAMING_UPSERT_SQL = """
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 7 = 0 THEN 'U7'
+       WHEN o_orderkey % 5 = 0 THEN 'U5'
+       ELSE o_orderstatus END AS status,
+  round(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+       WHEN o_orderkey % 5 = 0 THEN o_totalprice * 0.9
+       ELSE o_totalprice END, 6) AS price
+FROM orders
+UNION ALL
+SELECT o_orderkey + 30000000, 'NEW', round(o_totalprice, 6)
+FROM orders WHERE o_orderkey % 11 = 0
+"""
+
+
 def engine_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-copy SHALLOW CLONE (client.clone_table): orders is cloned
     at O(files) metadata cost — no data bytes move — then the two
@@ -704,6 +820,7 @@ QUERIES = {
     "engine_schema_evolution": engine_schema_evolution,
     "engine_type_widening": engine_type_widening,
     "engine_default_values": engine_default_values,
+    "engine_streaming_upsert": engine_streaming_upsert,
     "engine_clone_divergence": engine_clone_divergence,
     "engine_sql_time_travel": engine_sql_time_travel,
     "engine_sql_merge": engine_sql_merge,
@@ -723,6 +840,7 @@ ORACLES = {
     "engine_schema_evolution": ENGINE_SCHEMA_EVOLUTION_SQL,
     "engine_type_widening": ENGINE_TYPE_WIDENING_SQL,
     "engine_default_values": ENGINE_DEFAULT_VALUES_SQL,
+    "engine_streaming_upsert": ENGINE_STREAMING_UPSERT_SQL,
     "engine_clone_divergence": ENGINE_CLONE_DIVERGENCE_SQL,
     "engine_sql_time_travel": TIME_TRAVEL_SQL,
     "engine_merge_upsert": MERGE_SQL,

@@ -672,3 +672,89 @@ def test_streaming_cms_sketch(spark, tmp_path, store_dir):
     assert folded == streamed
     c3.abort_tx()
     assert compact_cms_table(c3, "cms") == 0
+
+
+def test_streaming_merge_upsert_sink(spark, tmp_path, store_dir):
+    """MERGE-based exactly-once upsert sink: micro-batches of keyed
+    updates upsert into a primary-keyed table (latest-wins), intra-batch
+    duplicates collapse by the event-order column, and a redelivered
+    batch is a no-op despite MERGE not being idempotent."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_upsert,
+    )
+
+    boot = DeltaLakeClient(spark, store_dir)
+    boot.new_tx()
+    boot.create_table(
+        "kv", "k BIGINT, v STRING, ts BIGINT", primary_keys=["k"]
+    )
+    boot.write_dataframe(
+        "kv",
+        spark.createDataFrame(
+            [(i, f"base{i}", 0) for i in range(10)], "k BIGINT, v STRING, ts BIGINT"
+        ),
+    )
+    boot.commit_tx()
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    # two source files -> maxFilesPerTrigger=1 -> two micro-batches;
+    # batch files carry intra-batch duplicate keys with an order column
+    src = str(tmp_path / "upsert_src")
+    spark.createDataFrame(
+        [(3, "old3", 1), (3, "new3", 2), (100, "ins100", 1)],
+        "k BIGINT, v STRING, ts BIGINT",
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(5, "new5", 3), (100, "upd100", 4)],
+        "k BIGINT, v STRING, ts BIGINT",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k BIGINT, v STRING, ts BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(factory, "kv", "upsert_app", order_by="ts")
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_upsert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    check = factory()
+    check.new_tx()
+    cur = {r["k"]: r["v"] for r in check.scan_current("kv").collect()}
+    assert cur[3] == "new3"          # intra-batch dup collapsed to ts=2
+    assert cur[5] == "new5"
+    assert cur[100] in ("upd100", "ins100")  # order across batches
+    assert len(cur) == 11
+    # file order is lexicographic part files; both batches applied ->
+    # whichever ran second won; with two commits the later stamp wins
+    bid = check.tx.snapshot.txns["upsert_app"]
+    check.commit_tx()
+
+    # redelivery of the last committed batch id: MERGE must NOT re-run
+    redeliver = foreach_batch_upsert(factory, "kv", "upsert_app", order_by="ts")
+    redeliver(
+        spark.createDataFrame([(3, "evil", 99)], "k BIGINT, v STRING, ts BIGINT"),
+        bid,
+    )
+    check2 = factory()
+    check2.new_tx()
+    cur2 = {r["k"]: r["v"] for r in check2.scan_current("kv").collect()}
+    assert cur2[3] == "new3" and len(cur2) == 11  # unchanged
+    # the next batch id applies normally
+    redeliver(
+        spark.createDataFrame([(3, "final", 100)], "k BIGINT, v STRING, ts BIGINT"),
+        bid + 1,
+    )
+    check3 = factory()
+    check3.new_tx()
+    assert {r["k"]: r["v"] for r in check3.scan_current("kv").collect()}[3] == "final"
+    check3.commit_tx()
