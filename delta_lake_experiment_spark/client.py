@@ -87,6 +87,13 @@ from delta_lake_experiment_spark.plans.snapshot import (
 from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage, ObjectStorage
 
 TX_COL = "_tx_id"
+# Names no user column may take or be renamed to: the engine's stamp
+# columns, the positional-read working columns (_read_live/with_pos and
+# the DV anti-join), and the Parquet _metadata pseudo-column a user
+# column would shadow.
+_RESERVED_COLS = frozenset(
+    {"_tx_id", "_row_idx", "__obj", "__ridx", "__dv_obj", "__dv_ridx", "_metadata"}
+)
 IDX_COL = "_row_idx"
 # Default object size in rows. The reference ships 10 (debug) and intends
 # 64Ki (deltalakeclient.go:9-12); we default to 64Ki and let tests dial down.
@@ -393,23 +400,44 @@ class DeltaLakeClient:
         current = self.table_schema(table)
         columns_ddl, new_defaults = self._split_defaults(columns_ddl)
         added = self._parse_ddl(columns_ddl)
+        bad = [f.name for f in added.fields if f.name in _RESERVED_COLS]
+        if bad:
+            raise TypeMismatchError(
+                f"reserved column name(s) {bad}: the engine uses them"
+                " for stamps, positional reads, and the Parquet"
+                " _metadata pseudo-column"
+            )
+        int_ranges = {
+            T.ByteType: 7, T.ShortType: 15, T.IntegerType: 31, T.LongType: 63,
+        }
         for cname, dv in new_defaults.items():
             dt = added[cname].dataType
-            numeric = (
-                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                T.FloatType, T.DoubleType,
+            # value-level validation, not just Python-type: an
+            # out-of-range or non-integral default would commit fine
+            # and then blow up EVERY subsequent read at the lit-cast
+            # (ANSI CAST_OVERFLOW) or silently truncate
+            bits = next(
+                (b for t, b in int_ranges.items() if isinstance(dt, t)), None
             )
-            ok = (
-                (isinstance(dt, numeric) and isinstance(dv, (int, float))
-                 and not isinstance(dv, bool))
-                or (isinstance(dt, T.StringType) and isinstance(dv, str))
-                or (isinstance(dt, T.BooleanType) and isinstance(dv, bool))
-            )
+            if bits is not None:
+                ok = (
+                    isinstance(dv, int)
+                    and not isinstance(dv, bool)
+                    and -(2**bits) <= dv <= 2**bits - 1
+                )
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                ok = isinstance(dv, (int, float)) and not isinstance(dv, bool)
+            elif isinstance(dt, T.StringType):
+                ok = isinstance(dv, str)
+            elif isinstance(dt, T.BooleanType):
+                ok = isinstance(dv, bool)
+            else:
+                ok = False
             if not ok:
                 raise TypeMismatchError(
                     f"DEFAULT {dv!r} does not fit column {cname}"
                     f" {dt.simpleString()} (int/float/str/bool literals"
-                    " matching the column type only)"
+                    " matching the column type AND range only)"
                 )
         dup = {f.name for f in added.fields} & {f.name for f in current.fields}
         if dup:
@@ -466,17 +494,15 @@ class DeltaLakeClient:
         returns (bare DDL, {column: python literal}). Literals follow
         the SQL micro-grammar: int, float, single-quoted string (with
         '' escaping), TRUE/FALSE."""
-        import re as _re
-
         from delta_lake_experiment_spark.plans.dml import (
             _split_top_level_commas,
         )
 
         out_parts, defaults = [], {}
         lit = r"(?:-?\d+\.\d+|-?\d+|'(?:[^']|'')*'|TRUE|FALSE)"
-        pat = _re.compile(
+        pat = re.compile(
             rf"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s+DEFAULT\s+({lit})\s*$",
-            _re.IGNORECASE,
+            re.IGNORECASE,
         )
         for part in _split_top_level_commas(columns_ddl):
             m = pat.match(part)
@@ -516,11 +542,11 @@ class DeltaLakeClient:
             raise TypeMismatchError(f"column already exists: {new}")
         if (
             not new
-            or new in (TX_COL, IDX_COL)
+            or new in _RESERVED_COLS
             or not str(new).replace("_", "").isalnum()
             or new[0].isdigit()
         ):
-            raise TypeMismatchError(f"invalid column name {new!r}")
+            raise TypeMismatchError(f"invalid or reserved column name {new!r}")
         snap = self._effective_snapshot(tx)
         checks = dict(snap.checks.get(table, {}))
         for cname in sorted(checks):
@@ -549,22 +575,19 @@ class DeltaLakeClient:
         spec = snap.bucket_specs.get(table)
         tx.new_tables[table] = ddl
         tx.actions.append(
-            ChangeMetadata(
-                table=table,
-                schema_ddl=ddl,
+            self._authoritative_metadata(
+                snap,
+                table,
+                ddl,
                 primary_keys=[_ren(c) for c in snap.pkeys.get(table, [])],
                 bloom_columns=[_ren(c) for c in snap.bloom_cols.get(table, [])],
                 cluster_by=[_ren(c) for c in snap.cluster_cols.get(table, [])],
                 bucket_by=[_ren(c) for c in spec["cols"]] if spec else [],
-                bucket_count=int(spec["n"]) if spec else 0,
-                checks=checks,
                 column_map=cmap,
-                retired_phys=list(snap.retired.get(table, [])),
                 col_defaults={
                     _ren(c): dict(v)
                     for c, v in snap.defaults.get(table, {}).items()
                 },
-                authoritative=True,
             )
         )
 
@@ -625,15 +648,10 @@ class DeltaLakeClient:
                 tx.buffers[table][i] = (idx, r)
         tx.new_tables[table] = ddl
         tx.actions.append(
-            ChangeMetadata(
-                table=table,
-                schema_ddl=ddl,
-                primary_keys=list(snap.pkeys.get(table, [])),
-                bloom_columns=list(snap.bloom_cols.get(table, [])),
-                cluster_by=list(snap.cluster_cols.get(table, [])),
-                bucket_by=list(spec["cols"]) if spec else [],
-                bucket_count=int(spec["n"]) if spec else 0,
-                checks=checks,
+            self._authoritative_metadata(
+                snap,
+                table,
+                ddl,
                 column_map=cmap,
                 retired_phys=retired,
                 col_defaults={
@@ -641,7 +659,6 @@ class DeltaLakeClient:
                     for c, v in snap.defaults.get(table, {}).items()
                     if c != column
                 },
-                authoritative=True,
             )
         )
 
@@ -710,24 +727,38 @@ class DeltaLakeClient:
             f"{f.name} {f.dataType.simpleString()}" for f in new_fields
         )
         tx.new_tables[table] = ddl
-        tx.actions.append(
-            ChangeMetadata(
-                table=table,
-                schema_ddl=ddl,
-                primary_keys=list(snap.pkeys.get(table, [])),
-                bloom_columns=list(snap.bloom_cols.get(table, [])),
-                cluster_by=list(snap.cluster_cols.get(table, [])),
-                bucket_by=list(spec["cols"]) if spec else [],
-                bucket_count=int(spec["n"]) if spec else 0,
-                checks=dict(snap.checks.get(table, {})),
-                column_map=dict(snap.col_maps.get(table, {})),
-                retired_phys=list(snap.retired.get(table, [])),
-                col_defaults={
-                    c: dict(v) for c, v in snap.defaults.get(table, {}).items()
-                },
-                authoritative=True,
-            )
+        tx.actions.append(self._authoritative_metadata(snap, table, ddl))
+
+    @staticmethod
+    def _authoritative_metadata(
+        snap: Snapshot, table: str, schema_ddl: str, **overrides
+    ) -> ChangeMetadata:
+        """An authoritative ChangeMetadata carrying EVERY current
+        per-table declaration. Authoritative records REPLACE the
+        table's declarations wholesale, so any emitter that forgot one
+        map would silently CLEAR it on replay — every emitter funnels
+        here and overrides only what its operation changes; a new
+        per-table metadata field added to this helper is then carried
+        by all of them automatically."""
+        spec = snap.bucket_specs.get(table)
+        base = dict(
+            table=table,
+            schema_ddl=schema_ddl,
+            primary_keys=list(snap.pkeys.get(table, [])),
+            bloom_columns=list(snap.bloom_cols.get(table, [])),
+            cluster_by=list(snap.cluster_cols.get(table, [])),
+            bucket_by=list(spec["cols"]) if spec else [],
+            bucket_count=int(spec["n"]) if spec else 0,
+            checks=dict(snap.checks.get(table, {})),
+            column_map=dict(snap.col_maps.get(table, {})),
+            retired_phys=list(snap.retired.get(table, [])),
+            col_defaults={
+                c: dict(v) for c, v in snap.defaults.get(table, {}).items()
+            },
+            authoritative=True,
         )
+        base.update(overrides)
+        return ChangeMetadata(**base)
 
     def _expr_references(
         self, schema: T.StructType, expr: str, column: str
@@ -810,23 +841,14 @@ class DeltaLakeClient:
                 " cluster_by are mutually exclusive"
             )
         tx.actions.append(
-            ChangeMetadata(
-                table=table,
-                schema_ddl=ddl,
+            self._authoritative_metadata(
+                snap,
+                table,
+                ddl,
                 primary_keys=new_pk,
                 bloom_columns=new_bloom,
                 cluster_by=new_cluster,
-                bucket_by=list(spec["cols"]) if spec else [],
-                bucket_count=int(spec["n"]) if spec else 0,
                 checks=new_checks,
-                # authoritative records REPLACE the column map — carry
-                # the current one or the alter would silently clear it
-                column_map=dict(snap.col_maps.get(table, {})),
-                retired_phys=list(snap.retired.get(table, [])),
-                col_defaults={
-                    c: dict(v) for c, v in snap.defaults.get(table, {}).items()
-                },
-                authoritative=True,
             )
         )
 
@@ -919,7 +941,8 @@ class DeltaLakeClient:
         if missing:
             raise TypeMismatchError(f"dataframe missing columns {sorted(missing)}")
         base = tx.next_idx.get(table, 0)
-        cluster = self._effective_snapshot(tx).cluster_cols.get(table)
+        snap = self._effective_snapshot(tx)
+        cluster = snap.cluster_cols.get(table)
         if cluster:
             # declared layout: each output file covers a tight range of
             # the cluster columns -> stats pruning == partition pruning
@@ -948,7 +971,7 @@ class DeltaLakeClient:
             # violating rows). The wrap is a narrow projection, so the
             # per-partition cluster sort is preserved.
             stamped = self._enforce_checks(tx, table, stamped)
-        stamped = self._to_physical(tx, table, stamped)
+        stamped = self._to_physical(tx, table, stamped, snap)
         begin_remote = getattr(self.store, "begin_remote_staging", None)
         if begin_remote is not None:
             # Remote stores (S3): executors write Parquet into in-bucket
@@ -2011,7 +2034,7 @@ class DeltaLakeClient:
         ).filter(~pred | F.col(column).isNull())
         staging = self._staging_dir()
         self._write_parquet_staging(
-            self._to_physical(tx, table, self._bucketize(tx, table, survivors)),
+            self._to_physical(tx, table, self._bucketize(tx, table, survivors), snap),
             staging,
         )
         try:
@@ -2224,7 +2247,7 @@ class DeltaLakeClient:
         )
         staging = self._staging_dir()
         self._write_parquet_staging(
-            self._to_physical(tx, table, self._bucketize(tx, table, updated)),
+            self._to_physical(tx, table, self._bucketize(tx, table, updated), snap),
             staging,
         )
         try:
@@ -2508,7 +2531,7 @@ class DeltaLakeClient:
         else:
             df = df.coalesce(target_files)
         staging = self._staging_dir()
-        self._write_parquet_staging(self._to_physical(tx, table, df), staging)
+        self._write_parquet_staging(self._to_physical(tx, table, df, snap), staging)
         try:
             self._register_staging(table, tx, staging)
         finally:
@@ -2552,27 +2575,11 @@ class DeltaLakeClient:
             or cur.retired.get(table, []) != old.retired.get(table, [])
             or cur.defaults.get(table, {}) != old.defaults.get(table, {})
         ):
-            old_spec = old.bucket_specs.get(table)
+            # the HISTORICAL declarations restore wholesale (renames /
+            # drops / defaults made after the target version roll back
+            # too): the helper reads everything from ``old``
             tx.actions.append(
-                ChangeMetadata(
-                    table=table,
-                    schema_ddl=old.tables[table],
-                    primary_keys=list(old.pkeys.get(table, [])),
-                    bloom_columns=list(old.bloom_cols.get(table, [])),
-                    cluster_by=list(old.cluster_cols.get(table, [])),
-                    bucket_by=list(old_spec["cols"]) if old_spec else [],
-                    bucket_count=int(old_spec["n"]) if old_spec else 0,
-                    checks=dict(old.checks.get(table, {})),
-                    # restore the HISTORICAL column map (renames/drops
-                    # made after the target version roll back too)
-                    column_map=dict(old.col_maps.get(table, {})),
-                    retired_phys=list(old.retired.get(table, [])),
-                    col_defaults={
-                        c: dict(v)
-                        for c, v in old.defaults.get(table, {}).items()
-                    },
-                    authoritative=True,
-                )
+                self._authoritative_metadata(old, table, old.tables[table])
             )
             tx.new_tables[table] = old.tables[table]  # visible pre-commit
         cur_objs = cur.live.get(table, {})
@@ -2646,7 +2653,7 @@ class DeltaLakeClient:
         )
         staging = self._staging_dir()
         self._write_parquet_staging(
-            self._to_physical(tx, table, self._bucketize(tx, table, survivors)),
+            self._to_physical(tx, table, self._bucketize(tx, table, survivors), snap),
             staging,
         )
         try:
@@ -2806,12 +2813,32 @@ class DeltaLakeClient:
             # still need the NULL-source probe for correctness parity
             n = src.select(*keys).dropna(how="any").limit(1).count()
             return None, bool(n)
+
+        def _bound(k, side):
+            agg = F.min(k) if side == "lo" else F.max(k)
+            if isinstance(types[k], T.TimestampType):
+                # Row-level timestamps come back OS-LOCAL-naive (PySpark
+                # fromInternal), but the stats comparator reads naive
+                # bounds as UTC — extract epoch micros engine-side and
+                # rebuild a naive-UTC datetime so a non-UTC driver
+                # cannot skew the prune range by its zone offset
+                return F.unix_micros(agg)
+            return agg
+
         row = src.agg(
-            *[F.min(k).alias(f"lo_{i}") for i, k in enumerate(cols)],
-            *[F.max(k).alias(f"hi_{i}") for i, k in enumerate(cols)],
+            *[_bound(k, "lo").alias(f"lo_{i}") for i, k in enumerate(cols)],
+            *[_bound(k, "hi").alias(f"hi_{i}") for i, k in enumerate(cols)],
         ).first()
+
+        def _py(k, v):
+            if v is not None and isinstance(types[k], T.TimestampType):
+                return datetime.datetime.fromtimestamp(
+                    v / 1_000_000, tz=datetime.timezone.utc
+                ).replace(tzinfo=None)
+            return v
+
         pr = {
-            k: (row[f"lo_{i}"], row[f"hi_{i}"])
+            k: (_py(k, row[f"lo_{i}"]), _py(k, row[f"hi_{i}"]))
             for i, k in enumerate(cols)
             if row[f"lo_{i}"] is not None
         }
@@ -2842,12 +2869,23 @@ class DeltaLakeClient:
             ]
         )
 
-    def _to_physical(self, tx: "_Tx", table: str, df: DataFrame) -> DataFrame:
+    def _to_physical(
+        self,
+        tx: "_Tx",
+        table: str,
+        df: DataFrame,
+        snap: Optional[Snapshot] = None,
+    ) -> DataFrame:
         """Rename a staged frame's logical columns to their physical
         (in-file) names — the write-side half of column mapping, applied
         as the LAST projection before every staging parquet write. Stamp
-        columns pass through; a pure-identity map is a no-op."""
-        pmap = self._rename_map(self._effective_snapshot(tx), table)
+        columns pass through; a pure-identity map is a no-op. Pass the
+        caller's ``snap`` when one is in scope — _effective_snapshot is
+        an O(snapshot) copy+replay, too heavy to repeat per staged
+        frame just to discover an empty rename map."""
+        pmap = self._rename_map(
+            snap if snap is not None else self._effective_snapshot(tx), table
+        )
         if not pmap:
             return df
         return df.select(*[F.col(c).alias(pmap.get(c, c)) for c in df.columns])
@@ -3057,9 +3095,10 @@ class DeltaLakeClient:
             return
         schema = self.table_schema(table)
         stored = self._stored_schema(schema)
+        snap = self._effective_snapshot(tx)
         if (
             self._bucket_spec(tx, table) is not None
-            or self._effective_snapshot(tx).checks.get(table)
+            or snap.checks.get(table)
         ):
             # bucketed tables: a mixed-bucket driver file would break
             # the per-object bucket labels, so even row-at-a-time
@@ -3075,7 +3114,7 @@ class DeltaLakeClient:
             )
             staging = self._staging_dir()
             self._write_parquet_staging(
-                self._to_physical(tx, table, self._bucketize(tx, table, stamped)),
+                self._to_physical(tx, table, self._bucketize(tx, table, stamped), snap),
                 staging,
             )
             try:
@@ -3089,7 +3128,7 @@ class DeltaLakeClient:
 
         # driver-side pyarrow writes stage under PHYSICAL names too —
         # same contract as every Spark staging write
-        pmap = self._rename_map(self._effective_snapshot(tx), table)
+        pmap = self._rename_map(snap, table)
         arrow_schema = to_arrow_schema(self._phys_schema(stored, pmap))
         cols: dict[str, list[Any]] = {
             pmap.get(f.name, f.name): [] for f in stored.fields
@@ -3316,6 +3355,13 @@ class DeltaLakeClient:
         pmap = self._rename_map(snap, table)
         schema_names = {f.name for f in self.table_schema(table).fields}
         wanted = [pmap.get(c, c) for c in cols if c in schema_names]
+        # intersect with the FILE's physical schema: a driver-side COW
+        # rewrite copies rows straight from a pre-evolution file, which
+        # may lack a bloom column declared after it was written (the
+        # column reads as NULL there — no bloom is correct, min/max
+        # stats still apply); reading a missing column would raise
+        present = set(pq.ParquetFile(src_path).schema_arrow.names)
+        wanted = [c for c in wanted if c in present]
         if not wanted:
             return {}
         t = pq.read_table(src_path, columns=wanted)

@@ -673,3 +673,73 @@ def test_default_guards_and_literal_forms(spark, store_dir):
     row = next(iter(c.scan_iter("t")))
     assert row == (1, -1.5, 42, True, "a,'b'")
     c.commit_tx()
+
+
+def test_default_value_range_validated_at_declaration(spark, store_dir):
+    """Review catch: an out-of-range or non-integral default committed
+    fine and then poisoned EVERY read of the table at the lit-cast
+    (ANSI CAST_OVERFLOW). Value-level validation now rejects it at
+    declaration time."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.write_row("t", [1])
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="DEFAULT"):
+        c.add_columns("t", "c TINYINT DEFAULT 1000")  # overflows int8
+    with pytest.raises(TypeMismatchError, match="DEFAULT"):
+        c.add_columns("t", "c INT DEFAULT 2.5")  # non-integral
+    with pytest.raises(TypeMismatchError, match="DEFAULT"):
+        c.add_columns("t", f"c BIGINT DEFAULT {2**63}")  # > int64
+    c.add_columns("t", "c TINYINT DEFAULT 100")
+    c.commit_tx()
+    c.new_tx()
+    assert next(iter(c.scan_iter("t")))[1] == 100
+    c.commit_tx()
+
+
+def test_rename_to_reserved_internal_names_blocked(spark, store_dir):
+    """Review catch: renaming a column to __obj/__ridx/__dv_obj/
+    __dv_ridx/_metadata broke every positional read (with_pos select
+    collision / pseudo-column shadowing) AFTER commit. Blocked now,
+    for rename and add_columns both."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "a BIGINT, b STRING")
+    for bad in ("__obj", "__ridx", "__dv_obj", "__dv_ridx", "_metadata"):
+        with pytest.raises(TypeMismatchError, match="reserved"):
+            c.rename_column("t", "b", bad)
+        with pytest.raises(TypeMismatchError, match="reserved"):
+            c.add_columns("t", f"{bad} STRING")
+    c.abort_tx()
+
+
+def test_bloom_build_on_pre_evolution_rewrite(spark, store_dir):
+    """Review catch: a driver-side COW rewrite of a file that predates
+    a later-declared bloom column crashed in _build_blooms (pyarrow
+    'No match for FieldRef') — the rewrite copies the OLD physical
+    schema. The bloom build now intersects with the file's schema."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(10):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.add_columns("t", "u BIGINT")
+    c.alter_table("t", bloom_columns=["u"])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 2, 3)  # small: driver COW fast path
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(r[0] for r in c.scan_iter("t")) == [0, 1, 4, 5, 6, 7, 8, 9]
+    # new writes (which HAVE the column) still build the bloom
+    for i in range(100, 110):
+        c.write_row("t", [i, f"v{i}", i * 10])
+    c.commit_tx()
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    assert any("u" in (o.blooms or {}) for o in snap.live_objects("t"))
+    c.commit_tx()
