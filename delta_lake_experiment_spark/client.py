@@ -1205,6 +1205,7 @@ class DeltaLakeClient:
         table: str,
         prune: Optional[dict[str, tuple[Any, Any]]] = None,
         with_stamps: bool = True,
+        keep_buckets: "Optional[set[int]]" = None,
     ) -> DataFrame:
         """All live row versions as a DataFrame (snapshot + this tx's
         buffered rows). Unordered, like any DataFrame; order explicitly
@@ -1218,11 +1219,16 @@ class DeltaLakeClient:
         schema = self.table_schema(table)
         stored = self._stored_schema(schema)
         snap = self._effective_snapshot(tx)
+        kb = self._bucket_prune_ids(table, snap, prune)
+        if keep_buckets is not None:
+            # caller-supplied exact bucket set (MERGE's source-key cut)
+            # composes with the point-lookup cut by intersection
+            kb = keep_buckets if kb is None else (kb & keep_buckets)
         files = snap.live_files(
             table,
             self.store,
             prune=self._prune_physical(snap, table, prune),
-            keep_buckets=self._bucket_prune_ids(table, snap, prune),
+            keep_buckets=kb,
         )
         parts = []
         if files:
@@ -2081,10 +2087,14 @@ class DeltaLakeClient:
         file list through the log-level stats before any table file is
         read — a match can only live in a file whose stats admit every
         key column's source range, so a small or range-local source
-        touches O(matching files), never O(table). Files without
-        stats are conservatively kept; a source with no non-NULL key
-        rows matches nothing by SQL semantics, so the matched path
-        skips the table read entirely.
+        touches O(matching files), never O(table). On tables BUCKETED
+        by (a subset of) the merge keys, the source's distinct keys
+        additionally hash driver-side to an EXACT bucket-id set
+        (capped at _MERGE_BUCKET_KEYS_MAX distinct tuples) — the
+        O(k/n) cut min/max bounds cannot give for scattered point
+        keys. Files without stats are conservatively kept; a source
+        with no non-NULL key rows matches nothing by SQL semantics, so
+        the matched path skips the table read entirely.
         """
         if when_matched not in ("update", "delete", "ignore"):
             raise TypeMismatchError(f"when_matched={when_matched!r}")
@@ -2097,10 +2107,16 @@ class DeltaLakeClient:
         if tx.buffers.get(table):
             self._flush_buffer(table)
         src = source_df.persist()
+        snap0 = self._effective_snapshot(tx)
         pr, any_keys = self._source_key_bounds(src, table, keys)
+        kb = (
+            self._source_bucket_ids(src, table, keys, snap0)
+            if any_keys
+            else None
+        )
         if any_keys:
             matched_keys = (
-                self.scan(table, prune=pr, with_stamps=False)
+                self.scan(table, prune=pr, with_stamps=False, keep_buckets=kb)
                 .select(*keys)
                 .join(src.select(*keys).distinct(), list(keys), "left_semi")
                 .distinct()
@@ -2127,7 +2143,9 @@ class DeltaLakeClient:
                         table,
                         self.store,
                         prune=self._prune_physical(snap, table, pr),
-                        keep_buckets=self._bucket_prune_ids(table, snap, pr),
+                        keep_buckets=kb
+                        if kb is not None
+                        else self._bucket_prune_ids(table, snap, pr),
                     )
                     if any_keys
                     else []
@@ -2845,6 +2863,46 @@ class DeltaLakeClient:
         if not pr:
             return None, False
         return pr, True
+
+    # a CDC-sized source's distinct keys fit on the driver; above this
+    # the bucket cut is skipped (range + stats pruning still apply)
+    _MERGE_BUCKET_KEYS_MAX = 10_000
+
+    def _source_bucket_ids(
+        self, src: DataFrame, table: str, keys: list[str], snap: Snapshot
+    ) -> "Optional[set[int]]":
+        """Exact bucket ids a MERGE source can touch, or None when the
+        cut does not apply. Applies when the table's bucket columns are
+        a subset of the merge keys and the source's DISTINCT bucket-key
+        tuples fit under the cap: each tuple hashes driver-side with
+        the JVM-certified murmur3 (plans/bucketing.py), and matches can
+        only live in those buckets — an exact O(k/n) file cut that
+        min/max bounds cannot give for scattered point keys. NULL
+        tuples are skipped (NULL never matches an equi-join);
+        unsupported key types return None (skipping is always safe,
+        guessing never is)."""
+        spec = snap.bucket_specs.get(table)
+        if not spec or not set(spec["cols"]) <= set(keys):
+            return None
+        cols = list(spec["cols"])
+        schema = self.table_schema(table)
+        types = [schema[c].dataType.simpleString() for c in cols]
+        cap = self._MERGE_BUCKET_KEYS_MAX
+        tuples = src.select(*cols).distinct().limit(cap + 1).collect()
+        if len(tuples) > cap:
+            return None
+        from delta_lake_experiment_spark.plans.bucketing import bucket_id_for
+
+        out: set[int] = set()
+        for row in tuples:
+            vals = [row[c] for c in cols]
+            if any(v is None for v in vals):
+                continue
+            bid = bucket_id_for(vals, types, int(spec["n"]))
+            if bid is None:
+                return None  # unsupported type: no cut
+            out.add(bid)
+        return out
 
     # -- column mapping (rename/drop as O(1) metadata) ------------------
 

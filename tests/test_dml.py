@@ -479,3 +479,68 @@ def test_selective_compaction_rewrites_only_matching_files(spark, store_dir):
     snap2 = c._effective_snapshot(c.tx)
     assert {o.name for o in snap2.live_objects("t")} == before2
     c.commit_tx()
+
+
+def test_merge_bucket_cut_on_bucketed_pkey_table(spark, store_dir):
+    """On a table bucketed by the merge key, a small source's distinct
+    keys hash driver-side to an exact bucket-id set: the delete-merge's
+    DV mask may only name files in those buckets, and values equal the
+    unpruned semantics."""
+    from delta_lake_experiment_spark.plans.actions import AddDeletionVector
+    from delta_lake_experiment_spark.plans.bucketing import bucket_id_for
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    c.new_tx()
+    c.create_table(
+        "kv", "k BIGINT, v STRING", primary_keys=["k"], bucket_by=(["k"], 8)
+    )
+    c.write_dataframe(
+        "kv",
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(400)], "k BIGINT, v STRING"
+        ),
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    kb = c._source_bucket_ids(
+        spark.createDataFrame([(7, "X"), (13, "Y")], "k BIGINT, v STRING"),
+        "kv",
+        ["k"],
+        snap,
+    )
+    assert kb == {
+        bucket_id_for([7], ["bigint"], 8),
+        bucket_id_for([13], ["bigint"], 8),
+    }
+    allowed = {
+        o.name for o in snap.live_objects("kv") if int(o.bucket_id) in kb
+    }
+    out = c.merge(
+        "kv",
+        spark.createDataFrame(
+            [(7, "X"), (13, "Y"), (9999, "Z")], "k BIGINT, v STRING"
+        ),
+        when_matched="delete",
+        when_not_matched="insert",
+    )
+    assert out == {"updated": 0, "deleted": 2, "inserted": 1}
+    dvs = [a for a in c.tx.actions if isinstance(a, AddDeletionVector)]
+    assert dvs and set(dvs[0].objects) <= allowed
+    c.commit_tx()
+    c.new_tx()
+    cur = {r["k"]: r["v"] for r in c.scan_current("kv").collect()}
+    assert 7 not in cur and 13 not in cur and cur[9999] == "Z"
+    assert len(cur) == 399
+    # a non-key-bucketed shape (bucket cols not subset of keys) -> no cut
+    assert (
+        c._source_bucket_ids(
+            spark.createDataFrame([(1, "a")], "k BIGINT, v STRING"),
+            "kv",
+            ["v"],
+            c._effective_snapshot(c.tx),
+        )
+        is None
+    )
+    c.commit_tx()
