@@ -1537,6 +1537,71 @@ class DeltaLakeClient:
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def describe_detail(self, table: str) -> DataFrame:
+        """One-row table metadata report (Delta's DESCRIBE DETAIL):
+        live file/row/byte totals from the log's per-object metadata
+        (ZERO data reads), every declaration (primary keys, blooms,
+        clustering, bucket spec, CHECK names), and the
+        schema-evolution state — non-identity column mappings, retired
+        physical names, stamp-gated defaults. The one view that shows
+        what a table's scans will actually do."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        if table not in snap.tables:
+            raise TableNotFoundError(table)
+        objs = snap.live_objects(table)
+        spec = snap.bucket_specs.get(table)
+        sizes = [s for s in (self.store.size(o.name) for o in objs) if s]
+        dvs = snap.table_dvs(table)
+        cmap = snap.col_maps.get(table, {})
+        row = (
+            table,
+            int(snap.version),
+            snap.tables[table],
+            len(objs),
+            int(sum(o.num_rows for o in objs)),
+            int(sum(sizes)) if sizes else None,
+            sum(len(v) for v in dvs.values()),
+            list(snap.pkeys.get(table, [])),
+            list(snap.bloom_cols.get(table, [])),
+            list(snap.cluster_cols.get(table, [])),
+            list(spec["cols"]) if spec else [],
+            int(spec["n"]) if spec else 0,
+            sorted(snap.checks.get(table, {})),
+            {l: p for l, p in cmap.items() if l != p},
+            list(snap.retired.get(table, [])),
+            {c: str(d["v"]) for c, d in snap.defaults.get(table, {}).items()},
+        )
+        schema = T.StructType(
+            [
+                T.StructField("table", T.StringType(), False),
+                T.StructField("version", T.LongType(), False),
+                T.StructField("schema_ddl", T.StringType(), False),
+                T.StructField("num_files", T.LongType(), False),
+                T.StructField("num_rows", T.LongType(), False),
+                T.StructField("size_bytes", T.LongType(), True),
+                T.StructField("num_deletion_vectors", T.LongType(), False),
+                T.StructField("primary_keys", T.ArrayType(T.StringType()), False),
+                T.StructField("bloom_columns", T.ArrayType(T.StringType()), False),
+                T.StructField("cluster_by", T.ArrayType(T.StringType()), False),
+                T.StructField("bucket_by", T.ArrayType(T.StringType()), False),
+                T.StructField("bucket_count", T.LongType(), False),
+                T.StructField("check_constraints", T.ArrayType(T.StringType()), False),
+                T.StructField(
+                    "column_mapping",
+                    T.MapType(T.StringType(), T.StringType()),
+                    False,
+                ),
+                T.StructField("retired_columns", T.ArrayType(T.StringType()), False),
+                T.StructField(
+                    "column_defaults",
+                    T.MapType(T.StringType(), T.StringType()),
+                    False,
+                ),
+            ]
+        )
+        return self.spark.createDataFrame([row], schema)
+
     def scan_latest(self, table: str, keys: list[str]) -> DataFrame:
         """'Current state' view of a multi-versioned keyed table:
         latest-version-wins per key (the client-side idiom the reference's
@@ -1871,6 +1936,8 @@ class DeltaLakeClient:
             AlterRenameColumn,
             CreateTable,
             Delete,
+            DescribeChanges,
+            DescribeDetail,
             DescribeHistory,
             Insert,
             Merge,
@@ -1890,7 +1957,14 @@ class DeltaLakeClient:
         if isinstance(stmt, DescribeHistory):
             # log metadata read; like VACUUM, valid outside a tx
             return self.history(table=stmt.table, limit=stmt.limit)
+        if isinstance(stmt, DescribeChanges):
+            # the feed reads only committed immutable objects
+            return self.scan_changes(
+                stmt.table, stmt.from_version, stmt.to_version
+            )
         self._require_tx()
+        if isinstance(stmt, DescribeDetail):
+            return self.describe_detail(stmt.table)
         if stmt is None:
             return self.sql(statement)
         if isinstance(stmt, Delete):

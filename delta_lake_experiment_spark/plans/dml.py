@@ -27,6 +27,8 @@ for the DML shapes the engine actually supports, by parsing:
 - ``VACUUM t [RETAIN n VERSIONS]``            -> ``vacuum`` (table arg
   ignored — vacuum is store-wide, kept for SQL familiarity)
 - ``RESTORE TABLE t TO VERSION n``            -> ``restore_table``
+- ``DESCRIBE DETAIL t``                       -> ``describe_detail``
+- ``DESCRIBE CHANGES t FROM v [TO v]``        -> ``scan_changes`` (CDF)
 - ``ALTER TABLE t RENAME COLUMN a TO b``      -> ``rename_column``
 - ``ALTER TABLE t DROP COLUMN a``             -> ``drop_column``
 - ``ALTER TABLE t ALTER COLUMN a TYPE ty``    -> ``widen_column``
@@ -110,6 +112,14 @@ _RESTORE_RE = re.compile(
 )
 _DESCRIBE_HISTORY_RE = re.compile(
     rf"^\s*DESCRIBE\s+HISTORY\s+({_IDENT})\s*(?:LIMIT\s+(\d+)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_DETAIL_RE = re.compile(
+    rf"^\s*DESCRIBE\s+DETAIL\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_DESCRIBE_CHANGES_RE = re.compile(
+    rf"^\s*DESCRIBE\s+CHANGES\s+({_IDENT})\s+FROM\s+(\d+)"
+    rf"\s*(?:TO\s+(\d+)\s*)?;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_RENAME_RE = re.compile(
@@ -202,6 +212,18 @@ class Restore:
 class DescribeHistory:
     table: str
     limit: Optional[int]
+
+
+@dataclass
+class DescribeDetail:
+    table: str
+
+
+@dataclass
+class DescribeChanges:
+    table: str
+    from_version: int
+    to_version: Optional[int]
 
 
 @dataclass
@@ -390,13 +412,24 @@ def parse_dml(sql: str):
         )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)
-        if not m:
-            raise UnsupportedSqlError(
-                "DESCRIBE supports exactly: DESCRIBE HISTORY t [LIMIT n]"
+        if m:
+            return DescribeHistory(
+                table=m.group(1),
+                limit=int(m.group(2)) if m.group(2) else None,
             )
-        return DescribeHistory(
-            table=m.group(1),
-            limit=int(m.group(2)) if m.group(2) else None,
+        m = _DESCRIBE_DETAIL_RE.match(sql)
+        if m:
+            return DescribeDetail(table=m.group(1))
+        m = _DESCRIBE_CHANGES_RE.match(sql)
+        if m:
+            return DescribeChanges(
+                table=m.group(1),
+                from_version=int(m.group(2)),
+                to_version=int(m.group(3)) if m.group(3) else None,
+            )
+        raise UnsupportedSqlError(
+            "DESCRIBE supports exactly: DESCRIBE HISTORY t [LIMIT n] | "
+            "DESCRIBE DETAIL t | DESCRIBE CHANGES t FROM v [TO v]"
         )
     return None
 

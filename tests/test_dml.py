@@ -233,8 +233,20 @@ def test_parse_describe_history():
     assert d == DescribeHistory(table="t", limit=None)
     d = parse_dml("describe history kv limit 5;")
     assert d == DescribeHistory(table="kv", limit=5)
+    from delta_lake_experiment_spark.plans.dml import (
+        DescribeChanges,
+        DescribeDetail,
+    )
+
+    assert parse_dml("DESCRIBE DETAIL t") == DescribeDetail(table="t")
+    assert parse_dml("describe changes t from 3 to 7") == DescribeChanges(
+        table="t", from_version=3, to_version=7
+    )
+    assert parse_dml("DESCRIBE CHANGES t FROM 3") == DescribeChanges(
+        table="t", from_version=3, to_version=None
+    )
     with pytest.raises(UnsupportedSqlError):
-        parse_dml("DESCRIBE DETAIL t")  # only HISTORY is supported
+        parse_dml("DESCRIBE EXTENDED t")  # outside the grammar
 
 
 def test_timestamp_as_of_and_history(spark, store_dir):
@@ -543,4 +555,41 @@ def test_merge_bucket_cut_on_bucketed_pkey_table(spark, store_dir):
         )
         is None
     )
+    c.commit_tx()
+
+
+def test_describe_detail_and_changes_sql(spark, store_dir):
+    """DESCRIBE DETAIL reports the table's log-derived metadata and
+    schema-evolution state in one metadata-only row; DESCRIBE CHANGES
+    surfaces the change feed through SQL."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table(
+        "t", "k BIGINT, v STRING", primary_keys=["k"], bloom_columns=["k"]
+    )
+    for i in range(20):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    v0 = c.tx.snapshot.version
+    c.rename_column("t", "v", "label")
+    c.add_columns("t", "score DOUBLE DEFAULT 1.5")
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 3, 3, use_dv=True)
+    c.commit_tx()
+
+    c.new_tx()
+    d = c.execute("DESCRIBE DETAIL t").collect()[0]
+    assert d["num_files"] == 2 and d["num_rows"] == 20
+    assert d["size_bytes"] and d["size_bytes"] > 0
+    assert d["num_deletion_vectors"] == 1
+    assert d["primary_keys"] == ["k"] and d["bloom_columns"] == ["k"]
+    assert d["column_mapping"] == {"label": "v"}
+    assert d["column_defaults"] == {"score": "1.5"}
+    assert "label STRING".lower() in d["schema_ddl"].lower()
+
+    feed = c.execute(f"DESCRIBE CHANGES t FROM {v0}")
+    got = sorted((r["k"], r["_change_type"]) for r in feed.collect())
+    assert got == [(3, "delete")]
     c.commit_tx()
