@@ -914,10 +914,15 @@ class DeltaLakeClient:
 
         ``merge_schema=True`` is Delta's mergeSchema-on-write: columns
         the table lacks are appended to its schema in this transaction
-        (nullable — old objects read them as NULL), and table columns
-        the frame lacks are null-filled instead of rejected. With the
-        default False, a frame missing table columns is an error and
-        unknown frame columns are dropped by the projection.
+        (nullable — old objects read them as NULL), table columns the
+        frame lacks are null-filled instead of rejected, and a frame
+        column arriving WIDER than the table's type auto-widens the
+        table when the promotion is value-preserving (the
+        ``widen_column`` matrix; schema drift across crawl dumps —
+        int ids that outgrow int32 — then never fails an ingest or
+        silently truncates). With the default False, a frame missing
+        table columns is an error and unknown frame columns are
+        dropped by the projection.
         """
         tx = self._require_tx()
         if merge_schema:
@@ -931,6 +936,20 @@ class DeltaLakeClient:
                     table,
                     ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in extra),
                 )
+            in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+            spec0 = self._effective_snapshot(tx).bucket_specs.get(table)
+            frozen = set(spec0["cols"]) if spec0 else set()
+            for f in schema.fields:
+                incoming = in_types.get(f.name)
+                if (
+                    incoming is not None
+                    and f.name not in frozen  # bucket cols can't widen:
+                    # the cast-then-hash path still handles in-range
+                    # values exactly as before
+                    and incoming != f.dataType.simpleString()
+                    and incoming in self._WIDENINGS.get(f.dataType.simpleString(), ())
+                ):
+                    self.widen_column(table, f.name, incoming)
             schema = self.table_schema(table)
             for f in schema.fields:
                 if f.name not in df.columns:

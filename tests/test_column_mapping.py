@@ -743,3 +743,41 @@ def test_bloom_build_on_pre_evolution_rewrite(spark, store_dir):
     snap = c._effective_snapshot(c.tx)
     assert any("u" in (o.blooms or {}) for o in snap.live_objects("t"))
     c.commit_tx()
+
+
+def test_merge_schema_auto_widens(spark, store_dir):
+    """mergeSchema-on-write widens, not truncates: a frame column
+    arriving wider than the table's type (int ids outgrowing int32 —
+    crawl-dump schema drift) promotes the table when the widening is
+    value-preserving; incompatible or bucket columns keep the old
+    cast behavior."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.create_table("t", "k INT, v FLOAT")
+    c.write_row("t", [1, 1.5])
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.createDataFrame(
+            [(2**40, 2.5, "x")], "k BIGINT, v DOUBLE, tag STRING"
+        ),
+        merge_schema=True,
+    )
+    c.commit_tx()
+    c.new_tx()
+    sch = {f.name: f.dataType.simpleString() for f in c.table_schema("t").fields}
+    assert sch == {"k": "bigint", "v": "double", "tag": "string"}
+    rows = sorted(c.scan_iter("t"))
+    assert rows[0] == (1, 1.5, None) and rows[1][0] == 2**40
+    # bucket columns never auto-widen (the hash layout pins the width)
+    c.create_table("b", "k INT, fp STRING", bucket_by=(["k"], 4))
+    c.write_dataframe(
+        "b",
+        spark.createDataFrame([(5, "a")], "k BIGINT, fp STRING"),
+        merge_schema=True,
+    )
+    assert {f.name: f.dataType.simpleString() for f in c.table_schema("b").fields}[
+        "k"
+    ] == "int"
+    c.commit_tx()
