@@ -458,3 +458,97 @@ def test_unigram_trainer_properties():
             assert egot[did] == (len(toks), md5)
 
     run()
+
+
+op_ev_write = st.tuples(st.just("write"), KEYS, VALS)
+op_ev_delete = st.tuples(st.just("delete"), KEYS, KEYS)
+op_ev_rename = st.tuples(st.just("rename"), st.just(0), st.just(0))
+op_ev_evolve = st.tuples(st.just("evolve_b"), st.just(0), st.just(0))
+op_ev_widen = st.tuples(st.just("widen"), st.just(0), st.just(0))
+op_ev_scan = st.tuples(st.just("scan"), st.just(0), st.just(0))
+EV_OPS = st.lists(
+    st.one_of(
+        op_ev_write, op_ev_delete, op_ev_rename,
+        op_ev_evolve, op_ev_widen, op_ev_scan,
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=EV_OPS)
+def test_schema_evolution_matches_dict_model(spark, ops):
+    """Generative interleavings of write / COW delete / RENAME COLUMN /
+    DROP+re-ADD-with-DEFAULT / WIDEN / scan against a dict model: every
+    O(1)-metadata evolution must be value-transparent to every
+    subsequent scan, across commit boundaries, rewrites, and each
+    other. Evolutions run in their own committed transaction (the
+    documented same-tx contract: rows buffered in the evolving tx are
+    post-birth)."""
+    c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="prop_ev_"), dataobject_size=3)
+    c.new_tx()
+    c.create_table("kv", "k INT, a BIGINT, b STRING")
+    c.commit_tx()
+
+    model: dict[int, tuple] = {}  # k -> (a, b)
+    a_name, widened = "a", False
+    c.new_tx()
+    for kind, x, y in ops:
+        if kind == "write":
+            c.write_row("kv", [x, y, f"s{y}"])
+            model[x] = (y, f"s{y}")
+        elif kind == "delete":
+            lo, hi = min(x, y), max(x, y)
+            c.delete_rows("kv", "k", lo, hi)
+            for k in [k for k in model if lo <= k <= hi]:
+                del model[k]
+        elif kind == "rename":
+            c.commit_tx()
+            c.new_tx()
+            new = "a2" if a_name == "a" else "a"
+            c.rename_column("kv", a_name, new)
+            a_name = new
+            c.commit_tx()
+            c.new_tx()
+        elif kind == "evolve_b":
+            c.commit_tx()
+            c.new_tx()
+            c.drop_column("kv", "b")
+            c.add_columns("kv", "b STRING DEFAULT 'd'")
+            c.commit_tx()
+            c.new_tx()
+            # every pre-birth row reads the default; the dropped
+            # generation can never resurrect
+            model = {k: (va, "d") for k, (va, vb) in model.items()}
+        elif kind == "widen" and not widened:
+            c.commit_tx()
+            c.new_tx()
+            c.widen_column("kv", "k", "bigint")
+            widened = True
+            c.commit_tx()
+            c.new_tx()
+        elif kind == "scan":
+            seen: dict[int, tuple] = {}
+            for k, va, vb in c.scan_iter("kv"):
+                seen.setdefault(k, (va, vb))
+            assert seen == model, f"mid-episode scan diverged after {ops}"
+            c.commit_tx()
+            c.new_tx()
+    c.commit_tx()
+    # final check through a FRESH client (log replay of the full
+    # evolution history)
+    c2 = DeltaLakeClient(spark, c.store.root, dataobject_size=3)
+    c2.new_tx()
+    assert [f.name for f in c2.table_schema("kv").fields] == [
+        "k", a_name, "b",
+    ]
+    seen = {}
+    for k, va, vb in c2.scan_iter("kv"):
+        seen.setdefault(k, (va, vb))
+    c2.commit_tx()
+    assert seen == model
