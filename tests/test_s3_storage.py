@@ -334,3 +334,58 @@ def test_commit_protocol_over_s3(spark, s3_store):
     snap = replay_log(s3_store)
     assert set(snap.tables) == {"ta", "tb"}
     assert snap.version == 2
+
+
+def test_schema_evolution_on_remote_store(spark, tmp_path):
+    """The O(1)-metadata schema evolution lane (rename / widen /
+    DEFAULT add / COW delete across the evolved schema) works on the
+    S3 backend end-to-end: metadata rides the conditional-PUT log,
+    staged rewrites carry physical names through the remote staging
+    area, and a fresh client replays the full evolution history."""
+    api = _MirroredS3Client(str(tmp_path / "mirror_ev"), page_size=3)
+    store = _SparkReadableS3Storage("lake", prefix="tables/ev", client=api)
+    c = DeltaLakeClient(spark, store, dataobject_size=1000)
+    c.new_tx()
+    c.create_table("t", "k INT, name STRING")
+    c.write_dataframe(
+        "t",
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(30)], "k INT, name STRING"
+        ),
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    c.rename_column("t", "name", "label")
+    c.widen_column("t", "k", "bigint")
+    c.commit_tx()
+    c.new_tx()
+    c.add_columns("t", "score DOUBLE DEFAULT 1.5")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.createDataFrame(
+            [(2**40, "wide", 9.0)], "k BIGINT, label STRING, score DOUBLE"
+        ),
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    rows = {r[0]: (r[1], r[2]) for r in c.scan_iter("t")}
+    assert rows[5] == ("n5", 1.5)        # pre-birth default over narrow file
+    assert rows[2**40] == ("wide", 9.0)  # wide post-evolution file
+    # COW delete on the widened key across mixed-width remote files
+    c.delete_rows("t", "k", 10, 19)
+    c.commit_tx()
+
+    c2 = DeltaLakeClient(spark, store)
+    c2.new_tx()
+    assert [f.name for f in c2.table_schema("t").fields] == ["k", "label", "score"]
+    ks = sorted(r[0] for r in c2.scan_iter("t"))
+    assert ks == [i for i in range(30) if not 10 <= i <= 19] + [2**40]
+    assert {r[2] for r in c2.scan_iter("t") if r[0] < 30} == {1.5}
+    c2.commit_tx()
+    # BULK ingests published via server-side copy (no driver bytes);
+    # the small COW rewrite legitimately took the driver fast path
+    assert [k for k in api.copy_keys if "table_t_" in k]
