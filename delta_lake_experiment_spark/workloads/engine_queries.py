@@ -446,11 +446,13 @@ def engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load_table(spark, sf_dir, "orders")
     c = _seeded_client(spark, sf_dir, [["orders", "orders", {}]])
     c.new_tx()
-    c.rename_column("orders", "o_totalprice", "price")
-    c.drop_column("orders", "o_orderpriority")
+    # through the SQL DDL surface — the driver gate then certifies the
+    # ALTER statements, not just the Python APIs
+    c.execute("ALTER TABLE orders RENAME COLUMN o_totalprice TO price")
+    c.execute("ALTER TABLE orders DROP COLUMN o_orderpriority")
     c.commit_tx()
     c.new_tx()
-    c.add_columns("orders", "o_orderpriority STRING")
+    c.execute("ALTER TABLE orders ADD COLUMNS (o_orderpriority STRING)")
     c.write_dataframe(
         "orders",
         src.filter(F.col("o_orderkey") % 7 == 0).select(
@@ -465,6 +467,12 @@ def engine_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.commit_tx()
     c.new_tx()
     c.delete_rows("orders", "price", 50000.0, 150000.0)
+    c.commit_tx()
+    c.new_tx()
+    # selective compaction is value-NEUTRAL: OPTIMIZE ... WHERE rewrites
+    # only files whose stats intersect the range (materializing the
+    # delete's fragments), and the oracle must still match exactly
+    c.execute("OPTIMIZE orders WHERE price BETWEEN 0.0 AND 50000.0")
     c.commit_tx()
     c.new_tx()
     return (
