@@ -781,3 +781,52 @@ def test_merge_schema_auto_widens(spark, store_dir):
         "k"
     ] == "int"
     c.commit_tx()
+
+
+def test_evolution_vs_concurrent_writer_occ(spark, store_dir):
+    """First-committer-wins applies to schema evolution like any other
+    same-table commit: a writer racing a committed RENAME conflicts,
+    and its retry on a fresh snapshot lands under the evolved schema
+    (same row width). Racing a committed DROP, the stale-width retry
+    fails LOUDLY instead of silently misplacing values."""
+    from delta_lake_experiment_spark import ConcurrentCommitError
+
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v STRING")
+    a.write_row("t", [1, "x"])
+    a.commit_tx()
+
+    # writer A opens first; B renames and wins the race
+    a.new_tx()
+    a.write_row("t", [2, "y"])
+    b.new_tx()
+    b.rename_column("t", "v", "label")
+    b.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        a.commit_tx()
+    a.new_tx()  # fresh snapshot: same width, new logical name
+    a.write_row("t", [2, "y"])
+    a.commit_tx()
+    a.new_tx()
+    assert sorted(a.scan_iter("t")) == [(1, "x"), (2, "y")]
+    assert [f.name for f in a.table_schema("t").fields] == ["k", "label"]
+    a.commit_tx()
+
+    # B drops the column; A's stale-width retry must fail loudly
+    a.new_tx()
+    a.write_row("t", [3, "z"])
+    b.new_tx()
+    b.drop_column("t", "label")
+    b.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        a.commit_tx()
+    a.new_tx()
+    with pytest.raises(TypeMismatchError, match="2 values"):
+        a.write_row("t", [3, "z"])
+    a.write_row("t", [3])
+    a.commit_tx()
+    a.new_tx()
+    assert sorted(a.scan_iter("t")) == [(1,), (2,), (3,)]
+    a.commit_tx()
