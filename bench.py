@@ -150,6 +150,8 @@ HEADLINE = [
     "engine_default_values",
     # r8: exactly-once streaming MERGE upsert sink (pruned per batch)
     "engine_streaming_upsert",
+    # r8: cluster-keyed train/test split (near-dups never straddle)
+    "leakage_safe_split",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 130 value-oracled queries, eighty must sit outside the window. The
+# With 131 value-oracled queries, eighty-one must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -412,7 +412,12 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   engine_upsert_latest; the NOVELTY (MERGE-based upsert sink with
 #   order_by intra-batch collapse and source-bounds file pruning per
 #   micro-batch) is pinned by the sink pytest, and a double-applied or
-#   dropped batch value-diverges the per-key current state immediately.
+#   dropped batch value-diverges the per-key current state immediately;
+# - leakage_safe_split -> a pure composition of two in-window-shadowed
+#   certified lanes (dedup_cluster_assignment's components chain +
+#   doc_train_split's md5-threshold idiom, re-keyed on the component);
+#   the oracle IS their composed SQL verbatim, so a drifted cluster or
+#   a per-doc (leaky) split keying value-diverges immediately.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -497,6 +502,7 @@ _DEFERRED_ORACLED = [
     "engine_type_widening",
     "engine_default_values",
     "engine_streaming_upsert",
+    "leakage_safe_split",
 ]
 
 

@@ -941,6 +941,46 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# -- leakage-safe splitting ---------------------------------------------
+
+_LEAK_SALT = "leak1"
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment keyed on the DUPLICATE CLUSTER, not
+    the document: near-duplicates (the certified exact-Jaccard
+    components chain) always land in the same split, so a test document
+    can never have a near-copy in train — the leakage mode a plain
+    per-doc hash split silently permits and the single most common
+    eval-contamination bug in corpus construction. Composition of two
+    certified lanes (dedup_cluster_assignment's components + the
+    doc_train_split md5-threshold idiom, re-keyed on the component id),
+    so the oracle is their composed SQL verbatim. Deterministic under
+    partitioning, engine, and corpus growth for unchanged clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5,
+        max_postings=_NEAR_DUP_CAP,
+    )
+    comp = assign_components(docs.select("doc_id"), pairs, "doc_id")
+    return hash_split(comp, "component", _SPLIT_WEIGHTS, salt=_LEAK_SALT).select(
+        "doc_id", "component", "split"
+    )
+
+
+def _leakage_safe_split_sql() -> str:
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP)}, {_COMPONENTS_CTES},
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+)
+SELECT doc_id, component,
+  {split_thresholds_sql("CAST(component AS VARCHAR)", _SPLIT_WEIGHTS, _LEAK_SALT)} AS split
+FROM assigned
+"""
+
+
 # -- within-corpus substring-span dedup --------------------------------
 
 _SPAN_N = 8  # gram width (the Lee-et-al contamination/substring unit)
@@ -4717,6 +4757,7 @@ QUERIES = {
     "doc_text_stats": doc_text_stats,
     "doc_train_split": doc_train_split,
     "dedup_cluster_assignment": dedup_cluster_assignment,
+    "leakage_safe_split": leakage_safe_split,
     "corpus_span_dedup": corpus_span_dedup,
     "bm25_search": bm25_search,
     "quality_classifier_weights": quality_classifier_weights,
@@ -4805,6 +4846,7 @@ ORACLES = {
     "doc_text_stats": TEXT_STATS_SQL,
     "doc_train_split": DOC_TRAIN_SPLIT_SQL,
     "dedup_cluster_assignment": DEDUP_CLUSTER_SQL,
+    "leakage_safe_split": _leakage_safe_split_sql(),
     "corpus_span_dedup": CORPUS_SPAN_DEDUP_SQL,
     "bm25_search": _bm25_search_sql(),
     "quality_classifier_weights": _clf_weights_sql(),
