@@ -1971,6 +1971,25 @@ class DeltaLakeClient:
         if isinstance(stmt, Vacuum):
             # store-wide maintenance; runs OUTSIDE a transaction (the
             # table name is accepted for SQL familiarity)
+            if stmt.dry_run:
+                # DRY RUN returns the would-reclaim report as rows
+                report = self.vacuum(
+                    retain_versions=stmt.retain_versions, dry_run=True
+                )
+                schema = T.StructType(
+                    [
+                        T.StructField("name", T.StringType(), False),
+                        T.StructField("bytes", T.LongType(), True),
+                        T.StructField("age_seconds", T.DoubleType(), True),
+                    ]
+                )
+                return self.spark.createDataFrame(
+                    [
+                        (o["name"], o.get("bytes"), o.get("age_seconds"))
+                        for o in report["objects"]
+                    ],
+                    schema,
+                )
             self.vacuum(retain_versions=stmt.retain_versions)
             return None
         if isinstance(stmt, DescribeHistory):

@@ -24,8 +24,9 @@ for the DML shapes the engine actually supports, by parsing:
      [CLUSTER BY (c, ...)] | [ZORDER BY (c, ...)]`` -> ``compact``
   (WHERE selects FILES by stats intersection — selective compaction
   of a hot range; no rows are deleted)
-- ``VACUUM t [RETAIN n VERSIONS]``            -> ``vacuum`` (table arg
-  ignored — vacuum is store-wide, kept for SQL familiarity)
+- ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``  -> ``vacuum`` (table arg
+  ignored — vacuum is store-wide, kept for SQL familiarity; DRY RUN
+  returns the reclaim report without deleting)
 - ``RESTORE TABLE t TO VERSION n``            -> ``restore_table``
 - ``DESCRIBE DETAIL t``                       -> ``describe_detail``
 - ``DESCRIBE CHANGES t FROM v [TO v]``        -> ``scan_changes`` (CDF)
@@ -103,7 +104,8 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE,
 )
 _VACUUM_RE = re.compile(
-    rf"^\s*VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?;?\s*$",
+    rf"^\s*VACUUM\s+({_IDENT})\s*(?:RETAIN\s+(\d+)\s+VERSIONS\s*)?"
+    rf"(?:(DRY\s+RUN)\s*)?;?\s*$",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
@@ -200,6 +202,7 @@ class Optimize:
 class Vacuum:
     table: str
     retain_versions: int
+    dry_run: bool = False
 
 
 @dataclass
@@ -379,10 +382,12 @@ def parse_dml(sql: str):
         if not m:
             raise UnsupportedSqlError(
                 "VACUUM supports exactly: VACUUM t [RETAIN n VERSIONS]"
+                " [DRY RUN]"
             )
         return Vacuum(
             table=m.group(1),
             retain_versions=int(m.group(2)) if m.group(2) else 0,
+            dry_run=bool(m.group(3)),
         )
     if head == "RESTORE":
         m = _RESTORE_RE.match(sql)

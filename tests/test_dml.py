@@ -593,3 +593,30 @@ def test_describe_detail_and_changes_sql(spark, store_dir):
     got = sorted((r["k"], r["_change_type"]) for r in feed.collect())
     assert got == [(3, "delete")]
     c.commit_tx()
+
+
+def test_vacuum_dry_run_sql(spark, store_dir):
+    """VACUUM ... DRY RUN returns the would-reclaim report as rows and
+    deletes nothing; the plain VACUUM then reclaims them."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=5)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(10):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 9)  # retires both objects
+    c.commit_tx()
+
+    before = set(c.store.list_prefix_ordered("table_t_"))
+    rep = c.execute("VACUUM t DRY RUN")
+    names = {r["name"] for r in rep.collect()}
+    assert names and names <= before
+    assert set(c.store.list_prefix_ordered("table_t_")) == before  # nothing deleted
+    c.execute("VACUUM t")
+    after = set(c.store.list_prefix_ordered("table_t_"))
+    assert after == before - names
+    from delta_lake_experiment_spark.plans.dml import Vacuum, parse_dml
+
+    s = parse_dml("VACUUM t RETAIN 3 VERSIONS DRY RUN")
+    assert s == Vacuum(table="t", retain_versions=3, dry_run=True)
