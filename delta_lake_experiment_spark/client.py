@@ -919,10 +919,13 @@ class DeltaLakeClient:
         column arriving WIDER than the table's type auto-widens the
         table when the promotion is value-preserving (the
         ``widen_column`` matrix; schema drift across crawl dumps —
-        int ids that outgrow int32 — then never fails an ingest or
-        silently truncates). With the default False, a frame missing
-        table columns is an error and unknown frame columns are
-        dropped by the projection.
+        int ids that outgrow int32 — then evolves the table instead of
+        failing the cast or truncating). BUCKET columns are the one
+        exception: their width is pinned by the hash layout, so they
+        keep the plain cast behavior — in-range values ingest exactly
+        as before, out-of-range values fail the ANSI cast loudly. With
+        the default False, a frame missing table columns is an error
+        and unknown frame columns are dropped by the projection.
         """
         tx = self._require_tx()
         if merge_schema:
@@ -1563,14 +1566,26 @@ class DeltaLakeClient:
         clustering, bucket spec, CHECK names), and the
         schema-evolution state — non-identity column mappings, retired
         physical names, stamp-gated defaults. The one view that shows
-        what a table's scans will actually do."""
-        tx = self._require_tx()
-        snap = self._effective_snapshot(tx)
+        what a table's scans will actually do. Like DESCRIBE HISTORY /
+        CHANGES, valid outside a transaction (the committed log is
+        immutable shared metadata); inside one it reflects the tx's
+        own uncommitted actions."""
+        snap = (
+            self._effective_snapshot(self.tx)
+            if self.tx is not None
+            else replay_log(self.store)
+        )
         if table not in snap.tables:
             raise TableNotFoundError(table)
         objs = snap.live_objects(table)
         spec = snap.bucket_specs.get(table)
-        sizes = [s for s in (self.store.size(o.name) for o in objs) if s]
+        # size_bytes is all-or-nothing: a PARTIAL sum presented as the
+        # table total would mislead capacity/VACUUM planning (the
+        # dry-run report models unknowns the same way, per-object None)
+        sizes = [self.store.size(o.name) for o in objs]
+        total_bytes = (
+            int(sum(sizes)) if all(s is not None for s in sizes) else None
+        )
         dvs = snap.table_dvs(table)
         cmap = snap.col_maps.get(table, {})
         row = (
@@ -1579,7 +1594,7 @@ class DeltaLakeClient:
             snap.tables[table],
             len(objs),
             int(sum(o.num_rows for o in objs)),
-            int(sum(sizes)) if sizes else None,
+            total_bytes,
             sum(len(v) for v in dvs.values()),
             list(snap.pkeys.get(table, [])),
             list(snap.bloom_cols.get(table, [])),
@@ -2000,9 +2015,10 @@ class DeltaLakeClient:
             return self.scan_changes(
                 stmt.table, stmt.from_version, stmt.to_version
             )
-        self._require_tx()
         if isinstance(stmt, DescribeDetail):
+            # metadata read, tx-optional like its DESCRIBE siblings
             return self.describe_detail(stmt.table)
+        self._require_tx()
         if stmt is None:
             return self.sql(statement)
         if isinstance(stmt, Delete):
@@ -2213,13 +2229,17 @@ class DeltaLakeClient:
         if when_not_matched not in ("insert", "ignore"):
             raise TypeMismatchError(f"when_not_matched={when_not_matched!r}")
         tx = self._require_tx()
-        keys = self._effective_snapshot(tx).pkeys.get(table)
-        if not keys:
-            raise TypeMismatchError(f"merge requires declared primary keys on {table!r}")
         if tx.buffers.get(table):
             self._flush_buffer(table)
-        src = source_df.persist()
+        # ONE snapshot for the whole merge: _effective_snapshot is an
+        # O(snapshot) deep copy, and nothing between here and the
+        # delete-mask build changes this table's live set (the update /
+        # insert writes land after it)
         snap0 = self._effective_snapshot(tx)
+        keys = snap0.pkeys.get(table)
+        if not keys:
+            raise TypeMismatchError(f"merge requires declared primary keys on {table!r}")
+        src = source_df.persist()
         pr, any_keys = self._source_key_bounds(src, table, keys)
         kb = (
             self._source_bucket_ids(src, table, keys, snap0)
@@ -2248,22 +2268,21 @@ class DeltaLakeClient:
             if when_matched == "update":
                 out["updated"] = self._write_counted(table, matched)
             elif when_matched == "delete":
-                snap = self._effective_snapshot(tx)
                 stored = self._stored_schema(self.table_schema(table))
                 files = (
-                    snap.live_files(
+                    snap0.live_files(
                         table,
                         self.store,
-                        prune=self._prune_physical(snap, table, pr),
+                        prune=self._prune_physical(snap0, table, pr),
                         keep_buckets=kb
                         if kb is not None
-                        else self._bucket_prune_ids(table, snap, pr),
+                        else self._bucket_prune_ids(table, snap0, pr),
                     )
                     if any_keys
                     else []
                 )
                 if files:
-                    base = self._read_live(table, snap, stored, files, with_pos=True)
+                    base = self._read_live(table, snap0, stored, files, with_pos=True)
                     hits = base.join(matched_keys, list(keys), "left_semi")
                     out["deleted"] = self._write_dv(
                         tx,
@@ -2998,16 +3017,35 @@ class DeltaLakeClient:
             return None
         cols = list(spec["cols"])
         schema = self.table_schema(table)
-        types = [schema[c].dataType.simpleString() for c in cols]
+        dtypes = {c: schema[c].dataType for c in cols}
+        types = [dtypes[c].simpleString() for c in cols]
         cap = self._MERGE_BUCKET_KEYS_MAX
-        tuples = src.select(*cols).distinct().limit(cap + 1).collect()
+        # timestamp keys: collect() returns OS-LOCAL-naive datetimes
+        # (PySpark fromInternal) but the driver-side murmur3 reads naive
+        # as UTC-epoch — extract epoch micros engine-side and rebuild
+        # naive-UTC, same normalization as _source_key_bounds (a wrong
+        # hash here would be a SILENTLY wrong merge, not a slow one)
+        sel = [
+            F.unix_micros(F.col(c)).alias(c)
+            if isinstance(dtypes[c], T.TimestampType)
+            else F.col(c)
+            for c in cols
+        ]
+        tuples = src.select(*sel).distinct().limit(cap + 1).collect()
         if len(tuples) > cap:
             return None
         from delta_lake_experiment_spark.plans.bucketing import bucket_id_for
 
+        def _py(c, v):
+            if v is not None and isinstance(dtypes[c], T.TimestampType):
+                return datetime.datetime.fromtimestamp(
+                    v / 1_000_000, tz=datetime.timezone.utc
+                ).replace(tzinfo=None)
+            return v
+
         out: set[int] = set()
         for row in tuples:
-            vals = [row[c] for c in cols]
+            vals = [_py(c, row[c]) for c in cols]
             if any(v is None for v in vals):
                 continue
             bid = bucket_id_for(vals, types, int(spec["n"]))

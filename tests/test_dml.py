@@ -620,3 +620,68 @@ def test_vacuum_dry_run_sql(spark, store_dir):
 
     s = parse_dml("VACUUM t RETAIN 3 VERSIONS DRY RUN")
     assert s == Vacuum(table="t", retain_versions=3, dry_run=True)
+
+
+def test_merge_bucket_cut_timestamp_keys_tz_safe(spark, store_dir):
+    """Review catch: timestamp bucket keys collected via Row come back
+    OS-local-naive, and hashing them as UTC would compute WRONG bucket
+    ids on non-UTC drivers (a silently wrong merge). The cut now
+    extracts epoch micros engine-side; the computed bucket ids must
+    match the labels of the files that actually hold the keys."""
+    import datetime as dt
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=1000)
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [(base + dt.timedelta(hours=i), f"v{i}") for i in range(64)]
+    c.new_tx()
+    c.create_table(
+        "ts_kv", "ts TIMESTAMP, v STRING", primary_keys=["ts"],
+        bucket_by=(["ts"], 8),
+    )
+    c.write_dataframe(
+        "ts_kv", spark.createDataFrame(rows, "ts TIMESTAMP, v STRING")
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    snap = c._effective_snapshot(c.tx)
+    probe = spark.createDataFrame(
+        [(rows[7][0], "X"), (rows[21][0], "Y")], "ts TIMESTAMP, v STRING"
+    )
+    kb = c._source_bucket_ids(probe, "ts_kv", ["ts"], snap)
+    assert kb is not None and kb
+    # ground truth: the buckets of the files that really hold those keys
+    lo, hi = rows[7][0], rows[7][0]
+    truth = set()
+    for key in (rows[7][0], rows[21][0]):
+        names = snap.live_files("ts_kv", c.store, prune={"ts": (key, key)})
+        held = {
+            int(o.bucket_id)
+            for o in snap.live_objects("ts_kv")
+            if c.store.path_of(o.name) in set(names)
+        }
+        assert held & kb, f"cut {kb} excludes the bucket holding {key}"
+        truth |= held
+    # a delete-merge on those keys really deletes them through the cut
+    out = c.merge("ts_kv", probe, when_matched="delete", when_not_matched="ignore")
+    assert out["deleted"] == 2
+    c.commit_tx()
+    c.new_tx()
+    remaining = {r[0] for r in c.scan_iter("ts_kv")}
+    assert rows[7][0] not in remaining and rows[21][0] not in remaining
+    assert len(remaining) == 62
+    c.commit_tx()
+
+
+def test_describe_detail_outside_tx(spark, store_dir):
+    """DESCRIBE DETAIL is a metadata read, valid outside a transaction
+    like its HISTORY/CHANGES siblings (review catch: it used to raise
+    the no-transaction error)."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.write_row("t", [1])
+    c.commit_tx()
+    assert c.tx is None
+    d = c.execute("DESCRIBE DETAIL t").collect()[0]
+    assert d["num_rows"] == 1 and d["num_files"] == 1
