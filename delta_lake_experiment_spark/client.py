@@ -1636,6 +1636,66 @@ class DeltaLakeClient:
         )
         return self.spark.createDataFrame([row], schema)
 
+    def write_manifest(self, table: str) -> list[str]:
+        """Symlink-style manifest export (Delta's
+        GENERATE symlink_format_manifest): publish the table's LIVE
+        data-file paths as a versioned manifest object
+        (``manifest_<table>_<version>``), so EXTERNAL engines — DuckDB,
+        Trino, a plain ``read_parquet`` — can read the snapshot
+        directly, with no engine library in the loop. O(files)
+        metadata; the manifest pins the version it was generated at
+        (later commits need a new manifest, exactly Delta's contract).
+
+        Loud guards instead of silent corruption — external readers
+        see RAW files, so every engine-level read semantic must be
+        absent: deletion-vector masks (masked rows would resurrect),
+        non-identity column mappings (physical names would leak),
+        stamp-gated defaults (pre-birth rows would read NULL), and
+        uncommitted buffered rows (not in any file yet). Tables using
+        those features must compact/materialize first or be read
+        through the engine."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        if table not in snap.tables:
+            raise TableNotFoundError(table)
+        if snap.table_dvs(table):
+            raise TypeMismatchError(
+                f"cannot export a manifest for {table!r}: deletion-vector"
+                " masks are engine-level (external readers would resurrect"
+                " masked rows) - compact() to materialize them first"
+            )
+        if self._rename_map(snap, table):
+            raise TypeMismatchError(
+                f"cannot export a manifest for {table!r}: renamed columns"
+                " keep their original PHYSICAL names in files - external"
+                " readers would see the old names"
+            )
+        if snap.defaults.get(table):
+            raise TypeMismatchError(
+                f"cannot export a manifest for {table!r}: column DEFAULTs"
+                " are a stamp-gated read substitution external readers"
+                " cannot apply - rewrite (compact) to materialize them"
+            )
+        if tx.buffers.get(table) or any(
+            getattr(a, "table", None) == table for a in tx.actions
+        ):
+            raise TypeMismatchError(
+                f"cannot export a manifest for {table!r}: this"
+                " transaction has uncommitted rows/actions for it — a"
+                " manifest must expose only COMMITTED state (an aborted"
+                " tx would leak phantom files to external readers);"
+                " commit first"
+            )
+        # pin the COMMITTED version: the tx base snapshot, not the
+        # effective one (whose version is the open tx's id)
+        base = tx.snapshot
+        paths = sorted(
+            self.store.path_of(o.name) for o in base.live_objects(table)
+        )
+        name = f"manifest_{table}_{base.version:020d}"
+        self.store.put_if_absent(name, "\n".join(paths).encode())
+        return paths
+
     def scan_latest(self, table: str, keys: list[str]) -> DataFrame:
         """'Current state' view of a multi-versioned keyed table:
         latest-version-wins per key (the client-side idiom the reference's

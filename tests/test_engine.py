@@ -2225,3 +2225,65 @@ def test_update_rows_mv_source_guard(spark, store_dir):
         r["x"] for r in c.scan("src", with_stamps=False).collect()
     ) == [2, 5]
     c.abort_tx()
+
+
+def test_manifest_export_reads_in_duckdb(spark, store_dir):
+    """write_manifest publishes the snapshot's live file list so an
+    EXTERNAL engine can read the table with no engine library in the
+    loop: DuckDB over the manifest's parquet paths must equal the
+    engine scan value-for-value (across a COW delete), the manifest
+    pins its version, and every engine-level read semantic external
+    readers cannot apply (DV masks, renames, defaults, buffered rows)
+    raises loudly instead of corrupting silently."""
+    import duckdb
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(30):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 5, 9)  # COW: files rewritten, no masks
+    c.commit_tx()
+
+    c.new_tx()
+    paths = c.write_manifest("t")
+    assert paths and all(p.endswith(".parquet") for p in paths)
+    # the manifest object itself rides the store, version-pinned
+    v = c.tx.snapshot.version
+    stored = c.store.read(f"manifest_t_{v:020d}").decode().splitlines()
+    assert stored == paths
+    con = duckdb.connect()
+    ext = con.execute(
+        "SELECT k, v FROM read_parquet(?) ORDER BY k", [paths]
+    ).fetchall()
+    eng = sorted(c.scan_iter("t"))
+    assert [tuple(r) for r in ext] == eng
+
+    # guards: DV mask
+    c.delete_rows("t", "k", 10, 10, use_dv=True)
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="deletion-vector"):
+        c.write_manifest("t")
+    c.compact("t")  # materializes the mask
+    c.commit_tx()
+    c.new_tx()
+    assert c.write_manifest("t")
+    # guards: rename (physical names would leak)
+    c.rename_column("t", "v", "label")
+    with pytest.raises(TypeMismatchError, match="PHYSICAL"):
+        c.write_manifest("t")
+    c.abort_tx()
+    # guards: defaults and buffered rows
+    c.new_tx()
+    c.add_columns("t", "score DOUBLE DEFAULT 1.5")
+    with pytest.raises(TypeMismatchError, match="DEFAULT"):
+        c.write_manifest("t")
+    c.abort_tx()
+    c.new_tx()
+    c.write_row("t", [100, "buf"])
+    with pytest.raises(TypeMismatchError, match="uncommitted"):
+        c.write_manifest("t")
+    c.abort_tx()
