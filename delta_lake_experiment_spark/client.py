@@ -2025,6 +2025,7 @@ class DeltaLakeClient:
         """
         from delta_lake_experiment_spark.plans.dml import (
             AlterAddColumns,
+            GenerateManifest,
             AlterColumnType,
             AlterDropColumn,
             AlterRenameColumn,
@@ -2079,6 +2080,11 @@ class DeltaLakeClient:
             # metadata read, tx-optional like its DESCRIBE siblings
             return self.describe_detail(stmt.table)
         self._require_tx()
+        if isinstance(stmt, GenerateManifest):
+            paths = self.write_manifest(stmt.table)
+            return self.spark.createDataFrame(
+                [(p,) for p in paths], "path STRING"
+            )
         if stmt is None:
             return self.sql(statement)
         if isinstance(stmt, Delete):

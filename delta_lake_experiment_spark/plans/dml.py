@@ -28,6 +28,8 @@ for the DML shapes the engine actually supports, by parsing:
   ignored — vacuum is store-wide, kept for SQL familiarity; DRY RUN
   returns the reclaim report without deleting)
 - ``RESTORE TABLE t TO VERSION n``            -> ``restore_table``
+- ``GENERATE MANIFEST FOR t``                 -> ``write_manifest``
+  (external-reader file list; raises on DV/mapped/defaulted tables)
 - ``DESCRIBE DETAIL t``                       -> ``describe_detail``
 - ``DESCRIBE CHANGES t FROM v [TO v]``        -> ``scan_changes`` (CDF)
 - ``ALTER TABLE t RENAME COLUMN a TO b``      -> ``rename_column``
@@ -123,6 +125,9 @@ _DESCRIBE_CHANGES_RE = re.compile(
     rf"^\s*DESCRIBE\s+CHANGES\s+({_IDENT})\s+FROM\s+(\d+)"
     rf"\s*(?:TO\s+(\d+)\s*)?;?\s*$",
     re.IGNORECASE,
+)
+_GENERATE_MANIFEST_RE = re.compile(
+    rf"^\s*GENERATE\s+MANIFEST\s+FOR\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _ALTER_RENAME_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})"
@@ -227,6 +232,11 @@ class DescribeChanges:
     table: str
     from_version: int
     to_version: Optional[int]
+
+
+@dataclass
+class GenerateManifest:
+    table: str
 
 
 @dataclass
@@ -396,6 +406,13 @@ def parse_dml(sql: str):
                 "RESTORE supports exactly: RESTORE TABLE t TO VERSION n"
             )
         return Restore(table=m.group(1), version=int(m.group(2)))
+    if head == "GENERATE":
+        m = _GENERATE_MANIFEST_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "GENERATE supports exactly: GENERATE MANIFEST FOR t"
+            )
+        return GenerateManifest(table=m.group(1))
     if head == "ALTER":
         m = _ALTER_RENAME_RE.match(sql)
         if m:

@@ -685,3 +685,19 @@ def test_describe_detail_outside_tx(spark, store_dir):
     assert c.tx is None
     d = c.execute("DESCRIBE DETAIL t").collect()[0]
     assert d["num_rows"] == 1 and d["num_files"] == 1
+
+
+def test_generate_manifest_sql(spark, store_dir):
+    from delta_lake_experiment_spark.plans.dml import GenerateManifest
+
+    assert parse_dml("GENERATE MANIFEST FOR t;") == GenerateManifest(table="t")
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    for i in range(20):
+        c.write_row("t", [i])
+    c.commit_tx()
+    c.new_tx()
+    rows = c.execute("GENERATE MANIFEST FOR t").collect()
+    assert len(rows) == 2 and all(r["path"].endswith(".parquet") for r in rows)
+    c.commit_tx()
