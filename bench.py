@@ -152,6 +152,9 @@ HEADLINE = [
     "engine_streaming_upsert",
     # r8: cluster-keyed train/test split (near-dups never straddle)
     "leakage_safe_split",
+    # r9: Structured-Streaming SOURCE over engine tables (log versions
+    # as stream offsets; snapshot-then-tail, exactly-once end to end)
+    "engine_stream_source",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -1,0 +1,389 @@
+"""Structured-Streaming SOURCE over engine tables (Spark 4 Python
+Data Source API).
+
+Delta lets ``spark.readStream.format("delta")`` tail a table's
+transaction log; the reference engine has the same growth direction
+implicitly (the log IS an ordered stream of commits, reference
+deltalakeclient/transactions.go:8-29) but no consumer. This module
+closes the gap the Spark-4-native way: a registered
+:class:`~pyspark.sql.datasource.DataSource` whose
+:class:`~pyspark.sql.datasource.DataSourceStreamReader` uses **log
+versions as stream offsets** — each micro-batch is exactly the files
+added by a contiguous commit range, read on EXECUTORS as Arrow batches
+(one :class:`InputPartition` per data object, so a 1000-file commit
+fans out across the cluster; nothing rows-shaped touches the driver).
+
+Start semantics match Delta's:
+
+- default (no ``startingVersion``): the FIRST batch is the current
+  snapshot — all live files, deletion-vector masks applied — and later
+  batches tail newly committed appends. Evolved tables (renames,
+  widening, defaults) stream fine: the snapshot read uses the current
+  logical shape, exactly like the batch scan.
+- ``startingVersion=N``: replay committed versions > N file-by-file
+  (CDC-style backfill of an append-only table).
+
+Read semantics mirror the batch scan exactly (client.py _read_live):
+physical->logical column-mapping aliasing, stamp-gated column DEFAULTs
+(``_tx_id < birth`` coalesce), read-schema widening (narrow files
+under a widened declared type), and DV masks (snapshot batch) are all
+applied per file in Arrow. Streams are APPEND-tailing, like Delta: a
+tailed commit that removes or masks rows (COW delete, DV, compaction,
+MERGE-matched updates) raises mid-stream unless
+``skipChangeCommits=true`` (Delta's option of the same name) skips
+those commits wholesale; a post-start metadata change (rename/widen/
+defaults) always raises — restart the stream to pick up the new
+schema, exactly Delta's contract.
+
+Exactly-once end to end: offsets live in the stream checkpoint
+(Spark's contract — ``partitions(start, end)`` is deterministic
+because log records are immutable), and the engine SINK's ``txn
+{app_id, batch}`` markers (streaming/engine_sink.py) de-duplicate
+redelivery, so engine-table -> transform -> engine-table pipelines are
+exactly-once with no extra bookkeeping.
+
+Scale notes: ``latestOffset`` is one O(log tail) listing;
+``partitions`` replays metadata only (checkpoint-accelerated) and
+ships O(files-in-range) partition descriptors; each executor task
+reads one immutable parquet object. VACUUM retention must cover the
+stream's lag, the same operational rule as Delta's.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from delta_lake_experiment_spark.plans.snapshot import (
+    LOG_PREFIX,
+    replay_log,
+)
+from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage
+
+SOURCE_NAME = "engine_table"
+
+# "before the initial snapshot" offset sentinel (no committed version
+# is ever negative)
+_BEGINNING = -1
+
+# working columns stamped on every row (client.py TX_COL/IDX_COL)
+_TX_COL = "_tx_id"
+_IDX_COL = "_row_idx"
+
+
+class NonAppendCommitError(RuntimeError):
+    """A tailed commit changed/removed existing rows of the table."""
+
+
+class SchemaChangedError(RuntimeError):
+    """A tailed commit altered the table's metadata mid-stream."""
+
+
+def _arrow_type(ddl: str):
+    """Spark simpleString type -> pyarrow type, for the read-side cast.
+    Covers the engine's storable primitives + decimal + array<prim>."""
+    import pyarrow as pa
+
+    t = ddl.strip().lower()
+    prim = {
+        "bigint": pa.int64(),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "integer": pa.int32(),
+        "smallint": pa.int16(),
+        "short": pa.int16(),
+        "tinyint": pa.int8(),
+        "byte": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "real": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if t in prim:
+        return prim[t]
+    if t.startswith("decimal"):
+        import re
+
+        m = re.match(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+        if m:
+            return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    if t.startswith("array<") and t.endswith(">"):
+        return pa.list_(_arrow_type(t[len("array<"):-1]))
+    raise TypeError(f"engine_table source: unsupported column type {ddl!r}")
+
+
+def _split_ddl(ddl: str) -> list[tuple[str, str]]:
+    """Flat 'name TYPE, ...' DDL -> [(name, type_str)] — same grammar
+    the engine stores (client.py _parse_ddl_local), no SparkSession."""
+    out = []
+    depth, part, parts = 0, [], []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(part))
+            part = []
+        else:
+            part.append(ch)
+    parts.append("".join(part))
+    for p in parts:
+        p = p.strip()
+        name, _, typ = p.partition(" ")
+        out.append((name.strip("`"), typ.strip()))
+    return out
+
+
+@dataclass
+class EngineFilePartition(InputPartition):
+    """One committed data object: everything an executor needs to read
+    it in the table's CURRENT logical shape, with no store/client
+    object in the closure (plain strings pickle anywhere)."""
+
+    path: str = ""
+    # [(logical_name, physical_name_in_file, type_ddl)] in declared order
+    columns: list = field(default_factory=list)
+    # logical_name -> {"v": literal, "birth": int} (existingDefault)
+    defaults: dict = field(default_factory=dict)
+    # deletion-vector masks covering this object (initial snapshot
+    # batch only — tailed commits are append-only by contract)
+    obj_name: str = ""
+    dv_paths: list = field(default_factory=list)
+    with_stamps: bool = False
+
+
+class EngineTableStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, options) -> None:
+        self.root = root
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("engine_table source: option 'table' is required")
+        sv = options.get("startingversion")
+        self.start_version = _BEGINNING if sv is None else int(sv)
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self.with_stamps = (
+            str(options.get("withstamps", "false")).lower() == "true"
+        )
+        store = LocalObjectStorage(root)
+        snap = replay_log(store)
+        if self.table not in snap.tables:
+            raise ValueError(
+                f"engine_table source: no table {self.table!r} at {root}"
+            )
+        # Pin the logical shape at stream start (Delta pins the schema
+        # at analysis; any later metadata commit raises in partitions()).
+        self.pinned_version = snap.version
+        self._ddl = snap.tables[self.table]
+        cmap = snap.col_maps.get(self.table, {})
+        self._columns = [
+            (name, cmap.get(name, name), typ)
+            for name, typ in _split_ddl(self._ddl)
+        ]
+        self._defaults = {
+            c: {"v": d["v"], "birth": int(d["birth"])}
+            for c, d in snap.defaults.get(self.table, {}).items()
+        }
+
+    # -- offsets --------------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        store = LocalObjectStorage(self.root)
+        names = store.list_prefix_ordered(LOG_PREFIX)
+        latest = int(names[-1][len(LOG_PREFIX):]) if names else 0
+        return {"version": latest}
+
+    def commit(self, end: dict) -> None:  # nothing to clean up
+        pass
+
+    # -- planning -------------------------------------------------------
+    def _part(self, store, body_name: str, dv_names=()) -> EngineFilePartition:
+        return EngineFilePartition(
+            path=store.path_of(body_name),
+            columns=self._columns,
+            defaults=self._defaults,
+            obj_name=body_name,
+            dv_paths=[store.path_of(d) for d in dv_names],
+            with_stamps=self.with_stamps,
+        )
+
+    def partitions(self, start: dict, end: dict):
+        store = LocalObjectStorage(self.root)
+        lo, hi = int(start["version"]), int(end["version"])
+        if lo == _BEGINNING:
+            # initial snapshot batch: all live files at `hi`, DV masks
+            # applied — byte-for-byte the batch scan's semantics
+            snap = replay_log(store, as_of=hi)
+            dvs = snap.table_dvs(self.table)
+            return [
+                self._part(store, o.name, dvs.get(o.name, ()))
+                for o in snap.live_objects(self.table)
+            ]
+        table_known = self.table in replay_log(store, as_of=lo).tables
+        parts: list[EngineFilePartition] = []
+        for name in store.list_prefix_ordered(LOG_PREFIX):
+            v = int(name[len(LOG_PREFIX):])
+            if v <= lo or v > hi:
+                continue
+            record = json.loads(store.read(name))
+            adds, changes, metas = [], 0, 0
+            for act in record.get("actions", []):
+                kind = next(iter(act))
+                body = act[kind]
+                if body.get("table") != self.table:
+                    continue
+                if kind == "add":
+                    adds.append(body)
+                elif kind in ("remove", "dv"):
+                    changes += 1
+                elif kind == "metadata":
+                    metas += 1
+            if metas:
+                if table_known:
+                    raise SchemaChangedError(
+                        f"engine_table source: commit v{v} changed table"
+                        f" {self.table!r} metadata mid-stream - restart the"
+                        " stream to adopt the new schema (Delta's contract)"
+                    )
+                table_known = True  # the CREATE itself streams fine
+            if changes:
+                if not self.skip_change_commits:
+                    raise NonAppendCommitError(
+                        f"engine_table source: commit v{v} removed or"
+                        f" masked rows of {self.table!r} - streaming reads"
+                        " are append-tailing; pass"
+                        " .option('skipChangeCommits', 'true') to skip"
+                        " such commits wholesale (Delta's option)"
+                    )
+                continue  # skip the whole commit, adds included
+            for body in adds:
+                parts.append(self._part(store, body["name"]))
+        return parts
+
+    # -- executor-side read ----------------------------------------------
+    def read(self, partition: EngineFilePartition) -> Iterator[Any]:
+        return _read_engine_file(partition)
+
+
+def _read_engine_file(part: EngineFilePartition) -> Iterator[Any]:
+    """Read one data object in the table's logical shape: DV-mask rows
+    out, select physical columns, alias to logical names, cast to the
+    (possibly widened) declared types, apply stamp-gated defaults.
+    Pure pyarrow — runs in the Python data source worker on executors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(part.path)
+    if part.dv_paths:
+        masked: set[int] = set()
+        for p in part.dv_paths:
+            dv = pq.read_table(p, columns=["obj", "row_idx"])
+            objs = dv.column("obj").to_pylist()
+            idxs = dv.column("row_idx").to_pylist()
+            masked.update(i for o, i in zip(objs, idxs) if o == part.obj_name)
+        if masked:
+            keep = pa.array(
+                [i not in masked for i in range(tbl.num_rows)], type=pa.bool_()
+            )
+            tbl = tbl.filter(keep)
+    have = set(tbl.column_names)
+    tx = tbl.column(_TX_COL) if _TX_COL in have else None
+    arrays, names = [], []
+    for logical, physical, typ in part.columns:
+        target = _arrow_type(typ)
+        if physical in have:
+            col = pc.cast(tbl.column(physical), target)
+        else:
+            # column added after this file was written: reads as NULL
+            # (the default gate below may then substitute)
+            col = pa.nulls(tbl.num_rows, type=target)
+        d = part.defaults.get(logical)
+        if d is not None and tx is not None:
+            gate = pc.and_(
+                pc.less(tx, pa.scalar(int(d["birth"]), type=tx.type)),
+                pc.is_null(col),
+            )
+            col = pc.if_else(gate, pa.scalar(d["v"], type=target), col)
+        arrays.append(col)
+        names.append(logical)
+    if part.with_stamps:
+        for extra in (_TX_COL, _IDX_COL):
+            arrays.append(pc.cast(tbl.column(extra), pa.int64()))
+            names.append(extra)
+    out = pa.table(arrays, names=names)
+    for batch in out.to_batches():
+        yield batch
+
+
+class EngineTableDataSource(DataSource):
+    """``spark.readStream.format("engine_table").option("table", t)
+    .load(store_root)`` — see module docstring. Batch reads go through
+    the client (scan/scan_as_of); this source is streaming-only."""
+
+    @classmethod
+    def name(cls) -> str:
+        return SOURCE_NAME
+
+    def schema(self) -> str:
+        root = self.options.get("path")
+        table = self.options.get("table")
+        if not root or not table:
+            raise ValueError(
+                "engine_table source: .load(<store root>) and"
+                " .option('table', <name>) are both required"
+            )
+        snap = replay_log(LocalObjectStorage(root))
+        if table not in snap.tables:
+            raise ValueError(f"engine_table source: no table {table!r} at {root}")
+        ddl = snap.tables[table]
+        if str(self.options.get("withstamps", "false")).lower() == "true":
+            ddl = f"{ddl}, {_TX_COL} bigint, {_IDX_COL} bigint"
+        return ddl
+
+    def streamReader(self, schema) -> EngineTableStreamReader:
+        return EngineTableStreamReader(self.options.get("path"), self.options)
+
+
+def register_engine_source(spark) -> None:
+    """Register the source on this session (idempotent)."""
+    spark.dataSource.register(EngineTableDataSource)
+
+
+def read_table_stream(
+    spark,
+    root: str,
+    table: str,
+    starting_version: int | None = None,
+    skip_change_commits: bool = False,
+    with_stamps: bool = False,
+):
+    """Convenience wrapper: a streaming DataFrame tailing ``table``.
+    ``starting_version=None`` (default) = initial-snapshot-then-tail;
+    an integer replays committed versions > it file-by-file."""
+    register_engine_source(spark)
+    reader = (
+        spark.readStream.format(SOURCE_NAME)
+        .option("table", table)
+        .option("skipChangeCommits", str(skip_change_commits).lower())
+        .option("withStamps", str(with_stamps).lower())
+    )
+    if starting_version is not None:
+        reader = reader.option("startingVersion", str(starting_version))
+    return reader.load(root)

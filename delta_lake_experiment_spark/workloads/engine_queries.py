@@ -821,8 +821,101 @@ FROM cur GROUP BY o_orderstatus
 """
 
 
+def engine_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming SOURCE over an engine table
+    (streaming/engine_source.py): the log IS the stream. An engine
+    table is seeded from events in TWO commits, ``readStream.format(
+    "engine_table")`` drains the initial snapshot through the
+    exactly-once engine sink into a second engine table; a THIRD
+    commit lands and a resumed run (same checkpoint) tails ONLY the
+    new commit — version-offset resume, no re-read, no loss. The
+    output aggregates the DESTINATION table, so a dropped file, a
+    double-delivered batch, or a broken offset cursor value-diverges
+    from the plain batch SQL over events immediately. End-to-end
+    exactly-once falls out of composition: source offsets live in the
+    stream checkpoint, sink commits carry ``txn`` markers."""
+    import tempfile
+
+    _utc(spark)
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_writer,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        read_table_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src_c = _fresh_client(spark)
+    src_root = src_c.store.root
+    src_c.new_tx()
+    src_c.create_table(
+        "ev_src", "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    src_c.write_dataframe("ev_src", events.filter(F.col("event_id") % 3 == 0))
+    src_c.commit_tx()
+    src_c.new_tx()
+    src_c.write_dataframe("ev_src", events.filter(F.col("event_id") % 3 == 1))
+    src_c.commit_tx()
+
+    dst_c = _fresh_client(spark)
+    dst_root = dst_c.store.root
+    dst_c.new_tx()
+    dst_c.create_table(
+        "ev_dst", "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    dst_c.commit_tx()
+
+    def dst_factory():
+        from delta_lake_experiment_spark.client import DeltaLakeClient
+
+        return DeltaLakeClient(spark, dst_root)
+
+    ck = tempfile.mkdtemp(prefix="dles_essck_")
+
+    def drain():
+        q = (
+            read_table_stream(spark, src_root, "ev_src")
+            .writeStream.foreachBatch(
+                foreach_batch_writer(dst_factory, "ev_dst", "ess_app")
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # initial snapshot: commits 1+2
+    src_c.new_tx()
+    src_c.write_dataframe("ev_src", events.filter(F.col("event_id") % 3 == 2))
+    src_c.commit_tx()
+    drain()  # resumed tail: ONLY commit 3
+
+    out = dst_factory()
+    out.new_tx()
+    return (
+        out.scan("ev_dst", with_stamps=False)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+
+
+ENGINE_STREAM_SOURCE_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(value), 6) AS value_sum
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_stream_source": engine_stream_source,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
     "engine_schema_evolution": engine_schema_evolution,
@@ -843,6 +936,7 @@ QUERIES = {
 
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
+    "engine_stream_source": ENGINE_STREAM_SOURCE_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
     "engine_schema_evolution": ENGINE_SCHEMA_EVOLUTION_SQL,

@@ -1,0 +1,241 @@
+"""Structured-Streaming SOURCE over engine tables
+(streaming/engine_source.py): snapshot-then-tail parity with the batch
+scan, checkpoint resume, append-only enforcement, skipChangeCommits,
+and evolved-table (rename/widen/default/DV) snapshot semantics."""
+
+import os
+import sys
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.streaming.engine_source import (
+    read_table_stream,
+)
+
+
+def _drain(spark, stream, name, checkpoint):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"select * from {name}")
+
+
+def _seed(spark, root, n_commits=3, per=10):
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.commit_tx()
+    for i in range(n_commits):
+        c.new_tx()
+        df = spark.range(i * per, (i + 1) * per).select(
+            F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    return c
+
+
+def test_snapshot_stream_equals_batch_scan(spark, tmp_path):
+    c = _seed(spark, str(tmp_path))
+    got = _drain(
+        spark,
+        read_table_stream(spark, str(tmp_path), "t"),
+        "es_snap",
+        str(tmp_path / "ck"),
+    )
+    c.new_tx()
+    want = c.scan("t", with_stamps=False)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    c.abort_tx()
+
+
+def _drain_collect(spark, root, ck, **kwargs):
+    """foreachBatch drain (the memory sink cannot recover from a
+    checkpoint): returns the ids delivered by THIS run only."""
+    seen: list[int] = []
+
+    def collect(batch_df, _bid):
+        seen.extend(r.id for r in batch_df.collect())
+
+    q = (
+        read_table_stream(spark, root, "t", **kwargs)
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(seen)
+
+
+def test_resume_from_checkpoint_reads_only_new_commits(spark, tmp_path):
+    c = _seed(spark, str(tmp_path))
+    ck = str(tmp_path / "ck")
+    assert _drain_collect(spark, str(tmp_path), ck) == list(range(30))
+    # two more append commits, then resume from the SAME checkpoint
+    for i in (3, 4):
+        c.new_tx()
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    # only the 20 new rows stream — nothing re-read from the snapshot
+    assert _drain_collect(spark, str(tmp_path), ck) == list(range(30, 50))
+
+
+def test_non_append_commit_raises(spark, tmp_path):
+    c = _seed(spark, str(tmp_path))
+    ck = str(tmp_path / "ck")
+    _drain_collect(spark, str(tmp_path), ck)
+    c.new_tx()
+    c.delete_rows("t", "id", 5, 14)  # COW: removes + re-adds files
+    c.commit_tx()
+    with pytest.raises(Exception, match="append-tailing|NonAppendCommit"):
+        _drain_collect(spark, str(tmp_path), ck)
+
+
+def test_skip_change_commits_skips_wholesale(spark, tmp_path):
+    c = _seed(spark, str(tmp_path), n_commits=1)
+    ck = str(tmp_path / "ck")
+    _drain_collect(spark, str(tmp_path), ck, skip_change_commits=True)
+    # change commit (delete rewrites a file: remove + add) then an append
+    c.new_tx()
+    c.delete_rows("t", "id", 0, 4)
+    c.commit_tx()
+    c.new_tx()
+    df = spark.range(100, 110).select(
+        F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v")
+    )
+    c.write_dataframe("t", df)
+    c.commit_tx()
+    # the delete commit is skipped WHOLESALE (its rewrite file too);
+    # only the clean append streams
+    ids = _drain_collect(spark, str(tmp_path), ck, skip_change_commits=True)
+    assert ids == list(range(100, 110))
+
+
+def test_metadata_change_mid_stream_raises(spark, tmp_path):
+    c = _seed(spark, str(tmp_path), n_commits=1)
+    ck = str(tmp_path / "ck")
+    _drain_collect(spark, str(tmp_path), ck)
+    c.new_tx()
+    c.rename_column("t", "v", "val")
+    c.commit_tx()
+    with pytest.raises(Exception, match="metadata mid-stream|SchemaChanged"):
+        _drain_collect(spark, str(tmp_path), ck)
+
+
+def test_snapshot_applies_rename_widen_default_and_dv(spark, tmp_path):
+    """The initial snapshot batch must equal the batch scan on a table
+    that exercises every read-time semantic at once: renamed column
+    (physical name differs in files), widened type (narrow files under
+    a wide read schema), stamp-gated DEFAULT (pre-birth rows read the
+    default), and a deletion-vector mask."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id INT, v STRING")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(0, 10).select(
+            F.col("id").cast("int"), F.concat(F.lit("a"), F.col("id")).alias("v")
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.rename_column("t", "v", "label")
+    c.commit_tx()
+    c.new_tx()
+    c.widen_column("t", "id", "bigint")
+    c.commit_tx()
+    c.new_tx()
+    c.add_columns("t", "score DOUBLE DEFAULT 1.5")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(10, 20).select(
+            F.col("id"),
+            F.concat(F.lit("b"), F.col("id")).alias("label"),
+            F.lit(2.5).alias("score"),
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "id", 3, 5, use_dv=True)
+    c.commit_tx()
+
+    got = _drain(
+        spark,
+        read_table_stream(spark, root, "t"),
+        "es_evolved",
+        str(tmp_path / "ck"),
+    )
+    c.new_tx()
+    want = c.scan("t", with_stamps=False)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the gated default actually shows: pre-birth rows read 1.5
+    pre = [r for r in got.collect() if r.id < 10]
+    assert pre and all(r.score == 1.5 for r in pre)
+    c.abort_tx()
+
+
+def test_source_to_engine_sink_exactly_once(spark, tmp_path):
+    """engine-table -> engine-table pipeline: tail the source table
+    through the exactly-once MERGE sink; the result equals a batch
+    latest-wins aggregate, and a re-run with the same checkpoint is a
+    no-op (offsets + txn markers compose)."""
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_writer,
+    )
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    os.makedirs(src_root)
+    os.makedirs(dst_root)
+    _seed(spark, src_root)
+
+    def dst_factory():
+        return DeltaLakeClient(spark, dst_root)
+
+    boot = dst_factory()
+    boot.new_tx()
+    boot.create_table("out", "id BIGINT, v STRING")
+    boot.commit_tx()
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            read_table_stream(spark, src_root, "t")
+            .writeStream.foreachBatch(
+                foreach_batch_writer(dst_factory, "out", "es_pipe")
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    c = dst_factory()
+    c.new_tx()
+    assert c.scan("out").count() == 30
+    c.abort_tx()
+    run()  # same checkpoint: nothing new to read -> still 30
+    c.new_tx()
+    assert c.scan("out").count() == 30
+    c.abort_tx()
