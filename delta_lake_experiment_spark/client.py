@@ -113,6 +113,13 @@ class _Tx:
     # table -> list of (row_idx, row-or-None); None = tombstone
     buffers: dict[str, list[tuple[int, Optional[list[Any]]]]] = field(default_factory=dict)
     next_idx: dict[str, int] = field(default_factory=dict)
+    # table -> file PATHS this tx's read-write operations depended on
+    # (scan + the affected-file reads of DML rewrites). Consulted by
+    # commit-time conflict resolution: an interleaved commit that
+    # removed/masked a file we read is a real conflict; one that only
+    # touched files we never saw is admitted at a retargeted version
+    # (Delta's ConflictChecker read-set shape, WriteSerializable).
+    read_files: dict[str, set[str]] = field(default_factory=dict)
 
 
 class DeltaLakeClient:
@@ -172,15 +179,34 @@ class DeltaLakeClient:
         ``retry_independent`` (default on, 3 attempts) fixes the
         reference's known-broken concurrent-writers case
         (main_test.go:177): on a version collision, re-read the
-        interleaved commits and, if they touched only *disjoint*
-        tables, re-target the next free version. Same-table
-        interference still conflicts — snapshot isolation's write-write
-        rule, now at table granularity instead of whole-log
-        granularity. Data objects are not rewritten: row-order stamps
-        were assigned at write time, and disjointness guarantees no
-        other committed tx stamped this table at the same version.
-        Pass ``retry_independent=0`` for the reference's coarse
-        whole-log conflict behavior.
+        interleaved commits and reconcile at FILE granularity
+        (Delta's ConflictChecker shape, WriteSerializable):
+
+        - interleaved commits on *disjoint* tables always admit —
+          re-target the next free version (r1 behavior);
+        - same-table interleaves admit when the interleaved commit's
+          removed/masked files are disjoint from this tx's read+target
+          file sets AND neither side changed the table's metadata —
+          append-append and disjoint COW/DV deletes both commit
+          without a client-level re-run;
+        - genuine overlaps (double-targeted file, removed-what-I-read,
+          metadata change, a concurrently committed copy of the same
+          streaming ``txn`` batch) raise — first committer wins, and
+          ``run_tx``'s whole-tx retry takes over;
+        - interleaved ADDS never conflict: blind appends reorder
+          freely (WriteSerializable — the same documented caveat as
+          write-skew non-detection: a phantom row added concurrently
+          is read by neither side).
+
+        Same-table admission re-keys row stamps: data objects of
+        SHARED tables whose rows carry this tx's fresh ``_tx_id``
+        stamp are rewritten driver-side to the retargeted version
+        (O(own new files), only on actual contention), preserving the
+        engine's per-table stamp-uniqueness invariant — newest-first
+        ordering and latest-version-wins stay deterministic. Disjoint
+        retargets still rewrite nothing: no other committed tx stamped
+        those tables at this version. Pass ``retry_independent=0`` for
+        the reference's coarse whole-log conflict behavior.
         """
         tx = self._require_tx()
         try:
@@ -190,6 +216,9 @@ class DeltaLakeClient:
                 return  # read-only fast path
             my_tables = {a.table for a in tx.actions}
             attempt_id = tx.id
+            # per-table CURRENT fresh-stamp value (re-keyed on same-table
+            # admission so stamps stay unique per table; see docstring)
+            stamps = {t: tx.id for t in my_tables}
             while True:
                 payload: dict[str, Any] = {
                     "id": attempt_id,
@@ -214,24 +243,22 @@ class DeltaLakeClient:
                             f"tx {attempt_id}: another transaction committed this version"
                         )
                     retry_independent -= 1
-                    # fold in the interleaved commits; conflict iff any
-                    # touched one of our tables
+                    # fold in the interleaved commits; file-granularity
+                    # reconciliation raises on genuine conflicts and
+                    # returns the shared tables needing a stamp re-key
                     latest = replay_log(self.store)
+                    restamp: set[str] = set()
                     for name in self.store.list_prefix_ordered(LOG_PREFIX):
                         version = int(name[len(LOG_PREFIX):])
                         if version < attempt_id:
                             continue
                         interleaved = json.loads(self.store.read(name))
-                        their_tables = {
-                            next(iter(a.values()))["table"]
-                            for a in interleaved["actions"]
-                        }
-                        if their_tables & my_tables:
-                            raise ConcurrentCommitError(
-                                f"tx {attempt_id}: concurrent commit touched "
-                                f"{sorted(their_tables & my_tables)}"
-                            )
+                        restamp |= self._reconcile_interleaved(
+                            tx, interleaved, my_tables, txn
+                        )
                     attempt_id = latest.version + 1
+                    if restamp:
+                        self._restamp_tables(tx, restamp, stamps, attempt_id)
             tx.id = attempt_id
             self._maybe_checkpoint(tx)
         finally:
@@ -240,6 +267,116 @@ class DeltaLakeClient:
     def abort_tx(self) -> None:
         """Drop the open transaction without committing."""
         self.tx = None
+
+    def _reconcile_interleaved(
+        self,
+        tx: "_Tx",
+        interleaved: dict[str, Any],
+        my_tables: set[str],
+        txn: Optional[tuple[str, int]],
+    ) -> set[str]:
+        """File-granularity conflict check against ONE interleaved
+        commit record (Delta ConflictChecker shape, WriteSerializable).
+        Raises :class:`ConcurrentCommitError` on a genuine conflict;
+        otherwise returns the tables SHARED with the interleaved commit
+        (those need their fresh row stamps re-keyed — see commit_tx)."""
+        theirs: dict[str, list[tuple[str, dict[str, Any]]]] = {}
+        for act in interleaved["actions"]:
+            kind = next(iter(act))
+            body = act[kind]
+            t = body["table"]
+            if t in my_tables:
+                theirs.setdefault(t, []).append((kind, body))
+        if not theirs:
+            return set()
+        # a concurrently committed copy of the SAME streaming batch
+        # must conflict, never admit — admitting an append-append here
+        # would double-apply the batch the txn marker exists to dedupe
+        itxn = interleaved.get("txn")
+        if (
+            txn is not None
+            and itxn is not None
+            and itxn.get("app_id") == txn[0]
+            and int(itxn.get("batch", -1)) >= int(txn[1])
+        ):
+            raise ConcurrentCommitError(
+                f"tx {tx.id}: streaming batch {txn} was committed by a"
+                " concurrent writer"
+            )
+        my_meta = {a.table for a in tx.actions if isinstance(a, ChangeMetadata)}
+        for t, acts in theirs.items():
+            if t in my_meta or any(k == "metadata" for k, _ in acts):
+                raise ConcurrentCommitError(
+                    f"tx {tx.id}: concurrent metadata change on {t!r}"
+                )
+            their_targets = {b["name"] for k, b in acts if k == "remove"}
+            for k, b in acts:
+                if k == "dv":
+                    their_targets.update(b["objects"])
+            my_targets = {
+                a.name
+                for a in tx.actions
+                if isinstance(a, RemoveDataObject) and a.table == t
+            }
+            for a in tx.actions:
+                if isinstance(a, AddDeletionVector) and a.table == t:
+                    my_targets.update(a.objects)
+            if their_targets & my_targets:
+                raise ConcurrentCommitError(
+                    f"tx {tx.id}: concurrent commit rewrote/masked"
+                    f" {sorted(their_targets & my_targets)[:3]} on {t!r}"
+                )
+            if their_targets:
+                their_paths = {self.store.path_of(n) for n in their_targets}
+                if their_paths & tx.read_files.get(t, set()):
+                    raise ConcurrentCommitError(
+                        f"tx {tx.id}: concurrent commit removed files this"
+                        f" transaction read on {t!r}"
+                    )
+            # their ADDS admit: blind appends reorder freely under
+            # WriteSerializable (documented phantom caveat)
+        return set(theirs)
+
+    def _restamp_tables(
+        self,
+        tx: "_Tx",
+        tables: set[str],
+        stamps: dict[str, int],
+        attempt_id: int,
+    ) -> None:
+        """Re-key the fresh ``_tx_id`` stamps of this tx's staged data
+        objects on ``tables`` to ``attempt_id`` — the price of
+        admitting a same-table interleaved commit. Driver-side pyarrow
+        over OUR OWN new files only (uncommitted, hence invisible:
+        delete+recreate under the same name is safe on every backend);
+        rows carried over from older commits (COW survivors) keep
+        their original stamps, so ordering history is untouched. Stats
+        and blooms never cover the stamp columns, so the actions'
+        pruning metadata stays valid."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        for a in tx.actions:
+            if not isinstance(a, AddDataObject) or a.table not in tables:
+                continue
+            old = stamps[a.table]
+            tbl = pq.read_table(io.BytesIO(self.store.read(a.name)))
+            txcol = tbl.column(TX_COL)
+            mask = pc.equal(txcol, pa.scalar(old, type=txcol.type))
+            if not pc.any(mask).as_py():
+                continue  # rewrite-only object: no fresh stamps
+            newcol = pc.if_else(mask, pa.scalar(attempt_id, type=txcol.type), txcol)
+            tbl = tbl.set_column(tbl.column_names.index(TX_COL), TX_COL, newcol)
+            buf = io.BytesIO()
+            pq.write_table(tbl, buf)
+            self.store.delete(a.name)
+            self.store.put_if_absent(a.name, buf.getvalue())
+            a.tx_id = attempt_id  # the id of the tx whose rows it holds
+        for t in tables:
+            stamps[t] = attempt_id
 
     def run_tx(self, fn, retries: int = 3):
         """Run ``fn(client)`` inside a fresh transaction and commit —
@@ -1254,7 +1391,7 @@ class DeltaLakeClient:
         )
         parts = []
         if files:
-            parts.append(self._read_live(table, snap, stored, files))
+            parts.append(self._read_live(table, snap, stored, files, record=True))
         buf_rows = [
             list(row) + [tx.id, idx]
             for idx, row in tx.buffers.get(table, [])
@@ -2230,7 +2367,11 @@ class DeltaLakeClient:
         # the matched rows AND materializes any prior soft deletes
         # (removing the object retires its vectors — no resurrection).
         survivors = self._read_live(
-            table, snap, stored, [self.store.path_of(n) for n in sorted(affected_names)]
+            table,
+            snap,
+            stored,
+            [self.store.path_of(n) for n in sorted(affected_names)],
+            record=True,
         ).filter(~pred | F.col(column).isNull())
         staging = self._staging_dir()
         self._write_parquet_staging(
@@ -2348,7 +2489,9 @@ class DeltaLakeClient:
                     else []
                 )
                 if files:
-                    base = self._read_live(table, snap0, stored, files, with_pos=True)
+                    base = self._read_live(
+                        table, snap0, stored, files, with_pos=True, record=True
+                    )
                     hits = base.join(matched_keys, list(keys), "left_semi")
                     out["deleted"] = self._write_dv(
                         tx,
@@ -2450,7 +2593,11 @@ class DeltaLakeClient:
         if not affected_names:
             return
         base = self._read_live(
-            table, snap, stored, [self.store.path_of(n) for n in sorted(affected_names)]
+            table,
+            snap,
+            stored,
+            [self.store.path_of(n) for n in sorted(affected_names)],
+            record=True,
         )
         updated = base.withColumns(
             {
@@ -3283,6 +3430,7 @@ class DeltaLakeClient:
         stored: T.StructType,
         files: list[str],
         with_pos: bool = False,
+        record: bool = False,
     ) -> DataFrame:
         """Read live data objects with deletion vectors applied.
 
@@ -3299,6 +3447,13 @@ class DeltaLakeClient:
         is the physical one and the result is aliased back to logical
         as the final projection (after the ``_metadata`` captures,
         which only resolve on the scan relation)."""
+        if record and self.tx is not None:
+            # commit-time conflict resolution consults this read set;
+            # recorded at plan-build (the file list is fixed here, so
+            # laziness cannot under-record). Time-travel / change-feed
+            # reads of pinned committed ranges pass record=False — a
+            # concurrent writer cannot invalidate immutable history.
+            self.tx.read_files.setdefault(table, set()).update(files)
         pmap = self._rename_map(snap, table)
 
         def _logical(d: DataFrame, extra: tuple = ()) -> DataFrame:

@@ -68,7 +68,10 @@ def _shared_writer(root: str, wid: int, q) -> None:
                 for j in range(ROWS_PER_COMMIT):
                     cl.write_row("shared", [wid * 10_000 + i * 100 + j, wid])
 
-            # same table: real write-write conflicts -> whole-tx retry
+            # same table, pure appends: file-granularity admission (r9)
+            # retargets + restamps these inside commit_tx; run_tx's
+            # whole-tx retry still backstops retry-budget exhaustion
+            # under 4-way contention
             c.run_tx(_write, retries=200)
         q.put((wid, "ok"))
     except BaseException as e:  # pragma: no cover
@@ -107,10 +110,14 @@ def test_multiprocess_disjoint_writers(tmp_path):
 
 
 def test_multiprocess_shared_table_serializes(tmp_path):
-    """4 processes x 6 commits into ONE table: conflicts are detected
-    (first committer wins) and losers retry to completion — the final
-    state holds every writer's every row exactly once, and no log
-    record contains another writer's actions (commit atomicity)."""
+    """4 processes x 6 commits into ONE table: append-append commits
+    are ADMITTED at file granularity (retarget + stamp re-key inside
+    commit_tx, r9), with run_tx's whole-tx retry backstopping budget
+    exhaustion — the final state holds every writer's every row
+    exactly once, no log record contains another writer's actions
+    (commit atomicity), and the re-keyed ``_tx_id``/``_row_idx``
+    stamps stay UNIQUE per table (the ordering invariant same-table
+    admission must preserve)."""
     root = str(tmp_path / "store")
     store = LocalObjectStorage(root)
     boot = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
@@ -123,6 +130,16 @@ def test_multiprocess_shared_table_serializes(tmp_path):
     snap = replay_log(store)
     objs = snap.live_objects("shared")
     assert sum(o.num_rows for o in objs) == N_WRITERS * N_COMMITS * ROWS_PER_COMMIT
+    # stamp uniqueness: same-table admission re-keys fresh stamps, so
+    # no two rows of the table may share a (_tx_id, _row_idx) pair —
+    # newest-first ordering and latest-wins stay deterministic
+    import pyarrow.parquet as pq
+
+    stamps = []
+    for o in objs:
+        t = pq.read_table(store.path_of(o.name), columns=["_tx_id", "_row_idx"])
+        stamps.extend(zip(t["_tx_id"].to_pylist(), t["_row_idx"].to_pylist()))
+    assert len(stamps) == len(set(stamps)), "colliding row stamps after admission"
     # every log record is exactly one writer's one commit: its adds all
     # target `shared` and carry the record's own tx id (serialization)
     seen_ids = set()

@@ -1,0 +1,229 @@
+"""File-granularity same-table conflict resolution (VERDICT r8 item 3):
+commit_tx admits interleaved commits on the SAME table when their
+removed/masked files are disjoint from this tx's read+target sets
+(Delta ConflictChecker, WriteSerializable), re-keying fresh row stamps
+to the retargeted version; genuine overlaps, metadata changes, and
+duplicate streaming batches still conflict first-committer-wins."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from delta_lake_experiment_spark.client import TX_COL, DeltaLakeClient
+from delta_lake_experiment_spark.errors import ConcurrentCommitError
+
+
+def _two_clients(spark, store_dir, ddl="k BIGINT, v STRING", rows=()):
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", ddl)
+    for r in rows:
+        a.write_row("t", list(r))
+    a.commit_tx()
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    return a, b
+
+
+def test_append_append_both_commit_and_stamps_rekey(spark, store_dir):
+    a, b = _two_clients(spark, store_dir)
+    a.new_tx()
+    b.new_tx()  # same snapshot -> same fresh stamp
+    a.write_row("t", [1, "a"])
+    b.write_row("t", [2, "b"])
+    a.commit_tx()
+    b.commit_tx()  # admitted: no client-level re-run
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    rows = c.scan("t").select("k", TX_COL).collect()
+    assert sorted(r["k"] for r in rows) == [1, 2]
+    # the loser's rows were RE-KEYED to its committed version: stamps
+    # are unique, so newest-first order is deterministic
+    stamps = {r["k"]: r[TX_COL] for r in rows}
+    assert stamps[1] != stamps[2]
+    assert stamps[2] == 3  # b retargeted + restamped to version 3
+    c.commit_tx()
+
+
+def test_append_admits_against_concurrent_delete(spark, store_dir):
+    # blind append vs COW delete: serializes as delete-then-insert
+    a, b = _two_clients(spark, store_dir, rows=[(1, "x"), (2, "y")])
+    a.new_tx()
+    b.new_tx()
+    a.delete_rows("t", "k", 1, 1)
+    b.write_row("t", [3, "z"])
+    a.commit_tx()
+    b.commit_tx()  # admitted
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    assert sorted(
+        r["k"] for r in c.scan("t", with_stamps=False).collect()
+    ) == [2, 3]
+    c.commit_tx()
+
+
+def test_disjoint_cow_deletes_admit(spark, store_dir):
+    # k=1 and k=2 land in SEPARATE objects (two commits) so two
+    # deletes rewrite disjoint files -> both commit
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v STRING")
+    a.write_row("t", [1, "x"])
+    a.commit_tx()
+    a.new_tx()
+    a.write_row("t", [2, "y"])
+    a.commit_tx()
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    b.new_tx()
+    a.delete_rows("t", "k", 1, 1)
+    b.delete_rows("t", "k", 2, 2)
+    a.commit_tx()
+    b.commit_tx()  # disjoint file targets -> admitted
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    assert c.scan("t").count() == 0
+    c.commit_tx()
+
+
+def test_overlapping_cow_deletes_conflict(spark, store_dir):
+    a, b = _two_clients(spark, store_dir, rows=[(1, "x"), (2, "y")])
+    a.new_tx()
+    b.new_tx()
+    a.delete_rows("t", "k", 1, 1)
+    b.delete_rows("t", "k", 2, 2)  # same object (one file holds both)
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError, match="rewrote/masked"):
+        b.commit_tx()
+
+
+def test_dv_vs_cow_on_same_file_conflict(spark, store_dir):
+    a, b = _two_clients(spark, store_dir, rows=[(1, "x"), (2, "y")])
+    a.new_tx()
+    b.new_tx()
+    a.delete_rows("t", "k", 1, 1)  # COW rewrite of the file
+    b.delete_rows("t", "k", 2, 2, use_dv=True)  # DV mask on the file
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_tx()
+
+
+def test_merge_conflicts_when_read_files_removed(spark, store_dir):
+    """MERGE reads the table (matched-key probe); a concurrent delete
+    that removed a file the merge read must conflict — admitting it
+    could resurrect deleted rows as updates."""
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v STRING", primary_keys=["k"])
+    a.write_row("t", [1, "x"])
+    a.write_row("t", [2, "y"])
+    a.commit_tx()
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    b.new_tx()
+    a.new_tx()
+    b.merge("t", spark.createDataFrame([(1, "x2")], "k BIGINT, v STRING"))
+    a.delete_rows("t", "k", 1, 1)
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError, match="read"):
+        b.commit_tx()
+
+
+def test_metadata_change_never_admits(spark, store_dir):
+    a, b = _two_clients(spark, store_dir, rows=[(1, "x")])
+    a.new_tx()
+    b.new_tx()
+    a.rename_column("t", "v", "label")
+    b.write_row("t", [2, "y"])
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError, match="metadata"):
+        b.commit_tx()
+
+
+def test_duplicate_streaming_batch_never_admits(spark, store_dir):
+    """Two workers of one streaming app racing the same batch id: the
+    txn marker exists to dedupe redelivery — append-append admission
+    must NOT double-apply the batch."""
+    a, b = _two_clients(spark, store_dir)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("t", [1, "a"])
+    b.write_row("t", [1, "a"])
+    a.commit_tx(txn=("app", 7))
+    with pytest.raises(ConcurrentCommitError, match="streaming batch"):
+        b.commit_tx(txn=("app", 7))
+    # and the marker stays consumed: a NEW tx for the same batch sees it
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    assert c.tx.snapshot.txns.get("app") == 7
+    c.abort_tx()
+
+
+def test_coarse_mode_still_available(spark, store_dir):
+    a, b = _two_clients(spark, store_dir)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("t", [1, "a"])
+    b.write_row("t", [2, "b"])
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_tx(retry_independent=0)  # reference-coarse semantics
+
+
+def test_admitted_append_survives_latest_wins_read(spark, store_dir):
+    """Latest-wins over a primary-keyed table stays deterministic when
+    concurrent appenders upsert DIFFERENT keys: the re-keyed stamps
+    order each key's versions by commit, not by collision."""
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v STRING", primary_keys=["k"])
+    a.write_row("t", [1, "old1"])
+    a.write_row("t", [2, "old2"])
+    a.commit_tx()
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("t", [1, "new1"])
+    b.write_row("t", [2, "new2"])
+    a.commit_tx()
+    b.commit_tx()
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    cur = {r["k"]: r["v"] for r in c.scan_current("t").collect()}
+    assert cur == {1: "new1", 2: "new2"}
+    c.commit_tx()
+
+
+def test_restamp_preserves_cow_survivor_stamps(spark, store_dir):
+    """A retargeted commit containing a COW rewrite restamps ONLY its
+    fresh rows; survivor rows carried over from older commits keep
+    their original stamps (multi-version ordering history intact)."""
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v STRING")
+    a.write_row("t", [1, "x"])  # stamp 1
+    a.write_row("t", [2, "y"])
+    a.commit_tx()
+    a.new_tx()
+    a.write_row("t", [3, "z"])  # separate object, stamp 2
+    a.commit_tx()
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("t", [4, "w"])  # blind append, wins at v3
+    # b: COW-delete k=3 (rewrites the v2 object: survivor none) and
+    # append a fresh row -> both in one commit that must retarget
+    b.delete_rows("t", "k", 2, 2)
+    b.write_row("t", [5, "q"])
+    a.commit_tx()
+    b.commit_tx()  # disjoint from a's append -> admitted at v4
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    stamps = {r["k"]: r[TX_COL] for r in c.scan("t").collect()}
+    assert stamps[1] == 1  # COW survivor kept its original stamp
+    assert stamps[3] == 2
+    assert stamps[4] == 3
+    assert stamps[5] == 4  # fresh row re-keyed to the committed version
+    c.commit_tx()

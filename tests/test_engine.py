@@ -550,35 +550,42 @@ def test_run_tx_retries_occ_conflicts(spark, store_dir):
     b = DeltaLakeClient(spark, store_dir)
     a.new_tx()
     a.create_table("t", "k BIGINT, v STRING")
+    a.write_row("t", [1, "x"])
     a.commit_tx()
 
     calls = {"n": 0}
 
     def work(c):
         calls["n"] += 1
-        if calls["n"] == 1:  # interloper commits to OUR table mid-tx
+        if calls["n"] == 1:  # interloper rewrites OUR target file mid-tx
             b.new_tx()
-            b.write_dataframe("t", spark.createDataFrame([(1, "b")], "k BIGINT, v STRING"))
+            b.delete_rows("t", "k", 1, 1)
             b.commit_tx()
         seen = c.scan("t", with_stamps=False).count()
+        # attempt 1: both deletes target k=1's object -> real conflict
+        # (append-append would be ADMITTED at file granularity, r9);
+        # attempt 2: fresh snapshot, nothing left to delete
+        c.delete_rows("t", "k", 1, 1)
         c.write_dataframe("t", spark.createDataFrame([(2, "a")], "k BIGINT, v STRING"))
         return seen
 
     seen_at_commit = a.run_tx(work)
     assert calls["n"] == 2  # first attempt conflicted, second committed
-    assert seen_at_commit == 1  # retry saw the interloper's row
+    assert seen_at_commit == 0  # retry saw the interloper's delete
     a.new_tx()
-    assert a.scan("t", with_stamps=False).count() == 2
+    assert a.scan("t", with_stamps=False).count() == 1
     a.commit_tx()
 
     # exhausted retries surface the conflict
     import pytest as _pytest
 
     def always_conflict(c):
+        # a RENAME is a metadata change: file-granularity admission
+        # (r9) never admits those, so every attempt genuinely conflicts
         b.new_tx()
         b.write_dataframe("t", spark.createDataFrame([(9, "x")], "k BIGINT, v STRING"))
         b.commit_tx()
-        c.write_dataframe("t", spark.createDataFrame([(8, "y")], "k BIGINT, v STRING"))
+        c.rename_column("t", "v", f"v_{c.tx.id}")
 
     with _pytest.raises(ConcurrentCommitError):
         a.run_tx(always_conflict, retries=1)
@@ -964,11 +971,25 @@ def test_concurrent_independent_writers_retry(spark, store_dir):
     assert check.scan("ta").count() == 1 and check.scan("tb").count() == 1
     check.commit_tx()
 
-    # same-table interference still loses, even with retries
+    # same-table APPEND-APPEND now admits at file granularity (r9,
+    # Delta WriteSerializable): both rows land, no client-level retry
     a.new_tx()
     b.new_tx()
     a.write_row("ta", [3, 3])
     b.write_row("ta", [4, 4])
+    a.commit_tx()
+    b.commit_tx(retry_independent=3)
+    check.new_tx()
+    assert sorted(r["k"] for r in check.scan("ta").collect()) == [1, 3, 4]
+    check.commit_tx()
+
+    # genuine same-table overlap (two COW deletes rewriting the same
+    # file — both ranges cover k=1's object) still loses, even with
+    # retries
+    a.new_tx()
+    b.new_tx()
+    a.delete_rows("ta", "k", 1, 3)
+    b.delete_rows("ta", "k", 1, 4)
     a.commit_tx()
     with pytest.raises(ConcurrentCommitError):
         b.commit_tx(retry_independent=3)
