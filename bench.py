@@ -155,6 +155,8 @@ HEADLINE = [
     # r9: Structured-Streaming SOURCE over engine tables (log versions
     # as stream offsets; snapshot-then-tail, exactly-once end to end)
     "engine_stream_source",
+    # r9: NOT NULL constraints (in-plan rejection + merge under them)
+    "engine_not_null_reject",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

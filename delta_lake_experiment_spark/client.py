@@ -415,8 +415,18 @@ class DeltaLakeClient:
         cluster_by: Optional[list[str]] = None,
         bucket_by: Optional[tuple] = None,
         checks: Optional[dict[str, str]] = None,
+        not_null: Optional[list[str]] = None,
     ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
+
+        ``not_null`` lists columns that may never hold NULL: recorded
+        in the same ChangeMetadata as CHECK constraints (a NOT NULL
+        column IS the constraint ``col IS NOT NULL``, named
+        ``<col>_not_null``) and enforced by the identical in-plan
+        raise on EVERY write path — buffered rows, bulk ingest, MERGE,
+        post-evolution rewrites. Delta records nullability in the
+        schema and checks it on write; lowering onto the constraint
+        lane gives the same contract with one enforcement funnel.
 
         Typed schemas are a deliberate upgrade over the reference's
         name-only columns (writes.go:9) — see SURVEY.md §7.1.
@@ -492,7 +502,12 @@ class DeltaLakeClient:
                     "bucket_by and cluster_by are mutually exclusive - both"
                     " dictate the write partitioning"
                 )
-        checks_map = self._validate_checks(parsed, checks or {})
+        all_checks = dict(checks or {})
+        for col in not_null or []:
+            if col not in {f.name for f in parsed.fields}:
+                raise TypeMismatchError(f"NOT NULL column not in schema: {col!r}")
+            all_checks[f"{col}_not_null"] = f"{col} IS NOT NULL"
+        checks_map = self._validate_checks(parsed, all_checks)
         tx.new_tables[table] = ddl
         tx.actions.append(
             ChangeMetadata(
@@ -988,6 +1003,42 @@ class DeltaLakeClient:
                 checks=new_checks,
             )
         )
+
+    def set_not_null(self, table: str, column: str) -> None:
+        """Declare ``column`` NOT NULL (Delta's ALTER COLUMN ... SET
+        NOT NULL): lowers onto the CHECK lane (constraint
+        ``<column>_not_null``), so declaration validates EXISTING rows
+        in one scan and every write path enforces it in-plan with the
+        same raise. BLOCKED on columns carrying a stamp-gated DEFAULT:
+        their stored pre-birth rows are physically NULL even though
+        reads substitute the default — a "NOT NULL" table whose raw
+        files hold NULLs would be ambiguous to external readers and to
+        any future default change; ``materialize_table`` first bakes
+        the default in, then the declaration is unambiguous."""
+        tx = self._require_tx()
+        schema = self.table_schema(table)
+        if column not in {f.name for f in schema.fields}:
+            raise TypeMismatchError(f"no such column {column!r} in {table!r}")
+        snap = self._effective_snapshot(tx)
+        if column in snap.defaults.get(table, {}):
+            raise TypeMismatchError(
+                f"cannot declare {column!r} NOT NULL: its stamp-gated"
+                " DEFAULT substitutes NULLs at read time, so stored rows"
+                " may be physically NULL - materialize_table() first to"
+                " bake the default into the rows"
+            )
+        checks = dict(snap.checks.get(table, {}))
+        checks[f"{column}_not_null"] = f"{column} IS NOT NULL"
+        self.alter_table(table, checks=checks)
+
+    def drop_not_null(self, table: str, column: str) -> None:
+        """Remove a NOT NULL declaration (the named check)."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        checks = dict(snap.checks.get(table, {}))
+        if checks.pop(f"{column}_not_null", None) is None:
+            raise TypeMismatchError(f"{column!r} is not declared NOT NULL")
+        self.alter_table(table, checks=checks)
 
     def _validate_checks(
         self, schema: T.StructType, checks: dict[str, str]
@@ -1773,7 +1824,74 @@ class DeltaLakeClient:
         )
         return self.spark.createDataFrame([row], schema)
 
-    def write_manifest(self, table: str) -> list[str]:
+    def materialize_table(self, table: str) -> int:
+        """Rewrite the table into EXTERNALLY READABLE form in this tx:
+        deletion vectors applied, renamed columns re-written under
+        their logical names, stamp-gated DEFAULTs baked into rows —
+        and, in the same atomic commit, the column mapping reset to
+        identity, the retired-name list cleared (no live file carries
+        a retired physical name afterwards), and the defaults cleared
+        (their values are now IN the rows, same answer). This is the
+        remedy ``write_manifest``'s guards name, as one call; plain
+        engine reads before/after are value-identical.
+
+        Cost is one full COW rewrite — O(table), the honest price of
+        making raw files self-describing. Layout declarations are
+        preserved: bucketed tables re-hash into their bucket layout,
+        clustered tables re-sort into tight [min,max] slices, so
+        stats/bucket pruning survive materialization. Returns the
+        number of objects rewritten."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        if table not in snap.tables:
+            raise TableNotFoundError(table)
+        schema = self.table_schema(table)
+        stored = self._stored_schema(schema)
+        objs = snap.live_objects(table)
+        files = [self.store.path_of(o.name) for o in objs]
+        # logical read: the plan bakes in the CURRENT map/defaults/DV
+        # masks here, so appending the metadata reset below cannot
+        # change what is read (projections are fixed at plan build)
+        df = (
+            self._read_live(table, snap, stored, files)
+            if files
+            else self.spark.createDataFrame([], stored)
+        )
+        # metadata reset FIRST: the staged write (and its stats/blooms)
+        # must land under logical names, which _register_staging reads
+        # from the tx-effective snapshot
+        tx.actions.append(
+            self._authoritative_metadata(
+                snap,
+                table,
+                snap.tables[table],
+                column_map={},
+                retired_phys=[],
+                col_defaults={},
+            )
+        )
+        cluster_cols = snap.cluster_cols.get(table, [])
+        if snap.bucket_specs.get(table) is not None:
+            df = self._bucketize(tx, table, df)
+        elif cluster_cols:
+            cols = [F.col(c) for c in cluster_cols]
+            df = df.repartitionByRange(max(1, len(files)), *cols).sortWithinPartitions(
+                *cols
+            )
+        else:
+            df = df.coalesce(max(1, len(files)))
+        staging = self._staging_dir()
+        # no _to_physical: physical == logical from this commit on
+        self._write_parquet_staging(df, staging)
+        try:
+            self._register_staging(table, tx, staging)
+        finally:
+            _rmtree(staging)
+        for o in objs:
+            tx.actions.append(RemoveDataObject(name=o.name, table=table, tx_id=tx.id))
+        return len(objs)
+
+    def write_manifest(self, table: str, materialize: bool = False) -> list[str]:
         """Symlink-style manifest export (Delta's
         GENERATE symlink_format_manifest): publish the table's LIVE
         data-file paths as a versioned manifest object
@@ -1789,12 +1907,31 @@ class DeltaLakeClient:
         non-identity column mappings (physical names would leak),
         stamp-gated defaults (pre-birth rows would read NULL), and
         uncommitted buffered rows (not in any file yet). Tables using
-        those features must compact/materialize first or be read
-        through the engine."""
+        those features must materialize first or be read through the
+        engine — ``materialize=True`` runs that remedy here: it calls
+        :meth:`materialize_table`, COMMITS it (publication needs a
+        committed version to pin), opens a fresh transaction, and
+        exports — one call on any table state. Because it commits, it
+        requires an otherwise-clean transaction."""
         tx = self._require_tx()
         snap = self._effective_snapshot(tx)
         if table not in snap.tables:
             raise TableNotFoundError(table)
+        if materialize and (
+            snap.table_dvs(table)
+            or self._rename_map(snap, table)
+            or snap.defaults.get(table)
+        ):
+            if tx.actions or any(v for v in tx.buffers.values()):
+                raise TypeMismatchError(
+                    "write_manifest(materialize=True) commits a rewrite -"
+                    " call it on a transaction with no other pending work"
+                )
+            self.materialize_table(table)
+            self.commit_tx()
+            self.new_tx()
+            tx = self.tx
+            snap = self._effective_snapshot(tx)
         if snap.table_dvs(table):
             raise TypeMismatchError(
                 f"cannot export a manifest for {table!r}: deletion-vector"
@@ -1830,7 +1967,12 @@ class DeltaLakeClient:
             self.store.path_of(o.name) for o in base.live_objects(table)
         )
         name = f"manifest_{table}_{base.version:020d}"
-        self.store.put_if_absent(name, "\n".join(paths).encode())
+        try:
+            self.store.put_if_absent(name, "\n".join(paths).encode())
+        except ObjectExistsError:
+            # a manifest is a pure function of (table, version): re-export
+            # of the same committed version is an idempotent success
+            pass
         return paths
 
     def scan_latest(self, table: str, keys: list[str]) -> DataFrame:
@@ -2165,6 +2307,7 @@ class DeltaLakeClient:
             GenerateManifest,
             AlterColumnType,
             AlterDropColumn,
+            AlterNotNull,
             AlterRenameColumn,
             CreateTable,
             Delete,
@@ -2263,6 +2406,11 @@ class DeltaLakeClient:
             self.widen_column(stmt.table, stmt.column, stmt.new_type)
         elif isinstance(stmt, AlterAddColumns):
             self.add_columns(stmt.table, stmt.columns_ddl)
+        elif isinstance(stmt, AlterNotNull):
+            if stmt.set:
+                self.set_not_null(stmt.table, stmt.column)
+            else:
+                self.drop_not_null(stmt.table, stmt.column)
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:

@@ -35,6 +35,8 @@ for the DML shapes the engine actually supports, by parsing:
 - ``ALTER TABLE t RENAME COLUMN a TO b``      -> ``rename_column``
 - ``ALTER TABLE t DROP COLUMN a``             -> ``drop_column``
 - ``ALTER TABLE t ALTER COLUMN a TYPE ty``    -> ``widen_column``
+- ``ALTER TABLE t ALTER COLUMN a SET NOT NULL`` -> ``set_not_null``
+  (``DROP NOT NULL`` -> ``drop_not_null``)
 - ``ALTER TABLE t ADD COLUMNS (a ty, ...)``   -> ``add_columns``
   (all four are the O(1)-metadata schema evolution lane: column
   mapping for rename/drop, type widening, NULL-backfilled adds)
@@ -141,6 +143,11 @@ _ALTER_DROP_RE = re.compile(
 _ALTER_TYPE_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
     rf"\s+TYPE\s+([A-Za-z][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_NOT_NULL_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ALTER\s+COLUMN\s+({_IDENT})"
+    rf"\s+(SET|DROP)\s+NOT\s+NULL\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_ADD_RE = re.compile(
@@ -263,6 +270,13 @@ class AlterColumnType:
 class AlterAddColumns:
     table: str
     columns_ddl: str
+
+
+@dataclass
+class AlterNotNull:
+    table: str
+    column: str
+    set: bool  # True = SET NOT NULL, False = DROP NOT NULL
 
 
 def _literal(tok: str) -> Any:
@@ -420,6 +434,13 @@ def parse_dml(sql: str):
         m = _ALTER_DROP_RE.match(sql)
         if m:
             return AlterDropColumn(table=m.group(1), column=m.group(2))
+        m = _ALTER_NOT_NULL_RE.match(sql)
+        if m:
+            return AlterNotNull(
+                table=m.group(1),
+                column=m.group(2),
+                set=m.group(3).upper() == "SET",
+            )
         m = _ALTER_TYPE_RE.match(sql)
         if m:
             return AlterColumnType(
@@ -430,7 +451,8 @@ def parse_dml(sql: str):
             return AlterAddColumns(table=m.group(1), columns_ddl=m.group(2).strip())
         raise UnsupportedSqlError(
             "ALTER supports exactly: ALTER TABLE t RENAME COLUMN a TO b | "
-            "DROP COLUMN a | ALTER COLUMN a TYPE ty | ADD COLUMNS (a ty, ...)"
+            "DROP COLUMN a | ALTER COLUMN a TYPE ty | ALTER COLUMN a "
+            "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...)"
         )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 132 value-oracled queries, eighty-two must sit outside the window. The
+# With 133 value-oracled queries, eighty-three must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -483,6 +483,13 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   tests/test_engine_source.py pytests, and a dropped file, re-read
 #   snapshot, or broken cursor value-diverges this query's destination
 #   aggregate from the batch SQL immediately.
+# - engine_not_null_reject -> the CHECK-lane in-plan raise is the
+#   certified ingest-quality machinery (engine_roundtrip_scan's write
+#   path + the checks pytests), the merge by engine_sql_merge; the
+#   NOVELTY (NOT NULL as a first-class declaration: existing-row
+#   validation, default-column block, SQL DDL) is pinned by the 8
+#   tests/test_not_null.py pytests, and an admitted NULL row or a
+#   leaked rejected file value-diverges the per-status aggregate.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -569,6 +576,7 @@ _DEFERRED_ORACLED = [
     "engine_delete_dv",
     "near_dup_jaccard",
     "engine_stream_source",
+    "engine_not_null_reject",
 ]
 
 

@@ -913,9 +913,81 @@ FROM events GROUP BY event_type
 """
 
 
+def engine_not_null_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT NULL column constraints (client.set_not_null, VERDICT r8
+    item 5): an ingest carrying NULLs in a declared NOT NULL column
+    must be REJECTED in-plan (the CHECK-lane raise), and the rejected
+    transaction must leave no trace — the query then ingests the valid
+    subset, upserts through MERGE under the same constraint, and
+    returns per-status aggregates. The oracle recomputes them from the
+    raw table; a constraint that silently admitted NULL rows, or a
+    rejected write that leaked files, value-diverges immediately. The
+    rejection itself is asserted IN the query (no raise -> the query
+    fails loudly)."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table(
+        "orders_nn",
+        "o_orderkey BIGINT, status STRING, price DOUBLE",
+        primary_keys=["o_orderkey"],
+        not_null=["status"],
+    )
+    c.commit_tx()
+    c.new_tx()
+    poisoned = orders.withColumn(
+        "status", F.nullif(F.col("status"), F.lit("F"))
+    )
+    try:
+        c.write_dataframe("orders_nn", poisoned)
+        raise RuntimeError(
+            "NOT NULL constraint admitted NULL rows - enforcement broken"
+        )
+    except RuntimeError:
+        raise
+    except Exception:
+        c.abort_tx()  # rejected: the constraint fired in-plan
+    c.new_tx()
+    c.write_dataframe("orders_nn", orders.filter(F.col("status") != "F"))
+    c.commit_tx()
+    c.new_tx()
+    # MERGE under the constraint: reprice %9 keys (non-NULL statuses)
+    c.merge(
+        "orders_nn",
+        orders.filter(
+            (F.col("status") != "F") & (F.col("o_orderkey") % 9 == 0)
+        ).withColumn("price", F.col("price") * 2.0),
+    )
+    c.commit_tx()
+    c.new_tx()
+    return (
+        c.scan_current("orders_nn")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+    )
+
+
+ENGINE_NOT_NULL_SQL = """
+SELECT o_orderstatus AS status, COUNT(*) AS n,
+       round(SUM(CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice * 2.0
+                      ELSE o_totalprice END), 2) AS total_price
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_stream_source": engine_stream_source,
+    "engine_not_null_reject": engine_not_null_reject,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
     "engine_schema_evolution": engine_schema_evolution,
@@ -937,6 +1009,7 @@ QUERIES = {
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_stream_source": ENGINE_STREAM_SOURCE_SQL,
+    "engine_not_null_reject": ENGINE_NOT_NULL_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
     "engine_schema_evolution": ENGINE_SCHEMA_EVOLUTION_SQL,

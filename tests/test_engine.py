@@ -2308,3 +2308,59 @@ def test_manifest_export_reads_in_duckdb(spark, store_dir):
     with pytest.raises(TypeMismatchError, match="uncommitted"):
         c.write_manifest("t")
     c.abort_tx()
+
+
+def test_manifest_materialize_one_call(spark, store_dir):
+    """write_manifest(materialize=True) runs the guards' named remedy
+    in the same call: a DV-masked, renamed-column, stamp-gated-default
+    table exports after ONE materializing rewrite commit, and DuckDB
+    over the manifest equals the engine scan — including the default
+    substituted into pre-birth rows and the logical column name in
+    the raw files."""
+    import duckdb
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    for i in range(20):
+        c.write_row("t", [i, f"v{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.rename_column("t", "v", "label")  # physical name 'v' stays in files
+    c.commit_tx()
+    c.new_tx()
+    c.add_columns("t", "score DOUBLE DEFAULT 1.5")  # stamp-gated default
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 3, 6, use_dv=True)  # DV mask
+    c.commit_tx()
+
+    c.new_tx()
+    paths = c.write_manifest("t", materialize=True)
+    assert paths
+    eng = sorted(
+        tuple(r)
+        for r in c.scan("t", with_stamps=False).collect()
+    )
+    con = duckdb.connect()
+    ext = sorted(
+        tuple(r)
+        for r in con.execute(
+            "SELECT k, label, score FROM read_parquet(?)", [paths]
+        ).fetchall()
+    )
+    assert ext == eng
+    assert len(eng) == 16  # masked rows are GONE from the raw files
+    assert all(r[2] == 1.5 for r in ext)  # default baked into rows
+    # metadata reset: identity mapping, no defaults, no masks
+    snap = c.tx.snapshot
+    assert not snap.table_dvs("t")
+    assert not snap.col_maps.get("t") or all(
+        l == p for l, p in snap.col_maps["t"].items()
+    )
+    assert not snap.defaults.get("t")
+    c.abort_tx()
+    # idempotent re-export on a clean table needs no further rewrite
+    c.new_tx()
+    assert c.write_manifest("t", materialize=True)
+    c.abort_tx()
