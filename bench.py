@@ -157,6 +157,8 @@ HEADLINE = [
     "engine_stream_source",
     # r9: NOT NULL constraints (in-plan rejection + merge under them)
     "engine_not_null_reject",
+    # r9: IVF index drift diagnostic (era split from row stamps)
+    "ann_index_staleness_report",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -245,3 +245,151 @@ def ann_index_topk(
         ids, id_col, "left_semi"
     )
     return cosine_topk(cand, id_col, vec_col, [float(x) for x in query], k=k)
+
+
+def ann_index_staleness(
+    client: DeltaLakeClient,
+    vectors_table: str,
+    centroids_table: str,
+    assign_table: str,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    round_digits: int = 9,
+    sim_drop: float = 0.05,
+    skew_factor: int = 2,
+) -> DataFrame:
+    """Index drift diagnostic (VERDICT r8 item 6): the persisted IVF
+    model silently degrades as ingest grows a corpus the centroids
+    never saw. This report compares the INGESTED era against the
+    TRAINED era — the eras come free from the engine's row stamps
+    (rows committed by the build transaction vs after it) — on exact,
+    engine-reproducible aggregates, and recommends a
+    :func:`build_ann_index` retrain. One row per era:
+
+    - ``n_vectors``, and ``sim_units_sum`` — each vector's rounded dot
+      with its ASSIGNED centroid (the assignment score itself), scaled
+      by 1e9 to an EXACT integer (rounded grid values are m/1e9, so
+      the scaled round recovers m exactly): sums are integer-exact
+      across engines, no float-mean hashing hazard;
+    - ``mean_sim`` (display form of the sum), ``min_sim``;
+    - ``max_list_n`` — the era's largest inverted list (occupancy
+      skew);
+    - ``retrain_recommended``, identical on both rows, computed from
+      exact integer/decimal arithmetic: ingested volume >= trained
+      volume, OR mean assignment similarity dropped by more than
+      ``sim_drop`` (cross-multiplied in DECIMAL so no float compare
+      can flip an engine), OR an ingested list holds more than
+      ``skew_factor`` times its fair share.
+
+    Cost: one pass over assign ⋈ vectors (K rounded dots per row — the
+    same work one assignment pass costs) plus O(K) aggregates; never
+    O(n²), never a retrain."""
+    from delta_lake_experiment_spark.client import TX_COL
+    from delta_lake_experiment_spark.operators.semdedup import (
+        _dot_lit,
+        _norm_checked,
+    )
+
+    cents = load_centroids(client, centroids_table)
+    if not cents:
+        raise ValueError(
+            f"centroids table {centroids_table!r} is empty - run"
+            " build_ann_index first"
+        )
+    k = len(cents)
+    build_version = client.scan(centroids_table).agg(
+        F.max(TX_COL).alias("v")
+    ).first()["v"]
+    assigned = client.scan(assign_table).select(
+        F.col(id_col),
+        F.col("cluster"),
+        F.when(F.col(TX_COL) <= F.lit(int(build_version)), "trained")
+        .otherwise("ingested")
+        .alias("era"),
+    )
+    vecs = client.scan(vectors_table, with_stamps=False).select(
+        F.col(id_col), _norm_checked(vec_col).alias("__v")
+    )
+    sims = F.array(
+        *[
+            F.round(_dot_lit(F.col("__v"), c), round_digits)
+            for c in cents
+        ]
+    )
+    rows = assigned.join(vecs, id_col).select(
+        "era",
+        "cluster",
+        F.element_at(sims, F.col("cluster") + 1).alias("sim"),
+    )
+    per_era = rows.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.round(F.col("sim") * 1e9, 0).cast("long")).alias(
+            "sim_units_sum"
+        ),
+        F.min("sim").alias("min_sim"),
+    )
+    lists = (
+        rows.groupBy("era", "cluster")
+        .count()
+        .groupBy("era")
+        .agg(F.max("count").alias("max_list_n"))
+    )
+    report = per_era.join(lists, "era").withColumn(
+        "mean_sim",
+        F.round(
+            F.col("sim_units_sum").cast("double") / 1e9 / F.col("n_vectors"), 6
+        ),
+    )
+    # cross-era recommendation from exact arithmetic (one tiny 2-row
+    # pivot, broadcast back onto both rows)
+    drop_units = int(round(sim_drop * 1e9))
+    pivot = report.groupBy().agg(
+        F.coalesce(
+            F.sum(F.when(F.col("era") == "trained", F.col("n_vectors"))),
+            F.lit(0),
+        ).alias("n_tr"),
+        F.coalesce(
+            F.sum(F.when(F.col("era") == "trained", F.col("sim_units_sum"))),
+            F.lit(0),
+        ).alias("u_tr"),
+        F.coalesce(
+            F.sum(F.when(F.col("era") == "ingested", F.col("n_vectors"))),
+            F.lit(0),
+        ).alias("n_in"),
+        F.coalesce(
+            F.sum(F.when(F.col("era") == "ingested", F.col("sim_units_sum"))),
+            F.lit(0),
+        ).alias("u_in"),
+        F.coalesce(
+            F.max(F.when(F.col("era") == "ingested", F.col("max_list_n"))),
+            F.lit(0),
+        ).alias("maxl_in"),
+    )
+    # precisions chosen so every product stays under 38 digits on BOTH
+    # engines (DuckDB errors past 38; Spark nulls): u <= n*1e9 needs 18
+    # digits up to n ~ 1e9 vectors; n 10; drop_units 9
+    du, dn, dd = "decimal(18,0)", "decimal(10,0)", "decimal(9,0)"
+    rec = (
+        (F.col("n_in") >= F.col("n_tr"))
+        | (
+            (F.col("n_in") > 0)
+            & (
+                F.col("u_tr").cast(du) * F.col("n_in").cast(dn)
+                - F.col("u_in").cast(du) * F.col("n_tr").cast(dn)
+                > F.lit(drop_units).cast(dd)
+                * F.col("n_tr").cast(dn)
+                * F.col("n_in").cast(dn)
+            )
+        )
+        | (F.col("maxl_in") * k > skew_factor * F.col("n_in"))
+    ).alias("retrain_recommended")
+    flags = pivot.select(rec).limit(1)
+    return report.crossJoin(F.broadcast(flags)).select(
+        "era",
+        "n_vectors",
+        "sim_units_sum",
+        "mean_sim",
+        "min_sim",
+        "max_list_n",
+        "retrain_recommended",
+    )

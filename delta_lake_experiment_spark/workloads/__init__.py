@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 133 value-oracled queries, eighty-three must sit outside the window. The
+# With 134 value-oracled queries, eighty-four must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -490,6 +490,13 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   validation, default-column block, SQL DDL) is pinned by the 8
 #   tests/test_not_null.py pytests, and an admitted NULL row or a
 #   leaked rejected file value-diverges the per-status aggregate.
+# - ann_index_staleness_report -> the build/ingest lifecycle machinery
+#   is engine_ann_index_search's (in-window) and the Lloyd-chain oracle
+#   discipline is semantic_dedup_corpus's; the NOVELTY (era split from
+#   row stamps, exact integer-scaled similarity sums, DECIMAL
+#   cross-multiplied retrain recommendation) is pinned by the planted-
+#   drift pytest, and a drifted model or wrong era split value-diverges
+#   every aggregate column.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -577,6 +584,7 @@ _DEFERRED_ORACLED = [
     "near_dup_jaccard",
     "engine_stream_source",
     "engine_not_null_reject",
+    "ann_index_staleness_report",
 ]
 
 

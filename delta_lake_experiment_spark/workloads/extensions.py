@@ -3752,6 +3752,145 @@ ORDER BY score DESC, e.vec_id ASC LIMIT {_ANN_K}
 
 # -- PPMI word embeddings (operators/embeddings.py) ---------------------
 
+_STALE_DROP = 0.05
+_STALE_SKEW = 2
+
+
+def ann_index_staleness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift diagnostic for the persisted IVF index
+    (operators/ann_index.py::ann_index_staleness — VERDICT r8 item 6):
+    the model trains on the EVEN half of the embeddings, the ODD half
+    ingests incrementally under the stored centroids, and the report
+    compares the eras — volume, exact integer-scaled assignment
+    similarity, list-occupancy skew — and recommends a retrain. The
+    eras come from the engine's row stamps (build-tx rows vs later);
+    the oracle re-derives the model via the certified Lloyd chain,
+    re-assigns every vector, takes eras from the parity the query
+    ingested by, and recomputes the recommendation with the same
+    exact DECIMAL arithmetic — a drifted stored model, a wrong era
+    split, or a float-flipped recommendation all value-diverge."""
+    import tempfile
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.ann_index import (
+        CENTROIDS_DDL,
+        ann_index_staleness,
+        assign_ddl,
+        build_ann_index,
+        incremental_ann_ingest,
+        vectors_ddl,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") != _ANN_QID).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_annstale_"))
+    c.new_tx()
+    c.create_table("vecs", vectors_ddl("vec_id", "embedding"))
+    c.create_table("cents", CENTROIDS_DDL)
+    c.create_table("lists", assign_ddl("vec_id"))
+    c.write_dataframe("vecs", base.filter(F.col("vec_id") % 2 == 0))
+    c.commit_tx()
+    build_ann_index(
+        c, "vecs", "cents", "lists", id_col="vec_id", vec_col="embedding",
+        k=_ANN_IVF_CENTROIDS, iters=_ANN_IVF_ITERS, salt=_ANNIDX_SALT,
+    )
+    incremental_ann_ingest(
+        c, "vecs", "cents", "lists", base.filter(F.col("vec_id") % 2 == 1),
+        id_col="vec_id", vec_col="embedding",
+    )
+    c.new_tx()
+    return ann_index_staleness(
+        c, "vecs", "cents", "lists", id_col="vec_id", vec_col="embedding",
+        sim_drop=_STALE_DROP, skew_factor=_STALE_SKEW,
+    )
+
+
+def _ann_staleness_sql() -> str:
+    from delta_lake_experiment_spark.operators.semdedup import (
+        semantic_pair_ctes,
+    )
+
+    norm = (
+        "CASE WHEN sqrt(list_dot_product(dv, dv)) > 0 THEN "
+        "list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) "
+        "ELSE dv END"
+    )
+    chain = semantic_pair_ctes(
+        f"(SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id <> {_ANN_QID} AND vec_id % 2 = 0)",
+        "vec_id",
+        "embedding",
+        k=_ANN_IVF_CENTROIDS,
+        iters=_ANN_IVF_ITERS,
+        salt=_ANNIDX_SALT,
+        round_digits=_ANN_ROUND,
+        threshold=1.1,  # sem_pairs unreferenced (pruned by the planner)
+    )
+    drop_units = int(round(_STALE_DROP * 1e9))
+    return f"""
+WITH {chain},
+allv AS MATERIALIZED (
+  SELECT vec_id AS i, {norm} AS v
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings
+        WHERE vec_id <> {_ANN_QID})
+),
+asg AS MATERIALIZED (
+  SELECT i, j, s FROM (
+    SELECT a.i, c.j,
+      round(list_dot_product(a.v, c.v), {_ANN_ROUND}) AS s,
+      ROW_NUMBER() OVER (
+        PARTITION BY a.i
+        ORDER BY round(list_dot_product(a.v, c.v), {_ANN_ROUND}) DESC,
+                 c.j ASC
+      ) AS rn
+    FROM allv a, sc{_ANN_IVF_ITERS} c
+  ) WHERE rn = 1
+),
+ers AS MATERIALIZED (
+  SELECT CASE WHEN i % 2 = 0 THEN 'trained' ELSE 'ingested' END AS era,
+         j, s, CAST(round(s * 1e9, 0) AS BIGINT) AS u
+  FROM asg
+),
+per AS MATERIALIZED (
+  SELECT era, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(SUM(u) AS BIGINT) AS sim_units_sum,
+         MIN(s) AS min_sim
+  FROM ers GROUP BY era
+),
+lists AS MATERIALIZED (
+  SELECT era, CAST(MAX(cnt) AS BIGINT) AS max_list_n FROM (
+    SELECT era, j, COUNT(*) AS cnt FROM ers GROUP BY era, j
+  ) GROUP BY era
+),
+piv AS (
+  SELECT
+    COALESCE(SUM(CASE WHEN p.era = 'trained' THEN p.n_vectors END), 0) AS n_tr,
+    COALESCE(SUM(CASE WHEN p.era = 'trained' THEN p.sim_units_sum END), 0) AS u_tr,
+    COALESCE(SUM(CASE WHEN p.era = 'ingested' THEN p.n_vectors END), 0) AS n_in,
+    COALESCE(SUM(CASE WHEN p.era = 'ingested' THEN p.sim_units_sum END), 0) AS u_in,
+    COALESCE(MAX(CASE WHEN p.era = 'ingested' THEN l.max_list_n END), 0) AS maxl_in
+  FROM per p JOIN lists l ON p.era = l.era
+),
+flag AS (
+  SELECT (n_in >= n_tr)
+    OR (n_in > 0 AND
+        CAST(u_tr AS DECIMAL(18,0)) * CAST(n_in AS DECIMAL(10,0))
+        - CAST(u_in AS DECIMAL(18,0)) * CAST(n_tr AS DECIMAL(10,0))
+        > CAST({drop_units} AS DECIMAL(9,0))
+          * CAST(n_tr AS DECIMAL(10,0)) * CAST(n_in AS DECIMAL(10,0)))
+    OR (maxl_in * {_ANN_IVF_CENTROIDS} > {_STALE_SKEW} * n_in)
+    AS retrain_recommended
+  FROM piv
+)
+SELECT p.era, p.n_vectors, p.sim_units_sum,
+  round(CAST(p.sim_units_sum AS DOUBLE) / 1e9 / p.n_vectors, 6) AS mean_sim,
+  p.min_sim, l.max_list_n, f.retrain_recommended
+FROM per p JOIN lists l ON p.era = l.era, flag f
+"""
+
+
 _EMB_WINDOW = 2
 _EMB_R = 2
 _EMB_ITERS = 6
@@ -4813,6 +4952,7 @@ QUERIES = {
     "similarity_pca_topk": similarity_pca_topk,
     "ann_recall_report": ann_recall_report,
     "engine_ann_index_search": engine_ann_index_search,
+    "ann_index_staleness_report": ann_index_staleness_report,
     "corpus_heavy_hitters": corpus_heavy_hitters,
     "lang_id_weights": lang_id_weights,
     "predicted_lang_ccnet_buckets": predicted_lang_ccnet_buckets,
@@ -4902,6 +5042,7 @@ ORACLES = {
     "similarity_pca_topk": _similarity_pca_topk_sql(),
     "ann_recall_report": _ann_recall_sql(),
     "engine_ann_index_search": _engine_ann_index_sql(),
+    "ann_index_staleness_report": _ann_staleness_sql(),
     "corpus_heavy_hitters": _heavy_hitters_sql(),
     "lang_id_weights": _langid_weights_sql(),
     "predicted_lang_ccnet_buckets": _predicted_lang_ccnet_sql(),

@@ -150,3 +150,58 @@ def test_retrain_overwrites_model_atomically(spark, store_dir):
         [1.0] * _DIM, cents, 2
     )
     c.abort_tx()
+
+
+def test_staleness_report_trips_on_planted_drift(spark, store_dir):
+    """ann_index_staleness (VERDICT r8 item 6): freshly built index ->
+    no retrain recommended; a planted drift batch (orthogonal
+    direction, volume >= trained) -> recommended; retraining over
+    everything clears it."""
+    from delta_lake_experiment_spark.operators.ann_index import (
+        ann_index_staleness,
+    )
+
+    # trained corpus: concentrated near e0 (so centroids point there)
+    rnd = random.Random(11)
+    base = [
+        (i, [1.0] + [rnd.uniform(-0.05, 0.05) for _ in range(_DIM - 1)])
+        for i in range(40)
+    ]
+    c = _setup(spark, store_dir, base)
+    build_ann_index(c, "v", "cent", "asg", id_col="id", vec_col="vec", k=4)
+
+    c.new_tx()
+    fresh = ann_index_staleness(c, "v", "cent", "asg", id_col="id", vec_col="vec")
+    rows = {r["era"]: r for r in fresh.collect()}
+    c.abort_tx()
+    assert set(rows) == {"trained"}
+    assert not rows["trained"]["retrain_recommended"]
+
+    # planted drift: as many vectors again, pointing along e1 — low
+    # similarity to every stored centroid AND volume >= trained
+    drift = [
+        (i, [0.0, 1.0] + [rnd.uniform(-0.05, 0.05) for _ in range(_DIM - 2)])
+        for i in range(100, 140)
+    ]
+    incremental_ann_ingest(
+        c, "v", "cent", "asg",
+        spark.createDataFrame(drift, "id long, vec array<double>"),
+        id_col="id", vec_col="vec",
+    )
+    c.new_tx()
+    stale = ann_index_staleness(c, "v", "cent", "asg", id_col="id", vec_col="vec")
+    rows = {r["era"]: r for r in stale.collect()}
+    c.abort_tx()
+    assert set(rows) == {"trained", "ingested"}
+    assert rows["ingested"]["retrain_recommended"]
+    assert rows["trained"]["retrain_recommended"]  # same flag, both rows
+    assert rows["ingested"]["mean_sim"] < rows["trained"]["mean_sim"]
+
+    # retrain over everything: the new model owns ALL rows again
+    build_ann_index(c, "v", "cent", "asg", id_col="id", vec_col="vec", k=4)
+    c.new_tx()
+    after = ann_index_staleness(c, "v", "cent", "asg", id_col="id", vec_col="vec")
+    rows = {r["era"]: r for r in after.collect()}
+    c.abort_tx()
+    assert set(rows) == {"trained"}
+    assert not rows["trained"]["retrain_recommended"]
