@@ -2317,6 +2317,7 @@ class DeltaLakeClient:
             Insert,
             Merge,
             Optimize,
+            OptimizeSketch,
             Restore,
             Update,
             Vacuum,
@@ -2324,6 +2325,10 @@ class DeltaLakeClient:
         )
 
         stmt = parse_dml(statement)
+        if isinstance(stmt, OptimizeSketch):
+            # sketch-table maintenance; like VACUUM it manages its own
+            # transactions (the fold is one run_tx commit)
+            return self.compact_sketch(stmt.table)
         if isinstance(stmt, Vacuum):
             # store-wide maintenance; runs OUTSIDE a transaction (the
             # table name is accepted for SQL familiarity)
@@ -3126,6 +3131,45 @@ class DeltaLakeClient:
                                 tx_id=tx.id,
                             )
                         )
+
+    def compact_sketch(self, table: str) -> DataFrame:
+        """``OPTIMIZE SKETCH t``: fold-compaction for sketch tables —
+        HLL register tables (``bucket, reg``: groupBy-max) and CMS
+        counter tables (``r, c, cnt``: groupBy-sum), detected by
+        schema. Estimates are unchanged by construction (the fold IS
+        the read-time merge); the table drops back to O(2^p) / O(d·w)
+        rows no matter how many streamed batches accumulated. Runs its
+        own transaction (VACUUM-style maintenance — call without an
+        open tx); returns a 1-row report (table, kind, rows_removed)."""
+        from delta_lake_experiment_spark.streaming.sketch import (
+            compact_cms_table,
+            compact_sketch_table,
+        )
+
+        if self.tx is not None:
+            raise ExistingTxError(
+                "OPTIMIZE SKETCH manages its own transaction - commit or"
+                " abort the open one first (VACUUM-style maintenance)"
+            )
+        self.new_tx()
+        try:
+            cols = {f.name for f in self.table_schema(table).fields}
+        finally:
+            self.abort_tx()
+        if cols == {"bucket", "reg"}:
+            kind, removed = "hll", compact_sketch_table(self, table)
+        elif cols == {"r", "c", "cnt"}:
+            kind, removed = "cms", compact_cms_table(self, table)
+        else:
+            raise TypeMismatchError(
+                f"{table!r} is not a sketch table (expected columns"
+                " (bucket, reg) for HLL or (r, c, cnt) for CMS;"
+                f" found {sorted(cols)})"
+            )
+        return self.spark.createDataFrame(
+            [(table, kind, int(removed))],
+            "table string, kind string, rows_removed bigint",
+        )
 
     def materialize_dvs(self, table: str, min_masked_fraction: float = 0.5) -> int:
         """Targeted deletion-vector materialization: rewrite only the

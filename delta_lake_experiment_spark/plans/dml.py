@@ -24,6 +24,9 @@ for the DML shapes the engine actually supports, by parsing:
      [CLUSTER BY (c, ...)] | [ZORDER BY (c, ...)]`` -> ``compact``
   (WHERE selects FILES by stats intersection — selective compaction
   of a hot range; no rows are deleted)
+- ``OPTIMIZE SKETCH t``                       -> fold-compaction of an
+  HLL register / CMS counter table (streaming/sketch.py) — the sketch
+  maintenance entry; runs outside a transaction like VACUUM
 - ``VACUUM t [RETAIN n VERSIONS] [DRY RUN]``  -> ``vacuum`` (table arg
   ignored — vacuum is store-wide, kept for SQL familiarity; DRY RUN
   returns the reclaim report without deleting)
@@ -99,6 +102,9 @@ _CREATE_RE = re.compile(
     rf"(?:BLOOM\s*({_COLLIST})\s*)?"
     rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_OPTIMIZE_SKETCH_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+SKETCH\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})\s*(?:FILES\s+(\d+)\s*)?"
@@ -273,6 +279,11 @@ class AlterAddColumns:
 
 
 @dataclass
+class OptimizeSketch:
+    table: str
+
+
+@dataclass
 class AlterNotNull:
     table: str
     column: str
@@ -383,12 +394,16 @@ def parse_dml(sql: str):
             cluster_by=_cols(m.group(5)) if m.group(5) else [],
         )
     if head == "OPTIMIZE":
+        m = _OPTIMIZE_SKETCH_RE.match(sql)
+        if m:
+            return OptimizeSketch(table=m.group(1))
         m = _OPTIMIZE_RE.match(sql)
         if not m:
             raise UnsupportedSqlError(
                 "OPTIMIZE supports exactly: OPTIMIZE t [FILES n] "
                 "[WHERE col BETWEEN lo AND hi | col = v] "
-                "[CLUSTER BY (c,...)] | [ZORDER BY (c,...)]"
+                "[CLUSTER BY (c,...)] | [ZORDER BY (c,...)] "
+                "| OPTIMIZE SKETCH t"
             )
         where = None
         if m.group(3):

@@ -45,17 +45,45 @@ from delta_lake_experiment_spark.operators.sketches import (  # noqa: E402
 )
 
 
+def _with_periodic_compaction(process, client_factory, table: str,
+                              compact_every: int, compactor):
+    """Close the maintenance loop (VERDICT r8 item 7): run the fold
+    compaction every ``compact_every`` committed batches, INSIDE the
+    foreachBatch hook but AFTER the marker commit — so compaction is
+    pure maintenance: a crash between commit and fold loses only the
+    fold (the next cycle folds more rows), never data; a redelivered
+    batch aborts before the fold and just defers it one cycle; and a
+    concurrent appender hitting the fold's overwrite triggers
+    first-committer-wins with the fold retrying on the fresh snapshot
+    (compact_*_table's run_tx). ``compact_every=0`` disables."""
+    if not compact_every:
+        return process
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        process(batch_df, batch_id)
+        if (int(batch_id) + 1) % int(compact_every) == 0:
+            compactor(client_factory(), table)
+
+    return wrapped
+
+
 def foreach_batch_hll_writer(client_factory, table: str, app_id: str,
-                             key_col: str, p: int = 12):
+                             key_col: str, p: int = 12,
+                             compact_every: int = 0):
     """foreachBatch function: sketch the batch's ``key_col`` into
     (bucket, reg) rows and append them — the engine-sink skeleton
-    provides the txn-marker exactly-once contract."""
+    provides the txn-marker exactly-once contract. ``compact_every=N``
+    folds the register table back to O(2^p) rows every N batches (see
+    :func:`_with_periodic_compaction`)."""
     from delta_lake_experiment_spark.operators.sketches import hll_registers
 
     def sketch(client, batch_df: DataFrame) -> DataFrame:
         return hll_registers(batch_df, key_col, p)
 
-    return foreach_batch_writer(client_factory, table, app_id, transform=sketch)
+    return _with_periodic_compaction(
+        foreach_batch_writer(client_factory, table, app_id, transform=sketch),
+        client_factory, table, compact_every, compact_sketch_table,
+    )
 
 
 def write_hll_stream_to_table(
@@ -66,12 +94,15 @@ def write_hll_stream_to_table(
     key_col: str,
     checkpoint_dir: str,
     p: int = 12,
+    compact_every: int = 0,
 ):
     """Start an AvailableNow stream appending per-batch HLL registers
     into an engine table; returns the StreamingQuery."""
     return (
         stream_df.writeStream.foreachBatch(
-            foreach_batch_hll_writer(client_factory, table, app_id, key_col, p)
+            foreach_batch_hll_writer(
+                client_factory, table, app_id, key_col, p, compact_every
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -140,16 +171,21 @@ def table_sketch_estimate(client, table: str, p: int = 12) -> DataFrame:
 
 
 def foreach_batch_cms_writer(client_factory, table: str, app_id: str,
-                             key_col: str, d: int = 3, w: int = 1024):
+                             key_col: str, d: int = 3, w: int = 1024,
+                             compact_every: int = 0):
     """foreachBatch function: sketch the batch's ``key_col`` into
     (r, c, cnt) counter rows and append them through the txn-marker
-    exactly-once sink."""
+    exactly-once sink. ``compact_every=N`` folds the counter table
+    back to O(d·w) rows every N batches."""
     from delta_lake_experiment_spark.operators.sketches import cms_counters
 
     def sketch(client, batch_df: DataFrame) -> DataFrame:
         return cms_counters(batch_df, key_col, d=d, w=w)
 
-    return foreach_batch_writer(client_factory, table, app_id, transform=sketch)
+    return _with_periodic_compaction(
+        foreach_batch_writer(client_factory, table, app_id, transform=sketch),
+        client_factory, table, compact_every, compact_cms_table,
+    )
 
 
 def write_cms_stream_to_table(
@@ -161,12 +197,15 @@ def write_cms_stream_to_table(
     checkpoint_dir: str,
     d: int = 3,
     w: int = 1024,
+    compact_every: int = 0,
 ):
     """Start an AvailableNow stream appending per-batch CMS counter
     rows into an engine table; returns the StreamingQuery."""
     return (
         stream_df.writeStream.foreachBatch(
-            foreach_batch_cms_writer(client_factory, table, app_id, key_col, d, w)
+            foreach_batch_cms_writer(
+                client_factory, table, app_id, key_col, d, w, compact_every
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

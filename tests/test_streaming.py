@@ -758,3 +758,107 @@ def test_streaming_merge_upsert_sink(spark, tmp_path, store_dir):
     check3.new_tx()
     assert {r["k"]: r["v"] for r in check3.scan_current("kv").collect()}[3] == "final"
     check3.commit_tx()
+
+
+def test_periodic_sketch_compaction_in_stream(spark, tmp_path, store_dir):
+    """VERDICT r8 item 7: a long stream with compact_every keeps the
+    register table at O(registers) rows WITHOUT anyone calling the
+    compaction, and the estimate equals the batch sketch. Same loop
+    for the CMS lane, plus the OPTIMIZE SKETCH SQL maintenance entry."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.sketches import hll_distinct
+    from delta_lake_experiment_spark.streaming.sketch import (
+        CMS_TABLE_DDL,
+        HLL_TABLE_DDL,
+        table_cms_estimate,
+        table_sketch_estimate,
+        write_cms_stream_to_table,
+        write_hll_stream_to_table,
+    )
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("skc", HLL_TABLE_DDL)
+    boot.create_table("cmc", CMS_TABLE_DDL)
+    boot.commit_tx()
+    # 8 files -> 8 micro-batches; every 2nd batch folds the table
+    src = str(tmp_path / "keys")
+    for b in range(8):
+        spark.createDataFrame(
+            [(f"k{i % 500}",) for i in range(b * 200, (b + 1) * 200)],
+            "k string",
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_hll_stream_to_table(
+        stream, factory, "skc", "hllc", "k", str(tmp_path / "ck1"),
+        p=10, compact_every=2,
+    )
+    q.awaitTermination()
+    c = factory()
+    c.new_tx()
+    # the LAST fold ran at batch 8 -> table is exactly one row per
+    # live register (<= 2^10), not 8 batches' worth
+    n_rows = c.scan("skc", with_stamps=False).count()
+    n_regs = c.scan("skc", with_stamps=False).select("bucket").distinct().count()
+    assert n_rows == n_regs <= 1024
+    all_keys = spark.createDataFrame(
+        [(f"k{i % 500}",) for i in range(1600)], "k string"
+    )
+    assert (
+        table_sketch_estimate(c, "skc", p=10).collect()[0]["est_distinct"]
+        == hll_distinct(all_keys, "k", p=10).collect()[0]["est_distinct"]
+    )
+    c.abort_tx()
+
+    stream2 = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = write_cms_stream_to_table(
+        stream2, factory, "cmc", "cmsc", "k", str(tmp_path / "ck2"),
+        d=3, w=256, compact_every=2,
+    )
+    q2.awaitTermination()
+    c = factory()
+    c.new_tx()
+    n_rows = c.scan("cmc", with_stamps=False).count()
+    n_cells = (
+        c.scan("cmc", with_stamps=False).select("r", "c").distinct().count()
+    )
+    assert n_rows == n_cells <= 3 * 256
+    probe = spark.createDataFrame([("k7",), ("k400",)], "k string")
+    est = {
+        r["k"]: r["est"]
+        for r in table_cms_estimate(c, "cmc", probe, "k", d=3, w=256).collect()
+    }
+    # every key k0..k499 appears at least 3x in 1600 draws of i%500;
+    # CMS is one-sided: est >= true
+    assert est["k7"] >= 3 and est["k400"] >= 3
+    c.abort_tx()
+
+    # the SQL maintenance entry folds an appended-to table back down
+    c2 = factory()
+    c2.new_tx()
+    import pyspark.sql.functions as F2
+
+    c2.write_dataframe(
+        "skc",
+        spark.createDataFrame([(1, 3), (1, 5)], "bucket int, reg int"),
+    )
+    c2.commit_tx()
+    report = c2.execute("OPTIMIZE SKETCH skc").collect()[0]
+    assert report["kind"] == "hll" and report["rows_removed"] >= 1
+    c2.new_tx()
+    assert (
+        c2.scan("skc", with_stamps=False).filter(F2.col("bucket") == 1).count()
+        == 1
+    )
+    c2.abort_tx()
