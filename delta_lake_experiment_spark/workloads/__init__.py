@@ -582,9 +582,9 @@ _DEFERRED_ORACLED = [
     "embedding_pca_projection",
     "engine_delete_dv",
     "near_dup_jaccard",
-    "engine_stream_source",
-    "engine_not_null_reject",
-    "ann_index_staleness_report",
+    "bpe_merge_table",
+    "embedding_pca_components",
+    "hard_negative_pairs",
 ]
 
 
