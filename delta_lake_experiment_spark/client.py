@@ -333,8 +333,29 @@ class DeltaLakeClient:
                         f"tx {tx.id}: concurrent commit removed files this"
                         f" transaction read on {t!r}"
                     )
-            # their ADDS admit: blind appends reorder freely under
-            # WriteSerializable (documented phantom caveat)
+            # their ADDS: exempt when the interleaved commit also
+            # removed/masked on t — such adds are REWRITES, row subsets
+            # of the removed files, so if those removes were disjoint
+            # from our reads the adds introduce nothing we could have
+            # read (and an overwrite's fresh rows are caught by the
+            # remove rule above whenever we read anything live). PURE
+            # appends conflict iff this tx READ the table it is
+            # writing: a read-modify-write (MERGE recomputing a key's
+            # value, incremental ingest anti-joining existing ids)
+            # admitted against a concurrent insert is a silent lost
+            # update — Delta's ConcurrentAppendException case. BLIND
+            # appends (no reads on t) keep the free reordering.
+            if (
+                not their_targets
+                and any(k == "add" for k, _ in acts)
+                and tx.read_files.get(t)
+            ):
+                raise ConcurrentCommitError(
+                    f"tx {tx.id}: concurrent commit appended rows to"
+                    f" {t!r}, which this transaction read before"
+                    " writing (read-modify-write vs insert is a lost"
+                    " update, not a reorderable append)"
+                )
         return set(theirs)
 
     def _restamp_tables(
@@ -506,7 +527,17 @@ class DeltaLakeClient:
         for col in not_null or []:
             if col not in {f.name for f in parsed.fields}:
                 raise TypeMismatchError(f"NOT NULL column not in schema: {col!r}")
-            all_checks[f"{col}_not_null"] = f"{col} IS NOT NULL"
+            name = f"{col}_not_null"
+            expr = f"{col} IS NOT NULL"
+            if all_checks.get(name, expr) != expr:
+                # never silently clobber a user CHECK that took the name
+                raise TypeMismatchError(
+                    f"CHECK constraint name {name!r} is reserved for the"
+                    f" NOT NULL declaration on {col!r} but carries a"
+                    f" different expression ({all_checks[name]!r}) - rename"
+                    " the user constraint"
+                )
+            all_checks[name] = expr
         checks_map = self._validate_checks(parsed, all_checks)
         tx.new_tables[table] = ddl
         tx.actions.append(
@@ -1028,16 +1059,32 @@ class DeltaLakeClient:
                 " bake the default into the rows"
             )
         checks = dict(snap.checks.get(table, {}))
-        checks[f"{column}_not_null"] = f"{column} IS NOT NULL"
+        name, expr = f"{column}_not_null", f"{column} IS NOT NULL"
+        if checks.get(name, expr) != expr:
+            raise TypeMismatchError(
+                f"CHECK constraint name {name!r} is taken by a user"
+                f" constraint with a different expression"
+                f" ({checks[name]!r}) - rename it first"
+            )
+        checks[name] = expr
         self.alter_table(table, checks=checks)
 
     def drop_not_null(self, table: str, column: str) -> None:
-        """Remove a NOT NULL declaration (the named check)."""
+        """Remove a NOT NULL declaration (the named check). Refuses to
+        drop a user CHECK that merely took the reserved name."""
         tx = self._require_tx()
         snap = self._effective_snapshot(tx)
         checks = dict(snap.checks.get(table, {}))
-        if checks.pop(f"{column}_not_null", None) is None:
+        name = f"{column}_not_null"
+        if name not in checks:
             raise TypeMismatchError(f"{column!r} is not declared NOT NULL")
+        if checks[name] != f"{column} IS NOT NULL":
+            raise TypeMismatchError(
+                f"constraint {name!r} is a user CHECK"
+                f" ({checks[name]!r}), not a NOT NULL declaration - use"
+                " alter_table(checks=...) to change it"
+            )
+        checks.pop(name)
         self.alter_table(table, checks=checks)
 
     def _validate_checks(
@@ -1506,6 +1553,11 @@ class DeltaLakeClient:
             )
         stored = self._stored_schema(schema)
         objs = snap.live_objects(table)
+        # same read-set contract as scan(): commit-time conflict
+        # resolution must see what a bucketed read depended on
+        tx.read_files.setdefault(table, set()).update(
+            self.store.path_of(o.name) for o in objs
+        )
         unlabeled = [o.name for o in objs if o.bucket_id is None]
         if unlabeled:
             raise TypeMismatchError(

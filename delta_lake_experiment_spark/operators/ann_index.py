@@ -316,10 +316,17 @@ def ann_index_staleness(
             for c in cents
         ]
     )
-    rows = assigned.join(vecs, id_col).select(
-        "era",
-        "cluster",
-        F.element_at(sims, F.col("cluster") + 1).alias("sim"),
+    rows = (
+        assigned.join(vecs, id_col)
+        .select(
+            "era",
+            "cluster",
+            F.element_at(sims, F.col("cluster") + 1).alias("sim"),
+        )
+        # materialize once: per_era, lists AND the recommendation pivot
+        # all consume these rows — without the barrier the K-dot join
+        # re-evaluates per consumer (the docstring's one-pass claim)
+        .localCheckpoint(eager=True)
     )
     per_era = rows.groupBy("era").agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -213,6 +213,26 @@ class EngineTableStreamReader(DataSourceStreamReader):
         pass
 
     # -- planning -------------------------------------------------------
+    def _raise_on_metadata_between(self, store, lo: int, hi: int) -> None:
+        """Raise if any commit in (lo, hi] changed the table's
+        metadata — the pinned shape would read it wrong."""
+        if hi <= lo:
+            return
+        for name in store.list_prefix_ordered(LOG_PREFIX):
+            v = int(name[len(LOG_PREFIX):])
+            if v <= lo or v > hi:
+                continue
+            record = json.loads(store.read(name))
+            for act in record.get("actions", []):
+                kind = next(iter(act))
+                if kind == "metadata" and act[kind].get("table") == self.table:
+                    raise SchemaChangedError(
+                        f"engine_table source: commit v{v} changed table"
+                        f" {self.table!r} metadata after the stream pinned"
+                        f" its schema (v{lo}) - restart the stream to"
+                        " adopt the new schema (Delta's contract)"
+                    )
+
     def _part(self, store, body_name: str, dv_names=()) -> EngineFilePartition:
         return EngineFilePartition(
             path=store.path_of(body_name),
@@ -228,7 +248,12 @@ class EngineTableStreamReader(DataSourceStreamReader):
         lo, hi = int(start["version"]), int(end["version"])
         if lo == _BEGINNING:
             # initial snapshot batch: all live files at `hi`, DV masks
-            # applied — byte-for-byte the batch scan's semantics
+            # applied — byte-for-byte the batch scan's semantics. The
+            # pinned column shape must still be current at `hi`: a
+            # metadata commit landing between reader construction and
+            # the first trigger would otherwise be read with a stale
+            # shape (wrong names/types/defaults) instead of raising.
+            self._raise_on_metadata_between(store, self.pinned_version, hi)
             snap = replay_log(store, as_of=hi)
             dvs = snap.table_dvs(self.table)
             return [
@@ -255,7 +280,12 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 elif kind == "metadata":
                     metas += 1
             if metas:
-                if table_known:
+                # metadata commits AT OR BEFORE the reader's pinned
+                # version are already reflected in the pinned shape —
+                # skipping them is what lets a RESTARTED stream (which
+                # re-pins the post-ALTER schema) advance past the ALTER
+                # instead of wedging on it forever
+                if table_known and v > self.pinned_version:
                     raise SchemaChangedError(
                         f"engine_table source: commit v{v} changed table"
                         f" {self.table!r} metadata mid-stream - restart the"
@@ -299,10 +329,11 @@ def _read_engine_file(part: EngineFilePartition) -> Iterator[Any]:
             idxs = dv.column("row_idx").to_pylist()
             masked.update(i for o, i in zip(objs, idxs) if o == part.obj_name)
         if masked:
-            keep = pa.array(
-                [i not in masked for i in range(tbl.num_rows)], type=pa.bool_()
-            )
-            tbl = tbl.filter(keep)
+            import numpy as np
+
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            keep[np.fromiter(masked, dtype=np.int64)] = False  # O(mask), not O(rows)
+            tbl = tbl.filter(pa.array(keep))
     have = set(tbl.column_names)
     tx = tbl.column(_TX_COL) if _TX_COL in have else None
     arrays, names = [], []

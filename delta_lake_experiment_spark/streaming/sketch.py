@@ -51,8 +51,9 @@ def _with_periodic_compaction(process, client_factory, table: str,
     compaction every ``compact_every`` committed batches, INSIDE the
     foreachBatch hook but AFTER the marker commit — so compaction is
     pure maintenance: a crash between commit and fold loses only the
-    fold (the next cycle folds more rows), never data; a redelivered
-    batch aborts before the fold and just defers it one cycle; and a
+    fold (the next cycle folds more rows), never data; a REDELIVERED
+    batch skips its append but still reaches the fold — harmless (an
+    already-compact table folds to a no-op 0-row change); and a
     concurrent appender hitting the fold's overwrite triggers
     first-committer-wins with the fold retrying on the fresh snapshot
     (compact_*_table's run_tx). ``compact_every=0`` disables."""

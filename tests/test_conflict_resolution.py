@@ -227,3 +227,44 @@ def test_restamp_preserves_cow_survivor_stamps(spark, store_dir):
     assert stamps[4] == 3
     assert stamps[5] == 4  # fresh row re-keyed to the committed version
     c.commit_tx()
+
+
+def test_read_modify_write_vs_concurrent_append_conflicts(spark, store_dir):
+    """Review fix (r9): a tx that READ the table before appending
+    (read-modify-write — two merges recomputing the same key, an
+    incremental ingest anti-joining existing ids) must NOT be admitted
+    against a concurrent pure append: that is a silent lost update,
+    Delta's ConcurrentAppendException case. Blind appends keep free
+    reordering (test_append_append... above)."""
+    a, b = _two_clients(spark, store_dir, rows=[(1, "v10")])
+    a.new_tx()
+    b.new_tx()
+    # both read current state, then write a value computed from it
+    a_seen = a.scan("t", with_stamps=False).count()
+    b_seen = b.scan("t", with_stamps=False).count()
+    a.write_row("t", [100 + a_seen, "a"])
+    b.write_row("t", [200 + b_seen, "b"])
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError, match="read-modify-write"):
+        b.commit_tx()
+
+
+def test_merge_merge_same_key_conflicts(spark, store_dir):
+    """Two concurrent MERGEs of the same key: merge appends new
+    versions (no removes), but its matched-key probe READ the table —
+    the second committer must conflict, not silently shadow the first
+    committer's update with a value computed from the pre-update
+    snapshot."""
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v BIGINT", primary_keys=["k"])
+    a.write_row("t", [1, 10])
+    a.commit_tx()
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    b.new_tx()
+    a.merge("t", spark.createDataFrame([(1, 11)], "k BIGINT, v BIGINT"))
+    b.merge("t", spark.createDataFrame([(1, 12)], "k BIGINT, v BIGINT"))
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_tx()

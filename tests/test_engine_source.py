@@ -126,14 +126,29 @@ def test_skip_change_commits_skips_wholesale(spark, tmp_path):
 
 
 def test_metadata_change_mid_stream_raises(spark, tmp_path):
+    """A metadata commit landing AFTER the reader pinned its schema
+    raises mid-stream (unit-level: a restarted query constructs a
+    FRESH reader that pins the post-ALTER schema and advances — see
+    test_stream_restarts_past_metadata_change)."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+        SchemaChangedError,
+    )
+
     c = _seed(spark, str(tmp_path), n_commits=1)
-    ck = str(tmp_path / "ck")
-    _drain_collect(spark, str(tmp_path), ck)
+    store = LocalObjectStorage(str(tmp_path))
+    reader = EngineTableStreamReader(str(tmp_path), {"table": "t"})
+    pinned = reader.pinned_version
     c.new_tx()
     c.rename_column("t", "v", "val")
     c.commit_tx()
-    with pytest.raises(Exception, match="metadata mid-stream|SchemaChanged"):
-        _drain_collect(spark, str(tmp_path), ck)
+    latest = replay_log(store).version
+    with pytest.raises(SchemaChangedError, match="metadata mid-stream"):
+        reader.partitions({"version": pinned}, {"version": latest})
 
 
 def test_snapshot_applies_rename_widen_default_and_dv(spark, tmp_path):
@@ -239,3 +254,72 @@ def test_source_to_engine_sink_exactly_once(spark, tmp_path):
     c.new_tx()
     assert c.scan("out").count() == 30
     c.abort_tx()
+
+
+def test_stream_restarts_past_metadata_change(spark, tmp_path):
+    """Review fix (r9): a SchemaChangedError must not WEDGE the
+    stream — after the instructed restart, the new reader (which
+    pinned the post-ALTER schema) skips metadata commits at or before
+    its pinned version and tails on, delivering post-ALTER appends in
+    the NEW shape from the same checkpoint."""
+    c = _seed(spark, str(tmp_path), n_commits=1)
+    ck = str(tmp_path / "ck")
+    _drain_collect(spark, str(tmp_path), ck)
+    c.new_tx()
+    c.rename_column("t", "v", "val")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(50, 55).select(
+            F.col("id"), F.concat(F.lit("y"), F.col("id")).alias("val")
+        ),
+    )
+    c.commit_tx()
+    # the restart: a FRESH reader pins the renamed schema, SKIPS the
+    # metadata commit (it is <= its pinned version), and advances
+    seen = []
+
+    def collect(batch_df, _bid):
+        assert "val" in batch_df.columns
+        seen.extend(r.id for r in batch_df.collect())
+
+    q = (
+        read_table_stream(spark, str(tmp_path), "t")
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == list(range(50, 55))
+
+
+def test_snapshot_branch_guards_post_pin_metadata(spark, tmp_path):
+    """Review fix (r9): a metadata commit landing between reader
+    construction and the FIRST batch must raise (the pinned shape
+    would read the snapshot wrong), exactly like the tail branch."""
+    from delta_lake_experiment_spark.plans.snapshot import (
+        LOG_PREFIX,
+        replay_log,
+    )
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+        SchemaChangedError,
+    )
+
+    c = _seed(spark, str(tmp_path), n_commits=1)
+    reader = EngineTableStreamReader(str(tmp_path), {"table": "t"})
+    c.new_tx()
+    c.rename_column("t", "v", "val")  # lands AFTER the pin
+    c.commit_tx()
+    latest = replay_log(LocalObjectStorage(str(tmp_path))).version
+    with pytest.raises(SchemaChangedError):
+        reader.partitions({"version": -1}, {"version": latest})
+    # a reader pinned AFTER the alter reads the same snapshot fine
+    reader2 = EngineTableStreamReader(str(tmp_path), {"table": "t"})
+    parts = reader2.partitions({"version": -1}, {"version": latest})
+    assert parts
