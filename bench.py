@@ -159,6 +159,9 @@ HEADLINE = [
     "engine_not_null_reject",
     # r9: IVF index drift diagnostic (era split from row stamps)
     "ann_index_staleness_report",
+    # r9: streaming corpus dedup (engine source -> incremental index ->
+    # exactly-once sink, first-seen-wins across stream runs)
+    "streaming_corpus_dedup",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 134 value-oracled queries, eighty-four must sit outside the window. The
+# With 135 value-oracled queries, eighty-five must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -585,6 +585,7 @@ _DEFERRED_ORACLED = [
     "bpe_merge_table",
     "embedding_pca_components",
     "hard_negative_pairs",
+    "streaming_corpus_dedup",
 ]
 
 

@@ -4084,6 +4084,108 @@ FROM ({est}) e,
     return "\nUNION ALL\n".join(parts)
 
 
+def streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring-pipeline capstone the engine-table SOURCE was
+    built for (streaming/engine_source.py + streaming/ingest.py): a
+    raw corpus table is TAILED as a stream and deduplicated
+    incrementally into a clean engine table — content-hash keys,
+    first-seen-wins — with exactly-once semantics end to end (source
+    offsets in the checkpoint, sink txn markers in the log, and the
+    dedup anti-join reading the clean table snapshot-consistently
+    inside the commit transaction). Two seed commits (with planted
+    cross-commit duplicates) drain as the snapshot batch; a third
+    commit arrives and a RESUMED run tails only it, its duplicates
+    rejected against what the index already admitted. The oracle
+    re-derives first-seen-wins from the commit structure (snapshot
+    union first, tail second, doc_id within), so a double-delivered
+    batch, a re-read snapshot, or a dropped anti-join value-diverges
+    the per-doc winner set immediately."""
+    import tempfile
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        read_table_stream,
+    )
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_dedup_writer,
+    )
+    from delta_lake_experiment_spark.workloads.temporal import _utc
+
+    _utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), F.col("text")
+    )
+    corpus = docs.unionByName(planted)
+    src_c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_scd_src_"))
+    src_root = src_c.store.root
+    src_c.new_tx()
+    src_c.create_table("docs_raw", "doc_id BIGINT, text STRING")
+    src_c.write_dataframe("docs_raw", corpus.filter(F.col("doc_id") % 3 == 0))
+    src_c.commit_tx()
+    src_c.new_tx()
+    src_c.write_dataframe("docs_raw", corpus.filter(F.col("doc_id") % 3 == 1))
+    src_c.commit_tx()
+
+    dst_root = tempfile.mkdtemp(prefix="dles_scd_dst_")
+    boot = DeltaLakeClient(spark, dst_root)
+    boot.new_tx()
+    boot.create_table("docs_clean", "doc_id BIGINT, text STRING, h STRING")
+    boot.commit_tx()
+
+    def dst_factory():
+        return DeltaLakeClient(spark, dst_root)
+
+    ck = tempfile.mkdtemp(prefix="dles_scdck_")
+
+    def drain():
+        q = (
+            read_table_stream(spark, src_root, "docs_raw")
+            .withColumn("h", F.md5("text"))
+            .writeStream.foreachBatch(
+                foreach_batch_dedup_writer(
+                    dst_factory, "docs_clean", ["h"], "doc_id", "scd_app"
+                )
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # snapshot batch: commits 1+2, deduped within the union
+    src_c.new_tx()
+    src_c.write_dataframe("docs_raw", corpus.filter(F.col("doc_id") % 3 == 2))
+    src_c.commit_tx()
+    drain()  # resumed tail: commit 3 only, anti-joined vs the index
+
+    out = dst_factory()
+    out.new_tx()
+    return out.scan("docs_clean", with_stamps=False).select("doc_id", "h")
+
+
+# first-seen-wins re-derived from the commit structure: the snapshot
+# batch is the UNION of commits 1+2 (doc_id % 3 in (0, 1)) deduped by
+# min doc_id; commit 3 rows only win when their hash never appeared
+STREAMING_CORPUS_DEDUP_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 11 = 0
+),
+ranked AS (
+  SELECT doc_id, md5(text) AS h,
+    ROW_NUMBER() OVER (
+      PARTITION BY md5(text)
+      ORDER BY CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END, doc_id
+    ) AS rn
+  FROM corpus
+)
+SELECT doc_id, h FROM ranked WHERE rn = 1
+"""
+
+
 # -- count-min heavy hitters (operators/sketches.py CMS lane) -----------
 
 _CMS_D = 3
@@ -4953,6 +5055,7 @@ QUERIES = {
     "ann_recall_report": ann_recall_report,
     "engine_ann_index_search": engine_ann_index_search,
     "ann_index_staleness_report": ann_index_staleness_report,
+    "streaming_corpus_dedup": streaming_corpus_dedup,
     "corpus_heavy_hitters": corpus_heavy_hitters,
     "lang_id_weights": lang_id_weights,
     "predicted_lang_ccnet_buckets": predicted_lang_ccnet_buckets,
@@ -5043,6 +5146,7 @@ ORACLES = {
     "ann_recall_report": _ann_recall_sql(),
     "engine_ann_index_search": _engine_ann_index_sql(),
     "ann_index_staleness_report": _ann_staleness_sql(),
+    "streaming_corpus_dedup": STREAMING_CORPUS_DEDUP_SQL,
     "corpus_heavy_hitters": _heavy_hitters_sql(),
     "lang_id_weights": _langid_weights_sql(),
     "predicted_lang_ccnet_buckets": _predicted_lang_ccnet_sql(),
