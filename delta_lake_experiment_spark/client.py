@@ -2418,7 +2418,7 @@ class DeltaLakeClient:
             return self.describe_detail(stmt.table)
         self._require_tx()
         if isinstance(stmt, GenerateManifest):
-            paths = self.write_manifest(stmt.table)
+            paths = self.write_manifest(stmt.table, materialize=stmt.materialize)
             return self.spark.createDataFrame(
                 [(p,) for p in paths], "path STRING"
             )

@@ -31,8 +31,9 @@ for the DML shapes the engine actually supports, by parsing:
   ignored — vacuum is store-wide, kept for SQL familiarity; DRY RUN
   returns the reclaim report without deleting)
 - ``RESTORE TABLE t TO VERSION n``            -> ``restore_table``
-- ``GENERATE MANIFEST FOR t``                 -> ``write_manifest``
-  (external-reader file list; raises on DV/mapped/defaulted tables)
+- ``GENERATE MANIFEST FOR t [MATERIALIZE]``   -> ``write_manifest``
+  (external-reader file list; raises on DV/mapped/defaulted tables
+  unless MATERIALIZE runs the rewrite remedy in the same call)
 - ``DESCRIBE DETAIL t``                       -> ``describe_detail``
 - ``DESCRIBE CHANGES t FROM v [TO v]``        -> ``scan_changes`` (CDF)
 - ``ALTER TABLE t RENAME COLUMN a TO b``      -> ``rename_column``
@@ -135,7 +136,8 @@ _DESCRIBE_CHANGES_RE = re.compile(
     re.IGNORECASE,
 )
 _GENERATE_MANIFEST_RE = re.compile(
-    rf"^\s*GENERATE\s+MANIFEST\s+FOR\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+    rf"^\s*GENERATE\s+MANIFEST\s+FOR\s+({_IDENT})\s*(MATERIALIZE)?\s*;?\s*$",
+    re.IGNORECASE,
 )
 _ALTER_RENAME_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+COLUMN\s+({_IDENT})"
@@ -250,6 +252,7 @@ class DescribeChanges:
 @dataclass
 class GenerateManifest:
     table: str
+    materialize: bool = False
 
 
 @dataclass
@@ -440,8 +443,11 @@ def parse_dml(sql: str):
         if not m:
             raise UnsupportedSqlError(
                 "GENERATE supports exactly: GENERATE MANIFEST FOR t"
+                " [MATERIALIZE]"
             )
-        return GenerateManifest(table=m.group(1))
+        return GenerateManifest(
+            table=m.group(1), materialize=bool(m.group(2))
+        )
     if head == "ALTER":
         m = _ALTER_RENAME_RE.match(sql)
         if m:

@@ -42,6 +42,13 @@ because log records are immutable), and the engine SINK's ``txn
 redelivery, so engine-table -> transform -> engine-table pipelines are
 exactly-once with no extra bookkeeping.
 
+Store constraint: the reader opens data objects by filesystem path
+(``LocalObjectStorage.path_of``) from executor-side pyarrow, so the
+source currently serves LOCAL/NFS-visible stores; a remote (S3)
+deployment needs executors that can open the store's URIs (pyarrow
+S3 filesystem) — the partition descriptors already carry plain path
+strings, so that is a reader-side swap, not a protocol change.
+
 Scale notes: ``latestOffset`` is one O(log tail) listing;
 ``partitions`` replays metadata only (checkpoint-accelerated) and
 ships O(files-in-range) partition descriptors; each executor task

@@ -2364,3 +2364,13 @@ def test_manifest_materialize_one_call(spark, store_dir):
     c.new_tx()
     assert c.write_manifest("t", materialize=True)
     c.abort_tx()
+    # the SQL surface reaches the same path
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 0, use_dv=True)
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="deletion-vector"):
+        c.execute("GENERATE MANIFEST FOR t")
+    out = c.execute("GENERATE MANIFEST FOR t MATERIALIZE")
+    assert out.count() > 0
+    c.abort_tx()
