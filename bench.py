@@ -162,6 +162,8 @@ HEADLINE = [
     # r9: streaming corpus dedup (engine source -> incremental index ->
     # exactly-once sink, first-seen-wins across stream runs)
     "streaming_corpus_dedup",
+    # r9: streaming change data feed (per-commit insert/delete rows)
+    "engine_stream_cdf",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -22,6 +22,15 @@ Start semantics match Delta's:
   logical shape, exactly like the batch scan.
 - ``startingVersion=N``: replay committed versions > N file-by-file
   (CDC-style backfill of an append-only table).
+- ``readChangeFeed=true`` (Delta's option): stream per-commit CHANGE
+  ROWS — user columns + ``_change_type`` ('insert' | 'delete') +
+  ``_commit_version`` + ``_commit_timestamp`` — instead of raising on
+  change commits. Each commit's changes are self-contained (its added
+  files cancel against its removed files on the immutable row stamps,
+  so COW rewrites net to the deleted rows and compaction nets to
+  zero), which makes the feed computable per partition with no
+  cross-commit state; DV commits contribute newly-masked positions as
+  deletes. One partition per commit, cost O(commit) on one executor.
 
 Read semantics mirror the batch scan exactly (client.py _read_live):
 physical->logical column-mapping aliasing, stamp-gated column DEFAULTs
@@ -186,6 +195,25 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self.with_stamps = (
             str(options.get("withstamps", "false")).lower() == "true"
         )
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
+        if self.read_change_feed:
+            if self.skip_change_commits:
+                raise ValueError(
+                    "engine_table source: readChangeFeed consumes change"
+                    " commits - skipChangeCommits contradicts it"
+                )
+            if self.with_stamps:
+                raise ValueError(
+                    "engine_table source: readChangeFeed and withStamps"
+                    " are mutually exclusive (the CDF columns replace the"
+                    " stamp columns)"
+                )
+            if self.start_version == _BEGINNING:
+                # Delta requires a startingVersion for CDF; from-birth
+                # replay is the natural default here (the log IS the feed)
+                self.start_version = 0
         store = LocalObjectStorage(root)
         snap = replay_log(store)
         if self.table not in snap.tables:
@@ -268,13 +296,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 for o in snap.live_objects(self.table)
             ]
         table_known = self.table in replay_log(store, as_of=lo).tables
-        parts: list[EngineFilePartition] = []
+        parts: list[InputPartition] = []
         for name in store.list_prefix_ordered(LOG_PREFIX):
             v = int(name[len(LOG_PREFIX):])
             if v <= lo or v > hi:
                 continue
             record = json.loads(store.read(name))
-            adds, changes, metas = [], 0, 0
+            adds, removes, dvs, metas = [], [], [], 0
             for act in record.get("actions", []):
                 kind = next(iter(act))
                 body = act[kind]
@@ -282,10 +310,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     continue
                 if kind == "add":
                     adds.append(body)
-                elif kind in ("remove", "dv"):
-                    changes += 1
+                elif kind == "remove":
+                    removes.append(body)
+                elif kind == "dv":
+                    dvs.append(body)
                 elif kind == "metadata":
                     metas += 1
+            changes = len(removes) + len(dvs)
             if metas:
                 # metadata commits AT OR BEFORE the reader's pinned
                 # version are already reflected in the pinned shape —
@@ -299,6 +330,33 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         " stream to adopt the new schema (Delta's contract)"
                     )
                 table_known = True  # the CREATE itself streams fine
+            if self.read_change_feed:
+                if adds or removes or dvs:
+                    parts.append(
+                        EngineCdfPartition(
+                            version=v,
+                            ts_micros=int(record.get("ts", 0)),
+                            add_paths=[
+                                store.path_of(b["name"]) for b in adds
+                            ],
+                            remove_paths=[
+                                store.path_of(b["name"]) for b in removes
+                            ],
+                            dvs=[
+                                (
+                                    store.path_of(b["dv_name"]),
+                                    {
+                                        o: store.path_of(o)
+                                        for o in b["objects"]
+                                    },
+                                )
+                                for b in dvs
+                            ],
+                            columns=self._columns,
+                            defaults=self._defaults,
+                        )
+                    )
+                continue
             if changes:
                 if not self.skip_change_commits:
                     raise NonAppendCommitError(
@@ -306,7 +364,9 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         f" masked rows of {self.table!r} - streaming reads"
                         " are append-tailing; pass"
                         " .option('skipChangeCommits', 'true') to skip"
-                        " such commits wholesale (Delta's option)"
+                        " such commits wholesale (Delta's option), or"
+                        " .option('readChangeFeed', 'true') to consume"
+                        " them as insert/delete change rows"
                     )
                 continue  # skip the whole commit, adds included
             for body in adds:
@@ -314,17 +374,52 @@ class EngineTableStreamReader(DataSourceStreamReader):
         return parts
 
     # -- executor-side read ----------------------------------------------
-    def read(self, partition: EngineFilePartition) -> Iterator[Any]:
+    def read(self, partition) -> Iterator[Any]:
+        if isinstance(partition, EngineCdfPartition):
+            return _read_engine_cdf(partition)
         return _read_engine_file(partition)
+
+
+def _shape_logical(tbl, columns, defaults, with_stamps: bool):
+    """Project a RAW engine parquet table into the logical shape:
+    physical->logical aliasing, cast to (possibly widened) declared
+    types, stamp-gated defaults. Pure pyarrow; shared by the
+    append-stream and change-feed readers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    have = set(tbl.column_names)
+    tx = tbl.column(_TX_COL) if _TX_COL in have else None
+    arrays, names = [], []
+    for logical, physical, typ in columns:
+        target = _arrow_type(typ)
+        if physical in have:
+            col = pc.cast(tbl.column(physical), target)
+        else:
+            # column added after this file was written: reads as NULL
+            # (the default gate below may then substitute)
+            col = pa.nulls(tbl.num_rows, type=target)
+        d = defaults.get(logical)
+        if d is not None and tx is not None:
+            gate = pc.and_(
+                pc.less(tx, pa.scalar(int(d["birth"]), type=tx.type)),
+                pc.is_null(col),
+            )
+            col = pc.if_else(gate, pa.scalar(d["v"], type=target), col)
+        arrays.append(col)
+        names.append(logical)
+    if with_stamps:
+        for extra in (_TX_COL, _IDX_COL):
+            arrays.append(pc.cast(tbl.column(extra), pa.int64()))
+            names.append(extra)
+    return pa.table(arrays, names=names)
 
 
 def _read_engine_file(part: EngineFilePartition) -> Iterator[Any]:
     """Read one data object in the table's logical shape: DV-mask rows
-    out, select physical columns, alias to logical names, cast to the
-    (possibly widened) declared types, apply stamp-gated defaults.
-    Pure pyarrow — runs in the Python data source worker on executors."""
+    out, then the shared logical projection. Pure pyarrow — runs in
+    the Python data source worker on executors."""
     import pyarrow as pa
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(part.path)
@@ -341,33 +436,119 @@ def _read_engine_file(part: EngineFilePartition) -> Iterator[Any]:
             keep = np.ones(tbl.num_rows, dtype=bool)
             keep[np.fromiter(masked, dtype=np.int64)] = False  # O(mask), not O(rows)
             tbl = tbl.filter(pa.array(keep))
-    have = set(tbl.column_names)
-    tx = tbl.column(_TX_COL) if _TX_COL in have else None
-    arrays, names = [], []
-    for logical, physical, typ in part.columns:
-        target = _arrow_type(typ)
-        if physical in have:
-            col = pc.cast(tbl.column(physical), target)
-        else:
-            # column added after this file was written: reads as NULL
-            # (the default gate below may then substitute)
-            col = pa.nulls(tbl.num_rows, type=target)
-        d = part.defaults.get(logical)
-        if d is not None and tx is not None:
-            gate = pc.and_(
-                pc.less(tx, pa.scalar(int(d["birth"]), type=tx.type)),
-                pc.is_null(col),
-            )
-            col = pc.if_else(gate, pa.scalar(d["v"], type=target), col)
-        arrays.append(col)
-        names.append(logical)
-    if part.with_stamps:
-        for extra in (_TX_COL, _IDX_COL):
-            arrays.append(pc.cast(tbl.column(extra), pa.int64()))
-            names.append(extra)
-    out = pa.table(arrays, names=names)
+    out = _shape_logical(tbl, part.columns, part.defaults, part.with_stamps)
     for batch in out.to_batches():
         yield batch
+
+
+@dataclass
+class EngineCdfPartition(InputPartition):
+    """One COMMIT's change set for the change-feed mode: everything an
+    executor needs to compute the commit's net insert/delete rows
+    locally — a commit's changes are self-contained (its added files
+    cancel against its removed files on the immutable row stamps), so
+    no cross-partition state is needed."""
+
+    version: int = 0
+    ts_micros: int = 0
+    add_paths: list = field(default_factory=list)
+    remove_paths: list = field(default_factory=list)
+    # [(dv_path, {target_obj_name: target_path})]
+    dvs: list = field(default_factory=list)
+    columns: list = field(default_factory=list)
+    defaults: dict = field(default_factory=dict)
+
+
+def _read_engine_cdf(part: EngineCdfPartition) -> Iterator[Any]:
+    """Compute one commit's change rows: inserts = added rows minus
+    rewrite carry-overs, deletes = removed rows not re-added plus
+    newly DV-masked positions of still-live files — the per-commit
+    form of client.scan_changes' stamp anti-join (exact under COW,
+    DV, MERGE and compaction, which nets to zero). Cost is O(commit):
+    both sides of THIS commit are read on one executor — the honest
+    CDF price Delta also pays per commit file group."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    keys = [_TX_COL, _IDX_COL]
+
+    def _union(paths):
+        tbls = [pq.read_table(p) for p in paths]
+        tbls = [t for t in tbls if t.num_rows]
+        if not tbls:
+            return None
+        if len(tbls) == 1:
+            return tbls[0]
+        # schemas may differ across eras (added columns): align on the
+        # union by name, missing columns as NULL
+        all_names: list[str] = []
+        for t in tbls:
+            for n in t.column_names:
+                if n not in all_names:
+                    all_names.append(n)
+        aligned = []
+        for t in tbls:
+            cols = []
+            for n in all_names:
+                if n in t.column_names:
+                    cols.append(t.column(n))
+                else:
+                    ref = next(x.column(n) for x in tbls if n in x.column_names)
+                    cols.append(pa.nulls(t.num_rows, type=ref.type))
+            aligned.append(pa.table(cols, names=all_names))
+        return pa.concat_tables(aligned)
+
+    added = _union(part.add_paths)
+    removed = _union(part.remove_paths)
+
+    def _anti(left, right):
+        if left is None:
+            return None
+        if right is None or right.num_rows == 0:
+            return left
+        return left.join(
+            right.select(keys), keys=keys, join_type="left anti"
+        )
+
+    out_parts = []
+
+    def _emit(tbl, change_type):
+        if tbl is None or tbl.num_rows == 0:
+            return
+        shaped = _shape_logical(tbl, part.columns, part.defaults, False)
+        n = shaped.num_rows
+        shaped = shaped.append_column(
+            "_change_type", pa.array([change_type] * n, pa.string())
+        )
+        shaped = shaped.append_column(
+            "_commit_version",
+            pa.array([int(part.version)] * n, pa.int64()),
+        )
+        shaped = shaped.append_column(
+            "_commit_timestamp",
+            pc.cast(
+                pa.array([int(part.ts_micros)] * n, pa.int64()),
+                pa.timestamp("us", tz="UTC"),
+            ),
+        )
+        out_parts.append(shaped)
+
+    _emit(_anti(added, removed), "insert")
+    _emit(_anti(removed, added), "delete")
+    # newly DV-masked positions of files this commit did NOT remove
+    for dv_path, targets in part.dvs:
+        dv = pq.read_table(dv_path, columns=["obj", "row_idx"])
+        by_obj: dict[str, list[int]] = {}
+        for o, i in zip(dv.column("obj").to_pylist(), dv.column("row_idx").to_pylist()):
+            if o in targets:
+                by_obj.setdefault(o, []).append(int(i))
+        for obj, idxs in sorted(by_obj.items()):
+            tbl = pq.read_table(targets[obj]).take(sorted(idxs))
+            _emit(tbl, "delete")
+    for tbl in out_parts:
+        for batch in tbl.to_batches():
+            yield batch
 
 
 class EngineTableDataSource(DataSource):
@@ -391,6 +572,11 @@ class EngineTableDataSource(DataSource):
         if table not in snap.tables:
             raise ValueError(f"engine_table source: no table {table!r} at {root}")
         ddl = snap.tables[table]
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            return (
+                f"{ddl}, _change_type string, _commit_version bigint,"
+                " _commit_timestamp timestamp"
+            )
         if str(self.options.get("withstamps", "false")).lower() == "true":
             ddl = f"{ddl}, {_TX_COL} bigint, {_IDX_COL} bigint"
         return ddl
@@ -411,16 +597,21 @@ def read_table_stream(
     starting_version: int | None = None,
     skip_change_commits: bool = False,
     with_stamps: bool = False,
+    read_change_feed: bool = False,
 ):
     """Convenience wrapper: a streaming DataFrame tailing ``table``.
     ``starting_version=None`` (default) = initial-snapshot-then-tail;
-    an integer replays committed versions > it file-by-file."""
+    an integer replays committed versions > it file-by-file.
+    ``read_change_feed=True`` streams per-commit insert/delete rows
+    (+ ``_change_type``/``_commit_version``/``_commit_timestamp``)
+    instead of raising on change commits — Delta's readChangeFeed."""
     register_engine_source(spark)
     reader = (
         spark.readStream.format(SOURCE_NAME)
         .option("table", table)
         .option("skipChangeCommits", str(skip_change_commits).lower())
         .option("withStamps", str(with_stamps).lower())
+        .option("readChangeFeed", str(read_change_feed).lower())
     )
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))

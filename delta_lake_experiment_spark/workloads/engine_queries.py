@@ -984,9 +984,129 @@ GROUP BY o_orderstatus
 """
 
 
+def engine_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CHANGE DATA FEED over an engine table
+    (streaming/engine_source.py readChangeFeed — Delta's option): the
+    full change history of a table that was seeded, COW-range-deleted,
+    append-upserted, and DV-deleted streams as per-commit insert/delete
+    rows (each commit's added files cancel against its removed files
+    on the row stamps, per partition, no cross-commit state), drained
+    through the exactly-once engine sink into a feed table. Output:
+    per-(version, change_type) counts and price sums — the oracle
+    re-derives each commit's net change set from the operations'
+    predicates, so a missed rewrite cancellation, a phantom delete, a
+    dropped DV position, or a double-delivered commit value-diverges
+    some (version, type) row immediately."""
+    import tempfile
+
+    _utc(spark)
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_writer,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        read_table_stream,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+    )
+    c = _fresh_client(spark)
+    src_root = c.store.root
+    c.new_tx()
+    c.create_table("ord", "o_orderkey BIGINT, price DOUBLE")  # v1
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe("ord", orders)  # v2: all rows insert
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("ord", "price", 50000.0, 100000.0)  # v3: COW deletes
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(  # v4: repriced versions of %10 keys append
+        "ord",
+        orders.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+            "price", F.col("price") * 2.0
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("ord", "o_orderkey", 1000, 3000, use_dv=True)  # v5: DV
+    c.commit_tx()
+
+    dst_root = tempfile.mkdtemp(prefix="dles_cdfdst_")
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+
+    boot = DeltaLakeClient(spark, dst_root)
+    boot.new_tx()
+    boot.create_table(
+        "feed",
+        "o_orderkey BIGINT, price DOUBLE, _change_type STRING,"
+        " _commit_version BIGINT, _commit_timestamp TIMESTAMP",
+    )
+    boot.commit_tx()
+
+    def dst_factory():
+        return DeltaLakeClient(spark, dst_root)
+
+    q = (
+        read_table_stream(spark, src_root, "ord", read_change_feed=True)
+        .writeStream.foreachBatch(
+            foreach_batch_writer(dst_factory, "feed", "cdf_app")
+        )
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dles_cdfck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = dst_factory()
+    out.new_tx()
+    return (
+        out.scan("feed", with_stamps=False)
+        .groupBy("_commit_version", "_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("price_sum"),
+        )
+        .select(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+            "n",
+            "price_sum",
+        )
+    )
+
+
+# each commit's net change set re-derived from the operations:
+# v2 inserts everything; v3 deletes the price range; v4 inserts the
+# repriced %10 versions; v5 DV-deletes key-range rows LIVE at v4 —
+# originals outside the v3 price range plus repriced %10 copies
+ENGINE_STREAM_CDF_SQL = """
+SELECT 2 AS commit_version, 'insert' AS change_type,
+       COUNT(*) AS n, round(SUM(o_totalprice), 2) AS price_sum
+FROM orders
+UNION ALL
+SELECT 3, 'delete', COUNT(*), round(SUM(o_totalprice), 2)
+FROM orders WHERE o_totalprice BETWEEN 50000.0 AND 100000.0
+UNION ALL
+SELECT 4, 'insert', COUNT(*), round(SUM(o_totalprice * 2.0), 2)
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT 5, 'delete', COUNT(*), round(SUM(p), 2) FROM (
+  SELECT o_totalprice AS p FROM orders
+  WHERE o_orderkey BETWEEN 1000 AND 3000
+    AND o_totalprice NOT BETWEEN 50000.0 AND 100000.0
+  UNION ALL
+  SELECT o_totalprice * 2.0 FROM orders
+  WHERE o_orderkey BETWEEN 1000 AND 3000 AND o_orderkey % 10 = 0
+)
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_stream_source": engine_stream_source,
+    "engine_stream_cdf": engine_stream_cdf,
     "engine_not_null_reject": engine_not_null_reject,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
@@ -1009,6 +1129,7 @@ QUERIES = {
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_stream_source": ENGINE_STREAM_SOURCE_SQL,
+    "engine_stream_cdf": ENGINE_STREAM_CDF_SQL,
     "engine_not_null_reject": ENGINE_NOT_NULL_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,

@@ -323,3 +323,113 @@ def test_snapshot_branch_guards_post_pin_metadata(spark, tmp_path):
     reader2 = EngineTableStreamReader(str(tmp_path), {"table": "t"})
     parts = reader2.partitions({"version": -1}, {"version": latest})
     assert parts
+
+
+def _drain_cdf(spark, root, ck, collect_cols):
+    rows = []
+
+    def collect(batch_df, _bid):
+        rows.extend(tuple(r[c] for c in collect_cols) for r in batch_df.collect())
+
+    q = (
+        read_table_stream(spark, root, "t", read_change_feed=True)
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_cdf_stream_folds_to_current_state(spark, tmp_path):
+    """readChangeFeed (Delta's option): the streamed insert/delete rows
+    per commit fold to EXACTLY the current table state across COW
+    delete, append, and DV delete; per-version counts match the commit
+    structure; timestamps ride along non-null."""
+    from collections import Counter
+
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v DOUBLE")  # v1
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t", spark.range(0, 20).select("id", (F.col("id") * 1.0).alias("v"))
+    )
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.delete_rows("t", "id", 5, 9)  # v3 COW
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t", spark.range(100, 105).select("id", F.lit(7.0).alias("v"))
+    )
+    c.commit_tx()  # v4
+    c.new_tx()
+    c.delete_rows("t", "id", 0, 1, use_dv=True)  # v5 DV
+    c.commit_tx()
+
+    rows = _drain_cdf(
+        spark, root, str(tmp_path / "ck"),
+        ["_commit_version", "_change_type", "id", "v", "_commit_timestamp"],
+    )
+    by_ver = Counter((r[0], r[1]) for r in rows)
+    assert by_ver == {
+        (2, "insert"): 20,
+        (3, "delete"): 5,
+        (4, "insert"): 5,
+        (5, "delete"): 2,
+    }
+    assert all(r[4] is not None for r in rows)
+    net = Counter()
+    for r in rows:
+        net[(r[2], r[3])] += 1 if r[1] == "insert" else -1
+    folded = sorted(k for k, n in net.items() if n > 0 for _ in range(n))
+    c.new_tx()
+    cur = sorted(
+        (r["id"], r["v"]) for r in c.scan("t", with_stamps=False).collect()
+    )
+    assert folded == cur
+    c.abort_tx()
+
+
+def test_cdf_compaction_nets_zero(spark, tmp_path):
+    """Compaction rewrites every row it removes: the per-commit stamp
+    anti-join cancels them all — a compaction commit streams ZERO
+    change rows (the scan_changes contract, per commit)."""
+    root = str(tmp_path)
+    c = _seed(spark, root, n_commits=3)
+    ck = str(tmp_path / "ck")
+    first = _drain_cdf(spark, root, ck, ["_commit_version", "_change_type"])
+    assert len(first) == 30
+    c.new_tx()
+    c.compact("t")
+    c.commit_tx()
+    resumed = _drain_cdf(spark, root, ck, ["_commit_version", "_change_type"])
+    assert resumed == []
+
+
+def test_cdf_option_validation(spark, tmp_path):
+    _seed(spark, str(tmp_path), n_commits=1)
+    with pytest.raises(Exception, match="skipChangeCommits contradicts"):
+        _drain(
+            spark,
+            read_table_stream(
+                spark, str(tmp_path), "t",
+                read_change_feed=True, skip_change_commits=True,
+            ),
+            "es_cdf_bad",
+            str(tmp_path / "ck1"),
+        )
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _drain(
+            spark,
+            read_table_stream(
+                spark, str(tmp_path), "t",
+                read_change_feed=True, with_stamps=True,
+            ),
+            "es_cdf_bad2",
+            str(tmp_path / "ck2"),
+        )
