@@ -268,6 +268,24 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         " adopt the new schema (Delta's contract)"
                     )
 
+    def _raise_on_vacuumed(self, store, v: int, names) -> None:
+        """CDF replays HISTORY by object path, but VACUUM physically
+        reclaims objects unreferenced by retained snapshots while the
+        log records remain — a from-birth feed on a vacuumed table
+        would otherwise die mid-replay with an opaque executor
+        FileNotFoundError. Check at PLANNING time and name the remedy."""
+        import os as _os
+
+        for n in names:
+            if not _os.path.exists(store.path_of(n)):
+                raise ValueError(
+                    f"engine_table source: commit v{v} references object"
+                    f" {n!r}, which VACUUM has reclaimed - the change feed"
+                    " cannot replay past the retention horizon; pass"
+                    " .option('startingVersion', <a retained version>)"
+                    " (Delta requires one for CDF for the same reason)"
+                )
+
     def _part(self, store, body_name: str, dv_names=()) -> EngineFilePartition:
         return EngineFilePartition(
             path=store.path_of(body_name),
@@ -332,6 +350,20 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 table_known = True  # the CREATE itself streams fine
             if self.read_change_feed:
                 if adds or removes or dvs:
+                    if removes:
+                        # removed files' PRIOR deletion-vector masks
+                        # (as of the commit's from-state) apply before
+                        # the anti-join — scan_changes' DV-aware read
+                        prior_dvs = replay_log(store, as_of=v - 1).table_dvs(
+                            self.table
+                        )
+                    names = (
+                        [b["name"] for b in adds]
+                        + [b["name"] for b in removes]
+                        + [b["dv_name"] for b in dvs]
+                        + [o for b in dvs for o in b["objects"]]
+                    )
+                    self._raise_on_vacuumed(store, v, names)
                     parts.append(
                         EngineCdfPartition(
                             version=v,
@@ -340,7 +372,15 @@ class EngineTableStreamReader(DataSourceStreamReader):
                                 store.path_of(b["name"]) for b in adds
                             ],
                             remove_paths=[
-                                store.path_of(b["name"]) for b in removes
+                                (
+                                    store.path_of(b["name"]),
+                                    b["name"],
+                                    [
+                                        store.path_of(d)
+                                        for d in prior_dvs.get(b["name"], ())
+                                    ],
+                                )
+                                for b in removes
                             ],
                             dvs=[
                                 (
@@ -452,6 +492,8 @@ class EngineCdfPartition(InputPartition):
     version: int = 0
     ts_micros: int = 0
     add_paths: list = field(default_factory=list)
+    # [(path, obj_name, [prior-dv paths])] — masks accumulated BEFORE
+    # this commit apply to removed files before the anti-join
     remove_paths: list = field(default_factory=list)
     # [(dv_path, {target_obj_name: target_path})]
     dvs: list = field(default_factory=list)
@@ -472,34 +514,62 @@ def _read_engine_cdf(part: EngineCdfPartition) -> Iterator[Any]:
     import pyarrow.parquet as pq
 
     keys = [_TX_COL, _IDX_COL]
+    # the schema-stable projection every side is normalized to BEFORE
+    # any concat/join: current physical columns cast to their DECLARED
+    # arrow types (files span eras — a widened column is int32 in old
+    # files and int64 in new ones; a missing column reads as NULL) +
+    # the stamp columns. Dropped columns' physical leftovers never
+    # enter, so their cross-era width drift can't poison a concat.
+    wanted = [
+        (physical, _arrow_type(typ)) for _, physical, typ in part.columns
+    ] + [(_TX_COL, pa.int64()), (_IDX_COL, pa.int64())]
 
-    def _union(paths):
-        tbls = [pq.read_table(p) for p in paths]
+    def _mask_rows(tbl, masked: set):
+        if not masked:
+            return tbl
+        import numpy as np
+
+        keep = np.ones(tbl.num_rows, dtype=bool)
+        keep[np.fromiter(masked, dtype=np.int64)] = False
+        return tbl.filter(pa.array(keep))
+
+    def _normalize(tbl):
+        cols = []
+        for name, typ in wanted:
+            if name in tbl.column_names:
+                cols.append(pc.cast(tbl.column(name), typ))
+            else:
+                cols.append(pa.nulls(tbl.num_rows, type=typ))
+        return pa.table(cols, names=[n for n, _ in wanted])
+
+    def _prior_mask(obj_name: str, dv_paths) -> set:
+        masked: set = set()
+        for p in dv_paths:
+            dv = pq.read_table(p, columns=["obj", "row_idx"])
+            for o, i in zip(
+                dv.column("obj").to_pylist(), dv.column("row_idx").to_pylist()
+            ):
+                if o == obj_name:
+                    masked.add(int(i))
+        return masked
+
+    def _union(entries):
+        # entries: [(path, obj_name, prior-dv paths)] — prior deletion
+        # vectors apply BEFORE the anti-join, matching scan_changes'
+        # DV-aware read of removed files: a row soft-deleted in an
+        # EARLIER commit is not "deleted again" when a later rewrite
+        # or compaction retires its file (the rewrite materialized the
+        # mask, so the raw removed file is wider than the live rows)
+        tbls = [
+            _normalize(_mask_rows(pq.read_table(p), _prior_mask(o, dvs)))
+            for p, o, dvs in entries
+        ]
         tbls = [t for t in tbls if t.num_rows]
         if not tbls:
             return None
-        if len(tbls) == 1:
-            return tbls[0]
-        # schemas may differ across eras (added columns): align on the
-        # union by name, missing columns as NULL
-        all_names: list[str] = []
-        for t in tbls:
-            for n in t.column_names:
-                if n not in all_names:
-                    all_names.append(n)
-        aligned = []
-        for t in tbls:
-            cols = []
-            for n in all_names:
-                if n in t.column_names:
-                    cols.append(t.column(n))
-                else:
-                    ref = next(x.column(n) for x in tbls if n in x.column_names)
-                    cols.append(pa.nulls(t.num_rows, type=ref.type))
-            aligned.append(pa.table(cols, names=all_names))
-        return pa.concat_tables(aligned)
+        return tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
 
-    added = _union(part.add_paths)
+    added = _union([(p, "", ()) for p in part.add_paths])
     removed = _union(part.remove_paths)
 
     def _anti(left, right):

@@ -433,3 +433,113 @@ def test_cdf_option_validation(spark, tmp_path):
             "es_cdf_bad2",
             str(tmp_path / "ck2"),
         )
+
+
+def test_cdf_prior_dv_masks_not_redelivered(spark, tmp_path):
+    """Review fix (r9, pass 2): a row soft-deleted by an EARLIER DV
+    commit must not be emitted as a delete AGAIN when a later COW
+    rewrite retires its file — removed files are read with their
+    prior masks applied, exactly like scan_changes."""
+    from collections import Counter
+
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v DOUBLE")  # v1
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t", spark.range(0, 20).select("id", (F.col("id") * 1.0).alias("v"))
+    )
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.delete_rows("t", "id", 0, 1, use_dv=True)  # v3: DV mask ids 0,1
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "id", 5, 9)  # v4: COW rewrite of the SAME file
+    c.commit_tx()
+
+    rows = _drain_cdf(
+        spark, root, str(tmp_path / "ck"),
+        ["_commit_version", "_change_type", "id", "v"],
+    )
+    by_ver = Counter((r[0], r[1]) for r in rows)
+    assert by_ver == {
+        (2, "insert"): 20,
+        (3, "delete"): 2,
+        (4, "delete"): 5,  # NOT 7: ids 0,1 were already dead
+    }
+    net = Counter()
+    for r in rows:
+        net[(r[2], r[3])] += 1 if r[1] == "insert" else -1
+    folded = sorted(k for k, n in net.items() if n > 0 for _ in range(n))
+    c.new_tx()
+    cur = sorted(
+        (r["id"], r["v"]) for r in c.scan("t", with_stamps=False).collect()
+    )
+    assert folded == cur
+    c.abort_tx()
+
+
+def test_cdf_across_type_widening_boundary(spark, tmp_path):
+    """Review fix (r9, pass 2): a CDF commit whose files span a
+    widening boundary (int32 and int64 physical widths under one
+    declared BIGINT) must normalize to the declared types before the
+    concat/anti-join instead of crashing."""
+    from collections import Counter
+
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id INT, v DOUBLE")  # v1
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(0, 10).select(
+            F.col("id").cast("int"), (F.col("id") * 1.0).alias("v")
+        ),
+    )
+    c.commit_tx()  # v2: int32 file
+    c.new_tx()
+    c.widen_column("t", "id", "bigint")  # v3: metadata only
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t", spark.range(100, 110).select("id", (F.col("id") * 1.0).alias("v"))
+    )
+    c.commit_tx()  # v4: int64 file
+    c.new_tx()
+    c.compact("t")  # v5: removes BOTH eras' files in one commit
+    c.commit_tx()
+
+    rows = _drain_cdf(
+        spark, root, str(tmp_path / "ck"),
+        ["_commit_version", "_change_type", "id"],
+    )
+    by_ver = Counter((r[0], r[1]) for r in rows)
+    # compaction nets to zero; the two inserts stream in declared types
+    assert by_ver == {(2, "insert"): 10, (4, "insert"): 10}
+    assert all(isinstance(r[2], int) for r in rows)
+
+
+def test_cdf_vacuumed_history_raises_clearly(spark, tmp_path):
+    """Review fix (r9, pass 2): a from-birth change feed over a table
+    whose history VACUUM reclaimed must fail at PLANNING time with an
+    error naming the remedy, not mid-replay with FileNotFoundError."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v DOUBLE")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t", spark.range(0, 10).select("id", (F.col("id") * 1.0).alias("v"))
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "id", 0, 4)  # rewrite: the original file dies
+    c.commit_tx()
+    c.vacuum(retain_versions=0)  # keep only the head: history objects die
+    with pytest.raises(Exception, match="VACUUM has reclaimed"):
+        _drain_cdf(spark, root, str(tmp_path / "ck"), ["_commit_version"])
