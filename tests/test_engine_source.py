@@ -543,3 +543,137 @@ def test_cdf_vacuumed_history_raises_clearly(spark, tmp_path):
     c.vacuum(retain_versions=0)  # keep only the head: history objects die
     with pytest.raises(Exception, match="VACUUM has reclaimed"):
         _drain_cdf(spark, root, str(tmp_path / "ck"), ["_commit_version"])
+
+
+def test_cdf_drives_streaming_mv_maintenance(spark, tmp_path):
+    """The Delta-style streaming-MV composition: tail a table's CHANGE
+    FEED and fold each micro-batch's net deltas into a per-key
+    aggregate MV through the exactly-once MERGE sink — the MV equals a
+    full recompute after inserts, COW deletes, and a resumed run
+    (incremental == recompute, maintained by a stream instead of the
+    batch refresh)."""
+    from pyspark.sql import functions as F2
+
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_writer,
+    )
+
+    src_root = str(tmp_path / "src")
+    mv_root = str(tmp_path / "mv")
+    os.makedirs(src_root)
+    os.makedirs(mv_root)
+    c = DeltaLakeClient(spark, src_root)
+    c.new_tx()
+    c.create_table("t", "grp BIGINT, x DOUBLE")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(0, 40).select(
+            (F2.col("id") % 4).alias("grp"), (F2.col("id") * 1.0).alias("x")
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "x", 10.0, 19.0)
+    c.commit_tx()
+
+    boot = DeltaLakeClient(spark, mv_root)
+    boot.new_tx()
+    boot.create_table(
+        "mv", "grp BIGINT, n BIGINT, x_sum DOUBLE, ver BIGINT",
+        primary_keys=["grp"],
+    )
+    boot.commit_tx()
+
+    def mv_factory():
+        return DeltaLakeClient(spark, mv_root)
+
+    ck = str(tmp_path / "ck")
+
+    def fold(client, batch_df):
+        # net per-key delta of this micro-batch, folded onto the MV's
+        # current state READ THROUGH THE OPEN TRANSACTION
+        delta = batch_df.groupBy("grp").agg(
+            F2.sum(
+                F2.when(F2.col("_change_type") == "insert", 1).otherwise(-1)
+            ).alias("dn"),
+            F2.sum(
+                F2.when(
+                    F2.col("_change_type") == "insert", F2.col("x")
+                ).otherwise(-F2.col("x"))
+            ).alias("dx"),
+            F2.max("_commit_version").alias("ver"),
+        )
+        cur = client.scan_current("mv").select("grp", "n", "x_sum")
+        return (
+            delta.join(cur, "grp", "left")
+            .select(
+                "grp",
+                (F2.coalesce(F2.col("n"), F2.lit(0)) + F2.col("dn")).alias("n"),
+                (
+                    F2.coalesce(F2.col("x_sum"), F2.lit(0.0)) + F2.col("dx")
+                ).alias("x_sum"),
+                "ver",
+            )
+        )
+
+    def merge_fold(client, batch_df):
+        client.merge("mv", fold(client, batch_df))
+        # nothing left to append: return an empty frame of mv's shape
+        return spark.createDataFrame(
+            [], "grp BIGINT, n BIGINT, x_sum DOUBLE, ver BIGINT"
+        )
+
+    def run2():
+        q = (
+            read_table_stream(spark, src_root, "t", read_change_feed=True)
+            .writeStream.foreachBatch(
+                foreach_batch_writer(mv_factory, "mv", "mv_app", transform=merge_fold)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run2()
+
+    def recompute():
+        cc = DeltaLakeClient(spark, src_root)
+        cc.new_tx()
+        want = {
+            (r["grp"]): (r["n"], round(r["x_sum"], 6))
+            for r in cc.scan("t", with_stamps=False)
+            .groupBy("grp")
+            .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("x").alias("x_sum"))
+            .collect()
+        }
+        cc.abort_tx()
+        m = mv_factory()
+        m.new_tx()
+        got = {
+            r["grp"]: (r["n"], round(r["x_sum"], 6))
+            for r in m.scan_current("mv").filter(F2.col("n") > 0).collect()
+        }
+        m.abort_tx()
+        return want, got
+
+    want, got = recompute()
+    assert got == want
+
+    # more commits, resumed run: still equals recompute
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(100, 120).select(
+            (F2.col("id") % 4).alias("grp"), (F2.col("id") * 1.0).alias("x")
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "x", 100.0, 104.0)
+    c.commit_tx()
+    run2()
+    want, got = recompute()
+    assert got == want
