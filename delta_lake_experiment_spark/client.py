@@ -2537,9 +2537,15 @@ class DeltaLakeClient:
         if not candidates:
             return
         stored = self._stored_schema(schema)
-        pred = F.col(column).between(F.lit(start), F.lit(end))
         if use_dv:
-            self._delete_rows_dv(tx, table, snap, stored, pred, candidates)
+            self._delete_rows_dv(
+                tx,
+                table,
+                snap,
+                stored,
+                F.col(column).between(F.lit(start), F.lit(end)),
+                candidates,
+            )
             return
         # Small-transaction fast path: when the stat-pruned candidates
         # hold few rows in total (num_rows is in every add action), the
@@ -2560,8 +2566,13 @@ class DeltaLakeClient:
             cand_rows <= _DRIVER_DELETE_MAX_ROWS
             and column not in snap.defaults.get(table, {})
         ):
+            # pure pyarrow + store API: works with no SparkSession at
+            # all (multiprocess OLTP workers delete through this path)
             self._delete_rows_driver(tx, table, snap, schema, column, start, end, candidates)
             return
+        # the Column is built only on the Spark paths — constructing it
+        # above would pin even driver-side deletes to a live session
+        pred = F.col(column).between(F.lit(start), F.lit(end))
         cand_df = self._read_live(table, snap, stored, candidates, with_pos=True)
         affected_names = {
             r[0] for r in cand_df.filter(pred).select("__obj").distinct().collect()

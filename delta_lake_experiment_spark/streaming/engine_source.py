@@ -409,6 +409,10 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         " them as insert/delete change rows"
                     )
                 continue  # skip the whole commit, adds included
+            if adds:
+                # a replayed add may have been rewritten later and then
+                # VACUUMed — same planning-time guard as the change feed
+                self._raise_on_vacuumed(store, v, [b["name"] for b in adds])
             for body in adds:
                 parts.append(self._part(store, body["name"]))
         return parts

@@ -149,3 +149,68 @@ def test_multiprocess_shared_table_serializes(tmp_path):
         assert rec["id"] not in seen_ids
         seen_ids.add(rec["id"])
     assert len(seen_ids) == 1 + N_WRITERS * N_COMMITS, "lost commits"
+
+
+def _mixed_writer(root: str, wid: int, q) -> None:
+    """Appends + periodic COW deletes of the worker's OWN earlier keys
+    (disjoint ranges per worker, so stat-pruned deletes target only
+    own objects): stresses r9's file-granularity admission — blind
+    appends and disjoint COW deletes retarget+restamp inside
+    commit_tx; run_tx backstops budget exhaustion."""
+    try:
+        c = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+        base = wid * 1_000_000
+        for i in range(N_COMMITS):
+
+            def _append(cl):
+                for j in range(ROWS_PER_COMMIT):
+                    cl.write_row("mixed", [base + i * 100 + j, wid])
+
+            c.run_tx(_append, retries=200)
+            if i % 2 == 1:  # delete the previous commit's first 2 rows
+
+                def _delete(cl):
+                    lo = base + (i - 1) * 100
+                    cl.delete_rows("mixed", "k", lo, lo + 1)
+
+                c.run_tx(_delete, retries=200)
+        q.put((wid, "ok"))
+    except BaseException as e:  # pragma: no cover
+        q.put((wid, f"{type(e).__name__}: {e}"))
+
+
+def test_multiprocess_mixed_appends_and_deletes(tmp_path):
+    """4 processes interleaving appends and own-range COW deletes on
+    ONE table under real OS races: no lost commit, no lost or
+    double-applied delete, and the re-keyed stamps stay globally
+    unique."""
+    root = str(tmp_path / "store")
+    store = LocalObjectStorage(root)
+    boot = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+    boot.new_tx()
+    boot.create_table("mixed", "k BIGINT, v BIGINT")
+    boot.commit_tx()
+    _run_workers(_mixed_writer, root)
+
+    snap = replay_log(store)
+    objs = snap.live_objects("mixed")
+    deletes_per_worker = (N_COMMITS // 2) * 2
+    expected = N_WRITERS * (N_COMMITS * ROWS_PER_COMMIT - deletes_per_worker)
+    assert sum(o.num_rows for o in objs) == expected
+    import pyarrow.parquet as pq
+
+    stamps, keys = [], []
+    for o in objs:
+        t = pq.read_table(store.path_of(o.name), columns=["k", "_tx_id", "_row_idx"])
+        stamps.extend(zip(t["_tx_id"].to_pylist(), t["_row_idx"].to_pylist()))
+        keys.extend(t["k"].to_pylist())
+    assert len(stamps) == len(set(stamps)), "colliding stamps after admission"
+    # exactly the undeleted keys survive, each once
+    want = sorted(
+        wid * 1_000_000 + i * 100 + j
+        for wid in range(N_WRITERS)
+        for i in range(N_COMMITS)
+        for j in range(ROWS_PER_COMMIT)
+        if not (i % 2 == 0 and i + 1 < N_COMMITS and j < 2)
+    )
+    assert sorted(keys) == want

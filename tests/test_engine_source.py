@@ -677,3 +677,33 @@ def test_cdf_drives_streaming_mv_maintenance(spark, tmp_path):
     run2()
     want, got = recompute()
     assert got == want
+
+
+def test_tail_replay_over_vacuumed_history_raises_clearly(spark, tmp_path):
+    """Tail-mode replay (explicit startingVersion) of a commit whose
+    added object was later rewritten and VACUUMed fails at planning
+    time with the named remedy — same guard as the change feed. The
+    default snapshot mode is immune (it reads only LIVE files)."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v DOUBLE")
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "t", spark.range(0, 10).select("id", (F.col("id") * 1.0).alias("v"))
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "id", 0, 4)  # rewrite retires the v2 object
+    c.commit_tx()
+    c.vacuum(retain_versions=0)
+    with pytest.raises(Exception, match="VACUUM has reclaimed"):
+        _drain_collect(
+            spark, root, str(tmp_path / "ck1"),
+            starting_version=0, skip_change_commits=True,
+        )
+    # the snapshot default reads only live files: unaffected
+    assert _drain_collect(spark, root, str(tmp_path / "ck2")) == list(
+        range(5, 10)
+    )
