@@ -116,6 +116,13 @@ class ObjectStorage(ABC):
         Advisory metadata used by VACUUM's dry-run report."""
         return None
 
+    def exists(self, name: str) -> "bool | None":
+        """Whether ``name`` exists, or None when the backend cannot
+        answer cheaply (callers must then assume it might). Used by
+        planning-time guards (e.g. the streaming source's
+        VACUUM-reclaimed check) — never by the commit protocol."""
+        return None
+
 
 class MemoryObjectStorage(ObjectStorage):
     """In-memory object storage — interface demo + unit-test double.
@@ -143,6 +150,9 @@ class MemoryObjectStorage(ObjectStorage):
 
     def path_of(self, name: str) -> str:
         raise NotImplementedError("MemoryObjectStorage holds no Spark-readable paths")
+
+    def exists(self, name: str) -> bool:
+        return name in self._objects
 
     def delete(self, name: str) -> None:
         self._objects.pop(name, None)
@@ -216,6 +226,9 @@ class LocalObjectStorage(ObjectStorage):
             return os.path.getsize(self._safe_path(name))
         except FileNotFoundError:
             return None
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._safe_path(name))
 
     def begin_bucket_scan_area(self) -> Optional[BucketScanArea]:
         return LocalBucketScanArea(self)

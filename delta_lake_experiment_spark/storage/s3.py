@@ -179,6 +179,15 @@ class S3ObjectStorage(ObjectStorage):
     def delete(self, name: str) -> None:
         self.client.delete_object(Bucket=self.bucket, Key=self._key(name))
 
+    def exists(self, name: str) -> "bool | None":
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=self._key(name))
+            return True
+        except AttributeError:
+            return None  # client double without head_object: unknown
+        except Exception:
+            return False
+
     def mtime(self, name: str) -> Optional[float]:
         try:
             resp = self.client.head_object(Bucket=self.bucket, Key=self._key(name))

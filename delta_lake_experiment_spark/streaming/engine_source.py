@@ -51,12 +51,15 @@ because log records are immutable), and the engine SINK's ``txn
 redelivery, so engine-table -> transform -> engine-table pipelines are
 exactly-once with no extra bookkeeping.
 
-Store constraint: the reader opens data objects by filesystem path
-(``LocalObjectStorage.path_of``) from executor-side pyarrow, so the
-source currently serves LOCAL/NFS-visible stores; a remote (S3)
-deployment needs executors that can open the store's URIs (pyarrow
-S3 filesystem) — the partition descriptors already carry plain path
-strings, so that is a reader-side swap, not a protocol change.
+Store plumbing: planning (offsets, log replay, partition descriptors)
+runs DRIVER-side against an :class:`ObjectStorage` — by default
+``LocalObjectStorage(path)``; a remote store registers a zero-arg
+factory via :func:`register_store_factory` and passes
+``.option("storeFactory", key)`` (options are strings-only, and the
+store object is never needed beyond the driver). Executors open the
+partition descriptors' PATHS directly (``store.path_of`` URIs — local
+paths here, ``s3a://`` on a real cluster where the parquet reader has
+the S3 filesystem).
 
 Scale notes: ``latestOffset`` is one O(log tail) listing;
 ``partitions`` replays metadata only (checkpoint-accelerated) and
@@ -84,6 +87,49 @@ from delta_lake_experiment_spark.plans.snapshot import (
 from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage
 
 SOURCE_NAME = "engine_table"
+
+# Driver-side registry for NON-LOCAL stores: the Python Data Source API
+# only round-trips STRING options, and the store object itself is never
+# needed on executors (partitions carry plain paths the executors'
+# parquet reader can open — s3a:// URIs on a real cluster). Register a
+# zero-arg factory under a key and pass .option("storeFactory", key);
+# offsets/planning then run against that store instead of
+# LocalObjectStorage(path). The `path` option remains the LOCATION
+# string for the default local case.
+STORE_FACTORIES: dict = {}
+
+
+def register_store_factory(key: str, factory) -> None:
+    """Register ``factory() -> ObjectStorage`` for
+    ``.option("storeFactory", key)``. NOTE: Spark runs the Python data
+    source in its own worker process, so the in-process registry only
+    reaches readers constructed in THIS process (unit use); under a
+    real stream pass either a PICKLABLE store to
+    :func:`register_engine_source` (it rides the pickled DataSource
+    subclass by value) or a ``"module:attr"`` import path the worker
+    can resolve."""
+    STORE_FACTORIES[key] = factory
+
+
+def _resolve_store(factory_key, root):
+    if factory_key:
+        if factory_key in STORE_FACTORIES:
+            return STORE_FACTORIES[factory_key]()
+        if ":" in factory_key:
+            import importlib
+
+            mod, _, attr = factory_key.partition(":")
+            return getattr(importlib.import_module(mod), attr)()
+        raise ValueError(
+            f"engine_table source: storeFactory {factory_key!r} is"
+            " neither a registered key nor a 'module:attr' import path"
+        )
+    if not root:
+        raise ValueError(
+            "engine_table source: .load(<store root>) is required"
+            " without a bound store or storeFactory"
+        )
+    return LocalObjectStorage(root)
 
 # "before the initial snapshot" offset sentinel (no committed version
 # is ever negative)
@@ -182,8 +228,9 @@ class EngineFilePartition(InputPartition):
 
 
 class EngineTableStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, options) -> None:
+    def __init__(self, root: str, options, store=None) -> None:
         self.root = root
+        self._bound = store
         self.table = options.get("table")
         if not self.table:
             raise ValueError("engine_table source: option 'table' is required")
@@ -198,6 +245,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self.read_change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
+        self.store_factory_key = options.get("storefactory")
         if self.read_change_feed:
             if self.skip_change_commits:
                 raise ValueError(
@@ -214,7 +262,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 # Delta requires a startingVersion for CDF; from-birth
                 # replay is the natural default here (the log IS the feed)
                 self.start_version = 0
-        store = LocalObjectStorage(root)
+        store = self._store()
         snap = replay_log(store)
         if self.table not in snap.tables:
             raise ValueError(
@@ -234,12 +282,17 @@ class EngineTableStreamReader(DataSourceStreamReader):
             for c, d in snap.defaults.get(self.table, {}).items()
         }
 
+    def _store(self):
+        if self._bound is not None:
+            return self._bound
+        return _resolve_store(self.store_factory_key, self.root)
+
     # -- offsets --------------------------------------------------------
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        store = LocalObjectStorage(self.root)
+        store = self._store()
         names = store.list_prefix_ordered(LOG_PREFIX)
         latest = int(names[-1][len(LOG_PREFIX):]) if names else 0
         return {"version": latest}
@@ -274,10 +327,8 @@ class EngineTableStreamReader(DataSourceStreamReader):
         log records remain — a from-birth feed on a vacuumed table
         would otherwise die mid-replay with an opaque executor
         FileNotFoundError. Check at PLANNING time and name the remedy."""
-        import os as _os
-
         for n in names:
-            if not _os.path.exists(store.path_of(n)):
+            if store.exists(n) is False:
                 raise ValueError(
                     f"engine_table source: commit v{v} references object"
                     f" {n!r}, which VACUUM has reclaimed - the change feed"
@@ -297,7 +348,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
         )
 
     def partitions(self, start: dict, end: dict):
-        store = LocalObjectStorage(self.root)
+        store = self._store()
         lo, hi = int(start["version"]), int(end["version"])
         if lo == _BEGINNING:
             # initial snapshot batch: all live files at `hi`, DV masks
@@ -628,23 +679,37 @@ def _read_engine_cdf(part: EngineCdfPartition) -> Iterator[Any]:
 class EngineTableDataSource(DataSource):
     """``spark.readStream.format("engine_table").option("table", t)
     .load(store_root)`` — see module docstring. Batch reads go through
-    the client (scan/scan_as_of); this source is streaming-only."""
+    the client (scan/scan_as_of); this source is streaming-only.
+
+    ``_bound_store``: a PICKLABLE ObjectStorage bound onto a dynamic
+    subclass by :func:`register_engine_source` — cloudpickle ships
+    class attributes by value into Spark's python-data-source worker,
+    which is the one clean channel for a remote store object (options
+    are strings-only and the worker is a separate process)."""
+
+    _bound_store = None
 
     @classmethod
     def name(cls) -> str:
         return SOURCE_NAME
 
+    def _resolve(self):
+        if type(self)._bound_store is not None:
+            return type(self)._bound_store
+        return _resolve_store(
+            self.options.get("storefactory"), self.options.get("path")
+        )
+
     def schema(self) -> str:
-        root = self.options.get("path")
         table = self.options.get("table")
-        if not root or not table:
+        if not table:
             raise ValueError(
-                "engine_table source: .load(<store root>) and"
-                " .option('table', <name>) are both required"
+                "engine_table source: .option('table', <name>) is required"
             )
-        snap = replay_log(LocalObjectStorage(root))
+        store = self._resolve()
+        snap = replay_log(store)
         if table not in snap.tables:
-            raise ValueError(f"engine_table source: no table {table!r} at {root}")
+            raise ValueError(f"engine_table source: no table {table!r}")
         ddl = snap.tables[table]
         if str(self.options.get("readchangefeed", "false")).lower() == "true":
             return (
@@ -656,12 +721,31 @@ class EngineTableDataSource(DataSource):
         return ddl
 
     def streamReader(self, schema) -> EngineTableStreamReader:
-        return EngineTableStreamReader(self.options.get("path"), self.options)
+        return EngineTableStreamReader(
+            self.options.get("path"), self.options, store=self._resolve()
+        )
 
 
-def register_engine_source(spark) -> None:
-    """Register the source on this session (idempotent)."""
-    spark.dataSource.register(EngineTableDataSource)
+def register_engine_source(spark, store=None, name=None) -> str:
+    """Register the source on this session (idempotent); returns the
+    format name. Passing a PICKLABLE ``store`` registers a dedicated
+    format bound to it (remote object stores — the store object rides
+    the pickled subclass into the data-source worker; boto3-backed
+    clients are not picklable, use a ``"module:attr"`` storeFactory
+    the worker can import instead)."""
+    if store is None:
+        spark.dataSource.register(EngineTableDataSource)
+        return SOURCE_NAME
+    import uuid as _uuid
+
+    fmt = name or f"engine_table_{_uuid.uuid4().hex[:8]}"
+    bound = type(
+        "BoundEngineTableDataSource",
+        (EngineTableDataSource,),
+        {"_bound_store": store, "name": classmethod(lambda cls: fmt)},
+    )
+    spark.dataSource.register(bound)
+    return fmt
 
 
 def read_table_stream(
