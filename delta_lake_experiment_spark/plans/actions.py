@@ -48,6 +48,16 @@ class AddDataObject:
     # bucket-key joins plan no Exchange; COW rewrites of a single
     # object inherit its label (a row subset stays in its bucket).
     bucket_id: Optional[int] = None
+    # add PROVENANCE for commit-time conflict resolution (Delta's
+    # ConflictChecker distinguishes AddFiles that rewrite removed data
+    # from fresh inserts): True = this object holds only rows carried
+    # over from files the SAME commit removes/masks (COW rewrite,
+    # compaction, DV materialization, RESTORE re-adds). Rewrite adds
+    # introduce no rows a concurrent reader could not already have
+    # seen, so they are exempt from the read-scope append check;
+    # fresh-insert adds are not (a read-modify-write admitted against
+    # a concurrent insert in its read range is a silent lost update).
+    rewrite: bool = False
 
     def to_json(self) -> dict[str, Any]:
         out: dict[str, Any] = {
@@ -61,6 +71,8 @@ class AddDataObject:
             out["blooms"] = self.blooms
         if self.bucket_id is not None:
             out["bucket_id"] = self.bucket_id
+        if self.rewrite:
+            out["rw"] = True
         return {"add": out}
 
 
@@ -211,6 +223,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             bucket_id=(
                 int(a["bucket_id"]) if a.get("bucket_id") is not None else None
             ),
+            rewrite=bool(a.get("rw", False)),
         )
     if "remove" in obj:
         r = obj["remove"]

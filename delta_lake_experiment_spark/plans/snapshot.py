@@ -258,6 +258,7 @@ class Snapshot:
                         if a.get("bucket_id") is not None
                         else None
                     ),
+                    rewrite=bool(a.get("rw", False)),
                 )
                 for a in objs
             }
