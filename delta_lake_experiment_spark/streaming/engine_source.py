@@ -72,7 +72,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Iterator
+from typing import Any, Iterator, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -246,6 +246,27 @@ class EngineTableStreamReader(DataSourceStreamReader):
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
         self.store_factory_key = options.get("storefactory")
+        # Admission control (Delta's maxFilesPerTrigger shape): cap how
+        # far latestOffset advances per trigger, so a resumed stream
+        # drains its backlog in BOUNDED micro-batches instead of
+        # packing every commit since the checkpoint into one. At 100 TB
+        # an unbounded catch-up batch is the difference between a
+        # stream that recovers and one that OOMs its first trigger.
+        self.max_commits = int(options.get("maxcommitsperbatch", 0) or 0)
+        self.max_files = int(options.get("maxfilesperbatch", 0) or 0)
+        if self.max_commits < 0 or self.max_files < 0:
+            raise ValueError(
+                "engine_table source: maxCommitsPerBatch /"
+                " maxFilesPerBatch must be >= 0 (0 disables the cap)"
+            )
+        # Last log version this stream run has planned or offered —
+        # the base the caps advance from. Learned from partitions()/
+        # commit() (on restart Spark re-plans the checkpointed batch
+        # BEFORE asking for a new latestOffset, so a resumed reader
+        # knows its position by the time the cap applies); None until
+        # then. Per-run state only: the planner worker constructs a
+        # fresh reader for every stream run, never across restarts.
+        self._pos: Optional[int] = None
         if self.read_change_feed:
             if self.skip_change_commits:
                 raise ValueError(
@@ -295,10 +316,52 @@ class EngineTableStreamReader(DataSourceStreamReader):
         store = self._store()
         names = store.list_prefix_ordered(LOG_PREFIX)
         latest = int(names[-1][len(LOG_PREFIX):]) if names else 0
-        return {"version": latest}
+        if not (self.max_commits or self.max_files):
+            return {"version": latest}
+        base = self._pos if self._pos is not None else self.start_version
+        if base == _BEGINNING:
+            # snapshot-first stream's FIRST batch: one consistent
+            # snapshot at `latest` (already per-file partitions — the
+            # fan-out is bounded by task parallelism, not batch
+            # boundaries); the caps bound the TAIL from there on
+            self._pos = latest
+            return {"version": latest}
+        end = latest
+        if self.max_commits:
+            end = min(end, base + self.max_commits)
+        if self.max_files and end > base:
+            # advance whole commits while the file budget lasts (a
+            # commit is never split — offsets are log versions); the
+            # first commit always admits, like Delta's maxFilesPerTrigger
+            budget, chosen = self.max_files, base
+            for name in names:
+                v = int(name[len(LOG_PREFIX):])
+                if v <= base:
+                    continue
+                if v > end:
+                    break
+                record = json.loads(store.read(name))
+                n_adds = sum(
+                    1
+                    for act in record.get("actions", [])
+                    if "add" in act
+                    and act["add"].get("table") == self.table
+                )
+                if n_adds > budget and chosen > base:
+                    break
+                budget -= n_adds
+                chosen = v
+                if budget <= 0:
+                    break
+            end = chosen
+        self._pos = max(base, end)
+        return {"version": self._pos}
 
-    def commit(self, end: dict) -> None:  # nothing to clean up
-        pass
+    def commit(self, end: dict) -> None:  # offsets need no cleanup;
+        # remember the committed position for the admission caps
+        v = int(end.get("version", _BEGINNING))
+        if self._pos is None or v > self._pos:
+            self._pos = v
 
     # -- planning -------------------------------------------------------
     def _raise_on_metadata_between(self, store, lo: int, hi: int) -> None:
@@ -350,6 +413,17 @@ class EngineTableStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         store = self._store()
         lo, hi = int(start["version"]), int(end["version"])
+        if lo != _BEGINNING and hi < lo:
+            # an end older than the start would re-emit committed
+            # versions after the checkpoint advances — refuse loudly
+            # rather than silently duplicate (cannot happen under the
+            # observed driver protocol; this is the invariant guard)
+            raise ValueError(
+                f"engine_table source: offset regression (start v{lo} >"
+                f" end v{hi}) - corrupt checkpoint?"
+            )
+        if self._pos is None or hi > self._pos:
+            self._pos = hi  # a resumed run learns its position here
         if lo == _BEGINNING:
             # initial snapshot batch: all live files at `hi`, DV masks
             # applied — byte-for-byte the batch scan's semantics. The
@@ -756,13 +830,24 @@ def read_table_stream(
     skip_change_commits: bool = False,
     with_stamps: bool = False,
     read_change_feed: bool = False,
+    max_commits_per_batch: int | None = None,
+    max_files_per_batch: int | None = None,
 ):
     """Convenience wrapper: a streaming DataFrame tailing ``table``.
     ``starting_version=None`` (default) = initial-snapshot-then-tail;
     an integer replays committed versions > it file-by-file.
     ``read_change_feed=True`` streams per-commit insert/delete rows
     (+ ``_change_type``/``_commit_version``/``_commit_timestamp``)
-    instead of raising on change commits — Delta's readChangeFeed."""
+    instead of raising on change commits — Delta's readChangeFeed.
+    ``max_commits_per_batch`` / ``max_files_per_batch`` bound how far
+    each micro-batch advances down the log (admission control: a
+    resumed backlog drains in bounded batches instead of one huge
+    catch-up trigger — Delta's maxFilesPerTrigger shape; commits are
+    never split, so at least one commit admits per batch). The caps
+    bound the TAIL; a snapshot-first stream's first batch is the one
+    consistent snapshot. Note: ``availableNow`` runs a SINGLE bounded
+    batch per start for Python sources — rerun from the same
+    checkpoint to keep draining, or use a processing-time trigger."""
     register_engine_source(spark)
     reader = (
         spark.readStream.format(SOURCE_NAME)
@@ -773,4 +858,8 @@ def read_table_stream(
     )
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if max_commits_per_batch is not None:
+        reader = reader.option("maxCommitsPerBatch", str(max_commits_per_batch))
+    if max_files_per_batch is not None:
+        reader = reader.option("maxFilesPerBatch", str(max_files_per_batch))
     return reader.load(root)

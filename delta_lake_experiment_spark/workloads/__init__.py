@@ -497,6 +497,24 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   cross-multiplied retrain recommendation) is pinned by the planted-
 #   drift pytest, and a drifted model or wrong era split value-diverges
 #   every aggregate column.
+# r10 WINDOW ROTATION (VERDICT r9 item 2 — previous round's newborns
+# first, per the codified policy): streaming_corpus_dedup and
+# engine_stream_cdf (both r9-born, both deferred-from-birth, both
+# 3-SF check_oracle green) rotate IN so the driver gate certifies the
+# streaming-source + CDF capstone lane. OUT (both in-window since the
+# r7 rotation = 3 rounds, machinery composed verbatim by queries that
+# stay):
+# - corpus_topic_report -> the Lloyd assignment is
+#   semantic_dedup_corpus's certified chain (in-window, stays), the
+#   per-group rank is latest_event_per_user's row_number machinery
+#   (in-window, stays); the token-count agg is corpus_vocab's lane.
+# - gopher_quality_report -> the map-only regex/array column battery
+#   is doc_text_stats' vectorized string-kernel lane (in-window,
+#   stays), with the same 6-digit ratio grids.
+# Changed-lane note (r10 touches merge/delete conflict semantics):
+# engine_sql_merge, engine_delete_range, engine_upsert_latest and
+# engine_streaming_upsert all stay in-window this round as the verdict
+# asked.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -585,8 +603,8 @@ _DEFERRED_ORACLED = [
     "bpe_merge_table",
     "embedding_pca_components",
     "hard_negative_pairs",
-    "streaming_corpus_dedup",
-    "engine_stream_cdf",
+    "corpus_topic_report",
+    "gopher_quality_report",
 ]
 
 

@@ -707,3 +707,180 @@ def test_tail_replay_over_vacuumed_history_raises_clearly(spark, tmp_path):
     assert _drain_collect(spark, root, str(tmp_path / "ck2")) == list(
         range(5, 10)
     )
+
+
+def _drain_batches(spark, root, ck, **kwargs):
+    """One availableNow run; returns [(sorted ids per batch)] for THIS
+    run (Python sources run availableNow as a single bounded batch)."""
+    batches: list[list[int]] = []
+
+    def collect(batch_df, _bid):
+        batches.append(sorted(r.id for r in batch_df.collect()))
+
+    q = (
+        read_table_stream(spark, root, "t", **kwargs)
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return [b for b in batches if b]
+
+
+def test_bounded_backlog_drains_across_runs(spark, tmp_path):
+    """Admission control (VERDICT r9 item 3): a 9-commit backlog with
+    maxCommitsPerBatch=3 drains in 3 bounded batches — each run resumes
+    the checkpoint mid-backlog — and the union equals the unbounded
+    single-batch result."""
+    c = _seed(spark, str(tmp_path), n_commits=1)
+    ck = str(tmp_path / "ck")
+    assert _drain_collect(spark, str(tmp_path), ck) == list(range(10))
+    for i in range(1, 10):  # 9 more append commits of 10 rows
+        c.new_tx()
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    got: list[list[int]] = []
+    for _ in range(5):
+        bs = _drain_batches(
+            spark, str(tmp_path), ck, max_commits_per_batch=3
+        )
+        got.extend(bs)
+        if not bs:
+            break
+    # 9 commits / cap 3 = exactly 3 bounded catch-up batches
+    assert len(got) == 3, got
+    assert all(len(b) == 30 for b in got), [len(b) for b in got]
+    assert sorted(x for b in got for x in b) == list(range(10, 100))
+
+
+def test_bounded_backlog_single_run_multiple_batches(spark, tmp_path):
+    """The same backlog drains inside ONE continuous query as multiple
+    bounded micro-batches (latestOffset advances the cap from the
+    position learned at the previous batch)."""
+    import time
+
+    c = _seed(spark, str(tmp_path), n_commits=1)
+    ck = str(tmp_path / "ck")
+    assert _drain_collect(spark, str(tmp_path), ck) == list(range(10))
+    for i in range(1, 10):
+        c.new_tx()
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v")
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    batches: list[list[int]] = []
+
+    def collect(batch_df, _bid):
+        ids = sorted(r.id for r in batch_df.collect())
+        if ids:
+            batches.append(ids)
+
+    q = (
+        read_table_stream(
+            spark, str(tmp_path), "t", max_commits_per_batch=3
+        )
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(len(b) for b in batches) >= 90:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    assert len(batches) >= 3, [len(b) for b in batches]
+    assert all(len(b) <= 30 for b in batches), [len(b) for b in batches]
+    assert sorted(x for b in batches for x in b) == list(range(10, 100))
+
+
+def test_max_files_per_batch_bounds_advance(spark, tmp_path):
+    """maxFilesPerBatch advances whole commits while the file budget
+    lasts: 6 one-file commits with a 2-file cap drain in 3 batches."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.commit_tx()
+    ck = str(tmp_path / "ck")
+    assert _drain_collect(spark, str(tmp_path), ck) == []
+    for i in range(6):  # one data object per commit (coalesced)
+        c.new_tx()
+        df = (
+            spark.range(i * 10, (i + 1) * 10)
+            .coalesce(1)
+            .select(F.col("id"), F.lit("x").alias("v"))
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    got: list[list[int]] = []
+    for _ in range(6):
+        bs = _drain_batches(
+            spark, str(tmp_path), ck, max_files_per_batch=2
+        )
+        got.extend(bs)
+        if not bs:
+            break
+    assert len(got) == 3, [len(b) for b in got]
+    assert all(len(b) == 20 for b in got), [len(b) for b in got]
+    assert sorted(x for b in got for x in b) == list(range(60))
+
+
+def test_cdf_respects_batch_bounds(spark, tmp_path):
+    """CDF + admission control compose (VERDICT r9 item 7): a CDF
+    partition is per-commit, so maxCommitsPerBatch bounds how many
+    commits' change sets one trigger carries."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.commit_tx()
+    for i in range(6):
+        c.new_tx()
+        df = spark.range(i * 10, (i + 1) * 10).select(
+            F.col("id"), F.lit("x").alias("v")
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    ck = str(tmp_path / "ck")
+    runs: list[list[tuple]] = []
+    for _ in range(6):
+        rows: list[tuple] = []
+
+        def collect(batch_df, _bid, rows=rows):
+            rows.extend(
+                (r.id, r._change_type, r._commit_version)
+                for r in batch_df.collect()
+            )
+
+        q = (
+            read_table_stream(
+                spark,
+                str(tmp_path),
+                "t",
+                read_change_feed=True,
+                max_commits_per_batch=2,
+            )
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if not rows:
+            break
+        runs.append(rows)
+    # commits 1..7 (CREATE + 6 data commits) under a 2-commit cap:
+    # 4 bounded runs — (1,2) (3,4) (5,6) (7)
+    assert len(runs) == 4, [len(r) for r in runs]
+    for rows in runs:
+        # each bounded batch carries change sets of at most 2 commits
+        assert len({v for _, _, v in rows}) <= 2
+        assert all(ct == "insert" for _, ct, _ in rows)
+    all_ids = sorted(i for rows in runs for i, _, _ in rows)
+    assert all_ids == list(range(60))
