@@ -164,6 +164,8 @@ HEADLINE = [
     "streaming_corpus_dedup",
     # r9: streaming change data feed (per-commit insert/delete rows)
     "engine_stream_cdf",
+    "engine_stream_bounded",
+    "engine_conflict_resolution",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

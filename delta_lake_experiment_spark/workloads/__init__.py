@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 136 value-oracled queries, eighty-six must sit outside the window. The
+# With 138 value-oracled queries, eighty-eight must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -515,6 +515,22 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 # engine_sql_merge, engine_delete_range, engine_upsert_latest and
 # engine_streaming_upsert all stay in-window this round as the verdict
 # asked.
+# New in r10 (deferred from birth — the window is full at 50; per the
+# rotation policy both MAY rotate in at end of round after 3-SF
+# check_oracle green):
+# - engine_conflict_resolution -> the two-client OCC race skeleton is
+#   certified in-window by the engine_* lifecycle lane (same
+#   create/ingest/merge/delete machinery as engine_sql_merge /
+#   engine_delete_range, both in-window), and each mandatory conflict
+#   is asserted IN the query; the NOVELTY (read scopes catching the
+#   zero-file merge-insert race, per-action add provenance) is pinned
+#   by the 16 tests/test_conflict_resolution.py pytests, and an
+#   admitted lost update raises rather than returning.
+# - engine_stream_bounded -> the snapshot-then-tail + exactly-once
+#   sink skeleton is certified in-window by engine_stream_source (the
+#   same source, sink, and checkpoint machinery); the NOVELTY
+#   (maxCommitsPerBatch admission control) is pinned by the 4 bounded-
+#   drain pytests and the in-query run-count assertion.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -605,6 +621,8 @@ _DEFERRED_ORACLED = [
     "hard_negative_pairs",
     "corpus_topic_report",
     "gopher_quality_report",
+    "engine_conflict_resolution",
+    "engine_stream_bounded",
 ]
 
 

