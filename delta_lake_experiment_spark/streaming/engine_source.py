@@ -267,6 +267,14 @@ class EngineTableStreamReader(DataSourceStreamReader):
         # then. Per-run state only: the planner worker constructs a
         # fresh reader for every stream run, never across restarts.
         self._pos: Optional[int] = None
+        # mid-snapshot cursor: (pinned snapshot version, files consumed
+        # so far) while a file-capped initial snapshot drains in slices
+        self._snap: Optional[tuple[int, int]] = None
+        # snapshot-version -> ordered [(obj_name, dv_names)] — the slice
+        # order must be stable across calls AND across planner restarts:
+        # live_objects' order is the log-replay insertion order, a pure
+        # function of the log contents
+        self._snap_files: dict[int, list] = {}
         if self.read_change_feed:
             if self.skip_change_commits:
                 raise ValueError(
@@ -318,12 +326,37 @@ class EngineTableStreamReader(DataSourceStreamReader):
         latest = int(names[-1][len(LOG_PREFIX):]) if names else 0
         if not (self.max_commits or self.max_files):
             return {"version": latest}
+        if self._snap is not None:
+            # mid-snapshot: advance the file cursor within the PINNED
+            # snapshot version (new commits keep landing — they tail
+            # AFTER the snapshot completes, Delta's semantics)
+            s, k = self._snap
+            files = self._snapshot_files(store, s)
+            k2 = min(len(files), k + self.max_files) if self.max_files else len(files)
+            if k2 < len(files):
+                self._snap = (s, k2)
+                return {"version": _BEGINNING, "snap": s, "idx": k2}
+            # the remaining files fit one batch: finish the snapshot
+            # and hand over to tail mode at version s
+            self._snap = None
+            self._pos = s
+            return {"version": s}
         base = self._pos if self._pos is not None else self.start_version
         if base == _BEGINNING:
-            # snapshot-first stream's FIRST batch: one consistent
-            # snapshot at `latest` (already per-file partitions — the
-            # fan-out is bounded by task parallelism, not batch
-            # boundaries); the caps bound the TAIL from there on
+            # snapshot-first stream's FIRST batch: pin the snapshot at
+            # `latest`. With a file cap, the snapshot itself is split
+            # into bounded slices (Delta's maxFilesPerTrigger bounds
+            # the initial snapshot too — at 100 TB the snapshot IS the
+            # backlog); without one it stays a single batch of
+            # per-file partitions.
+            files = self._snapshot_files(store, latest)
+            if self.max_files and len(files) > self.max_files:
+                self._snap = (latest, self.max_files)
+                return {
+                    "version": _BEGINNING,
+                    "snap": latest,
+                    "idx": self.max_files,
+                }
             self._pos = latest
             return {"version": latest}
         end = latest
@@ -359,9 +392,27 @@ class EngineTableStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:  # offsets need no cleanup;
         # remember the committed position for the admission caps
+        if "snap" in end:
+            self._snap = (int(end["snap"]), int(end["idx"]))
+            return
         v = int(end.get("version", _BEGINNING))
-        if self._pos is None or v > self._pos:
+        if v >= 0 and (self._pos is None or v > self._pos):
             self._pos = v
+
+    def _snapshot_files(self, store, version: int) -> list:
+        """Ordered [(obj_name, dv_names)] of the version-``version``
+        snapshot — the unit the file-capped initial snapshot slices
+        over. Cached per version (replay is O(log) driver metadata)."""
+        files = self._snap_files.get(version)
+        if files is None:
+            snap = replay_log(store, as_of=version)
+            dvs = snap.table_dvs(self.table)
+            files = [
+                (o.name, tuple(dvs.get(o.name, ())))
+                for o in snap.live_objects(self.table)
+            ]
+            self._snap_files[version] = files
+        return files
 
     # -- planning -------------------------------------------------------
     def _raise_on_metadata_between(self, store, lo: int, hi: int) -> None:
@@ -413,6 +464,37 @@ class EngineTableStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         store = self._store()
         lo, hi = int(start["version"]), int(end["version"])
+        a = int(start.get("idx", 0)) if "snap" in start else 0
+        if "snap" in end:
+            # a SLICE of the file-capped initial snapshot: files
+            # [a, b) of the snapshot pinned at `snap` (same metadata
+            # guard and DV masks as the one-batch form)
+            s, b = int(end["snap"]), int(end["idx"])
+            if "snap" in start and int(start["snap"]) != s:
+                raise ValueError(
+                    "engine_table source: snapshot slices from two"
+                    f" different pinned versions ({start}->{end}) -"
+                    " corrupt checkpoint?"
+                )
+            self._snap = (s, b)  # a resumed run learns its cursor here
+            self._raise_on_metadata_between(store, self.pinned_version, s)
+            files = self._snapshot_files(store, s)
+            if b < a or b > len(files):
+                raise ValueError(
+                    f"engine_table source: snapshot slice [{a},{b}) out"
+                    f" of range (snapshot v{s} has {len(files)} files)"
+                )
+            # a pinned-version read can outlive its files: a COW
+            # rewrite + VACUUM between slices would otherwise die as an
+            # opaque executor FileNotFoundError (same planning-time
+            # guard as the change feed)
+            self._raise_on_vacuumed(
+                store, s, [name for name, _ in files[a:b]]
+            )
+            return [
+                self._part(store, name, dv_names)
+                for name, dv_names in files[a:b]
+            ]
         if lo != _BEGINNING and hi < lo:
             # an end older than the start would re-emit committed
             # versions after the checkpoint advances — refuse loudly
@@ -424,6 +506,22 @@ class EngineTableStreamReader(DataSourceStreamReader):
             )
         if self._pos is None or hi > self._pos:
             self._pos = hi  # a resumed run learns its position here
+        if lo == _BEGINNING and "snap" in start:
+            # the FINISHING batch of a sliced snapshot: the remaining
+            # files of the pinned version, plus the tail (snap, hi]
+            s = int(start["snap"])
+            self._snap = None
+            self._raise_on_metadata_between(store, self.pinned_version, hi)
+            files = self._snapshot_files(store, s)
+            self._raise_on_vacuumed(
+                store, s, [name for name, _ in files[a:]]
+            )
+            parts = [
+                self._part(store, name, dv_names)
+                for name, dv_names in files[a:]
+            ]
+            parts.extend(self._tail_partitions(store, s, hi))
+            return parts
         if lo == _BEGINNING:
             # initial snapshot batch: all live files at `hi`, DV masks
             # applied — byte-for-byte the batch scan's semantics. The
@@ -438,6 +536,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 self._part(store, o.name, dvs.get(o.name, ()))
                 for o in snap.live_objects(self.table)
             ]
+        return self._tail_partitions(store, lo, hi)
+
+    def _tail_partitions(self, store, lo: int, hi: int):
+        """Per-commit tail partitions for log versions (lo, hi] — the
+        body of the original tail branch, factored so the sliced
+        snapshot's finishing batch can append its tail to the last
+        file slice."""
         table_known = self.table in replay_log(store, as_of=lo).tables
         parts: list[InputPartition] = []
         for name in store.list_prefix_ordered(LOG_PREFIX):
@@ -843,9 +948,12 @@ def read_table_stream(
     each micro-batch advances down the log (admission control: a
     resumed backlog drains in bounded batches instead of one huge
     catch-up trigger — Delta's maxFilesPerTrigger shape; commits are
-    never split, so at least one commit admits per batch). The caps
-    bound the TAIL; a snapshot-first stream's first batch is the one
-    consistent snapshot. Note: ``availableNow`` runs a SINGLE bounded
+    never split, so at least one commit admits per batch). With a
+    file cap the INITIAL SNAPSHOT is bounded too: it pins one
+    consistent version and drains it in file slices before the tail
+    starts (at 100 TB the snapshot IS the backlog); with only a
+    commit cap it stays a single batch of per-file partitions.
+    Note: ``availableNow`` runs a SINGLE bounded
     batch per start for Python sources — rerun from the same
     checkpoint to keep draining, or use a processing-time trigger."""
     register_engine_source(spark)

@@ -884,3 +884,94 @@ def test_cdf_respects_batch_bounds(spark, tmp_path):
         assert all(ct == "insert" for _, ct, _ in rows)
     all_ids = sorted(i for rows in runs for i, _, _ in rows)
     assert all_ids == list(range(60))
+
+
+def test_bounded_initial_snapshot_slices(spark, tmp_path):
+    """maxFilesPerBatch bounds the INITIAL SNAPSHOT too: it pins one
+    consistent version and drains it in file slices across
+    checkpoint-resumed runs — commits landing mid-drain tail AFTER the
+    snapshot completes, and nothing is re-read or lost."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.commit_tx()
+    for i in range(6):  # snapshot = 6 one-file objects
+        c.new_tx()
+        df = (
+            spark.range(i * 10, (i + 1) * 10)
+            .coalesce(1)
+            .select(F.col("id"), F.lit("x").alias("v"))
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    ck = str(tmp_path / "ck")
+    got: list[list[int]] = []
+    bs = _drain_batches(spark, str(tmp_path), ck, max_files_per_batch=2)
+    got.extend(bs)
+    # a commit lands MID-SNAPSHOT: it must not join the pinned
+    # snapshot — it tails after the remaining slices
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(100, 110).coalesce(1).select(
+            F.col("id"), F.lit("x").alias("v")
+        ),
+    )
+    c.commit_tx()
+    for _ in range(6):
+        bs = _drain_batches(spark, str(tmp_path), ck, max_files_per_batch=2)
+        got.extend(bs)
+        if not bs:
+            break
+    # 6 snapshot files / cap 2 = 3 slices; the mid-drain commit rides
+    # the finishing batch or its own tail batch
+    assert len(got) >= 3, [len(b) for b in got]
+    assert all(len(b) <= 30 for b in got), [len(b) for b in got]
+    assert sorted(x for b in got for x in b) == sorted(
+        list(range(60)) + list(range(100, 110))
+    )
+
+
+def test_bounded_snapshot_single_run(spark, tmp_path):
+    """One continuous query drains a file-capped snapshot in multiple
+    slices (the latestOffset cursor advances within the run), then
+    tails new commits — end state equals the batch scan."""
+    import time
+
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.commit_tx()
+    for i in range(5):
+        c.new_tx()
+        df = (
+            spark.range(i * 10, (i + 1) * 10)
+            .coalesce(1)
+            .select(F.col("id"), F.lit("x").alias("v"))
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    batches: list[list[int]] = []
+
+    def collect(batch_df, _bid):
+        ids = sorted(r.id for r in batch_df.collect())
+        if ids:
+            batches.append(ids)
+
+    q = (
+        read_table_stream(spark, str(tmp_path), "t", max_files_per_batch=2)
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if sum(len(b) for b in batches) >= 50:
+            break
+        time.sleep(0.25)
+    q.stop()
+    q.awaitTermination()
+    assert len(batches) >= 3, [len(b) for b in batches]  # 5 files / 2
+    assert all(len(b) <= 20 for b in batches), [len(b) for b in batches]
+    assert sorted(x for b in batches for x in b) == list(range(50))
