@@ -2925,7 +2925,16 @@ class DeltaLakeClient:
             staging,
         )
         try:
-            self._register_staging(table, tx, staging, rewrite=True)
+            # NOT rewrite-tagged (review catch, r10): UPDATE modifies
+            # values, so its output can move rows INTO a concurrent
+            # reader's recorded scope (SET k=50 vs a reader that
+            # observed "no rows in [40,60]") — a rw exemption here
+            # would re-admit the write-skew class this lane exists to
+            # catch. Delta treats UPDATE AddFiles as dataChange=true
+            # conflict candidates for the same reason; updates whose
+            # output stats are disjoint from every recorded scope
+            # still admit through the stats test.
+            self._register_staging(table, tx, staging)
         finally:
             _rmtree(staging)
         for name in sorted(affected_names):
@@ -3265,10 +3274,15 @@ class DeltaLakeClient:
                 tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
         for name, add in old_objs.items():
             if name not in cur_objs:
-                # RESTORE re-adds historical objects — carried-over rows,
-                # not fresh inserts (copy: the snapshot's action object
-                # must not be mutated)
-                tx.actions.append(dataclasses.replace(add, rewrite=True))
+                # NOT rewrite-tagged (review catch, r10): these objects
+                # are RESURRECTIONS — not live in the pre-commit
+                # snapshot — so a concurrent reader that observed their
+                # keys' absence must conflict (a restore commit can
+                # consist of nothing but re-adds: no removes, no
+                # metadata change, nothing else for the checker to
+                # see). The copy drops any rw flag a replayed legacy
+                # log may have carried onto the snapshot's own object.
+                tx.actions.append(dataclasses.replace(add, rewrite=False))
         # DV masks: retire current-only masks, re-add version-V masks.
         # (RemoveDataObject already retires masks of removed objects;
         # surviving objects may need their old masks re-attached and

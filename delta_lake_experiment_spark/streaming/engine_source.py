@@ -275,6 +275,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
         # live_objects' order is the log-replay insertion order, a pure
         # function of the log contents
         self._snap_files: dict[int, list] = {}
+        # version -> parsed log record: without it, a file-capped
+        # trigger reads+parses each admitted commit THREE times
+        # (latestOffset's budget walk, the metadata guard, the tail
+        # planner) — tripled log round-trips on a slow object store
+        # (review catch, r10). Committed records are immutable, so the
+        # cache never goes stale; commit() prunes consumed versions.
+        self._records: dict[int, dict] = {}
         if self.read_change_feed:
             if self.skip_change_commits:
                 raise ValueError(
@@ -373,7 +380,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     continue
                 if v > end:
                     break
-                record = json.loads(store.read(name))
+                record = self._log_record(store, name, v)
                 n_adds = sum(
                     1
                     for act in record.get("actions", [])
@@ -398,6 +405,17 @@ class EngineTableStreamReader(DataSourceStreamReader):
         v = int(end.get("version", _BEGINNING))
         if v >= 0 and (self._pos is None or v > self._pos):
             self._pos = v
+        if v >= 0 and self._records:
+            self._records = {k: r for k, r in self._records.items() if k > v}
+
+    def _log_record(self, store, name: str, version: int) -> dict:
+        """Parsed log record for ``version`` (committed records are
+        immutable — cached for the trigger's three consumers)."""
+        rec = self._records.get(version)
+        if rec is None:
+            rec = json.loads(store.read(name))
+            self._records[version] = rec
+        return rec
 
     def _snapshot_files(self, store, version: int) -> list:
         """Ordered [(obj_name, dv_names)] of the version-``version``
@@ -424,7 +442,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
             v = int(name[len(LOG_PREFIX):])
             if v <= lo or v > hi:
                 continue
-            record = json.loads(store.read(name))
+            record = self._log_record(store, name, v)
             for act in record.get("actions", []):
                 kind = next(iter(act))
                 if kind == "metadata" and act[kind].get("table") == self.table:
@@ -474,6 +492,16 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 raise ValueError(
                     "engine_table source: snapshot slices from two"
                     f" different pinned versions ({start}->{end}) -"
+                    " corrupt checkpoint?"
+                )
+            if "snap" not in start and lo != _BEGINNING:
+                # same invariant as the tail-mode regression guard: a
+                # tail-position start paired with a snapshot-slice end
+                # would silently re-emit files already delivered
+                # through version `lo` — refuse loudly instead
+                raise ValueError(
+                    f"engine_table source: offset regression (tail"
+                    f" start v{lo} followed by snapshot slice {end}) -"
                     " corrupt checkpoint?"
                 )
             self._snap = (s, b)  # a resumed run learns its cursor here
@@ -549,7 +577,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
             v = int(name[len(LOG_PREFIX):])
             if v <= lo or v > hi:
                 continue
-            record = json.loads(store.read(name))
+            record = self._log_record(store, name, v)
             adds, removes, dvs, metas = [], [], [], 0
             for act in record.get("actions", []):
                 kind = next(iter(act))

@@ -445,3 +445,62 @@ def test_rewrite_adds_stay_exempt_for_scoped_readers(spark, store_dir):
         r["k"] for r in c.scan("t", with_stamps=False).collect()
     ) == [2, 50]
     c.commit_tx()
+
+
+def test_update_into_scope_conflicts(spark, store_dir):
+    """Review catch (r10): UPDATE modifies values, so its COW output
+    can move rows INTO a concurrent reader's recorded scope — the
+    rewrite must NOT ride the rw exemption. Reader observed 'no rows
+    in [40,60]'; a concurrent SET k=50 creates one there."""
+    a, b = _two_clients(spark, store_dir, rows=[(k, "x") for k in range(1, 7)])
+    a.new_tx()
+    b.new_tx()
+    a.update_rows("t", "k", 1, 1, {"k": 50})
+    assert b.scan("t", prune={"k": (40, 60)}, with_stamps=False).count() == 0
+    b.write_row("t", [60, "z"])
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError, match="read"):
+        b.commit_tx()
+
+
+def test_update_outside_scope_admits(spark, store_dir):
+    """...but an UPDATE whose output stays outside every recorded
+    scope still admits through the stats test (no blanket lock)."""
+    a, b = _two_clients(spark, store_dir, rows=[(k, "x") for k in range(1, 7)])
+    a.new_tx()
+    b.new_tx()
+    a.update_rows("t", "k", 1, 1, {"v": "updated"})  # k range unchanged
+    assert b.scan("t", prune={"k": (40, 60)}, with_stamps=False).count() == 0
+    b.write_row("t", [60, "z"])
+    a.commit_tx()
+    b.commit_tx()  # a's rewrite stats stay in [1,6]: disjoint from (40,60)
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    rows = {r["k"]: r["v"] for r in c.scan("t", with_stamps=False).collect()}
+    assert rows[1] == "updated" and rows[60] == "z"
+    c.commit_tx()
+
+
+def test_restore_resurrection_conflicts_with_scoped_reader(spark, store_dir):
+    """Review catch (r10): RESTORE re-adds objects that were NOT live
+    pre-commit — a resurrection. A restore commit can be nothing but
+    re-adds (no removes, no metadata), so the re-adds must count as
+    fresh inserts against a reader that observed the keys' absence."""
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    a.create_table("t", "k BIGINT, v STRING")
+    for k in range(1, 7):
+        a.write_row("t", [k, "x"])
+    a.commit_tx()  # v1
+    a.new_tx()
+    a.delete_rows("t", "k", 1, 6)  # v2: remove-only (no survivors)
+    a.commit_tx()
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    b.new_tx()
+    a.restore_table("t", 1)  # commit = pure re-adds of the v1 object
+    assert b.scan("t", prune={"k": (1, 6)}, with_stamps=False).count() == 0
+    b.write_row("t", [100, "z"])
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError, match="read"):
+        b.commit_tx()
