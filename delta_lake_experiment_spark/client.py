@@ -1318,6 +1318,7 @@ class DeltaLakeClient:
             staged = rs.list_staged()
             if not staged:
                 return
+            sizes = getattr(rs, "staged_sizes", dict)() or {}
             stats_by_file, blooms_by_file, max_idx = self._staged_stats_distributed(
                 table, tx, rs.uri
             )
@@ -1335,6 +1336,7 @@ class DeltaLakeClient:
                         table=table,
                         tx_id=tx.id,
                         num_rows=st["num_rows"],
+                        size=int(sizes.get(skey, 0)),
                         stats=st["stats"],
                         blooms=self._maybe_sidecar_blooms(
                             blooms_by_file.get(fname, {})
@@ -2201,6 +2203,7 @@ class DeltaLakeClient:
                     table=dst,
                     tx_id=o.tx_id,  # COW precedent: rows keep their tx
                     num_rows=o.num_rows,
+                    size=o.size,
                     stats=dict(o.stats),
                     blooms=dict(o.blooms),
                     bucket_id=o.bucket_id,
@@ -4083,13 +4086,15 @@ class DeltaLakeClient:
                 if st is None or st["num_rows"] == 0:
                     continue  # empty partition file — never logged
                 name = f"table_{table}_{uuid.uuid4().hex}.parquet"
-                self.store.put_file_if_absent(name, os.path.join(staging, fname))
+                src = os.path.join(staging, fname)
+                self.store.put_file_if_absent(name, src)
                 tx.actions.append(
                     AddDataObject(
                         name=name,
                         table=table,
                         tx_id=tx.id,
                         num_rows=st["num_rows"],
+                        size=os.path.getsize(src),
                         stats=st["stats"],
                         blooms=self._maybe_sidecar_blooms(
                             blooms_by_file.get(fname, {})
@@ -4127,6 +4132,7 @@ class DeltaLakeClient:
         num_rows, stats = _parquet_file_stats(src_path)
         if num_rows == 0:
             return  # empty partitions produce empty files; never log them
+        size = os.path.getsize(src_path)
         name = f"table_{table}_{uuid.uuid4().hex}.parquet"
         # zero-copy publish: staging lives under the store root, so this
         # is a hard link, not a driver round-trip of the file bytes
@@ -4138,6 +4144,7 @@ class DeltaLakeClient:
                 table=table,
                 tx_id=tx.id,
                 num_rows=num_rows,
+                size=size,
                 stats=stats,
                 blooms=blooms,
                 bucket_id=bucket_id,

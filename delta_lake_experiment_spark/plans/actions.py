@@ -37,6 +37,10 @@ class AddDataObject:
     table: str
     tx_id: int
     num_rows: int = 0
+    # on-disk parquet bytes (0 = unknown, e.g. pre-r10 log records):
+    # powers byte-budgeted streaming admission (maxBytesPerBatch) and
+    # any future size-aware compaction policy — Delta's AddFile.size
+    size: int = 0
     # column -> [min, max] for prunable (int/float/str/date) columns
     stats: dict[str, list[Any]] = field(default_factory=dict)
     # column -> bloom JSON ({m, k, b64}) for declared bloom columns:
@@ -67,6 +71,8 @@ class AddDataObject:
             "num_rows": self.num_rows,
             "stats": self.stats,
         }
+        if self.size:
+            out["size"] = self.size
         if self.blooms:
             out["blooms"] = self.blooms
         if self.bucket_id is not None:
@@ -218,6 +224,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             table=a["table"],
             tx_id=int(a["tx_id"]),
             num_rows=int(a.get("num_rows", 0)),
+            size=int(a.get("size", 0)),
             stats=a.get("stats", {}),
             blooms=a.get("blooms", {}),
             bucket_id=(

@@ -251,6 +251,7 @@ class Snapshot:
                     table=a["table"],
                     tx_id=int(a["tx_id"]),
                     num_rows=int(a.get("num_rows", 0)),
+                    size=int(a.get("size", 0)),
                     stats=a.get("stats", {}),
                     blooms=a.get("blooms", {}),
                     bucket_id=(

@@ -234,6 +234,28 @@ class S3RemoteStaging:
         """Staged parquet keys (ascending; excludes _SUCCESS etc.)."""
         return [k for k in self._all_keys() if k.endswith(".parquet")]
 
+    def staged_sizes(self) -> dict:
+        """key -> byte size for staged parquet objects (the S3 listing
+        already carries sizes — no extra HEAD round-trips). Powers the
+        per-object ``size`` stat on remote bulk ingest."""
+        sizes: dict = {}
+        token: Optional[str] = None
+        while True:
+            kwargs: dict[str, Any] = {
+                "Bucket": self.store.bucket,
+                "Prefix": self.key_prefix,
+            }
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self.store.client.list_objects_v2(**kwargs)
+            for obj in resp.get("Contents", []):
+                if obj["Key"].endswith(".parquet"):
+                    sizes[obj["Key"]] = int(obj.get("Size", 0))
+            if not resp.get("IsTruncated"):
+                break
+            token = resp.get("NextContinuationToken")
+        return sizes
+
     def publish(self, staged_key: str, dest_name: str) -> None:
         self.store.client.copy_object(
             Bucket=self.store.bucket,

@@ -254,10 +254,12 @@ class EngineTableStreamReader(DataSourceStreamReader):
         # stream that recovers and one that OOMs its first trigger.
         self.max_commits = int(options.get("maxcommitsperbatch", 0) or 0)
         self.max_files = int(options.get("maxfilesperbatch", 0) or 0)
-        if self.max_commits < 0 or self.max_files < 0:
+        self.max_bytes = int(options.get("maxbytesperbatch", 0) or 0)
+        if self.max_commits < 0 or self.max_files < 0 or self.max_bytes < 0:
             raise ValueError(
                 "engine_table source: maxCommitsPerBatch /"
-                " maxFilesPerBatch must be >= 0 (0 disables the cap)"
+                " maxFilesPerBatch / maxBytesPerBatch must be >= 0"
+                " (0 disables the cap)"
             )
         # Last log version this stream run has planned or offered —
         # the base the caps advance from. Learned from partitions()/
@@ -331,7 +333,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
         store = self._store()
         names = store.list_prefix_ordered(LOG_PREFIX)
         latest = int(names[-1][len(LOG_PREFIX):]) if names else 0
-        if not (self.max_commits or self.max_files):
+        if not (self.max_commits or self.max_files or self.max_bytes):
             return {"version": latest}
         if self._snap is not None:
             # mid-snapshot: advance the file cursor within the PINNED
@@ -339,7 +341,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
             # AFTER the snapshot completes, Delta's semantics)
             s, k = self._snap
             files = self._snapshot_files(store, s)
-            k2 = min(len(files), k + self.max_files) if self.max_files else len(files)
+            k2 = self._snap_advance(files, k)
             if k2 < len(files):
                 self._snap = (s, k2)
                 return {"version": _BEGINNING, "snap": s, "idx": k2}
@@ -351,29 +353,31 @@ class EngineTableStreamReader(DataSourceStreamReader):
         base = self._pos if self._pos is not None else self.start_version
         if base == _BEGINNING:
             # snapshot-first stream's FIRST batch: pin the snapshot at
-            # `latest`. With a file cap, the snapshot itself is split
-            # into bounded slices (Delta's maxFilesPerTrigger bounds
-            # the initial snapshot too — at 100 TB the snapshot IS the
-            # backlog); without one it stays a single batch of
+            # `latest`. With a file or byte cap, the snapshot itself is
+            # split into bounded slices (Delta's maxFilesPerTrigger
+            # bounds the initial snapshot too — at 100 TB the snapshot
+            # IS the backlog); otherwise it stays a single batch of
             # per-file partitions.
             files = self._snapshot_files(store, latest)
-            if self.max_files and len(files) > self.max_files:
-                self._snap = (latest, self.max_files)
-                return {
-                    "version": _BEGINNING,
-                    "snap": latest,
-                    "idx": self.max_files,
-                }
+            k0 = self._snap_advance(files, 0)
+            if k0 < len(files):
+                self._snap = (latest, k0)
+                return {"version": _BEGINNING, "snap": latest, "idx": k0}
             self._pos = latest
             return {"version": latest}
         end = latest
         if self.max_commits:
             end = min(end, base + self.max_commits)
-        if self.max_files and end > base:
-            # advance whole commits while the file budget lasts (a
+        if (self.max_files or self.max_bytes) and end > base:
+            # advance whole commits while the file/byte budgets last (a
             # commit is never split — offsets are log versions); the
-            # first commit always admits, like Delta's maxFilesPerTrigger
-            budget, chosen = self.max_files, base
+            # first commit always admits, like Delta's maxFilesPerTrigger.
+            # A legacy add without a recorded size exhausts the byte
+            # budget conservatively (its commit admits, then the batch
+            # closes) — bounded even over pre-size log records.
+            fbudget = self.max_files or None
+            bbudget = self.max_bytes or None
+            chosen = base
             for name in names:
                 v = int(name[len(LOG_PREFIX):])
                 if v <= base:
@@ -381,21 +385,56 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 if v > end:
                     break
                 record = self._log_record(store, name, v)
-                n_adds = sum(
-                    1
-                    for act in record.get("actions", [])
-                    if "add" in act
-                    and act["add"].get("table") == self.table
-                )
-                if n_adds > budget and chosen > base:
-                    break
-                budget -= n_adds
+                n_adds, n_bytes, unknown = 0, 0, False
+                for act in record.get("actions", []):
+                    if "add" in act and act["add"].get("table") == self.table:
+                        n_adds += 1
+                        sz = int(act["add"].get("size", 0))
+                        if sz <= 0 and int(act["add"].get("num_rows", 0)) > 0:
+                            unknown = True
+                        n_bytes += max(sz, 0)
+                if chosen > base:
+                    if fbudget is not None and n_adds > fbudget:
+                        break
+                    if bbudget is not None and (unknown or n_bytes > bbudget):
+                        break
+                if fbudget is not None:
+                    fbudget -= n_adds
+                if bbudget is not None:
+                    bbudget -= n_bytes
                 chosen = v
-                if budget <= 0:
+                if fbudget is not None and fbudget <= 0:
+                    break
+                if bbudget is not None and (bbudget <= 0 or unknown):
                     break
             end = chosen
         self._pos = max(base, end)
         return {"version": self._pos}
+
+    def _snap_advance(self, files: list, k: int) -> int:
+        """Cursor after ONE bounded snapshot slice starting at ``k``:
+        admits files while the file AND byte budgets last (>= 1 file
+        always admits; a file without a recorded size exhausts the
+        byte budget conservatively). No caps -> the whole snapshot."""
+        n = len(files)
+        if k >= n or not (self.max_files or self.max_bytes):
+            return n
+        fb = self.max_files or None
+        bb = self.max_bytes or None
+        j, used_b = k, 0
+        while j < n:
+            sz = int(files[j][2])
+            unknown = sz <= 0
+            if j > k:
+                if fb is not None and (j - k) >= fb:
+                    break
+                if bb is not None and (unknown or used_b + sz > bb):
+                    break
+            used_b += max(sz, 0)
+            j += 1
+            if bb is not None and unknown:
+                break  # unknown size: close the slice conservatively
+        return j
 
     def commit(self, end: dict) -> None:  # offsets need no cleanup;
         # remember the committed position for the admission caps
@@ -418,15 +457,16 @@ class EngineTableStreamReader(DataSourceStreamReader):
         return rec
 
     def _snapshot_files(self, store, version: int) -> list:
-        """Ordered [(obj_name, dv_names)] of the version-``version``
-        snapshot — the unit the file-capped initial snapshot slices
-        over. Cached per version (replay is O(log) driver metadata)."""
+        """Ordered [(obj_name, dv_names, size)] of the
+        version-``version`` snapshot — the unit the file/byte-capped
+        initial snapshot slices over. Cached per version (replay is
+        O(log) driver metadata)."""
         files = self._snap_files.get(version)
         if files is None:
             snap = replay_log(store, as_of=version)
             dvs = snap.table_dvs(self.table)
             files = [
-                (o.name, tuple(dvs.get(o.name, ())))
+                (o.name, tuple(dvs.get(o.name, ())), int(o.size))
                 for o in snap.live_objects(self.table)
             ]
             self._snap_files[version] = files
@@ -517,11 +557,11 @@ class EngineTableStreamReader(DataSourceStreamReader):
             # opaque executor FileNotFoundError (same planning-time
             # guard as the change feed)
             self._raise_on_vacuumed(
-                store, s, [name for name, _ in files[a:b]]
+                store, s, [name for name, _, _ in files[a:b]]
             )
             return [
                 self._part(store, name, dv_names)
-                for name, dv_names in files[a:b]
+                for name, dv_names, _ in files[a:b]
             ]
         if lo != _BEGINNING and hi < lo:
             # an end older than the start would re-emit committed
@@ -542,11 +582,11 @@ class EngineTableStreamReader(DataSourceStreamReader):
             self._raise_on_metadata_between(store, self.pinned_version, hi)
             files = self._snapshot_files(store, s)
             self._raise_on_vacuumed(
-                store, s, [name for name, _ in files[a:]]
+                store, s, [name for name, _, _ in files[a:]]
             )
             parts = [
                 self._part(store, name, dv_names)
-                for name, dv_names in files[a:]
+                for name, dv_names, _ in files[a:]
             ]
             parts.extend(self._tail_partitions(store, s, hi))
             return parts
@@ -965,6 +1005,7 @@ def read_table_stream(
     read_change_feed: bool = False,
     max_commits_per_batch: int | None = None,
     max_files_per_batch: int | None = None,
+    max_bytes_per_batch: int | None = None,
 ):
     """Convenience wrapper: a streaming DataFrame tailing ``table``.
     ``starting_version=None`` (default) = initial-snapshot-then-tail;
@@ -972,7 +1013,8 @@ def read_table_stream(
     ``read_change_feed=True`` streams per-commit insert/delete rows
     (+ ``_change_type``/``_commit_version``/``_commit_timestamp``)
     instead of raising on change commits — Delta's readChangeFeed.
-    ``max_commits_per_batch`` / ``max_files_per_batch`` bound how far
+    ``max_commits_per_batch`` / ``max_files_per_batch`` /
+    ``max_bytes_per_batch`` bound how far
     each micro-batch advances down the log (admission control: a
     resumed backlog drains in bounded batches instead of one huge
     catch-up trigger — Delta's maxFilesPerTrigger shape; commits are
@@ -998,4 +1040,6 @@ def read_table_stream(
         reader = reader.option("maxCommitsPerBatch", str(max_commits_per_batch))
     if max_files_per_batch is not None:
         reader = reader.option("maxFilesPerBatch", str(max_files_per_batch))
+    if max_bytes_per_batch is not None:
+        reader = reader.option("maxBytesPerBatch", str(max_bytes_per_batch))
     return reader.load(root)

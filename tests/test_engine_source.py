@@ -975,3 +975,86 @@ def test_bounded_snapshot_single_run(spark, tmp_path):
     assert len(batches) >= 3, [len(b) for b in batches]  # 5 files / 2
     assert all(len(b) <= 20 for b in batches), [len(b) for b in batches]
     assert sorted(x for b in batches for x in b) == list(range(50))
+
+
+def test_max_bytes_per_batch_bounds_advance(spark, tmp_path):
+    """maxBytesPerBatch advances whole commits while the byte budget
+    lasts, using the per-object `size` recorded in the log: with the
+    cap set to two files' worth of bytes, 6 one-file commits drain in
+    3 bounded batches."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.commit_tx()
+    ck = str(tmp_path / "ck")
+    assert _drain_collect(spark, str(tmp_path), ck) == []
+    for i in range(6):
+        c.new_tx()
+        df = (
+            spark.range(i * 10, (i + 1) * 10)
+            .coalesce(1)
+            .select(F.col("id"), F.lit("x").alias("v"))
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    store = LocalObjectStorage(str(tmp_path))
+    objs = replay_log(store).live_objects("t")
+    sizes = sorted(o.size for o in objs)
+    assert all(s > 0 for s in sizes), "size stat missing from adds"
+    cap = sizes[-1] * 2  # fits two files, never three
+    assert cap < sum(sizes[:3]), "fixture files too uneven for the cap"
+    got: list[list[int]] = []
+    for _ in range(6):
+        bs = _drain_batches(
+            spark, str(tmp_path), ck, max_bytes_per_batch=cap
+        )
+        got.extend(bs)
+        if not bs:
+            break
+    assert len(got) == 3, [len(b) for b in got]
+    assert all(len(b) == 20 for b in got), [len(b) for b in got]
+    assert sorted(x for b in got for x in b) == list(range(60))
+
+
+def test_max_bytes_per_batch_bounds_snapshot(spark, tmp_path):
+    """The byte cap slices the INITIAL SNAPSHOT too (the snapshot IS
+    the backlog at scale): 6 one-file objects under a two-file byte
+    budget drain as 3 snapshot slices."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.commit_tx()
+    for i in range(6):
+        c.new_tx()
+        df = (
+            spark.range(i * 10, (i + 1) * 10)
+            .coalesce(1)
+            .select(F.col("id"), F.lit("x").alias("v"))
+        )
+        c.write_dataframe("t", df)
+        c.commit_tx()
+    store = LocalObjectStorage(str(tmp_path))
+    sizes = sorted(o.size for o in replay_log(store).live_objects("t"))
+    cap = sizes[-1] * 2
+    assert cap < sum(sizes[:3])
+    ck = str(tmp_path / "ck")
+    got: list[list[int]] = []
+    for _ in range(6):
+        bs = _drain_batches(
+            spark, str(tmp_path), ck, max_bytes_per_batch=cap
+        )
+        got.extend(bs)
+        if not bs:
+            break
+    assert len(got) == 3, [len(b) for b in got]
+    assert sorted(x for b in got for x in b) == list(range(60))
