@@ -2538,6 +2538,7 @@ class DeltaLakeClient:
                 cluster_by=stmt.cluster_by,
                 zorder_by=stmt.zorder_by,
                 where=stmt.where,
+                target_bytes=stmt.target_bytes,
             )
         elif isinstance(stmt, Restore):
             self.restore_table(stmt.table, stmt.version)
@@ -3110,6 +3111,7 @@ class DeltaLakeClient:
         cluster_by: Optional[list[str]] = None,
         zorder_by: Optional[list[str]] = None,
         where: Optional[tuple] = None,
+        target_bytes: Optional[int] = None,
     ) -> None:
         """OPTIMIZE: rewrite the table's live objects into ``target_files``
         large ones (remove+add in this tx) — the reference's unchecked
@@ -3144,6 +3146,16 @@ class DeltaLakeClient:
         Files without stats for the column are conservatively included.
         No rows are deleted: the predicate selects FILES, the rewrite
         keeps all their (unmasked) rows.
+
+        ``target_bytes`` switches to SIZE-AWARE bin-packing (Delta
+        OPTIMIZE's default shape, using the per-object ``size`` stat in
+        the log): only files SMALLER than the target (plus DV-masked
+        files, whose rewrite materializes the mask) are rewritten, into
+        ``ceil(selected_bytes / target_bytes)`` outputs; files already
+        at target are untouched metadata, so repeated maintenance runs
+        converge to a no-op instead of rewriting the cold bulk every
+        time. Composes with ``where`` (select the range, then the small
+        files within it) and with cluster/zorder layouts.
         """
         tx = self._require_tx()
         schema = self.table_schema(table)
@@ -3163,6 +3175,29 @@ class DeltaLakeClient:
                 )
             }
             objs = [o for o in objs if o.name in keep_names]
+        if target_bytes is not None:
+            if target_bytes <= 0:
+                raise TypeMismatchError(
+                    f"target_bytes must be positive, got {target_bytes}"
+                )
+            # size-aware OPTIMIZE (Delta's bin-packing shape, using the
+            # per-object size stat in the log): rewrite only SMALL
+            # files (< target_bytes) and DV-masked files — files
+            # already at target are untouched metadata. At 100 TB this
+            # is the difference between compacting a day's trickle of
+            # small commits and rewriting the cold bulk every run.
+            # Unknown sizes (pre-size log records) are conservatively
+            # included; they carry a size after the rewrite.
+            masked = set(snap.table_dvs(table))
+            objs = [
+                o
+                for o in objs
+                if o.size < target_bytes or o.name in masked
+            ]
+            sel_bytes = sum(max(o.size, 0) for o in objs)
+            target_files = max(
+                1, -(-sel_bytes // target_bytes)  # ceil
+            )
         bucket_spec = self._bucket_spec(tx, table)
         if bucket_spec is not None and (cluster_by or zorder_by):
             raise TypeMismatchError(

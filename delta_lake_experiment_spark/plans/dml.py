@@ -20,7 +20,7 @@ for the DML shapes the engine actually supports, by parsing:
   UPDATE / INSERT, Delta-style)
 - ``CREATE TABLE t (<ddl>) [PRIMARY KEY (c, ...)] [BLOOM (c, ...)]
      [CLUSTER BY (c, ...)]``                  -> ``create_table``
-- ``OPTIMIZE t [FILES n] [WHERE c BETWEEN a AND b | c = v]
+- ``OPTIMIZE t [FILES n] [TARGET SIZE bytes] [WHERE c BETWEEN a AND b | c = v]
      [CLUSTER BY (c, ...)] | [ZORDER BY (c, ...)]`` -> ``compact``
   (WHERE selects FILES by stats intersection — selective compaction
   of a hot range; no rows are deleted)
@@ -109,6 +109,7 @@ _OPTIMIZE_SKETCH_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     rf"^\s*OPTIMIZE\s+({_IDENT})\s*(?:FILES\s+(\d+)\s*)?"
+    rf"(?:TARGET\s+SIZE\s+(\d+)\s*)?"
     rf"(?:WHERE\s+({_IDENT})\s+"
     rf"(?:BETWEEN\s+({_LIT})\s+AND\s+({_LIT})|=\s*({_LIT}))\s*)?"
     rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*|ZORDER\s+BY\s*({_COLLIST})\s*)?;?\s*$",
@@ -216,6 +217,9 @@ class Optimize:
     zorder_by: Optional[list]
     # (column, lo, hi) file-selection range, or None = whole table
     where: Optional[tuple] = None
+    # size-aware bin-packing: rewrite only files under this byte size
+    # (OPTIMIZE t TARGET SIZE n); None = count-based target_files mode
+    target_bytes: Optional[int] = None
 
 
 @dataclass
@@ -404,19 +408,21 @@ def parse_dml(sql: str):
         if not m:
             raise UnsupportedSqlError(
                 "OPTIMIZE supports exactly: OPTIMIZE t [FILES n] "
+                "[TARGET SIZE bytes] "
                 "[WHERE col BETWEEN lo AND hi | col = v] "
                 "[CLUSTER BY (c,...)] | [ZORDER BY (c,...)] "
                 "| OPTIMIZE SKETCH t"
             )
         where = None
-        if m.group(3):
-            lo, hi = _bounds(m.group(4), m.group(5), m.group(6))
-            where = (m.group(3), lo, hi)
+        if m.group(4):
+            lo, hi = _bounds(m.group(5), m.group(6), m.group(7))
+            where = (m.group(4), lo, hi)
         return Optimize(
             table=m.group(1),
             target_files=int(m.group(2)) if m.group(2) else 1,
-            cluster_by=_cols(m.group(7)) if m.group(7) else None,
-            zorder_by=_cols(m.group(8)) if m.group(8) else None,
+            target_bytes=int(m.group(3)) if m.group(3) else None,
+            cluster_by=_cols(m.group(8)) if m.group(8) else None,
+            zorder_by=_cols(m.group(9)) if m.group(9) else None,
             where=where,
         )
     if head == "VACUUM":

@@ -1,6 +1,7 @@
 """SQL DML router: micro-grammar parsing + transactional execution."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.plans.dml import (
@@ -700,4 +701,105 @@ def test_generate_manifest_sql(spark, store_dir):
     c.new_tx()
     rows = c.execute("GENERATE MANIFEST FOR t").collect()
     assert len(rows) == 2 and all(r["path"].endswith(".parquet") for r in rows)
+    c.commit_tx()
+
+
+def test_compact_target_bytes_skips_large_files(spark, store_dir):
+    """Size-aware OPTIMIZE (target_bytes): only files smaller than the
+    target are rewritten — the already-at-target object survives
+    untouched (same name), the small trickle bin-packs, content is
+    identical. Repeated runs converge to a no-op."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.commit_tx()
+    c.new_tx()  # one BIG object
+    c.write_dataframe(
+        "t",
+        spark.range(0, 2000).coalesce(1).select(
+            F.col("id").alias("k"), F.lit("big").alias("v")
+        ),
+    )
+    c.commit_tx()
+    for i in range(4):  # four small one-file commits
+        c.new_tx()
+        c.write_dataframe(
+            "t",
+            spark.range(10000 + i * 10, 10000 + (i + 1) * 10)
+            .coalesce(1)
+            .select(F.col("id").alias("k"), F.lit("small").alias("v")),
+        )
+        c.commit_tx()
+    store = LocalObjectStorage(store_dir)
+    objs = {o.name: o.size for o in replay_log(store).live_objects("t")}
+    assert len(objs) == 5
+    big_name, big_size = max(objs.items(), key=lambda kv: kv[1])
+    small_max = max(s for n, s in objs.items() if n != big_name)
+    target = (small_max * 4) + 1  # all smalls fit one output, big exempt
+    assert small_max < target <= big_size, (small_max, target, big_size)
+
+    c.new_tx()
+    want = sorted(
+        (r["k"], r["v"])
+        for r in c.scan("t", with_stamps=False).collect()
+    )
+    c.compact("t", target_bytes=target)
+    c.commit_tx()
+    after = {o.name: o.size for o in replay_log(store).live_objects("t")}
+    assert big_name in after, "at-target file was rewritten"
+    assert len(after) == 2, after  # big + one bin-packed output
+    c.new_tx()
+    got = sorted(
+        (r["k"], r["v"])
+        for r in c.scan("t", with_stamps=False).collect()
+    )
+    assert got == want
+    # convergence: a second run finds nothing under target to rewrite
+    v_before = replay_log(store).version
+    c.compact("t", target_bytes=target)
+    c.commit_tx()
+    assert replay_log(store).version == v_before  # read-only commit
+
+
+def test_optimize_target_size_sql_form(spark, store_dir):
+    """OPTIMIZE t TARGET SIZE n parses and executes the size-aware
+    path end-to-end through the SQL surface."""
+    from delta_lake_experiment_spark.plans.dml import Optimize, parse_dml
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+
+    assert parse_dml("OPTIMIZE t TARGET SIZE 1048576") == Optimize(
+        table="t", target_files=1, cluster_by=None, zorder_by=None,
+        target_bytes=1048576,
+    )
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.commit_tx()
+    for i in range(3):
+        c.new_tx()
+        c.write_dataframe(
+            "t",
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).select(
+                F.col("id").alias("k"), F.lit("x").alias("v")
+            ),
+        )
+        c.commit_tx()
+    c.new_tx()
+    c.execute("OPTIMIZE t TARGET SIZE 10485760")  # everything is small
+    c.commit_tx()
+    store = LocalObjectStorage(store_dir)
+    objs = replay_log(store).live_objects("t")
+    assert len(objs) == 1  # bin-packed into one output
+    c.new_tx()
+    assert sorted(
+        r["k"] for r in c.scan("t", with_stamps=False).collect()
+    ) == list(range(30))
     c.commit_tx()
