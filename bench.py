@@ -166,6 +166,7 @@ HEADLINE = [
     "engine_stream_cdf",
     "engine_stream_bounded",
     "engine_conflict_resolution",
+    "engine_generated_columns",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

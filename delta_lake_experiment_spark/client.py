@@ -488,6 +488,7 @@ class DeltaLakeClient:
         bucket_by: Optional[tuple] = None,
         checks: Optional[dict[str, str]] = None,
         not_null: Optional[list[str]] = None,
+        generated: Optional[dict[str, str]] = None,
     ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
 
@@ -589,6 +590,44 @@ class DeltaLakeClient:
                     " the user constraint"
                 )
             all_checks[name] = expr
+        gen_map = dict(generated or {})
+        gen_names = set(gen_map)
+        for col, gexpr in gen_map.items():
+            if col not in {f.name for f in parsed.fields}:
+                raise TypeMismatchError(
+                    f"GENERATED column not in schema: {col!r}"
+                )
+            # the expression must analyze over the NON-generated
+            # columns only: no self-reference, no generated-from-
+            # generated chains (Delta's restriction — write-time fill
+            # order would otherwise matter)
+            reduced = T.StructType(
+                [f for f in parsed.fields if f.name not in gen_names]
+            )
+            probe = self.spark.createDataFrame([], reduced)
+            try:
+                probe.selectExpr(f"({gexpr}) AS __g").schema
+            except Exception as e:
+                raise TypeMismatchError(
+                    f"GENERATED expression for {col!r} must be a"
+                    f" deterministic expression over the table's"
+                    f" non-generated columns: {gexpr!r} failed to"
+                    f" analyze ({e})"
+                ) from None
+            name = f"{col}_generated"
+            expr = f"{col} <=> ({gexpr})"
+            if all_checks.get(name, expr) != expr:
+                raise TypeMismatchError(
+                    f"CHECK constraint name {name!r} is reserved for the"
+                    f" GENERATED declaration on {col!r} but carries a"
+                    f" different expression ({all_checks[name]!r}) -"
+                    " rename the user constraint"
+                )
+            # supplied values are validated by this implicit CHECK at
+            # EVERY write (null-safe equality: a wrong or NULL value
+            # where the expression yields one raises in-plan); omitted
+            # columns are computed before the funnel ever sees them
+            all_checks[name] = expr
         checks_map = self._validate_checks(parsed, all_checks)
         tx.new_tables[table] = ddl
         tx.actions.append(
@@ -601,6 +640,7 @@ class DeltaLakeClient:
                 bucket_by=bcols,
                 bucket_count=bn,
                 checks=checks_map,
+                generated=gen_map,
             )
         )
 
@@ -989,6 +1029,7 @@ class DeltaLakeClient:
             col_defaults={
                 c: dict(v) for c, v in snap.defaults.get(table, {}).items()
             },
+            generated=dict(snap.generated.get(table, {})),
             authoritative=True,
         )
         base.update(overrides)
@@ -1245,11 +1286,17 @@ class DeltaLakeClient:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         schema = self.table_schema(table)
         cols = [f.name for f in schema.fields]
+        snap = self._effective_snapshot(tx)
+        # GENERATED columns: computed when the writer omits them
+        # (Delta's GENERATED ALWAYS AS); supplied values are validated
+        # by the implicit CHECK in the staging funnel instead
+        for gcol, gexpr in snap.generated.get(table, {}).items():
+            if gcol not in df.columns:
+                df = df.withColumn(gcol, F.expr(gexpr))
         missing = set(cols) - set(df.columns)
         if missing:
             raise TypeMismatchError(f"dataframe missing columns {sorted(missing)}")
         base = tx.next_idx.get(table, 0)
-        snap = self._effective_snapshot(tx)
         cluster = snap.cluster_cols.get(table)
         if cluster:
             # declared layout: each output file covers a tight range of
@@ -2175,6 +2222,7 @@ class DeltaLakeClient:
             cluster_by=list(snap.cluster_cols.get(src, [])),
             bucket_by=(list(spec["cols"]), int(spec["n"])) if spec else None,
             checks=dict(snap.checks.get(src, {})),
+            generated=dict(snap.generated.get(src, {})),
         )
         # the clone references src's physical files, so it needs src's
         # column map (and retired set, and stamp-gated defaults) verbatim
@@ -2868,6 +2916,8 @@ class DeltaLakeClient:
             raise TypeMismatchError(f"unknown columns in SET: {sorted(unknown)}")
 
         # unflushed buffer rows update in place
+        snap = self._effective_snapshot(tx)
+        gen_cols = snap.generated.get(table, {})
         buf = tx.buffers.get(table, [])
         pos = {f.name: i for i, f in enumerate(schema.fields)}
         for i, (idx, row) in enumerate(buf):
@@ -2883,9 +2933,13 @@ class DeltaLakeClient:
                             "commit first or pass literals"
                         )
                     new_row[pos[cname]] = v
+                # clear non-SET generated cells so the flush recomputes
+                # them from the updated sources (None = "not supplied")
+                for gcol in gen_cols:
+                    if gcol not in set_values:
+                        new_row[pos[gcol]] = None
                 buf[i] = (idx, new_row)
 
-        snap = self._effective_snapshot(tx)
         pr = {column: (start, end)}
         ppr = self._prune_physical(snap, table, pr)
         kb = self._bucket_prune_ids(table, snap, pr)
@@ -2923,6 +2977,19 @@ class DeltaLakeClient:
                 for cname, v in set_values.items()
             }
         )
+        # GENERATED columns RECOMPUTE on the updated rows (Delta's
+        # UPDATE semantics: a SET on a source column refreshes the
+        # generated value); explicitly-SET generated columns are left
+        # to the implicit CHECK to arbitrate
+        for gcol, gexpr in snap.generated.get(table, {}).items():
+            if gcol in set_values:
+                continue
+            updated = updated.withColumn(
+                gcol,
+                F.when(pred, F.expr(gexpr))
+                .otherwise(F.col(gcol))
+                .cast(schema[gcol].dataType),
+            )
         staging = self._staging_dir()
         self._write_parquet_staging(
             self._to_physical(tx, table, self._bucketize(tx, table, updated), snap),
@@ -3829,6 +3896,9 @@ class DeltaLakeClient:
             t: {c: dict(v) for c, v in m.items()}
             for t, m in tx.snapshot.defaults.items()
         }
+        snap.generated = {
+            t: dict(m) for t, m in tx.snapshot.generated.items()
+        }
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
@@ -3951,6 +4021,18 @@ class DeltaLakeClient:
             stamped = self.spark.createDataFrame(
                 [list(row) + [tx.id, idx] for idx, row in rows], stored
             )
+            # buffered rows are positional, so a GENERATED column is
+            # always "present": None means "not supplied" and computes
+            # here (the implicit CHECK then validates trivially);
+            # non-None values go through the CHECK like any frame write
+            for gcol, gexpr in snap.generated.get(table, {}).items():
+                stamped = stamped.withColumn(
+                    gcol,
+                    F.coalesce(
+                        F.col(gcol),
+                        F.expr(gexpr).cast(stored[gcol].dataType),
+                    ),
+                )
             staging = self._staging_dir()
             self._write_parquet_staging(
                 self._to_physical(tx, table, self._bucketize(tx, table, stamped), snap),

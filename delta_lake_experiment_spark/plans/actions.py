@@ -154,6 +154,16 @@ class ChangeMetadata:
     # records REPLACE the map, non-authoritative ones update it only
     # when non-empty.
     col_defaults: dict[str, dict] = field(default_factory=dict)
+    # GENERATED columns (Delta's GENERATED ALWAYS AS, declared at
+    # CREATE): logical column name -> SQL generation expression over
+    # the table's other columns. Values are MATERIALIZED at write
+    # (computed when the writer omits the column, validated by the
+    # implicit CHECK ``col <=> (expr)`` when supplied), so reads and
+    # stats pruning need no expression knowledge — a predicate on the
+    # generated column prunes files exactly like any stored column
+    # (the partition-style-pruning use Delta gets from generated
+    # partition columns). Same record-merge semantics as column_map.
+    generated: dict[str, str] = field(default_factory=dict)
     # With ``authoritative=True`` the declaration lists REPLACE the
     # table's current ones — empty lists CLEAR prior declarations
     # (RESTORE / ALTER need this). Default False keeps the legacy
@@ -180,6 +190,8 @@ class ChangeMetadata:
             out["retired_phys"] = self.retired_phys
         if self.col_defaults:
             out["col_defaults"] = self.col_defaults
+        if self.generated:
+            out["generated"] = self.generated
         if self.authoritative:
             out["authoritative"] = True
         return {"metadata": out}
@@ -249,6 +261,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             column_map=dict(m.get("column_map", {})),
             retired_phys=list(m.get("retired_phys", [])),
             col_defaults=dict(m.get("col_defaults", {})),
+            generated=dict(m.get("generated", {})),
             authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:

@@ -80,6 +80,10 @@ class Snapshot:
     # table -> {logical column -> {"v": literal, "birth": tx id}}:
     # rows stamped before birth read "v" where the column is NULL
     defaults: dict[str, dict] = field(default_factory=dict)
+    # table -> {generated column -> SQL generation expression}: filled
+    # at write when omitted, validated (implicit CHECK) when supplied;
+    # values are materialized so reads need no expression knowledge
+    generated: dict[str, dict] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -147,6 +151,7 @@ class Snapshot:
                     self.col_maps[act.table] = dict(act.column_map)
                     self.retired[act.table] = list(act.retired_phys)
                     self.defaults[act.table] = dict(act.col_defaults)
+                    self.generated[act.table] = dict(act.generated)
                     if act.bucket_by:
                         self.bucket_specs[act.table] = {
                             "cols": list(act.bucket_by),
@@ -176,6 +181,8 @@ class Snapshot:
                         self.retired[act.table] = list(act.retired_phys)
                     if act.col_defaults:
                         self.defaults[act.table] = dict(act.col_defaults)
+                    if act.generated:
+                        self.generated[act.table] = dict(act.generated)
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -211,6 +218,7 @@ class Snapshot:
                 "col_maps": self.col_maps,
                 "retired": self.retired,
                 "defaults": self.defaults,
+                "generated": self.generated,
                 "txns": self.txns,
             }
         ).encode()
@@ -242,6 +250,9 @@ class Snapshot:
         snap.defaults = {
             t: {c: dict(v) for c, v in m.items()}
             for t, m in d.get("defaults", {}).items()
+        }
+        snap.generated = {
+            t: dict(m) for t, m in d.get("generated", {}).items()
         }
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         for t, objs in d["live"].items():

@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 138 value-oracled queries, eighty-eight must sit outside the window. The
+# With 139 value-oracled queries, eighty-nine must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -531,6 +531,15 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 #   same source, sink, and checkpoint machinery); the NOVELTY
 #   (maxCommitsPerBatch admission control) is pinned by the 4 bounded-
 #   drain pytests and the in-query run-count assertion.
+# - engine_generated_columns (r10-born) -> the CREATE/ingest/UPDATE/
+#   scan lifecycle machinery is certified in-window by the engine_*
+#   lane (engine_default_values' metadata-declaration shape,
+#   engine_update_range's COW update, engine_not_null_reject's
+#   reject-assertion pattern); the NOVELTY (write-time fill, implicit
+#   CHECK validation, UPDATE recompute, stats pruning on the
+#   materialized value) is pinned by the 8 tests/test_generated.py
+#   pytests, and a skipped fill or stale post-update value
+#   value-diverges the per-year aggregate immediately.
 # Rows-only queries (approximate BY CONSTRUCTION, justified per-query
 # in their ORACLES modules) go last and get the weaker rows-only check
 # by design.
@@ -623,6 +632,7 @@ _DEFERRED_ORACLED = [
     "gopher_quality_report",
     "engine_conflict_resolution",
     "engine_stream_bounded",
+    "engine_generated_columns",
 ]
 
 

@@ -1351,12 +1351,99 @@ FROM events GROUP BY event_type
 """
 
 
+
+
+def engine_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns end-to-end (Delta's GENERATED ALWAYS AS,
+    client.create_table(generated=...)): ``o_year`` is declared as
+    ``year(o_orderdate)`` and NEVER supplied by the writer — the engine
+    computes it at ingest, validates supplied values via the implicit
+    CHECK (a poisoned frame is asserted to REJECT in-query), recomputes
+    it when an UPDATE moves the source date, and materializes it so
+    per-file stats on the generated column prune scans like a
+    partition column. The output aggregates the STORED o_year values,
+    so a skipped fill, a stale post-update value, or an admitted wrong
+    value diverges from the oracle (which re-derives the year from the
+    source dates) immediately."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table(
+        "orders_gen",
+        "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate DATE,"
+        " o_year INT",
+        cluster_by=["o_orderdate"],
+        generated={"o_year": "year(o_orderdate)"},
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe("orders_gen", orders)  # o_year omitted: computed
+    c.commit_tx()
+    c.new_tx()
+    poisoned = orders.withColumn("o_year", F.lit(1900))
+    try:
+        c.write_dataframe("orders_gen", poisoned)
+        raise RuntimeError(
+            "GENERATED column admitted a wrong supplied value -"
+            " the implicit CHECK is broken"
+        )
+    except RuntimeError:
+        raise
+    except Exception:
+        c.abort_tx()  # rejected in-plan, nothing leaked
+    c.new_tx()
+    # UPDATE moves the source date: o_year must recompute
+    import datetime
+
+    c.update_rows(
+        "orders_gen",
+        "o_orderkey",
+        100,
+        200,
+        {"o_orderdate": datetime.date(1999, 7, 1)},
+    )
+    c.commit_tx()
+    c.new_tx()
+    return (
+        c.scan("orders_gen", with_stamps=False)
+        .groupBy(F.col("o_year").cast("long").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # exact DECIMAL sum (the engine_sql_join convention):
+            # double reassociation differs across engines at the 1e-6
+            # digit on ~1e9-scale sums
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+ENGINE_GENERATED_COLUMNS_SQL = """
+WITH adj AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey BETWEEN 100 AND 200
+              THEN DATE '1999-07-01' ELSE o_orderdate END AS d
+  FROM orders
+)
+SELECT CAST(year(d) AS BIGINT) AS o_year, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+       MAX(o_orderkey) AS max_key
+FROM adj GROUP BY 1
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_stream_source": engine_stream_source,
     "engine_stream_cdf": engine_stream_cdf,
     "engine_stream_bounded": engine_stream_bounded,
     "engine_conflict_resolution": engine_conflict_resolution,
+    "engine_generated_columns": engine_generated_columns,
     "engine_not_null_reject": engine_not_null_reject,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
@@ -1382,6 +1469,7 @@ ORACLES = {
     "engine_stream_cdf": ENGINE_STREAM_CDF_SQL,
     "engine_stream_bounded": ENGINE_STREAM_BOUNDED_SQL,
     "engine_conflict_resolution": ENGINE_CONFLICT_RESOLUTION_SQL,
+    "engine_generated_columns": ENGINE_GENERATED_COLUMNS_SQL,
     "engine_not_null_reject": ENGINE_NOT_NULL_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
