@@ -94,7 +94,8 @@ TX_COL = "_tx_id"
 # the DV anti-join), and the Parquet _metadata pseudo-column a user
 # column would shadow.
 _RESERVED_COLS = frozenset(
-    {"_tx_id", "_row_idx", "__obj", "__ridx", "__dv_obj", "__dv_ridx", "_metadata"}
+    {"_tx_id", "_row_idx", "__obj", "__ridx", "__dv_obj", "__dv_ridx",
+     "_metadata", "__upd"}
 )
 IDX_COL = "_row_idx"
 # Default object size in rows. The reference ships 10 (debug) and intends
@@ -592,21 +593,24 @@ class DeltaLakeClient:
             all_checks[name] = expr
         gen_map = dict(generated or {})
         gen_names = set(gen_map)
+        if gen_map:
+            # one probe for every declaration: the expressions must
+            # analyze over the NON-generated columns only — no
+            # self-reference, no generated-from-generated chains
+            # (Delta's restriction; write-time fill order would
+            # otherwise matter)
+            reduced = T.StructType(
+                [f for f in parsed.fields if f.name not in gen_names]
+            )
+            probe = self.spark.createDataFrame([], reduced)
         for col, gexpr in gen_map.items():
             if col not in {f.name for f in parsed.fields}:
                 raise TypeMismatchError(
                     f"GENERATED column not in schema: {col!r}"
                 )
-            # the expression must analyze over the NON-generated
-            # columns only: no self-reference, no generated-from-
-            # generated chains (Delta's restriction — write-time fill
-            # order would otherwise matter)
-            reduced = T.StructType(
-                [f for f in parsed.fields if f.name not in gen_names]
-            )
-            probe = self.spark.createDataFrame([], reduced)
             try:
-                probe.selectExpr(f"({gexpr}) AS __g").schema
+                gdf = probe.selectExpr(f"({gexpr}) AS __g")
+                gdf.schema
             except Exception as e:
                 raise TypeMismatchError(
                     f"GENERATED expression for {col!r} must be a"
@@ -614,6 +618,36 @@ class DeltaLakeClient:
                     f" non-generated columns: {gexpr!r} failed to"
                     f" analyze ({e})"
                 ) from None
+            # reject NON-DETERMINISTIC expressions at declaration
+            # (Delta does the same): the fill projection and the
+            # implicit CHECK evaluate the expression independently, so
+            # rand()/uuid() would make every omitted-column write fail
+            # forever (review catch, r10). Catalyst's
+            # Expression.deterministic is the authority; current_*/now
+            # are deterministic per-query but write-time-varying, so a
+            # re-validation at the next COW rewrite would raise —
+            # blocked by name.
+            det = True
+            try:
+                exprs = gdf._jdf.queryExecution().analyzed().expressions()
+                det = all(
+                    exprs.apply(i).deterministic()
+                    for i in range(exprs.size())
+                )
+            except Exception:
+                pass  # introspection unavailable: the name check below
+            if not det or re.search(
+                r"\b(current_date|current_timestamp|localtimestamp|now"
+                r"|current_timezone|session_user|current_user)\b",
+                gexpr,
+                re.IGNORECASE,
+            ):
+                raise TypeMismatchError(
+                    f"GENERATED expression for {col!r} must be"
+                    f" deterministic and time/session-independent:"
+                    f" {gexpr!r} is not (its value could not be"
+                    " revalidated at COW rewrites)"
+                )
             name = f"{col}_generated"
             expr = f"{col} <=> ({gexpr})"
             if all_checks.get(name, expr) != expr:
@@ -1281,8 +1315,13 @@ class DeltaLakeClient:
                 ):
                     self.widen_column(table, f.name, incoming)
             schema = self.table_schema(table)
+            gen_skip = self._effective_snapshot(tx).generated.get(table, {})
             for f in schema.fields:
-                if f.name not in df.columns:
+                # omitted GENERATED columns must stay absent here so the
+                # fill below computes them — a NULL-fill would read as a
+                # supplied (wrong) value and fail the implicit CHECK
+                # (review catch, r10)
+                if f.name not in df.columns and f.name not in gen_skip:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         schema = self.table_schema(table)
         cols = [f.name for f in schema.fields]
@@ -2969,9 +3008,15 @@ class DeltaLakeClient:
             [self.store.path_of(n) for n in sorted(affected_names)],
             record=True,
         )
-        updated = base.withColumns(
+        # the match mask is MATERIALIZED against the pre-SET frame: the
+        # generated-column recompute below runs on top of the updated
+        # frame, where re-evaluating `pred` would see the post-SET
+        # value of the predicate column — a SET that moves it out of
+        # [start, end] would then skip the recompute and crash on the
+        # implicit CHECK (review catch, r10)
+        updated = base.withColumn("__upd", pred).withColumns(
             {
-                cname: F.when(pred, v if isinstance(v, Column) else F.lit(v))
+                cname: F.when(F.col("__upd"), v if isinstance(v, Column) else F.lit(v))
                 .otherwise(F.col(cname))
                 .cast(schema[cname].dataType)
                 for cname, v in set_values.items()
@@ -2986,10 +3031,11 @@ class DeltaLakeClient:
                 continue
             updated = updated.withColumn(
                 gcol,
-                F.when(pred, F.expr(gexpr))
+                F.when(F.col("__upd"), F.expr(gexpr))
                 .otherwise(F.col(gcol))
                 .cast(schema[gcol].dataType),
             )
+        updated = updated.drop("__upd")
         staging = self._staging_dir()
         self._write_parquet_staging(
             self._to_physical(tx, table, self._bucketize(tx, table, updated), snap),
@@ -3364,6 +3410,7 @@ class DeltaLakeClient:
             or cur.col_maps.get(table, {}) != old.col_maps.get(table, {})
             or cur.retired.get(table, []) != old.retired.get(table, [])
             or cur.defaults.get(table, {}) != old.defaults.get(table, {})
+            or cur.generated.get(table, {}) != old.generated.get(table, {})
         ):
             # the HISTORICAL declarations restore wholesale (renames /
             # drops / defaults made after the target version roll back

@@ -232,12 +232,17 @@ class S3RemoteStaging:
 
     def list_staged(self) -> list[str]:
         """Staged parquet keys (ascending; excludes _SUCCESS etc.)."""
-        return [k for k in self._all_keys() if k.endswith(".parquet")]
+        return sorted(self.staged_sizes())
 
     def staged_sizes(self) -> dict:
         """key -> byte size for staged parquet objects (the S3 listing
-        already carries sizes — no extra HEAD round-trips). Powers the
-        per-object ``size`` stat on remote bulk ingest."""
+        already carries sizes — no extra HEAD round-trips; cached so
+        list_staged + staged_sizes cost ONE listing per ingest, the
+        staging prefix being write-complete before either is called).
+        Powers the per-object ``size`` stat on remote bulk ingest."""
+        cached = getattr(self, "_sizes_cache", None)
+        if cached is not None:
+            return cached
         sizes: dict = {}
         token: Optional[str] = None
         while True:
@@ -254,6 +259,7 @@ class S3RemoteStaging:
             if not resp.get("IsTruncated"):
                 break
             token = resp.get("NextContinuationToken")
+        self._sizes_cache = sizes
         return sizes
 
     def publish(self, staged_key: str, dest_name: str) -> None:

@@ -90,12 +90,16 @@ def test_update_recomputes_generated(spark, tmp_path):
     )
     c.commit_tx()
     c.new_tx()
-    # SET k=10 on k in [1,1]: bucket3 must recompute to 10 % 3 == 1
-    c.update_rows("t", "k", 1, 1, {"k": 10})
+    # SET k=11 on k in [1,1]: bucket3 must recompute to 11 % 3 == 2
+    # (deliberately != the stale 1 % 3 == 1, so a skipped recompute is
+    # VISIBLE — and the SET moves the predicate column out of the
+    # range, so the recompute mask must come from the pre-SET frame;
+    # both were review catches)
+    c.update_rows("t", "k", 1, 1, {"k": 11})
     c.commit_tx()
     c.new_tx()
     rows = {r["k"]: r["bucket3"] for r in c.scan("t", with_stamps=False).collect()}
-    assert rows[10] == 1
+    assert rows[11] == 2
     assert all(rows[k] == k % 3 for k in rows)
     # buffered-row update: the generated cell recomputes at flush
     c.write_row("t", [20, 1.0, None])
@@ -201,4 +205,43 @@ def test_invalid_declarations_raise(spark, tmp_path):
             "c", "k BIGINT, g1 BIGINT, g2 BIGINT",
             generated={"g1": "k % 3", "g2": "g1 + 1"},
         )
+    c.abort_tx()
+
+
+def test_merge_schema_computes_omitted_generated(spark, tmp_path):
+    """merge_schema=True must not NULL-fill an omitted generated
+    column (a NULL would read as a supplied wrong value and fail the
+    implicit CHECK) — the fill computes it (review catch, r10)."""
+    c = _mk(spark, str(tmp_path))
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(0, 5).select(
+            F.col("id").alias("k"),
+            F.lit(1.0).alias("amount"),
+            F.lit("x").alias("note"),  # new column: schema evolves
+        ),
+        merge_schema=True,
+    )
+    c.commit_tx()
+    c.new_tx()
+    rows = {r["k"]: r["bucket3"] for r in c.scan("t", with_stamps=False).collect()}
+    assert rows == {k: k % 3 for k in range(5)}
+    c.commit_tx()
+
+
+def test_nondeterministic_declaration_rejected(spark, tmp_path):
+    """rand()/uuid()/current_* generation expressions are rejected at
+    declaration: the fill and the CHECK evaluate the expression
+    independently, so every omitted-column write would fail forever
+    (review catch, r10; Delta rejects these at declaration too)."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    for bad in ("rand()", "uuid()", "current_date", "now()"):
+        with pytest.raises(TypeMismatchError, match="deterministic"):
+            c.create_table(
+                f"t_{abs(hash(bad)) % 1000}",
+                "k BIGINT, g STRING",
+                generated={"g": f"CAST({bad} AS STRING)"},
+            )
     c.abort_tx()
