@@ -1992,8 +1992,14 @@ class DeltaLakeClient:
         spec = snap.bucket_specs.get(table)
         # size_bytes is all-or-nothing: a PARTIAL sum presented as the
         # table total would mislead capacity/VACUUM planning (the
-        # dry-run report models unknowns the same way, per-object None)
-        sizes = [self.store.size(o.name) for o in objs]
+        # dry-run report models unknowns the same way, per-object None).
+        # The LOG's per-object size stat (r10) answers without touching
+        # the store; only pre-size legacy objects fall back to a
+        # store.size() round-trip — at 10^6 files that is the
+        # difference between a metadata lookup and 10^6 HEAD requests.
+        sizes = [
+            o.size if o.size > 0 else self.store.size(o.name) for o in objs
+        ]
         total_bytes = (
             int(sum(sizes)) if all(s is not None for s in sizes) else None
         )
@@ -2016,6 +2022,7 @@ class DeltaLakeClient:
             {l: p for l, p in cmap.items() if l != p},
             list(snap.retired.get(table, [])),
             {c: str(d["v"]) for c, d in snap.defaults.get(table, {}).items()},
+            dict(snap.generated.get(table, {})),
         )
         schema = T.StructType(
             [
@@ -2040,6 +2047,11 @@ class DeltaLakeClient:
                 T.StructField("retired_columns", T.ArrayType(T.StringType()), False),
                 T.StructField(
                     "column_defaults",
+                    T.MapType(T.StringType(), T.StringType()),
+                    False,
+                ),
+                T.StructField(
+                    "generated_columns",
                     T.MapType(T.StringType(), T.StringType()),
                     False,
                 ),

@@ -245,3 +245,23 @@ def test_nondeterministic_declaration_rejected(spark, tmp_path):
                 generated={"g": f"CAST({bad} AS STRING)"},
             )
     c.abort_tx()
+
+
+def test_describe_detail_reports_generated_and_log_sizes(spark, tmp_path):
+    """DESCRIBE DETAIL surfaces the generated-column declarations and
+    derives size_bytes from the log's per-object size stat (zero store
+    round-trips for post-r10 objects)."""
+    c = _mk(spark, str(tmp_path))
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(0, 20).select(
+            F.col("id").alias("k"), F.lit(1.0).alias("amount")
+        ),
+    )
+    c.commit_tx()
+    d = c.describe_detail("t").collect()[0]
+    assert d["generated_columns"] == {"bucket3": "k % 3"}
+    store = LocalObjectStorage(str(tmp_path))
+    want = sum(o.size for o in replay_log(store).live_objects("t"))
+    assert want > 0 and d["size_bytes"] == want
