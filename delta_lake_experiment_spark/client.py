@@ -539,6 +539,18 @@ class DeltaLakeClient:
         else:
             ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
         parsed = self._parse_ddl(ddl)  # validate
+        reserved = [f.name for f in parsed.fields if f.name in _RESERVED_COLS]
+        if reserved:
+            # the r8 memory's "every name-introducing API" rule:
+            # add_columns/rename_column already enforce this, but
+            # CREATE was the missed doorway (review catch, r10 — a
+            # user column named __upd would be silently destroyed by
+            # update_rows' working mask)
+            raise TypeMismatchError(
+                f"reserved column name(s) {reserved}: the engine uses"
+                " them for stamps, positional reads, working masks,"
+                " and the Parquet _metadata pseudo-column"
+            )
         pks = list(primary_keys or [])
         missing = set(pks) - {f.name for f in parsed.fields}
         if missing:
@@ -618,35 +630,62 @@ class DeltaLakeClient:
                     f" non-generated columns: {gexpr!r} failed to"
                     f" analyze ({e})"
                 ) from None
-            # reject NON-DETERMINISTIC expressions at declaration
-            # (Delta does the same): the fill projection and the
-            # implicit CHECK evaluate the expression independently, so
-            # rand()/uuid() would make every omitted-column write fail
-            # forever (review catch, r10). Catalyst's
-            # Expression.deterministic is the authority; current_*/now
-            # are deterministic per-query but write-time-varying, so a
-            # re-validation at the next COW rewrite would raise —
-            # blocked by name.
-            det = True
+            # reject NON-DETERMINISTIC or time/session-dependent
+            # expressions at declaration (Delta does the same): the
+            # fill projection and the implicit CHECK evaluate the
+            # expression independently, so rand()/uuid() would make
+            # every omitted-column write fail forever, and clock/
+            # session functions (current_date, unix_timestamp(),
+            # current_user ...) would fail every later COW rewrite's
+            # revalidation (review catches, r10). Authority: Catalyst's
+            # Expression.deterministic plus a walk of the ANALYZED
+            # tree for clock/session NODES — unix_timestamp() analyzes
+            # to UnixTimestamp(CurrentTimestamp()), so node classes
+            # catch wrappers the raw text never names, and string
+            # literals containing 'now' cannot false-positive. Only if
+            # JVM introspection is unavailable (e.g. Spark Connect)
+            # does a conservative NAME regex take over — it may reject
+            # odd literals, never accept the broken class.
+            bad_reason = None
             try:
                 exprs = gdf._jdf.queryExecution().analyzed().expressions()
-                det = all(
-                    exprs.apply(i).deterministic()
-                    for i in range(exprs.size())
-                )
+                clock_nodes = {
+                    "CurrentDate", "CurrentTimestamp", "Now",
+                    "LocalTimestamp", "CurrentTimeZone", "CurrentUser",
+                    "CurrentDatabase", "CurrentCatalog",
+                }
+                queue = [exprs.apply(i) for i in range(exprs.size())]
+                while queue and bad_reason is None:
+                    e = queue.pop()
+                    if not e.deterministic():
+                        bad_reason = "non-deterministic"
+                    elif e.getClass().getSimpleName() in clock_nodes:
+                        bad_reason = "clock/session-dependent"
+                    else:
+                        ch = e.children()
+                        queue.extend(
+                            ch.apply(j) for j in range(ch.size())
+                        )
             except Exception:
-                pass  # introspection unavailable: the name check below
-            if not det or re.search(
-                r"\b(current_date|current_timestamp|localtimestamp|now"
-                r"|current_timezone|session_user|current_user)\b",
-                gexpr,
-                re.IGNORECASE,
-            ):
+                # degraded environment: conservative name check (may
+                # over-reject literals; never under-rejects)
+                if re.search(
+                    r"\b(rand|randn|random|uuid|shuffle"
+                    r"|monotonically_increasing_id|current_date"
+                    r"|current_timestamp|localtimestamp|now|curdate"
+                    r"|unix_timestamp|current_timezone|session_user"
+                    r"|current_user|user|current_database"
+                    r"|current_catalog)\b",
+                    gexpr,
+                    re.IGNORECASE,
+                ):
+                    bad_reason = "possibly non-deterministic (name match)"
+            if bad_reason:
                 raise TypeMismatchError(
                     f"GENERATED expression for {col!r} must be"
                     f" deterministic and time/session-independent:"
-                    f" {gexpr!r} is not (its value could not be"
-                    " revalidated at COW rewrites)"
+                    f" {gexpr!r} is {bad_reason} (its value could not"
+                    " be revalidated at COW rewrites)"
                 )
             name = f"{col}_generated"
             expr = f"{col} <=> ({gexpr})"

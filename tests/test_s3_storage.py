@@ -61,7 +61,9 @@ class FakeS3Client:
         page = keys[start : start + self.page_size]
         truncated = start + self.page_size < len(keys)
         resp = {
-            "Contents": [{"Key": k} for k in page],
+            "Contents": [
+                {"Key": k, "Size": len(self.objects[k])} for k in page
+            ],
             "IsTruncated": truncated,
         }
         if truncated:
@@ -132,6 +134,11 @@ class _LocalSyncedStaging:
                     self._inner.store.client.objects[self.key_prefix + fn] = f.read()
         return self._inner.list_staged()
 
+    def staged_sizes(self):
+        # production code path: exercised so the per-object size lane
+        # (AddDataObject.size from the S3 listing) is tested end to end
+        return self._inner.staged_sizes()
+
     def publish(self, staged_key, dest_name):
         self._inner.publish(staged_key, dest_name)
 
@@ -173,6 +180,10 @@ def test_bulk_ingest_never_moves_data_through_the_driver(spark):
     objs = snap.live_objects("t")
     assert len(objs) == 4 and sum(o.num_rows for o in objs) == 100
     assert all(o.stats.get("k") and o.blooms.get("k") for o in objs)
+    # per-object sizes come from the staging LISTING (no HEAD storm)
+    # and match the published bytes exactly
+    for o in objs:
+        assert o.size == len(store.read(o.name)), (o.name, o.size)
     # distributed-built blooms prune a point lookup (min/max can't:
     # repartition scatters keys across all four files)
     assert len(snap.live_files("t", store, prune={"k": (7, 7)})) < 4
