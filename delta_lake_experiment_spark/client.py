@@ -2668,6 +2668,7 @@ class DeltaLakeClient:
                 primary_keys=stmt.primary_keys or None,
                 bloom_columns=stmt.bloom_columns or None,
                 cluster_by=stmt.cluster_by or None,
+                generated=stmt.generated or None,
             )
         elif isinstance(stmt, Optimize):
             self.compact(

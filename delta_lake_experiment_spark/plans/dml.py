@@ -19,6 +19,7 @@ for the DML shapes the engine actually supports, by parsing:
   updates' roadmap item, README.md:31; clause defaults are
   UPDATE / INSERT, Delta-style)
 - ``CREATE TABLE t (<ddl>) [PRIMARY KEY (c, ...)] [BLOOM (c, ...)]
+  [GENERATED (c AS expr, ...)]
      [CLUSTER BY (c, ...)]``                  -> ``create_table``
 - ``OPTIMIZE t [FILES n] [TARGET SIZE bytes] [WHERE c BETWEEN a AND b | c = v]
      [CLUSTER BY (c, ...)] | [ZORDER BY (c, ...)]`` -> ``compact``
@@ -58,7 +59,7 @@ strings (with '' escaping).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Any, Optional
 
 from delta_lake_experiment_spark.errors import TypeMismatchError
@@ -101,7 +102,11 @@ _CREATE_RE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+({_IDENT})\s*\((.+?)\)\s*"
     rf"(?:PRIMARY\s+KEY\s*({_COLLIST})\s*)?"
     rf"(?:BLOOM\s*({_COLLIST})\s*)?"
-    rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*)?;?\s*$",
+    rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*)?"
+    # GENERATED must be the LAST clause: its expressions may contain
+    # any SQL (parens, commas, quotes), so the greedy capture runs to
+    # the final close-paren and a quote/paren-aware splitter takes over
+    rf"(?:GENERATED\s*\((.+)\)\s*)?;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _OPTIMIZE_SKETCH_RE = re.compile(
@@ -165,6 +170,54 @@ _ALTER_ADD_RE = re.compile(
 )
 
 
+def _parse_generated(body: str) -> dict:
+    """Parse the GENERATED clause body: ``col AS expr, col AS expr``.
+    Expressions are arbitrary SQL, so items split on TOP-LEVEL commas
+    only (paren depth 0, outside single-quoted literals with ''
+    escaping)."""
+    items, depth, in_str, cur = [], 0, False, []
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < n and body[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(ch)
+        else:
+            if ch == "'":
+                in_str = True
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        i += 1
+    items.append("".join(cur))
+    out: dict = {}
+    for item in items:
+        item = item.strip()
+        if not item:
+            continue
+        m = re.match(rf"^({_IDENT})\s+AS\s+(.+)$", item, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise UnsupportedSqlError(
+                f"GENERATED item must be 'col AS expr', got {item!r}"
+            )
+        out[m.group(1)] = m.group(2).strip()
+    return out
+
+
 def _cols(list_text: str) -> list[str]:
     return [c.strip() for c in list_text.strip()[1:-1].split(",")]
 
@@ -207,6 +260,8 @@ class CreateTable:
     primary_keys: list
     bloom_columns: list
     cluster_by: list
+    # GENERATED (col AS expr, ...): declared generation expressions
+    generated: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -391,7 +446,8 @@ def parse_dml(sql: str):
         if not m:
             raise UnsupportedSqlError(
                 "CREATE supports exactly: CREATE TABLE t (<ddl>) "
-                "[PRIMARY KEY (c,...)] [BLOOM (c,...)] [CLUSTER BY (c,...)]"
+                "[PRIMARY KEY (c,...)] [BLOOM (c,...)] [CLUSTER BY (c,...)] "
+                "[GENERATED (c AS expr, ...)]"
             )
         return CreateTable(
             table=m.group(1),
@@ -399,6 +455,7 @@ def parse_dml(sql: str):
             primary_keys=_cols(m.group(3)) if m.group(3) else [],
             bloom_columns=_cols(m.group(4)) if m.group(4) else [],
             cluster_by=_cols(m.group(5)) if m.group(5) else [],
+            generated=_parse_generated(m.group(6)) if m.group(6) else {},
         )
     if head == "OPTIMIZE":
         m = _OPTIMIZE_SKETCH_RE.match(sql)

@@ -803,3 +803,42 @@ def test_optimize_target_size_sql_form(spark, store_dir):
         r["k"] for r in c.scan("t", with_stamps=False).collect()
     ) == list(range(30))
     c.commit_tx()
+
+
+def test_create_table_generated_sql_form(spark, store_dir):
+    """CREATE TABLE ... GENERATED (col AS expr, ...) parses (top-level
+    comma split respects quotes and parens) and executes the full
+    generated-column path through the SQL surface."""
+    from delta_lake_experiment_spark.plans.dml import CreateTable
+
+    s = parse_dml(
+        "CREATE TABLE t (k BIGINT, s STRING, g INT, h BIGINT)"
+        " GENERATED (g AS CASE WHEN s = 'a,b(' THEN 1 ELSE 0 END,"
+        " h AS k % 3)"
+    )
+    assert isinstance(s, CreateTable)
+    assert s.generated == {
+        "g": "CASE WHEN s = 'a,b(' THEN 1 ELSE 0 END",
+        "h": "k % 3",
+    }
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.execute(
+        "CREATE TABLE ev (ts BIGINT, v DOUBLE, day BIGINT)"
+        " GENERATED (day AS ts DIV 86400)"
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe(
+        "ev",
+        spark.range(86395, 86405).select(
+            F.col("id").alias("ts"), F.lit(1.0).alias("v")
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    rows = {r["ts"]: r["day"] for r in c.scan("ev", with_stamps=False).collect()}
+    assert rows == {ts: ts // 86400 for ts in range(86395, 86405)}
+    d = c.execute("DESCRIBE DETAIL ev").collect()[0]
+    assert d["generated_columns"] == {"day": "ts DIV 86400"}
+    c.commit_tx()
