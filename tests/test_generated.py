@@ -265,3 +265,61 @@ def test_describe_detail_reports_generated_and_log_sizes(spark, tmp_path):
     store = LocalObjectStorage(str(tmp_path))
     want = sum(o.size for o in replay_log(store).live_objects("t"))
     assert want > 0 and d["size_bytes"] == want
+
+
+def test_generated_table_streams_source_and_sink(spark, tmp_path):
+    """Composition: a generated-column table STREAMS through the
+    engine source (values are materialized, so the stream emits them
+    like any stored column), and the exactly-once engine SINK into a
+    generated destination COMPUTES the omitted column per batch (the
+    foreachBatch write rides write_dataframe's fill)."""
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        foreach_batch_writer,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        read_table_stream,
+    )
+
+    src_root = str(tmp_path / "src")
+    dst_root = str(tmp_path / "dst")
+    src = DeltaLakeClient(spark, src_root)
+    src.new_tx()
+    src.create_table(
+        "s", "k BIGINT, b3 BIGINT", generated={"b3": "k % 3"}
+    )
+    src.commit_tx()
+    src.new_tx()
+    src.write_dataframe(
+        "s", spark.range(0, 12).select(F.col("id").alias("k"))
+    )
+    src.commit_tx()
+    dst = DeltaLakeClient(spark, dst_root)
+    dst.new_tx()
+    dst.create_table(
+        "d", "k BIGINT, b3 BIGINT, b5 BIGINT", generated={"b5": "k % 5"}
+    )
+    dst.commit_tx()
+
+    def dst_factory():
+        return DeltaLakeClient(spark, dst_root)
+
+    q = (
+        read_table_stream(spark, src_root, "s")
+        .writeStream.foreachBatch(
+            # the source emits (k, b3); the destination's b5 is OMITTED
+            # by the stream -> computed at the sink's write
+            foreach_batch_writer(dst_factory, "d", "gen_app")
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = dst_factory()
+    out.new_tx()
+    rows = {
+        r["k"]: (r["b3"], r["b5"])
+        for r in out.scan("d", with_stamps=False).collect()
+    }
+    assert rows == {k: (k % 3, k % 5) for k in range(12)}
+    out.commit_tx()
