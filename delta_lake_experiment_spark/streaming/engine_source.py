@@ -22,6 +22,13 @@ Start semantics match Delta's:
   logical shape, exactly like the batch scan.
 - ``startingVersion=N``: replay committed versions > N file-by-file
   (CDC-style backfill of an append-only table).
+- ``startingTimestamp=<ISO ts>`` (Delta's option, mutually exclusive
+  with startingVersion): stream commits recorded at or after the
+  bound; a bound past the newest commit tails only future commits.
+- ``maxCommitsPerBatch`` / ``maxFilesPerBatch`` / ``maxBytesPerBatch``:
+  admission control — each trigger advances at most that many
+  commits/add-files/bytes down the log (commits never split; with a
+  file/byte cap the initial snapshot drains in bounded slices too).
 - ``readChangeFeed=true`` (Delta's option): stream per-commit CHANGE
   ROWS — user columns + ``_change_type`` ('insert' | 'delete') +
   ``_commit_version`` + ``_commit_timestamp`` — instead of raising on
@@ -235,7 +242,46 @@ class EngineTableStreamReader(DataSourceStreamReader):
         if not self.table:
             raise ValueError("engine_table source: option 'table' is required")
         sv = options.get("startingversion")
+        st = options.get("startingtimestamp")
+        if sv is not None and st is not None:
+            raise ValueError(
+                "engine_table source: startingVersion and"
+                " startingTimestamp are mutually exclusive (Delta's"
+                " contract)"
+            )
         self.start_version = _BEGINNING if sv is None else int(sv)
+        if st is not None:
+            # Delta's startingTimestamp: stream commits AT OR AFTER the
+            # bound. Offsets replay versions > start, so start = the
+            # version just below the first commit whose recorded
+            # wall-clock >= bound; a bound past the newest commit tails
+            # only FUTURE commits (the friendly choice for a tailing
+            # source). Resolution is one ascending metadata walk.
+            import datetime as _dt
+
+            try:
+                parsed = _dt.datetime.fromisoformat(str(st))
+            except ValueError:
+                raise ValueError(
+                    f"engine_table source: startingTimestamp {st!r} is"
+                    " not an ISO timestamp"
+                ) from None
+            if parsed.tzinfo is None:
+                # naive = UTC, matching the commit wall-clock
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            bound = int(parsed.timestamp() * 1_000_000)
+            store0 = self._bound if self._bound is not None else _resolve_store(
+                self.store_factory_key, self.root
+            )
+            names = store0.list_prefix_ordered(LOG_PREFIX)
+            start = int(names[-1][len(LOG_PREFIX):]) if names else 0
+            for name in names:
+                v = int(name[len(LOG_PREFIX):])
+                record = json.loads(store0.read(name))
+                if int(record.get("ts", 0)) >= bound:
+                    start = v - 1
+                    break
+            self.start_version = start
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
         )
@@ -1000,6 +1046,7 @@ def read_table_stream(
     root: str,
     table: str,
     starting_version: int | None = None,
+    starting_timestamp: str | None = None,
     skip_change_commits: bool = False,
     with_stamps: bool = False,
     read_change_feed: bool = False,
@@ -1036,6 +1083,8 @@ def read_table_stream(
     )
     if starting_version is not None:
         reader = reader.option("startingVersion", str(starting_version))
+    if starting_timestamp is not None:
+        reader = reader.option("startingTimestamp", str(starting_timestamp))
     if max_commits_per_batch is not None:
         reader = reader.option("maxCommitsPerBatch", str(max_commits_per_batch))
     if max_files_per_batch is not None:

@@ -1058,3 +1058,55 @@ def test_max_bytes_per_batch_bounds_snapshot(spark, tmp_path):
             break
     assert len(got) == 3, [len(b) for b in got]
     assert sorted(x for b in got for x in b) == list(range(60))
+
+
+def test_starting_timestamp_tails_from_bound(spark, tmp_path):
+    """startingTimestamp (Delta's option): stream commits recorded AT
+    OR AFTER the bound; mutually exclusive with startingVersion; a
+    bound past the newest commit tails only future commits."""
+    import datetime
+    import time
+
+    c = _seed(spark, str(tmp_path), n_commits=1)  # rows 0..9 (before)
+    time.sleep(0.05)
+    cutoff = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    time.sleep(0.05)
+    for i in (1, 2):  # rows 10..29 (at/after the bound)
+        c.new_tx()
+        c.write_dataframe(
+            "t",
+            spark.range(i * 10, (i + 1) * 10).select(
+                F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("v")
+            ),
+        )
+        c.commit_tx()
+    got = _drain_collect(
+        spark, str(tmp_path), str(tmp_path / "ck1"),
+        starting_timestamp=cutoff,
+    )
+    assert got == list(range(10, 30)), got
+    # bound past the newest commit: nothing historical streams, a
+    # future commit does
+    future = datetime.datetime.now(datetime.timezone.utc).isoformat()
+    assert _drain_collect(
+        spark, str(tmp_path), str(tmp_path / "ck2"),
+        starting_timestamp=future,
+    ) == []
+    c.new_tx()
+    c.write_dataframe(
+        "t",
+        spark.range(100, 105).select(
+            F.col("id"), F.lit("z").alias("v")
+        ),
+    )
+    c.commit_tx()
+    assert _drain_collect(
+        spark, str(tmp_path), str(tmp_path / "ck2"),
+        starting_timestamp=future,
+    ) == list(range(100, 105))
+    # mutual exclusion raises
+    with pytest.raises(Exception, match="mutually exclusive"):
+        _drain_collect(
+            spark, str(tmp_path), str(tmp_path / "ck3"),
+            starting_version=0, starting_timestamp=cutoff,
+        )
