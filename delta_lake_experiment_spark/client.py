@@ -64,6 +64,7 @@ from pyspark.sql import types as T
 from delta_lake_experiment_spark.errors import (
     ConcurrentCommitError,
     ExistingTxError,
+    HistoryTruncatedError,
     NoTxError,
     ObjectExistsError,
     TableExistsError,
@@ -79,12 +80,15 @@ from delta_lake_experiment_spark.plans.actions import (
 )
 from delta_lake_experiment_spark.plans.snapshot import (
     CHECKPOINT_INTERVAL,
+    CHECKPOINT_PREFIX,
     LOG_PREFIX,
     Snapshot,
     _stats_intersect,
     checkpoint_name,
     log_name,
+    newest_checkpoint_version,
     replay_log,
+    write_last_checkpoint,
 )
 from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage, ObjectStorage
 
@@ -157,6 +161,10 @@ class DeltaLakeClient:
         # these per table)
         self._bucket_scans: dict[str, tuple[str, Any]] = {}
         self._client_id = uuid.uuid4().hex[:8]
+        # injectable wall-clock (tests plant skewed clocks to verify
+        # in-commit-timestamp monotonicity); commits never trust it
+        # alone — the recorded ts is max(clock, prev_ts + 1)
+        self._clock = time.time
         # Engine writes need TIMESTAMP_MICROS: Spark's INT96 default
         # writes NO footer min/max stats for timestamp columns, which
         # would silently disable time-range file pruning and the bulk
@@ -241,6 +249,10 @@ class DeltaLakeClient:
             # per-table CURRENT fresh-stamp value (re-keyed on same-table
             # admission so stamps stay unique per table; see docstring)
             stamps = {t: tx.id for t in my_tables}
+            # ICT floor: the newest recorded commit clock this tx has
+            # seen (snapshot at begin; raised from interleaved commits
+            # on retry) — recorded stamps never regress
+            floor_ts = tx.snapshot.last_ts
             while True:
                 payload: dict[str, Any] = {
                     "id": attempt_id,
@@ -250,12 +262,13 @@ class DeltaLakeClient:
                     # FRESH insert. Records without it predate the tag
                     # and fall back to the commit-granular exemption.
                     "cv": 2,
-                    # commit wall-clock (epoch micros): powers
+                    # in-commit wall-clock (epoch micros): powers
                     # TIMESTAMP AS OF resolution and DESCRIBE HISTORY.
-                    # Informational only — ordering authority stays with
-                    # the version number (wall clocks skew across
-                    # writers, exactly like Delta's commitInfo ts).
-                    "ts": int(time.time() * 1_000_000),
+                    # Monotonic by construction (Delta's ICT:
+                    # max(now, prev + 1)) so a skewed writer's clock
+                    # never makes the ascending timestamp walks stop
+                    # early; ordering authority stays with the version.
+                    "ts": max(int(self._clock() * 1_000_000), floor_ts + 1),
                     "actions": [a.to_json() for a in tx.actions],
                 }
                 if txn is not None:
@@ -275,8 +288,13 @@ class DeltaLakeClient:
                     # reconciliation raises on genuine conflicts and
                     # returns the shared tables needing a stamp re-key
                     latest = replay_log(self.store)
+                    floor_ts = max(floor_ts, latest.last_ts)
                     restamp: set[str] = set()
-                    for name in self.store.list_prefix_ordered(LOG_PREFIX):
+                    # anchored at the collided version: O(interleaved
+                    # commits) listed keys, not the whole log prefix
+                    for name in self.store.list_prefix_ordered(
+                        LOG_PREFIX, start_after=log_name(attempt_id - 1)
+                    ):
                         version = int(name[len(LOG_PREFIX):])
                         if version < attempt_id:
                             continue
@@ -1936,10 +1954,20 @@ class DeltaLakeClient:
         eligible). Raises if the bound precedes every commit."""
         bound = self._ts_micros(ts)
         names = list(self.store.list_prefix_ordered(LOG_PREFIX))
-        for name in reversed(names):
-            record = json.loads(self.store.read(name))
+        # binary search the newest record with ts <= bound: O(log n)
+        # record reads. Exact because in-commit timestamps are monotonic
+        # (commit stamps max(now, prev_ts + 1) — Delta's ICT), so the
+        # recorded clocks form a sorted sequence even under writer skew.
+        i, j = 0, len(names)
+        while i < j:
+            mid = (i + j) // 2
+            record = json.loads(self.store.read(names[mid]))
             if int(record.get("ts", 0)) <= bound:
-                return int(name[len(LOG_PREFIX):])
+                i = mid + 1
+            else:
+                j = mid
+        if i > 0:
+            return int(names[i - 1][len(LOG_PREFIX):])
         raise TableNotFoundError(
             f"no commit at or before {ts!r} (earliest commit is newer)"
         )
@@ -1957,8 +1985,9 @@ class DeltaLakeClient:
 
         Reads log-record *metadata* only (never data objects), scanning
         newest-first and stopping at ``limit`` — O(limit) store reads on
-        a long log, not O(history). Log records are never vacuumed, so
-        history is complete for the table's lifetime. No open
+        a long log, not O(history). History is complete back to the
+        :meth:`vacuum_log` retention horizon; reclaimed records simply
+        no longer appear (Delta's DESCRIBE HISTORY contract). No open
         transaction is required: the log is immutable shared metadata,
         like :meth:`vacuum`.
         """
@@ -3651,7 +3680,15 @@ class DeltaLakeClient:
         log_names = self.store.list_prefix_ordered(LOG_PREFIX)
         latest_version = int(log_names[-1][len(LOG_PREFIX):]) if log_names else 0
         lo = max(1, latest_version - retain_versions)
-        base = replay_log(self.store, as_of=lo)
+        try:
+            base = replay_log(self.store, as_of=lo)
+        except HistoryTruncatedError as e:
+            # vacuum_log already reclaimed records below its horizon:
+            # snapshots below e.floor are unreachable by ANY reader, so
+            # anchoring the keep-set at the floor retains exactly what
+            # any reconstructable version can still reference
+            lo = max(lo, e.floor)
+            base = replay_log(self.store, as_of=lo)
         keep: set[str] = set()
 
         def _keep_bloom_refs(blooms: dict) -> None:
@@ -3707,6 +3744,87 @@ class DeltaLakeClient:
                 "count": len(report),
                 "total_bytes": sum(sizes) if sizes else 0,
             }
+        return deleted
+
+    def vacuum_log(
+        self,
+        min_age_seconds: float = 7 * 24 * 3600.0,
+        dry_run: bool = False,
+    ) -> Union[int, dict]:
+        """Reclaim log records and checkpoints STRICTLY below the newest
+        checkpoint (Delta's ``logRetentionDuration`` cleanup).
+
+        Nothing ever deleted ``_log_`` metadata before this: at
+        streaming cadence (one commit per micro-batch for months =>
+        10⁶ commits) the log prefix itself becomes the scale-killer —
+        ~1 000 S3 LIST pages per snapshot replay and per stream trigger
+        even though the checkpoint makes the *reads* O(tail). Replay
+        anchors on the newest checkpoint, so records below it are dead
+        weight for current-state readers; they only serve time travel,
+        which this method bounds to the retention window.
+
+        Safety invariants:
+
+        - The newest checkpoint and every record at or above its
+          version are NEVER deleted — current-state replay, streaming
+          tails positioned at or above the horizon, and the OCC version
+          counter (which replays from that checkpoint, pinning the
+          high-water mark so truncated version ids are never reissued)
+          are unaffected.
+        - ``min_age_seconds`` bounds time travel loss: a record younger
+          than the window is spared, using the commit wall-clock
+          recorded IN the record (object-store safe — no mtime HEAD
+          storm); checkpoints use store mtime and are spared when age
+          is unknown and a window is set (fail-safe). The default keeps
+          7 days of history below the horizon, mirroring Delta.
+        - Readers below the horizon fail LOUDLY: replay detects the
+          version gap (log versions are dense by construction) and
+          raises :class:`HistoryTruncatedError` naming the floor and
+          remedy; a stream resuming from below the horizon gets the
+          same named error from its planner, never silent row loss.
+
+        ``dry_run=True`` returns the report without deleting. Returns
+        the number of objects deleted otherwise.
+        """
+        if self.tx is not None:
+            raise ExistingTxError("vacuum_log must run outside a transaction")
+        horizon = newest_checkpoint_version(self.store)
+        if horizon <= 0:
+            return {"objects": [], "count": 0} if dry_run else 0
+        cutoff_us = int((time.time() - min_age_seconds) * 1_000_000)
+        deleted = 0
+        report: list[dict] = []
+        for name in self.store.list_prefix_ordered(LOG_PREFIX):
+            version = int(name[len(LOG_PREFIX):])
+            if version >= horizon:
+                break  # ascending: everything from here up is retained
+            if min_age_seconds > 0:
+                try:
+                    ts = int(json.loads(self.store.read(name)).get("ts", 0))
+                except Exception:
+                    continue  # unreadable record: spare it
+                if ts > cutoff_us:
+                    continue  # younger than the retention window
+            if dry_run:
+                report.append({"name": name, "version": version})
+                continue
+            self.store.delete(name)
+            deleted += 1
+        for name in self.store.list_prefix_ordered(CHECKPOINT_PREFIX):
+            version = int(name[len(CHECKPOINT_PREFIX):])
+            if version >= horizon:
+                break
+            if min_age_seconds > 0:
+                mt = self.store.mtime(name)
+                if mt is None or mt > time.time() - min_age_seconds:
+                    continue  # unknown age or too young: spare it
+            if dry_run:
+                report.append({"name": name, "version": version})
+                continue
+            self.store.delete(name)
+            deleted += 1
+        if dry_run:
+            return {"objects": report, "count": len(report)}
         return deleted
 
     def _require_tx(self) -> _Tx:
@@ -3998,6 +4116,7 @@ class DeltaLakeClient:
         snap.generated = {
             t: dict(m) for t, m in tx.snapshot.generated.items()
         }
+        snap.last_ts = tx.snapshot.last_ts
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
@@ -4431,6 +4550,9 @@ class DeltaLakeClient:
             self.store.put_if_absent(checkpoint_name(snap.version), snap.to_json())
         except ObjectExistsError:
             pass  # someone else checkpointed this version — fine
+        # advisory pointer: future replays anchor their listing here
+        # (same version either way when we lost the checkpoint race)
+        write_last_checkpoint(self.store, snap.version)
 
 
 _DDL_TYPES = {

@@ -37,3 +37,15 @@ class ConcurrentCommitError(EngineError):
 
 class ObjectExistsError(EngineError):
     """put_if_absent target already exists."""
+
+
+class HistoryTruncatedError(EngineError):
+    """Log replay hit a gap: ``vacuum_log`` reclaimed records below the
+    retention horizon, so the requested historical version can no
+    longer be reconstructed (Delta's logRetentionDuration contract).
+    ``floor`` is the oldest version still reconstructable from the
+    base checkpoint the replay anchored on."""
+
+    def __init__(self, message: str, floor: int = 0) -> None:
+        super().__init__(message)
+        self.floor = int(floor)

@@ -36,6 +36,11 @@ from delta_lake_experiment_spark.storage.objectstore import ObjectStorage
 LOG_PREFIX = "_log_"
 CHECKPOINT_PREFIX = "_checkpoint_"
 CHECKPOINT_INTERVAL = 32
+# Advisory pointer to the newest checkpoint (Delta's _last_checkpoint):
+# readers anchor their log listing past it instead of LISTing the whole
+# _checkpoint_/_log_ prefixes. A stale or missing pointer only widens
+# the listing — correctness never depends on it.
+LAST_CHECKPOINT = "_last_checkpoint"
 
 
 def log_name(version: int) -> str:
@@ -88,6 +93,12 @@ class Snapshot:
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
     txns: dict[str, int] = field(default_factory=dict)
+    # newest in-commit wall-clock (epoch micros) among folded records:
+    # the floor for the next commit's stamp (ICT monotonicity — Delta's
+    # inCommitTimestamp: max(now, last_ts + 1) so recorded clocks never
+    # regress under writer clock skew, making TIMESTAMP AS OF /
+    # startingTimestamp binary searches exact)
+    last_ts: int = 0
 
     def live_objects(self, table: str) -> list[AddDataObject]:
         """Live data objects, ascending (tx_id, name) — mirror of the
@@ -220,6 +231,9 @@ class Snapshot:
                 "defaults": self.defaults,
                 "generated": self.generated,
                 "txns": self.txns,
+                # carried so the ICT floor survives vacuum_log
+                # reclaiming the records that established it
+                "last_ts": self.last_ts,
             }
         ).encode()
 
@@ -255,6 +269,7 @@ class Snapshot:
             t: dict(m) for t, m in d.get("generated", {}).items()
         }
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
+        snap.last_ts = int(d.get("last_ts", 0))
         for t, objs in d["live"].items():
             snap.live[t] = {
                 a["name"]: AddDataObject(
@@ -368,6 +383,45 @@ def _blooms_admit(
     return True
 
 
+def read_last_checkpoint(store: ObjectStorage) -> Optional[int]:
+    """Version from the advisory ``_last_checkpoint`` pointer, or None
+    when absent/unreadable (readers then fall back to a full
+    ``_checkpoint_`` listing)."""
+    try:
+        return int(json.loads(store.read(LAST_CHECKPOINT))["version"])
+    except Exception:
+        return None
+
+
+def write_last_checkpoint(store: ObjectStorage, version: int) -> None:
+    """Best-effort advisory pointer update (never fails a commit)."""
+    try:
+        store.put(LAST_CHECKPOINT, json.dumps({"version": int(version)}).encode())
+    except Exception:
+        pass
+
+
+def newest_checkpoint_version(store: ObjectStorage) -> int:
+    """Version of the newest checkpoint object (0 = none), resolved
+    pointer-first: one pointer read + one listing anchored past it
+    (usually empty) instead of a full ``_checkpoint_`` prefix LIST."""
+    hint = read_last_checkpoint(store)
+    if hint is not None:
+        newer = store.list_prefix_ordered(
+            CHECKPOINT_PREFIX, start_after=checkpoint_name(hint)
+        )
+        if newer:
+            return int(newer[-1][len(CHECKPOINT_PREFIX):])
+        # trust the pointer only when its checkpoint object actually
+        # exists (a corrupt/ahead pointer must not anchor vacuum_log's
+        # horizon); exists()=None (capability unknown) trusts it —
+        # every real backend answers
+        if store.exists(checkpoint_name(hint)) is not False:
+            return hint
+    ckpts = store.list_prefix_ordered(CHECKPOINT_PREFIX)
+    return int(ckpts[-1][len(CHECKPOINT_PREFIX):]) if ckpts else 0
+
+
 def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
     """Reconstruct the snapshot: newest checkpoint + later log records.
 
@@ -377,18 +431,86 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
     ``as_of`` pins the snapshot to an historical version (time travel):
     only log records with id <= as_of are folded in. Checkpoints newer
     than ``as_of`` are skipped so the pinned state is exact.
+
+    Scale contract (the reference replays — and LISTs — the full
+    history per tx begin, transactions.go:58-62): the current-state
+    path resolves the base checkpoint via the advisory
+    ``_last_checkpoint`` pointer and anchors the log listing past it
+    (``start_after`` — S3 StartAfter), so a ``new_tx`` on a 10⁶-commit
+    log costs O(commits since checkpoint) LIST/read calls, not ~1 000
+    LIST pages. Log versions are dense by construction (a commit is a
+    put-if-absent of exactly newest+1), so a gap in the listed tail
+    means ``vacuum_log`` reclaimed the records: replay raises
+    :class:`HistoryTruncatedError` (with the reconstructable floor)
+    instead of silently serving a state missing commits.
     """
+    from delta_lake_experiment_spark.errors import HistoryTruncatedError
+
     snap = Snapshot(version=0)
-    ckpts = store.list_prefix_ordered(CHECKPOINT_PREFIX)
-    for name in reversed(ckpts):
-        version = int(name[len(CHECKPOINT_PREFIX):])
-        if as_of is None or version <= as_of:
-            snap = Snapshot.from_json(store.read(name))
-            break
-    for name in store.list_prefix_ordered(LOG_PREFIX):
+    if as_of is None:
+        for _ in range(2):
+            base = newest_checkpoint_version(store)
+            if not base:
+                break
+            try:
+                snap = Snapshot.from_json(store.read(checkpoint_name(base)))
+                break
+            except Exception:
+                # resolution raced a concurrent checkpoint + vacuum_log
+                # (our target was superseded then reclaimed): re-resolve
+                continue
+    else:
+        # pinned-version replay (time travel AND the streaming tail's
+        # per-trigger as_of=position replays): when the pointer's
+        # checkpoint is at or below as_of — the common case for a
+        # stream positioned near the head — anchor the checkpoint
+        # listing past it; only a genuinely DEEP time travel (below the
+        # newest checkpoint) walks the full checkpoint prefix
+        hint = read_last_checkpoint(store)
+        base = None
+        if hint is not None and hint <= as_of:
+            base = hint
+            for name in store.list_prefix_ordered(
+                CHECKPOINT_PREFIX, start_after=checkpoint_name(hint)
+            ):
+                version = int(name[len(CHECKPOINT_PREFIX):])
+                if version <= as_of:
+                    base = version
+                else:
+                    break
+            try:
+                snap = Snapshot.from_json(store.read(checkpoint_name(base)))
+            except Exception:
+                snap, base = Snapshot(version=0), None  # stale pointer
+        if base is None:
+            for name in reversed(store.list_prefix_ordered(CHECKPOINT_PREFIX)):
+                version = int(name[len(CHECKPOINT_PREFIX):])
+                if version <= as_of:
+                    snap = Snapshot.from_json(store.read(name))
+                    break
+    base_version = snap.version
+    expected = snap.version + 1
+    for name in store.list_prefix_ordered(
+        LOG_PREFIX, start_after=log_name(snap.version)
+    ):
         version = int(name[len(LOG_PREFIX):])
         if version <= snap.version:
             continue
+        if version != expected:
+            # records (expected .. version-1) are gone; only raise when
+            # the request actually needs them (an exact-checkpoint
+            # as_of is still served even with a truncated tail above)
+            if as_of is None or expected <= as_of:
+                raise HistoryTruncatedError(
+                    f"log records v{expected}..v{version - 1} have been"
+                    " reclaimed by vacuum_log (retention horizon):"
+                    f" versions above the base checkpoint v{base_version}"
+                    f" and below v{version} are no longer reconstructable"
+                    " - time travel at or above the horizon, or configure"
+                    " a longer vacuum_log retention window",
+                    floor=base_version,
+                )
+            break
         if as_of is not None and version > as_of:
             break
         record = json.loads(store.read(name))
@@ -398,4 +520,6 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
         if txn:
             app = str(txn["app_id"])
             snap.txns[app] = max(snap.txns.get(app, -1), int(txn["batch"]))
+        snap.last_ts = max(snap.last_ts, int(record.get("ts", 0)))
+        expected = version + 1
     return snap

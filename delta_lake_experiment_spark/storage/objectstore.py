@@ -75,8 +75,16 @@ class ObjectStorage(ABC):
         :class:`ObjectExistsError` if it already exists."""
 
     @abstractmethod
-    def list_prefix_ordered(self, prefix: str) -> list[str]:
-        """All object names starting with ``prefix``, ascending."""
+    def list_prefix_ordered(
+        self, prefix: str, start_after: Optional[str] = None
+    ) -> list[str]:
+        """All object names starting with ``prefix``, ascending.
+
+        ``start_after`` (exclusive) anchors the listing past a known
+        name — S3's native ``StartAfter`` — so log replay and stream
+        triggers list O(tail since checkpoint/position) keys instead of
+        the full ``_log_`` prefix (O(total commits) pages at streaming
+        cadence; the metadata scale-killer on a 10⁶-commit log)."""
 
     @abstractmethod
     def read(self, name: str) -> bytes:
@@ -95,6 +103,20 @@ class ObjectStorage(ABC):
         """Remove an object (best-effort; missing object is not an
         error). Used only by VACUUM — never by the commit protocol,
         whose atomicity rests solely on put_if_absent."""
+
+    def put(self, name: str, data: bytes) -> None:
+        """Overwrite ``name`` with ``data`` (create if missing).
+        ADVISORY data only — the ``_last_checkpoint`` pointer, which
+        readers treat as a hint (stale/missing pointers only cost a
+        wider listing, never correctness). Never part of the commit
+        protocol. Default: best-effort delete + put_if_absent; real
+        backends override with a native overwrite (S3 PUT, local
+        atomic rename)."""
+        self.delete(name)
+        try:
+            self.put_if_absent(name, data)
+        except ObjectExistsError:
+            pass  # racing advisory writers: either copy is fine
 
     def put_file_if_absent(self, name: str, src_path: str) -> None:
         """put_if_absent from a local file. Default implementation
@@ -142,8 +164,17 @@ class MemoryObjectStorage(ObjectStorage):
             raise ObjectExistsError(name)
         self._objects[name] = data
 
-    def list_prefix_ordered(self, prefix: str) -> list[str]:
-        return sorted(n for n in self._objects if n.startswith(prefix))
+    def list_prefix_ordered(
+        self, prefix: str, start_after: Optional[str] = None
+    ) -> list[str]:
+        return sorted(
+            n
+            for n in self._objects
+            if n.startswith(prefix) and (start_after is None or n > start_after)
+        )
+
+    def put(self, name: str, data: bytes) -> None:
+        self._objects[name] = data
 
     def read(self, name: str) -> bytes:
         return self._objects[name]
@@ -193,14 +224,33 @@ class LocalObjectStorage(ObjectStorage):
             except FileNotFoundError:
                 pass
 
-    def list_prefix_ordered(self, prefix: str) -> list[str]:
+    def list_prefix_ordered(
+        self, prefix: str, start_after: Optional[str] = None
+    ) -> list[str]:
+        # os.listdir is unordered, so the anchored form still walks the
+        # directory once — the contract (and the win) is for object
+        # stores, where start_after skips LIST pages server-side; local
+        # directories stay OS-page-cached and cheap at test scale.
         names = [
             n
             for n in os.listdir(self.root)
-            if n.startswith(prefix) and n != ".tmp"
+            if n.startswith(prefix)
+            and n != ".tmp"
+            and (start_after is None or n > start_after)
         ]
         names.sort()
         return names
+
+    def put(self, name: str, data: bytes) -> None:
+        """Atomic overwrite via rename (advisory pointer writes)."""
+        final = self._safe_path(name)
+        tmp = os.path.join(self._tmpdir, f"tmp_{uuid.uuid4().hex}")
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final)
 
     def read(self, name: str) -> bytes:
         with open(self._safe_path(name), "rb") as f:

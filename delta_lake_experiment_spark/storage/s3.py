@@ -103,6 +103,13 @@ class S3ObjectStorage(ObjectStorage):
                 raise ObjectExistsError(name) from e
             raise
 
+    def put(self, name: str, data: bytes) -> None:
+        # unconditional PUT: advisory pointer writes only (the
+        # _last_checkpoint hint) — commits stay conditional
+        self.client.put_object(
+            Bucket=self.bucket, Key=self._key(name), Body=data
+        )
+
     def put_file_if_absent(self, name: str, src_path: str) -> None:
         # Single-request conditional upload of a DRIVER-local file (the
         # row-buffer flush path). Bulk ingest never comes through here:
@@ -148,7 +155,9 @@ class S3ObjectStorage(ObjectStorage):
     def _staging_key_prefix(self, token: str) -> str:
         return f"{self.prefix}.tmp/staging_{token}/"
 
-    def list_prefix_ordered(self, prefix: str) -> list[str]:
+    def list_prefix_ordered(
+        self, prefix: str, start_after: Optional[str] = None
+    ) -> list[str]:
         names: list[str] = []
         token: Optional[str] = None
         while True:
@@ -156,6 +165,11 @@ class S3ObjectStorage(ObjectStorage):
                 "Bucket": self.bucket,
                 "Prefix": self._key(prefix),
             }
+            if start_after is not None:
+                # native server-side anchor: the response starts past
+                # this key, so a checkpoint-anchored log listing costs
+                # O(tail) pages instead of O(total commits)
+                kwargs["StartAfter"] = self._key(start_after)
             if token:
                 kwargs["ContinuationToken"] = token
             resp = self.client.list_objects_v2(**kwargs)

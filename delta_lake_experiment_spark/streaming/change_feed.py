@@ -23,7 +23,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 
-from delta_lake_experiment_spark.plans.snapshot import LOG_PREFIX
+from delta_lake_experiment_spark.plans.snapshot import LOG_PREFIX, log_name
 
 
 class ChangeFeedReader:
@@ -40,8 +40,11 @@ class ChangeFeedReader:
         self.cursor = start_version
 
     def latest_version(self) -> int:
-        names = self.client.store.list_prefix_ordered(LOG_PREFIX)
-        return int(names[-1][len(LOG_PREFIX):]) if names else 0
+        # anchored at the cursor: O(new commits) LIST keys per poll
+        names = self.client.store.list_prefix_ordered(
+            LOG_PREFIX, start_after=log_name(self.cursor) if self.cursor > 0 else None
+        )
+        return int(names[-1][len(LOG_PREFIX):]) if names else self.cursor
 
     def poll(self) -> Optional[tuple[DataFrame, int]]:
         latest = self.latest_version()

@@ -89,6 +89,7 @@ from pyspark.sql.datasource import (
 
 from delta_lake_experiment_spark.plans.snapshot import (
     LOG_PREFIX,
+    log_name,
     replay_log,
 )
 from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage
@@ -274,13 +275,25 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 self.store_factory_key, self.root
             )
             names = store0.list_prefix_ordered(LOG_PREFIX)
-            start = int(names[-1][len(LOG_PREFIX):]) if names else 0
-            for name in names:
-                v = int(name[len(LOG_PREFIX):])
-                record = json.loads(store0.read(name))
+            # binary search the first commit with ts >= bound: O(log n)
+            # record reads instead of a full ascending walk. Exactness
+            # rests on in-commit-timestamp monotonicity (the client
+            # stamps max(now, prev_ts + 1) — Delta's ICT — so recorded
+            # clocks never regress even under writer clock skew).
+            i, j = 0, len(names)
+            while i < j:
+                mid = (i + j) // 2
+                record = json.loads(store0.read(names[mid]))
                 if int(record.get("ts", 0)) >= bound:
-                    start = v - 1
-                    break
+                    j = mid
+                else:
+                    i = mid + 1
+            if i < len(names):
+                start = int(names[i][len(LOG_PREFIX):]) - 1
+            else:
+                # bound past the newest commit: tail only FUTURE
+                # commits (the friendly choice for a tailing source)
+                start = int(names[-1][len(LOG_PREFIX):]) if names else 0
             self.start_version = start
         self.skip_change_commits = (
             str(options.get("skipchangecommits", "false")).lower() == "true"
@@ -377,8 +390,17 @@ class EngineTableStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         store = self._store()
-        names = store.list_prefix_ordered(LOG_PREFIX)
-        latest = int(names[-1][len(LOG_PREFIX):]) if names else 0
+        # anchor the LIST at the stream's position: a long-lived stream
+        # on a 10⁶-commit log pays O(new commits) LIST keys per trigger
+        # instead of re-paging the whole _log_ prefix every trigger
+        anchor = self._pos if self._pos is not None else self.start_version
+        after = log_name(anchor) if anchor is not None and anchor >= 0 else None
+        names = store.list_prefix_ordered(LOG_PREFIX, start_after=after)
+        latest = (
+            int(names[-1][len(LOG_PREFIX):])
+            if names
+            else (anchor if anchor is not None and anchor >= 0 else 0)
+        )
         if not (self.max_commits or self.max_files or self.max_bytes):
             return {"version": latest}
         if self._snap is not None:
@@ -492,6 +514,18 @@ class EngineTableStreamReader(DataSourceStreamReader):
             self._pos = v
         if v >= 0 and self._records:
             self._records = {k: r for k, r in self._records.items() if k > v}
+        # snapshot-file cache: entries exist only to serve the pinned
+        # initial-snapshot slices — once the snapshot finishes, drop
+        # them all so a long-lived stream's driver memory stays
+        # O(backlog), not O(stream lifetime)
+        if self._snap_files:
+            pinned = self._snap[0] if self._snap is not None else None
+            if pinned is None:
+                self._snap_files.clear()
+            elif set(self._snap_files) - {pinned}:
+                self._snap_files = {
+                    k: f for k, f in self._snap_files.items() if k == pinned
+                }
 
     def _log_record(self, store, name: str, version: int) -> dict:
         """Parsed log record for ``version`` (committed records are
@@ -524,10 +558,14 @@ class EngineTableStreamReader(DataSourceStreamReader):
         metadata — the pinned shape would read it wrong."""
         if hi <= lo:
             return
-        for name in store.list_prefix_ordered(LOG_PREFIX):
+        for name in store.list_prefix_ordered(
+            LOG_PREFIX, start_after=log_name(max(lo, 0))
+        ):
             v = int(name[len(LOG_PREFIX):])
-            if v <= lo or v > hi:
+            if v <= lo:
                 continue
+            if v > hi:
+                break
             record = self._log_record(store, name, v)
             for act in record.get("actions", []):
                 kind = next(iter(act))
@@ -657,12 +695,43 @@ class EngineTableStreamReader(DataSourceStreamReader):
         body of the original tail branch, factored so the sliced
         snapshot's finishing batch can append its tail to the last
         file slice."""
-        table_known = self.table in replay_log(store, as_of=lo).tables
+        from delta_lake_experiment_spark.errors import HistoryTruncatedError
+
+        try:
+            table_known = self.table in replay_log(store, as_of=lo).tables
+        except HistoryTruncatedError as e:
+            # the stream's position itself is below the retention
+            # horizon: name the streaming remedy, not the time-travel one
+            raise ValueError(
+                f"engine_table source: stream position v{lo} is below the"
+                " vacuum_log retention horizon (its log records are"
+                " reclaimed) - restart the stream with a fresh checkpoint"
+                " (or .option('startingVersion', a retained version)) to"
+                " resync"
+            ) from e
         parts: list[InputPartition] = []
-        for name in store.list_prefix_ordered(LOG_PREFIX):
+        expected = lo + 1
+        for name in store.list_prefix_ordered(
+            LOG_PREFIX, start_after=log_name(max(lo, 0))
+        ):
             v = int(name[len(LOG_PREFIX):])
-            if v <= lo or v > hi:
+            if v <= lo:
                 continue
+            if v > hi:
+                break
+            if v != expected:
+                # log versions are dense; a gap means vacuum_log
+                # reclaimed records this stream still needed — refuse
+                # loudly instead of silently dropping the commits
+                raise ValueError(
+                    f"engine_table source: log records v{expected}.."
+                    f"v{v - 1} have been reclaimed by vacuum_log while"
+                    " this stream was positioned below the retention"
+                    " horizon - restart the stream with a fresh"
+                    " checkpoint (or .option('startingVersion', a"
+                    " retained version)) to resync"
+                )
+            expected = v + 1
             record = self._log_record(store, name, v)
             adds, removes, dvs, metas = [], [], [], 0
             for act in record.get("actions", []):

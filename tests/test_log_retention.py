@@ -1,0 +1,374 @@
+"""Log retention + checkpoint-anchored listing (VERDICT r10 item 1).
+
+Before this round nothing ever deleted ``_log_`` metadata and every
+snapshot replay / stream trigger LISTed the entire log prefix —
+O(total commits) metadata per ``new_tx`` and per trigger at streaming
+cadence (the reference shares the wart, transactions.go:58-62). Now:
+
+- listings anchor past the newest checkpoint via the advisory
+  ``_last_checkpoint`` pointer + ``start_after`` (S3 StartAfter);
+- ``vacuum_log`` reclaims records/checkpoints strictly below the
+  newest checkpoint past a retention window (Delta's
+  logRetentionDuration);
+- replay detects the resulting version gap and raises a NAMED error
+  (never silently serves a state missing commits), streams positioned
+  below the horizon fail loudly with the remedy, and the OCC version
+  counter never reuses a truncated id (the retained checkpoint pins
+  the high-water mark).
+
+Also covers in-commit-timestamp monotonicity (VERDICT r10 item 5,
+Delta's ICT): commit stamps ``max(now, prev_ts + 1)`` so the
+TIMESTAMP AS OF / startingTimestamp binary searches stay exact under
+writer clock skew.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.errors import (
+    ConcurrentCommitError,
+    HistoryTruncatedError,
+)
+from delta_lake_experiment_spark.plans.snapshot import (
+    CHECKPOINT_PREFIX,
+    LAST_CHECKPOINT,
+    LOG_PREFIX,
+    log_name,
+    newest_checkpoint_version,
+    replay_log,
+    write_last_checkpoint,
+)
+from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage
+
+
+class _NoSparkConf:
+    def set(self, k, v):
+        pass
+
+    def get(self, k, default=None):
+        return default
+
+
+class _NoSpark:
+    conf = _NoSparkConf()
+
+    def __getattr__(self, name):  # pragma: no cover
+        raise AssertionError(f"test unexpectedly touched spark.{name}")
+
+
+class CountingStore(LocalObjectStorage):
+    """Counts LIST calls, LISTED KEYS RETURNED (the proxy for S3 LIST
+    pages), and per-prefix reads — the metadata-cost meter."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self.reset()
+
+    def reset(self):
+        self.list_calls = 0
+        self.listed_keys = {}  # prefix -> keys returned across calls
+        self.reads = {}  # prefix -> read calls
+
+    def list_prefix_ordered(self, prefix, start_after=None):
+        names = super().list_prefix_ordered(prefix, start_after=start_after)
+        self.list_calls += 1
+        self.listed_keys[prefix] = self.listed_keys.get(prefix, 0) + len(names)
+        return names
+
+    def read(self, name):
+        for prefix in ("_log_", "_checkpoint_", "_last_checkpoint"):
+            if name.startswith(prefix):
+                self.reads[prefix] = self.reads.get(prefix, 0) + 1
+                break
+        return super().read(name)
+
+
+def _seed_commits(root, n_commits, checkpoint_interval=32, store=None):
+    c = DeltaLakeClient(
+        _NoSpark(),
+        store if store is not None else root,
+        checkpoint_interval=checkpoint_interval,
+    )
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(n_commits):
+        c.new_tx()
+        c.write_row("t", [i, i * 10])
+        c.commit_tx()
+    return c
+
+
+def test_new_tx_metadata_cost_is_checkpoint_tail_at_depth(tmp_path):
+    """1 000+ commits (checkpoint every 32): a new_tx replays with
+    O(commits since checkpoint) LISTED KEYS and log reads — not the
+    1 001-key, 1 001-read full-prefix walk of the unanchored form."""
+    store = CountingStore(str(tmp_path / "store"))
+    c = _seed_commits(str(tmp_path / "store"), 1000, store=store)
+    total = 1001  # create + 1000 writes
+    tail = total % 32  # commits past the newest checkpoint
+
+    store.reset()
+    c.new_tx()
+    c.abort_tx()
+    # pointer read + checkpoint read + tail records; the log listing is
+    # anchored past the checkpoint so only the tail keys come back
+    assert store.reads.get("_last_checkpoint", 0) == 1
+    assert store.reads.get("_checkpoint_", 0) == 1
+    assert store.reads.get("_log_", 0) == tail
+    assert store.listed_keys.get("_log_", 0) == tail
+    # the pointer replaces the full _checkpoint_ prefix walk: the only
+    # checkpoint LIST is the is-there-anything-newer probe (empty)
+    assert store.listed_keys.get("_checkpoint_", 0) == 0
+
+
+def test_stream_trigger_metadata_cost_is_position_tail_at_depth(tmp_path):
+    """A stream positioned near the head of the same 1 000-commit log
+    pays O(new commits) listed keys + reads per latestOffset/partitions
+    round, not O(total commits)."""
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    store = CountingStore(str(tmp_path / "store"))
+    _seed_commits(str(tmp_path / "store"), 1000, store=store)
+    latest = replay_log(store).version
+    reader = EngineTableStreamReader(
+        str(tmp_path / "store"),
+        {"table": "t", "startingversion": str(latest - 3)},
+        store=store,
+    )
+    store.reset()
+    off = reader.latestOffset()
+    assert off == {"version": latest}
+    parts = reader.partitions({"version": latest - 3}, off)
+    assert len(parts) == 3
+    reader.commit(off)
+    # listings anchored at the stream position / pointer checkpoint:
+    # a 10^6-commit log would cost the same handful of keys
+    assert store.listed_keys.get("_log_", 0) <= 2 * 32
+    assert store.reads.get("_log_", 0) <= 2 * 32
+    assert store.list_calls <= 8
+
+    # steady state: an idle trigger (no new commits) lists ZERO log keys
+    store.reset()
+    off2 = reader.latestOffset()
+    assert off2 == {"version": latest}
+    assert store.listed_keys.get("_log_", 0) == 0
+
+
+def test_vacuum_log_reclaims_below_horizon_and_time_travel_raises(tmp_path):
+    c = _seed_commits(str(tmp_path / "store"), 69)  # 70 commits, ckpts 32/64
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    assert newest_checkpoint_version(store) == 64
+
+    # a retention window spares everything younger (all records are
+    # seconds old): nothing deleted
+    assert c.vacuum_log(min_age_seconds=3600) == 0
+
+    report = c.vacuum_log(min_age_seconds=0, dry_run=True)
+    assert report["count"] == 64  # records 1..63 + checkpoint 32
+    deleted = c.vacuum_log(min_age_seconds=0)
+    assert deleted == 64
+    logs = store.list_prefix_ordered(LOG_PREFIX)
+    assert int(logs[0][len(LOG_PREFIX):]) == 64
+    assert store.list_prefix_ordered(CHECKPOINT_PREFIX) == [
+        "_checkpoint_" + "0" * 18 + "64"
+    ]
+
+    # current state unaffected: replay anchors on the retained checkpoint
+    snap = replay_log(store)
+    assert snap.version == 70
+    assert sum(o.num_rows for o in snap.live_objects("t")) == 69
+
+    # time travel below the horizon fails LOUDLY with the remedy
+    with pytest.raises(HistoryTruncatedError, match="vacuum_log"):
+        replay_log(store, as_of=40)
+    # ... at or above it stays exact
+    assert replay_log(store, as_of=64).version == 64
+    assert replay_log(store, as_of=67).version == 67
+
+    # idempotent: a second pass converges to a no-op
+    assert c.vacuum_log(min_age_seconds=0) == 0
+
+
+def test_occ_version_counter_never_reuses_truncated_ids(tmp_path):
+    """The retained checkpoint pins the high-water mark: commits after
+    truncation continue at latest+1 and the put-if-absent gate still
+    detects collisions (no truncated version id is ever reissued)."""
+    c = _seed_commits(str(tmp_path / "store"), 40)  # 41 commits, ckpt 32
+    c.vacuum_log(min_age_seconds=0)
+    c.new_tx()
+    c.write_row("t", [999, 999])
+    c.commit_tx()
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    assert replay_log(store).version == 42
+    # collision at the post-truncation head still conflicts
+    a = DeltaLakeClient(_NoSpark(), str(tmp_path / "store"), checkpoint_interval=0)
+    b = DeltaLakeClient(_NoSpark(), str(tmp_path / "store"), checkpoint_interval=0)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("t", [1, 1])
+    b.write_row("t", [1, 2])
+    a.commit_tx()
+    b.commit_tx()  # append-append admission retargets to 44
+    assert replay_log(store).version == 44
+
+
+def test_stream_resume_across_truncation(tmp_path):
+    """A stream positioned AT/ABOVE the horizon resumes cleanly; one
+    positioned BELOW gets a named error citing vacuum_log + the remedy
+    instead of silently skipping the reclaimed commits."""
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    _seed_commits(str(tmp_path / "store"), 40)  # 41 commits, ckpt 32
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    c = DeltaLakeClient(_NoSpark(), str(tmp_path / "store"))
+    c.vacuum_log(min_age_seconds=0)  # records 1..31 reclaimed
+
+    ok = EngineTableStreamReader(
+        str(tmp_path / "store"), {"table": "t", "startingversion": "35"}, store=store
+    )
+    parts = ok.partitions({"version": 35}, {"version": 41})
+    assert len(parts) == 6  # commits 36..41, one add each
+
+    below = EngineTableStreamReader(
+        str(tmp_path / "store"), {"table": "t", "startingversion": "33"}, store=store
+    )
+    with pytest.raises(ValueError, match="vacuum_log"):
+        below.partitions({"version": 10}, {"version": 41})
+
+
+def test_last_checkpoint_pointer_is_advisory(tmp_path):
+    """A stale (or regressed) pointer only widens the listing — the
+    anchored probe finds newer checkpoints; a pointer naming a MISSING
+    checkpoint is ignored entirely (it must never anchor vacuum_log)."""
+    _seed_commits(str(tmp_path / "store"), 69)  # ckpts 32, 64
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    write_last_checkpoint(store, 32)  # stale / regressed
+    assert newest_checkpoint_version(store) == 64
+    assert replay_log(store).version == 70
+
+    store.delete(LAST_CHECKPOINT)
+    assert newest_checkpoint_version(store) == 64  # full-listing fallback
+
+    write_last_checkpoint(store, 9999)  # corrupt: no such checkpoint
+    assert newest_checkpoint_version(store) == 64
+
+
+def test_in_commit_timestamps_are_monotonic_under_clock_skew(tmp_path):
+    """A writer with a regressed wall clock cannot make recorded commit
+    timestamps go backwards (ts = max(now, prev + 1)), so the
+    TIMESTAMP AS OF binary search still lands on the right version."""
+    root = str(tmp_path / "store")
+    c = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [1, 1])
+    c.commit_tx()
+
+    skewed = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+    skewed._clock = lambda: 1000.0  # 1970-01-01T00:16:40 — badly regressed
+    skewed.new_tx()
+    skewed.write_row("t", [2, 2])
+    skewed.commit_tx()
+
+    store = LocalObjectStorage(root)
+    ts = [
+        int(json.loads(store.read(n))["ts"])
+        for n in store.list_prefix_ordered(LOG_PREFIX)
+    ]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+    assert ts[2] == ts[1] + 1  # the skewed writer landed on the floor
+
+    # TIMESTAMP AS OF between commit 2 and 3 resolves to version 2
+    assert c._version_at_timestamp(_iso(ts[1])) == 2
+    assert c._version_at_timestamp(_iso(ts[2])) == 3
+
+    # ICT floor survives vacuum_log: carried by the checkpoint
+    snap = replay_log(store)
+    assert snap.last_ts == ts[-1]
+
+
+def _iso(micros):
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        micros / 1_000_000, tz=datetime.timezone.utc
+    ).isoformat()
+
+
+def test_starting_timestamp_bisect_exact_under_skew(tmp_path):
+    """startingTimestamp resolution (now a binary search) agrees with
+    the linear-walk semantics on an ICT-monotonic log that contains a
+    skewed writer's floor-stamped commit."""
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    c = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(5):
+        w = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+        if i == 2:
+            w._clock = lambda: 5.0  # regressed writer mid-log
+        w.new_tx()
+        w.write_row("t", [i, i])
+        w.commit_tx()
+    store = LocalObjectStorage(root)
+    names = store.list_prefix_ordered(LOG_PREFIX)
+    ts = [int(json.loads(store.read(n))["ts"]) for n in names]
+
+    for i, bound in enumerate(ts):
+        reader = EngineTableStreamReader(
+            root, {"table": "t", "startingtimestamp": _iso(bound)}, store=store
+        )
+        # first commit with ts >= bound is version i+1 -> start = i
+        assert reader.start_version == i
+    # bound past the newest commit: tail future commits only
+    reader = EngineTableStreamReader(
+        root, {"table": "t", "startingtimestamp": _iso(ts[-1] + 1)}, store=store
+    )
+    assert reader.start_version == len(names)
+
+
+def test_reader_caches_stay_bounded(tmp_path):
+    """_records/_snap_files evict at commit(): driver memory stays
+    O(backlog) over a long-lived stream, not O(stream lifetime)."""
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    _seed_commits(str(tmp_path / "store"), 12, checkpoint_interval=0)
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    reader = EngineTableStreamReader(
+        str(tmp_path / "store"),
+        {"table": "t", "maxfilesperbatch": "4"},
+        store=store,
+    )
+    prev = reader.initialOffset()
+    for _ in range(12):
+        off = reader.latestOffset()
+        if off != prev:
+            reader.partitions(prev, off)
+            reader.commit(off)
+            prev = off
+        # bounded: never more than the one pinned-snapshot entry
+        assert len(reader._snap_files) <= 1
+        assert all(k > (reader._pos or 0) for k in reader._records)
+    # snapshot finished: its file cache is fully evicted
+    assert reader._snap_files == {}
+    assert reader._pos == 13

@@ -35,6 +35,16 @@ class FakeS3Client:
         self.copy_keys = []  # every key written via server-side CopyObject
 
     def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        if IfNoneMatch is None:
+            # unconditional writes are legal ONLY for the advisory
+            # _last_checkpoint pointer; everything else must stay
+            # behind the conditional-PUT OCC gate
+            assert Key.endswith("_last_checkpoint"), (
+                "engine must write conditionally except the advisory pointer"
+            )
+            self.objects[Key] = bytes(Body)
+            self.put_keys.append(Key)
+            return {"ETag": '"fake"'}
         assert IfNoneMatch == "*", "engine must always write conditionally"
         if Key in self.objects:
             raise _ApiError(412, "PreconditionFailed")
@@ -55,8 +65,14 @@ class FakeS3Client:
             raise _ApiError(404, "NoSuchKey")
         return {"Body": io.BytesIO(self.objects[Key])}
 
-    def list_objects_v2(self, Bucket, Prefix="", ContinuationToken=None):
-        keys = sorted(k for k in self.objects if k.startswith(Prefix))
+    def list_objects_v2(
+        self, Bucket, Prefix="", ContinuationToken=None, StartAfter=None
+    ):
+        keys = sorted(
+            k
+            for k in self.objects
+            if k.startswith(Prefix) and (StartAfter is None or k > StartAfter)
+        )
         start = int(ContinuationToken) if ContinuationToken else 0
         page = keys[start : start + self.page_size]
         truncated = start + self.page_size < len(keys)
