@@ -167,6 +167,11 @@ HEADLINE = [
     "engine_stream_bounded",
     "engine_conflict_resolution",
     "engine_generated_columns",
+    # r11: identity allocation (OCC race in-query), size-aware OPTIMIZE
+    # convergence, startingTimestamp stream slice
+    "engine_identity_columns",
+    "engine_optimize_sizes",
+    "engine_stream_starting_ts",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -139,6 +139,11 @@ class _Tx:
     # while inserts provably outside every scope (disjoint key bounds,
     # disjoint bucket ids) stay admissible.
     read_scopes: dict[str, list[dict]] = field(default_factory=dict)
+    # (table, identity column) -> furthest value allocated BY THIS TX
+    # (initialized from the snapshot's high on first allocation); the
+    # commit appends an authoritative metadata record advancing the
+    # table's high-water mark for every entry here
+    identity_hwm: dict[tuple[str, str], int] = field(default_factory=dict)
 
 
 class DeltaLakeClient:
@@ -242,6 +247,7 @@ class DeltaLakeClient:
         try:
             for table in list(tx.buffers):
                 self._flush_buffer(table)
+            self._emit_identity_advances(tx)
             if not tx.actions:
                 return  # read-only fast path
             my_tables = {a.table for a in tx.actions}
@@ -508,6 +514,7 @@ class DeltaLakeClient:
         checks: Optional[dict[str, str]] = None,
         not_null: Optional[list[str]] = None,
         generated: Optional[dict[str, str]] = None,
+        identity: Optional[dict[str, dict]] = None,
     ) -> None:
         """Register a table with a typed schema (DDL string or StructType).
 
@@ -719,6 +726,43 @@ class DeltaLakeClient:
             # where the expression yields one raises in-plan); omitted
             # columns are computed before the funnel ever sees them
             all_checks[name] = expr
+        ident_map: dict[str, dict] = {}
+        for col, ispec in (identity or {}).items():
+            # IDENTITY (Delta's GENERATED ALWAYS AS IDENTITY): a minted
+            # BIGINT sequence — start/step declared, "high" tracks the
+            # furthest allocated value (start - step before the first)
+            f = next((f for f in parsed.fields if f.name == col), None)
+            if f is None:
+                raise TypeMismatchError(f"IDENTITY column not in schema: {col!r}")
+            if not isinstance(f.dataType, T.LongType):
+                raise TypeMismatchError(
+                    f"IDENTITY column {col!r} must be BIGINT, is"
+                    f" {f.dataType.simpleString()}"
+                )
+            if col in gen_names:
+                raise TypeMismatchError(
+                    f"column {col!r} cannot be both GENERATED and IDENTITY"
+                )
+            if col in clus or col in bcols:
+                raise TypeMismatchError(
+                    f"IDENTITY column {col!r} cannot drive the write"
+                    " layout (cluster/bucket): its values are minted"
+                    " AFTER the layout partitioning"
+                )
+            try:
+                start = int(ispec.get("start", 1))
+                step = int(ispec.get("step", 1))
+                high = int(ispec.get("high", start - step))
+            except (TypeError, ValueError):
+                raise TypeMismatchError(
+                    f"IDENTITY spec for {col!r} must carry integer"
+                    f" start/step, got {ispec!r}"
+                )
+            if step == 0:
+                raise TypeMismatchError(
+                    f"IDENTITY step for {col!r} must be non-zero"
+                )
+            ident_map[col] = {"start": start, "step": step, "high": high}
         checks_map = self._validate_checks(parsed, all_checks)
         tx.new_tables[table] = ddl
         tx.actions.append(
@@ -732,6 +776,7 @@ class DeltaLakeClient:
                 bucket_count=bn,
                 checks=checks_map,
                 generated=gen_map,
+                identity=ident_map,
             )
         )
 
@@ -953,6 +998,10 @@ class DeltaLakeClient:
                     _ren(c): dict(v)
                     for c, v in snap.defaults.get(table, {}).items()
                 },
+                identity={
+                    _ren(c): dict(v)
+                    for c, v in snap.identity.get(table, {}).items()
+                },
             )
         )
 
@@ -979,6 +1028,7 @@ class DeltaLakeClient:
             ("bloom", snap.bloom_cols.get(table, [])),
             ("cluster", snap.cluster_cols.get(table, [])),
             ("bucket", list(spec["cols"]) if spec else []),
+            ("identity", list(snap.identity.get(table, {}))),
         ):
             if column in cols:
                 raise TypeMismatchError(
@@ -1121,6 +1171,9 @@ class DeltaLakeClient:
                 c: dict(v) for c, v in snap.defaults.get(table, {}).items()
             },
             generated=dict(snap.generated.get(table, {})),
+            identity={
+                c: dict(v) for c, v in snap.identity.get(table, {}).items()
+            },
             authoritative=True,
         )
         base.update(overrides)
@@ -1307,13 +1360,30 @@ class DeltaLakeClient:
 
     def write_row(self, table: str, row: list[Any]) -> None:
         """Buffer one row; auto-flush a Parquet object when the buffer
-        reaches ``dataobject_size`` (reference writes.go:49-52)."""
+        reaches ``dataobject_size`` (reference writes.go:49-52).
+
+        IDENTITY columns are positional like every other column: pass
+        ``None`` and the value is minted here, in insertion order, from
+        the transaction-local continuation of the table's high-water
+        mark; passing a value is an error (GENERATED ALWAYS)."""
         tx = self._require_tx()
         schema = self.table_schema(table)
         if len(row) != len(schema.fields):
             raise TypeMismatchError(
                 f"row has {len(row)} values, table {table!r} has {len(schema.fields)} columns"
             )
+        ident = self._identity_spec(tx, table)
+        if ident:
+            row = list(row)
+            pos = {f.name: i for i, f in enumerate(schema.fields)}
+            for icol, ispec in ident.items():
+                i = pos[icol]
+                if row[i] is not None:
+                    raise TypeMismatchError(
+                        f"IDENTITY column {icol!r} is GENERATED ALWAYS -"
+                        " pass None and the engine mints the value"
+                    )
+                row[i] = self._alloc_identity(tx, table, icol, ispec, 1)
         buf = tx.buffers.setdefault(table, [])
         idx = tx.next_idx.get(table, 0)
         tx.next_idx[table] = idx + 1
@@ -1372,11 +1442,15 @@ class DeltaLakeClient:
                 ):
                     self.widen_column(table, f.name, incoming)
             schema = self.table_schema(table)
-            gen_skip = self._effective_snapshot(tx).generated.get(table, {})
+            snap_ms = self._effective_snapshot(tx)
+            gen_skip = set(snap_ms.generated.get(table, {})) | set(
+                snap_ms.identity.get(table, {})
+            )
             for f in schema.fields:
-                # omitted GENERATED columns must stay absent here so the
-                # fill below computes them — a NULL-fill would read as a
-                # supplied (wrong) value and fail the implicit CHECK
+                # omitted GENERATED/IDENTITY columns must stay absent
+                # here so the fill below computes/mints them — a
+                # NULL-fill would read as a supplied (wrong) value and
+                # fail the implicit CHECK / the ALWAYS gate
                 # (review catch, r10)
                 if f.name not in df.columns and f.name not in gen_skip:
                     df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -1389,6 +1463,20 @@ class DeltaLakeClient:
         for gcol, gexpr in snap.generated.get(table, {}).items():
             if gcol not in df.columns:
                 df = df.withColumn(gcol, F.expr(gexpr))
+        # IDENTITY columns: the frame must OMIT them (GENERATED ALWAYS
+        # accepts no supplied values); a NULL placeholder keeps the
+        # missing-columns gate happy and the real values are minted
+        # below off the _row_idx stamps (one expression, no extra job)
+        ident = snap.identity.get(table, {})
+        ident_pending: dict[str, tuple[int, int]] = {}
+        for icol, ispec in ident.items():
+            if icol in df.columns:
+                raise TypeMismatchError(
+                    f"IDENTITY column {icol!r} is GENERATED ALWAYS -"
+                    " omit it from the frame and the engine mints the"
+                    " values"
+                )
+            df = df.withColumn(icol, F.lit(None).cast("bigint"))
         missing = set(cols) - set(df.columns)
         if missing:
             raise TypeMismatchError(f"dataframe missing columns {sorted(missing)}")
@@ -1404,6 +1492,25 @@ class DeltaLakeClient:
             F.lit(tx.id).cast("long").alias(TX_COL),
             (F.monotonically_increasing_id() + F.lit(base)).alias(IDX_COL),
         )
+        for icol, ispec in ident.items():
+            # mint off the SAME _row_idx stamp expression: unique per
+            # row by the stamp-uniqueness invariant, exact high-water
+            # accounting from the staged footers' max stamp, and gaps
+            # (the stamp's partition bits) are in-contract for identity
+            high0 = tx.identity_hwm.get((table, icol))
+            if high0 is None:
+                high0 = int(
+                    ispec.get("high", int(ispec["start"]) - int(ispec["step"]))
+                )
+            step = int(ispec["step"])
+            ident_pending[icol] = (high0, step)
+            stamped = stamped.withColumn(
+                icol,
+                (
+                    F.lit(high0)
+                    + F.lit(step) * (F.col(IDX_COL) - F.lit(base) + F.lit(1))
+                ).cast("long"),
+            )
         if not cluster:
             # declared hash layout: partition i holds exactly bucket-i
             # rows (repartition's HashPartitioning IS Spark's bucket id
@@ -1429,6 +1536,7 @@ class DeltaLakeClient:
             # staging, the driver publishes via server-side copy — no
             # data bytes ever transit the driver.
             self._write_dataframe_remote(table, tx, stamped, base, begin_remote())
+            self._advance_identity(tx, table, ident_pending, base)
             return
         staging = self._staging_dir()
         self._write_parquet_staging(stamped, staging)
@@ -1445,6 +1553,7 @@ class DeltaLakeClient:
         finally:
             _rmtree(staging)
         tx.next_idx[table] = (max_idx if max_idx is not None else base - 1) + 1
+        self._advance_identity(tx, table, ident_pending, base)
 
     def _write_dataframe_remote(
         self, table: str, tx: _Tx, stamped: DataFrame, base: int, rs
@@ -2091,6 +2200,10 @@ class DeltaLakeClient:
             list(snap.retired.get(table, [])),
             {c: str(d["v"]) for c, d in snap.defaults.get(table, {}).items()},
             dict(snap.generated.get(table, {})),
+            {
+                c: f"START {v['start']} STEP {v['step']} HIGH {v['high']}"
+                for c, v in snap.identity.get(table, {}).items()
+            },
         )
         schema = T.StructType(
             [
@@ -2120,6 +2233,11 @@ class DeltaLakeClient:
                 ),
                 T.StructField(
                     "generated_columns",
+                    T.MapType(T.StringType(), T.StringType()),
+                    False,
+                ),
+                T.StructField(
+                    "identity_columns",
                     T.MapType(T.StringType(), T.StringType()),
                     False,
                 ),
@@ -2342,6 +2460,12 @@ class DeltaLakeClient:
             bucket_by=(list(spec["cols"]), int(spec["n"])) if spec else None,
             checks=dict(snap.checks.get(src, {})),
             generated=dict(snap.generated.get(src, {})),
+            # the clone inherits the IDENTITY high-water mark: its rows
+            # carry src's minted ids, so a reset-to-start clone would
+            # re-mint them on the first insert
+            identity={
+                c: dict(v) for c, v in snap.identity.get(src, {}).items()
+            },
         )
         # the clone references src's physical files, so it needs src's
         # column map (and retired set, and stamp-gated defaults) verbatim
@@ -2698,6 +2822,7 @@ class DeltaLakeClient:
                 bloom_columns=stmt.bloom_columns or None,
                 cluster_by=stmt.cluster_by or None,
                 generated=stmt.generated or None,
+                identity=stmt.identity or None,
             )
         elif isinstance(stmt, Optimize):
             self.compact(
@@ -2925,6 +3050,22 @@ class DeltaLakeClient:
         keys = snap0.pkeys.get(table)
         if not keys:
             raise TypeMismatchError(f"merge requires declared primary keys on {table!r}")
+        if snap0.identity.get(table):
+            # the latest-version-wins merge writes WHOLE new row
+            # versions, so matched updates would need the source to
+            # carry the identity column while GENERATED ALWAYS forbids
+            # inserts from supplying it — the two lanes are mutually
+            # inconsistent on one source frame (Delta rejects MERGE
+            # INSERT with explicit ALWAYS identity values for the same
+            # reason). Insert-only merges can write_dataframe the
+            # anti-joined source directly; update lanes should key on a
+            # natural (non-identity) table.
+            raise TypeMismatchError(
+                f"merge into table {table!r} with IDENTITY column(s)"
+                f" {sorted(snap0.identity[table])} is not supported:"
+                " GENERATED ALWAYS accepts no supplied values, but the"
+                " merge's matched lane writes whole row versions"
+            )
         src = source_df.persist()
         pr, any_keys = self._source_key_bounds(src, table, keys)
         kb = (
@@ -3034,6 +3175,13 @@ class DeltaLakeClient:
         unknown = set(set_values) - names
         if unknown:
             raise TypeMismatchError(f"unknown columns in SET: {sorted(unknown)}")
+        ident_set = set(set_values) & set(self._identity_spec(tx, table))
+        if ident_set:
+            raise TypeMismatchError(
+                f"IDENTITY column(s) {sorted(ident_set)} are GENERATED"
+                " ALWAYS - their values cannot be SET (rows keep their"
+                " minted ids across updates)"
+            )
 
         # unflushed buffer rows update in place
         snap = self._effective_snapshot(tx)
@@ -3492,12 +3640,31 @@ class DeltaLakeClient:
             or cur.retired.get(table, []) != old.retired.get(table, [])
             or cur.defaults.get(table, {}) != old.defaults.get(table, {})
             or cur.generated.get(table, {}) != old.generated.get(table, {})
+            or cur.identity.get(table, {}) != old.identity.get(table, {})
         ):
             # the HISTORICAL declarations restore wholesale (renames /
             # drops / defaults made after the target version roll back
-            # too): the helper reads everything from ``old``
+            # too): the helper reads everything from ``old`` — EXCEPT
+            # the IDENTITY high-water mark, which keeps the FURTHEST of
+            # the two (Delta's RESTORE does the same): regressing it
+            # would re-mint ids that post-restore readers may have
+            # already seen in exports, feeds, or downstream joins
+            ident_restore = {
+                c: dict(v) for c, v in old.identity.get(table, {}).items()
+            }
+            for c, v in ident_restore.items():
+                cur_v = cur.identity.get(table, {}).get(c)
+                if cur_v is not None:
+                    step = int(v.get("step", 1))
+                    further = max if step > 0 else min
+                    v["high"] = further(
+                        int(v.get("high", int(v["start"]) - step)),
+                        int(cur_v.get("high", int(v["start"]) - step)),
+                    )
             tx.actions.append(
-                self._authoritative_metadata(old, table, old.tables[table])
+                self._authoritative_metadata(
+                    old, table, old.tables[table], identity=ident_restore
+                )
             )
             tx.new_tables[table] = old.tables[table]  # visible pre-commit
         cur_objs = cur.live.get(table, {})
@@ -4116,6 +4283,10 @@ class DeltaLakeClient:
         snap.generated = {
             t: dict(m) for t, m in tx.snapshot.generated.items()
         }
+        snap.identity = {
+            t: {c: dict(v) for c, v in m.items()}
+            for t, m in tx.snapshot.identity.items()
+        }
         snap.last_ts = tx.snapshot.last_ts
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
@@ -4287,6 +4458,81 @@ class DeltaLakeClient:
             self._register_object(table, tx, tmp)
         finally:
             _rmtree(os.path.dirname(tmp))
+
+    def _identity_spec(self, tx: "_Tx", table: str) -> dict[str, dict]:
+        """The table's IDENTITY declarations as visible to this tx
+        (snapshot + this tx's own metadata actions), WITHOUT an
+        O(snapshot) effective-snapshot copy — write_row calls this per
+        row. The actions walk is O(this tx's metadata actions)."""
+        spec = None
+        for a in tx.actions:
+            if isinstance(a, ChangeMetadata) and a.table == table:
+                if a.identity or a.authoritative:
+                    spec = a.identity
+        if spec is None:
+            spec = tx.snapshot.identity.get(table, {})
+        return spec or {}
+
+    def _alloc_identity(
+        self, tx: "_Tx", table: str, col: str, spec: dict, n: int
+    ) -> int:
+        """Reserve ``n`` consecutive identity values; returns the first.
+        The tx-local mark continues the snapshot's high-water mark; the
+        commit publishes the advance as an authoritative metadata
+        record, so concurrent allocators conflict (first-committer-wins)
+        and the retry re-reads a fresh mark — ids are never reused."""
+        key = (table, col)
+        high = tx.identity_hwm.get(key)
+        if high is None:
+            high = int(spec.get("high", int(spec["start"]) - int(spec["step"])))
+        step = int(spec["step"])
+        tx.identity_hwm[key] = high + step * n
+        return high + step
+
+    def _advance_identity(
+        self, tx: "_Tx", table: str, pending: dict[str, tuple[int, int]], base: int
+    ) -> None:
+        """Record the bulk path's identity consumption: values were
+        minted as ``high0 + step * (idx - base + 1)`` off the same
+        ``_row_idx`` stamps whose exact maximum the staging stats pass
+        already derives, so the advance is exact at any partition count
+        (gaps from monotonically_increasing_id's partition bits are
+        allowed — Delta's identity contract — and stay reserved)."""
+        if not pending:
+            return
+        max_idx = tx.next_idx.get(table, base) - 1
+        span = max_idx - base + 1
+        if span <= 0:
+            return
+        for icol, (high0, step) in pending.items():
+            tx.identity_hwm[(table, icol)] = high0 + step * span
+
+    def _emit_identity_advances(self, tx: "_Tx") -> None:
+        """Append one authoritative metadata record per table whose
+        identity high-water mark this tx advanced (called from
+        commit_tx after the buffer flushes). The record is what makes
+        allocation safe under OCC: any same-table interleave now
+        conflicts at commit and the retry re-allocates."""
+        if not tx.identity_hwm:
+            return
+        by_table: dict[str, dict[str, int]] = {}
+        for (t, c), high in tx.identity_hwm.items():
+            by_table.setdefault(t, {})[c] = int(high)
+        snap = self._effective_snapshot(tx)
+        for t, cols in by_table.items():
+            ident = {c: dict(v) for c, v in snap.identity.get(t, {}).items()}
+            changed = False
+            for c, high in cols.items():
+                if c in ident and ident[c].get("high") != high:
+                    ident[c]["high"] = high
+                    changed = True
+            if changed:
+                tx.actions.append(
+                    self._authoritative_metadata(
+                        snap, t, snap.tables[t], identity=ident
+                    )
+                )
+        tx.identity_hwm.clear()
 
     def _bucket_spec(self, tx: "_Tx", table: str) -> Optional[tuple[list[str], int]]:
         """(bucket_cols, n) for a bucketed table, else None."""

@@ -164,6 +164,17 @@ class ChangeMetadata:
     # (the partition-style-pruning use Delta gets from generated
     # partition columns). Same record-merge semantics as column_map.
     generated: dict[str, str] = field(default_factory=dict)
+    # IDENTITY columns (Delta's GENERATED ALWAYS AS IDENTITY): logical
+    # column name -> {"start": first value, "step": increment,
+    # "high": furthest value allocated so far (start - step when
+    # nothing allocated)}. Values are minted at write when the writer
+    # omits/NULLs the column; supplying one is an error (ALWAYS).
+    # Every allocating commit carries an authoritative metadata record
+    # with the advanced high-water mark, so concurrent allocators
+    # CONFLICT at commit (metadata change = genuine overlap) and the
+    # retry re-reads a fresh mark — two racing inserters can never
+    # mint the same id. Same record-merge semantics as column_map.
+    identity: dict[str, dict] = field(default_factory=dict)
     # With ``authoritative=True`` the declaration lists REPLACE the
     # table's current ones — empty lists CLEAR prior declarations
     # (RESTORE / ALTER need this). Default False keeps the legacy
@@ -192,6 +203,8 @@ class ChangeMetadata:
             out["col_defaults"] = self.col_defaults
         if self.generated:
             out["generated"] = self.generated
+        if self.identity:
+            out["identity"] = self.identity
         if self.authoritative:
             out["authoritative"] = True
         return {"metadata": out}
@@ -262,6 +275,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             retired_phys=list(m.get("retired_phys", [])),
             col_defaults=dict(m.get("col_defaults", {})),
             generated=dict(m.get("generated", {})),
+            identity={c: dict(v) for c, v in m.get("identity", {}).items()},
             authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:

@@ -103,6 +103,8 @@ _CREATE_RE = re.compile(
     rf"(?:PRIMARY\s+KEY\s*({_COLLIST})\s*)?"
     rf"(?:BLOOM\s*({_COLLIST})\s*)?"
     rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*)?"
+    # IDENTITY bodies carry no nested parens (cols + integer options)
+    rf"(?:IDENTITY\s*\(([^)]+)\)\s*)?"
     # GENERATED must be the LAST clause: its expressions may contain
     # any SQL (parens, commas, quotes), so the greedy capture runs to
     # the final close-paren and a quote/paren-aware splitter takes over
@@ -168,6 +170,33 @@ _ALTER_ADD_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\((.+?)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+_IDENTITY_ITEM_RE = re.compile(
+    rf"^\s*({_IDENT})"
+    r"(?:\s+START\s+WITH\s+(-?\d+))?"
+    r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_identity(body: str) -> dict:
+    """Parse the IDENTITY clause body:
+    ``col [START WITH n] [INCREMENT BY n], ...`` (Delta's
+    GENERATED ALWAYS AS IDENTITY options, defaults 1/1)."""
+    out: dict = {}
+    for item in body.split(","):
+        m = _IDENTITY_ITEM_RE.match(item)
+        if not m:
+            raise UnsupportedSqlError(
+                f"IDENTITY item {item.strip()!r}: expected"
+                " 'col [START WITH n] [INCREMENT BY n]'"
+            )
+        out[m.group(1)] = {
+            "start": int(m.group(2)) if m.group(2) else 1,
+            "step": int(m.group(3)) if m.group(3) else 1,
+        }
+    return out
 
 
 def _parse_generated(body: str) -> dict:
@@ -262,6 +291,9 @@ class CreateTable:
     cluster_by: list
     # GENERATED (col AS expr, ...): declared generation expressions
     generated: dict = field(default_factory=dict)
+    # IDENTITY (col [START WITH n] [INCREMENT BY n], ...): minted
+    # BIGINT sequences — col -> {"start", "step"}
+    identity: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -447,6 +479,7 @@ def parse_dml(sql: str):
             raise UnsupportedSqlError(
                 "CREATE supports exactly: CREATE TABLE t (<ddl>) "
                 "[PRIMARY KEY (c,...)] [BLOOM (c,...)] [CLUSTER BY (c,...)] "
+                "[IDENTITY (c [START WITH n] [INCREMENT BY n], ...)] "
                 "[GENERATED (c AS expr, ...)]"
             )
         return CreateTable(
@@ -455,7 +488,8 @@ def parse_dml(sql: str):
             primary_keys=_cols(m.group(3)) if m.group(3) else [],
             bloom_columns=_cols(m.group(4)) if m.group(4) else [],
             cluster_by=_cols(m.group(5)) if m.group(5) else [],
-            generated=_parse_generated(m.group(6)) if m.group(6) else {},
+            identity=_parse_identity(m.group(6)) if m.group(6) else {},
+            generated=_parse_generated(m.group(7)) if m.group(7) else {},
         )
     if head == "OPTIMIZE":
         m = _OPTIMIZE_SKETCH_RE.match(sql)

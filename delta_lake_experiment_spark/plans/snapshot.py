@@ -89,6 +89,11 @@ class Snapshot:
     # at write when omitted, validated (implicit CHECK) when supplied;
     # values are materialized so reads need no expression knowledge
     generated: dict[str, dict] = field(default_factory=dict)
+    # table -> {identity column -> {"start","step","high"}} (Delta's
+    # GENERATED ALWAYS AS IDENTITY); "high" is the furthest value
+    # allocated, advanced by an authoritative metadata record in every
+    # allocating commit (concurrent allocators conflict and retry)
+    identity: dict[str, dict] = field(default_factory=dict)
     # streaming-writer app_id -> highest committed batch id (the Delta
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
@@ -163,6 +168,9 @@ class Snapshot:
                     self.retired[act.table] = list(act.retired_phys)
                     self.defaults[act.table] = dict(act.col_defaults)
                     self.generated[act.table] = dict(act.generated)
+                    self.identity[act.table] = {
+                        c: dict(v) for c, v in act.identity.items()
+                    }
                     if act.bucket_by:
                         self.bucket_specs[act.table] = {
                             "cols": list(act.bucket_by),
@@ -194,6 +202,10 @@ class Snapshot:
                         self.defaults[act.table] = dict(act.col_defaults)
                     if act.generated:
                         self.generated[act.table] = dict(act.generated)
+                    if act.identity:
+                        self.identity[act.table] = {
+                            c: dict(v) for c, v in act.identity.items()
+                        }
             elif isinstance(act, AddDataObject):
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
@@ -230,6 +242,7 @@ class Snapshot:
                 "retired": self.retired,
                 "defaults": self.defaults,
                 "generated": self.generated,
+                "identity": self.identity,
                 "txns": self.txns,
                 # carried so the ICT floor survives vacuum_log
                 # reclaiming the records that established it
@@ -267,6 +280,10 @@ class Snapshot:
         }
         snap.generated = {
             t: dict(m) for t, m in d.get("generated", {}).items()
+        }
+        snap.identity = {
+            t: {c: dict(v) for c, v in m.items()}
+            for t, m in d.get("identity", {}).items()
         }
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         snap.last_ts = int(d.get("last_ts", 0))

@@ -1437,6 +1437,247 @@ FROM adj GROUP BY 1
 """
 
 
+def engine_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY columns end-to-end (Delta's GENERATED ALWAYS AS
+    IDENTITY, VERDICT r10 item 3): ``id`` is declared
+    ``START WITH 1000 INCREMENT BY 2`` and NEVER supplied — the bulk
+    path mints values executor-side off the ``_row_idx`` stamps (no
+    driver loop, no extra job; the single ordered partition here is
+    only what makes the minted values oracle-exact — at scale gaps
+    from the stamp's partition bits are in-contract), a supplied value
+    is asserted to REJECT in-query, and the OCC race the allocation
+    contract exists for runs live: two clients on one snapshot both
+    mint from the same mark, the second committer RAISES (its commit
+    carries the authoritative high-water-mark advance; same-table
+    metadata interleaves are genuine conflicts) and its whole-tx retry
+    re-mints fresh ids. The output is the full id->key mapping, so a
+    duplicate, skipped, or re-minted id diverges from the
+    ROW_NUMBER-derived oracle immediately."""
+    _utc(spark)
+    from delta_lake_experiment_spark.errors import ConcurrentCommitError
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .repartition(1)
+        .sortWithinPartitions("c_custkey")
+    )
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table(
+        "cust_id",
+        "id BIGINT, c_custkey BIGINT, c_acctbal DOUBLE",
+        identity={"id": {"start": 1000, "step": 2}},
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe("cust_id", cust)  # id omitted: minted in key order
+    c.commit_tx()
+    c.new_tx()
+    try:
+        c.write_row("cust_id", [1, -100, 0.0])
+        raise RuntimeError(
+            "IDENTITY column admitted a supplied value - GENERATED"
+            " ALWAYS is broken"
+        )
+    except RuntimeError:
+        raise
+    except Exception:
+        c.abort_tx()  # rejected, nothing leaked
+    root = c.store.root
+    a = DeltaLakeClient(spark, root)
+    b = DeltaLakeClient(spark, root)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("cust_id", [None, -1, 0.0])
+    b.write_row("cust_id", [None, -2, 0.0])
+    a.commit_tx()
+    try:
+        b.commit_tx()
+        raise RuntimeError(
+            "concurrent IDENTITY allocators must conflict - the"
+            " high-water-mark advance is not reaching the log"
+        )
+    except ConcurrentCommitError:
+        # first-committer-wins; the retry re-reads the advanced mark
+        b.run_tx(lambda cl: cl.write_row("cust_id", [None, -2, 0.0]))
+    c.new_tx()
+    return c.scan("cust_id", with_stamps=False).select(
+        "id", "c_custkey", F.round("c_acctbal", 6).alias("acctbal")
+    )
+
+
+ENGINE_IDENTITY_COLUMNS_SQL = """
+WITH ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS k,
+         c_custkey, c_acctbal
+  FROM customer
+), n AS (SELECT COUNT(*) AS cnt FROM customer)
+SELECT 1000 + 2 * k AS id, c_custkey, round(c_acctbal, 6) AS acctbal
+FROM ranked
+UNION ALL
+SELECT 1000 + 2 * cnt AS id, CAST(-1 AS BIGINT) AS c_custkey,
+       0.0 AS acctbal FROM n
+UNION ALL
+SELECT 1000 + 2 * (cnt + 1) AS id, CAST(-2 AS BIGINT) AS c_custkey,
+       0.0 AS acctbal FROM n
+"""
+
+
+def engine_optimize_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-aware OPTIMIZE end-to-end (``OPTIMIZE t TARGET SIZE n``,
+    VERDICT r10 item — driver-certifying the r10 pytest-only lane):
+    a 48-small-file ingest bin-packs into far fewer at-target files,
+    DESCRIBE DETAIL's size_bytes answers from the log's per-object
+    size stats (no store HEADs), and a SECOND identical OPTIMIZE is
+    asserted to be a NO-OP — the convergence property that makes
+    repeated maintenance affordable at 100 TB (the old always-rewrite
+    compact would rewrite the cold bulk every run). All lifecycle
+    claims are asserted in-query; the returned aggregate proves the
+    rewrites preserved every row and value."""
+    _utc(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table(
+        "ord_opt", "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING"
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.write_dataframe("ord_opt", orders.repartition(48))
+    c.commit_tx()
+
+    def _files() -> int:
+        c.new_tx()
+        n = len(c._effective_snapshot(c.tx).live_objects("ord_opt"))
+        c.abort_tx()
+        return n
+
+    n0 = _files()
+    if n0 < 40:
+        raise RuntimeError(f"seed produced only {n0} files; expected ~48")
+    c.new_tx()
+    c.execute("OPTIMIZE ord_opt TARGET SIZE 268435456")
+    c.commit_tx()
+    n1 = _files()
+    if n1 >= n0:
+        raise RuntimeError(
+            f"TARGET SIZE rewrite did not shrink the file count"
+            f" ({n0} -> {n1})"
+        )
+    c.new_tx()
+    c.execute("OPTIMIZE ord_opt TARGET SIZE 268435456")
+    c.commit_tx()
+    n2 = _files()
+    if n2 != n1:
+        raise RuntimeError(
+            f"second OPTIMIZE TARGET SIZE was not a no-op"
+            f" ({n1} -> {n2}) - maintenance does not converge"
+        )
+    c.new_tx()
+    detail = c.describe_detail("ord_opt").collect()[0]
+    if not detail["size_bytes"] or detail["size_bytes"] <= 0:
+        raise RuntimeError(
+            "DESCRIBE DETAIL size_bytes missing - per-object size"
+            " stats not carried through the rewrite"
+        )
+    return (
+        c.scan("ord_opt", with_stamps=False)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("price_sum"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .withColumn("converged", F.lit(True))
+    )
+
+
+ENGINE_OPTIMIZE_SIZES_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+       MAX(o_orderkey) AS max_key, TRUE AS converged
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def engine_stream_starting_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``startingTimestamp`` end-to-end (Delta's option, VERDICT r10
+    item — driver-certifying the r10 pytest-only lane): three data
+    commits land, the SECOND one's in-commit wall-clock is read back
+    from DESCRIBE HISTORY, and a stream starting AT that timestamp
+    must deliver exactly commits 2 and 3 — never commit 1, never a
+    partial commit. Resolution is a binary search over the log whose
+    exactness rests on in-commit-timestamp monotonicity (commit stamps
+    max(now, prev+1)); a wrong bound (off-by-one version, skew-broken
+    walk) changes the delivered event set and diverges the aggregate
+    from the oracle's explicit slice arithmetic."""
+    import tempfile
+
+    _utc(spark)
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        read_table_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    c = _fresh_client(spark)
+    root = c.store.root
+    c.new_tx()
+    c.create_table(
+        "ev_ts", "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    c.commit_tx()
+    for i in range(3):  # data commits at table versions 2, 3, 4
+        c.new_tx()
+        c.write_dataframe("ev_ts", events.filter(F.col("event_id") % 3 == i))
+        c.commit_tx()
+    stamps = {r["version"]: r["timestamp"] for r in c.history().collect()}
+    bound = stamps[3].isoformat()  # the SECOND data commit's wall-clock
+
+    rows: list = []
+
+    def collect(batch_df, _bid):
+        rows.extend(
+            (r["event_id"], r["user_id"], r["event_type"], r["value"])
+            for r in batch_df.collect()
+        )
+
+    q = (
+        read_table_stream(spark, root, "ev_ts", starting_timestamp=bound)
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="dles_ets_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.createDataFrame(
+        rows, "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    return got.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.min("event_id").alias("min_event"),
+    )
+
+
+ENGINE_STREAM_STARTING_TS_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(value), 6) AS value_sum,
+       MIN(event_id) AS min_event
+FROM events
+WHERE event_id % 3 IN (1, 2)
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_stream_source": engine_stream_source,
@@ -1444,6 +1685,9 @@ QUERIES = {
     "engine_stream_bounded": engine_stream_bounded,
     "engine_conflict_resolution": engine_conflict_resolution,
     "engine_generated_columns": engine_generated_columns,
+    "engine_identity_columns": engine_identity_columns,
+    "engine_optimize_sizes": engine_optimize_sizes,
+    "engine_stream_starting_ts": engine_stream_starting_ts,
     "engine_not_null_reject": engine_not_null_reject,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
@@ -1470,6 +1714,9 @@ ORACLES = {
     "engine_stream_bounded": ENGINE_STREAM_BOUNDED_SQL,
     "engine_conflict_resolution": ENGINE_CONFLICT_RESOLUTION_SQL,
     "engine_generated_columns": ENGINE_GENERATED_COLUMNS_SQL,
+    "engine_identity_columns": ENGINE_IDENTITY_COLUMNS_SQL,
+    "engine_optimize_sizes": ENGINE_OPTIMIZE_SIZES_SQL,
+    "engine_stream_starting_ts": ENGINE_STREAM_STARTING_TS_SQL,
     "engine_not_null_reject": ENGINE_NOT_NULL_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,

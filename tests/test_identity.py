@@ -1,0 +1,270 @@
+"""IDENTITY columns (VERDICT r10 item 3 — Delta's GENERATED ALWAYS AS
+IDENTITY, the sibling of r10's generated columns).
+
+Contract: values are minted by the engine (BIGINT sequences with
+declared START WITH / INCREMENT BY), supplying one is an error, and
+allocation is OCC-safe — every allocating commit advances the table's
+high-water mark via an authoritative metadata record, so two racing
+inserters CONFLICT at commit (first-committer-wins) and the retry
+re-reads a fresh mark: the same id is never minted twice. Gaps are
+in-contract (Delta's identity contract): the bulk path derives values
+from the ``_row_idx`` stamps, whose partition bits skip ranges.
+"""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.errors import (
+    ConcurrentCommitError,
+    TypeMismatchError,
+)
+
+
+def _mk(spark, store_dir, **kw):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100, **kw)
+    c.new_tx()
+    c.create_table(
+        "t",
+        "id BIGINT, v STRING",
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    c.commit_tx()
+    return c
+
+
+def _ids(c, table="t"):
+    c.new_tx()
+    rows = {r["v"]: r["id"] for r in c.scan(table).collect()}
+    c.abort_tx()
+    return rows
+
+
+def test_buffered_inserts_mint_in_insertion_order(spark, store_dir):
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    for i in range(5):
+        c.write_row("t", [None, f"r{i}"])
+    c.commit_tx()
+    assert _ids(c) == {f"r{i}": i + 1 for i in range(5)}
+    # a second tx continues the committed high-water mark
+    c.new_tx()
+    c.write_row("t", [None, "r5"])
+    c.commit_tx()
+    assert _ids(c)["r5"] == 6
+
+
+def test_supplying_a_value_is_rejected_everywhere(spark, store_dir):
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="GENERATED ALWAYS"):
+        c.write_row("t", [42, "x"])
+    df = spark.createDataFrame([(7, "x")], "id BIGINT, v STRING")
+    with pytest.raises(TypeMismatchError, match="GENERATED ALWAYS"):
+        c.write_dataframe("t", df)
+    c.write_row("t", [None, "ok"])
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="GENERATED ALWAYS"):
+        c.update_rows("t", "v", "ok", "ok", {"id": 99})
+    c.abort_tx()
+
+
+def test_bulk_ingest_mints_unique_ids_and_advances_exactly(spark, store_dir):
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    df = spark.createDataFrame(
+        [(f"b{i}",) for i in range(40)], "v STRING"
+    ).repartition(4)
+    c.write_dataframe("t", df)
+    c.commit_tx()
+    ids = list(_ids(c).values())
+    assert len(ids) == 40 and len(set(ids)) == 40
+    assert min(ids) >= 1
+    # the committed high-water mark is at or past every minted id
+    # (gaps reserved by the stamp's partition bits stay reserved)
+    c.new_tx()
+    snap_high = c._effective_snapshot(c.tx).identity["t"]["id"]["high"]
+    c.abort_tx()
+    assert snap_high >= max(ids)
+    # next buffered insert lands strictly above the bulk ids
+    c.new_tx()
+    c.write_row("t", [None, "after"])
+    c.commit_tx()
+    assert _ids(c)["after"] > max(ids)
+
+
+def test_mixed_buffered_and_bulk_in_one_tx_never_collide(spark, store_dir):
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    c.write_row("t", [None, "a"])
+    c.write_dataframe(
+        "t", spark.createDataFrame([("b",), ("c",)], "v STRING").coalesce(1)
+    )
+    c.write_row("t", [None, "d"])
+    c.commit_tx()
+    ids = _ids(c)
+    assert len(set(ids.values())) == 4
+    assert ids["a"] == 1  # buffered first
+    assert ids["d"] > max(ids["b"], ids["c"])  # continues past the bulk
+
+
+def test_start_with_increment_by_and_negative_step(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.create_table(
+        "s",
+        "id BIGINT, v STRING",
+        identity={"id": {"start": 100, "step": -10}},
+    )
+    for i in range(3):
+        c.write_row("s", [None, f"r{i}"])
+    c.commit_tx()
+    assert _ids(c, "s") == {"r0": 100, "r1": 90, "r2": 80}
+
+
+def test_sql_ddl_identity_clause(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.execute(
+        "CREATE TABLE q (id BIGINT, v STRING) PRIMARY KEY (v)"
+        " IDENTITY (id START WITH 5 INCREMENT BY 5)"
+    )
+    c.write_row("q", [None, "a"])
+    c.write_row("q", [None, "b"])
+    c.commit_tx()
+    assert _ids(c, "q") == {"a": 5, "b": 10}
+    # DESCRIBE DETAIL shows the declaration + advanced mark
+    c.new_tx()
+    row = c.describe_detail("q").collect()[0]
+    assert row["identity_columns"]["id"] == "START 5 STEP 5 HIGH 10"
+    c.abort_tx()
+
+
+def test_concurrent_inserters_never_mint_the_same_id(spark, store_dir):
+    """The r10 conflict machinery is exactly the test harness here: two
+    clients on one snapshot both allocate from high=0; the second
+    committer RAISES (its commit carries a metadata advance, and
+    same-table metadata interleaves are genuine conflicts), and the
+    whole-tx retry re-reads the advanced mark — disjoint ids."""
+    c = _mk(spark, store_dir)
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("t", [None, "from_a"])
+    b.write_row("t", [None, "from_b"])
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_tx()
+    # run_tx is the documented retry path: fresh snapshot, fresh ids
+    b.run_tx(lambda cl: cl.write_row("t", [None, "from_b"]))
+    ids = _ids(c)
+    assert len(set(ids.values())) == 2
+    assert ids["from_a"] == 1 and ids["from_b"] == 2
+
+
+def test_identity_survives_checkpoint_roundtrip(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100, checkpoint_interval=2)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING", identity={"id": {"start": 1, "step": 1}})
+    c.commit_tx()
+    for i in range(4):  # crosses checkpoints at v2 and v4
+        c.new_tx()
+        c.write_row("t", [None, f"r{i}"])
+        c.commit_tx()
+    fresh = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    fresh.new_tx()
+    fresh.write_row("t", [None, "r4"])
+    fresh.commit_tx()
+    assert _ids(c)["r4"] == 5
+
+
+def test_clone_inherits_high_water_mark(spark, store_dir):
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    for i in range(3):
+        c.write_row("t", [None, f"r{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.clone_table("t", "t2")
+    c.write_row("t2", [None, "cloned"])
+    c.commit_tx()
+    assert _ids(c, "t2")["cloned"] == 4  # continues src's mark, no re-mint
+
+
+def test_restore_never_regresses_the_mark(spark, store_dir):
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    c.write_row("t", [None, "early"])
+    c.commit_tx()  # v2: high=1
+    early_version = 2
+    c.new_tx()
+    for i in range(3):
+        c.write_row("t", [None, f"late{i}"])
+    c.commit_tx()  # high=4
+    c.new_tx()
+    c.restore_table("t", early_version)
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [None, "post_restore"])
+    c.commit_tx()
+    ids = _ids(c)
+    assert set(ids) == {"early", "post_restore"}
+    # ids 2..4 were truncated WITH their rows, but the mark held: the
+    # new row mints 5, never re-minting an id any reader ever saw
+    assert ids["post_restore"] == 5
+
+
+def test_rename_rekeys_drop_blocks_merge_rejects(spark, store_dir):
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    c.rename_column("t", "id", "ident")
+    c.write_row("t", [None, "after_rename"])
+    c.commit_tx()
+    c.new_tx()
+    rows = {r["v"]: r["ident"] for r in c.scan("t").collect()}
+    assert rows == {"after_rename": 1}
+    with pytest.raises(TypeMismatchError, match="identity"):
+        c.drop_column("t", "ident")
+    c.abort_tx()
+    # merge into identity tables is rejected with the rationale
+    d = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    d.new_tx()
+    d.create_table(
+        "m",
+        "id BIGINT, k STRING",
+        primary_keys=["k"],
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    with pytest.raises(TypeMismatchError, match="IDENTITY"):
+        d.merge("m", spark.createDataFrame([("x",)], "k STRING"))
+    d.abort_tx()
+
+
+def test_identity_declaration_validation(spark, store_dir):
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="not in schema"):
+        c.create_table("x1", "a BIGINT", identity={"b": {}})
+    with pytest.raises(TypeMismatchError, match="BIGINT"):
+        c.create_table("x2", "a INT", identity={"a": {}})
+    with pytest.raises(TypeMismatchError, match="non-zero"):
+        c.create_table("x3", "a BIGINT", identity={"a": {"step": 0}})
+    with pytest.raises(TypeMismatchError, match="GENERATED and IDENTITY"):
+        c.create_table(
+            "x4",
+            "a BIGINT, b BIGINT",
+            generated={"a": "b + 1"},
+            identity={"a": {}},
+        )
+    with pytest.raises(TypeMismatchError, match="layout"):
+        c.create_table(
+            "x5", "a BIGINT, b BIGINT", cluster_by=["a"], identity={"a": {}}
+        )
+    c.abort_tx()
