@@ -85,6 +85,7 @@ from delta_lake_experiment_spark.plans.snapshot import (
     Snapshot,
     _stats_intersect,
     checkpoint_name,
+    earliest_reconstructable_version,
     log_name,
     newest_checkpoint_version,
     replay_log,
@@ -144,6 +145,13 @@ class _Tx:
     # commit appends an authoritative metadata record advancing the
     # table's high-water mark for every entry here
     identity_hwm: dict[tuple[str, str], int] = field(default_factory=dict)
+    # table -> (actions scanned so far, last ChangeMetadata identity map
+    # seen or None): _identity_spec's incremental cursor, so per-row
+    # write_row lookups scan each action once per tx instead of
+    # rescanning the whole list per row (quadratic on buffered ingest)
+    ident_cache: dict[str, tuple[int, Optional[dict]]] = field(
+        default_factory=dict
+    )
 
 
 class DeltaLakeClient:
@@ -1004,6 +1012,12 @@ class DeltaLakeClient:
                 },
             )
         )
+        # ids already minted THIS tx follow the rename: the pending
+        # high-water advance is keyed by column name, and leaving it
+        # under the old name would silently drop the advance at commit
+        # (duplicate ids from the next tx — review catch, r11)
+        if (table, old) in tx.identity_hwm:
+            tx.identity_hwm[(table, new)] = tx.identity_hwm.pop((table, old))
 
     def drop_column(self, table: str, column: str) -> None:
         """DROP COLUMN as an O(1) metadata move: the physical column
@@ -2067,6 +2081,11 @@ class DeltaLakeClient:
         # record reads. Exact because in-commit timestamps are monotonic
         # (commit stamps max(now, prev_ts + 1) — Delta's ICT), so the
         # recorded clocks form a sorted sequence even under writer skew.
+        # Caveat (Delta documents the same for ICT enablement): records
+        # written BEFORE monotonic stamping may hold skewed clocks;
+        # resolution inside that legacy region is best-effort, while
+        # every post-upgrade commit stamps above the replayed maximum
+        # (Snapshot.last_ts), so bounds targeting new commits are exact.
         i, j = 0, len(names)
         while i < j:
             mid = (i + j) // 2
@@ -3849,12 +3868,16 @@ class DeltaLakeClient:
         lo = max(1, latest_version - retain_versions)
         try:
             base = replay_log(self.store, as_of=lo)
-        except HistoryTruncatedError as e:
+        except HistoryTruncatedError:
             # vacuum_log already reclaimed records below its horizon:
-            # snapshots below e.floor are unreachable by ANY reader, so
-            # anchoring the keep-set at the floor retains exactly what
-            # any reconstructable version can still reference
-            lo = max(lo, e.floor)
+            # snapshots below the reconstructable floor are unreachable
+            # by ANY reader, so anchoring the keep-set there retains
+            # exactly what any reconstructable version can still
+            # reference. (e.floor is the replay's BASE checkpoint —
+            # always below the requested lo here, so it cannot be the
+            # retry anchor; the floor must be computed from what
+            # actually survives — review catch, r11.)
+            lo = earliest_reconstructable_version(self.store, at_least=lo)
             base = replay_log(self.store, as_of=lo)
         keep: set[str] = set()
 
@@ -4463,12 +4486,18 @@ class DeltaLakeClient:
         """The table's IDENTITY declarations as visible to this tx
         (snapshot + this tx's own metadata actions), WITHOUT an
         O(snapshot) effective-snapshot copy — write_row calls this per
-        row. The actions walk is O(this tx's metadata actions)."""
-        spec = None
-        for a in tx.actions:
+        row, so the actions walk is INCREMENTAL: each action is scanned
+        once per tx (a full rescan per row is quadratic against the
+        AddDataObject actions buffer flushes append — review catch,
+        r11)."""
+        idx, spec = tx.ident_cache.get(table, (0, None))
+        actions = tx.actions
+        for i in range(idx, len(actions)):
+            a = actions[i]
             if isinstance(a, ChangeMetadata) and a.table == table:
                 if a.identity or a.authoritative:
                     spec = a.identity
+        tx.ident_cache[table] = (len(actions), spec)
         if spec is None:
             spec = tx.snapshot.identity.get(table, {})
         return spec or {}
@@ -4527,9 +4556,12 @@ class DeltaLakeClient:
                     ident[c]["high"] = high
                     changed = True
             if changed:
+                # ident_only: readers whose shape cannot depend on the
+                # mark (the streaming source) skip this record instead
+                # of treating every insert as a schema change
                 tx.actions.append(
                     self._authoritative_metadata(
-                        snap, t, snap.tables[t], identity=ident
+                        snap, t, snap.tables[t], identity=ident, ident_only=True
                     )
                 )
         tx.identity_hwm.clear()

@@ -175,6 +175,15 @@ class ChangeMetadata:
     # retry re-reads a fresh mark — two racing inserters can never
     # mint the same id. Same record-merge semantics as column_map.
     identity: dict[str, dict] = field(default_factory=dict)
+    # True ONLY on the identity high-water-mark advance records that
+    # _emit_identity_advances appends: the record is guaranteed to
+    # differ from the prior table state in identity "high" values
+    # alone, so readers whose shape cannot depend on the mark — the
+    # streaming source's schema-change guard — may SKIP it (without
+    # this, every insert into an identity table would kill tailing
+    # streams with SchemaChangedError; Delta's identity watermark
+    # updates don't invalidate streams either).
+    ident_only: bool = False
     # With ``authoritative=True`` the declaration lists REPLACE the
     # table's current ones — empty lists CLEAR prior declarations
     # (RESTORE / ALTER need this). Default False keeps the legacy
@@ -205,6 +214,8 @@ class ChangeMetadata:
             out["generated"] = self.generated
         if self.identity:
             out["identity"] = self.identity
+        if self.ident_only:
+            out["io"] = True
         if self.authoritative:
             out["authoritative"] = True
         return {"metadata": out}
@@ -276,6 +287,7 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             col_defaults=dict(m.get("col_defaults", {})),
             generated=dict(m.get("generated", {})),
             identity={c: dict(v) for c, v in m.get("identity", {}).items()},
+            ident_only=bool(m.get("io", False)),
             authoritative=bool(m.get("authoritative", False)),
         )
     if "dv" in obj:

@@ -439,6 +439,38 @@ def newest_checkpoint_version(store: ObjectStorage) -> int:
     return int(ckpts[-1][len(CHECKPOINT_PREFIX):]) if ckpts else 0
 
 
+def earliest_reconstructable_version(
+    store: ObjectStorage, at_least: int = 1
+) -> int:
+    """Oldest version >= ``at_least`` that ``replay_log(as_of=...)`` can
+    still serve after ``vacuum_log`` truncation: the oldest retained
+    checkpoint whose successor log records survive. (Retained records
+    form a version SUFFIX in practice — vacuum_log deletes by commit
+    age and in-commit timestamps are monotonic — but the checkpoint
+    walk verifies the anchor rather than assuming it.) Falls back to
+    the newest checkpoint, which vacuum_log never deletes."""
+    logs = store.list_prefix_ordered(LOG_PREFIX)
+    first_log = int(logs[0][len(LOG_PREFIX):]) if logs else None
+    ckpts = [
+        int(n[len(CHECKPOINT_PREFIX):])
+        for n in store.list_prefix_ordered(CHECKPOINT_PREFIX)
+    ]
+    if first_log is None or first_log == 1:
+        return at_least  # full history retained
+    for c in ckpts:
+        if c + 1 >= first_log:
+            return max(c, at_least)
+    from delta_lake_experiment_spark.errors import HistoryTruncatedError
+
+    raise HistoryTruncatedError(
+        "no retained checkpoint anchors the surviving log records -"
+        " store metadata is inconsistent (vacuum_log never produces"
+        " this state: the newest checkpoint and the records above it"
+        " are always retained)",
+        floor=ckpts[-1] if ckpts else 0,
+    )
+
+
 def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
     """Reconstruct the snapshot: newest checkpoint + later log records.
 

@@ -280,6 +280,10 @@ class EngineTableStreamReader(DataSourceStreamReader):
             # rests on in-commit-timestamp monotonicity (the client
             # stamps max(now, prev_ts + 1) — Delta's ICT — so recorded
             # clocks never regress even under writer clock skew).
+            # Pre-ICT records may hold skewed clocks; resolution inside
+            # that legacy region is best-effort (Delta's documented
+            # ICT-enablement semantics), and bounds targeting
+            # post-upgrade commits stay exact.
             i, j = 0, len(names)
             while i < j:
                 mid = (i + j) // 2
@@ -569,7 +573,14 @@ class EngineTableStreamReader(DataSourceStreamReader):
             record = self._log_record(store, name, v)
             for act in record.get("actions", []):
                 kind = next(iter(act))
-                if kind == "metadata" and act[kind].get("table") == self.table:
+                if (
+                    kind == "metadata"
+                    and act[kind].get("table") == self.table
+                    # identity high-water-mark advances ("io") change
+                    # nothing a reader's shape depends on — skipping
+                    # them is what keeps identity tables streamable
+                    and not act[kind].get("io")
+                ):
                     raise SchemaChangedError(
                         f"engine_table source: commit v{v} changed table"
                         f" {self.table!r} metadata after the stream pinned"
@@ -700,15 +711,38 @@ class EngineTableStreamReader(DataSourceStreamReader):
         try:
             table_known = self.table in replay_log(store, as_of=lo).tables
         except HistoryTruncatedError as e:
-            # the stream's position itself is below the retention
-            # horizon: name the streaming remedy, not the time-travel one
-            raise ValueError(
-                f"engine_table source: stream position v{lo} is below the"
-                " vacuum_log retention horizon (its log records are"
-                " reclaimed) - restart the stream with a fresh checkpoint"
-                " (or .option('startingVersion', a retained version)) to"
-                " resync"
-            ) from e
+            # The STATE at lo is unreconstructable, but the stream only
+            # needs the commits (lo, hi] — if the first retained record
+            # is exactly lo+1 (a position at horizon-1, e.g. a
+            # startingTimestamp older than retained history), everything
+            # this tail delivers survives; only the table-existence
+            # probe moves up one version (its sole use is tolerating
+            # the CREATE commit, which a fresh stream's pinned_version
+            # already covers). A real gap inside (lo, hi] still fails
+            # loudly below.
+            tail0 = store.list_prefix_ordered(
+                LOG_PREFIX, start_after=log_name(max(lo, 0))
+            )
+            first = int(tail0[0][len(LOG_PREFIX):]) if tail0 else None
+            recoverable = first is not None and first == lo + 1
+            if recoverable:
+                try:
+                    table_known = (
+                        self.table in replay_log(store, as_of=first).tables
+                    )
+                except HistoryTruncatedError:
+                    recoverable = False
+            if not recoverable:
+                # the stream's position is genuinely below the retention
+                # horizon: name the streaming remedy, not the
+                # time-travel one
+                raise ValueError(
+                    f"engine_table source: stream position v{lo} is below"
+                    " the vacuum_log retention horizon (its log records"
+                    " are reclaimed) - restart the stream with a fresh"
+                    " checkpoint (or .option('startingVersion', a"
+                    " retained version)) to resync"
+                ) from e
         parts: list[InputPartition] = []
         expected = lo + 1
         for name in store.list_prefix_ordered(
@@ -746,7 +780,12 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 elif kind == "dv":
                     dvs.append(body)
                 elif kind == "metadata":
-                    metas += 1
+                    # identity high-water-mark advances ("io") don't
+                    # change the read shape: every insert into an
+                    # identity table carries one, and counting them
+                    # would make such tables permanently unstreamable
+                    if not body.get("io"):
+                        metas += 1
             changes = len(removes) + len(dvs)
             if metas:
                 # metadata commits AT OR BEFORE the reader's pinned
@@ -763,13 +802,45 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 table_known = True  # the CREATE itself streams fine
             if self.read_change_feed:
                 if adds or removes or dvs:
+                    prior_live: dict = {}
                     if removes:
                         # removed files' PRIOR deletion-vector masks
                         # (as of the commit's from-state) apply before
                         # the anti-join — scan_changes' DV-aware read
-                        prior_dvs = replay_log(store, as_of=v - 1).table_dvs(
-                            self.table
+                        prior = replay_log(store, as_of=v - 1)
+                        prior_dvs = prior.table_dvs(self.table)
+                        prior_live = prior.live.get(self.table, {})
+                    if self.max_bytes:
+                        # a commit is ONE unsplittable CDF unit (its
+                        # adds cancel against its removes on the row
+                        # stamps, so splitting it would fabricate
+                        # deletes) — when one commit's change set alone
+                        # exceeds the byte budget, name the cost at
+                        # planning time instead of silently blowing the
+                        # executor budget mid-batch. Remove actions
+                        # carry no size, so removed bytes come from the
+                        # from-state snapshot (delete/compaction-heavy
+                        # commits are exactly the expensive ones —
+                        # review catch, r11).
+                        commit_bytes = sum(
+                            int(b.get("size", 0)) for b in adds
+                        ) + sum(
+                            int(getattr(prior_live.get(b["name"]), "size", 0))
+                            for b in removes
                         )
+                        if commit_bytes > self.max_bytes:
+                            import warnings
+
+                            warnings.warn(
+                                f"engine_table CDF: commit v{v}'s change"
+                                f" set is ~{commit_bytes} bytes, above"
+                                f" maxBytesPerBatch={self.max_bytes};"
+                                " commits never split (consistency), so"
+                                " this batch will exceed the budget -"
+                                " size ingest commits below the cap if"
+                                " the executors cannot absorb it",
+                                stacklevel=2,
+                            )
                     names = (
                         [b["name"] for b in adds]
                         + [b["name"] for b in removes]

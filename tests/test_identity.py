@@ -247,6 +247,59 @@ def test_rename_rekeys_drop_blocks_merge_rejects(spark, store_dir):
     d.abort_tx()
 
 
+def test_identity_tables_stay_streamable(spark, store_dir):
+    """Every identity insert carries an authoritative metadata record
+    (the high-water-mark advance); the streaming source must SKIP those
+    ('io'-tagged) instead of raising SchemaChangedError on every insert
+    — identity tables would otherwise be permanently unstreamable
+    (review catch, r11). A REAL schema change still raises."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+        SchemaChangedError,
+    )
+
+    c = _mk(spark, store_dir)
+    store = LocalObjectStorage(store_dir)
+    reader = EngineTableStreamReader(store_dir, {"table": "t"}, store=store)
+    pinned = reader.pinned_version
+    for i in range(2):
+        c.new_tx()
+        c.write_row("t", [None, f"r{i}"])
+        c.commit_tx()
+    latest = replay_log(store).version
+    parts = reader.partitions({"version": pinned}, {"version": latest})
+    assert len(parts) == 2  # both insert commits stream through
+    c.new_tx()
+    c.rename_column("t", "v", "val")  # a REAL metadata change
+    c.commit_tx()
+    with pytest.raises(SchemaChangedError):
+        reader.partitions(
+            {"version": latest}, {"version": replay_log(store).version}
+        )
+
+
+def test_rename_after_allocation_keeps_the_advance(spark, store_dir):
+    """Minting ids and THEN renaming the identity column in the same tx
+    must still publish the high-water advance under the new name — the
+    next tx must not re-mint (review catch, r11)."""
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    c.write_row("t", [None, "first"])  # mints id=1 under the old name
+    c.rename_column("t", "id", "ident")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [None, "second"])
+    c.commit_tx()
+    c.new_tx()
+    rows = {r["v"]: r["ident"] for r in c.scan("t").collect()}
+    c.abort_tx()
+    assert rows == {"first": 1, "second": 2}  # no duplicate id
+
+
 def test_identity_declaration_validation(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
     c.new_tx()

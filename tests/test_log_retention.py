@@ -345,6 +345,73 @@ def test_starting_timestamp_bisect_exact_under_skew(tmp_path):
     assert reader.start_version == len(names)
 
 
+def test_vacuum_keepset_survives_log_truncation(tmp_path):
+    """VACUUM with a retain window reaching below the vacuum_log
+    horizon must anchor its keep-set at the reconstructable floor and
+    finish, never crash on HistoryTruncatedError (review catch, r11:
+    the old fallback retried with the same unreachable version)."""
+    c = _seed_commits(str(tmp_path / "store"), 69)  # ckpts 32, 64
+    c.vacuum_log(min_age_seconds=0)  # records 1..63 + ckpt 32 gone
+    # retain_versions reaches to v50 < horizon: must clamp, not crash
+    deleted = c.vacuum(retain_versions=20, min_age_seconds=0)
+    assert isinstance(deleted, int)
+    # the retained snapshots still read: every live object survives
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    snap = replay_log(store)
+    for objs in snap.live.values():
+        for name in objs:
+            assert store.exists(name), f"keep-set lost live object {name}"
+
+
+def test_stream_at_horizon_minus_one_starts(tmp_path):
+    """A stream positioned EXACTLY one below the first retained record
+    (e.g. startingTimestamp older than retained history resolves there)
+    needs no pre-horizon state — it must start and deliver the retained
+    tail (review catch, r11: the existence probe at `lo` used to raise)."""
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    _seed_commits(str(tmp_path / "store"), 40)  # 41 commits, ckpt 32
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    c = DeltaLakeClient(_NoSpark(), str(tmp_path / "store"))
+    c.vacuum_log(min_age_seconds=0)  # records 1..31 reclaimed
+    reader = EngineTableStreamReader(
+        str(tmp_path / "store"), {"table": "t", "startingversion": "31"}, store=store
+    )
+    parts = reader.partitions({"version": 31}, {"version": 41})
+    assert len(parts) == 10  # commits 32..41, one add each
+
+
+def test_cdf_warns_on_oversized_unsplittable_commit(tmp_path):
+    """A commit is one unsplittable CDF unit; when a single commit's
+    change set exceeds maxBytesPerBatch, planning WARNS naming the
+    cost instead of silently blowing the budget (VERDICT r10 stretch)."""
+    import warnings
+
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    _seed_commits(str(tmp_path / "store"), 3, checkpoint_interval=0)
+    store = LocalObjectStorage(str(tmp_path / "store"))
+    reader = EngineTableStreamReader(
+        str(tmp_path / "store"),
+        {
+            "table": "t",
+            "readchangefeed": "true",
+            "startingversion": "1",
+            "maxbytesperbatch": "1",
+        },
+        store=store,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        parts = reader.partitions({"version": 1}, {"version": 2})
+    assert parts
+    assert any("maxBytesPerBatch" in str(w.message) for w in caught)
+
+
 def test_reader_caches_stay_bounded(tmp_path):
     """_records/_snap_files evict at commit(): driver memory stays
     O(backlog) over a long-lived stream, not O(stream lifetime)."""
