@@ -163,11 +163,18 @@ class DeltaLakeClient:
         store: Union[ObjectStorage, str],
         dataobject_size: int = DEFAULT_DATAOBJECT_SIZE,
         checkpoint_interval: int = CHECKPOINT_INTERVAL,
+        log_retention_seconds: "Optional[float]" = None,
     ) -> None:
         self.spark = spark
         self.store = LocalObjectStorage(store) if isinstance(store, str) else store
         self.dataobject_size = dataobject_size
         self.checkpoint_interval = checkpoint_interval
+        # Delta's delta.enableExpiredLogCleanup + logRetentionDuration:
+        # when set, each checkpoint this client writes also reclaims
+        # log records/checkpoints below the new horizon that are older
+        # than the window (best-effort — cleanup failure never fails
+        # the commit). None (default) = never delete log metadata.
+        self.log_retention_seconds = log_retention_seconds
         self.tx: Optional[_Tx] = None
         # table -> (catalog name, BucketScanArea) of the current
         # bucketed-scan registration (scan_bucketed replaces + cleans
@@ -2769,6 +2776,7 @@ class DeltaLakeClient:
             Restore,
             Update,
             Vacuum,
+            VacuumLog,
             parse_dml,
         )
 
@@ -2800,6 +2808,24 @@ class DeltaLakeClient:
                     schema,
                 )
             self.vacuum(retain_versions=stmt.retain_versions)
+            return None
+        if isinstance(stmt, VacuumLog):
+            # log-metadata retention; store-wide maintenance like VACUUM
+            if stmt.dry_run:
+                report = self.vacuum_log(
+                    min_age_seconds=stmt.retain_hours * 3600.0, dry_run=True
+                )
+                schema = T.StructType(
+                    [
+                        T.StructField("name", T.StringType(), False),
+                        T.StructField("version", T.LongType(), False),
+                    ]
+                )
+                return self.spark.createDataFrame(
+                    [(o["name"], o["version"]) for o in report["objects"]],
+                    schema,
+                )
+            self.vacuum_log(min_age_seconds=stmt.retain_hours * 3600.0)
             return None
         if isinstance(stmt, DescribeHistory):
             # log metadata read; like VACUUM, valid outside a tx
@@ -3978,6 +4004,11 @@ class DeltaLakeClient:
         """
         if self.tx is not None:
             raise ExistingTxError("vacuum_log must run outside a transaction")
+        return self._vacuum_log_inner(min_age_seconds, dry_run)
+
+    def _vacuum_log_inner(
+        self, min_age_seconds: float, dry_run: bool
+    ) -> Union[int, dict]:
         horizon = newest_checkpoint_version(self.store)
         if horizon <= 0:
             return {"objects": [], "count": 0} if dry_run else 0
@@ -4831,6 +4862,14 @@ class DeltaLakeClient:
         # advisory pointer: future replays anchor their listing here
         # (same version either way when we lost the checkpoint race)
         write_last_checkpoint(self.store, snap.version)
+        if self.log_retention_seconds is not None:
+            # checkpoint-triggered expired-log cleanup (Delta's
+            # enableExpiredLogCleanup): best-effort, never fails the
+            # commit that triggered it
+            try:
+                self._vacuum_log_inner(self.log_retention_seconds, False)
+            except Exception:
+                pass
 
 
 _DDL_TYPES = {

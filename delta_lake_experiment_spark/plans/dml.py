@@ -127,6 +127,11 @@ _VACUUM_RE = re.compile(
     rf"(?:(DRY\s+RUN)\s*)?;?\s*$",
     re.IGNORECASE,
 )
+_VACUUM_LOG_RE = re.compile(
+    r"^\s*VACUUM\s+LOG\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?"
+    r"(?:(DRY\s+RUN)\s*)?;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+(\d+)\s*;?\s*$",
     re.IGNORECASE,
@@ -313,6 +318,14 @@ class Optimize:
 class Vacuum:
     table: str
     retain_versions: int
+    dry_run: bool = False
+
+
+@dataclass
+class VacuumLog:
+    # log-metadata retention (Delta's logRetentionDuration); store-wide
+    # like Vacuum — the log is shared across tables
+    retain_hours: float
     dry_run: bool = False
 
 
@@ -517,11 +530,17 @@ def parse_dml(sql: str):
             where=where,
         )
     if head == "VACUUM":
+        m = _VACUUM_LOG_RE.match(sql)
+        if m:
+            return VacuumLog(
+                retain_hours=float(m.group(1)) if m.group(1) else 7 * 24.0,
+                dry_run=bool(m.group(2)),
+            )
         m = _VACUUM_RE.match(sql)
         if not m:
             raise UnsupportedSqlError(
                 "VACUUM supports exactly: VACUUM t [RETAIN n VERSIONS]"
-                " [DRY RUN]"
+                " [DRY RUN] | VACUUM LOG [RETAIN n HOURS] [DRY RUN]"
             )
         return Vacuum(
             table=m.group(1),

@@ -345,6 +345,36 @@ def test_starting_timestamp_bisect_exact_under_skew(tmp_path):
     assert reader.start_version == len(names)
 
 
+def test_auto_cleanup_and_sql_surface(tmp_path, spark):
+    """log_retention_seconds wires vacuum_log into checkpointing
+    (Delta's enableExpiredLogCleanup), and VACUUM LOG is the SQL
+    spelling of the same maintenance."""
+    root = str(tmp_path / "store")
+    c = DeltaLakeClient(
+        _NoSpark(), root, checkpoint_interval=16, log_retention_seconds=0.0
+    )
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(40):
+        c.new_tx()
+        c.write_row("t", [i, i])
+        c.commit_tx()
+    store = LocalObjectStorage(root)
+    logs = store.list_prefix_ordered(LOG_PREFIX)
+    # checkpoints at 16 and 32: the auto-cleanup after ckpt 32 removed
+    # everything below it
+    assert int(logs[0][len(LOG_PREFIX):]) == 32
+    assert replay_log(store).version == 41
+
+    # SQL surface: VACUUM LOG DRY RUN lists nothing (already clean up
+    # to the newest checkpoint), and the statement parses + executes
+    s = DeltaLakeClient(spark, root)
+    report = s.execute("VACUUM LOG RETAIN 0 HOURS DRY RUN")
+    assert report.count() == 0
+    assert s.execute("VACUUM LOG RETAIN 0 HOURS") is None
+
+
 def test_vacuum_keepset_survives_log_truncation(tmp_path):
     """VACUUM with a retain window reaching below the vacuum_log
     horizon must anchor its keep-set at the reconstructable floor and
