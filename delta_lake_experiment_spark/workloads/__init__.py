@@ -630,10 +630,8 @@ _DEFERRED_ORACLED = [
     "multimodal_features",
     "dedup_exact_documents",
     "near_dup_simhash",
-    "engine_change_feed",
     "user_sessions",
     "streaming_click_attribution",
-    "engine_merge_upsert",
     "engine_update_range",
     "near_dup_embedding",
     "doc_winnow_fingerprints",
@@ -655,25 +653,42 @@ _DEFERRED_ORACLED = [
     "top_orders_by_price",
     "customers_without_big_orders",
     "doc_kn_bigram_score",
-    # r11 newborns, deferred from birth (the codified policy: same-round
-    # queries may rotate IN at end of round after 3-SF check_oracle
-    # green). Shadowing while deferred:
-    # - engine_identity_columns -> the metadata-conflict OCC machinery
-    #   it allocates through is certified in-window by
-    #   engine_conflict_resolution; the write->scan lane by
-    #   engine_roundtrip_scan; 12 tests/test_identity.py pytests pin
-    #   the allocation contract itself;
-    # - engine_optimize_sizes -> the rewrite/remove-add lane is
-    #   certified in-window by engine_delete_range (COW) and the
-    #   bucketed-compaction pytests; size-stat plumbing by
-    #   engine_roundtrip_scan's stats carriage;
-    # - engine_stream_starting_ts -> the streaming source lane is
-    #   certified in-window by engine_stream_source /
-    #   engine_stream_bounded; the timestamp resolution itself is
-    #   pinned by tests/test_log_retention.py's skew bisect pytests.
-    "engine_identity_columns",
-    "engine_optimize_sizes",
-    "engine_stream_starting_ts",
+    # r11 END-OF-ROUND ROTATION (per the codified policy: same-round
+    # newborns rotate IN after 3-SF check_oracle green — the r9/r10
+    # precedent; changed-lane queries next). IN (5): the three r11
+    # newborns (engine_identity_columns, engine_optimize_sizes,
+    # engine_stream_starting_ts — identity allocation, TARGET SIZE
+    # convergence, ICT timestamp slice), engine_change_feed (the CDF
+    # planning lane changed this round: from-state size accounting +
+    # oversized-commit warning), and engine_merge_upsert (the merge
+    # lane gained the identity guard; it is the Python spelling of the
+    # same MERGE oracle as engine_sql_merge, which swaps OUT). OUT
+    # (each in-window >=3 rounds, machinery composed by stayers):
+    # - q5_local_supplier_volume -> multi-way join+agg composed by
+    #   q3_shipping_priority (join+agg+top-k) and engine_bucketed_join
+    #   (engine-side join), both staying;
+    # - streaming_hourly_windows -> watermarked windowed aggregation
+    #   composed by streaming_cardinality_sketch (watermark + windows
+    #   through the exactly-once sink) and streaming_corpus_dedup,
+    #   both staying; its oracle remains the batch SQL in the
+    #   per-pytest deferred sweep;
+    # - similarity_pca_topk -> the projection+top-k lane is composed
+    #   by ann_recall_report (five-method similarity diagnostic incl.
+    #   the exact lane) and engine_ann_index_search, both staying; the
+    #   PCA trajectory stays pinned by its grid oracle in the deferred
+    #   tier;
+    # - engine_upsert_latest -> latest-version-wins is composed by
+    #   engine_streaming_upsert (exactly-once upsert -> scan_current)
+    #   and the merge lane (engine_merge_upsert, rotating in), which
+    #   resolve the same newest-wins semantics;
+    # - engine_sql_merge -> the SQL-statement spelling of the SAME
+    #   merge + MERGE_SQL oracle as engine_merge_upsert (rotating in);
+    #   one spelling stays certified in-window at all times.
+    "q5_local_supplier_volume",
+    "streaming_hourly_windows",
+    "similarity_pca_topk",
+    "engine_upsert_latest",
+    "engine_sql_merge",
 ]
 
 
