@@ -3981,23 +3981,37 @@ class DeltaLakeClient:
 
         Safety invariants:
 
+        - Deletion is CHECKPOINT-GRANULAR: the cut is the newest
+          checkpoint at or below the oldest commit that must stay
+          readable, and everything at/above the cut survives intact.
+          That keeps every version inside the retention window
+          RECONSTRUCTABLE (its anchor checkpoint and the records
+          between survive with it) — per-record sparing would keep
+          young records while deleting the older records/checkpoint
+          their replay needs, silently breaking the window's promise.
         - The newest checkpoint and every record at or above its
           version are NEVER deleted — current-state replay, streaming
           tails positioned at or above the horizon, and the OCC version
           counter (which replays from that checkpoint, pinning the
           high-water mark so truncated version ids are never reissued)
           are unaffected.
-        - ``min_age_seconds`` bounds time travel loss: a record younger
-          than the window is spared, using the commit wall-clock
-          recorded IN the record (object-store safe — no mtime HEAD
-          storm); checkpoints use store mtime and are spared when age
-          is unknown and a window is set (fail-safe). The default keeps
-          7 days of history below the horizon, mirroring Delta.
+        - ``min_age_seconds`` bounds time travel loss using the commit
+          wall-clock recorded IN the records (object-store safe — no
+          mtime HEAD storm). In-commit timestamps are monotonic (ICT),
+          so the oldest-young commit is found by a BINARY SEARCH —
+          O(log history) record reads per pass, not O(history), which
+          matters when ``log_retention_seconds`` re-runs this at every
+          checkpoint. An unreadable record probes as YOUNG (spares
+          more, never deletes more). The default keeps 7 days,
+          mirroring Delta.
         - Readers below the horizon fail LOUDLY: replay detects the
           version gap (log versions are dense by construction) and
           raises :class:`HistoryTruncatedError` naming the floor and
           remedy; a stream resuming from below the horizon gets the
           same named error from its planner, never silent row loss.
+        - The SQL spelling ``VACUUM LOG`` shadows a table literally
+          named ``log`` — vacuum such a table via the Python API
+          (``client.vacuum()``).
 
         ``dry_run=True`` returns the report without deleting. Returns
         the number of objects deleted otherwise.
@@ -4009,23 +4023,50 @@ class DeltaLakeClient:
     def _vacuum_log_inner(
         self, min_age_seconds: float, dry_run: bool
     ) -> Union[int, dict]:
-        horizon = newest_checkpoint_version(self.store)
+        newest = newest_checkpoint_version(self.store)
+        if newest <= 0:
+            return {"objects": [], "count": 0} if dry_run else 0
+        names = self.store.list_prefix_ordered(LOG_PREFIX)
+        keep_from = newest  # oldest version that must stay readable
+        if min_age_seconds > 0 and names:
+            cutoff_us = int((time.time() - min_age_seconds) * 1_000_000)
+
+            def _ts(name: str) -> int:
+                try:
+                    return int(json.loads(self.store.read(name)).get("ts", 0))
+                except Exception:
+                    # unreadable: probe as YOUNG — spares more history,
+                    # never reclaims more
+                    return cutoff_us + 1
+
+            # first version with ts > cutoff (ICT-monotonic bisect)
+            i, j = 0, len(names)
+            while i < j:
+                mid = (i + j) // 2
+                if _ts(names[mid]) > cutoff_us:
+                    j = mid
+                else:
+                    i = mid + 1
+            if i < len(names):
+                keep_from = min(keep_from, int(names[i][len(LOG_PREFIX):]))
+        # the cut: newest checkpoint at or below keep_from — everything
+        # at/above it survives, so every retained version keeps its
+        # anchor checkpoint AND the records between (reconstructable)
+        horizon = 0
+        for name in self.store.list_prefix_ordered(CHECKPOINT_PREFIX):
+            version = int(name[len(CHECKPOINT_PREFIX):])
+            if version <= keep_from:
+                horizon = version
+            else:
+                break
         if horizon <= 0:
             return {"objects": [], "count": 0} if dry_run else 0
-        cutoff_us = int((time.time() - min_age_seconds) * 1_000_000)
         deleted = 0
         report: list[dict] = []
-        for name in self.store.list_prefix_ordered(LOG_PREFIX):
+        for name in names:
             version = int(name[len(LOG_PREFIX):])
             if version >= horizon:
                 break  # ascending: everything from here up is retained
-            if min_age_seconds > 0:
-                try:
-                    ts = int(json.loads(self.store.read(name)).get("ts", 0))
-                except Exception:
-                    continue  # unreadable record: spare it
-                if ts > cutoff_us:
-                    continue  # younger than the retention window
             if dry_run:
                 report.append({"name": name, "version": version})
                 continue
@@ -4035,10 +4076,6 @@ class DeltaLakeClient:
             version = int(name[len(CHECKPOINT_PREFIX):])
             if version >= horizon:
                 break
-            if min_age_seconds > 0:
-                mt = self.store.mtime(name)
-                if mt is None or mt > time.time() - min_age_seconds:
-                    continue  # unknown age or too young: spare it
             if dry_run:
                 report.append({"name": name, "version": version})
                 continue

@@ -127,9 +127,13 @@ _VACUUM_RE = re.compile(
     rf"(?:(DRY\s+RUN)\s*)?;?\s*$",
     re.IGNORECASE,
 )
+"""``VACUUM LOG`` is checked before ``VACUUM <table>``, so it shadows a
+table literally named ``log`` — documented on ``client.vacuum_log``;
+vacuum such a table via the Python API. Clause separators require real
+whitespace (``VACUUM LOGRETAIN ...`` does not parse)."""
 _VACUUM_LOG_RE = re.compile(
-    r"^\s*VACUUM\s+LOG\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?"
-    r"(?:(DRY\s+RUN)\s*)?;?\s*$",
+    r"^\s*VACUUM\s+LOG(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+    r"(?:\s+(DRY\s+RUN))?\s*;?\s*$",
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(

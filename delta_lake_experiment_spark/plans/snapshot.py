@@ -444,11 +444,13 @@ def earliest_reconstructable_version(
 ) -> int:
     """Oldest version >= ``at_least`` that ``replay_log(as_of=...)`` can
     still serve after ``vacuum_log`` truncation: the oldest retained
-    checkpoint whose successor log records survive. (Retained records
-    form a version SUFFIX in practice — vacuum_log deletes by commit
-    age and in-commit timestamps are monotonic — but the checkpoint
-    walk verifies the anchor rather than assuming it.) Falls back to
-    the newest checkpoint, which vacuum_log never deletes."""
+    checkpoint whose successor log records survive. Retained records
+    form a version SUFFIX by construction — vacuum_log deletes at
+    CHECKPOINT granularity, everything strictly below one cut — so the
+    checkpoint walk's ``c + 1 >= first_log`` test verifies the anchor
+    exactly; a store violating the suffix invariant (external deletion)
+    fails replay's own gap detection rather than silently serving a
+    partial state."""
     logs = store.list_prefix_ordered(LOG_PREFIX)
     first_log = int(logs[0][len(LOG_PREFIX):]) if logs else None
     ckpts = [

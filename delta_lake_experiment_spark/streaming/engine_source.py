@@ -807,7 +807,24 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         # removed files' PRIOR deletion-vector masks
                         # (as of the commit's from-state) apply before
                         # the anti-join — scan_changes' DV-aware read
-                        prior = replay_log(store, as_of=v - 1)
+                        try:
+                            prior = replay_log(store, as_of=v - 1)
+                        except HistoryTruncatedError as e:
+                            # a horizon-1 stream admitted by the
+                            # recoverable path can still need commit
+                            # lo+1's FROM-STATE (at lo, which is below
+                            # the horizon) when that commit removes
+                            # files — name the CDF remedy instead of
+                            # leaking the raw time-travel error
+                            raise ValueError(
+                                f"engine_table source: change feed for"
+                                f" commit v{v} needs the v{v - 1}"
+                                " from-state, which vacuum_log has"
+                                " reclaimed - start the CDF at a"
+                                " version whose predecessor is"
+                                " retained (.option('startingVersion',"
+                                " a retained version))"
+                            ) from e
                         prior_dvs = prior.table_dvs(self.table)
                         prior_live = prior.live.get(self.table, {})
                     if self.max_bytes:

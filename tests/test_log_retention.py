@@ -198,6 +198,88 @@ def test_vacuum_log_reclaims_below_horizon_and_time_travel_raises(tmp_path):
     assert c.vacuum_log(min_age_seconds=0) == 0
 
 
+def test_retention_window_stays_reconstructable(tmp_path):
+    """The retention window's promise is RECONSTRUCTABILITY, not mere
+    record survival: deletion is checkpoint-granular, so every version
+    whose commit is younger than the window keeps its anchor checkpoint
+    AND the records between (review catch, r11 pass 2: per-record
+    sparing kept young records while deleting the checkpoint their
+    replay needed)."""
+    import time as _time
+
+    day = 86400.0
+    now = _time.time()
+    root = str(tmp_path / "store")
+    c = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=16)
+    clock = {"t": now - 60 * day}
+    c._clock = lambda: clock["t"]
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(49):  # versions 2..50, one per simulated day
+        clock["t"] = now - (60 - i) * day
+        c.new_tx()
+        c.write_row("t", [i, i])
+        c.commit_tx()
+    store = LocalObjectStorage(root)
+    # window: 25 simulated days => oldest-young commit ~ v38; the cut
+    # must land on the newest checkpoint at or below it (v32), sparing
+    # v32..v50 wholesale
+    deleted = c.vacuum_log(min_age_seconds=25 * day)
+    assert deleted > 0
+    logs = store.list_prefix_ordered(LOG_PREFIX)
+    first = int(logs[0][len(LOG_PREFIX):])
+    assert first == 32  # checkpoint-granular cut, not per-record holes
+    for v in (32, 38, 45, 50):
+        assert replay_log(store, as_of=v).version == v
+    with pytest.raises(HistoryTruncatedError):
+        replay_log(store, as_of=20)
+
+
+def test_cdf_from_state_below_horizon_names_the_remedy(tmp_path, spark):
+    """A CDF stream admitted at horizon-1 whose first commit REMOVES
+    files needs the from-state AT the horizon-1 version — reclaimed.
+    The planner must raise the named startingVersion remedy, not leak
+    a raw HistoryTruncatedError (review catch, r11 pass 2)."""
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    root = str(tmp_path / "store")
+    c = DeltaLakeClient(spark, root, dataobject_size=4, checkpoint_interval=8)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(6):  # versions 2..7
+        c.new_tx()
+        c.write_row("t", [i, i])
+        c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 2)  # version 8 = checkpoint, has removes
+    c.commit_tx()
+    c.vacuum_log(min_age_seconds=0)  # records 1..7 reclaimed
+    store = LocalObjectStorage(root)
+    reader = EngineTableStreamReader(
+        root,
+        {"table": "t", "readchangefeed": "true", "startingversion": "7"},
+        store=store,
+    )
+    with pytest.raises(ValueError, match="startingVersion"):
+        reader.partitions({"version": 7}, {"version": 8})
+
+
+def test_vacuum_log_sql_requires_whitespace(spark, tmp_path):
+    """'VACUUM LOGRETAIN ...' must not parse as the log form (and not
+    as anything else either)."""
+    from delta_lake_experiment_spark.plans.dml import (
+        UnsupportedSqlError,
+        parse_dml,
+    )
+
+    with pytest.raises(UnsupportedSqlError):
+        parse_dml("VACUUM LOGRETAIN 1 HOURS")
+
+
 def test_occ_version_counter_never_reuses_truncated_ids(tmp_path):
     """The retained checkpoint pins the high-water mark: commits after
     truncation continue at latest+1 and the put-if-absent gate still
