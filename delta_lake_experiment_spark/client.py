@@ -777,7 +777,19 @@ class DeltaLakeClient:
                 raise TypeMismatchError(
                     f"IDENTITY step for {col!r} must be non-zero"
                 )
-            ident_map[col] = {"start": start, "step": step, "high": high}
+            mode = str(ispec.get("mode", "always")).lower()
+            if mode not in ("always", "default"):
+                raise TypeMismatchError(
+                    f"IDENTITY mode for {col!r} must be 'always' or"
+                    f" 'default' (GENERATED ALWAYS / BY DEFAULT), got"
+                    f" {ispec.get('mode')!r}"
+                )
+            ident_map[col] = {
+                "start": start,
+                "step": step,
+                "high": high,
+                "mode": mode,
+            }
         checks_map = self._validate_checks(parsed, all_checks)
         tx.new_tables[table] = ddl
         tx.actions.append(
@@ -1400,6 +1412,8 @@ class DeltaLakeClient:
             for icol, ispec in ident.items():
                 i = pos[icol]
                 if row[i] is not None:
+                    if ispec.get("mode", "always") == "default":
+                        continue  # BY DEFAULT: supplied values stand
                     raise TypeMismatchError(
                         f"IDENTITY column {icol!r} is GENERATED ALWAYS -"
                         " pass None and the engine mints the value"
@@ -1488,10 +1502,17 @@ class DeltaLakeClient:
         # accepts no supplied values); a NULL placeholder keeps the
         # missing-columns gate happy and the real values are minted
         # below off the _row_idx stamps (one expression, no extra job)
-        ident = snap.identity.get(table, {})
+        ident = dict(snap.identity.get(table, {}))
         ident_pending: dict[str, tuple[int, int]] = {}
-        for icol, ispec in ident.items():
+        for icol, ispec in list(ident.items()):
             if icol in df.columns:
+                if ispec.get("mode", "always") == "default":
+                    # BY DEFAULT: the supplied column stands verbatim
+                    # (run ALTER ... SYNC IDENTITY afterwards to lift
+                    # the mark past manual values — Delta's contract);
+                    # no minting for this column in this write
+                    ident.pop(icol)
+                    continue
                 raise TypeMismatchError(
                     f"IDENTITY column {icol!r} is GENERATED ALWAYS -"
                     " omit it from the frame and the engine mints the"
@@ -2764,6 +2785,7 @@ class DeltaLakeClient:
             AlterDropColumn,
             AlterNotNull,
             AlterRenameColumn,
+            AlterSyncIdentity,
             CreateTable,
             Delete,
             DescribeChanges,
@@ -2893,6 +2915,8 @@ class DeltaLakeClient:
                 self.set_not_null(stmt.table, stmt.column)
             else:
                 self.drop_not_null(stmt.table, stmt.column)
+        elif isinstance(stmt, AlterSyncIdentity):
+            self.sync_identity(stmt.table)
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:
@@ -3095,21 +3119,28 @@ class DeltaLakeClient:
         keys = snap0.pkeys.get(table)
         if not keys:
             raise TypeMismatchError(f"merge requires declared primary keys on {table!r}")
-        if snap0.identity.get(table):
+        always_ident = sorted(
+            c
+            for c, v in snap0.identity.get(table, {}).items()
+            if v.get("mode", "always") == "always"
+        )
+        if always_ident:
             # the latest-version-wins merge writes WHOLE new row
             # versions, so matched updates would need the source to
             # carry the identity column while GENERATED ALWAYS forbids
             # inserts from supplying it — the two lanes are mutually
             # inconsistent on one source frame (Delta rejects MERGE
             # INSERT with explicit ALWAYS identity values for the same
-            # reason). Insert-only merges can write_dataframe the
-            # anti-joined source directly; update lanes should key on a
-            # natural (non-identity) table.
+            # reason). BY DEFAULT identity tables merge fine (supplied
+            # values stand; run SYNC IDENTITY afterwards). Insert-only
+            # merges can write_dataframe the anti-joined source
+            # directly; update lanes should key on a natural column.
             raise TypeMismatchError(
-                f"merge into table {table!r} with IDENTITY column(s)"
-                f" {sorted(snap0.identity[table])} is not supported:"
-                " GENERATED ALWAYS accepts no supplied values, but the"
-                " merge's matched lane writes whole row versions"
+                f"merge into table {table!r} with GENERATED ALWAYS"
+                f" IDENTITY column(s) {always_ident} is not supported:"
+                " ALWAYS accepts no supplied values, but the merge's"
+                " matched lane writes whole row versions (declare the"
+                " column BY DEFAULT to merge)"
             )
         src = source_df.persist()
         pr, any_keys = self._source_key_bounds(src, table, keys)
@@ -4633,6 +4664,55 @@ class DeltaLakeClient:
                     )
                 )
         tx.identity_hwm.clear()
+
+    def sync_identity(self, table: str) -> dict[str, int]:
+        """``ALTER TABLE t SYNC IDENTITY`` (Delta's): lift each identity
+        column's high-water mark to the FURTHEST stored value when
+        manual BY DEFAULT inserts (or a merge) wrote past it, so future
+        minted ids never collide with supplied ones. One aggregation
+        job over the table (max or min per identity column by step
+        direction); the mark only ever moves FURTHER — a table whose
+        stored extreme trails the mark keeps the mark (reserved ranges
+        stay reserved). Returns {column: new high}."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        ident = snap.identity.get(table)
+        if not ident:
+            raise TypeMismatchError(f"table {table!r} has no IDENTITY columns")
+        aggs = []
+        for c, v in ident.items():
+            fn = F.max if int(v["step"]) > 0 else F.min
+            aggs.append(fn(F.col(c)).alias(c))
+        row = self.scan(table, with_stamps=False).agg(*aggs).collect()[0]
+        new_marks: dict[str, int] = {}
+        updated = {c: dict(v) for c, v in ident.items()}
+        changed = False
+        for c, v in updated.items():
+            step = int(v["step"])
+            cur = int(v.get("high", int(v["start"]) - step))
+            stored = row[c]
+            further = max if step > 0 else min
+            high = further(cur, int(stored)) if stored is not None else cur
+            new_marks[c] = high
+            if high != cur:
+                v["high"] = high
+                changed = True
+        if changed:
+            tx.actions.append(
+                self._authoritative_metadata(
+                    snap, table, snap.tables[table], identity=updated,
+                    ident_only=True,
+                )
+            )
+            # tx-local allocations restart from the lifted mark
+            for c, high in new_marks.items():
+                if (table, c) in tx.identity_hwm:
+                    step = int(updated[c]["step"])
+                    further = max if step > 0 else min
+                    tx.identity_hwm[(table, c)] = further(
+                        tx.identity_hwm[(table, c)], high
+                    )
+        return new_marks
 
     def _bucket_spec(self, tx: "_Tx", table: str) -> Optional[tuple[list[str], int]]:
         """(bucket_cols, n) for a bucketed table, else None."""

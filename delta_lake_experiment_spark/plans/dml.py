@@ -179,31 +179,38 @@ _ALTER_ADD_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+COLUMNS?\s*\((.+?)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_SYNC_IDENTITY_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+SYNC\s+IDENTITY\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 _IDENTITY_ITEM_RE = re.compile(
     rf"^\s*({_IDENT})"
     r"(?:\s+START\s+WITH\s+(-?\d+))?"
-    r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*$",
+    r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?"
+    r"(?:\s+(BY\s+DEFAULT))?\s*$",
     re.IGNORECASE,
 )
 
 
 def _parse_identity(body: str) -> dict:
     """Parse the IDENTITY clause body:
-    ``col [START WITH n] [INCREMENT BY n], ...`` (Delta's
-    GENERATED ALWAYS AS IDENTITY options, defaults 1/1)."""
+    ``col [START WITH n] [INCREMENT BY n] [BY DEFAULT], ...`` (Delta's
+    GENERATED ALWAYS / BY DEFAULT AS IDENTITY options, defaults 1/1/
+    ALWAYS)."""
     out: dict = {}
     for item in body.split(","):
         m = _IDENTITY_ITEM_RE.match(item)
         if not m:
             raise UnsupportedSqlError(
                 f"IDENTITY item {item.strip()!r}: expected"
-                " 'col [START WITH n] [INCREMENT BY n]'"
+                " 'col [START WITH n] [INCREMENT BY n] [BY DEFAULT]'"
             )
         out[m.group(1)] = {
             "start": int(m.group(2)) if m.group(2) else 1,
             "step": int(m.group(3)) if m.group(3) else 1,
+            "mode": "default" if m.group(4) else "always",
         }
     return out
 
@@ -401,6 +408,13 @@ class AlterNotNull:
     set: bool  # True = SET NOT NULL, False = DROP NOT NULL
 
 
+@dataclass
+class AlterSyncIdentity:
+    # ALTER TABLE t SYNC IDENTITY (Delta's): lift identity high-water
+    # marks past manually supplied BY DEFAULT values
+    table: str
+
+
 def _literal(tok: str) -> Any:
     if tok.startswith("'"):
         return tok[1:-1].replace("''", "'")
@@ -569,6 +583,9 @@ def parse_dml(sql: str):
             table=m.group(1), materialize=bool(m.group(2))
         )
     if head == "ALTER":
+        m = _ALTER_SYNC_IDENTITY_RE.match(sql)
+        if m:
+            return AlterSyncIdentity(table=m.group(1))
         m = _ALTER_RENAME_RE.match(sql)
         if m:
             return AlterRenameColumn(table=m.group(1), old=m.group(2), new=m.group(3))
@@ -593,7 +610,7 @@ def parse_dml(sql: str):
         raise UnsupportedSqlError(
             "ALTER supports exactly: ALTER TABLE t RENAME COLUMN a TO b | "
             "DROP COLUMN a | ALTER COLUMN a TYPE ty | ALTER COLUMN a "
-            "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...)"
+            "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...) | SYNC IDENTITY"
         )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)

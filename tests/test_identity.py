@@ -247,6 +247,50 @@ def test_rename_rekeys_drop_blocks_merge_rejects(spark, store_dir):
     d.abort_tx()
 
 
+def test_by_default_mode_and_sync_identity(spark, store_dir):
+    """GENERATED BY DEFAULT AS IDENTITY (Delta's sibling mode):
+    supplied values stand, omitted values mint, and
+    ALTER TABLE ... SYNC IDENTITY lifts the mark past manual values so
+    future mints never collide."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.execute(
+        "CREATE TABLE d (id BIGINT, v STRING)"
+        " IDENTITY (id START WITH 1 INCREMENT BY 1 BY DEFAULT)"
+    )
+    c.write_row("d", [None, "minted1"])  # mints 1
+    c.write_row("d", [500, "manual"])  # BY DEFAULT: stands
+    c.write_row("d", [None, "minted2"])  # mints 2 (mark not lifted yet)
+    c.commit_tx()
+    c.new_tx()
+    marks = c.sync_identity("d")  # lift past the manual 500
+    assert marks == {"id": 500}
+    c.write_row("d", [None, "minted3"])  # mints 501
+    c.commit_tx()
+    ids = _ids(c, "d")
+    assert ids == {"minted1": 1, "manual": 500, "minted2": 2, "minted3": 501}
+    # the SQL spelling parses + executes (no-op second sync)
+    c.new_tx()
+    c.execute("ALTER TABLE d SYNC IDENTITY")
+    c.commit_tx()
+    # bulk BY DEFAULT: a frame CARRYING the column stands verbatim
+    c.new_tx()
+    c.write_dataframe(
+        "d", spark.createDataFrame([(900, "bulk_manual")], "id BIGINT, v STRING")
+    )
+    c.commit_tx()
+    assert _ids(c, "d")["bulk_manual"] == 900
+    # BY DEFAULT tables merge (ALWAYS tables don't)
+    c.new_tx()
+    c.alter_table("d", primary_keys=["v"])
+    c.merge(
+        "d",
+        spark.createDataFrame([(901, "merged")], "id BIGINT, v STRING"),
+    )
+    c.commit_tx()
+    assert _ids(c, "d")["merged"] == 901
+
+
 def test_identity_tables_stay_streamable(spark, store_dir):
     """Every identity insert carries an authoritative metadata record
     (the high-water-mark advance); the streaming source must SKIP those
