@@ -4112,6 +4112,22 @@ class DeltaLakeClient:
                 continue
             self.store.delete(name)
             deleted += 1
+        # parquet sidecars retire with their checkpoints (version-
+        # prefixed names; also sweeps orphans a crashed checkpointer
+        # left below the horizon)
+        from delta_lake_experiment_spark.plans.snapshot import (
+            CHECKPOINT_PART_PREFIX,
+        )
+
+        for name in self.store.list_prefix_ordered(CHECKPOINT_PART_PREFIX):
+            version = int(name[len(CHECKPOINT_PART_PREFIX):].split("_", 1)[0])
+            if version >= horizon:
+                break  # zero-padded versions: ascending
+            if dry_run:
+                report.append({"name": name, "version": version})
+                continue
+            self.store.delete(name)
+            deleted += 1
         if dry_run:
             return {"objects": report, "count": len(report)}
         return deleted
@@ -4972,10 +4988,15 @@ class DeltaLakeClient:
         # in-memory view: with commit retry, other commits may have
         # interleaved between our snapshot and our log record.
         snap = replay_log(self.store)
+        payload, parts = snap.to_checkpoint(self.store)
         try:
-            self.store.put_if_absent(checkpoint_name(snap.version), snap.to_json())
+            self.store.put_if_absent(checkpoint_name(snap.version), payload)
         except ObjectExistsError:
-            pass  # someone else checkpointed this version — fine
+            # someone else checkpointed this version — fine; our
+            # sidecars (if any) are unreferenced: reclaim them now
+            # rather than leaving orphans until the retention horizon
+            for part in parts:
+                self.store.delete(part)
         # advisory pointer: future replays anchor their listing here
         # (same version either way when we lost the checkpoint race)
         write_last_checkpoint(self.store, snap.version)

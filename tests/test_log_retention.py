@@ -346,6 +346,69 @@ def test_last_checkpoint_pointer_is_advisory(tmp_path):
     assert newest_checkpoint_version(store) == 64
 
 
+def test_checkpoint_parquet_sidecar_roundtrip_and_retention(tmp_path, monkeypatch):
+    """Above CHECKPOINT_SIDECAR_MIN_ADDS the live-file lists spill to a
+    PARQUET sidecar (Delta's multi-part checkpoint shape — the main
+    record stays footer-sized at any file count): replay through the
+    sidecar reconstructs the identical snapshot (names, stats, sizes,
+    bucket ids, rw tags), vacuum_log retires sidecars with their
+    checkpoints, and a checkpoint-race loser reclaims its own parts."""
+    import shutil
+
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.client import _Tx
+    from delta_lake_experiment_spark.plans.snapshot import (
+        CHECKPOINT_PART_PREFIX,
+        checkpoint_name,
+    )
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 5)
+    root = str(tmp_path / "store")
+    c = _seed_commits(root, 40, checkpoint_interval=16)  # ckpts 16, 32
+    store = LocalObjectStorage(root)
+    parts = store.list_prefix_ordered(CHECKPOINT_PART_PREFIX)
+    assert parts, "sidecar spill did not trigger"
+
+    # replay THROUGH the sidecar == a from-scratch fold of the raw log
+    snap = replay_log(store)
+    clone = str(tmp_path / "clone")
+    shutil.copytree(root, clone)
+    cstore = LocalObjectStorage(clone)
+    for n in (
+        cstore.list_prefix_ordered("_checkpoint_")
+        + cstore.list_prefix_ordered(CHECKPOINT_PART_PREFIX)
+        + ["_last_checkpoint"]
+    ):
+        cstore.delete(n)
+    raw = replay_log(cstore)
+    assert snap.version == raw.version == 41
+    a = {o.name: (o.tx_id, o.num_rows, o.size, o.stats, o.bucket_id, o.rewrite)
+         for o in snap.live_objects("t")}
+    b = {o.name: (o.tx_id, o.num_rows, o.size, o.stats, o.bucket_id, o.rewrite)
+         for o in raw.live_objects("t")}
+    assert a == b and len(a) == 40
+    assert snap.last_ts == raw.last_ts
+
+    # race loser: the checkpoint object already exists -> the loser's
+    # freshly spilled parts are reclaimed immediately
+    n_parts0 = len(store.list_prefix_ordered(CHECKPOINT_PART_PREFIX))
+    loser = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=41)
+    fresh = replay_log(store)
+    store.put(checkpoint_name(fresh.version), fresh.to_json())  # winner
+    loser._maybe_checkpoint(_Tx(id=41, snapshot=fresh))
+    assert len(store.list_prefix_ordered(CHECKPOINT_PART_PREFIX)) == n_parts0
+
+    # retention retires sidecars with their checkpoints
+    c.vacuum_log(min_age_seconds=0)
+    survivors = store.list_prefix_ordered(CHECKPOINT_PART_PREFIX)
+    horizon = 41  # newest checkpoint (the winner's plain-JSON one)
+    assert all(
+        int(n[len(CHECKPOINT_PART_PREFIX):].split("_", 1)[0]) >= horizon
+        for n in survivors
+    )
+    assert replay_log(store).version == 41  # still replays clean
+
+
 def test_in_commit_timestamps_are_monotonic_under_clock_skew(tmp_path):
     """A writer with a regressed wall clock cannot make recorded commit
     timestamps go backwards (ts = max(now, prev + 1)), so the
