@@ -344,6 +344,54 @@ def test_rename_after_allocation_keeps_the_advance(spark, store_dir):
     assert rows == {"first": 1, "second": 2}  # no duplicate id
 
 
+def test_identity_mark_survives_log_truncation(spark, store_dir):
+    """The high-water mark rides the checkpoint's identity map, so
+    vacuum_log reclaiming the records that advanced it never causes a
+    re-mint."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100, checkpoint_interval=4)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING", identity={"id": {"start": 1, "step": 1}})
+    c.commit_tx()
+    for i in range(7):  # versions 2..8, checkpoints at 4 and 8
+        c.new_tx()
+        c.write_row("t", [None, f"r{i}"])
+        c.commit_tx()
+    c.vacuum_log(min_age_seconds=0)  # records below v8 reclaimed
+    fresh = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    fresh.new_tx()
+    fresh.write_row("t", [None, "post"])
+    fresh.commit_tx()
+    assert _ids(c)["post"] == 8  # continues past the truncated history
+
+
+def test_identity_tables_stream_through_cdf(spark, store_dir):
+    """The change feed must deliver identity-table inserts (the
+    io-tagged mark advances are skipped by the CDF planner too)."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+    )
+
+    c = _mk(spark, store_dir)
+    store = LocalObjectStorage(store_dir)
+    base = replay_log(store).version
+    for i in range(2):
+        c.new_tx()
+        c.write_row("t", [None, f"r{i}"])
+        c.commit_tx()
+    latest = replay_log(store).version
+    reader = EngineTableStreamReader(
+        store_dir,
+        {"table": "t", "readchangefeed": "true", "startingversion": str(base)},
+        store=store,
+    )
+    parts = reader.partitions({"version": base}, {"version": latest})
+    assert len(parts) == 2  # one CDF partition per insert commit
+
+
 def test_identity_declaration_validation(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
     c.new_tx()
