@@ -172,6 +172,7 @@ HEADLINE = [
     "engine_identity_columns",
     "engine_optimize_sizes",
     "engine_stream_starting_ts",
+    "engine_log_retention",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

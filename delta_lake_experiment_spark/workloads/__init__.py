@@ -16,7 +16,7 @@ _MODULES = (relational, temporal, engine_queries, extensions)
 
 
 # The driver's CORRECTNESS gate checks the first 50 registry entries.
-# With 142 value-oracled queries, ninety-two must sit outside the window. The
+# With 143 value-oracled queries, ninety-three must sit outside the window. The
 # deferral is NOT an honor-system gate: tests/test_deferred_oracles.py
 # runs every deferred query against its DuckDB oracle at sf0.001 on
 # every pytest run, and `python tools/check_oracle.py` covers the full
@@ -684,6 +684,13 @@ _DEFERRED_ORACLED = [
     # - engine_sql_merge -> the SQL-statement spelling of the SAME
     #   merge + MERGE_SQL oracle as engine_merge_upsert (rotating in);
     #   one spelling stays certified in-window at all times.
+    # r11 late newborn, deferred from birth: engine_log_retention
+    # (vacuum_log + sidecar checkpoint + truncation-error lifecycle) -
+    # the retention machinery it drives is pinned by 17
+    # tests/test_log_retention.py pytests and the scan lane is
+    # certified in-window by engine_roundtrip_scan; rotate in next
+    # round per policy.
+    "engine_log_retention",
     "q5_local_supplier_volume",
     "streaming_hourly_windows",
     "similarity_pca_topk",

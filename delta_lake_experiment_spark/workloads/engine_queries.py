@@ -1678,6 +1678,91 @@ GROUP BY event_type
 """
 
 
+def engine_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-metadata retention end-to-end (this round's capstone —
+    Delta's logRetentionDuration shape): 15 ingest commits under a
+    small checkpoint interval spill a PARQUET SIDECAR checkpoint
+    (multi-part shape; threshold lowered in-query and restored),
+    ``vacuum_log`` reclaims records/checkpoints/sidecars strictly below
+    the newest checkpoint, time travel below the horizon is asserted to
+    raise the NAMED HistoryTruncatedError (never a silent partial
+    state), and the returned aggregate scans the post-truncation table
+    through the sidecar checkpoint — a lost commit, a broken sidecar
+    roundtrip, or an over-eager reclaim value-diverges it from the
+    oracle over the full source immediately."""
+    _utc(spark)
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.errors import HistoryTruncatedError
+    from delta_lake_experiment_spark.plans.snapshot import (
+        CHECKPOINT_PART_PREFIX,
+        LOG_PREFIX,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    c = _fresh_client(spark)
+    c.checkpoint_interval = 8
+    old_threshold = snapmod.CHECKPOINT_SIDECAR_MIN_ADDS
+    snapmod.CHECKPOINT_SIDECAR_MIN_ADDS = 4
+    try:
+        c.new_tx()
+        c.create_table(
+            "ev_ret",
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+        )
+        c.commit_tx()
+        for i in range(15):  # versions 2..16; checkpoints at 8 and 16
+            c.new_tx()
+            c.write_dataframe("ev_ret", events.filter(F.col("event_id") % 15 == i))
+            c.commit_tx()
+        if not c.store.list_prefix_ordered(CHECKPOINT_PART_PREFIX):
+            raise RuntimeError(
+                "checkpoint did not spill a parquet sidecar - the"
+                " multi-part path is not engaged"
+            )
+        deleted = c.vacuum_log(min_age_seconds=0)
+        if deleted <= 0:
+            raise RuntimeError("vacuum_log reclaimed nothing below the horizon")
+        logs = c.store.list_prefix_ordered(LOG_PREFIX)
+        if int(logs[0][len(LOG_PREFIX):]) != 16:
+            raise RuntimeError(
+                f"expected the log to start at the v16 horizon, got"
+                f" {logs[0]}"
+            )
+        try:
+            c.new_tx()
+            c.scan_as_of("ev_ret", version=5)
+            raise RuntimeError(
+                "time travel below the retention horizon served a"
+                " state instead of raising HistoryTruncatedError"
+            )
+        except HistoryTruncatedError:
+            c.abort_tx()  # the named loud failure — correct
+        c.new_tx()
+        return (
+            c.scan("ev_ret", with_stamps=False)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+                F.max("event_id").alias("max_event"),
+            )
+        )
+    finally:
+        snapmod.CHECKPOINT_SIDECAR_MIN_ADDS = old_threshold
+
+
+ENGINE_LOG_RETENTION_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(value), 6) AS value_sum,
+       MAX(event_id) AS max_event
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_stream_source": engine_stream_source,
@@ -1688,6 +1773,7 @@ QUERIES = {
     "engine_identity_columns": engine_identity_columns,
     "engine_optimize_sizes": engine_optimize_sizes,
     "engine_stream_starting_ts": engine_stream_starting_ts,
+    "engine_log_retention": engine_log_retention,
     "engine_not_null_reject": engine_not_null_reject,
     "engine_bucketed_join": engine_bucketed_join,
     "engine_incremental_mv": engine_incremental_mv,
@@ -1717,6 +1803,7 @@ ORACLES = {
     "engine_identity_columns": ENGINE_IDENTITY_COLUMNS_SQL,
     "engine_optimize_sizes": ENGINE_OPTIMIZE_SIZES_SQL,
     "engine_stream_starting_ts": ENGINE_STREAM_STARTING_TS_SQL,
+    "engine_log_retention": ENGINE_LOG_RETENTION_SQL,
     "engine_not_null_reject": ENGINE_NOT_NULL_SQL,
     "engine_bucketed_join": ENGINE_BUCKETED_JOIN_SQL,
     "engine_incremental_mv": ENGINE_INCREMENTAL_MV_SQL,
