@@ -1504,14 +1504,17 @@ class DeltaLakeClient:
         # below off the _row_idx stamps (one expression, no extra job)
         ident = dict(snap.identity.get(table, {}))
         ident_pending: dict[str, tuple[int, int]] = {}
+        ident_coalesce: set[str] = set()
         for icol, ispec in list(ident.items()):
             if icol in df.columns:
                 if ispec.get("mode", "always") == "default":
-                    # BY DEFAULT: the supplied column stands verbatim
-                    # (run ALTER ... SYNC IDENTITY afterwards to lift
-                    # the mark past manual values — Delta's contract);
-                    # no minting for this column in this write
-                    ident.pop(icol)
+                    # BY DEFAULT: supplied values stand verbatim (run
+                    # ALTER ... SYNC IDENTITY afterwards to lift the
+                    # mark past them — Delta's contract), and NULL
+                    # cells still MINT (same semantics as write_row's
+                    # None; a verbatim NULL would be a silent hole no
+                    # sync could ever repair — review catch, r11 p3)
+                    ident_coalesce.add(icol)
                     continue
                 raise TypeMismatchError(
                     f"IDENTITY column {icol!r} is GENERATED ALWAYS -"
@@ -1546,12 +1549,18 @@ class DeltaLakeClient:
                 )
             step = int(ispec["step"])
             ident_pending[icol] = (high0, step)
+            minted = (
+                F.lit(high0)
+                + F.lit(step) * (F.col(IDX_COL) - F.lit(base) + F.lit(1))
+            ).cast("long")
             stamped = stamped.withColumn(
                 icol,
-                (
-                    F.lit(high0)
-                    + F.lit(step) * (F.col(IDX_COL) - F.lit(base) + F.lit(1))
-                ).cast("long"),
+                # BY DEFAULT with a supplied column: keep non-NULL
+                # values, mint the NULL cells (the full range stays
+                # reserved — over-reserving is in-contract gaps)
+                F.coalesce(F.col(icol).cast("long"), minted)
+                if icol in ident_coalesce
+                else minted,
             )
         if not cluster:
             # declared hash layout: partition i holds exactly bucket-i
@@ -4988,6 +4997,19 @@ class DeltaLakeClient:
         # in-memory view: with commit retry, other commits may have
         # interleaved between our snapshot and our log record.
         snap = replay_log(self.store)
+        newest_ckpt = newest_checkpoint_version(self.store)
+        if newest_ckpt >= snap.version:
+            # already checkpointed (race lost) or superseded by a newer
+            # one (this writer stalled past other checkpointers). The
+            # advisory pre-check saves the lost-race path a full
+            # sidecar serialize+put+delete AND closes the resurrection
+            # hazard: a stalled writer must not re-publish a checkpoint
+            # name that vacuum_log may have reclaimed along with its
+            # sidecars (the publish would succeed against a vacuumed
+            # name but point at deleted parts). put_if_absent below
+            # remains the correctness gate for the residual window.
+            write_last_checkpoint(self.store, newest_ckpt)
+            return
         payload, parts = snap.to_checkpoint(self.store)
         try:
             self.store.put_if_absent(checkpoint_name(snap.version), payload)

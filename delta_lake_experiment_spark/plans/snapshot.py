@@ -41,7 +41,8 @@ CHECKPOINT_INTERVAL = 32
 # 10⁶-file table's checkpoint would otherwise be a ~300 MB JSON blob
 # parsed on EVERY new_tx — the columnar sidecar reads 20-50× faster
 # and the main checkpoint stays footer-sized. Below the threshold the
-# plain JSON form is byte-identical to the legacy format.
+# plain JSON form is semantically identical to the legacy format (same
+# keys; readers never depend on key order or byte equality).
 CHECKPOINT_SIDECAR_MIN_ADDS = 4096
 CHECKPOINT_PART_PREFIX = "ckptpart_"
 # Advisory pointer to the newest checkpoint (Delta's _last_checkpoint):
@@ -338,8 +339,8 @@ class Snapshot:
         Spark-free)."""
         d = json.loads(data)
         if "live_ref" not in d:
-            return cls.from_json(data)
-        snap = cls.from_json(json.dumps({**d, "live": {}}).encode())
+            return cls.from_dict(d)
+        snap = cls.from_dict({**d, "live": {}})
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -364,7 +365,10 @@ class Snapshot:
 
     @classmethod
     def from_json(cls, data: bytes) -> "Snapshot":
-        d = json.loads(data)
+        return cls.from_dict(json.loads(data))
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Snapshot":
         snap = cls(version=int(d["version"]), tables=dict(d["tables"]))
         snap.dvs = {
             t: {o: list(names) for o, names in objs.items()}
@@ -649,8 +653,17 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
             for name in reversed(store.list_prefix_ordered(CHECKPOINT_PREFIX)):
                 version = int(name[len(CHECKPOINT_PREFIX):])
                 if version <= as_of:
-                    snap = Snapshot.from_checkpoint(store.read(name), store)
-                    break
+                    try:
+                        snap = Snapshot.from_checkpoint(store.read(name), store)
+                        break
+                    except Exception:
+                        # a concurrent vacuum_log reclaimed this
+                        # checkpoint (or its sidecar) between the LIST
+                        # and the read(s): fall back to an older
+                        # anchor; if none serves, the gap detection
+                        # below raises the NAMED truncation error
+                        # instead of a raw store failure
+                        continue
     base_version = snap.version
     expected = snap.version + 1
     for name in store.list_prefix_ordered(

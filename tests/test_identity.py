@@ -273,13 +273,21 @@ def test_by_default_mode_and_sync_identity(spark, store_dir):
     c.new_tx()
     c.execute("ALTER TABLE d SYNC IDENTITY")
     c.commit_tx()
-    # bulk BY DEFAULT: a frame CARRYING the column stands verbatim
+    # bulk BY DEFAULT: supplied values stand verbatim, and NULL cells
+    # MINT (a verbatim NULL would be a silent hole no sync could
+    # repair — review catch, r11 pass 3)
     c.new_tx()
     c.write_dataframe(
-        "d", spark.createDataFrame([(900, "bulk_manual")], "id BIGINT, v STRING")
+        "d",
+        spark.createDataFrame(
+            [(900, "bulk_manual"), (None, "bulk_minted")],
+            "id BIGINT, v STRING",
+        ),
     )
     c.commit_tx()
-    assert _ids(c, "d")["bulk_manual"] == 900
+    ids = _ids(c, "d")
+    assert ids["bulk_manual"] == 900
+    assert ids["bulk_minted"] is not None and ids["bulk_minted"] > 501
     # BY DEFAULT tables merge (ALWAYS tables don't)
     c.new_tx()
     c.alter_table("d", primary_keys=["v"])
