@@ -44,6 +44,11 @@ CHECKPOINT_INTERVAL = 32
 # plain JSON form is semantically identical to the legacy format (same
 # keys; readers never depend on key order or byte equality).
 CHECKPOINT_SIDECAR_MIN_ADDS = 4096
+# One sidecar object holds at most this many add entries; larger live
+# sets split into multiple parts (Delta's multi-part checkpoint):
+# bounded object sizes for the store, and a future parallel reader can
+# fan the parts out.
+CHECKPOINT_SIDECAR_ROWS_PER_PART = 262_144
 CHECKPOINT_PART_PREFIX = "ckptpart_"
 # Advisory pointer to the newest checkpoint (Delta's _last_checkpoint):
 # readers anchor their log listing past it instead of LISTing the whole
@@ -319,17 +324,22 @@ class Snapshot:
                 ("rw", pa.bool_()),
             ]
         )
-        buf = io.BytesIO()
-        pq.write_table(
-            pa.table({k: pa.array(v, schema.field(k).type) for k, v in cols.items()}),
-            buf,
+        tbl = pa.table(
+            {k: pa.array(v, schema.field(k).type) for k, v in cols.items()}
         )
-        part = f"{checkpoint_part_prefix(self.version)}{_uuid.uuid4().hex}"
-        store.put_if_absent(part, buf.getvalue())
+        parts: list[str] = []
+        for off in range(0, max(tbl.num_rows, 1), CHECKPOINT_SIDECAR_ROWS_PER_PART):
+            buf = io.BytesIO()
+            pq.write_table(
+                tbl.slice(off, CHECKPOINT_SIDECAR_ROWS_PER_PART), buf
+            )
+            part = f"{checkpoint_part_prefix(self.version)}{_uuid.uuid4().hex}"
+            store.put_if_absent(part, buf.getvalue())
+            parts.append(part)
         payload = json.dumps(
-            {**self._scalar_dict(), "live_ref": [part]}
+            {**self._scalar_dict(), "live_ref": parts}
         ).encode()
-        return payload, [part]
+        return payload, parts
 
     @classmethod
     def from_checkpoint(cls, data: bytes, store: ObjectStorage) -> "Snapshot":

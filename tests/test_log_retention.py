@@ -363,11 +363,15 @@ def test_checkpoint_parquet_sidecar_roundtrip_and_retention(tmp_path, monkeypatc
     )
 
     monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 5)
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_ROWS_PER_PART", 12)
     root = str(tmp_path / "store")
     c = _seed_commits(root, 40, checkpoint_interval=16)  # ckpts 16, 32
     store = LocalObjectStorage(root)
     parts = store.list_prefix_ordered(CHECKPOINT_PART_PREFIX)
     assert parts, "sidecar spill did not trigger"
+    # the v32 checkpoint (31 adds, 12-row parts) is genuinely MULTI-part
+    v32_parts = [p for p in parts if p.startswith(f"{CHECKPOINT_PART_PREFIX}{32:020d}_")]
+    assert len(v32_parts) >= 3
 
     # replay THROUGH the sidecar == a from-scratch fold of the raw log
     snap = replay_log(store)
