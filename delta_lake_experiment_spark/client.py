@@ -3260,12 +3260,23 @@ class DeltaLakeClient:
         unknown = set(set_values) - names
         if unknown:
             raise TypeMismatchError(f"unknown columns in SET: {sorted(unknown)}")
-        ident_set = set(set_values) & set(self._identity_spec(tx, table))
+        ident_all = self._identity_spec(tx, table)
+        ident_set = set(set_values) & set(ident_all)
         if ident_set:
+            # Delta forbids UPDATE SET on identity columns in BOTH
+            # modes; name the declared mode(s) so a BY DEFAULT table's
+            # error doesn't claim the column is GENERATED ALWAYS
+            modes = sorted(
+                f"{c} (GENERATED"
+                f" {'ALWAYS' if ident_all[c].get('mode', 'always') == 'always' else 'BY DEFAULT'}"
+                " AS IDENTITY)"
+                for c in ident_set
+            )
             raise TypeMismatchError(
-                f"IDENTITY column(s) {sorted(ident_set)} are GENERATED"
-                " ALWAYS - their values cannot be SET (rows keep their"
-                " minted ids across updates)"
+                f"IDENTITY column(s) {modes} cannot be SET - identity"
+                " values are never updated in place (rows keep their"
+                " ids across updates; BY DEFAULT values are supplied"
+                " at INSERT time only)"
             )
 
         # unflushed buffer rows update in place
@@ -3737,8 +3748,20 @@ class DeltaLakeClient:
             ident_restore = {
                 c: dict(v) for c, v in old.identity.get(table, {}).items()
             }
+            # resolve each historical identity column to its CURRENT
+            # logical name through the PHYSICAL name (stable across
+            # renames, like Delta's field ids): a rename made after the
+            # target version re-keys cur.identity, and matching by the
+            # old logical name would miss the entry and silently
+            # regress the mark (re-minting already-issued ids)
+            old_phys = old.col_maps.get(table, {})
+            cur_by_phys = {
+                p: l for l, p in cur.col_maps.get(table, {}).items()
+            }
             for c, v in ident_restore.items():
-                cur_v = cur.identity.get(table, {}).get(c)
+                phys = old_phys.get(c, c)
+                cur_name = cur_by_phys.get(phys, phys)
+                cur_v = cur.identity.get(table, {}).get(cur_name)
                 if cur_v is not None:
                     step = int(v.get("step", 1))
                     further = max if step > 0 else min

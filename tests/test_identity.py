@@ -221,6 +221,54 @@ def test_restore_never_regresses_the_mark(spark, store_dir):
     assert ids["post_restore"] == 5
 
 
+def test_restore_across_rename_still_pins_the_mark(spark, store_dir):
+    # ADVICE r11: the restore's never-regress merge matched identity
+    # columns by LOGICAL name; a rename made after the restore target
+    # re-keys cur.identity, the match missed, and the mark regressed —
+    # re-minting ids already issued. The merge now resolves through the
+    # PHYSICAL name (stable across renames, like Delta's field ids).
+    c = _mk(spark, store_dir)
+    c.new_tx()
+    c.write_row("t", [None, "early"])
+    c.commit_tx()  # v2: high=1
+    early_version = 2
+    c.new_tx()
+    c.rename_column("t", "id", "ident")
+    for i in range(3):
+        c.write_row("t", [None, f"late{i}"])
+    c.commit_tx()  # high=4, identity now keyed by "ident"
+    c.new_tx()
+    c.restore_table("t", early_version)  # rolls the rename back too
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [None, "post_restore"])
+    c.commit_tx()
+    ids = _ids(c)
+    assert set(ids) == {"early", "post_restore"}
+    # pre-fix this minted 2 (a reused id); the mark must hold at 4
+    assert ids["post_restore"] == 5
+
+
+def test_update_error_names_the_declared_mode(spark, store_dir):
+    # ADVICE r11: UPDATE SET on a BY DEFAULT identity column claimed
+    # the column "is GENERATED ALWAYS" — the block matches Delta (no
+    # identity updates in either mode) but the message must name the
+    # actual mode
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.create_table(
+        "d",
+        "id BIGINT, v STRING",
+        identity={"id": {"start": 1, "step": 1, "mode": "default"}},
+    )
+    c.write_row("d", [7, "x"])
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="BY DEFAULT"):
+        c.update_rows("d", "v", "x", "x", {"id": 99})
+    c.abort_tx()
+
+
 def test_rename_rekeys_drop_blocks_merge_rejects(spark, store_dir):
     c = _mk(spark, store_dir)
     c.new_tx()
