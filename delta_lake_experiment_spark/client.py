@@ -85,7 +85,6 @@ from delta_lake_experiment_spark.plans.snapshot import (
     Snapshot,
     _stats_intersect,
     checkpoint_name,
-    earliest_reconstructable_version,
     log_name,
     newest_checkpoint_version,
     replay_log,
@@ -3957,16 +3956,14 @@ class DeltaLakeClient:
         lo = max(1, latest_version - retain_versions)
         try:
             base = replay_log(self.store, as_of=lo)
-        except HistoryTruncatedError:
+        except HistoryTruncatedError as e:
             # vacuum_log already reclaimed records below its horizon:
             # snapshots below the reconstructable floor are unreachable
             # by ANY reader, so anchoring the keep-set there retains
             # exactly what any reconstructable version can still
-            # reference. (e.floor is the replay's BASE checkpoint —
-            # always below the requested lo here, so it cannot be the
-            # retry anchor; the floor must be computed from what
-            # actually survives — review catch, r11.)
-            lo = earliest_reconstructable_version(self.store, at_least=lo)
+            # reference. e.floor IS that floor (the error carries
+            # earliest_reconstructable_version since r12).
+            lo = max(int(e.floor), lo)
             base = replay_log(self.store, as_of=lo)
         keep: set[str] = set()
 

@@ -43,9 +43,12 @@ class HistoryTruncatedError(EngineError):
     """Log replay hit a gap: ``vacuum_log`` reclaimed records below the
     retention horizon, so the requested historical version can no
     longer be reconstructed (Delta's logRetentionDuration contract).
-    ``floor`` is the oldest version still reconstructable from the
-    base checkpoint the replay anchored on."""
+    ``floor`` is the oldest version a reader can still reconstruct
+    (``earliest_reconstructable_version``) — retry at or above it.
+    ``base`` is the base checkpoint version the failing replay
+    anchored on (diagnostic; below the horizon for deep time travel)."""
 
-    def __init__(self, message: str, floor: int = 0) -> None:
+    def __init__(self, message: str, floor: int = 0, base: int = 0) -> None:
         super().__init__(message)
         self.floor = int(floor)
+        self.base = int(base)

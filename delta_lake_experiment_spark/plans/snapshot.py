@@ -625,17 +625,29 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
 
     snap = Snapshot(version=0)
     if as_of is None:
-        for _ in range(2):
-            base = newest_checkpoint_version(store)
-            if not base:
-                break
+        base = newest_checkpoint_version(store)
+        attempts = 0
+        while base:
             try:
                 snap = Snapshot.from_checkpoint(store.read(checkpoint_name(base)), store)
                 break
             except Exception:
-                # resolution raced a concurrent checkpoint + vacuum_log
-                # (our target was superseded then reclaimed): re-resolve
-                continue
+                # Distinguish the supersession RACE from persistent
+                # failure (ADVICE r11): a concurrent checkpoint +
+                # vacuum_log can reclaim our target between resolution
+                # and read — but only by publishing a NEWER checkpoint
+                # first, so re-resolving MUST move the target. If it
+                # didn't, the checkpoint is persistently unreadable
+                # (corrupt bytes, transient store error, unsupported
+                # format): re-raise the underlying error instead of
+                # silently degrading to a full-log replay — which on a
+                # vacuum-truncated store would surface as a misleading
+                # HistoryTruncatedError for a plain current-state read.
+                attempts += 1
+                newer = newest_checkpoint_version(store)
+                if newer == base or attempts >= 8:
+                    raise
+                base = newer
     else:
         # pinned-version replay (time travel AND the streaming tail's
         # per-trigger as_of=position replays): when the pointer's
@@ -687,14 +699,25 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
             # the request actually needs them (an exact-checkpoint
             # as_of is still served even with a truncated tail above)
             if as_of is None or expected <= as_of:
+                # floor = the oldest version a reader can still serve
+                # (earliest retained checkpoint anchoring the surviving
+                # records) — what callers retry with, NOT the base
+                # checkpoint this replay happened to anchor on (which
+                # sits BELOW the horizon for a deep time travel). Best
+                # effort: an inconsistent store falls back to the base.
+                try:
+                    floor = earliest_reconstructable_version(store)
+                except Exception:
+                    floor = base_version
                 raise HistoryTruncatedError(
                     f"log records v{expected}..v{version - 1} have been"
                     " reclaimed by vacuum_log (retention horizon):"
                     f" versions above the base checkpoint v{base_version}"
                     f" and below v{version} are no longer reconstructable"
-                    " - time travel at or above the horizon, or configure"
+                    f" - time travel at or above v{floor}, or configure"
                     " a longer vacuum_log retention window",
-                    floor=base_version,
+                    floor=floor,
+                    base=base_version,
                 )
             break
         if as_of is not None and version > as_of:
