@@ -76,7 +76,18 @@ from delta_lake_experiment_spark.plans.actions import (
     AddDataObject,
     AddDeletionVector,
     ChangeMetadata,
+    Protocol,
     RemoveDataObject,
+)
+from delta_lake_experiment_spark.plans.protocol import (
+    FEATURE_CHECK_CONSTRAINTS,
+    FEATURE_COLUMN_DEFAULTS,
+    FEATURE_COLUMN_MAPPING,
+    FEATURE_DELETION_VECTORS,
+    FEATURE_GENERATED_COLUMNS,
+    FEATURE_IDENTITY_COLUMNS,
+    FEATURE_TRUNCATED_HISTORY,
+    check_writer_features,
 )
 from delta_lake_experiment_spark.plans.snapshot import (
     CHECKPOINT_INTERVAL,
@@ -279,7 +290,19 @@ class DeltaLakeClient:
             self._emit_identity_advances(tx)
             if not tx.actions:
                 return  # read-only fast path
-            my_tables = {a.table for a in tx.actions}
+            # protocol gate (Delta's minWriterVersion contract): a
+            # client missing a writer feature the log requires must
+            # not commit — it would corrupt an invariant the feature
+            # maintains (e.g. insert into an identity table without
+            # advancing the mark). Read-only txs returned above: reads
+            # are gated by reader features alone, at replay.
+            check_writer_features(
+                tx.snapshot.protocol["wf"], f"commit of tx {tx.id}"
+            )
+            self._stamp_protocol(tx)
+            my_tables = {
+                a.table for a in tx.actions if not isinstance(a, Protocol)
+            }
             attempt_id = tx.id
             # per-table CURRENT fresh-stamp value (re-keyed on same-table
             # admission so stamps stay unique per table; see docstring)
@@ -323,6 +346,14 @@ class DeltaLakeClient:
                     # reconciliation raises on genuine conflicts and
                     # returns the shared tables needing a stamp re-key
                     latest = replay_log(self.store)
+                    # an interleaved commit may have UPGRADED the
+                    # protocol past this client — re-gate before
+                    # retargeting (the fold above already re-gated
+                    # reader features)
+                    check_writer_features(
+                        latest.protocol["wf"],
+                        f"commit retry of tx {attempt_id}",
+                    )
                     floor_ts = max(floor_ts, latest.last_ts)
                     restamp: set[str] = set()
                     # anchored at the collided version: O(interleaved
@@ -365,6 +396,13 @@ class DeltaLakeClient:
         for act in interleaved["actions"]:
             kind = next(iter(act))
             body = act[kind]
+            if kind == "protocol":
+                # protocol folds are a monotone set UNION — order-
+                # independent, so an interleaved upgrade never
+                # conflicts at file/metadata granularity. Whether THIS
+                # client still satisfies the upgraded writer set is
+                # re-gated by commit_tx's retry fold.
+                continue
             t = body["table"]
             if t in my_tables:
                 theirs.setdefault(t, []).append((kind, body))
@@ -2255,6 +2293,7 @@ class DeltaLakeClient:
             actions = record["actions"]
             touched = sorted(
                 {next(iter(a.values())).get("table", "") for a in actions}
+                - {""}  # log-wide actions (protocol) name no table
             )
             if table is not None and table not in touched:
                 continue
@@ -4208,6 +4247,19 @@ class DeltaLakeClient:
                 break
         if horizon <= 0:
             return {"objects": [], "count": 0} if dry_run else 0
+        if (
+            not dry_run
+            and names
+            and int(names[0][len(LOG_PREFIX):]) < horizon
+        ):
+            # about to create the FIRST version gap (or widen one):
+            # stamp the truncatedHistory reader feature BEFORE deleting
+            # so any client lacking dense-version gap detection fails
+            # the named protocol gate instead of silently folding only
+            # the surviving tail of the log (VERDICT r11 item 1's
+            # mixed-fleet hazard). The stamp commit lands ABOVE the
+            # horizon, so it always survives its own vacuum.
+            self._commit_protocol_record([FEATURE_TRUNCATED_HISTORY], [])
         deleted = 0
         report: list[dict] = []
         for name in names:
@@ -4542,6 +4594,10 @@ class DeltaLakeClient:
             for t, m in tx.snapshot.identity.items()
         }
         snap.last_ts = tx.snapshot.last_ts
+        snap.protocol = {
+            "rf": list(tx.snapshot.protocol["rf"]),
+            "wf": list(tx.snapshot.protocol["wf"]),
+        }
         snap.apply(tx.id, tx.actions)
         snap.tables.update(tx.new_tables)
         return snap
@@ -4813,6 +4869,83 @@ class DeltaLakeClient:
                     )
                 )
         tx.identity_hwm.clear()
+
+    def _stamp_protocol(self, tx: "_Tx") -> None:
+        """Append a protocol-upgrade action when this commit FIRST uses
+        a gated table feature (Delta stamps protocol on first feature
+        use the same way). Derivation is a single pass over the tx's
+        own actions; nothing is appended when the snapshot's protocol
+        already covers everything, so steady-state commits pay one set
+        comparison. See plans/protocol.py for the feature registry."""
+        need_rf: set[str] = set()
+        need_wf: set[str] = set()
+        for a in tx.actions:
+            if isinstance(a, ChangeMetadata):
+                # ident_only advances included deliberately: identity
+                # columns born on a pre-protocol log get stamped at
+                # first ALLOCATION rather than never
+                if a.identity:
+                    need_wf.add(FEATURE_IDENTITY_COLUMNS)
+                if a.ident_only:
+                    continue
+                if a.generated:
+                    need_wf.add(FEATURE_GENERATED_COLUMNS)
+                if a.checks:
+                    need_wf.add(FEATURE_CHECK_CONSTRAINTS)
+                if a.col_defaults:
+                    need_rf.add(FEATURE_COLUMN_DEFAULTS)
+                    need_wf.add(FEATURE_COLUMN_DEFAULTS)
+                if a.retired_phys or any(
+                    l != p for l, p in a.column_map.items()
+                ):
+                    need_rf.add(FEATURE_COLUMN_MAPPING)
+                    need_wf.add(FEATURE_COLUMN_MAPPING)
+            elif isinstance(a, AddDeletionVector):
+                need_rf.add(FEATURE_DELETION_VECTORS)
+                need_wf.add(FEATURE_DELETION_VECTORS)
+        miss_rf = need_rf - set(tx.snapshot.protocol["rf"])
+        miss_wf = need_wf - set(tx.snapshot.protocol["wf"])
+        if miss_rf or miss_wf:
+            tx.actions.append(
+                Protocol(
+                    reader_features=sorted(miss_rf),
+                    writer_features=sorted(miss_wf),
+                )
+            )
+
+    def _commit_protocol_record(self, rf: list, wf: list) -> None:
+        """Commit a standalone protocol-upgrade log record (used by
+        ``vacuum_log`` to stamp ``truncatedHistory`` BEFORE the first
+        truncation — upgrading outside any data transaction, the way
+        Delta's ALTER TABLE ... SET protocol upgrades commit). No-op
+        when the log already carries the features."""
+        for _ in range(8):
+            snap = replay_log(self.store)
+            if set(rf) <= set(snap.protocol["rf"]) and set(wf) <= set(
+                snap.protocol["wf"]
+            ):
+                return
+            payload = {
+                "id": snap.version + 1,
+                "cv": 2,
+                "ts": max(int(self._clock() * 1_000_000), snap.last_ts + 1),
+                "actions": [
+                    Protocol(
+                        reader_features=sorted(rf),
+                        writer_features=sorted(wf),
+                    ).to_json()
+                ],
+            }
+            try:
+                self.store.put_if_absent(
+                    log_name(snap.version + 1), json.dumps(payload).encode()
+                )
+                return
+            except ObjectExistsError:
+                continue  # collided: re-resolve (someone may have stamped)
+        raise ConcurrentCommitError(
+            "could not commit protocol upgrade record after 8 attempts"
+        )
 
     def sync_identity(self, table: str) -> dict[str, int]:
         """``ALTER TABLE t SYNC IDENTITY`` (Delta's): lift each identity

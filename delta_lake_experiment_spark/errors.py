@@ -39,6 +39,33 @@ class ObjectExistsError(EngineError):
     """put_if_absent target already exists."""
 
 
+class UnsupportedTableFeatureError(EngineError):
+    """The log's ``protocol`` record names a table feature this client
+    does not implement (Delta's minReaderVersion/minWriterVersion
+    contract, feature-list form). ``features`` lists the missing
+    feature names; ``kind`` is ``"reader"`` (this client cannot produce
+    a correct READ of the log) or ``"writer"`` (it can read but must
+    not COMMIT — it would corrupt an invariant the feature maintains).
+    The remedy is always the same: upgrade the client."""
+
+    def __init__(self, message: str, features=(), kind: str = "reader") -> None:
+        super().__init__(message)
+        self.features = sorted(features)
+        self.kind = str(kind)
+
+
+class UnsupportedCheckpointError(EngineError):
+    """A checkpoint payload declares a format (``fmt``) newer than this
+    client supports. Readers can fall back to replaying raw log
+    records below the checkpoint ONLY if those survive retention —
+    the safe remedy is upgrading the client. ``format`` is the
+    payload's declared format number."""
+
+    def __init__(self, message: str, format: int = 0) -> None:
+        super().__init__(message)
+        self.format = int(format)
+
+
 class HistoryTruncatedError(EngineError):
     """Log replay hit a gap: ``vacuum_log`` reclaimed records below the
     retention horizon, so the requested historical version can no

@@ -222,6 +222,31 @@ class ChangeMetadata:
 
 
 @dataclass
+class Protocol:
+    """Log-wide protocol upgrade (Delta's ``protocol`` action, feature
+    form — see plans/protocol.py). ``reader_features`` must be
+    understood to READ the log correctly; ``writer_features`` to COMMIT
+    without corrupting a feature-maintained invariant. Folding is a
+    SET UNION — monotone and order-independent, so concurrent upgrades
+    reconcile without conflict. The reference's analogue is the
+    unknown-action panic (transactions.go:95-97); this action extends
+    that loud-failure contract to new semantics riding EXISTING action
+    shapes (identity allocation, column mapping, vacuum truncation),
+    which an old parser would otherwise accept and then mishandle."""
+
+    reader_features: list[str] = field(default_factory=list)
+    writer_features: list[str] = field(default_factory=list)
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "protocol": {
+                "rf": sorted(set(self.reader_features)),
+                "wf": sorted(set(self.writer_features)),
+            }
+        }
+
+
+@dataclass
 class AddDeletionVector:
     """Soft delete: ``dv_name`` is a Parquet object of (obj, row_idx)
     pairs masking rows of live data objects in ``objects`` — the
@@ -249,7 +274,13 @@ class AddDeletionVector:
         }
 
 
-Action = AddDataObject | RemoveDataObject | ChangeMetadata | AddDeletionVector
+Action = (
+    AddDataObject
+    | RemoveDataObject
+    | ChangeMetadata
+    | AddDeletionVector
+    | Protocol
+)
 
 
 def action_from_json(obj: dict[str, Any]) -> Action:
@@ -289,6 +320,12 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             identity={c: dict(v) for c, v in m.get("identity", {}).items()},
             ident_only=bool(m.get("io", False)),
             authoritative=bool(m.get("authoritative", False)),
+        )
+    if "protocol" in obj:
+        p = obj["protocol"]
+        return Protocol(
+            reader_features=list(p.get("rf", [])),
+            writer_features=list(p.get("wf", [])),
         )
     if "dv" in obj:
         d = obj["dv"]

@@ -28,8 +28,15 @@ from delta_lake_experiment_spark.plans.actions import (
     AddDataObject,
     AddDeletionVector,
     ChangeMetadata,
+    Protocol,
     RemoveDataObject,
     action_from_json,
+)
+from delta_lake_experiment_spark.plans.protocol import (
+    CHECKPOINT_FORMAT_INLINE,
+    CHECKPOINT_FORMAT_SIDECAR,
+    check_reader_features,
+    max_supported_checkpoint_format,
 )
 from delta_lake_experiment_spark.storage.objectstore import ObjectStorage
 
@@ -118,6 +125,15 @@ class Snapshot:
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
     txns: dict[str, int] = field(default_factory=dict)
+    # folded protocol feature sets (Delta's protocol action, feature
+    # form — plans/protocol.py): "rf" = reader features, "wf" = writer
+    # features, both sorted lists. Empty = legacy log predating the
+    # gate (everything this build ships was already supported then).
+    # Fold is a monotone union; reader support is CHECKED at fold and
+    # at checkpoint load, writer support at commit.
+    protocol: dict[str, list[str]] = field(
+        default_factory=lambda: {"rf": [], "wf": []}
+    )
     # newest in-commit wall-clock (epoch micros) among folded records:
     # the floor for the next commit's stamp (ICT monotonicity — Delta's
     # inCommitTimestamp: max(now, last_ts + 1) so recorded clocks never
@@ -237,6 +253,21 @@ class Snapshot:
                 tdv = self.dvs.setdefault(act.table, {})
                 for obj in act.objects:
                     tdv.setdefault(obj, []).append(act.dv_name)
+            elif isinstance(act, Protocol):
+                # monotone union (order-independent: concurrent
+                # upgrades reconcile without conflict), then gate —
+                # a reader folding an upgrade it cannot honor must
+                # stop HERE, before any state past the upgrade is
+                # interpreted under semantics it doesn't know
+                self.protocol["rf"] = sorted(
+                    set(self.protocol["rf"]) | set(act.reader_features)
+                )
+                self.protocol["wf"] = sorted(
+                    set(self.protocol["wf"]) | set(act.writer_features)
+                )
+                check_reader_features(
+                    self.protocol["rf"], f"log replay (protocol at v{tx_id})"
+                )
             else:  # pragma: no cover
                 raise ValueError(f"unknown action {act!r}")
         self.version = max(self.version, tx_id)
@@ -260,6 +291,14 @@ class Snapshot:
             "defaults": self.defaults,
             "generated": self.generated,
             "identity": self.identity,
+            # folded protocol features (omitted while empty so legacy
+            # payloads stay byte-identical): a checkpoint CARRIES the
+            # gate — readers check it before hydrating anything else
+            **(
+                {"protocol": self.protocol}
+                if self.protocol["rf"] or self.protocol["wf"]
+                else {}
+            ),
             "txns": self.txns,
             # carried so the ICT floor survives vacuum_log
             # reclaiming the records that established it
@@ -337,7 +376,14 @@ class Snapshot:
             store.put_if_absent(part, buf.getvalue())
             parts.append(part)
         payload = json.dumps(
-            {**self._scalar_dict(), "live_ref": parts}
+            {
+                **self._scalar_dict(),
+                # declared payload format (plans/protocol.py): readers
+                # newer formats would break raise the NAMED gating
+                # error instead of a KeyError deep in deserialization
+                "fmt": CHECKPOINT_FORMAT_SIDECAR,
+                "live_ref": parts,
+            }
         ).encode()
         return payload, parts
 
@@ -348,6 +394,29 @@ class Snapshot:
         store — pyarrow only, so metadata-only clients stay
         Spark-free)."""
         d = json.loads(data)
+        # format gate FIRST — before any key of a format we might not
+        # understand is touched (ADVICE r11: a pre-sidecar reader on a
+        # live_ref payload died with a raw KeyError('live'))
+        fmt = int(
+            d.get(
+                "fmt",
+                CHECKPOINT_FORMAT_SIDECAR
+                if "live_ref" in d
+                else CHECKPOINT_FORMAT_INLINE,
+            )
+        )
+        if fmt > max_supported_checkpoint_format():
+            from delta_lake_experiment_spark.errors import (
+                UnsupportedCheckpointError,
+            )
+
+            raise UnsupportedCheckpointError(
+                f"checkpoint payload declares format {fmt}, newer than"
+                f" this client supports"
+                f" (max {max_supported_checkpoint_format()}) - upgrade"
+                " the client to read this checkpoint",
+                format=fmt,
+            )
         if "live_ref" not in d:
             return cls.from_dict(d)
         snap = cls.from_dict({**d, "live": {}})
@@ -411,6 +480,16 @@ class Snapshot:
             t: {c: dict(v) for c, v in m.items()}
             for t, m in d.get("identity", {}).items()
         }
+        proto = d.get("protocol", {})
+        snap.protocol = {
+            "rf": sorted(set(proto.get("rf", []))),
+            "wf": sorted(set(proto.get("wf", []))),
+        }
+        # gate BEFORE interpreting any state the features govern (a
+        # masked reader must get the named error, not a KeyError or a
+        # misread table) — checkpoint loads and raw-payload parses both
+        # funnel through here
+        check_reader_features(snap.protocol["rf"], "snapshot load")
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
         snap.last_ts = int(d.get("last_ts", 0))
         for t, objs in d["live"].items():

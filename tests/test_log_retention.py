@@ -182,9 +182,12 @@ def test_vacuum_log_reclaims_below_horizon_and_time_travel_raises(tmp_path):
         "_checkpoint_" + "0" * 18 + "64"
     ]
 
-    # current state unaffected: replay anchors on the retained checkpoint
+    # current state unaffected: replay anchors on the retained
+    # checkpoint (v71 = the truncatedHistory protocol stamp the first
+    # real truncation commits — see tests/test_protocol.py)
     snap = replay_log(store)
-    assert snap.version == 70
+    assert snap.version == 71
+    assert "truncatedHistory" in snap.protocol["rf"]
     assert sum(o.num_rows for o in snap.live_objects("t")) == 69
 
     # time travel below the horizon fails LOUDLY with the remedy
@@ -356,7 +359,8 @@ def test_occ_version_counter_never_reuses_truncated_ids(tmp_path):
     c.write_row("t", [999, 999])
     c.commit_tx()
     store = LocalObjectStorage(str(tmp_path / "store"))
-    assert replay_log(store).version == 42
+    # 42 = post-vacuum write + the truncatedHistory protocol stamp
+    assert replay_log(store).version == 43
     # collision at the post-truncation head still conflicts
     a = DeltaLakeClient(_NoSpark(), str(tmp_path / "store"), checkpoint_interval=0)
     b = DeltaLakeClient(_NoSpark(), str(tmp_path / "store"), checkpoint_interval=0)
@@ -365,8 +369,8 @@ def test_occ_version_counter_never_reuses_truncated_ids(tmp_path):
     a.write_row("t", [1, 1])
     b.write_row("t", [1, 2])
     a.commit_tx()
-    b.commit_tx()  # append-append admission retargets to 44
-    assert replay_log(store).version == 44
+    b.commit_tx()  # append-append admission retargets to 45
+    assert replay_log(store).version == 45
 
 
 def test_stream_resume_across_truncation(tmp_path):
@@ -476,7 +480,8 @@ def test_checkpoint_parquet_sidecar_roundtrip_and_retention(tmp_path, monkeypatc
         int(n[len(CHECKPOINT_PART_PREFIX):].split("_", 1)[0]) >= horizon
         for n in survivors
     )
-    assert replay_log(store).version == 41  # still replays clean
+    # 42 = 41 commits + the truncatedHistory protocol stamp
+    assert replay_log(store).version == 42  # still replays clean
 
 
 def test_in_commit_timestamps_are_monotonic_under_clock_skew(tmp_path):
@@ -580,7 +585,9 @@ def test_auto_cleanup_and_sql_surface(tmp_path, spark):
     # checkpoints at 16 and 32: the auto-cleanup after ckpt 32 removed
     # everything below it
     assert int(logs[0][len(LOG_PREFIX):]) == 32
-    assert replay_log(store).version == 41
+    # 42 = 41 seeded commits + the truncatedHistory protocol stamp the
+    # first auto-cleanup truncation commits
+    assert replay_log(store).version == 42
 
     # SQL surface: VACUUM LOG DRY RUN lists nothing (already clean up
     # to the newest checkpoint), and the statement parses + executes
