@@ -2759,8 +2759,8 @@ class DeltaLakeClient:
         if table not in to_snap.tables:
             raise TableNotFoundError(table)
         stored = self._stored_schema(self._parse_ddl(to_snap.tables[table]))
-        from_objs = from_snap.live.get(table, {})
-        to_objs = to_snap.live.get(table, {})
+        from_objs = from_snap.live_map(table)
+        to_objs = to_snap.live_map(table)
         new_names = sorted(set(to_objs) - set(from_objs))
         gone_names = sorted(set(from_objs) - set(to_objs))
         common = set(to_objs) & set(from_objs)
@@ -3900,8 +3900,8 @@ class DeltaLakeClient:
                 )
             )
             tx.new_tables[table] = old.tables[table]  # visible pre-commit
-        cur_objs = cur.live.get(table, {})
-        old_objs = old.live.get(table, {})
+        cur_objs = cur.live_map(table)
+        old_objs = old.live_map(table)
         for name in cur_objs:
             if name not in old_objs:
                 tx.actions.append(RemoveDataObject(name=name, table=table, tx_id=tx.id))
@@ -4099,6 +4099,7 @@ class DeltaLakeClient:
                 if isinstance(b, dict) and "ref" in b:
                     keep.add(b["ref"])
 
+        base.hydrate_all()  # the keep-set must cover EVERY table
         for objs in base.live.values():
             keep.update(objs)
             for add in objs.values():
@@ -4567,7 +4568,10 @@ class DeltaLakeClient:
         """Snapshot + this tx's own actions (deletes/writes visible to
         self immediately, to others only after commit)."""
         snap = Snapshot(version=tx.snapshot.version, tables=dict(tx.snapshot.tables))
+        # copy only MATERIALIZED tables; lazy (format-3 sidecar) tables
+        # share the hydration cache by reference and load on first touch
         snap.live = {t: dict(objs) for t, objs in tx.snapshot.live.items()}
+        snap._lazy = tx.snapshot._lazy
         snap.dvs = {
             t: {o: list(names) for o, names in objs.items()}
             for t, objs in tx.snapshot.dvs.items()

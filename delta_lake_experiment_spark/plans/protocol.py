@@ -106,7 +106,7 @@ def supported_writer_features() -> frozenset:
 
 def max_supported_checkpoint_format() -> int:
     """Newest checkpoint payload format this build can load."""
-    return CHECKPOINT_FORMAT_SIDECAR
+    return CHECKPOINT_FORMAT_SIDECAR_BY_TABLE
 
 
 def check_reader_features(features, context: str) -> None:

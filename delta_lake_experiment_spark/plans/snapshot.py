@@ -35,6 +35,7 @@ from delta_lake_experiment_spark.plans.actions import (
 from delta_lake_experiment_spark.plans.protocol import (
     CHECKPOINT_FORMAT_INLINE,
     CHECKPOINT_FORMAT_SIDECAR,
+    CHECKPOINT_FORMAT_SIDECAR_BY_TABLE,
     check_reader_features,
     max_supported_checkpoint_format,
 )
@@ -78,6 +79,64 @@ def checkpoint_part_prefix(version: int) -> str:
     """Sidecar objects of checkpoint ``version`` share this name prefix
     so retention can reclaim them with their checkpoint."""
     return f"{CHECKPOINT_PART_PREFIX}{version:020d}_"
+
+
+def _parts_to_live(store: ObjectStorage, parts: list[str]) -> dict:
+    """Read parquet sidecar parts into ``{table: {name: AddDataObject}}``
+    (pyarrow only — metadata-only clients stay Spark-free)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    live: dict[str, dict[str, AddDataObject]] = {}
+    for part in parts:
+        tbl = pq.read_table(pa.BufferReader(store.read(part)))
+        for r in tbl.to_pylist():
+            live.setdefault(r["table"], {})[r["name"]] = AddDataObject(
+                name=r["name"],
+                table=r["table"],
+                tx_id=int(r["tx_id"]),
+                num_rows=int(r["num_rows"]),
+                size=int(r["size"]),
+                stats=json.loads(r["stats"]),
+                blooms=json.loads(r["blooms"]),
+                bucket_id=(
+                    int(r["bucket_id"]) if r["bucket_id"] is not None else None
+                ),
+                rewrite=bool(r["rw"]),
+            )
+    return live
+
+
+class _LazyLive:
+    """Per-table deferred hydration of by-table checkpoint sidecars
+    (format 3). SHARED by reference across snapshot copies
+    (``_effective_snapshot`` clones per tx), so each table's parts are
+    read from the store AT MOST ONCE per process; snapshots copy the
+    cached dict before mutating. The scale win this buys (VERDICT r11
+    item 5): a metadata-only tx or a single-table scan on a many-table
+    lake reads only the parts of the tables it actually touches,
+    instead of eagerly hydrating EVERY table's live list on every
+    ``new_tx``."""
+
+    def __init__(self, store: ObjectStorage, parts_by_table: dict[str, list[str]]):
+        self.store = store
+        self.parts = {t: list(ps) for t, ps in parts_by_table.items()}
+        self.cache: dict[str, dict[str, AddDataObject]] = {}
+
+    def tables(self) -> list[str]:
+        return list(self.parts)
+
+    def load(self, table: str) -> Optional[dict[str, AddDataObject]]:
+        """Pristine (checkpoint-time) live dict for ``table``, or None
+        when the checkpoint spilled no parts for it. Cached."""
+        if table in self.cache:
+            return self.cache[table]
+        parts = self.parts.get(table)
+        if parts is None:
+            return None
+        loaded = _parts_to_live(self.store, parts).get(table, {})
+        self.cache[table] = loaded
+        return loaded
 
 
 @dataclass
@@ -140,13 +199,50 @@ class Snapshot:
     # regress under writer clock skew, making TIMESTAMP AS OF /
     # startingTimestamp binary searches exact)
     last_ts: int = 0
+    # deferred by-table sidecar hydration (format-3 checkpoints) —
+    # shared BY REFERENCE across snapshot copies so parts are read at
+    # most once per process; None = fully materialized. A table absent
+    # from ``live`` AND named by ``_lazy`` hydrates on first touch via
+    # :meth:`_ensure`; every read/mutation path funnels through it.
+    _lazy: Optional["_LazyLive"] = field(
+        default=None, repr=False, compare=False
+    )
+
+    def _ensure(self, table: str) -> None:
+        """Hydrate ``table``'s live list from its checkpoint sidecar
+        parts on first touch (no-op when materialized or not lazy).
+        Copies the shared cache's dict so this snapshot's mutations
+        (apply folds) never leak into sibling snapshots."""
+        if self._lazy is None or table in self.live:
+            return
+        loaded = self._lazy.load(table)
+        if loaded is not None:
+            self.live[table] = dict(loaded)
+
+    def hydrate_all(self) -> None:
+        """Materialize every lazy table (full-state consumers:
+        serialization, vacuum keep-sets, whole-lake copies)."""
+        if self._lazy is None:
+            return
+        for t in self._lazy.tables():
+            self._ensure(t)
+        self._lazy = None
 
     def live_objects(self, table: str) -> list[AddDataObject]:
         """Live data objects, ascending (tx_id, name) — mirror of the
         reference's TxId-ascending sort (dataobjects.go:91-93)."""
+        self._ensure(table)
         objs = list(self.live.get(table, {}).values())
         objs.sort(key=lambda a: (a.tx_id, a.name))
         return objs
+
+    def live_map(self, table: str) -> dict[str, AddDataObject]:
+        """Hydrated ``{name: AddDataObject}`` for ``table`` (the
+        dict-shaped accessor for callers that diff file SETS, e.g. the
+        change feed; unordered — use :meth:`live_objects` for the
+        deterministic scan order)."""
+        self._ensure(table)
+        return self.live.get(table, {})
 
     def live_files(
         self,
@@ -243,8 +339,14 @@ class Snapshot:
                             c: dict(v) for c, v in act.identity.items()
                         }
             elif isinstance(act, AddDataObject):
+                # hydrate-before-mutate: folding into an unhydrated
+                # table would otherwise mark it materialized with ONLY
+                # the new file (and a remove would silently no-op, the
+                # file resurrecting at hydration)
+                self._ensure(act.table)
                 self.live.setdefault(act.table, {})[act.name] = act
             elif isinstance(act, RemoveDataObject):
+                self._ensure(act.table)
                 self.live.get(act.table, {}).pop(act.name, None)
                 # rewriting/compacting an object materializes its
                 # deletions: the mask retires with the object
@@ -306,6 +408,7 @@ class Snapshot:
         }
 
     def to_json(self) -> bytes:
+        self.hydrate_all()
         return json.dumps(
             {
                 **self._scalar_dict(),
@@ -317,16 +420,25 @@ class Snapshot:
         ).encode()
 
     def to_checkpoint(self, store: ObjectStorage) -> tuple[bytes, list[str]]:
-        """Checkpoint payload, spilling the live-file lists to a PARQUET
-        sidecar object once they exceed ``CHECKPOINT_SIDECAR_MIN_ADDS``
-        (Delta's multi-part checkpoint shape — the main record stays
-        footer-sized and replay reads the file lists columnar instead
-        of parsing a giant JSON blob). Returns ``(payload, sidecars)``;
-        the CALLER owns the sidecars until the main checkpoint object
-        is durably published (a checkpoint-race loser deletes them).
-        Below the threshold the payload is the legacy JSON form."""
-        n_adds = sum(len(objs) for objs in self.live.values())
-        if n_adds < CHECKPOINT_SIDECAR_MIN_ADDS:
+        """Checkpoint payload, spilling live-file lists to PARQUET
+        sidecar objects PER TABLE once a table's list exceeds
+        ``CHECKPOINT_SIDECAR_MIN_ADDS`` (Delta's multi-part checkpoint
+        shape, partitioned by table — format 3). The main record stays
+        footer-sized at any file count; small tables stay INLINE next
+        to the refs, so readers of a mixed lake hydrate a big table's
+        parts only when they actually touch it (see :class:`_LazyLive`)
+        and pay zero part reads for small-table or metadata-only work.
+        Returns ``(payload, sidecars)``; the CALLER owns the sidecars
+        until the main checkpoint object is durably published (a
+        checkpoint-race loser deletes them). With no table above the
+        threshold the payload is the legacy inline-JSON form."""
+        self.hydrate_all()
+        spill = {
+            t: objs
+            for t, objs in self.live.items()
+            if len(objs) >= CHECKPOINT_SIDECAR_MIN_ADDS
+        }
+        if not spill:
             return self.to_json(), []
         import io
         import uuid as _uuid
@@ -334,14 +446,19 @@ class Snapshot:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        cols: dict[str, list] = {
-            k: []
-            for k in (
-                "table", "name", "tx_id", "num_rows", "size",
-                "stats", "blooms", "bucket_id", "rw",
-            )
-        }
-        for t, objs in self.live.items():
+        schema = pa.schema(
+            [
+                ("table", pa.string()), ("name", pa.string()),
+                ("tx_id", pa.int64()), ("num_rows", pa.int64()),
+                ("size", pa.int64()), ("stats", pa.string()),
+                ("blooms", pa.string()), ("bucket_id", pa.int64()),
+                ("rw", pa.bool_()),
+            ]
+        )
+        refs: dict[str, list[str]] = {}
+        parts: list[str] = []
+        for t, objs in spill.items():
+            cols: dict[str, list] = {k: [] for k in schema.names}
             for a in objs.values():
                 cols["table"].append(t)
                 cols["name"].append(a.name)
@@ -354,35 +471,38 @@ class Snapshot:
                     int(a.bucket_id) if a.bucket_id is not None else None
                 )
                 cols["rw"].append(bool(a.rewrite))
-        schema = pa.schema(
-            [
-                ("table", pa.string()), ("name", pa.string()),
-                ("tx_id", pa.int64()), ("num_rows", pa.int64()),
-                ("size", pa.int64()), ("stats", pa.string()),
-                ("blooms", pa.string()), ("bucket_id", pa.int64()),
-                ("rw", pa.bool_()),
-            ]
-        )
-        tbl = pa.table(
-            {k: pa.array(v, schema.field(k).type) for k, v in cols.items()}
-        )
-        parts: list[str] = []
-        for off in range(0, max(tbl.num_rows, 1), CHECKPOINT_SIDECAR_ROWS_PER_PART):
-            buf = io.BytesIO()
-            pq.write_table(
-                tbl.slice(off, CHECKPOINT_SIDECAR_ROWS_PER_PART), buf
+            tbl = pa.table(
+                {k: pa.array(v, schema.field(k).type) for k, v in cols.items()}
             )
-            part = f"{checkpoint_part_prefix(self.version)}{_uuid.uuid4().hex}"
-            store.put_if_absent(part, buf.getvalue())
-            parts.append(part)
+            tparts: list[str] = []
+            for off in range(
+                0, max(tbl.num_rows, 1), CHECKPOINT_SIDECAR_ROWS_PER_PART
+            ):
+                buf = io.BytesIO()
+                pq.write_table(
+                    tbl.slice(off, CHECKPOINT_SIDECAR_ROWS_PER_PART), buf
+                )
+                part = (
+                    f"{checkpoint_part_prefix(self.version)}{_uuid.uuid4().hex}"
+                )
+                store.put_if_absent(part, buf.getvalue())
+                tparts.append(part)
+            refs[t] = tparts
+            parts.extend(tparts)
         payload = json.dumps(
             {
                 **self._scalar_dict(),
                 # declared payload format (plans/protocol.py): readers
                 # newer formats would break raise the NAMED gating
                 # error instead of a KeyError deep in deserialization
-                "fmt": CHECKPOINT_FORMAT_SIDECAR,
-                "live_ref": parts,
+                "fmt": CHECKPOINT_FORMAT_SIDECAR_BY_TABLE,
+                # below-threshold tables ride inline
+                "live": {
+                    t: [a.to_json()["add"] for a in objs.values()]
+                    for t, objs in self.live.items()
+                    if t not in spill
+                },
+                "live_ref": refs,
             }
         ).encode()
         return payload, parts
@@ -419,27 +539,16 @@ class Snapshot:
             )
         if "live_ref" not in d:
             return cls.from_dict(d)
+        if fmt >= CHECKPOINT_FORMAT_SIDECAR_BY_TABLE:
+            # by-table parts: small tables ride inline, spilled tables
+            # hydrate LAZILY on first touch (a single-table scan on a
+            # many-table lake reads only its table's parts)
+            snap = cls.from_dict({**d, "live": d.get("live", {})})
+            snap._lazy = _LazyLive(store, d["live_ref"])
+            return snap
+        # legacy format 2: one flat part list mixing all tables — eager
         snap = cls.from_dict({**d, "live": {}})
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        for part in d["live_ref"]:
-            tbl = pq.read_table(pa.BufferReader(store.read(part)))
-            rows = tbl.to_pylist()
-            for r in rows:
-                snap.live.setdefault(r["table"], {})[r["name"]] = AddDataObject(
-                    name=r["name"],
-                    table=r["table"],
-                    tx_id=int(r["tx_id"]),
-                    num_rows=int(r["num_rows"]),
-                    size=int(r["size"]),
-                    stats=json.loads(r["stats"]),
-                    blooms=json.loads(r["blooms"]),
-                    bucket_id=(
-                        int(r["bucket_id"]) if r["bucket_id"] is not None else None
-                    ),
-                    rewrite=bool(r["rw"]),
-                )
+        snap.live.update(_parts_to_live(store, d["live_ref"]))
         return snap
 
     @classmethod

@@ -826,7 +826,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
                                 " a retained version))"
                             ) from e
                         prior_dvs = prior.table_dvs(self.table)
-                        prior_live = prior.live.get(self.table, {})
+                        prior_live = prior.live_map(self.table)
                     if self.max_bytes:
                         # a commit is ONE unsplittable CDF unit (its
                         # adds cancel against its removes on the row
