@@ -690,6 +690,16 @@ _DEFERRED_ORACLED = [
     # tests/test_log_retention.py pytests and the scan lane is
     # certified in-window by engine_roundtrip_scan; rotate in next
     # round per policy.
+    # r12 newborn, deferred from birth per policy: engine_protocol_gating
+    # (protocol/table-feature gating capstone — minReader/minWriter
+    # feature lists, checkpoint format gate, truncatedHistory stamp).
+    # The machinery it drives is pinned by the 12
+    # tests/test_protocol.py pytests; the scan/DV/rename lanes it
+    # aggregates through are certified in-window by
+    # engine_roundtrip_scan + engine_clone_divergence (DV masks) and
+    # engine_schema_evolution (column mapping). Rotates in at end of
+    # round after 3-SF check_oracle green.
+    "engine_protocol_gating",
     "engine_log_retention",
     "q5_local_supplier_volume",
     "streaming_hourly_windows",

@@ -1763,8 +1763,170 @@ FROM events GROUP BY event_type
 """
 
 
+def engine_protocol_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol / table-feature gating end-to-end (this round's
+    capstone — Delta's minReader/minWriter contract, feature-list
+    form; extends the reference's unknown-action panic,
+    transactions.go:95-97, to unsupported SEMANTICS on parseable
+    records). The query drives the full mixed-fleet lifecycle and
+    asserts each gate in-query:
+
+    1. CREATE with an IDENTITY column + bulk ingest stamps
+       ``identityColumns`` (writer feature) in the same commit;
+    2. a DV delete stamps ``deletionVectors`` and a column RENAME
+       stamps ``columnMapping`` (reader+writer) — asserted folded into
+       the snapshot AND carried through checkpoint ser/de;
+    3. a reader masked of deletionVectors (simulated older client)
+       raises the NAMED UnsupportedTableFeatureError from replay —
+       never a silent fold that would resurrect the deleted rows;
+    4. a writer masked of identityColumns still READS but its commit
+       raises the named writer error and publishes no record;
+    5. a future-format checkpoint payload raises the NAMED
+       UnsupportedCheckpointError (not a KeyError deep in parsing);
+    6. a legacy feature-free log keeps an empty protocol and accepts
+       commits untouched.
+
+    The returned aggregate scans THROUGH the gated features (identity
+    table, DV mask honored, rename mapped back to the logical name):
+    a mis-stamped feature, an over-eager gate, or a mask/mapping
+    misread under the new protocol fold value-diverges it from the
+    full-source oracle immediately."""
+    _utc(spark)
+    import json as _json
+
+    import delta_lake_experiment_spark.plans.protocol as protomod
+    from delta_lake_experiment_spark.errors import (
+        UnsupportedCheckpointError,
+        UnsupportedTableFeatureError,
+    )
+    from delta_lake_experiment_spark.plans.snapshot import (
+        LOG_PREFIX,
+        Snapshot,
+        replay_log,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    c = _fresh_client(spark)
+    c.checkpoint_interval = 3
+    c.new_tx()
+    c.create_table(
+        "ev_prot",
+        "id BIGINT, event_id BIGINT, user_id BIGINT, event_type STRING,"
+        " value DOUBLE",
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    # ALWAYS identity: the column is OMITTED from the frame and the
+    # engine mints the values executor-side off the _row_idx stamps
+    c.write_dataframe("ev_prot", events)
+    c.commit_tx()
+    snap = replay_log(c.store)
+    if "identityColumns" not in snap.protocol["wf"]:
+        raise RuntimeError("identity first use did not stamp the protocol")
+
+    c.new_tx()
+    c.delete_rows("ev_prot", "event_id", 100, 200, use_dv=True)
+    c.commit_tx()
+    c.new_tx()
+    c.rename_column("ev_prot", "value", "val")
+    c.commit_tx()  # v3 -> checkpoint: protocol must survive ser/de
+    snap = replay_log(c.store)
+    for feat, side in (
+        ("deletionVectors", "rf"), ("columnMapping", "rf"),
+        ("identityColumns", "wf"),
+    ):
+        if feat not in snap.protocol[side]:
+            raise RuntimeError(
+                f"{feat} missing from checkpointed protocol {side}"
+            )
+
+    orig_rf = protomod.supported_reader_features
+    orig_wf = protomod.supported_writer_features
+    try:
+        # (3) masked READER fails replay with the named error
+        protomod.supported_reader_features = (
+            lambda: orig_rf() - frozenset({"deletionVectors"})
+        )
+        try:
+            replay_log(c.store)
+            raise RuntimeError(
+                "masked reader replayed a DV table instead of raising"
+            )
+        except UnsupportedTableFeatureError as e:
+            if e.kind != "reader" or e.features != ["deletionVectors"]:
+                raise RuntimeError(f"wrong reader gate payload: {e}")
+        protomod.supported_reader_features = orig_rf
+        # (4) masked WRITER reads but cannot commit; no record lands
+        protomod.supported_writer_features = (
+            lambda: orig_wf() - frozenset({"identityColumns"})
+        )
+        w = DeltaLakeClient(spark, c.store)
+        n_logs = len(w.store.list_prefix_ordered(LOG_PREFIX))
+        w.new_tx()
+        if not w.scan("ev_prot", with_stamps=False).take(1):
+            raise RuntimeError("masked writer could not even read")
+        w.abort_tx()
+        w.new_tx()
+        w.write_row("ev_prot", [None, 999_999, 1, "probe", 0.0])
+        try:
+            w.commit_tx()
+            raise RuntimeError("masked writer committed through the gate")
+        except UnsupportedTableFeatureError as e:
+            if e.kind != "writer":
+                raise RuntimeError(f"wrong writer gate payload: {e}")
+        if len(w.store.list_prefix_ordered(LOG_PREFIX)) != n_logs:
+            raise RuntimeError("gated commit still published a record")
+    finally:
+        protomod.supported_reader_features = orig_rf
+        protomod.supported_writer_features = orig_wf
+    # (5) future checkpoint format -> named error with the format number
+    try:
+        Snapshot.from_checkpoint(
+            _json.dumps({"version": 1, "tables": {}, "fmt": 99}).encode(),
+            c.store,
+        )
+        raise RuntimeError("future-format checkpoint parsed silently")
+    except UnsupportedCheckpointError as e:
+        if e.format != 99:
+            raise RuntimeError(f"wrong checkpoint gate payload: {e}")
+    # (6) legacy feature-free log: empty protocol, commits untouched
+    legacy = _fresh_client(spark)
+    legacy.new_tx()
+    legacy.create_table("plain", "k BIGINT")
+    legacy.write_row("plain", [1])
+    legacy.commit_tx()
+    if replay_log(legacy.store).protocol != {"rf": [], "wf": []}:
+        raise RuntimeError("feature-free log grew a protocol record")
+
+    c.new_tx()
+    scanned = c.scan("ev_prot", with_stamps=False)
+    return (
+        scanned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("val"), 6).alias("val_sum"),
+            F.count("id").alias("n_ids"),  # identity minted on every row
+        )
+    )
+
+
+ENGINE_PROTOCOL_GATING_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       round(SUM(value), 6) AS val_sum,
+       COUNT(*) AS n_ids
+FROM events
+WHERE event_id NOT BETWEEN 100 AND 200
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_protocol_gating": engine_protocol_gating,
     "engine_stream_source": engine_stream_source,
     "engine_stream_cdf": engine_stream_cdf,
     "engine_stream_bounded": engine_stream_bounded,
@@ -1795,6 +1957,7 @@ QUERIES = {
 
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
+    "engine_protocol_gating": ENGINE_PROTOCOL_GATING_SQL,
     "engine_stream_source": ENGINE_STREAM_SOURCE_SQL,
     "engine_stream_cdf": ENGINE_STREAM_CDF_SQL,
     "engine_stream_bounded": ENGINE_STREAM_BOUNDED_SQL,
