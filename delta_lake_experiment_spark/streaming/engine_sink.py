@@ -67,7 +67,25 @@ def foreach_batch_upsert(
     caveat Delta documents for foreachBatch merge). The merge's
     source-key-bounds file pruning makes each micro-batch touch
     O(matching files), never O(table) — the property that lets a
-    trickle of CDC events update a huge table cheaply."""
+    trickle of CDC events update a huge table cheaply.
+
+    IDENTITY tables (operational note): a batch that MINTS identity
+    values carries one high-water-mark advance record, so every
+    allocating commit on the table serializes against every other
+    concurrent allocator — the second committer conflicts, Structured
+    Streaming retries the batch, and the ``txn`` marker keeps the
+    retry idempotent (Delta's identity allocation has the same
+    documented contract). One sink streaming into an identity table is
+    unaffected (one advance per micro-batch, already amortized across
+    the batch's rows); N CONCURRENT sinks/writers allocating on one
+    table retry ~1/N of their batches under sustained overlap — prefer
+    a single allocating stream per identity table, or BY DEFAULT mode
+    with caller-supplied keys (supplied-only batches skip the advance
+    entirely since r12 and do not serialize). Cross-batch block
+    reservation (reserve_n) was considered and deliberately NOT built:
+    it would only thin the advance records below one-per-batch, buying
+    nothing until multi-writer contention on a single identity table
+    is a measured bottleneck, while widening in-contract id gaps."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window

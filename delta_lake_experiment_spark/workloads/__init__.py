@@ -690,17 +690,35 @@ _DEFERRED_ORACLED = [
     # tests/test_log_retention.py pytests and the scan lane is
     # certified in-window by engine_roundtrip_scan; rotate in next
     # round per policy.
-    # r12 newborn, deferred from birth per policy: engine_protocol_gating
-    # (protocol/table-feature gating capstone — minReader/minWriter
-    # feature lists, checkpoint format gate, truncatedHistory stamp).
-    # The machinery it drives is pinned by the 12
-    # tests/test_protocol.py pytests; the scan/DV/rename lanes it
-    # aggregates through are certified in-window by
-    # engine_roundtrip_scan + engine_clone_divergence (DV masks) and
-    # engine_schema_evolution (column mapping). Rotates in at end of
-    # round after 3-SF check_oracle green.
-    "engine_protocol_gating",
-    "engine_log_retention",
+    # r12 END-OF-ROUND ROTATION (per the codified policy). IN (2):
+    # engine_log_retention (r11-born, deferred from birth, 3-SF green —
+    # VERDICT r11 item 3 mandated the rotation; it also certifies this
+    # round's HistoryTruncatedError-floor fix and rides the new
+    # by-table sidecar checkpoints through the driver gate) and
+    # engine_protocol_gating (r12-born capstone — protocol/table-
+    # feature gating, checkpoint format gate, truncatedHistory stamp —
+    # 3-SF check_oracle green at birth; machinery additionally pinned
+    # by the 12 tests/test_protocol.py pytests). OUT (2), each
+    # in-window since the r9-end rotation = 3 rounds:
+    # - engine_stream_source -> the snapshot-then-tail registered
+    #   DataSource, exactly-once sink and checkpoint-resume machinery
+    #   run VERBATIM inside engine_stream_bounded (admission control,
+    #   stays), engine_stream_cdf (same source in CDF mode, stays),
+    #   engine_stream_starting_ts (same source, ICT positioning,
+    #   stays) and streaming_corpus_dedup (stays); the append-only
+    #   enforcement and cursor novelty stay pinned by the 7
+    #   tests/test_engine_source.py pytests and its oracle in the
+    #   deferred sweep.
+    # - engine_not_null_reject -> NOT NULL lowers onto the CHECK lane,
+    #   whose in-plan write-time raise is composed verbatim by
+    #   engine_generated_columns (implicit CHECK validation + the same
+    #   reject-assertion pattern, stays); declaration plumbing stays
+    #   pinned by the 8 tests/test_not_null.py pytests and the
+    #   rejected-write gate is now ALSO driven in-window by
+    #   engine_protocol_gating's masked-writer probe (no record may
+    #   land). Oracle stays in the deferred sweep.
+    "engine_stream_source",
+    "engine_not_null_reject",
     "q5_local_supplier_volume",
     "streaming_hourly_windows",
     "similarity_pca_topk",
