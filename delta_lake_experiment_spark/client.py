@@ -4283,15 +4283,40 @@ class DeltaLakeClient:
             deleted += 1
         # parquet sidecars retire with their checkpoints (version-
         # prefixed names; also sweeps orphans a crashed checkpointer
-        # left below the horizon)
+        # left below the horizon) — REFERENCE-AWARE: checkpoint part
+        # REUSE means a retained checkpoint may reference parts minted
+        # by an older (now-reclaimed) checkpoint, so the sweep spares
+        # every part a retained checkpoint's live_ref names. The
+        # retained payloads are footer-sized JSON (the whole point of
+        # sidecars), so this costs one small read per retained
+        # checkpoint. An unreadable retained checkpoint makes the
+        # reference set unknowable: the sweep SKIPS entirely
+        # (conservative — spares more, never reclaims a live part).
         from delta_lake_experiment_spark.plans.snapshot import (
             CHECKPOINT_PART_PREFIX,
         )
 
+        referenced: set[str] = set()
+        for name in self.store.list_prefix_ordered(CHECKPOINT_PREFIX):
+            if int(name[len(CHECKPOINT_PREFIX):]) < horizon:
+                continue
+            try:
+                ref = json.loads(self.store.read(name)).get("live_ref", [])
+            except Exception:
+                if dry_run:
+                    return {"objects": report, "count": len(report)}
+                return deleted
+            if isinstance(ref, dict):
+                for ps in ref.values():
+                    referenced.update(ps)
+            else:
+                referenced.update(ref)
         for name in self.store.list_prefix_ordered(CHECKPOINT_PART_PREFIX):
             version = int(name[len(CHECKPOINT_PART_PREFIX):].split("_", 1)[0])
             if version >= horizon:
                 break  # zero-padded versions: ascending
+            if name in referenced:
+                continue  # reused by a retained checkpoint: live
             if dry_run:
                 report.append({"name": name, "version": version})
                 continue

@@ -428,17 +428,42 @@ class Snapshot:
         to the refs, so readers of a mixed lake hydrate a big table's
         parts only when they actually touch it (see :class:`_LazyLive`)
         and pay zero part reads for small-table or metadata-only work.
-        Returns ``(payload, sidecars)``; the CALLER owns the sidecars
-        until the main checkpoint object is durably published (a
-        checkpoint-race loser deletes them). With no table above the
-        threshold the payload is the legacy inline-JSON form."""
-        self.hydrate_all()
+        Returns ``(payload, fresh_sidecars)``; the CALLER owns the
+        FRESH sidecars until the main checkpoint object is durably
+        published (a checkpoint-race loser deletes them — never the
+        reused ones, which belong to the base checkpoint). With no
+        table above the threshold the payload is the legacy
+        inline-JSON form.
+
+        Sidecar REUSE (Delta's v2-checkpoint sidecar sharing): a table
+        still PRISTINE-LAZY — spilled by the base checkpoint and never
+        touched by the replay tail or a fold (``_ensure`` hydrates on
+        any touch) — has a live list IDENTICAL to the base
+        checkpoint's, so the new checkpoint references the base's part
+        names verbatim: zero part reads, zero part writes. At fleet
+        scale this makes checkpoint cost O(changed tables), not
+        O(lake) — a quiet 10⁶-file table costs its name, not a
+        multi-part rewrite every 32 commits. Retention is
+        REFERENCE-AWARE to match (``_vacuum_log_inner`` spares
+        below-horizon parts referenced by any retained checkpoint)."""
+        reused: dict[str, list[str]] = {}
+        if self._lazy is not None:
+            reused = {
+                t: list(ps)
+                for t, ps in self._lazy.parts.items()
+                if t not in self.live
+            }
+            # hydrate everything EXCEPT the reused tables (reading a
+            # reused table's parts is exactly the cost reuse removes)
+            for t in self._lazy.tables():
+                if t not in reused:
+                    self._ensure(t)
         spill = {
             t: objs
             for t, objs in self.live.items()
-            if len(objs) >= CHECKPOINT_SIDECAR_MIN_ADDS
+            if t not in reused and len(objs) >= CHECKPOINT_SIDECAR_MIN_ADDS
         }
-        if not spill:
+        if not spill and not reused:
             return self.to_json(), []
         import io
         import uuid as _uuid
@@ -502,7 +527,9 @@ class Snapshot:
                     for t, objs in self.live.items()
                     if t not in spill
                 },
-                "live_ref": refs,
+                # fresh parts for changed tables + the base
+                # checkpoint's parts verbatim for untouched ones
+                "live_ref": {**reused, **refs},
             }
         ).encode()
         return payload, parts

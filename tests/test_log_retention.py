@@ -779,3 +779,100 @@ def test_by_table_sidecars_hydrate_lazily(tmp_path, monkeypatch):
     c.write_row("a", [99, 990])
     c.commit_tx()
     assert len(replay_log(store).live_objects("a")) == 7
+
+
+def test_checkpoint_sidecar_reuse_for_untouched_tables(tmp_path, monkeypatch):
+    """Delta-v2-style sidecar SHARING: a table untouched since the base
+    checkpoint is referenced VERBATIM by the next checkpoint — zero
+    part reads and zero part writes for it (checkpoint cost is
+    O(changed tables), not O(lake)) — and retention spares reused
+    below-horizon parts while reclaiming unreferenced ones."""
+    import json as _json
+
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.plans.snapshot import (
+        CHECKPOINT_PART_PREFIX,
+        checkpoint_name,
+        newest_checkpoint_version,
+    )
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 4)
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_ROWS_PER_PART", 3)
+
+    class MeterStore(LocalObjectStorage):
+        part_reads = 0
+        part_writes = 0
+
+        def read(self, name):
+            if name.startswith(CHECKPOINT_PART_PREFIX):
+                MeterStore.part_reads += 1
+            return super().read(name)
+
+        def put_if_absent(self, name, data):
+            if name.startswith(CHECKPOINT_PART_PREFIX):
+                MeterStore.part_writes += 1
+            return super().put_if_absent(name, data)
+
+    root = str(tmp_path / "store")
+    store = MeterStore(root)
+    c = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=7)
+    c.new_tx()
+    c.create_table("big", "k BIGINT, v BIGINT")
+    c.create_table("hot", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(6):  # v2..v7; checkpoint at 7 spills big (6 adds)
+        c.new_tx()
+        c.write_row("big", [i, i])
+        c.commit_tx()
+    ckpt1 = newest_checkpoint_version(store)
+    assert ckpt1 == 7
+    ref1 = _json.loads(store.read(checkpoint_name(ckpt1)))["live_ref"]
+    assert set(ref1) == {"big"} and len(ref1["big"]) == 2
+
+    # 7 commits touching ONLY the hot table -> checkpoint at 14
+    MeterStore.part_reads = MeterStore.part_writes = 0
+    for i in range(7):
+        c.new_tx()
+        c.write_row("hot", [i, i])
+        c.commit_tx()
+    ckpt2 = newest_checkpoint_version(store)
+    assert ckpt2 == 14
+    ref2 = _json.loads(store.read(checkpoint_name(ckpt2)))["live_ref"]
+    # big's parts reused VERBATIM; hot (7 adds) spilled fresh
+    assert ref2["big"] == ref1["big"]
+    assert set(ref2) == {"big", "hot"}
+    assert MeterStore.part_reads == 0  # reuse never read big's parts
+    assert MeterStore.part_writes == 3  # only hot's ceil(7/3) parts
+
+    # retention: big's parts carry the v7 prefix (below the v14
+    # horizon) but are REFERENCED by the retained v14 checkpoint ->
+    # spared; the v7 checkpoint itself is reclaimed
+    deleted = c.vacuum_log(min_age_seconds=0)
+    assert deleted > 0
+    names = store.list_prefix_ordered(CHECKPOINT_PART_PREFIX)
+    for p in ref1["big"]:
+        assert p in names
+    assert not store.exists(checkpoint_name(7))
+
+    # replay through the reused parts serves the full state
+    snap = replay_log(store)
+    assert len(snap.live_objects("big")) == 6
+    assert len(snap.live_objects("hot")) == 7
+
+    # once big CHANGES, the next checkpoint writes fresh parts and the
+    # old ones become sweepable after they fall below the horizon
+    for i in range(7):  # v16..v22 (v15 = truncatedHistory stamp)
+        c.new_tx()
+        c.write_row("big", [100 + i, i])
+        c.commit_tx()
+    ckpt3 = newest_checkpoint_version(store)
+    ref3 = _json.loads(store.read(checkpoint_name(ckpt3)))["live_ref"]
+    assert set(ref3["big"]).isdisjoint(ref1["big"])
+    c.vacuum_log(min_age_seconds=0)
+    survivors = set(store.list_prefix_ordered(CHECKPOINT_PART_PREFIX))
+    assert survivors.isdisjoint(ref1["big"])  # unreferenced: reclaimed
+    for ps in ref3.values():  # the retained checkpoint's refs survive
+        assert set(ps) <= survivors
+    snap = replay_log(store)
+    assert len(snap.live_objects("big")) == 13
+    assert len(snap.live_objects("hot")) == 7
