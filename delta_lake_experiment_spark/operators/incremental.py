@@ -386,9 +386,13 @@ def refresh_aggregate_view(
         # commits (e.g. this view's own previous refresh) — no Spark
         # job, no marker movement needed
         from_snap = replay_log(c.store, as_of=last)
+        # live_map (not raw .live): on a format-3 lazy checkpoint a
+        # spilled-but-untouched source would read {} == {} from both
+        # snapshots and be falsely judged quiet — certifying the view
+        # fresh while stale (r12 review finding)
         src_quiet = (
-            set(from_snap.live.get(src_table, {}))
-            == set(tx.snapshot.live.get(src_table, {}))
+            set(from_snap.live_map(src_table))
+            == set(tx.snapshot.live_map(src_table))
             and from_snap.dvs.get(src_table, {})
             == tx.snapshot.dvs.get(src_table, {})
         )

@@ -134,7 +134,26 @@ class _LazyLive:
         parts = self.parts.get(table)
         if parts is None:
             return None
-        loaded = _parts_to_live(self.store, parts).get(table, {})
+        try:
+            loaded = _parts_to_live(self.store, parts).get(table, {})
+        except Exception as e:
+            # deferred hydration happens OUTSIDE replay_log's retry
+            # protection: a long-lived snapshot's base checkpoint can
+            # be superseded and its (unreferenced) parts reclaimed by
+            # vacuum_log before the first touch (r12 review finding 3).
+            # Fail with the NAMED retention error + remedy, never a
+            # raw store/pyarrow error mid-query.
+            from delta_lake_experiment_spark.errors import (
+                HistoryTruncatedError,
+            )
+
+            raise HistoryTruncatedError(
+                f"checkpoint sidecar parts for table {table!r} are no"
+                " longer readable - this snapshot's base checkpoint was"
+                " superseded and vacuum_log reclaimed its parts while"
+                " the snapshot stayed open; begin a new transaction"
+                " (fresh snapshot) and retry"
+            ) from e
         self.cache[table] = loaded
         return loaded
 

@@ -2374,3 +2374,47 @@ def test_manifest_materialize_one_call(spark, store_dir):
     out = c.execute("GENERATE MANIFEST FOR t MATERIALIZE")
     assert out.count() > 0
     c.abort_tx()
+
+
+def test_refresh_view_not_fooled_by_lazy_checkpoints(
+    spark, store_dir, monkeypatch
+):
+    """The metadata-only quiet check must hydrate format-3 lazy live
+    lists before comparing: with the source spilled to by-table
+    sidecars on BOTH snapshots, raw ``.live`` reads {} == {} and a
+    changed source would be falsely judged quiet — certifying the view
+    fresh while stale (r12 review finding)."""
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.operators.incremental import (
+        refresh_aggregate_view,
+    )
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 4)
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=8, checkpoint_interval=2)
+    c.new_tx()
+    c.create_table("src", "k string, x bigint")
+    c.create_table("mv", "k string, n bigint, sum_x double")
+    c.create_table("pad", "k bigint")
+    rows = [(f"g{i % 3}", i) for i in range(40)]  # 5 files of 8: spills
+    c.write_dataframe("src", spark.createDataFrame(rows, "k string, x long"))
+    c.commit_tx()  # v1
+    assert refresh_aggregate_view(c, "src", "mv", ["k"], ["x"]) > 0  # v2 -> ckpt
+    # marker last=2; append to src, then pad to land checkpoint v4 so
+    # the CURRENT snapshot also anchors lazily with src spilled
+    c.new_tx()
+    c.write_dataframe(
+        "src", spark.createDataFrame([("g9", 1000)], "k string, x long")
+    )
+    c.commit_tx()  # v3
+    c.new_tx()
+    c.write_row("pad", [1])
+    c.commit_tx()  # v4 -> ckpt (src parts fresh, incl. the v3 file)
+    folded = refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
+    assert folded > 0, "changed source judged quiet through lazy snapshots"
+    c.new_tx()
+    got = {
+        r["k"]: (r["n"], r["sum_x"])
+        for r in c.scan("mv", with_stamps=False).collect()
+    }
+    c.abort_tx()
+    assert got.get("g9") == (1, 1000.0)
