@@ -4316,6 +4316,7 @@ class DeltaLakeClient:
             if int(n[len(CHECKPOINT_PREFIX):]) >= horizon
         ]
         from delta_lake_experiment_spark.plans.protocol import (
+            checkpoint_format,
             max_supported_checkpoint_format,
         )
 
@@ -4326,8 +4327,8 @@ class DeltaLakeClient:
         for name in reversed(retained):
             try:
                 d = json.loads(self.store.read(name))
-                fmt = d.get("fmt")
-                if fmt is not None and int(fmt) > max_supported_checkpoint_format():
+                fmt = checkpoint_format(d)
+                if fmt > max_supported_checkpoint_format():
                     # a future-format retained checkpoint may keep its
                     # part references in a shape this build cannot see:
                     # an empty/partial reference set here would sweep

@@ -109,6 +109,22 @@ def max_supported_checkpoint_format() -> int:
     return CHECKPOINT_FORMAT_SIDECAR_BY_TABLE
 
 
+def checkpoint_format(d: dict) -> int:
+    """Declared (or inferred, for pre-``fmt`` payloads) format of a
+    parsed checkpoint payload — the ONE place the field's defaulting
+    rules live, shared by the snapshot loader and vacuum's
+    reference-aware part sweep so a future format change cannot be
+    half-mirrored."""
+    return int(
+        d.get(
+            "fmt",
+            CHECKPOINT_FORMAT_SIDECAR
+            if "live_ref" in d
+            else CHECKPOINT_FORMAT_INLINE,
+        )
+    )
+
+
 def check_reader_features(features, context: str) -> None:
     """Raise the named gating error if ``features`` (an iterable of
     reader-feature names) contains any this build does not support."""

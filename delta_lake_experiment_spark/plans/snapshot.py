@@ -33,10 +33,9 @@ from delta_lake_experiment_spark.plans.actions import (
     action_from_json,
 )
 from delta_lake_experiment_spark.plans.protocol import (
-    CHECKPOINT_FORMAT_INLINE,
-    CHECKPOINT_FORMAT_SIDECAR,
     CHECKPOINT_FORMAT_SIDECAR_BY_TABLE,
     check_reader_features,
+    checkpoint_format,
     max_supported_checkpoint_format,
 )
 from delta_lake_experiment_spark.storage.objectstore import ObjectStorage
@@ -141,19 +140,25 @@ class _LazyLive:
             # protection: a long-lived snapshot's base checkpoint can
             # be superseded and its (unreferenced) parts reclaimed by
             # vacuum_log before the first touch (r12 review finding 3).
-            # Fail with the NAMED retention error + remedy, never a
-            # raw store/pyarrow error mid-query.
-            from delta_lake_experiment_spark.errors import (
-                HistoryTruncatedError,
-            )
+            # Name that case — and ONLY that case: a part that still
+            # EXISTS but fails to read (corrupt bytes, transient store
+            # error) re-raises the underlying error, because the
+            # truncation remedy (fresh snapshot) cannot fix it — the
+            # same no-masking rule replay_log's checkpoint path follows
+            # (pass-2 review finding).
+            if any(self.store.exists(p) is False for p in parts):
+                from delta_lake_experiment_spark.errors import (
+                    HistoryTruncatedError,
+                )
 
-            raise HistoryTruncatedError(
-                f"checkpoint sidecar parts for table {table!r} are no"
-                " longer readable - this snapshot's base checkpoint was"
-                " superseded and vacuum_log reclaimed its parts while"
-                " the snapshot stayed open; begin a new transaction"
-                " (fresh snapshot) and retry"
-            ) from e
+                raise HistoryTruncatedError(
+                    f"checkpoint sidecar parts for table {table!r} are"
+                    " gone - this snapshot's base checkpoint was"
+                    " superseded and vacuum_log reclaimed its parts"
+                    " while the snapshot stayed open; begin a new"
+                    " transaction (fresh snapshot) and retry"
+                ) from e
+            raise
         self.cache[table] = loaded
         return loaded
 
@@ -482,6 +487,26 @@ class Snapshot:
             for t, objs in self.live.items()
             if t not in reused and len(objs) >= CHECKPOINT_SIDECAR_MIN_ADDS
         }
+        # footer-size guarantee (pass-2 review finding): per-table
+        # spilling alone would let N tables just under the threshold
+        # keep N*(threshold-1) adds inline — spill the LARGEST inline
+        # tables until the inline remainder is below the threshold, so
+        # the main record stays footer-sized at any table count
+        inline = sorted(
+            (
+                (t, objs)
+                for t, objs in self.live.items()
+                if t not in reused and t not in spill
+            ),
+            key=lambda kv: len(kv[1]),
+            reverse=True,
+        )
+        remainder = sum(len(objs) for _, objs in inline)
+        for t, objs in inline:
+            if remainder < CHECKPOINT_SIDECAR_MIN_ADDS:
+                break
+            spill[t] = objs
+            remainder -= len(objs)
         if not spill and not reused:
             return self.to_json(), []
         import io
@@ -563,14 +588,7 @@ class Snapshot:
         # format gate FIRST — before any key of a format we might not
         # understand is touched (ADVICE r11: a pre-sidecar reader on a
         # live_ref payload died with a raw KeyError('live'))
-        fmt = int(
-            d.get(
-                "fmt",
-                CHECKPOINT_FORMAT_SIDECAR
-                if "live_ref" in d
-                else CHECKPOINT_FORMAT_INLINE,
-            )
-        )
+        fmt = checkpoint_format(d)
         if fmt > max_supported_checkpoint_format():
             from delta_lake_experiment_spark.errors import (
                 UnsupportedCheckpointError,
@@ -861,6 +879,7 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
     if as_of is None:
         base = newest_checkpoint_version(store)
         attempts = 0
+        same_target = 0
         while base:
             try:
                 snap = Snapshot.from_checkpoint(store.read(checkpoint_name(base)), store)
@@ -870,16 +889,24 @@ def replay_log(store: ObjectStorage, as_of: Optional[int] = None) -> Snapshot:
                 # failure (ADVICE r11): a concurrent checkpoint +
                 # vacuum_log can reclaim our target between resolution
                 # and read — but only by publishing a NEWER checkpoint
-                # first, so re-resolving MUST move the target. If it
-                # didn't, the checkpoint is persistently unreadable
-                # (corrupt bytes, transient store error, unsupported
-                # format): re-raise the underlying error instead of
-                # silently degrading to a full-log replay — which on a
-                # vacuum-truncated store would surface as a misleading
-                # HistoryTruncatedError for a plain current-state read.
+                # first, so re-resolving MUST move the target. An
+                # unmoved target gets ONE retry (a throttled GET of the
+                # newest checkpoint is routine at fleet scale); failing
+                # again means it is persistently unreadable (corrupt
+                # bytes, unsupported format): re-raise the underlying
+                # error instead of silently degrading to a full-log
+                # replay — which on a vacuum-truncated store would
+                # surface as a misleading HistoryTruncatedError for a
+                # plain current-state read.
                 attempts += 1
                 newer = newest_checkpoint_version(store)
-                if newer == base or attempts >= 8:
+                if newer == base:
+                    same_target += 1
+                    if same_target >= 2:
+                        raise
+                    continue
+                same_target = 0
+                if attempts >= 8:
                     raise
                 base = newer
     else:

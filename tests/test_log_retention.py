@@ -958,3 +958,95 @@ def test_lazy_part_read_failure_is_the_named_retention_error(
         store.delete(name)  # simulate vacuum reclaiming superseded parts
     with pytest.raises(HistoryTruncatedError, match="new transaction"):
         snap.live_objects("big")
+
+
+def test_corrupt_part_reraises_missing_part_names_truncation(
+    tmp_path, monkeypatch
+):
+    """A sidecar part that still EXISTS but fails to read re-raises the
+    underlying error (the truncation remedy could not fix it); only a
+    GONE part maps to the named HistoryTruncatedError (pass-2 review:
+    no masking)."""
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.plans.snapshot import (
+        CHECKPOINT_PART_PREFIX,
+    )
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 4)
+    root = str(tmp_path / "store")
+    store = LocalObjectStorage(root)
+    c = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=7)
+    c.new_tx()
+    c.create_table("big", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(6):
+        c.new_tx()
+        c.write_row("big", [i, i])
+        c.commit_tx()
+    snap = replay_log(store)  # lazy
+    part = store.list_prefix_ordered(CHECKPOINT_PART_PREFIX)[0]
+    store.delete(part)
+    store.put(part, b"not parquet at all")
+    with pytest.raises(Exception) as ei:
+        snap.live_objects("big")
+    assert not isinstance(ei.value, HistoryTruncatedError)
+
+
+def test_transient_checkpoint_blip_is_absorbed(tmp_path):
+    """One throttled GET of the (unmoved) newest checkpoint must not
+    fail a current-state replay — the target gets exactly one retry;
+    persistent unreadability still re-raises (pass-2 review)."""
+    _seed_commits(str(tmp_path / "store"), 40, checkpoint_interval=16)
+
+    class BlipStore(LocalObjectStorage):
+        blips = 1
+
+        def read(self, name):
+            if name.startswith(CHECKPOINT_PREFIX) and BlipStore.blips > 0:
+                BlipStore.blips -= 1
+                raise IOError("503 SlowDown")
+            return super().read(name)
+
+    store = BlipStore(str(tmp_path / "store"))
+    snap = replay_log(store)  # absorbs the single blip
+    assert snap.version == 41
+    BlipStore.blips = 10**9  # persistent failure still surfaces
+    with pytest.raises(IOError):
+        replay_log(store)
+
+
+def test_footer_size_guarantee_with_many_midsize_tables(
+    tmp_path, monkeypatch
+):
+    """Per-table spilling alone would keep N*(threshold-1) adds inline
+    across N mid-size tables: the checkpoint must spill the largest
+    inline tables until the MAIN record's inline remainder is below the
+    threshold (pass-2 review)."""
+    import json as _json
+
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.plans.snapshot import (
+        checkpoint_name,
+        newest_checkpoint_version,
+    )
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 5)
+    root = str(tmp_path / "store")
+    store = LocalObjectStorage(root)
+    c = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=10)
+    c.new_tx()
+    for t in ("a", "b", "c"):
+        c.create_table(t, "k BIGINT, v BIGINT")
+    c.commit_tx()
+    for i in range(3):  # 3 adds per table: each below the threshold
+        for t in ("a", "b", "c"):
+            c.new_tx()
+            c.write_row(t, [i, i])
+            c.commit_tx()
+    d = _json.loads(store.read(checkpoint_name(newest_checkpoint_version(store))))
+    inline_adds = sum(len(v) for v in d.get("live", {}).values())
+    assert inline_adds < 5, d.get("live", {}).keys()
+    assert len(d["live_ref"]) == 2  # two largest spilled, one inline
+    snap = replay_log(store)
+    for t in ("a", "b", "c"):
+        assert len(snap.live_objects(t)) == 3

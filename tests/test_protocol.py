@@ -331,22 +331,23 @@ def test_protocol_record_shows_in_history(tmp_path):
 def test_time_travel_below_protocol_stamp_is_ungated(tmp_path, monkeypatch):
     """as_of replay pinned BELOW the feature's first use never folds
     the protocol record — a masked reader can still time-travel the
-    pre-feature history (Delta reads old snapshots the same way)."""
+    pre-feature history (Delta reads old snapshots the same way),
+    while its current-state replay of the SAME log raises the gate."""
     c = _client(str(tmp_path))
     c.new_tx()
     c.create_table("t", "k BIGINT, v BIGINT")
     c.write_row("t", [1, 10])
     c.commit_tx()  # v1: pre-feature
     c.new_tx()
-    c.create_table(
-        "ids", "id BIGINT, v BIGINT", identity={"id": {"start": 1, "step": 1}}
-    )
-    c.commit_tx()  # v2: stamps identityColumns
-    masked = protomod.supported_reader_features() - set()
-    monkeypatch.setattr(
-        protomod, "supported_writer_features", lambda: frozenset()
-    )
-    # writer fully masked: v1 state still readable via time travel
+    c.rename_column("t", "v", "val")
+    c.commit_tx()  # v2: stamps columnMapping (a READER feature)
+    masked = protomod.supported_reader_features() - {"columnMapping"}
+    monkeypatch.setattr(protomod, "supported_reader_features", lambda: masked)
+    # the masked reader's CURRENT state is gated...
+    with pytest.raises(UnsupportedTableFeatureError) as ei:
+        replay_log(c.store)
+    assert ei.value.features == ["columnMapping"]
+    # ...but the pre-feature history stays readable via time travel
     snap = replay_log(c.store, as_of=1)
     assert snap.protocol == {"rf": [], "wf": []}
-    assert "t" in snap.tables and "ids" not in snap.tables
+    assert "t" in snap.tables and snap.col_maps.get("t", {}) == {}
