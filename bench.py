@@ -173,6 +173,9 @@ HEADLINE = [
     "engine_optimize_sizes",
     "engine_stream_starting_ts",
     "engine_log_retention",
+    # r12: protocol/table-feature gating lifecycle (the r4 principle:
+    # capability queries are benched so their cost is visible)
+    "engine_protocol_gating",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

@@ -2385,6 +2385,11 @@ class DeltaLakeClient:
                 c: f"START {v['start']} STEP {v['step']} HIGH {v['high']}"
                 for c, v in snap.identity.get(table, {}).items()
             },
+            # log-wide protocol (Delta's DESCRIBE DETAIL shows
+            # minReaderVersion/minWriterVersion the same way): what a
+            # client must implement to read/commit this log
+            list(snap.protocol["rf"]),
+            list(snap.protocol["wf"]),
         )
         schema = T.StructType(
             [
@@ -2421,6 +2426,12 @@ class DeltaLakeClient:
                     "identity_columns",
                     T.MapType(T.StringType(), T.StringType()),
                     False,
+                ),
+                T.StructField(
+                    "reader_features", T.ArrayType(T.StringType()), False
+                ),
+                T.StructField(
+                    "writer_features", T.ArrayType(T.StringType()), False
                 ),
             ]
         )
@@ -4975,6 +4986,44 @@ class DeltaLakeClient:
                     writer_features=sorted(miss_wf),
                 )
             )
+
+    def upgrade_protocol(
+        self,
+        reader_features: "Optional[list[str]]" = None,
+        writer_features: "Optional[list[str]]" = None,
+    ) -> dict[str, list[str]]:
+        """Explicitly raise the log's protocol (Delta's ALTER TABLE
+        protocol-upgrade pattern): pre-stamp features BEFORE a fleet
+        migration starts using them, so stragglers fail the named gate
+        up front instead of mid-rollout. Only features THIS build
+        implements can be stamped (you cannot require what you cannot
+        honor); unknown names raise ``TypeMismatchError`` listing the
+        valid registry. Monotone and idempotent — features never
+        downgrade, re-stamping is a no-op. Runs outside a transaction
+        (the protocol is log-wide shared metadata, like vacuum).
+        Returns the folded protocol after the upgrade."""
+        from delta_lake_experiment_spark.plans.protocol import (
+            supported_reader_features,
+            supported_writer_features,
+        )
+
+        if self.tx is not None:
+            raise ExistingTxError(
+                "upgrade_protocol must run outside a transaction"
+            )
+        rf = sorted(set(reader_features or []))
+        wf = sorted(set(writer_features or []))
+        bad_rf = sorted(set(rf) - supported_reader_features())
+        bad_wf = sorted(set(wf) - supported_writer_features())
+        if bad_rf or bad_wf:
+            raise TypeMismatchError(
+                f"cannot stamp features this client does not implement"
+                f" (reader: {bad_rf}, writer: {bad_wf}); supported"
+                f" reader={sorted(supported_reader_features())},"
+                f" writer={sorted(supported_writer_features())}"
+            )
+        self._commit_protocol_record(rf, wf)
+        return replay_log(self.store).protocol
 
     def _commit_protocol_record(self, rf: list, wf: list) -> None:
         """Commit a standalone protocol-upgrade log record (used by

@@ -351,3 +351,34 @@ def test_time_travel_below_protocol_stamp_is_ungated(tmp_path, monkeypatch):
     snap = replay_log(c.store, as_of=1)
     assert snap.protocol == {"rf": [], "wf": []}
     assert "t" in snap.tables and snap.col_maps.get("t", {}) == {}
+
+
+def test_upgrade_protocol_explicit_and_describe_detail(spark, tmp_path):
+    """upgrade_protocol pre-stamps features before a fleet migration
+    (monotone, idempotent, only implementable features), and DESCRIBE
+    DETAIL surfaces the log-wide protocol the way Delta surfaces
+    minReader/minWriterVersion."""
+    from delta_lake_experiment_spark.errors import TypeMismatchError
+
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.write_row("t", [1, 10])
+    c.commit_tx()
+    got = c.upgrade_protocol(
+        reader_features=["deletionVectors"],
+        writer_features=["identityColumns"],
+    )
+    assert "deletionVectors" in got["rf"]
+    assert "identityColumns" in got["wf"]
+    # idempotent: no second record for the same features
+    n_logs = len(c.store.list_prefix_ordered(LOG_PREFIX))
+    assert c.upgrade_protocol(reader_features=["deletionVectors"]) == got
+    assert len(c.store.list_prefix_ordered(LOG_PREFIX)) == n_logs
+    # you cannot require what you cannot honor
+    with pytest.raises(TypeMismatchError, match="timeTravelV9"):
+        c.upgrade_protocol(reader_features=["timeTravelV9"])
+    # DESCRIBE DETAIL shows the log-wide protocol
+    row = c.describe_detail("t").collect()[0]
+    assert "deletionVectors" in row["reader_features"]
+    assert "identityColumns" in row["writer_features"]
