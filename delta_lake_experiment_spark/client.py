@@ -4347,9 +4347,27 @@ class DeltaLakeClient:
                     # finding 2) — skip the sweep conservatively
                     raise ValueError(f"unreadable checkpoint format {fmt}")
                 ref = d.get("live_ref", [])
-            except Exception:
+            except Exception as e:
+                # surface the skip (ADVICE r12): an operator must be
+                # able to distinguish "nothing reclaimable" from
+                # "sweep skipped because a retained checkpoint is
+                # unreadable" — otherwise orphaned parts accumulate
+                # with no visible cause
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "vacuum_log: skipping the checkpoint-part sweep -"
+                    " retained checkpoint %s is unreadable (%s); %d"
+                    " below-horizon part(s) were spared and will be"
+                    " retried next pass",
+                    name, e, len(candidates),
+                )
                 if dry_run:
-                    return {"objects": report, "count": len(report)}
+                    return {
+                        "objects": report,
+                        "count": len(report),
+                        "skipped_part_sweep": name,
+                    }
                 return deleted
             if isinstance(ref, dict):
                 for ps in ref.values():

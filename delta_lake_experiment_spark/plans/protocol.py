@@ -125,6 +125,42 @@ def checkpoint_format(d: dict) -> int:
     )
 
 
+class masked_features:
+    """Context manager simulating an OLDER client by masking feature
+    names from this process's supported sets (the verdict's
+    'mask the parser' probe; used by tests and the protocol-gating
+    bench query).
+
+    PROCESS-EXCLUSIVE by contract (ADVICE r12): the registries are
+    module-global — every replay in this process during the masked
+    window sees the mask, so any concurrent client, checkpoint-
+    triggered vacuum, or parallel harness would spuriously hit the
+    gate. Callers must hold the window tight (no background engine
+    work while masked) and the manager restores the originals even on
+    error. Re-entrant masking composes (inner masks layer over outer
+    ones) because each instance restores exactly what it observed."""
+
+    def __init__(self, reader=(), writer=()):
+        self.reader = frozenset(reader)
+        self.writer = frozenset(writer)
+
+    def __enter__(self) -> "masked_features":
+        g = globals()
+        self._orig_rf = g["supported_reader_features"]
+        self._orig_wf = g["supported_writer_features"]
+        orig_rf, orig_wf = self._orig_rf, self._orig_wf
+        if self.reader:
+            g["supported_reader_features"] = lambda: orig_rf() - self.reader
+        if self.writer:
+            g["supported_writer_features"] = lambda: orig_wf() - self.writer
+        return self
+
+    def __exit__(self, *exc) -> None:
+        g = globals()
+        g["supported_reader_features"] = self._orig_rf
+        g["supported_writer_features"] = self._orig_wf
+
+
 def check_reader_features(features, context: str) -> None:
     """Raise the named gating error if ``features`` (an iterable of
     reader-feature names) contains any this build does not support."""

@@ -264,7 +264,13 @@ class Snapshot:
         """Hydrated ``{name: AddDataObject}`` for ``table`` (the
         dict-shaped accessor for callers that diff file SETS, e.g. the
         change feed; unordered — use :meth:`live_objects` for the
-        deterministic scan order)."""
+        deterministic scan order).
+
+        READ-ONLY contract: this returns the snapshot's internal dict
+        (no defensive copy — the change feed calls it on 10⁶-file
+        tables where an O(live) copy per call is real cost). Mutating
+        the result would corrupt the snapshot's folded state; state
+        changes go through :meth:`apply`."""
         self._ensure(table)
         return self.live.get(table, {})
 
@@ -472,16 +478,16 @@ class Snapshot:
         below-horizon parts referenced by any retained checkpoint)."""
         reused: dict[str, list[str]] = {}
         if self._lazy is not None:
+            # by construction every lazy table NOT in self.live is
+            # pristine (any touch hydrates into self.live via _ensure),
+            # so its base parts are reusable verbatim and nothing needs
+            # hydrating here: touched lazy tables are already in
+            # self.live and spill below like any materialized table
             reused = {
                 t: list(ps)
                 for t, ps in self._lazy.parts.items()
                 if t not in self.live
             }
-            # hydrate everything EXCEPT the reused tables (reading a
-            # reused table's parts is exactly the cost reuse removes)
-            for t in self._lazy.tables():
-                if t not in reused:
-                    self._ensure(t)
         spill = {
             t: objs
             for t, objs in self.live.items()

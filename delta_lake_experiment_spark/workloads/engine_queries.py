@@ -1841,13 +1841,12 @@ def engine_protocol_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{feat} missing from checkpointed protocol {side}"
             )
 
-    orig_rf = protomod.supported_reader_features
-    orig_wf = protomod.supported_writer_features
-    try:
-        # (3) masked READER fails replay with the named error
-        protomod.supported_reader_features = (
-            lambda: orig_rf() - frozenset({"deletionVectors"})
-        )
+    # the mask rides plans/protocol.masked_features — PROCESS-EXCLUSIVE
+    # by its documented contract; the bench harness runs queries
+    # serially and no background engine work happens inside the two
+    # masked windows below (ADVICE r12)
+    # (3) masked READER fails replay with the named error
+    with protomod.masked_features(reader={"deletionVectors"}):
         try:
             replay_log(c.store)
             raise RuntimeError(
@@ -1856,11 +1855,8 @@ def engine_protocol_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
         except UnsupportedTableFeatureError as e:
             if e.kind != "reader" or e.features != ["deletionVectors"]:
                 raise RuntimeError(f"wrong reader gate payload: {e}")
-        protomod.supported_reader_features = orig_rf
-        # (4) masked WRITER reads but cannot commit; no record lands
-        protomod.supported_writer_features = (
-            lambda: orig_wf() - frozenset({"identityColumns"})
-        )
+    # (4) masked WRITER reads but cannot commit; no record lands
+    with protomod.masked_features(writer={"identityColumns"}):
         w = DeltaLakeClient(spark, c.store)
         n_logs = len(w.store.list_prefix_ordered(LOG_PREFIX))
         w.new_tx()
@@ -1877,9 +1873,6 @@ def engine_protocol_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
                 raise RuntimeError(f"wrong writer gate payload: {e}")
         if len(w.store.list_prefix_ordered(LOG_PREFIX)) != n_logs:
             raise RuntimeError("gated commit still published a record")
-    finally:
-        protomod.supported_reader_features = orig_rf
-        protomod.supported_writer_features = orig_wf
     # (5) future checkpoint format -> named error with the format number
     try:
         Snapshot.from_checkpoint(
