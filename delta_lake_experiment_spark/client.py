@@ -67,6 +67,7 @@ from delta_lake_experiment_spark.errors import (
     HistoryTruncatedError,
     NoTxError,
     ObjectExistsError,
+    TableDroppedError,
     TableExistsError,
     TableNotFoundError,
     TypeMismatchError,
@@ -76,6 +77,7 @@ from delta_lake_experiment_spark.plans.actions import (
     AddDataObject,
     AddDeletionVector,
     ChangeMetadata,
+    DropTable,
     Protocol,
     RemoveDataObject,
 )
@@ -84,6 +86,7 @@ from delta_lake_experiment_spark.plans.protocol import (
     FEATURE_COLUMN_DEFAULTS,
     FEATURE_COLUMN_MAPPING,
     FEATURE_DELETION_VECTORS,
+    FEATURE_DROP_TABLE,
     FEATURE_GENERATED_COLUMNS,
     FEATURE_IDENTITY_COLUMNS,
     FEATURE_TRUNCATED_HISTORY,
@@ -422,10 +425,14 @@ class DeltaLakeClient:
                 f"tx {tx.id}: streaming batch {txn} was committed by a"
                 " concurrent writer"
             )
+        # a DROP counts as real metadata on both sides: any same-table
+        # interleave against a drop is a genuine conflict (the loser's
+        # retry re-reads and finds the table gone or freshly recreated)
         my_real_meta = {
             a.table
             for a in tx.actions
-            if isinstance(a, ChangeMetadata) and not a.ident_only
+            if (isinstance(a, ChangeMetadata) and not a.ident_only)
+            or isinstance(a, DropTable)
         }
         my_io_meta = {
             a.table
@@ -450,9 +457,10 @@ class DeltaLakeClient:
             #    wholesale replace loses nothing because the other
             #    side moved no metadata, and the files reconcile below
             #    at file granularity like any append interleave.
-            their_any_meta = any(k == "metadata" for k, _ in acts)
+            their_any_meta = any(k in ("metadata", "drop") for k, _ in acts)
             their_real_meta = any(
-                k == "metadata" and not b.get("io") for k, b in acts
+                k == "drop" or (k == "metadata" and not b.get("io"))
+                for k, b in acts
             )
             if (
                 t in my_real_meta
@@ -658,7 +666,12 @@ class DeltaLakeClient:
         re-ingest to change it).
         """
         tx = self._require_tx()
-        if table in tx.snapshot.tables or table in tx.new_tables:
+        dropped_in_tx = {
+            a.table for a in tx.actions if isinstance(a, DropTable)
+        }
+        if (
+            table in tx.snapshot.tables and table not in dropped_in_tx
+        ) or table in tx.new_tables:
             raise TableExistsError(table)
         if isinstance(schema, str):
             ddl = schema
@@ -892,6 +905,97 @@ class DeltaLakeClient:
                 identity=ident_map,
             )
         )
+
+    def drop_table(self, table: str) -> None:
+        """DROP TABLE: remove ``table`` from the lake.
+
+        The commit carries ONE O(1) ``drop`` action (never O(files)
+        removes — see :class:`~delta_lake_experiment_spark.plans.\
+actions.DropTable` for why clearing the live set on fold is
+        observationally identical). Lifecycle consequences:
+
+        - the fold clears the table's schema, live set, DV masks and
+          every metadata carrier, so scans raise
+          :class:`TableNotFoundError` and the next CHECKPOINT sheds
+          the table entirely — its by-table sidecar parts stop being
+          referenced and retention reclaims them;
+        - ``vacuum`` reclaims the table's data/DV/bloom objects once
+          no RETAINED version references them (the drop inside the
+          retained window keeps them readable for time travel below
+          the drop, exactly like a big COW delete);
+        - a recreate under the same name gets a FRESH lineage (new
+          column mapping, identity marks, declarations) and never
+          resurrects old files — nothing references them;
+        - a tailing stream or change feed crossing the drop raises the
+          named :class:`TableDroppedError`;
+        - MIXED-FLEET safety: ``drop`` is a new action kind, which a
+          legacy parser fails on loudly (the reference's unknown-
+          action panic, transactions.go:95-97). The FIRST drop on a
+          log additionally pre-stamps the ``dropTable``
+          reader+writer protocol feature in an EARLIER commit (the
+          vacuum_log truncatedHistory pattern), so masked clients get
+          the NAMED UnsupportedTableFeatureError at the protocol fold
+          — before ever reaching the record they cannot parse. Time
+          travel pinned below the stamp stays readable to them.
+
+        Dropping a table CREATED IN THIS TX simply unwinds the
+        pending creation (no drop record needed — nothing was ever
+        committed); its staged objects become orphans reclaimed by
+        ``vacuum``, same as an aborted transaction's. In both paths
+        the tx's buffered rows and staged actions for the table are
+        discarded, so the commit publishes no writes to a table it
+        drops.
+        """
+        tx = self._require_tx()
+        born_here = table in tx.new_tables
+        dropped_before = any(
+            isinstance(a, DropTable) and a.table == table for a in tx.actions
+        )
+        if not born_here and (
+            table not in tx.snapshot.tables or dropped_before
+        ):
+            raise TableNotFoundError(table)
+        # discard this tx's pending state for the table: buffered rows
+        # must not flush into the dropped table at commit, and staged
+        # same-table actions would be dead weight in the record (their
+        # staged files are vacuum-reclaimable orphans either way)
+        tx.buffers.pop(table, None)
+        tx.next_idx.pop(table, None)
+        tx.ident_cache.pop(table, None)
+        tx.ident_probe.pop(table, None)
+        for key in [k for k in tx.identity_hwm if k[0] == table]:
+            tx.identity_hwm.pop(key)
+        for key in [k for k in tx.ident_minted if k[0] == table]:
+            tx.ident_minted.pop(key)
+        # DropTable actions are kept: they refer to a PREVIOUS
+        # incarnation of the name (drop -> recreate -> drop-the-
+        # recreate must not cancel the original drop)
+        tx.actions = [
+            a
+            for a in tx.actions
+            if isinstance(a, (Protocol, DropTable)) or a.table != table
+        ]
+        if born_here:
+            tx.new_tables.pop(table)
+            return
+        if FEATURE_DROP_TABLE not in tx.snapshot.protocol["rf"]:
+            # pre-stamp in a SEPARATE, EARLIER commit so the named gate
+            # folds before the first drop record (see docstring). Costs
+            # one OCC collision+retry on this tx's commit the first
+            # time a log ever drops a table; subsequent drops see the
+            # stamp in their snapshot and skip this entirely.
+            self._commit_protocol_record(
+                [FEATURE_DROP_TABLE], [FEATURE_DROP_TABLE]
+            )
+            # fold locally so _stamp_protocol doesn't append a
+            # redundant (harmless, but noisy) protocol action
+            tx.snapshot.protocol["rf"] = sorted(
+                set(tx.snapshot.protocol["rf"]) | {FEATURE_DROP_TABLE}
+            )
+            tx.snapshot.protocol["wf"] = sorted(
+                set(tx.snapshot.protocol["wf"]) | {FEATURE_DROP_TABLE}
+            )
+        tx.actions.append(DropTable(table=table, tx_id=tx.id))
 
     def add_columns(self, table: str, columns_ddl: str) -> None:
         """Schema evolution: append new nullable columns.
@@ -2768,7 +2872,36 @@ class DeltaLakeClient:
             to_snap = replay_log(self.store)
         from_snap = replay_log(self.store, as_of=from_version)
         if table not in to_snap.tables:
+            if table in from_snap.tables:
+                # the requested range crosses the DROP: refuse with the
+                # named error — an empty/partial diff would silently
+                # hide that every row is gone and the lineage ended
+                raise TableDroppedError(
+                    f"table {table!r} was dropped between v"
+                    f"{from_snap.version} and v{to_snap.version} - the"
+                    " change feed cannot continue past a DROP TABLE"
+                    " (resync consumers from the recreate, if any)",
+                    version=to_snap.version,
+                )
             raise TableNotFoundError(table)
+        fb = from_snap.born.get(table)
+        tb = to_snap.born.get(table)
+        if (
+            table in from_snap.tables
+            and fb is not None
+            and tb is not None
+            and fb != tb
+        ):
+            # drop + recreate inside the range: two unrelated lineages
+            # under one name — diffing them would report a plausible-
+            # looking but meaningless insert/delete set
+            raise TableDroppedError(
+                f"table {table!r} was dropped and recreated between v"
+                f"{from_snap.version} (lineage born v{fb}) and v"
+                f"{to_snap.version} (born v{tb}) - resync change-feed"
+                f" consumers from the recreate at v{tb}",
+                version=tb,
+            )
         stored = self._stored_schema(self._parse_ddl(to_snap.tables[table]))
         from_objs = from_snap.live_map(table)
         to_objs = to_snap.live_map(table)
@@ -2936,12 +3069,14 @@ class DeltaLakeClient:
             DescribeChanges,
             DescribeDetail,
             DescribeHistory,
+            DropTableStmt,
             Insert,
             Merge,
             Optimize,
             OptimizeSketch,
             Restore,
             Update,
+            UpgradeProtocol,
             Vacuum,
             VacuumLog,
             parse_dml,
@@ -3005,6 +3140,18 @@ class DeltaLakeClient:
         if isinstance(stmt, DescribeDetail):
             # metadata read, tx-optional like its DESCRIBE siblings
             return self.describe_detail(stmt.table)
+        if isinstance(stmt, UpgradeProtocol):
+            # log-wide shared metadata, runs OUTSIDE a transaction like
+            # VACUUM (the table name is accepted for SQL familiarity);
+            # returns the folded protocol as one row
+            proto = self.upgrade_protocol(
+                reader_features=stmt.reader_features,
+                writer_features=stmt.writer_features,
+            )
+            return self.spark.createDataFrame(
+                [(proto["rf"], proto["wf"])],
+                "reader_features ARRAY<STRING>, writer_features ARRAY<STRING>",
+            )
         self._require_tx()
         if isinstance(stmt, GenerateManifest):
             paths = self.write_manifest(stmt.table, materialize=stmt.materialize)
@@ -3062,6 +3209,8 @@ class DeltaLakeClient:
                 self.drop_not_null(stmt.table, stmt.column)
         elif isinstance(stmt, AlterSyncIdentity):
             self.sync_identity(stmt.table)
+        elif isinstance(stmt, DropTableStmt):
+            self.drop_table(stmt.table)
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:
@@ -4686,6 +4835,7 @@ class DeltaLakeClient:
             for t, m in tx.snapshot.identity.items()
         }
         snap.last_ts = tx.snapshot.last_ts
+        snap.born = dict(tx.snapshot.born)
         snap.protocol = {
             "rf": list(tx.snapshot.protocol["rf"]),
             "wf": list(tx.snapshot.protocol["wf"]),
@@ -4995,6 +5145,13 @@ class DeltaLakeClient:
             elif isinstance(a, AddDeletionVector):
                 need_rf.add(FEATURE_DELETION_VECTORS)
                 need_wf.add(FEATURE_DELETION_VECTORS)
+            elif isinstance(a, DropTable):
+                # normally pre-stamped by drop_table in an earlier
+                # commit (so the gate folds before the record) — this
+                # is the safety net for a drop action reaching commit
+                # any other way
+                need_rf.add(FEATURE_DROP_TABLE)
+                need_wf.add(FEATURE_DROP_TABLE)
         miss_rf = need_rf - set(tx.snapshot.protocol["rf"])
         miss_wf = need_wf - set(tx.snapshot.protocol["wf"])
         if miss_rf or miss_wf:

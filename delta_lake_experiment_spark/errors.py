@@ -66,6 +66,20 @@ class UnsupportedCheckpointError(EngineError):
         self.format = int(format)
 
 
+class TableDroppedError(EngineError):
+    """A consumer positioned on a table hit its DROP TABLE commit: the
+    table (and any recreate under the same name, which starts a fresh
+    lineage) can no longer serve this consumer's continuation. Raised
+    by the change feed when the requested range crosses the drop and
+    by the streaming source when a tailing stream reaches the drop
+    record — named, never a silent empty diff or a wedged stream.
+    ``version`` is the drop commit's version when known (0 = unknown)."""
+
+    def __init__(self, message: str, version: int = 0) -> None:
+        super().__init__(message)
+        self.version = int(version)
+
+
 class HistoryTruncatedError(EngineError):
     """Log replay hit a gap: ``vacuum_log`` reclaimed records below the
     retention horizon, so the requested historical version can no

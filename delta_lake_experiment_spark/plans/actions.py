@@ -247,6 +247,45 @@ class Protocol:
 
 
 @dataclass
+class DropTable:
+    """Table removed from the lake (DROP TABLE). Folding removes the
+    table from the snapshot's schema map and clears its live set and
+    every per-table metadata carrier, so the next checkpoint sheds the
+    table entirely (no live entries, no sidecar part references) and
+    ``vacuum`` reclaims its data/DV/bloom objects once no retained
+    version references them.
+
+    Deliberately O(1): the record names the table, not its files. An
+    explicit ``RemoveDataObject`` per live file would make dropping a
+    10⁶-file table a multi-megabyte log record, and buys nothing —
+    clearing the live set on fold is observationally identical to
+    folding that many removes (vacuum's keep-set, the change feed's
+    snapshot diff, and checkpoint serialization all read the folded
+    live set, never the remove actions themselves).
+
+    A recreate under the same name gets a FRESH lineage: the drop
+    cleared every metadata carrier (column maps, retired physical
+    names, identity marks...), and the old data objects — invisible,
+    since no live entry references them — are reclaimed by vacuum.
+    Time travel BELOW the drop still reads the table (the pinned
+    replay never folds the drop), bounded by vacuum's data retention.
+
+    This is a new ACTION KIND, so a legacy parser fails on it loudly
+    (the reference's unknown-action panic, transactions.go:95-97, is
+    this exact contract); :meth:`DeltaLakeClient.drop_table`
+    additionally pre-stamps the ``dropTable`` protocol feature in an
+    EARLIER commit so masked/legacy clients get the NAMED gating error
+    at the protocol fold before ever reaching the unparseable record.
+    """
+
+    table: str
+    tx_id: int
+
+    def to_json(self) -> dict[str, Any]:
+        return {"drop": {"table": self.table, "tx_id": self.tx_id}}
+
+
+@dataclass
 class AddDeletionVector:
     """Soft delete: ``dv_name`` is a Parquet object of (obj, row_idx)
     pairs masking rows of live data objects in ``objects`` — the
@@ -280,6 +319,7 @@ Action = (
     | ChangeMetadata
     | AddDeletionVector
     | Protocol
+    | DropTable
 )
 
 
@@ -327,6 +367,9 @@ def action_from_json(obj: dict[str, Any]) -> Action:
             reader_features=list(p.get("rf", [])),
             writer_features=list(p.get("wf", [])),
         )
+    if "drop" in obj:
+        d = obj["drop"]
+        return DropTable(table=d["table"], tx_id=int(d["tx_id"]))
     if "dv" in obj:
         d = obj["dv"]
         return AddDeletionVector(

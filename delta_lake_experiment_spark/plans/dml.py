@@ -183,6 +183,19 @@ _ALTER_SYNC_IDENTITY_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+SYNC\s+IDENTITY\s*;?\s*$",
     re.IGNORECASE,
 )
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+# ALTER TABLE t UPGRADE PROTOCOL (READER FEATURES (f,...), WRITER
+# FEATURES (f,...)) — either clause optional, at least one required.
+# The table name is accepted for SQL familiarity (Delta upgrades
+# per-table); this engine's protocol is log-wide, like VACUUM LOG.
+_UPGRADE_PROTOCOL_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+UPGRADE\s+PROTOCOL\s*\(\s*"
+    r"(?:READER\s+FEATURES\s*\(([^)]*)\)\s*,?\s*)?"
+    r"(?:WRITER\s+FEATURES\s*\(([^)]*)\)\s*)?\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 
 
 _IDENTITY_ITEM_RE = re.compile(
@@ -415,6 +428,22 @@ class AlterSyncIdentity:
     table: str
 
 
+@dataclass
+class DropTableStmt:
+    # DROP TABLE t: remove the table from the lake (O(1) drop record;
+    # vacuum reclaims the data after retention)
+    table: str
+
+
+@dataclass
+class UpgradeProtocol:
+    # ALTER TABLE t UPGRADE PROTOCOL (...): pre-stamp features before
+    # a fleet migration (routed to client.upgrade_protocol; log-wide)
+    table: str
+    reader_features: list[str]
+    writer_features: list[str]
+
+
 def _literal(tok: str) -> Any:
     if tok.startswith("'"):
         return tok[1:-1].replace("''", "'")
@@ -582,7 +611,33 @@ def parse_dml(sql: str):
         return GenerateManifest(
             table=m.group(1), materialize=bool(m.group(2))
         )
+    if head == "DROP":
+        m = _DROP_TABLE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "DROP supports exactly: DROP TABLE t (drop a COLUMN via"
+                " ALTER TABLE t DROP COLUMN a)"
+            )
+        return DropTableStmt(table=m.group(1))
     if head == "ALTER":
+        m = _UPGRADE_PROTOCOL_RE.match(sql)
+        if m:
+            # groups capture the INSIDE of the parens (no _cols, which
+            # strips a surrounding paren pair)
+            rf = [
+                f.strip() for f in (m.group(2) or "").split(",") if f.strip()
+            ]
+            wf = [
+                f.strip() for f in (m.group(3) or "").split(",") if f.strip()
+            ]
+            if not rf and not wf:
+                raise UnsupportedSqlError(
+                    "UPGRADE PROTOCOL needs at least one of READER"
+                    " FEATURES (f, ...) / WRITER FEATURES (f, ...)"
+                )
+            return UpgradeProtocol(
+                table=m.group(1), reader_features=rf, writer_features=wf
+            )
         m = _ALTER_SYNC_IDENTITY_RE.match(sql)
         if m:
             return AlterSyncIdentity(table=m.group(1))
@@ -610,7 +665,9 @@ def parse_dml(sql: str):
         raise UnsupportedSqlError(
             "ALTER supports exactly: ALTER TABLE t RENAME COLUMN a TO b | "
             "DROP COLUMN a | ALTER COLUMN a TYPE ty | ALTER COLUMN a "
-            "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...) | SYNC IDENTITY"
+            "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...) | SYNC IDENTITY | "
+            "UPGRADE PROTOCOL (READER FEATURES (f,...), WRITER FEATURES "
+            "(f,...))"
         )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)

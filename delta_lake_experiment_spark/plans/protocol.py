@@ -49,6 +49,10 @@ FEATURE_COLUMN_DEFAULTS = "columnDefaults"  # stamp-gated read-time fill
 FEATURE_TRUNCATED_HISTORY = "truncatedHistory"  # vacuum_log gaps exist:
 # a reader MUST implement dense-version gap detection or it silently
 # folds only the surviving tail of a truncated log
+FEATURE_DROP_TABLE = "dropTable"  # drop-table action records exist: a
+# reader that cannot fold them would panic on the unknown action kind
+# mid-replay (the reference's contract) — the stamp, committed BEFORE
+# the first drop record, turns that into the NAMED gate up front
 
 # Writer features: understanding required to commit without corrupting
 # an invariant the feature maintains.
@@ -62,6 +66,7 @@ _READER_FEATURES = frozenset(
         FEATURE_DELETION_VECTORS,
         FEATURE_COLUMN_DEFAULTS,
         FEATURE_TRUNCATED_HISTORY,
+        FEATURE_DROP_TABLE,
     }
 )
 _WRITER_FEATURES = frozenset(
@@ -74,6 +79,7 @@ _WRITER_FEATURES = frozenset(
         FEATURE_DELETION_VECTORS,
         FEATURE_COLUMN_DEFAULTS,
         FEATURE_TRUNCATED_HISTORY,
+        FEATURE_DROP_TABLE,
         FEATURE_IDENTITY_COLUMNS,
         FEATURE_GENERATED_COLUMNS,
         FEATURE_CHECK_CONSTRAINTS,

@@ -28,6 +28,7 @@ from delta_lake_experiment_spark.plans.actions import (
     AddDataObject,
     AddDeletionVector,
     ChangeMetadata,
+    DropTable,
     Protocol,
     RemoveDataObject,
     action_from_json,
@@ -208,6 +209,13 @@ class Snapshot:
     # `txn` action pattern: exactly-once foreachBatch sinks replay this
     # to skip batches already published)
     txns: dict[str, int] = field(default_factory=dict)
+    # table -> tx id of the CREATE that began its current lineage
+    # (drop+recreate under one name restarts it): the change feed
+    # compares the two endpoints' values to refuse a range crossing a
+    # recreate with the named TableDroppedError instead of diffing two
+    # unrelated tables. Absent for tables folded from pre-born
+    # checkpoints (consumers treat unknown as same-lineage).
+    born: dict[str, int] = field(default_factory=dict)
     # folded protocol feature sets (Delta's protocol action, feature
     # form — plans/protocol.py): "rf" = reader features, "wf" = writer
     # features, both sorted lists. Empty = legacy log predating the
@@ -316,6 +324,8 @@ class Snapshot:
         """Fold one committed transaction's actions into this snapshot."""
         for act in actions:
             if isinstance(act, ChangeMetadata):
+                if act.table not in self.tables:
+                    self.born[act.table] = tx_id  # lineage begins here
                 self.tables[act.table] = act.schema_ddl  # last-writer-wins
                 if act.authoritative:
                     # RESTORE/ALTER: lists replace outright — empty
@@ -385,6 +395,31 @@ class Snapshot:
                 tdv = self.dvs.setdefault(act.table, {})
                 for obj in act.objects:
                     tdv.setdefault(obj, []).append(act.dv_name)
+            elif isinstance(act, DropTable):
+                # the table leaves the lake: clear the schema map and
+                # every per-table carrier. The live set becomes an
+                # EMPTY MATERIALIZED entry (not a pop): for a lazy
+                # (format-3 sidecar) table, `table in self.live` is
+                # what stops _ensure from re-hydrating the base
+                # checkpoint's parts — popping would resurrect the
+                # dropped table's file list on the next touch. The
+                # marker also excludes the table from to_checkpoint's
+                # sidecar REUSE, so the next checkpoint drops its part
+                # references and retention reclaims the parts.
+                self.live[act.table] = {}
+                self.tables.pop(act.table, None)
+                self.born.pop(act.table, None)
+                self.dvs.pop(act.table, None)
+                self.pkeys.pop(act.table, None)
+                self.bloom_cols.pop(act.table, None)
+                self.cluster_cols.pop(act.table, None)
+                self.bucket_specs.pop(act.table, None)
+                self.checks.pop(act.table, None)
+                self.col_maps.pop(act.table, None)
+                self.retired.pop(act.table, None)
+                self.defaults.pop(act.table, None)
+                self.generated.pop(act.table, None)
+                self.identity.pop(act.table, None)
             elif isinstance(act, Protocol):
                 # monotone union (order-independent: concurrent
                 # upgrades reconcile without conflict), then gate —
@@ -431,6 +466,9 @@ class Snapshot:
                 if self.protocol["rf"] or self.protocol["wf"]
                 else {}
             ),
+            # lineage birth versions (omitted while empty so legacy
+            # payloads stay byte-identical)
+            **({"born": self.born} if self.born else {}),
             "txns": self.txns,
             # carried so the ICT floor survives vacuum_log
             # reclaiming the records that established it
@@ -442,9 +480,14 @@ class Snapshot:
         return json.dumps(
             {
                 **self._scalar_dict(),
+                # empty entries are elided: a DROPPED table's live
+                # marker (and any zero-file table) must not ride every
+                # future checkpoint as dead weight; from_dict treats a
+                # missing entry and an empty list identically
                 "live": {
                     t: [a.to_json()["add"] for a in objs.values()]
                     for t, objs in self.live.items()
+                    if objs
                 },
             }
         ).encode()
@@ -571,11 +614,12 @@ class Snapshot:
                 # newer formats would break raise the NAMED gating
                 # error instead of a KeyError deep in deserialization
                 "fmt": CHECKPOINT_FORMAT_SIDECAR_BY_TABLE,
-                # below-threshold tables ride inline
+                # below-threshold tables ride inline (empty entries —
+                # dropped-table markers, zero-file tables — elided)
                 "live": {
                     t: [a.to_json()["add"] for a in objs.values()]
                     for t, objs in self.live.items()
-                    if t not in spill
+                    if objs and t not in spill
                 },
                 # fresh parts for changed tables + the base
                 # checkpoint's parts verbatim for untouched ones
@@ -670,6 +714,7 @@ class Snapshot:
         # funnel through here
         check_reader_features(snap.protocol["rf"], "snapshot load")
         snap.txns = {a: int(b) for a, b in d.get("txns", {}).items()}
+        snap.born = {t: int(v) for t, v in d.get("born", {}).items()}
         snap.last_ts = int(d.get("last_ts", 0))
         for t, objs in d["live"].items():
             snap.live[t] = {

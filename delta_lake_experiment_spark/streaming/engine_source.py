@@ -156,6 +156,15 @@ class SchemaChangedError(RuntimeError):
     """A tailed commit altered the table's metadata mid-stream."""
 
 
+class TableDroppedError(RuntimeError):
+    """A tailed commit DROPPED the source table: the stream (and any
+    CDF consumer) cannot continue past the end of the lineage — a
+    recreate under the same name is a DIFFERENT table needing a fresh
+    stream. Local subclass (not the client errors module) for the same
+    reason as its siblings: cloudpickle ships this module by value
+    into Spark's python-data-source worker."""
+
+
 def _arrow_type(ddl: str):
     """Spark simpleString type -> pyarrow type, for the read-side cast.
     Covers the engine's storable primitives + decimal + array<prim>."""
@@ -773,6 +782,19 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 body = act[kind]
                 if body.get("table") != self.table:
                     continue
+                if kind == "drop":
+                    # end of the lineage: named and terminal in BOTH
+                    # modes (append tail and CDF) — silently skipping
+                    # would wedge the stream on a table that no longer
+                    # exists, or worse, splice a recreate's rows onto
+                    # the old lineage
+                    raise TableDroppedError(
+                        f"engine_table source: commit v{v} dropped table"
+                        f" {self.table!r} - the stream cannot continue"
+                        " past the end of the lineage; start a NEW"
+                        " stream (fresh checkpoint) against any"
+                        " recreate"
+                    )
                 if kind == "add":
                     adds.append(body)
                 elif kind == "remove":

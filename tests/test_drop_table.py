@@ -1,0 +1,490 @@
+"""DROP TABLE lifecycle (VERDICT r12 item 1 — the last user-visible
+lifecycle verb).
+
+The drop commit carries ONE O(1) ``drop`` action (plans/actions.py
+DropTable — never O(files) removes); folding it clears the table's
+schema, live set, DV masks and every metadata carrier. Covered here:
+
+- drop -> vacuum reclaims the table's data/DV objects (bytes actually
+  leave the store) once no retained version references them;
+- recreate-after-drop is a FRESH lineage (new schema, no resurrection
+  of old files, reset identity);
+- the ``dropTable`` protocol feature is pre-stamped in an EARLIER
+  commit, so a masked (older) client gets the NAMED
+  UnsupportedTableFeatureError gate — and time travel pinned below the
+  stamp stays readable to it;
+- checkpoints SHED the dropped table (no live entries, no sidecar part
+  references) and retention reclaims its parts;
+- a tailing stream and the change feed raise the named
+  TableDroppedError at the drop (and the feed refuses a range crossing
+  a drop+recreate lineage break);
+- drop vs any same-table concurrent commit is a genuine OCC conflict;
+- SQL surface: DROP TABLE t, and ALTER TABLE ... UPGRADE PROTOCOL
+  (VERDICT r12 item 7) reflected by DESCRIBE DETAIL.
+
+Reference parity note: rptynan/delta-lake-experiment has no
+delete-table (its panic on unknown actions, transactions.go:95-97, is
+the contract the protocol pre-stamp extends to a NAMED error).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from delta_lake_experiment_spark.client import DeltaLakeClient
+from delta_lake_experiment_spark.errors import (
+    ConcurrentCommitError,
+    TableDroppedError,
+    TableExistsError,
+    TableNotFoundError,
+    UnsupportedTableFeatureError,
+)
+from delta_lake_experiment_spark.plans import protocol as protomod
+from delta_lake_experiment_spark.plans.snapshot import (
+    CHECKPOINT_PART_PREFIX,
+    LOG_PREFIX,
+    log_name,
+    replay_log,
+)
+from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage
+
+
+class _NoSparkConf:
+    def set(self, k, v):
+        pass
+
+    def get(self, k, default=None):
+        return default
+
+
+class _NoSpark:
+    conf = _NoSparkConf()
+
+    def __getattr__(self, name):  # pragma: no cover
+        raise AssertionError(f"test unexpectedly touched spark.{name}")
+
+
+def _client(root, **kw):
+    return DeltaLakeClient(_NoSpark(), root, **kw)
+
+
+def _seed(root, rows=6, **kw):
+    c = _client(root, **kw)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.create_table("keep", "k BIGINT")
+    for i in range(rows):
+        c.write_row("t", [i, i * 10])
+    c.write_row("keep", [1])
+    c.commit_tx()
+    return c
+
+
+def test_drop_then_vacuum_reclaims_bytes(tmp_path):
+    """The dropped table's data objects (and DV masks) are reclaimed by
+    vacuum once the retention window passes the drop; the surviving
+    table's objects are untouched."""
+    root = str(tmp_path)
+    c = _seed(root)
+    store = c.store
+    n_data_before = len(store.list_prefix_ordered("table_"))
+    assert n_data_before >= 2
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    # another commit so retain_versions=0 puts the drop inside history
+    c.new_tx()
+    c.write_row("keep", [2])
+    c.commit_tx()
+    deleted = c.vacuum(retain_versions=0)
+    assert deleted >= 1
+    survivors = store.list_prefix_ordered("table_")
+    # every surviving data object belongs to `keep`
+    snap = replay_log(store)
+    keep_names = {o.name for o in snap.live_objects("keep")}
+    assert set(survivors) == keep_names
+    assert sorted(r[0] for r in _scan_rows(c, "keep")) == [1, 2]
+
+
+def _scan_rows(c, table):
+    """Spark-free row read: raw parquet via the store (pyarrow)."""
+    import pyarrow.parquet as pq
+
+    c.new_tx()
+    snap = c.tx.snapshot
+    rows = []
+    for o in snap.live_objects(table):
+        t = pq.read_table(c.store.path_of(o.name))
+        cols = [n for n in t.column_names if not n.startswith("_")]
+        rows.extend(tuple(r[n] for n in cols) for r in t.to_pylist())
+    c.abort_tx()
+    return rows
+
+
+def test_drop_is_o1_and_discards_pending_writes(tmp_path):
+    """The drop record is O(1) — one action, no per-file removes — and
+    buffered rows staged for the dropped table never flush."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.write_row("t", [100, 1000])  # buffered, then discarded by drop
+    c.drop_table("t")
+    c.commit_tx()
+    store = c.store
+    last = sorted(store.list_prefix_ordered(LOG_PREFIX))[-1]
+    record = json.loads(store.read(last))
+    kinds = [next(iter(a)) for a in record["actions"]]
+    assert kinds == ["drop"]
+    assert record["actions"][0]["drop"]["table"] == "t"
+
+
+def test_recreate_after_drop_is_fresh_lineage(tmp_path):
+    root = str(tmp_path)
+    c = _client(root)
+    c.new_tx()
+    c.create_table(
+        "t", "id BIGINT, v STRING",
+        identity={"id": {"start": 1, "step": 1}},
+        bloom_columns=["v"],
+    )
+    c.write_row("t", [None, "a"])
+    c.write_row("t", [None, "b"])
+    c.commit_tx()
+    v_created = replay_log(c.store).version
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING", identity={"id": {"start": 1, "step": 1}})
+    c.write_row("t", [None, "fresh"])
+    c.commit_tx()
+    snap = replay_log(c.store)
+    # fresh lineage: identity restarts at 1, old bloom declaration
+    # gone, old files never resurrect, born version moved
+    assert snap.bloom_cols.get("t") in (None, [])
+    assert snap.born["t"] > v_created
+    rows = _scan_rows(c, "t")
+    assert rows == [(1, "fresh")]
+
+
+def test_drop_in_same_tx_as_create_unwinds(tmp_path):
+    root = str(tmp_path)
+    c = _client(root)
+    c.new_tx()
+    c.create_table("keep", "k BIGINT")
+    c.create_table("tmp", "k BIGINT")
+    c.write_row("tmp", [1])
+    c.drop_table("tmp")
+    c.write_row("keep", [2])
+    c.commit_tx()
+    store = c.store
+    record = json.loads(store.read(log_name(1)))
+    tables = {
+        a[next(iter(a))].get("table") for a in record["actions"]
+    }
+    assert "tmp" not in tables  # nothing committed for the unwound table
+    snap = replay_log(store)
+    assert "tmp" not in snap.tables and "keep" in snap.tables
+    # no drop record was needed -> no protocol stamp either
+    assert "dropTable" not in snap.protocol["rf"]
+
+
+def test_drop_errors(tmp_path):
+    c = _seed(str(tmp_path))
+    c.new_tx()
+    with pytest.raises(TableNotFoundError):
+        c.drop_table("nope")
+    c.drop_table("t")
+    with pytest.raises(TableNotFoundError):
+        c.drop_table("t")  # double drop in one tx
+    # recreate in the SAME tx is allowed (fresh lineage)
+    c.create_table("t", "x DOUBLE")
+    with pytest.raises(TableExistsError):
+        c.create_table("t", "x DOUBLE")
+    c.commit_tx()
+    assert "t" in replay_log(c.store).tables
+
+
+def test_masked_client_gets_named_gate_and_time_travel_below_stamp(tmp_path):
+    """The dropTable protocol feature is stamped in a SEPARATE commit
+    BEFORE the drop record, so a masked client fails replay with the
+    NAMED error (not the unknown-action parse failure) — and a replay
+    pinned BELOW the stamp still serves it."""
+    root = str(tmp_path)
+    c = _seed(root)
+    v_before = replay_log(c.store).version
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    store = c.store
+    # stamp rides its own record strictly before the drop record
+    names = store.list_prefix_ordered(LOG_PREFIX)
+    kinds = [
+        [next(iter(a)) for a in json.loads(store.read(n))["actions"]]
+        for n in names
+    ]
+    stamp_at = next(i for i, ks in enumerate(kinds) if "protocol" in ks)
+    drop_at = next(i for i, ks in enumerate(kinds) if "drop" in ks)
+    assert stamp_at < drop_at
+    with protomod.masked_features(reader={"dropTable"}):
+        with pytest.raises(UnsupportedTableFeatureError) as ei:
+            replay_log(store)
+        assert ei.value.features == ["dropTable"]
+        assert ei.value.kind == "reader"
+        # pinned below the stamp: the masked client still reads
+        old = replay_log(store, as_of=v_before)
+        assert "t" in old.tables
+        assert len(old.live_objects("t")) >= 1
+    # second drop on the same log: no new stamp needed
+    c.new_tx()
+    c.drop_table("keep")
+    c.commit_tx()
+    n_protocol = sum(
+        1
+        for n in store.list_prefix_ordered(LOG_PREFIX)
+        for a in json.loads(store.read(n))["actions"]
+        if "protocol" in a
+    )
+    assert n_protocol == 1
+
+
+def test_time_travel_below_drop_reads_until_vacuum(tmp_path):
+    root = str(tmp_path)
+    c = _seed(root, rows=4)
+    v_live = replay_log(c.store).version
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    old = replay_log(c.store, as_of=v_live)
+    assert "t" in old.tables and len(old.live_objects("t")) >= 1
+    assert "t" not in replay_log(c.store).tables
+
+
+def test_drop_conflicts_with_concurrent_same_table_commit(tmp_path):
+    """First-committer-wins: an append racing a drop of its table is a
+    genuine conflict, never silently reordered."""
+    root = str(tmp_path)
+    _seed(root)
+    a = _client(root)
+    b = _client(root)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("t", [100, 1000])
+    b.drop_table("t")
+    b.commit_tx()  # drop wins
+    with pytest.raises(ConcurrentCommitError):
+        a.commit_tx()
+    assert "t" not in replay_log(b.store).tables
+
+
+def test_append_on_other_table_admits_past_drop(tmp_path):
+    """Disjoint-table interleaves stay freely reorderable — the drop
+    only conflicts with commits touching ITS table."""
+    root = str(tmp_path)
+    _seed(root)
+    a = _client(root)
+    b = _client(root)
+    a.new_tx()
+    b.new_tx()
+    a.write_row("keep", [5])
+    b.drop_table("t")
+    b.commit_tx()
+    a.commit_tx()  # retargets past the stamp+drop commits, no conflict
+    snap = replay_log(a.store)
+    assert "t" not in snap.tables
+    assert len(snap.live_objects("keep")) >= 2
+
+
+def test_checkpoint_sheds_dropped_table_and_parts_reclaim(
+    tmp_path, monkeypatch
+):
+    """A dropped table vanishes from the NEXT checkpoint (no inline
+    entries, no sidecar part references), and vacuum_log reclaims its
+    now-unreferenced parts; other tables' reuse is unaffected."""
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 4)
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_ROWS_PER_PART", 3)
+    root = str(tmp_path)
+    store = LocalObjectStorage(root)
+    c = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=14)
+    c.new_tx()
+    c.create_table("big", "k BIGINT, v BIGINT")
+    c.create_table("quiet", "k BIGINT, v BIGINT")
+    c.create_table("filler", "k BIGINT")
+    c.commit_tx()
+    for i in range(6):
+        for t in ("big", "quiet"):
+            c.new_tx()
+            c.write_row(t, [i, i * 10])
+            c.commit_tx()
+    c.new_tx()
+    c.write_row("filler", [0])
+    c.commit_tx()
+    # v14 checkpointed: big + quiet spilled to parts
+    ck1 = json.loads(store.read("_checkpoint_" + f"{14:020d}"))
+    assert set(ck1["live_ref"]) == {"big", "quiet"}
+    c.new_tx()
+    c.drop_table("big")
+    c.commit_tx()  # + protocol stamp commit
+    # drive to the next checkpoint (v28) with filler-only commits, so
+    # quiet stays pristine-lazy
+    while replay_log(store).version < 28:
+        c.new_tx()
+        c.write_row("filler", [99])
+        c.commit_tx()
+    ck2 = json.loads(store.read("_checkpoint_" + f"{28:020d}"))
+    assert "big" not in ck2.get("live_ref", {})
+    assert "big" not in ck2.get("live", {})
+    assert "big" not in ck2["tables"]
+    # quiet's base parts were REUSED verbatim
+    assert ck2["live_ref"].get("quiet") == ck1["live_ref"]["quiet"]
+    # retention reclaims big's parts (unreferenced below the horizon)
+    big_parts = set(ck1["live_ref"]["big"])
+    assert big_parts <= set(store.list_prefix_ordered(CHECKPOINT_PART_PREFIX))
+    c.vacuum_log(min_age_seconds=0)
+    left = set(store.list_prefix_ordered(CHECKPOINT_PART_PREFIX))
+    assert not (big_parts & left)
+    # the lake still replays and serves the surviving tables
+    snap = replay_log(store)
+    assert "big" not in snap.tables
+    assert len(snap.live_objects("quiet")) == 6
+
+
+def test_change_feed_refuses_drop_and_recreate_ranges(spark, tmp_path):
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.write_row("t", [1, "a"])
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.write_row("t", [2, "b"])
+    c.commit_tx()  # v2
+    assert c.scan_changes("t", 1, 2).count() == 1  # sanity: feed works
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()  # stamp v3, drop v4
+    with pytest.raises(TableDroppedError):
+        c.scan_changes("t", 1)  # range crosses the drop
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v STRING")
+    c.write_row("t", [9, "z"])
+    c.commit_tx()  # v5: recreate
+    with pytest.raises(TableDroppedError) as ei:
+        c.scan_changes("t", 1)  # crosses drop + recreate
+    assert ei.value.version == 5
+    # within the NEW lineage the feed works
+    assert c.scan_changes("t", 4).count() == 1
+
+
+def test_stream_source_raises_named_error_on_drop(spark, tmp_path):
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        read_table_stream,
+    )
+
+    root = str(tmp_path / "store")
+
+    def drain(ck):
+        seen = []
+
+        def collect(batch_df, _bid):
+            seen.extend(r.id for r in batch_df.collect())
+
+        q = (
+            read_table_stream(spark, root, "t")
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(seen)
+
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.write_row("t", [1, "a"])
+    c.commit_tx()
+    ck = str(tmp_path / "ck")
+    assert drain(ck) == [1]
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    # a stream resumed against the DROPPED table fails loudly at schema
+    # resolution (the table no longer exists)
+    with pytest.raises(Exception, match="no table"):
+        drain(ck)
+    # the SPLICE hazard: after a recreate under the same name, the old
+    # checkpoint's cursor points below the drop — the tail must raise
+    # the NAMED TableDroppedError instead of splicing the new lineage's
+    # rows onto the old stream
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.write_row("t", [99, "recreated"])
+    c.commit_tx()
+    with pytest.raises(Exception, match="dropped table|TableDroppedError"):
+        drain(ck)
+    # a FRESH stream (new checkpoint) against the recreate works
+    assert drain(str(tmp_path / "ck2")) == [99]
+
+
+def test_sql_drop_table_and_upgrade_protocol(spark, tmp_path):
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.execute("CREATE TABLE t (k BIGINT, v STRING)")
+    c.execute("INSERT INTO t SELECT 1 AS k, 'a' AS v")
+    c.commit_tx()
+    c.new_tx()
+    c.execute("DROP TABLE t")
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TableNotFoundError):
+        c.scan("t")
+    c.abort_tx()
+    # UPGRADE PROTOCOL runs outside a tx and returns the folded sets
+    row = c.execute(
+        "ALTER TABLE t UPGRADE PROTOCOL (READER FEATURES (columnMapping),"
+        " WRITER FEATURES (identityColumns))"
+    ).collect()[0]
+    assert "columnMapping" in row.reader_features
+    assert "identityColumns" in row.writer_features
+    assert "dropTable" in row.reader_features  # stamped by the drop
+    # unknown feature names are rejected with the registry listed
+    from delta_lake_experiment_spark.errors import TypeMismatchError
+
+    with pytest.raises(TypeMismatchError, match="supported"):
+        c.execute(
+            "ALTER TABLE t UPGRADE PROTOCOL (READER FEATURES (warpDrive))"
+        )
+
+
+def test_drop_table_with_dvs_reclaims_masks(tmp_path, spark):
+    """DV objects masking the dropped table's files are reclaimed with
+    it (they are unreferenced once the drop leaves the window)."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    for i in range(8):
+        c.write_row("t", [i, i * 10])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 2, 5, use_dv=True)
+    c.commit_tx()
+    store = c.store
+    assert len(store.list_prefix_ordered("dv_")) >= 1
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    c.new_tx()
+    c.create_table("keep2", "k BIGINT")
+    c.write_row("keep2", [1])
+    c.commit_tx()
+    c.vacuum(retain_versions=0)
+    assert store.list_prefix_ordered("dv_") == []
+    assert store.list_prefix_ordered("table_") != []  # keep2 survives
