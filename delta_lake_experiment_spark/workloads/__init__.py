@@ -573,7 +573,6 @@ _DEFERRED_ORACLED = [
     "customers_with_orders",
     "event_type_stats",
     "time_rollup_event_stats",
-    "json_props_extract",
     "distinct_segments",
     "small_quantity_revenue",
     "scalar_functions_showcase",
@@ -628,7 +627,6 @@ _DEFERRED_ORACLED = [
     "train_contamination",
     "incremental_corpus_update",
     "multimodal_features",
-    "dedup_exact_documents",
     "near_dup_simhash",
     "user_sessions",
     "streaming_click_attribution",
@@ -724,6 +722,37 @@ _DEFERRED_ORACLED = [
     "similarity_pca_topk",
     "engine_upsert_latest",
     "engine_sql_merge",
+    # r13 END-OF-ROUND ROTATION (VERDICT r12 item 5: rotate 2-5,
+    # prioritizing lanes whose driver certification is OLDEST — the
+    # r6-era relational set and the r5 dedup lanes — plus this round's
+    # capstone). IN (3): engine_drop_table (r13-born DROP TABLE
+    # lifecycle capstone, 3-SF check_oracle green at birth; machinery
+    # additionally pinned by the 14 tests/test_drop_table.py pytests),
+    # dedup_exact_documents (r5 dedup lane, out of window since the
+    # r8-end rotation — the judge's named re-certification priority),
+    # json_props_extract (r6-era scalar/JSON lane, out since r6-end =
+    # the registry's oldest certification). OUT (3), each in-window
+    # >=5 rounds, machinery composed by stayers:
+    # - streaming_cardinality_sketch -> the exactly-once txn-marker
+    #   sink skeleton stays certified in-window by
+    #   engine_streaming_upsert and streaming_corpus_dedup (both
+    #   stay), and the HLL register math by corpus_cardinality_report
+    #   (stays; same sketch module, cross-engine + merge pytests);
+    # - unigram_vocab -> the distributed word-frequency agg is the
+    #   tokenize lane certified in-window via doc_text_stats (stays),
+    #   and the grid-rounded driver-loop + chained-recursive-CTE
+    #   oracle discipline stays certified by word_embedding_vectors
+    #   and lang_id_weights (both stay); the EM-prune loop stays
+    #   pinned by its full-trajectory oracle in the deferred sweep;
+    # - engine_sql_time_travel -> the pinned-replay read is exercised
+    #   in-window by engine_drop_table (scan_as_of below the drop +
+    #   below-stamp masked replay, rotating IN) and
+    #   engine_log_retention's horizon-gated as-of (stays); the SQL
+    #   VERSION AS OF view rewrite stays pytest-pinned and its value
+    #   oracle remains in the per-run deferred sweep.
+    "streaming_cardinality_sketch",
+    "unigram_vocab",
+    "engine_sql_time_travel",
 ]
 
 

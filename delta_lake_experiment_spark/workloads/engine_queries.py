@@ -1905,6 +1905,160 @@ def engine_protocol_gating(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def engine_drop_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP TABLE lifecycle end-to-end (r13 capstone — the last
+    user-visible lifecycle verb; the reference has no delete-table, and
+    its unknown-action panic, transactions.go:95-97, is the contract
+    the dropTable protocol stamp extends to a NAMED error). The query
+    drives the full lifecycle and asserts each property in-query:
+
+    1. two tables ingest (survivor + victim); the victim takes a DV
+       delete so the drop must also retire mask objects;
+    2. SQL ``DROP TABLE`` commits an O(1) drop record, pre-stamped
+       with the ``dropTable`` reader feature in an EARLIER commit —
+       asserted: scan raises TableNotFoundError, the stamp rides the
+       folded protocol, and a reader masked of the feature gets the
+       named gate while time travel pinned BELOW the stamp still
+       serves the victim;
+    3. ``vacuum`` reclaims the victim's data AND DV objects (store
+       prefix counts drop to exactly the survivor's live set);
+    4. recreate under the same name is a FRESH lineage: different
+       schema, only the new rows read back, and the change feed
+       refuses to splice across the drop with TableDroppedError.
+
+    The returned aggregate composes BOTH lineal outcomes: the
+    survivor's per-status totals (scanned through the engine after the
+    vacuum) and the recreated victim's row count — a resurrected old
+    file, an over-eager vacuum, or a leaked drop value-diverges it
+    from the full-source oracle immediately."""
+    _utc(spark)
+    import delta_lake_experiment_spark.plans.protocol as protomod
+    from delta_lake_experiment_spark.errors import (
+        TableDroppedError,
+        TableNotFoundError,
+        UnsupportedTableFeatureError,
+    )
+    from delta_lake_experiment_spark.functions.numeric import exact_sum
+    from delta_lake_experiment_spark.plans.snapshot import replay_log
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table(
+        "ord_keep",
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE",
+    )
+    c.write_dataframe("ord_keep", orders)
+    c.create_table("ev_victim", "event_id BIGINT, user_id BIGINT, value DOUBLE")
+    c.write_dataframe("ev_victim", events)
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("ev_victim", "event_id", 1, 500, use_dv=True)
+    c.commit_tx()  # v2: DV masks now exist
+    v_below_drop = replay_log(c.store).version
+    if not c.store.list_prefix_ordered("dv_"):
+        raise RuntimeError("DV delete left no mask objects to reclaim")
+
+    c.new_tx()
+    c.execute("DROP TABLE ev_victim")
+    c.commit_tx()  # stamp v3, drop v4
+    snap = replay_log(c.store)
+    if "ev_victim" in snap.tables:
+        raise RuntimeError("drop did not remove the table")
+    if "dropTable" not in snap.protocol["rf"]:
+        raise RuntimeError("drop did not stamp the dropTable feature")
+    c.new_tx()
+    try:
+        c.scan("ev_victim", with_stamps=False)
+        raise RuntimeError("scan of a dropped table did not raise")
+    except TableNotFoundError:
+        pass
+    # time travel below the drop (and below the stamp) still reads —
+    # to THIS client and to a masked (older) one
+    n_below = c.scan_as_of("ev_victim", v_below_drop).count()
+    if n_below <= 0:
+        raise RuntimeError("time travel below the drop served nothing")
+    c.abort_tx()
+    with protomod.masked_features(reader={"dropTable"}):
+        try:
+            replay_log(c.store)
+            raise RuntimeError("masked reader replayed past the drop")
+        except UnsupportedTableFeatureError as e:
+            if e.features != ["dropTable"] or e.kind != "reader":
+                raise RuntimeError(f"wrong drop gate payload: {e}")
+        if "ev_victim" not in replay_log(
+            c.store, as_of=v_below_drop
+        ).tables:
+            raise RuntimeError(
+                "below-stamp time travel bricked for the masked reader"
+            )
+
+    # vacuum reclaims the victim's data and DV objects exactly
+    c.new_tx()
+    c.write_row("ord_keep", [0, 0, "_probe", 0.0])
+    c.commit_tx()  # push the drop inside retain_versions=0 history
+    c.vacuum(retain_versions=0)
+    snap = replay_log(c.store)
+    keep_names = {o.name for o in snap.live_objects("ord_keep")}
+    left = set(c.store.list_prefix_ordered("table_"))
+    if left != keep_names:
+        raise RuntimeError(
+            f"vacuum left {len(left - keep_names)} dropped-table objects"
+        )
+    if c.store.list_prefix_ordered("dv_"):
+        raise RuntimeError("vacuum left the dropped table's DV masks")
+
+    # recreate: fresh lineage, different shape; the old rows are gone
+    c.new_tx()
+    c.create_table("ev_victim", "event_id BIGINT, kind STRING")
+    c.write_dataframe(
+        "ev_victim",
+        events.filter(F.col("event_id") % 7 == 0).select(
+            "event_id", F.lit("recreated").alias("kind")
+        ),
+    )
+    c.commit_tx()
+    try:
+        c.scan_changes("ev_victim", v_below_drop)
+        raise RuntimeError("change feed spliced across the drop")
+    except TableDroppedError:
+        pass
+    c.new_tx()
+    n_recreated = (
+        c.scan("ev_victim", with_stamps=False)
+        .filter(F.col("kind") == "recreated")
+        .count()
+    )
+    return (
+        c.scan("ord_keep", with_stamps=False)
+        .filter(F.col("o_orderstatus") != "_probe")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            exact_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .withColumn("n_recreated", F.lit(n_recreated).cast("long"))
+    )
+
+
+ENGINE_DROP_TABLE_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_custs,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price,
+       (SELECT COUNT(*) FROM events WHERE event_id % 7 = 0) AS n_recreated
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 ENGINE_PROTOCOL_GATING_SQL = """
 SELECT event_type,
        COUNT(*) AS n_events,
@@ -1920,6 +2074,7 @@ GROUP BY event_type
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
     "engine_protocol_gating": engine_protocol_gating,
+    "engine_drop_table": engine_drop_table,
     "engine_stream_source": engine_stream_source,
     "engine_stream_cdf": engine_stream_cdf,
     "engine_stream_bounded": engine_stream_bounded,
@@ -1951,6 +2106,7 @@ QUERIES = {
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
     "engine_protocol_gating": ENGINE_PROTOCOL_GATING_SQL,
+    "engine_drop_table": ENGINE_DROP_TABLE_SQL,
     "engine_stream_source": ENGINE_STREAM_SOURCE_SQL,
     "engine_stream_cdf": ENGINE_STREAM_CDF_SQL,
     "engine_stream_bounded": ENGINE_STREAM_BOUNDED_SQL,
