@@ -79,13 +79,17 @@ def foreach_batch_upsert(
     unaffected (one advance per micro-batch, already amortized across
     the batch's rows); N CONCURRENT sinks/writers allocating on one
     table retry ~1/N of their batches under sustained overlap — prefer
-    a single allocating stream per identity table, or BY DEFAULT mode
+    a single allocating stream per identity table, BY DEFAULT mode
     with caller-supplied keys (supplied-only batches skip the advance
-    entirely since r12 and do not serialize). Cross-batch block
-    reservation (reserve_n) was considered and deliberately NOT built:
-    it would only thin the advance records below one-per-batch, buying
-    nothing until multi-writer contention on a single identity table
-    is a measured bottleneck, while widening in-contract id gaps."""
+    entirely since r12 and do not serialize), or opt-in BLOCK
+    RESERVATION (``client.reserve_identity``, r13): each writer
+    pre-commits one block-sized advance, then its row-buffered minting
+    carries no advance record at all — concurrent holders stop
+    conflicting on identity metadata entirely. This sink's BULK merge
+    path keeps the per-batch advance (executor-side minting rides
+    ``_row_idx`` stamps whose partition-bit gaps make the consumed
+    span unboundable up front), which stays the right default at one
+    advance per micro-batch."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window

@@ -556,3 +556,91 @@ def test_identity_declaration_validation(spark, store_dir):
             "x5", "a BIGINT, b BIGINT", cluster_by=["a"], identity={"a": {}}
         )
     c.abort_tx()
+
+
+def test_reserved_blocks_let_concurrent_allocators_commit_without_retry(
+    spark, store_dir
+):
+    """Opt-in block reservation (VERDICT r12 item 3): two clients each
+    reserve a block, open txs on the SAME snapshot, mint concurrently,
+    and BOTH commit without a ConcurrentCommitError — no allocating
+    commit carries an identity advance, so nothing serializes. Ids
+    stay unique (blocks disjoint by construction) and insertion order
+    ascends within each writer."""
+    c = _mk(spark, store_dir)
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    b = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    ra = a.reserve_identity("t", "id", 10)
+    rb = b.reserve_identity("t", "id", 10)
+    assert ra == (1, 10) and rb == (11, 20)
+    a.new_tx()
+    b.new_tx()
+    for i in range(3):
+        a.write_row("t", [None, f"a{i}"])
+        b.write_row("t", [None, f"b{i}"])
+    a.commit_tx()
+    b.commit_tx()  # no conflict: neither commit carries an advance
+    ids = _ids(c)
+    assert len(set(ids.values())) == 6
+    assert [ids[f"a{i}"] for i in range(3)] == [1, 2, 3]
+    assert [ids[f"b{i}"] for i in range(3)] == [11, 12, 13]
+    # the committed mark already covers both blocks: a third,
+    # non-reserving writer continues ABOVE them (serialized default
+    # unchanged)
+    c.new_tx()
+    c.write_row("t", [None, "plain"])
+    c.commit_tx()
+    assert _ids(c)["plain"] == 21
+
+
+def test_reservation_advance_is_occ_safe_and_block_drains_to_fallback(
+    spark, store_dir
+):
+    """The reservation commit itself is the only serialization point
+    (run_tx absorbs a collision), and a drained block falls back to
+    the normal advance path mid-tx with ascending values."""
+    c = _mk(spark, store_dir)
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    assert a.reserve_identity("t", "id", 2) == (1, 2)
+    a.new_tx()
+    for i in range(4):  # 2 from the block, 2 minted past the mark
+        a.write_row("t", [None, f"r{i}"])
+    a.commit_tx()
+    ids = _ids(c)
+    assert [ids[f"r{i}"] for i in range(4)] == [1, 2, 3, 4]
+    # the fallback mint DID advance the mark (an advance record rode
+    # the commit); the next writer continues above
+    c.new_tx()
+    c.write_row("t", [None, "next"])
+    c.commit_tx()
+    assert _ids(c)["next"] == 5
+
+
+def test_reservation_validation_and_lineage_guard(spark, store_dir):
+    c = _mk(spark, store_dir)
+    with pytest.raises(TypeMismatchError):
+        c.reserve_identity("t", "v", 5)  # not an identity column
+    with pytest.raises(TypeMismatchError):
+        c.reserve_identity("t", "id", 0)
+    c.new_tx()
+    with pytest.raises(Exception, match="outside a transaction"):
+        c.reserve_identity("t", "id", 5)
+    c.abort_tx()
+    # a block reserved against a DROPPED lineage is never minted into
+    # the recreate (fresh ids there could duplicate it)
+    a = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    a.reserve_identity("t", "id", 10)  # block (1, 10) for client a
+    c.new_tx()
+    c.drop_table("t")
+    c.create_table(
+        "t", "id BIGINT, v STRING", identity={"id": {"start": 1, "step": 1}}
+    )
+    c.commit_tx()
+    a.new_tx()
+    a.write_row("t", [None, "post_recreate"])
+    a.commit_tx()  # stale block discarded: mints fresh lineage id 1
+    c.new_tx()
+    c.write_row("t", [None, "fresh2"])
+    c.commit_tx()
+    ids = _ids(c)
+    assert ids["post_recreate"] == 1 and ids["fresh2"] == 2
