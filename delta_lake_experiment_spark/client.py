@@ -1009,6 +1009,100 @@ actions.DropTable` for why clearing the live set on fold is
             )
         tx.actions.append(DropTable(table=table, tx_id=tx.id))
 
+    def undrop_table(self, table: str) -> int:
+        """UNDROP TABLE (Delta's recovery verb): restore a dropped
+        table from the version just below its drop record, while the
+        drop is still inside BOTH retention windows (``vacuum_log``
+        must not have reclaimed the drop record's history, ``vacuum``
+        must not have reclaimed the data objects — every object is
+        existence-probed up front so a half-reclaimed table fails
+        LOUDLY here, never lazily at scan time).
+
+        The commit is a resurrection in legacy action shapes (no new
+        protocol feature needed): one authoritative metadata record
+        carrying every pre-drop declaration — identity high-water
+        marks included, so post-undrop minting continues past the old
+        ids — plus the pre-drop live set re-added (NOT rewrite-tagged:
+        like RESTORE's re-adds, a concurrent reader that observed the
+        keys' absence must conflict) and the pre-drop DV masks
+        re-attached, so soft-deleted rows STAY deleted.
+
+        The undrop starts a new feed LINEAGE (fresh ``born``): change
+        feeds and streams positioned below the drop still refuse to
+        cross it — data recovery does not retroactively splice
+        consumers over the gap they already cannot serve. Returns the
+        number of data objects restored.
+
+        Cost: a newest-first walk of the surviving log records to find
+        the drop (O(records since the drop) reads), one pinned replay
+        below it, and O(files) existence probes + re-add actions — the
+        honest price of an explicit recovery operation, paid only when
+        invoked (the DROP itself stays O(1))."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        if table in snap.tables or table in tx.new_tables:
+            raise TableExistsError(
+                f"cannot undrop {table!r}: the name is currently taken"
+                " (a recreate is a fresh lineage; rename or drop it"
+                " first)"
+            )
+        drop_v = None
+        for name in reversed(self.store.list_prefix_ordered(LOG_PREFIX)):
+            try:
+                record = json.loads(self.store.read(name))
+            except Exception:
+                continue  # raced vacuum_log: record reclaimed mid-walk
+            if any(
+                a.get("drop", {}).get("table") == table
+                for a in record.get("actions", [])
+            ):
+                drop_v = int(record["id"])
+                break
+        if drop_v is None:
+            raise TableNotFoundError(
+                f"cannot undrop {table!r}: no drop record found in the"
+                " surviving log (the table never existed, or the drop"
+                " is older than the vacuum_log retention horizon)"
+            )
+        # pinned replay below the drop: raises the named
+        # HistoryTruncatedError itself when that state is gone
+        old = replay_log(self.store, as_of=drop_v - 1)
+        if table not in old.tables:
+            raise TableNotFoundError(
+                f"cannot undrop {table!r}: the state below its drop"
+                f" (v{drop_v}) does not carry the table"
+            )
+        old_objs = old.live_map(table)
+        old_dvs = old.table_dvs(table)
+        dv_names = sorted({d for dvl in old_dvs.values() for d in dvl})
+        gone = [
+            n
+            for n in list(old_objs) + dv_names
+            if self.store.exists(n) is False
+        ]
+        if gone:
+            raise TableNotFoundError(
+                f"cannot undrop {table!r}: {len(gone)} of its"
+                f" {len(old_objs) + len(dv_names)} objects were already"
+                " reclaimed by vacuum (first:"
+                f" {gone[0]!r}) - the drop is past the data retention"
+                " window"
+            )
+        tx.actions.append(
+            self._authoritative_metadata(old, table, old.tables[table])
+        )
+        tx.new_tables[table] = old.tables[table]  # visible pre-commit
+        for add in old_objs.values():
+            tx.actions.append(dataclasses.replace(add, rewrite=False))
+        for obj, dv_list in old_dvs.items():
+            for dv in dv_list:
+                tx.actions.append(
+                    AddDeletionVector(
+                        table=table, dv_name=dv, objects=[obj], tx_id=tx.id
+                    )
+                )
+        return len(old_objs)
+
     def add_columns(self, table: str, columns_ddl: str) -> None:
         """Schema evolution: append new nullable columns.
 
@@ -3087,6 +3181,7 @@ actions.DropTable` for why clearing the live set on fold is
             Optimize,
             OptimizeSketch,
             Restore,
+            UndropTableStmt,
             Update,
             UpgradeProtocol,
             Vacuum,
@@ -3223,6 +3318,8 @@ actions.DropTable` for why clearing the live set on fold is
             self.sync_identity(stmt.table)
         elif isinstance(stmt, DropTableStmt):
             self.drop_table(stmt.table)
+        elif isinstance(stmt, UndropTableStmt):
+            self.undrop_table(stmt.table)
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:

@@ -186,6 +186,9 @@ _ALTER_SYNC_IDENTITY_RE = re.compile(
 _DROP_TABLE_RE = re.compile(
     rf"^\s*DROP\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_UNDROP_TABLE_RE = re.compile(
+    rf"^\s*UNDROP\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 # ALTER TABLE t UPGRADE PROTOCOL (READER FEATURES (f,...), WRITER
 # FEATURES (f,...)) — either clause optional, at least one required.
 # The table name is accepted for SQL familiarity (Delta upgrades
@@ -436,6 +439,13 @@ class DropTableStmt:
 
 
 @dataclass
+class UndropTableStmt:
+    # UNDROP TABLE t: restore a dropped table from just below its drop
+    # record, while inside both retention windows (Delta's UNDROP)
+    table: str
+
+
+@dataclass
 class UpgradeProtocol:
     # ALTER TABLE t UPGRADE PROTOCOL (...): pre-stamp features before
     # a fleet migration (routed to client.upgrade_protocol; log-wide)
@@ -619,6 +629,13 @@ def parse_dml(sql: str):
                 " ALTER TABLE t DROP COLUMN a)"
             )
         return DropTableStmt(table=m.group(1))
+    if head == "UNDROP":
+        m = _UNDROP_TABLE_RE.match(sql)
+        if not m:
+            raise UnsupportedSqlError(
+                "UNDROP supports exactly: UNDROP TABLE t"
+            )
+        return UndropTableStmt(table=m.group(1))
     if head == "ALTER":
         m = _UPGRADE_PROTOCOL_RE.match(sql)
         if m:

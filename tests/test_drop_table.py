@@ -454,6 +454,13 @@ def test_sql_drop_table_and_upgrade_protocol(spark, tmp_path):
     assert "columnMapping" in row.reader_features
     assert "identityColumns" in row.writer_features
     assert "dropTable" in row.reader_features  # stamped by the drop
+    # DESCRIBE DETAIL reflects the raised protocol (VERDICT r12 item 7)
+    c.new_tx()
+    c.create_table("t2", "k BIGINT")
+    c.commit_tx()
+    det = c.execute("DESCRIBE DETAIL t2").collect()[0]
+    assert "columnMapping" in det.reader_features
+    assert "identityColumns" in det.writer_features
     # unknown feature names are rejected with the registry listed
     from delta_lake_experiment_spark.errors import TypeMismatchError
 
@@ -488,3 +495,99 @@ def test_drop_table_with_dvs_reclaims_masks(tmp_path, spark):
     c.vacuum(retain_versions=0)
     assert store.list_prefix_ordered("dv_") == []
     assert store.list_prefix_ordered("table_") != []  # keep2 survives
+
+
+def test_undrop_restores_table_dvs_and_identity(spark, tmp_path):
+    """UNDROP within both retention windows: data back, DV masks still
+    applied (soft-deleted rows STAY deleted), identity minting
+    continues past the old high-water mark."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root, dataobject_size=4)
+    c.new_tx()
+    c.create_table(
+        "t", "id BIGINT, k BIGINT",
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    for i in range(8):
+        c.write_row("t", [None, i])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("t", "k", 2, 3, use_dv=True)
+    c.commit_tx()
+    c.new_tx()
+    c.execute("DROP TABLE t")
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TableNotFoundError):
+        c.scan("t")
+    n = c.undrop_table("t")
+    assert n >= 1
+    rows = {r.k: r.id for r in c.scan("t", with_stamps=False).collect()}
+    assert set(rows) == {0, 1, 4, 5, 6, 7}  # masks survived the undrop
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [None, 99])
+    c.commit_tx()
+    c.new_tx()
+    ids = {r.k: r.id for r in c.scan("t", with_stamps=False).collect()}
+    assert ids[99] == 9  # mark carried: continues past the old high
+    c.abort_tx()
+
+
+def test_undrop_guards(spark, tmp_path):
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.create_table("keep", "k BIGINT")
+    c.write_row("t", [1])
+    c.write_row("keep", [1])
+    c.commit_tx()
+    # never dropped -> name taken
+    c.new_tx()
+    with pytest.raises(TableExistsError, match="name is currently taken"):
+        c.undrop_table("t")
+    c.drop_table("t")
+    c.commit_tx()
+    # recreate takes the name: undrop refuses
+    c.new_tx()
+    c.create_table("t", "x DOUBLE")
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TableExistsError):
+        c.undrop_table("t")
+    c.abort_tx()
+    # never-existed table
+    c.new_tx()
+    with pytest.raises(TableNotFoundError, match="no drop record"):
+        c.undrop_table("ghost")
+    c.abort_tx()
+    # data past the vacuum window -> loud up-front failure
+    c.new_tx()
+    c.drop_table("keep")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [2.0])
+    c.commit_tx()
+    c.vacuum(retain_versions=0)  # reclaims keep's objects
+    c.new_tx()
+    with pytest.raises(TableNotFoundError, match="reclaimed by vacuum"):
+        c.undrop_table("keep")
+    c.abort_tx()
+
+
+def test_sql_undrop_table(spark, tmp_path):
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.execute("CREATE TABLE t (k BIGINT)")
+    c.execute("INSERT INTO t SELECT 7 AS k")
+    c.commit_tx()
+    c.new_tx()
+    c.execute("DROP TABLE t")
+    c.commit_tx()
+    c.new_tx()
+    c.execute("UNDROP TABLE t")
+    c.commit_tx()
+    c.new_tx()
+    assert [r.k for r in c.scan("t", with_stamps=False).collect()] == [7]
+    c.abort_tx()
