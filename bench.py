@@ -176,6 +176,9 @@ HEADLINE = [
     # r12: protocol/table-feature gating lifecycle (the r4 principle:
     # capability queries are benched so their cost is visible)
     "engine_protocol_gating",
+    # r13: DROP TABLE lifecycle (drop -> gate -> vacuum reclaim ->
+    # fresh-lineage recreate)
+    "engine_drop_table",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

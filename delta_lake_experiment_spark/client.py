@@ -2576,6 +2576,10 @@ actions.DropTable` for why clearing the live set on fold is
         row = (
             table,
             int(snap.version),
+            # lineage birth version (None for tables folded from
+            # pre-born checkpoints): drop+recreate under one name
+            # restarts it — what the change feed keys lineage breaks on
+            snap.born.get(table),
             snap.tables[table],
             len(objs),
             int(sum(o.num_rows for o in objs)),
@@ -2605,6 +2609,7 @@ actions.DropTable` for why clearing the live set on fold is
             [
                 T.StructField("table", T.StringType(), False),
                 T.StructField("version", T.LongType(), False),
+                T.StructField("created_version", T.LongType(), True),
                 T.StructField("schema_ddl", T.StringType(), False),
                 T.StructField("num_files", T.LongType(), False),
                 T.StructField("num_rows", T.LongType(), False),

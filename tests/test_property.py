@@ -1,7 +1,8 @@
 """Property-based model test (hypothesis): arbitrary interleavings of
-write / range-delete / upsert / scan against a Python dict model must
-agree with the engine — a generative generalization of the reference's
-seeded randomized test (main_test.go:263-344), with shrinking.
+write / range-delete / drop+recreate / upsert / scan against a Python
+dict model must agree with the engine — a generative generalization of
+the reference's seeded randomized test (main_test.go:263-344), with
+shrinking.
 
 Spark sessions are expensive, so examples are few but each drives a
 full multi-tx episode; hypothesis shrinks failing op sequences to
@@ -24,8 +25,13 @@ op_write = st.tuples(st.just("write"), KEYS, VALS)
 op_delete = st.tuples(st.just("delete"), KEYS, KEYS)  # delete keys in [a,b], COW
 op_delete_dv = st.tuples(st.just("delete_dv"), KEYS, KEYS)  # same, soft delete
 op_scan = st.tuples(st.just("scan"), st.just(0), st.just(0))
+# DROP + recreate under the same name: the model simply empties — old
+# rows, buffered rows, and DV masks must never resurrect (r13 verb)
+op_drop = st.tuples(st.just("drop"), st.just(0), st.just(0))
 OPS = st.lists(
-    st.one_of(op_write, op_delete, op_delete_dv, op_scan), min_size=1, max_size=25
+    st.one_of(op_write, op_delete, op_delete_dv, op_scan, op_drop),
+    min_size=1,
+    max_size=25,
 )
 
 
@@ -54,6 +60,13 @@ def test_engine_matches_dict_model(spark, ops):
             c.delete_rows("kv", "k", lo, hi, use_dv=(kind == "delete_dv"))
             for k in [k for k in model if lo <= k <= hi]:
                 del model[k]
+        elif kind == "drop":
+            # drop + same-tx recreate: fresh lineage, empty state —
+            # nothing from before (committed rows, buffered rows, DV
+            # masks) may survive into the recreate
+            c.drop_table("kv")
+            c.create_table("kv", "k BIGINT, v BIGINT")
+            model.clear()
         else:  # scan inside the open tx: first-seen-per-key wins
             seen: dict[int, int] = {}
             for k, v in c.scan_iter("kv"):
