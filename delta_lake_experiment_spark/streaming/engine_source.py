@@ -582,6 +582,19 @@ class EngineTableStreamReader(DataSourceStreamReader):
             record = self._log_record(store, name, v)
             for act in record.get("actions", []):
                 kind = next(iter(act))
+                if kind == "drop" and act[kind].get("table") == self.table:
+                    # a drop between the pin and this trigger ends the
+                    # lineage: without this check the snapshot branch
+                    # would replay an empty live set and emit NOTHING
+                    # silently — or, after a same-schema recreate,
+                    # silently splice the NEW lineage's rows onto the
+                    # pre-drop pin
+                    raise TableDroppedError(
+                        f"engine_table source: commit v{v} dropped table"
+                        f" {self.table!r} after the stream pinned its"
+                        f" schema (v{lo}) - start a NEW stream (fresh"
+                        " checkpoint) against any recreate"
+                    )
                 if (
                     kind == "metadata"
                     and act[kind].get("table") == self.table

@@ -591,3 +591,39 @@ def test_sql_undrop_table(spark, tmp_path):
     c.new_tx()
     assert [r.k for r in c.scan("t", with_stamps=False).collect()] == [7]
     c.abort_tx()
+
+
+def test_snapshot_branch_guards_post_pin_drop(spark, tmp_path):
+    """A drop landing between reader construction and the FIRST batch
+    must raise the named error — without the guard the snapshot branch
+    replays an empty live set and emits NOTHING silently, and after a
+    same-schema recreate it would silently splice the new lineage's
+    rows onto the pre-drop pin."""
+    from delta_lake_experiment_spark.plans.snapshot import replay_log as _rp
+    from delta_lake_experiment_spark.storage.objectstore import (
+        LocalObjectStorage,
+    )
+    from delta_lake_experiment_spark.streaming.engine_source import (
+        EngineTableStreamReader,
+        TableDroppedError as SrcDropped,
+    )
+
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "id BIGINT, v STRING")
+    c.write_row("t", [1, "a"])
+    c.commit_tx()
+    reader = EngineTableStreamReader(root, {"table": "t"})
+    c.new_tx()
+    c.drop_table("t")
+    # sneaky: recreate with the SAME schema — splice bait
+    c.create_table("t", "id BIGINT, v STRING")
+    c.write_row("t", [99, "spliced?"])
+    c.commit_tx()
+    latest = _rp(LocalObjectStorage(root)).version
+    with pytest.raises(SrcDropped):
+        reader.partitions({"version": -1}, {"version": latest})
+    # a reader pinned AFTER the recreate streams the new lineage fine
+    reader2 = EngineTableStreamReader(root, {"table": "t"})
+    assert reader2.partitions({"version": -1}, {"version": latest})
