@@ -1285,5 +1285,43 @@ def test_metadata_scale_checkpoint_cost_is_o_changed_tables(
         if ps == base["live_ref"].get(t)
     )
     assert reused == N_TABLES - 1
+
+    # MASS DROP at fleet shape (r13): half the lake dropped in ONE
+    # commit — the record is O(dropped tables), ~100 bytes each, never
+    # O(files); the next checkpoint sheds all 500 and retention
+    # reclaims their parts, while the survivors' parts stay REUSED
+    victims = tables[: N_TABLES // 2]
+    c.new_tx()
+    for t in victims:
+        c.drop_table(t)
+    c.commit_tx()
+    drop_record = _json.loads(
+        store.read(log_name(replay_log(store).version))
+    )
+    assert len(drop_record["actions"]) == len(victims)  # O(tables)
+    while replay_log(store).version % 12 != 0:
+        c.new_tx()
+        c.write_row("t0500", [2, 2])
+        c.commit_tx()
+    v3 = newest_checkpoint_version(store)
+    d3 = _json.loads(store.read(checkpoint_name(v3)))
+    assert not (set(victims) & set(d3["live_ref"]))
+    assert not (set(victims) & set(d3.get("live", {})))
+    assert not (set(victims) & set(d3["tables"]))
+    assert len(d3["live_ref"]) == N_TABLES - len(victims)
+    # survivors still reused verbatim (t0500 aside, freshly spilled)
+    survivors_reused = sum(
+        1 for t, ps in d3["live_ref"].items()
+        if ps == base["live_ref"].get(t)
+    )
+    assert survivors_reused >= N_TABLES - len(victims) - 1
+    # retention reclaims the dropped tables' (now unreferenced) parts
+    victim_parts = {p for t in victims for p in base["live_ref"][t]}
+    c.vacuum_log(min_age_seconds=0)
+    left = set(store.list_prefix_ordered(CHECKPOINT_PART_PREFIX))
+    assert not (victim_parts & left)
+    # survivors still replay + hydrate exactly
+    snap2 = replay_log(store)
+    assert len(snap2.live_objects("t0750")) == FILES_PER
     # and the whole fleet-shaped test stays in bounded seconds
     assert _time.time() - start < 120
