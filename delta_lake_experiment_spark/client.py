@@ -977,6 +977,16 @@ actions.DropTable` for why clearing the live set on fold is
             # reserved blocks die with the lineage (the lineage check in
             # _alloc_identity guards OTHER clients' stale blocks)
             self._ident_blocks.pop(key)
+        prev = self._bucket_scans.pop(table, None)
+        if prev is not None:
+            # the bucketed-scan catalog registration and its hard-linked
+            # area die with the table: they would otherwise keep serving
+            # the dropped rows through spark.table() and pin the
+            # vacuumed bytes alive via the hard links (review catch)
+            try:
+                self.spark.sql(f"DROP TABLE IF EXISTS `{prev[0]}`")
+            finally:
+                prev[1].drop()
         for key in [k for k in tx.ident_minted if k[0] == table]:
             tx.ident_minted.pop(key)
         # DropTable actions are kept: they refer to a PREVIOUS
@@ -1037,7 +1047,12 @@ actions.DropTable` for why clearing the live set on fold is
         the drop (O(records since the drop) reads), one pinned replay
         below it, and O(files) existence probes + re-add actions — the
         honest price of an explicit recovery operation, paid only when
-        invoked (the DROP itself stays O(1))."""
+        invoked (the DROP itself stays O(1)). Worst case: a name that
+        was NEVER dropped (e.g. a typo) walks the full surviving log
+        before the loud not-found error — checkpoint boundary states
+        cannot prune the search, because a create+drop (or
+        drop+recreate+drop) entirely inside one checkpoint window is
+        invisible at both boundaries."""
         tx = self._require_tx()
         snap = self._effective_snapshot(tx)
         if table in snap.tables or table in tx.new_tables:
@@ -1046,12 +1061,31 @@ actions.DropTable` for why clearing the live set on fold is
                 " (a recreate is a fresh lineage; rename or drop it"
                 " first)"
             )
+        if any(
+            isinstance(a, DropTable) and a.table == table
+            for a in tx.actions
+        ):
+            raise TypeMismatchError(
+                f"cannot undrop {table!r}: its drop is still UNCOMMITTED"
+                " in this transaction - there is nothing in the log to"
+                " recover from yet (commit the drop first, or just keep"
+                " the table)"
+            )
         drop_v = None
         for name in reversed(self.store.list_prefix_ordered(LOG_PREFIX)):
             try:
                 record = json.loads(self.store.read(name))
             except Exception:
-                continue  # raced vacuum_log: record reclaimed mid-walk
+                # tolerate ONLY records that are actually GONE (raced
+                # vacuum_log mid-walk). A record that exists but fails
+                # to read must re-raise: silently skipping a corrupt
+                # NEWEST drop record would make this walk find an OLDER
+                # drop of the same name and resurrect the wrong
+                # incarnation — a silent wrong-data restore where a
+                # loud store error was available (review catch)
+                if self.store.exists(name) is False:
+                    continue
+                raise
             if any(
                 a.get("drop", {}).get("table") == table
                 for a in record.get("actions", [])
@@ -1333,6 +1367,16 @@ actions.DropTable` for why clearing the live set on fold is
         # (duplicate ids from the next tx — review catch, r11)
         if (table, old) in tx.identity_hwm:
             tx.identity_hwm[(table, new)] = tx.identity_hwm.pop((table, old))
+        if (table, old) in self._ident_blocks:
+            # RESERVED blocks follow the rename too: left under the old
+            # name they would silently strand (consumption keys on the
+            # current column name), wasting a durably committed advance
+            # (review catch). If this tx later aborts, the migrated key
+            # goes stale and the block is wasted — an in-contract gap,
+            # same as a crashed client's remainder.
+            self._ident_blocks[(table, new)] = self._ident_blocks.pop(
+                (table, old)
+            )
 
     def drop_column(self, table: str, column: str) -> None:
         """DROP COLUMN as an O(1) metadata move: the physical column
@@ -2992,7 +3036,8 @@ actions.DropTable` for why clearing the live set on fold is
                     f"{from_snap.version} and v{to_snap.version} - the"
                     " change feed cannot continue past a DROP TABLE"
                     " (resync consumers from the recreate, if any)",
-                    version=to_snap.version,
+                    # no recreate at to_version: no resync point exists
+                    version=0,
                 )
             raise TableNotFoundError(table)
         fb = from_snap.born.get(table)

@@ -73,7 +73,9 @@ class TableDroppedError(EngineError):
     by the change feed when the requested range crosses the drop and
     by the streaming source when a tailing stream reaches the drop
     record — named, never a silent empty diff or a wedged stream.
-    ``version`` is the drop commit's version when known (0 = unknown)."""
+    ``version`` is the RESYNC point: the recreate's birth version when
+    one exists (start new consumers there), else 0 (no recreate — there
+    is nowhere to resync to)."""
 
     def __init__(self, message: str, version: int = 0) -> None:
         super().__init__(message)

@@ -627,3 +627,61 @@ def test_snapshot_branch_guards_post_pin_drop(spark, tmp_path):
     # a reader pinned AFTER the recreate streams the new lineage fine
     reader2 = EngineTableStreamReader(root, {"table": "t"})
     assert reader2.partitions({"version": -1}, {"version": latest})
+
+
+def test_drop_cleans_bucketed_scan_registration(spark, tmp_path):
+    """The bucketed-scan catalog registration and its hard-linked area
+    die with the table — without the cleanup spark.table() kept
+    serving the dropped rows and the links pinned vacuumed bytes
+    (r13 review catch)."""
+    c = DeltaLakeClient(spark, str(tmp_path), dataobject_size=4)
+    c.new_tx()
+    c.create_table("bt", "k BIGINT, v BIGINT", bucket_by=(["k"], 4))
+    for i in range(8):
+        c.write_row("bt", [i, i * 10])
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan_bucketed("bt").count() == 8
+    cat_name, _area = c._bucket_scans["bt"]
+    assert spark.catalog.tableExists(cat_name)
+    c.drop_table("bt")
+    assert "bt" not in c._bucket_scans
+    assert not spark.catalog.tableExists(cat_name)
+    c.commit_tx()
+
+
+def test_undrop_of_uncommitted_drop_names_the_remedy(spark, tmp_path):
+    from delta_lake_experiment_spark.errors import TypeMismatchError
+
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.commit_tx()
+    c.new_tx()
+    c.drop_table("t")
+    with pytest.raises(TypeMismatchError, match="UNCOMMITTED"):
+        c.undrop_table("t")
+    c.abort_tx()
+
+
+def test_rename_migrates_reserved_identity_blocks(spark, tmp_path):
+    """A reserved block follows a column rename: left under the old
+    name the durably committed advance would silently strand
+    (r13 review catch)."""
+    c = DeltaLakeClient(spark, str(tmp_path), dataobject_size=100)
+    c.new_tx()
+    c.create_table(
+        "t", "id BIGINT, v STRING", identity={"id": {"start": 1, "step": 1}}
+    )
+    c.commit_tx()
+    assert c.reserve_identity("t", "id", 10) == (1, 10)
+    c.new_tx()
+    c.rename_column("t", "id", "uid")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [None, "a"])
+    c.commit_tx()
+    c.new_tx()
+    row = c.scan("t", with_stamps=False).collect()[0]
+    c.abort_tx()
+    assert row.uid == 1  # minted from the migrated block, not high+1
