@@ -2384,19 +2384,24 @@ actions.DropTable` for why clearing the live set on fold is
             }
         )
         if dv_names:
-            obj_name = F.concat(
-                F.lit(f"table_{table}_"),
-                F.regexp_extract(
-                    F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
-                    r"part-\d+-([0-9a-f]+)_\d+\.c000\.parquet",
-                    1,
-                ),
-                F.lit(".parquet"),
+            # join key = the object's uuid4 HEX id, extracted from BOTH
+            # sides (globally unique across tables). Reconstructing the
+            # full object name as table_<table>_<hex> was WRONG for
+            # clones: a clone's live objects keep the SOURCE's name
+            # prefix, so the rebuilt key matched nothing and every
+            # DV-deleted row resurrected in the clone's bucketed scan
+            # (r13 review repro)
+            obj_name = F.regexp_extract(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+                r"part-\d+-([0-9a-f]+)_\d+\.c000\.parquet",
+                1,
             )
             dv_df = (
                 self.spark.read.parquet(*[self.store.path_of(x) for x in dv_names])
                 .select(
-                    F.col("obj").alias("__dv_obj"),
+                    F.regexp_extract(
+                        F.col("obj"), r"_([0-9a-f]+)\.parquet$", 1
+                    ).alias("__dv_obj"),
                     F.col("row_idx").alias("__dv_ridx"),
                 )
             )

@@ -207,3 +207,39 @@ def test_point_delete_uses_bucket_pruning_and_stays_correct(spark, store_dir):
     exp = sorted((k, v) for k, v in rows if k != 7)
     assert got == exp
     c2.abort_tx()
+
+
+def test_bucketed_scan_of_clone_honors_shared_dv_masks(spark, store_dir):
+    """r13 review repro (pre-existing wrong answer): scan_bucketed
+    rebuilt the DV anti-join key as table_<CURRENT>_<hex>, but a
+    clone's live objects keep the SOURCE's name prefix — the key
+    matched nothing and every DV-deleted row RESURRECTED in the
+    clone's bucketed scan. The join now keys on the object's globally
+    unique hex id extracted from both sides."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    c.create_table("src", "k BIGINT, v BIGINT", bucket_by=(["k"], 4))
+    for i in range(12):
+        c.write_row("src", [i, i * 10])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("src", "k", 3, 7, use_dv=True)
+    c.commit_tx()
+    c.new_tx()
+    c.clone_table("src", "dst")
+    c.commit_tx()
+    c.new_tx()
+    want = sorted(r.k for r in c.scan("dst", with_stamps=False).collect())
+    assert want == [0, 1, 2, 8, 9, 10, 11]
+    got = sorted(
+        r.k for r in c.scan_bucketed("dst", with_stamps=False).collect()
+    )
+    assert got == want  # masks honored through the shared objects
+    # the source's own bucketed scan stays correct too
+    got_src = sorted(
+        r.k for r in c.scan_bucketed("src", with_stamps=False).collect()
+    )
+    assert got_src == want
+    c.abort_tx()
