@@ -2970,6 +2970,30 @@ actions.DropTable` for why clearing the live set on fold is
             )
         return len(objs)
 
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE old RENAME TO new — an atomic composition of the
+        two verbs that already do the work: a zero-copy shallow CLONE
+        to the new name (schema, declarations, identity high-water
+        marks, column mapping, live objects, DV masks — O(files)
+        metadata, zero data movement) plus an O(1) DROP of the old
+        name, in ONE commit. First-committer-wins applies to both
+        names; any concurrent same-table commit on either conflicts.
+
+        Log-structured rename semantics (documented, Delta-adjacent):
+        history rides the NAMES. Time travel below the rename reads the
+        OLD name (until vacuum_log reclaims it); the new name's history
+        and feed lineage START at the rename commit. Streams and change
+        feeds positioned on the old name end with the named
+        :class:`TableDroppedError` — a name-based consumer cannot
+        silently follow a rename (Delta's rename breaks path/name-based
+        consumers the same way). Reserved identity blocks held by any
+        client against the old name die with its lineage (in-contract
+        gaps); re-reserve under the new name.
+        """
+        self._require_tx()
+        self.clone_table(old, new)
+        self.drop_table(old)
+
     def overwrite_table(self, table: str, df: DataFrame) -> None:
         """INSERT OVERWRITE: atomically replace the table's contents
         with ``df`` in this transaction — a remove action for every
@@ -3235,6 +3259,7 @@ actions.DropTable` for why clearing the live set on fold is
             Merge,
             Optimize,
             OptimizeSketch,
+            RenameTableStmt,
             Restore,
             UndropTableStmt,
             Update,
@@ -3375,6 +3400,8 @@ actions.DropTable` for why clearing the live set on fold is
             self.drop_table(stmt.table)
         elif isinstance(stmt, UndropTableStmt):
             self.undrop_table(stmt.table)
+        elif isinstance(stmt, RenameTableStmt):
+            self.rename_table(stmt.old, stmt.new)
         return None
 
     def insert_into(self, table: str, source: Union[str, DataFrame]) -> None:

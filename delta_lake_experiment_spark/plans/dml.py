@@ -161,6 +161,10 @@ _ALTER_RENAME_RE = re.compile(
     rf"\s+TO\s+({_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
+_ALTER_RENAME_TABLE_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RENAME\s+TO\s+({_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _ALTER_DROP_RE = re.compile(
     rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+COLUMN\s+({_IDENT})\s*;?\s*$",
     re.IGNORECASE,
@@ -446,6 +450,13 @@ class UndropTableStmt:
 
 
 @dataclass
+class RenameTableStmt:
+    # ALTER TABLE a RENAME TO b: atomic zero-copy clone + drop
+    old: str
+    new: str
+
+
+@dataclass
 class UpgradeProtocol:
     # ALTER TABLE t UPGRADE PROTOCOL (...): pre-stamp features before
     # a fleet migration (routed to client.upgrade_protocol; log-wide)
@@ -661,6 +672,9 @@ def parse_dml(sql: str):
         m = _ALTER_RENAME_RE.match(sql)
         if m:
             return AlterRenameColumn(table=m.group(1), old=m.group(2), new=m.group(3))
+        m = _ALTER_RENAME_TABLE_RE.match(sql)
+        if m:
+            return RenameTableStmt(old=m.group(1), new=m.group(2))
         m = _ALTER_DROP_RE.match(sql)
         if m:
             return AlterDropColumn(table=m.group(1), column=m.group(2))
@@ -683,8 +697,8 @@ def parse_dml(sql: str):
             "ALTER supports exactly: ALTER TABLE t RENAME COLUMN a TO b | "
             "DROP COLUMN a | ALTER COLUMN a TYPE ty | ALTER COLUMN a "
             "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...) | SYNC IDENTITY | "
-            "UPGRADE PROTOCOL (READER FEATURES (f,...), WRITER FEATURES "
-            "(f,...))"
+            "RENAME TO t2 | UPGRADE PROTOCOL (READER FEATURES (f,...), "
+            "WRITER FEATURES (f,...))"
         )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)

@@ -685,3 +685,54 @@ def test_rename_migrates_reserved_identity_blocks(spark, tmp_path):
     row = c.scan("t", with_stamps=False).collect()[0]
     c.abort_tx()
     assert row.uid == 1  # minted from the migrated block, not high+1
+
+
+def test_rename_table_is_atomic_clone_plus_drop(spark, tmp_path):
+    """ALTER TABLE RENAME TO: one commit moves the name — zero data
+    movement, declarations + DV masks + identity marks carried, old
+    name gone, old-name history still time-travelable below the
+    rename."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root, dataobject_size=4)
+    c.new_tx()
+    c.create_table(
+        "src", "id BIGINT, k BIGINT",
+        identity={"id": {"start": 1, "step": 1}},
+        bucket_by=(["k"], 4),
+    )
+    for i in range(8):
+        c.write_row("src", [None, i])
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("src", "k", 2, 3, use_dv=True)
+    c.commit_tx()
+    v_before = replay_log(c.store).version
+    n_data = len(c.store.list_prefix_ordered("table_"))
+    c.new_tx()
+    c.execute("ALTER TABLE src RENAME TO dst")
+    c.commit_tx()
+    # zero data movement: not one new data object
+    assert len(c.store.list_prefix_ordered("table_")) == n_data
+    snap = replay_log(c.store)
+    assert "src" not in snap.tables and "dst" in snap.tables
+    c.new_tx()
+    rows = {r.k: r.id for r in c.scan("dst", with_stamps=False).collect()}
+    assert set(rows) == {0, 1, 4, 5, 6, 7}  # DV masks carried
+    # bucketed scan honors the carried masks through the shared
+    # (old-prefix-named) objects — the r13 hex-key fix in action
+    bk = sorted(
+        r.k for r in c.scan_bucketed("dst", with_stamps=False).collect()
+    )
+    assert bk == [0, 1, 4, 5, 6, 7]
+    # identity mark carried: the next mint continues, never re-mints
+    c.write_row("dst", [None, 99])
+    c.commit_tx()
+    c.new_tx()
+    ids = [r.id for r in c.scan("dst", with_stamps=False).collect()]
+    assert len(set(ids)) == 7 and max(ids) == 9
+    with pytest.raises(TableNotFoundError):
+        c.scan("src")
+    c.abort_tx()
+    # old-name history below the rename still reads
+    old = replay_log(c.store, as_of=v_before)
+    assert "src" in old.tables and len(old.live_objects("src")) >= 1
