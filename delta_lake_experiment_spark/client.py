@@ -1052,7 +1052,18 @@ actions.DropTable` for why clearing the live set on fold is
         before the loud not-found error — checkpoint boundary states
         cannot prune the search, because a create+drop (or
         drop+recreate+drop) entirely inside one checkpoint window is
-        invisible at both boundaries."""
+        invisible at both boundaries.
+
+        RE-REFERENCE race (shared with :meth:`restore_table`; Delta's
+        RESTORE+VACUUM have the same window): this commit re-references
+        objects that are UNREFERENCED until it lands, so a concurrent
+        ``vacuum`` can reclaim them between the existence probe and the
+        commit — vacuum's ``min_age_seconds`` guard covers young
+        objects of in-flight WRITES, not old objects of in-flight
+        re-references. The failure is loud (the probe, or the first
+        scan's missing-file error), never silent; the operational rule
+        is the one vacuum already documents: recovery operations and
+        GC share one maintenance lane, not a race."""
         tx = self._require_tx()
         snap = self._effective_snapshot(tx)
         if table in snap.tables or table in tx.new_tables:
@@ -4188,7 +4199,12 @@ actions.DropTable` for why clearing the live set on fold is
         so ordering semantics restore exactly) and its deletion-vector
         masks. The restore itself is a new version — restoring is
         undoable by another restore. Requires the restored objects to
-        still exist (i.e. not vacuumed past ``version``)."""
+        still exist (i.e. not vacuumed past ``version``); like
+        :meth:`undrop_table` it RE-REFERENCES objects that are
+        unreferenced until the commit lands, so it races a concurrent
+        ``vacuum`` (loud failure, never silent — see undrop_table's
+        re-reference note; recovery ops and GC share one maintenance
+        lane)."""
         tx = self._require_tx()
         old = replay_log(self.store, as_of=version)
         if table not in old.tables:
