@@ -3001,8 +3001,22 @@ actions.DropTable` for why clearing the live set on fold is
         client against the old name die with its lineage (in-contract
         gaps); re-reserve under the new name.
         """
-        self._require_tx()
+        tx = self._require_tx()
         self.clone_table(old, new)
+        # migrate tx-local CONTINUATION state before drop_table purges
+        # it (review catch): a pending identity high-water advance from
+        # a same-tx mint must re-key to the new name — dropped, the
+        # advance is silently lost and the next insert re-mints
+        # duplicate GENERATED ALWAYS ids (rename_column migrates for
+        # the same reason). Likewise the row-stamp cursor: a later
+        # same-tx write to the new name must not restart _row_idx at 0
+        # and collide with the stamps the cloned objects already carry
+        # at this tx id (stamp uniqueness is what newest-first ordering
+        # and latest-version-wins key on).
+        for key in [k for k in tx.identity_hwm if k[0] == old]:
+            tx.identity_hwm[(new, key[1])] = tx.identity_hwm.pop(key)
+        if old in tx.next_idx:
+            tx.next_idx[new] = tx.next_idx.pop(old)
         self.drop_table(old)
 
     def overwrite_table(self, table: str, df: DataFrame) -> None:

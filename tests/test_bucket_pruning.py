@@ -216,8 +216,6 @@ def test_bucketed_scan_of_clone_honors_shared_dv_masks(spark, store_dir):
     matched nothing and every DV-deleted row RESURRECTED in the
     clone's bucketed scan. The join now keys on the object's globally
     unique hex id extracted from both sides."""
-    from delta_lake_experiment_spark.client import DeltaLakeClient
-
     c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
     c.new_tx()
     c.create_table("src", "k BIGINT, v BIGINT", bucket_by=(["k"], 4))

@@ -736,3 +736,39 @@ def test_rename_table_is_atomic_clone_plus_drop(spark, tmp_path):
     # old-name history below the rename still reads
     old = replay_log(c.store, as_of=v_before)
     assert "src" in old.tables and len(old.live_objects("src")) >= 1
+
+
+def test_rename_table_same_tx_mint_and_write_continuations(spark, tmp_path):
+    """r13 review catch: a rename in the SAME tx as identity mints must
+    carry the pending high-water advance to the new name (dropped, the
+    next insert silently re-mints duplicate GENERATED ALWAYS ids), and
+    a post-rename write in the same tx must continue the _row_idx
+    cursor (a restart at 0 would collide with the cloned objects'
+    stamps at this tx id)."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root, dataobject_size=100)
+    c.new_tx()
+    c.create_table(
+        "t", "id BIGINT, v STRING", identity={"id": {"start": 1, "step": 1}}
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [None, "pre"])  # mints id=1; pending advance
+    c.flush_buffer("t")
+    c.rename_table("t", "u")
+    c.write_row("u", [None, "post"])  # same tx, post-rename: id=2
+    c.commit_tx()
+    c.new_tx()
+    rows = {r.v: r.id for r in c.scan("u", with_stamps=False).collect()}
+    assert rows == {"pre": 1, "post": 2}
+    # the advance was PUBLISHED: a fresh client's insert mints 3, not 1
+    c.write_row("u", [None, "next"])
+    c.commit_tx()
+    c.new_tx()
+    rows = {r.v: r.id for r in c.scan("u", with_stamps=False).collect()}
+    assert rows == {"pre": 1, "post": 2, "next": 3}
+    # stamp uniqueness held across the same-tx rename+write: per-key
+    # latest-wins resolution stays deterministic
+    stamped = c.scan("u").select("_tx_id", "_row_idx").collect()
+    assert len({(r._tx_id, r._row_idx) for r in stamped}) == len(stamped)
+    c.abort_tx()
