@@ -214,3 +214,57 @@ def test_multiprocess_mixed_appends_and_deletes(tmp_path):
         if not (i % 2 == 0 and i + 1 < N_COMMITS and j < 2)
     )
     assert sorted(keys) == want
+
+
+def _drop_churn_writer(root: str, wid: int, q) -> None:
+    try:
+        c = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+        for i in range(3):
+            table = f"churn{wid}"
+
+            def _create(cl):
+                cl.create_table(table, "k BIGINT, v BIGINT")
+                for j in range(ROWS_PER_COMMIT):
+                    cl.write_row(table, [wid * 10_000 + i * 100 + j, i])
+
+            c.run_tx(_create, retries=200)
+
+            def _append(cl):
+                cl.write_row("survivor", [wid * 10_000 + i, wid])
+
+            c.run_tx(_append, retries=200)
+            c.run_tx(lambda cl: cl.drop_table(table), retries=200)
+        q.put((wid, "ok"))
+    except BaseException as e:  # pragma: no cover
+        q.put((wid, f"{type(e).__name__}: {e}"))
+
+
+def test_multiprocess_drop_churn(tmp_path):
+    """4 processes x 3 create/append/drop cycles against one store:
+    every worker's churn table ends dropped, the shared survivor table
+    loses nothing, and the racing FIRST-drop protocol pre-stamps
+    converge to exactly ONE dropTable protocol record (the
+    _commit_protocol_record put-if-absent loop under real contention)."""
+    root = str(tmp_path / "store")
+    seed = DeltaLakeClient(_NoSpark(), root, checkpoint_interval=0)
+    seed.new_tx()
+    seed.create_table("survivor", "k BIGINT, v BIGINT")
+    seed.commit_tx()
+    _run_workers(_drop_churn_writer, root)
+    store = LocalObjectStorage(root)
+    snap = replay_log(store)
+    assert set(snap.tables) == {"survivor"}
+    rows = sum(o.num_rows for o in snap.live_objects("survivor"))
+    assert rows == N_WRITERS * 3  # one append per cycle, none lost
+    n_stamps = sum(
+        1
+        for name in store.list_prefix_ordered(LOG_PREFIX)
+        for a in json.loads(store.read(name)).get("actions", [])
+        if "protocol" in a and "dropTable" in a["protocol"].get("rf", [])
+    )
+    assert n_stamps == 1
+    # the dropped tables' data is unreferenced: vacuum reclaims it all
+    deleted = seed.vacuum(retain_versions=0)
+    assert deleted >= N_WRITERS * 3  # every churn cycle left >=1 object
+    left = set(store.list_prefix_ordered("table_"))
+    assert left == {o.name for o in replay_log(store).live_objects("survivor")}
