@@ -28,8 +28,13 @@ op_scan = st.tuples(st.just("scan"), st.just(0), st.just(0))
 # DROP + recreate under the same name: the model simply empties — old
 # rows, buffered rows, and DV masks must never resurrect (r13 verb)
 op_drop = st.tuples(st.just("drop"), st.just(0), st.just(0))
+# RENAME flips the episode between two names: the model is UNCHANGED —
+# every row and DV mask must survive the move verbatim (r13 verb)
+op_rename = st.tuples(st.just("rename"), st.just(0), st.just(0))
 OPS = st.lists(
-    st.one_of(op_write, op_delete, op_delete_dv, op_scan, op_drop),
+    st.one_of(
+        op_write, op_delete, op_delete_dv, op_scan, op_drop, op_rename
+    ),
     min_size=1,
     max_size=25,
 )
@@ -48,28 +53,37 @@ def test_engine_matches_dict_model(spark, ops):
     c.commit_tx()
 
     model: dict[int, int] = {}
+    name = "kv"
     c.new_tx()
     for kind, a, b in ops:
         if kind == "write":
-            c.write_row("kv", [a, b])
+            c.write_row(name, [a, b])
             model[a] = b
         elif kind in ("delete", "delete_dv"):
             # COW rewrite and deletion-vector soft delete must be
             # indistinguishable to every scan — same model transition
             lo, hi = min(a, b), max(a, b)
-            c.delete_rows("kv", "k", lo, hi, use_dv=(kind == "delete_dv"))
+            c.delete_rows(name, "k", lo, hi, use_dv=(kind == "delete_dv"))
             for k in [k for k in model if lo <= k <= hi]:
                 del model[k]
         elif kind == "drop":
             # drop + same-tx recreate: fresh lineage, empty state —
             # nothing from before (committed rows, buffered rows, DV
             # masks) may survive into the recreate
-            c.drop_table("kv")
-            c.create_table("kv", "k BIGINT, v BIGINT")
+            c.drop_table(name)
+            c.create_table(name, "k BIGINT, v BIGINT")
             model.clear()
+        elif kind == "rename":
+            # clone+drop under the hood; the MODEL is unchanged —
+            # every row and mask must move verbatim (buffered rows
+            # flush first: clone refuses half-buffered state)
+            other = "kv_b" if name == "kv" else "kv"
+            c.flush_buffer(name)
+            c.rename_table(name, other)
+            name = other
         else:  # scan inside the open tx: first-seen-per-key wins
             seen: dict[int, int] = {}
-            for k, v in c.scan_iter("kv"):
+            for k, v in c.scan_iter(name):
                 seen.setdefault(k, v)
             assert seen == model, f"mid-tx scan diverged after {ops}"
             # split the episode across a commit boundary
@@ -79,7 +93,7 @@ def test_engine_matches_dict_model(spark, ops):
     c.commit_tx()
     c.new_tx()
     seen = {}
-    for k, v in c.scan_iter("kv"):
+    for k, v in c.scan_iter(name):
         seen.setdefault(k, v)
     c.commit_tx()
     assert seen == model
