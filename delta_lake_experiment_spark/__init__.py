@@ -25,10 +25,14 @@ from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.errors import (
     ConcurrentCommitError,
     ExistingTxError,
+    HistoryTruncatedError,
     NoTxError,
+    TableDroppedError,
     TableExistsError,
     TableNotFoundError,
     TypeMismatchError,
+    UnsupportedCheckpointError,
+    UnsupportedTableFeatureError,
 )
 from delta_lake_experiment_spark.storage.objectstore import LocalObjectStorage, ObjectStorage
 
@@ -38,10 +42,14 @@ __all__ = [
     "ObjectStorage",
     "ConcurrentCommitError",
     "ExistingTxError",
+    "HistoryTruncatedError",
     "NoTxError",
+    "TableDroppedError",
     "TableExistsError",
     "TableNotFoundError",
     "TypeMismatchError",
+    "UnsupportedCheckpointError",
+    "UnsupportedTableFeatureError",
 ]
 
 __version__ = "0.1.0"
