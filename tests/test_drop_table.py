@@ -805,3 +805,48 @@ def test_lineage_detection_survives_checkpoint_and_truncation(
     # the from-replay itself raises the truncation error - also loud.
     # Use the checkpointed horizon (v8) for the in-lineage feed:
     assert c.scan_changes("t", 8).count() >= 1
+
+
+def test_masked_writer_cannot_commit_a_drop(tmp_path):
+    """Writer-side gate: once dropTable is stamped, a client masked of
+    the WRITER feature can still read but its drop commit raises the
+    named error and publishes no record."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()  # stamps dropTable rf+wf
+    w = _client(root)
+    n_logs = len(w.store.list_prefix_ordered(LOG_PREFIX))
+    with protomod.masked_features(writer={"dropTable"}):
+        w.new_tx()
+        assert "keep" in w.tx.snapshot.tables  # reads fine
+        w.drop_table("keep")
+        with pytest.raises(UnsupportedTableFeatureError) as ei:
+            w.commit_tx()
+        assert ei.value.kind == "writer"
+        assert "dropTable" in ei.value.features
+    assert len(w.store.list_prefix_ordered(LOG_PREFIX)) == n_logs
+    assert "keep" in replay_log(w.store).tables
+
+
+def test_concurrent_undrops_first_committer_wins(tmp_path):
+    """Two clients racing to undrop the same table: the loser's commit
+    conflicts (same-table metadata), never a double-restore."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    a = _client(root)
+    b = _client(root)
+    a.new_tx()
+    b.new_tx()
+    assert a.undrop_table("t") >= 1
+    assert b.undrop_table("t") >= 1
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_tx()
+    snap = replay_log(c.store)
+    assert "t" in snap.tables
+    assert len(snap.live_objects("t")) >= 1
