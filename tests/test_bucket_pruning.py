@@ -241,3 +241,36 @@ def test_bucketed_scan_of_clone_honors_shared_dv_masks(spark, store_dir):
     )
     assert got_src == want
     c.abort_tx()
+
+
+def test_bucketed_scan_after_restore_honors_dv_masks(spark, store_dir):
+    """Feature-composition gate (r13 probe battery): RESTORE back to a
+    DV-masked version of a bucketed table — the re-attached masks must
+    be honored by the bucketed scan (the restore's remove+re-add
+    resets, then the mask re-adds, compose with the hex-key join)."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT", bucket_by=(["k"], 4))
+    for i in range(12):
+        c.write_row("t", [i, i])
+    c.commit_tx()  # v1
+    c.new_tx()
+    c.delete_rows("t", "k", 3, 7, use_dv=True)
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 1)
+    c.commit_tx()  # v3: COW past the DV state
+    c.new_tx()
+    c.restore_table("t", 2)
+    c.commit_tx()
+    c.new_tx()
+    want = [0, 1, 2, 8, 9, 10, 11]
+    assert sorted(
+        r.k for r in c.scan("t", with_stamps=False).collect()
+    ) == want
+    assert sorted(
+        r.k for r in c.scan_bucketed("t", with_stamps=False).collect()
+    ) == want
+    c.abort_tx()

@@ -2418,3 +2418,79 @@ def test_refresh_view_not_fooled_by_lazy_checkpoints(
     }
     c.abort_tx()
     assert got.get("g9") == (1, 1000.0)
+
+
+def test_scan_changes_applies_stamp_gated_defaults(spark, store_dir):
+    """Feature-composition gate (r13 probe battery): the change feed
+    reads rows in the TO-version logical shape, so a pre-birth row
+    crossing the feed must carry its stamp-gated DEFAULT — in both the
+    insert direction and the delete direction."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.write_row("t", [1])
+    c.commit_tx()  # v1: pre-birth row
+    c.new_tx()
+    c.add_columns("t", "v STRING DEFAULT 'dft'")
+    c.commit_tx()  # v2
+    c.new_tx()
+    c.write_row("t", [2, "real"])
+    c.commit_tx()  # v3
+    ch = c.scan_changes("t", 2, 3).select("k", "v", "_change_type").collect()
+    assert sorted((r.k, r.v, r._change_type) for r in ch) == [
+        (2, "real", "insert")
+    ]
+    c.new_tx()
+    c.delete_rows("t", "k", 1, 1)
+    c.commit_tx()  # v4: the pre-birth row leaves through the feed
+    ch = c.scan_changes("t", 3, 4).select("k", "v", "_change_type").collect()
+    assert sorted((r.k, r.v, r._change_type) for r in ch) == [
+        (1, "dft", "delete")
+    ]
+
+
+def test_overwrite_table_continues_identity_mark(spark, store_dir):
+    """Feature-composition gate (r13 probe battery): INSERT OVERWRITE
+    on an identity table mints fresh ids for the new rows and the mark
+    CONTINUES across the overwrite — post-overwrite inserts never
+    re-mint a replaced row's id."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=100)
+    c.new_tx()
+    c.create_table(
+        "t", "id BIGINT, v STRING", identity={"id": {"start": 1, "step": 1}}
+    )
+    for i in range(3):
+        c.write_row("t", [None, f"a{i}"])
+    c.commit_tx()
+    c.new_tx()
+    c.overwrite_table(
+        "t", spark.createDataFrame([("x",), ("y",)], "v STRING")
+    )
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("t", [None, "z"])
+    c.commit_tx()
+    c.new_tx()
+    rows = {r.v: r.id for r in c.scan("t", with_stamps=False).collect()}
+    c.abort_tx()
+    assert set(rows) == {"x", "y", "z"}
+    assert len(set(rows.values())) == 3
+    assert rows["z"] > max(rows["x"], rows["y"])
+
+
+def test_clone_enforces_copied_check_constraints(spark, store_dir):
+    """Feature-composition gate (r13 probe battery): a clone's copied
+    CHECK constraints are ENFORCED on writes into the clone."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT", checks={"pos": "k > 0"})
+    c.write_row("t", [5])
+    c.commit_tx()
+    c.new_tx()
+    c.clone_table("t", "u")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("u", [-1])
+    with pytest.raises(Exception, match="CHECK constraint 'pos'"):
+        c.flush_buffer("u")
+    c.abort_tx()
