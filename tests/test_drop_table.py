@@ -35,6 +35,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.errors import (
     ConcurrentCommitError,
@@ -850,3 +852,189 @@ def test_concurrent_undrops_first_committer_wins(tmp_path):
     snap = replay_log(c.store)
     assert "t" in snap.tables
     assert len(snap.live_objects("t")) >= 1
+
+
+class _ProbeCountingStore(LocalObjectStorage):
+    """Counts exists() probes and LIST calls — the meter for the
+    batched undrop probe (VERDICT r13 #1: recovery of a 10^3-file
+    table must cost O(prefixes) LISTs, never O(files) serial HEADs)."""
+
+    def __init__(self, root):
+        super().__init__(root)
+        self.exists_calls = 0
+        self.list_calls = 0
+
+    def reset(self):
+        self.exists_calls = 0
+        self.list_calls = 0
+
+    def exists(self, name):
+        self.exists_calls += 1
+        return super().exists(name)
+
+    def list_prefix_ordered(self, prefix, start_after=None):
+        self.list_calls += 1
+        return super().list_prefix_ordered(prefix, start_after=start_after)
+
+
+def test_undrop_probe_is_batched_lists_not_serial_heads(tmp_path):
+    """Undrop of a table with hundreds of data objects existence-probes
+    via prefix LISTs intersected against the expected set: ZERO
+    per-object exists() round trips on the happy path, and a bounded
+    handful of LIST calls regardless of file count."""
+    store = _ProbeCountingStore(str(tmp_path / "store"))
+    c = DeltaLakeClient(_NoSpark(), store)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    n_files = 200
+    for i in range(n_files):
+        c.new_tx()
+        c.write_row("t", [i, i * 10])
+        c.commit_tx()
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+
+    c.new_tx()
+    store.reset()
+    restored = c.undrop_table("t")
+    assert restored == n_files
+    assert store.exists_calls == 0, (
+        f"{store.exists_calls} serial HEADs — the probe must ride"
+        " prefix LISTs, not per-object exists()"
+    )
+    assert store.list_calls <= 8, f"{store.list_calls} LIST calls"
+    c.commit_tx()
+    c.new_tx()
+    assert len(c._effective_snapshot(c.tx).live_objects("t")) == n_files
+    c.abort_tx()
+
+
+def test_undrop_probe_covers_bloom_sidecars(spark, tmp_path):
+    """A bloom sidecar reclaimed behind undrop's back fails LOUDLY at
+    the up-front probe (VERDICT r13 #2) — never lazily at prune time."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT", bloom_columns=["k"])
+    c.commit_tx()
+    c.new_tx()
+    df = spark.range(120_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    ).coalesce(1)
+    c.write_dataframe("t", df)
+    c.commit_tx()
+    sidecars = c.store.list_prefix_ordered("bloomf_")
+    assert sidecars, "the 120K-value bloom must spill to a sidecar"
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    # simulate a raced vacuum that reclaimed ONLY the sidecar
+    c.store.delete(sidecars[0])
+    c.new_tx()
+    with pytest.raises(TableNotFoundError, match="reclaimed by vacuum"):
+        c.undrop_table("t")
+    c.abort_tx()
+
+
+def test_list_dropped_tables_discovery(tmp_path):
+    """SHOW DROPPED TABLES semantics: newest-first, newest drop of a
+    name recoverable, older incarnations shadowed, a recreated name
+    marked taken — all from ONE log walk, no data reads."""
+    root = str(tmp_path)
+    c = _client(root)
+    c.new_tx()
+    c.create_table("a", "k BIGINT")
+    c.create_table("b", "k BIGINT")
+    c.write_row("a", [1])
+    c.write_row("b", [2])
+    c.commit_tx()
+    c.new_tx()
+    c.drop_table("a")
+    c.commit_tx()
+    c.new_tx()
+    c.create_table("a", "x DOUBLE")  # recreate shadows the recovery
+    c.commit_tx()
+    c.new_tx()
+    c.drop_table("b")
+    c.commit_tx()
+
+    listing = c.list_dropped_tables()
+    assert [(d["table"], d["recoverable"]) for d in listing] == [
+        ("b", True),
+        ("a", False),
+    ]
+    assert "currently taken" in listing[1]["reason"]
+    assert listing[0]["reason"] is None
+    assert listing[0]["version"] > listing[1]["version"]
+    assert listing[0]["dropped_at"] is not None
+
+    # drop the recreate too: TWO drops of "a" — newest recoverable,
+    # the older incarnation shadowed
+    c.new_tx()
+    c.drop_table("a")
+    c.commit_tx()
+    listing = c.list_dropped_tables()
+    assert [(d["table"], d["recoverable"]) for d in listing] == [
+        ("a", True),
+        ("b", True),
+        ("a", False),
+    ]
+    assert "older incarnation" in listing[2]["reason"]
+
+
+def test_replayable_version_horizon():
+    """The metadata-only reconstructability judgment matches replay's
+    anchor + contiguity contract, including the truncated-history edge
+    SHOW DROPPED TABLES reports as non-recoverable."""
+    ok = DeltaLakeClient._replayable_version
+    # full history survives: genesis anchors everything
+    assert ok(5, {1, 2, 3, 4, 5}, [])
+    # truncated below a checkpoint: only states the checkpoint anchors
+    assert ok(5, {4, 5}, [3])
+    assert ok(3, {4, 5}, [3])  # the checkpoint state itself
+    assert not ok(2, {4, 5}, [3])  # below the horizon
+    # a gap between anchor and target breaks contiguity
+    assert not ok(5, {5}, [3])
+    # genesis (empty v0) needs nothing
+    assert ok(0, set(), [])
+
+
+def test_undrop_typo_error_names_recoverable_drops(tmp_path):
+    """A typo'd UNDROP walks the full log anyway — the error must hand
+    back the discovery answer it already computed."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TableNotFoundError, match=r"Dropped tables.*'t'"):
+        c.undrop_table("tt")  # the typo
+    c.abort_tx()
+
+
+def test_sql_show_dropped_tables(spark, tmp_path):
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.execute("CREATE TABLE t (k BIGINT)")
+    c.execute("INSERT INTO t SELECT 7 AS k")
+    c.commit_tx()
+    c.new_tx()
+    c.execute("DROP TABLE t")
+    c.commit_tx()
+    df = c.execute("SHOW DROPPED TABLES")
+    assert df.columns == [
+        "table", "version", "dropped_at", "recoverable", "reason",
+    ]
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].table == "t" and rows[0].recoverable
+    # tx-optional, like DESCRIBE HISTORY: works with no open tx
+    assert c.tx is None
+    # and a plain SHOW over the views still routes to Catalyst
+    c.new_tx()
+    c.execute("UNDROP TABLE t")
+    c.commit_tx()
+    assert c.execute("SHOW DROPPED TABLES").collect()[0].recoverable is False
