@@ -914,6 +914,47 @@ class DeltaLakeClient:
             )
         )
 
+    def create_or_replace_table(
+        self,
+        table: str,
+        schema: Union[str, T.StructType],
+        **declarations: Any,
+    ) -> None:
+        """CREATE OR REPLACE TABLE (Delta's verb): atomic
+        drop-if-exists + fresh-lineage create in ONE commit — readers
+        see the old table or the new one, never a window where the
+        name is missing. A trivial composition of the lifecycle verbs
+        the log already has (RENAME composes clone+drop the same way):
+        the commit carries the O(1) ``drop`` action followed by the
+        new authoritative metadata.
+
+        Consequences are exactly drop + create: the replacement is a
+        FRESH lineage (new column mapping, identity marks, reset
+        declarations — nothing of the old incarnation survives, not
+        even with an identical schema), vacuum reclaims the old data
+        objects after retention, time travel below the replace still
+        reads the old incarnation, and a tailing stream or change feed
+        positioned on the old lineage raises the named
+        :class:`TableDroppedError` instead of silently splicing the
+        new rows. Replacing a MISSING table is a plain create (Delta's
+        contract; no drop record is written). Concurrency: the replace
+        conflicts first-committer-wins with any same-table commit,
+        like every metadata change.
+
+        ``declarations`` forwards to :meth:`create_table`
+        (primary_keys, bloom_columns, cluster_by, bucket_by, checks,
+        not_null, generated, identity)."""
+        tx = self._require_tx()
+        dropped_in_tx = {
+            a.table for a in tx.actions if isinstance(a, DropTable)
+        }
+        exists = table in tx.new_tables or (
+            table in tx.snapshot.tables and table not in dropped_in_tx
+        )
+        if exists:
+            self.drop_table(table)
+        self.create_table(table, schema, **declarations)
+
     def drop_table(self, table: str) -> None:
         """DROP TABLE: remove ``table`` from the lake.
 
@@ -3601,7 +3642,12 @@ actions.DropTable` for why clearing the live set on fold is
                 when_not_matched=stmt.when_not_matched,
             )
         elif isinstance(stmt, CreateTable):
-            self.create_table(
+            creator = (
+                self.create_or_replace_table
+                if stmt.or_replace
+                else self.create_table
+            )
+            creator(
                 stmt.table,
                 stmt.schema_ddl,
                 primary_keys=stmt.primary_keys or None,

@@ -99,7 +99,7 @@ _MERGE_CLAUSE_RE = re.compile(
 )
 _COLLIST = rf"\(\s*{_IDENT}(?:\s*,\s*{_IDENT})*\s*\)"
 _CREATE_RE = re.compile(
-    rf"^\s*CREATE\s+TABLE\s+({_IDENT})\s*\((.+?)\)\s*"
+    rf"^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+({_IDENT})\s*\((.+?)\)\s*"
     rf"(?:PRIMARY\s+KEY\s*({_COLLIST})\s*)?"
     rf"(?:BLOOM\s*({_COLLIST})\s*)?"
     rf"(?:CLUSTER\s+BY\s*({_COLLIST})\s*)?"
@@ -333,6 +333,9 @@ class CreateTable:
     # IDENTITY (col [START WITH n] [INCREMENT BY n], ...): minted
     # BIGINT sequences — col -> {"start", "step"}
     identity: dict = field(default_factory=dict)
+    # CREATE OR REPLACE TABLE: atomic drop-if-exists + create in one
+    # commit (routed to client.create_or_replace_table)
+    or_replace: bool = False
 
 
 @dataclass
@@ -568,19 +571,21 @@ def parse_dml(sql: str):
         m = _CREATE_RE.match(sql)
         if not m:
             raise UnsupportedSqlError(
-                "CREATE supports exactly: CREATE TABLE t (<ddl>) "
+                "CREATE supports exactly: CREATE [OR REPLACE] TABLE t "
+                "(<ddl>) "
                 "[PRIMARY KEY (c,...)] [BLOOM (c,...)] [CLUSTER BY (c,...)] "
                 "[IDENTITY (c [START WITH n] [INCREMENT BY n], ...)] "
                 "[GENERATED (c AS expr, ...)]"
             )
         return CreateTable(
-            table=m.group(1),
-            schema_ddl=m.group(2).strip(),
-            primary_keys=_cols(m.group(3)) if m.group(3) else [],
-            bloom_columns=_cols(m.group(4)) if m.group(4) else [],
-            cluster_by=_cols(m.group(5)) if m.group(5) else [],
-            identity=_parse_identity(m.group(6)) if m.group(6) else {},
-            generated=_parse_generated(m.group(7)) if m.group(7) else {},
+            table=m.group(2),
+            schema_ddl=m.group(3).strip(),
+            primary_keys=_cols(m.group(4)) if m.group(4) else [],
+            bloom_columns=_cols(m.group(5)) if m.group(5) else [],
+            cluster_by=_cols(m.group(6)) if m.group(6) else [],
+            identity=_parse_identity(m.group(7)) if m.group(7) else {},
+            generated=_parse_generated(m.group(8)) if m.group(8) else {},
+            or_replace=bool(m.group(1)),
         )
     if head == "OPTIMIZE":
         m = _OPTIMIZE_SKETCH_RE.match(sql)

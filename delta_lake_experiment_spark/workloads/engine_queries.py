@@ -1924,7 +1924,12 @@ def engine_drop_table(spark: SparkSession, sf_dir: str) -> DataFrame:
        prefix counts drop to exactly the survivor's live set);
     4. recreate under the same name is a FRESH lineage: different
        schema, only the new rows read back, and the change feed
-       refuses to splice across the drop with TableDroppedError.
+       refuses to splice across the drop with TableDroppedError. The
+       recreate drives BOTH ``CREATE OR REPLACE`` branches (r14):
+       missing name = plain create, live name = atomic drop+create in
+       ONE commit — and ``list_dropped_tables`` (SHOW DROPPED TABLES)
+       reports the replaced incarnation as taken and the original drop
+       as an older incarnation.
 
     The returned aggregate composes BOTH lineal outcomes: the
     survivor's per-status totals (scanned through the engine after the
@@ -1939,7 +1944,10 @@ def engine_drop_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         UnsupportedTableFeatureError,
     )
     from delta_lake_experiment_spark.functions.numeric import exact_sum
-    from delta_lake_experiment_spark.plans.snapshot import replay_log
+    from delta_lake_experiment_spark.plans.snapshot import (
+        LOG_PREFIX,
+        replay_log,
+    )
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -2014,9 +2022,23 @@ def engine_drop_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if c.store.list_prefix_ordered("dv_"):
         raise RuntimeError("vacuum left the dropped table's DV masks")
 
-    # recreate: fresh lineage, different shape; the old rows are gone
+    # recreate via CREATE OR REPLACE (r14): on the MISSING name it is
+    # a plain create (no drop record); REPLACE over the then-live
+    # scaffold is the atomic drop+create — ONE commit, no window where
+    # the name is gone — and SHOW DROPPED TABLES lists the replaced
+    # incarnation (not recoverable: the name is taken) alongside the
+    # original drop (an older incarnation)
     c.new_tx()
-    c.create_table("ev_victim", "event_id BIGINT, kind STRING")
+    c.execute(
+        "CREATE OR REPLACE TABLE ev_victim (event_id BIGINT, tmp STRING)"
+    )
+    c.write_row("ev_victim", [1, "scaffold"])
+    c.commit_tx()
+    n_logs = len(c.store.list_prefix_ordered(LOG_PREFIX))
+    c.new_tx()
+    c.execute(
+        "CREATE OR REPLACE TABLE ev_victim (event_id BIGINT, kind STRING)"
+    )
     c.write_dataframe(
         "ev_victim",
         events.filter(F.col("event_id") % 7 == 0).select(
@@ -2024,6 +2046,15 @@ def engine_drop_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c.commit_tx()
+    if len(c.store.list_prefix_ordered(LOG_PREFIX)) != n_logs + 1:
+        raise RuntimeError("REPLACE of a live table was not one commit")
+    drops = c.list_dropped_tables()
+    if [d["table"] for d in drops] != ["ev_victim", "ev_victim"]:
+        raise RuntimeError(f"discovery listed {drops}")
+    if drops[0]["recoverable"] or "taken" not in drops[0]["reason"]:
+        raise RuntimeError("replaced incarnation should be shadowed")
+    if drops[1]["recoverable"] or "older" not in drops[1]["reason"]:
+        raise RuntimeError("original drop should be an older incarnation")
     try:
         c.scan_changes("ev_victim", v_below_drop)
         raise RuntimeError("change feed spliced across the drop")

@@ -1038,3 +1038,118 @@ def test_sql_show_dropped_tables(spark, tmp_path):
     c.execute("UNDROP TABLE t")
     c.commit_tx()
     assert c.execute("SHOW DROPPED TABLES").collect()[0].recoverable is False
+
+
+def test_create_or_replace_missing_table_is_plain_create(tmp_path):
+    """Replace of a missing table = plain create: NO drop record lands
+    in the log (Delta's contract)."""
+    root = str(tmp_path)
+    c = _client(root)
+    c.new_tx()
+    c.create_or_replace_table("t", "k BIGINT")
+    c.write_row("t", [1])
+    c.commit_tx()
+    snap = replay_log(c.store)
+    assert "t" in snap.tables and len(snap.live_objects("t")) == 1
+    for name in c.store.list_prefix_ordered(LOG_PREFIX):
+        record = json.loads(c.store.read(name))
+        assert not any("drop" in a for a in record["actions"])
+    assert c.list_dropped_tables() == []
+
+
+def test_create_or_replace_is_one_commit_fresh_lineage(spark, tmp_path):
+    """Replace of a live table: ONE commit carries drop + the new
+    metadata (no missing-name window), the replacement is a fresh
+    lineage (identity restarts, schema swapped), and time travel below
+    the replace still reads the old incarnation."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.write_row("t", [41])
+    c.commit_tx()  # v1
+    # pre-stamp the dropTable feature so the replace itself is exactly
+    # one commit (the first drop on a log pays the stamp once)
+    c.upgrade_protocol(
+        reader_features=["dropTable"], writer_features=["dropTable"]
+    )  # v2
+    before = len(c.store.list_prefix_ordered(LOG_PREFIX))
+    c.new_tx()
+    c.create_or_replace_table(
+        "t", "id BIGINT, k BIGINT",
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    c.write_row("t", [None, 7])
+    c.commit_tx()  # v3: drop + metadata + add, atomically
+    assert len(c.store.list_prefix_ordered(LOG_PREFIX)) == before + 1
+    c.new_tx()
+    # fresh lineage: identity restarts at 1 on the new incarnation
+    assert [
+        (r.id, r.k) for r in c.scan("t", with_stamps=False).collect()
+    ] == [(1, 7)]
+    # old incarnation below the replace: still time-travel readable
+    assert [r.k for r in c.scan_as_of("t", 1).collect()] == [41]
+    c.abort_tx()
+    snap = replay_log(c.store, as_of=1)
+    assert "t" in snap.tables and "id" not in snap.tables["t"]
+
+
+def test_create_or_replace_conflicts_first_committer_wins(tmp_path):
+    """Replace racing a concurrent writer on the same table is a
+    genuine OCC conflict — the loser retries or fails, never a silent
+    write into the replaced (or replacing) lineage."""
+    root = str(tmp_path)
+    c = _seed(root)
+    a = _client(root)
+    b = _client(root)
+    a.new_tx()
+    a.write_row("t", [99, 990])
+    b.new_tx()
+    b.create_or_replace_table("t", "x DOUBLE")
+    b.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        a.commit_tx()
+    snap = replay_log(c.store)
+    assert snap.tables["t"].startswith("x ")
+
+
+def test_create_or_replace_breaks_old_feed_lineage(spark, tmp_path):
+    """A change feed positioned on the pre-replace lineage refuses to
+    cross the replace with the named TableDroppedError."""
+    root = str(tmp_path)
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    c.execute("CREATE TABLE t (k BIGINT)")
+    c.execute("INSERT INTO t SELECT 1 AS k")
+    c.commit_tx()
+    c.new_tx()
+    c.execute("CREATE OR REPLACE TABLE t (k BIGINT)")
+    c.execute("INSERT INTO t SELECT 2 AS k")
+    c.commit_tx()
+    with pytest.raises(TableDroppedError):
+        c.scan_changes("t", 1).collect()
+    c.new_tx()
+    assert [r.k for r in c.scan("t", with_stamps=False).collect()] == [2]
+    c.abort_tx()
+
+
+def test_sql_create_or_replace_table(spark, tmp_path):
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.execute("CREATE OR REPLACE TABLE t (k BIGINT)")  # missing: create
+    c.execute("INSERT INTO t SELECT 1 AS k")
+    c.commit_tx()
+    c.new_tx()
+    c.execute(
+        "CREATE OR REPLACE TABLE t (k BIGINT, s STRING) PRIMARY KEY (k)"
+    )
+    c.execute("INSERT INTO t SELECT 5 AS k, 'a' AS s")
+    c.commit_tx()
+    c.new_tx()
+    assert [(r.k, r.s) for r in c.scan("t", with_stamps=False).collect()] == [
+        (5, "a")
+    ]
+    c.abort_tx()
+    # the replaced lineage is discoverable (and not recoverable: taken)
+    listing = c.list_dropped_tables()
+    assert len(listing) == 1 and not listing[0]["recoverable"]
