@@ -3515,6 +3515,7 @@ actions.DropTable` for why clearing the live set on fold is
             Optimize,
             OptimizeSketch,
             RenameTableStmt,
+            ReserveIdentity,
             Restore,
             ShowDroppedTables,
             UndropTableStmt,
@@ -3619,6 +3620,16 @@ actions.DropTable` for why clearing the live set on fold is
             return self.spark.createDataFrame(
                 [(proto["rf"], proto["wf"])],
                 "reader_features ARRAY<STRING>, writer_features ARRAY<STRING>",
+            )
+        if isinstance(stmt, ReserveIdentity):
+            # block reservation runs OUTSIDE a transaction, like
+            # UPGRADE PROTOCOL (the advance must commit before anything
+            # mints from the block); returns the range as one row
+            first, last = self.reserve_identity(
+                stmt.table, stmt.column, stmt.n
+            )
+            return self.spark.createDataFrame(
+                [(first, last)], "first BIGINT, last BIGINT"
             )
         self._require_tx()
         if isinstance(stmt, GenerateManifest):

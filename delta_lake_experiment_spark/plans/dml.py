@@ -193,6 +193,14 @@ _DROP_TABLE_RE = re.compile(
 _UNDROP_TABLE_RE = re.compile(
     rf"^\s*UNDROP\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+# ALTER TABLE t RESERVE IDENTITY (col, n): block reservation for
+# row-buffered multi-writer ingest (routed to client.reserve_identity;
+# outside-tx, like UPGRADE PROTOCOL)
+_RESERVE_IDENTITY_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+RESERVE\s+IDENTITY\s*"
+    rf"\(\s*({_IDENT})\s*,\s*(\d+)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_DROPPED_RE = re.compile(
     r"^\s*SHOW\s+DROPPED\s+TABLES\s*;?\s*$", re.IGNORECASE
 )
@@ -456,6 +464,15 @@ class UndropTableStmt:
 
 
 @dataclass
+class ReserveIdentity:
+    # ALTER TABLE t RESERVE IDENTITY (col, n): commit one block advance
+    # so subsequent row-buffered minting carries no advance record
+    table: str
+    column: str
+    n: int
+
+
+@dataclass
 class ShowDroppedTables:
     # SHOW DROPPED TABLES: dropped-table discovery (the UNDROP
     # counterpart of DESCRIBE HISTORY; routed to list_dropped_tables)
@@ -669,6 +686,11 @@ def parse_dml(sql: str):
         # over the registered views is a plain read query)
         return None
     if head == "ALTER":
+        m = _RESERVE_IDENTITY_RE.match(sql)
+        if m:
+            return ReserveIdentity(
+                table=m.group(1), column=m.group(2), n=int(m.group(3))
+            )
         m = _UPGRADE_PROTOCOL_RE.match(sql)
         if m:
             # groups capture the INSIDE of the parens (no _cols, which
@@ -719,7 +741,7 @@ def parse_dml(sql: str):
             "DROP COLUMN a | ALTER COLUMN a TYPE ty | ALTER COLUMN a "
             "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...) | SYNC IDENTITY | "
             "RENAME TO t2 | UPGRADE PROTOCOL (READER FEATURES (f,...), "
-            "WRITER FEATURES (f,...))"
+            "WRITER FEATURES (f,...)) | RESERVE IDENTITY (col, n)"
         )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)

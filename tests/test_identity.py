@@ -644,3 +644,27 @@ def test_reservation_validation_and_lineage_guard(spark, store_dir):
     c.commit_tx()
     ids = _ids(c)
     assert ids["post_recreate"] == 1 and ids["fresh2"] == 2
+
+
+def test_sql_reserve_identity(spark, store_dir):
+    """ALTER TABLE t RESERVE IDENTITY (col, n) routes to
+    reserve_identity (outside-tx, like UPGRADE PROTOCOL) and returns
+    the reserved (first, last) as one row; minting then draws from the
+    block with no advance record."""
+    c = _mk(spark, store_dir)
+    df = c.execute("ALTER TABLE t RESERVE IDENTITY (id, 5)")
+    assert df.columns == ["first", "last"]
+    assert [tuple(r) for r in df.collect()] == [(1, 5)]
+    assert c.tx is None  # outside-tx, never leaves one open
+    c.new_tx()
+    c.write_row("t", [None, "x"])
+    c.commit_tx()
+    assert _ids(c)["x"] == 1  # minted from the reserved block
+    # inside a tx: refused with the named remedy
+    import pytest as _pytest
+    from delta_lake_experiment_spark.errors import ExistingTxError
+
+    c.new_tx()
+    with _pytest.raises(ExistingTxError):
+        c.execute("ALTER TABLE t RESERVE IDENTITY (id, 5)")
+    c.abort_tx()
