@@ -570,9 +570,6 @@ _DEFERRED_ORACLED = [
     "order_gaps",
     "union_price_buckets",
     "segment_nation_overlap",
-    "customers_with_orders",
-    "event_type_stats",
-    "time_rollup_event_stats",
     "distinct_segments",
     "small_quantity_revenue",
     "scalar_functions_showcase",
@@ -648,7 +645,6 @@ _DEFERRED_ORACLED = [
     "hard_negative_pairs",
     "corpus_topic_report",
     "gopher_quality_report",
-    "top_orders_by_price",
     "customers_without_big_orders",
     "doc_kn_bigram_score",
     # r11 END-OF-ROUND ROTATION (per the codified policy: same-round
@@ -753,6 +749,42 @@ _DEFERRED_ORACLED = [
     "streaming_cardinality_sketch",
     "unigram_vocab",
     "engine_sql_time_travel",
+    # r14 END-OF-ROUND ROTATION (VERDICT r13 item 5: rotate 2-5,
+    # prioritizing the OLDEST certifications still outside the window).
+    # IN (4): the r6-era relational set the judge named —
+    # top_orders_by_price (ORDER BY + LIMIT TakeOrdered, out since
+    # r10-end), customers_with_orders (join-distinct lane, out since
+    # the original r6 rotation), event_type_stats (group-agg lane,
+    # ditto) — and time_rollup_event_stats (the r7 temporal rollup
+    # lane). OUT (4), machinery composed by stayers:
+    # - q3_shipping_priority (in-window since r1 — the longest-tenured
+    #   certification) -> its join+agg+top-k is composed EXACTLY by
+    #   the three r6-era queries rotating in (customers_with_orders:
+    #   the join; event_type_stats: the grouped aggregate;
+    #   top_orders_by_price: the ORDER BY + LIMIT) plus
+    #   q1_pricing_summary (staying, the wide aggregate); its oracle
+    #   stays in the per-run deferred sweep;
+    # - semantic_dedup_corpus -> ensemble_dedup (staying) runs the
+    #   SAME semantic_pairs kernel with the same k/iters/threshold/
+    #   salt inside its union-of-edges resolution, so the k-means +
+    #   gemm + within-cluster-cosine lane stays certified in-window
+    #   verbatim; the standalone full-pipeline oracle stays in the
+    #   deferred sweep;
+    # - lang_id_weights -> predicted_lang_ccnet_buckets (staying) runs
+    #   the SAME _langid_train softmax training before classifying, so
+    #   every gradient step stays certified in-window; the raw weight
+    #   dump's oracle stays in the deferred sweep;
+    # - engine_identity_columns -> identity minting + the
+    #   identityColumns writer gate are certified in-window by
+    #   engine_protocol_gating (staying: IDENTITY declaration, bulk
+    #   mint on every row, masked-writer commit refusal) and the merge
+    #   lane's identity guard (engine_merge_upsert, staying); the OCC
+    #   allocation race and block reservation are pinned by the 30
+    #   tests/test_identity.py pytests.
+    "q3_shipping_priority",
+    "semantic_dedup_corpus",
+    "lang_id_weights",
+    "engine_identity_columns",
 ]
 
 
