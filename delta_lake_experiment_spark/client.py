@@ -1919,6 +1919,44 @@ actions.DropTable` for why clearing the live set on fold is
         checks[name] = expr
         self.alter_table(table, checks=checks)
 
+    def add_constraint(self, table: str, name: str, expr: str) -> None:
+        """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — Delta's
+        post-create constraint verb. Rides :meth:`alter_table`'s CHECK
+        lane verbatim: the expression is analyzed against the schema
+        NOW, EXISTING rows are validated in one scan (a violating row
+        fails the declaration, so the constraint is an invariant of
+        the whole table), and every future write path enforces it with
+        the same in-plan raise the create-time checks use. Refuses to
+        redefine an existing name — drop it first; a silent
+        redefinition would change write semantics under concurrent
+        writers that read the old expression."""
+        tx = self._require_tx()
+        checks = dict(self._effective_snapshot(tx).checks.get(table, {}))
+        if name in checks:
+            raise TypeMismatchError(
+                f"CHECK constraint {name!r} already exists on {table!r}"
+                f" ({checks[name]!r}) - DROP CONSTRAINT first"
+            )
+        checks[name] = expr
+        self.alter_table(table, checks=checks)
+
+    def drop_constraint(self, table: str, name: str) -> None:
+        """ALTER TABLE ... DROP CONSTRAINT name — remove one named
+        CHECK (a NOT NULL declaration's reserved ``<col>_not_null``
+        name included: it IS the constraint; the ALTER COLUMN spelling
+        remains for symmetry). Unknown names fail loudly — a typo'd
+        drop that silently succeeds would leave the writer believing
+        enforcement stopped."""
+        tx = self._require_tx()
+        checks = dict(self._effective_snapshot(tx).checks.get(table, {}))
+        if name not in checks:
+            raise TypeMismatchError(
+                f"no CHECK constraint {name!r} on {table!r}"
+                f" (declared: {sorted(checks) or 'none'})"
+            )
+        checks.pop(name)
+        self.alter_table(table, checks=checks)
+
     def drop_not_null(self, table: str, column: str) -> None:
         """Remove a NOT NULL declaration (the named check). Refuses to
         drop a user CHECK that merely took the reserved name."""
@@ -3498,6 +3536,9 @@ actions.DropTable` for why clearing the live set on fold is
         """
         from delta_lake_experiment_spark.plans.dml import (
             AlterAddColumns,
+            AlterAddConstraint,
+            AlterDropConstraint,
+            CloneTable,
             GenerateManifest,
             AlterColumnType,
             AlterDropColumn,
@@ -3677,7 +3718,18 @@ actions.DropTable` for why clearing the live set on fold is
                 target_bytes=stmt.target_bytes,
             )
         elif isinstance(stmt, Restore):
-            self.restore_table(stmt.table, stmt.version)
+            self.restore_table(
+                stmt.table,
+                stmt.version
+                if stmt.version is not None
+                else self._version_at_timestamp(stmt.timestamp),
+            )
+        elif isinstance(stmt, CloneTable):
+            self.clone_table(stmt.src, stmt.dst)
+        elif isinstance(stmt, AlterAddConstraint):
+            self.add_constraint(stmt.table, stmt.name, stmt.expr)
+        elif isinstance(stmt, AlterDropConstraint):
+            self.drop_constraint(stmt.table, stmt.name)
         elif isinstance(stmt, AlterRenameColumn):
             self.rename_column(stmt.table, stmt.old, stmt.new)
         elif isinstance(stmt, AlterDropColumn):

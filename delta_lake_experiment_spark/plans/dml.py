@@ -137,7 +137,29 @@ _VACUUM_LOG_RE = re.compile(
     re.IGNORECASE,
 )
 _RESTORE_RE = re.compile(
-    rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+VERSION\s+(\d+)\s*;?\s*$",
+    rf"^\s*RESTORE\s+TABLE\s+({_IDENT})\s+TO\s+"
+    rf"(?:VERSION\s+(\d+)|TIMESTAMP\s+('(?:[^']|'')*'))\s*;?\s*$",
+    re.IGNORECASE,
+)
+# CREATE TABLE dst [SHALLOW] CLONE src: zero-copy metadata clone
+# (Delta's CREATE TABLE ... CLONE; this engine's clones are always
+# shallow - there is nothing to deep-copy that a write would not fork)
+_CLONE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_IDENT})\s+(?:SHALLOW\s+)?CLONE\s+"
+    rf"({_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+# ALTER TABLE t ADD CONSTRAINT name CHECK (expr) / DROP CONSTRAINT name
+# (Delta's constraint verbs): post-create CHECK management on the same
+# lane create-time checks ride; ADD validates existing rows first
+_ALTER_ADD_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+ADD\s+CONSTRAINT\s+({_IDENT})"
+    rf"\s+CHECK\s*\((.+)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+DROP\s+CONSTRAINT\s+"
+    rf"({_IDENT})\s*;?\s*$",
     re.IGNORECASE,
 )
 _DESCRIBE_HISTORY_RE = re.compile(
@@ -375,9 +397,35 @@ class VacuumLog:
 
 
 @dataclass
+class CloneTable:
+    # CREATE TABLE dst [SHALLOW] CLONE src -> client.clone_table
+    src: str
+    dst: str
+
+
+@dataclass
+class AlterAddConstraint:
+    # ALTER TABLE t ADD CONSTRAINT name CHECK (expr) -> add_constraint
+    table: str
+    name: str
+    expr: str
+
+
+@dataclass
+class AlterDropConstraint:
+    # ALTER TABLE t DROP CONSTRAINT name -> drop_constraint
+    table: str
+    name: str
+
+
+@dataclass
 class Restore:
     table: str
-    version: int
+    # exactly one of version / timestamp is set (TO VERSION n | TO
+    # TIMESTAMP 'ts'; the timestamp resolves to the newest commit
+    # at-or-before it, the same resolution TIMESTAMP AS OF uses)
+    version: Optional[int] = None
+    timestamp: Optional[str] = None
 
 
 @dataclass
@@ -585,11 +633,14 @@ def parse_dml(sql: str):
             when_not_matched=when_not_matched,
         )
     if head == "CREATE":
+        m = _CLONE_RE.match(sql)
+        if m:
+            return CloneTable(dst=m.group(1), src=m.group(2))
         m = _CREATE_RE.match(sql)
         if not m:
             raise UnsupportedSqlError(
                 "CREATE supports exactly: CREATE [OR REPLACE] TABLE t "
-                "(<ddl>) "
+                "(<ddl>) ... | CREATE TABLE dst [SHALLOW] CLONE src "
                 "[PRIMARY KEY (c,...)] [BLOOM (c,...)] [CLUSTER BY (c,...)] "
                 "[IDENTITY (c [START WITH n] [INCREMENT BY n], ...)] "
                 "[GENERATED (c AS expr, ...)]"
@@ -652,8 +703,13 @@ def parse_dml(sql: str):
         if not m:
             raise UnsupportedSqlError(
                 "RESTORE supports exactly: RESTORE TABLE t TO VERSION n"
+                " | TO TIMESTAMP 'ts'"
             )
-        return Restore(table=m.group(1), version=int(m.group(2)))
+        return Restore(
+            table=m.group(1),
+            version=int(m.group(2)) if m.group(2) else None,
+            timestamp=_literal(m.group(3)) if m.group(3) else None,
+        )
     if head == "GENERATE":
         m = _GENERATE_MANIFEST_RE.match(sql)
         if not m:
@@ -686,6 +742,14 @@ def parse_dml(sql: str):
         # over the registered views is a plain read query)
         return None
     if head == "ALTER":
+        m = _ALTER_ADD_CONSTRAINT_RE.match(sql)
+        if m:
+            return AlterAddConstraint(
+                table=m.group(1), name=m.group(2), expr=m.group(3).strip()
+            )
+        m = _ALTER_DROP_CONSTRAINT_RE.match(sql)
+        if m:
+            return AlterDropConstraint(table=m.group(1), name=m.group(2))
         m = _RESERVE_IDENTITY_RE.match(sql)
         if m:
             return ReserveIdentity(
@@ -741,7 +805,8 @@ def parse_dml(sql: str):
             "DROP COLUMN a | ALTER COLUMN a TYPE ty | ALTER COLUMN a "
             "SET/DROP NOT NULL | ADD COLUMNS (a ty, ...) | SYNC IDENTITY | "
             "RENAME TO t2 | UPGRADE PROTOCOL (READER FEATURES (f,...), "
-            "WRITER FEATURES (f,...)) | RESERVE IDENTITY (col, n)"
+            "WRITER FEATURES (f,...)) | RESERVE IDENTITY (col, n) | "
+            "ADD CONSTRAINT name CHECK (expr) | DROP CONSTRAINT name"
         )
     if head == "DESCRIBE":
         m = _DESCRIBE_HISTORY_RE.match(sql)

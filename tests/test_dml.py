@@ -842,3 +842,91 @@ def test_create_table_generated_sql_form(spark, store_dir):
     d = c.execute("DESCRIBE DETAIL ev").collect()[0]
     assert d["generated_columns"] == {"day": "ts DIV 86400"}
     c.commit_tx()
+
+
+def test_add_drop_constraint_sql(spark, store_dir):
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) / DROP
+    CONSTRAINT name (Delta's verbs): ADD validates EXISTING rows in
+    one scan, enforcement rides the create-time CHECK lane on every
+    future write, DROP lifts it; redefinition and typo'd drops fail
+    loudly."""
+    from delta_lake_experiment_spark.errors import TypeMismatchError
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.execute("CREATE TABLE t (k BIGINT, v BIGINT)")
+    c.execute("INSERT INTO t SELECT 1 AS k, 10 AS v")
+    c.commit_tx()
+    c.new_tx()
+    # existing rows violate -> the declaration itself fails
+    with pytest.raises(TypeMismatchError, match="existing row"):
+        c.execute("ALTER TABLE t ADD CONSTRAINT v_big CHECK (v > 100)")
+    c.execute("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    c.commit_tx()
+    # enforcement on future writes: in-plan raise
+    c.new_tx()
+    c.write_row("t", [2, -5])
+    with pytest.raises(Exception, match="v_pos"):
+        c.commit_tx()
+    c.abort_tx()
+    # redefinition refused; unknown drop refused
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="already exists"):
+        c.execute("ALTER TABLE t ADD CONSTRAINT v_pos CHECK (v >= 0)")
+    with pytest.raises(TypeMismatchError, match="no CHECK constraint"):
+        c.execute("ALTER TABLE t DROP CONSTRAINT ghost")
+    c.execute("ALTER TABLE t DROP CONSTRAINT v_pos")
+    c.write_row("t", [2, -5])  # constraint lifted: admits
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("t", with_stamps=False).count() == 2
+    c.abort_tx()
+
+
+def test_create_table_clone_sql(spark, store_dir):
+    """CREATE TABLE dst [SHALLOW] CLONE src routes to the zero-copy
+    clone: same rows readable, no data objects duplicated, and a
+    delete on the clone never touches the source."""
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.execute("CREATE TABLE src (k BIGINT, v BIGINT)")
+    for i in range(4):
+        c.write_row("src", [i, i * 10])
+    c.commit_tx()
+    n_objs = len(c.store.list_prefix_ordered("table_"))
+    c.new_tx()
+    c.execute("CREATE TABLE fork SHALLOW CLONE src")
+    c.commit_tx()
+    assert len(c.store.list_prefix_ordered("table_")) == n_objs  # zero copy
+    c.new_tx()
+    c.execute("DELETE FROM fork WHERE k BETWEEN 0 AND 1")
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("fork", with_stamps=False).count() == 2
+    assert c.scan("src", with_stamps=False).count() == 4
+    c.abort_tx()
+
+
+def test_restore_to_timestamp_sql(spark, store_dir):
+    """RESTORE TABLE t TO TIMESTAMP 'ts' resolves the newest commit
+    at-or-before the wall-clock (the TIMESTAMP AS OF resolution) and
+    restores to it."""
+    import datetime as _dt
+
+    c = DeltaLakeClient(spark, store_dir)
+    c.new_tx()
+    c.execute("CREATE TABLE t (k BIGINT)")
+    c.execute("INSERT INTO t SELECT 1 AS k")
+    c.commit_tx()
+    # wall-clock between the two commits
+    ts = _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    c.new_tx()
+    c.execute("INSERT INTO t SELECT 2 AS k")
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("t", with_stamps=False).count() == 2
+    c.execute(f"RESTORE TABLE t TO TIMESTAMP '{ts}'")
+    c.commit_tx()
+    c.new_tx()
+    assert [r.k for r in c.scan("t", with_stamps=False).collect()] == [1]
+    c.abort_tx()
