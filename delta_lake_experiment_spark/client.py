@@ -681,6 +681,34 @@ class DeltaLakeClient:
             table in tx.snapshot.tables and table not in dropped_in_tx
         ) or table in tx.new_tables:
             raise TableExistsError(table)
+        ddl, action = self._prepare_create_action(
+            table, schema, primary_keys, bloom_columns, cluster_by,
+            bucket_by, checks, not_null, generated, identity,
+        )
+        tx.new_tables[table] = ddl
+        tx.actions.append(action)
+
+    def _prepare_create_action(
+        self,
+        table: str,
+        schema: Union[str, T.StructType],
+        primary_keys: Optional[list[str]] = None,
+        bloom_columns: Optional[list[str]] = None,
+        cluster_by: Optional[list[str]] = None,
+        bucket_by: Optional[tuple] = None,
+        checks: Optional[dict[str, str]] = None,
+        not_null: Optional[list[str]] = None,
+        generated: Optional[dict[str, str]] = None,
+        identity: Optional[dict[str, dict]] = None,
+    ) -> "tuple[str, ChangeMetadata]":
+        """Parse + validate a CREATE's declarations and build its
+        ChangeMetadata WITHOUT touching transaction state — the shared
+        validation phase of :meth:`create_table` and
+        :meth:`create_or_replace_table`. The replace verb must validate
+        BEFORE it drops: a declaration that fails after the drop would
+        leave an uncommitted DropTable behind, and a caller that
+        catches the error and commits would destroy the table with no
+        replacement (review catch, r14)."""
         if isinstance(schema, str):
             ddl = schema
         else:
@@ -898,20 +926,17 @@ class DeltaLakeClient:
                 "mode": mode,
             }
         checks_map = self._validate_checks(parsed, all_checks)
-        tx.new_tables[table] = ddl
-        tx.actions.append(
-            ChangeMetadata(
-                table=table,
-                schema_ddl=ddl,
-                primary_keys=pks,
-                bloom_columns=blooms,
-                cluster_by=clus,
-                bucket_by=bcols,
-                bucket_count=bn,
-                checks=checks_map,
-                generated=gen_map,
-                identity=ident_map,
-            )
+        return ddl, ChangeMetadata(
+            table=table,
+            schema_ddl=ddl,
+            primary_keys=pks,
+            bloom_columns=blooms,
+            cluster_by=clus,
+            bucket_by=bcols,
+            bucket_count=bn,
+            checks=checks_map,
+            generated=gen_map,
+            identity=ident_map,
         )
 
     def create_or_replace_table(
@@ -945,15 +970,22 @@ class DeltaLakeClient:
         (primary_keys, bloom_columns, cluster_by, bucket_by, checks,
         not_null, generated, identity)."""
         tx = self._require_tx()
+        # VALIDATE FIRST (no tx mutation): a failing declaration must
+        # leave the transaction exactly as it was — never an orphaned
+        # uncommitted drop (see _prepare_create_action)
+        ddl, action = self._prepare_create_action(
+            table, schema, **declarations
+        )
         dropped_in_tx = {
             a.table for a in tx.actions if isinstance(a, DropTable)
         }
-        exists = table in tx.new_tables or (
+        exists = (
             table in tx.snapshot.tables and table not in dropped_in_tx
-        )
+        ) or table in tx.new_tables
         if exists:
             self.drop_table(table)
-        self.create_table(table, schema, **declarations)
+        tx.new_tables[table] = ddl
+        tx.actions.append(action)
 
     def drop_table(self, table: str) -> None:
         """DROP TABLE: remove ``table`` from the lake.
@@ -996,9 +1028,19 @@ actions.DropTable` for why clearing the live set on fold is
         drops.
         """
         tx = self._require_tx()
-        born_here = table in tx.new_tables
         dropped_before = any(
             isinstance(a, DropTable) and a.table == table for a in tx.actions
+        )
+        # tx.new_tables doubles as "pending DDL this tx" for schema
+        # evolution on COMMITTED tables (add/rename/drop/widen columns,
+        # restore) — presence there is NOT proof of a creation. Only a
+        # name the committed snapshot does not carry (or one recreated
+        # after an in-tx drop) is an uncommitted creation to unwind;
+        # dropping a committed table that merely has pending DDL is a
+        # REAL drop (review catch, r14: the old check silently unwound
+        # the alter and skipped the drop record entirely)
+        born_here = table in tx.new_tables and (
+            table not in tx.snapshot.tables or dropped_before
         )
         if not born_here and (
             table not in tx.snapshot.tables or dropped_before
@@ -1041,6 +1083,10 @@ actions.DropTable` for why clearing the live set on fold is
         if born_here:
             tx.new_tables.pop(table)
             return
+        # a committed table's pending in-tx DDL (schema evolution,
+        # restore) dies with the drop — and must leave new_tables so a
+        # recreate under the name is not refused as taken
+        tx.new_tables.pop(table, None)
         if FEATURE_DROP_TABLE not in tx.snapshot.protocol["rf"]:
             # pre-stamp in a SEPARATE, EARLIER commit so the named gate
             # folds before the first drop record (see docstring). Costs
@@ -1313,39 +1359,35 @@ actions.DropTable` for why clearing the live set on fold is
             }
         )
         # BATCHED existence probing (VERDICT r13 #1): one prefix LIST
-        # per object class instead of O(files) serial driver HEADs — at
+        # per name prefix instead of O(files) serial driver HEADs — at
         # 10^6 files that is the difference between ~10^3 LIST pages
         # and 10^6 round trips (the client.py _read_data anti-shape
-        # note, applied to recovery). The listing is intersected
-        # against the EXPECTED set, never trusted alone:
-        # ``table_{t}_`` is a prefix of table ``t_x``'s object names,
-        # so a raw listing over-matches across tables. Bloom sidecars
-        # (VERDICT r13 #2) carry NO table prefix (``bloomf_<uuid>``):
-        # few refs probe directly, many amortize one lake-wide LIST.
+        # note, applied to recovery). Prefixes are derived from the
+        # EXPECTED NAMES themselves (everything up to the final ``_``
+        # — the uuid carries no underscore), NOT from the table name:
+        # a renamed or cloned table's objects keep their SOURCE
+        # table's ``table_<src>_`` names, and deriving from the
+        # current name would silently degrade those recoveries back to
+        # per-object probes (review catch, r14). Listings are
+        # intersected against the expected set, never trusted alone
+        # (``table_t_`` is a prefix of table ``t_x``'s object names).
+        # Tiny prefix groups (a handful of bloom sidecars, a short
+        # rename tail) probe directly — cheaper than a LIST.
         expected = set(old_objs) | set(dv_names) | set(bloom_refs)
         present: set[str] = set()
-        for prefix, names in (
-            (f"table_{table}_", old_objs),
-            (f"dv_{table}_", dv_names),
-        ):
-            if names:
+        by_prefix: dict[str, set[str]] = {}
+        for n in expected:
+            by_prefix.setdefault(n.rsplit("_", 1)[0] + "_", set()).add(n)
+        for prefix, names in sorted(by_prefix.items()):
+            if len(names) <= 8:
                 present.update(
-                    n
-                    for n in self.store.list_prefix_ordered(prefix)
-                    if n in expected
-                )
-        if bloom_refs:
-            if len(bloom_refs) > 64:
-                present.update(
-                    n
-                    for n in self.store.list_prefix_ordered("bloomf_")
-                    if n in expected
+                    n for n in names if self.store.exists(n) is not False
                 )
             else:
                 present.update(
                     n
-                    for n in bloom_refs
-                    if self.store.exists(n) is not False
+                    for n in self.store.list_prefix_ordered(prefix)
+                    if n in expected
                 )
         # confirm each listing-absent candidate through the tri-state
         # exists() so a backend that cannot answer (None) keeps the
@@ -1948,12 +1990,27 @@ actions.DropTable` for why clearing the live set on fold is
         drop that silently succeeds would leave the writer believing
         enforcement stopped."""
         tx = self._require_tx()
-        checks = dict(self._effective_snapshot(tx).checks.get(table, {}))
+        snap = self._effective_snapshot(tx)
+        checks = dict(snap.checks.get(table, {}))
         if name not in checks:
             raise TypeMismatchError(
                 f"no CHECK constraint {name!r} on {table!r}"
                 f" (declared: {sorted(checks) or 'none'})"
             )
+        for col, gexpr in snap.generated.get(table, {}).items():
+            # a GENERATED column's implicit <col>_generated check IS
+            # the supplied-value validation of the declaration —
+            # dropping it while the declaration persists would silently
+            # admit wrong supplied values on every future write (review
+            # catch, r14; create_table reserves the name for the same
+            # reason)
+            if name == f"{col}_generated":
+                raise TypeMismatchError(
+                    f"constraint {name!r} is the implicit validation of"
+                    f" the GENERATED declaration on {col!r}"
+                    f" ({gexpr!r}) - it cannot be dropped while the"
+                    " declaration stands"
+                )
         checks.pop(name)
         self.alter_table(table, checks=checks)
 
@@ -6236,13 +6293,8 @@ actions.DropTable` for why clearing the live set on fold is
             # sweep still falls back to the documented lazy named
             # error. exists()=None (backend cannot answer) keeps the
             # checkpoint — same assume-present contract as undrop.
-            referenced = {
-                p
-                for plist in json.loads(payload).get("live_ref", {}).values()
-                for p in plist
-            }
-            reused = referenced - set(parts)
-            if reused and self.store.exists(min(reused)) is False:
+            reused = getattr(snap, "_ckpt_reused_parts", [])
+            if reused and self.store.exists(reused[0]) is False:
                 self.store.delete(checkpoint_name(snap.version))
                 for part in parts:
                     self.store.delete(part)  # now-unreferenced fresh parts

@@ -556,6 +556,13 @@ class Snapshot:
                 break
             spill[t] = objs
             remainder -= len(objs)
+        # advisory bookkeeping for the publisher's post-publish probe
+        # (client._maybe_checkpoint): which referenced parts were
+        # REUSED from the base checkpoint — handed over as an attribute
+        # so the publisher never re-parses its own payload
+        self._ckpt_reused_parts = sorted(
+            p for ps in reused.values() for p in ps
+        )
         if not spill and not reused:
             return self.to_json(), []
         import io

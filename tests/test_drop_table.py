@@ -40,12 +40,14 @@ from pyspark.sql import functions as F
 from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.errors import (
     ConcurrentCommitError,
+    TypeMismatchError,
     TableDroppedError,
     TableExistsError,
     TableNotFoundError,
     UnsupportedTableFeatureError,
 )
 from delta_lake_experiment_spark.plans import protocol as protomod
+from delta_lake_experiment_spark.plans.actions import DropTable
 from delta_lake_experiment_spark.plans.snapshot import (
     CHECKPOINT_PART_PREFIX,
     LOG_PREFIX,
@@ -1153,3 +1155,106 @@ def test_sql_create_or_replace_table(spark, tmp_path):
     # the replaced lineage is discoverable (and not recoverable: taken)
     listing = c.list_dropped_tables()
     assert len(listing) == 1 and not listing[0]["recoverable"]
+
+
+def test_create_or_replace_validates_before_dropping(tmp_path):
+    """A failing declaration must leave the transaction EXACTLY as it
+    was — never an orphaned uncommitted DropTable that a caller
+    committing past the error would turn into a destructive
+    drop-with-no-replacement (review catch, r14)."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    with pytest.raises(TypeMismatchError):
+        # reserved column name: fails validation
+        c.create_or_replace_table("t", "_tx_id BIGINT")
+    assert not any(isinstance(a, DropTable) for a in c.tx.actions)
+    assert "t" in c.tx.snapshot.tables and "t" not in c.tx.new_tables
+    c.commit_tx()  # commits NOTHING destructive
+    snap = replay_log(c.store)
+    assert "t" in snap.tables and len(snap.live_objects("t")) >= 1
+
+
+def test_drop_after_same_tx_alter_is_a_real_drop(tmp_path):
+    """tx.new_tables doubles as pending-DDL storage for schema
+    evolution on COMMITTED tables; dropping such a table must be a
+    REAL drop (a drop record lands), not a silent unwind of the alter
+    (review catch, r14 — the old born_here check made
+    add_columns+drop_table a committed no-op)."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.add_columns("t", "extra BIGINT")
+    c.drop_table("t")
+    c.commit_tx()
+    snap = replay_log(c.store)
+    assert "t" not in snap.tables, "the drop must actually commit"
+    assert any(d["table"] == "t" for d in c.list_dropped_tables())
+    # and a recreate in a LATER tx takes the name fresh
+    c.new_tx()
+    c.create_table("t", "x DOUBLE")
+    c.commit_tx()
+    assert replay_log(c.store).tables["t"].startswith("x ")
+
+
+def test_replace_after_same_tx_alter(tmp_path):
+    """CREATE OR REPLACE over a committed table that has pending
+    in-tx DDL: the replace wins (one commit: drop + new metadata),
+    never a TableExistsError after destroying the tx's pending state."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.add_columns("t", "extra BIGINT")
+    c.create_or_replace_table("t", "x DOUBLE")
+    c.commit_tx()
+    snap = replay_log(c.store)
+    assert snap.tables["t"].startswith("x ")
+    assert len(snap.live_objects("t")) == 0
+
+
+def test_undrop_probe_stays_batched_for_renamed_tables(tmp_path):
+    """A renamed (or cloned) table's objects keep the SOURCE table's
+    name prefix; the probe derives prefixes from the expected names
+    themselves, so recovery of a renamed table still costs LISTs, not
+    O(files) serial HEADs (review catch, r14)."""
+    store = _ProbeCountingStore(str(tmp_path / "store"))
+    c = DeltaLakeClient(_NoSpark(), store)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.commit_tx()
+    n_files = 40
+    for i in range(n_files):
+        c.new_tx()
+        c.write_row("t", [i])
+        c.commit_tx()
+    c.new_tx()
+    c.rename_table("t", "t2")  # zero-copy: objects keep table_t_ names
+    c.commit_tx()
+    c.new_tx()
+    c.drop_table("t2")
+    c.commit_tx()
+    c.new_tx()
+    store.reset()
+    assert c.undrop_table("t2") == n_files
+    assert store.exists_calls == 0, (
+        f"{store.exists_calls} serial HEADs on a renamed-table undrop"
+    )
+    assert store.list_calls <= 8
+    c.commit_tx()
+
+
+def test_drop_constraint_refuses_generated_guard(spark, tmp_path):
+    """The implicit <col>_generated CHECK is the supplied-value
+    validation of the GENERATED declaration — dropping it while the
+    declaration stands would silently admit wrong supplied values
+    (review catch, r14)."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table(
+        "t", "ts BIGINT, day BIGINT", generated={"day": "ts DIV 86400"}
+    )
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="GENERATED"):
+        c.execute("ALTER TABLE t DROP CONSTRAINT day_generated")
+    c.abort_tx()
