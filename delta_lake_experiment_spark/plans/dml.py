@@ -45,6 +45,21 @@ for the DML shapes the engine actually supports, by parsing:
 - ``ALTER TABLE t ADD COLUMNS (a ty, ...)``   -> ``add_columns``
   (all four are the O(1)-metadata schema evolution lane: column
   mapping for rename/drop, type widening, NULL-backfilled adds)
+- ``CREATE OR REPLACE TABLE t (<ddl>) ...``   -> atomic
+  drop-if-exists + fresh-lineage create in ONE commit
+  (``create_or_replace_table``)
+- ``CREATE TABLE dst [SHALLOW] CLONE src``    -> ``clone_table``
+  (zero-copy metadata clone)
+- ``DROP TABLE t`` / ``UNDROP TABLE t``       -> ``drop_table`` /
+  ``undrop_table``; ``SHOW DROPPED TABLES``   -> ``list_dropped_tables``
+  (discovery: drop version, timestamp, recoverable-now + reason)
+- ``RESTORE TABLE t TO VERSION n | TO TIMESTAMP 'ts'`` ->
+  ``restore_table`` (the timestamp resolves like TIMESTAMP AS OF)
+- ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
+  ``DROP CONSTRAINT name``                    -> ``add_constraint`` /
+  ``drop_constraint`` (ADD validates existing rows in one scan)
+- ``ALTER TABLE t RESERVE IDENTITY (col, n)`` -> ``reserve_identity``
+  (outside-tx block reservation; returns (first, last) as one row)
 
 This is a deliberate micro-grammar, NOT a SQL parser: predicates are
 restricted to the engine's native inclusive-range primitive (reference

@@ -1258,3 +1258,60 @@ def test_drop_constraint_refuses_generated_guard(spark, tmp_path):
     with pytest.raises(TypeMismatchError, match="GENERATED"):
         c.execute("ALTER TABLE t DROP CONSTRAINT day_generated")
     c.abort_tx()
+
+
+def test_list_dropped_tables_cost_shape(tmp_path):
+    """Discovery cost is O(surviving records) metadata reads + a
+    bounded handful of LISTs — never a data-object read or a
+    per-object HEAD (the listing judges recoverability from versions
+    it already walked)."""
+
+    class _MeterStore(LocalObjectStorage):
+        def __init__(self, root):
+            super().__init__(root)
+            self.reads = {"_log_": 0, "other": 0}
+            self.list_calls = 0
+            self.exists_calls = 0
+
+        def read(self, name):
+            key = "_log_" if name.startswith("_log_") else "other"
+            self.reads[key] += 1
+            return super().read(name)
+
+        def list_prefix_ordered(self, prefix, start_after=None):
+            self.list_calls += 1
+            return super().list_prefix_ordered(prefix, start_after=start_after)
+
+        def exists(self, name):
+            self.exists_calls += 1
+            return super().exists(name)
+
+    store = _MeterStore(str(tmp_path / "store"))
+    c = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=16)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.create_table("keep", "k BIGINT")
+    c.commit_tx()
+    for i in range(30):
+        c.new_tx()
+        c.write_row("t", [i])
+        c.commit_tx()
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    n_records = len(store.list_prefix_ordered(LOG_PREFIX))
+    store.reads = {"_log_": 0, "other": 0}
+    store.list_calls = 0
+    store.exists_calls = 0
+    listing = c.list_dropped_tables()
+    assert [d["table"] for d in listing] == ["t"]
+    # one full walk + the current-state replay's checkpoint tail
+    assert store.reads["_log_"] <= 2 * n_records
+    # "other" reads = the checkpoint anchor the current-state replay
+    # loads (never a data object; the store holds only log/checkpoint/
+    # data objects and data objects are table_*-prefixed)
+    assert store.reads["other"] <= 3
+    assert store.list_calls <= 6
+    # the only exists() probes are the replay's checkpoint-anchor
+    # check - never a per-object HEAD
+    assert store.exists_calls <= 2
