@@ -1315,3 +1315,106 @@ def test_list_dropped_tables_cost_shape(tmp_path):
     # the only exists() probes are the replay's checkpoint-anchor
     # check - never a per-object HEAD
     assert store.exists_calls <= 2
+
+
+# ----------------------------------------------------------------------
+# r14 feature-composition probe battery: compositions of the new verbs
+# (REPLACE, discovery, batched undrop) with shipped machinery that no
+# oracle query composes — verified by live probe this round, pinned
+# here (the r13 battery's convention).
+# ----------------------------------------------------------------------
+
+
+def test_undrop_after_rename_is_a_retroactive_clone(spark, tmp_path):
+    """RENAME emits a drop of the old name, so UNDROP of that name
+    resurrects the pre-rename incarnation ALONGSIDE the renamed table
+    — object sharing with clone semantics by construction: COW deletes
+    diverge per table, and vacuum's name-based keep-set spares shared
+    objects until no table references them."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    for i in range(4):
+        c.write_row("t", [i])
+    c.commit_tx()
+    c.new_tx()
+    c.execute("ALTER TABLE t RENAME TO t2")
+    c.commit_tx()
+    listing = c.list_dropped_tables()
+    assert [(d["table"], d["recoverable"]) for d in listing] == [("t", True)]
+    c.new_tx()
+    assert c.undrop_table("t") == 1
+    c.commit_tx()
+    snap = replay_log(c.store)
+    assert set(snap.live_map("t")) == set(snap.live_map("t2"))  # shared
+    # divergence: a COW delete on the resurrected side rewrites ONLY
+    # its own reference; the renamed side keeps every row
+    c.new_tx()
+    c.delete_rows("t", "k", 0, 1)
+    c.commit_tx()
+    c.new_tx()
+    assert sorted(r.k for r in c.scan("t", with_stamps=False).collect()) == [2, 3]
+    assert sorted(r.k for r in c.scan("t2", with_stamps=False).collect()) == [0, 1, 2, 3]
+    c.abort_tx()
+    # the shared original object survives vacuum while t2 references it
+    c.vacuum(retain_versions=0)
+    c.new_tx()
+    assert c.scan("t2", with_stamps=False).count() == 4
+    c.abort_tx()
+
+
+def test_replace_of_bucketed_table(spark, tmp_path):
+    """CREATE OR REPLACE over a bucketed table: the bucketed-scan
+    catalog registration dies with the old lineage and the replacement
+    (a different layout) reads its own rows only."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT", bucket_by=(["k"], 4))
+    c.write_dataframe(
+        "t", spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    )
+    c.commit_tx()
+    c.new_tx()
+    _ = c.scan_bucketed("t")  # registers the bucketed catalog table
+    c.abort_tx()
+    c.new_tx()
+    c.create_or_replace_table("t", "k BIGINT, v BIGINT")  # un-bucketed
+    c.write_dataframe(
+        "t", spark.range(5).selectExpr("id AS k", "id * 3 AS v")
+    )
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("t", with_stamps=False).count() == 5
+    snap = c._effective_snapshot(c.tx)
+    assert snap.bucket_specs.get("t") is None  # declaration reset
+    c.abort_tx()
+
+
+def test_replace_resets_constraints_and_reserved_blocks(spark, tmp_path):
+    """Fresh lineage means FRESH declarations: constraints added to the
+    old incarnation do not survive a REPLACE, and a client's reserved
+    identity blocks die with the old lineage (minting on the
+    replacement restarts at the declared START)."""
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table(
+        "t", "id BIGINT, v BIGINT",
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    c.commit_tx()
+    c.execute("ALTER TABLE t RESERVE IDENTITY (id, 100)")  # old lineage
+    c.new_tx()
+    c.add_constraint("t", "v_pos", "v > 0")
+    c.commit_tx()
+    c.new_tx()
+    c.create_or_replace_table(
+        "t", "id BIGINT, v BIGINT",
+        identity={"id": {"start": 1, "step": 1}},
+    )
+    c.write_row("t", [None, -5])  # old v_pos constraint must NOT fire
+    c.commit_tx()
+    c.new_tx()
+    rows = [(r.id, r.v) for r in c.scan("t", with_stamps=False).collect()]
+    # fresh lineage: minting restarts at 1, never from the dead block
+    assert rows == [(1, -5)]
+    c.abort_tx()
