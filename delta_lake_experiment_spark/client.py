@@ -966,7 +966,9 @@ class DeltaLakeClient:
         conflicts first-committer-wins with any same-table commit,
         like every metadata change.
 
-        ``declarations`` forwards to :meth:`create_table`
+        ``declarations`` forwards to the shared validation phase
+        (:meth:`_prepare_create_action`), same keywords as
+        :meth:`create_table`
         (primary_keys, bloom_columns, cluster_by, bucket_by, checks,
         not_null, generated, identity)."""
         tx = self._require_tx()
@@ -1389,21 +1391,25 @@ actions.DropTable` for why clearing the live set on fold is
                     for n in self.store.list_prefix_ordered(prefix)
                     if n in expected
                 )
-        # confirm each listing-absent candidate through the tri-state
+        # confirm listing-absent candidates through the tri-state
         # exists() so a backend that cannot answer (None) keeps the
         # assume-present contract (fail loud later at scan, never a
-        # false already-reclaimed refusal). Normally the missing set is
-        # empty, so this costs zero probes on the happy path.
-        gone = sorted(
-            n for n in expected - present if self.store.exists(n) is False
+        # false already-reclaimed refusal) — stopping at the FIRST
+        # confirmed-gone object: one is proof enough to refuse, and a
+        # fully vacuumed 10^6-file table must cost one probe here, not
+        # 10^6 HEADs on the way to the error. Normally the missing set
+        # is empty, so the happy path costs zero probes.
+        missing = sorted(expected - present)
+        gone_example = next(
+            (n for n in missing if self.store.exists(n) is False), None
         )
-        if gone:
+        if gone_example is not None:
             raise TableNotFoundError(
-                f"cannot undrop {table!r}: {len(gone)} of its"
+                f"cannot undrop {table!r}: {len(missing)} of its"
                 f" {len(expected)} objects were already"
-                " reclaimed by vacuum (first:"
-                f" {gone[0]!r}) - the drop is past the data retention"
-                " window"
+                " reclaimed by vacuum (first confirmed gone:"
+                f" {gone_example!r}) - the drop is past the data"
+                " retention window"
             )
         tx.actions.append(
             self._authoritative_metadata(old, table, old.tables[table])

@@ -34,6 +34,7 @@ from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.errors import (
     ConcurrentCommitError,
     HistoryTruncatedError,
+    TableNotFoundError,
 )
 from delta_lake_experiment_spark.plans.snapshot import (
     CHECKPOINT_PREFIX,
@@ -1315,6 +1316,47 @@ def test_metadata_scale_checkpoint_cost_is_o_changed_tables(
         if ps == base["live_ref"].get(t)
     )
     assert survivors_reused >= N_TABLES - len(victims) - 1
+    # UNDROP at fleet shape (r14): recovery of a 100-file victim whose
+    # objects still exist costs prefix LISTs + ZERO per-object HEADs;
+    # a victim whose objects are GONE (these synthesized names were
+    # never stored) refuses after ONE confirming probe — never
+    # O(files) HEADs on the way to the error
+    exists_probes = [0]
+    orig_exists = MeterStore.exists
+
+    def counting_exists(self, name):
+        exists_probes[0] += 1
+        return orig_exists(self, name)
+
+    MeterStore.exists = counting_exists
+    try:
+        lucky = victims[3]  # a purely synthetic victim (t0000 got a
+        # real v12 write whose object already exists in the store)
+        lucky_below = replay_log(store, as_of=25 - 1)
+        for n in lucky_below.live_map(lucky):
+            store.put_if_absent(n, b"")  # materialize its 100 objects
+        c.new_tx()
+        exists_probes[0] = 0
+        assert c.undrop_table(lucky) == FILES_PER
+        assert exists_probes[0] == 0  # pure prefix LISTs
+        c.commit_tx()
+        c.new_tx()
+        exists_probes[0] = 0
+        with pytest.raises(TableNotFoundError, match="reclaimed"):
+            c.undrop_table(victims[1])  # objects never existed
+        assert exists_probes[0] == 1  # ONE confirming probe, then loud
+        c.abort_tx()
+    finally:
+        MeterStore.exists = orig_exists
+
+    # DISCOVERY at fleet shape: one walk lists every drop; the
+    # undropped victim's name is taken again, the rest stay listed
+    listing = c.list_dropped_tables()
+    assert len(listing) == len(victims)
+    by_name = {d["table"]: d for d in listing}
+    assert by_name[lucky]["recoverable"] is False  # name taken again
+    assert by_name[victims[2]]["recoverable"] is True  # metadata-level
+
     # retention reclaims the dropped tables' (now unreferenced) parts
     victim_parts = {p for t in victims for p in base["live_ref"][t]}
     c.vacuum_log(min_age_seconds=0)
@@ -1323,8 +1365,16 @@ def test_metadata_scale_checkpoint_cost_is_o_changed_tables(
     # survivors still replay + hydrate exactly
     snap2 = replay_log(store)
     assert len(snap2.live_objects("t0750")) == FILES_PER
+
+    # post-retention discovery honors the horizon: the mass-drop
+    # record was swept with the rest of the pre-checkpoint history,
+    # so the listing is EMPTY (DESCRIBE HISTORY's completeness
+    # contract) and an undrop answers not-found instead of serving a
+    # half-reclaimed recovery
+    assert c.list_dropped_tables() == []
+
     # and the whole fleet-shaped test stays in bounded seconds
-    assert _time.time() - start < 120
+    assert _time.time() - start < 150
 
 
 def test_stalled_checkpointer_self_invalidates_after_publish(
