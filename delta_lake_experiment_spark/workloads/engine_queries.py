@@ -977,15 +977,17 @@ def engine_not_null_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
     poisoned = orders.withColumn(
         "status", F.nullif(F.col("status"), F.lit("F"))
     )
-    try:
-        c.write_dataframe("orders_nn", poisoned)
-        raise RuntimeError(
-            "NOT NULL constraint admitted NULL rows - enforcement broken"
-        )
-    except RuntimeError:
-        raise
-    except Exception:
-        c.abort_tx()  # rejected: the constraint fired in-plan
+    with _silenced_expected_task_failure(spark):
+        try:
+            c.write_dataframe("orders_nn", poisoned)
+            raise RuntimeError(
+                "NOT NULL constraint admitted NULL rows - enforcement"
+                " broken"
+            )
+        except RuntimeError:
+            raise
+        except Exception:
+            c.abort_tx()  # rejected: the constraint fired in-plan
     c.new_tx()
     c.write_dataframe("orders_nn", orders.filter(F.col("status") != "F"))
     c.commit_tx()
