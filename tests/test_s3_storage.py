@@ -514,3 +514,38 @@ def test_engine_stream_source_on_remote_store(spark, tmp_path):
     assert by[("delete", 4)] == 5
     assert by[("insert", 3)] == 5
     _cp.unregister_pickle_by_value(_sys.modules[__name__])
+
+
+def test_drop_undrop_discovery_over_s3(spark, s3_store):
+    """The r14 recovery lane over the S3 API double: the batched
+    undrop probe rides paginated LISTs (page size 2 here), discovery
+    walks the log unchanged, and the tri-state exists() contract holds
+    — this double has NO head_object, so exists() answers None and a
+    listing-absent object is ASSUMED present (fail loud later at scan,
+    never a false already-reclaimed refusal; LocalObjectStorage's
+    definitive False path is pinned in test_drop_table)."""
+    c = DeltaLakeClient(spark, s3_store)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    for i in range(5):
+        c.write_row("t", [i])
+    c.commit_tx()
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    listing = c.list_dropped_tables()
+    assert [(d["table"], d["recoverable"]) for d in listing] == [("t", True)]
+    # vacuum one data object away behind recovery's back: the double
+    # cannot HEAD, so the probe ASSUMES it present and undrop proceeds
+    data_keys = [k for k in s3_store.client.objects if "table_t_" in k]
+    assert len(data_keys) == 1  # one flush -> one object
+    del s3_store.client.objects[data_keys[0]]
+    c.new_tx()
+    assert c.undrop_table("t") == 1
+    c.commit_tx()
+    c.new_tx()
+    # the loss surfaces LOUDLY at first scan of the missing object —
+    # the documented degradation for backends that cannot answer
+    with pytest.raises(Exception):
+        c.scan("t", with_stamps=False).count()
+    c.abort_tx()
