@@ -179,6 +179,7 @@ HEADLINE = [
     # r13: DROP TABLE lifecycle (drop -> gate -> vacuum reclaim ->
     # fresh-lineage recreate)
     "engine_drop_table",
+    "engine_undrop_recovery",
 ]
 
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).

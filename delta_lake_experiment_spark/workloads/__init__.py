@@ -785,6 +785,14 @@ _DEFERRED_ORACLED = [
     "semantic_dedup_corpus",
     "lang_id_weights",
     "engine_identity_columns",
+    # r14 late newborn, deferred from birth (the engine_log_retention
+    # r11 precedent): engine_undrop_recovery — UNDROP end-to-end
+    # through an oracle (DV masks re-attached, identity mark carried,
+    # discovery listing, double-undrop + typo'd-undrop refusals). The
+    # machinery is pinned by the tests/test_drop_table.py undrop
+    # battery and the fleet-shape gate; rotate in next round per
+    # policy.
+    "engine_undrop_recovery",
 ]
 
 

@@ -2139,8 +2139,133 @@ GROUP BY event_type
 """
 
 
+def engine_undrop_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNDROP TABLE end-to-end through the driver gate (r14 — until
+    now the recovery verb was pytest-pinned only). The query drives
+    the full recovery lifecycle and asserts each property in-query:
+
+    1. ingest events (single ordered partition, so the IDENTITY
+       column ``rid`` mints oracle-exact row numbers in event_id
+       order), then DV-delete a range — the undrop must RE-ATTACH
+       those masks, never resurrect soft-deleted rows;
+    2. SQL ``DROP TABLE``, then ``list_dropped_tables`` (SHOW DROPPED
+       TABLES) reports the drop as recoverable;
+    3. SQL ``UNDROP TABLE``: data back, masks re-attached, and the
+       identity mark carried — a post-undrop sentinel insert mints
+       EXACTLY total_rows + 1, which the oracle recomputes, so a
+       reset or duplicated allocation value-diverges immediately;
+    4. a second undrop refuses (name taken) and a typo'd undrop's
+       error carries the discovery listing (names the real drop).
+
+    The returned per-type aggregate reads COUNT, SUM(value) and the
+    rid span from the RECOVERED table: a resurrected masked row, a
+    lost live row, or a wrong sentinel id all diverge from the
+    full-source oracle."""
+    _utc(spark)
+    from delta_lake_experiment_spark.errors import (
+        TableExistsError,
+        TableNotFoundError,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+        .coalesce(1)
+    )
+    c = _fresh_client(spark)
+    c.new_tx()
+    c.create_table(
+        "ev_rec",
+        "rid BIGINT, event_id BIGINT, event_type STRING, value DOUBLE",
+        identity={"rid": {"start": 1, "step": 1}},
+    )
+    c.write_dataframe("ev_rec", events)
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("ev_rec", "event_id", 100, 400, use_dv=True)
+    c.commit_tx()
+    n_total = events.count()
+    c.new_tx()
+    c.execute("DROP TABLE ev_rec")
+    c.commit_tx()
+    drops = c.list_dropped_tables()
+    if [(d["table"], d["recoverable"]) for d in drops] != [("ev_rec", True)]:
+        raise RuntimeError(f"discovery before undrop listed {drops}")
+    c.new_tx()
+    c.execute("UNDROP TABLE ev_rec")
+    c.commit_tx()
+    # identity mark carried: the sentinel mints total_rows + 1 (the
+    # oracle recomputes this, so it is value-gated, not just asserted)
+    c.new_tx()
+    c.write_row("ev_rec", [None, -1, "sentinel", 0.0])
+    c.commit_tx()
+    # double undrop refuses: the name is taken by the recovery
+    c.new_tx()
+    try:
+        c.undrop_table("ev_rec")
+        raise RuntimeError("second undrop of a recovered name admitted")
+    except TableExistsError:
+        c.abort_tx()
+    # a typo'd undrop answers with the discovery listing, not a bare
+    # not-found (zero extra reads: the failed walk already saw it)
+    c.new_tx()
+    try:
+        c.undrop_table("ev_rec_typo")
+        raise RuntimeError("typo'd undrop recovered something")
+    except TableNotFoundError as e:
+        if "ev_rec" not in str(e):
+            raise RuntimeError(f"typo error lacks the discovery hint: {e}")
+    scanned = c.scan("ev_rec", with_stamps=False)
+    out = (
+        scanned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("val_sum"),
+            F.min("rid").alias("rid_min"),
+            F.max("rid").alias("rid_max"),
+        )
+    )
+    # the sentinel's minted id is oracle-pinned to n_total + 1; fail
+    # fast here too so a wrong mint names itself instead of hashing
+    sentinel_rid = (
+        scanned.filter(F.col("event_type") == "sentinel")
+        .select("rid")
+        .collect()[0][0]
+    )
+    if sentinel_rid != n_total + 1:
+        raise RuntimeError(
+            f"undrop lost the identity mark: sentinel minted"
+            f" {sentinel_rid}, expected {n_total + 1}"
+        )
+    return out
+
+
+ENGINE_UNDROP_RECOVERY_SQL = """
+WITH base AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS rid,
+         event_id, event_type, value
+  FROM events
+), final AS (
+  SELECT rid, event_type, value FROM base
+  WHERE event_id NOT BETWEEN 100 AND 400
+  UNION ALL
+  SELECT (SELECT COUNT(*) FROM events) + 1 AS rid,
+         'sentinel' AS event_type, 0.0 AS value
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       round(SUM(value), 6) AS val_sum,
+       MIN(rid) AS rid_min,
+       MAX(rid) AS rid_max
+FROM final
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "engine_roundtrip_scan": engine_roundtrip_scan,
+    "engine_undrop_recovery": engine_undrop_recovery,
     "engine_protocol_gating": engine_protocol_gating,
     "engine_drop_table": engine_drop_table,
     "engine_stream_source": engine_stream_source,
@@ -2173,6 +2298,7 @@ QUERIES = {
 
 ORACLES = {
     "engine_roundtrip_scan": ROUNDTRIP_SQL,
+    "engine_undrop_recovery": ENGINE_UNDROP_RECOVERY_SQL,
     "engine_protocol_gating": ENGINE_PROTOCOL_GATING_SQL,
     "engine_drop_table": ENGINE_DROP_TABLE_SQL,
     "engine_stream_source": ENGINE_STREAM_SOURCE_SQL,
