@@ -51,6 +51,7 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "dedup_exact_documents",
     "near_dup_minhash",
+    "near_dup_verified",
     "near_dup_simhash",
     "near_dup_embedding",
     "similarity_bruteforce_topk",

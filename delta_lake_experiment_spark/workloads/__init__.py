@@ -793,6 +793,14 @@ _DEFERRED_ORACLED = [
     # battery and the fleet-shape gate; rotate in next round per
     # policy.
     "engine_undrop_recovery",
+    # r14 late newborn, deferred from birth: near_dup_verified — the
+    # candidate-then-verify fuzzy-dedup composition (posting-capped
+    # Jaccard candidates at 0.3 + a JVM-side Levenshtein prefix bound)
+    # — fully value-oracled (DuckDB shares levenshtein); the dedup
+    # candidate machinery stays certified in-window by ensemble_dedup
+    # and dedup_exact_documents (both in-window). Rotate in next
+    # round per policy.
+    "near_dup_verified",
 ]
 
 

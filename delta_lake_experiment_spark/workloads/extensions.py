@@ -23,6 +23,7 @@ from delta_lake_experiment_spark.operators.dedup import (
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
+    verified_near_duplicates,
 )
 from delta_lake_experiment_spark.operators.packing import (
     pack_sequences,
@@ -309,6 +310,38 @@ def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_SQL = f"""
 WITH {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP)}
 SELECT id_a, id_b, jaccard FROM pairs
+"""
+
+
+def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-then-verify fuzzy dedup (r14;
+    operators/dedup.py::verified_near_duplicates): posting-capped
+    exact-Jaccard candidates at a recall-oriented 0.3 gate, each pair
+    CONFIRMED by a character-level Levenshtein bound over the first
+    400 characters (edit_dist <= floor(0.2 * max prefix length)) —
+    the production two-stage fuzzy-dedup shape, fully value-oracled
+    because both stages are deterministic and DuckDB shares
+    ``levenshtein``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return verified_near_duplicates(
+        docs, "doc_id", "text",
+        shingle_n=3, candidate_threshold=0.3,
+        max_postings=_NEAR_DUP_CAP, prefix_chars=400, max_edit_ratio=0.2,
+    )
+
+
+NEAR_DUP_VERIFIED_SQL = f"""
+WITH {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP, threshold=0.3)},
+pfx AS (
+  SELECT doc_id, substr(text, 1, 400) AS pfx FROM documents
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+       levenshtein(a.pfx, b.pfx) AS edit_dist
+FROM pairs p
+JOIN pfx a ON p.id_a = a.doc_id
+JOIN pfx b ON p.id_b = b.doc_id
+WHERE levenshtein(a.pfx, b.pfx)
+      <= floor(0.2 * greatest(length(a.pfx), length(b.pfx)))
 """
 
 
@@ -5077,6 +5110,7 @@ QUERIES = {
     "dedup_exact_documents": dedup_exact_documents,
     "near_dup_minhash": near_dup_minhash,
     "near_dup_jaccard": near_dup_jaccard,
+    "near_dup_verified": near_dup_verified,
     "near_dup_simhash": near_dup_simhash,
     "near_dup_embedding": near_dup_embedding,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
@@ -5167,6 +5201,7 @@ ORACLES = {
     "multimodal_features": MULTIMODAL_SQL,
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "near_dup_jaccard": NGRAM_JACCARD_SQL,
+    "near_dup_verified": NEAR_DUP_VERIFIED_SQL,
     "near_dup_simhash": NEAR_DUP_SIMHASH_SQL,
     "near_dup_embedding": NEAR_DUP_EMBEDDING_SQL,
     "similarity_bruteforce_topk": SIM_TOPK_SQL,

@@ -5467,3 +5467,42 @@ def test_word_embeddings_ppmi_cross_engine(spark):
         cooccurrence_counts(toks, vocab, window=0)
     with pytest.raises(ValueError, match="r="):
         ppmi_topk_eigs(mat, len(vocab), r=0)
+
+
+def test_verified_near_duplicates_two_stage(spark):
+    """Candidate-then-verify fuzzy dedup (r14): a true near-dup (small
+    scattered edits) survives BOTH stages; a doc sharing a long tail
+    (high Jaccard candidate) whose PREFIX was rewritten is rejected by
+    the Levenshtein verifier; an unrelated doc never even becomes a
+    candidate. Pure JVM plan — no Python in the loop."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        verified_near_duplicates,
+    )
+
+    base_words = [f"w{i:03d}" for i in range(120)]
+    base = " ".join(base_words)
+    near = " ".join(
+        ("EDIT" if i % 37 == 0 else w) for i, w in enumerate(base_words)
+    )
+    # same long tail (high shingle overlap) but the first ~45 words —
+    # well past prefix_chars=200 — rewritten: candidate YES, verify NO
+    tail_only = " ".join(
+        [f"QJXZVK{i:03d}" for i in range(45)] + base_words[45:]
+    )
+    unrelated = " ".join(f"z{i:03d}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, tail_only), (4, unrelated)],
+        "doc_id LONG, text STRING",
+    )
+    out = verified_near_duplicates(
+        docs, "doc_id", "text",
+        candidate_threshold=0.3, prefix_chars=200, max_edit_ratio=0.2,
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs, "true near-dup must survive verification"
+    assert (1, 3) not in pairs, "prefix-divergent pair must be rejected"
+    assert all(r.id_a < r.id_b for r in out)
+    assert not any(4 in (r.id_a, r.id_b) for r in out)
+    row = next(r for r in out if (r.id_a, r.id_b) == (1, 2))
+    assert 0 < row.edit_dist <= 0.2 * 200
+    assert row.jaccard >= 0.3
