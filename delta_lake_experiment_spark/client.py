@@ -1406,10 +1406,10 @@ actions.DropTable` for why clearing the live set on fold is
         if gone_example is not None:
             raise TableNotFoundError(
                 f"cannot undrop {table!r}: {len(missing)} of its"
-                f" {len(expected)} objects were already"
-                " reclaimed by vacuum (first confirmed gone:"
-                f" {gone_example!r}) - the drop is past the data"
-                " retention window"
+                f" {len(expected)} objects are absent from the store"
+                " listing, at least one confirmed reclaimed by vacuum"
+                f" (first confirmed gone: {gone_example!r}) - the drop"
+                " is past the data retention window"
             )
         tx.actions.append(
             self._authoritative_metadata(old, table, old.tables[table])

@@ -685,8 +685,26 @@ def verified_near_duplicates(
 
     Returns (id_a, id_b, jaccard, edit_dist), id_a < id_b. Every stage
     is deterministic and SQL-expressible, so the whole composition is
-    value-oracled (DuckDB shares ``levenshtein``), unlike the
-    MinHash-probability lane."""
+    value-oracled against DuckDB — with one documented encoding edge:
+    Spark's ``levenshtein`` counts CODEPOINTS while DuckDB's counts
+    BYTES, so the oracle contract is exact on ASCII corpora (the
+    driver fixtures, verified all-ASCII) and the operator's
+    codepoint semantics are authoritative on non-ASCII text (review
+    catch, r14: levenshtein('café','cafe') is 1 in Spark, 2 in
+    DuckDB)."""
+    if prefix_chars < 1:
+        raise ValueError(
+            f"prefix_chars={prefix_chars!r} must be >= 1: an empty"
+            " prefix makes levenshtein('','')=0 pass every candidate —"
+            " the verifier would silently become a no-op"
+        )
+    if not (0.0 <= max_edit_ratio):
+        raise ValueError(f"max_edit_ratio={max_edit_ratio!r} must be >= 0")
+    if not (0.0 < candidate_threshold <= 1.0):
+        raise ValueError(
+            f"candidate_threshold={candidate_threshold!r} must be in"
+            " (0, 1]"
+        )
     cands = ngram_jaccard_pairs(
         df,
         id_col,

@@ -2228,15 +2228,19 @@ def engine_undrop_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the sentinel's minted id is oracle-pinned to n_total + 1; fail
     # fast here too so a wrong mint names itself instead of hashing
-    sentinel_rid = (
+    sentinel_rows = (
         scanned.filter(F.col("event_type") == "sentinel")
         .select("rid")
-        .collect()[0][0]
+        .collect()
     )
-    if sentinel_rid != n_total + 1:
+    if not sentinel_rows:
+        raise RuntimeError(
+            "undrop lost the post-recovery sentinel row entirely"
+        )
+    if sentinel_rows[0][0] != n_total + 1:
         raise RuntimeError(
             f"undrop lost the identity mark: sentinel minted"
-            f" {sentinel_rid}, expected {n_total + 1}"
+            f" {sentinel_rows[0][0]}, expected {n_total + 1}"
         )
     return out
 

@@ -319,9 +319,10 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard candidates at a recall-oriented 0.3 gate, each pair
     CONFIRMED by a character-level Levenshtein bound over the first
     400 characters (edit_dist <= floor(0.2 * max prefix length)) —
-    the production two-stage fuzzy-dedup shape, fully value-oracled
-    because both stages are deterministic and DuckDB shares
-    ``levenshtein``."""
+    the production two-stage fuzzy-dedup shape, value-oracled exactly
+    on this corpus (all-ASCII, so Spark's codepoint levenshtein and
+    DuckDB's byte levenshtein agree; see the operator docstring for
+    the non-ASCII edge)."""
     docs = load_table(spark, sf_dir, "documents")
     return verified_near_duplicates(
         docs, "doc_id", "text",

@@ -5506,3 +5506,21 @@ def test_verified_near_duplicates_two_stage(spark):
     row = next(r for r in out if (r.id_a, r.id_b) == (1, 2))
     assert 0 < row.edit_dist <= 0.2 * 200
     assert row.jaccard >= 0.3
+
+
+def test_verified_near_duplicates_rejects_degenerate_params(spark):
+    """A zero-width prefix would make the verifier a silent no-op —
+    the repo's loud-rejection convention for degenerate inputs."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        verified_near_duplicates,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="prefix_chars"):
+        verified_near_duplicates(docs, "doc_id", "text", prefix_chars=0)
+    with pytest.raises(ValueError, match="max_edit_ratio"):
+        verified_near_duplicates(docs, "doc_id", "text", max_edit_ratio=-0.1)
+    with pytest.raises(ValueError, match="candidate_threshold"):
+        verified_near_duplicates(
+            docs, "doc_id", "text", candidate_threshold=0.0
+        )

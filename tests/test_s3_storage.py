@@ -527,9 +527,14 @@ def test_drop_undrop_discovery_over_s3(spark, s3_store):
     c = DeltaLakeClient(spark, s3_store)
     c.new_tx()
     c.create_table("t", "k BIGINT")
-    for i in range(5):
-        c.write_row("t", [i])
     c.commit_tx()
+    # 10 commits -> 10 data objects: past the probe's small-group
+    # direct-exists() escape (<=8), so the BATCHED paginated-LIST
+    # branch is what runs over this double
+    for i in range(10):
+        c.new_tx()
+        c.write_row("t", [i])
+        c.commit_tx()
     c.new_tx()
     c.drop_table("t")
     c.commit_tx()
@@ -537,15 +542,18 @@ def test_drop_undrop_discovery_over_s3(spark, s3_store):
     assert [(d["table"], d["recoverable"]) for d in listing] == [("t", True)]
     # vacuum one data object away behind recovery's back: the double
     # cannot HEAD, so the probe ASSUMES it present and undrop proceeds
-    data_keys = [k for k in s3_store.client.objects if "table_t_" in k]
-    assert len(data_keys) == 1  # one flush -> one object
+    data_keys = sorted(k for k in s3_store.client.objects if "table_t_" in k)
+    assert len(data_keys) == 10  # one flush per commit
     del s3_store.client.objects[data_keys[0]]
     c.new_tx()
-    assert c.undrop_table("t") == 1
+    assert c.undrop_table("t") == 10
     c.commit_tx()
     c.new_tx()
-    # the loss surfaces LOUDLY at first scan of the missing object —
-    # the documented degradation for backends that cannot answer
-    with pytest.raises(Exception):
+    # the loss surfaces LOUDLY at first read of the missing object —
+    # the documented degradation for backends that cannot answer. Pin
+    # the MISSING-OBJECT error class, not just any failure: the table
+    # itself must still resolve (undrop committed fine)
+    assert c.table_schema("t") is not None
+    with pytest.raises(Exception, match="(?i)file|path|exist|found"):
         c.scan("t", with_stamps=False).count()
     c.abort_tx()
