@@ -1418,3 +1418,51 @@ def test_replace_resets_constraints_and_reserved_blocks(spark, tmp_path):
     # fresh lineage: minting restarts at 1, never from the dead block
     assert rows == [(1, -5)]
     c.abort_tx()
+
+
+def test_undrop_below_state_anchored_by_checkpoint_after_truncation(
+    tmp_path,
+):
+    """UNDROP whose below-drop state survives ONLY as a checkpoint:
+    vacuum_log truncated every record below the anchor, the drop rides
+    the surviving tail, and recovery replays the pinned state straight
+    from the checkpoint — discovery's metadata-level recoverability
+    agrees (the checkpoint-exact branch of _replayable_version, now
+    integration-pinned)."""
+    root = str(tmp_path)
+    c = _client(root, checkpoint_interval=4)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.create_table("keep", "k BIGINT")
+    c.commit_tx()  # v1
+    # stamp the feature up front so the drop is exactly ONE commit and
+    # lands at anchor+1 (below-state == the checkpoint, the case under
+    # test)
+    c.upgrade_protocol(
+        reader_features=["dropTable"], writer_features=["dropTable"]
+    )  # v2
+    for i in range(6):
+        c.new_tx()
+        c.write_row("t" if i % 2 == 0 else "keep", [i])
+        c.commit_tx()  # v3..v8; checkpoints at v4 and v8
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()  # v9
+    assert c.vacuum_log(min_age_seconds=0) > 0  # records below v8 gone
+    from delta_lake_experiment_spark.plans.snapshot import (
+        newest_checkpoint_version,
+    )
+
+    anchor = newest_checkpoint_version(c.store)
+    drop_v = next(
+        d["version"] for d in c.list_dropped_tables() if d["table"] == "t"
+    )
+    assert anchor == drop_v - 1  # the below-state IS the checkpoint
+    listing = c.list_dropped_tables()
+    assert [(d["table"], d["recoverable"]) for d in listing] == [("t", True)]
+    c.new_tx()
+    assert c.undrop_table("t") >= 1
+    c.commit_tx()
+    snap = replay_log(c.store)
+    assert len(snap.live_objects("t")) == 3  # i = 0, 2, 4
+    assert len(snap.live_objects("keep")) == 3
