@@ -52,6 +52,7 @@ HEADLINE = [
     "dedup_exact_documents",
     "near_dup_minhash",
     "near_dup_verified",
+    "dedup_verified_clusters",
     "near_dup_simhash",
     "near_dup_embedding",
     "similarity_bruteforce_topk",

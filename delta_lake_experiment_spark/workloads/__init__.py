@@ -801,6 +801,12 @@ _DEFERRED_ORACLED = [
     # and dedup_exact_documents (both in-window). Rotate in next
     # round per policy.
     "near_dup_verified",
+    # r14 late newborn, deferred from birth: dedup_verified_clusters —
+    # connected components over the VERIFIED edge set (the two-stage
+    # pipeline's keep/drop decision); the components machinery stays
+    # certified in-window via leakage_safe_split (same
+    # assign_components lane). Rotate in next round per policy.
+    "dedup_verified_clusters",
 ]
 
 

@@ -331,18 +331,71 @@ def near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NEAR_DUP_VERIFIED_SQL = f"""
-WITH {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP, threshold=0.3)},
+_VERIFIED_PAIRS_CTES = f"""{_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP, threshold=0.3)},
 pfx AS (
   SELECT doc_id, substr(text, 1, 400) AS pfx FROM documents
+),
+vpairs AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         levenshtein(a.pfx, b.pfx) AS edit_dist
+  FROM pairs p
+  JOIN pfx a ON p.id_a = a.doc_id
+  JOIN pfx b ON p.id_b = b.doc_id
+  WHERE levenshtein(a.pfx, b.pfx)
+        <= floor(0.2 * greatest(length(a.pfx), length(b.pfx)))
+)"""
+
+NEAR_DUP_VERIFIED_SQL = f"""
+WITH {_VERIFIED_PAIRS_CTES}
+SELECT id_a, id_b, jaccard, edit_dist FROM vpairs
+"""
+
+
+def dedup_verified_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the VERIFIED near-dup pairs (r14):
+    the two-stage fuzzy dedup's keep/drop decision — every document
+    gets its cluster id (min doc_id reachable through verified edges)
+    and a canonical flag, exactly dedup_cluster_assignment's contract
+    with the precision-verified edge set. Because the verifier prunes
+    candidate edges, chains that only existed through unverified
+    candidates break apart — the behavioral difference a two-stage
+    pipeline buys."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_duplicates(
+        docs, "doc_id", "text",
+        shingle_n=3, candidate_threshold=0.3,
+        max_postings=_NEAR_DUP_CAP, prefix_chars=400, max_edit_ratio=0.2,
+    )
+    out = assign_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
+    return out.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
+
+
+# the same recursive fixpoint as _COMPONENTS_CTES, over the VERIFIED
+# edge set (that builder is hardwired to a CTE named ``pairs``; the
+# verified lane's pairs live in ``vpairs``)
+DEDUP_VERIFIED_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_VERIFIED_PAIRS_CTES},
+vedges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL
+  SELECT id_b, id_a FROM vpairs
+), vreach(id, r) AS (
+  SELECT DISTINCT a, a FROM vedges
+  UNION
+  SELECT e.a, w.r FROM vedges e JOIN vreach w ON w.id = e.b
+), vcomp AS (
+  SELECT id, MIN(r) AS component FROM vreach GROUP BY id
 )
-SELECT p.id_a, p.id_b, p.jaccard,
-       levenshtein(a.pfx, b.pfx) AS edit_dist
-FROM pairs p
-JOIN pfx a ON p.id_a = a.doc_id
-JOIN pfx b ON p.id_b = b.doc_id
-WHERE levenshtein(a.pfx, b.pfx)
-      <= floor(0.2 * greatest(length(a.pfx), length(b.pfx)))
+SELECT d.doc_id,
+  COALESCE(c.component, d.doc_id) AS component,
+  d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN vcomp c ON c.id = d.doc_id
 """
 
 
@@ -5112,6 +5165,7 @@ QUERIES = {
     "near_dup_minhash": near_dup_minhash,
     "near_dup_jaccard": near_dup_jaccard,
     "near_dup_verified": near_dup_verified,
+    "dedup_verified_clusters": dedup_verified_clusters,
     "near_dup_simhash": near_dup_simhash,
     "near_dup_embedding": near_dup_embedding,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
@@ -5203,6 +5257,7 @@ ORACLES = {
     "dedup_exact_documents": DEDUP_EXACT_SQL,
     "near_dup_jaccard": NGRAM_JACCARD_SQL,
     "near_dup_verified": NEAR_DUP_VERIFIED_SQL,
+    "dedup_verified_clusters": DEDUP_VERIFIED_CLUSTERS_SQL,
     "near_dup_simhash": NEAR_DUP_SIMHASH_SQL,
     "near_dup_embedding": NEAR_DUP_EMBEDDING_SQL,
     "similarity_bruteforce_topk": SIM_TOPK_SQL,
