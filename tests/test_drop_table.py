@@ -1466,3 +1466,43 @@ def test_undrop_below_state_anchored_by_checkpoint_after_truncation(
     snap = replay_log(c.store)
     assert len(snap.live_objects("t")) == 3  # i = 0, 2, 4
     assert len(snap.live_objects("keep")) == 3
+
+
+def test_undrop_races_recreate_first_committer_wins(tmp_path):
+    """A recovery and a recreate fighting over a freed name are a
+    same-table metadata conflict: exactly one wins, the loser raises —
+    never a merged lineage (undropped old rows under the recreate's
+    schema, or vice versa)."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    a = _client(root)
+    b = _client(root)
+    a.new_tx()
+    b.new_tx()
+    assert a.undrop_table("t") >= 1
+    b.create_or_replace_table("t", "x DOUBLE")  # missing name: create
+    a.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        b.commit_tx()
+    snap = replay_log(c.store)
+    assert snap.tables["t"].startswith("k ")  # the recovery won
+    assert len(snap.live_objects("t")) >= 1
+    # and the mirror order: recreate first, recovery loses
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    a2 = _client(root)
+    b2 = _client(root)
+    a2.new_tx()
+    b2.new_tx()
+    assert a2.undrop_table("t") >= 1
+    b2.create_table("t", "y STRING")
+    b2.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        a2.commit_tx()
+    snap = replay_log(c.store)
+    assert snap.tables["t"].startswith("y ")  # the recreate won
+    assert len(snap.live_objects("t")) == 0  # and NO old rows leaked in
