@@ -1506,3 +1506,16 @@ def test_undrop_races_recreate_first_committer_wins(tmp_path):
     snap = replay_log(c.store)
     assert snap.tables["t"].startswith("y ")  # the recreate won
     assert len(snap.live_objects("t")) == 0  # and NO old rows leaked in
+
+
+def test_discovery_reads_committed_state_only(tmp_path):
+    """list_dropped_tables is a committed-metadata read (the DESCRIBE
+    HISTORY convention): an open tx's uncommitted drop is invisible
+    until commit, and visible right after."""
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.drop_table("t")
+    assert c.list_dropped_tables() == []  # not committed yet
+    c.commit_tx()
+    assert [d["table"] for d in c.list_dropped_tables()] == ["t"]
