@@ -17,6 +17,7 @@ Scale design notes (these run over *documents*, the 100 TB case):
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -659,6 +660,7 @@ def verified_near_duplicates(
     max_postings: Optional[int] = None,
     prefix_chars: int = 400,
     max_edit_ratio: float = 0.2,
+    candidate_fn=None,
 ) -> DataFrame:
     """Candidate-then-verify fuzzy dedup — the production two-stage
     shape (a recall-oriented candidate generator feeding a precision
@@ -666,32 +668,54 @@ def verified_near_duplicates(
     dedup, where LSH or set-overlap candidates are confirmed by an
     edit-similarity check before anything is deleted).
 
-    Stage 1 (candidates): the posting-capped exact-Jaccard inverted
-    index (:func:`ngram_jaccard_pairs`) at a LOW threshold — cheap to
-    lower because the cap already bounds the self-join, and a loose
-    gate keeps recall: pairs the verifier should judge must survive it.
+    Stage 1 (candidates): PLUGGABLE. ``candidate_fn(df) ->
+    (id_a, id_b, ...)`` supplies the candidate pairs (the
+    ``curation_funnel(pair_fn=...)`` precedent); every extra column
+    the generator carries (``est_jaccard``, band ids, ...) rides
+    through to the output next to ``edit_dist``. Default: the
+    posting-capped exact-Jaccard inverted index
+    (:func:`ngram_jaccard_pairs`) at a LOW threshold — cheap to lower
+    because the cap already bounds the self-join, and a loose gate
+    keeps recall: pairs the verifier should judge must survive it. At
+    100 TB the standard production candidate stage is MinHash-LSH
+    (``candidate_fn=lambda d: minhash_near_duplicates(d, ...)``):
+    banded signatures bound the self-join by collision probability
+    instead of posting caps, and the verifier below is identical —
+    that composition is pinned against the exact-candidate lane by
+    tests/test_operators.py (overlap floor on common survivors).
 
     Stage 2 (verify): character-level Levenshtein over each document's
     first ``prefix_chars`` characters, kept when
     ``edit_dist <= floor(max_edit_ratio * max(prefix_len_a,
     prefix_len_b))``. Entirely JVM-side (``F.levenshtein`` — no Python
-    in the loop); O(prefix²) per CANDIDATE, never all-pairs. Prefix
+    in the loop); O(prefix²) per CANDIDATE, never all-pairs, and the
+    DP itself is BOUNDED two ways (value-identical, VERDICT r14 #2):
+    (a) a length pre-gate — ``levenshtein(a,b) >= |len(a)-len(b)|``,
+    so any pair whose prefix-length gap exceeds its per-pair budget is
+    filtered BEFORE the DP ever runs; (b) the surviving DPs run with
+    ``F.levenshtein(..., threshold=floor(max_edit_ratio *
+    prefix_chars))`` — the loosest per-pair budget any row can have
+    (prefix lengths never exceed ``prefix_chars``) — which lets the
+    engine abandon a band-limited DP early (O(d·n) instead of O(n²))
+    and return -1, a value the per-pair filter rejects anyway. At
+    corpus scale, where candidates number in the billions and most
+    fail, the abandoned DPs are the dominant saving. Prefix
     truncation is the standard production trade-off: it bounds the
     per-pair cost regardless of document length (full-text
     verification would make one 1 MB near-dup pair cost ~10¹² DP cell
     updates), and near-duplicate prose rarely diverges only past the
     prefix — pairs that do are the verifier's documented false
-    positives, caught by the jaccard column it carries through.
+    positives, caught by the score column it carries through.
 
-    Returns (id_a, id_b, jaccard, edit_dist), id_a < id_b. Every stage
-    is deterministic and SQL-expressible, so the whole composition is
-    value-oracled against DuckDB — with one documented encoding edge:
-    Spark's ``levenshtein`` counts CODEPOINTS while DuckDB's counts
-    BYTES, so the oracle contract is exact on ASCII corpora (the
-    driver fixtures, verified all-ASCII) and the operator's
-    codepoint semantics are authoritative on non-ASCII text (review
-    catch, r14: levenshtein('café','cafe') is 1 in Spark, 2 in
-    DuckDB)."""
+    Returns (id_a, id_b, <candidate score cols>, edit_dist), id_a <
+    id_b (default stage 1: ``jaccard``). The default composition is
+    deterministic and SQL-expressible, so it is value-oracled against
+    DuckDB — with one documented encoding edge: Spark's
+    ``levenshtein`` counts CODEPOINTS while DuckDB's counts BYTES, so
+    the oracle contract is exact on ASCII corpora (the driver
+    fixtures, verified all-ASCII) and the operator's codepoint
+    semantics are authoritative on non-ASCII text (review catch, r14:
+    levenshtein('café','cafe') is 1 in Spark, 2 in DuckDB)."""
     if prefix_chars < 1:
         raise ValueError(
             f"prefix_chars={prefix_chars!r} must be >= 1: an empty"
@@ -705,14 +729,25 @@ def verified_near_duplicates(
             f"candidate_threshold={candidate_threshold!r} must be in"
             " (0, 1]"
         )
-    cands = ngram_jaccard_pairs(
-        df,
-        id_col,
-        text_col,
-        shingle_n=shingle_n,
-        threshold=candidate_threshold,
-        max_postings=max_postings,
-    )
+    if candidate_fn is None:
+        cands = ngram_jaccard_pairs(
+            df,
+            id_col,
+            text_col,
+            shingle_n=shingle_n,
+            threshold=candidate_threshold,
+            max_postings=max_postings,
+        )
+    else:
+        cands = candidate_fn(df)
+        missing = {"id_a", "id_b"} - set(cands.columns)
+        if missing:
+            raise ValueError(
+                "candidate_fn must return (id_a, id_b, ...) pairs;"
+                f" missing column(s) {sorted(missing)} in"
+                f" {cands.columns}"
+            )
+    carried = list(cands.columns)
     pfx = df.select(
         F.col(id_col),
         F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
@@ -723,18 +758,28 @@ def verified_near_duplicates(
     b = pfx.select(
         F.col(id_col).alias("id_b"), F.col("__pfx").alias("__pfx_b")
     )
+    # per-pair budget: floor(ratio * max(prefix lengths)); its global
+    # ceiling (lengths capped at prefix_chars) bounds every DP below
+    per_pair = F.floor(
+        F.lit(float(max_edit_ratio))
+        * F.greatest(F.length("__pfx_a"), F.length("__pfx_b"))
+    )
+    global_cap = int(math.floor(max_edit_ratio * prefix_chars))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("edit_dist", F.levenshtein("__pfx_a", "__pfx_b"))
+        # length pre-gate: disproves the pair without touching the DP
         .filter(
-            F.col("edit_dist")
-            <= F.floor(
-                F.lit(float(max_edit_ratio))
-                * F.greatest(F.length("__pfx_a"), F.length("__pfx_b"))
-            )
+            F.abs(F.length("__pfx_a") - F.length("__pfx_b")) <= per_pair
         )
-        .select("id_a", "id_b", "jaccard", "edit_dist")
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("__pfx_a", "__pfx_b", threshold=global_cap),
+        )
+        # threshold-exceeded DPs return -1: BETWEEN keeps the filter
+        # from ever admitting an abandoned computation
+        .filter(F.col("edit_dist").between(F.lit(0), per_pair))
+        .select(*carried, "edit_dist")
     )
 
 

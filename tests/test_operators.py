@@ -5508,6 +5508,104 @@ def test_verified_near_duplicates_two_stage(spark):
     assert row.jaccard >= 0.3
 
 
+def test_verified_near_duplicates_bounded_dp_identical(spark):
+    """VERDICT r14 #2 close: the bounded verifier (length pre-gate +
+    F.levenshtein threshold) is VALUE-IDENTICAL to the unbounded DP on
+    the sf0.001 documents corpus — every (id_a, id_b, jaccard,
+    edit_dist) row matches a hand-rolled unbounded reference, so the
+    bound is a pure cost optimization, not a semantics change."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        verified_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bounded = verified_near_duplicates(
+        docs, "doc_id", "text",
+        shingle_n=3, candidate_threshold=0.3,
+        max_postings=1000, prefix_chars=400, max_edit_ratio=0.2,
+    )
+    # the pre-r15 unbounded shape, rebuilt literally
+    cands = ngram_jaccard_pairs(
+        docs, "doc_id", "text",
+        shingle_n=3, threshold=0.3, max_postings=1000,
+    )
+    pfx = docs.select(
+        "doc_id", F.substring("text", 1, 400).alias("p")
+    )
+    a = pfx.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"))
+    b = pfx.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"))
+    unbounded = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("pa", "pb"))
+        .filter(
+            F.col("edit_dist")
+            <= F.floor(
+                F.lit(0.2) * F.greatest(F.length("pa"), F.length("pb"))
+            )
+        )
+        .select("id_a", "id_b", "jaccard", "edit_dist")
+    )
+    got = {tuple(r) for r in bounded.collect()}
+    want = {tuple(r) for r in unbounded.collect()}
+    assert got == want and len(got) > 0
+    # degenerate-budget edge: ratio 0 (threshold=0 DP) keeps only
+    # exact-prefix pairs and must not throw
+    zero = verified_near_duplicates(
+        docs.limit(50), "doc_id", "text",
+        candidate_threshold=0.3, max_postings=1000,
+        prefix_chars=400, max_edit_ratio=0.0,
+    ).collect()
+    assert all(r.edit_dist == 0 for r in zero)
+
+
+def test_verified_near_duplicates_minhash_lsh_candidates(spark):
+    """VERDICT r14 #1 close: the MinHash-LSH candidate stage runs
+    through the SAME Levenshtein verifier end-to-end
+    (candidate_fn= — the curation_funnel pair_fn precedent), carrying
+    its own score column. Overlap floor vs the exact-candidate lane
+    on COMMON SURVIVORS (the r4 item-3 pattern): at sf0.001 with
+    32 hashes / 8 bands the LSH lane must recover >= 90% of the
+    exact lane's verified pairs (both stages deterministic — xxhash64
+    signatures — so the floor is stable, not flaky)."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        minhash_near_duplicates,
+        verified_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = verified_near_duplicates(
+        docs, "doc_id", "text",
+        shingle_n=3, candidate_threshold=0.3,
+        max_postings=1000, prefix_chars=400, max_edit_ratio=0.2,
+    )
+    lsh = verified_near_duplicates(
+        docs, "doc_id", "text",
+        prefix_chars=400, max_edit_ratio=0.2,
+        candidate_fn=lambda d: minhash_near_duplicates(
+            d, "doc_id", "text",
+            shingle_n=3, num_hashes=32, num_bands=8, threshold=0.3,
+        ),
+    )
+    # the candidate generator's score column rides through
+    assert lsh.columns == ["id_a", "id_b", "est_jaccard", "edit_dist"]
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_rows = lsh.collect()
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh_rows}
+    assert len(exact_pairs) > 0
+    assert len(exact_pairs & lsh_pairs) >= 0.9 * len(exact_pairs)
+    assert all(r.id_a < r.id_b for r in lsh_rows)
+    # every LSH survivor passed the same verifier budget
+    assert all(0 <= r.edit_dist <= 0.2 * 400 for r in lsh_rows)
+    # contract: candidate_fn must yield (id_a, id_b, ...)
+    with pytest.raises(ValueError, match="id_a"):
+        verified_near_duplicates(
+            docs, "doc_id", "text",
+            candidate_fn=lambda d: d.select("doc_id"),
+        ).collect()
+
+
 def test_verified_near_duplicates_rejects_degenerate_params(spark):
     """A zero-width prefix would make the verifier a silent no-op —
     the repo's loud-rejection convention for degenerate inputs."""
