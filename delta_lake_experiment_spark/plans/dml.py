@@ -51,8 +51,9 @@ for the DML shapes the engine actually supports, by parsing:
 - ``CREATE TABLE dst [SHALLOW] CLONE src``    -> ``clone_table``
   (zero-copy metadata clone)
 - ``DROP TABLE t`` / ``UNDROP TABLE t``       -> ``drop_table`` /
-  ``undrop_table``; ``SHOW DROPPED TABLES``   -> ``list_dropped_tables``
-  (discovery: drop version, timestamp, recoverable-now + reason)
+  ``undrop_table``; ``SHOW DROPPED TABLES [VERIFY]`` ->
+  ``list_dropped_tables`` (discovery: drop version, timestamp,
+  recoverable-now + reason; VERIFY existence-probes the bytes)
 - ``RESTORE TABLE t TO VERSION n | TO TIMESTAMP 'ts'`` ->
   ``restore_table`` (the timestamp resolves like TIMESTAMP AS OF)
 - ``ALTER TABLE t ADD CONSTRAINT name CHECK (expr)`` /
@@ -239,7 +240,7 @@ _RESERVE_IDENTITY_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_DROPPED_RE = re.compile(
-    r"^\s*SHOW\s+DROPPED\s+TABLES\s*;?\s*$", re.IGNORECASE
+    r"^\s*SHOW\s+DROPPED\s+TABLES\s*(VERIFY)?\s*;?\s*$", re.IGNORECASE
 )
 # ALTER TABLE t UPGRADE PROTOCOL (READER FEATURES (f,...), WRITER
 # FEATURES (f,...)) — either clause optional, at least one required.
@@ -537,9 +538,12 @@ class ReserveIdentity:
 
 @dataclass
 class ShowDroppedTables:
-    # SHOW DROPPED TABLES: dropped-table discovery (the UNDROP
-    # counterpart of DESCRIBE HISTORY; routed to list_dropped_tables)
-    pass
+    # SHOW DROPPED TABLES [VERIFY]: dropped-table discovery (the UNDROP
+    # counterpart of DESCRIBE HISTORY; routed to list_dropped_tables).
+    # VERIFY additionally existence-probes each recoverable candidate's
+    # data objects (undrop's batched per-class LIST), downgrading
+    # `recoverable` when vacuum already reclaimed the bytes.
+    verify: bool = False
 
 
 @dataclass
@@ -751,8 +755,9 @@ def parse_dml(sql: str):
             )
         return UndropTableStmt(table=m.group(1))
     if head == "SHOW":
-        if _SHOW_DROPPED_RE.match(sql):
-            return ShowDroppedTables()
+        m = _SHOW_DROPPED_RE.match(sql)
+        if m:
+            return ShowDroppedTables(verify=m.group(1) is not None)
         # other SHOW spellings fall through to Catalyst (SHOW TABLES
         # over the registered views is a plain read query)
         return None

@@ -645,8 +645,9 @@ _DEFERRED_ORACLED = [
     "hard_negative_pairs",
     "corpus_topic_report",
     "gopher_quality_report",
-    "customers_without_big_orders",
-    "doc_kn_bigram_score",
+    # (customers_without_big_orders and doc_kn_bigram_score, deferred
+    # here at r10-end, rotated back IN at r15 — see the r15 rotation
+    # note at the end of this list)
     # r11 END-OF-ROUND ROTATION (per the codified policy: same-round
     # newborns rotate IN after 3-SF check_oracle green — the r9/r10
     # precedent; changed-lane queries next). IN (5): the three r11
@@ -785,28 +786,62 @@ _DEFERRED_ORACLED = [
     "semantic_dedup_corpus",
     "lang_id_weights",
     "engine_identity_columns",
-    # r14 late newborn, deferred from birth (the engine_log_retention
-    # r11 precedent): engine_undrop_recovery — UNDROP end-to-end
-    # through an oracle (DV masks re-attached, identity mark carried,
-    # discovery listing, double-undrop + typo'd-undrop refusals). The
-    # machinery is pinned by the tests/test_drop_table.py undrop
-    # battery and the fleet-shape gate; rotate in next round per
-    # policy.
-    "engine_undrop_recovery",
-    # r14 late newborn, deferred from birth: near_dup_verified — the
-    # candidate-then-verify fuzzy-dedup composition (posting-capped
-    # Jaccard candidates at 0.3 + a JVM-side Levenshtein prefix bound)
-    # — fully value-oracled (DuckDB shares levenshtein); the dedup
-    # candidate machinery stays certified in-window by ensemble_dedup
-    # and dedup_exact_documents (both in-window). Rotate in next
-    # round per policy.
-    "near_dup_verified",
-    # r14 late newborn, deferred from birth: dedup_verified_clusters —
-    # connected components over the VERIFIED edge set (the two-stage
-    # pipeline's keep/drop decision); the components machinery stays
-    # certified in-window via leakage_safe_split (same
-    # assign_components lane). Rotate in next round per policy.
-    "dedup_verified_clusters",
+    # r15 WINDOW ROTATION (VERDICT r14 item 2, per the codified
+    # policy: previous round's newborns first, then the oldest
+    # certifications still outside). IN (5): the three r14 newborns —
+    # engine_undrop_recovery (UNDROP end-to-end: DV re-attach,
+    # identity continuation, discovery, refusal paths),
+    # near_dup_verified (candidate-then-verify fuzzy dedup — also
+    # certifies this round's bounded-DP verifier through the driver
+    # gate: the value-identity claim is exactly what a hash gate
+    # checks), dedup_verified_clusters (components over verified
+    # edges) — plus the two oldest certifications the judge named:
+    # customers_without_big_orders (anti-join lane, out since r10-end)
+    # and doc_kn_bigram_score (KN-smoothed bigram scoring, out since
+    # r10-end). OUT (5), each in-window >=3 rounds, machinery composed
+    # by stayers:
+    # - engine_merge_upsert (in since r11-end) -> the primary-key
+    #   merge path runs VERBATIM inside engine_streaming_upsert's
+    #   exactly-once MERGE sink every micro-batch (stays), and merge
+    #   conflict semantics stay driven in-window by
+    #   engine_conflict_resolution (stays); the MERGE_SQL value
+    #   oracle stays in the per-run deferred sweep — the
+    #   one-spelling-stays rule that governed engine_sql_merge's r11
+    #   exit now certifies through the streaming spelling;
+    # - engine_change_feed (in since r11-end; the r11 reason to
+    #   return — the CDF planning-lane change — is three rounds
+    #   certified) -> engine_incremental_mv (stays) consumes
+    #   table_changes verbatim to fold its delta (a wrong feed
+    #   value-diverges the MV from its recompute oracle immediately)
+    #   and engine_stream_cdf (stays) drives the same feed through
+    #   the streaming source;
+    # - leakage_safe_split (in since r9-end) -> the union-find
+    #   components chain runs VERBATIM inside dedup_verified_clusters
+    #   (rotating IN, same assign_components lane over verified
+    #   edges); the md5-threshold split idiom stays in-window via
+    #   corpus_heavy_hitters' _hex_prefix cell placement and
+    #   corpus_shuffle's md5-keyed two-phase rank (both stay);
+    # - word_embedding_vectors (in since r8-end) -> the tokenize/count
+    #   lane stays via doc_text_stats (stays); the grid-rounded
+    #   driver-loop + chained recursive-CTE trajectory-oracle
+    #   discipline stays certified in-window by
+    #   predicted_lang_ccnet_buckets (stays — runs _langid_train's
+    #   full GD trajectory); the distributed matvec stays pinned by
+    #   its step-by-step oracle in the deferred sweep;
+    # - bm25_batch_search (in since r6-end, the window's
+    #   longest-tenured LLM-lane certification) -> the postings
+    #   left-semi restriction is certified in-window by
+    #   customers_with_orders (the r14 rotation's semi-join lane,
+    #   stays), top-k by top_orders_by_price (stays), and the
+    #   tokenize/tf array machinery by doc_text_stats (stays); the
+    #   BM25 scoring formula stays value-oracled in the per-run
+    #   deferred sweep (plus bm25_search / hybrid_search in the full
+    #   sweeps).
+    "engine_merge_upsert",
+    "engine_change_feed",
+    "leakage_safe_split",
+    "word_embedding_vectors",
+    "bm25_batch_search",
 ]
 
 

@@ -153,6 +153,33 @@ def test_delete_type_mismatch(spark, store_dir):
     c.abort_tx()
 
 
+def test_malformed_ddl_raises_named_error(spark, store_dir):
+    """VERDICT r14 #3 close: malformed column DDL raises the exported
+    TypeMismatchError (parser message attached) from EVERY DDL
+    doorway — create, replace, and ALTER — never Spark's raw
+    ParseException. A failing replace additionally leaves the
+    transaction untouched (no orphaned uncommitted drop)."""
+    c = DeltaLakeClient(spark, store_dir, dataobject_size=10)
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="invalid column DDL"):
+        c.create_table("bad1", "k int, bad notatype")
+    c.create_table("keep", "k INT, v STRING")
+    c.write_row("keep", [1, "a"])
+    c.commit_tx()
+    c.new_tx()
+    with pytest.raises(TypeMismatchError, match="invalid column DDL"):
+        c.create_or_replace_table("keep", "k int, bad notatype")
+    # ALTER doorway: the same parse feeds add_columns
+    with pytest.raises(TypeMismatchError, match="invalid column DDL"):
+        c.add_columns("keep", "w notatype")
+    # the failed replace left no uncommitted drop behind
+    c.write_row("keep", [2, "b"])
+    c.commit_tx()
+    c.new_tx()
+    assert c.scan("keep", with_stamps=False).count() == 2
+    c.abort_tx()
+
+
 def test_requires_tx_and_table_guards(spark, store_dir):
     c = DeltaLakeClient(spark, store_dir)
     with pytest.raises(NoTxError):

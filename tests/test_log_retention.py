@@ -1377,6 +1377,66 @@ def test_metadata_scale_checkpoint_cost_is_o_changed_tables(
     assert _time.time() - start < 150
 
 
+def test_stalled_checkpointer_catches_partial_sweep_from_tail(
+    tmp_path, monkeypatch
+):
+    """ADVICE r14 close: the post-publish self-check probes BOTH ends
+    of the sorted reused-part list, so an in-order partial sweep that
+    already reclaimed the LAST part but not yet the first is caught
+    too — previously the single reused[0] probe would have left the
+    degraded checkpoint in place for the lazy named error."""
+    import json as _json
+
+    import delta_lake_experiment_spark.plans.snapshot as snapmod
+    from delta_lake_experiment_spark.plans.snapshot import checkpoint_name
+
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_MIN_ADDS", 4)
+    monkeypatch.setattr(snapmod, "CHECKPOINT_SIDECAR_ROWS_PER_PART", 3)
+    root = str(tmp_path / "store")
+    store = LocalObjectStorage(root)
+    c = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=7)
+    c.new_tx()
+    c.create_table("big", "k BIGINT, v BIGINT")
+    c.create_table("filler", "k BIGINT")
+    c.commit_tx()
+    for i in range(6):
+        c.new_tx()
+        c.write_row("big", [i, i * 10])
+        c.commit_tx()
+    assert newest_checkpoint_version(store) == 7
+    base_parts = sorted(
+        _json.loads(store.read(checkpoint_name(7)))["live_ref"]["big"]
+    )
+    assert len(base_parts) >= 2, "need a multi-part sidecar spill"
+    for _ in range(2):
+        c.new_tx()
+        c.write_row("filler", [1])
+        c.commit_tx()  # v8, v9
+
+    # big stays PRISTINE, so the v10 checkpoint REUSES its base parts;
+    # mid-stall a partial sweep reclaims only the LAST sorted part
+    slow = DeltaLakeClient(_NoSpark(), store, checkpoint_interval=10)
+    orig = snapmod.Snapshot.to_checkpoint
+    state = {"interleaved": False}
+
+    def stalling(self, st):
+        payload, fresh = orig(self, st)
+        if not state["interleaved"] and self.version == 10:
+            state["interleaved"] = True
+            assert sorted(self._ckpt_reused_parts) == base_parts
+            st.delete(base_parts[-1])
+            assert st.exists(base_parts[0]) is True
+        return payload, fresh
+
+    monkeypatch.setattr(snapmod.Snapshot, "to_checkpoint", stalling)
+    slow.new_tx()
+    slow.write_row("filler", [2])
+    slow.commit_tx()  # v10: publish lands, tail probe fires
+    assert state["interleaved"], "the stall interleave never ran"
+    # the degraded checkpoint self-invalidated
+    assert store.exists(checkpoint_name(10)) is False
+
+
 def test_stalled_checkpointer_self_invalidates_after_publish(
     tmp_path, monkeypatch
 ):
