@@ -98,6 +98,40 @@ def test_window_accounting():
     )
 
 
+def test_readme_query_counts_match_registry():
+    """VERDICT r14 #4 close (the bench-HEADLINE invariant precedent):
+    README's literal query counts can no longer drift from the
+    registry — every 'N queries' / 'N-query' claim must be the actual
+    registry size, and the 'N of M queries oracle-checked' claim must
+    be the actual oracled count. A registry change without the README
+    edit fails here instead of shipping stale prose."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    total = len(all_queries())
+    oracled = len(entrymod.oracle_sql())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(repo, "README.md")).read()
+    claims = [
+        int(m.group(1))
+        for m in re.finditer(r"(\d+)[- ]quer(?:y|ies)", readme)
+    ]
+    assert claims, "README must state the registry size somewhere"
+    bad = [n for n in claims if n != total]
+    assert bad == [], (
+        f"README claims query count(s) {bad} but the registry has"
+        f" {total} — update README.md (counts are gated, not"
+        " hand-trusted)"
+    )
+    m = re.search(r"\((\d+) of (\d+) queries oracle-checked", readme)
+    assert m is not None
+    assert (int(m.group(1)), int(m.group(2))) == (oracled, total), (
+        f"README oracle-coverage claim {m.groups()} != actual"
+        f" ({oracled}, {total})"
+    )
+
+
 def test_bench_headline_resolves_against_registry():
     # a renamed/dropped registry entry would otherwise surface as a
     # KeyError inside the driver's bench run, zeroing the round's
