@@ -57,6 +57,7 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Optional, Union
 
+from pyspark.errors import ParseException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -5256,7 +5257,11 @@ actions.DropTable` for why clearing the live set on fold is
             return local
         try:
             return T.StructType.fromDDL(ddl)
-        except Exception as e:
+        except ParseException as e:
+            # ONLY the parser's verdict is relabeled: an environment
+            # failure (no active session, dead JVM) must keep its own
+            # type and traceback, or the operator debugs the schema
+            # string instead of the session (r15 review catch)
             raise TypeMismatchError(
                 f"invalid column DDL {ddl!r}: {e}"
             ) from None

@@ -747,6 +747,17 @@ def verified_near_duplicates(
                 f" missing column(s) {sorted(missing)} in"
                 f" {cands.columns}"
             )
+        clash = {"edit_dist", "__pfx_a", "__pfx_b"} & set(cands.columns)
+        if clash:
+            # the carry-through contract would be silently violated:
+            # withColumn would clobber the candidate's column and the
+            # final select would emit duplicate names (r15 review
+            # catch) — reject loudly like the missing-id case above
+            raise ValueError(
+                f"candidate_fn columns {sorted(clash)} collide with"
+                " the verifier's working/output columns — alias them"
+                " before returning"
+            )
     carried = list(cands.columns)
     pfx = df.select(
         F.col(id_col),

@@ -240,7 +240,7 @@ _RESERVE_IDENTITY_RE = re.compile(
     re.IGNORECASE,
 )
 _SHOW_DROPPED_RE = re.compile(
-    r"^\s*SHOW\s+DROPPED\s+TABLES\s*(VERIFY)?\s*;?\s*$", re.IGNORECASE
+    r"^\s*SHOW\s+DROPPED\s+TABLES(?:\s+(VERIFY))?\s*;?\s*$", re.IGNORECASE
 )
 # ALTER TABLE t UPGRADE PROTOCOL (READER FEATURES (f,...), WRITER
 # FEATURES (f,...)) — either clause optional, at least one required.

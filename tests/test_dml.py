@@ -98,6 +98,16 @@ def test_parse_ddl_and_utility_statements():
     assert parse_dml("RESTORE TABLE t TO VERSION 2") == Restore(table="t", version=2)
     with pytest.raises(UnsupportedSqlError):
         parse_dml("OPTIMIZE t CLUSTER BY (a) ZORDER BY (b)")  # both clauses
+    from delta_lake_experiment_spark.plans.dml import ShowDroppedTables
+
+    assert parse_dml("SHOW DROPPED TABLES") == ShowDroppedTables(verify=False)
+    assert parse_dml("show dropped tables verify;") == ShowDroppedTables(
+        verify=True
+    )
+    # glued keyword is NOT the verb: falls through to Catalyst, which
+    # rejects it as invalid SQL (r15 review catch: \s* would have
+    # silently accepted it as VERIFY)
+    assert parse_dml("SHOW DROPPED TABLESVERIFY") is None
 
 
 def test_sql_only_lifecycle(spark, store_dir):

@@ -5604,6 +5604,15 @@ def test_verified_near_duplicates_minhash_lsh_candidates(spark):
             docs, "doc_id", "text",
             candidate_fn=lambda d: d.select("doc_id"),
         ).collect()
+    # ... and must not collide with the verifier's own columns (a
+    # prior verified output fed back as candidates carries edit_dist)
+    with pytest.raises(ValueError, match="collide"):
+        verified_near_duplicates(
+            docs, "doc_id", "text",
+            candidate_fn=lambda d: exact.select(
+                "id_a", "id_b", "edit_dist"
+            ),
+        ).collect()
 
 
 def test_verified_near_duplicates_rejects_degenerate_params(spark):
