@@ -516,6 +516,32 @@ def test_engine_stream_source_on_remote_store(spark, tmp_path):
     _cp.unregister_pickle_by_value(_sys.modules[__name__])
 
 
+def test_verify_bytes_assume_present_over_s3(spark, s3_store):
+    """r15: SHOW DROPPED TABLES VERIFY over a backend whose tri-state
+    exists() cannot answer (this double has no head_object): a
+    listing-absent object is an UNCONFIRMED absence, so verify_bytes
+    keeps recoverable=True — the same assume-present contract as
+    undrop's probe (fail loud later at scan, never a false
+    already-reclaimed downgrade). LocalObjectStorage's definitive
+    downgrade path is pinned in test_drop_table."""
+    c = DeltaLakeClient(spark, s3_store)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    c.commit_tx()
+    for i in range(10):  # >8 objects: the paginated-LIST branch runs
+        c.new_tx()
+        c.write_row("t", [i])
+        c.commit_tx()
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    data_keys = sorted(k for k in s3_store.client.objects if "table_t_" in k)
+    del s3_store.client.objects[data_keys[0]]
+    listing = c.list_dropped_tables(verify_bytes=True)
+    assert [(d["table"], d["recoverable"]) for d in listing] == [("t", True)]
+    assert listing[0]["reason"] is None
+
+
 def test_drop_undrop_discovery_over_s3(spark, s3_store):
     """The r14 recovery lane over the S3 API double: the batched
     undrop probe rides paginated LISTs (page size 2 here), discovery
