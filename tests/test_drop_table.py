@@ -913,6 +913,43 @@ def test_undrop_probe_is_batched_lists_not_serial_heads(tmp_path):
     c.abort_tx()
 
 
+def test_verify_bytes_probe_stays_batched(tmp_path):
+    """The fleet-shape gate extended to SHOW DROPPED TABLES VERIFY
+    (r15): verifying a 200-file dropped table costs the SAME bill as
+    one undrop probe — zero per-object HEADs on the happy path, a
+    bounded handful of LISTs — plus the log walk discovery already
+    pays. A verify that degraded to serial HEADs would make the
+    listing unusable exactly when it matters (incident triage over a
+    big table)."""
+    store = _ProbeCountingStore(str(tmp_path / "store"))
+    c = DeltaLakeClient(_NoSpark(), store)
+    c.new_tx()
+    c.create_table("t", "k BIGINT, v BIGINT")
+    c.commit_tx()
+    n_files = 200
+    for i in range(n_files):
+        c.new_tx()
+        c.write_row("t", [i, i * 10])
+        c.commit_tx()
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+
+    store.reset()
+    listing = c.list_dropped_tables(verify_bytes=True)
+    assert [(d["table"], d["recoverable"]) for d in listing] == [
+        ("t", True)
+    ]
+    # the only exists() allowed is replay_log's O(1) advisory-pointer
+    # validation (one per pinned replay) — NEVER per-object HEADs
+    assert store.exists_calls <= 2, (
+        f"{store.exists_calls} HEADs on a 200-file verify —"
+        " verify_bytes must ride the same batched prefix LISTs as"
+        " undrop (O(1) replay anchoring aside)"
+    )
+    assert store.list_calls <= 8, f"{store.list_calls} LIST calls"
+
+
 def test_undrop_probe_covers_bloom_sidecars(spark, tmp_path):
     """A bloom sidecar reclaimed behind undrop's back fails LOUDLY at
     the up-front probe (VERDICT r13 #2) — never lazily at prune time."""

@@ -579,3 +579,65 @@ def test_schema_evolution_matches_dict_model(spark, ops):
         seen.setdefault(k, (va, vb))
     c2.commit_tx()
     assert seen == model
+
+
+# --- bounded-verifier value identity (r15: VERDICT r14 #2) ----------
+# The bounded Levenshtein verify stage (length pre-gate + threshold
+# DP) must be VALUE-IDENTICAL to the unbounded DP on arbitrary
+# corpora — including non-ASCII text, where Spark's codepoint
+# semantics are authoritative. Texts are built from a tiny alphabet
+# with a few shared stems so candidate pairs actually form, plus
+# multibyte characters to exercise the codepoint path.
+
+_WORDS = ["aa", "ab", "ba", "café", "中文", "naïve", "zz"]
+_TEXTS = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=3, max_size=12).map(
+        " ".join
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_TEXTS)
+def test_bounded_verifier_value_identical(spark, texts):
+    from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        verified_near_duplicates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    kw = dict(shingle_n=2, candidate_threshold=0.2, prefix_chars=12)
+    bounded = verified_near_duplicates(
+        docs, "doc_id", "text", max_edit_ratio=0.3, **kw
+    )
+    cands = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=2, threshold=0.2
+    )
+    pfx = docs.select("doc_id", F.substring("text", 1, 12).alias("p"))
+    a = pfx.select(F.col("doc_id").alias("id_a"), F.col("p").alias("pa"))
+    b = pfx.select(F.col("doc_id").alias("id_b"), F.col("p").alias("pb"))
+    unbounded = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("edit_dist", F.levenshtein("pa", "pb"))
+        .filter(
+            F.col("edit_dist")
+            <= F.floor(
+                F.lit(0.3) * F.greatest(F.length("pa"), F.length("pb"))
+            )
+        )
+        .select("id_a", "id_b", "jaccard", "edit_dist")
+    )
+    assert {tuple(r) for r in bounded.collect()} == {
+        tuple(r) for r in unbounded.collect()
+    }
