@@ -53,6 +53,7 @@ HEADLINE = [
     "near_dup_minhash",
     "near_dup_verified",
     "dedup_verified_clusters",
+    "incremental_near_dup_ingest",
     "near_dup_simhash",
     "near_dup_embedding",
     "similarity_bruteforce_topk",

@@ -758,19 +758,37 @@ def verified_near_duplicates(
                 " the verifier's working/output columns — alias them"
                 " before returning"
             )
-    carried = list(cands.columns)
     pfx = df.select(
-        F.col(id_col),
+        F.col(id_col).alias("__vid"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("__pfx"),
     )
+    return _levenshtein_verify(cands, pfx, prefix_chars, max_edit_ratio)
+
+
+def _levenshtein_verify(
+    cands: DataFrame,
+    pfx: DataFrame,
+    prefix_chars: int,
+    max_edit_ratio: float,
+) -> DataFrame:
+    """The shared bounded verify stage (one spelling for the one-shot
+    and incremental lanes): confirm candidate pairs (id_a, id_b, ...)
+    against prefixes ``pfx`` (__vid, __pfx), keeping rows whose
+    edit distance fits ``floor(max_edit_ratio * max(prefix lengths))``.
+    Bounded two ways, value-identically (VERDICT r14 #2): a
+    |len_a − len_b| pre-gate skips the DP where the length difference
+    alone disproves the pair, and surviving DPs run band-limited via
+    ``F.levenshtein(threshold=...)`` at the loosest per-pair budget
+    (prefix lengths never exceed ``prefix_chars``); abandoned DPs
+    return -1, which the per-pair BETWEEN rejects. Candidate columns
+    ride through, followed by ``edit_dist``."""
+    carried = list(cands.columns)
     a = pfx.select(
-        F.col(id_col).alias("id_a"), F.col("__pfx").alias("__pfx_a")
+        F.col("__vid").alias("id_a"), F.col("__pfx").alias("__pfx_a")
     )
     b = pfx.select(
-        F.col(id_col).alias("id_b"), F.col("__pfx").alias("__pfx_b")
+        F.col("__vid").alias("id_b"), F.col("__pfx").alias("__pfx_b")
     )
-    # per-pair budget: floor(ratio * max(prefix lengths)); its global
-    # ceiling (lengths capped at prefix_chars) bounds every DP below
     per_pair = F.floor(
         F.lit(float(max_edit_ratio))
         * F.greatest(F.length("__pfx_a"), F.length("__pfx_b"))
@@ -792,6 +810,171 @@ def verified_near_duplicates(
         .filter(F.col("edit_dist").between(F.lit(0), per_pair))
         .select(*carried, "edit_dist")
     )
+
+
+def incremental_verified_near_duplicates(
+    index_postings: DataFrame,
+    corpus_prefixes: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    candidate_threshold: float = 0.3,
+    max_postings: Optional[int] = None,
+    prefix_chars: int = 400,
+    max_edit_ratio: float = 0.2,
+) -> "tuple[DataFrame, DataFrame, DataFrame]":
+    """Ingest-time fuzzy dedup against a PERSISTED posting index — the
+    two-stage candidate-then-verify pipeline without re-shingling the
+    corpus: the already-indexed documents are represented by their
+    stored postings ``index_postings`` (id, sh — what
+    :func:`shingle_hashes` emits, deduped) and stored prefixes
+    ``corpus_prefixes`` (id, pfx — first ``prefix_chars`` chars); only
+    the incoming batch ``new_docs`` (id, text) is shingled. Returns
+    ``(verified_pairs, new_postings, new_prefixes)`` — the pairs to
+    act on plus the rows the caller appends to the index tables, so
+    the update rides whatever transaction the ingest runs in (the
+    engine's ACID tables make index + corpus consistent by commit).
+
+    Semantics are EXACTLY the one-shot
+    :func:`verified_near_duplicates` over (corpus ∪ batch) restricted
+    to pairs touching the batch: the hot-shingle document-frequency
+    cap and the per-document set sizes are computed over the UNION
+    (df as two partial aggregates summed), so a shingle the batch
+    pushes over ``max_postings`` stops generating candidates for
+    batch docs exactly as a full recompute would. Every output pair
+    has id_a < id_b and at least one side in the batch;
+    batch-internal near-dups are reported once. Contract: batch ids
+    must be NEW (disjoint from indexed ids) — this is an ingest, not
+    an update; a re-ingested id would double-count its shingles in
+    the df fold.
+
+    100 TB shape: the batch's shingling is O(batch); the candidate
+    join probes the index on ``sh`` (store the postings table
+    ``bucket_by=(["sh"], n)`` and scan it bucketed — the index side
+    then plans NO Exchange, only the small batch shuffles); the verify
+    joins touch candidate ids only. The df cap does re-aggregate the
+    postings COLUMN once per batch (map-side-combinable, no text) —
+    the documented next increment is a maintained per-shingle count
+    sidecar (MERGE per batch) that removes even that scan; with
+    ``max_postings=None`` no df pass runs at all. Versus re-running
+    the one-shot pipeline per batch, the saving is the corpus text
+    never being read, tokenized, or hashed again — the dominant cost
+    of the lexical lane at corpus scale."""
+    if prefix_chars < 1:
+        raise ValueError(
+            f"prefix_chars={prefix_chars!r} must be >= 1: an empty"
+            " prefix makes levenshtein('','')=0 pass every candidate —"
+            " the verifier would silently become a no-op"
+        )
+    if not (0.0 <= max_edit_ratio):
+        raise ValueError(f"max_edit_ratio={max_edit_ratio!r} must be >= 0")
+    if not (0.0 < candidate_threshold <= 1.0):
+        raise ValueError(
+            f"candidate_threshold={candidate_threshold!r} must be in"
+            " (0, 1]"
+        )
+    new_postings = (
+        shingle_hashes(new_docs, id_col, text_col, n=shingle_n)
+        .distinct()
+        .select(F.col("__id").alias(id_col), "sh")
+        .persist()
+    )
+    new_prefixes = new_docs.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pfx"),
+    )
+    index = index_postings.select(id_col, "sh")
+    if max_postings is not None:
+        if max_postings < 1:
+            raise ValueError(f"max_postings={max_postings!r} must be >= 1")
+        # df over corpus ∪ batch as TWO partial aggregates summed —
+        # never a union-then-groupBy, which would discard the index's
+        # bucketed-by-sh layout: the index-side groupBy plans no
+        # Exchange over a bucketed scan, and the batch side is small.
+        # (Relies on batch ids being disjoint from indexed ids — an
+        # ingest admits NEW documents; re-ingesting an indexed id
+        # would double-count its shingles here.)
+        df_idx = index.groupBy("sh").agg(F.count(F.lit(1)).alias("__d1"))
+        df_new = new_postings.groupBy("sh").agg(
+            F.count(F.lit(1)).alias("__d2")
+        )
+        rare = (
+            df_idx.join(df_new, "sh", "full_outer")
+            .filter(
+                F.coalesce("__d1", F.lit(0)) + F.coalesce("__d2", F.lit(0))
+                <= max_postings
+            )
+            .select("sh")
+        )
+        idx_sh = index.join(rare, "sh", "left_semi")
+        new_sh = new_postings.join(rare, "sh", "left_semi").persist()
+        new_sh.count()
+    else:
+        idx_sh, new_sh = index, new_postings
+    # candidates touching the batch, as two joins that keep the index
+    # on its own layout: old×new probes the index on sh (bucketed
+    # index side plans no Exchange; only the small batch shuffles),
+    # new×new is a batch-local self-join. Each pair lands exactly once
+    # (old docs never appear on the batch side; new×new keeps the
+    # id_a < id_b orientation only).
+    nr = new_sh.select(F.col(id_col).alias("__rid"), "sh")
+    i_old_new = (
+        idx_sh.select(F.col(id_col).alias("__lid"), "sh")
+        .join(nr, "sh")
+        .select(
+            F.least("__lid", "__rid").alias("id_a"),
+            F.greatest("__lid", "__rid").alias("id_b"),
+        )
+    )
+    nl = new_sh.select(F.col(id_col).alias("__lid"), "sh")
+    i_new_new = (
+        nl.join(nr, "sh")
+        .filter(F.col("__lid") < F.col("__rid"))
+        .select(
+            F.col("__lid").alias("id_a"), F.col("__rid").alias("id_b")
+        )
+    )
+    inter = (
+        i_old_new.unionByName(i_new_new)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    # set sizes ONLY for docs that appear in a candidate pair — the
+    # aggregation touches O(candidate docs' postings), not the corpus
+    part_ids = (
+        inter.select(F.col("id_a").alias(id_col))
+        .unionByName(inter.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sizes = (
+        idx_sh.unionByName(new_sh)
+        .join(part_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    cands = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= candidate_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    pfx = corpus_prefixes.select(
+        F.col(id_col).alias("__vid"), F.col("pfx").alias("__pfx")
+    ).unionByName(
+        new_prefixes.select(
+            F.col(id_col).alias("__vid"), F.col("pfx").alias("__pfx")
+        )
+    )
+    verified = _levenshtein_verify(cands, pfx, prefix_chars, max_edit_ratio)
+    return verified, new_postings, new_prefixes
 
 
 def _pair_overlap(

@@ -842,6 +842,18 @@ _DEFERRED_ORACLED = [
     "leakage_safe_split",
     "word_embedding_vectors",
     "bm25_batch_search",
+    # r15 late newborn, deferred from birth (per policy):
+    # incremental_near_dup_ingest — ingest-time fuzzy dedup against a
+    # PERSISTED posting index (engine tables, postings bucketed by sh;
+    # batch deduped against corpus∪batch without re-shingling the
+    # corpus, index updated in the same transaction). The candidate/
+    # verify machinery is certified in-window by near_dup_verified
+    # (rotating in this round, same bounded verifier) and the
+    # write->replay->scan path by the engine_* lane; the one-shot-
+    # equivalence claim is fully value-oracled (the DuckDB twin
+    # recomputes from strings, restricted to batch-touching pairs).
+    # Rotate in next round per policy.
+    "incremental_near_dup_ingest",
 ]
 
 

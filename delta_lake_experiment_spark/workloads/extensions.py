@@ -399,6 +399,103 @@ FROM documents d LEFT JOIN vcomp c ON c.id = d.doc_id
 """
 
 
+def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time fuzzy dedup against a PERSISTED posting index (r15;
+    operators/dedup.py::incremental_verified_near_duplicates): the
+    corpus' word-3-gram posting index and 400-char prefixes live as
+    ACID engine tables — the postings BUCKETED BY sh, so the candidate
+    join probes the index with NO index-side Exchange — and an
+    incoming batch (doc_id % 5 == 4) is deduped against corpus∪batch
+    WITHOUT re-shingling the corpus: only the batch's text is read.
+    The batch's postings and prefixes are appended in the same
+    transaction (index and corpus stay consistent by commit); an
+    in-query invariant asserts the updated index carries exactly
+    corpus+batch postings.
+
+    Value-oracled end to end: the DuckDB twin recomputes the one-shot
+    pipeline over ALL documents from STRINGS (df cap and set sizes
+    over the union — exactly what the incremental df fold computes)
+    restricted to pairs touching the batch, then verifies with the
+    same levenshtein budget — so a stale index, a missed batch-
+    internal pair, a double-counted new×new candidate, or a df cap
+    drifting from one-shot semantics all hash-diverge."""
+    import tempfile
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        incremental_verified_near_duplicates,
+        shingle_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_incdedup_"))
+    c.new_tx()
+    c.create_table(
+        "dedup_postings", "doc_id BIGINT, sh BIGINT",
+        bucket_by=(["sh"], 8),
+    )
+    c.create_table("dedup_prefixes", "doc_id BIGINT, pfx STRING")
+    corpus_postings = (
+        shingle_hashes(corpus, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh")
+    )
+    c.write_dataframe("dedup_postings", corpus_postings)
+    c.write_dataframe(
+        "dedup_prefixes",
+        corpus.select(
+            "doc_id", F.substring("text", 1, 400).alias("pfx")
+        ),
+    )
+    c.commit_tx()
+    n_corpus = corpus_postings.count()
+    c.new_tx()
+    idx = c.scan_bucketed("dedup_postings", with_stamps=False)
+    pfx = c.scan("dedup_prefixes", with_stamps=False)
+    pairs, new_postings, new_prefixes = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text",
+        shingle_n=3, candidate_threshold=0.3,
+        max_postings=_NEAR_DUP_CAP, prefix_chars=400, max_edit_ratio=0.2,
+    )
+    # the index update rides the SAME transaction as the ingest; the
+    # pairs scan's file list was pinned when scan_bucketed ran, so the
+    # append cannot leak into the candidate join
+    c.write_dataframe("dedup_postings", new_postings)
+    c.write_dataframe("dedup_prefixes", new_prefixes)
+    n_batch = new_postings.count()
+    c.commit_tx()
+    c.new_tx()
+    n_index = c.scan("dedup_postings", with_stamps=False).count()
+    c.abort_tx()
+    if n_index != n_corpus + n_batch:
+        raise AssertionError(
+            f"index update lost rows: {n_index} != {n_corpus} +"
+            f" {n_batch}"
+        )
+    return pairs.orderBy("id_a", "id_b")
+
+
+INCREMENTAL_NEAR_DUP_SQL = f"""
+WITH {_jaccard_pairs_ctes("documents", max_postings=_NEAR_DUP_CAP, threshold=0.3)},
+bpairs AS (
+  SELECT * FROM pairs WHERE id_a % 5 = 4 OR id_b % 5 = 4
+),
+ipfx AS (
+  SELECT doc_id, substr(text, 1, 400) AS pfx FROM documents
+)
+SELECT p.id_a, p.id_b, p.jaccard,
+       levenshtein(a.pfx, b.pfx) AS edit_dist
+FROM bpairs p
+JOIN ipfx a ON p.id_a = a.doc_id
+JOIN ipfx b ON p.id_b = b.doc_id
+WHERE levenshtein(a.pfx, b.pfx)
+      <= floor(0.2 * greatest(length(a.pfx), length(b.pfx)))
+ORDER BY p.id_a, p.id_b
+"""
+
+
 def advanced_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-4 flagship composition — the MODERN curation stack
     in one run, every stage a lane this repo ships and oracles:
@@ -5166,6 +5263,7 @@ QUERIES = {
     "near_dup_jaccard": near_dup_jaccard,
     "near_dup_verified": near_dup_verified,
     "dedup_verified_clusters": dedup_verified_clusters,
+    "incremental_near_dup_ingest": incremental_near_dup_ingest,
     "near_dup_simhash": near_dup_simhash,
     "near_dup_embedding": near_dup_embedding,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
@@ -5258,6 +5356,7 @@ ORACLES = {
     "near_dup_jaccard": NGRAM_JACCARD_SQL,
     "near_dup_verified": NEAR_DUP_VERIFIED_SQL,
     "dedup_verified_clusters": DEDUP_VERIFIED_CLUSTERS_SQL,
+    "incremental_near_dup_ingest": INCREMENTAL_NEAR_DUP_SQL,
     "near_dup_simhash": NEAR_DUP_SIMHASH_SQL,
     "near_dup_embedding": NEAR_DUP_EMBEDDING_SQL,
     "similarity_bruteforce_topk": SIM_TOPK_SQL,

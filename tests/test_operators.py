@@ -5615,6 +5615,86 @@ def test_verified_near_duplicates_minhash_lsh_candidates(spark):
         ).collect()
 
 
+def test_incremental_verified_matches_one_shot(spark):
+    """r15 incremental lane: dedup of a batch against a persisted
+    posting index must yield EXACTLY the one-shot pipeline over
+    corpus∪batch restricted to batch-touching pairs — df cap, set
+    sizes, ordering and the bounded verifier all included. The index
+    side is represented by stored postings + prefixes only (no corpus
+    text touched)."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        incremental_verified_near_duplicates,
+        shingle_hashes,
+        verified_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    idx = (
+        shingle_hashes(corpus, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh")
+    )
+    pfx = corpus.select(
+        "doc_id", F.substring("text", 1, 400).alias("pfx")
+    )
+    inc, new_post, new_pfx = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text",
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    got = {tuple(r) for r in inc.collect()}
+    full = verified_near_duplicates(
+        docs, "doc_id", "text", candidate_threshold=0.3,
+        max_postings=64, prefix_chars=400, max_edit_ratio=0.2,
+    )
+    want = {
+        tuple(r)
+        for r in full.filter(
+            (F.col("id_a") % 5 == 4) | (F.col("id_b") % 5 == 4)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the update rows the caller appends: one posting row per distinct
+    # (doc, shingle), one prefix row per batch doc
+    assert new_pfx.count() == batch.count()
+    assert new_post.select("doc_id").distinct().count() == batch.count()
+    # every returned pair touches the batch
+    assert all(r[0] % 5 == 4 or r[1] % 5 == 4 for r in got)
+
+
+def test_incremental_index_aggregates_are_exchange_free(spark, tmp_path):
+    """The scale claim behind the incremental dedup lane, pinned on
+    the physical plan: with the posting index stored bucket_by sh,
+    the per-batch df aggregate (groupBy sh over the bucketed scan)
+    plans ZERO Exchange — the corpus-side pass the cap needs rides
+    the layout, it never reshuffles the index."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import shingle_hashes
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table(
+        "p", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 8)
+    )
+    c.write_dataframe(
+        "p",
+        shingle_hashes(docs, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh"),
+    )
+    c.commit_tx()
+    c.new_tx()
+    idx = c.scan_bucketed("p", with_stamps=False)
+    agg = idx.groupBy("sh").agg(F.count(F.lit(1)).alias("d"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert agg.count() > 0
+    c.abort_tx()
+
+
 def test_verified_near_duplicates_rejects_degenerate_params(spark):
     """A zero-width prefix would make the verifier a silent no-op —
     the repo's loud-rejection convention for degenerate inputs."""
