@@ -5664,6 +5664,72 @@ def test_incremental_verified_matches_one_shot(spark):
     assert all(r[0] % 5 == 4 or r[1] % 5 == 4 for r in got)
 
 
+def test_incremental_two_batches_lifecycle(spark, tmp_path):
+    """The real incremental loop: TWO successive batches through the
+    persisted engine index. Batch 2 is deduped against
+    corpus∪batch1∪batch2 (the index already carries batch 1's
+    appended postings) and must equal the one-shot pipeline over the
+    full union restricted to batch-2-touching pairs — a stale index,
+    a lost batch-1 append, or df drift across batches all diverge."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        incremental_verified_near_duplicates,
+        shingle_hashes,
+        verified_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+    b1 = docs.filter(F.col("doc_id") % 5 == 3)
+    b2 = docs.filter(F.col("doc_id") % 5 == 4)
+    kw = dict(
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("post", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 8))
+    c.create_table("pfx", "doc_id BIGINT, pfx STRING")
+    c.write_dataframe(
+        "post",
+        shingle_hashes(corpus, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh"),
+    )
+    c.write_dataframe(
+        "pfx",
+        corpus.select("doc_id", F.substring("text", 1, 400).alias("pfx")),
+    )
+    c.commit_tx()
+    for batch in (b1, b2):
+        c.new_tx()
+        pairs, np_, nf_ = incremental_verified_near_duplicates(
+            c.scan_bucketed("post", with_stamps=False),
+            c.scan("pfx", with_stamps=False),
+            batch, "doc_id", "text", **kw,
+        )
+        got = {tuple(r) for r in pairs.collect()}
+        c.write_dataframe("post", np_)
+        c.write_dataframe("pfx", nf_)
+        c.commit_tx()
+    # `got` now holds batch 2's pairs (deduped against corpus+b1+b2)
+    full = verified_near_duplicates(docs, "doc_id", "text", **kw)
+    want = {
+        tuple(r)
+        for r in full.filter(
+            (F.col("id_a") % 5 == 4) | (F.col("id_b") % 5 == 4)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the index now carries every doc's postings
+    c.new_tx()
+    n_all = (
+        shingle_hashes(docs, "doc_id", "text", n=3).distinct().count()
+    )
+    assert c.scan("post", with_stamps=False).count() == n_all
+    c.abort_tx()
+
+
 def test_incremental_index_aggregates_are_exchange_free(spark, tmp_path):
     """The scale claim behind the incremental dedup lane, pinned on
     the physical plan: with the posting index stored bucket_by sh,
