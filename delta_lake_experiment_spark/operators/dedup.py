@@ -823,6 +823,7 @@ def incremental_verified_near_duplicates(
     max_postings: Optional[int] = None,
     prefix_chars: int = 400,
     max_edit_ratio: float = 0.2,
+    df_counts: Optional[DataFrame] = None,
 ) -> "tuple[DataFrame, DataFrame, DataFrame]":
     """Ingest-time fuzzy dedup against a PERSISTED posting index — the
     two-stage candidate-then-verify pipeline without re-shingling the
@@ -853,10 +854,11 @@ def incremental_verified_near_duplicates(
     join probes the index on ``sh`` (store the postings table
     ``bucket_by=(["sh"], n)`` and scan it bucketed — the index side
     then plans NO Exchange, only the small batch shuffles); the verify
-    joins touch candidate ids only. The df cap does re-aggregate the
+    joins touch candidate ids only. The df cap re-aggregates the
     postings COLUMN once per batch (map-side-combinable, no text) —
-    the documented next increment is a maintained per-shingle count
-    sidecar (MERGE per batch) that removes even that scan; with
+    or reads a MAINTAINED per-shingle frequency sidecar instead when
+    ``df_counts`` is passed (:func:`update_shingle_df_sidecar`: one
+    MERGE per batch, removing even that scan); with
     ``max_postings=None`` no df pass runs at all. Versus re-running
     the one-shot pipeline per batch, the saving is the corpus text
     never being read, tokenized, or hashed again — the dominant cost
@@ -895,7 +897,19 @@ def incremental_verified_near_duplicates(
         # (Relies on batch ids being disjoint from indexed ids — an
         # ingest admits NEW documents; re-ingesting an indexed id
         # would double-count its shingles here.)
-        df_idx = index.groupBy("sh").agg(F.count(F.lit(1)).alias("__d1"))
+        # ``df_counts`` (sh, df — a MAINTAINED per-shingle frequency
+        # sidecar, see update_shingle_df_sidecar) replaces even that
+        # exchange-free corpus pass: the cap then reads O(sidecar)
+        # instead of O(postings). The sidecar must reflect the corpus
+        # BEFORE this batch — dedup first, then fold the batch in.
+        if df_counts is not None:
+            df_idx = df_counts.select(
+                "sh", F.col("df").alias("__d1")
+            )
+        else:
+            df_idx = index.groupBy("sh").agg(
+                F.count(F.lit(1)).alias("__d1")
+            )
         df_new = new_postings.groupBy("sh").agg(
             F.count(F.lit(1)).alias("__d2")
         )
@@ -975,6 +989,44 @@ def incremental_verified_near_duplicates(
     )
     verified = _levenshtein_verify(cands, pfx, prefix_chars, max_edit_ratio)
     return verified, new_postings, new_prefixes
+
+
+SHINGLE_DF_DDL = "sh BIGINT, df BIGINT"
+
+
+def update_shingle_df_sidecar(
+    client, df_table: str, new_postings: DataFrame
+) -> dict:
+    """Fold a batch's per-shingle posting counts into the MAINTAINED
+    document-frequency sidecar (``SHINGLE_DF_DDL``, primary key
+    ``sh``) — the increment that removes the per-batch corpus df pass
+    from :func:`incremental_verified_near_duplicates` entirely: the
+    cap then reads the sidecar (O(distinct shingles), one row each)
+    instead of aggregating the postings table.
+
+    One MERGE per batch: the source pre-sums ``current + delta`` for
+    matched shingles (the engine's MERGE writes the source row as the
+    key's new current version — multi-version append, so the fold is
+    an O(batch-distinct-shingles) append, never a sidecar rewrite;
+    latest-wins ``scan_current`` reads the running totals back).
+    Call AFTER deduping the batch (the dedup needs corpus-before-
+    batch counts) and in the SAME transaction as the postings append,
+    so sidecar and index can never disagree at a commit boundary.
+    Returns the MERGE's action counts."""
+    delta = new_postings.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("__delta")
+    )
+    current = client.scan_current(df_table).select("sh", "df")
+    src = (
+        delta.join(current, "sh", "left")
+        .select(
+            "sh",
+            (
+                F.coalesce(F.col("df"), F.lit(0)) + F.col("__delta")
+            ).alias("df"),
+        )
+    )
+    return client.merge(df_table, src)
 
 
 def _pair_overlap(

@@ -5730,6 +5730,87 @@ def test_incremental_two_batches_lifecycle(spark, tmp_path):
     c.abort_tx()
 
 
+def test_incremental_df_sidecar_lane_matches_computed(spark, tmp_path):
+    """r15: the maintained per-shingle df sidecar (MERGE per batch)
+    replaces the per-batch corpus df pass — the cap must read the
+    SAME frequencies it would have computed. Two batches: batch 2's
+    dedup runs with df_counts from the sidecar (folded after batch 1)
+    and must equal the computed-df lane row for row; the sidecar's
+    running totals must equal a fresh recount of the posting index."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        SHINGLE_DF_DDL,
+        incremental_verified_near_duplicates,
+        shingle_hashes,
+        update_shingle_df_sidecar,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+    batches = [
+        docs.filter(F.col("doc_id") % 5 == 3),
+        docs.filter(F.col("doc_id") % 5 == 4),
+    ]
+    kw = dict(
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("post", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 8))
+    c.create_table("pfx", "doc_id BIGINT, pfx STRING")
+    c.create_table("shdf", SHINGLE_DF_DDL, primary_keys=["sh"])
+    corpus_post = (
+        shingle_hashes(corpus, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh")
+    )
+    c.write_dataframe("post", corpus_post)
+    c.write_dataframe(
+        "pfx",
+        corpus.select("doc_id", F.substring("text", 1, 400).alias("pfx")),
+    )
+    c.commit_tx()
+    c.new_tx()
+    update_shingle_df_sidecar(c, "shdf", corpus_post)  # seed the sidecar
+    c.commit_tx()
+    for batch in batches:
+        c.new_tx()
+        idx = c.scan_bucketed("post", with_stamps=False)
+        pfx = c.scan("pfx", with_stamps=False)
+        sidecar = c.scan_current("shdf").select("sh", "df")
+        via_sidecar, np_, nf_ = incremental_verified_near_duplicates(
+            idx, pfx, batch, "doc_id", "text", df_counts=sidecar, **kw
+        )
+        via_computed, _, _ = incremental_verified_near_duplicates(
+            idx, pfx, batch, "doc_id", "text", **kw
+        )
+        got = {tuple(r) for r in via_sidecar.collect()}
+        assert got == {tuple(r) for r in via_computed.collect()}
+        # index + sidecar update ride ONE transaction
+        c.write_dataframe("post", np_)
+        c.write_dataframe("pfx", nf_)
+        update_shingle_df_sidecar(c, "shdf", np_)
+        c.commit_tx()
+    assert len(got) > 0
+    # the sidecar's running totals == a fresh recount of the index
+    c.new_tx()
+    recount = (
+        c.scan("post", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    side = c.scan_current("shdf").select("sh", "df")
+    assert side.count() == recount.count()
+    assert (
+        side.join(recount.withColumnRenamed("df", "df2"), "sh")
+        .filter(F.col("df") != F.col("df2"))
+        .count()
+        == 0
+    )
+    c.abort_tx()
+
+
 def test_incremental_index_aggregates_are_exchange_free(spark, tmp_path):
     """The scale claim behind the incremental dedup lane, pinned on
     the physical plan: with the posting index stored bucket_by sh,
