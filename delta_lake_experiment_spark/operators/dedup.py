@@ -651,6 +651,27 @@ def ngram_jaccard_pairs(
     )
 
 
+def _validate_verify_params(
+    prefix_chars: int, max_edit_ratio: float, candidate_threshold: float
+) -> None:
+    """Shared parameter guard of the one-shot and incremental
+    verified-dedup lanes — ONE spelling so the two cannot drift (r15
+    review catch; the create/replace _table_exists_in_tx lesson)."""
+    if prefix_chars < 1:
+        raise ValueError(
+            f"prefix_chars={prefix_chars!r} must be >= 1: an empty"
+            " prefix makes levenshtein('','')=0 pass every candidate —"
+            " the verifier would silently become a no-op"
+        )
+    if not (0.0 <= max_edit_ratio):
+        raise ValueError(f"max_edit_ratio={max_edit_ratio!r} must be >= 0")
+    if not (0.0 < candidate_threshold <= 1.0):
+        raise ValueError(
+            f"candidate_threshold={candidate_threshold!r} must be in"
+            " (0, 1]"
+        )
+
+
 def verified_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -716,19 +737,7 @@ def verified_near_duplicates(
     fixtures, verified all-ASCII) and the operator's codepoint
     semantics are authoritative on non-ASCII text (review catch, r14:
     levenshtein('café','cafe') is 1 in Spark, 2 in DuckDB)."""
-    if prefix_chars < 1:
-        raise ValueError(
-            f"prefix_chars={prefix_chars!r} must be >= 1: an empty"
-            " prefix makes levenshtein('','')=0 pass every candidate —"
-            " the verifier would silently become a no-op"
-        )
-    if not (0.0 <= max_edit_ratio):
-        raise ValueError(f"max_edit_ratio={max_edit_ratio!r} must be >= 0")
-    if not (0.0 < candidate_threshold <= 1.0):
-        raise ValueError(
-            f"candidate_threshold={candidate_threshold!r} must be in"
-            " (0, 1]"
-        )
+    _validate_verify_params(prefix_chars, max_edit_ratio, candidate_threshold)
     if candidate_fn is None:
         cands = ngram_jaccard_pairs(
             df,
@@ -845,10 +854,18 @@ def incremental_verified_near_duplicates(
     pushes over ``max_postings`` stops generating candidates for
     batch docs exactly as a full recompute would. Every output pair
     has id_a < id_b and at least one side in the batch;
-    batch-internal near-dups are reported once. Contract: batch ids
+    batch-internal near-dups are reported once. Contracts: batch ids
     must be NEW (disjoint from indexed ids) — this is an ingest, not
     an update; a re-ingested id would double-count its shingles in
-    the df fold.
+    the df fold. ``corpus_prefixes`` must have been stored at width
+    >= ``prefix_chars`` (stored prefixes are re-truncated to this
+    call's width, so a WIDER store is exact; a NARROWER one verifies
+    on what was stored — widening needs the text the index exists to
+    avoid reading). Caching: the two per-batch persists are
+    BATCH-sized (the batch's postings, raw + capped — never corpus
+    data); a long-running ingest driver should unpersist/clearCache
+    between batches, since the returned frames are lazy and the
+    operator cannot release them itself.
 
     100 TB shape: the batch's shingling is O(batch); the candidate
     join probes the index on ``sh`` (store the postings table
@@ -863,18 +880,16 @@ def incremental_verified_near_duplicates(
     the one-shot pipeline per batch, the saving is the corpus text
     never being read, tokenized, or hashed again — the dominant cost
     of the lexical lane at corpus scale."""
-    if prefix_chars < 1:
+    _validate_verify_params(prefix_chars, max_edit_ratio, candidate_threshold)
+    if df_counts is not None and max_postings is None:
+        # the sidecar exists to feed the cap; accepting it with no cap
+        # would silently run uncapped — the K² hot-shingle blowup the
+        # caller's sidecar says they wanted to prevent (r15 review
+        # catch, the candidate_fn-clobber loud-rejection precedent)
         raise ValueError(
-            f"prefix_chars={prefix_chars!r} must be >= 1: an empty"
-            " prefix makes levenshtein('','')=0 pass every candidate —"
-            " the verifier would silently become a no-op"
-        )
-    if not (0.0 <= max_edit_ratio):
-        raise ValueError(f"max_edit_ratio={max_edit_ratio!r} must be >= 0")
-    if not (0.0 < candidate_threshold <= 1.0):
-        raise ValueError(
-            f"candidate_threshold={candidate_threshold!r} must be in"
-            " (0, 1]"
+            "df_counts was passed but max_postings is None: the"
+            " frequency sidecar only feeds the hot-shingle cap —"
+            " set max_postings"
         )
     new_postings = (
         shingle_hashes(new_docs, id_col, text_col, n=shingle_n)
@@ -980,8 +995,20 @@ def incremental_verified_near_duplicates(
         .filter(F.col("jaccard") >= candidate_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # stored prefixes are RE-truncated to this call's prefix_chars
+    # (r15 review catch): a stored width larger than the argument
+    # would otherwise hand _levenshtein_verify prefixes longer than
+    # the global DP threshold assumes — per-pair budgets computed
+    # from actual lengths, the band limit from the argument — and a
+    # true near-dup could be silently dropped as threshold-exceeded.
+    # substring(stored, 1, n) == substring(text, 1, n) whenever the
+    # stored width >= n, so truncation restores EXACT one-shot
+    # semantics; a stored width SMALLER than the argument cannot be
+    # widened without text (the caller's index build sets the
+    # ceiling — document, don't guess).
     pfx = corpus_prefixes.select(
-        F.col(id_col).alias("__vid"), F.col("pfx").alias("__pfx")
+        F.col(id_col).alias("__vid"),
+        F.substring(F.col("pfx"), 1, prefix_chars).alias("__pfx"),
     ).unionByName(
         new_prefixes.select(
             F.col(id_col).alias("__vid"), F.col("pfx").alias("__pfx")

@@ -450,8 +450,11 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     c.commit_tx()
-    n_corpus = corpus_postings.count()
     c.new_tx()
+    # count the COMMITTED table, not corpus_postings — re-counting the
+    # unpersisted source would re-run the whole corpus shingle pass
+    # the lane exists to avoid (r15 review catch)
+    n_corpus = c.scan("dedup_postings", with_stamps=False).count()
     idx = c.scan_bucketed("dedup_postings", with_stamps=False)
     pfx = c.scan("dedup_prefixes", with_stamps=False)
     pairs, new_postings, new_prefixes = incremental_verified_near_duplicates(

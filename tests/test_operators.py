@@ -5662,6 +5662,33 @@ def test_incremental_verified_matches_one_shot(spark):
     assert new_post.select("doc_id").distinct().count() == batch.count()
     # every returned pair touches the batch
     assert all(r[0] % 5 == 4 or r[1] % 5 == 4 for r in got)
+    # r15 review catch: a NARROWER prefix_chars than the stored width
+    # must re-truncate the stored prefixes — exact one-shot semantics
+    # at the narrower width, never silently dropped pairs from a DP
+    # threshold smaller than the actual prefix lengths
+    inc200, _, _ = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text",
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=200, max_edit_ratio=0.2,
+    )
+    full200 = verified_near_duplicates(
+        docs, "doc_id", "text", candidate_threshold=0.3,
+        max_postings=64, prefix_chars=200, max_edit_ratio=0.2,
+    )
+    want200 = {
+        tuple(r)
+        for r in full200.filter(
+            (F.col("id_a") % 5 == 4) | (F.col("id_b") % 5 == 4)
+        ).collect()
+    }
+    assert {tuple(r) for r in inc200.collect()} == want200
+    # r15 review catch: a sidecar with no cap is a loud error, not a
+    # silently uncapped run
+    with pytest.raises(ValueError, match="max_postings"):
+        incremental_verified_near_duplicates(
+            idx, pfx, batch, "doc_id", "text",
+            df_counts=idx.groupBy("sh").agg(F.count("*").alias("df")),
+        )
 
 
 def test_incremental_two_batches_lifecycle(spark, tmp_path):
