@@ -1143,6 +1143,77 @@ def test_verify_bytes_probes_only_recoverable_candidates(tmp_path):
     assert "currently taken" in listing[0]["reason"]
 
 
+def test_verify_bytes_on_renamed_table_objects(tmp_path):
+    """verify_bytes through the rename edge: a renamed table's objects
+    keep their SOURCE-table names, so the probe's prefixes must derive
+    from the expected NAMES (the r14 review catch, now exercised
+    through discovery): verify of the renamed lineage's drop answers
+    from the original `table_t_` objects — True while they exist,
+    downgraded when one is confirmed reclaimed."""
+    root = str(tmp_path)
+    c = _client(root)
+    c.new_tx()
+    c.create_table("t", "k BIGINT")
+    for i in range(12):  # enough objects for the LIST branch
+        c.write_row("t", [i])
+        c.flush_buffer("t")
+    c.commit_tx()
+    c.new_tx()
+    c.rename_table("t", "u")
+    c.commit_tx()
+    c.new_tx()
+    c.drop_table("u")
+    c.commit_tx()
+    listing = [
+        d for d in c.list_dropped_tables(verify_bytes=True)
+        if d["table"] == "u"
+    ]
+    assert listing and listing[0]["recoverable"] is True
+    # u's objects are named table_t_* (clone keeps source names)
+    t_objects = c.store.list_prefix_ordered("table_t_")
+    assert t_objects, "renamed table must still reference table_t_*"
+    c.store.delete(t_objects[0])
+    listing = [
+        d for d in c.list_dropped_tables(verify_bytes=True)
+        if d["table"] == "u"
+    ]
+    assert listing[0]["recoverable"] is False
+    assert "reclaimed by vacuum" in listing[0]["reason"]
+
+
+def test_verify_bytes_on_clone_source_drop(tmp_path):
+    """verify_bytes through the clone edge: dropping a clone SOURCE
+    whose objects a live clone still shares must verify recoverable —
+    vacuum's name-based keep-set spares shared objects while any
+    table references them, and the probe sees them present."""
+    root = str(tmp_path)
+    c = _client(root)
+    c.new_tx()
+    c.create_table("src", "k BIGINT")
+    for i in range(3):
+        c.write_row("src", [i])
+    c.commit_tx()
+    c.new_tx()
+    c.clone_table("src", "copy")
+    c.commit_tx()
+    c.new_tx()
+    c.drop_table("src")
+    c.commit_tx()
+    c.new_tx()
+    c.write_row("copy", [99])  # another commit inside retention
+    c.commit_tx()
+    # vacuum spares the shared objects (copy references them)
+    c.vacuum(retain_versions=0)
+    listing = c.list_dropped_tables(verify_bytes=True)
+    assert [(d["table"], d["recoverable"]) for d in listing] == [
+        ("src", True)
+    ]
+    # and the verified judgment is real: undrop succeeds
+    c.new_tx()
+    assert c.undrop_table("src") >= 1
+    c.commit_tx()
+
+
 def test_sql_show_dropped_tables_verify(spark, tmp_path):
     """SHOW DROPPED TABLES VERIFY: the SQL spelling of verify_bytes —
     default listing stays metadata-only, VERIFY downgrades a
