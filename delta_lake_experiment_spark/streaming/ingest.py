@@ -168,3 +168,143 @@ def foreach_batch_rule_gated_writer(
     return foreach_batch_writer(
         client_factory, table, app_id, transform=gate_and_dedup
     )
+
+
+def foreach_batch_fuzzy_dedup_writer(
+    client_factory,
+    corpus_table: str,
+    postings_table: str,
+    prefixes_table: str,
+    id_col: str,
+    text_col: str,
+    app_id: str,
+    shingle_n: int = 3,
+    candidate_threshold: float = 0.3,
+    max_postings=None,
+    prefix_chars: int = 400,
+    max_edit_ratio: float = 0.2,
+):
+    """Streaming FUZZY-dedup ingest (r15): the candidate-then-verify
+    pipeline as an admission gate, run per micro-batch against the
+    PERSISTED posting index
+    (operators/dedup.py::incremental_verified_near_duplicates) — the
+    continuous form of the batch incremental lane, and the fuzzy
+    sibling of :func:`foreach_batch_dedup_writer`'s exact-key gate.
+    Corpus text is never re-read: the admitted corpus is represented
+    by its stored postings + prefixes, and only the batch is shingled.
+
+    Admission is GREEDY (the production crawl rule): a batch doc is
+    rejected when it verified-duplicates an already-admitted indexed
+    doc (either id orientation) or a smaller-id doc of the same batch;
+    the corpus row, its postings, and its prefix append for ADMITTED
+    docs only, in ONE commit — corpus and index can never disagree at
+    a commit boundary, and the document-frequency cap always reflects
+    exactly the admitted corpus plus the batch under test. (Greedy
+    means a doc that duplicates a REJECTED doc is itself rejected —
+    its content is already represented transitively; component-exact
+    canonicalization is the batch lane's dedup_verified_clusters.)
+
+    Delivery semantics are the module's standard stack: the
+    ``txn {app_id, batch}`` marker skips redelivered batches, conflict
+    retries re-run the gate against the fresh snapshot, and the
+    already-admitted-id anti-join makes admission logically idempotent
+    even across app ids."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from delta_lake_experiment_spark.operators.dedup import (
+            incremental_verified_near_duplicates,
+        )
+
+        client = client_factory()
+        client.new_tx()
+        last = client.tx.snapshot.txns.get(app_id, -1)
+        if batch_id <= last:
+            client.abort_tx()  # redelivered batch: already in the log
+            return
+        fresh = batch_df.dropDuplicates([id_col])
+        existing = (
+            client.scan(corpus_table, with_stamps=False)
+            .select(id_col)
+            .distinct()
+        )
+        fresh = fresh.join(existing, id_col, "left_anti").persist()
+        idx = client.scan(postings_table, with_stamps=False)
+        pfx = client.scan(prefixes_table, with_stamps=False)
+        pairs, new_post, new_pfx = incremental_verified_near_duplicates(
+            idx, pfx, fresh, id_col, text_col,
+            shingle_n=shingle_n,
+            candidate_threshold=candidate_threshold,
+            max_postings=max_postings,
+            prefix_chars=prefix_chars,
+            max_edit_ratio=max_edit_ratio,
+        )
+        # greedy admission over the verified pairs (id_a < id_b, at
+        # least one side in the batch): the batch-side doc loses to an
+        # indexed doc; between two batch docs the larger id loses
+        ba = fresh.select(F.col(id_col).alias("id_a")).withColumn(
+            "__na", F.lit(True)
+        )
+        bb = fresh.select(F.col(id_col).alias("id_b")).withColumn(
+            "__nb", F.lit(True)
+        )
+        marked = pairs.join(ba, "id_a", "left").join(bb, "id_b", "left")
+        rejected = (
+            marked.filter(
+                F.col("__na").isNotNull() & F.col("__nb").isNull()
+            )
+            .select(F.col("id_a").alias(id_col))
+            .unionByName(
+                marked.filter(F.col("__nb").isNotNull()).select(
+                    F.col("id_b").alias(id_col)
+                )
+            )
+            .distinct()
+        )
+        admitted = fresh.join(rejected, id_col, "left_anti")
+        admitted_ids = admitted.select(id_col)
+        client.write_dataframe(corpus_table, admitted)
+        client.write_dataframe(
+            postings_table,
+            new_post.join(admitted_ids, id_col, "left_semi"),
+        )
+        client.write_dataframe(
+            prefixes_table,
+            new_pfx.join(admitted_ids, id_col, "left_semi"),
+        )
+        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+        fresh.unpersist()
+        new_post.unpersist()
+
+    return process
+
+
+def write_fuzzy_dedup_stream_to_table(
+    stream_df: DataFrame,
+    client_factory,
+    corpus_table: str,
+    postings_table: str,
+    prefixes_table: str,
+    id_col: str,
+    text_col: str,
+    app_id: str,
+    checkpoint_dir: str,
+    **dedup_kwargs,
+):
+    """Start an AvailableNow stream draining through the fuzzy-dedup
+    admission gate into engine ``corpus_table`` (+ its index tables);
+    returns the StreamingQuery. ``dedup_kwargs`` forward to
+    :func:`foreach_batch_fuzzy_dedup_writer`."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_fuzzy_dedup_writer(
+                client_factory, corpus_table, postings_table,
+                prefixes_table, id_col, text_col, app_id,
+                **dedup_kwargs,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -333,6 +333,115 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path, store_dir):
     check2.abort_tx()
 
 
+def test_streaming_fuzzy_dedup_ingest(spark, tmp_path, store_dir):
+    """r15 streaming fuzzy-dedup ingest: each micro-batch is verified
+    against the PERSISTED posting index — near-dups of admitted docs
+    are rejected across batch boundaries without re-reading corpus
+    text, in-batch near-dups keep the smaller id, corpus + postings +
+    prefixes land in one commit, redelivery is a marker no-op, and a
+    re-sent document under a NEW id is rejected by the fuzzy gate
+    itself (content-level idempotence, beyond exact keys)."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_fuzzy_dedup_writer,
+        write_fuzzy_dedup_stream_to_table,
+    )
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    base_words = [f"w{i:03d}" for i in range(120)]
+    base = " ".join(base_words)
+    near = " ".join(
+        ("EDIT" if i % 37 == 0 else w) for i, w in enumerate(base_words)
+    )
+    near2 = " ".join(
+        ("ALTR" if i % 41 == 0 else w) for i, w in enumerate(base_words)
+    )
+    other = " ".join(f"z{i:03d}" for i in range(120))
+    other_near = " ".join(
+        ("EDIT" if i == 5 else f"z{i:03d}") for i in range(120)
+    )
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("fcorpus", "doc_id BIGINT, text STRING")
+    boot.create_table(
+        "fpost", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 4)
+    )
+    boot.create_table("fpfx", "doc_id BIGINT, pfx STRING")
+    boot.commit_tx()
+
+    src = str(tmp_path / "fuzzy_crawl")
+    # batch 1: base admitted; its near-dup (larger id) rejected
+    # in-batch; an unrelated doc admitted
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    # batch 2: near-dup of doc 1 rejected VIA THE INDEX; a novel doc
+    # admitted; its in-batch near-dup rejected
+    spark.createDataFrame(
+        [(10, near2), (11, other_near)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = write_fuzzy_dedup_stream_to_table(
+        stream, factory, "fcorpus", "fpost", "fpfx",
+        "doc_id", "text", "fuzzy1", str(tmp_path / "ckpt_fuzzy"),
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    q.awaitTermination()
+
+    check = factory()
+    check.new_tx()
+    ids = sorted(
+        r["doc_id"]
+        for r in check.scan("fcorpus", with_stamps=False).collect()
+    )
+    # wait: doc 11 (other_near) differs from doc 3 (other) by ONE word
+    # of 120 — a true near-dup of an ADMITTED doc, rejected via index
+    assert ids == [1, 3], ids
+    # the index carries exactly the admitted docs' postings
+    post_ids = sorted(
+        r["doc_id"]
+        for r in check.scan("fpost", with_stamps=False)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert post_ids == [1, 3]
+    bid = check.tx.snapshot.txns["fuzzy1"]
+    check.abort_tx()
+
+    writer = foreach_batch_fuzzy_dedup_writer(
+        factory, "fcorpus", "fpost", "fpfx", "doc_id", "text", "fuzzy1",
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    # redelivered batch id: marker no-op
+    writer(
+        spark.createDataFrame([(40, "novel a b c")], "doc_id long, text string"),
+        bid,
+    )
+    # content re-sent under a NEW id and a NEW batch: the fuzzy gate
+    # rejects it — idempotence at the content level
+    writer(
+        spark.createDataFrame([(41, near)], "doc_id long, text string"),
+        bid + 1,
+    )
+    final = factory()
+    final.new_tx()
+    assert sorted(
+        r["doc_id"]
+        for r in final.scan("fcorpus", with_stamps=False).collect()
+    ) == [1, 3]
+    final.abort_tx()
+
+
 def test_streaming_quality_gated_ingest(spark, tmp_path, store_dir):
     """Batch-trained classifier as a streaming admission gate: spam
     docs are rejected per micro-batch, duplicates of admitted docs are
