@@ -861,11 +861,13 @@ def incremental_verified_near_duplicates(
     >= ``prefix_chars`` (stored prefixes are re-truncated to this
     call's width, so a WIDER store is exact; a NARROWER one verifies
     on what was stored — widening needs the text the index exists to
-    avoid reading). Caching: the two per-batch persists are
-    BATCH-sized (the batch's postings, raw + capped — never corpus
-    data); a long-running ingest driver should unpersist/clearCache
-    between batches, since the returned frames are lazy and the
-    operator cannot release them itself.
+    avoid reading). Caching: the per-batch persists are BATCH-sized
+    (the batch's postings, raw + capped — never corpus data) and the
+    returned pairs DataFrame carries them as ``_cached_inputs`` — a
+    long-running ingest driver unpersists those after the batch's
+    writes commit (the streaming sink does, in a ``finally``); the
+    operator cannot release them itself because the returned frames
+    are lazy.
 
     100 TB shape: the batch's shingling is O(batch); the candidate
     join probes the index on ``sh`` (store the postings table
@@ -1015,6 +1017,14 @@ def incremental_verified_near_duplicates(
         )
     )
     verified = _levenshtein_verify(cands, pfx, prefix_chars, max_edit_ratio)
+    # cleanup handle (r15 review catch): the internal capped persist is
+    # otherwise unreachable, so a long-running ingest driver could
+    # never release it — callers unpersist these after the batch's
+    # writes are committed (streaming/ingest.py does, in a finally)
+    cached = [new_postings]
+    if new_sh is not new_postings:
+        cached.append(new_sh)
+    verified._cached_inputs = tuple(cached)
     return verified, new_postings, new_prefixes
 
 

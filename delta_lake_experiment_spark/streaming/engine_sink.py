@@ -20,6 +20,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def run_marked_batch(client_factory, app_id: str, batch_id: int, body) -> bool:
+    """THE exactly-once micro-batch skeleton, in one copy (r15 — the
+    module always promised this; the upsert and fuzzy sinks had grown
+    their own): fresh client, marker check against the replayed
+    snapshot (a redelivered batch aborts without side effects),
+    ``body(client)`` stages the batch's writes inside the open
+    transaction, then one commit carrying the ``txn {app_id, batch}``
+    marker with disjoint-table retry. Returns False when the batch was
+    a redelivery no-op, True when the body ran and committed — so a
+    protocol fix (marker semantics, retry policy) lands here once and
+    every sink variant inherits it."""
+    client = client_factory()
+    client.new_tx()
+    last = client.tx.snapshot.txns.get(app_id, -1)
+    if batch_id <= last:
+        client.abort_tx()  # redelivered batch: already in the log
+        return False
+    body(client)
+    client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+    return True
+
+
 def foreach_batch_writer(client_factory, table: str, app_id: str, transform=None):
     """Build a foreachBatch function: ``client_factory() -> DeltaLakeClient``
     (a fresh client per call keeps the one-tx-per-client contract).
@@ -28,20 +50,18 @@ def foreach_batch_writer(client_factory, table: str, app_id: str, transform=None
     the batch INSIDE the open transaction before the append — it may
     read the table through ``client`` (snapshot-consistent with the
     commit) to e.g. anti-join against existing keys
-    (streaming/ingest.py). One marker/commit skeleton serves every
-    engine-sink variant, so a protocol fix lands once."""
+    (streaming/ingest.py). The marker/commit skeleton is
+    :func:`run_marked_batch` — one copy for every engine-sink
+    variant."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        client = client_factory()
-        client.new_tx()
-        last = client.tx.snapshot.txns.get(app_id, -1)
-        if batch_id <= last:
-            client.abort_tx()  # redelivered batch: already in the log
-            return
-        if transform is not None:
-            batch_df = transform(client, batch_df)
-        client.write_dataframe(table, batch_df)
-        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+        def body(client):
+            df = batch_df
+            if transform is not None:
+                df = transform(client, df)
+            client.write_dataframe(table, df)
+
+        run_marked_batch(client_factory, app_id, batch_id, body)
 
     return process
 
@@ -95,23 +115,19 @@ def foreach_batch_upsert(
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        client = client_factory()
-        client.new_tx()
-        last = client.tx.snapshot.txns.get(app_id, -1)
-        if batch_id <= last:
-            client.abort_tx()  # redelivered batch: already in the log
-            return
-        keys = client.tx.snapshot.pkeys.get(table)
-        src = batch_df
-        if order_by is not None and keys:
-            w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
-            src = (
-                src.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        client.merge(table, src, when_not_matched=when_not_matched)
-        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+        def body(client):
+            keys = client.tx.snapshot.pkeys.get(table)
+            src = batch_df
+            if order_by is not None and keys:
+                w = Window.partitionBy(*keys).orderBy(F.col(order_by).desc())
+                src = (
+                    src.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            client.merge(table, src, when_not_matched=when_not_matched)
+
+        run_marked_batch(client_factory, app_id, batch_id, body)
 
     return process
 

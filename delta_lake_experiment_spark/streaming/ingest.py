@@ -211,71 +211,107 @@ def foreach_batch_fuzzy_dedup_writer(
     even across app ids."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from delta_lake_experiment_spark.operators.dedup import (
             incremental_verified_near_duplicates,
         )
+        from delta_lake_experiment_spark.streaming.engine_sink import (
+            run_marked_batch,
+        )
 
-        client = client_factory()
-        client.new_tx()
-        last = client.tx.snapshot.txns.get(app_id, -1)
-        if batch_id <= last:
-            client.abort_tx()  # redelivered batch: already in the log
-            return
-        fresh = batch_df.dropDuplicates([id_col])
-        existing = (
-            client.scan(corpus_table, with_stamps=False)
-            .select(id_col)
-            .distinct()
-        )
-        fresh = fresh.join(existing, id_col, "left_anti").persist()
-        idx = client.scan(postings_table, with_stamps=False)
-        pfx = client.scan(prefixes_table, with_stamps=False)
-        pairs, new_post, new_pfx = incremental_verified_near_duplicates(
-            idx, pfx, fresh, id_col, text_col,
-            shingle_n=shingle_n,
-            candidate_threshold=candidate_threshold,
-            max_postings=max_postings,
-            prefix_chars=prefix_chars,
-            max_edit_ratio=max_edit_ratio,
-        )
-        # greedy admission over the verified pairs (id_a < id_b, at
-        # least one side in the batch): the batch-side doc loses to an
-        # indexed doc; between two batch docs the larger id loses
-        ba = fresh.select(F.col(id_col).alias("id_a")).withColumn(
-            "__na", F.lit(True)
-        )
-        bb = fresh.select(F.col(id_col).alias("id_b")).withColumn(
-            "__nb", F.lit(True)
-        )
-        marked = pairs.join(ba, "id_a", "left").join(bb, "id_b", "left")
-        rejected = (
-            marked.filter(
-                F.col("__na").isNotNull() & F.col("__nb").isNull()
+        cached = []
+
+        def body(client):
+            # deterministic pick per id (r15 review catch): a batch
+            # carrying two texts under one id must commit ONE copy's
+            # row, postings, and prefix — dropDuplicates picks
+            # shuffle-dependently, so order by the content itself
+            w = Window.partitionBy(id_col).orderBy(F.col(text_col))
+            fresh = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
             )
-            .select(F.col("id_a").alias(id_col))
-            .unionByName(
-                marked.filter(F.col("__nb").isNotNull()).select(
-                    F.col("id_b").alias(id_col)
+            existing = (
+                client.scan(corpus_table, with_stamps=False)
+                .select(id_col)
+                .distinct()
+            )
+            fresh = fresh.join(existing, id_col, "left_anti").persist()
+            cached.append(fresh)
+            # honor the index's bucketed layout when it has one — the
+            # candidate join then plans no index-side Exchange (the
+            # batch lane's shape; plain scan would reshuffle the whole
+            # index every micro-batch)
+            if client.tx.snapshot.bucket_specs.get(postings_table):
+                idx = client.scan_bucketed(
+                    postings_table, with_stamps=False
+                )
+            else:
+                idx = client.scan(postings_table, with_stamps=False)
+            pfx = client.scan(prefixes_table, with_stamps=False)
+            pairs, new_post, new_pfx = (
+                incremental_verified_near_duplicates(
+                    idx, pfx, fresh, id_col, text_col,
+                    shingle_n=shingle_n,
+                    candidate_threshold=candidate_threshold,
+                    max_postings=max_postings,
+                    prefix_chars=prefix_chars,
+                    max_edit_ratio=max_edit_ratio,
                 )
             )
-            .distinct()
-        )
-        admitted = fresh.join(rejected, id_col, "left_anti")
-        admitted_ids = admitted.select(id_col)
-        client.write_dataframe(corpus_table, admitted)
-        client.write_dataframe(
-            postings_table,
-            new_post.join(admitted_ids, id_col, "left_semi"),
-        )
-        client.write_dataframe(
-            prefixes_table,
-            new_pfx.join(admitted_ids, id_col, "left_semi"),
-        )
-        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
-        fresh.unpersist()
-        new_post.unpersist()
+            cached.extend(pairs._cached_inputs)
+            # greedy admission over the verified pairs (id_a < id_b,
+            # at least one side in the batch): the batch-side doc
+            # loses to an indexed doc; between two batch docs the
+            # larger id loses
+            ba = fresh.select(F.col(id_col).alias("id_a")).withColumn(
+                "__na", F.lit(True)
+            )
+            bb = fresh.select(F.col(id_col).alias("id_b")).withColumn(
+                "__nb", F.lit(True)
+            )
+            marked = (
+                pairs.join(ba, "id_a", "left").join(bb, "id_b", "left")
+            )
+            rejected = (
+                marked.filter(
+                    F.col("__na").isNotNull() & F.col("__nb").isNull()
+                )
+                .select(F.col("id_a").alias(id_col))
+                .unionByName(
+                    marked.filter(F.col("__nb").isNotNull()).select(
+                        F.col("id_b").alias(id_col)
+                    )
+                )
+                .distinct()
+            )
+            # persist the admission verdict: the three eager writes
+            # below otherwise re-run the whole candidate+verify
+            # pipeline each (r15 review catch) — the first write
+            # populates the cache, the other two reuse it
+            admitted = fresh.join(rejected, id_col, "left_anti").persist()
+            cached.append(admitted)
+            admitted_ids = admitted.select(id_col)
+            client.write_dataframe(corpus_table, admitted)
+            client.write_dataframe(
+                postings_table,
+                new_post.join(admitted_ids, id_col, "left_semi"),
+            )
+            client.write_dataframe(
+                prefixes_table,
+                new_pfx.join(admitted_ids, id_col, "left_semi"),
+            )
+
+        try:
+            run_marked_batch(client_factory, app_id, batch_id, body)
+        finally:
+            # release per-batch caches even when the commit conflicts
+            # and Structured Streaming retries (a retry re-persists)
+            for df in cached:
+                df.unpersist()
 
     return process
 
