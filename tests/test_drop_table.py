@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from delta_lake_experiment_spark.client import DeltaLakeClient
 from delta_lake_experiment_spark.errors import (
     ConcurrentCommitError,
+    HistoryTruncatedError,
     TypeMismatchError,
     TableDroppedError,
     TableExistsError,
@@ -1212,6 +1213,33 @@ def test_verify_bytes_on_clone_source_drop(tmp_path):
     c.new_tx()
     assert c.undrop_table("src") >= 1
     c.commit_tx()
+
+
+def test_verify_bytes_tolerates_racing_log_vacuum(tmp_path, monkeypatch):
+    """The verify walk judged the anchor replayable, then a racing
+    vacuum_log reclaims it before the per-candidate pinned replay:
+    verify must DOWNGRADE with the horizon reason, never propagate
+    HistoryTruncatedError out of a discovery listing."""
+    import delta_lake_experiment_spark.client as climod
+
+    root = str(tmp_path)
+    c = _seed(root)
+    c.new_tx()
+    c.drop_table("t")
+    c.commit_tx()
+    real = climod.replay_log
+
+    def racing(store, as_of=None, **kw):
+        if as_of is not None:
+            raise HistoryTruncatedError("raced: anchor reclaimed")
+        return real(store, as_of=as_of, **kw)
+
+    monkeypatch.setattr(climod, "replay_log", racing)
+    listing = c.list_dropped_tables(verify_bytes=True)
+    assert [(d["table"], d["recoverable"]) for d in listing] == [
+        ("t", False)
+    ]
+    assert "retention horizon" in listing[0]["reason"]
 
 
 def test_sql_show_dropped_tables_verify(spark, tmp_path):
