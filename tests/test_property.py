@@ -641,3 +641,71 @@ def test_bounded_verifier_value_identical(spark, texts):
     assert {tuple(r) for r in bounded.collect()} == {
         tuple(r) for r in unbounded.collect()
     }
+
+
+# --- incremental-vs-one-shot parity (r15 flagship) ------------------
+# The persisted-index incremental dedup must equal the one-shot
+# pipeline over corpus∪batch restricted to batch-touching pairs on
+# ARBITRARY corpora and ARBITRARY batch splits — df cap, set sizes,
+# pair orientation, and the bounded verifier all included. Texts reuse
+# the bounded-verifier strategy's small shared-stem alphabet (so
+# near-dup candidates actually form) plus multibyte words.
+
+_SPLIT = st.lists(st.booleans(), min_size=4, max_size=8)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_TEXTS, split=_SPLIT)
+def test_incremental_dedup_matches_one_shot_property(spark, texts, split):
+    from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.operators.dedup import (
+        incremental_verified_near_duplicates,
+        shingle_hashes,
+        verified_near_duplicates,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # hypothesis picks the batch membership; force both sides nonempty
+    is_batch = {
+        i: split[i % len(split)] for i, _ in rows
+    }
+    if all(is_batch.values()):
+        is_batch[rows[0][0]] = False
+    if not any(is_batch.values()):
+        is_batch[rows[0][0]] = True
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    corpus = docs.filter(
+        F.col("doc_id").isin([i for i, b in is_batch.items() if not b])
+    )
+    batch = docs.filter(
+        F.col("doc_id").isin([i for i, b in is_batch.items() if b])
+    )
+    kw = dict(
+        shingle_n=2, candidate_threshold=0.2, max_postings=5,
+        prefix_chars=12, max_edit_ratio=0.3,
+    )
+    idx = (
+        shingle_hashes(corpus, "doc_id", "text", n=2)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh")
+    )
+    pfx = corpus.select(
+        "doc_id", F.substring("text", 1, 12).alias("pfx")
+    )
+    inc, _, _ = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text", **kw
+    )
+    got = {tuple(r) for r in inc.collect()}
+    full = verified_near_duplicates(docs, "doc_id", "text", **kw)
+    batch_ids = {i for i, b in is_batch.items() if b}
+    want = {
+        tuple(r)
+        for r in full.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == want
