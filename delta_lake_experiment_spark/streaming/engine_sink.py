@@ -37,8 +37,19 @@ def run_marked_batch(client_factory, app_id: str, batch_id: int, body) -> bool:
     if batch_id <= last:
         client.abort_tx()  # redelivered batch: already in the log
         return False
-    body(client)
-    client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+    try:
+        body(client)
+        client.commit_tx(retry_independent=3, txn=(app_id, batch_id))
+    except BaseException:
+        # a failed body/commit must not leave the client mid-tx: each
+        # micro-batch gets a fresh client today, but a caller reusing
+        # the factory's client (or doing post-failure work on it)
+        # would silently violate the one-tx-per-client contract (r15
+        # advisor note). commit_tx may have already closed the tx on
+        # its own failure path — abort only what is still open.
+        if client.tx is not None:
+            client.abort_tx()
+        raise
     return True
 
 

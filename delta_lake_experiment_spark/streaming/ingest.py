@@ -183,6 +183,7 @@ def foreach_batch_fuzzy_dedup_writer(
     max_postings=None,
     prefix_chars: int = 400,
     max_edit_ratio: float = 0.2,
+    df_table: str = None,
 ):
     """Streaming FUZZY-dedup ingest (r15): the candidate-then-verify
     pipeline as an admission gate, run per micro-batch against the
@@ -208,7 +209,22 @@ def foreach_batch_fuzzy_dedup_writer(
     ``txn {app_id, batch}`` marker skips redelivered batches, conflict
     retries re-run the gate against the fresh snapshot, and the
     already-admitted-id anti-join makes admission logically idempotent
-    even across app ids."""
+    even across app ids.
+
+    ``df_table`` (r16, VERDICT r15 item 3) names a MAINTAINED
+    per-shingle document-frequency sidecar (``SHINGLE_DF_DDL``,
+    primary key ``sh`` — the caller creates it alongside the index
+    tables): the hot-shingle cap then reads the sidecar's running
+    totals instead of re-aggregating the postings column every
+    micro-batch — the one remaining O(index) recurring cost at
+    streaming cadence — and the ADMITTED docs' posting counts are
+    folded back via one MERGE inside the SAME marked commit, so
+    sidecar, index, and corpus can never disagree at a commit
+    boundary (a redelivered batch skips the fold with everything
+    else). Requires ``max_postings`` (the sidecar only feeds the cap;
+    the operator rejects the combination loudly otherwise). The
+    sidecar is read BEFORE the batch folds in — exactly the
+    corpus-before-batch counts the operator's df contract needs."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -227,8 +243,16 @@ def foreach_batch_fuzzy_dedup_writer(
             # deterministic pick per id (r15 review catch): a batch
             # carrying two texts under one id must commit ONE copy's
             # row, postings, and prefix — dropDuplicates picks
-            # shuffle-dependently, so order by the content itself
-            w = Window.partitionBy(id_col).orderBy(F.col(text_col))
+            # shuffle-dependently, so order by the content itself.
+            # Order by the FULL row, not just the text (r15 advisor
+            # note): equal-text rows differing in other columns must
+            # also resolve shuffle-independently.
+            others = [
+                c for c in batch_df.columns if c not in (id_col, text_col)
+            ]
+            w = Window.partitionBy(id_col).orderBy(
+                F.col(text_col), *[F.col(c) for c in others]
+            )
             fresh = (
                 batch_df.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
@@ -252,6 +276,14 @@ def foreach_batch_fuzzy_dedup_writer(
             else:
                 idx = client.scan(postings_table, with_stamps=False)
             pfx = client.scan(prefixes_table, with_stamps=False)
+            # the df sidecar replaces the per-micro-batch O(index) df
+            # aggregate; read it BEFORE this batch folds in (the
+            # operator's corpus-before-batch contract)
+            df_counts = (
+                client.scan_current(df_table).select("sh", "df")
+                if df_table is not None
+                else None
+            )
             pairs, new_post, new_pfx = (
                 incremental_verified_near_duplicates(
                     idx, pfx, fresh, id_col, text_col,
@@ -260,6 +292,7 @@ def foreach_batch_fuzzy_dedup_writer(
                     max_postings=max_postings,
                     prefix_chars=prefix_chars,
                     max_edit_ratio=max_edit_ratio,
+                    df_counts=df_counts,
                 )
             )
             cached.extend(pairs._cached_inputs)
@@ -295,15 +328,22 @@ def foreach_batch_fuzzy_dedup_writer(
             admitted = fresh.join(rejected, id_col, "left_anti").persist()
             cached.append(admitted)
             admitted_ids = admitted.select(id_col)
+            admitted_post = new_post.join(admitted_ids, id_col, "left_semi")
             client.write_dataframe(corpus_table, admitted)
-            client.write_dataframe(
-                postings_table,
-                new_post.join(admitted_ids, id_col, "left_semi"),
-            )
+            client.write_dataframe(postings_table, admitted_post)
             client.write_dataframe(
                 prefixes_table,
                 new_pfx.join(admitted_ids, id_col, "left_semi"),
             )
+            if df_table is not None:
+                # fold the ADMITTED postings' counts into the sidecar
+                # in the SAME marked commit — sidecar totals track the
+                # index exactly, batch after batch
+                from delta_lake_experiment_spark.operators.dedup import (
+                    update_shingle_df_sidecar,
+                )
+
+                update_shingle_df_sidecar(client, df_table, admitted_post)
 
         try:
             run_marked_batch(client_factory, app_id, batch_id, body)

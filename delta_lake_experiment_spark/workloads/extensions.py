@@ -477,6 +477,14 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"index update lost rows: {n_index} != {n_corpus} +"
             f" {n_batch}"
         )
+    # honor the operator's cleanup contract (r15 advisor note): the
+    # batch-sized internal persists must not outlive the batch —
+    # release them now that the writes are committed (the returned
+    # frame recomputes the batch-sized inputs on collect, which is
+    # the documented trade; leaking executor storage for the rest of
+    # the session is not)
+    for cached in pairs._cached_inputs:
+        cached.unpersist()
     return pairs.orderBy("id_a", "id_b")
 
 

@@ -333,6 +333,54 @@ def test_streaming_incremental_dedup_ingest(spark, tmp_path, store_dir):
     check2.abort_tx()
 
 
+def test_run_marked_batch_aborts_open_tx_on_failure(spark, store_dir):
+    """r15 advisor note: a failing body (or commit) must not leave the
+    sink's client mid-transaction — the one-tx-per-client contract
+    survives the failure path, so a caller reusing the factory's
+    client (or doing post-failure work on it) sees a clean client,
+    and nothing staged by the failed body is visible afterwards."""
+    import pytest
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.engine_sink import (
+        run_marked_batch,
+    )
+
+    clients = []
+
+    def factory():
+        c = DeltaLakeClient(spark, store_dir)
+        clients.append(c)
+        return c
+
+    boot = DeltaLakeClient(spark, store_dir)
+    boot.new_tx()
+    boot.create_table("mb", "k BIGINT")
+    boot.commit_tx()
+
+    def bad_body(client):
+        client.write_row("mb", [1])
+        raise RuntimeError("boom mid-batch")
+
+    with pytest.raises(RuntimeError, match="boom mid-batch"):
+        run_marked_batch(factory, "mbapp", 0, bad_body)
+    failed = clients[-1]
+    assert failed.tx is None, "failed batch left the client mid-tx"
+    # the client is reusable, and the staged write never landed
+    failed.new_tx()
+    assert failed.scan("mb", with_stamps=False).count() == 0
+    failed.abort_tx()
+    # the marker was NOT recorded: the same batch id replays cleanly
+    ok = run_marked_batch(
+        factory, "mbapp", 0, lambda c: c.write_row("mb", [2])
+    )
+    assert ok is True
+    check = DeltaLakeClient(spark, store_dir)
+    check.new_tx()
+    assert [r["k"] for r in check.scan("mb", with_stamps=False).collect()] == [2]
+    check.abort_tx()
+
+
 def test_streaming_fuzzy_dedup_ingest(spark, tmp_path, store_dir):
     """r15 streaming fuzzy-dedup ingest: each micro-batch is verified
     against the PERSISTED posting index — near-dups of admitted docs
@@ -440,6 +488,104 @@ def test_streaming_fuzzy_dedup_ingest(spark, tmp_path, store_dir):
         for r in final.scan("fcorpus", with_stamps=False).collect()
     ) == [1, 3]
     final.abort_tx()
+
+
+def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
+    """r16 (VERDICT r15 item 3): the streaming fuzzy gate with a
+    maintained df sidecar (``df_table=``) must admit EXACTLY what the
+    computed-df lane admits across multiple micro-batches — the
+    sidecar read replaces the per-batch O(index) postings aggregate,
+    never changes a verdict — and after the run the sidecar's running
+    totals must equal a fresh recount of the posting index (the fold
+    rides the same marked commit as the index append, so they can
+    never drift)."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import SHINGLE_DF_DDL
+    from delta_lake_experiment_spark.streaming.ingest import (
+        write_fuzzy_dedup_stream_to_table,
+    )
+    from pyspark.sql import functions as F
+
+    base_words = [f"w{i:03d}" for i in range(120)]
+    base = " ".join(base_words)
+    near = " ".join(
+        ("EDIT" if i % 37 == 0 else w) for i, w in enumerate(base_words)
+    )
+    near2 = " ".join(
+        ("ALTR" if i % 41 == 0 else w) for i, w in enumerate(base_words)
+    )
+    other = " ".join(f"z{i:03d}" for i in range(120))
+    other_near = " ".join(
+        ("EDIT" if i == 5 else f"z{i:03d}") for i in range(120)
+    )
+
+    src = str(tmp_path / "sidecar_crawl")
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(10, near2), (11, other_near), (12, "totally novel words here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(root: str, df_table):
+        def factory():
+            return DeltaLakeClient(spark, root)
+
+        boot = factory()
+        boot.new_tx()
+        boot.create_table("fc", "doc_id BIGINT, text STRING")
+        boot.create_table(
+            "fp", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 4)
+        )
+        boot.create_table("fx", "doc_id BIGINT, pfx STRING")
+        if df_table:
+            boot.create_table(df_table, SHINGLE_DF_DDL, primary_keys=["sh"])
+        boot.commit_tx()
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = write_fuzzy_dedup_stream_to_table(
+            stream, factory, "fc", "fp", "fx", "doc_id", "text",
+            "sidecar1", str(tmp_path / f"ckpt_{df_table or 'plain'}"),
+            candidate_threshold=0.3, max_postings=64,
+            prefix_chars=400, max_edit_ratio=0.2, df_table=df_table,
+        )
+        q.awaitTermination()
+        return factory()
+
+    plain = run(str(tmp_path / "store_plain"), None)
+    side = run(str(tmp_path / "store_side"), "fdf")
+
+    plain.new_tx()
+    want_ids = sorted(
+        r["doc_id"] for r in plain.scan("fc", with_stamps=False).collect()
+    )
+    plain.abort_tx()
+    side.new_tx()
+    got_ids = sorted(
+        r["doc_id"] for r in side.scan("fc", with_stamps=False).collect()
+    )
+    # both lanes admit the same docs — and the fixture exercises both
+    # rejection paths (in-batch and via-index) plus admissions
+    assert got_ids == want_ids == [1, 3, 12], (got_ids, want_ids)
+    # sidecar totals == fresh recount of the posting index
+    recount = (
+        side.scan("fp", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    sidecar = side.scan_current("fdf").select("sh", "df")
+    assert sidecar.count() == recount.count()
+    assert (
+        sidecar.join(recount.withColumnRenamed("df", "df2"), "sh")
+        .filter(F.col("df") != F.col("df2"))
+        .count()
+        == 0
+    )
+    side.abort_tx()
 
 
 def test_streaming_quality_gated_ingest(spark, tmp_path, store_dir):
