@@ -5838,6 +5838,129 @@ def test_incremental_df_sidecar_lane_matches_computed(spark, tmp_path):
     c.abort_tx()
 
 
+def test_incremental_maintenance_compaction(spark, tmp_path):
+    """r16 (VERDICT r15 #2): the maintenance recipe for the persisted
+    fuzzy-dedup index, pinned mid-lifecycle. The df sidecar's MERGE
+    fold appends one version per touched shingle per batch; after N
+    batches a maintenance transaction collapses it
+    (compact_shingle_df_sidecar → ONE physical row per shingle) and
+    compacts the postings table within its bucket layout. Pins: (a)
+    the version count is bounded after maintenance (raw rows ==
+    current rows), (b) the bucketed index STILL plans no Exchange for
+    the probe-side aggregate, (c) batches ingested AFTER maintenance
+    produce exactly the one-shot pipeline's pairs, and (d) sidecar
+    totals still equal a fresh recount — compaction changed layout,
+    never values."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        SHINGLE_DF_DDL,
+        compact_shingle_df_sidecar,
+        incremental_verified_near_duplicates,
+        shingle_hashes,
+        update_shingle_df_sidecar,
+        verified_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 <= 1)
+    batches = [docs.filter(F.col("doc_id") % 5 == m) for m in (2, 3, 4)]
+    kw = dict(
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("post", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 8))
+    c.create_table("pfx", "doc_id BIGINT, pfx STRING")
+    c.create_table("shdf", SHINGLE_DF_DDL, primary_keys=["sh"])
+    corpus_post = (
+        shingle_hashes(corpus, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh")
+    )
+    c.write_dataframe("post", corpus_post)
+    c.write_dataframe(
+        "pfx",
+        corpus.select("doc_id", F.substring("text", 1, 400).alias("pfx")),
+    )
+    update_shingle_df_sidecar(c, "shdf", corpus_post)
+    c.commit_tx()
+
+    def ingest(batch):
+        c.new_tx()
+        pairs, np_, nf_ = incremental_verified_near_duplicates(
+            c.scan_bucketed("post", with_stamps=False),
+            c.scan("pfx", with_stamps=False),
+            batch, "doc_id", "text",
+            df_counts=c.scan_current("shdf").select("sh", "df"), **kw,
+        )
+        got = {tuple(r) for r in pairs.collect()}
+        c.write_dataframe("post", np_)
+        c.write_dataframe("pfx", nf_)
+        update_shingle_df_sidecar(c, "shdf", np_)
+        c.commit_tx()
+        return got
+
+    ingest(batches[0])
+    ingest(batches[1])
+
+    # two batches of MERGE folds → multiple versions per hot shingle
+    c.new_tx()
+    raw_before = c.scan("shdf", with_stamps=False).count()
+    cur_n = c.scan_current("shdf").count()
+    assert raw_before > cur_n, (raw_before, cur_n)
+    c.abort_tx()
+
+    # ONE maintenance transaction: collapse the sidecar, compact the
+    # postings table within its bucket layout
+    c.new_tx()
+    compact_shingle_df_sidecar(c, "shdf")
+    c.compact("post")
+    c.commit_tx()
+
+    # (a) bounded version count: one physical row per shingle
+    c.new_tx()
+    assert c.scan("shdf", with_stamps=False).count() == cur_n
+    # (b) the probe-side aggregate still rides the bucket layout
+    agg = (
+        c.scan_bucketed("post", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    c.abort_tx()
+
+    # (c) the post-maintenance batch still matches the one-shot lane
+    got = ingest(batches[2])
+    full = verified_near_duplicates(docs, "doc_id", "text", **kw)
+    want = {
+        tuple(r)
+        for r in full.filter(
+            (F.col("id_a") % 5 == 4) | (F.col("id_b") % 5 == 4)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # (d) sidecar totals == fresh recount of the index, values intact
+    c.new_tx()
+    recount = (
+        c.scan("post", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df2"))
+    )
+    side = c.scan_current("shdf").select("sh", "df")
+    assert (
+        side.join(recount, "sh", "full_outer")
+        .filter(
+            F.coalesce("df", F.lit(-1)) != F.coalesce("df2", F.lit(-2))
+        )
+        .count()
+        == 0
+    )
+    c.abort_tx()
+
+
 def test_incremental_index_aggregates_are_exchange_free(spark, tmp_path):
     """The scale claim behind the incremental dedup lane, pinned on
     the physical plan: with the posting index stored bucket_by sh,
