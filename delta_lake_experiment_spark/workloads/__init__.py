@@ -639,7 +639,8 @@ _DEFERRED_ORACLED = [
     "dedup_cluster_assignment",
     "embedding_pca_projection",
     "engine_delete_dv",
-    "near_dup_jaccard",
+    # "near_dup_jaccard" rotated back IN at r16 (out since r5) — see
+    # the r16 rotation note at the end of this list
     "bpe_merge_table",
     "embedding_pca_components",
     "hard_negative_pairs",
@@ -853,7 +854,37 @@ _DEFERRED_ORACLED = [
     # equivalence claim is fully value-oracled (the DuckDB twin
     # recomputes from strings, restricted to batch-touching pairs).
     # Rotate in next round per policy.
-    "incremental_near_dup_ingest",
+    # [r16: rotated IN — see the r16 rotation note below.]
+    #
+    # r16 WINDOW ROTATION (VERDICT r15 items 2 and 6, per the codified
+    # policy: previous round's newborn first, then the oldest
+    # certification still outside the window). IN (2):
+    # incremental_near_dup_ingest (r15-born, deferred from birth,
+    # 3-SF check_oracle green since birth — the judge's named
+    # rotation; it also certifies this round's self-pair exclusion
+    # and cleanup-contract fix through the driver's hash gate) and
+    # near_dup_jaccard (the judge's named longest-tenured LLM-lane
+    # certification still outside — no in-window hash since r5; the
+    # posting-capped exact-Jaccard inverted index is the candidate
+    # stage under the whole verified-dedup family, so its own hash
+    # certification should not stay stale). OUT (2), each in-window
+    # since the r13-end rotation = 3 rounds, machinery composed by
+    # stayers:
+    # - json_props_extract -> its get_json_object/string-function
+    #   machinery is shadowed by doc_text_stats (regexp extraction
+    #   lane, stays) — the SAME displacement rationale that governed
+    #   its r6 exit; its r13 return reason (oldest certification) is
+    #   now three rounds re-certified, and its oracle stays in the
+    #   per-run deferred sweep;
+    # - dedup_exact_documents -> the exact-dedup groupBy/rank lane
+    #   runs VERBATIM inside streaming_corpus_dedup's admission sink
+    #   every micro-batch (stays), and the deterministic-survivor
+    #   row_number window is certified in-window by
+    #   latest_event_per_user (stays); its r13 return reason (judge's
+    #   named re-certification) is likewise three rounds satisfied,
+    #   and its oracle stays in the per-run deferred sweep.
+    "json_props_extract",
+    "dedup_exact_documents",
 ]
 
 

@@ -583,3 +583,119 @@ def test_drop_undrop_discovery_over_s3(spark, s3_store):
     with pytest.raises(Exception, match="(?i)file|path|exist|found"):
         c.scan("t", with_stamps=False).count()
     c.abort_tx()
+
+
+class _OpCountingS3Client(_MirroredS3Client):
+    """Mirrored fake S3 with a request meter — the fleet-shape gate's
+    instrument (tests/test_drop_table.py::_ProbeCountingStore) at the
+    S3 API layer: HEADs (head_object — this double ANSWERS them, so
+    any per-object probe the engine attempted would both work and be
+    counted) and logical LISTs (continuation pages of one prefix walk
+    count once; page size stays tiny so pagination itself is
+    exercised)."""
+
+    def __init__(self, mirror_root, page_size=3):
+        super().__init__(mirror_root, page_size)
+        self.head_calls = 0
+        self.list_calls = 0
+
+    def reset(self):
+        self.head_calls = 0
+        self.list_calls = 0
+
+    def head_object(self, Bucket, Key):
+        self.head_calls += 1
+        if Key not in self.objects:
+            raise _ApiError(404, "NoSuchKey")
+        return {"ContentLength": len(self.objects[Key])}
+
+    def list_objects_v2(self, **kw):
+        if not kw.get("ContinuationToken"):
+            self.list_calls += 1
+        return super().list_objects_v2(**kw)
+
+
+def test_streaming_fuzzy_gate_store_op_profile(spark, tmp_path):
+    """r16 (VERDICT r15 item 7): the streaming fuzzy-dedup gate's
+    per-micro-batch store bill over the S3 API double — ZERO
+    per-object HEADs (the only heads allowed are replay_log's O(1)
+    advisory-pointer validations) and a bounded handful of logical
+    LISTs per batch, REGARDLESS of how many data objects the index
+    has accumulated. A gate that degraded to per-object probes would
+    multiply S3 request cost by file count exactly where the lane
+    runs hottest (every micro-batch, forever)."""
+    from delta_lake_experiment_spark.operators.dedup import SHINGLE_DF_DDL
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_fuzzy_dedup_writer,
+    )
+
+    api = _OpCountingS3Client(str(tmp_path / "mirror"), page_size=3)
+    store = _SparkReadableS3Storage("lake", prefix="gate", client=api)
+
+    def factory():
+        return DeltaLakeClient(spark, store)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("fc", "doc_id BIGINT, text STRING")
+    boot.create_table(
+        "fp", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 4)
+    )
+    boot.create_table("fx", "doc_id BIGINT, pfx STRING")
+    boot.create_table("fdf", SHINGLE_DF_DDL, primary_keys=["sh"])
+    boot.commit_tx()
+
+    writer = foreach_batch_fuzzy_dedup_writer(
+        factory, "fc", "fp", "fx", "doc_id", "text", "s3gate",
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2, df_table="fdf",
+    )
+    words = [f"w{i:03d}" for i in range(80)]
+
+    def doc(seed):
+        return " ".join(f"{w}{seed}" for w in words)
+
+    # grow the index across several committed batches so the file
+    # count is well above any plausible constant
+    for b in range(6):
+        writer(
+            spark.createDataFrame(
+                [(b * 10 + j, doc(b * 10 + j)) for j in range(3)],
+                "doc_id long, text string",
+            ),
+            b,
+        )
+    n_objects = sum(
+        1 for k in api.objects if "table_fp_" in k or "table_fdf_" in k
+    )
+    assert n_objects >= 12, n_objects  # the meter has something to meter
+
+    api.reset()
+    writer(
+        spark.createDataFrame(
+            # 100 is novel; 101 re-sends batch 1's doc 11 under a new
+            # id — the content gate must reject it via the index
+            [(100, doc(100)), (101, doc(11))], "doc_id long, text string"
+        ),
+        6,
+    )
+    # per-object HEADs: none (replay's advisory-pointer check is the
+    # only head-shaped op in the protocol and is O(1) per replay)
+    assert api.head_calls <= 3, (
+        f"{api.head_calls} HEADs in one micro-batch — the gate must"
+        " never existence-probe per object"
+    )
+    # logical LISTs: log-tail replay + staging publishes + scan-area
+    # bookkeeping — a bounded handful, NOT O(index files)
+    assert api.list_calls <= 16, (
+        f"{api.list_calls} LISTs in one micro-batch over"
+        f" {n_objects} index objects"
+    )
+    # and the batch actually did gate work: one admitted, one rejected
+    check = factory()
+    check.new_tx()
+    ids = sorted(
+        r["doc_id"] for r in check.scan("fc", with_stamps=False).collect()
+    )
+    assert 100 in ids and 101 not in ids, ids
+    check.abort_tx()
