@@ -54,6 +54,7 @@ HEADLINE = [
     "near_dup_verified",
     "dedup_verified_clusters",
     "incremental_near_dup_ingest",
+    "incremental_lsh_ingest",
     "near_dup_simhash",
     "near_dup_embedding",
     "similarity_bruteforce_topk",

@@ -184,6 +184,9 @@ def foreach_batch_fuzzy_dedup_writer(
     prefix_chars: int = 400,
     max_edit_ratio: float = 0.2,
     df_table: str = None,
+    index_kind: str = "shingle",
+    num_hashes: int = 16,
+    num_bands: int = 4,
 ):
     """Streaming FUZZY-dedup ingest (r15): the candidate-then-verify
     pipeline as an admission gate, run per micro-batch against the
@@ -224,7 +227,24 @@ def foreach_batch_fuzzy_dedup_writer(
     else). Requires ``max_postings`` (the sidecar only feeds the cap;
     the operator rejects the combination loudly otherwise). The
     sidecar is read BEFORE the batch folds in — exactly the
-    corpus-before-batch counts the operator's df contract needs."""
+    corpus-before-batch counts the operator's df contract needs.
+
+    ``index_kind="lsh"`` (r16) runs the gate against the
+    BANDED-SIGNATURE index instead (``postings_table`` then holds
+    (id, band, bh) rows — operators/dedup.py::document_lsh_bands,
+    O(num_bands)/doc, the ~10× smaller 100 TB index; bucket it by
+    (band, bh) for the exchange-free probe). Admission logic,
+    delivery semantics, and the one-commit consistency are unchanged
+    — only the candidate stage swaps. ``num_hashes``/``num_bands``
+    must match the index build; the hot-shingle knobs
+    (``max_postings``, ``df_table``) do not apply and are rejected
+    loudly."""
+    if index_kind == "lsh" and df_table is not None:
+        raise ValueError(
+            "df_table is the shingle index's frequency sidecar — the"
+            " LSH index has no df cap to feed; unset it for"
+            " index_kind='lsh'"
+        )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -293,6 +313,9 @@ def foreach_batch_fuzzy_dedup_writer(
                     prefix_chars=prefix_chars,
                     max_edit_ratio=max_edit_ratio,
                     df_counts=df_counts,
+                    index_kind=index_kind,
+                    num_hashes=num_hashes,
+                    num_bands=num_bands,
                 )
             )
             cached.extend(pairs._cached_inputs)

@@ -507,6 +507,119 @@ ORDER BY p.id_a, p.id_b
 """
 
 
+def incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16: the LSH-SIGNATURE variant of the persisted fuzzy-dedup
+    index (operators/dedup.py::incremental_verified_near_duplicates
+    with ``index_kind="lsh"``, VERDICT r15 item 5): the corpus lives
+    as banded MinHash signatures in an engine table BUCKETED BY
+    (band, bh) — 8 index rows per document instead of O(shingles),
+    the ~10× smaller 100 TB index shape — and the incoming batch
+    (doc_id % 5 == 4) probes it without re-reading corpus text; every
+    candidate is confirmed by the same bounded Levenshtein budget as
+    the exact lane, and the batch's bands + prefixes append in the
+    SAME transaction.
+
+    Approximate by design (xxhash64 banding is not SQL-expressible)
+    → rows-only driver check, hardened in-query three ways (the ANN
+    lanes' recall-floor discipline): (1) an overlap floor — the LSH
+    survivors must recover ≥90% of the EXACT incremental lane's
+    verified pairs on this corpus; (2) a size assertion — the bands
+    index is exactly num_bands rows/doc and strictly smaller than the
+    posting index it replaces; (3) the index-update invariant — the
+    post-commit band count equals (corpus + batch) × num_bands."""
+    import tempfile
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        document_lsh_bands,
+        incremental_verified_near_duplicates,
+        shingle_hashes,
+    )
+
+    NH, NB = 32, 8
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_lshdedup_"))
+    c.new_tx()
+    c.create_table(
+        "lsh_bands", "doc_id BIGINT, band INT, bh BIGINT",
+        bucket_by=(["band", "bh"], 8),
+    )
+    c.create_table("lsh_prefixes", "doc_id BIGINT, pfx STRING")
+    c.write_dataframe(
+        "lsh_bands",
+        document_lsh_bands(
+            corpus, "doc_id", "text",
+            shingle_n=3, num_hashes=NH, num_bands=NB,
+        ),
+    )
+    c.write_dataframe(
+        "lsh_prefixes",
+        corpus.select(
+            "doc_id", F.substring("text", 1, 400).alias("pfx")
+        ),
+    )
+    c.commit_tx()
+    c.new_tx()
+    n_corpus_bands = c.scan("lsh_bands", with_stamps=False).count()
+    n_corpus = corpus.count()
+    # size claim: O(num_bands)/doc, strictly under the posting index
+    if n_corpus_bands != n_corpus * NB:
+        raise AssertionError(
+            f"bands index: {n_corpus_bands} != {n_corpus} * {NB}"
+        )
+    n_postings = (
+        shingle_hashes(corpus, "doc_id", "text", n=3).distinct().count()
+    )
+    if n_corpus_bands >= n_postings:
+        raise AssertionError(
+            f"bands index ({n_corpus_bands}) not smaller than the"
+            f" posting index it replaces ({n_postings})"
+        )
+    idx = c.scan_bucketed("lsh_bands", with_stamps=False)
+    pfx = c.scan("lsh_prefixes", with_stamps=False)
+    pairs, new_bands, new_pfx = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text",
+        index_kind="lsh", shingle_n=3, num_hashes=NH, num_bands=NB,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # overlap floor vs the EXACT incremental lane (test-scale guard,
+    # the _check_recall discipline; a production ingest skips it)
+    exact_pairs, _, _ = incremental_verified_near_duplicates(
+        shingle_hashes(corpus, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh"),
+        pfx, batch, "doc_id", "text",
+        shingle_n=3, candidate_threshold=0.3,
+        max_postings=_NEAR_DUP_CAP, prefix_chars=400, max_edit_ratio=0.2,
+    )
+    exact = {(r.id_a, r.id_b) for r in exact_pairs.collect()}
+    if len(got & exact) < 0.9 * len(exact):
+        raise AssertionError(
+            f"LSH lane recovered {len(got & exact)}/{len(exact)} of"
+            " the exact lane's verified pairs — below the 0.9 floor"
+        )
+    c.write_dataframe("lsh_bands", new_bands)
+    c.write_dataframe("lsh_prefixes", new_pfx)
+    c.commit_tx()
+    c.new_tx()
+    n_index = c.scan("lsh_bands", with_stamps=False).count()
+    c.abort_tx()
+    n_batch = batch.count()
+    if n_index != (n_corpus + n_batch) * NB:
+        raise AssertionError(
+            f"index update lost rows: {n_index} !="
+            f" ({n_corpus} + {n_batch}) * {NB}"
+        )
+    for cached in pairs._cached_inputs:
+        cached.unpersist()
+    for cached in exact_pairs._cached_inputs:
+        cached.unpersist()
+    return pairs.orderBy("id_a", "id_b")
+
+
 def advanced_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-4 flagship composition — the MODERN curation stack
     in one run, every stage a lane this repo ships and oracles:
@@ -5275,6 +5388,7 @@ QUERIES = {
     "near_dup_verified": near_dup_verified,
     "dedup_verified_clusters": dedup_verified_clusters,
     "incremental_near_dup_ingest": incremental_near_dup_ingest,
+    "incremental_lsh_ingest": incremental_lsh_ingest,
     "near_dup_simhash": near_dup_simhash,
     "near_dup_embedding": near_dup_embedding,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,

@@ -588,6 +588,89 @@ def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
     side.abort_tx()
 
 
+def test_streaming_fuzzy_gate_lsh_index(spark, tmp_path, store_dir):
+    """r16: the streaming fuzzy gate over the BANDED-SIGNATURE index
+    (index_kind='lsh') — the continuous form of the LSH incremental
+    lane. Same fixture as the shingle-lane sidecar test, so the
+    expected admissions are pinned against it: in-batch near-dups,
+    via-index near-dups across micro-batches, and novel docs all
+    resolve identically; the bands table carries exactly
+    num_bands rows per admitted doc; df_table is rejected loudly with
+    the LSH index (there is no df cap to feed)."""
+    import pytest
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_fuzzy_dedup_writer,
+        write_fuzzy_dedup_stream_to_table,
+    )
+
+    NH, NB = 32, 8
+    base_words = [f"w{i:03d}" for i in range(120)]
+    base = " ".join(base_words)
+    near = " ".join(
+        ("EDIT" if i % 37 == 0 else w) for i, w in enumerate(base_words)
+    )
+    near2 = " ".join(
+        ("ALTR" if i % 41 == 0 else w) for i, w in enumerate(base_words)
+    )
+    other = " ".join(f"z{i:03d}" for i in range(120))
+    other_near = " ".join(
+        ("EDIT" if i == 5 else f"z{i:03d}") for i in range(120)
+    )
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("lc", "doc_id BIGINT, text STRING")
+    boot.create_table(
+        "lb", "doc_id BIGINT, band INT, bh BIGINT",
+        bucket_by=(["band", "bh"], 4),
+    )
+    boot.create_table("lx", "doc_id BIGINT, pfx STRING")
+    boot.commit_tx()
+
+    src = str(tmp_path / "lsh_crawl")
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(10, near2), (11, other_near), (12, "totally novel words here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    q = write_fuzzy_dedup_stream_to_table(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        factory, "lc", "lb", "lx", "doc_id", "text",
+        "lshgate", str(tmp_path / "ckpt_lsh"),
+        prefix_chars=400, max_edit_ratio=0.2,
+        index_kind="lsh", num_hashes=NH, num_bands=NB,
+    )
+    q.awaitTermination()
+
+    check = factory()
+    check.new_tx()
+    ids = sorted(
+        r["doc_id"] for r in check.scan("lc", with_stamps=False).collect()
+    )
+    # identical admissions to the shingle-lane gate on this fixture
+    assert ids == [1, 3, 12], ids
+    # the bands index carries exactly num_bands rows per admitted doc
+    assert check.scan("lb", with_stamps=False).count() == len(ids) * NB
+    check.abort_tx()
+
+    # the hot-shingle sidecar has no meaning over a banded index
+    with pytest.raises(ValueError, match="df_table"):
+        foreach_batch_fuzzy_dedup_writer(
+            factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
+            index_kind="lsh", df_table="whatever",
+        )
+
+
 def test_streaming_quality_gated_ingest(spark, tmp_path, store_dir):
     """Batch-trained classifier as a streaming admission gate: spam
     docs are rejected per micro-batch, duplicates of admitted docs are
