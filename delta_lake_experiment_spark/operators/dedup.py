@@ -262,6 +262,7 @@ def document_lsh_bands(
     shingle_n: int = 3,
     num_hashes: int = 16,
     num_bands: int = 4,
+    shingle_hash_df: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id_col, band, bh) — each document's banded MinHash signature
     rows, the PERSISTABLE form of the LSH index (O(num_bands) rows per
@@ -272,8 +273,21 @@ def document_lsh_bands(
     ``index_kind="lsh"``) so the two can never band differently — a
     probe banded with different parameters than the stored index finds
     NOTHING, silently (same class of drift as the stored-prefix width,
-    r15 review catch; one builder makes it unrepresentable)."""
-    sh = shingle_hashes(df, id_col, text_col, n=shingle_n)
+    r15 review catch; one builder makes it unrepresentable).
+
+    ``shingle_hash_df``: a precomputed (``__id``, sh) frame from
+    :func:`shingle_hashes` at the SAME ``shingle_n`` to reuse — a
+    caller that already holds the corpus' shingle hashes (building
+    both index kinds, counting postings) skips a full re-shingle of
+    the corpus text (the classifier lane's ``feature_sets=``
+    precedent). Signatures are identical either way: min() is
+    duplicate-idempotent, so a distinct vs exploded shingle frame
+    cannot change a signature."""
+    sh = (
+        shingle_hash_df
+        if shingle_hash_df is not None
+        else shingle_hashes(df, id_col, text_col, n=shingle_n)
+    )
     sigs = minhash_signatures_hashed(sh, num_hashes=num_hashes)
     return lsh_band_rows(
         sigs, num_bands=num_bands, num_hashes=num_hashes
