@@ -709,3 +709,77 @@ def test_incremental_dedup_matches_one_shot_property(spark, texts, split):
         if r.id_a in batch_ids or r.id_b in batch_ids
     }
     assert got == want
+
+
+# --- LSH-index incremental parity (r16) ------------------------------
+# The banded-signature incremental lane must equal the ONE-SHOT
+# pipeline run with the same banded candidate stage over corpus∪batch,
+# restricted to batch-touching pairs, on ARBITRARY corpora and splits —
+# banding determinism (xxhash64), pair orientation, self-pair
+# exclusion, and the bounded verifier all included. (Recall vs the
+# exact lane is a separate, fixture-pinned floor; THIS property is
+# exact equality against the lane's own one-shot twin.)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_TEXTS, split=_SPLIT)
+def test_incremental_lsh_matches_one_shot_property(spark, texts, split):
+    from pyspark.sql import functions as F
+
+    from delta_lake_experiment_spark.operators.dedup import (
+        document_lsh_bands,
+        incremental_verified_near_duplicates,
+        lsh_candidate_pairs,
+        minhash_signatures_hashed,
+        shingle_hashes,
+        verified_near_duplicates,
+    )
+
+    NH, NB = 8, 4
+    rows = [(i, t) for i, t in enumerate(texts)]
+    is_batch = {i: split[i % len(split)] for i, _ in rows}
+    if all(is_batch.values()):
+        is_batch[rows[0][0]] = False
+    if not any(is_batch.values()):
+        is_batch[rows[0][0]] = True
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    corpus = docs.filter(
+        F.col("doc_id").isin([i for i, b in is_batch.items() if not b])
+    )
+    batch = docs.filter(
+        F.col("doc_id").isin([i for i, b in is_batch.items() if b])
+    )
+    idx = document_lsh_bands(
+        corpus, "doc_id", "text", shingle_n=2, num_hashes=NH, num_bands=NB
+    )
+    pfx = corpus.select(
+        "doc_id", F.substring("text", 1, 12).alias("pfx")
+    )
+    inc, new_bands, _ = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text",
+        index_kind="lsh", shingle_n=2, num_hashes=NH, num_bands=NB,
+        prefix_chars=12, max_edit_ratio=0.3,
+    )
+    got = {tuple(r) for r in inc.collect()}
+    full = verified_near_duplicates(
+        docs, "doc_id", "text", prefix_chars=12, max_edit_ratio=0.3,
+        candidate_fn=lambda d: lsh_candidate_pairs(
+            minhash_signatures_hashed(
+                shingle_hashes(d, "doc_id", "text", n=2), num_hashes=NH
+            ),
+            num_bands=NB, num_hashes=NH,
+        ),
+    )
+    batch_ids = {i for i, b in is_batch.items() if b}
+    want = {
+        tuple(r)
+        for r in full.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == want
+    # the update rows: num_bands per batch doc, every id in the batch
+    assert new_bands.count() == len(batch_ids) * NB
