@@ -1023,6 +1023,17 @@ def incremental_verified_near_duplicates(
                 f"need 1 <= num_bands ({num_bands}) <= num_hashes"
                 f" ({num_hashes})"
             )
+        if num_hashes % num_bands != 0:
+            # lsh_band_rows floors rows_per_band, silently ignoring
+            # the trailing num_hashes % num_bands signature components
+            # — the caller would pay for (and believe in) precision
+            # the bands never see (r16 review catch; loud-rejection
+            # house style)
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must be divisible by"
+                f" num_bands ({num_bands}) — trailing signature"
+                " components would be silently unused"
+            )
     # the LSH candidate stage never reads candidate_threshold — skip
     # its validation there (the candidate_fn precedent, r15 advisor)
     _validate_verify_params(
@@ -1229,7 +1240,8 @@ SHINGLE_DF_DDL = "sh BIGINT, df BIGINT"
 
 
 def update_shingle_df_sidecar(
-    client, df_table: str, new_postings: DataFrame
+    client, df_table: str, new_postings: DataFrame,
+    current: Optional[DataFrame] = None,
 ) -> dict:
     """Fold a batch's per-shingle posting counts into the MAINTAINED
     document-frequency sidecar (``SHINGLE_DF_DDL``, primary key
@@ -1266,11 +1278,22 @@ def update_shingle_df_sidecar(
     ``scan(df_table).count() / scan_current(df_table).count()``
     exceeds a version-bloat threshold); correctness never depends on
     it — the lifecycle pytest pins identical pairs across a
-    mid-lifecycle compaction."""
+    mid-lifecycle compaction.
+
+    ``current``: a (sh, df) frame of the sidecar's CURRENT totals to
+    reuse when the caller already scanned them this transaction (the
+    streaming gate reads the sidecar as ``df_counts`` before every
+    batch — without this, the O(versions) latest-wins window would
+    run twice per micro-batch, r16 review catch). Must be the
+    corpus-before-batch state from THIS tx's snapshot; default scans
+    it fresh."""
     delta = new_postings.groupBy("sh").agg(
         F.count(F.lit(1)).alias("__delta")
     )
-    current = client.scan_current(df_table).select("sh", "df")
+    if current is None:
+        current = client.scan_current(df_table).select("sh", "df")
+    else:
+        current = current.select("sh", "df")
     src = (
         delta.join(current, "sh", "left")
         .select(

@@ -239,11 +239,28 @@ def foreach_batch_fuzzy_dedup_writer(
     must match the index build; the hot-shingle knobs
     (``max_postings``, ``df_table``) do not apply and are rejected
     loudly."""
+    # every knob combination below is statically known — reject at
+    # CONSTRUCTION, not at the first micro-batch inside a running
+    # stream (r16 review catch: the operator would raise the same
+    # errors, but only after checkpoint/boot work, surfacing as a
+    # StreamingQueryException instead of at the call site)
     if index_kind == "lsh" and df_table is not None:
         raise ValueError(
             "df_table is the shingle index's frequency sidecar — the"
             " LSH index has no df cap to feed; unset it for"
             " index_kind='lsh'"
+        )
+    if index_kind == "lsh" and max_postings is not None:
+        raise ValueError(
+            "max_postings is the shingle index's hot-shingle cap — the"
+            " LSH index bounds candidates by band collision"
+            " probability; unset it for index_kind='lsh'"
+        )
+    if df_table is not None and max_postings is None:
+        raise ValueError(
+            "df_table was passed but max_postings is None: the"
+            " frequency sidecar only feeds the hot-shingle cap —"
+            " set max_postings"
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -264,11 +281,32 @@ def foreach_batch_fuzzy_dedup_writer(
             # carrying two texts under one id must commit ONE copy's
             # row, postings, and prefix — dropDuplicates picks
             # shuffle-dependently, so order by the content itself.
-            # Order by the FULL row, not just the text (r15 advisor
+            # Order by the full row, not just the text (r15 advisor
             # note): equal-text rows differing in other columns must
-            # also resolve shuffle-independently.
+            # also resolve shuffle-independently. Non-ORDERABLE column
+            # types (maps, and arrays/structs containing them) cannot
+            # appear in a window sort — Spark raises — so they are
+            # excluded: determinism is per (id, text, orderable
+            # columns); rows differing ONLY in a map-typed column
+            # remain a shuffle-dependent pick (r16 review catch — the
+            # r15 full-row ordering broke map-carrying streams
+            # outright).
+            from pyspark.sql import types as T
+
+            def _orderable(dt):
+                if isinstance(dt, T.MapType):
+                    return False
+                if isinstance(dt, T.ArrayType):
+                    return _orderable(dt.elementType)
+                if isinstance(dt, T.StructType):
+                    return all(_orderable(f.dataType) for f in dt.fields)
+                return True
+
             others = [
-                c for c in batch_df.columns if c not in (id_col, text_col)
+                f.name
+                for f in batch_df.schema.fields
+                if f.name not in (id_col, text_col)
+                and _orderable(f.dataType)
             ]
             w = Window.partitionBy(id_col).orderBy(
                 F.col(text_col), *[F.col(c) for c in others]
@@ -366,7 +404,9 @@ def foreach_batch_fuzzy_dedup_writer(
                     update_shingle_df_sidecar,
                 )
 
-                update_shingle_df_sidecar(client, df_table, admitted_post)
+                update_shingle_df_sidecar(
+                    client, df_table, admitted_post, current=df_counts
+                )
 
         try:
             run_marked_batch(client_factory, app_id, batch_id, body)

@@ -5969,6 +5969,14 @@ def test_incremental_lsh_index_lane(spark, tmp_path):
             corpus_bands, corpus.select("doc_id", "text"), batch,
             "doc_id", "text", index_kind="simhash",
         )
+    # non-divisible banding would silently ignore trailing signature
+    # components (lsh_band_rows floors rows_per_band)
+    with _pytest.raises(ValueError, match="divisible"):
+        incremental_verified_near_duplicates(
+            corpus_bands, corpus.select("doc_id", "text"), batch,
+            "doc_id", "text", index_kind="lsh",
+            num_hashes=20, num_bands=8,
+        )
     with _pytest.raises(ValueError, match=r"disjoint"):
         incremental_verified_near_duplicates(
             corpus_bands,

@@ -588,6 +588,53 @@ def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
     side.abort_tx()
 
 
+def test_streaming_fuzzy_gate_accepts_map_columns(spark, store_dir):
+    """r16 review catch: the full-row deterministic pick must EXCLUDE
+    non-orderable column types (a map cannot appear in a window sort —
+    Spark raises) instead of failing every micro-batch of a
+    map-carrying stream. Duplicate ids still resolve deterministically
+    on the orderable columns; the map column rides through to the
+    corpus table untouched."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_fuzzy_dedup_writer,
+    )
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    boot = factory()
+    boot.new_tx()
+    boot.create_table(
+        "mc", "doc_id BIGINT, text STRING, meta MAP<STRING,STRING>"
+    )
+    boot.create_table("mp", "doc_id BIGINT, sh BIGINT")
+    boot.create_table("mx", "doc_id BIGINT, pfx STRING")
+    boot.commit_tx()
+
+    writer = foreach_batch_fuzzy_dedup_writer(
+        factory, "mc", "mp", "mx", "doc_id", "text", "mapgate",
+        candidate_threshold=0.3, prefix_chars=400, max_edit_ratio=0.2,
+    )
+    batch = spark.createDataFrame(
+        [
+            # duplicate id, EQUAL text, different map payloads — the
+            # pick must not throw, and exactly one copy must land
+            (1, "alpha beta gamma delta", {"src": "a"}),
+            (1, "alpha beta gamma delta", {"src": "b"}),
+            (2, "omega psi chi phi", {"src": "c"}),
+        ],
+        "doc_id long, text string, meta map<string,string>",
+    )
+    writer(batch, 0)
+    check = factory()
+    check.new_tx()
+    rows = check.scan("mc", with_stamps=False).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    assert all(r["meta"] is not None for r in rows)
+    check.abort_tx()
+
+
 def test_streaming_fuzzy_gate_lsh_index(spark, tmp_path, store_dir):
     """r16: the streaming fuzzy gate over the BANDED-SIGNATURE index
     (index_kind='lsh') — the continuous form of the LSH incremental
@@ -663,11 +710,23 @@ def test_streaming_fuzzy_gate_lsh_index(spark, tmp_path, store_dir):
     assert check.scan("lb", with_stamps=False).count() == len(ids) * NB
     check.abort_tx()
 
-    # the hot-shingle sidecar has no meaning over a banded index
+    # the hot-shingle sidecar has no meaning over a banded index —
+    # and every statically-known bad knob combination rejects at
+    # CONSTRUCTION, not at the first micro-batch (r16 review catch)
     with pytest.raises(ValueError, match="df_table"):
         foreach_batch_fuzzy_dedup_writer(
             factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
             index_kind="lsh", df_table="whatever",
+        )
+    with pytest.raises(ValueError, match="max_postings"):
+        foreach_batch_fuzzy_dedup_writer(
+            factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
+            index_kind="lsh", max_postings=64,
+        )
+    with pytest.raises(ValueError, match="max_postings"):
+        foreach_batch_fuzzy_dedup_writer(
+            factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
+            df_table="fdf",  # sidecar without a cap to feed
         )
 
 
