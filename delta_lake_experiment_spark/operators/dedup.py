@@ -992,7 +992,13 @@ def incremental_verified_near_duplicates(
     collision probability instead of posting caps, so ``max_postings``
     / ``df_counts`` / ``candidate_threshold`` do not apply (the first
     two are rejected loudly; the threshold knob is skipped, the
-    ``candidate_fn`` precedent) — and the verify stage is IDENTICAL:
+    ``candidate_fn`` precedent). Scale honesty: collision probability
+    bounds cells only for DISTINCT content — a flood of identical
+    documents shares every band and still produces K² candidates in
+    its cells (the LSH analogue of the hot shingle). The mitigation is
+    ordering, not a cap: run exact dedup FIRST (the curation-funnel
+    order this repo's pipelines use), so byte-identical copies
+    collapse before banding. The verify stage is IDENTICAL:
     the same bounded Levenshtein budget decides every pair, so the
     lane trades candidate RECALL only (LSH misses what its bands
     miss; the overlap-floor pytest pins ≥90% of the exact lane's

@@ -158,6 +158,10 @@ def test_entry_contract_key_consistency():
     assert rows_only == {
         "near_dup_minhash", "similarity_lsh_topk", "similarity_ivf_topk",
         "similarity_pq_topk",
+        # r16: LSH-signature incremental dedup — banding is
+        # xxhash64-derived (no SQL twin); hardened by in-query
+        # overlap/size/index-update floors instead
+        "incremental_lsh_ingest",
     }
 
 
