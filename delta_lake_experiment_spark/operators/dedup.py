@@ -921,6 +921,7 @@ def incremental_verified_near_duplicates(
     index_kind: str = "shingle",
     num_hashes: int = 16,
     num_bands: int = 4,
+    max_cell: Optional[int] = None,
 ) -> "tuple[DataFrame, DataFrame, DataFrame]":
     """Ingest-time fuzzy dedup against a PERSISTED posting index — the
     two-stage candidate-then-verify pipeline without re-shingling the
@@ -995,10 +996,16 @@ def incremental_verified_near_duplicates(
     ``candidate_fn`` precedent). Scale honesty: collision probability
     bounds cells only for DISTINCT content — a flood of identical
     documents shares every band and still produces K² candidates in
-    its cells (the LSH analogue of the hot shingle). The mitigation is
-    ordering, not a cap: run exact dedup FIRST (the curation-funnel
-    order this repo's pipelines use), so byte-identical copies
-    collapse before banding. The verify stage is IDENTICAL:
+    its cells (the LSH analogue of the hot shingle). Two guards: run
+    exact dedup FIRST (the curation-funnel order this repo's
+    pipelines use), so byte-identical copies collapse before banding;
+    and ``max_cell`` — the lane's own cap — drops cells shared by
+    more than that many documents (corpus ∪ batch, two partial
+    aggregates summed exactly like the shingle lane's df fold) from
+    candidate GENERATION, a documented recall trade on flood content
+    rather than a silent K² blowup. The index UPDATE stays uncapped —
+    a cell that later cools remains probeable. The verify stage is
+    IDENTICAL:
     the same bounded Levenshtein budget decides every pair, so the
     lane trades candidate RECALL only (LSH misses what its bands
     miss; the overlap-floor pytest pins ≥90% of the exact lane's
@@ -1040,6 +1047,12 @@ def incremental_verified_near_duplicates(
                 f" num_bands ({num_bands}) — trailing signature"
                 " components would be silently unused"
             )
+    elif max_cell is not None:
+        raise ValueError(
+            "max_cell is the LSH index's hot-cell cap — the shingle"
+            " index's equivalent is max_postings; unset max_cell for"
+            " index_kind='shingle'"
+        )
     # the LSH candidate stage never reads candidate_threshold — skip
     # its validation there (the candidate_fn precedent, r15 advisor)
     _validate_verify_params(
@@ -1095,9 +1108,46 @@ def incremental_verified_near_duplicates(
             shingle_n=shingle_n, num_hashes=num_hashes,
             num_bands=num_bands,
         ).persist()
-        nr = new_bands.select(F.col(id_col).alias("__rid"), "band", "bh")
+        idx_bands = index_postings.select(id_col, "band", "bh")
+        if max_cell is not None:
+            if max_cell < 1:
+                raise ValueError(f"max_cell={max_cell!r} must be >= 1")
+            # hot-CELL cap (r16): the LSH analogue of the shingle
+            # lane's max_postings — a flood of identical documents
+            # shares every band cell and contributes K² rows to the
+            # candidate join regardless of collision probability. Cell
+            # sizes over corpus ∪ batch as TWO partial aggregates
+            # summed (the shingle-lane shape: the index-side groupBy
+            # rides the bucketed layout, only the small batch
+            # shuffles); cells over the cap generate NO candidates —
+            # a documented recall trade on flood content, never a
+            # silent blowup. The INDEX UPDATE is uncapped: the
+            # returned new_bands carry every cell, so a cell that
+            # later cools (flood deduped upstream) is still probeable.
+            c_idx = idx_bands.groupBy("band", "bh").agg(
+                F.count(F.lit(1)).alias("__d1")
+            )
+            c_new = new_bands.groupBy("band", "bh").agg(
+                F.count(F.lit(1)).alias("__d2")
+            )
+            rare = (
+                c_idx.join(c_new, ["band", "bh"], "full_outer")
+                .filter(
+                    F.coalesce("__d1", F.lit(0))
+                    + F.coalesce("__d2", F.lit(0))
+                    <= max_cell
+                )
+                .select("band", "bh")
+            )
+            idx_bands = idx_bands.join(rare, ["band", "bh"], "left_semi")
+            probe_bands = new_bands.join(
+                rare, ["band", "bh"], "left_semi"
+            )
+        else:
+            probe_bands = new_bands
+        nr = probe_bands.select(F.col(id_col).alias("__rid"), "band", "bh")
         b_old_new = (
-            index_postings.select(
+            idx_bands.select(
                 F.col(id_col).alias("__lid"), "band", "bh"
             )
             .join(nr, ["band", "bh"])
@@ -1107,7 +1157,7 @@ def incremental_verified_near_duplicates(
                 F.greatest("__lid", "__rid").alias("id_b"),
             )
         )
-        nl = new_bands.select(F.col(id_col).alias("__lid"), "band", "bh")
+        nl = probe_bands.select(F.col(id_col).alias("__lid"), "band", "bh")
         b_new_new = (
             nl.join(nr, ["band", "bh"])
             .filter(F.col("__lid") < F.col("__rid"))

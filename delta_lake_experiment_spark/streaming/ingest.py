@@ -187,6 +187,7 @@ def foreach_batch_fuzzy_dedup_writer(
     index_kind: str = "shingle",
     num_hashes: int = 16,
     num_bands: int = 4,
+    max_cell=None,
 ):
     """Streaming FUZZY-dedup ingest (r15): the candidate-then-verify
     pipeline as an admission gate, run per micro-batch against the
@@ -253,8 +254,14 @@ def foreach_batch_fuzzy_dedup_writer(
     if index_kind == "lsh" and max_postings is not None:
         raise ValueError(
             "max_postings is the shingle index's hot-shingle cap — the"
-            " LSH index bounds candidates by band collision"
-            " probability; unset it for index_kind='lsh'"
+            " LSH index's equivalent is max_cell; unset max_postings"
+            " for index_kind='lsh'"
+        )
+    if index_kind != "lsh" and max_cell is not None:
+        raise ValueError(
+            "max_cell is the LSH index's hot-cell cap — the shingle"
+            " index's equivalent is max_postings; unset max_cell for"
+            " index_kind='shingle'"
         )
     if df_table is not None and max_postings is None:
         raise ValueError(
@@ -354,6 +361,7 @@ def foreach_batch_fuzzy_dedup_writer(
                     index_kind=index_kind,
                     num_hashes=num_hashes,
                     num_bands=num_bands,
+                    max_cell=max_cell,
                 )
             )
             cached.extend(pairs._cached_inputs)

@@ -5977,6 +5977,12 @@ def test_incremental_lsh_index_lane(spark, tmp_path):
             "doc_id", "text", index_kind="lsh",
             num_hashes=20, num_bands=8,
         )
+    # the hot-cell cap belongs to the LSH index only
+    with _pytest.raises(ValueError, match="max_cell"):
+        incremental_verified_near_duplicates(
+            corpus_bands, corpus.select("doc_id", "text"), batch,
+            "doc_id", "text", max_cell=8,
+        )
     with _pytest.raises(ValueError, match=r"disjoint"):
         incremental_verified_near_duplicates(
             corpus_bands,
@@ -5985,6 +5991,72 @@ def test_incremental_lsh_index_lane(spark, tmp_path):
             ),
             corpus.limit(1), "doc_id", "text",
             index_kind="lsh", validate_new_ids=True,
+        )
+
+
+def test_incremental_lsh_hot_cell_cap(spark):
+    """r16: the LSH lane's flood guard. A band cell shared by more
+    than max_cell documents generates NO candidates (the K² blowup a
+    flood of identical documents causes regardless of collision
+    probability — the shingle lane's max_postings analogue); on a
+    corpus with no cell over the cap the output is bit-identical to
+    uncapped; the index-update rows are never capped."""
+    from delta_lake_experiment_spark.operators.dedup import (
+        document_lsh_bands,
+        incremental_verified_near_duplicates,
+    )
+
+    NH, NB = 16, 4
+    words = [f"w{i:03d}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(("EDIT" if i == 7 else w) for i, w in enumerate(words))
+    other = " ".join(f"z{i:03d}" for i in range(60))
+    flood = " ".join(f"f{i:03d}" for i in range(60))
+    # corpus: 4 identical flood copies + 2 ordinary docs
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other)] + [(10 + i, flood) for i in range(4)],
+        "doc_id long, text string",
+    )
+    # batch: one more flood copy + one true near-dup of base
+    batch = spark.createDataFrame(
+        [(50, flood), (51, near)], "doc_id long, text string"
+    )
+    idx = document_lsh_bands(
+        corpus, "doc_id", "text", num_hashes=NH, num_bands=NB
+    )
+    pfx = corpus.select(
+        "doc_id", F.substring("text", 1, 400).alias("pfx")
+    )
+    kw = dict(
+        index_kind="lsh", num_hashes=NH, num_bands=NB,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    uncapped, _, _ = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text", **kw
+    )
+    got_uncapped = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    # uncapped: the batch flood copy pairs with every corpus copy
+    assert {(10, 50), (11, 50), (12, 50), (13, 50)} <= got_uncapped
+    assert (1, 51) in got_uncapped
+    # cap at 3: the flood cells (5 docs each) stop generating
+    # candidates; the base/near pair (cells of 2) is untouched; the
+    # index update still carries the batch's full band rows
+    capped, new_bands, _ = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text", max_cell=3, **kw
+    )
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got_capped == {(1, 51)}
+    assert new_bands.count() == 2 * NB
+    # a cap no cell reaches is bit-identical to uncapped
+    loose, _, _ = incremental_verified_near_duplicates(
+        idx, pfx, batch, "doc_id", "text", max_cell=100, **kw
+    )
+    assert {tuple(r) for r in loose.collect()} == {
+        tuple(r) for r in uncapped.collect()
+    }
+    with pytest.raises(ValueError, match="max_cell"):
+        incremental_verified_near_duplicates(
+            idx, pfx, batch, "doc_id", "text", max_cell=0, **kw
         )
 
 
