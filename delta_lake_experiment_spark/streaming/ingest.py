@@ -188,6 +188,7 @@ def foreach_batch_fuzzy_dedup_writer(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_cell=None,
+    compact_every=None,
 ):
     """Streaming FUZZY-dedup ingest (r15): the candidate-then-verify
     pipeline as an admission gate, run per micro-batch against the
@@ -239,7 +240,24 @@ def foreach_batch_fuzzy_dedup_writer(
     — only the candidate stage swaps. ``num_hashes``/``num_bands``
     must match the index build; the hot-shingle knobs
     (``max_postings``, ``df_table``) do not apply and are rejected
-    loudly."""
+    loudly — the LSH flood guard is ``max_cell`` (forwarded to the
+    operator).
+
+    ``compact_every=N`` (r16) schedules the maintenance recipe the
+    batch lane documents (operators/dedup.py::update_shingle_df_sidecar
+    MAINTENANCE note) INSIDE the stream: after every Nth successfully
+    committed batch, a SEPARATE maintenance transaction compacts the
+    postings and prefixes tables (bucket layouts preserved by
+    contract) and collapses the df sidecar to one row per shingle.
+    Correctness never depends on it — it bounds the latest-wins
+    window and small-file costs that otherwise grow with batch count.
+    Advisory semantics: it runs only when the batch actually
+    committed (a redelivered no-op batch never re-compacts), a
+    CONFLICTING maintenance commit is skipped rather than retried
+    inline (the next trigger retries — housekeeping must never
+    contend with ingest), and any other failure propagates so
+    Structured Streaming retries the (marker-protected, hence no-op)
+    batch and re-attempts maintenance."""
     # every knob combination below is statically known — reject at
     # CONSTRUCTION, not at the first micro-batch inside a running
     # stream (r16 review catch: the operator would raise the same
@@ -262,6 +280,10 @@ def foreach_batch_fuzzy_dedup_writer(
             "max_cell is the LSH index's hot-cell cap — the shingle"
             " index's equivalent is max_postings; unset max_cell for"
             " index_kind='shingle'"
+        )
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(
+            f"compact_every={compact_every!r} must be >= 1"
         )
     if df_table is not None and max_postings is None:
         raise ValueError(
@@ -417,12 +439,44 @@ def foreach_batch_fuzzy_dedup_writer(
                 )
 
         try:
-            run_marked_batch(client_factory, app_id, batch_id, body)
+            ran = run_marked_batch(client_factory, app_id, batch_id, body)
         finally:
             # release per-batch caches even when the commit conflicts
             # and Structured Streaming retries (a retry re-persists)
             for df in cached:
                 df.unpersist()
+        if (
+            ran
+            and compact_every is not None
+            and (batch_id + 1) % compact_every == 0
+        ):
+            # advisory maintenance in its OWN transaction, after the
+            # batch is durable: bound the sidecar's version count and
+            # the index tables' small-file growth at streaming
+            # cadence (the batch lane's documented recipe). A
+            # conflict means a concurrent writer got there first —
+            # skip; the next trigger retries.
+            from delta_lake_experiment_spark.errors import (
+                ConcurrentCommitError,
+            )
+            from delta_lake_experiment_spark.operators.dedup import (
+                compact_shingle_df_sidecar,
+            )
+
+            mc = client_factory()
+            mc.new_tx()
+            try:
+                mc.compact(postings_table)
+                mc.compact(prefixes_table)
+                if df_table is not None:
+                    compact_shingle_df_sidecar(mc, df_table)
+                mc.commit_tx(retry_independent=3)
+            except ConcurrentCommitError:
+                mc.abort_tx()
+            except BaseException:
+                if mc.tx is not None:
+                    mc.abort_tx()
+                raise
 
     return process
 

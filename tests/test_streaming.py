@@ -588,6 +588,118 @@ def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
     side.abort_tx()
 
 
+def test_streaming_fuzzy_gate_auto_maintenance(spark, tmp_path):
+    """r16: compact_every=N runs the documented maintenance recipe
+    inside the stream — after every Nth committed batch a SEPARATE
+    transaction compacts the postings/prefixes tables and collapses
+    the df sidecar. Pins: admissions identical to the no-maintenance
+    lane; after the final trigger the sidecar holds ONE physical row
+    per shingle and its totals equal a fresh recount; the bucketed
+    postings table still aggregates with no Exchange; a redelivered
+    batch neither re-admits nor re-compacts (version count stable)."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import SHINGLE_DF_DDL
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_fuzzy_dedup_writer,
+    )
+    from pyspark.sql import functions as F
+
+    words = [f"w{i:03d}" for i in range(100)]
+    base = " ".join(words)
+
+    def variant(tag, edit_at):
+        return " ".join(
+            (tag if i == edit_at else w) for i, w in enumerate(words)
+        )
+
+    batches = [
+        [(1, base), (2, variant("EDITA", 3))],          # 2 rejected in-batch
+        [(10, variant("EDITB", 7))],                     # rejected via index
+        [(20, " ".join(f"q{i}" for i in range(100)))],   # novel, admitted
+        [(30, variant("EDITC", 11))],                    # rejected via index
+    ]
+
+    def run(root, compact_every):
+        def factory():
+            return DeltaLakeClient(spark, root)
+
+        boot = factory()
+        boot.new_tx()
+        boot.create_table("ac", "doc_id BIGINT, text STRING")
+        boot.create_table(
+            "ap", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 4)
+        )
+        boot.create_table("ax", "doc_id BIGINT, pfx STRING")
+        boot.create_table("adf", SHINGLE_DF_DDL, primary_keys=["sh"])
+        boot.commit_tx()
+        w = foreach_batch_fuzzy_dedup_writer(
+            factory, "ac", "ap", "ax", "doc_id", "text", "autogate",
+            candidate_threshold=0.3, max_postings=64,
+            df_table="adf", compact_every=compact_every,
+        )
+        for bid, rows in enumerate(batches):
+            w(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                bid,
+            )
+        return factory(), w
+
+    plain, _ = run(str(tmp_path / "plain"), None)
+    auto, w = run(str(tmp_path / "auto"), 2)
+
+    plain.new_tx()
+    want = sorted(
+        r["doc_id"] for r in plain.scan("ac", with_stamps=False).collect()
+    )
+    plain.abort_tx()
+    auto.new_tx()
+    got = sorted(
+        r["doc_id"] for r in auto.scan("ac", with_stamps=False).collect()
+    )
+    assert got == want == [1, 20], (got, want)
+    # maintenance after batch 4 (the 2nd trigger): sidecar collapsed
+    raw = auto.scan("adf", with_stamps=False).count()
+    cur = auto.scan_current("adf").count()
+    assert raw == cur
+    # totals still equal a fresh recount of the postings table
+    recount = (
+        auto.scan("ap", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df2"))
+    )
+    side = auto.scan_current("adf").select("sh", "df")
+    assert (
+        side.join(recount, "sh", "full_outer")
+        .filter(
+            F.coalesce("df", F.lit(-1)) != F.coalesce("df2", F.lit(-2))
+        )
+        .count()
+        == 0
+    )
+    # the bucketed layout survived compaction
+    agg = (
+        auto.scan_bucketed("ap", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+    auto.abort_tx()
+
+    # redelivery of a trigger batch: marker no-op, and NO re-compaction
+    # (the sidecar's physical state is untouched)
+    w(
+        spark.createDataFrame(batches[3], "doc_id long, text string"),
+        3,
+    )
+    check = DeltaLakeClient(spark, str(tmp_path / "auto"))
+    check.new_tx()
+    assert check.scan("adf", with_stamps=False).count() == raw
+    assert sorted(
+        r["doc_id"] for r in check.scan("ac", with_stamps=False).collect()
+    ) == [1, 20]
+    check.abort_tx()
+
+
 def test_streaming_fuzzy_gate_accepts_map_columns(spark, store_dir):
     """r16 review catch: the full-row deterministic pick must EXCLUDE
     non-orderable column types (a map cannot appear in a window sort —
