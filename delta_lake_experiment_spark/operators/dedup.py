@@ -1380,6 +1380,80 @@ def compact_shingle_df_sidecar(client, df_table: str) -> None:
     client.overwrite_table(df_table, cur)
 
 
+def prune_dedup_index(
+    client,
+    corpus_table: str,
+    postings_table: str,
+    prefixes_table: str,
+    id_col: str = "doc_id",
+    df_table: Optional[str] = None,
+    retries: int = 3,
+) -> dict:
+    """Remove persisted-index entries whose document is no longer live
+    in ``corpus_table`` — the verified-dedup family's analogue of
+    :func:`~delta_lake_experiment_spark.operators.incremental.compact_minhash_index`,
+    and its ghost-veto rationale applies verbatim: a document purged
+    from the corpus (takedown, vacuum, quality re-score) leaves its
+    postings and prefix behind, and every future recrawl or near-dup
+    of that content is silently rejected against a ghost. Run after
+    corpus deletes. Works unchanged for BOTH index kinds — the shingle
+    posting table (id, sh) and the LSH bands table (id, band, bh) are
+    pruned by the same id semi-join; pass whichever the lane uses as
+    ``postings_table``.
+
+    One transaction (:meth:`run_tx`, first-committer-wins against
+    concurrent ingests): for each index table, survivors are
+    ``localCheckpoint``-ed (eager, so the re-insert cannot observe the
+    mid-transaction empty table), stale rows removed via a full-range
+    COW delete (bucketed tables re-bucketize their survivors — the
+    shuffle-free probe layout survives, plan-pinned in pytest), and
+    survivors re-inserted. With ``df_table``, the frequency sidecar is
+    REBUILT from the pruned postings in the same commit — a decrement
+    would need exactly the per-shingle counts of the pruned docs,
+    which is the recount, so the overwrite is the same cost and
+    cannot drift. Returns ``{"postings": n_stale, "prefixes":
+    n_stale}``."""
+
+    def _attempt(c) -> dict:
+        live = (
+            c.scan(corpus_table, with_stamps=False)
+            .select(F.col(id_col))
+            .distinct()
+        )
+        counts = {}
+        surv_postings = None
+        for key, tbl in (
+            ("postings", postings_table),
+            ("prefixes", prefixes_table),
+        ):
+            rows = c.scan(tbl, with_stamps=False)
+            surv = rows.join(live, id_col, "left_semi").localCheckpoint(
+                eager=True
+            )
+            n_total = rows.count()
+            n_live = surv.count()
+            counts[key] = n_total - n_live
+            if key == "postings":
+                surv_postings = surv
+            if counts[key]:
+                bounds = rows.agg(
+                    F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+                ).collect()[0]
+                c.delete_rows(tbl, id_col, bounds["lo"], bounds["hi"])
+                if n_live:
+                    c.write_dataframe(tbl, surv)
+        if df_table is not None and counts["postings"]:
+            c.overwrite_table(
+                df_table,
+                surv_postings.groupBy("sh").agg(
+                    F.count(F.lit(1)).alias("df")
+                ),
+            )
+        return counts
+
+    return client.run_tx(_attempt, retries=retries)
+
+
 def _pair_overlap(
     df: DataFrame,
     id_col: str,

@@ -6183,6 +6183,208 @@ def test_incremental_maintenance_compaction(spark, tmp_path):
     c.abort_tx()
 
 
+def test_prune_dedup_index_removes_ghost_vetoes(spark, tmp_path):
+    """r16: the verified-dedup index's stale-entry maintenance
+    (compact_minhash_index's ghost rationale, applied to the new
+    family). A document purged from the corpus leaves postings +
+    prefix + df contributions behind; until pruned, a recrawl of its
+    content is rejected against the ghost. After prune_dedup_index:
+    the ghost's rows are gone from both index tables, the sidecar
+    equals a fresh recount, the bucketed probe layout survives the
+    COW rewrite (no Exchange), and the recrawl pairs with NOTHING."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        SHINGLE_DF_DDL,
+        incremental_verified_near_duplicates,
+        prune_dedup_index,
+        shingle_hashes,
+        update_shingle_df_sidecar,
+    )
+
+    words = [f"w{i:03d}" for i in range(80)]
+    base = " ".join(words)
+    near = " ".join(("EDIT" if i == 7 else w) for i, w in enumerate(words))
+    other = " ".join(f"z{i:03d}" for i in range(80))
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("corpus", "doc_id BIGINT, text STRING")
+    c.create_table(
+        "post", "doc_id BIGINT, sh BIGINT", bucket_by=(["sh"], 4)
+    )
+    c.create_table("pfx", "doc_id BIGINT, pfx STRING")
+    c.create_table("shdf", SHINGLE_DF_DDL, primary_keys=["sh"])
+    docs = spark.createDataFrame(
+        [(1, base), (2, other)], "doc_id long, text string"
+    )
+    c.write_dataframe("corpus", docs)
+    corpus_post = (
+        shingle_hashes(docs, "doc_id", "text", n=3)
+        .distinct()
+        .select(F.col("__id").alias("doc_id"), "sh")
+    )
+    c.write_dataframe("post", corpus_post)
+    c.write_dataframe(
+        "pfx", docs.select("doc_id", F.substring("text", 1, 400).alias("pfx"))
+    )
+    update_shingle_df_sidecar(c, "shdf", corpus_post)
+    c.commit_tx()
+
+    # purge doc 1 from the corpus — the index now carries a ghost
+    c.new_tx()
+    c.delete_rows("corpus", "doc_id", 1, 1)
+    c.commit_tx()
+
+    kw = dict(
+        candidate_threshold=0.3, max_postings=64,
+        prefix_chars=400, max_edit_ratio=0.2,
+    )
+    recrawl = spark.createDataFrame(
+        [(9, near)], "doc_id long, text string"
+    )
+
+    def probe():
+        c.new_tx()
+        pairs, _, _ = incremental_verified_near_duplicates(
+            c.scan_bucketed("post", with_stamps=False),
+            c.scan("pfx", with_stamps=False),
+            recrawl, "doc_id", "text",
+            df_counts=c.scan_current("shdf").select("sh", "df"), **kw,
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        c.abort_tx()
+        return got
+
+    # before pruning: the ghost vetoes the recrawl
+    assert probe() == {(1, 9)}
+
+    counts = prune_dedup_index(
+        c, "corpus", "post", "pfx", df_table="shdf"
+    )  # run_tx opens and commits its own transaction
+    assert counts["prefixes"] == 1 and counts["postings"] > 0
+
+    # after: ghost rows gone everywhere, sidecar == recount, layout
+    # and values intact for the survivor
+    c.new_tx()
+    assert (
+        c.scan("post", with_stamps=False)
+        .filter(F.col("doc_id") == 1)
+        .count()
+        == 0
+    )
+    assert (
+        c.scan("pfx", with_stamps=False).select("doc_id").distinct().count()
+        == 1
+    )
+    recount = (
+        c.scan("post", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df2"))
+    )
+    side = c.scan_current("shdf").select("sh", "df")
+    assert (
+        side.join(recount, "sh", "full_outer")
+        .filter(
+            F.coalesce("df", F.lit(-1)) != F.coalesce("df2", F.lit(-2))
+        )
+        .count()
+        == 0
+    )
+    agg = (
+        c.scan_bucketed("post", with_stamps=False)
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+    c.abort_tx()
+    assert probe() == set()
+
+    # the LSH bands table prunes by the SAME id semi-join (the
+    # docstring's both-index-kinds claim, exercised)
+    from delta_lake_experiment_spark.operators.dedup import (
+        document_lsh_bands,
+    )
+
+    c.new_tx()
+    c.create_table(
+        "bands", "doc_id BIGINT, band INT, bh BIGINT",
+        bucket_by=(["band", "bh"], 4),
+    )
+    c.write_dataframe(
+        "bands",
+        document_lsh_bands(docs, "doc_id", "text", num_hashes=16,
+                           num_bands=4),
+    )
+    c.commit_tx()
+    counts2 = prune_dedup_index(c, "corpus", "bands", "pfx")
+    assert counts2["postings"] == 4  # doc 1's four band rows
+    c.new_tx()
+    assert (
+        c.scan("bands", with_stamps=False)
+        .filter(F.col("doc_id") == 1)
+        .count()
+        == 0
+    )
+    c.abort_tx()
+
+
+def test_sidecar_compaction_loses_to_concurrent_fold(spark, tmp_path):
+    """The safety property the streaming gate's advisory-maintenance
+    branch relies on (r16): a sidecar compaction racing a concurrent
+    batch fold is just another transaction — first-committer-wins
+    rejects the stale overwrite, nothing is lost, and a fresh
+    maintenance run collapses the fold-inclusive state. A compaction
+    that could clobber a concurrent fold would silently UNDERCOUNT
+    df forever."""
+    import pytest
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.errors import ConcurrentCommitError
+    from delta_lake_experiment_spark.operators.dedup import (
+        SHINGLE_DF_DDL,
+        compact_shingle_df_sidecar,
+        update_shingle_df_sidecar,
+    )
+
+    root = str(tmp_path)
+    a = DeltaLakeClient(spark, root)
+    a.new_tx()
+    a.create_table("shdf", SHINGLE_DF_DDL, primary_keys=["sh"])
+    update_shingle_df_sidecar(
+        a, "shdf",
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 10)], "doc_id long, sh long"
+        ),
+    )
+    a.commit_tx()
+    # maintenance stages its overwrite against the pre-fold snapshot...
+    a.new_tx()
+    compact_shingle_df_sidecar(a, "shdf")
+    # ...while a concurrent ingest folds another batch and wins
+    b = DeltaLakeClient(spark, root)
+    b.new_tx()
+    update_shingle_df_sidecar(
+        b, "shdf",
+        spark.createDataFrame([(3, 10), (3, 12)], "doc_id long, sh long"),
+    )
+    b.commit_tx()
+    with pytest.raises(ConcurrentCommitError):
+        a.commit_tx()
+    a.abort_tx()
+    # fresh maintenance collapses the fold-INCLUSIVE state
+    c = DeltaLakeClient(spark, root)
+    c.new_tx()
+    compact_shingle_df_sidecar(c, "shdf")
+    c.commit_tx()
+    c.new_tx()
+    rows = {
+        r["sh"]: r["df"]
+        for r in c.scan("shdf", with_stamps=False).collect()
+    }
+    assert rows == {10: 3, 11: 1, 12: 1}
+    assert c.scan_current("shdf").count() == len(rows)
+    c.abort_tx()
+
+
 def test_incremental_index_aggregates_are_exchange_free(spark, tmp_path):
     """The scale claim behind the incremental dedup lane, pinned on
     the physical plan: with the posting index stored bucket_by sh,
