@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_verified_clusters",
     "incremental_near_dup_ingest",
     "incremental_lsh_ingest",
+    "incremental_semantic_ingest",
     "near_dup_simhash",
     "near_dup_embedding",
     "similarity_bruteforce_topk",

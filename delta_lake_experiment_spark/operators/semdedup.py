@@ -776,6 +776,127 @@ def semantic_pairs(
     return pairs
 
 
+def semantic_index_ddl(id_col: str = "id") -> str:
+    """Engine DDL for the persisted semantic-dedup index: one row per
+    admitted document carrying its L2-NORMALIZED embedding and its
+    cluster under the stored centroids (``cluster_by=["cluster"]`` or
+    ``bucket_by=(["cluster"], n)`` makes the incremental probe prune
+    to the touched clusters)."""
+    return f"{id_col} bigint, cluster int, v array<double>"
+
+
+def incremental_semantic_near_duplicates(
+    index_vectors: DataFrame,
+    new_vecs: DataFrame,
+    centroids: "Sequence[Sequence[float]]",
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    round_digits: int = 9,
+    sim_digits: int = 6,
+    assign_strategy: str = "arrow",
+) -> "tuple[DataFrame, DataFrame]":
+    """Ingest-time SEMANTIC dedup against a persisted embedding index
+    — the embedding-space sibling of the lexical
+    ``operators/dedup.py::incremental_verified_near_duplicates``
+    family, completing the triad (shingle postings / LSH bands /
+    embedding clusters). The admitted corpus is represented by
+    ``index_vectors`` (:func:`semantic_index_ddl`: id, cluster,
+    NORMALIZED vector — what this function returns for appending, so
+    corpus text/embeddings are never re-read or re-normalized); only
+    the incoming batch ``new_vecs`` (id_col, vec_col raw) is
+    normalized and assigned, under the STORED ``centroids``
+    (:func:`~delta_lake_experiment_spark.operators.ann_index.load_centroids`
+    — the fixed-model half of the build/ingest split;
+    ``build_ann_index``-style periodic retrains handle drift).
+
+    Semantics: exactly the one-shot SemDeDup pairing over
+    (corpus ∪ batch) under the FIXED centroids, restricted to pairs
+    touching the batch — same-cluster candidates, exact rounded-dot
+    cosine at the ``sim_digits`` grid, id_a < id_b, self-pairs
+    structurally excluded (the lexical lane's ``__lid != __rid``
+    discipline). A doc has ONE cluster, so each candidate pair arises
+    exactly once — no dedup pass. Batch ids must be NEW (the family's
+    ingest-not-update contract; the caller's admission anti-join
+    guarantees it, as in streaming/ingest.py).
+
+    Returns ``(pairs, new_index_rows)``: ``pairs`` is (id_a, id_b,
+    cosine); ``new_index_rows`` is the batch's (id, cluster, v) to
+    append in the SAME transaction as the corpus admit. Candidate
+    verification joins touch only the candidate clusters — with the
+    index table clustered or bucketed on ``cluster``, the probe
+    prunes to the batch's clusters and never scans the corpus.
+
+    100 TB shape: cluster cells bound candidates the way band cells do
+    in the LSH lane — and like there, a flood of identical embeddings
+    degenerates one cell to K²; run exact dedup first, and retrain
+    (re-shard clusters) when cells grow hot. ``pairs._cached_inputs``
+    carries the batch-sized persist for the caller to release after
+    commit (the family's cleanup contract)."""
+    if not centroids:
+        raise ValueError(
+            "centroids must be non-empty — load them from the stored"
+            " model (ann_index.load_centroids); an empty model would"
+            " assign nothing and silently admit everything"
+        )
+    if assign_strategy not in ("arrow", "hof"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
+    base = new_vecs.select(
+        F.col(id_col), _norm_checked(vec_col).alias("__v")
+    )
+    if assign_strategy == "arrow":
+        assigned = _assign_arrow(base, "__v", centroids, round_digits)
+    else:
+        assigned = base.withColumn(
+            "__c", _nearest(F.col("__v"), centroids, round_digits)
+        )
+    new_rows = assigned.select(
+        F.col(id_col),
+        F.col("__c").alias("cluster"),
+        F.col("__v").alias("v"),
+    ).persist()
+    idx = index_vectors.select(F.col(id_col), F.col("cluster"), F.col("v"))
+    nr = new_rows.select(
+        F.col(id_col).alias("__rid"), "cluster", F.col("v").alias("__vb")
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        sim_digits,
+    )
+    old_new = (
+        idx.select(
+            F.col(id_col).alias("__lid"), "cluster",
+            F.col("v").alias("__va"),
+        )
+        .join(nr, "cluster")
+        .filter(F.col("__lid") != F.col("__rid"))
+    )
+    new_new = (
+        new_rows.select(
+            F.col(id_col).alias("__lid"), "cluster",
+            F.col("v").alias("__va"),
+        )
+        .join(nr, "cluster")
+        .filter(F.col("__lid") < F.col("__rid"))
+    )
+    pairs = (
+        old_new.unionByName(new_new)
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.least("__lid", "__rid").alias("id_a"),
+            F.greatest("__lid", "__rid").alias("id_b"),
+            "cosine",
+        )
+    )
+    pairs._cached_inputs = (new_rows,)
+    return pairs, new_rows
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

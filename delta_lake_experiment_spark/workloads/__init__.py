@@ -885,6 +885,19 @@ _DEFERRED_ORACLED = [
     #   and its oracle stays in the per-run deferred sweep.
     "json_props_extract",
     "dedup_exact_documents",
+    # r16 late newborn, deferred from birth (per policy):
+    # incremental_semantic_ingest — the SEMANTIC member of the
+    # persisted-index incremental-dedup family (normalized embeddings
+    # + cluster assignments as a bucketed engine table, batch assigned
+    # under the STORED corpus-trained centroids, same-cluster cosine
+    # verify, index updated in the same transaction). Fully
+    # value-oracled (the DuckDB twin re-derives the corpus-only
+    # k-means and assigns the union under it); the candidate/verify
+    # machinery class is certified in-window by ensemble_dedup (same
+    # semantic_pairs kernel family) and the engine lifecycle by
+    # incremental_near_dup_ingest (rotating in this round). Rotate in
+    # next round per policy.
+    "incremental_semantic_ingest",
 ]
 
 

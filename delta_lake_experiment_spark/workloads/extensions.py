@@ -640,6 +640,97 @@ def incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(pair_rows, pairs.schema)
 
 
+def incremental_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r16: the SEMANTIC member of the incremental-dedup family
+    (operators/semdedup.py::incremental_semantic_near_duplicates) —
+    the embedding-space sibling of incremental_near_dup_ingest,
+    completing the persisted-index triad (shingle postings / LSH
+    bands / embedding clusters). The corpus' normalized embeddings +
+    cluster assignments live as an engine table BUCKETED BY cluster
+    alongside the stored centroid model (trained on the CORPUS ONLY —
+    the fixed-model half of the build/ingest split); the batch
+    (vec_id % 5 == 4) is normalized, assigned under the STORED
+    centroids, and verified by exact rounded-dot cosine against
+    same-cluster index rows — corpus embeddings are never re-read
+    from source, and the batch's rows append in the same transaction.
+
+    FULLY value-oracled, unlike the LSH lane: every stage is
+    deterministic and SQL-expressible — the DuckDB twin re-derives
+    the corpus-only k-means (seeds + every Lloyd step, the
+    semantic_pair_ctes machinery), assigns the UNION under those
+    centroids, scores same-cluster pairs at the same rounding grid,
+    and restricts to batch-touching pairs — a stale index, a drifted
+    assignment, or a rounding-grid mismatch all hash-diverge."""
+    import tempfile
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.ann_index import (
+        load_centroids,
+    )
+    from delta_lake_experiment_spark.operators.semdedup import (
+        deterministic_kmeans,
+        incremental_semantic_near_duplicates,
+        semantic_index_ddl,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = deterministic_kmeans(
+        corpus, "vec_id", "embedding",
+        k=_SEM_K, iters=_SEM_ITERS, salt=_SEM_SALT,
+    )
+    c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="dles_semdedup_"))
+    c.new_tx()
+    c.create_table(
+        "sem_index", semantic_index_ddl("vec_id"),
+        bucket_by=(["cluster"], 8),
+    )
+    c.create_table("sem_centroids", "j int, pos int, x double")
+    c.write_dataframe(
+        "sem_centroids",
+        spark.createDataFrame(
+            [
+                (j, p, float(x))
+                for j, cv in enumerate(cents)
+                for p, x in enumerate(cv)
+            ],
+            "j int, pos int, x double",
+        ),
+    )
+    _, corpus_rows = incremental_semantic_near_duplicates(
+        spark.createDataFrame([], semantic_index_ddl("vec_id")),
+        corpus, cents, "vec_id", "embedding", threshold=_SEM_THRESHOLD,
+    )
+    c.write_dataframe("sem_index", corpus_rows)
+    c.commit_tx()
+    for cached in (corpus_rows,):
+        cached.unpersist()
+    c.new_tx()
+    n_corpus = c.scan("sem_index", with_stamps=False).count()
+    stored = load_centroids(c, "sem_centroids")
+    idx = c.scan_bucketed("sem_index", with_stamps=False)
+    pairs, new_rows = incremental_semantic_near_duplicates(
+        idx, batch, stored, "vec_id", "embedding",
+        threshold=_SEM_THRESHOLD,
+    )
+    pair_rows = pairs.orderBy("id_a", "id_b").collect()
+    c.write_dataframe("sem_index", new_rows)
+    c.commit_tx()
+    c.new_tx()
+    n_index = c.scan("sem_index", with_stamps=False).count()
+    c.abort_tx()
+    n_batch = batch.count()
+    if n_index != n_corpus + n_batch:
+        raise AssertionError(
+            f"index update lost rows: {n_index} != {n_corpus} +"
+            f" {n_batch}"
+        )
+    for cached in pairs._cached_inputs:
+        cached.unpersist()
+    return spark.createDataFrame(pair_rows, pairs.schema)
+
+
 def advanced_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The session-4 flagship composition — the MODERN curation stack
     in one run, every stage a lane this repo ships and oracles:
@@ -1396,6 +1487,47 @@ _SEM_K = 8
 _SEM_ITERS = 2
 _SEM_THRESHOLD = 0.35  # same rationale as near_dup_embedding: the
 _SEM_SALT = "sem1"     # synthetic embeddings have no planted dups
+
+from delta_lake_experiment_spark.operators.semdedup import (  # noqa: E402
+    semantic_pair_ctes,
+)
+
+_INC_SEM_NORM = (
+    "CASE WHEN sqrt(list_dot_product(dv, dv)) > 0 THEN "
+    "list_transform(dv, x -> x / sqrt(list_dot_product(dv, dv))) "
+    "ELSE dv END"
+)
+
+# incremental_semantic_ingest's oracle: training CTEs over the CORPUS
+# ONLY (the stored model), then union assignment under sc{iters} +
+# same-cluster cosine at the same grid, batch-touching pairs only
+INCREMENTAL_SEMANTIC_SQL = f"""
+WITH {semantic_pair_ctes(
+    "(SELECT * FROM embeddings WHERE vec_id % 5 <> 4)",
+    "vec_id", "embedding",
+    k=_SEM_K, iters=_SEM_ITERS, threshold=_SEM_THRESHOLD,
+    salt=_SEM_SALT,
+)},
+ue AS MATERIALIZED (
+  SELECT vec_id AS i, {_INC_SEM_NORM} AS v
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings)
+), ufinal AS MATERIALIZED (
+  SELECT i, j FROM (
+    SELECT ue.i, c.j, ROW_NUMBER() OVER (
+      PARTITION BY ue.i
+      ORDER BY round(list_dot_product(ue.v, c.v), 9) DESC, c.j ASC
+    ) AS rn
+    FROM ue, sc{_SEM_ITERS} c
+  ) WHERE rn = 1
+)
+SELECT a.i AS id_a, b.i AS id_b,
+       round(list_dot_product(ea.v, eb.v), 6) AS cosine
+FROM ufinal a JOIN ufinal b ON a.j = b.j AND a.i < b.i
+JOIN ue ea ON ea.i = a.i JOIN ue eb ON eb.i = b.i
+WHERE round(list_dot_product(ea.v, eb.v), 6) >= {_SEM_THRESHOLD}
+  AND (a.i % 5 = 4 OR b.i % 5 = 4)
+ORDER BY id_a, id_b
+"""
 
 
 def semantic_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5409,6 +5541,7 @@ QUERIES = {
     "dedup_verified_clusters": dedup_verified_clusters,
     "incremental_near_dup_ingest": incremental_near_dup_ingest,
     "incremental_lsh_ingest": incremental_lsh_ingest,
+    "incremental_semantic_ingest": incremental_semantic_ingest,
     "near_dup_simhash": near_dup_simhash,
     "near_dup_embedding": near_dup_embedding,
     "similarity_bruteforce_topk": similarity_bruteforce_topk,
@@ -5502,6 +5635,7 @@ ORACLES = {
     "near_dup_verified": NEAR_DUP_VERIFIED_SQL,
     "dedup_verified_clusters": DEDUP_VERIFIED_CLUSTERS_SQL,
     "incremental_near_dup_ingest": INCREMENTAL_NEAR_DUP_SQL,
+    "incremental_semantic_ingest": INCREMENTAL_SEMANTIC_SQL,
     "near_dup_simhash": NEAR_DUP_SIMHASH_SQL,
     "near_dup_embedding": NEAR_DUP_EMBEDDING_SQL,
     "similarity_bruteforce_topk": SIM_TOPK_SQL,

@@ -6183,6 +6183,182 @@ def test_incremental_maintenance_compaction(spark, tmp_path):
     c.abort_tx()
 
 
+def test_incremental_semantic_matches_fixed_centroid_one_shot(spark):
+    """r16: the semantic member of the incremental-dedup family.
+    Dedup of a batch against a persisted embedding index (normalized
+    vectors + cluster under STORED centroids) must equal the one-shot
+    fixed-centroid SemDeDup pairing over corpus∪batch restricted to
+    batch-touching pairs — assignment, rounding grid, orientation and
+    self-pair exclusion included. The reference is an INDEPENDENT
+    spelling (assign_to_centroids + the hof cosine join), and the
+    corpus index itself is bootstrapped by ingesting the corpus
+    against an EMPTY index."""
+    from delta_lake_experiment_spark.operators.semdedup import (
+        _norm_checked,
+        assign_to_centroids,
+        deterministic_kmeans,
+        incremental_semantic_near_duplicates,
+        semantic_index_ddl,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    batch = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = deterministic_kmeans(
+        corpus, "vec_id", "embedding", k=8, iters=2, salt="sem1"
+    )
+    empty = spark.createDataFrame([], semantic_index_ddl("vec_id"))
+    boot_pairs, corpus_rows = incremental_semantic_near_duplicates(
+        empty, corpus, cents, "vec_id", "embedding", threshold=0.35
+    )
+    corpus_rows = corpus_rows.localCheckpoint(eager=True)
+    pairs, new_rows = incremental_semantic_near_duplicates(
+        corpus_rows, batch, cents, "vec_id", "embedding", threshold=0.35
+    )
+    assert pairs.columns == ["id_a", "id_b", "cosine"]
+    got = {tuple(r) for r in pairs.collect()}
+
+    # independent one-shot reference under the SAME fixed centroids
+    ass = assign_to_centroids(emb, "vec_id", "embedding", cents)
+    normed = emb.select(
+        "vec_id", _norm_checked("embedding").alias("v")
+    ).join(ass, "vec_id")
+    l = normed.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("__va"), "cluster"
+    )
+    r = normed.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("__vb"), "cluster"
+    )
+    cos = F.round(
+        F.aggregate(
+            F.zip_with(F.col("__va"), F.col("__vb"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    ref = (
+        l.join(r, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+    )
+    want = {
+        tuple(r)
+        for r in ref.filter(
+            (F.col("id_a") % 5 == 4) | (F.col("id_b") % 5 == 4)
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    # the bootstrap ingest is the corpus-internal restriction
+    want_boot = {
+        tuple(r)
+        for r in ref.filter(
+            (F.col("id_a") % 5 != 4) & (F.col("id_b") % 5 != 4)
+        ).collect()
+    }
+    assert {tuple(r) for r in boot_pairs.collect()} == want_boot
+    # update rows: one per batch vector, normalized
+    assert new_rows.count() == batch.count()
+    assert all(a != b and a < b for a, b, _ in got)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="centroids"):
+        incremental_semantic_near_duplicates(
+            empty, batch, [], "vec_id", "embedding"
+        )
+
+
+def test_incremental_semantic_engine_lifecycle(spark, tmp_path):
+    """The semantic incremental lane through persisted ENGINE tables:
+    centroids + index bootstrapped, a batch deduped against the index
+    (cross-batch near-dup found WITHOUT re-reading corpus embeddings),
+    index updated in the same transaction, and a second batch caught
+    by the first batch's appended rows. The index is bucketed by
+    cluster — the probe aggregate plans no index-side Exchange."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.ann_index import (
+        load_centroids,
+    )
+    from delta_lake_experiment_spark.operators.semdedup import (
+        deterministic_kmeans,
+        incremental_semantic_near_duplicates,
+        semantic_index_ddl,
+    )
+
+    def vec(axis, eps):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = eps
+        return v
+
+    corpus = spark.createDataFrame(
+        [(1, vec(0, 0.0)), (2, vec(1, 0.0)), (3, vec(2, 0.0))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = deterministic_kmeans(
+        corpus, "vec_id", "embedding", k=2, iters=2, salt="s"
+    )
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table(
+        "semidx", semantic_index_ddl("vec_id"),
+        bucket_by=(["cluster"], 2),
+    )
+    c.create_table("cents", "j int, pos int, x double")
+    c.write_dataframe(
+        "cents",
+        spark.createDataFrame(
+            [
+                (j, p, float(x))
+                for j, cv in enumerate(cents)
+                for p, x in enumerate(cv)
+            ],
+            "j int, pos int, x double",
+        ),
+    )
+    _, corpus_rows = incremental_semantic_near_duplicates(
+        spark.createDataFrame([], semantic_index_ddl("vec_id")),
+        corpus, cents, "vec_id", "embedding", threshold=0.9,
+    )
+    c.write_dataframe("semidx", corpus_rows)
+    c.commit_tx()
+
+    def ingest(batch_rows):
+        c.new_tx()
+        stored = load_centroids(c, "cents")
+        idx = c.scan_bucketed("semidx", with_stamps=False)
+        agg = idx.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        assert (
+            "Exchange"
+            not in agg._jdf.queryExecution().executedPlan().toString()
+        )
+        batch = spark.createDataFrame(
+            batch_rows, "vec_id long, embedding array<double>"
+        )
+        pairs, new_rows = incremental_semantic_near_duplicates(
+            idx, batch, stored, "vec_id", "embedding", threshold=0.9
+        )
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        c.write_dataframe("semidx", new_rows)
+        c.commit_tx()
+        for df in pairs._cached_inputs:
+            df.unpersist()
+        return got
+
+    # batch 1: a near-dup of corpus doc 1 (via index) + a novel doc
+    got1 = ingest([(10, vec(0, 0.05)), (11, vec(3, 0.0))])
+    assert (1, 10) in got1 and all(11 not in p for p in got1)
+    # batch 2: a near-dup of BATCH-1 doc 11 — caught via the rows
+    # batch 1 appended, corpus embeddings never re-read
+    got2 = ingest([(20, vec(3, 0.04))])
+    assert (11, 20) in got2
+    c.new_tx()
+    assert c.scan("semidx", with_stamps=False).count() == 6
+    c.abort_tx()
+
+
 def test_prune_dedup_index_removes_ghost_vetoes(spark, tmp_path):
     """r16: the verified-dedup index's stale-entry maintenance
     (compact_minhash_index's ghost rationale, applied to the new
