@@ -922,6 +922,7 @@ def incremental_verified_near_duplicates(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_cell: Optional[int] = None,
+    cell_counts: Optional[DataFrame] = None,
 ) -> "tuple[DataFrame, DataFrame, DataFrame]":
     """Ingest-time fuzzy dedup against a PERSISTED posting index — the
     two-stage candidate-then-verify pipeline without re-shingling the
@@ -1047,7 +1048,19 @@ def incremental_verified_near_duplicates(
                 f" num_bands ({num_bands}) — trailing signature"
                 " components would be silently unused"
             )
-    elif max_cell is not None:
+        if max_cell is not None and max_cell < 1:
+            # validate BEFORE any frame is built or persisted (r16
+            # review catch: the late check left a persist registered
+            # on the error path)
+            raise ValueError(f"max_cell={max_cell!r} must be >= 1")
+        if cell_counts is not None and max_cell is None:
+            # the shingle lane's df_counts-without-cap rule, cell form
+            raise ValueError(
+                "cell_counts was passed but max_cell is None: the"
+                " cell-frequency sidecar only feeds the hot-cell cap"
+                " — set max_cell"
+            )
+    elif max_cell is not None or cell_counts is not None:
         raise ValueError(
             "max_cell is the LSH index's hot-cell cap — the shingle"
             " index's equivalent is max_postings; unset max_cell for"
@@ -1110,8 +1123,6 @@ def incremental_verified_near_duplicates(
         ).persist()
         idx_bands = index_postings.select(id_col, "band", "bh")
         if max_cell is not None:
-            if max_cell < 1:
-                raise ValueError(f"max_cell={max_cell!r} must be >= 1")
             # hot-CELL cap (r16): the LSH analogue of the shingle
             # lane's max_postings — a flood of identical documents
             # shares every band cell and contributes K² rows to the
@@ -1124,9 +1135,17 @@ def incremental_verified_near_duplicates(
             # silent blowup. The INDEX UPDATE is uncapped: the
             # returned new_bands carry every cell, so a cell that
             # later cools (flood deduped upstream) is still probeable.
-            c_idx = idx_bands.groupBy("band", "bh").agg(
-                F.count(F.lit(1)).alias("__d1")
-            )
+            # ``cell_counts`` (band, bh, df — a MAINTAINED sidecar,
+            # update_cell_df_sidecar) replaces the per-batch index
+            # aggregate, exactly as df_counts does for shingles.
+            if cell_counts is not None:
+                c_idx = cell_counts.select(
+                    "band", "bh", F.col("df").alias("__d1")
+                )
+            else:
+                c_idx = idx_bands.groupBy("band", "bh").agg(
+                    F.count(F.lit(1)).alias("__d1")
+                )
             c_new = new_bands.groupBy("band", "bh").agg(
                 F.count(F.lit(1)).alias("__d2")
             )
@@ -1293,6 +1312,28 @@ def incremental_verified_near_duplicates(
 
 
 SHINGLE_DF_DDL = "sh BIGINT, df BIGINT"
+CELL_DF_DDL = "band INT, bh BIGINT, df BIGINT"
+
+
+def update_cell_df_sidecar(
+    client, df_table: str, new_bands: DataFrame,
+    current: Optional[DataFrame] = None,
+) -> dict:
+    """The LSH lane's sibling of :func:`update_shingle_df_sidecar`:
+    fold a batch's per-(band, bh) CELL counts into a maintained
+    sidecar (``CELL_DF_DDL``, primary keys ``band, bh``) — removing
+    the per-batch O(index) cell-count aggregate from the ``max_cell``
+    flood guard exactly as the shingle sidecar removes the df pass
+    (r16 review catch: without it, a streaming gate with the guard on
+    re-aggregated the whole bands table every micro-batch). Same
+    contract: ONE MERGE per batch, fold AFTER deduping (the cap needs
+    corpus-before-batch counts), same transaction as the bands
+    append; ``current`` reuses an already-scanned totals frame; the
+    MAINTENANCE note (multi-version growth, collapse via
+    :func:`compact_df_sidecar`) applies verbatim."""
+    return _fold_df_sidecar(
+        client, df_table, new_bands, ["band", "bh"], current
+    )
 
 
 def update_shingle_df_sidecar(
@@ -1343,41 +1384,103 @@ def update_shingle_df_sidecar(
     run twice per micro-batch, r16 review catch). Must be the
     corpus-before-batch state from THIS tx's snapshot; default scans
     it fresh."""
-    delta = new_postings.groupBy("sh").agg(
+    return _fold_df_sidecar(
+        client, df_table, new_postings, ["sh"], current
+    )
+
+
+def _fold_df_sidecar(
+    client, df_table: str, new_rows: DataFrame,
+    key_cols: "list[str]", current: Optional[DataFrame],
+) -> dict:
+    """One spelling of the frequency-sidecar MERGE fold for both key
+    shapes (sh; band+bh) — pre-sum ``current + delta`` per key, merge
+    as the keys' new current versions."""
+    delta = new_rows.groupBy(*key_cols).agg(
         F.count(F.lit(1)).alias("__delta")
     )
     if current is None:
-        current = client.scan_current(df_table).select("sh", "df")
+        current = client.scan_current(df_table).select(*key_cols, "df")
     else:
-        current = current.select("sh", "df")
-    src = (
-        delta.join(current, "sh", "left")
-        .select(
-            "sh",
-            (
-                F.coalesce(F.col("df"), F.lit(0)) + F.col("__delta")
-            ).alias("df"),
-        )
+        current = current.select(*key_cols, "df")
+    src = delta.join(current, key_cols, "left").select(
+        *key_cols,
+        (F.coalesce(F.col("df"), F.lit(0)) + F.col("__delta")).alias("df"),
     )
     return client.merge(df_table, src)
 
 
-def compact_shingle_df_sidecar(client, df_table: str) -> None:
-    """Collapse the df sidecar's multi-version history to ONE current
-    row per shingle — the maintenance half of
-    :func:`update_shingle_df_sidecar`'s append-only fold (see its
-    MAINTENANCE note): an INSERT OVERWRITE of the latest-wins state,
-    so the next ``scan_current`` reads one version per key instead of
-    one per batch that ever touched it. O(distinct shingles) rewrite,
-    never O(batch history); runs inside the caller's transaction, so
-    it can share a maintenance commit with
+def compact_df_sidecar(client, df_table: str) -> None:
+    """Collapse a frequency sidecar's multi-version history to ONE
+    current row per key — the maintenance half of the sidecar MERGE
+    folds (see :func:`update_shingle_df_sidecar`'s MAINTENANCE note):
+    an INSERT OVERWRITE of the latest-wins state, so the next
+    ``scan_current`` reads one version per key instead of one per
+    batch that ever touched it. Schema-generic over the table's
+    DECLARED columns, so the shingle (``SHINGLE_DF_DDL``) and cell
+    (``CELL_DF_DDL``) sidecars share one spelling. O(distinct keys)
+    rewrite, never O(batch history); runs inside the caller's
+    transaction, so it can share a maintenance commit with
     ``client.compact(postings_table)`` and cannot interleave with an
     ingest (first-committer-wins applies as usual — a concurrent
     batch fold conflicts and retries, totals are never lost).
     Totals are unchanged by construction: the overwrite writes exactly
     what ``scan_current`` already answered."""
-    cur = client.scan_current(df_table).select("sh", "df")
-    client.overwrite_table(df_table, cur)
+    cols = [f.name for f in client.table_schema(df_table).fields]
+    client.overwrite_table(
+        df_table, client.scan_current(df_table).select(*cols)
+    )
+
+
+# the historic (r16 early) name — same function, kept so callers and
+# docs that learned the shingle spelling keep working
+compact_shingle_df_sidecar = compact_df_sidecar
+
+
+def prune_table_by_live_ids(
+    c,
+    table: str,
+    id_col: str,
+    live: DataFrame,
+    use_dv: bool = False,
+) -> "tuple[int, DataFrame]":
+    """ONE spelling of the stale-entry prune protocol (r16 review
+    catch — :func:`prune_dedup_index` and
+    :func:`~delta_lake_experiment_spark.operators.incremental.compact_minhash_index`
+    had grown near-verbatim copies): inside the CALLER's open
+    transaction, remove every row of ``table`` whose ``id_col`` is
+    absent from ``live`` — survivors are persisted and eagerly
+    counted (recompute safety needs no checkpoint: the scan's file
+    list was pinned when it ran, COW rewrites add files without
+    touching the originals, and staged removes are invisible to the
+    committed snapshot a concurrent VACUUM keeps, so an evicted block
+    recomputes identical rows), stale rows removed by a full-range
+    delete (``use_dv=True`` records deletion vectors instead of
+    rewriting), survivors re-inserted, and the persist RELEASED
+    before returning (the family's cleanup contract — the prior
+    checkpoint-based copies pinned table-sized blocks for the rest of
+    the session). Returns ``(n_stale, survivors)`` where
+    ``survivors`` is the LAZY (unpersisted) surviving-rows expression
+    for follow-up derivations (the sidecar rebuild)."""
+    rows = c.scan(table, with_stamps=False)
+    surv = rows.join(live, id_col, "left_semi")
+    cached = surv.persist()
+    try:
+        n_total = rows.count()
+        n_live = cached.count()
+        n_stale = n_total - n_live
+        if n_stale:
+            bounds = rows.agg(
+                F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+            ).collect()[0]
+            c.delete_rows(
+                table, id_col, bounds["lo"], bounds["hi"], use_dv=use_dv
+            )
+            if n_live:
+                c.write_dataframe(table, cached)
+        return n_stale, surv
+    finally:
+        cached.unpersist()
 
 
 def prune_dedup_index(
@@ -1388,6 +1491,7 @@ def prune_dedup_index(
     id_col: str = "doc_id",
     df_table: Optional[str] = None,
     retries: int = 3,
+    use_dv: bool = False,
 ) -> dict:
     """Remove persisted-index entries whose document is no longer live
     in ``corpus_table`` — the verified-dedup family's analogue of
@@ -1402,12 +1506,13 @@ def prune_dedup_index(
     ``postings_table``.
 
     One transaction (:meth:`run_tx`, first-committer-wins against
-    concurrent ingests): for each index table, survivors are
-    ``localCheckpoint``-ed (eager, so the re-insert cannot observe the
-    mid-transaction empty table), stale rows removed via a full-range
-    COW delete (bucketed tables re-bucketize their survivors — the
-    shuffle-free probe layout survives, plan-pinned in pytest), and
-    survivors re-inserted. With ``df_table``, the frequency sidecar is
+    concurrent ingests): each index table goes through the SHARED
+    prune protocol (:func:`prune_table_by_live_ids` — one spelling
+    with compact_minhash_index, r16 review catch; persist-during,
+    release-after, ``use_dv=True`` for deletion vectors instead of a
+    rewrite; bucketed tables re-bucketize their survivors, so the
+    shuffle-free probe layout survives — plan-pinned in pytest). With
+    ``df_table``, the frequency sidecar is
     REBUILT from the pruned postings in the same commit — a decrement
     would need exactly the per-shingle counts of the pruned docs,
     which is the recount, so the overwrite is the same cost and
@@ -1420,36 +1525,20 @@ def prune_dedup_index(
             .select(F.col(id_col))
             .distinct()
         )
-        counts = {}
-        surv_postings = None
-        for key, tbl in (
-            ("postings", postings_table),
-            ("prefixes", prefixes_table),
-        ):
-            rows = c.scan(tbl, with_stamps=False)
-            surv = rows.join(live, id_col, "left_semi").localCheckpoint(
-                eager=True
-            )
-            n_total = rows.count()
-            n_live = surv.count()
-            counts[key] = n_total - n_live
-            if key == "postings":
-                surv_postings = surv
-            if counts[key]:
-                bounds = rows.agg(
-                    F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-                ).collect()[0]
-                c.delete_rows(tbl, id_col, bounds["lo"], bounds["hi"])
-                if n_live:
-                    c.write_dataframe(tbl, surv)
-        if df_table is not None and counts["postings"]:
+        n_post, surv_postings = prune_table_by_live_ids(
+            c, postings_table, id_col, live, use_dv=use_dv
+        )
+        n_pfx, _ = prune_table_by_live_ids(
+            c, prefixes_table, id_col, live, use_dv=use_dv
+        )
+        if df_table is not None and n_post:
             c.overwrite_table(
                 df_table,
                 surv_postings.groupBy("sh").agg(
                     F.count(F.lit(1)).alias("df")
                 ),
             )
-        return counts
+        return {"postings": n_post, "prefixes": n_pfx}
 
     return client.run_tx(_attempt, retries=retries)
 

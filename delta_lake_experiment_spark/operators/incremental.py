@@ -233,31 +233,28 @@ def compact_minhash_index(
     ONE transaction (``run_tx``), so a concurrent ingest triggers
     first-committer-wins and the loser re-runs against the fresh
     snapshot — the index can never disagree with the admitted corpus.
-    Survivors are ``localCheckpoint``-ed (eager) before the delete so
-    the re-insert can never observe the mid-transaction empty table
-    through a cache eviction. ``use_dv=True`` records deletion vectors
-    instead of rewriting files (O(mask) written; the next compaction
-    materializes)."""
+    The per-table protocol is the SHARED
+    :func:`~delta_lake_experiment_spark.operators.dedup.prune_table_by_live_ids`
+    (one spelling with the verified-dedup family's prune_dedup_index,
+    r16 — survivors persisted during the rewrite and RELEASED before
+    returning, recompute-safe via the pinned scan file list).
+    ``use_dv=True`` records deletion vectors instead of rewriting
+    files (O(mask) written; the next compaction materializes)."""
     from pyspark.sql import functions as F
 
+    from delta_lake_experiment_spark.operators.dedup import (
+        prune_table_by_live_ids,
+    )
+
     def _attempt(c: DeltaLakeClient) -> int:
-        idx = c.scan(index_table, with_stamps=False)
         live = (
             c.scan(docs_table, with_stamps=False)
             .select(F.col(id_col).alias("id"))
             .distinct()
         )
-        survivors = idx.join(live, "id", "left_semi").localCheckpoint(eager=True)
-        n_total = idx.count()
-        n_live = survivors.count()
-        n_stale = n_total - n_live
-        if n_stale:
-            bounds = idx.agg(
-                F.min("id").alias("lo"), F.max("id").alias("hi")
-            ).collect()[0]
-            c.delete_rows(index_table, "id", bounds["lo"], bounds["hi"], use_dv=use_dv)
-            if n_live:
-                c.write_dataframe(index_table, survivors)
+        n_stale, _ = prune_table_by_live_ids(
+            c, index_table, "id", live, use_dv=use_dv
+        )
         return n_stale
 
     return client.run_tx(_attempt, retries=retries)

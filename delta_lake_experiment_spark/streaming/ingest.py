@@ -188,6 +188,7 @@ def foreach_batch_fuzzy_dedup_writer(
     num_hashes: int = 16,
     num_bands: int = 4,
     max_cell=None,
+    cell_df_table: str = None,
     compact_every=None,
 ):
     """Streaming FUZZY-dedup ingest (r15): the candidate-then-verify
@@ -241,7 +242,14 @@ def foreach_batch_fuzzy_dedup_writer(
     must match the index build; the hot-shingle knobs
     (``max_postings``, ``df_table``) do not apply and are rejected
     loudly — the LSH flood guard is ``max_cell`` (forwarded to the
-    operator).
+    operator), and its sidecar is ``cell_df_table``
+    (``CELL_DF_DDL``, primary keys ``band, bh``): exactly the
+    ``df_table`` contract transposed to cells — read before the batch,
+    admitted counts folded back in the same marked commit, collapsed
+    by the same ``compact_every`` maintenance (without it, a gate
+    with the flood guard on re-aggregates the whole bands table every
+    micro-batch — the recurring cost class the shingle sidecar
+    exists to remove).
 
     ``compact_every=N`` (r16) schedules the maintenance recipe the
     batch lane documents (operators/dedup.py::update_shingle_df_sidecar
@@ -251,13 +259,17 @@ def foreach_batch_fuzzy_dedup_writer(
     contract) and collapses the df sidecar to one row per shingle.
     Correctness never depends on it — it bounds the latest-wins
     window and small-file costs that otherwise grow with batch count.
-    Advisory semantics: it runs only when the batch actually
-    committed (a redelivered no-op batch never re-compacts), a
-    CONFLICTING maintenance commit is skipped rather than retried
-    inline (the next trigger retries — housekeeping must never
-    contend with ingest), and any other failure propagates so
-    Structured Streaming retries the (marker-protected, hence no-op)
-    batch and re-attempts maintenance."""
+    Advisory semantics: maintenance runs on every trigger batch id
+    whether or not the batch body was a redelivery no-op — it is
+    IDEMPOTENT housekeeping (compacting a compacted table and
+    collapsing a collapsed sidecar rewrite the same state), and
+    running it on redelivery is exactly what makes the failure story
+    coherent: a maintenance failure propagates, Structured Streaming
+    retries the batch (marker-protected, hence a body no-op), and
+    maintenance is RE-ATTEMPTED (r16 review catch — gating on the
+    body having run made that retry impossible). A CONFLICTING
+    maintenance commit is the one swallowed case: housekeeping must
+    never contend with ingest, and the next trigger repeats it."""
     # every knob combination below is statically known — reject at
     # CONSTRUCTION, not at the first micro-batch inside a running
     # stream (r16 review catch: the operator would raise the same
@@ -284,6 +296,20 @@ def foreach_batch_fuzzy_dedup_writer(
     if compact_every is not None and compact_every < 1:
         raise ValueError(
             f"compact_every={compact_every!r} must be >= 1"
+        )
+    if max_cell is not None and max_cell < 1:
+        raise ValueError(f"max_cell={max_cell!r} must be >= 1")
+    if cell_df_table is not None and index_kind != "lsh":
+        raise ValueError(
+            "cell_df_table is the LSH index's cell-frequency sidecar"
+            " — the shingle index's equivalent is df_table; unset it"
+            " for index_kind='shingle'"
+        )
+    if cell_df_table is not None and max_cell is None:
+        raise ValueError(
+            "cell_df_table was passed but max_cell is None: the"
+            " cell-frequency sidecar only feeds the hot-cell cap —"
+            " set max_cell"
         )
     if df_table is not None and max_postings is None:
         raise ValueError(
@@ -371,6 +397,13 @@ def foreach_batch_fuzzy_dedup_writer(
                 if df_table is not None
                 else None
             )
+            cell_counts = (
+                client.scan_current(cell_df_table).select(
+                    "band", "bh", "df"
+                )
+                if cell_df_table is not None
+                else None
+            )
             pairs, new_post, new_pfx = (
                 incremental_verified_near_duplicates(
                     idx, pfx, fresh, id_col, text_col,
@@ -384,6 +417,7 @@ def foreach_batch_fuzzy_dedup_writer(
                     num_hashes=num_hashes,
                     num_bands=num_bands,
                     max_cell=max_cell,
+                    cell_counts=cell_counts,
                 )
             )
             cached.extend(pairs._cached_inputs)
@@ -437,30 +471,40 @@ def foreach_batch_fuzzy_dedup_writer(
                 update_shingle_df_sidecar(
                     client, df_table, admitted_post, current=df_counts
                 )
+            if cell_df_table is not None:
+                # the cell-sidecar fold, same contract (admitted-only
+                # bands, same marked commit, pre-batch totals reused)
+                from delta_lake_experiment_spark.operators.dedup import (
+                    update_cell_df_sidecar,
+                )
+
+                update_cell_df_sidecar(
+                    client, cell_df_table, admitted_post,
+                    current=cell_counts,
+                )
 
         try:
-            ran = run_marked_batch(client_factory, app_id, batch_id, body)
+            run_marked_batch(client_factory, app_id, batch_id, body)
         finally:
             # release per-batch caches even when the commit conflicts
             # and Structured Streaming retries (a retry re-persists)
             for df in cached:
                 df.unpersist()
-        if (
-            ran
-            and compact_every is not None
-            and (batch_id + 1) % compact_every == 0
-        ):
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
             # advisory maintenance in its OWN transaction, after the
             # batch is durable: bound the sidecar's version count and
             # the index tables' small-file growth at streaming
-            # cadence (the batch lane's documented recipe). A
-            # conflict means a concurrent writer got there first —
-            # skip; the next trigger retries.
+            # cadence (the batch lane's documented recipe). Runs on
+            # redeliveries too — idempotent, and that is what lets a
+            # failed maintenance be re-attempted through the stream's
+            # ordinary batch retry (the marker makes the body a
+            # no-op). A conflict means a concurrent writer got there
+            # first — skip; the next trigger repeats.
             from delta_lake_experiment_spark.errors import (
                 ConcurrentCommitError,
             )
             from delta_lake_experiment_spark.operators.dedup import (
-                compact_shingle_df_sidecar,
+                compact_df_sidecar,
             )
 
             mc = client_factory()
@@ -468,8 +512,9 @@ def foreach_batch_fuzzy_dedup_writer(
             try:
                 mc.compact(postings_table)
                 mc.compact(prefixes_table)
-                if df_table is not None:
-                    compact_shingle_df_sidecar(mc, df_table)
+                for sidecar in (df_table, cell_df_table):
+                    if sidecar is not None:
+                        compact_df_sidecar(mc, sidecar)
                 mc.commit_tx(retry_independent=3)
             except ConcurrentCommitError:
                 mc.abort_tx()

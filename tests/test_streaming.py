@@ -588,6 +588,99 @@ def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
     side.abort_tx()
 
 
+def test_streaming_lsh_gate_cell_sidecar_lane(spark, tmp_path):
+    """r16 review close: the LSH gate's flood-guard sidecar
+    (cell_df_table + max_cell) must admit EXACTLY what the
+    computed-cell-count lane admits, fold admitted band counts in the
+    same marked commit (totals == a fresh recount of the bands
+    table), and get collapsed by the same compact_every maintenance —
+    the cell transposition of the shingle df-sidecar contract."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import CELL_DF_DDL
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_fuzzy_dedup_writer,
+    )
+    from pyspark.sql import functions as F
+
+    NH, NB = 32, 8
+    words = [f"w{i:03d}" for i in range(100)]
+    base = " ".join(words)
+    near = " ".join(
+        ("EDITQ" if i == 9 else w) for i, w in enumerate(words)
+    )
+    other = " ".join(f"z{i:03d}" for i in range(100))
+    batches = [
+        [(1, base), (2, other)],
+        [(10, near), (11, " ".join(f"q{i}" for i in range(100)))],
+    ]
+
+    def run(root, cell_df_table, compact_every=None):
+        def factory():
+            return DeltaLakeClient(spark, root)
+
+        boot = factory()
+        boot.new_tx()
+        boot.create_table("cc", "doc_id BIGINT, text STRING")
+        boot.create_table(
+            "cb", "doc_id BIGINT, band INT, bh BIGINT",
+            bucket_by=(["band", "bh"], 4),
+        )
+        boot.create_table("cx", "doc_id BIGINT, pfx STRING")
+        if cell_df_table:
+            boot.create_table(
+                cell_df_table, CELL_DF_DDL, primary_keys=["band", "bh"]
+            )
+        boot.commit_tx()
+        w = foreach_batch_fuzzy_dedup_writer(
+            factory, "cc", "cb", "cx", "doc_id", "text", "cellgate",
+            index_kind="lsh", num_hashes=NH, num_bands=NB,
+            max_cell=100, cell_df_table=cell_df_table,
+            compact_every=compact_every,
+        )
+        for bid, rows in enumerate(batches):
+            w(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                bid,
+            )
+        return factory()
+
+    plain = run(str(tmp_path / "plain"), None)
+    side = run(str(tmp_path / "side"), "cdf", compact_every=2)
+
+    plain.new_tx()
+    want = sorted(
+        r["doc_id"] for r in plain.scan("cc", with_stamps=False).collect()
+    )
+    plain.abort_tx()
+    side.new_tx()
+    got = sorted(
+        r["doc_id"] for r in side.scan("cc", with_stamps=False).collect()
+    )
+    # near-dup 10 rejected via index in both lanes; 1, 2, 11 admitted
+    assert got == want == [1, 2, 11], (got, want)
+    # sidecar totals == fresh recount of the bands table; collapsed
+    # (compact_every=2 ran after the final batch)
+    recount = (
+        side.scan("cb", with_stamps=False)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("df2"))
+    )
+    sidecar = side.scan_current("cdf").select("band", "bh", "df")
+    assert (
+        sidecar.join(recount, ["band", "bh"], "full_outer")
+        .filter(
+            F.coalesce("df", F.lit(-1)) != F.coalesce("df2", F.lit(-2))
+        )
+        .count()
+        == 0
+    )
+    assert (
+        side.scan("cdf", with_stamps=False).count()
+        == side.scan_current("cdf").count()
+    )
+    side.abort_tx()
+
+
 def test_streaming_fuzzy_gate_auto_maintenance(spark, tmp_path):
     """r16: compact_every=N runs the documented maintenance recipe
     inside the stream — after every Nth committed batch a SEPARATE
@@ -829,6 +922,21 @@ def test_streaming_fuzzy_gate_lsh_index(spark, tmp_path, store_dir):
         foreach_batch_fuzzy_dedup_writer(
             factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
             index_kind="lsh", df_table="whatever",
+        )
+    with pytest.raises(ValueError, match="cell_df_table"):
+        foreach_batch_fuzzy_dedup_writer(
+            factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
+            cell_df_table="whatever",  # shingle mode: wrong sidecar
+        )
+    with pytest.raises(ValueError, match="max_cell"):
+        foreach_batch_fuzzy_dedup_writer(
+            factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
+            index_kind="lsh", cell_df_table="cdf",  # sidecar, no cap
+        )
+    with pytest.raises(ValueError, match="max_cell"):
+        foreach_batch_fuzzy_dedup_writer(
+            factory, "lc", "lb", "lx", "doc_id", "text", "lshgate",
+            index_kind="lsh", max_cell=0,
         )
     with pytest.raises(ValueError, match="max_postings"):
         foreach_batch_fuzzy_dedup_writer(
