@@ -170,6 +170,71 @@ def foreach_batch_rule_gated_writer(
     )
 
 
+def _deterministic_pick(batch_df: DataFrame, id_col: str, primary_col: str):
+    """ONE committed copy per id, shuffle-independently: window-rank
+    by the content column first, then every remaining ORDERABLE
+    column (maps — and arrays/structs containing them — cannot appear
+    in a window sort, so they are excluded: determinism is per
+    (id, orderable columns); rows differing ONLY in a map column
+    remain a shuffle-dependent pick — r16 review catch, documented
+    limit). Shared by the fuzzy and semantic admission gates."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def _orderable(dt):
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    others = [
+        f.name
+        for f in batch_df.schema.fields
+        if f.name not in (id_col, primary_col) and _orderable(f.dataType)
+    ]
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(primary_col), *[F.col(c) for c in others]
+    )
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _greedy_rejected_ids(pairs: DataFrame, fresh: DataFrame, id_col: str):
+    """Greedy admission over verified pairs (id_a < id_b, at least
+    one side in the batch ``fresh``): the batch-side doc loses to an
+    indexed doc; between two batch docs the larger id loses. Returns
+    the rejected batch ids (distinct). One spelling for the fuzzy and
+    semantic gates — the production crawl rule both share (a doc
+    duplicating a REJECTED doc is itself rejected: its content is
+    already represented transitively)."""
+    from pyspark.sql import functions as F
+
+    ba = fresh.select(F.col(id_col).alias("id_a")).withColumn(
+        "__na", F.lit(True)
+    )
+    bb = fresh.select(F.col(id_col).alias("id_b")).withColumn(
+        "__nb", F.lit(True)
+    )
+    marked = pairs.join(ba, "id_a", "left").join(bb, "id_b", "left")
+    return (
+        marked.filter(F.col("__na").isNotNull() & F.col("__nb").isNull())
+        .select(F.col("id_a").alias(id_col))
+        .unionByName(
+            marked.filter(F.col("__nb").isNotNull()).select(
+                F.col("id_b").alias(id_col)
+            )
+        )
+        .distinct()
+    )
+
+
 def foreach_batch_fuzzy_dedup_writer(
     client_factory,
     corpus_table: str,
@@ -319,7 +384,6 @@ def foreach_batch_fuzzy_dedup_writer(
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from delta_lake_experiment_spark.operators.dedup import (
@@ -332,45 +396,9 @@ def foreach_batch_fuzzy_dedup_writer(
         cached = []
 
         def body(client):
-            # deterministic pick per id (r15 review catch): a batch
-            # carrying two texts under one id must commit ONE copy's
-            # row, postings, and prefix — dropDuplicates picks
-            # shuffle-dependently, so order by the content itself.
-            # Order by the full row, not just the text (r15 advisor
-            # note): equal-text rows differing in other columns must
-            # also resolve shuffle-independently. Non-ORDERABLE column
-            # types (maps, and arrays/structs containing them) cannot
-            # appear in a window sort — Spark raises — so they are
-            # excluded: determinism is per (id, text, orderable
-            # columns); rows differing ONLY in a map-typed column
-            # remain a shuffle-dependent pick (r16 review catch — the
-            # r15 full-row ordering broke map-carrying streams
-            # outright).
-            from pyspark.sql import types as T
-
-            def _orderable(dt):
-                if isinstance(dt, T.MapType):
-                    return False
-                if isinstance(dt, T.ArrayType):
-                    return _orderable(dt.elementType)
-                if isinstance(dt, T.StructType):
-                    return all(_orderable(f.dataType) for f in dt.fields)
-                return True
-
-            others = [
-                f.name
-                for f in batch_df.schema.fields
-                if f.name not in (id_col, text_col)
-                and _orderable(f.dataType)
-            ]
-            w = Window.partitionBy(id_col).orderBy(
-                F.col(text_col), *[F.col(c) for c in others]
-            )
-            fresh = (
-                batch_df.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
+            # deterministic pick per id (r15 review catch; the
+            # orderable-columns contract lives on _deterministic_pick)
+            fresh = _deterministic_pick(batch_df, id_col, text_col)
             existing = (
                 client.scan(corpus_table, with_stamps=False)
                 .select(id_col)
@@ -421,31 +449,8 @@ def foreach_batch_fuzzy_dedup_writer(
                 )
             )
             cached.extend(pairs._cached_inputs)
-            # greedy admission over the verified pairs (id_a < id_b,
-            # at least one side in the batch): the batch-side doc
-            # loses to an indexed doc; between two batch docs the
-            # larger id loses
-            ba = fresh.select(F.col(id_col).alias("id_a")).withColumn(
-                "__na", F.lit(True)
-            )
-            bb = fresh.select(F.col(id_col).alias("id_b")).withColumn(
-                "__nb", F.lit(True)
-            )
-            marked = (
-                pairs.join(ba, "id_a", "left").join(bb, "id_b", "left")
-            )
-            rejected = (
-                marked.filter(
-                    F.col("__na").isNotNull() & F.col("__nb").isNull()
-                )
-                .select(F.col("id_a").alias(id_col))
-                .unionByName(
-                    marked.filter(F.col("__nb").isNotNull()).select(
-                        F.col("id_b").alias(id_col)
-                    )
-                )
-                .distinct()
-            )
+            # greedy admission (one spelling with the semantic gate)
+            rejected = _greedy_rejected_ids(pairs, fresh, id_col)
             # persist the admission verdict: the three eager writes
             # below otherwise re-run the whole candidate+verify
             # pipeline each (r15 review catch) — the first write
@@ -515,6 +520,125 @@ def foreach_batch_fuzzy_dedup_writer(
                 for sidecar in (df_table, cell_df_table):
                     if sidecar is not None:
                         compact_df_sidecar(mc, sidecar)
+                mc.commit_tx(retry_independent=3)
+            except ConcurrentCommitError:
+                mc.abort_tx()
+            except BaseException:
+                if mc.tx is not None:
+                    mc.abort_tx()
+                raise
+
+    return process
+
+
+def foreach_batch_semantic_dedup_writer(
+    client_factory,
+    corpus_table: str,
+    index_table: str,
+    centroids_table: str,
+    id_col: str,
+    vec_col: str,
+    app_id: str,
+    threshold: float = 0.95,
+    round_digits: int = 9,
+    sim_digits: int = 6,
+    compact_every=None,
+):
+    """Streaming SEMANTIC-dedup ingest (r16): the embedding-space
+    sibling of :func:`foreach_batch_fuzzy_dedup_writer`, completing
+    the admission-gate triad — each micro-batch is normalized,
+    assigned under the STORED centroids (``centroids_table``, the
+    ``build_ann_index`` (j, pos, x) layout), and verified by exact
+    same-cluster cosine against the persisted index
+    (operators/semdedup.py::incremental_semantic_near_duplicates;
+    ``index_table`` holds ``semantic_index_ddl`` rows — bucket it by
+    ``cluster`` for the exchange-free probe). Corpus embeddings are
+    never re-read: the admitted corpus is represented by its stored
+    normalized vectors.
+
+    Admission, delivery, and maintenance are the module's standard
+    stack, one spelling each: greedy admission
+    (:func:`_greedy_rejected_ids` — batch doc loses to an indexed
+    doc, larger id loses between batch docs), the deterministic
+    per-id pick (:func:`_deterministic_pick`, ordered by the vector
+    then the remaining orderable columns), the ``txn {app_id,
+    batch}`` marker + anti-join idempotence stack, and
+    ``compact_every=N`` advisory maintenance (compacts the index
+    table within its bucket layout; idempotent, conflict-skipped,
+    redelivery-safe — the fuzzy gate's contract verbatim). Corpus
+    row and index row land in ONE commit, so the index always
+    reflects exactly the admitted corpus. Model drift is the
+    caller's retrain cadence (``build_ann_index`` overwrites
+    centroids + assignments atomically)."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(
+            f"compact_every={compact_every!r} must be >= 1"
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from delta_lake_experiment_spark.operators.ann_index import (
+            load_centroids,
+        )
+        from delta_lake_experiment_spark.operators.semdedup import (
+            incremental_semantic_near_duplicates,
+        )
+        from delta_lake_experiment_spark.streaming.engine_sink import (
+            run_marked_batch,
+        )
+
+        cached = []
+
+        def body(client):
+            fresh = _deterministic_pick(batch_df, id_col, vec_col)
+            existing = (
+                client.scan(corpus_table, with_stamps=False)
+                .select(id_col)
+                .distinct()
+            )
+            fresh = fresh.join(existing, id_col, "left_anti").persist()
+            cached.append(fresh)
+            cents = load_centroids(client, centroids_table)
+            if not cents:
+                raise ValueError(
+                    f"centroids table {centroids_table!r} is empty -"
+                    " run build_ann_index (or write the model) before"
+                    " streaming semantic ingest"
+                )
+            if client.tx.snapshot.bucket_specs.get(index_table):
+                idx = client.scan_bucketed(index_table, with_stamps=False)
+            else:
+                idx = client.scan(index_table, with_stamps=False)
+            pairs, new_rows = incremental_semantic_near_duplicates(
+                idx, fresh, cents, id_col, vec_col,
+                threshold=threshold, round_digits=round_digits,
+                sim_digits=sim_digits,
+            )
+            cached.extend(pairs._cached_inputs)
+            rejected = _greedy_rejected_ids(pairs, fresh, id_col)
+            admitted = fresh.join(rejected, id_col, "left_anti").persist()
+            cached.append(admitted)
+            client.write_dataframe(corpus_table, admitted)
+            client.write_dataframe(
+                index_table,
+                new_rows.join(
+                    admitted.select(id_col), id_col, "left_semi"
+                ),
+            )
+
+        try:
+            run_marked_batch(client_factory, app_id, batch_id, body)
+        finally:
+            for df in cached:
+                df.unpersist()
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            from delta_lake_experiment_spark.errors import (
+                ConcurrentCommitError,
+            )
+
+            mc = client_factory()
+            mc.new_tx()
+            try:
+                mc.compact(index_table)
                 mc.commit_tx(retry_independent=3)
             except ConcurrentCommitError:
                 mc.abort_tx()

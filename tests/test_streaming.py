@@ -588,6 +588,160 @@ def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
     side.abort_tx()
 
 
+def test_streaming_semantic_dedup_ingest(spark, tmp_path, store_dir):
+    """r16: the SEMANTIC streaming admission gate — each micro-batch
+    assigned under the stored centroids and cosine-verified against
+    the persisted embedding index. Pins the full gate lifecycle:
+    in-batch near-dup rejected (smaller id wins), cross-batch
+    near-dup rejected VIA THE INDEX without re-reading corpus
+    embeddings, novel docs admitted, redelivery a marker no-op,
+    content re-sent under a NEW id rejected by the gate itself
+    (content-level idempotence), corpus and index in lock-step, and
+    compact_every maintenance collapsing the index's small files
+    within its bucket layout."""
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.semdedup import (
+        deterministic_kmeans,
+        incremental_semantic_near_duplicates,
+        semantic_index_ddl,
+    )
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_semantic_dedup_writer,
+    )
+    from pyspark.sql import functions as F
+
+    def vec(axis, eps):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = eps
+        return v
+
+    def factory():
+        return DeltaLakeClient(spark, store_dir)
+
+    seed = spark.createDataFrame(
+        [(1, vec(0, 0.0)), (2, vec(1, 0.0)), (3, vec(2, 0.0))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = deterministic_kmeans(
+        seed, "vec_id", "embedding", k=2, iters=2, salt="s"
+    )
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("sc", "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    boot.create_table(
+        "si", semantic_index_ddl("vec_id"), bucket_by=(["cluster"], 2)
+    )
+    boot.create_table("scent", "j int, pos int, x double")
+    boot.write_dataframe(
+        "scent",
+        spark.createDataFrame(
+            [
+                (j, p, float(x))
+                for j, cv in enumerate(cents)
+                for p, x in enumerate(cv)
+            ],
+            "j int, pos int, x double",
+        ),
+    )
+    # bootstrap the corpus + index with the seed docs
+    _, seed_rows = incremental_semantic_near_duplicates(
+        spark.createDataFrame([], semantic_index_ddl("vec_id")),
+        seed, cents, "vec_id", "embedding", threshold=0.9,
+    )
+    boot.write_dataframe("sc", seed)
+    boot.write_dataframe("si", seed_rows)
+    boot.commit_tx()
+
+    writer = foreach_batch_semantic_dedup_writer(
+        factory, "sc", "si", "scent", "vec_id", "embedding",
+        "semgate", threshold=0.9, compact_every=2,
+    )
+    # batch 0: near-dup of corpus doc 1 (rejected via index), a novel
+    # doc (admitted), and its in-batch near-dup (rejected, larger id)
+    writer(
+        spark.createDataFrame(
+            [(10, vec(0, 0.05)), (11, vec(3, 0.0)), (12, vec(3, 0.04))],
+            "vec_id long, embedding array<double>",
+        ),
+        0,
+    )
+    # batch 1: near-dup of BATCH-0 admitted doc 11 — rejected via the
+    # appended index rows; triggers maintenance (compact_every=2)
+    writer(
+        spark.createDataFrame(
+            [(20, vec(3, 0.03))], "vec_id long, embedding array<double>"
+        ),
+        1,
+    )
+    check = factory()
+    check.new_tx()
+    ids = sorted(
+        r["vec_id"] for r in check.scan("sc", with_stamps=False).collect()
+    )
+    assert ids == [1, 2, 3, 11], ids
+    # index in lock-step with the corpus, one row per admitted doc
+    assert (
+        sorted(
+            r["vec_id"]
+            for r in check.scan("si", with_stamps=False).collect()
+        )
+        == ids
+    )
+    # the bucket layout survived compact_every's maintenance
+    agg = (
+        check.scan_bucketed("si", with_stamps=False)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert "Exchange" not in agg._jdf.queryExecution().executedPlan().toString()
+    bid = check.tx.snapshot.txns["semgate"]
+    check.abort_tx()
+
+    # redelivery: marker no-op; content re-sent under a NEW id in a
+    # NEW batch: the gate rejects it — content-level idempotence
+    writer(
+        spark.createDataFrame(
+            [(40, vec(1, 0.02))], "vec_id long, embedding array<double>"
+        ),
+        bid,
+    )
+    writer(
+        spark.createDataFrame(
+            [(41, vec(0, 0.05))], "vec_id long, embedding array<double>"
+        ),
+        bid + 1,
+    )
+    final = factory()
+    final.new_tx()
+    assert sorted(
+        r["vec_id"] for r in final.scan("sc", with_stamps=False).collect()
+    ) == [1, 2, 3, 11]
+    final.abort_tx()
+
+    # empty model is a loud error at the first batch, not silence
+    import pytest
+
+    empty_root = str(tmp_path / "noc")
+    b2 = DeltaLakeClient(spark, empty_root)
+    b2.new_tx()
+    b2.create_table("sc", "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    b2.create_table("si", semantic_index_ddl("vec_id"))
+    b2.create_table("scent", "j int, pos int, x double")
+    b2.commit_tx()
+    w2 = foreach_batch_semantic_dedup_writer(
+        lambda: DeltaLakeClient(spark, empty_root),
+        "sc", "si", "scent", "vec_id", "embedding", "semgate2",
+    )
+    with pytest.raises(Exception, match="centroids"):
+        w2(
+            spark.createDataFrame(
+                [(1, vec(0, 0.0))], "vec_id long, embedding array<double>"
+            ),
+            0,
+        )
+
+
 def test_streaming_lsh_gate_cell_sidecar_lane(spark, tmp_path):
     """r16 review close: the LSH gate's flood-guard sidecar
     (cell_df_table + max_cell) must admit EXACTLY what the
