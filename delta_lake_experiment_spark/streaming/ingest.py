@@ -235,6 +235,39 @@ def _greedy_rejected_ids(pairs: DataFrame, fresh: DataFrame, id_col: str):
     )
 
 
+def _advisory_compact(client_factory, tables, sidecars=()):
+    """ONE spelling of the gates' advisory maintenance transaction
+    (r16 review catch — the fuzzy and semantic writers had grown
+    copies; the run_marked_batch single-skeleton rule applies to the
+    maintenance protocol too): its OWN transaction after the batch is
+    durable; ``tables`` are ``compact()``-ed (bucket layouts preserved
+    by contract), ``sidecars`` collapsed via
+    :func:`~delta_lake_experiment_spark.operators.dedup.compact_df_sidecar`;
+    a CONFLICT is swallowed (housekeeping never contends with ingest —
+    the next trigger repeats the idempotent work), any other failure
+    aborts the open tx and propagates into the stream's ordinary
+    retry."""
+    from delta_lake_experiment_spark.errors import ConcurrentCommitError
+    from delta_lake_experiment_spark.operators.dedup import (
+        compact_df_sidecar,
+    )
+
+    mc = client_factory()
+    mc.new_tx()
+    try:
+        for t in tables:
+            mc.compact(t)
+        for s in sidecars:
+            compact_df_sidecar(mc, s)
+        mc.commit_tx(retry_independent=3)
+    except ConcurrentCommitError:
+        mc.abort_tx()
+    except BaseException:
+        if mc.tx is not None:
+            mc.abort_tx()
+        raise
+
+
 def foreach_batch_fuzzy_dedup_writer(
     client_factory,
     corpus_table: str,
@@ -496,37 +529,19 @@ def foreach_batch_fuzzy_dedup_writer(
             for df in cached:
                 df.unpersist()
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
-            # advisory maintenance in its OWN transaction, after the
-            # batch is durable: bound the sidecar's version count and
-            # the index tables' small-file growth at streaming
-            # cadence (the batch lane's documented recipe). Runs on
-            # redeliveries too — idempotent, and that is what lets a
-            # failed maintenance be re-attempted through the stream's
-            # ordinary batch retry (the marker makes the body a
-            # no-op). A conflict means a concurrent writer got there
-            # first — skip; the next trigger repeats.
-            from delta_lake_experiment_spark.errors import (
-                ConcurrentCommitError,
+            # bound the sidecars' version counts and the index tables'
+            # small-file growth at streaming cadence (the batch lane's
+            # documented recipe). Runs on redeliveries too —
+            # idempotent, which is what lets a failed maintenance be
+            # re-attempted through the stream's ordinary batch retry
+            # (the marker makes the body a no-op).
+            _advisory_compact(
+                client_factory,
+                (postings_table, prefixes_table),
+                tuple(
+                    s for s in (df_table, cell_df_table) if s is not None
+                ),
             )
-            from delta_lake_experiment_spark.operators.dedup import (
-                compact_df_sidecar,
-            )
-
-            mc = client_factory()
-            mc.new_tx()
-            try:
-                mc.compact(postings_table)
-                mc.compact(prefixes_table)
-                for sidecar in (df_table, cell_df_table):
-                    if sidecar is not None:
-                        compact_df_sidecar(mc, sidecar)
-                mc.commit_tx(retry_independent=3)
-            except ConcurrentCommitError:
-                mc.abort_tx()
-            except BaseException:
-                if mc.tx is not None:
-                    mc.abort_tx()
-                raise
 
     return process
 
@@ -631,23 +646,41 @@ def foreach_batch_semantic_dedup_writer(
             for df in cached:
                 df.unpersist()
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
-            from delta_lake_experiment_spark.errors import (
-                ConcurrentCommitError,
-            )
-
-            mc = client_factory()
-            mc.new_tx()
-            try:
-                mc.compact(index_table)
-                mc.commit_tx(retry_independent=3)
-            except ConcurrentCommitError:
-                mc.abort_tx()
-            except BaseException:
-                if mc.tx is not None:
-                    mc.abort_tx()
-                raise
+            _advisory_compact(client_factory, (index_table,))
 
     return process
+
+
+def write_semantic_dedup_stream_to_table(
+    stream_df: DataFrame,
+    client_factory,
+    corpus_table: str,
+    index_table: str,
+    centroids_table: str,
+    id_col: str,
+    vec_col: str,
+    app_id: str,
+    checkpoint_dir: str,
+    **dedup_kwargs,
+):
+    """Start an AvailableNow stream draining through the semantic
+    admission gate into engine ``corpus_table`` (+ its index table);
+    returns the StreamingQuery — the triad's third convenience
+    wrapper, symmetric with :func:`write_dedup_stream_to_table` and
+    :func:`write_fuzzy_dedup_stream_to_table`. ``dedup_kwargs``
+    forward to :func:`foreach_batch_semantic_dedup_writer`."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            foreach_batch_semantic_dedup_writer(
+                client_factory, corpus_table, index_table,
+                centroids_table, id_col, vec_col, app_id,
+                **dedup_kwargs,
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def write_fuzzy_dedup_stream_to_table(

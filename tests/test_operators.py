@@ -6318,12 +6318,14 @@ def test_incremental_semantic_engine_lifecycle(spark, tmp_path):
             "j int, pos int, x double",
         ),
     )
-    _, corpus_rows = incremental_semantic_near_duplicates(
+    boot_pairs, corpus_rows = incremental_semantic_near_duplicates(
         spark.createDataFrame([], semantic_index_ddl("vec_id")),
         corpus, cents, "vec_id", "embedding", threshold=0.9,
     )
     c.write_dataframe("semidx", corpus_rows)
     c.commit_tx()
+    for df in boot_pairs._cached_inputs:
+        df.unpersist()
 
     def ingest(batch_rows):
         c.new_tx()

@@ -645,13 +645,17 @@ def test_streaming_semantic_dedup_ingest(spark, tmp_path, store_dir):
         ),
     )
     # bootstrap the corpus + index with the seed docs
-    _, seed_rows = incremental_semantic_near_duplicates(
+    seed_pairs, seed_rows = incremental_semantic_near_duplicates(
         spark.createDataFrame([], semantic_index_ddl("vec_id")),
         seed, cents, "vec_id", "embedding", threshold=0.9,
     )
     boot.write_dataframe("sc", seed)
     boot.write_dataframe("si", seed_rows)
     boot.commit_tx()
+    # honor the operator's cleanup contract (release the bootstrap's
+    # batch-sized persist once the writes are committed)
+    for df in seed_pairs._cached_inputs:
+        df.unpersist()
 
     writer = foreach_batch_semantic_dedup_writer(
         factory, "sc", "si", "scent", "vec_id", "embedding",
