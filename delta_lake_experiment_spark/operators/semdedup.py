@@ -795,6 +795,7 @@ def incremental_semantic_near_duplicates(
     round_digits: int = 9,
     sim_digits: int = 6,
     assign_strategy: str = "arrow",
+    validate_new_ids: bool = False,
 ) -> "tuple[DataFrame, DataFrame]":
     """Ingest-time SEMANTIC dedup against a persisted embedding index
     — the embedding-space sibling of the lexical
@@ -818,7 +819,15 @@ def incremental_semantic_near_duplicates(
     discipline). A doc has ONE cluster, so each candidate pair arises
     exactly once — no dedup pass. Batch ids must be NEW (the family's
     ingest-not-update contract; the caller's admission anti-join
-    guarantees it, as in streaming/ingest.py).
+    guarantees it, as in streaming/ingest.py) — self-pairs are
+    structurally excluded either way, and ``validate_new_ids=True``
+    anti-join-asserts the disjointness up front exactly as the
+    lexical lanes do (one O(index id column) job; one-off batch
+    callers should run it). Stale entries of corpus-purged docs are
+    removed with the family's shared
+    :func:`~delta_lake_experiment_spark.operators.dedup.prune_table_by_live_ids`
+    (one index table here, so call it directly inside a
+    transaction).
 
     Returns ``(pairs, new_index_rows)``: ``pairs`` is (id_a, id_b,
     cosine); ``new_index_rows`` is the batch's (id, cluster, v) to
@@ -841,6 +850,26 @@ def incremental_semantic_near_duplicates(
         )
     if assign_strategy not in ("arrow", "hof"):
         raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
+    if validate_new_ids:
+        dup_ids = (
+            new_vecs.select(F.col(id_col))
+            .distinct()
+            .join(
+                index_vectors.select(F.col(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+            .limit(5)
+            .collect()
+        )
+        if dup_ids:
+            raise ValueError(
+                "batch ids must be disjoint from indexed ids (this is"
+                " an ingest, not an update) — already-indexed id(s)"
+                f" {sorted(r[0] for r in dup_ids)} found in the batch;"
+                " anti-join the batch against the index first (the"
+                " streaming sink's admission gate does)"
+            )
     base = new_vecs.select(
         F.col(id_col), _norm_checked(vec_col).alias("__v")
     )

