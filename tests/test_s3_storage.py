@@ -699,3 +699,105 @@ def test_streaming_fuzzy_gate_store_op_profile(spark, tmp_path):
     )
     assert 100 in ids and 101 not in ids, ids
     check.abort_tx()
+
+
+def test_streaming_semantic_gate_store_op_profile(spark, tmp_path):
+    """The fleet-shape gate extended to the SEMANTIC admission gate
+    (r16): one micro-batch against a grown embedding index costs zero
+    per-object HEADs and a bounded handful of logical LISTs — the
+    same bill as the fuzzy gate, plus nothing for the centroid load
+    (an O(model) GET of data objects, not a listing walk)."""
+    from delta_lake_experiment_spark.operators.semdedup import (
+        deterministic_kmeans,
+        incremental_semantic_near_duplicates,
+        semantic_index_ddl,
+    )
+    from delta_lake_experiment_spark.streaming.ingest import (
+        foreach_batch_semantic_dedup_writer,
+    )
+
+    api = _OpCountingS3Client(str(tmp_path / "mirror"), page_size=3)
+    store = _SparkReadableS3Storage("lake", prefix="semgate", client=api)
+
+    def factory():
+        return DeltaLakeClient(spark, store)
+
+    def vec(seed):
+        base = [0.0] * 8
+        base[seed % 8] = 1.0
+        base[(seed + 3) % 8] = 0.1 + (seed % 5) * 0.05
+        return base
+
+    seed_docs = spark.createDataFrame(
+        [(i, vec(i)) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = deterministic_kmeans(
+        seed_docs, "vec_id", "embedding", k=2, iters=1, salt="s"
+    )
+    boot = factory()
+    boot.new_tx()
+    boot.create_table("sc", "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    boot.create_table("si", semantic_index_ddl("vec_id"))
+    boot.create_table("scent", "j int, pos int, x double")
+    boot.write_dataframe(
+        "scent",
+        spark.createDataFrame(
+            [
+                (j, p, float(x))
+                for j, cv in enumerate(cents)
+                for p, x in enumerate(cv)
+            ],
+            "j int, pos int, x double",
+        ),
+    )
+    seed_pairs, rows = incremental_semantic_near_duplicates(
+        spark.createDataFrame([], semantic_index_ddl("vec_id")),
+        seed_docs, cents, "vec_id", "embedding", threshold=0.95,
+    )
+    boot.write_dataframe("sc", seed_docs)
+    boot.write_dataframe("si", rows)
+    boot.commit_tx()
+    for df in seed_pairs._cached_inputs:
+        df.unpersist()
+
+    writer = foreach_batch_semantic_dedup_writer(
+        factory, "sc", "si", "scent", "vec_id", "embedding", "s3sem",
+        threshold=0.95,
+    )
+    # grow the index across several committed batches
+    for b in range(5):
+        writer(
+            spark.createDataFrame(
+                [(100 + b * 10 + j, vec(41 + b * 10 + j)) for j in range(2)],
+                "vec_id long, embedding array<double>",
+            ),
+            b,
+        )
+    n_objects = sum(
+        1 for k in api.objects if "table_si_" in k or "table_sc_" in k
+    )
+    assert n_objects >= 12, n_objects
+
+    api.reset()
+    writer(
+        spark.createDataFrame(
+            # a uniform vector is far from every one-hot-ish doc
+            # (cosine ~0.38) — genuinely novel, must be admitted
+            [(990, [1.0] * 8)], "vec_id long, embedding array<double>"
+        ),
+        5,
+    )
+    assert api.head_calls <= 3, (
+        f"{api.head_calls} HEADs in one semantic micro-batch"
+    )
+    assert api.list_calls <= 16, (
+        f"{api.list_calls} LISTs in one semantic micro-batch over"
+        f" {n_objects} objects"
+    )
+    check = factory()
+    check.new_tx()
+    assert 990 in {
+        r["vec_id"] for r in check.scan("sc", with_stamps=False).collect()
+    }
+    check.abort_tx()
