@@ -3017,6 +3017,28 @@ actions.DropTable` for why clearing the live set on fold is
         )
         return self.spark.createDataFrame(rows, schema)
 
+    def table_row_count(self, table: str) -> int:
+        """Exact live row count from LOG METADATA alone (Delta's
+        metadata-only ``COUNT(*)``): the per-object ``num_rows`` every
+        add action carries, summed over the live object set — ZERO
+        data reads, no Spark job. Valid whenever nothing masks rows
+        below the object granularity: deletion vectors hide rows the
+        object metadata still counts, and this transaction's unflushed
+        buffered rows live outside the log — both cases fall back to
+        ``scan(...).count()`` so the answer is always exact (r16
+        optimization round: the ingest lifecycle queries verify index
+        invariants by row count; on append-only index tables this
+        replaces a full scan job per check with a metadata sum)."""
+        tx = self._require_tx()
+        snap = self._effective_snapshot(tx)
+        if table not in snap.tables:
+            raise TableNotFoundError(table)
+        if snap.table_dvs(table) or any(
+            row is not None for _, row in tx.buffers.get(table, [])
+        ):
+            return self.scan(table, with_stamps=False).count()
+        return int(sum(o.num_rows for o in snap.live_objects(table)))
+
     def describe_detail(self, table: str) -> DataFrame:
         """One-row table metadata report (Delta's DESCRIBE DETAIL):
         live file/row/byte totals from the log's per-object metadata

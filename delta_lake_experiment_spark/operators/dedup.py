@@ -37,6 +37,41 @@ def exact_dedup(df: DataFrame, key_cols: Sequence[str], order_col: str) -> DataF
     )
 
 
+# Minimum estimated input bytes a task must receive before the
+# pre-explode repartition pays for itself (r16 optimization round,
+# guide §2.4/§6): the spread exists to parallelize CPU-heavy gram
+# generation over few-partition inputs, but for small inputs the extra
+# Exchange (full round-trip + stage barrier) costs more than the
+# parallelism buys — measured at sf0.1: the forced repartition(32) of a
+# ~1 MB corpus made the shingle pass ~2x slower than running it in its
+# natural partitioning. 4 MB/task keeps the spread for genuinely large
+# single-file inputs (a 512 MB file still fans out to full parallelism)
+# while tiny inputs keep their scan layout and skip the shuffle.
+_SPREAD_BYTES_PER_TASK = 4 << 20
+
+
+def _spread_small_input(src: DataFrame, origin: DataFrame) -> DataFrame:
+    """Scale-adaptive replacement for the unconditional
+    ``repartition(defaultParallelism)`` on few-partition inputs:
+    repartitions ``src`` only when Catalyst's size estimate of
+    ``origin`` (the pre-projection input — projection estimates for
+    array-building expressions are unreliable) grants each added task
+    at least ``_SPREAD_BYTES_PER_TASK``. Inputs that already carry
+    >= defaultParallelism partitions are returned untouched, exactly
+    as before."""
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    nparts = src.rdd.getNumPartitions()
+    if nparts >= parallelism:
+        return src
+    est = int(
+        str(origin._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    target = min(parallelism, max(1, est // _SPREAD_BYTES_PER_TASK))
+    if target > nparts:
+        return src.repartition(int(target))
+    return src
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
@@ -53,13 +88,10 @@ def shingles(
     # partial grams match the slice semantics; the helper cuts them off.
     grams = sliding_ngrams(toks, n, lambda a, b: F.concat_ws(" ", a, b))
     src = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
-    # Small single-file inputs arrive as one partition; spread the
-    # CPU-heavy shingle generation across the cluster. (Big inputs
-    # already have many partitions — repartition to parallelism is a
-    # cheap no-op-ish rebalance relative to the explode that follows.)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    # Spread the CPU-heavy shingle generation across the cluster when
+    # the input is large but under-partitioned; tiny inputs skip the
+    # exchange (see _SPREAD_BYTES_PER_TASK).
+    src = _spread_small_input(src, df)
     out = src.select("__id", F.explode("__grams").alias("shingle"))
     return out.distinct() if distinct else out
 
@@ -82,12 +114,10 @@ def _hashed_gram_source(
         F.size(toks).alias("__ntoks"),
         grams.alias("g"),
     )
-    # Small single-file inputs arrive as one partition; spread the
-    # CPU-heavy gram generation across the cluster.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
-    return src
+    # Spread the CPU-heavy gram generation across the cluster when the
+    # input is large but under-partitioned; tiny inputs skip the
+    # exchange (see _SPREAD_BYTES_PER_TASK).
+    return _spread_small_input(src, df)
 
 
 def shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -1267,10 +1297,20 @@ def incremental_verified_near_duplicates(
             F.col("__lid").alias("id_a"), F.col("__rid").alias("id_b")
         )
     )
+    # MATERIALIZED (r16 optimization round): ``inter`` feeds the final
+    # pair join AND (via part_ids) BOTH size-lookup sides — as a lazy
+    # frame its whole upstream (the index-probing candidate join,
+    # including the df fold) is duplicated 3× in the physical plan
+    # (Spark does not deduplicate common DataFrame subtrees; measured
+    # 3× candidate-join evaluation per action at sf0.1). It is
+    # candidate-pair-sized — bounded by the batch, like every other
+    # persist here — so pin it once and let all three consumers read
+    # the cache.
     inter = (
         i_old_new.unionByName(i_new_new)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
+        .persist()
     )
     # set sizes ONLY for docs that appear in a candidate pair — the
     # aggregation touches O(candidate docs' postings), not the corpus
@@ -1279,11 +1319,15 @@ def incremental_verified_near_duplicates(
         .unionByName(inter.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # same duplication fix: ``sizes`` is joined on both pair sides, so
+    # lazily it would scan the index (and re-run the rare fold) twice.
+    # Participant-bounded (candidate docs only) — one pinned pass.
     sizes = (
         idx_sh.unionByName(new_sh)
         .join(part_ids, id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_sh"))
+        .persist()
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -1304,7 +1348,7 @@ def incremental_verified_near_duplicates(
     # otherwise unreachable, so a long-running ingest driver could
     # never release it — callers unpersist these after the batch's
     # writes are committed (streaming/ingest.py does, in a finally)
-    cached = [new_postings]
+    cached = [new_postings, inter, sizes]
     if new_sh is not new_postings:
         cached.append(new_sh)
     verified._cached_inputs = tuple(cached)

@@ -453,8 +453,10 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.new_tx()
     # count the COMMITTED table, not corpus_postings — re-counting the
     # unpersisted source would re-run the whole corpus shingle pass
-    # the lane exists to avoid (r15 review catch)
-    n_corpus = c.scan("dedup_postings", with_stamps=False).count()
+    # the lane exists to avoid (r15 review catch). Metadata-only count
+    # (r16 optimization round): the log's per-object num_rows answers
+    # without a scan job.
+    n_corpus = c.table_row_count("dedup_postings")
     idx = c.scan_bucketed("dedup_postings", with_stamps=False)
     pfx = c.scan("dedup_prefixes", with_stamps=False)
     pairs, new_postings, new_prefixes = incremental_verified_near_duplicates(
@@ -470,22 +472,26 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batch = new_postings.count()
     c.commit_tx()
     c.new_tx()
-    n_index = c.scan("dedup_postings", with_stamps=False).count()
+    n_index = c.table_row_count("dedup_postings")
     c.abort_tx()
     if n_index != n_corpus + n_batch:
         raise AssertionError(
             f"index update lost rows: {n_index} != {n_corpus} +"
             f" {n_batch}"
         )
+    # ONE execution of the pipeline (r16 optimization round, the
+    # sibling lanes' pattern): materialize the tiny pair set BEFORE
+    # releasing the operator's batch-sized persists — returning the
+    # lazy frame made the consumer's action re-run the whole
+    # candidate+verify pipeline (including re-shingling the batch)
+    # against cold caches, doubling the query.
+    pair_rows = pairs.orderBy("id_a", "id_b").collect()
     # honor the operator's cleanup contract (r15 advisor note): the
     # batch-sized internal persists must not outlive the batch —
-    # release them now that the writes are committed (the returned
-    # frame recomputes the batch-sized inputs on collect, which is
-    # the documented trade; leaking executor storage for the rest of
-    # the session is not)
+    # release them now that the writes are committed
     for cached in pairs._cached_inputs:
         cached.unpersist()
-    return pairs.orderBy("id_a", "id_b")
+    return spark.createDataFrame(pair_rows, pairs.schema)
 
 
 INCREMENTAL_NEAR_DUP_SQL = f"""
@@ -580,7 +586,8 @@ def incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c.commit_tx()
     c.new_tx()
-    n_corpus_bands = c.scan("lsh_bands", with_stamps=False).count()
+    # metadata-only count (r16 optimization round; table_row_count)
+    n_corpus_bands = c.table_row_count("lsh_bands")
     n_corpus = corpus.count()
     # size claim: O(num_bands)/doc, strictly under the posting index
     if n_corpus_bands != n_corpus * NB:
@@ -624,7 +631,7 @@ def incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.write_dataframe("lsh_prefixes", new_pfx)
     c.commit_tx()
     c.new_tx()
-    n_index = c.scan("lsh_bands", with_stamps=False).count()
+    n_index = c.table_row_count("lsh_bands")
     c.abort_tx()
     n_batch = batch.count()
     if n_index != (n_corpus + n_batch) * NB:
@@ -707,7 +714,8 @@ def incremental_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cached in (corpus_rows,):
         cached.unpersist()
     c.new_tx()
-    n_corpus = c.scan("sem_index", with_stamps=False).count()
+    # metadata-only count (r16 optimization round; table_row_count)
+    n_corpus = c.table_row_count("sem_index")
     stored = load_centroids(c, "sem_centroids")
     idx = c.scan_bucketed("sem_index", with_stamps=False)
     pairs, new_rows = incremental_semantic_near_duplicates(
@@ -718,7 +726,7 @@ def incremental_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.write_dataframe("sem_index", new_rows)
     c.commit_tx()
     c.new_tx()
-    n_index = c.scan("sem_index", with_stamps=False).count()
+    n_index = c.table_row_count("sem_index")
     c.abort_tx()
     n_batch = batch.count()
     if n_index != n_corpus + n_batch:
