@@ -79,14 +79,22 @@ def _margin(weights: Sequence[float], bias: float) -> Column:
     — whole-stage-codegen'd (array_contains + Add), where the
     equivalent fold over the feats array is an interpreted
     CodegenFallback lambda per element (measured: the fold dominated
-    each GD job at sf0.1). Zero-weight terms are skipped — exact, not
-    an approximation: adding 0.0 to a finite double is the identity,
-    and buckets keep w=0 only while untouched by every update.
-    Summation runs in bucket order instead of the feats array's order;
-    the difference is ~1e-16 reassociation noise per doc, immaterial
-    against the 1e-9 training grid and the 1e-6 scoring grid (the
-    module's engine-reproducibility argument — the DuckDB twin
-    already sums in its own order)."""
+    each GD job at sf0.1). Summation runs in bucket order instead of
+    the feats array's order; the difference is ~1e-16 reassociation
+    noise per doc, immaterial against the 1e-9 training grid and the
+    1e-6 scoring grid (the module's engine-reproducibility argument —
+    the DuckDB twin already sums in its own order).
+
+    Zero-weight terms are skipped — exact, not an approximation:
+    adding 0.0 to a finite double is the identity, and buckets keep
+    w=0 only while untouched by every update. (An array-literal
+    spelling — one codegen reference object instead of ``dim`` inlined
+    scalars — was tried in the r16 optimization round to stabilize the
+    generated source across GD iterations; ConstantFolding folds
+    ``literal_array[literal_idx]`` straight back to inlined scalars,
+    so training avoids per-iteration recompiles via the Arrow gradient
+    strategy instead, and this scoring-side expression compiles
+    once per model either way.)"""
     expr: Column = F.lit(float(bias))
     for f, w in enumerate(weights):
         if float(w) != 0.0:
@@ -107,10 +115,24 @@ def train_hashed_logreg(
     lr: float = 0.5,
     round_digits: int = 9,
     feature_sets: "DataFrame | None" = None,
+    grad_strategy: str = "arrow",
 ) -> "tuple[list[float], float]":
     """Full-batch gradient-descent logistic regression on hashed binary
     features; returns ``(weights, bias)`` — ``weights[f]`` for buckets
     ``0..dim-1``, plus the intercept.
+
+    ``grad_strategy`` picks the per-iteration job's form, exactly as
+    in :func:`train_hashed_softmax`: ``"arrow"`` (default since the
+    r16 optimization round) computes per-batch numpy partial gradients
+    in one mapInPandas scan, fsum-combined on the driver — the plan is
+    identical across iterations, so Catalyst analysis + codegen run
+    once instead of once PER ITERATION (the flat conditional
+    aggregation re-inlines each iteration's weights as literals;
+    measured ~1–2 s of planning/compile per step at sf0.1,
+    data-size-independent); ``"agg"`` keeps the flat (dim+1)-column
+    conditional aggregation (fully JVM). Both are full-batch and land
+    on the same rounded trajectory (pytest-pinned on the fixture; the
+    module's 1e-9-grid reassociation argument).
 
     ``label_col`` must be 0/1 (weak labels — e.g. a heuristic quality
     gate); NULL labels raise (a silently-dropped row would make the
@@ -129,6 +151,8 @@ def train_hashed_logreg(
     """
     if iters < 1:
         raise ValueError(f"iters={iters!r} must be >= 1")
+    if grad_strategy not in ("arrow", "agg"):
+        raise ValueError(f"unknown grad_strategy {grad_strategy!r}")
     fsets = (
         feature_sets
         if feature_sets is not None
@@ -158,6 +182,14 @@ def train_hashed_logreg(
     bias = 0.0
     try:
         for _ in range(iters):
+            if grad_strategy == "arrow":
+                gb, g = _logreg_grad_arrow(feats, w, bias, n, dim)
+                bias = round(bias - lr * gb, round_digits)
+                for f in range(dim):
+                    # an untouched bucket has an exact-zero gradient:
+                    # w - lr*0 == w, already on the grid
+                    w[f] = round(w[f] - lr * g[f], round_digits)
+                continue
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(w, bias)))
             # one flat 65-column conditional aggregation instead of an
             # explode + groupBy: g_f = SUM(residual where doc contains
@@ -251,6 +283,65 @@ def _class_checked(label: Column, classes: Sequence[str]) -> Column:
     )
 
 
+def _logreg_grad_arrow(
+    feats: DataFrame,
+    w: "list[float]",
+    bias: float,
+    n: int,
+    dim: int,
+) -> "tuple[float, list[float]]":
+    """One full-batch LOGISTIC gradient via a single Arrow pass — the
+    binary sibling of :func:`_softmax_grad_arrow`, added in the r16
+    optimization round for the same reason the softmax lane grew one:
+    the flat (dim+1)-column conditional aggregation re-inlines the
+    iteration's weights as scalar literals, so EVERY GD step paid a
+    fresh Catalyst-plan + janino compile (~1–2 s/iteration at sf0.1,
+    data-size-independent — the cost was planning, not data). Here the
+    weights live in the closure, the plan is identical across
+    iterations, and the per-batch math is one numpy indicator gemm.
+    Partials are combined on the driver with ``math.fsum`` (exact,
+    hence batch-order-independent); the result differs from the JVM
+    aggregation only in summation order — ~1e-15 noise against the
+    1e-9 update grid, the module's standing partitioning-independence
+    argument (trajectory equality vs the ``"agg"`` twin is
+    pytest-pinned, and the DuckDB oracle re-derives the full
+    trajectory per run)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    W = np.asarray(w, dtype=np.float64)
+    b = float(bias)
+
+    def run(batches):
+        for pdf in batches:
+            nb = len(pdf)
+            if not nb:
+                continue
+            ind = np.zeros((nb, dim), dtype=np.float64)
+            for r, fl in enumerate(pdf["feats"]):
+                ind[r, np.asarray(fl, dtype=np.int64)] = 1.0
+            z = ind @ W + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            resid = (p - pdf["__y"].to_numpy(dtype=np.float64)) / float(n)
+            yield pd.DataFrame(
+                {"gb": [float(resid.sum())], "g": [(resid @ ind).tolist()]}
+            )
+
+    # project to exactly the two columns the kernel reads — an opaque
+    # function over extra columns would ship (and cache-scan) them all
+    # (guide §4: pass only what the function needs)
+    rows = (
+        feats.select("feats", "__y")
+        .mapInPandas(run, "gb double, g array<double>")
+        .collect()
+    )
+    gb = math.fsum(float(r["gb"]) for r in rows)
+    g = [math.fsum(float(r["g"][f]) for r in rows) for f in range(dim)]
+    return gb, g
+
+
 def _softmax_grad_arrow(
     feats: DataFrame,
     w: "list[list[float]]",
@@ -296,7 +387,12 @@ def _softmax_grad_arrow(
                 {"gb": [R.sum(axis=0).tolist()], "g": [G.ravel().tolist()]}
             )
 
-    rows = feats.mapInPandas(run, "gb array<double>, g array<double>").collect()
+    # project to exactly the columns the kernel reads (guide §4)
+    rows = (
+        feats.select("feats", *ycols)
+        .mapInPandas(run, "gb array<double>, g array<double>")
+        .collect()
+    )
     gb = [math.fsum(float(r["gb"][c]) for r in rows) for c in range(K)]
     g = [
         [

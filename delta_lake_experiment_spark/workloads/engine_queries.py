@@ -1332,7 +1332,12 @@ def engine_stream_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         delivered = {"n": 0}
 
         def writer(batch_df, batch_id):
-            delivered["n"] += batch_df.count()
+            # existence probe, not a count: the drain gate only needs
+            # "any rows this run", and a count() re-reads the whole
+            # micro-batch through the Python source before the sink
+            # reads it again (r16 optimization round)
+            if not batch_df.isEmpty():
+                delivered["n"] += 1
             foreach_batch_writer(dst_factory, "ev_dst", "esb_app")(
                 batch_df, batch_id
             )

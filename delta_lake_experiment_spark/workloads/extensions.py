@@ -614,14 +614,27 @@ def incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_rows = pairs.orderBy("id_a", "id_b").collect()
     got = {(r.id_a, r.id_b) for r in pair_rows}
     # overlap floor vs the EXACT incremental lane (test-scale guard,
-    # the _check_recall discipline; a production ingest skips it)
+    # the _check_recall discipline; a production ingest skips it).
+    # The per-shingle document frequencies are precomputed ONCE from
+    # the cached shingle frame and handed in as the df_counts sidecar
+    # (r16 optimization round): the floor lane's index side is a cache,
+    # not a bucketed table, so the operator's in-plan df fold would
+    # re-aggregate it on every evaluation of the capped-index subtree
+    # (candidates AND sizes) — the sidecar form pins that aggregate to
+    # one pass, exactly the maintained-sidecar shape the operator
+    # documents for production.
+    corpus_df = (
+        corpus_sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).persist()
+    )
     exact_pairs, _, _ = incremental_verified_near_duplicates(
         corpus_sh.select(F.col("__id").alias("doc_id"), "sh"),
         pfx, batch, "doc_id", "text",
         shingle_n=3, candidate_threshold=0.3,
         max_postings=_NEAR_DUP_CAP, prefix_chars=400, max_edit_ratio=0.2,
+        df_counts=corpus_df,
     )
     exact = {(r.id_a, r.id_b) for r in exact_pairs.collect()}
+    corpus_df.unpersist()
     if len(got & exact) < 0.9 * len(exact):
         raise AssertionError(
             f"LSH lane recovered {len(got & exact)}/{len(exact)} of"

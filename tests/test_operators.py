@@ -4023,6 +4023,14 @@ def test_hashed_logreg_training_parity_and_separation(spark):
     w, b = train_hashed_logreg(
         df, "doc_id", "text", "y", dim=dim, iters=iters, lr=lr, round_digits=rd
     )
+    # the constant-plan Arrow gradient (default) and the flat JVM
+    # aggregation land on the SAME rounded trajectory (the softmax
+    # lane's parity pin, binary form — r16 optimization round)
+    w_agg, b_agg = train_hashed_logreg(
+        df, "doc_id", "text", "y", dim=dim, iters=iters, lr=lr,
+        round_digits=rd, grad_strategy="agg",
+    )
+    assert w == w_agg and b == b_agg
 
     # pure-Python reference model
     def bucket(tok):
