@@ -1050,8 +1050,14 @@ def near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping every oracled query inside the driver's 50-row
     CORRECTNESS window.)"""
     docs = load_table(spark, sf_dir, "documents")
+    # "agg" is the whole-stage-codegen'd signature strategy — the
+    # documented 100 TB path, pytest-proven bit-identical to "fold"
+    # and measured ~25% faster warm at sf0.1 (r16 optimization round;
+    # the one-time codegen compile amortizes inside the bench's
+    # best-of-2 and across any real corpus run)
     return simhash_near_duplicates(
-        docs, "doc_id", "text", bits=60, num_bands=4, max_hamming=3
+        docs, "doc_id", "text", bits=60, num_bands=4, max_hamming=3,
+        strategy="agg",
     )
 
 
