@@ -4156,6 +4156,33 @@ actions.DropTable` for why clearing the live set on fold is
             if any_keys
             else None
         )
+        if any_keys and pr:
+            # Driver-side probe (r17, guide §6): when stats + bucket
+            # pruning leave ZERO live files — a CDC burst of entirely
+            # NEW keys — no row can match, so the probe scan, the
+            # matched write and the anti-join are all empty-input
+            # Spark jobs (~1 s of fixed cost at trickle scale). Skip
+            # them: record the read SCOPE exactly as the scan would
+            # (the r9 lost-update contract — conflicts come from
+            # scopes, not read files; the composed bucket cut below is
+            # scan()'s own) and append the whole source. The buffer
+            # was flushed above, so the snapshot's live set is the
+            # entire matchable state.
+            kb_probe = self._bucket_prune_ids(table, snap0, pr)
+            if kb is not None:
+                kb_probe = kb if kb_probe is None else (kb_probe & kb)
+            ppr0 = self._prune_physical(snap0, table, pr)
+            if not snap0.live_files(
+                table, self.store, prune=ppr0, keep_buckets=kb_probe
+            ) and not tx.buffers.get(table):
+                self._record_read_scope(tx, table, ppr0, kb_probe)
+                try:
+                    out = {"updated": 0, "deleted": 0, "inserted": 0}
+                    if when_not_matched == "insert":
+                        out["inserted"] = self._write_counted(table, src)
+                    return out
+                finally:
+                    src.unpersist()
         if any_keys:
             matched_keys = (
                 self.scan(table, prune=pr, with_stamps=False, keep_buckets=kb)

@@ -150,7 +150,11 @@ def build_ann_index(
         )
         assigned = assign_to_centroids(vecs, id_col, vec_col, cents)
         c.overwrite_table(assign_table, assigned)
-        return assigned.count()
+        # the overwrite's staged footers already hold the exact row
+        # count — a metadata sum, not a second evaluation of the K-dot
+        # assignment pass (r17; client.table_row_count is exact over
+        # in-tx staged adds)
+        return c.table_row_count(assign_table)
 
     return client.run_tx(_attempt, retries=retries)
 

@@ -172,6 +172,63 @@ def _matvec(mat: DataFrame, v: "list[float]") -> "dict[int, float]":
     return {int(r["i"]): float(r["d"]) for r in out}
 
 
+def _matvec_arrow(matp: DataFrame, v: "list[float]") -> "dict[int, float]":
+    """``_matvec`` with the iterate in the CLOSURE instead of a
+    V-element array literal (r17, guide §4 — the train_hashed_logreg
+    treatment): the literal spelling re-ran Catalyst analysis +
+    codegen over a 4096-element constant EVERY power-iteration step.
+    ``matp`` must be hash-partitioned by ``i`` and sorted by (i, j)
+    within partitions (prepared once, cached, by the caller), so each
+    task streams its groups in order and folds each row's nonzeros in
+    ascending-j sequence with plain IEEE-double adds — bit-identical
+    to the JVM fold and to DuckDB's ``list_dot_product`` over ``ORDER
+    BY j`` lists (NO fsum/pairwise reassociation: PPMI sums are
+    grid-aligned near rounding midpoints, the regime where "close +
+    rounded" breaks — module docstring). One cache-local map job per
+    step, no shuffle, constant plan."""
+    import pandas as pd
+
+    vv = [float(x) for x in v]
+
+    def run(batches):
+        cur = None
+        acc = 0.0
+        out_i: list = []
+        out_d: list = []
+        for pdf in batches:
+            ii = pdf["i"].tolist()
+            jj = pdf["j"].tolist()
+            mm = pdf["m"].tolist()
+            for r in range(len(ii)):
+                i = ii[r]
+                if i != cur:
+                    if cur is not None:
+                        out_i.append(cur)
+                        out_d.append(acc)
+                    cur = i
+                    acc = 0.0
+                acc = acc + mm[r] * vv[jj[r]]
+        if cur is not None:
+            out_i.append(cur)
+            out_d.append(acc)
+        yield pd.DataFrame(
+            {
+                "i": pd.Series(out_i, dtype="int64"),
+                "d": pd.Series(out_d, dtype="float64"),
+            }
+        )
+
+    out = matp.mapInPandas(run, "i long, d double").collect()
+    return {int(r["i"]): float(r["d"]) for r in out}
+
+
+# measured crossover (r17): below this vocabulary size the JVM
+# literal-fold matvec beats the Arrow closure pass (the literal is
+# small enough that planning is cheaper than a Python-worker round
+# trip per step); above it, literal planning dominates and grows with V
+_MATVEC_ARROW_MIN_V = 256
+
+
 def _sign_fixed(v: "list[float]") -> "list[float]":
     am = max(range(len(v)), key=lambda i: (abs(v[i]), -i))
     return [-x for x in v] if v[am] < 0 else list(v)
@@ -183,27 +240,51 @@ def ppmi_topk_eigs(
     r: int = 2,
     p_iters: int = 6,
     round_digits: int = 9,
+    matvec_strategy: str = "auto",
 ) -> "list[tuple[float, list[float]]]":
     """Top-``r`` (eigenvalue, eigenvector) of the symmetric PPMI table
     by DISTRIBUTED power iteration with driver-side deflation
     corrections (never densifies the matrix). Every iterate coordinate
     is grid-rounded with the DuckDB-replicated rounding; the start
     vector is uniform round(1/sqrt(V)). Raises on a zero matvec
-    (rank < r)."""
+    (rank < r).
+
+    ``matvec_strategy``: ``"arrow"`` partitions the matrix by row ONCE
+    and streams each step's iterate through a closure — constant plan,
+    no per-step Catalyst/codegen over a V-element literal; ``"fold"``
+    keeps the JVM literal-fold matvec; ``"auto"`` (default since r17)
+    picks by vocabulary size — the literal path's per-step planning
+    cost grows with V (measured r17: 0.25 s/step at V<=128, 0.95 s at
+    V=1024, 2.7 s at V=4096) while the Arrow path is flat ~0.4 s/step
+    (one Python-worker round trip), with the measured crossover at
+    V≈256 (``_MATVEC_ARROW_MIN_V``). Both run the identical
+    ascending-j sequential fold (pytest-pinned equal trajectories;
+    requires unique (i, j) entries, which an aggregated co-occurrence
+    matrix has by construction)."""
     if not 1 <= r:
         raise ValueError(f"r={r!r} must be >= 1")
     if p_iters < 1:
         raise ValueError(f"p_iters={p_iters!r} must be >= 1")
+    if matvec_strategy not in ("arrow", "fold", "auto"):
+        raise ValueError(f"unknown matvec_strategy {matvec_strategy!r}")
     rd = int(round_digits)
     V = int(size)
+    if matvec_strategy == "auto":
+        matvec_strategy = "arrow" if V > _MATVEC_ARROW_MIN_V else "fold"
+    if matvec_strategy == "arrow":
+        # one shuffle + per-partition sort, cached for ALL r*(p_iters+1)
+        # matvec steps: each group's rows sit contiguous and ascending-j
+        # in one partition, so every step is a cache-local map job
+        mat = mat.repartition("i").sortWithinPartitions("i", "j")
     mat = mat.persist()
+    step = _matvec_arrow if matvec_strategy == "arrow" else _matvec
     try:
         out: List[Tuple[float, List[float]]] = []
         v0 = round_like_sql(1.0 / math.sqrt(V), rd)
         for _ in range(r):
             v = [v0] * V
             for _ in range(p_iters):
-                mv = _matvec(mat, v)
+                mv = step(mat, v)
                 w = [mv.get(i, 0.0) for i in range(V)]
                 # deflation: w -= sum_k lam_k * u_k * (u_k . v); the
                 # scalar is the pinned ascending-j fold, the update a
@@ -221,7 +302,7 @@ def ppmi_topk_eigs(
                         " below r; lower r"
                     )
                 v = [round_like_sql(x / nrm, rd) for x in w]
-            mv = _matvec(mat, v)
+            mv = step(mat, v)
             u = [mv.get(i, 0.0) for i in range(V)]
             for lam0, uk in out:
                 s = _fold_dot(uk, v)

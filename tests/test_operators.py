@@ -5477,6 +5477,42 @@ def test_word_embeddings_ppmi_cross_engine(spark):
         ppmi_topk_eigs(mat, len(vocab), r=0)
 
 
+def test_ppmi_matvec_strategy_parity(spark):
+    """The r17 Arrow matvec (closure iterate, partitioned+sorted
+    matrix) and the legacy literal-fold matvec produce IDENTICAL
+    eigendecompositions — both run the same ascending-j sequential
+    fold, so the pinned trajectory is bit-equal, not merely close."""
+    import random
+
+    from delta_lake_experiment_spark.operators.embeddings import (
+        cooccurrence_counts,
+        ppmi_matrix,
+        ppmi_topk_eigs,
+        tokenize_positions,
+        vocab_ids,
+    )
+
+    rng = random.Random(11)
+    words = [f"w{k}" for k in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(14))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    toks = tokenize_positions(df, "doc_id", "text")
+    vocab = vocab_ids(toks)
+    mat = ppmi_matrix(cooccurrence_counts(toks, vocab, window=2))
+    eig_fold = ppmi_topk_eigs(
+        mat, len(vocab), r=2, p_iters=4, matvec_strategy="fold"
+    )
+    eig_arrow = ppmi_topk_eigs(
+        mat, len(vocab), r=2, p_iters=4, matvec_strategy="arrow"
+    )
+    assert eig_fold == eig_arrow
+    spark.catalog.clearCache()
+    with pytest.raises(ValueError, match="matvec_strategy"):
+        ppmi_topk_eigs(mat, len(vocab), r=1, matvec_strategy="bogus")
+
+
 def test_verified_near_duplicates_two_stage(spark):
     """Candidate-then-verify fuzzy dedup (r14): a true near-dup (small
     scattered edits) survives BOTH stages; a doc sharing a long tail
