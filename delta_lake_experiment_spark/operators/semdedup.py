@@ -167,6 +167,99 @@ def _assign_arrow(
     return norm.mapInPandas(run, f"{schema}, __c int")
 
 
+def _seed_cached(frame: DataFrame, k: int, salt: str) -> list:
+    """:func:`seed_centroids` over an already-prepared cached
+    ``(i, v)`` frame (r17): the ordering expression is identical —
+    ``md5(salt || i)`` ties by id — but the seed job reads the frame
+    the Lloyd loop caches anyway instead of re-scanning and
+    re-normalizing the source, so it doubles as the cache
+    materializer (one fewer source pass per training call)."""
+    if k < 1:
+        raise ValueError(f"k={k!r} must be >= 1")
+    rows = (
+        frame.orderBy(
+            F.md5(F.concat(F.lit(salt), F.col("i").cast("string"))), F.col("i")
+        )
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _lloyd_means_arrow(
+    norm: DataFrame,
+    vec_field: str,
+    centroids: Sequence[Sequence[float]],
+    round_digits: int,
+) -> dict:
+    """One FUSED Lloyd iteration (r17, guide §2.3 — aggregate before
+    you shuffle, taken to its limit): assignment AND per-cluster
+    partial sums in a single Arrow scan, combined driver-side with
+    ``fsum`` — replacing the assignment pass PLUS a (dim+1)-column
+    groupBy/collect per iteration with ONE job whose output is
+    k×(dim+2) numbers. Scores follow the exact ``_assign_arrow``
+    discipline (column-order fold, vectorized DuckDB rounding,
+    first-max argmax), so assignments are identical; the per-cluster
+    MEANS differ from the ``avg()`` they replace only in summation
+    association — ~1e-16 noise against the 1e-9 centroid grid, the
+    module's standing partitioning-independence argument (the
+    replaced ``avg()`` was itself partition-order-dependent).
+    Returns ``{cluster: [unrounded mean]}``; empty clusters are
+    absent (callers keep the previous centroid)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from delta_lake_experiment_spark.functions.rounding import (
+        round_like_sql_np,
+    )
+
+    C = np.asarray([[float(x) for x in c] for c in centroids], dtype=np.float64)
+    rd = int(round_digits)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(list(pdf[vec_field]), dtype=np.float64)
+            n = len(pdf)
+            scores = np.empty((n, C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[0]):
+                prod = mat * C[j]
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(prod.shape[1]):
+                    np.add(acc, prod[:, d], out=acc)
+                scores[:, j] = acc
+            cl = np.argmax(round_like_sql_np(scores, rd), axis=1)
+            cs, ns, ss = [], [], []
+            for j in np.unique(cl):
+                rows_j = mat[cl == j]
+                cs.append(int(j))
+                ns.append(int(rows_j.shape[0]))
+                ss.append(rows_j.sum(axis=0).tolist())
+            yield pd.DataFrame(
+                {
+                    "c": pd.Series(cs, dtype="int32"),
+                    "n": pd.Series(ns, dtype="int64"),
+                    "s": ss,
+                }
+            )
+
+    parts = norm.mapInPandas(run, "c int, n long, s array<double>").collect()
+    by_c: dict = {}
+    for r in parts:
+        by_c.setdefault(int(r["c"]), []).append((int(r["n"]), r["s"]))
+    out = {}
+    for c0, ps in by_c.items():
+        ntot = sum(n for n, _ in ps)
+        dim = len(ps[0][1])
+        out[c0] = [
+            math.fsum(float(s[d]) for _, s in ps) / ntot for d in range(dim)
+        ]
+    return out
+
+
 def seed_centroids(
     df: DataFrame, id_col: str, vec_col: str, k: int, salt: str,
     normalize: bool = True,
@@ -218,52 +311,58 @@ def deterministic_kmeans(
     ``"hof"`` (the JVM expression; pytest-pinned equal)."""
     if assign_strategy not in ("arrow", "hof"):
         raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
-    cents = seed_centroids(df, id_col, vec_col, k, salt)
-    if not cents:
-        raise ValueError("deterministic_kmeans: empty input")
-    dim = len(cents[0])
     # normalize ONCE and keep the unit vectors cached across Lloyd
     # iterations (each iteration otherwise re-reads and re-normalizes
     # the source); fully consumed inside this call, so eagerly
     # released — the try/finally exception to the functions/cache.py
-    # consumer-releases contract
+    # consumer-releases contract. Seeds come FROM the cached frame
+    # (r17): same md5 ordering, one fewer source scan, and the seed
+    # job doubles as the cache materializer.
     from delta_lake_experiment_spark.functions.rounding import round_like_sql
 
     norm = df.select(
         F.col(id_col).alias("i"), _norm_checked(vec_col).alias("v")
     ).persist()
     try:
+        cents = _seed_cached(norm, k, salt)
+        if not cents:
+            raise ValueError("deterministic_kmeans: empty input")
+        dim = len(cents[0])
         for _ in range(iters):
-            assigned = (
-                _assign_arrow(norm, "v", cents, round_digits)
-                if assign_strategy == "arrow"
-                else norm.withColumn(
+            if assign_strategy == "arrow":
+                # fused: assignment + per-cluster sums in one scan
+                means = _lloyd_means_arrow(norm, "v", cents, round_digits)
+            else:
+                assigned = norm.withColumn(
                     "__c", _nearest(F.col("v"), cents, round_digits)
                 )
-            )
-            rows = (
-                assigned.groupBy("__c")
-                .agg(
-                    *[
-                        F.avg(F.element_at(F.col("v"), i + 1)).alias(f"m{i}")
-                        for i in range(dim)
-                    ]
+                rows = (
+                    assigned.groupBy("__c")
+                    .agg(
+                        *[
+                            F.avg(F.element_at(F.col("v"), i + 1)).alias(
+                                f"m{i}"
+                            )
+                            for i in range(dim)
+                        ]
+                    )
+                    .collect()
                 )
-                .collect()
-            )
+                means = {
+                    r["__c"]: [float(r[f"m{i}"]) for i in range(dim)]
+                    for r in rows
+                }
             # round_like_sql, not Python round: the one driver-side
             # rounding in this loop compared against DuckDB round
             # (functions/rounding.py contract; means are generic so
-            # the two rarely split, but rarely is not never)
-            new = {
-                r["__c"]: [
-                    round_like_sql(float(r[f"m{i}"]), round_digits)
-                    for i in range(dim)
-                ]
-                for r in rows
-            }
-            # empty clusters keep their previous centroid
-            cents = [new.get(j, cents[j]) for j in range(len(cents))]
+            # the two rarely split, but rarely is not never).
+            # Empty clusters keep their previous centroid.
+            cents = [
+                [round_like_sql(x, round_digits) for x in means[j]]
+                if j in means
+                else cents[j]
+                for j in range(len(cents))
+            ]
     finally:
         norm.unpersist()
     return cents
@@ -417,6 +516,89 @@ def pq_assign_codes(
     return df.mapInPandas(run, f"{schema}, {codes}")
 
 
+def _pq_lloyd_means_arrow(
+    raw: DataFrame,
+    vec_field: str,
+    books: Sequence[Sequence[Sequence[float]]],
+    round_digits: int,
+) -> dict:
+    """The euclidean/subspace twin of :func:`_lloyd_means_arrow`
+    (r17): ONE Arrow scan computes every subspace's codes
+    (:func:`pq_assign_codes`' ``2*dot − cc`` discipline — identical
+    fold order, rounding and argmax) AND the per-(subspace, codeword)
+    partial sums, replacing the persisted code frame plus m separate
+    ``groupBy``/collect jobs per iteration. Returns
+    ``{(s, j): [unrounded mean over the s-slice]}``; empty codewords
+    are absent. Same summation-association argument as the cosine
+    twin."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from delta_lake_experiment_spark.functions.rounding import (
+        round_like_sql_np,
+    )
+    from delta_lake_experiment_spark.operators.pca import _fold_dot
+
+    Cs = [
+        np.asarray([[float(x) for x in c] for c in book], dtype=np.float64)
+        for book in books
+    ]
+    ccs = [
+        np.asarray([_fold_dot(c, c) for c in book], dtype=np.float64)
+        for book in books
+    ]
+    sub = Cs[0].shape[1]
+    rd = int(round_digits)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.asarray(list(pdf[vec_field]), dtype=np.float64)
+            n = len(pdf)
+            out_s, out_j, out_n, out_v = [], [], [], []
+            for s, (C, cc) in enumerate(zip(Cs, ccs)):
+                sm = mat[:, s * sub:(s + 1) * sub]
+                scores = np.empty((n, C.shape[0]), dtype=np.float64)
+                for j in range(C.shape[0]):
+                    prod = sm * C[j]
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(prod.shape[1]):
+                        np.add(acc, prod[:, d], out=acc)
+                    scores[:, j] = acc * 2.0 - cc[j]
+                cl = np.argmax(round_like_sql_np(scores, rd), axis=1)
+                for j in np.unique(cl):
+                    rows_j = sm[cl == j]
+                    out_s.append(int(s))
+                    out_j.append(int(j))
+                    out_n.append(int(rows_j.shape[0]))
+                    out_v.append(rows_j.sum(axis=0).tolist())
+            yield pd.DataFrame(
+                {
+                    "s": pd.Series(out_s, dtype="int32"),
+                    "j": pd.Series(out_j, dtype="int32"),
+                    "n": pd.Series(out_n, dtype="int64"),
+                    "v": out_v,
+                }
+            )
+
+    parts = raw.mapInPandas(run, "s int, j int, n long, v array<double>").collect()
+    by_key: dict = {}
+    for r in parts:
+        by_key.setdefault((int(r["s"]), int(r["j"])), []).append(
+            (int(r["n"]), r["v"])
+        )
+    out = {}
+    for key, ps in by_key.items():
+        ntot = sum(n for n, _ in ps)
+        out[key] = [
+            math.fsum(float(v[d]) for _, v in ps) / ntot for d in range(sub)
+        ]
+    return out
+
+
 def deterministic_pq_codebooks(
     df: DataFrame,
     id_col: str,
@@ -449,16 +631,6 @@ def deterministic_pq_codebooks(
         raise ValueError(f"m={m!r} must be >= 1")
     from delta_lake_experiment_spark.functions.rounding import round_like_sql
 
-    seeds = seed_centroids(df, id_col, vec_col, k, salt, normalize=False)
-    if not seeds:
-        raise ValueError("deterministic_pq_codebooks: empty input")
-    dim = len(seeds[0])
-    if dim % m:
-        raise ValueError(f"vector dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books = [
-        [list(s[sp * sub:(sp + 1) * sub]) for s in seeds] for sp in range(m)
-    ]
     raw = df.select(
         F.col(id_col).alias("i"),
         null_checked(
@@ -468,20 +640,47 @@ def deterministic_pq_codebooks(
         ).alias("v"),
     ).persist()
     try:
+        # seeds from the cached frame (r17): same md5 ordering as
+        # seed_centroids(normalize=False), one fewer source scan, and
+        # the seed job materializes the cache the loop reuses
+        seeds = _seed_cached(raw, k, salt)
+        if not seeds:
+            raise ValueError("deterministic_pq_codebooks: empty input")
+        dim = len(seeds[0])
+        if dim % m:
+            raise ValueError(f"vector dim {dim} not divisible by m={m}")
+        sub = dim // m
+        books = [
+            [list(s[sp * sub:(sp + 1) * sub]) for s in seeds]
+            for sp in range(m)
+        ]
         for _ in range(iters):
             if assign_strategy == "arrow":
-                assigned = pq_assign_codes(raw, "v", books, round_digits)
-            else:
-                assigned = raw
+                # fused (r17): every subspace's codes + per-(s, j)
+                # sums in ONE scan — no persisted code frame, no m
+                # separate groupBy jobs
+                means = _pq_lloyd_means_arrow(raw, "v", books, round_digits)
                 for s in range(m):
-                    assigned = assigned.withColumn(
-                        f"__c{s}",
-                        nearest_euclid(
-                            F.slice(F.col("v"), s * sub + 1, sub),
-                            books[s],
-                            round_digits,
-                        ),
-                    )
+                    books[s] = [
+                        [
+                            round_like_sql(x, round_digits)
+                            for x in means[(s, j)]
+                        ]
+                        if (s, j) in means
+                        else books[s][j]
+                        for j in range(len(books[s]))
+                    ]
+                continue
+            assigned = raw
+            for s in range(m):
+                assigned = assigned.withColumn(
+                    f"__c{s}",
+                    nearest_euclid(
+                        F.slice(F.col("v"), s * sub + 1, sub),
+                        books[s],
+                        round_digits,
+                    ),
+                )
             assigned = assigned.persist()
             try:
                 for s in range(m):
