@@ -187,6 +187,26 @@ HEADLINE = [
     "engine_undrop_recovery",
 ]
 
+# The HEAVY lanes (r17, VERDICT r16 item 8 — additions-only): the
+# 10 most expensive query classes (ingest lifecycles, streaming
+# drains, composite diagnostics). None of them is in the frozen r2
+# subset, so per-query driver reporting was structurally blind to the
+# optimization target class; their timings are ADDED to the compact
+# stdout map (existing entries unchanged) plus a heavy_subset_total,
+# so round-over-round comparison covers the heavy tail too.
+HEAVY_SUBSET = [
+    "advanced_curation_pipeline",
+    "ann_recall_report",
+    "engine_stream_bounded",
+    "engine_stream_source",
+    "ensemble_dedup",
+    "incremental_lsh_ingest",
+    "incremental_near_dup_ingest",
+    "incremental_semantic_ingest",
+    "streaming_corpus_dedup",
+    "word_embedding_vectors",
+]
+
 # The frozen r2 17-query headline set (BASELINE.md's 23.0 s anchor).
 # bench.py reports its subtotal alongside the full headline so
 # round-over-round and vs-BASELINE comparisons need no arithmetic over
@@ -300,6 +320,11 @@ def main() -> None:
         "runs": runs,
         "single_pass_total": round(sum(r[0] for r in runs.values()), 3),
         "baseline_subset_total": subset_total,
+        "heavy_subset_total": (
+            None
+            if any(q in errors for q in HEAVY_SUBSET)
+            else round(sum(timings[q] for q in HEAVY_SUBSET), 3)
+        ),
         "sf": sf,
         "errors": errors,
     }
@@ -321,10 +346,20 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": {
-            q: round(timings[q], 2) for q in BASELINE_SUBSET if q in timings
+            q: round(timings[q], 2)
+            for q in BASELINE_SUBSET + HEAVY_SUBSET
+            if q in timings
         },
         "sf": sf,
         "baseline_subset_total": subset_total,
+        # additions-only (r17): same loud-KeyError rule as the frozen
+        # subtotal — a silently-missing heavy query must not shrink
+        # this into a fake speedup
+        "heavy_subset_total": (
+            None
+            if any(q in errors for q in HEAVY_SUBSET)
+            else round(sum(timings[q] for q in HEAVY_SUBSET), 3)
+        ),
         "single_pass_total": full["single_pass_total"],
         "n_queries": len(timings),
         "n_errors": len(errors),

@@ -294,6 +294,30 @@ def near_dup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # uncapped inverted index has at 100 TB.
 _NEAR_DUP_CAP = 64
 
+# driver-collect cap for the incremental lanes' verified pair sets
+# (VERDICT r16 item 7, guide §5): the sets are batch-bounded by
+# design, but a pathological batch — a flood of near-identical
+# documents — makes them quadratic in the flood; 2M pair rows is
+# ~100 MB on the driver, far above any legitimate batch and far below
+# an OOM
+_PAIR_COLLECT_CAP = 2_000_000
+
+
+def _collect_pairs_bounded(df, what: str, cap: int = _PAIR_COLLECT_CAP):
+    """Loud bounded driver-collect: ``limit(cap+1)`` bounds the fetch
+    itself (orderBy+limit plans as TakeOrdered — the probe can never
+    pull more than cap+1 rows), so an index-flood batch fails as a
+    NAMED error instead of a driver OOM."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise RuntimeError(
+            f"{what}: verified pair set exceeds the {cap}-row"
+            " driver-collect cap - the batch floods the index with"
+            " near-identical documents; split the batch or dedup it"
+            " upstream"
+        )
+    return rows
+
 
 def near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs at >= 0.5 — deterministic
@@ -485,7 +509,9 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy frame made the consumer's action re-run the whole
     # candidate+verify pipeline (including re-shingling the batch)
     # against cold caches, doubling the query.
-    pair_rows = pairs.orderBy("id_a", "id_b").collect()
+    pair_rows = _collect_pairs_bounded(
+        pairs.orderBy("id_a", "id_b"), "incremental_near_dup_ingest"
+    )
     # honor the operator's cleanup contract (r15 advisor note): the
     # batch-sized internal persists must not outlive the batch —
     # release them now that the writes are committed
@@ -611,7 +637,9 @@ def incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # check AND the returned frame (tiny pair set — materializing it
     # means the driver's later collect cannot re-run the whole
     # candidate+verify pipeline after the caches release below)
-    pair_rows = pairs.orderBy("id_a", "id_b").collect()
+    pair_rows = _collect_pairs_bounded(
+        pairs.orderBy("id_a", "id_b"), "incremental_lsh_ingest"
+    )
     got = {(r.id_a, r.id_b) for r in pair_rows}
     # overlap floor vs the EXACT incremental lane (test-scale guard,
     # the _check_recall discipline; a production ingest skips it).
@@ -633,7 +661,12 @@ def incremental_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_postings=_NEAR_DUP_CAP, prefix_chars=400, max_edit_ratio=0.2,
         df_counts=corpus_df,
     )
-    exact = {(r.id_a, r.id_b) for r in exact_pairs.collect()}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in _collect_pairs_bounded(
+            exact_pairs, "incremental_lsh_ingest (exact floor lane)"
+        )
+    }
     corpus_df.unpersist()
     if len(got & exact) < 0.9 * len(exact):
         raise AssertionError(
@@ -735,7 +768,9 @@ def incremental_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx, batch, stored, "vec_id", "embedding",
         threshold=_SEM_THRESHOLD,
     )
-    pair_rows = pairs.orderBy("id_a", "id_b").collect()
+    pair_rows = _collect_pairs_bounded(
+        pairs.orderBy("id_a", "id_b"), "incremental_semantic_ingest"
+    )
     c.write_dataframe("sem_index", new_rows)
     c.commit_tx()
     c.new_tx()

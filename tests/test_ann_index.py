@@ -46,6 +46,7 @@ def _setup(spark, store_dir, rows):
     return c
 
 
+@pytest.mark.slow
 def test_build_ingest_search_without_retraining(spark, store_dir):
     rows = _vecs(80)
     c = _setup(spark, store_dir, rows)
@@ -127,6 +128,7 @@ def test_ingest_before_build_raises(spark, store_dir):
     c.abort_tx()
 
 
+@pytest.mark.slow
 def test_retrain_overwrites_model_atomically(spark, store_dir):
     rows = _vecs(40)
     c = _setup(spark, store_dir, rows)
@@ -152,6 +154,7 @@ def test_retrain_overwrites_model_atomically(spark, store_dir):
     c.abort_tx()
 
 
+@pytest.mark.slow
 def test_staleness_report_trips_on_planted_drift(spark, store_dir):
     """ann_index_staleness (VERDICT r8 item 6): freshly built index ->
     no retrain recommended; a planted drift batch (orthogonal

@@ -73,6 +73,7 @@ def _rand_value(rnd, t):
     raise AssertionError(t)
 
 
+@pytest.mark.slow
 def test_python_murmur3_matches_jvm_hash(spark):
     """Random tuples across all 11 supported types (unicode strings,
     ±0.0, NULLs, signed-byte string tails) and fixed multi-column

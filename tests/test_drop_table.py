@@ -387,6 +387,7 @@ def test_change_feed_refuses_drop_and_recreate_ranges(spark, tmp_path):
     assert c.scan_changes("t", 4).count() == 1
 
 
+@pytest.mark.slow
 def test_stream_source_raises_named_error_on_drop(spark, tmp_path):
     from delta_lake_experiment_spark.streaming.engine_source import (
         read_table_stream,

@@ -199,6 +199,7 @@ def test_requires_tx_and_table_guards(spark, store_dir):
 # ----------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_randomized_operations(spark, store_dir):
     NUM_OPS, NUM_KEYS, SEED = 120, 20, 42
     rng = random.Random(SEED)
@@ -266,6 +267,7 @@ def test_bulk_write_and_scan_latest(spark, store_dir):
     c.commit_tx()
 
 
+@pytest.mark.slow
 def test_bulk_write_stamps_unique_above_512_partitions(spark, store_dir):
     """Two bulk writes in ONE tx at >512 partitions: with a fixed 2^42
     stride, monotonically_increasing_id's partition bits (bits 33+)
@@ -1828,6 +1830,7 @@ def test_overwrite_table(spark, store_dir):
     c.abort_tx()
 
 
+@pytest.mark.slow
 def test_refresh_aggregate_view_incremental(spark, store_dir):
     """CDC-maintained materialized view: the first refresh folds the
     seed, later refreshes fold ONLY the net change-feed diff, the
@@ -1907,6 +1910,7 @@ def test_refresh_aggregate_view_incremental(spark, store_dir):
         refresh_aggregate_view(c, "src", "mv", ["k"], ["x"])
 
 
+@pytest.mark.slow
 def test_refresh_aggregate_view_min_max_avg(spark, store_dir):
     """VERDICT r7 item 3: MIN/MAX via per-affected-key recompute (a
     retracted extremum is not foldable), AVG derived from sum/n.

@@ -78,6 +78,7 @@ def _drain_collect(spark, root, ck, **kwargs):
     return sorted(seen)
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint_reads_only_new_commits(spark, tmp_path):
     c = _seed(spark, str(tmp_path))
     ck = str(tmp_path / "ck")
@@ -545,6 +546,7 @@ def test_cdf_vacuumed_history_raises_clearly(spark, tmp_path):
         _drain_cdf(spark, root, str(tmp_path / "ck"), ["_commit_version"])
 
 
+@pytest.mark.slow
 def test_cdf_drives_streaming_mv_maintenance(spark, tmp_path):
     """The Delta-style streaming-MV composition: tail a table's CHANGE
     FEED and fold each micro-batch's net deltas into a per-key
@@ -728,6 +730,7 @@ def _drain_batches(spark, root, ck, **kwargs):
     return [b for b in batches if b]
 
 
+@pytest.mark.slow
 def test_bounded_backlog_drains_across_runs(spark, tmp_path):
     """Admission control (VERDICT r9 item 3): a 9-commit backlog with
     maxCommitsPerBatch=3 drains in 3 bounded batches — each run resumes
@@ -757,6 +760,7 @@ def test_bounded_backlog_drains_across_runs(spark, tmp_path):
     assert sorted(x for b in got for x in b) == list(range(10, 100))
 
 
+@pytest.mark.slow
 def test_bounded_backlog_single_run_multiple_batches(spark, tmp_path):
     """The same backlog drains inside ONE continuous query as multiple
     bounded micro-batches (latestOffset advances the cap from the
@@ -801,6 +805,7 @@ def test_bounded_backlog_single_run_multiple_batches(spark, tmp_path):
     assert sorted(x for b in batches for x in b) == list(range(10, 100))
 
 
+@pytest.mark.slow
 def test_max_files_per_batch_bounds_advance(spark, tmp_path):
     """maxFilesPerBatch advances whole commits while the file budget
     lasts: 6 one-file commits with a 2-file cap drain in 3 batches."""
@@ -832,6 +837,7 @@ def test_max_files_per_batch_bounds_advance(spark, tmp_path):
     assert sorted(x for b in got for x in b) == list(range(60))
 
 
+@pytest.mark.slow
 def test_cdf_respects_batch_bounds(spark, tmp_path):
     """CDF + admission control compose (VERDICT r9 item 7): a CDF
     partition is per-commit, so maxCommitsPerBatch bounds how many
@@ -886,6 +892,7 @@ def test_cdf_respects_batch_bounds(spark, tmp_path):
     assert all_ids == list(range(60))
 
 
+@pytest.mark.slow
 def test_bounded_initial_snapshot_slices(spark, tmp_path):
     """maxFilesPerBatch bounds the INITIAL SNAPSHOT too: it pins one
     consistent version and drains it in file slices across
@@ -977,6 +984,7 @@ def test_bounded_snapshot_single_run(spark, tmp_path):
     assert sorted(x for b in batches for x in b) == list(range(50))
 
 
+@pytest.mark.slow
 def test_max_bytes_per_batch_bounds_advance(spark, tmp_path):
     """maxBytesPerBatch advances whole commits while the byte budget
     lasts, using the per-object `size` recorded in the log: with the
@@ -1021,6 +1029,7 @@ def test_max_bytes_per_batch_bounds_advance(spark, tmp_path):
     assert sorted(x for b in got for x in b) == list(range(60))
 
 
+@pytest.mark.slow
 def test_max_bytes_per_batch_bounds_snapshot(spark, tmp_path):
     """The byte cap slices the INITIAL SNAPSHOT too (the snapshot IS
     the backlog at scale): 6 one-file objects under a two-file byte
@@ -1060,6 +1069,7 @@ def test_max_bytes_per_batch_bounds_snapshot(spark, tmp_path):
     assert sorted(x for b in got for x in b) == list(range(60))
 
 
+@pytest.mark.slow
 def test_starting_timestamp_tails_from_bound(spark, tmp_path):
     """startingTimestamp (Delta's option): stream commits recorded AT
     OR AFTER the bound; mutually exclusive with startingVersion; a

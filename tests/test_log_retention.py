@@ -106,6 +106,7 @@ def _seed_commits(root, n_commits, checkpoint_interval=32, store=None):
     return c
 
 
+@pytest.mark.slow
 def test_new_tx_metadata_cost_is_checkpoint_tail_at_depth(tmp_path):
     """1 000+ commits (checkpoint every 32): a new_tx replays with
     O(commits since checkpoint) LISTED KEYS and log reads — not the
@@ -129,6 +130,7 @@ def test_new_tx_metadata_cost_is_checkpoint_tail_at_depth(tmp_path):
     assert store.listed_keys.get("_checkpoint_", 0) == 0
 
 
+@pytest.mark.slow
 def test_stream_trigger_metadata_cost_is_position_tail_at_depth(tmp_path):
     """A stream positioned near the head of the same 1 000-commit log
     pays O(new commits) listed keys + reads per latestOffset/partitions

@@ -199,6 +199,7 @@ def test_embedding_near_dup_matches_numpy(spark):
     assert got == expected and expected  # non-trivial and exact
 
 
+@pytest.mark.slow
 def test_embedding_blocked_equals_allpairs(spark):
     """The block-matrix plan must reproduce the all-pairs baseline
     bit-for-bit (same IEEE fold order) at several block counts,
@@ -863,6 +864,7 @@ def test_stratified_sql_matches_spark_randomized(spark):
         assert via_op == via_duck, f"trial {trial}: {fr} {default} {salt!r}"
 
 
+@pytest.mark.slow
 def test_connected_components(spark):
     from delta_lake_experiment_spark.operators.cluster import (
         assign_components,
@@ -1719,6 +1721,7 @@ def test_repetition_signals(spark):
     assert {r["doc_id"] for r in kept.collect()} == {2, 4}
 
 
+@pytest.mark.slow
 def test_connected_components_random_vs_union_find(spark):
     """Randomized graphs: BOTH strategies — the driver union-find
     fallback (default gate) and the distributed fixpoint
@@ -2214,6 +2217,7 @@ def test_funnel_deterministic_under_repartition(spark):
     assert base == again and base
 
 
+@pytest.mark.slow
 def test_funnel_decontamination_stage(spark):
     """curation_funnel(decontaminate=True): the benchmark-
     decontamination pass composes after the split stage — a train doc
@@ -2789,6 +2793,7 @@ def test_calibrated_score_filter_strategies(spark):
     scores.unpersist()
 
 
+@pytest.mark.slow
 def test_incremental_minhash_ingest(spark, store_dir):
     """Near-dup incremental admission against a persisted LSH index:
     exact recrawls and near-duplicates (1-token change -> 2/4 bands
@@ -2833,6 +2838,7 @@ def test_incremental_minhash_ingest(spark, store_dir):
     assert ingest([(10, base), (11, pert), (12, third)]) == 0
 
 
+@pytest.mark.slow
 def test_compact_minhash_index_unblocks_recrawl(spark, store_dir):
     """Index maintenance (VERDICT r5 item 6): deleting a document from
     the corpus leaves its LSH bands behind, so its recrawl is vetoed
@@ -3990,6 +3996,7 @@ def test_bm25_sql_duckdb_parity(spark):
     assert [(i, pytest.approx(s)) for i, s in exp] == got
 
 
+@pytest.mark.slow
 def test_hashed_logreg_training_parity_and_separation(spark):
     """Full-batch GD on hashed binary features: the Spark loop, a
     pure-Python model, and the generated DuckDB CTE chain all land on
@@ -4100,6 +4107,7 @@ def test_hashed_logreg_guards(spark):
     assert len(nf) == 1 and len(nf[0]["feats"]) == 1
 
 
+@pytest.mark.slow
 def test_train_hashed_softmax_planted_languages(spark):
     """Multiclass softmax lang-ID on a planted 3-vocabulary corpus:
     the Spark trajectory, a pure-Python reference model, and the
@@ -4702,6 +4710,7 @@ def test_assign_to_centroids_matches_kmeans_assignments(spark):
         assign_to_centroids(df, "vec_id", "embedding", cents, assign_strategy="x")
 
 
+@pytest.mark.slow
 def test_ann_recall_report_invariants(spark):
     """Report invariants at sf0.001: all four methods present,
     bruteforce recall exactly 1.0, hits in [0, k], recall == hits/k."""
@@ -4844,6 +4853,7 @@ def test_deterministic_kmeans_empty_cluster_carryover(spark):
     assert comp[3] == (3, True)
 
 
+@pytest.mark.slow
 def test_semantic_pair_strategies_agree(spark):
     """gemm (BLAS per-cluster bundle) and hof (JVM fold join) produce
     the identical pair set at the rounding grid on the fixture corpus."""
@@ -5002,6 +5012,7 @@ def test_weighted_sample(spark):
         weighted_sample(df, "id", "w", 0)
 
 
+@pytest.mark.slow
 def test_mutual_nearest_pairs(spark):
     """Mutuality kills hubs: a right-side hub that is every left
     vector's nearest match pairs only with ITS own best left; and the
@@ -5250,6 +5261,7 @@ def test_curriculum_to_shard_export_composition(spark, tmp_path):
                 assert pos[i] < pos[j]
 
 
+@pytest.mark.slow
 def test_hll_sketch_cross_engine_and_merge(spark):
     """The deterministic HLL: Spark registers == DuckDB registers and
     the estimates are identical doubles; sketches merge by register
@@ -5477,6 +5489,23 @@ def test_word_embeddings_ppmi_cross_engine(spark):
         ppmi_topk_eigs(mat, len(vocab), r=0)
 
 
+def test_pair_collect_cap_loud(spark):
+    """The incremental lanes' driver-collect gate (r17, VERDICT r16
+    item 7): under the cap the rows come back intact; over it the
+    failure is a NAMED error, and limit(cap+1) bounds the fetch so the
+    probe itself can never OOM the driver."""
+    from delta_lake_experiment_spark.workloads.extensions import (
+        _collect_pairs_bounded,
+    )
+
+    df = spark.range(10).selectExpr("id AS id_a", "id AS id_b")
+    rows = _collect_pairs_bounded(df.orderBy("id_a"), "t", cap=100)
+    assert [r["id_a"] for r in rows] == list(range(10))
+    with pytest.raises(RuntimeError, match="driver-collect cap"):
+        _collect_pairs_bounded(df, "t", cap=5)
+
+
+@pytest.mark.slow
 def test_ppmi_matvec_strategy_parity(spark):
     """The r17 Arrow matvec (closure iterate, partitioned+sorted
     matrix) and the legacy literal-fold matvec produce IDENTICAL
@@ -5659,6 +5688,7 @@ def test_verified_near_duplicates_minhash_lsh_candidates(spark):
         ).collect()
 
 
+@pytest.mark.slow
 def test_incremental_verified_matches_one_shot(spark):
     """r15 incremental lane: dedup of a batch against a persisted
     posting index must yield EXACTLY the one-shot pipeline over
@@ -5735,6 +5765,7 @@ def test_incremental_verified_matches_one_shot(spark):
         )
 
 
+@pytest.mark.slow
 def test_incremental_two_batches_lifecycle(spark, tmp_path):
     """The real incremental loop: TWO successive batches through the
     persisted engine index. Batch 2 is deduped against
@@ -5801,6 +5832,7 @@ def test_incremental_two_batches_lifecycle(spark, tmp_path):
     c.abort_tx()
 
 
+@pytest.mark.slow
 def test_incremental_df_sidecar_lane_matches_computed(spark, tmp_path):
     """r15: the maintained per-shingle df sidecar (MERGE per batch)
     replaces the per-batch corpus df pass — the cap must read the
@@ -5882,6 +5914,7 @@ def test_incremental_df_sidecar_lane_matches_computed(spark, tmp_path):
     c.abort_tx()
 
 
+@pytest.mark.slow
 def test_incremental_lsh_index_lane(spark, tmp_path):
     """r16 (VERDICT r15 item 5): the persisted index's LSH variant —
     banded MinHash signatures instead of full shingle postings,
@@ -6038,6 +6071,7 @@ def test_incremental_lsh_index_lane(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_incremental_lsh_hot_cell_cap(spark):
     """r16: the LSH lane's flood guard. A band cell shared by more
     than max_cell documents generates NO candidates (the K² blowup a
@@ -6104,6 +6138,7 @@ def test_incremental_lsh_hot_cell_cap(spark):
         )
 
 
+@pytest.mark.slow
 def test_incremental_maintenance_compaction(spark, tmp_path):
     """r16 (VERDICT r15 #2): the maintenance recipe for the persisted
     fuzzy-dedup index, pinned mid-lifecycle. The df sidecar's MERGE
@@ -6314,6 +6349,7 @@ def test_incremental_semantic_matches_fixed_centroid_one_shot(spark):
         )
 
 
+@pytest.mark.slow
 def test_incremental_semantic_id_contract_and_prune(spark, tmp_path):
     """Family-contract symmetry for the semantic lane (the r15 judge
     probe, transposed): a re-ingested id must never emit self-pairs
@@ -6494,6 +6530,7 @@ def test_incremental_semantic_engine_lifecycle(spark, tmp_path):
     c.abort_tx()
 
 
+@pytest.mark.slow
 def test_prune_dedup_index_removes_ghost_vetoes(spark, tmp_path):
     """r16: the verified-dedup index's stale-entry maintenance
     (compact_minhash_index's ghost rationale, applied to the new
@@ -6727,6 +6764,7 @@ def test_incremental_index_aggregates_are_exchange_free(spark, tmp_path):
     c.abort_tx()
 
 
+@pytest.mark.slow
 def test_incremental_reingested_id_contract(spark):
     """The r15 judge probe, pinned (VERDICT r15 'what's wrong' #1):
     feeding a batch whose id ALREADY exists in the index — the

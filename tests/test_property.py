@@ -11,6 +11,8 @@ minimal counterexamples.
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
@@ -46,6 +48,7 @@ OPS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=OPS)
+@pytest.mark.slow
 def test_engine_matches_dict_model(spark, ops):
     c = DeltaLakeClient(spark, tempfile.mkdtemp(prefix="prop_"), dataobject_size=3)
     c.new_tx()
@@ -160,6 +163,7 @@ def _py_chunks(toks, max_tokens, overlap):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(docs=st.lists(_WORDS, min_size=1, max_size=6), params=_PARAMS)
+@pytest.mark.slow
 def test_chunking_matches_python_oracle(spark, docs, params):
     from delta_lake_experiment_spark.operators.chunking import chunk_documents
 
@@ -195,6 +199,7 @@ def test_chunking_matches_python_oracle(spark, docs, params):
     salt=st.text(alphabet="abc", max_size=4),
     digits=st.integers(min_value=1, max_value=3),
 )
+@pytest.mark.slow
 def test_shuffle_rank_matches_python_oracle(spark, keys, salt, digits):
     import hashlib
 
@@ -227,6 +232,7 @@ _BATCHES = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(batches=_BATCHES)
+@pytest.mark.slow
 def test_incremental_ingest_matches_set_model(spark, batches):
     """Arbitrary batch sequences with arbitrary key overlap: the table
     must hold exactly the first-seen (id, fp) per fp across all
@@ -267,6 +273,7 @@ def test_incremental_ingest_matches_set_model(spark, batches):
     assert state == {(fp, i) for fp, i in model.items()}
 
 
+@pytest.mark.slow
 def test_contamination_spans_matches_python_model(spark):
     """Randomized corpora vs a pure-Python diagonal-run oracle."""
     import random
@@ -403,6 +410,7 @@ def test_corpus_substring_spans_random_vs_bruteforce(spark):
         assert got == exp, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_unigram_trainer_properties():
     """Pure-Python property sweep of the unigram trainer (no Spark —
     the trainer's loop is driver-side): on arbitrary small corpora the
@@ -605,6 +613,7 @@ _TEXTS = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=_TEXTS)
+@pytest.mark.slow
 def test_bounded_verifier_value_identical(spark, texts):
     from pyspark.sql import functions as F
 
@@ -660,6 +669,7 @@ _SPLIT = st.lists(st.booleans(), min_size=4, max_size=8)
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=_TEXTS, split=_SPLIT)
+@pytest.mark.slow
 def test_incremental_dedup_matches_one_shot_property(spark, texts, split):
     from pyspark.sql import functions as F
 
@@ -727,6 +737,7 @@ def test_incremental_dedup_matches_one_shot_property(spark, texts, split):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(texts=_TEXTS, split=_SPLIT)
+@pytest.mark.slow
 def test_incremental_lsh_matches_one_shot_property(spark, texts, split):
     from pyspark.sql import functions as F
 

@@ -418,6 +418,7 @@ def test_schema_evolution_on_remote_store(spark, tmp_path):
     assert [k for k in api.copy_keys if "table_t_" in k]
 
 
+@pytest.mark.slow
 def test_engine_stream_source_on_remote_store(spark, tmp_path):
     """The streaming source over the S3 backend: planning runs against
     the remote store through a registered store FACTORY (options are
@@ -615,6 +616,7 @@ class _OpCountingS3Client(_MirroredS3Client):
         return super().list_objects_v2(**kw)
 
 
+@pytest.mark.slow
 def test_streaming_fuzzy_gate_store_op_profile(spark, tmp_path):
     """r16 (VERDICT r15 item 7): the streaming fuzzy-dedup gate's
     per-micro-batch store bill over the S3 API double — ZERO
@@ -701,6 +703,7 @@ def test_streaming_fuzzy_gate_store_op_profile(spark, tmp_path):
     check.abort_tx()
 
 
+@pytest.mark.slow
 def test_streaming_semantic_gate_store_op_profile(spark, tmp_path):
     """The fleet-shape gate extended to the SEMANTIC admission gate
     (r16): one micro-batch against a grown embedding index costs zero

@@ -1,6 +1,8 @@
 """Structured Streaming tests: windowed aggregation parity with the
 batch query, and the custom stateful sessionization operator."""
 
+import pytest
+
 import datetime as dt
 
 from delta_lake_experiment_spark.operators.asof import sessionize
@@ -268,6 +270,7 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == expect and expect  # non-trivial and exact
 
 
+@pytest.mark.slow
 def test_streaming_incremental_dedup_ingest(spark, tmp_path, store_dir):
     """Continuous incremental ingest: per-batch dedup, against-table
     dedup across MICRO-BATCHES (table-backed, no watermark horizon),
@@ -381,6 +384,7 @@ def test_run_marked_batch_aborts_open_tx_on_failure(spark, store_dir):
     check.abort_tx()
 
 
+@pytest.mark.slow
 def test_streaming_fuzzy_dedup_ingest(spark, tmp_path, store_dir):
     """r15 streaming fuzzy-dedup ingest: each micro-batch is verified
     against the PERSISTED posting index — near-dups of admitted docs
@@ -490,6 +494,7 @@ def test_streaming_fuzzy_dedup_ingest(spark, tmp_path, store_dir):
     final.abort_tx()
 
 
+@pytest.mark.slow
 def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
     """r16 (VERDICT r15 item 3): the streaming fuzzy gate with a
     maintained df sidecar (``df_table=``) must admit EXACTLY what the
@@ -588,6 +593,7 @@ def test_streaming_fuzzy_gate_df_sidecar_lane(spark, tmp_path):
     side.abort_tx()
 
 
+@pytest.mark.slow
 def test_streaming_semantic_dedup_ingest(spark, tmp_path, store_dir):
     """r16: the SEMANTIC streaming admission gate — each micro-batch
     assigned under the stored centroids and cosine-verified against
@@ -746,6 +752,7 @@ def test_streaming_semantic_dedup_ingest(spark, tmp_path, store_dir):
         )
 
 
+@pytest.mark.slow
 def test_streaming_lsh_gate_cell_sidecar_lane(spark, tmp_path):
     """r16 review close: the LSH gate's flood-guard sidecar
     (cell_df_table + max_cell) must admit EXACTLY what the
@@ -839,6 +846,7 @@ def test_streaming_lsh_gate_cell_sidecar_lane(spark, tmp_path):
     side.abort_tx()
 
 
+@pytest.mark.slow
 def test_streaming_fuzzy_gate_auto_maintenance(spark, tmp_path):
     """r16: compact_every=N runs the documented maintenance recipe
     inside the stream — after every Nth committed batch a SEPARATE
@@ -998,6 +1006,7 @@ def test_streaming_fuzzy_gate_accepts_map_columns(spark, store_dir):
     check.abort_tx()
 
 
+@pytest.mark.slow
 def test_streaming_fuzzy_gate_lsh_index(spark, tmp_path, store_dir):
     """r16: the streaming fuzzy gate over the BANDED-SIGNATURE index
     (index_kind='lsh') — the continuous form of the LSH incremental
@@ -1108,6 +1117,7 @@ def test_streaming_fuzzy_gate_lsh_index(spark, tmp_path, store_dir):
         )
 
 
+@pytest.mark.slow
 def test_streaming_quality_gated_ingest(spark, tmp_path, store_dir):
     """Batch-trained classifier as a streaming admission gate: spam
     docs are rejected per micro-batch, duplicates of admitted docs are
@@ -1187,6 +1197,7 @@ def test_streaming_quality_gated_ingest(spark, tmp_path, store_dir):
     assert rows["a"] == 1
 
 
+@pytest.mark.slow
 def test_streaming_rule_gated_ingest(spark, tmp_path, store_dir):
     """The Gopher rule battery as a streaming admission gate (the
     rules-before-classifier crawl ordering): a doc failing a rule is
@@ -1252,6 +1263,7 @@ def test_streaming_rule_gated_ingest(spark, tmp_path, store_dir):
     assert rows["a"] == 1  # duplicate admitted once, first copy wins
 
 
+@pytest.mark.slow
 def test_streaming_hll_sketch(spark, tmp_path, store_dir):
     """Streaming incremental cardinality: per-batch registers append
     through the exactly-once sink, the merged read-time estimate
@@ -1350,6 +1362,7 @@ def test_streaming_hll_sketch(spark, tmp_path, store_dir):
     c4.abort_tx()
 
 
+@pytest.mark.slow
 def test_streaming_cms_sketch(spark, tmp_path, store_dir):
     """Streaming incremental heavy-hitter counts: per-batch CMS
     counter rows append through the exactly-once sink, read-time
@@ -1449,6 +1462,7 @@ def test_streaming_cms_sketch(spark, tmp_path, store_dir):
     assert compact_cms_table(c3, "cms") == 0
 
 
+@pytest.mark.slow
 def test_streaming_merge_upsert_sink(spark, tmp_path, store_dir):
     """MERGE-based exactly-once upsert sink: micro-batches of keyed
     updates upsert into a primary-keyed table (latest-wins), intra-batch
@@ -1535,6 +1549,7 @@ def test_streaming_merge_upsert_sink(spark, tmp_path, store_dir):
     check3.commit_tx()
 
 
+@pytest.mark.slow
 def test_periodic_sketch_compaction_in_stream(spark, tmp_path, store_dir):
     """VERDICT r8 item 7: a long stream with compact_every keeps the
     register table at O(registers) rows WITHOUT anyone calling the
