@@ -222,11 +222,31 @@ def _matvec_arrow(matp: DataFrame, v: "list[float]") -> "dict[int, float]":
     return {int(r["i"]): float(r["d"]) for r in out}
 
 
-# measured crossover (r17): below this vocabulary size the JVM
-# literal-fold matvec beats the Arrow closure pass (the literal is
-# small enough that planning is cheaper than a Python-worker round
-# trip per step); above it, literal planning dominates and grows with V
+# measured crossover (r17): below this vocabulary size the whole
+# matrix is at most V² ≤ 65k entries — collect it ONCE and run every
+# power-iteration step driver-side (identical ascending-j fold, zero
+# per-step Spark jobs); above it, per-step literal planning grows
+# with V while the Arrow closure pass stays flat, so the iteration
+# stays distributed with the iterate in the closure
 _MATVEC_ARROW_MIN_V = 256
+
+
+def _matvec_local(by_i: "dict[int, list]", v: "list[float]") -> "dict[int, float]":
+    """Driver-side ``(M v)`` over a pre-collected, ascending-j-sorted
+    sparse matrix (r17): for V ≤ _MATVEC_ARROW_MIN_V the matrix is at
+    most V² ≤ 65k entries (~1.5 MB) — far cheaper to fold in-process
+    than to pay a Spark job per step (~0.2-0.3 s × r·(p_iters+1)
+    steps on a cached KB-sized table, pure scheduling overhead).
+    Python floats are IEEE doubles and the fold is the same
+    left-to-right ascending-j sequence, so the result is bit-identical
+    to the distributed forms (pytest-pinned)."""
+    out = {}
+    for i, row in by_i.items():
+        acc = 0.0
+        for j, m in row:
+            acc = acc + m * v[j]
+        out[i] = acc
+    return out
 
 
 def _sign_fixed(v: "list[float]") -> "list[float]":
@@ -249,70 +269,95 @@ def ppmi_topk_eigs(
     vector is uniform round(1/sqrt(V)). Raises on a zero matvec
     (rank < r).
 
-    ``matvec_strategy``: ``"arrow"`` partitions the matrix by row ONCE
+    ``matvec_strategy``: ``"local"`` collects the (V ≤ 256 ⇒ ≤ 65k
+    entry) matrix ONCE and folds every step driver-side — zero
+    per-step Spark jobs; ``"arrow"`` partitions the matrix by row ONCE
     and streams each step's iterate through a closure — constant plan,
     no per-step Catalyst/codegen over a V-element literal; ``"fold"``
     keeps the JVM literal-fold matvec; ``"auto"`` (default since r17)
-    picks by vocabulary size — the literal path's per-step planning
-    cost grows with V (measured r17: 0.25 s/step at V<=128, 0.95 s at
-    V=1024, 2.7 s at V=4096) while the Arrow path is flat ~0.4 s/step
-    (one Python-worker round trip), with the measured crossover at
-    V≈256 (``_MATVEC_ARROW_MIN_V``). Both run the identical
-    ascending-j sequential fold (pytest-pinned equal trajectories;
-    requires unique (i, j) entries, which an aggregated co-occurrence
-    matrix has by construction)."""
+    picks by vocabulary size — ``local`` at V ≤ 256 where the matrix
+    is driver-trivial and per-step job scheduling dominates (measured
+    ~0.25 s/step of pure overhead), ``arrow`` above (the literal
+    path's planning cost grows with V: 0.95 s/step at V=1024, 2.7 s at
+    V=4096; the Arrow pass is flat ~0.4 s and the matrix no longer
+    belongs on the driver). All three run the identical ascending-j
+    sequential fold (pytest-pinned equal trajectories; requires unique
+    (i, j) entries, which an aggregated co-occurrence matrix has by
+    construction)."""
     if not 1 <= r:
         raise ValueError(f"r={r!r} must be >= 1")
     if p_iters < 1:
         raise ValueError(f"p_iters={p_iters!r} must be >= 1")
-    if matvec_strategy not in ("arrow", "fold", "auto"):
+    if matvec_strategy not in ("arrow", "fold", "auto", "local"):
         raise ValueError(f"unknown matvec_strategy {matvec_strategy!r}")
     rd = int(round_digits)
     V = int(size)
     if matvec_strategy == "auto":
-        matvec_strategy = "arrow" if V > _MATVEC_ARROW_MIN_V else "fold"
+        matvec_strategy = "arrow" if V > _MATVEC_ARROW_MIN_V else "local"
+    if matvec_strategy == "local":
+        by_i: dict = {}
+        for row in mat.select("i", "j", "m").collect():
+            by_i.setdefault(int(row["i"]), []).append(
+                (int(row["j"]), float(row["m"]))
+            )
+        for entries in by_i.values():
+            entries.sort()
+        return _power_iterate(
+            lambda v: _matvec_local(by_i, v), V, r, p_iters, rd
+        )
     if matvec_strategy == "arrow":
         # one shuffle + per-partition sort, cached for ALL r*(p_iters+1)
         # matvec steps: each group's rows sit contiguous and ascending-j
         # in one partition, so every step is a cache-local map job
         mat = mat.repartition("i").sortWithinPartitions("i", "j")
     mat = mat.persist()
-    step = _matvec_arrow if matvec_strategy == "arrow" else _matvec
+    mv_fn = _matvec_arrow if matvec_strategy == "arrow" else _matvec
     try:
-        out: List[Tuple[float, List[float]]] = []
-        v0 = round_like_sql(1.0 / math.sqrt(V), rd)
-        for _ in range(r):
-            v = [v0] * V
-            for _ in range(p_iters):
-                mv = step(mat, v)
-                w = [mv.get(i, 0.0) for i in range(V)]
-                # deflation: w -= sum_k lam_k * u_k * (u_k . v); the
-                # scalar is the pinned ascending-j fold, the update a
-                # driver-side O(V) op — each coordinate rounded like
-                # every other matvec coordinate
-                for lam, u in out:
-                    s = _fold_dot(u, v)
-                    w = [w[i] - lam * u[i] * s for i in range(V)]
-                w = [round_like_sql(x, rd) for x in w]
-                n2 = round_like_sql(_fold_dot(w, w), rd)
-                nrm = round_like_sql(math.sqrt(n2), rd)
-                if nrm == 0:
-                    raise ValueError(
-                        "ppmi_topk_eigs: zero matvec - matrix rank is"
-                        " below r; lower r"
-                    )
-                v = [round_like_sql(x / nrm, rd) for x in w]
-            mv = step(mat, v)
-            u = [mv.get(i, 0.0) for i in range(V)]
-            for lam0, uk in out:
-                s = _fold_dot(uk, v)
-                u = [u[i] - lam0 * uk[i] * s for i in range(V)]
-            u = [round_like_sql(x, rd) for x in u]
-            lam = round_like_sql(_fold_dot(v, u), rd)
-            out.append((lam, _sign_fixed(v)))
-        return out
+        return _power_iterate(lambda v: mv_fn(mat, v), V, r, p_iters, rd)
     finally:
         mat.unpersist()
+
+
+def _power_iterate(
+    step, V: int, r: int, p_iters: int, rd: int
+) -> "list[tuple[float, list[float]]]":
+    """The strategy-independent power-iteration/deflation loop of
+    :func:`ppmi_topk_eigs`: ``step(v) -> {i: (M v)_i}`` is whichever
+    matvec the caller picked; everything driver-side here (deflation,
+    rounding, normalization, sign fixing) is one spelling for all
+    strategies, so they cannot drift."""
+    out: List[Tuple[float, List[float]]] = []
+    v0 = round_like_sql(1.0 / math.sqrt(V), rd)
+    for _ in range(r):
+        v = [v0] * V
+        for _ in range(p_iters):
+            mv = step(v)
+            w = [mv.get(i, 0.0) for i in range(V)]
+            # deflation: w -= sum_k lam_k * u_k * (u_k . v); the
+            # scalar is the pinned ascending-j fold, the update a
+            # driver-side O(V) op — each coordinate rounded like
+            # every other matvec coordinate
+            for lam, u in out:
+                s = _fold_dot(u, v)
+                w = [w[i] - lam * u[i] * s for i in range(V)]
+            w = [round_like_sql(x, rd) for x in w]
+            n2 = round_like_sql(_fold_dot(w, w), rd)
+            nrm = round_like_sql(math.sqrt(n2), rd)
+            if nrm == 0:
+                raise ValueError(
+                    "ppmi_topk_eigs: zero matvec - matrix rank is"
+                    " below r; lower r"
+                )
+            v = [round_like_sql(x / nrm, rd) for x in w]
+        mv = step(v)
+        u = [mv.get(i, 0.0) for i in range(V)]
+        for lam0, uk in out:
+            s = _fold_dot(uk, v)
+            u = [u[i] - lam0 * uk[i] * s for i in range(V)]
+        u = [round_like_sql(x, rd) for x in u]
+        lam = round_like_sql(_fold_dot(v, u), rd)
+        out.append((lam, _sign_fixed(v)))
+    return out
 
 
 def word_vectors(

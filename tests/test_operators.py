@@ -5536,7 +5536,10 @@ def test_ppmi_matvec_strategy_parity(spark):
     eig_arrow = ppmi_topk_eigs(
         mat, len(vocab), r=2, p_iters=4, matvec_strategy="arrow"
     )
-    assert eig_fold == eig_arrow
+    eig_local = ppmi_topk_eigs(
+        mat, len(vocab), r=2, p_iters=4, matvec_strategy="local"
+    )
+    assert eig_fold == eig_arrow == eig_local
     spark.catalog.clearCache()
     with pytest.raises(ValueError, match="matvec_strategy"):
         ppmi_topk_eigs(mat, len(vocab), r=1, matvec_strategy="bogus")
